@@ -12,18 +12,22 @@ import graft.queries._
   * outputs are decimal-cast or rounded (SURVEY §7.4 R3/R4).
   */
 object SparkEntry {
+
+  /** The full operator registry, one [[graft.queries.Q]] per SURVEY §2 key. */
+  val all: Seq[Q] =
+    Scans.qs ++ Projections.qs ++ Joins.qs ++ Aggregates.qs ++
+      Windows.qs ++ SetOps.qs ++ Scalars.qs ++ Streaming.qs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Aggregates.aggGroupBy(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_groupby" -> (Aggregates.aggGroupBy _),
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "agg_groupby" -> Aggregates.aggGroupBySql,
-  )
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,33 @@
+package graft.engine.catalog
+
+import graft.engine.meta.TableMeta
+import graft.engine.ops.Conform
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Register declared tables into the Spark session catalog so they are
+  * queryable by name via `spark.sql` — the Spark re-expression of the
+  * reference's Glue-catalog registration (SURVEY.md §1.2
+  * [RECONSTRUCTED]: `glue.py` creates Glue tables from metadata JSON).
+  *
+  * On a cluster with a persistent metastore the same metadata drives
+  * `CREATE TABLE ... USING parquet LOCATION ...`; in this offline harness
+  * we register temp views over the declared location, conformed to the
+  * declared schema.
+  */
+object Catalog {
+
+  /** Register `meta` as a temp view named `viewName` (default: the
+    * metadata's own table name), reading from `location`. */
+  def register(spark: SparkSession, meta: TableMeta, location: String,
+      viewName: Option[String] = None): DataFrame = {
+    val df = Conform.conform(spark.read.parquet(location), meta)
+    df.createOrReplaceTempView(viewName.getOrElse(meta.name))
+    df
+  }
+
+  def drop(spark: SparkSession, name: String): Boolean =
+    spark.catalog.dropTempView(name)
+
+  def exists(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(name)
+}

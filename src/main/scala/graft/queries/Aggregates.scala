@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB): all of these are hash aggregates with map-side
   * partial aggregation — the shuffle carries one row per (partition ×
-  * group), not per input row. Group-key cardinality here is tiny
-  * (≤ thousands), so the final agg is never the bottleneck; the scan is.
+  * group), not per input row. COUNT(DISTINCT) expands to a two-phase
+  * aggregate (exact but shuffle-heavy at scale); `approx_count_distinct`
+  * is the constant-memory HyperLogLog++ alternative that merges
+  * sketches instead of shuffling values.
   */
 object Aggregates {
 
@@ -44,4 +46,111 @@ object Aggregates {
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
+
+  val qs: Seq[Q] = Seq(
+    Q("agg_groupby", aggGroupBy _, aggGroupBySql),
+
+    Q("agg_count_distinct",
+      (s, d) => orders(s, d).groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority,
+                COUNT(DISTINCT o_custkey) AS n_customers,
+                COUNT(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority"""),
+
+    // HyperLogLog++ sketch — no oracle (approximate); ScalaTest bounds it
+    // against the exact count. Driver records a rows-only check.
+    Q.noOracle("agg_approx_distinct",
+      (s, d) => orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))
+        .orderBy("y")),
+
+    Q("agg_rollup",
+      (s, d) => orders(s, d)
+        .rollup(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(dsum(col("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("y"), asc_nulls_first("m")),
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+                CAST(month(o_orderdate) AS INT) AS m,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS revenue,
+                COUNT(*) AS n
+         FROM orders GROUP BY ROLLUP (1, 2)
+         ORDER BY y ASC NULLS FIRST, m ASC NULLS FIRST"""),
+
+    Q("agg_cube",
+      (s, d) => lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus")),
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS sum_qty,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST,
+                  l_linestatus ASC NULLS FIRST"""),
+
+    Q("agg_grouping_sets",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+                 CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+                 COUNT(*) AS n
+          FROM graft_lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                  (l_returnflag), ())
+          ORDER BY l_returnflag ASC NULLS FIRST,
+                   l_linestatus ASC NULLS FIRST""")
+      },
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+                CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+                COUNT(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())
+         ORDER BY l_returnflag ASC NULLS FIRST,
+                  l_linestatus ASC NULLS FIRST"""),
+
+    Q("agg_stats",
+      (s, d) => lineitem(s, d).groupBy("l_returnflag")
+        .agg(min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+                MIN(l_quantity) AS min_qty,
+                MAX(l_quantity) AS max_qty,
+                ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+                ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+
+    Q("agg_having",
+      (s, d) => lineitem(s, d).groupBy("l_partkey")
+        .agg(dsum(col("l_quantity"), 2).as("total_qty"),
+          count(lit(1)).as("n"))
+        .filter(col("total_qty") > 800)
+        .orderBy("l_partkey"),
+      """SELECT l_partkey,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS total_qty,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY l_partkey
+         HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) > 800
+         ORDER BY l_partkey"""),
+  )
 }

@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.3).
+  *
+  * Scale notes (100 TB):
+  *  - Dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  *    broadcast — the fact side never shuffles for those joins.
+  *  - Large-large joins (orders⋈customer, lineitem⋈orders) shuffle on the
+  *    join key; AQE picks shuffled-hash vs sort-merge and splits skewed
+  *    partitions at runtime. Co-partitioning via bucketing is the cluster
+  *    deployment's job (`Storage.writeBucketed`), not the query's.
+  *  - The range join keeps its user_id equi-term so it executes as an
+  *    equi-join with a residual range filter, never a cartesian product.
+  */
+object Joins {
+
+  val qs: Seq[Q] = Seq(
+    Q("join_broadcast",
+      (s, d) => nation(s, d)
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"), "inner")
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey"),
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         ORDER BY n_nationkey"""),
+
+    Q("join_shuffle",
+      (s, d) => orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_orderkey", "c_custkey", "c_name", "c_mktsegment",
+          "o_totalprice")
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey"""),
+
+    // TPC-H Q5-style: revenue per nation for one region. lineitem⋈orders
+    // shuffles; customer/nation/region sides broadcast.
+    Q("join_multiway",
+      (s, d) => lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name")),
+      """SELECT n_name,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+         FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation   ON c_nationkey = n_nationkey
+           JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'AMERICA'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name"""),
+
+    Q("join_left_outer",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice"), 2),
+            lit(0).cast("decimal(18,2)")).as("total_spent"))
+        .orderBy("c_custkey"),
+      """SELECT c_custkey, c_name,
+                COUNT(o_orderkey) AS n_orders,
+                COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name
+         ORDER BY c_custkey"""),
+
+    Q("join_semi",
+      (s, d) => customer(s, d)
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey"""),
+
+    Q("join_anti",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey"""),
+
+    Q("join_full_outer",
+      (s, d) => supplier(s, d).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"))
+        .join(customer(s, d).groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_customers")),
+          col("s_nationkey") === col("c_nationkey"), "full")
+        .select(
+          coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+        .orderBy("nationkey"),
+      """SELECT COALESCE(s.k, c.k) AS nationkey,
+                COALESCE(s.n_suppliers, 0) AS n_suppliers,
+                COALESCE(c.n_customers, 0) AS n_customers
+         FROM (SELECT s_nationkey AS k, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY 1) s
+         FULL JOIN (SELECT c_nationkey AS k, COUNT(*) AS n_customers
+                    FROM customer GROUP BY 1) c ON s.k = c.k
+         ORDER BY nationkey"""),
+
+    Q("join_cross",
+      (s, d) => region(s, d)
+        .crossJoin(orders(s, d).select("o_orderstatus").distinct())
+        .select("r_name", "o_orderstatus")
+        .orderBy("r_name", "o_orderstatus"),
+      """SELECT r_name, o_orderstatus
+         FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+         ORDER BY r_name, o_orderstatus"""),
+
+    // Interval/theta join: pairs of events of the same user ≤1h apart.
+    // Comparisons are on integer epoch-µs so Spark's µs truncation of the
+    // parquet ns timestamps can't drift from DuckDB's ns (SURVEY §7.4 R2).
+    Q("join_range",
+      (s, d) => {
+        val e1 = events(s, d).select(
+          col("user_id").as("u1"), unix_micros(col("ts")).as("t1"))
+        val e2 = events(s, d).select(
+          col("user_id").as("u2"), unix_micros(col("ts")).as("t2"))
+        e1.join(e2, col("u1") === col("u2") &&
+            col("t2") > col("t1") &&
+            col("t2") <= col("t1") + expr("3600000000"))
+          .groupBy(col("u1").as("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      """SELECT e1.user_id AS user_id, COUNT(*) AS n_pairs
+         FROM events e1 JOIN events e2
+           ON e1.user_id = e2.user_id
+          AND epoch_us(e2.ts) > epoch_us(e1.ts)
+          AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 3600000000
+         GROUP BY 1 ORDER BY user_id"""),
+  )
+}

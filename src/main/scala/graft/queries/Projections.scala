@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.Tables._
+import graft.engine.meta.{ColumnMeta, TableMeta}
+import graft.engine.ops.Conform
+import org.apache.spark.sql.functions._
+
+/** Projection / filter / conformance operators (SURVEY.md §2.2).
+  *
+  * All are narrow (no shuffle except the final presentation sort):
+  * Catalyst collapses them into the parquet scan — filters reach
+  * `PushedFilters`, projections reach `ReadSchema`, so at 100 TB the scan
+  * reads only the needed columns/row groups.
+  */
+object Projections {
+
+  /** Declared metadata for `conform_cast` — the schema-on-declare verb:
+    * reorder columns, widen int→long, timestamp→date, double→decimal. */
+  val lineitemSlim: TableMeta = TableMeta("lineitem_slim", Seq(
+    ColumnMeta("l_orderkey", "long"),
+    ColumnMeta("l_linenumber", "long"),          // int → long widen
+    ColumnMeta("l_quantity", "decimal(12,2)"),   // double → decimal
+    ColumnMeta("l_extendedprice", "decimal(12,2)"),
+    ColumnMeta("l_shipdate", "date"),            // timestamp → date
+    ColumnMeta("l_returnflag", "character")))
+
+  val qs: Seq[Q] = Seq(
+    Q("project_select",
+      (s, d) => lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+         FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+
+    Q("filter_predicate",
+      (s, d) => orders(s, d).filter(
+        (col("o_orderpriority").like("1%") ||
+          col("o_orderpriority").isin("2-HIGH", "3-MEDIUM")) &&
+          col("o_totalprice").between(50000, 300000) &&
+          col("o_orderstatus") =!= "P" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_custkey").isNotNull)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderpriority
+         FROM orders
+         WHERE (o_orderpriority LIKE '1%'
+                OR o_orderpriority IN ('2-HIGH','3-MEDIUM'))
+           AND o_totalprice BETWEEN 50000 AND 300000
+           AND o_orderstatus <> 'P'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_custkey IS NOT NULL
+         ORDER BY o_orderkey"""),
+
+    Q("conform_cast",
+      (s, d) => Conform.conform(lineitem(s, d), lineitemSlim)
+        .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                CAST(l_quantity AS DECIMAL(12,2)) AS l_quantity,
+                CAST(l_extendedprice AS DECIMAL(12,2)) AS l_extendedprice,
+                CAST(l_shipdate AS DATE) AS l_shipdate,
+                CAST(l_returnflag AS VARCHAR) AS l_returnflag
+         FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+
+    Q("distinct_rows",
+      (s, d) => lineitem(s, d).select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus"""),
+
+    // Nulls are injected via NULLIF (testdata has none — FIXTURES.md note 3)
+    // then repaired with COALESCE / a fill default.
+    Q("null_handling",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"),
+        expr("nullif(o_orderstatus, 'P')").as("status_nullable"),
+        expr("coalesce(nullif(o_orderstatus, 'P'), 'PENDING')")
+          .as("status_filled"),
+        expr("coalesce(nullif(o_custkey, 1), -1)").as("cust_masked"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+                NULLIF(o_orderstatus, 'P') AS status_nullable,
+                COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+                COALESCE(NULLIF(o_custkey, 1), -1) AS cust_masked
+         FROM orders ORDER BY o_orderkey"""),
+
+    Q("case_when",
+      (s, d) => lineitem(s, d).select(
+        when(col("l_discount") < 0.03, "low")
+          .when(col("l_discount") < 0.07, "mid")
+          .otherwise("high").as("discount_band"))
+        .groupBy("discount_band").agg(count(lit(1)).as("n"))
+        .orderBy("discount_band"),
+      """SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+                     WHEN l_discount < 0.07 THEN 'mid'
+                     ELSE 'high' END AS discount_band,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY discount_band"""),
+  )
+}

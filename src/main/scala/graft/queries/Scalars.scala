@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Scalar-function operators: string / date / math / json / array / map /
+  * explode (SURVEY.md §2.7).
+  *
+  * Everything here is a per-row projection over builtin (codegen'd)
+  * functions — no UDFs in the hot path, so each query stays inside one
+  * WholeStageCodegen span fused with the scan. Dialect drift vs DuckDB
+  * (arg order, return types, 1-based indexing) is resolved per function
+  * in the oracle SQL (SURVEY §7.4 R5); int-typed outputs are cast to the
+  * same width on both sides.
+  */
+object Scalars {
+
+  val qs: Seq[Q] = Seq(
+    Q("fn_string",
+      (s, d) => part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_type")).as("type_lower"),
+        substring(col("p_name"), 1, 5).as("name_head"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"),
+        expr("replace(p_type, ' ', '_')").as("type_snake"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        expr("split_part(p_type, ' ', 1)").as("type_first"),
+        trim(col("p_name")).as("name_trim"))
+        .orderBy("p_partkey"),
+      """SELECT p_partkey,
+                upper(p_name) AS name_upper,
+                lower(p_type) AS type_lower,
+                substring(p_name, 1, 5) AS name_head,
+                p_brand || '#' || p_type AS brand_type,
+                CAST(length(p_name) AS INT) AS name_len,
+                replace(p_type, ' ', '_') AS type_snake,
+                regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+                split_part(p_type, ' ', 1) AS type_first,
+                trim(p_name) AS name_trim
+         FROM part ORDER BY p_partkey"""),
+
+    Q("fn_date",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).as("days_since"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        col("o_orderdate").cast("date").as("order_date"),
+        unix_seconds(col("o_orderdate").cast("timestamp")).as("epoch_s"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS y,
+                CAST(month(o_orderdate) AS INT) AS m,
+                CAST(day(o_orderdate) AS INT) AS dom,
+                CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                  AS month_start,
+                CAST(date_diff('day', DATE '1995-01-01',
+                     CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+                CAST(o_orderdate AS DATE) + 30 AS due_date,
+                CAST(o_orderdate AS DATE) AS order_date,
+                epoch_us(o_orderdate) // 1000000 AS epoch_s
+         FROM orders ORDER BY o_orderkey"""),
+
+    // round() is applied only to irrational outputs (sqrt/ln) — rounding
+    // a 2-decimal price hits half-tie divergence between engines (R4).
+    Q("fn_math",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"),
+        abs(col("o_totalprice") - 200000).as("abs_diff"),
+        ceil(col("o_totalprice")).as("price_ceil"),
+        floor(col("o_totalprice")).as("price_floor"),
+        round(sqrt(col("o_totalprice")), 4).as("price_sqrt"),
+        round(log(col("o_totalprice")), 4).as("price_ln"),
+        (col("o_orderkey") % 7).as("key_mod"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+                abs(o_totalprice - 200000) AS abs_diff,
+                CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+                CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+                round(sqrt(o_totalprice), 4) AS price_sqrt,
+                round(ln(o_totalprice), 4) AS price_ln,
+                o_orderkey % 7 AS key_mod
+         FROM orders ORDER BY o_orderkey"""),
+
+    Q("fn_json",
+      (s, d) => events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy("event_id"),
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+         FROM events ORDER BY event_id"""),
+
+    // Array ops over the 64-dim embedding column: size / element_at /
+    // slice / higher-order transform+aggregate (L2 norm). The fold is
+    // left-associative with a +0.0 init in Spark and pairwise-left in
+    // DuckDB — identical double results since 0+x is exact.
+    Q("fn_array",
+      (s, d) => embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_val"),
+        slice(col("embedding"), 1, 4).as("head4"),
+        expr("""round(sqrt(aggregate(transform(embedding,
+                  x -> cast(x AS double) * cast(x AS double)),
+                0D, (a, x) -> a + x)), 4)""").as("l2_norm"))
+        .orderBy("vec_id"),
+      """SELECT vec_id,
+                CAST(len(embedding) AS INT) AS dim,
+                embedding[1] AS first_val,
+                embedding[1:4] AS head4,
+                round(sqrt(list_reduce(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (a, x) -> a + x)), 4) AS l2_norm
+         FROM embeddings ORDER BY vec_id"""),
+
+    // Build a per-user event_type→count map, then look it up. The map is
+    // assembled from a deterministically sorted entry list; the oracle
+    // checks the scalar lookups.
+    Q("fn_map",
+      (s, d) => events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("event_type"), col("n")))))
+          .as("type_counts"))
+        .select(
+          col("user_id"),
+          coalesce(element_at(col("type_counts"), "click"), lit(0L))
+            .as("clicks"),
+          size(col("type_counts")).as("n_types"))
+        .orderBy("user_id"),
+      """SELECT user_id,
+                COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
+                CAST(COUNT(DISTINCT event_type) AS INT) AS n_types
+         FROM events GROUP BY user_id ORDER BY user_id"""),
+
+    Q("fn_explode",
+      (s, d) => documents(s, d).select(
+        col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .orderBy("doc_id", "word"),
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         FROM documents ORDER BY doc_id, word"""),
+  )
+}

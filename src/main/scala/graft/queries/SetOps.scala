@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Sort / limit / set operators (SURVEY.md §2.6).
+  *
+  * Scale notes: global top-k compiles to `TakeOrderedAndProject` — each
+  * partition keeps k rows, the driver merges; no global sort. UNION ALL
+  * is a zero-shuffle concatenation; the distinct set ops hash-shuffle
+  * once on the full row.
+  */
+object SetOps {
+
+  val qs: Seq[Q] = Seq(
+    Q("sort_limit_topk",
+      (s, d) => orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(20),
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"""),
+
+    // Bag union: the src tag keeps the total order unique even where the
+    // two slices overlap (R3).
+    Q("set_union_all",
+      (s, d) => {
+        val o = orders(s, d)
+        o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), lit("u").as("src"))
+          .unionByName(
+            o.filter(col("o_totalprice") > 400000)
+              .select(col("o_orderkey"), lit("h").as("src")))
+          .orderBy("o_orderkey", "src")
+      },
+      """SELECT o_orderkey, 'u' AS src FROM orders
+         WHERE o_orderpriority = '1-URGENT'
+         UNION ALL
+         SELECT o_orderkey, 'h' AS src FROM orders
+         WHERE o_totalprice > 400000
+         ORDER BY o_orderkey, src"""),
+
+    Q("set_union_distinct",
+      (s, d) => {
+        val o = orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .union(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+          .distinct()
+          .orderBy("o_custkey")
+      },
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         UNION
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey"""),
+
+    Q("set_intersect",
+      (s, d) => {
+        val o = orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .intersect(
+            o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey"""),
+
+    Q("set_except",
+      (s, d) => {
+        val o = orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .except(
+            o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey"""),
+  )
+}

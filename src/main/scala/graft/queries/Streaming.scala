@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.Tables._
+import graft.engine.stream.EventOps
+import org.apache.spark.sql.functions._
+
+/** Batch forms of the streaming operators (SURVEY.md §2.8). The same
+  * [[EventOps]] functions run under Structured Streaming in ScalaTest;
+  * here they run as batch over the `events` table so the DuckDB oracle
+  * hash-checks their semantics.
+  *
+  * Session windows (`stream_session`) are checked against a
+  * gaps-and-islands SQL oracle: a session breaks after 30 minutes of
+  * silence; gap arithmetic runs on integer epoch-µs on both sides (R2).
+  */
+object Streaming {
+
+  val qs: Seq[Q] = Seq(
+    Q("stream_tumbling",
+      (s, d) => EventOps.tumbling(events(s, d))
+        .orderBy("hour_start", "event_type"),
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+                event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                  AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""),
+
+    Q("stream_sliding",
+      (s, d) => EventOps.sliding(events(s, d))
+        .orderBy("win_start", "event_type"),
+      """WITH buckets AS (
+           SELECT CAST(time_bucket(INTERVAL '30 minutes',
+                    CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS b, event_type
+           FROM events)
+         SELECT win_start, event_type, COUNT(*) AS n FROM (
+           SELECT b AS win_start, event_type FROM buckets
+           UNION ALL
+           SELECT b - INTERVAL '30 minutes' AS win_start, event_type
+           FROM buckets)
+         GROUP BY 1, 2 ORDER BY win_start, event_type"""),
+
+    Q("stream_session",
+      (s, d) => EventOps.sessions(events(s, d))
+        .orderBy("user_id", "session_start_us"),
+      """WITH t AS (
+           SELECT user_id, epoch_us(ts) AS t_us,
+                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY epoch_us(ts))
+                       >= 1800000000 THEN 1
+                       WHEN LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY epoch_us(ts))
+                       IS NULL THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         numbered AS (
+           SELECT user_id, t_us,
+                  SUM(new_session) OVER (PARTITION BY user_id ORDER BY t_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_id
+           FROM t)
+         SELECT MIN(t_us) AS session_start_us, user_id,
+                COUNT(*) AS n_events
+         FROM numbered GROUP BY user_id, session_id
+         ORDER BY user_id, session_start_us"""),
+
+    Q("stream_dedup",
+      (s, d) => EventOps.dedupe(events(s, d)).orderBy("event_id"),
+      """SELECT event_id, user_id, event_type FROM (
+           SELECT event_id, user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY event_id
+                    ORDER BY epoch_us(ts)) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY event_id"""),
+  )
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators (SURVEY.md §2.5).
+  *
+  * Every window `orderBy` carries a unique tiebreak column (R3) so
+  * rank/lag results are total-order deterministic and hash-comparable.
+  *
+  * Scale note: a window over `partitionBy(k)` shuffles once on k and
+  * sorts within partitions — same cost shape as a groupBy on k. The
+  * pathological case is a window with no partitionBy (single-partition
+  * global sort); none of these do that except via the final presentation
+  * `orderBy`, which is a driver-bound small result anyway.
+  */
+object Windows {
+
+  val qs: Seq[Q] = Seq(
+    Q("win_rank", (s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      customer(s, d).select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+        .filter(col("rn") <= 10)
+        .orderBy("c_mktsegment", "rn")
+    },
+      """SELECT * FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER w AS rn,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk
+           FROM customer
+           WINDOW w AS (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey ASC))
+         WHERE rn <= 10
+         ORDER BY c_mktsegment, rn"""),
+
+    Q("win_topk_per_group", (s, d) => {
+      val w = Window.partitionBy("p_brand")
+        .orderBy(desc("p_retailprice"), asc("p_partkey"))
+      part(s, d).select(col("p_brand"), col("p_partkey"),
+          col("p_retailprice"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    },
+      """SELECT * FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+               ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+           FROM part)
+         WHERE rn <= 3 ORDER BY p_brand, rn"""),
+
+    // Inter-event gap per user in integer µs (R2: epoch-µs on both sides).
+    Q("win_lag_lead", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"))
+        .select(col("user_id"), col("event_id"),
+          (col("t") - lag(col("t"), 1).over(w)).as("gap_us"),
+          (lead(col("t"), 1).over(w) - col("t")).as("next_gap_us"))
+        .orderBy("user_id", "event_id")
+    },
+      """SELECT user_id, event_id,
+                t - LAG(t, 1) OVER w AS gap_us,
+                LEAD(t, 1) OVER w - t AS next_gap_us
+         FROM (SELECT user_id, event_id, epoch_us(ts) AS t FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+         ORDER BY user_id, event_id"""),
+
+    Q("win_running_sum", (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          dsumOver(col("o_totalprice"), 2, w).as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+      """SELECT o_custkey, o_orderkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(18,2)) AS running_spend
+         FROM orders ORDER BY o_custkey, o_orderkey"""),
+
+    // 30-day trailing RANGE frame over an epoch-day key.
+    Q("win_range_frame", (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("day")
+        .rangeBetween(-30, Window.currentRow)
+      orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          unix_date(col("o_orderdate").cast("date")).as("day"),
+          col("o_totalprice"))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"),
+          dsumOver(col("o_totalprice"), 2, w).as("trailing_30d"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+      """SELECT o_custkey, o_orderkey, day,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY day
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(18,2)) AS trailing_30d
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS day
+               FROM orders)
+         ORDER BY o_custkey, o_orderkey"""),
+
+    // ntile/percent_rank/cume_dist over a total order (unique tiebreak ⇒
+    // rank == row_number ⇒ all three deterministic; the small rationals
+    // they produce are computed identically in both engines).
+    Q("win_ntile", (s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      customer(s, d).select(
+        col("c_mktsegment"), col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+      """SELECT c_mktsegment, c_custkey,
+                NTILE(4) OVER w AS quartile,
+                ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+                ROUND(CUME_DIST() OVER w, 6) AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey ASC)
+         ORDER BY c_mktsegment, c_custkey"""),
+  )
+
+  /** Exact decimal windowed sum (same rationale as Tables.dsum). */
+  private def dsumOver(c: org.apache.spark.sql.Column, scale: Int,
+      w: org.apache.spark.sql.expressions.WindowSpec) =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale))).over(w)
+      .cast(org.apache.spark.sql.types.DecimalType(18, scale))
+}
