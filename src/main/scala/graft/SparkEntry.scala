@@ -16,7 +16,8 @@ object SparkEntry {
   /** The full operator registry, one [[graft.queries.Q]] per SURVEY §2 key. */
   val all: Seq[Q] =
     Scans.qs ++ Projections.qs ++ Joins.qs ++ Aggregates.qs ++
-      Windows.qs ++ SetOps.qs ++ Scalars.qs ++ Streaming.qs
+      Windows.qs ++ SetOps.qs ++ Scalars.qs ++ Streaming.qs ++
+      Llm.qs ++ UdfQueries.qs ++ IoQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,112 @@
+package graft.engine.ml
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search verbs over embedding columns (SURVEY.md §2.10):
+  * brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane-LSH approximate path for scale.
+  *
+  * Scale design (100 TB of vectors): the probe set is broadcast, so
+  * brute force is a single scan of the embedding table (fine for ≤ a few
+  * thousand probes). The LSH path buckets vectors once (write-time at
+  * scale), turning each query into a bucket-local scan — the IVF-style
+  * trade: recall for a ~bands× cheaper scan.
+  */
+object Similarity {
+
+  /** Elementwise-exact dot product of two float-array columns, computed
+    * as a left fold in double — deterministic and reproducible by any
+    * engine that folds left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Deterministic label-stratified probe set: lowest vec_id per label. */
+  def probes(emb: DataFrame): DataFrame = {
+    val ids = emb.groupBy("label").agg(min(col("vec_id")).as("vec_id"))
+    emb.join(ids.select("vec_id"), "vec_id")
+      .select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+  }
+
+  /** Exact top-k cosine neighbours for each probe (self excluded).
+    * The probe side is broadcast: one pass over the embedding table,
+    * then a per-probe top-k window. */
+  def bruteForceTopK(emb: DataFrame, probeDf: DataFrame, k: Int): DataFrame = {
+    val scored = emb.crossJoin(broadcast(probeDf))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("probe_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"),
+        round(col("cos"), 6).as("score"))
+  }
+
+  /** Embedding near-duplicate pairs within a label partition: exact
+    * cosine ≥ threshold. The label equi-term keeps the pair space
+    * bounded (at scale: replace label with an LSH bucket id). */
+  def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = emb.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(col("cos"), 6).as("score"))
+  }
+
+  /** Approximate NN via random-hyperplane LSH (seeded, deterministic).
+    * Returns per-probe candidates ranked by exact euclidean distance on
+    * the LSH-joined candidate set. */
+  def annTopK(emb: DataFrame, probeDf: DataFrame, k: Int,
+      bucketLength: Double = 2.0, numTables: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val data = emb.select(col("vec_id"), toVec(col("embedding")).as("features"))
+    val probesV = probeDf.select(col("probe_id"),
+      toVec(col("probe_emb")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numTables)
+      .setInputCol("features").setOutputCol("hashes").setSeed(42L)
+    val model = lsh.fit(data)
+    val joined = model.approxSimilarityJoin(probesV, data, 6.0, "dist")
+      .select(col("datasetA.probe_id").as("probe_id"),
+        col("datasetB.vec_id").as("vec_id"), col("dist"))
+      .filter(col("probe_id") =!= col("vec_id"))
+    val w = Window.partitionBy("probe_id").orderBy(asc("dist"), asc("vec_id"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"),
+        round(col("dist"), 6).as("dist"))
+  }
+
+  /** Per-label norm statistics over the embedding column. */
+  def normStats(emb: DataFrame): DataFrame =
+    emb.select(col("label"), size(col("embedding")).as("dim"),
+      l2Norm(col("embedding")).as("norm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("dim")).as("dim"),
+        round(avg(col("norm")), 4).as("avg_norm"),
+        round(min(col("norm")), 4).as("min_norm"),
+        round(max(col("norm")), 4).as("max_norm"))
+}

@@ -1,0 +1,135 @@
+package graft.engine.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis verbs for LLM training-data pipelines (SURVEY.md §2.10
+  * + north-star extensions): tokenization, word/ngram counts, quality
+  * scoring, token counting, rolling-hash fingerprinting, language-ID.
+  *
+  * All per-document verbs are single projections over builtin
+  * higher-order functions — no UDFs, no shuffle, fully codegen'd, so
+  * they stream through a 100 TB corpus at scan speed. The corpus-level
+  * verbs (wordcount, ngram counts, langId training) are one hash
+  * aggregation each.
+  */
+object Text {
+
+  private val P = 1000000007L
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word counts over the corpus, heaviest first (deterministic tiebreak
+    * on the word). At scale this is the canonical map-side-combine
+    * aggregation: the shuffle carries (word, partial count). */
+  def wordCount(docs: DataFrame, topN: Int): DataFrame =
+    docs.select(explode(tokens(lower(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word"))
+      .limit(topN)
+
+  /** Word-bigram counts. Bigrams are built per document with a
+    * higher-order transform (no shuffle), then counted. */
+  def bigramCount(docs: DataFrame, topN: Int): DataFrame =
+    docs.select(explode(expr(
+      """CASE WHEN size(split(text, ' ')) < 2 THEN array()
+         ELSE transform(sequence(1, size(split(text, ' ')) - 1),
+           i -> concat(element_at(split(text, ' '), i), ' ',
+                       element_at(split(text, ' '), i + 1))) END"""))
+      .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("bigram"))
+      .limit(topN)
+
+  /** Per-document quality signals: token count, average token length,
+    * stopword ratio, punctuation density, and a composite score. */
+  def qualityScore(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    docs.select(
+      col("doc_id"),
+      expr("size(split(text, ' '))").as("n_tokens"),
+      expr("""round((length(text) - (size(split(text, ' ')) - 1))
+              / cast(size(split(text, ' ')) AS double), 4)""")
+        .as("avg_token_len"),
+      expr(s"""round(size(filter(split(text, ' '),
+               t -> array_contains($stopArr, t)))
+              / cast(size(split(text, ' ')) AS double), 4)""")
+        .as("stopword_ratio"),
+      expr("""round(regexp_count(text, '[.,!?;:]')
+              / cast(length(text) AS double), 4)""").as("punct_ratio"),
+      expr(s"""round(least(1.0D, size(split(text, ' ')) / 200.0D)
+               * (1.0D - size(filter(split(text, ' '),
+                    t -> array_contains($stopArr, t)))
+                  / cast(size(split(text, ' ')) AS double)), 4)""")
+        .as("quality"))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens, and the
+    * chars-per-token ratio used for budget estimates. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr("size(split(text, ' '))").as("ws_tokens"),
+      expr("regexp_count(text, '[a-z0-9]+|[^a-z0-9 ]')").as("re_tokens"),
+      expr("cast(ceil(length(text) / 4.0D) AS bigint)").as("est_bpe_tokens"),
+      expr("""round(length(text) /
+              cast(regexp_count(text, '[a-z0-9]+|[^a-z0-9 ]') AS double),
+              4)""").as("chars_per_token"))
+
+  /** Polynomial rolling-hash fingerprints: a whole-document hash plus the
+    * minimum 8-gram hash (winnowing-style), both in exact integer
+    * arithmetic so any engine reproduces them bit-for-bit. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr(s"""aggregate(transform(sequence(1, length(text)),
+                 i -> cast(ascii(substring(text, i, 1)) AS bigint)),
+               0L, (a, c) -> (a * 31 + c) % $P)""").as("doc_hash"),
+      expr(s"""array_min(transform(sequence(1, length(text) - 7),
+                 i -> aggregate(transform(sequence(0, 7),
+                        j -> cast(ascii(substring(text, i + j, 1)) AS bigint)),
+                      0L, (a, c) -> (a * 31 + c) % $P)))""")
+        .as("min_8gram_hash"))
+
+  /** Language-ID by character-trigram profile overlap: learn the topK
+    * trigrams per labeled language, then classify each document by which
+    * profile it overlaps most (ties broken alphabetically).
+    *
+    * Scale: the profile table is tiny (langs × topK) and broadcast; the
+    * per-document side is one explode + one aggregation. */
+  def langIdPredict(docs: DataFrame, topK: Int = 40): DataFrame = {
+    val grams = docs.select(col("doc_id"), col("lang"),
+      explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("gram"))
+    val profile = grams.groupBy("lang", "gram")
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(desc("freq"), asc("gram"))))
+      .filter(col("rk") <= topK)
+      .select(col("lang").as("profile_lang"), col("gram"))
+    val docGrams = grams.select("doc_id", "gram").distinct()
+    val scored = docGrams.join(broadcast(profile), "gram")
+      .groupBy("doc_id", "profile_lang")
+      .agg(count(lit(1)).as("overlap"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("overlap"), asc("profile_lang"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("profile_lang").as("predicted_lang"),
+        col("overlap"))
+  }
+
+  /** Per (lang, source) profile: doc count, avg length, distinct words. */
+  def langProfile(docs: DataFrame): DataFrame = {
+    val stats = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+    val words = docs
+      .select(col("lang"), col("source"),
+        explode(tokens(col("text"))).as("w"))
+      .distinct()
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_distinct_words"))
+    stats.join(words, Seq("lang", "source"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.Tables._
+import graft.engine.ops.Conform
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IO roundtrip / partitioned-sink operators (SURVEY.md §2.1). These are
+  * the reference's S3-folder CSV/JSONL pipelines re-expressed as
+  * schema-declared Spark reads/writes on the Hadoop FS API (file:// here,
+  * s3a:// in production — same code path).
+  *
+  * Each query writes to a deterministic scratch dir then reads back with
+  * the declared schema, so the oracle checks the full write→read cycle
+  * preserves values. The partitioned sink's read applies partition
+  * pruning (only the y=1997 directory is listed).
+  */
+object IoQueries {
+
+  private def scratch(sfDir: String, name: String): String = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_io/${tag}_$name"
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("scan_csv_roundtrip",
+      (s, d) => {
+        val out = scratch(d, "csv")
+        val slim = Conform.conform(
+          lineitem(s, d).filter(col("l_orderkey") < 100),
+          Projections.lineitemSlim)
+        slim.write.mode("overwrite").option("header", "true").csv(out)
+        s.read.schema(Projections.lineitemSlim.schema)
+          .option("header", "true").csv(out)
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                CAST(l_quantity AS DECIMAL(12,2)) AS l_quantity,
+                CAST(l_extendedprice AS DECIMAL(12,2)) AS l_extendedprice,
+                CAST(l_shipdate AS DATE) AS l_shipdate,
+                CAST(l_returnflag AS VARCHAR) AS l_returnflag
+         FROM lineitem WHERE l_orderkey < 100
+         ORDER BY l_orderkey, l_linenumber"""),
+
+    Q("scan_jsonl_roundtrip",
+      (s, d) => {
+        val out = scratch(d, "jsonl")
+        val docs = documents(s, d)
+        docs.write.mode("overwrite").json(out)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        s.read.schema(schema).json(out)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id"""),
+
+    Q("sink_partitioned",
+      (s, d) => {
+        val out = scratch(d, "sink")
+        orders(s, d)
+          .withColumn("y", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("y").parquet(out)
+        s.read.parquet(out)
+          .filter(col("y") === 1997) // partition pruning: lists y=1997 only
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("y").cast("int").as("y"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS y
+         FROM orders WHERE year(o_orderdate) = 1997
+         ORDER BY o_orderkey"""),
+  )
+}

@@ -157,5 +157,36 @@ object Joins {
           AND epoch_us(e2.ts) > epoch_us(e1.ts)
           AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 3600000000
          GROUP BY 1 ORDER BY user_id"""),
+
+    // As-of join (no native Spark operator): each purchase event matched
+    // to the same user's latest prior click. Expressed as a window scan
+    // over the union — O(n log n) per user partition, one shuffle. At
+    // 100 TB the same shape holds: range-partition by (user, time),
+    // carry the last-click watermark per partition.
+    Q("join_asof",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("t"))
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev.withColumn("last_click_id",
+            last(when(col("event_type") === "click", col("event_id")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "last_click_id")
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, last_click_id FROM (
+           SELECT event_id, user_id, event_type,
+                  LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS last_click_id
+           FROM events WHERE event_type IN ('click', 'purchase'))
+         WHERE event_type = 'purchase' ORDER BY event_id"""),
   )
 }

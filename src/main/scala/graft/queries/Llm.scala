@@ -1,0 +1,239 @@
+package graft.queries
+
+import graft.Tables._
+import graft.engine.ml.{Dedup, Similarity, Text}
+import org.apache.spark.sql.functions._
+
+/** LLM training-data pipeline operators (SURVEY.md §2.10): dedup,
+  * similarity search, text analysis, vector stats, multimodal features.
+  * Thin wrappers over the `graft.engine.ml` verbs plus presentation
+  * ordering; approximate/hash-seeded ops (MinHash, SimHash, ANN) have no
+  * SQL oracle and are bounds-checked in ScalaTest instead.
+  */
+object Llm {
+
+  private val P = 1000000007L
+
+  val qs: Seq[Q] = Seq(
+    Q("dedup_exact",
+      (s, d) => Dedup.exact(documents(s, d)).orderBy("doc_id"),
+      """SELECT doc_id, digest FROM (
+           SELECT doc_id, md5(text) AS digest,
+                  ROW_NUMBER() OVER (PARTITION BY md5(text)
+                    ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1 ORDER BY doc_id"""),
+
+    // MinHash-LSH near-dup: xxhash64-seeded → not SQL-mirrorable; the
+    // exact-Jaccard verification of planted dupes runs in ScalaTest.
+    Q.noOracle("dedup_near",
+      (s, d) => Dedup.nearMinHash(documents(s, d), 0.8)
+        .orderBy("doc_a", "doc_b")),
+
+    Q.noOracle("dedup_simhash",
+      (s, d) => Dedup.nearSimHash(documents(s, d), 3)
+        .orderBy("doc_a", "doc_b")),
+
+    // Exact n-gram Jaccard within (lang, source) groups — SQL-expressible
+    // near-dup; the group equi-term bounds the pair space.
+    Q("dedup_ngram",
+      (s, d) => Dedup.ngramJaccardPairs(documents(s, d), 0.12)
+        .orderBy("doc_a", "doc_b"),
+      """WITH grams AS (
+           SELECT DISTINCT doc_id, lang, source,
+                  unnest(list_transform(range(1, len(string_split(text,' '))),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1])) AS g
+           FROM documents),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+           FROM grams a JOIN grams b
+             ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                ROUND(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 4)
+                  AS jaccard
+         FROM common
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.12
+         ORDER BY doc_a, doc_b"""),
+
+    // Embedding-cosine near-dup within label groups; fold arithmetic is
+    // mirrored exactly (left fold over doubles) so scores hash-match.
+    Q("dedup_embedding",
+      (s, d) => Similarity.embeddingNearDup(embeddings(s, d), 0.8)
+        .orderBy("vec_a", "vec_b"),
+      """WITH pairs AS (
+           SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) *
+                    CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+             (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) *
+                    CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y)) *
+              sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(b.embedding[i] AS DOUBLE) *
+                    CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+             AS cos
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT label, vec_a, vec_b, ROUND(cos, 6) AS score
+         FROM pairs WHERE cos >= 0.8 ORDER BY vec_a, vec_b"""),
+
+    Q("sim_search_topk",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.bruteForceTopK(emb, Similarity.probes(emb), 5)
+          .orderBy("probe_id", "rn")
+      },
+      """WITH probe_ids AS (
+           SELECT MIN(vec_id) AS probe_id FROM embeddings GROUP BY label),
+         p AS (SELECT e.vec_id AS probe_id, e.embedding AS probe_emb
+               FROM embeddings e JOIN probe_ids ON e.vec_id = probe_id),
+         scored AS (
+           SELECT p.probe_id, e.vec_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+             (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(p.probe_emb[i] AS DOUBLE)), (x, y) -> x + y)) *
+              sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+             AS cos
+           FROM p CROSS JOIN embeddings e WHERE e.vec_id <> p.probe_id),
+         ranked AS (
+           SELECT probe_id, vec_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY cos DESC, vec_id ASC) AS rn
+           FROM scored)
+         SELECT probe_id, CAST(rn AS INT) AS rn, vec_id,
+                ROUND(cos, 6) AS score
+         FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn"""),
+
+    Q.noOracle("sim_ann_lsh",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.annTopK(emb, Similarity.probes(emb), 5)
+          .orderBy("probe_id", "rn")
+      }),
+
+    Q("text_wordcount",
+      (s, d) => Text.wordCount(documents(s, d), 50),
+      """SELECT word, COUNT(*) AS cnt FROM (
+           SELECT unnest(string_split(lower(text), ' ')) AS word
+           FROM documents)
+         GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50"""),
+
+    Q("text_ngrams",
+      (s, d) => Text.bigramCount(documents(s, d), 50),
+      """SELECT bigram, COUNT(*) AS cnt FROM (
+           SELECT unnest(list_transform(range(1, len(string_split(text,' '))),
+             i -> string_split(text,' ')[i] || ' ' ||
+                  string_split(text,' ')[i+1])) AS bigram
+           FROM documents)
+         GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 50"""),
+
+    Q("text_lang_profile",
+      (s, d) => Text.langProfile(documents(s, d)).orderBy("lang", "source"),
+      """SELECT s.lang, s.source, n_docs, avg_chars, n_distinct_words
+         FROM (SELECT lang, source, COUNT(*) AS n_docs,
+                      ROUND(AVG(n_chars), 2) AS avg_chars
+               FROM documents GROUP BY 1, 2) s
+         JOIN (SELECT lang, source, COUNT(DISTINCT w) AS n_distinct_words
+               FROM (SELECT lang, source,
+                       unnest(string_split(text, ' ')) AS w
+                     FROM documents)
+               GROUP BY 1, 2) w
+           ON s.lang = w.lang AND s.source = w.source
+         ORDER BY s.lang, s.source"""),
+
+    Q("text_quality",
+      (s, d) => Text.qualityScore(documents(s, d),
+        Seq("join", "filter", "sort", "hash", "scan")).orderBy("doc_id"),
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           ROUND((length(text) - (len(string_split(text, ' ')) - 1))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+             AS avg_token_len,
+           ROUND(len(list_filter(string_split(text, ' '),
+               t -> list_contains(['join','filter','sort','hash','scan'], t)))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+             AS stopword_ratio,
+           ROUND(len(regexp_extract_all(text, '[.,!?;:]'))
+             / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+           ROUND(least(1.0, len(string_split(text, ' ')) / 200.0)
+             * (1.0 - len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['join','filter','sort','hash','scan'], t)))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS quality
+         FROM documents ORDER BY doc_id"""),
+
+    Q("text_tokencount",
+      (s, d) => Text.tokenCounts(documents(s, d)).orderBy("doc_id"),
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS INT)
+             AS re_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+           ROUND(length(text) / CAST(len(regexp_extract_all(text,
+             '[a-z0-9]+|[^a-z0-9 ]')) AS DOUBLE), 4) AS chars_per_token
+         FROM documents ORDER BY doc_id"""),
+
+    Q("text_fingerprint",
+      (s, d) => Text.fingerprint(documents(s, d)).orderBy("doc_id"),
+      s"""SELECT doc_id,
+            list_reduce(list_transform(range(1, length(text) + 1),
+              i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+              (a, c) -> (a * 31 + c) % $P) AS doc_hash,
+            list_min(list_transform(range(1, length(text) - 6),
+              i -> list_reduce(list_transform(range(0, 8),
+                     j -> CAST(ascii(substring(text, i + j, 1)) AS BIGINT)),
+                   (a, c) -> (a * 31 + c) % $P))) AS min_8gram_hash
+          FROM documents ORDER BY doc_id"""),
+
+    Q.noOracle("text_langid",
+      (s, d) => Text.langIdPredict(documents(s, d)).orderBy("doc_id")),
+
+    Q("vec_norm_stats",
+      (s, d) => Similarity.normStats(embeddings(s, d)).orderBy("label"),
+      """SELECT label, COUNT(*) AS n_vectors,
+                CAST(MIN(len(embedding)) AS INT) AS dim,
+                ROUND(AVG(norm), 4) AS avg_norm,
+                ROUND(MIN(norm), 4) AS min_norm,
+                ROUND(MAX(norm), 4) AS max_norm
+         FROM (SELECT label, embedding,
+                 sqrt(list_reduce(list_transform(range(1, 65),
+                   i -> CAST(embedding[i] AS DOUBLE) *
+                        CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))
+                   AS norm
+               FROM embeddings)
+         GROUP BY label ORDER BY label"""),
+
+    // Multimodal: opaque bytes + derived features, fully deterministic.
+    // The real batch-decode plumbing lives in engine.ml.Multimodal
+    // (ScalaTest); this query checks the byte-level feature math.
+    Q("multimodal_features",
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        octet_length(col("text")).as("byte_len"),
+        expr(s"""aggregate(transform(sequence(1, length(text)),
+                   i -> cast(ascii(substring(text, i, 1)) AS bigint)),
+                 0L, (a, c) -> (a * 31 + c) % $P)""").as("checksum"),
+        expr("""transform(sequence(1, 4),
+                i -> cast(ascii(substring(text, i, 1)) AS float))""")
+          .as("head_features"))
+        .orderBy("doc_id"),
+      s"""SELECT doc_id,
+            CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
+            list_reduce(list_transform(range(1, length(text) + 1),
+              i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+              (a, c) -> (a * 31 + c) % $P) AS checksum,
+            list_transform(range(1, 5),
+              i -> CAST(ascii(substring(text, i, 1)) AS FLOAT))
+              AS head_features
+          FROM documents ORDER BY doc_id"""),
+  )
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.Tables._
+import graft.engine.udf.Udfs
+import org.apache.spark.sql.functions._
+
+/** UDF / UDAF / UDTF surface (SURVEY.md §2.9). These deliberately route
+  * through the user-extension APIs (scalar udf, typed Aggregator via
+  * functions.udaf, Dataset.flatMap generator) rather than builtins — the
+  * point is proving the extension surface, with the oracle confirming
+  * the builtin-equivalent semantics. */
+object UdfQueries {
+
+  val qs: Seq[Q] = Seq(
+    Q("udf_scalar",
+      (s, d) => {
+        val band = udf(Udfs.discountBand)
+        lineitem(s, d)
+          .select(band(col("l_discount")).as("discount_band"))
+          .groupBy("discount_band").agg(count(lit(1)).as("n"))
+          .orderBy("discount_band")
+      },
+      """SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+                     WHEN l_discount < 0.07 THEN 'mid'
+                     ELSE 'high' END AS discount_band, COUNT(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY discount_band"""),
+
+    Q("udaf_aggregator",
+      (s, d) => {
+        val wavg = udaf(Udfs.WeightedAvgPrice)
+        lineitem(s, d).groupBy("l_returnflag")
+          .agg(wavg(col("l_extendedprice"), col("l_quantity"))
+            .as("w_avg_price"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag,
+                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                               CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+                      4) AS w_avg_price
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+
+    // Generator: char-3-gram shingler as a typed flatMap (UDTF shape),
+    // aggregated to distinct-shingle counts per document.
+    Q("udtf_generator",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .flatMap { case (id, t) =>
+            t.sliding(3).filter(_.length == 3).map(g => (id, g))
+          }
+          .toDF("doc_id", "shingle")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("shingle")).as("n_shingles"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, COUNT(DISTINCT sh) AS n_shingles FROM (
+           SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+             i -> substring(text, i, 3))) AS sh
+           FROM documents)
+         GROUP BY doc_id ORDER BY doc_id"""),
+  )
+}
