@@ -31,22 +31,31 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Deterministic label-stratified probe set: lowest vec_id per label. */
+  /** Deterministic label-stratified probe set: lowest vec_id per label.
+    * Carries the probe's precomputed norm so the per-pair cosine below
+    * costs one fold (the dot), not three. */
   def probes(emb: DataFrame): DataFrame = {
     val ids = emb.groupBy("label").agg(min(col("vec_id")).as("vec_id"))
     emb.join(ids.select("vec_id"), "vec_id")
       .select(col("vec_id").as("probe_id"),
-        col("embedding").as("probe_emb"))
+        col("embedding").as("probe_emb"),
+        l2Norm(col("embedding")).as("probe_norm"))
   }
 
   /** Exact top-k cosine neighbours for each probe (self excluded).
     * The probe side is broadcast: one pass over the embedding table,
-    * then a per-probe top-k window. */
+    * then a per-probe top-k window. Norms are computed once per row
+    * BEFORE the join — inside the join projection they would be
+    * recomputed per pair. */
   def bruteForceTopK(emb: DataFrame, probeDf: DataFrame, k: Int): DataFrame = {
-    val scored = emb.crossJoin(broadcast(probeDf))
+    val scored = emb
+      .select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("norm"))
+      .crossJoin(broadcast(probeDf))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        cosine(col("probe_emb"), col("embedding")).as("cos"))
+        (dot(col("probe_emb"), col("embedding")) /
+          (col("probe_norm") * col("norm"))).as("cos"))
     val w = Window.partitionBy("probe_id")
       .orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -57,16 +66,20 @@ object Similarity {
 
   /** Embedding near-duplicate pairs within a label partition: exact
     * cosine ≥ threshold. The label equi-term keeps the pair space
-    * bounded (at scale: replace label with an LSH bucket id). */
+    * bounded (at scale: replace label with an LSH bucket id); norms are
+    * precomputed per side so each pair costs one dot-product fold. */
   def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("label"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
-    val b = emb.select(col("label"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
+    val withNorm = emb.select(col("label"), col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("norm"))
+    val a = withNorm.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = withNorm.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
-        cosine(col("emb_a"), col("emb_b")).as("cos"))
+        (dot(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("label"), col("vec_a"), col("vec_b"),
         round(col("cos"), 6).as("score"))
