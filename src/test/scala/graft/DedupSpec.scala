@@ -1,0 +1,98 @@
+package graft
+
+import graft.engine.ml.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Near-dup behavior on planted duplicates (SURVEY §2.10, §5.2): the
+  * hash-seeded ops have no SQL oracle, so recall/precision on a corpus
+  * with KNOWN duplicates is the correctness check. */
+class DedupSpec extends AnyFunSuite with SparkFixture {
+
+  /** documents ∪ near-copies of the first `n` docs (doc_id + 100000,
+    * one word changed → Jaccard ≈ 0.9+) ∪ exact copies (doc_id + 200000). */
+  private def planted(n: Int): (DataFrame, Seq[(Long, Long)], Seq[(Long, Long)]) = {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.limit(n).cache()
+    val nearCopies = base
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text",
+        concat(substring(col("text"), 1, 40), lit("zq "),
+          expr("substring(text, 44)")))
+    val exactCopies = base.withColumn("doc_id", col("doc_id") + 200000L)
+    val ids = base.select("doc_id").collect().map(_.getLong(0)).toSeq
+    (docs.unionByName(nearCopies).unionByName(exactCopies),
+      ids.map(i => (i, i + 100000L)), ids.map(i => (i, i + 200000L)))
+  }
+
+  test("exact dedup keeps exactly one doc per digest, the lowest id") {
+    val (corpus, _, exactPairs) = planted(20)
+    val kept = Dedup.exact(corpus)
+    // every exact copy's digest collapses onto the original id
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    exactPairs.foreach { case (orig, copy) =>
+      assert(keptIds.contains(orig) && !keptIds.contains(copy),
+        s"expected $orig kept and $copy dropped")
+    }
+    // digests unique in the output
+    assert(kept.select("digest").distinct().count() === kept.count())
+    // idempotent: output ⊆ input, re-dedup is a no-op
+    assert(kept.count() ===
+      corpus.select(md5(col("text"))).distinct().count())
+  }
+
+  test("MinHash-LSH finds planted near+exact dups with high recall") {
+    val (corpus, nearPairs, exactPairs) = planted(20)
+    val found = Dedup.nearMinHash(corpus, 0.7)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wanted = (nearPairs ++ exactPairs).toSet
+    val recall = wanted.count(found.contains).toDouble / wanted.size
+    assert(recall >= 0.8, s"recall $recall over ${wanted.size} planted pairs")
+  }
+
+  test("jaccard verification gives exact values (precision filter)") {
+    val (corpus, nearPairs, _) = planted(10)
+    val state = Dedup.signatures(corpus)
+    val cand = spark.createDataFrame(
+      nearPairs.map { case (a, b) => (a, b) })
+      .toDF("doc_a", "doc_b")
+    val verified = Dedup.jaccardVerify(cand, state, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    nearPairs.foreach { case p @ (a, b) =>
+      val j = verified.getOrElse(p, 0.0)
+      assert(j > 0.6 && j < 1.0, s"pair $p jaccard $j not in (0.6, 1)")
+    }
+  }
+
+  test("SimHash is deterministic and collapses exact copies to 0 hamming") {
+    val (corpus, _, exactPairs) = planted(10)
+    val h1 = Dedup.simHash(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Dedup.simHash(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 === h2)
+    exactPairs.foreach { case (a, b) =>
+      assert(h1(a) === h1(b), s"exact copies $a/$b differ in simhash")
+    }
+    val found = Dedup.nearSimHash(corpus, 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactRecall =
+      exactPairs.count(found.contains).toDouble / exactPairs.size
+    assert(exactRecall >= 0.9, s"simhash exact-dup recall $exactRecall")
+  }
+
+  test("ngram jaccard pairs are symmetric-free, thresholded, exact") {
+    val (corpus, nearPairs, _) = planted(10)
+    val pairs = Dedup.ngramJaccardPairs(corpus, 0.5)
+    val asMap = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    asMap.keys.foreach { case (a, b) => assert(a < b) }
+    // planted near-copies share all but ~3 bigrams → J well above 0.5
+    val hit = nearPairs.count(asMap.contains)
+    assert(hit >= (nearPairs.size * 0.9).toInt,
+      s"only $hit of ${nearPairs.size} planted near pairs found")
+    asMap.values.foreach(j => assert(j >= 0.5 && j <= 1.0))
+  }
+}

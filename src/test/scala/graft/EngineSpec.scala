@@ -1,0 +1,95 @@
+package graft
+
+import graft.engine.catalog.Catalog
+import graft.engine.io.Storage
+import graft.engine.ml.Multimodal
+import graft.engine.ml.Multimodal.{MediaMeta, MediaRow}
+import graft.engine.udf.Udfs
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine utility verbs: storage, catalog, multimodal plumbing, UDAF —
+  * the reference-parity surface without SQL oracles (SURVEY §1.2, §2.9,
+  * §2.10). */
+class EngineSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmp(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_test/$name"
+
+  test("Storage: write/read/list/copy/delete folder round-trip") {
+    val base = tmp(s"storage_${System.nanoTime()}")
+    Storage.writeString(spark, s"$base/a/x.json", """{"k": 1}""")
+    Storage.writeString(spark, s"$base/a/y.txt", "hello")
+    assert(Storage.readString(spark, s"$base/a/x.json") === """{"k": 1}""")
+    assert(Storage.listFolder(spark, s"$base/a").size === 2)
+    assert(Storage.listFiles(spark, base).size === 2)
+    Storage.copyFolder(spark, s"$base/a", s"$base/b")
+    assert(Storage.readString(spark, s"$base/b/y.txt") === "hello")
+    assert(Storage.deleteFolder(spark, base))
+    assert(!Storage.exists(spark, base))
+    assert(Storage.listFolder(spark, base).isEmpty)
+  }
+
+  test("Catalog: register from metadata, query by name, drop") {
+    val df = Catalog.register(spark, graft.queries.Scans.nationMeta,
+      s"$sf/nation.parquet")
+    assert(Catalog.exists(spark, "graft_nation"))
+    val n = spark.sql("SELECT COUNT(*) FROM graft_nation").head().getLong(0)
+    assert(n === 25)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(Catalog.drop(spark, "graft_nation"))
+    assert(!Catalog.exists(spark, "graft_nation"))
+  }
+
+  test("Multimodal: feature extraction is deterministic over binary media") {
+    val rows = (0L until 10L).map { i =>
+      MediaRow(i, Array.tabulate(100 + i.toInt)(j => (i + j).toByte),
+        MediaMeta("fake/raw", 10, 10, 0L))
+    }
+    val media = Multimodal.asMediaTable(spark, rows)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .sortBy(_.media_id)
+    assert(feats.length === 10)
+    assert(feats.forall(_.features.length === Multimodal.FakeCodec.FeatureDim))
+    // deterministic: same bytes → same checksum/features
+    val again = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.map(_.checksum).toSeq === again.map(_.checksum).toSeq)
+    assert(feats(0).byte_len === 100)
+  }
+
+  test("Multimodal: frame sampling strides the payload") {
+    val rows = Seq(MediaRow(1L, Array.tabulate(100)(_.toByte),
+      MediaMeta("fake/video", 0, 0, 1000L)))
+    val frames = Multimodal
+      .sampleFrames(Multimodal.asMediaTable(spark, rows), 10, 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4, 6, 8))
+    assert(frames.forall(_.frame.length === 10))
+    assert(frames(1).frame(0) === 20.toByte)
+  }
+
+  test("WeightedAvgPrice aggregator matches the plain-SQL formulation") {
+    val wavg = udaf(Udfs.WeightedAvgPrice)
+    val got = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("w"))
+      .orderBy("l_returnflag").collect().map(r => r.getString(0) -> r.getDouble(1))
+    val want = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
+        col("l_quantity").cast("decimal(18,2)")).cast("double") /
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).as("w"))
+      .orderBy("l_returnflag").collect().map(r => r.getString(0) -> r.getDouble(1))
+    got.zip(want).foreach { case ((fg, g), (fw, w)) =>
+      assert(fg === fw)
+      assert(math.abs(g - w) < 5e-5, s"$fg: $g vs $w")
+    }
+  }
+
+  test("driver contract: entry>0 rows; every oracle key has a query") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val qk = SparkEntry.queries.keySet
+    val ok = SparkEntry.oracleSql.keySet
+    assert(ok.subsetOf(qk), s"oracle-only keys: ${ok.diff(qk)}")
+    assert(qk.size >= 70)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY §4): the scale guarantees — filter
+  * pushdown, column pruning, broadcast pinning, top-k without global
+  * sort — must be visible in the executed plan, not assumed. */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("filter_predicate pushes predicates into the parquet scan") {
+    val p = plan("filter_predicate")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(o_totalprice)") ||
+      p.contains("GreaterThanOrEqual(o_totalprice"), p)
+  }
+
+  test("project_select prunes the scan to the referenced columns") {
+    val p = plan("project_select")
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_shipdate"), readSchema)
+  }
+
+  test("join_broadcast executes as a broadcast hash join") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_multiway broadcasts every dimension side") {
+    val p = plan("join_multiway")
+    // lineitem⋈orders is the one big join; customer/nation/region broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("sort_limit_topk avoids a global sort (TakeOrderedAndProject)") {
+    assert(plan("sort_limit_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("join_semi/anti compile to semi/anti hash joins, not generic") {
+    assert(plan("join_semi").contains("LeftSemi"))
+    assert(plan("join_anti").contains("LeftAnti"))
+  }
+
+  test("agg_groupby keeps partial aggregation (map-side combine)") {
+    val p = plan("agg_groupby")
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, // partial + final
+      p)
+  }
+
+  test("whole-stage codegen covers the flagship pipeline") {
+    // AQE shows codegen spans only in the final (executed) plan
+    val df = SparkEntry.queries("agg_groupby")(spark, sf)
+    df.collect() // materialize THIS plan so AQE finalizes it
+    val p = df.queryExecution.executedPlan.toString()
+    // codegen'd operators carry the "*(n)" span marker in the final plan
+    assert(p.contains("*(1)") && p.contains("*(2)"), p)
+  }
+
+  test("sim_search_topk broadcasts the probe side (no shuffle cross)") {
+    val p = plan("sim_search_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sink_partitioned read prunes to the selected partition") {
+    // executing the query writes the partitioned tree; then check the
+    // read side lists only y=1997
+    val df = SparkEntry.queries("sink_partitioned")(spark, sf)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("PartitionFilters: [isnotnull(y"), p)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic invariants over generated data (SURVEY §5.2 item 4),
+  * hand-rolled over ScalaCheck Gens. */
+class PropertySpec extends AnyFunSuite with SparkFixture {
+
+  private val genInts: Gen[List[Int]] =
+    Gen.listOfN(60, Gen.chooseNum(0, 20))
+
+  private def df(xs: List[Int]): DataFrame = {
+    import spark.implicits._
+    xs.toDF("v")
+  }
+
+  private def check(n: Int)(body: List[Int] => Unit): Unit =
+    (1 to n).foreach(_ => genInts.sample.foreach(body))
+
+  test("set algebra: intersect ∪ except ≡ distinct left") {
+    check(8) { xs =>
+      val ys = xs.map(_ + 5)
+      val a = df(xs); val b = df(ys)
+      val recombined = a.intersect(b).union(a.except(b))
+      val left = a.distinct()
+      assert(recombined.exceptAll(left).isEmpty &&
+        left.exceptAll(recombined).isEmpty, s"failed for $xs")
+    }
+  }
+
+  test("union distinct ≡ distinct of union-all") {
+    check(8) { xs =>
+      val ys = xs.reverse
+      val a = df(xs); val b = df(ys)
+      val u1 = a.union(b).distinct()
+      val u2 = a.distinct().union(b.distinct()).distinct()
+      assert(u1.exceptAll(u2).isEmpty && u2.exceptAll(u1).isEmpty)
+    }
+  }
+
+  test("row_number over a total order is a permutation of 1..n") {
+    check(6) { xs =>
+      val withKey = df(xs).withColumn("id", monotonically_increasing_id())
+      val w = Window.orderBy(col("v"), col("id"))
+      val rns = withKey.withColumn("rn", row_number().over(w))
+        .select("rn").collect().map(_.getInt(0)).sorted.toSeq
+      assert(rns === (1 to xs.size).toSeq)
+    }
+  }
+
+  test("exact dedup output digests are unique and a subset of input") {
+    check(4) { xs =>
+      import spark.implicits._
+      val docs = xs.zipWithIndex
+        .map { case (v, i) => (i.toLong, s"text ${v % 5}") }
+        .toDF("doc_id", "text")
+      val out = graft.engine.ml.Dedup.exact(docs)
+      assert(out.count() ===
+        docs.select("text").distinct().count())
+      assert(out.select("digest").distinct().count() === out.count())
+      assert(out.join(docs, "doc_id").count() === out.count())
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.engine.ml.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Similarity-search behavior (SURVEY §2.10): exact baseline invariants
+  * and ANN recall against the brute-force ground truth. */
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("cosine of a vector with itself is 1") {
+    val selfCos = emb.select(
+      Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(math.abs(selfCos.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(selfCos.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k: k rows per probe, descending scores, no self") {
+    val probes = Similarity.probes(emb)
+    val topk = Similarity.bruteForceTopK(emb, probes, 5).cache()
+    val perProbe = topk.groupBy("probe_id").count().collect()
+    assert(perProbe.forall(_.getLong(1) === 5))
+    assert(perProbe.length === probes.count())
+    // scores descend with rank within each probe
+    val rows = topk.orderBy("probe_id", "rn").collect()
+    rows.grouped(5).foreach { g =>
+      val scores = g.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    assert(topk.filter(col("probe_id") === col("vec_id")).count() === 0)
+  }
+
+  test("ANN recall ≥ 0.8 of exact euclidean top-5") {
+    import org.apache.spark.sql.expressions.Window
+    val probes = Similarity.probes(emb)
+    // exact euclidean ground truth (same metric as the LSH family)
+    val d2 = (Similarity.dot(col("probe_emb"), col("probe_emb"))
+      + Similarity.dot(col("embedding"), col("embedding"))
+      - lit(2.0) * Similarity.dot(col("probe_emb"), col("embedding")))
+    val w = Window.partitionBy("probe_id").orderBy(asc("d2"), asc("vec_id"))
+    val exact = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annTopK(emb, probes, 5)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"ANN recall $recall vs exact euclidean top-5")
+  }
+
+  test("ANN is deterministic under the fixed seed") {
+    val probes = Similarity.probes(emb)
+    val r1 = Similarity.annTopK(emb, probes, 5).collect().toSeq
+    val r2 = Similarity.annTopK(emb, probes, 5).collect().toSeq
+    assert(r1 === r2)
+  }
+
+  test("norm stats: 64 dims, all labels present, norms positive") {
+    val stats = Similarity.normStats(emb).collect()
+    assert(stats.length === emb.select("label").distinct().count())
+    stats.foreach { r =>
+      assert(r.getInt(2) === 64)
+      assert(r.getDouble(3) > 0)
+      assert(r.getDouble(4) <= r.getDouble(5)) // min ≤ max
+    }
+  }
+
+  test("embedding near-dup: pairs ordered, scores within [threshold, 1]") {
+    val dups = Similarity.embeddingNearDup(emb, 0.8).collect()
+    dups.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2))
+      assert(r.getDouble(3) >= 0.8 && r.getDouble(3) <= 1.0 + 1e-9)
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.engine.stream.EventOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured-Streaming semantics (SURVEY §2.8): the SAME EventOps
+  * functions that pass the batch oracle run here under MicroBatch
+  * execution with watermarks — covering what batch can't observe
+  * (late-data drop, incremental state, append-mode emission).
+  *
+  * Each `addData` call is processed as its own micro-batch
+  * (processAllAvailable between them), so the watermark advances
+  * batch-to-batch exactly as event-time does in production.
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def runStream(batches: Seq[Seq[Ev]],
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: String): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val queryName = s"q_${System.nanoTime()}"
+    val q = build(input.toDF())
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(mode).start()
+    try {
+      batches.foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(queryName).collect().toSeq
+  }
+
+  test("tumbling window agg: streaming (complete mode) ≡ batch") {
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:45:00"), 1, "click", 2.0),
+      Ev(3, ts("2024-01-01 11:05:00"), 2, "view", 3.0))
+    val rows = runStream(Seq(evs), df => EventOps.tumbling(df), "complete")
+    import spark.implicits._
+    val batch = EventOps.tumbling(evs.toDF()).collect()
+    assert(rows.map(_.toSeq).toSet === batch.map(_.toSeq).toSet)
+    assert(rows.size === 2)
+  }
+
+  test("watermark drops late events; closed windows emit in append mode") {
+    val onTime = Seq(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 12:00:00"), 1, "click", 1.0)) // advances watermark to 11:50
+    val late = Seq(
+      Ev(3, ts("2024-01-01 10:06:00"), 1, "click", 7.0)) // behind watermark → dropped
+    val rows = runStream(Seq(onTime, late),
+      df => EventOps.tumbling(df.withWatermark("ts", "10 minutes")),
+      "append")
+    // only the closed 10:00 window is emitted, with n=1 (late event dropped)
+    assert(rows.map(r => (r.getTimestamp(0), r.getLong(2))) ===
+      Seq((ts("2024-01-01 10:00:00"), 1L)))
+  }
+
+  test("streaming dedupe drops duplicate event ids") {
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(1, ts("2024-01-01 10:00:30"), 1, "click", 1.0), // dup id
+      Ev(2, ts("2024-01-01 10:01:00"), 2, "view", 2.0))
+    val rows = runStream(Seq(evs), df => EventOps.dedupe(df), "append")
+    assert(rows.map(_.getLong(0)).sorted === Seq(1L, 2L))
+  }
+
+  test("session windows close after the 30-minute gap (batch ≡ stream)") {
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 1.0), // same session
+      Ev(3, ts("2024-01-01 11:00:00"), 1, "click", 1.0), // 50min gap → new
+      Ev(4, ts("2024-01-01 10:00:00"), 2, "view", 1.0))
+    import spark.implicits._
+    val batch = EventOps.sessions(evs.toDF())
+      .orderBy("user_id", "session_start_us").collect()
+    assert(batch.length === 3) // user1 × 2 sessions + user2 × 1
+    assert(batch.filter(_.getLong(1) == 1L).map(_.getLong(2)).toSeq ===
+      Seq(2L, 1L))
+    // stream: a far-future pusher event closes all real sessions; its own
+    // session stays open (never emitted), so stream output ≡ batch
+    val pusher = Seq(Ev(99, ts("2024-01-02 00:00:00"), 99, "view", 0.0))
+    val stream = runStream(Seq(evs, pusher),
+      df => EventOps.sessions(df.withWatermark("ts", "1 minute")), "append")
+    assert(stream.map(_.toSeq).toSet === batch.map(_.toSeq).toSet)
+  }
+
+  test("sliding windows assign each event to two 1h/30m windows") {
+    import spark.implicits._
+    val evs = Seq(Ev(1, ts("2024-01-01 10:40:00"), 1, "click", 1.0))
+    val wins = EventOps.sliding(evs.toDF()).collect()
+    assert(wins.map(_.getTimestamp(0)).toSet ===
+      Set(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
+  }
+}
