@@ -1,6 +1,6 @@
 package graft.engine.stream
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -48,4 +48,54 @@ object EventOps {
   def dedupe(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
       .select("event_id", "user_id", "event_type")
+
+  /** Batch form of the per-user running aggregate: event count + the
+    * latest event_type by (ts, event_id). The streaming form is
+    * [[statefulUserAggStream]]; both produce the same final state. */
+  def statefulUserAgg(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("t").desc, col("event_id").desc)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_events",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"),
+        col("event_type").as("last_type"))
+  }
+
+  case class UserState(n: Long, lastT: Long, lastId: Long, lastType: String)
+  case class UserAgg(user_id: Long, n_events: Long, last_type: String)
+
+  /** Streaming form: explicit keyed state via flatMapGroupsWithState —
+    * the state store carries one [[UserState]] per user, partitioned by
+    * the grouping key (same shuffle shape as the batch window). */
+  def statefulUserAggStream(events: DataFrame): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserAgg](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[UserState]) =>
+          var st = state.getOption.getOrElse(UserState(0L, Long.MinValue,
+            Long.MinValue, ""))
+          rows.foreach { case (_, id, tpe, t) =>
+            val isLater = t > st.lastT || (t == st.lastT && id > st.lastId)
+            st = UserState(st.n + 1,
+              if (isLater) t else st.lastT,
+              if (isLater) id else st.lastId,
+              if (isLater) tpe else st.lastType)
+          }
+          state.update(st)
+          Iterator.single(UserAgg(user, st.n, st.lastType))
+      }
+  }
 }

@@ -95,15 +95,17 @@ object Joins {
                          AND o.o_orderpriority = '1-URGENT')
          ORDER BY c_custkey"""),
 
+    // anti vs the urgent subset so both branches are non-empty at sf0.01
     Q("join_anti",
       (s, d) => customer(s, d)
-        .join(orders(s, d), col("c_custkey") === col("o_custkey"),
-          "left_anti")
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey"),
       """SELECT c_custkey, c_name FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o
-                           WHERE o.o_custkey = c.c_custkey)
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
          ORDER BY c_custkey"""),
 
     Q("join_full_outer",

@@ -62,6 +62,16 @@ object Streaming {
          FROM numbered GROUP BY user_id, session_id
          ORDER BY user_id, session_start_us"""),
 
+    Q("stream_stateful_agg",
+      (s, d) => EventOps.statefulUserAgg(events(s, d)).orderBy("user_id"),
+      """SELECT user_id, n_events, last_type FROM (
+           SELECT user_id, event_type AS last_type,
+                  COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY user_id"""),
+
     Q("stream_dedup",
       (s, d) => EventOps.dedupe(events(s, d)).orderBy("event_id"),
       """SELECT event_id, user_id, event_type FROM (

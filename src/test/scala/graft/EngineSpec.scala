@@ -85,6 +85,20 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("approx_count_distinct stays within 5% of the exact count") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (y, n) =>
+      val a = approx(y).toDouble
+      assert(math.abs(a - n) / n <= 0.05, s"year $y: approx $a vs exact $n")
+    }
+  }
+
   test("driver contract: entry>0 rows; every oracle key has a query") {
     assert(SparkEntry.entry(spark).count() > 0)
     val qk = SparkEntry.queries.keySet

@@ -96,6 +96,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(stream.map(_.toSeq).toSet === batch.map(_.toSeq).toSet)
   }
 
+  test("stateful per-user aggregate: stream state converges to batch result") {
+    val b1 = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "view", 1.0))
+    val b2 = Seq(
+      Ev(3, ts("2024-01-01 10:30:00"), 1, "purchase", 1.0),
+      Ev(4, ts("2024-01-01 10:31:00"), 2, "click", 1.0))
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val name = s"q_${System.nanoTime()}"
+    val q = EventOps.statefulUserAggStream(input.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      Seq(b1, b2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // memory sink in update mode appends each update; the final state is
+    // the row with the highest (monotonically growing) count per user
+    val finalState = spark.table(name).collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) => u -> rows.maxBy(_.getLong(1)) }
+    assert(finalState(1L).getLong(1) === 3L)
+    assert(finalState(1L).getString(2) === "purchase")
+    assert(finalState(2L).getLong(1) === 1L)
+    assert(finalState(2L).getString(2) === "click")
+    // batch form agrees with the streamed final state
+    val batch = EventOps.statefulUserAgg((b1 ++ b2).toDF())
+      .orderBy("user_id").collect()
+    assert(batch.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      === Seq((1L, 3L, "purchase"), (2L, 1L, "click")))
+  }
+
   test("sliding windows assign each event to two 1h/30m windows") {
     import spark.implicits._
     val evs = Seq(Ev(1, ts("2024-01-01 10:40:00"), 1, "click", 1.0))
