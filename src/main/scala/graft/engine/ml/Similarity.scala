@@ -1,5 +1,6 @@
 package graft.engine.ml
 
+import graft.engine.expr.GraftFunctions
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.{Column, DataFrame}
@@ -31,31 +32,26 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Deterministic label-stratified probe set: lowest vec_id per label.
-    * Carries the probe's precomputed norm so the per-pair cosine below
-    * costs one fold (the dot), not three. */
+  /** Deterministic label-stratified probe set: lowest vec_id per label. */
   def probes(emb: DataFrame): DataFrame = {
     val ids = emb.groupBy("label").agg(min(col("vec_id")).as("vec_id"))
     emb.join(ids.select("vec_id"), "vec_id")
       .select(col("vec_id").as("probe_id"),
-        col("embedding").as("probe_emb"),
-        l2Norm(col("embedding")).as("probe_norm"))
+        col("embedding").as("probe_emb"))
   }
 
   /** Exact top-k cosine neighbours for each probe (self excluded).
     * The probe side is broadcast: one pass over the embedding table,
-    * then a per-probe top-k window. Norms are computed once per row
-    * BEFORE the join — inside the join projection they would be
-    * recomputed per pair. */
+    * then a per-probe top-k window. The score is the native codegen
+    * [[graft.engine.expr.CosineSimilarity]] — one fused loop per pair,
+    * bit-identical to the HOF-composed form (and the oracle). */
   def bruteForceTopK(emb: DataFrame, probeDf: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(emb.sparkSession)
     val scored = emb
-      .select(col("vec_id"), col("embedding"),
-        l2Norm(col("embedding")).as("norm"))
       .crossJoin(broadcast(probeDf))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        (dot(col("probe_emb"), col("embedding")) /
-          (col("probe_norm") * col("norm"))).as("cos"))
+        expr("graft_cosine(probe_emb, embedding)").as("cos"))
     val w = Window.partitionBy("probe_id")
       .orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -65,21 +61,19 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs within a label partition: exact
-    * cosine ≥ threshold. The label equi-term keeps the pair space
-    * bounded (at scale: replace label with an LSH bucket id); norms are
-    * precomputed per side so each pair costs one dot-product fold. */
+    * cosine ≥ threshold via the native fused expression. The label
+    * equi-term keeps the pair space bounded (at scale: replace label
+    * with an LSH bucket id). */
   def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
-    val withNorm = emb.select(col("label"), col("vec_id"), col("embedding"),
-      l2Norm(col("embedding")).as("norm"))
-    val a = withNorm.select(col("label"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"), col("norm").as("norm_a"))
-    val b = withNorm.select(col("label"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    val a = emb.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = emb.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
-        (dot(col("emb_a"), col("emb_b")) /
-          (col("norm_a") * col("norm_b"))).as("cos"))
+        expr("graft_cosine(emb_a, emb_b)").as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("label"), col("vec_a"), col("vec_b"),
         round(col("cos"), 6).as("score"))

@@ -1,0 +1,103 @@
+package graft
+
+import graft.engine.expr.{GraftExtensions, GraftFunctions}
+import graft.engine.ml.Similarity
+import graft.engine.ops.Scale
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale machinery: native codegen expression parity, bucketed
+  * co-located joins (no exchange), salted aggregation exactness. */
+class ScaleSpec extends AnyFunSuite with SparkFixture {
+
+  test("native graft_cosine is bit-identical to the HOF-composed cosine") {
+    GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("a_id") < col("b_id")).limit(2000)
+    val diff = pairs.select(
+      (expr("graft_cosine(a, b)") -
+        Similarity.cosine(col("a"), col("b"))).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff === 0.0, s"native vs HOF cosine drifted by $diff")
+  }
+
+  test("graft_cosine runs inside a codegen span and handles nulls") {
+    GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val df = emb.select(expr("graft_cosine(embedding, embedding)").as("c"))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString().contains("*(1)"))
+    // null propagation
+    val n = emb.select(
+      expr("graft_cosine(CAST(NULL AS ARRAY<FLOAT>), embedding)").as("c"))
+      .filter(col("c").isNull).count()
+    assert(n === emb.count())
+    // arity misuse fails at analysis, not at runtime
+    assertThrows[Exception](
+      spark.sql("SELECT graft_cosine(1)").collect())
+  }
+
+  test("GraftExtensions injects the same function builders") {
+    // builder-level check: the extension wires every registered name
+    assert(GraftFunctions.builders.map(_._1) === Seq("graft_cosine"))
+    new GraftExtensions() // constructible; applied at session build time
+  }
+
+  test("bucketed tables join with no shuffle exchange") {
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    Scale.writeBucketed(o, "graft_orders_b", 4, Seq("o_custkey"))
+    Scale.writeBucketed(c.withColumnRenamed("c_custkey", "o_custkey"),
+      "graft_customer_b", 4, Seq("o_custkey"))
+    try {
+      // pin the large-large path: broadcast would bypass bucketing here
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_orders_b")
+        .join(spark.table("graft_customer_b"), "o_custkey")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_customer_b")
+    }
+  }
+
+  test("salted sum equals the direct aggregation exactly") {
+    val o = Tables.orders(spark, sf)
+    val salted = Scale.saltedSum(o, Seq("o_orderstatus"),
+      col("o_totalprice"), 2, numSalts = 8)
+      .orderBy("o_orderstatus").collect()
+      .map(r => r.getString(0) -> r.getDecimal(1))
+    val direct = o.groupBy("o_orderstatus")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("total"))
+      .orderBy("o_orderstatus").collect()
+      .map(r => r.getString(0) -> r.getDecimal(1))
+    assert(salted.toSeq === direct.toSeq)
+  }
+
+  test("range-sorted write lays files out for range pruning") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test/range_${System.nanoTime()}"
+    Scale.writeSortedByRange(Tables.orders(spark, sf), path,
+      Seq("o_orderdate"), 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() === Tables.orders(spark, sf).count())
+    // each file covers a disjoint date range → min/max stats prune
+    // o_orderdate is TIMESTAMP_NTZ → rows carry LocalDateTime
+    val perFile = back.groupBy(input_file_name())
+      .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](1),
+        r.getAs[java.time.LocalDateTime](2)))
+      .sortBy(_._1.toString)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(!hi1.isAfter(lo2))
+      case _ =>
+    }
+  }
+}
