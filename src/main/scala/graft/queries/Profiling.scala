@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Data-QA / pipeline-utility operators: pivot, deterministic sampling,
+  * profiling. These extend the reference's utilities role (a data
+  * engineering library spends half its life checking data, not moving
+  * it) with shapes a training-data pipeline needs.
+  *
+  * `sample_hash` is the scale-critical one: sampling by a *hash of a
+  * stable key* (not rand()) is reproducible across runs, engines, and
+  * retries — both engines compute the identical md5-derived bucket, so
+  * the oracle hash-checks the exact sample membership.
+  */
+object Profiling {
+
+  val qs: Seq[Q] = Seq(
+    Q("agg_pivot",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity"), 2))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)) AS F,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,2)) AS O
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // 10% reproducible sample: bucket = first 8 hex chars of md5(key)
+    // mod 100. md5 is identical everywhere → identical sample.
+    Q("sample_hash",
+      (s, d) => orders(s, d)
+        .filter(
+          (conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
+            16, 10).cast("long") % 100) < 10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100 < 10
+         ORDER BY o_orderkey"""),
+
+    Q("profile_histogram",
+      (s, d) => orders(s, d)
+        .select((floor(col("o_totalprice") / 50000) * 50000)
+          .cast("long").as("bucket_lo"))
+        .groupBy("bucket_lo").agg(count(lit(1)).as("n"))
+        .orderBy("bucket_lo"),
+      """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT)
+                  AS bucket_lo,
+                COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY bucket_lo"""),
+
+    // pandas-describe-style column QA summary, one row per column
+    Q("profile_summary",
+      (s, d) => {
+        val o = orders(s, d)
+        def prof(cname: String, c: org.apache.spark.sql.Column) =
+          o.agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(c).as("n_distinct"),
+            min(c.cast("string")).as("min_str"),
+            max(c.cast("string")).as("max_str"))
+            .withColumn("col_name", lit(cname))
+            .select("col_name", "n_rows", "n_null", "n_distinct",
+              "min_str", "max_str")
+        prof("o_orderstatus", col("o_orderstatus"))
+          .unionByName(prof("o_orderpriority", col("o_orderpriority")))
+          .unionByName(prof("o_custkey", col("o_custkey")))
+          .orderBy("col_name")
+      },
+      """SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+                CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null,
+                COUNT(DISTINCT o_custkey) AS n_distinct,
+                MIN(CAST(o_custkey AS VARCHAR)) AS min_str,
+                MAX(CAST(o_custkey AS VARCHAR)) AS max_str
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', COUNT(*),
+                CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+                COUNT(DISTINCT o_orderpriority),
+                MIN(o_orderpriority), MAX(o_orderpriority)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', COUNT(*),
+                CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+                COUNT(DISTINCT o_orderstatus),
+                MIN(o_orderstatus), MAX(o_orderstatus)
+         FROM orders
+         ORDER BY col_name"""),
+  )
+}
