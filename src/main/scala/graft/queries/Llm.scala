@@ -212,6 +212,57 @@ object Llm {
                FROM embeddings)
          GROUP BY label ORDER BY label"""),
 
+    // Training-mixture sampling: per-language rates (en 40%, others 10%)
+    // over a reproducible md5 bucket of doc_id — the weighted-interleave
+    // step of corpus assembly, exact-membership checked by the oracle.
+    Q("sample_mixture",
+      (s, d) => documents(s, d)
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+            16, 10).cast("long") % 100)
+        .filter(col("bucket") <
+          when(col("lang") === "en", 40).otherwise(10))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+           FROM documents)
+         WHERE bucket < CASE WHEN lang = 'en' THEN 40 ELSE 10 END
+         ORDER BY doc_id"""),
+
+    // Sequence packing: greedily pack documents (in doc_id order, per
+    // source) into 4096-estimated-token context windows — running token
+    // sum → bin id. The windowed-cumsum shape scales: one shuffle on the
+    // pack key, sequential packing only within each group.
+    Q("pack_sequences",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        documents(s, d)
+          .select(col("doc_id"), col("source"),
+            ceil(col("n_chars") / 4.0).cast("long").as("est_tokens"))
+          .withColumn("cum_tokens", sum(col("est_tokens")).over(w))
+          .withColumn("bin",
+            ((col("cum_tokens") - col("est_tokens")) / 4096L)
+              .cast("long"))
+          .select("source", "doc_id", "est_tokens", "bin")
+          .orderBy("source", "doc_id")
+      },
+      """SELECT source, doc_id, est_tokens,
+                CAST(floor((cum_tokens - est_tokens) / 4096) AS BIGINT) AS bin
+         FROM (
+           SELECT source, doc_id,
+                  CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens,
+                  SUM(CAST(ceil(n_chars / 4.0) AS BIGINT)) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_tokens
+           FROM documents)
+         ORDER BY source, doc_id"""),
+
     // Multimodal: opaque bytes + derived features, fully deterministic.
     // The real batch-decode plumbing lives in engine.ml.Multimodal
     // (ScalaTest); this query checks the byte-level feature math.
