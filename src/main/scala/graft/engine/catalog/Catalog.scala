@@ -25,6 +25,22 @@ object Catalog {
     df
   }
 
+  /** Persistent (metastore) external table over a parquet location —
+    * the closest offline analogue of Glue table creation: the declared
+    * schema becomes DDL, the data stays where it is. */
+  def registerExternal(spark: SparkSession, meta: TableMeta,
+      location: String, table: Option[String] = None): Unit = {
+    val name = table.getOrElse(meta.name)
+    val cols = meta.columns
+      .map(c => s"`${c.name}` ${c.sparkField.dataType.sql}")
+      .mkString(", ")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$name` ($cols) " +
+      s"USING parquet LOCATION '$location'")
+  }
+
+  def dropExternal(spark: SparkSession, name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+
   def drop(spark: SparkSession, name: String): Boolean =
     spark.catalog.dropTempView(name)
 

@@ -42,6 +42,19 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(!Catalog.exists(spark, "graft_nation"))
   }
 
+  test("Catalog: persistent external table from declared metadata") {
+    Catalog.registerExternal(spark, graft.queries.Scans.nationMeta,
+      s"$sf/nation.parquet", Some("graft_nation_ext"))
+    try {
+      val n = spark.sql("SELECT COUNT(*) FROM graft_nation_ext")
+        .head().getLong(0)
+      assert(n === 25)
+      assert(spark.table("graft_nation_ext").schema.fieldNames.toSeq ===
+        Seq("n_nationkey", "n_name", "n_regionkey"))
+    } finally Catalog.dropExternal(spark, "graft_nation_ext")
+    assert(!spark.catalog.tableExists("graft_nation_ext"))
+  }
+
   test("Multimodal: feature extraction is deterministic over binary media") {
     val rows = (0L until 10L).map { i =>
       MediaRow(i, Array.tabulate(100 + i.toInt)(j => (i + j).toByte),

@@ -129,6 +129,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       === Seq((1L, 3L, "purchase"), (2L, 1L, "click")))
   }
 
+  test("durable file pipeline: jsonl source → watermarked agg → parquet sink") {
+    import spark.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test/stream_${System.nanoTime()}"
+    val (inDir, outDir, chkDir) = (s"$base/in", s"$base/out", s"$base/chk")
+    val schema = Seq(Ev(0, ts("2024-01-01 00:00:00"), 0, "", 0.0)).toDF().schema
+    def drop(evs: Seq[Ev], f: String): Unit =
+      evs.toDF().coalesce(1).write.json(s"$inDir/$f")
+    drop(Seq(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:45:00"), 1, "click", 2.0)), "b1")
+    val q = EventOps.tumbling(
+      spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+        .json(inDir).withWatermark("ts", "10 minutes"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", chkDir)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second file advances the watermark past the 10:00 window
+      drop(Seq(Ev(3, ts("2024-01-01 12:00:00"), 2, "view", 3.0)), "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir)
+      .select("hour_start", "event_type", "n").collect()
+    assert(out.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet === Set((ts("2024-01-01 10:00:00"), "click", 2L)))
+  }
+
   test("sliding windows assign each event to two 1h/30m windows") {
     import spark.implicits._
     val evs = Seq(Ev(1, ts("2024-01-01 10:40:00"), 1, "click", 1.0))
