@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Remaining ANSI-SQL surface a reference user exercised through Athena
+  * passthrough (SURVEY §1.2 implication): correlated scalar subqueries,
+  * bag semantics for EXCEPT, ordered string aggregation, interpolated
+  * percentiles, unpivot. Catalyst decorrelates the scalar subquery into
+  * a left outer aggregate-join — same shuffle shape as writing the join
+  * by hand.
+  */
+object SqlSurface {
+
+  val qs: Seq[Q] = Seq(
+    // correlated scalar subquery → decorrelated aggregate join
+    Q("subquery_scalar",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("graft_orders_sq")
+        lineitem(s, d).createOrReplaceTempView("graft_lineitem_sq")
+        s.sql("""
+          SELECT o_orderkey,
+                 (SELECT CAST(MAX(l_shipdate) AS DATE)
+                  FROM graft_lineitem_sq
+                  WHERE l_orderkey = o_orderkey) AS last_ship
+          FROM graft_orders_sq
+          ORDER BY o_orderkey""")
+      },
+      """SELECT o_orderkey,
+                (SELECT CAST(MAX(l_shipdate) AS DATE) FROM lineitem
+                 WHERE l_orderkey = o_orderkey) AS last_ship
+         FROM orders ORDER BY o_orderkey"""),
+
+    // bag (ALL) semantics: multiplicities subtract instead of vanish
+    Q("set_except_all",
+      (s, d) => {
+        val li = lineitem(s, d)
+        li.select("l_partkey")
+          .exceptAll(li.filter(col("l_returnflag") === "A")
+            .select("l_partkey"))
+          .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+          .orderBy("l_partkey")
+      },
+      """SELECT l_partkey, COUNT(*) AS n FROM (
+           SELECT l_partkey FROM lineitem
+           EXCEPT ALL
+           SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+         GROUP BY l_partkey ORDER BY l_partkey"""),
+
+    // ordered, distinct string aggregation
+    Q("agg_stringagg",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(concat_ws(",", array_sort(collect_set(col("l_linestatus"))))
+          .as("statuses"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+                string_agg(DISTINCT l_linestatus, ','
+                           ORDER BY l_linestatus) AS statuses
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+
+    // interpolated percentiles (same linear-interpolation definition in
+    // both engines; rounded — interpolation arithmetic may differ in
+    // the last ulp)
+    Q("agg_percentile",
+      (s, d) => orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+        .orderBy("o_orderstatus"),
+      """SELECT o_orderstatus,
+                ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+                ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus"""),
+
+    // unpivot/melt: wide per-status sums back to long form
+    Q("agg_unpivot",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity"), 2))
+        .na.fill(0.0)
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("F"), col("O")), "status", "qty")
+        .orderBy("l_returnflag", "status"),
+      """SELECT l_returnflag, status,
+                CAST(COALESCE(qty, 0) AS DECIMAL(18,2)) AS qty FROM (
+           SELECT l_returnflag,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)) AS F,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,2)) AS O
+           FROM lineitem GROUP BY l_returnflag)
+         UNPIVOT (qty FOR status IN (F, O))
+         ORDER BY l_returnflag, status"""),
+  )
+}
