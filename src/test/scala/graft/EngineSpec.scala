@@ -42,6 +42,25 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(!Catalog.exists(spark, "graft_nation"))
   }
 
+  test("Query: SQL passthrough over a registered dataset folder") {
+    import graft.engine.sql.Query
+    val registered = Query.registerAll(spark, sf)
+    assert(registered.toSet.contains("lineitem") &&
+      registered.contains("events"))
+    val r = Query.sql(spark,
+      """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+         GROUP BY 1 ORDER BY 1""").collect()
+    assert(r.map(_.getString(0)).toSeq === Seq("A", "N", "R"))
+    // native function resolves in passthrough SQL
+    val c = Query.sql(spark,
+      """SELECT MAX(graft_cosine(embedding, embedding)) FROM embeddings""")
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-9)
+    // events view got the µs normalization (no ns read error)
+    assert(Query.sql(spark,
+      "SELECT COUNT(*) FROM events").head().getLong(0) > 0)
+  }
+
   test("Catalog: persistent external table from declared metadata") {
     Catalog.registerExternal(spark, graft.queries.Scans.nationMeta,
       s"$sf/nation.parquet", Some("graft_nation_ext"))
