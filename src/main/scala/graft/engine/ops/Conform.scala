@@ -2,7 +2,7 @@ package graft.engine.ops
 
 import graft.engine.meta.TableMeta
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, expr, lit}
 
 /** Conform a DataFrame to a declared [[TableMeta]]: impose column order,
   * impose types, handle surplus/missing columns. This is the Spark
@@ -32,6 +32,20 @@ object Conform {
       if (df.columns.contains(c.name)) col(c.name).cast(dt).as(c.name)
       else lit(null).cast(dt).as(c.name)
     }: _*)
+
+  /** Dirty-data conform: unconvertible values become null instead of
+    * failing the job (Spark 4's ANSI mode makes plain cast THROW on a
+    * bad value — on a 100 TB dirty CSV ingest that's one poison row
+    * killing the pipeline; try_cast quarantines it instead). Pair with
+    * [[violations]] / a null-count check to route rejects. */
+  def conformSafe(df: DataFrame, meta: TableMeta): DataFrame = {
+    val missing = meta.columns.map(_.name).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"missing columns: ${missing.mkString(", ")}")
+    df.select(meta.columns.map { c =>
+      expr(s"try_cast(`${c.name}` AS ${c.sparkField.dataType.sql})")
+        .as(c.name)
+    }: _*)
+  }
 
   /** Check conformance without mutating: list of human-readable
     * violations, empty iff `df` already matches `meta` exactly. */

@@ -59,6 +59,32 @@ object IoQueries {
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id"""),
 
+    // Schema evolution: two batches with different schemas land in the
+    // same dataset folder; mergeSchema reconciles, older rows get nulls
+    // for the new column. The oracle reproduces the union semantics.
+    Q("scan_merge_schema",
+      (s, d) => {
+        val out = scratch(d, "evolve")
+        val o = orders(s, d)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$out/batch=1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus")) // evolved: extra column
+          .write.mode("overwrite").parquet(s"$out/batch=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_totalprice,
+                CAST(NULL AS VARCHAR) AS o_orderstatus
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderstatus
+         FROM orders WHERE o_orderkey % 2 = 1
+         ORDER BY o_orderkey"""),
+
     Q("sink_partitioned",
       (s, d) => {
         val out = scratch(d, "sink")

@@ -91,6 +91,44 @@ class ConformSpec extends AnyFunSuite with SparkFixture {
     assert(lenient.filter("l_quantity IS NOT NULL").count() === 0)
   }
 
+  test("conformSafe quarantines bad values as nulls (ANSI-safe ingest)") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.meta.{ColumnMeta, TableMeta}
+    val spark2 = spark
+    import spark2.implicits._
+    val dirty = Seq(("1", "12.50"), ("2", "oops"), ("3", "7"))
+      .toDF("id", "amount")
+    val meta = TableMeta("t", Seq(
+      ColumnMeta("id", "long"), ColumnMeta("amount", "decimal(10,2)")))
+    // plain conform THROWS under ANSI on the bad value
+    assertThrows[Exception](
+      Conform.conform(dirty, meta).collect())
+    val safe = Conform.conformSafe(dirty, meta).orderBy("id").collect()
+    assert(safe.map(_.get(1) == null).toSeq === Seq(false, true, false))
+    assert(safe(0).getDecimal(1).toPlainString === "12.50")
+  }
+
+  test("corrupt CSV rows are quarantined, not fatal (PERMISSIVE mode)") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test/csv_${System.nanoTime()}"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part.csv"),
+      "id,amount\n1,10.5\nnot-a-number-row-with,too,many,cols\n3,30.25\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("amount",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val df = spark.read.schema(schema).option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir).cache()
+    assert(df.filter("_corrupt_record IS NOT NULL").count() === 1)
+    assert(df.filter("_corrupt_record IS NULL").count() === 2)
+  }
+
   test("violations reports mistyped/surplus/missing/misordered") {
     val df = Tables.lineitem(spark, sf)
     val v = Conform.violations(df, Projections.lineitemSlim)
