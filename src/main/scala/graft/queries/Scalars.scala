@@ -141,6 +141,43 @@ object Scalars {
                 CAST(COUNT(DISTINCT event_type) AS INT) AS n_types
          FROM events GROUP BY user_id ORDER BY user_id"""),
 
+    // dimension-table generation: a date spine (calendar rows from
+    // nothing) — sequence+explode in Spark, generate_series in DuckDB
+    Q("gen_date_spine",
+      (s, d) => s.range(1)
+        .select(explode(expr(
+          "sequence(DATE '1995-01-01', DATE '1995-12-31', interval 1 day)"))
+          .as("cal_date"))
+        .select(col("cal_date"),
+          year(col("cal_date")).as("y"),
+          month(col("cal_date")).as("m"),
+          dayofweek(col("cal_date")).as("dow"))
+        .orderBy("cal_date"),
+      """SELECT CAST(gs AS DATE) AS cal_date,
+                CAST(year(gs) AS INT) AS y,
+                CAST(month(gs) AS INT) AS m,
+                CAST(dayofweek(gs) AS INT) + 1 AS dow
+         FROM generate_series(DATE '1995-01-01', DATE '1995-12-31',
+                              INTERVAL 1 DAY) t(gs)
+         ORDER BY cal_date"""),
+
+    // deterministic hash/encoding utilities (identical digests in any
+    // engine — the basis of reproducible sampling and fingerprints)
+    Q("fn_hash",
+      (s, d) => part(s, d).select(
+        col("p_partkey"),
+        md5(col("p_name")).as("h_md5"),
+        sha2(col("p_name"), 256).as("h_sha256"),
+        base64(col("p_name").cast("binary")).as("b64"),
+        lower(hex(col("p_name").cast("binary"))).as("name_hex"))
+        .orderBy("p_partkey"),
+      """SELECT p_partkey,
+                md5(p_name) AS h_md5,
+                sha256(p_name) AS h_sha256,
+                to_base64(CAST(p_name AS BLOB)) AS b64,
+                lower(hex(CAST(p_name AS BLOB))) AS name_hex
+         FROM part ORDER BY p_partkey"""),
+
     Q("fn_explode",
       (s, d) => documents(s, d).select(
         col("doc_id"), explode(split(col("text"), " ")).as("word"))
