@@ -68,6 +68,30 @@ object EventOps {
         col("event_type").as("last_type"))
   }
 
+  /** Click→purchase pairs for the same user within `windowUs` µs —
+    * written once over two DataFrames: in batch both sides are static;
+    * in streaming both are streams and Spark keeps watermark-bounded
+    * state on each side (stream-stream interval join). */
+  def clickPurchasePairs(clicks: DataFrame, purchases: DataFrame,
+      windowUs: Long = 3600000000L): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("purchase_ts"))
+    // the raw-timestamp range duplicates the epoch-µs predicates so the
+    // streaming planner recognizes an event-time constraint and bounds
+    // the join state; the µs terms keep batch/oracle arithmetic exact
+    c.join(p, c("user_id") === p("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") +
+          expr(s"INTERVAL $windowUs MICROSECOND") &&
+        unix_micros(col("purchase_ts")) > unix_micros(col("click_ts")) &&
+        unix_micros(col("purchase_ts")) <=
+          unix_micros(col("click_ts")) + windowUs)
+      .select(col("click_id"), col("purchase_id"),
+        c("user_id").as("user_id"))
+  }
+
   case class UserState(n: Long, lastT: Long, lastId: Long, lastType: String)
   case class UserAgg(user_id: Long, n_events: Long, last_type: String)
 

@@ -62,6 +62,23 @@ object Streaming {
          FROM numbered GROUP BY user_id, session_id
          ORDER BY user_id, session_start_us"""),
 
+    Q("stream_join",
+      (s, d) => {
+        val ev = events(s, d)
+        EventOps.clickPurchasePairs(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+          .orderBy("click_id", "purchase_id")
+      },
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                c.user_id AS user_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND epoch_us(p.ts) > epoch_us(c.ts)
+          AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+         ORDER BY click_id, purchase_id"""),
+
     Q("stream_stateful_agg",
       (s, d) => EventOps.statefulUserAgg(events(s, d)).orderBy("user_id"),
       """SELECT user_id, n_events, last_type FROM (

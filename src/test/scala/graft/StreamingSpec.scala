@@ -157,6 +157,32 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .toSet === Set((ts("2024-01-01 10:00:00"), "click", 2L)))
   }
 
+  test("stream-stream interval join matches clicks to in-window purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val name = s"q_${System.nanoTime()}"
+    val joined = EventOps.clickPurchasePairs(
+      clicks.toDF().withWatermark("ts", "10 minutes"),
+      purchases.toDF().withWatermark("ts", "10 minutes"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:30:00"), 2, "click", 1.0))
+      purchases.addData(
+        Ev(10, ts("2024-01-01 10:20:00"), 1, "purchase", 5.0), // in window
+        Ev(11, ts("2024-01-01 12:30:00"), 2, "purchase", 5.0)) // >1h later
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set((1L, 10L, 1L)),
+      s"expected only the in-window pair, got $rows")
+  }
+
   test("sliding windows assign each event to two 1h/30m windows") {
     import spark.implicits._
     val evs = Seq(Ev(1, ts("2024-01-01 10:40:00"), 1, "click", 1.0))
