@@ -96,6 +96,11 @@ object GraftFunctions {
       require(children.length == 2,
         s"graft_cosine expects 2 arguments, got ${children.length}")
       CosineSimilarity(children.head, children(1))
+    }),
+    "graft_intersect_count" -> (children => {
+      require(children.length == 2,
+        s"graft_intersect_count expects 2 arguments, got ${children.length}")
+      IntersectCount(children.head, children(1))
     }))
 
   /** Idempotent per-session registration (for sessions not built with

@@ -103,7 +103,9 @@ object Dedup {
             }
             i += 1
           }
-          (id, shingles.result(), sig)
+          val sh = shingles.result()
+          java.util.Arrays.sort(sh) // sorted → merge-scan intersection
+          (id, sh, sig)
         }
       }
       .toDF("doc_id", "sh_h", "sig").cache()
@@ -142,7 +144,8 @@ object Dedup {
     * margin (0.2 below threshold ≈ 3σ of a 32-hash estimator) keeps the
     * extra recall loss negligible. */
   def jaccardVerify(candidates: DataFrame, state: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    graft.engine.expr.GraftFunctions.ensureRegistered(candidates.sparkSession)
     candidates
       .join(state.select(col("doc_id").as("doc_a"),
         col("sh_h").as("sh_a"), col("sig").as("sig_a")), Seq("doc_a"))
@@ -152,12 +155,13 @@ object Dedup {
         """size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))
            / cast(size(sig_a) AS double)""") >= threshold - 0.2)
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_common"),
+        expr("graft_intersect_count(sh_a, sh_b)").as("n_common"),
         size(col("sh_a")).as("sz_a"), size(col("sh_b")).as("sz_b"))
       .withColumn("jaccard", round(col("n_common") /
         (col("sz_a") + col("sz_b") - col("n_common")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
 
   /** MinHash-LSH near-dup pipeline: shingle → sign → band → verify. */
   def nearMinHash(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
@@ -243,20 +247,23 @@ object Dedup {
             if (seen.add(h)) out += h
             i += 1
           }
-          (id, lang, src, out.result())
+          val arr = out.result()
+          java.util.Arrays.sort(arr)
+          (id, lang, src, arr)
         }
       }.toDF("doc_id", "lang", "source", "g")
     val a = grams.select(col("lang"), col("source"),
       col("doc_id").as("doc_a"), col("g").as("g_a"))
     val b = grams.select(col("lang"), col("source"),
       col("doc_id").as("doc_b"), col("g").as("g_b"))
+    graft.engine.expr.GraftFunctions.ensureRegistered(docs.sparkSession)
     a.join(b, Seq("lang", "source"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("g_a"), col("g_b"))) /
-          (size(col("g_a")) + size(col("g_b")) -
-            size(array_intersect(col("g_a"), col("g_b")))).cast("double"),
-        4))
+      .select(col("doc_a"), col("doc_b"),
+        expr("graft_intersect_count(g_a, g_b)").as("n_common"),
+        size(col("g_a")).as("sz_a"), size(col("g_b")).as("sz_b"))
+      .withColumn("jaccard", round(col("n_common") /
+        (col("sz_a") + col("sz_b") - col("n_common")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
