@@ -106,6 +106,59 @@ object Similarity {
         round(col("dist"), 6).as("dist"))
   }
 
+  /** IVF (inverted-file) approximate NN: a seeded KMeans coarse
+    * quantizer assigns every vector to one of `nCells` cells; a query
+    * scans only its `nProbe` nearest cells. This is the write-once /
+    * query-cheap trade for corpus-scale search: at 100 TB the
+    * assignment happens at ingest (stored as a bucket column /
+    * partition key), and each query reads nProbe/nCells of the data.
+    *
+    * Returns exact-cosine top-k within the probed cells.
+    */
+  def ivfTopK(emb: DataFrame, probeDf: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 6, seed: Long = 42L): DataFrame = {
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features")
+      .fit(emb.select(toVec(col("embedding")).as("features")))
+    val centroids = model.clusterCenters.map(_.toArray)
+
+    def nearestCells(v: Seq[Float], n: Int): Seq[Int] = {
+      val ds = centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < c.length && j < v.length) {
+          val diff = c(j) - v(j); d += diff * diff; j += 1
+        }
+        (i, d)
+      }
+      ds.sortBy(_._2).take(n).map(_._1).toSeq
+    }
+
+    val cellOf = udf((a: Seq[Float]) => nearestCells(a, 1).head)
+    val cellsOf = udf((a: Seq[Float]) => nearestCells(a, nProbe))
+
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      cellOf(col("embedding")).as("cell"))
+    val probeCells = probeDf.select(col("probe_id"), col("probe_emb"),
+      explode(cellsOf(col("probe_emb"))).as("cell"))
+    val scored = bucketed.join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        expr("graft_cosine(probe_emb, embedding)").as("cos"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"),
+        round(col("cos"), 6).as("score"))
+  }
+
   /** Per-label norm statistics over the embedding column. */
   def normStats(emb: DataFrame): DataFrame =
     emb.select(col("label"), size(col("embedding")).as("dim"),

@@ -121,6 +121,13 @@ object Llm {
           .orderBy("probe_id", "rn")
       }),
 
+    Q.noOracle("sim_ann_ivf",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.ivfTopK(emb, Similarity.probes(emb), 5)
+          .orderBy("probe_id", "rn")
+      }),
+
     Q("text_wordcount",
       (s, d) => Text.wordCount(documents(s, d), 50),
       """SELECT word, COUNT(*) AS cnt FROM (

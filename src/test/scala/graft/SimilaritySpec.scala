@@ -54,6 +54,20 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.8, s"ANN recall $recall vs exact euclidean top-5")
   }
 
+  test("IVF ANN: recall ≥ 0.7 of exact cosine top-5, probing 6/16 cells") {
+    val probes = Similarity.probes(emb)
+    val exact = Similarity.bruteForceTopK(emb, probes, 5)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, probes, 5)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"IVF recall $recall (probing 6 of 16 cells)")
+    // every probe still returns a full top-k
+    assert(ivf.size === exact.size)
+  }
+
   test("ANN is deterministic under the fixed seed") {
     val probes = Similarity.probes(emb)
     val r1 = Similarity.annTopK(emb, probes, 5).collect().toSeq
