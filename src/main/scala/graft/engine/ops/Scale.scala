@@ -45,6 +45,37 @@ object Scale {
       .agg(sum(col("_partial")).cast(dec).as("total"))
   }
 
+  /** Distributive 2D skyline (Pareto frontier, maximizing both
+    * dimensions): each partition computes its local skyline with an
+    * in-memory sort-scan, then the (tiny) union is re-skylined. Result
+    * is partitioning-invariant because skylines are distributive:
+    * skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)). This is the
+    * 100 TB form of the single-window `skyline_2d` query. */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // explicit encoder: TypeTag-based derivation breaks under REPL /
+    // notebook classloaders, and this verb should work there too
+    implicit val enc: org.apache.spark.sql.Encoder[(Double, Double)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaDouble)
+    def localSkyline(it: Iterator[(Double, Double)]): Iterator[(Double, Double)] = {
+      val pts = it.toArray.distinct
+        .sortBy { case (x, y) => (-x, -y) }
+      val out = Array.newBuilder[(Double, Double)]
+      var maxY = Double.NegativeInfinity
+      pts.foreach { case (x, y) =>
+        if (y > maxY) { out += ((x, y)); maxY = y }
+      }
+      out.result().iterator
+    }
+    df.select(col(xCol).cast("double"), col(yCol).cast("double"))
+      .as[(Double, Double)]
+      .mapPartitions(localSkyline)   // parallel local pass
+      .repartition(1)
+      .mapPartitions(localSkyline)   // tiny global pass
+      .toDF(xCol, yCol)
+  }
+
   /** Range-repartition by a sort key before a sorted write — the layout
     * that makes downstream range predicates prune files. */
   def writeSortedByRange(df: DataFrame, path: String, sortCols: Seq[String],

@@ -68,6 +68,20 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("distributive skyline equals the single-window formulation, any partitioning") {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_totalprice").as("price"),
+        unix_micros(col("o_orderdate").cast("timestamp"))
+          .cast("double").as("t"))
+    val reference = SparkEntry.queries("skyline_2d")(spark, sf)
+      .collect().map(r => (r.getDouble(0), r.getLong(1).toDouble)).toSet
+    Seq(1, 7).foreach { parts =>
+      val got = Scale.skyline2D(o.repartition(parts), "price", "t")
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+      assert(got === reference, s"with $parts partitions")
+    }
+  }
+
   test("salted sum equals the direct aggregation exactly") {
     val o = Tables.orders(spark, sf)
     val salted = Scale.saltedSum(o, Seq("o_orderstatus"),

@@ -157,6 +157,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .toSet === Set((ts("2024-01-01 10:00:00"), "click", 2L)))
   }
 
+  test("stateful agg runs on the RocksDB state store (production backend)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[Ev]
+      val name = s"q_${System.nanoTime()}"
+      val q = EventOps.statefulUserAggStream(input.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        input.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+        q.processAllAvailable()
+        input.addData(Ev(2, ts("2024-01-01 10:30:00"), 1, "purchase", 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table(name).collect()
+        .filter(_.getLong(0) == 1L).maxBy(_.getLong(1))
+      assert(last.getLong(1) === 2L)
+      assert(last.getString(2) === "purchase")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join matches clicks to in-window purchases") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
