@@ -110,6 +110,30 @@ object Windows {
                FROM orders)
          ORDER BY o_custkey, o_orderkey"""),
 
+    // first/last/nth over the full partition frame (explicit frame so
+    // last_value sees the whole partition, not the running default)
+    Q("win_first_last", (s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      customer(s, d).select(
+        col("c_mktsegment"), col("c_custkey"),
+        first(col("c_custkey")).over(w).as("richest"),
+        last(col("c_custkey")).over(w).as("poorest"),
+        nth_value(col("c_custkey"), 2).over(w).as("runner_up"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+      """SELECT c_mktsegment, c_custkey,
+                FIRST_VALUE(c_custkey) OVER w AS richest,
+                LAST_VALUE(c_custkey) OVER w AS poorest,
+                NTH_VALUE(c_custkey, 2) OVER w AS runner_up
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+         ORDER BY c_mktsegment, c_custkey"""),
+
     // ntile/percent_rank/cume_dist over a total order (unique tiebreak ⇒
     // rank == row_number ⇒ all three deterministic; the small rationals
     // they produce are computed identically in both engines).
