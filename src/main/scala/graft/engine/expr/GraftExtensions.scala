@@ -12,10 +12,14 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * [[GraftFunctions.ensureRegistered]] instead — same builders.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private val infoClass: Map[String, String] = Map(
+    "graft_cosine" -> classOf[CosineSimilarity].getName,
+    "graft_intersect_count" -> classOf[IntersectCount].getName)
+
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[CosineSimilarity].getName, name),
+        new ExpressionInfo(infoClass(name), name),
         builder))
     }
 }

@@ -1,6 +1,6 @@
 package graft.engine.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,16 +32,6 @@ object Dedup {
       .filter(col("rn") === 1)
       .select("doc_id", "digest")
   }
-
-  /** Distinct character n-gram shingles of a text column, as an array
-    * (no explode — stays narrow). */
-  private def shingleSql(n: Int): String =
-    s"""array_distinct(filter(
-          transform(sequence(1, greatest(length(text) - ${n - 1}, 1)),
-            i -> substring(text, i, $n)),
-          s -> length(s) = $n))"""
-
-  def shingleArray(n: Int = 3): Column = expr(shingleSql(n))
 
   /** Seeded MinHash coefficient pairs (a_i, b_i). */
   private def coeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
@@ -157,6 +147,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         expr("graft_intersect_count(sh_a, sh_b)").as("n_common"),
         size(col("sh_a")).as("sz_a"), size(col("sh_b")).as("sz_b"))
+      // guard the union size: two empty shingle sets would give 0/0 =
+      // NaN, and Spark orders NaN above every threshold
+      .filter(col("sz_a") + col("sz_b") - col("n_common") > 0)
       .withColumn("jaccard", round(col("n_common") /
         (col("sz_a") + col("sz_b") - col("n_common")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
@@ -262,6 +255,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         expr("graft_intersect_count(g_a, g_b)").as("n_common"),
         size(col("g_a")).as("sz_a"), size(col("g_b")).as("sz_b"))
+      .filter(col("sz_a") + col("sz_b") - col("n_common") > 0) // 0/0→NaN
       .withColumn("jaccard", round(col("n_common") /
         (col("sz_a") + col("sz_b") - col("n_common")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)

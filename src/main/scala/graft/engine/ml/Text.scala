@@ -84,17 +84,22 @@ object Text {
 
   /** Polynomial rolling-hash fingerprints: a whole-document hash plus the
     * minimum 8-gram hash (winnowing-style), both in exact integer
-    * arithmetic so any engine reproduces them bit-for-bit. */
+    * arithmetic so any engine reproduces them bit-for-bit. Length guards
+    * matter: Spark's `sequence(1, n)` steps DOWNWARD when n < 1, so an
+    * unguarded short/empty text would hash garbage positions instead of
+    * yielding NULL like an empty-range engine (e.g. DuckDB `range`). */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      expr(s"""aggregate(transform(sequence(1, length(text)),
-                 i -> cast(ascii(substring(text, i, 1)) AS bigint)),
-               0L, (a, c) -> (a * 31 + c) % $P)""").as("doc_hash"),
-      expr(s"""array_min(transform(sequence(1, length(text) - 7),
-                 i -> aggregate(transform(sequence(0, 7),
-                        j -> cast(ascii(substring(text, i + j, 1)) AS bigint)),
-                      0L, (a, c) -> (a * 31 + c) % $P)))""")
+      expr(s"""CASE WHEN length(text) < 1 THEN NULL ELSE
+                 aggregate(transform(sequence(1, length(text)),
+                   i -> cast(ascii(substring(text, i, 1)) AS bigint)),
+                 0L, (a, c) -> (a * 31 + c) % $P) END""").as("doc_hash"),
+      expr(s"""CASE WHEN length(text) < 8 THEN NULL ELSE
+                 array_min(transform(sequence(1, length(text) - 7),
+                   i -> aggregate(transform(sequence(0, 7),
+                          j -> cast(ascii(substring(text, i + j, 1)) AS bigint)),
+                        0L, (a, c) -> (a * 31 + c) % $P))) END""")
         .as("min_8gram_hash"))
 
   /** Language-ID by character-trigram profile overlap: learn the topK

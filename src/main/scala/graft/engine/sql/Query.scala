@@ -25,7 +25,8 @@ object Query {
     GraftFunctions.ensureRegistered(spark)
     tables.filter { t =>
       val path = s"$dir/$t.parquet"
-      val exists = new java.io.File(path.stripPrefix("file:")).exists()
+      // scheme-aware existence (file://, s3a://, hdfs:// all resolve)
+      val exists = graft.engine.io.Storage.exists(spark, path)
       if (exists) {
         val df =
           if (t == "events") graft.Tables.events(spark, dir)

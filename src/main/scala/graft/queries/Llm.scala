@@ -192,13 +192,15 @@ object Llm {
     Q("text_fingerprint",
       (s, d) => Text.fingerprint(documents(s, d)).orderBy("doc_id"),
       s"""SELECT doc_id,
-            list_reduce(list_transform(range(1, length(text) + 1),
-              i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
-              (a, c) -> (a * 31 + c) % $P) AS doc_hash,
-            list_min(list_transform(range(1, length(text) - 6),
-              i -> list_reduce(list_transform(range(0, 8),
-                     j -> CAST(ascii(substring(text, i + j, 1)) AS BIGINT)),
-                   (a, c) -> (a * 31 + c) % $P))) AS min_8gram_hash
+            CASE WHEN length(text) < 1 THEN NULL ELSE
+              list_reduce(list_transform(range(1, length(text) + 1),
+                i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+                (a, c) -> (a * 31 + c) % $P) END AS doc_hash,
+            CASE WHEN length(text) < 8 THEN NULL ELSE
+              list_min(list_transform(range(1, length(text) - 6),
+                i -> list_reduce(list_transform(range(0, 8),
+                       j -> CAST(ascii(substring(text, i + j, 1)) AS BIGINT)),
+                     (a, c) -> (a * 31 + c) % $P))) END AS min_8gram_hash
           FROM documents ORDER BY doc_id"""),
 
     Q.noOracle("text_langid",
@@ -277,18 +279,20 @@ object Llm {
       (s, d) => documents(s, d).select(
         col("doc_id"),
         octet_length(col("text")).as("byte_len"),
-        expr(s"""aggregate(transform(sequence(1, length(text)),
-                   i -> cast(ascii(substring(text, i, 1)) AS bigint)),
-                 0L, (a, c) -> (a * 31 + c) % $P)""").as("checksum"),
+        expr(s"""CASE WHEN length(text) < 1 THEN NULL ELSE
+                   aggregate(transform(sequence(1, length(text)),
+                     i -> cast(ascii(substring(text, i, 1)) AS bigint)),
+                   0L, (a, c) -> (a * 31 + c) % $P) END""").as("checksum"),
         expr("""transform(sequence(1, 4),
                 i -> cast(ascii(substring(text, i, 1)) AS float))""")
           .as("head_features"))
         .orderBy("doc_id"),
       s"""SELECT doc_id,
             CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
-            list_reduce(list_transform(range(1, length(text) + 1),
-              i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
-              (a, c) -> (a * 31 + c) % $P) AS checksum,
+            CASE WHEN length(text) < 1 THEN NULL ELSE
+              list_reduce(list_transform(range(1, length(text) + 1),
+                i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+                (a, c) -> (a * 31 + c) % $P) END AS checksum,
             list_transform(range(1, 5),
               i -> CAST(ascii(substring(text, i, 1)) AS FLOAT))
               AS head_features

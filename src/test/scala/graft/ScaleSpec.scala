@@ -34,6 +34,11 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
       expr("graft_cosine(CAST(NULL AS ARRAY<FLOAT>), embedding)").as("c"))
       .filter(col("c").isNull).count()
     assert(n === emb.count())
+    // mismatched lengths → NULL, never a prefix similarity
+    val mm = emb.select(
+      expr("graft_cosine(slice(embedding, 1, 3), embedding)").as("c"))
+      .filter(col("c").isNull).count()
+    assert(mm === emb.count())
     // arity misuse fails at analysis, not at runtime
     assertThrows[Exception](
       spark.sql("SELECT graft_cosine(1)").collect())
