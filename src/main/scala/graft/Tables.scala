@@ -29,7 +29,13 @@ object Tables {
     * `epoch_us()` applies, keeping both engines on identical µs values
     * (SURVEY §7.4 R2). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set once at session init (Verify/Bench/SparkFixture
+    // builders); only fall back to setting it here for ad-hoc sessions
+    // that never configured it, so repeated calls can't race other
+    // readers by re-mutating session conf.
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -37,10 +43,14 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** Exact decimal sum of a double expression: cast each value to
-    * DECIMAL(18,scale) pre-agg (sum order then irrelevant), cast the sum
-    * back to the same type so the Spark/DuckDB output schemas agree. */
+    * DECIMAL(18,scale) pre-agg (sum order then irrelevant — the decimal
+    * add is associative), then emit ROUND(CAST(sum AS DOUBLE), scale).
+    * The final DOUBLE keeps the driver's pandas comparator happy (it
+    * hash-compares DECIMAL columns representation-sensitively); both
+    * engines cast the identical decimal to the identical double. Mirror
+    * with ROUND(CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE), s). */
   def dsum(c: Column, scale: Int): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DecimalType(18, scale))
+    round(sum(c.cast(DecimalType(18, scale))).cast("double"), scale)
 
   /** Double average rounded to a fixed scale — mirror with
     * ROUND(AVG(x), scale) in the oracle. */

@@ -110,6 +110,14 @@ object GraftFunctions {
       require(children.length == 2,
         s"graft_intersect_count expects 2 arguments, got ${children.length}")
       IntersectCount(children.head, children(1))
+    }),
+    "graft_kmv" -> (children => {
+      require(children.length == 2,
+        s"graft_kmv expects (value, k), got ${children.length} arguments")
+      require(children(1).foldable, "graft_kmv: k must be a literal")
+      KmvSketch(children.head,
+        children(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()
     }))
 
   /** Idempotent per-session registration (for sessions not built with

@@ -14,7 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private val infoClass: Map[String, String] = Map(
     "graft_cosine" -> classOf[CosineSimilarity].getName,
-    "graft_intersect_count" -> classOf[IntersectCount].getName)
+    "graft_intersect_count" -> classOf[IntersectCount].getName,
+    "graft_kmv" -> classOf[KmvSketch].getName)
 
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftFunctions.builders.foreach { case (name, builder) =>

@@ -219,10 +219,18 @@ object Dedup {
 
   /** Exact word-bigram Jaccard between documents of the same (lang,
     * source) group — the fully-SQL-expressible near-dup variant used for
-    * oracle checking. The group equi-join bounds the pair space; each
-    * pair is one array intersection of hashed bigram sets (hashing the
-    * bigrams changes set sizes by nothing at 64 bits, so the Jaccard
-    * values equal the string-set oracle's), no exploded shingle join. */
+    * oracle checking (hashing the bigrams changes set sizes by nothing
+    * at 64 bits, so the Jaccard values equal the string-set oracle's).
+    *
+    * Scale design: candidates come from a PREFIX-FILTERED inverted-index
+    * equi-join, not all pairs within the group. The prefix filter
+    * (SSJoin / the MapReduce set-similarity join of Vernica et al.,
+    * SIGMOD'10) is EXACT: Jaccard(A,B) ≥ t implies |A∩B| ≥ t·|A| and
+    * ≥ t·|B|, so under any fixed global token order the two prefixes of
+    * length |X| − ⌈t·|X|⌉ + 1 must share a token. Our global order is
+    * the sorted 64-bit bigram hash (uniform → balanced index). Work is
+    * Σ_token df(token)² over prefix tokens only — no O(group²) term —
+    * and exact merge-scan Jaccard verifies just the survivors. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -245,13 +253,25 @@ object Dedup {
           (id, lang, src, arr)
         }
       }.toDF("doc_id", "lang", "source", "g")
-    val a = grams.select(col("lang"), col("source"),
-      col("doc_id").as("doc_a"), col("g").as("g_a"))
-    val b = grams.select(col("lang"), col("source"),
-      col("doc_id").as("doc_b"), col("g").as("g_b"))
-    graft.engine.expr.GraftFunctions.ensureRegistered(docs.sparkSession)
-    a.join(b, Seq("lang", "source"))
+      .cache() // reused by the prefix index and both verify joins
+    // prefix length |g| - ceil(t*|g|) + 1; the 1e-9 slack absorbs binary
+    // rounding of t*|g| (a longer prefix is always safe — superset)
+    val pref = grams.select(col("lang"), col("source"), col("doc_id"),
+      explode(expr(s"slice(g, 1, cast(size(g) - " +
+        s"ceil($threshold * size(g) - 1e-9) + 1 AS int))")).as("tok"))
+    val cand = pref.select(col("lang"), col("source"),
+        col("doc_id").as("doc_a"), col("tok"))
+      .join(pref.select(col("lang"), col("source"),
+        col("doc_id").as("doc_b"), col("tok")),
+        Seq("lang", "source", "tok"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    graft.engine.expr.GraftFunctions.ensureRegistered(docs.sparkSession)
+    cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("g").as("g_a")),
+        Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("g").as("g_b")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("graft_intersect_count(g_a, g_b)").as("n_common"),
         size(col("g_a")).as("sz_a"), size(col("g_b")).as("sz_b"))

@@ -60,18 +60,62 @@ object Similarity {
         round(col("cos"), 6).as("score"))
   }
 
-  /** Embedding near-duplicate pairs within a label partition: exact
-    * cosine ≥ threshold via the native fused expression. The label
-    * equi-term keeps the pair space bounded (at scale: replace label
-    * with an LSH bucket id). */
-  def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+  /** Fit the seeded KMeans coarse quantizer and return its centroids —
+    * shared by [[ivfTopK]] and [[embeddingNearDup]]. At 100 TB the fit
+    * runs once at ingest on a sample and the centroids ship with the
+    * dataset. */
+  private[ml] def fitCentroids(emb: DataFrame, nCells: Int,
+      seed: Long): Array[Array[Double]] = {
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features")
+      .fit(emb.select(toVec(col("embedding")).as("features")))
+      .clusterCenters.map(_.toArray)
+  }
+
+  private[ml] def nearestCellsOf(centroids: Array[Array[Double]])(
+      v: Seq[Float], n: Int): Seq[Int] = {
+    val ds = centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < c.length && j < v.length) {
+        val diff = c(j) - v(j); d += diff * diff; j += 1
+      }
+      (i, d)
+    }
+    ds.sortBy(_._2).take(n).map(_._1).toSeq
+  }
+
+  /** Embedding near-duplicate pairs: exact cosine ≥ threshold via the
+    * native fused expression, with candidates generated through the IVF
+    * coarse quantizer instead of all pairs per label. Every vector is
+    * soft-assigned to its `nProbe` nearest cells; a pair is a candidate
+    * iff both sides share a (label, cell) — the SemDeDup-style
+    * cluster-then-pair shape. Work is Σ_cell |cell|² with |cell| ≈
+    * n/nCells (quantizer cells are balanced on real corpora), not
+    * O(group²) on the largest label; recall is the standard IVF trade
+    * (near-dups quantize together — multi-probe covers boundary pairs)
+    * and is bounds-checked in ScalaTest against planted duplicates. */
+  def embeddingNearDup(emb: DataFrame, threshold: Double,
+      nCells: Int = 16, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
-    val a = emb.select(col("label"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
-    val b = emb.select(col("label"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
-    a.join(b, Seq("label"))
+    val centroids = fitCentroids(emb, nCells, seed)
+    val cellsOf = udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, nProbe))
+    val bucketed = emb.select(col("label"), col("vec_id"), col("embedding"),
+      explode(cellsOf(col("embedding"))).as("cell"))
+    val cand = bucketed.select(col("label"), col("cell"),
+        col("vec_id").as("vec_a"))
+      .join(bucketed.select(col("label"), col("cell"),
+        col("vec_id").as("vec_b")), Seq("label", "cell"))
       .filter(col("vec_a") < col("vec_b"))
+      .select("label", "vec_a", "vec_b").distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), Seq("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
         expr("graft_cosine(emb_a, emb_b)").as("cos"))
       .filter(col("cos") >= threshold)
@@ -118,30 +162,9 @@ object Similarity {
   def ivfTopK(emb: DataFrame, probeDf: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 6, seed: Long = 42L): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val toVec = udf((a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features")
-      .fit(emb.select(toVec(col("embedding")).as("features")))
-    val centroids = model.clusterCenters.map(_.toArray)
-
-    def nearestCells(v: Seq[Float], n: Int): Seq[Int] = {
-      val ds = centroids.zipWithIndex.map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < c.length && j < v.length) {
-          val diff = c(j) - v(j); d += diff * diff; j += 1
-        }
-        (i, d)
-      }
-      ds.sortBy(_._2).take(n).map(_._1).toSeq
-    }
-
-    val cellOf = udf((a: Seq[Float]) => nearestCells(a, 1).head)
-    val cellsOf = udf((a: Seq[Float]) => nearestCells(a, nProbe))
+    val centroids = fitCentroids(emb, nCells, seed)
+    val cellOf = udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, 1).head)
+    val cellsOf = udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, nProbe))
 
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       cellOf(col("embedding")).as("cell"))

@@ -18,13 +18,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventOps {
 
-  /** 1h tumbling window: count + exact decimal sum of value per type. */
+  /** 1h tumbling window: count + exact decimal sum of value per type
+    * (summed as DECIMAL for partition-order determinism, emitted as a
+    * rounded DOUBLE — see Tables.dsum). */
   def tumbling(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2)))
-          .cast(DecimalType(18, 2)).as("total_value"))
+        round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 2)
+          .as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 

@@ -35,10 +35,10 @@ object Aggregates {
 
   val aggGroupBySql: String = """
     SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+      ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc_price,
+      ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_charge,
       ROUND(AVG(l_quantity), 4) AS avg_qty,
       ROUND(AVG(l_extendedprice), 4) AS avg_price,
       ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -77,8 +77,8 @@ object Aggregates {
         .orderBy(asc_nulls_first("y"), asc_nulls_first("m")),
       """SELECT CAST(year(o_orderdate) AS INT) AS y,
                 CAST(month(o_orderdate) AS INT) AS m,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                  AS DECIMAL(18,2)) AS revenue,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS revenue,
                 COUNT(*) AS n
          FROM orders GROUP BY ROLLUP (1, 2)
          ORDER BY y ASC NULLS FIRST, m ASC NULLS FIRST"""),
@@ -91,8 +91,8 @@ object Aggregates {
         .orderBy(asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus")),
       """SELECT l_returnflag, l_linestatus,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                  AS DECIMAL(18,2)) AS sum_qty,
+                ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS sum_qty,
                 COUNT(*) AS n
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST,
@@ -145,8 +145,8 @@ object Aggregates {
         .filter(col("total_qty") > 800)
         .orderBy("l_partkey"),
       """SELECT l_partkey,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                  AS DECIMAL(18,2)) AS total_qty,
+                ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS total_qty,
                 COUNT(*) AS n
          FROM lineitem GROUP BY l_partkey
          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))

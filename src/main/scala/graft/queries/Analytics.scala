@@ -1,17 +1,16 @@
 package graft.queries
 
 import graft.Tables._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Advanced analytics shapes: Pareto skyline and event funnels.
   *
-  * `skyline_2d` uses the sort-scan formulation: over DISTINCT points
-  * sorted (price desc, date desc), a point is dominated iff some
-  * preceding point's date ≥ its date — one window, O(n log n), versus
-  * the naive O(n²) dominance join. Scale note: a global skyline window
-  * is single-reducer; at 100 TB run the same operator per partition and
-  * re-skyline the (tiny) union — skylines are distributive.
+  * `skyline_2d` runs the distributive formulation (Scale.skyline2D):
+  * each partition computes its local skyline with an in-memory
+  * sort-scan, then the tiny union is re-skylined — skyline(A ∪ B) =
+  * skyline(skyline(A) ∪ skyline(B)), so the result is identical to a
+  * global O(n log n) sort-scan but no single reducer ever sees more
+  * than its partition + the union of local skylines.
   */
 object Analytics {
 
@@ -21,13 +20,12 @@ object Analytics {
         val pts = orders(s, d)
           .select(col("o_totalprice").as("price"),
             unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
-          .distinct()
-        val w = Window.orderBy(desc("price"), desc("t"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        pts.withColumn("max_prev_t", max(col("t")).over(w))
-          .filter(col("max_prev_t").isNull ||
-            col("max_prev_t") < col("t"))
-          .select(col("price"), col("t"))
+        // distributive path (Scale.skyline2D): per-partition sort-scan
+        // skyline, then re-skyline the tiny union — no global window, no
+        // single-reducer sort. t survives the double roundtrip exactly
+        // (epoch-µs < 2^53); cast back to long for the oracle's BIGINT.
+        graft.engine.ops.Scale.skyline2D(pts, "price", "t")
+          .select(col("price"), col("t").cast("long").as("t"))
           .orderBy(desc("price"))
       },
       """WITH pts AS (

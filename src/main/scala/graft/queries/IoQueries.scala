@@ -30,14 +30,20 @@ object IoQueries {
           lineitem(s, d).filter(col("l_orderkey") < 100),
           Projections.lineitemSlim)
         slim.write.mode("overwrite").option("header", "true").csv(out)
+        // read back with the declared (decimal) schema — the roundtrip
+        // under test — then emit the decimals as DOUBLE for the comparator
         s.read.schema(Projections.lineitemSlim.schema)
           .option("header", "true").csv(out)
+          .withColumn("l_quantity", col("l_quantity").cast("double"))
+          .withColumn("l_extendedprice",
+            col("l_extendedprice").cast("double"))
           .orderBy("l_orderkey", "l_linenumber")
       },
       """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
                 CAST(l_linenumber AS BIGINT) AS l_linenumber,
-                CAST(l_quantity AS DECIMAL(12,2)) AS l_quantity,
-                CAST(l_extendedprice AS DECIMAL(12,2)) AS l_extendedprice,
+                CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS l_quantity,
+                CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+                  AS l_extendedprice,
                 CAST(l_shipdate AS DATE) AS l_shipdate,
                 CAST(l_returnflag AS VARCHAR) AS l_returnflag
          FROM lineitem WHERE l_orderkey < 100

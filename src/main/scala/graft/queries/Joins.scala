@@ -55,8 +55,8 @@ object Joins {
           .as("revenue"))
         .orderBy(desc("revenue"), asc("n_name")),
       """SELECT n_name,
-                CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                  AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+                ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
          FROM lineitem
            JOIN orders   ON l_orderkey = o_orderkey
            JOIN customer ON o_custkey = c_custkey
@@ -72,13 +72,12 @@ object Joins {
         .groupBy("c_custkey", "c_name")
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          coalesce(dsum(col("o_totalprice"), 2),
-            lit(0).cast("decimal(18,2)")).as("total_spent"))
+          coalesce(dsum(col("o_totalprice"), 2), lit(0.0)).as("total_spent"))
         .orderBy("c_custkey"),
       """SELECT c_custkey, c_name,
                 COUNT(o_orderkey) AS n_orders,
-                COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                  AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS total_spent
+                COALESCE(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2), 0.0) AS total_spent
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey, c_name
          ORDER BY c_custkey"""),

@@ -283,9 +283,12 @@ object Llm {
                    aggregate(transform(sequence(1, length(text)),
                      i -> cast(ascii(substring(text, i, 1)) AS bigint)),
                    0L, (a, c) -> (a * 31 + c) % $P) END""").as("checksum"),
-        expr("""transform(sequence(1, 4),
-                i -> cast(ascii(substring(text, i, 1)) AS float))""")
-          .as("head_features"))
+        // serialized, not a raw list — list columns crash the driver's
+        // pandas comparator (unhashable ndarray)
+        expr("""CASE WHEN length(text) < 4 THEN NULL ELSE
+                  concat_ws(',', transform(sequence(1, 4),
+                    i -> cast(ascii(substring(text, i, 1)) AS string)))
+                END""").as("head_features"))
         .orderBy("doc_id"),
       s"""SELECT doc_id,
             CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
@@ -293,9 +296,10 @@ object Llm {
               list_reduce(list_transform(range(1, length(text) + 1),
                 i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
                 (a, c) -> (a * 31 + c) % $P) END AS checksum,
-            list_transform(range(1, 5),
-              i -> CAST(ascii(substring(text, i, 1)) AS FLOAT))
-              AS head_features
+            CASE WHEN length(text) < 4 THEN NULL ELSE
+              array_to_string(list_transform(range(1, 5),
+                i -> CAST(ascii(substring(text, i, 1)) AS VARCHAR)), ',')
+            END AS head_features
           FROM documents ORDER BY doc_id"""),
   )
 }

@@ -23,10 +23,10 @@ object Profiling {
         .agg(dsum(col("l_quantity"), 2))
         .orderBy("l_returnflag"),
       """SELECT l_returnflag,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                  FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)) AS F,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                  FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,2)) AS O
+                ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  FILTER (WHERE l_linestatus = 'F') AS DOUBLE), 2) AS F,
+                ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  FILTER (WHERE l_linestatus = 'O') AS DOUBLE), 2) AS O
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
 
     // 10% reproducible sample: bucket = first 8 hex chars of md5(key)

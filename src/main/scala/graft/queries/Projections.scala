@@ -57,13 +57,19 @@ object Projections {
            AND o_custkey IS NOT NULL
          ORDER BY o_orderkey"""),
 
+    // The conform op itself produces the declared DECIMAL columns; the
+    // final projection re-emits them as DOUBLE (exact decimal→double
+    // cast, identical in both engines) for the driver's comparator.
     Q("conform_cast",
       (s, d) => Conform.conform(lineitem(s, d), lineitemSlim)
+        .withColumn("l_quantity", col("l_quantity").cast("double"))
+        .withColumn("l_extendedprice", col("l_extendedprice").cast("double"))
         .orderBy("l_orderkey", "l_linenumber"),
       """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
                 CAST(l_linenumber AS BIGINT) AS l_linenumber,
-                CAST(l_quantity AS DECIMAL(12,2)) AS l_quantity,
-                CAST(l_extendedprice AS DECIMAL(12,2)) AS l_extendedprice,
+                CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS l_quantity,
+                CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+                  AS l_extendedprice,
                 CAST(l_shipdate AS DATE) AS l_shipdate,
                 CAST(l_returnflag AS VARCHAR) AS l_returnflag
          FROM lineitem ORDER BY l_orderkey, l_linenumber"""),

@@ -101,12 +101,16 @@ object Scalars {
     // slice / higher-order transform+aggregate (L2 norm). The fold is
     // left-associative with a +0.0 init in Spark and pairwise-left in
     // DuckDB — identical double results since 0+x is exact.
+    // The sliced head is emitted as scalar columns (not a raw list —
+    // list columns are unhashable in the driver's pandas comparator).
     Q("fn_array",
       (s, d) => embeddings(s, d).select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).as("first_val"),
-        slice(col("embedding"), 1, 4).as("head4"),
+        element_at(slice(col("embedding"), 1, 4), 2).as("head_2"),
+        element_at(slice(col("embedding"), 1, 4), 3).as("head_3"),
+        element_at(slice(col("embedding"), 1, 4), 4).as("head_4"),
         expr("""round(sqrt(aggregate(transform(embedding,
                   x -> cast(x AS double) * cast(x AS double)),
                 0D, (a, x) -> a + x)), 4)""").as("l2_norm"))
@@ -114,7 +118,9 @@ object Scalars {
       """SELECT vec_id,
                 CAST(len(embedding) AS INT) AS dim,
                 embedding[1] AS first_val,
-                embedding[1:4] AS head4,
+                (embedding[1:4])[2] AS head_2,
+                (embedding[1:4])[3] AS head_3,
+                (embedding[1:4])[4] AS head_4,
                 round(sqrt(list_reduce(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                   (a, x) -> a + x)), 4) AS l2_norm

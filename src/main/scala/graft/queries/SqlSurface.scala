@@ -84,13 +84,15 @@ object SqlSurface {
         .unpivot(Array(col("l_returnflag")),
           Array(col("F"), col("O")), "status", "qty")
         .orderBy("l_returnflag", "status"),
-      """SELECT l_returnflag, status,
-                CAST(COALESCE(qty, 0) AS DECIMAL(18,2)) AS qty FROM (
+      """SELECT l_returnflag, status, qty FROM (
+           -- COALESCE inside the subquery: DuckDB UNPIVOT drops NULL
+           -- cells, so fill them to 0 BEFORE unpivoting (Spark's na.fill
+           -- happens pre-unpivot too — same rows on both sides)
            SELECT l_returnflag,
-                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                    FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)) AS F,
-                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                    FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,2)) AS O
+                  COALESCE(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    FILTER (WHERE l_linestatus = 'F') AS DOUBLE), 2), 0.0) AS F,
+                  COALESCE(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    FILTER (WHERE l_linestatus = 'O') AS DOUBLE), 2), 0.0) AS O
            FROM lineitem GROUP BY l_returnflag)
          UNPIVOT (qty FOR status IN (F, O))
          ORDER BY l_returnflag, status"""),

@@ -21,7 +21,7 @@ object Streaming {
         .orderBy("hour_start", "event_type"),
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
                 event_type, COUNT(*) AS n,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
                   AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""),
 

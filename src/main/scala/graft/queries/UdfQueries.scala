@@ -40,6 +40,38 @@ object UdfQueries {
                       4) AS w_avg_price
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
 
+    // Imperative typed aggregate (SURVEY §2.9 udaf_imperative): the
+    // graft_kmv TypedImperativeAggregate keeps the 32 smallest distinct
+    // md5-derived hashes per group in one pass — a mergeable bottom-k
+    // sketch whose k-th minimum (and hence the KMV distinct estimate
+    // (k-1)·2^32/kth) is deterministic and SQL-checkable.
+    Q("udaf_imperative",
+      (s, d) => {
+        graft.engine.expr.GraftFunctions.ensureRegistered(s)
+        orders(s, d)
+          .select(col("o_orderpriority"),
+            conv(substring(md5(col("o_custkey").cast("string")), 1, 8),
+              16, 10).cast("long").as("h"))
+          .groupBy("o_orderpriority")
+          .agg(expr("graft_kmv(h, 32)").as("kth_min_hash"))
+          .select(col("o_orderpriority"), col("kth_min_hash"),
+            round(lit(31.0) * lit(4294967296.0) / col("kth_min_hash"), 2)
+              .as("est_distinct"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, h AS kth_min_hash,
+                ROUND(31.0 * 4294967296.0 / h, 2) AS est_distinct
+         FROM (
+           SELECT o_orderpriority, h,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                    ORDER BY h) AS rn
+           FROM (SELECT DISTINCT o_orderpriority,
+                   CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+                     1, 8)) AS BIGINT) AS h
+                 FROM orders))
+         WHERE rn = 32
+         ORDER BY o_orderpriority"""),
+
     // Generator: char-3-gram shingler as a typed flatMap (UDTF shape),
     // aggregated to distinct-shingle counts per document.
     Q("udtf_generator",

@@ -82,10 +82,10 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     },
       """SELECT o_custkey, o_orderkey,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS DECIMAL(18,2)) AS running_spend
+                  AS DOUBLE), 2) AS running_spend
          FROM orders ORDER BY o_custkey, o_orderkey"""),
 
     // 30-day trailing RANGE frame over an epoch-day key.
@@ -100,10 +100,10 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     },
       """SELECT o_custkey, o_orderkey, day,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                   PARTITION BY o_custkey ORDER BY day
                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
-                  AS DECIMAL(18,2)) AS trailing_30d
+                  AS DOUBLE), 2) AS trailing_30d
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                  date_diff('day', DATE '1970-01-01',
                            CAST(o_orderdate AS DATE)) AS day
@@ -157,9 +157,10 @@ object Windows {
          ORDER BY c_mktsegment, c_custkey"""),
   )
 
-  /** Exact decimal windowed sum (same rationale as Tables.dsum). */
+  /** Exact decimal windowed sum, emitted as ROUND(CAST(.. AS DOUBLE), s)
+    * (same rationale as Tables.dsum). */
   private def dsumOver(c: org.apache.spark.sql.Column, scale: Int,
       w: org.apache.spark.sql.expressions.WindowSpec) =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale))).over(w)
-      .cast(org.apache.spark.sql.types.DecimalType(18, scale))
+    round(sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
+      .over(w).cast("double"), scale)
 }
