@@ -34,8 +34,11 @@ object Catalog {
     val cols = meta.columns
       .map(c => s"`${c.name}` ${c.sparkField.dataType.sql}")
       .mkString(", ")
+    // escape quotes in the interpolated location so a path containing
+    // ' cannot break (or smuggle clauses into) the DDL statement
+    val loc = location.replace("'", "''")
     spark.sql(s"CREATE TABLE IF NOT EXISTS `$name` ($cols) " +
-      s"USING parquet LOCATION '$location'")
+      s"USING parquet LOCATION '$loc'")
   }
 
   def dropExternal(spark: SparkSession, name: String): Unit =

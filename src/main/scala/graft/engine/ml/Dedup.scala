@@ -110,6 +110,15 @@ object Dedup {
     * stops scaling. */
   def lshCandidates(sigs: DataFrame, bands: Int = 4,
       rowsPerBand: Int = 8): DataFrame = {
+    // a sig shorter than bands*rowsPerBand would slice into short/empty
+    // bands whose hashes all collide, flooding the candidate set — fail
+    // loudly instead (checked on one row; signatures() is uniform)
+    sigs.select(org.apache.spark.sql.functions.size(col("sig")))
+      .limit(1).collect().headOption.foreach { r =>
+        require(r.getInt(0) == bands * rowsPerBand,
+          s"lshCandidates: signature length ${r.getInt(0)} != " +
+            s"bands*rowsPerBand (${bands * rowsPerBand})")
+      }
     val banded = sigs.select(col("doc_id"),
       explode(expr(
         s"""transform(sequence(0, ${bands - 1}),

@@ -50,7 +50,10 @@ object Text {
   /** Per-document quality signals: token count, average token length,
     * stopword ratio, punctuation density, and a composite score. */
   def qualityScore(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
-    val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    // escape quotes: a stopword containing ' must not break the
+    // interpolated expression string
+    val stopArr = stopwords.map(w => s"'${w.replace("'", "\\'")}'")
+      .mkString("array(", ", ", ")")
     docs.select(
       col("doc_id"),
       expr("size(split(text, ' '))").as("n_tokens"),

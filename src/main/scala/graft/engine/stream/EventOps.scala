@@ -97,6 +97,54 @@ object EventOps {
   case class UserState(n: Long, lastT: Long, lastId: Long, lastType: String)
   case class UserAgg(user_id: Long, n_events: Long, last_type: String)
 
+  /** Per-user state machine for [[statefulUserAggTws]]: fold each batch
+    * of rows into the keyed [[UserState]] ValueState and emit the
+    * current aggregate. Same fold as [[statefulUserAggStream]]'s. */
+  class UserAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, String, Long), UserAgg] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("userState",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, String, Long)],
+        timerValues: TimerValues): Iterator[UserAgg] = {
+      var st =
+        if (state.exists()) state.get()
+        else UserState(0L, Long.MinValue, Long.MinValue, "")
+      rows.foreach { case (_, id, tpe, t) =>
+        val isLater = t > st.lastT || (t == st.lastT && id > st.lastId)
+        st = UserState(st.n + 1,
+          if (isLater) t else st.lastT,
+          if (isLater) id else st.lastId,
+          if (isLater) tpe else st.lastType)
+      }
+      state.update(st)
+      Iterator.single(UserAgg(key, st.n, st.lastType))
+    }
+  }
+
+  /** Streaming form on the Spark 4 `transformWithState` API — the
+    * current production keyed-state operator (explicit typed ValueState,
+    * per-state TTL, timers; RocksDB-backed). Shuffle shape is identical
+    * to [[statefulUserAggStream]]'s: state partitioned by the grouping
+    * key. Requires the RocksDB state store provider. */
+  def statefulUserAggTws(events: DataFrame): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserAggProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming form: explicit keyed state via flatMapGroupsWithState —
     * the state store carries one [[UserState]] per user, partitioned by
     * the grouping key (same shuffle shape as the batch window). */

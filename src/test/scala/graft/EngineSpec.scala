@@ -131,6 +131,30 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("graft_kmv sketch: k-th smallest distinct, merge-invariant") {
+    graft.engine.expr.GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.expressions.Window
+    val hashed = Tables.orders(spark, sf).select(
+      col("o_orderpriority"),
+      conv(substring(md5(col("o_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+    val k = 16
+    val got = hashed.repartition(13) // force partial-sketch merges
+      .groupBy("o_orderpriority")
+      .agg(expr(s"graft_kmv(h, $k)").as("kth"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy("o_orderpriority").orderBy("h")
+    val want = hashed.distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // fewer than k distinct values → null (sketch not saturated)
+    val tiny = hashed.limit(5).groupBy(lit(1))
+      .agg(expr("graft_kmv(h, 1000)").as("kth")).head()
+    assert(tiny.isNullAt(1))
+  }
+
   test("driver contract: entry>0 rows; every oracle key has a query") {
     assert(SparkEntry.entry(spark).count() > 0)
     val qk = SparkEntry.queries.keySet

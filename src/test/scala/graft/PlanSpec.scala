@@ -96,6 +96,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("skyline_2d runs the distributive path (no global window)") {
+    val p = plan("skyline_2d")
+    // the single-reducer shape would be a Window with no partitionBy;
+    // the distributive plan has no Window operator at all
+    assert(!p.contains("Window"), p)
+  }
+
   test("sink_partitioned read prunes to the selected partition") {
     // executing the query writes the partitioned tree; then check the
     // read side lists only y=1997

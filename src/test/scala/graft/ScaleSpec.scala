@@ -47,7 +47,7 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
   test("GraftExtensions injects the same function builders") {
     // builder-level check: the extension wires every registered name
     assert(GraftFunctions.builders.map(_._1) ===
-      Seq("graft_cosine", "graft_intersect_count"))
+      Seq("graft_cosine", "graft_intersect_count", "graft_kmv"))
     new GraftExtensions() // constructible; applied at session build time
   }
 

@@ -92,4 +92,19 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       assert(r.getDouble(3) >= 0.8 && r.getDouble(3) <= 1.0 + 1e-9)
     }
   }
+
+  test("bucketed near-dup finds every planted duplicate (IVF candidates)") {
+    // identical vectors land in identical quantizer cells, so the
+    // cell-bucketed candidate generation must recover all planted pairs
+    val base = emb.limit(20)
+    val planted = base.select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 100000L)).toSet
+    val withCopies = base.unionByName(
+      base.withColumn("vec_id", col("vec_id") + 100000L))
+    val found = Similarity.embeddingNearDup(withCopies, 0.99)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(found),
+      s"missed planted dups: ${planted.diff(found)}")
+  }
 }

@@ -186,6 +186,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("transformWithState keyed state matches batch (RocksDB-backed)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[Ev]
+      val name = s"q_${System.nanoTime()}"
+      val q = EventOps.statefulUserAggTws(input.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      val b1 = Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 1, "view", 1.0))
+      val b2 = Seq(
+        Ev(3, ts("2024-01-01 10:30:00"), 1, "purchase", 1.0),
+        Ev(4, ts("2024-01-01 10:31:00"), 2, "click", 1.0))
+      try {
+        Seq(b1, b2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val finalState = spark.table(name).collect()
+        .groupBy(_.getLong(0))
+        .map { case (u, rows) => u -> rows.maxBy(_.getLong(1)) }
+      assert(finalState(1L).getLong(1) === 3L)
+      assert(finalState(1L).getString(2) === "purchase")
+      assert(finalState(2L).getLong(1) === 1L)
+      // state survives across micro-batches exactly like the batch fold
+      val batch = EventOps.statefulUserAgg((b1 ++ b2).toDF())
+        .orderBy("user_id").collect()
+      assert(batch.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq === Seq((1L, 3L, "purchase"), (2L, 1L, "click")))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join matches clicks to in-window purchases") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
