@@ -65,6 +65,20 @@ object IoQueries {
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id"""),
 
+    // ORC roundtrip: same write→read cycle as the CSV/JSONL pipelines on
+    // Spark's native ORC source — columnar + predicate pushdown, the
+    // other big-data format a lake migration encounters besides parquet.
+    Q("scan_orc_roundtrip",
+      (s, d) => {
+        val out = scratch(d, "orc")
+        documents(s, d).write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id"""),
+
     // Schema evolution: two batches with different schemas land in the
     // same dataset folder; mergeSchema reconciles, older rows get nulls
     // for the new column. The oracle reproduces the union semantics.

@@ -66,6 +66,41 @@ object Joins {
          GROUP BY n_name
          ORDER BY revenue DESC, n_name"""),
 
+    // Co-located join: both sides written bucketed+sorted on the join
+    // key (Scale.writeBucketed), so the join compiles with NO exchange
+    // on either side — the recurring-large-large-join layout a 100 TB
+    // deployment bakes in at write time. ScaleSpec asserts the no-
+    // shuffle plan; the oracle checks the join semantics are unchanged.
+    Q("join_bucketed",
+      (s, d) => {
+        // a fresh session's in-memory catalog forgets managed tables but
+        // their warehouse dirs persist — drop both metadata AND location
+        // so the bucketed write never hits LOCATION_ALREADY_EXISTS
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        Seq("graft_orders_bq", "graft_customer_bq").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+        graft.engine.ops.Scale.writeBucketed(
+          orders(s, d), "graft_orders_bq", 8, Seq("o_custkey"))
+        graft.engine.ops.Scale.writeBucketed(
+          customer(s, d).withColumnRenamed("c_custkey", "o_custkey"),
+          "graft_customer_bq", 8, Seq("o_custkey"))
+        s.table("graft_orders_bq")
+          .join(s.table("graft_customer_bq"), "o_custkey")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice"), 2).as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+
     Q("join_left_outer",
       (s, d) => customer(s, d)
         .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")

@@ -41,6 +41,53 @@ object Scalars {
                 trim(p_name) AS name_trim
          FROM part ORDER BY p_partkey"""),
 
+    // regex surface beyond the single extract in fn_string: capture
+    // groups, global replace, boolean match, match count
+    Q("fn_regex",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"),
+        regexp_extract(col("o_orderpriority"), "^(\\d+)-(.+)$", 1)
+          .cast("int").as("prio_num"),
+        regexp_extract(col("o_orderpriority"), "^(\\d+)-(.+)$", 2)
+          .as("prio_word"),
+        regexp_replace(col("o_orderpriority"), "[AEIOU]", "_")
+          .as("prio_masked"),
+        col("o_orderpriority").rlike("^[12]-").cast("int").as("is_urgent"),
+        expr("regexp_count(o_orderpriority, '[A-Z]')").cast("int")
+          .as("n_upper"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+                CAST(regexp_extract(o_orderpriority, '^(\d+)-(.+)$', 1)
+                  AS INT) AS prio_num,
+                regexp_extract(o_orderpriority, '^(\d+)-(.+)$', 2)
+                  AS prio_word,
+                regexp_replace(o_orderpriority, '[AEIOU]', '_', 'g')
+                  AS prio_masked,
+                CAST(regexp_matches(o_orderpriority, '^[12]-') AS INT)
+                  AS is_urgent,
+                CAST(len(regexp_extract_all(o_orderpriority, '[A-Z]'))
+                  AS INT) AS n_upper
+         FROM orders ORDER BY o_orderkey"""),
+
+    // nested struct columns: build, access fields, compare — emitted as
+    // scalar columns (raw struct output would be comparator-hostile)
+    Q("fn_struct",
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"),
+          struct(col("o_custkey").as("cust"),
+            col("o_totalprice").as("price")).as("o"))
+        .select(col("o_orderkey"),
+          col("o.cust").as("cust"),
+          col("o.price").as("price"),
+          (col("o.price") > 200000).cast("int").as("is_big"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey, o.cust AS cust, o.price AS price,
+                CAST(o.price > 200000 AS INT) AS is_big
+         FROM (SELECT o_orderkey,
+                 {'cust': o_custkey, 'price': o_totalprice} AS o
+               FROM orders)
+         ORDER BY o_orderkey"""),
+
     Q("fn_date",
       (s, d) => orders(s, d).select(
         col("o_orderkey"),
