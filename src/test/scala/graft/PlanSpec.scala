@@ -96,6 +96,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("join_bucketed joins without a join-side exchange") {
+    // pin large-large: broadcast would bypass the bucketed layout here
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("join_bucketed")(spark, sf)
+      df.collect()
+      // AQE's toString echoes final + initial plans; the join subtree is
+      // the deepest part of the final section — from the join operator
+      // to the section break there must be no Exchange, only bucketed
+      // scans feeding Sorts
+      val p = df.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==").head
+      val joinIdx = p.indexOf("SortMergeJoin") max p.indexOf("ShuffledHashJoin")
+      assert(joinIdx >= 0, p)
+      val joinSubtree = p.substring(joinIdx)
+      assert(!joinSubtree.contains("Exchange"), joinSubtree)
+      assert("Bucketed: true".r.findAllIn(joinSubtree).size === 2, joinSubtree)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("skyline_2d runs the distributive path (no global window)") {
     val p = plan("skyline_2d")
     // the single-reducer shape would be a Window with no partitionBy;
