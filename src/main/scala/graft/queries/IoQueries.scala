@@ -105,6 +105,39 @@ object IoQueries {
          FROM orders WHERE o_orderkey % 2 = 1
          ORDER BY o_orderkey"""),
 
+    // Dynamic partition overwrite: the idempotent-backfill pattern — a
+    // re-run of one partition's batch replaces ONLY that partition, the
+    // rest of the dataset is untouched. First write lands all years
+    // with a corrupted 1996 (doubled prices); the backfill overwrites
+    // y=1996 alone with correct data; the oracle checks the final state
+    // equals a clean full write.
+    Q("sink_overwrite_dynamic",
+      (s, d) => {
+        val out = scratch(d, "dynsink")
+        val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          val o = orders(s, d).withColumn("y", year(col("o_orderdate")))
+            .select("o_orderkey", "o_totalprice", "y")
+          o.withColumn("o_totalprice",
+              when(col("y") === 1996, col("o_totalprice") * 2)
+                .otherwise(col("o_totalprice")))
+            .write.mode("overwrite").partitionBy("y").parquet(out)
+          o.filter(col("y") === 1996) // backfill: only this partition
+            .write.mode("overwrite").partitionBy("y").parquet(out)
+          s.read.parquet(out)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("y").cast("int").as("y"))
+            .orderBy("o_orderkey")
+        } finally saved match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      },
+      """SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS y
+         FROM orders ORDER BY o_orderkey"""),
+
     Q("sink_partitioned",
       (s, d) => {
         val out = scratch(d, "sink")

@@ -43,6 +43,42 @@ object Profiling {
                  AS BIGINT) % 100 < 10
          ORDER BY o_orderkey"""),
 
+    // pandas-resample-style gap-fill: daily order counts over a fixed
+    // calendar spine, empty days emitted as zeros — spine LEFT JOIN
+    // daily agg, the standard time-series densification shape (the
+    // spine broadcast-joins: it is always tiny relative to the facts).
+    Q("time_resample",
+      (s, d) => {
+        val spine = s.range(1).select(explode(expr(
+          "sequence(DATE '1995-01-01', DATE '1995-12-31', interval 1 day)"))
+          .as("day"))
+        val daily = orders(s, d)
+          .withColumn("day", col("o_orderdate").cast("date"))
+          .filter(col("day").between("1995-01-01", "1995-12-31"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice"), 2).as("revenue"))
+        broadcast(spine).join(daily, Seq("day"), "left")
+          .select(col("day"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("revenue"), lit(0.0)).as("revenue"))
+          .orderBy("day")
+      },
+      """SELECT CAST(gs AS DATE) AS day,
+                COALESCE(n_orders, 0) AS n_orders,
+                COALESCE(revenue, 0.0) AS revenue
+         FROM generate_series(DATE '1995-01-01', DATE '1995-12-31',
+                              INTERVAL 1 DAY) t(gs)
+         LEFT JOIN (
+           SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders,
+                  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE), 2) AS revenue
+           FROM orders
+           WHERE CAST(o_orderdate AS DATE)
+                 BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+           GROUP BY 1) agg ON CAST(gs AS DATE) = agg.d
+         ORDER BY day"""),
+
     Q("profile_histogram",
       (s, d) => orders(s, d)
         .select((floor(col("o_totalprice") / 50000) * 50000)
