@@ -138,6 +138,22 @@ object Aggregates {
                 COUNT(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
 
+    // Two-phase salted aggregation (Scale.saltedSum): phase 1 sums on
+    // (key, salt) so a skewed key spreads over 16 reducers, phase 2
+    // combines partials — decimal-exact, so the oracle is the PLAIN
+    // direct sum: the salting must be invisible in the result.
+    Q("agg_salted",
+      (s, d) => graft.engine.ops.Scale
+        .saltedSum(lineitem(s, d), Seq("l_returnflag"),
+          col("l_quantity"), 2)
+        .select(col("l_returnflag"),
+          round(col("total").cast("double"), 2).as("total_qty"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+                ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS total_qty
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+
     Q("agg_having",
       (s, d) => lineitem(s, d).groupBy("l_partkey")
         .agg(dsum(col("l_quantity"), 2).as("total_qty"),

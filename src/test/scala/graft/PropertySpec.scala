@@ -52,6 +52,38 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("prefix-filtered ngram join ≡ brute-force all-pairs (exactness)") {
+    // the r2 prefix filter is an EXACT optimization: on random corpora
+    // the candidate-pruned result must equal the naive quadratic scan
+    val genDocs: Gen[List[String]] = Gen.listOfN(14,
+      Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+        .map(_.mkString(" ")))
+    (1 to 4).foreach { _ =>
+      genDocs.sample.foreach { texts =>
+        import spark.implicits._
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t, "en", "src") }
+          .toDF("doc_id", "text", "lang", "source")
+        val fast = graft.engine.ml.Dedup.ngramJaccardPairs(docs, 0.3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+        // naive oracle: every pair, exact bigram Jaccard in Scala
+        def grams(t: String): Set[String] =
+          t.split(' ').sliding(2).map(_.mkString(" ")).toSet
+        val naive = (for {
+          (a, i) <- texts.zipWithIndex
+          (b, j) <- texts.zipWithIndex if i < j
+          ga = grams(a); gb = grams(b)
+          u = (ga ++ gb).size if u > 0
+          jac = ga.intersect(gb).size.toDouble / u
+          if math.rint(jac * 10000) / 10000 >= 0.3
+        } yield (i.toLong, j.toLong,
+          math.rint(jac * 10000) / 10000)).toSet
+        assert(fast === naive, s"corpus: $texts")
+      }
+    }
+  }
+
   test("exact dedup output digests are unique and a subset of input") {
     check(4) { xs =>
       import spark.implicits._
