@@ -138,6 +138,26 @@ object Aggregates {
                 COUNT(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
 
+    // corr/covar are scale-free ratios of centered sums — both engines
+    // compute them over the same doubles; rounding to 6 absorbs the
+    // last-ulp summation-order noise
+    Q("agg_corr",
+      (s, d) => lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("covar_qty_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+                ROUND(corr(l_quantity, l_extendedprice), 6)
+                  AS corr_qty_price,
+                ROUND(covar_samp(l_quantity, l_extendedprice), 4)
+                  AS covar_qty_price,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+
     // Two-phase salted aggregation (Scale.saltedSum): phase 1 sums on
     // (key, salt) so a skewed key spreads over 16 reducers, phase 2
     // combines partials — decimal-exact, so the oracle is the PLAIN
