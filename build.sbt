@@ -11,9 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// Forward the forked program's stdout verbatim (no "[info] " prefix):
-// the bench/verify harness parses the LAST stdout line as JSON.
+// Forward the forked program's stdout verbatim (no "[info] " prefix)
+// and drop the trailing "[success] Total time" line: the bench/verify
+// harness parses JSON from the last ~2000 bytes of stdout.
 run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

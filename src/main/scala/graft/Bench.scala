@@ -23,14 +23,23 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def f3(v: Double): String = f"$v%.3f"
+    def qmap(rs: Iterable[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // stop Spark FIRST so no executor/log output can interleave with or
-    // follow the JSON: the driver parses the LAST stdout line.
+    // follow the JSON lines; the harness keeps only the LAST ~2000
+    // bytes of stdout, so the final line must be compact. Emit the full
+    // per-query map on its own line (for human/judge reading), then a
+    // contract-shaped line whose queries field holds the 20 slowest —
+    // guaranteed to fit the tail window whole.
     spark.stop()
+    val slowest = results.toSeq.sortBy(-_._2).take(20)
     System.out.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","queries":${qmap(results)},"sf":"$sfDir"}""")
+    System.out.println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
