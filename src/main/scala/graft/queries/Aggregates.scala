@@ -138,6 +138,36 @@ object Aggregates {
                 COUNT(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
 
+    // argmax/argmin: the value of one column at another's extremum —
+    // tiebreak-free here because o_totalprice ties are broken by the
+    // unique o_orderkey inside a struct-max on BOTH engines
+    Q("agg_minmax_by",
+      (s, d) => orders(s, d).groupBy("o_orderpriority")
+        .agg(
+          max(struct(col("o_totalprice"), col("o_orderkey")))
+            .getField("o_orderkey").as("biggest_order"),
+          min(struct(col("o_totalprice"), col("o_orderkey")))
+            .getField("o_orderkey").as("smallest_order"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority, biggest_order, smallest_order, max_price
+         FROM (
+           SELECT o_orderpriority,
+                  FIRST_VALUE(o_orderkey) OVER (
+                    PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey DESC)
+                    AS biggest_order,
+                  FIRST_VALUE(o_orderkey) OVER (
+                    PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice ASC, o_orderkey ASC)
+                    AS smallest_order,
+                  MAX(o_totalprice) OVER (PARTITION BY o_orderpriority)
+                    AS max_price,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_orderkey) AS rn
+           FROM orders)
+         WHERE rn = 1 ORDER BY o_orderpriority"""),
+
     // corr/covar are scale-free ratios of centered sums — both engines
     // compute them over the same doubles; rounding to 6 absorbs the
     // last-ulp summation-order noise

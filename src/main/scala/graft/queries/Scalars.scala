@@ -135,6 +135,41 @@ object Scalars {
                 o_orderkey % 7 AS key_mod
          FROM orders ORDER BY o_orderkey"""),
 
+    // bitwise surface: shifts, and/or/xor, popcount — the building
+    // blocks the SimHash/bucketing verbs use, exposed as a declared op
+    Q("fn_bitwise",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"),
+        expr("shiftleft(o_orderkey, 3)").as("shl3"),
+        expr("shiftright(o_orderkey, 2)").as("shr2"),
+        expr("o_orderkey & 255").as("low_byte"),
+        expr("o_orderkey | 1").as("set_lsb"),
+        expr("o_orderkey ^ 21845").as("xor_pattern"),
+        expr("bit_count(o_orderkey)").cast("int").as("popcount"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+                o_orderkey << 3 AS shl3,
+                o_orderkey >> 2 AS shr2,
+                o_orderkey & 255 AS low_byte,
+                o_orderkey | 1 AS set_lsb,
+                xor(o_orderkey, 21845) AS xor_pattern,
+                CAST(bit_count(o_orderkey) AS INT) AS popcount
+         FROM orders ORDER BY o_orderkey"""),
+
+    // positional explode: token + its 0-based position (DuckDB unnests
+    // the value list and a range list in lockstep)
+    Q("fn_posexplode",
+      (s, d) => documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .orderBy("doc_id", "pos"),
+      """SELECT doc_id,
+                unnest(range(0, len(string_split(text, ' ')))) AS pos,
+                unnest(string_split(text, ' ')) AS word
+         FROM documents WHERE doc_id < 100
+         ORDER BY doc_id, pos"""),
+
     Q("fn_json",
       (s, d) => events(s, d).select(
         col("event_id"),

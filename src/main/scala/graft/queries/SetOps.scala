@@ -66,6 +66,22 @@ object SetOps {
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
          ORDER BY o_custkey"""),
 
+    // bag (ALL) intersection: multiplicities take the minimum
+    Q("set_intersect_all",
+      (s, d) => {
+        val li = lineitem(s, d)
+        li.filter(col("l_returnflag") === "A").select("l_partkey")
+          .intersectAll(
+            li.filter(col("l_returnflag") === "R").select("l_partkey"))
+          .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+          .orderBy("l_partkey")
+      },
+      """SELECT l_partkey, COUNT(*) AS n FROM (
+           SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+           INTERSECT ALL
+           SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+         GROUP BY l_partkey ORDER BY l_partkey"""),
+
     Q("set_except",
       (s, d) => {
         val o = orders(s, d)
