@@ -112,42 +112,71 @@ object Text {
     * Scale: the profile table is tiny (langs × topK) and broadcast; the
     * per-document side is one explode + one aggregation. */
   def langIdPredict(docs: DataFrame, topK: Int = 40): DataFrame = {
-    // One typed pass per document: trigram → within-doc count (hot loop,
-    // JIT'd); serves both the per-language profile (sum of counts) and
-    // the per-doc distinct gram set (rows are already doc-distinct).
+    // Pass 1 (wide, once): per-language trigram profile — trigram counts
+    // from a typed hot loop, one groupBy, topK per language.
     val spark = docs.sparkSession
     import spark.implicits._
-    val docGramCounts = docs.select(col("doc_id"), col("lang"), col("text"))
-      .as[(Long, String, String)]
+    val gramCounts = docs.select(col("lang"), col("text"))
+      .as[(String, String)]
       .mapPartitions { it =>
-        it.flatMap { case (id, lang, text) =>
-          val m = new java.util.HashMap[String, Int]()
+        // combine within the partition: (lang, gram) -> count, so the
+        // shuffle carries partial aggregates, not per-doc rows
+        val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        it.foreach { case (lang, text) =>
           var i = 0
           while (i <= text.length - 3) {
-            m.merge(text.substring(i, i + 3), 1, Integer.sum _)
+            val k = (lang, text.substring(i, i + 3))
+            m.update(k, m.getOrElse(k, 0L) + 1L)
             i += 1
           }
-          val out = Array.newBuilder[(Long, String, String, Int)]
-          m.forEach((g, c) => out += ((id, lang, g, c)))
-          out.result().iterator
         }
-      }.toDF("doc_id", "lang", "gram", "cnt").cache()
-    val profile = docGramCounts.groupBy("lang", "gram")
+        m.iterator.map { case ((l, g), c) => (l, g, c) }
+      }.toDF("lang", "gram", "cnt")
+    val profile = gramCounts.groupBy("lang", "gram")
       .agg(sum(col("cnt")).as("freq"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("lang")
           .orderBy(desc("freq"), asc("gram"))))
       .filter(col("rk") <= topK)
-      .select(col("lang").as("profile_lang"), col("gram"))
-    val docGrams = docGramCounts.select("doc_id", "gram")
-    val scored = docGrams.join(broadcast(profile), "gram")
-      .groupBy("doc_id", "profile_lang")
-      .agg(count(lit(1)).as("overlap"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(desc("overlap"), asc("profile_lang"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("doc_id"), col("profile_lang").as("predicted_lang"),
-        col("overlap"))
+      .select("lang", "gram")
+    // gram -> sorted langs whose profile contains it: tiny (langs × topK)
+    val gramLangs: Map[String, Array[String]] = profile.collect()
+      .groupBy(_.getString(1))
+      .map { case (g, rows) => g -> rows.map(_.getString(0)).sorted }
+    val bc = spark.sparkContext.broadcast(gramLangs)
+    // Pass 2 (narrow): score each doc against the broadcast profile —
+    // no exploded gram rows ever shuffle (the old formulation shuffled
+    // every distinct (doc, gram) pair twice). Docs with zero overlap
+    // are dropped, matching the previous inner-join semantics.
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val pm = bc.value
+        it.flatMap { case (id, text) =>
+          val seen = new java.util.HashSet[String]()
+          val overlap = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i <= text.length - 3) {
+            val g = text.substring(i, i + 3)
+            if (seen.add(g)) pm.get(g) match {
+              case Some(langs) =>
+                langs.foreach(l => overlap.merge(l, 1, Integer.sum _))
+              case None => ()
+            }
+            i += 1
+          }
+          if (overlap.isEmpty) Iterator.empty
+          else {
+            var bestLang = ""
+            var bestN = -1
+            overlap.forEach { (l, n) =>
+              if (n > bestN || (n == bestN && l < bestLang)) {
+                bestLang = l; bestN = n
+              }
+            }
+            Iterator.single((id, bestLang, bestN.toLong))
+          }
+        }
+      }.toDF("doc_id", "predicted_lang", "overlap")
   }
 
   /** Per (lang, source) profile: doc count, avg length, distinct words. */

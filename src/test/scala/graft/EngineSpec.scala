@@ -131,6 +131,42 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("broadcast-scored language-ID ≡ the join-based formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val fast = graft.engine.ml.Text.langIdPredict(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // reference: explode distinct (doc, gram), join the topK profile,
+    // count overlap, rank — the formulation the narrow pass replaced
+    import spark.implicits._
+    val docGramCounts = docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, lang, text) =>
+        text.sliding(3).filter(_.length == 3).toSeq.distinct
+          .map(g => (id, lang, g))
+      }.toDF("doc_id", "lang", "gram")
+    val gramFreq = docs.select(col("lang"), col("text"))
+      .as[(String, String)]
+      .flatMap { case (lang, text) =>
+        text.sliding(3).filter(_.length == 3).map(g => (lang, g))
+      }.toDF("lang", "gram")
+      .groupBy("lang", "gram").agg(count(lit(1)).as("freq"))
+    val profile = gramFreq
+      .withColumn("rk", row_number().over(Window.partitionBy("lang")
+        .orderBy(desc("freq"), asc("gram"))))
+      .filter(col("rk") <= 40)
+      .select(col("lang").as("profile_lang"), col("gram"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("overlap"), asc("profile_lang"))
+    val want = docGramCounts.select("doc_id", "gram")
+      .join(profile, "gram")
+      .groupBy("doc_id", "profile_lang").agg(count(lit(1)).as("overlap"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(fast === want)
+  }
+
   test("graft_kmv sketch: k-th smallest distinct, merge-invariant") {
     graft.engine.expr.GraftFunctions.ensureRegistered(spark)
     import org.apache.spark.sql.expressions.Window
