@@ -123,6 +123,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Window"), p)
   }
 
+  test("time_resample broadcasts the calendar spine") {
+    val p = plan("time_resample")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("sink_partitioned read prunes to the selected partition") {
     // executing the query writes the partitioned tree; then check the
     // read side lists only y=1997
