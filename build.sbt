@@ -15,7 +15,7 @@ run / fork := true
 // and drop the trailing "[success] Total time" line: the bench/verify
 // harness parses JSON from the last ~2000 bytes of stdout.
 run / outputStrategy := Some(StdoutOutput)
-showSuccess := false
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

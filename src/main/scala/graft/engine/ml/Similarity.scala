@@ -71,7 +71,7 @@ object Similarity {
     * query at sf0.1. Seeded k-means++ init keeps it deterministic;
     * every downstream result is exact-verified against the assigned
     * cells, so centroid micro-differences only move the recall knob. */
-  private[ml] def fitCentroids(emb: DataFrame, nCells: Int,
+  def fitCentroids(emb: DataFrame, nCells: Int,
       seed: Long): Array[Array[Double]] = {
     val sample: Array[Array[Double]] = emb.select("embedding")
       .limit(4096).collect()
@@ -208,9 +208,32 @@ object Similarity {
     * Returns exact-cosine top-k within the probed cells.
     */
   def ivfTopK(emb: DataFrame, probeDf: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 6, seed: Long = 42L): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 6, seed: Long = 42L): DataFrame =
+    ivfTopKWith(emb, probeDf, k, fitCentroids(emb, nCells, seed), nProbe)
+
+  /** Persist fitted quantizer centroids so the fit is a one-time ingest
+    * cost: queries load the tiny (nCells × dim) table and skip fitting.
+    * At 100 TB this is the real deployment shape — the centroids ship
+    * with the dataset like any other index metadata. */
+  def saveQuantizer(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadQuantizer(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] =
+    spark.read.parquet(path).orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** IVF search against an already-fitted quantizer (see
+    * [[saveQuantizer]]/[[loadQuantizer]]). */
+  def ivfTopKWith(emb: DataFrame, probeDf: DataFrame, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int = 6): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
-    val centroids = fitCentroids(emb, nCells, seed)
     val cellOf = udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, 1).head)
     val cellsOf = udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, nProbe))
 

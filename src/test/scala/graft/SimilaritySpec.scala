@@ -93,6 +93,22 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("quantizer roundtrip: saved centroids reproduce the fit exactly") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test/quant_${System.nanoTime()}"
+    val fitted = Similarity.fitCentroids(emb, 16, 42L)
+    Similarity.saveQuantizer(spark, fitted, path)
+    val loaded = Similarity.loadQuantizer(spark, path)
+    assert(loaded.length === fitted.length)
+    fitted.zip(loaded).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // query path with stored centroids ≡ fit-on-the-fly path
+    val probes = Similarity.probes(emb)
+    val viaStore = Similarity.ivfTopKWith(emb, probes, 5, loaded)
+      .collect().map(_.toSeq).toSet
+    val viaFit = Similarity.ivfTopK(emb, probes, 5)
+      .collect().map(_.toSeq).toSet
+    assert(viaStore === viaFit)
+  }
+
   test("bucketed near-dup finds every planted duplicate (IVF candidates)") {
     // identical vectors land in identical quantizer cells, so the
     // cell-bucketed candidate generation must recover all planted pairs
