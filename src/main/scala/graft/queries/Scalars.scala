@@ -135,6 +135,24 @@ object Scalars {
                 o_orderkey % 7 AS key_mod
          FROM orders ORDER BY o_orderkey"""),
 
+    // edit distance — the fuzzy-matching primitive record-linkage
+    // pipelines use; both engines implement classic Levenshtein
+    Q("fn_editdist",
+      (s, d) => part(s, d).select(
+        col("p_partkey"),
+        levenshtein(col("p_name"), col("p_type")).as("name_type_dist"),
+        levenshtein(col("p_brand"), lit("Brand#00")).as("brand_dist"),
+        levenshtein(substring(col("p_name"), 1, 10),
+          substring(col("p_type"), 1, 10)).as("head_dist"))
+        .orderBy("p_partkey"),
+      """SELECT p_partkey,
+                CAST(levenshtein(p_name, p_type) AS INT) AS name_type_dist,
+                CAST(levenshtein(p_brand, 'Brand#00') AS INT) AS brand_dist,
+                CAST(levenshtein(substring(p_name, 1, 10),
+                                 substring(p_type, 1, 10)) AS INT)
+                  AS head_dist
+         FROM part ORDER BY p_partkey"""),
+
     // bitwise surface: shifts, and/or/xor, popcount — the building
     // blocks the SimHash/bucketing verbs use, exposed as a declared op
     Q("fn_bitwise",
