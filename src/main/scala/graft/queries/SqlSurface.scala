@@ -74,6 +74,40 @@ object SqlSurface {
                 ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
          FROM orders GROUP BY 1 ORDER BY o_orderstatus"""),
 
+    // boolean aggregates + conditional count
+    Q("agg_bool",
+      (s, d) => orders(s, d).groupBy("o_orderpriority")
+        .agg(
+          expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+          expr("bool_or(o_totalprice > 400000)").as("any_over_400k"),
+          expr("count_if(o_orderstatus = 'F')").as("n_finished"))
+        .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority,
+                bool_and(o_totalprice > 1000) AS all_over_1k,
+                bool_or(o_totalprice > 400000) AS any_over_400k,
+                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority"""),
+
+    // correlated LATERAL subquery: per-region top-2 nations — the
+    // "top-N per outer row" SQL shape; Catalyst decorrelates it into a
+    // ranked window join (same plan family as win_topk_per_group)
+    Q("join_lateral",
+      (s, d) => {
+        region(s, d).createOrReplaceTempView("graft_region_lat")
+        nation(s, d).createOrReplaceTempView("graft_nation_lat")
+        s.sql("""
+          SELECT r_name, n_name FROM graft_region_lat,
+            LATERAL (SELECT n_name FROM graft_nation_lat
+                     WHERE n_regionkey = r_regionkey
+                     ORDER BY n_name LIMIT 2)
+          ORDER BY r_name, n_name""")
+      },
+      """SELECT r_name, n_name FROM region,
+           LATERAL (SELECT n_name FROM nation
+                    WHERE n_regionkey = r_regionkey
+                    ORDER BY n_name LIMIT 2) t
+         ORDER BY r_name, n_name"""),
+
     // unpivot/melt: wide per-status sums back to long form
     Q("agg_unpivot",
       (s, d) => lineitem(s, d)
