@@ -66,16 +66,30 @@ object Similarity {
     * dataset. */
   /** A coarse quantizer only needs a bounded sample and a few Lloyd
     * iterations, so the fit runs driver-local on one collected sample
-    * (≤4096×dim doubles ≈ 2 MB): one Spark job instead of the ~10 an
+    * (≤~8192×dim doubles ≈ 4 MB): one Spark job instead of the ~10 an
     * mllib KMeans fit schedules — measured 2–3 s saved per fitting
     * query at sf0.1. Seeded k-means++ init keeps it deterministic;
     * every downstream result is exact-verified against the assigned
-    * cells, so centroid micro-differences only move the recall knob. */
+    * cells, so centroid micro-differences only move the recall knob.
+    *
+    * The sample is a deterministic hash-sample on vec_id — NOT
+    * `limit(n)`, which takes whichever partitions answer first: on a
+    * label- or time-clustered 100 TB layout that fits the quantizer to
+    * a skewed slice, and makes the result depend on physical layout. A
+    * hash filter sees every partition uniformly and is invariant to
+    * repartitioning. */
   def fitCentroids(emb: DataFrame, nCells: Int,
       seed: Long): Array[Array[Double]] = {
-    val sample: Array[Array[Double]] = emb.select("embedding")
-      .limit(4096).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = emb.count()
+    val mod = math.max(1L, n / 4096L)
+    // collect() returns rows in whatever partition order the layout
+    // produces and the fit is order-sensitive (k-means++ indexes the
+    // sample), so sort by vec_id driver-side — the sample is bounded
+    val sample: Array[Array[Double]] = emb
+      .where(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+      .select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     require(sample.nonEmpty, "fitCentroids: empty embedding table")
     val dim = sample.head.length
     val rnd = new scala.util.Random(seed)
@@ -137,28 +151,59 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: exact cosine ≥ threshold via the
-    * native fused expression, with candidates generated through the IVF
-    * coarse quantizer instead of all pairs per label. Every vector is
-    * soft-assigned to its `nProbe` nearest cells; a pair is a candidate
-    * iff both sides share a (label, cell) — the SemDeDup-style
-    * cluster-then-pair shape. Work is Σ_cell |cell|² with |cell| ≈
-    * n/nCells (quantizer cells are balanced on real corpora), not
-    * O(group²) on the largest label; recall is the standard IVF trade
-    * (near-dups quantize together — multi-probe covers boundary pairs)
-    * and is bounds-checked in ScalaTest against planted duplicates. */
+    * native fused expression. Candidate generation is a two-regime
+    * hybrid on the per-label group size:
+    *
+    *  - labels with ≤ `smallLabelMax` vectors: ALL pairs within the
+    *    label. Exact (100% recall, SQL-oracle-checkable) and bounded —
+    *    the quadratic term is capped at smallLabelMax² per label.
+    *  - labels above the cap: IVF coarse-quantizer cells. Every vector
+    *    is soft-assigned to its `nProbe` nearest cells; a pair is a
+    *    candidate iff both sides share a (label, cell) — the
+    *    SemDeDup-style cluster-then-pair shape. Work is Σ_cell |cell|²
+    *    with |cell| ≈ n/nCells, not O(group²) on the largest label;
+    *    recall is the standard IVF trade (near-dups quantize together —
+    *    multi-probe covers boundary pairs), bounds-checked in ScalaTest
+    *    against planted duplicates.
+    *
+    * So results are EXACT whenever every label fits the cap (true at
+    * every tested scale factor — the DuckDB all-pairs oracle stays
+    * valid), and documented-approximate only on the labels where
+    * exactness would be quadratic. The quantizer fit runs only when
+    * some label exceeds the cap; pass `datasetTag` to reuse a
+    * fitted/persisted quantizer (see [[quantizerFor]]). */
   def embeddingNearDup(emb: DataFrame, threshold: Double,
-      nCells: Int = 16, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 3, seed: Long = 42L,
+      smallLabelMax: Int = 4096, datasetTag: Option[String] = None): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
-    val centroids = fitCentroids(emb, nCells, seed)
-    val cellsOf = udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, nProbe))
-    val bucketed = emb.select(col("label"), col("vec_id"), col("embedding"),
-      explode(cellsOf(col("embedding"))).as("cell"))
-    val cand = bucketed.select(col("label"), col("cell"),
-        col("vec_id").as("vec_a"))
-      .join(bucketed.select(col("label"), col("cell"),
-        col("vec_id").as("vec_b")), Seq("label", "cell"))
+    val sizes = emb.groupBy("label").agg(count(lit(1)).as("label_n"))
+    val tagged = emb.join(broadcast(sizes), Seq("label"))
+    val small = tagged.filter(col("label_n") <= smallLabelMax)
+    val candSmall = small.select(col("label"), col("vec_id").as("vec_a"))
+      .join(small.select(col("label"), col("vec_id").as("vec_b")),
+        Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("label", "vec_a", "vec_b").distinct()
+    // the label-size check is one tiny agg job; it gates the (much
+    // more expensive) quantizer fit so the all-small regime never fits
+    val anyLarge = sizes.filter(col("label_n") > smallLabelMax)
+      .limit(1).count() > 0
+    val cand = (if (!anyLarge) candSmall else {
+      val centroids = datasetTag match {
+        case Some(tag) => quantizerFor(emb, tag, nCells, seed)
+        case None      => fitCentroids(emb, nCells, seed)
+      }
+      val cellsOf = udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, nProbe))
+      val large = tagged.filter(col("label_n") > smallLabelMax)
+      val bucketed = large.select(col("label"), col("vec_id"),
+        explode(cellsOf(col("embedding"))).as("cell"))
+      val candLarge = bucketed.select(col("label"), col("cell"),
+          col("vec_id").as("vec_a"))
+        .join(bucketed.select(col("label"), col("cell"),
+          col("vec_id").as("vec_b")), Seq("label", "cell"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("label", "vec_a", "vec_b")
+      candSmall.select("label", "vec_a", "vec_b").union(candLarge)
+    }).select("label", "vec_a", "vec_b").distinct()
     cand
       .join(emb.select(col("vec_id").as("vec_a"),
         col("embedding").as("emb_a")), Seq("vec_a"))
@@ -228,6 +273,48 @@ object Similarity {
       path: String): Array[Array[Double]] =
     spark.read.parquet(path).orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
+
+  private val quantizerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** Fit-once semantics for the coarse quantizer, made literal: the
+    * first call for a (dataset, nCells, seed) key fits on a hash-sample
+    * and persists the centroids under the warehouse via
+    * [[saveQuantizer]]; later calls — in this session (in-memory map)
+    * or any later session (parquet) — load instead of refitting. The
+    * row count participates in the key so a regenerated dataset at the
+    * same path doesn't silently reuse stale centroids. This is the
+    * 100 TB deployment shape: the quantizer is index metadata fitted at
+    * ingest, shipped with the dataset, loaded by every query. */
+  def quantizerFor(emb: DataFrame, datasetTag: String, nCells: Int = 16,
+      seed: Long = 42L): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    val n = emb.count()
+    val key = s"${datasetTag}|$n|$nCells|$seed"
+    quantizerCache.computeIfAbsent(key, _ => {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"$warehouse/graft_quantizers/${safe}_${n}_${nCells}_$seed"
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+        loadQuantizer(spark, path)
+      else {
+        val c = fitCentroids(emb, nCells, seed)
+        saveQuantizer(spark, c, path)
+        c
+      }
+    })
+  }
+
+  /** [[ivfTopKWith]] against the per-dataset cached/persisted quantizer
+    * — what the declared queries use, so the fit cost is paid once per
+    * dataset, not once per query. */
+  def ivfTopKCached(emb: DataFrame, probeDf: DataFrame, k: Int,
+      datasetTag: String, nCells: Int = 16, nProbe: Int = 6,
+      seed: Long = 42L): DataFrame =
+    ivfTopKWith(emb, probeDf, k, quantizerFor(emb, datasetTag, nCells, seed),
+      nProbe)
 
   /** IVF search against an already-fitted quantizer (see
     * [[saveQuantizer]]/[[loadQuantizer]]). */

