@@ -21,6 +21,9 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // release per-query caches (dedup signatures / gram sets) so 100+
+      // queries in one session don't accumulate executor storage
+      graft.engine.ml.Dedup.unpersistTracked()
       name -> (System.nanoTime() - t0) / 1e9
     }
     def f3(v: Double): String = f"$v%.3f"

@@ -34,9 +34,10 @@ object Catalog {
     val cols = meta.columns
       .map(c => s"`${c.name}` ${c.sparkField.dataType.sql}")
       .mkString(", ")
-    // escape quotes in the interpolated location so a path containing
-    // ' cannot break (or smuggle clauses into) the DDL statement
-    val loc = location.replace("'", "''")
+    // escape the interpolated location so a path cannot break (or
+    // smuggle clauses into) the DDL statement: backslashes first (Spark
+    // SQL literals treat \ as an escape by default), then quotes
+    val loc = location.replace("\\", "\\\\").replace("'", "''")
     spark.sql(s"CREATE TABLE IF NOT EXISTS `$name` ($cols) " +
       s"USING parquet LOCATION '$loc'")
   }

@@ -22,6 +22,57 @@ object Dedup {
 
   private val P = 2147483647L // 2^31 - 1; keeps a*h+b within a long
 
+  /** DataFrames cached by the dedup verbs (signatures, gram sets) —
+    * reused across the band/prefix and verify joins of ONE query. The
+    * query runner (Bench/Verify/test) calls [[unpersistTracked]] after
+    * materializing the result so repeated invocations in a long-lived
+    * session don't accumulate executor storage. */
+  private val trackedCaches =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def trackCache(df: DataFrame): DataFrame =
+    trackedCaches.synchronized { val c = df.cache(); trackedCaches += c; c }
+
+  def unpersistTracked(): Unit = trackedCaches.synchronized {
+    trackedCaches.foreach(df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    trackedCaches.clear()
+  }
+
+  /** Count of candidate buckets dropped by the hot-bucket cap, for the
+    * caller's log line — one accumulator per SparkContext. */
+  private val droppedAccs = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.LongAccumulator]()
+
+  def droppedBuckets(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.util.LongAccumulator =
+    droppedAccs.computeIfAbsent(spark.sparkContext.applicationId,
+      _ => spark.sparkContext.longAccumulator("graft.dedup.droppedBuckets"))
+
+  /** Hot-bucket cap for candidate self-joins: a degenerate bucket (a
+    * band hash shared by thousands of near-empty documents, a ubiquitous
+    * prefix token) is O(bucket²) with no bound — the quadratic trapdoor
+    * at 100 TB. Standard LSH practice: pre-aggregate bucket sizes, drop
+    * buckets above `maxBucket` (counting drops in [[droppedBuckets]]).
+    * The count agg and the downstream self-join shuffle on the same
+    * keys, so the cap adds no extra repartitioning of the big side.
+    * Recall loss is bounded: only pairs whose EVERY shared bucket is
+    * degenerate are lost. */
+  private def capBuckets(assign: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val acc = droppedBuckets(assign.sparkSession)
+    val keep = udf { n: Long =>
+      val ok = n <= maxBucket
+      if (!ok) acc.add(1L)
+      ok
+    }.asNondeterministic() // side effect: count dropped buckets once
+    val counts = assign.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(keep(col("bucket_n")))
+      .select(keyCols.map(col): _*)
+    assign.join(counts, keyCols)
+  }
+
   /** Exact dedup: keep the lowest doc_id per md5(text). The window
     * hash-partitions on the digest, so at scale each digest group lands
     * on one reducer — no global sort, no hotspot (digests are uniform). */
@@ -98,7 +149,8 @@ object Dedup {
           (id, sh, sig)
         }
       }
-      .toDF("doc_id", "sh_h", "sig").cache()
+      .toDF("doc_id", "sh_h", "sig")
+      .transform(trackCache)
   }
 
   /** LSH banding: split each signature into (bands × rowsPerBand), hash
@@ -109,16 +161,15 @@ object Dedup {
     * corpus a looser knee floods the candidate set and verification
     * stops scaling. */
   def lshCandidates(sigs: DataFrame, bands: Int = 4,
-      rowsPerBand: Int = 8): DataFrame = {
+      rowsPerBand: Int = 8, numHashes: Int = 32,
+      maxBucket: Int = 10000): DataFrame = {
     // a sig shorter than bands*rowsPerBand would slice into short/empty
     // bands whose hashes all collide, flooding the candidate set — fail
-    // loudly instead (checked on one row; signatures() is uniform)
-    sigs.select(org.apache.spark.sql.functions.size(col("sig")))
-      .limit(1).collect().headOption.foreach { r =>
-        require(r.getInt(0) == bands * rowsPerBand,
-          s"lshCandidates: signature length ${r.getInt(0)} != " +
-            s"bands*rowsPerBand (${bands * rowsPerBand})")
-      }
+    // loudly, statically (the caller knows its signature width; no
+    // Spark job for an assertion)
+    require(numHashes == bands * rowsPerBand,
+      s"lshCandidates: signature length $numHashes != " +
+        s"bands*rowsPerBand (${bands * rowsPerBand})")
     val banded = sigs.select(col("doc_id"),
       explode(expr(
         s"""transform(sequence(0, ${bands - 1}),
@@ -127,9 +178,10 @@ object Dedup {
                           slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))
                           AS band_hash))""")).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
-    val a = banded.select(col("doc_id").as("doc_a"),
+    val capped = capBuckets(banded, Seq("band_idx", "band_hash"), maxBucket)
+    val a = capped.select(col("doc_id").as("doc_a"),
       col("band_idx"), col("band_hash"))
-    val b = banded.select(col("doc_id").as("doc_b"),
+    val b = capped.select(col("doc_id").as("doc_b"),
       col("band_idx"), col("band_hash"))
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
@@ -236,45 +288,42 @@ object Dedup {
     * (SSJoin / the MapReduce set-similarity join of Vernica et al.,
     * SIGMOD'10) is EXACT: Jaccard(A,B) ≥ t implies |A∩B| ≥ t·|A| and
     * ≥ t·|B|, so under any fixed global token order the two prefixes of
-    * length |X| − ⌈t·|X|⌉ + 1 must share a token. Our global order is
-    * the sorted 64-bit bigram hash (uniform → balanced index). Work is
-    * Σ_token df(token)² over prefix tokens only — no O(group²) term —
-    * and exact merge-scan Jaccard verifies just the survivors. */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * length |X| − ⌈t·|X|⌉ + 1 must share a token. The default global
+    * order is ASCENDING DOCUMENT FREQUENCY (ties by hash) — the
+    * canonical PPJoin order: each document's prefix is then its RAREST
+    * tokens, minimizing Σ_token df(token)² over the inverted index.
+    * `freqOrdered = false` keeps the plain hash order (uniform →
+    * balanced index, no df pass) — same exact result, larger candidate
+    * set; the equivalence is what the ordering-invariance test checks.
+    * Work is Σ_token df² over prefix tokens only — no O(group²) term —
+    * plus the hot-bucket cap (see [[capBuckets]]) as the backstop
+    * against a degenerate token, and exact merge-scan Jaccard verifies
+    * just the survivors. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      freqOrdered: Boolean = true, maxBucket: Int = 10000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val grams = docs.select(col("doc_id"), col("lang"), col("source"),
-      col("text")).as[(Long, String, String, String)]
-      .mapPartitions { it =>
-        it.map { case (id, lang, src, text) =>
-          val ws = text.split(' ')
-          val seen = new java.util.HashSet[Long]()
-          val out = Array.newBuilder[Long]
-          var i = 0
-          while (i < ws.length - 1) {
-            val bg = ws(i) + " " + ws(i + 1)
-            val h = fnv1a(bg, 0, bg.length)
-            if (seen.add(h)) out += h
-            i += 1
+    val grams = trackCache( // reused by the prefix index + verify joins
+      docs.select(col("doc_id"), col("lang"), col("source"),
+        col("text")).as[(Long, String, String, String)]
+        .mapPartitions { it =>
+          it.map { case (id, lang, src, text) =>
+            val ws = text.split(' ')
+            val seen = new java.util.HashSet[Long]()
+            val out = Array.newBuilder[Long]
+            var i = 0
+            while (i < ws.length - 1) {
+              val bg = ws(i) + " " + ws(i + 1)
+              val h = fnv1a(bg, 0, bg.length)
+              if (seen.add(h)) out += h
+              i += 1
+            }
+            val arr = out.result()
+            java.util.Arrays.sort(arr)
+            (id, lang, src, arr)
           }
-          val arr = out.result()
-          java.util.Arrays.sort(arr)
-          (id, lang, src, arr)
-        }
-      }.toDF("doc_id", "lang", "source", "g")
-      .cache() // reused by the prefix index and both verify joins
-    // prefix length |g| - ceil(t*|g|) + 1; the 1e-9 slack absorbs binary
-    // rounding of t*|g| (a longer prefix is always safe — superset)
-    val pref = grams.select(col("lang"), col("source"), col("doc_id"),
-      explode(expr(s"slice(g, 1, cast(size(g) - " +
-        s"ceil($threshold * size(g) - 1e-9) + 1 AS int))")).as("tok"))
-    val cand = pref.select(col("lang"), col("source"),
-        col("doc_id").as("doc_a"), col("tok"))
-      .join(pref.select(col("lang"), col("source"),
-        col("doc_id").as("doc_b"), col("tok")),
-        Seq("lang", "source", "tok"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+        }.toDF("doc_id", "lang", "source", "g"))
+    val cand = ngramCandidates(grams, threshold, freqOrdered, maxBucket)
     graft.engine.expr.GraftFunctions.ensureRegistered(docs.sparkSession)
     cand
       .join(grams.select(col("doc_id").as("doc_a"), col("g").as("g_a")),
@@ -289,5 +338,89 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("n_common")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Prefix-filtered candidate pairs over a (doc_id, lang, source, g)
+    * gram table — see [[ngramJaccardPairs]] for the exactness argument.
+    * Prefix length is |g| − ⌈t·|g|⌉ + 1; the 1e-9 slack absorbs binary
+    * rounding of t·|g| (a longer prefix is always safe — superset). */
+  def ngramCandidates(grams: DataFrame, threshold: Double,
+      freqOrdered: Boolean, maxBucket: Int): DataFrame = {
+    val plenSql = s"cast(size(g) - ceil($threshold * size(g) - 1e-9) + 1 AS int)"
+    val pref =
+      if (!freqOrdered)
+        // hash order: g is already hash-sorted, prefix = leading slice
+        grams.select(col("lang"), col("source"), col("doc_id"),
+          explode(expr(s"slice(g, 1, $plenSql)")).as("tok"))
+      else {
+        // document-frequency order: one df pass over the exploded gram
+        // set, then each document keeps its plen rarest tokens. Two
+        // extra shuffles (df agg by tok, rank window by doc_id) buy a
+        // strictly sparser inverted index — the PPJoin trade.
+        val toks = grams.select(col("lang"), col("source"), col("doc_id"),
+          expr(plenSql).as("plen"), explode(col("g")).as("tok"))
+        val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id").orderBy(asc("df"), asc("tok"))
+        toks.join(dfreq, "tok")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= col("plen"))
+          .select("lang", "source", "doc_id", "tok")
+      }
+    val capped = capBuckets(pref, Seq("lang", "source", "tok"), maxBucket)
+    capped.select(col("lang"), col("source"),
+        col("doc_id").as("doc_a"), col("tok"))
+      .join(capped.select(col("lang"), col("source"),
+        col("doc_id").as("doc_b"), col("tok")),
+        Seq("lang", "source", "tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Resolve near-dup PAIRS into the keep-list every real dedup
+    * pipeline ends with: connected components over the undirected pair
+    * graph, canonical survivor = the component's minimum doc_id.
+    * Returns one row per document: (doc_id, keep_id); a document keeps
+    * itself iff doc_id = keep_id (docs in no pair are their own
+    * component), so the keep-list is `WHERE doc_id = keep_id` and the
+    * drop-list its complement.
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * node takes the minimum label among itself and its neighbours;
+    * converged when a round changes nothing. Each round is one
+    * equi-join + groupBy on doc_id (shuffle-partitioned, no driver
+    * data), rounds = graph diameter (near-dup clusters are shallow:
+    * a cluster of k copies has diameter ≤ 2). Lineage is truncated
+    * every round with an eager localCheckpoint so the Catalyst plan
+    * stays O(1) across iterations; on a cluster deployment the same
+    * loop runs with `spark.sparkContext.setCheckpointDir` + reliable
+    * checkpoints. */
+  def resolvePairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val edges = trackCache(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"),
+          col("doc_a").as("dst")))
+        .distinct())
+    var labels = docs.select(col("doc_id"),
+      col("doc_id").as("keep_id")).localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val neigh = edges
+        .join(labels.select(col("doc_id").as("src"),
+          col("keep_id").as("src_keep")), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("src_keep")).as("neigh_keep"))
+      val updated = labels.join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("keep_id"),
+            coalesce(col("neigh_keep"), col("keep_id"))).as("keep_id"))
+        .localCheckpoint(true)
+      converged = updated
+        .join(labels.select(col("doc_id"), col("keep_id").as("old_keep")),
+          Seq("doc_id"))
+        .filter(col("keep_id") < col("old_keep"))
+        .isEmpty
+      labels = updated
+    }
+    labels
   }
 }

@@ -60,6 +60,47 @@ object Llm {
          WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.12
          ORDER BY doc_a, doc_b"""),
 
+    // Pairs → keep-list: connected components over the exact n-gram
+    // near-dup graph (threshold 0.05 for real component structure),
+    // canonical survivor = min doc_id. The oracle mirrors the
+    // propagation fixpoint with a recursive transitive-closure CTE.
+    Q("dedup_resolve",
+      (s, d) => {
+        val docs = documents(s, d)
+        Dedup.resolvePairs(
+          Dedup.ngramJaccardPairs(docs, 0.05).select("doc_a", "doc_b"),
+          docs).orderBy("doc_id")
+      },
+      """WITH RECURSIVE grams AS (
+           SELECT DISTINCT doc_id, lang, source,
+                  unnest(list_transform(range(1, len(string_split(text,' '))),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1])) AS g
+           FROM documents),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+           FROM grams a JOIN grams b
+             ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b
+           FROM common
+             JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05),
+         edges AS (
+           SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION
+           SELECT doc_b AS u, doc_a AS v FROM pairs),
+         reach(u, v) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         SELECT u AS doc_id, MIN(v) AS keep_id
+         FROM reach GROUP BY u ORDER BY doc_id"""),
+
     // Embedding-cosine near-dup within label groups; fold arithmetic is
     // mirrored exactly (left fold over doubles) so scores hash-match.
     // The all-pairs oracle is valid because every label fits the

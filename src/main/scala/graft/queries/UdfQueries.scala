@@ -54,6 +54,10 @@ object UdfQueries {
               16, 10).cast("long").as("h"))
           .groupBy("o_orderpriority")
           .agg(expr("graft_kmv(h, 32)").as("kth_min_hash"))
+          // a group with < 32 distinct hashes yields NULL (sketch not
+          // full) while the oracle's WHERE rn = 32 emits no row — drop
+          // under-filled groups identically on both sides
+          .filter(col("kth_min_hash").isNotNull)
           .select(col("o_orderpriority"), col("kth_min_hash"),
             round(lit(31.0) * lit(4294967296.0) / col("kth_min_hash"), 2)
               .as("est_distinct"))

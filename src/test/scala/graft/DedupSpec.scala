@@ -95,4 +95,86 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       s"only $hit of ${nearPairs.size} planted near pairs found")
     asMap.values.foreach(j => assert(j >= 0.5 && j <= 1.0))
   }
+
+  test("freq-ordered prefixes: same exact pairs, no larger candidate set") {
+    val (corpus, _, _) = planted(10)
+    val byFreq = Dedup.ngramJaccardPairs(corpus, 0.5, freqOrdered = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byHash = Dedup.ngramJaccardPairs(corpus, 0.5, freqOrdered = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byFreq === byHash) // exactness is ordering-invariant
+    // the df-ordered inverted index is never denser than the hash order
+    val spark2 = spark
+    import spark2.implicits._
+    val grams = corpus.select(col("doc_id"), col("lang"), col("source"),
+      col("text")).as[(Long, String, String, String)]
+      .map { case (id, lang, src, text) =>
+        val bs = text.split(' ').sliding(2).filter(_.length == 2)
+          .map(_.mkString(" ")).toSeq.distinct.sorted
+        (id, lang, src, bs.map(b => b.hashCode.toLong).sorted.toArray)
+      }.toDF("doc_id", "lang", "source", "g")
+    val nFreq = Dedup.ngramCandidates(grams, 0.5, freqOrdered = true,
+      maxBucket = 10000).count()
+    val nHash = Dedup.ngramCandidates(grams, 0.5, freqOrdered = false,
+      maxBucket = 10000).count()
+    assert(nFreq <= nHash, s"freq-ordered candidates $nFreq > hash $nHash")
+  }
+
+  test("hot-bucket cap bounds a degenerate corpus and counts the drops") {
+    // 1200 near-identical one-sentence docs: every band hash and every
+    // prefix token lands in one giant bucket — uncapped this is a
+    // ~1.4M-pair candidate flood (the 100 TB quadratic trapdoor)
+    val spark2 = spark
+    import spark2.implicits._
+    val degenerate = (0 until 1200)
+      .map(i => (i.toLong, "all work and no play makes a dull engine " +
+        "the same sentence every time", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val acc = Dedup.droppedBuckets(spark)
+    acc.reset()
+    val sigs = Dedup.signatures(degenerate)
+    val nBand = Dedup.lshCandidates(sigs, maxBucket = 50).count()
+    assert(nBand === 0L, s"capped band join still emitted $nBand pairs")
+    assert(acc.value > 0, "no dropped-bucket count recorded for bands")
+    acc.reset()
+    val nPref = Dedup.ngramJaccardPairs(degenerate, 0.8, maxBucket = 50)
+      .count()
+    assert(nPref === 0L, s"capped prefix join still emitted $nPref pairs")
+    assert(acc.value > 0, "no dropped-bucket count recorded for prefixes")
+    Dedup.unpersistTracked()
+  }
+
+  test("resolvePairs: components collapse transitively to min doc_id") {
+    val spark2 = spark
+    import spark2.implicits._
+    // chain 1-2, 2-3 plus island 5-6; docs 4 and 7 are pairless
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val docs = (1L to 7L).toDF("doc_id")
+    val resolved = Dedup.resolvePairs(pairs, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    Dedup.unpersistTracked()
+  }
+
+  test("resolvePairs keep-list drops exactly the planted copies") {
+    val (corpus, nearPairs, exactPairs) = planted(15)
+    val pairs = Dedup.ngramJaccardPairs(corpus, 0.5)
+      .select("doc_a", "doc_b")
+    val resolved = Dedup.resolvePairs(pairs, corpus.select("doc_id"))
+    val dropped = resolved.filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every planted copy (near at +100000, exact at +200000) resolves
+    // onto its original and is dropped; no original is dropped
+    val copies = (nearPairs ++ exactPairs).map(_._2).toSet
+    val originals = nearPairs.map(_._1).toSet
+    assert(copies.subsetOf(dropped),
+      s"planted copies not dropped: ${copies.diff(dropped)}")
+    assert(originals.intersect(dropped).isEmpty,
+      s"originals wrongly dropped: ${originals.intersect(dropped)}")
+    // row contract: one row per doc, keep_id ≤ doc_id
+    assert(resolved.count() === corpus.count())
+    assert(resolved.filter(col("keep_id") > col("doc_id")).count() === 0)
+    Dedup.unpersistTracked()
+  }
 }
