@@ -18,14 +18,26 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      // release per-query caches (dedup signatures / gram sets) so 100+
-      // queries in one session don't accumulate executor storage
-      graft.engine.ml.Dedup.unpersistTracked()
-      name -> (System.nanoTime() - t0) / 1e9
+    // This box swings ±40% with tenant load (BASELINE.md), so a single
+    // shot per query is noise: run `reps` passes over the whole query
+    // set (whole-set passes, not back-to-back repeats, so JIT/cache
+    // state is comparable across reps) and keep each query's MEDIAN.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = (1 to reps).map { _ =>
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // release per-query caches (dedup signatures / gram sets) so
+        // 100+ queries per pass don't accumulate executor storage
+        graft.engine.ml.Dedup.unpersistTracked()
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
+    val results: Map[String, Double] = names.map { n =>
+      val xs = samples.map(_(n)).sorted
+      n -> xs(xs.length / 2)
+    }.toMap
     def f3(v: Double): String = f"$v%.3f"
     def qmap(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
@@ -40,9 +52,9 @@ object Bench {
     spark.stop()
     val slowest = results.toSeq.sortBy(-_._2).take(20)
     System.out.println(
-      s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","queries":${qmap(results)},"sf":"$sfDir"}""")
+      s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","reps":$reps,"queries":${qmap(results)},"sf":"$sfDir"}""")
     System.out.println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"queries":${qmap(slowest)},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -145,6 +145,73 @@ object EventOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class SessionAccum(n: Long, minT: Long, maxT: Long)
+  case class SessionOut(user_id: Long, n_events: Long, start_us: Long,
+      end_us: Long)
+
+  /** Per-user inactivity-gap sessions emitted BY EVENT-TIME TIMER — the
+    * remaining production-state surface on `transformWithState`: state
+    * accumulates each user's open session; every batch re-arms one
+    * timer at (latest event time + gap); when the watermark passes it,
+    * [[handleExpiredTimer]] emits the session summary and clears the
+    * state. Closed sessions therefore leave the store deterministically
+    * (timer-driven eviction = TTL with exact semantics), which is what
+    * bounds state size on an unbounded 100 TB/day stream. */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[SessionAccum] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionAccum]("session",
+        org.apache.spark.sql.Encoders.product[SessionAccum], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      var st =
+        if (state.exists()) state.get()
+        else SessionAccum(0L, Long.MaxValue, Long.MinValue)
+      rows.foreach { case (_, tUs) =>
+        st = SessionAccum(st.n + 1, math.min(st.minT, tUs),
+          math.max(st.maxT, tUs))
+      }
+      state.update(st)
+      // exactly one armed timer per key: drop the stale expiry, re-arm
+      // at (latest event this session + gap) — timer values are ms
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(st.maxT / 1000L + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val out =
+        if (state.exists()) {
+          val st = state.get()
+          Iterator.single(SessionOut(key, st.n, st.minT, st.maxT))
+        } else Iterator.empty
+      state.clear()
+      out
+    }
+  }
+
+  /** Timer-driven session summaries over a WATERMARKED event stream
+    * (callers apply `withWatermark("ts", ...)`; TimeMode.EventTime
+    * requires one). Output is append-mode: one row per closed session. */
+  def sessionSummariesTws(events: DataFrame,
+      gapMs: Long = 1800000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming form: explicit keyed state via flatMapGroupsWithState —
     * the state store carries one [[UserState]] per user, partitioned by
     * the grouping key (same shuffle shape as the batch window). */

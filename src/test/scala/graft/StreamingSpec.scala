@@ -225,6 +225,50 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("event-time timers close sessions and evict state on expiry") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[Ev]
+      val name = s"q_${System.nanoTime()}"
+      // 30-minute inactivity gap; zero-delay watermark so the stream's
+      // max event time IS the watermark of the following batch
+      val q = EventOps.sessionSummariesTws(
+          input.toDF().withWatermark("ts", "0 seconds"), 1800000L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // batch 1: user 1's session = two events 5 minutes apart
+        input.addData(
+          Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+          Ev(2, ts("2024-01-01 10:05:00"), 1, "view", 1.0))
+        q.processAllAvailable()
+        // batch 2 advances event time far past 10:35 (= 10:05 + gap)…
+        input.addData(Ev(3, ts("2024-01-01 12:00:00"), 2, "click", 1.0))
+        q.processAllAvailable()
+        // …and batch 3 runs with that watermark, firing user 1's timer
+        input.addData(Ev(4, ts("2024-01-01 12:01:00"), 2, "view", 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // user 1's session closed by timer: 2 events, 10:00 → 10:05
+      assert(out.contains((1L, 2L,
+        ts("2024-01-01 10:00:00").getTime * 1000L,
+        ts("2024-01-01 10:05:00").getTime * 1000L)),
+        s"missing closed session for user 1 in ${out.toSeq}")
+      // user 2's session is still open (watermark never passed its gap)
+      assert(!out.exists(_._1 == 2L), s"user 2 emitted early: ${out.toSeq}")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join matches clicks to in-window purchases") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
