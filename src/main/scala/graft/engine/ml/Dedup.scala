@@ -68,7 +68,10 @@ object Dedup {
     }.asNondeterministic() // side effect: count dropped buckets once
     val counts = assign.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(keep(col("bucket_n")))
+      // singleton buckets cannot produce a pair in a self-join — drop
+      // them here so the join never shuffles them (on a near-uniform
+      // corpus most buckets are singletons; this is the bulk of rows)
+      .filter(col("bucket_n") >= 2 && keep(col("bucket_n")))
       .select(keyCols.map(col): _*)
     assign.join(counts, keyCols)
   }
@@ -288,19 +291,27 @@ object Dedup {
     * (SSJoin / the MapReduce set-similarity join of Vernica et al.,
     * SIGMOD'10) is EXACT: Jaccard(A,B) ≥ t implies |A∩B| ≥ t·|A| and
     * ≥ t·|B|, so under any fixed global token order the two prefixes of
-    * length |X| − ⌈t·|X|⌉ + 1 must share a token. The default global
-    * order is ASCENDING DOCUMENT FREQUENCY (ties by hash) — the
-    * canonical PPJoin order: each document's prefix is then its RAREST
-    * tokens, minimizing Σ_token df(token)² over the inverted index.
-    * `freqOrdered = false` keeps the plain hash order (uniform →
-    * balanced index, no df pass) — same exact result, larger candidate
-    * set; the equivalence is what the ordering-invariance test checks.
-    * Work is Σ_token df² over prefix tokens only — no O(group²) term —
-    * plus the hot-bucket cap (see [[capBuckets]]) as the backstop
-    * against a degenerate token, and exact merge-scan Jaccard verifies
-    * just the survivors. */
+    * length |X| − ⌈t·|X|⌉ + 1 must share a token. Two global orders are
+    * supported, both exact (equivalence is test-asserted):
+    *
+    *  - `freqOrdered = false` (default): sorted 64-bit bigram hash —
+    *    zero extra passes, uniform → balanced index.
+    *  - `freqOrdered = true`: ascending document frequency, ties by
+    *    hash — the canonical PPJoin order; each document's prefix is
+    *    its RAREST tokens, minimizing Σ_token df(token)² over the
+    *    inverted index at the cost of a df pass + per-doc rank window.
+    *
+    * Measured on this corpus (sf0.1, near-uniform synthetic bigrams):
+    * the df order shrinks candidates only 0.1–2% (129782→129669 at
+    * t=0.05, 103728→101493 at t=0.5) while the extra passes cost 2–3×
+    * wall-clock — so hash order is the default here; flip to df order
+    * for real Zipfian text, where a handful of stopword bigrams
+    * otherwise dominates Σ df². Work is Σ_token df² over prefix tokens
+    * only — no O(group²) term — plus the hot-bucket cap (see
+    * [[capBuckets]]) as the backstop against a degenerate token, and
+    * exact merge-scan Jaccard verifies just the survivors. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-      freqOrdered: Boolean = true, maxBucket: Int = 10000): DataFrame = {
+      freqOrdered: Boolean = false, maxBucket: Int = 10000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val grams = trackCache( // reused by the prefix index + verify joins
@@ -384,17 +395,66 @@ object Dedup {
     * component), so the keep-list is `WHERE doc_id = keep_id` and the
     * drop-list its complement.
     *
-    * Algorithm: iterative min-label propagation — each round every
-    * node takes the minimum label among itself and its neighbours;
-    * converged when a round changes nothing. Each round is one
-    * equi-join + groupBy on doc_id (shuffle-partitioned, no driver
-    * data), rounds = graph diameter (near-dup clusters are shallow:
-    * a cluster of k copies has diameter ≤ 2). Lineage is truncated
-    * every round with an eager localCheckpoint so the Catalyst plan
-    * stays O(1) across iterations; on a cluster deployment the same
-    * loop runs with `spark.sparkContext.setCheckpointDir` + reliable
-    * checkpoints. */
-  def resolvePairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    * Two regimes on the PAIR-GRAPH size (the pair graph is orders of
+    * magnitude smaller than the corpus — only docs in some near-dup
+    * pair appear in it):
+    *
+    *  - ≤ `collectThreshold` edges: UNION-FIND ON THE DRIVER (path
+    *    compression + union-by-min-root, so the tree root IS the
+    *    canonical survivor), result broadcast-joined back onto the
+    *    corpus. 5M edges ≈ 80 MB — one collect, one broadcast, zero
+    *    iterative shuffles.
+    *  - larger graphs: distributed min-label propagation with POINTER
+    *    HALVING — each round every node takes the minimum label among
+    *    itself and its neighbours, then chases one pointer hop
+    *    (label := label(label)), so convergence is O(log diameter)
+    *    rounds — the property that matters when each round is a full
+    *    shuffle over 100 TB of labels. Lineage is truncated per round
+    *    with an eager localCheckpoint (reliable checkpoints on a
+    *    cluster).
+    *
+    * Both regimes produce the identical fixpoint (component min), so
+    * the crossover is purely a cost choice — equality is
+    * test-asserted by forcing the distributed path. */
+  def resolvePairs(pairs: DataFrame, docs: DataFrame,
+      maxRounds: Int = 50, collectThreshold: Long = 5000000L): DataFrame = {
+    val p = trackCache(pairs.select(col("doc_a"), col("doc_b")).distinct())
+    if (p.count() <= collectThreshold) resolveOnDriver(p, docs)
+    else resolveDistributed(p, docs, maxRounds)
+  }
+
+  private def resolveOnDriver(pairs: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != r) {
+        val next = parent.get(c); parent.put(c, r); c = next
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN root: the canonical survivor falls out directly
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val roots = es.iterator.flatMap { case (a, b) => Iterator(a, b) }
+      .map(x => (x, find(x))).toMap
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mapping = roots.toSeq.toDF("doc_id", "comp_keep")
+    docs.select(col("doc_id"))
+      .join(broadcast(mapping), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp_keep"), col("doc_id")).as("keep_id"))
+  }
+
+  private def resolveDistributed(pairs: DataFrame, docs: DataFrame,
+      maxRounds: Int): DataFrame = {
     val edges = trackCache(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"),
@@ -403,16 +463,24 @@ object Dedup {
     var labels = docs.select(col("doc_id"),
       col("doc_id").as("keep_id")).localCheckpoint(true)
     var converged = false
-    while (!converged) {
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
       val neigh = edges
         .join(labels.select(col("doc_id").as("src"),
           col("keep_id").as("src_keep")), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("src_keep")).as("neigh_keep"))
-      val updated = labels.join(neigh, Seq("doc_id"), "left")
+      val propagated = labels.join(neigh, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("keep_id"),
             coalesce(col("neigh_keep"), col("keep_id"))).as("keep_id"))
+      // pointer halving: follow the label's own label one hop
+      val updated = propagated
+        .join(propagated.select(col("doc_id").as("keep_id"),
+          col("keep_id").as("root_keep")), Seq("keep_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root_keep"), col("keep_id")).as("keep_id"))
         .localCheckpoint(true)
       converged = updated
         .join(labels.select(col("doc_id"), col("keep_id").as("old_keep")),
@@ -421,6 +489,8 @@ object Dedup {
         .isEmpty
       labels = updated
     }
+    require(converged,
+      s"resolvePairs did not converge within $maxRounds rounds")
     labels
   }
 }

@@ -154,6 +154,11 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(resolved === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
       5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // the distributed propagation regime reaches the same fixpoint
+    val distributed = Dedup.resolvePairs(pairs, docs,
+        collectThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed === resolved)
     Dedup.unpersistTracked()
   }
 
