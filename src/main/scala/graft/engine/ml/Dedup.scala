@@ -39,8 +39,8 @@ object Dedup {
     trackedCaches.clear()
   }
 
-  /** Count of candidate buckets dropped by the hot-bucket cap, for the
-    * caller's log line — one accumulator per SparkContext. */
+  /** Count of candidate-bucket ENTRIES dropped by the hot-bucket cap,
+    * for the caller's log line — one accumulator per SparkContext. */
   private val droppedAccs = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.util.LongAccumulator]()
 
@@ -52,12 +52,15 @@ object Dedup {
   /** Hot-bucket cap for candidate self-joins: a degenerate bucket (a
     * band hash shared by thousands of near-empty documents, a ubiquitous
     * prefix token) is O(bucket²) with no bound — the quadratic trapdoor
-    * at 100 TB. Standard LSH practice: pre-aggregate bucket sizes, drop
-    * buckets above `maxBucket` (counting drops in [[droppedBuckets]]).
-    * The count agg and the downstream self-join shuffle on the same
-    * keys, so the cap adds no extra repartitioning of the big side.
-    * Recall loss is bounded: only pairs whose EVERY shared bucket is
-    * degenerate are lost. */
+    * at 100 TB. Standard LSH practice: size each bucket, drop buckets
+    * above `maxBucket` (dropped ENTRIES counted in [[droppedBuckets]]).
+    * Implemented as an unordered count window over the bucket keys —
+    * ONE shuffle, which the downstream self-join (same keys) reuses —
+    * rather than a count agg + semi-join (two shuffles of the full
+    * assignment set). Singleton buckets are dropped too: a bucket of
+    * one can't produce a pair, and on a near-uniform corpus singletons
+    * are the bulk of the index. Recall loss from capping is bounded:
+    * only pairs whose EVERY shared bucket is degenerate are lost. */
   private def capBuckets(assign: DataFrame, keyCols: Seq[String],
       maxBucket: Int): DataFrame = {
     val acc = droppedBuckets(assign.sparkSession)
@@ -65,15 +68,11 @@ object Dedup {
       val ok = n <= maxBucket
       if (!ok) acc.add(1L)
       ok
-    }.asNondeterministic() // side effect: count dropped buckets once
-    val counts = assign.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("bucket_n"))
-      // singleton buckets cannot produce a pair in a self-join — drop
-      // them here so the join never shuffles them (on a near-uniform
-      // corpus most buckets are singletons; this is the bulk of rows)
+    }.asNondeterministic() // side effect: count dropped entries
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    assign.withColumn("bucket_n", count(lit(1)).over(w))
       .filter(col("bucket_n") >= 2 && keep(col("bucket_n")))
-      .select(keyCols.map(col): _*)
-    assign.join(counts, keyCols)
+      .drop("bucket_n")
   }
 
   /** Exact dedup: keep the lowest doc_id per md5(text). The window
