@@ -59,7 +59,10 @@ object Dedup {
     * rather than a count agg + semi-join (two shuffles of the full
     * assignment set). Singleton buckets are dropped too: a bucket of
     * one can't produce a pair, and on a near-uniform corpus singletons
-    * are the bulk of the index. Recall loss from capping is bounded:
+    * are the bulk of the index. A degenerate bucket becomes one large
+    * window partition, which Spark's unbounded window frame spills to
+    * disk — survivable, and strictly cheaper than the join that bucket
+    * would otherwise explode into. Recall loss from capping is bounded:
     * only pairs whose EVERY shared bucket is degenerate are lost. */
   private def capBuckets(assign: DataFrame, keyCols: Seq[String],
       maxBucket: Int): DataFrame = {

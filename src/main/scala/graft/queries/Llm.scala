@@ -61,9 +61,12 @@ object Llm {
          ORDER BY doc_a, doc_b"""),
 
     // Pairs → keep-list: connected components over the exact n-gram
-    // near-dup graph (threshold 0.05 for real component structure),
-    // canonical survivor = min doc_id. The oracle mirrors the
-    // propagation fixpoint with a recursive transitive-closure CTE.
+    // pair graph, canonical survivor = min doc_id. Threshold 0.05 is
+    // deliberate: this synthetic corpus has almost no pair mass in
+    // (0.12, 1.0) — 1 pair at sf0.01 — while 0.05 yields 201 pairs in
+    // chained multi-node components, so transitive resolution is
+    // actually exercised (real corpora would use the dedup threshold).
+    // The oracle mirrors the fixpoint with a recursive closure CTE.
     Q("dedup_resolve",
       (s, d) => {
         val docs = documents(s, d)
