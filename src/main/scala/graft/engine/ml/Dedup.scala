@@ -73,9 +73,13 @@ object Dedup {
       ok
     }.asNondeterministic() // side effect: count dropped entries
     val w = Window.partitionBy(keyCols.map(col): _*)
-    assign.withColumn("bucket_n", count(lit(1)).over(w))
+    // cached: the self-join would otherwise compute the windowed index
+    // once per side (the metric udf blocks exchange reuse) — and at
+    // scale the capped inverted index is exactly what a set-similarity
+    // join materializes once anyway
+    trackCache(assign.withColumn("bucket_n", count(lit(1)).over(w))
       .filter(col("bucket_n") >= 2 && keep(col("bucket_n")))
-      .drop("bucket_n")
+      .drop("bucket_n"))
   }
 
   /** Exact dedup: keep the lowest doc_id per md5(text). The window

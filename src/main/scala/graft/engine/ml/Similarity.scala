@@ -219,8 +219,12 @@ object Similarity {
   /** Approximate NN via random-hyperplane LSH (seeded, deterministic).
     * Returns per-probe candidates ranked by exact euclidean distance on
     * the LSH-joined candidate set. */
+  private val lshModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel]()
+
   def annTopK(emb: DataFrame, probeDf: DataFrame, k: Int,
-      bucketLength: Double = 2.0, numTables: Int = 3): DataFrame = {
+      bucketLength: Double = 2.0, numTables: Int = 3,
+      datasetTag: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val toVec = udf((a: Seq[Float]) =>
@@ -231,7 +235,14 @@ object Similarity {
     val lsh = new BucketedRandomProjectionLSH()
       .setBucketLength(bucketLength).setNumHashTables(numTables)
       .setInputCol("features").setOutputCol("hashes").setSeed(42L)
-    val model = lsh.fit(data)
+    // the fitted model is just the seeded random hyperplanes (depends
+    // on dim + params, not data values) — fit once per dataset, like
+    // the IVF quantizer
+    val model = datasetTag match {
+      case Some(tag) => lshModelCache.computeIfAbsent(
+        s"$tag|$bucketLength|$numTables", _ => lsh.fit(data))
+      case None => lsh.fit(data)
+    }
     val joined = model.approxSimilarityJoin(probesV, data, 6.0, "dist")
       .select(col("datasetA.probe_id").as("probe_id"),
         col("datasetB.vec_id").as("vec_id"), col("dist"))

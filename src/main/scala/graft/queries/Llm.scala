@@ -166,7 +166,8 @@ object Llm {
     Q.noOracle("sim_ann_lsh",
       (s, d) => {
         val emb = embeddings(s, d)
-        Similarity.annTopK(emb, Similarity.probes(emb), 5)
+        Similarity.annTopK(emb, Similarity.probes(emb), 5,
+            datasetTag = Some(d))
           .orderBy("probe_id", "rn")
       }),
 
