@@ -128,6 +128,30 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("capped candidate self-join reads the index from cache, once") {
+    val docs = Tables.documents(spark, sf)
+    val df = graft.engine.ml.Dedup.ngramJaccardPairs(docs, 0.12)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString()
+    // both sides of the prefix-token self-join must scan the SAME
+    // materialized index (before the fix the windowed cap was
+    // recomputed per side: zero InMemoryTableScan in this plan)
+    val cacheScans = p.linesIterator
+      .count(_.contains("InMemoryTableScan"))
+    assert(cacheScans >= 2, s"expected both join sides cached:\n$p")
+    graft.engine.ml.Dedup.unpersistTracked()
+  }
+
+  test("dedup_resolve keep-list mapping joins by broadcast (driver regime)") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = graft.engine.ml.Dedup.ngramJaccardPairs(docs, 0.05)
+      .select("doc_a", "doc_b")
+    val p = graft.engine.ml.Dedup.resolvePairs(pairs, docs)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), p)
+    graft.engine.ml.Dedup.unpersistTracked()
+  }
+
   test("sink_partitioned read prunes to the selected partition") {
     // executing the query writes the partitioned tree; then check the
     // read side lists only y=1997
