@@ -351,6 +351,59 @@ object Similarity {
         round(col("cos"), 6).as("score"))
   }
 
+  /** Within-label kNN graph: every vector's top-k cosine neighbours —
+    * the neighbour-graph builder behind SemDeDup-style clustering and
+    * graph-based corpus curation. Same two-regime hybrid as
+    * [[embeddingNearDup]]: labels under `smallLabelMax` score all
+    * within-label pairs exactly (both directions — neighbour lists are
+    * asymmetric); larger labels take IVF-cell candidates from the
+    * fit-once quantizer. Top-k per vector is a rank window over the
+    * candidate scores, partitioned by vec_id. */
+  def knnGraph(emb: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 3,
+      seed: Long = 42L, smallLabelMax: Int = 4096,
+      datasetTag: Option[String] = None): DataFrame = {
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    val sizes = emb.groupBy("label").agg(count(lit(1)).as("label_n"))
+    val tagged = emb.join(broadcast(sizes), Seq("label"))
+    val small = tagged.filter(col("label_n") <= smallLabelMax)
+    // ids only until after dedup — shipping embeddings through the
+    // candidate join/distinct would shuffle the vectors repeatedly
+    val smallIds = small.select(col("label"), col("vec_id"))
+      .join(small.select(col("label"), col("vec_id").as("nbr_id")),
+        Seq("label"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select("vec_id", "nbr_id")
+    val anyLarge = sizes.filter(col("label_n") > smallLabelMax)
+      .limit(1).count() > 0
+    val cand = (if (!anyLarge) smallIds else {
+      val centroids = datasetTag match {
+        case Some(tag) => quantizerFor(emb, tag, nCells, seed)
+        case None      => fitCentroids(emb, nCells, seed)
+      }
+      val cellsOf = udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, nProbe))
+      val large = tagged.filter(col("label_n") > smallLabelMax)
+      val bucketed = large.select(col("label"), col("vec_id"),
+        explode(cellsOf(col("embedding"))).as("cell"))
+      val largeIds = bucketed
+        .join(bucketed.select(col("label"), col("cell"),
+          col("vec_id").as("nbr_id")), Seq("label", "cell"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .select("vec_id", "nbr_id")
+      smallIds.union(largeIds)
+    }).distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("nbr_id"),
+        col("embedding").as("nbr_emb")), Seq("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        expr("graft_cosine(embedding, nbr_emb)").as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nbr_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn"), col("nbr_id"),
+        round(col("cos"), 6).as("score"))
+  }
+
   /** Per-label norm statistics over the embedding column. */
   def normStats(emb: DataFrame): DataFrame =
     emb.select(col("label"), size(col("embedding")).as("dim"),

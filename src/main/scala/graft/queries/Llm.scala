@@ -104,6 +104,85 @@ object Llm {
          SELECT u AS doc_id, MIN(v) AS keep_id
          FROM reach GROUP BY u ORDER BY doc_id"""),
 
+    // Keep-list APPLIED: the corpus a training run actually reads —
+    // every document whose doc_id survives resolution (doc_id =
+    // component min). The terminal operator of the dedup ladder.
+    Q("dedup_apply",
+      (s, d) => {
+        val docs = documents(s, d)
+        val resolved = Dedup.resolvePairs(
+          Dedup.ngramJaccardPairs(docs, 0.05).select("doc_a", "doc_b"),
+          docs)
+        docs.join(resolved.filter(col("doc_id") === col("keep_id"))
+            .select("doc_id"), Seq("doc_id"))
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      """WITH RECURSIVE grams AS (
+           SELECT DISTINCT doc_id, lang, source,
+                  unnest(list_transform(range(1, len(string_split(text,' '))),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1])) AS g
+           FROM documents),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+           FROM grams a JOIN grams b
+             ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b
+           FROM common
+             JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05),
+         edges AS (
+           SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION
+           SELECT doc_b AS u, doc_a AS v FROM pairs),
+         reach(u, v) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         resolved AS (
+           SELECT u AS doc_id, MIN(v) AS keep_id FROM reach GROUP BY u)
+         SELECT d.doc_id, d.lang, d.source, d.n_chars
+         FROM documents d JOIN resolved r ON d.doc_id = r.doc_id
+         WHERE r.doc_id = r.keep_id
+         ORDER BY d.doc_id"""),
+
+    // Within-label kNN graph: each vector's top-3 cosine neighbours —
+    // the SemDeDup/cluster-curation neighbour structure. Exact within
+    // the small-label regime (all labels at tested sf), IVF candidates
+    // above the cap; fold arithmetic mirrored so scores hash-match.
+    Q("knn_graph",
+      (s, d) => Similarity.knnGraph(embeddings(s, d), 3,
+          datasetTag = Some(d))
+        .orderBy("vec_id", "rn"),
+      """WITH scored AS (
+           SELECT a.vec_id, b.vec_id AS nbr_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) *
+                    CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+             (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) *
+                    CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y)) *
+              sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(b.embedding[i] AS DOUBLE) *
+                    CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+             AS cos
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT vec_id, nbr_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, nbr_id ASC) AS rn
+           FROM scored)
+         SELECT vec_id, CAST(rn AS INT) AS rn, nbr_id,
+                ROUND(cos, 6) AS score
+         FROM ranked WHERE rn <= 3 ORDER BY vec_id, rn"""),
+
     // Embedding-cosine near-dup within label groups; fold arithmetic is
     // mirrored exactly (left fold over doubles) so scores hash-match.
     // The all-pairs oracle is valid because every label fits the

@@ -97,4 +97,55 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(out.join(docs, "doc_id").count() === out.count())
     }
   }
+
+  /** Reference connected components: BFS over an adjacency map. */
+  private def refComponents(n: Int,
+      edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    edges.foreach { case (a, b) =>
+      adj(a) = b :: adj(a); adj(b) = a :: adj(b)
+    }
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    (0L until n).foreach { start =>
+      if (!comp.contains(start)) {
+        val queue = scala.collection.mutable.Queue(start)
+        val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+        comp(start) = -1L
+        while (queue.nonEmpty) {
+          val v = queue.dequeue(); members += v
+          adj(v).foreach { w =>
+            if (!comp.contains(w)) { comp(w) = -1L; queue.enqueue(w) }
+          }
+        }
+        val root = members.min
+        members.foreach(m => comp(m) = root)
+      }
+    }
+    comp.toMap
+  }
+
+  test("resolvePairs ≡ BFS components, both regimes, random graphs") {
+    import spark.implicits._
+    val genEdges: Gen[List[(Long, Long)]] =
+      Gen.listOfN(25, for {
+        a <- Gen.chooseNum(0L, 19L)
+        b <- Gen.chooseNum(0L, 19L) if a != b
+      } yield if (a < b) (a, b) else (b, a))
+    (1 to 5).foreach { _ =>
+      genEdges.sample.foreach { es =>
+        val expected = refComponents(20, es)
+        val pairs = es.toDF("doc_a", "doc_b")
+        val docs = (0L until 20L).toDF("doc_id")
+        val driver = graft.engine.ml.Dedup.resolvePairs(pairs, docs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(driver === expected, s"driver regime diverged on $es")
+        val dist = graft.engine.ml.Dedup
+          .resolvePairs(pairs, docs, collectThreshold = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(dist === expected, s"distributed regime diverged on $es")
+        graft.engine.ml.Dedup.unpersistTracked()
+      }
+    }
+  }
 }

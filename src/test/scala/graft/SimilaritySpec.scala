@@ -145,6 +145,30 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(hybrid === exact)
   }
 
+  test("knn graph: k neighbours per vector, no self, within label") {
+    val k = 3
+    val g = Similarity.knnGraph(emb, k).cache()
+    val perVec = g.groupBy("vec_id").count().collect()
+    assert(perVec.forall(_.getLong(1) === k))
+    assert(perVec.length === emb.count())
+    assert(g.filter(col("vec_id") === col("nbr_id")).count() === 0)
+    // every edge stays inside its label group
+    val labels = emb.select(col("vec_id"), col("label"))
+    assert(g.join(labels, Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")), Seq("nbr_id"))
+      .filter(col("label") =!= col("nbr_label")).count() === 0)
+    // forced-IVF regime keeps high recall of the exact graph
+    val exact = g.select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnGraph(emb, k, smallLabelMax = 0)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"forced-IVF knn recall $recall")
+    g.unpersist()
+  }
+
   test("quantizerFor: fit-once cache and persisted centroids agree") {
     val tag = s"qtest_${System.nanoTime()}"
     val first = Similarity.quantizerFor(emb, tag, 8, 7L)
