@@ -327,6 +327,79 @@ object Similarity {
     ivfTopKWith(emb, probeDf, k, quantizerFor(emb, datasetTag, nCells, seed),
       nProbe)
 
+  /** The ingest-time half of IVF at corpus scale: write the embedding
+    * table PARTITIONED BY QUANTIZER CELL (plus the quantizer beside
+    * it), so a query's `cell IN (probed…)` predicate becomes partition
+    * pruning — the scan reads nProbe/nCells of the FILES instead of
+    * scanning everything and filtering. At 100 TB this is the
+    * difference between reading ~2 TB and reading the corpus. */
+  def writeCellIndex(emb: DataFrame, path: String, datasetTag: String,
+      nCells: Int = 16, seed: Long = 42L): Unit = {
+    val spark = emb.sparkSession
+    val centroids = quantizerFor(emb, datasetTag, nCells, seed)
+    val cellOf = udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, 1).head)
+    emb.withColumn("cell", cellOf(col("embedding")))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    saveQuantizer(spark, centroids, s"${path}_quantizer")
+  }
+
+  private val cellIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once accessor for the cell-partitioned index of a dataset:
+    * first call writes it under the warehouse, later calls (any
+    * session — checked via _SUCCESS) return the existing path. */
+  def cellIndexFor(emb: DataFrame, datasetTag: String, nCells: Int = 16,
+      seed: Long = 42L): String = {
+    val spark = emb.sparkSession
+    val n = emb.count()
+    val key = s"$datasetTag|$n|$nCells|$seed"
+    cellIndexCache.computeIfAbsent(key, _ => {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"$warehouse/graft_cell_index/${safe}_${n}_${nCells}_$seed"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+        writeCellIndex(emb, path, datasetTag, nCells, seed)
+      path
+    })
+  }
+
+  /** IVF search over a cell-partitioned index written by
+    * [[writeCellIndex]]. Probe cells are computed driver-side from the
+    * stored quantizer (probes are few by construction), so the cell
+    * predicate is a LITERAL `isin` — partition pruning, asserted in
+    * PlanSpec. Scoring within the probed cells is identical to
+    * [[ivfTopKWith]]; the two paths are equivalence-tested. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, probeDf: DataFrame, k: Int,
+      nProbe: Int = 6): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val centroids = loadQuantizer(spark, s"${indexPath}_quantizer")
+    val probeRows = probeDf.select("probe_id", "probe_emb").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val probeCells = probeRows.flatMap { case (id, v) =>
+      nearestCellsOf(centroids)(v, nProbe).map(c => (id, c))
+    }
+    val allCells = probeCells.map(_._2).distinct.map(Int.box)
+    import spark.implicits._
+    val probeCellDf = probeCells.toSeq.toDF("probe_id", "cell")
+      .join(probeDf.select(col("probe_id"), col("probe_emb")), Seq("probe_id"))
+    val indexed = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(allCells: _*)) // prunes partitions
+    val scored = indexed.join(broadcast(probeCellDf), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        expr("graft_cosine(probe_emb, embedding)").as("cos"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"),
+        round(col("cos"), 6).as("score"))
+  }
+
   /** IVF search against an already-fitted quantizer (see
     * [[saveQuantizer]]/[[loadQuantizer]]). */
   def ivfTopKWith(emb: DataFrame, probeDf: DataFrame, k: Int,

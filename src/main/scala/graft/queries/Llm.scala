@@ -259,6 +259,18 @@ object Llm {
           .orderBy("probe_id", "rn")
       }),
 
+    // IVF over the cell-PARTITIONED index: the scan prunes to the
+    // probed cells' files (ingest-time write, partition-pruned read —
+    // the true corpus-scale IVF). Bit-equal to sim_ann_ivf
+    // (equivalence-tested); approximate vs brute force → no oracle.
+    Q.noOracle("sim_ann_ivf_indexed",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val idx = Similarity.cellIndexFor(emb, d)
+        Similarity.ivfTopKIndexed(s, idx, Similarity.probes(emb), 5)
+          .orderBy("probe_id", "rn")
+      }),
+
     Q("text_wordcount",
       (s, d) => Text.wordCount(documents(s, d), 50),
       """SELECT word, COUNT(*) AS cnt FROM (

@@ -184,6 +184,22 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     first.zip(loaded).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
   }
 
+  test("cell-partitioned IVF index ≡ the scan-and-filter IVF path") {
+    val tag = s"idxtest_${System.nanoTime()}"
+    val probes = Similarity.probes(emb)
+    val idx = Similarity.cellIndexFor(emb, tag)
+    val indexed = Similarity.ivfTopKIndexed(spark, idx, probes, 5)
+      .collect().map(_.toSeq).toSet
+    val scanned = Similarity.ivfTopKCached(emb, probes, 5, tag)
+      .collect().map(_.toSeq).toSet
+    assert(indexed === scanned)
+    // the pruned read touches only the probed cells
+    val pruned = spark.read.parquet(idx)
+      .filter(col("cell").isin(0, 1))
+      .queryExecution.executedPlan.toString()
+    assert(pruned.contains("PartitionFilters"), pruned)
+  }
+
   test("fitCentroids is invariant to physical partitioning") {
     val a = Similarity.fitCentroids(emb, 8, 42L)
     val b = Similarity.fitCentroids(emb.repartition(13), 8, 42L)
