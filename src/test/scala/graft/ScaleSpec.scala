@@ -101,6 +101,22 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     assert(salted.toSeq === direct.toSeq)
   }
 
+  test("r3 operators are invariant to input partitioning") {
+    import graft.engine.ml.{Dedup, Similarity}
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    def resolveOn(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      Dedup.resolvePairs(
+        Dedup.ngramJaccardPairs(d, 0.05).select("doc_a", "doc_b"), d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(resolveOn(docs) === resolveOn(docs.repartition(13)))
+    Dedup.unpersistTracked()
+    def knnOn(e: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      Similarity.knnGraph(e, 3).orderBy("vec_id", "rn")
+        .collect().map(_.toSeq).toSeq
+    assert(knnOn(emb) === knnOn(emb.repartition(13)))
+  }
+
   test("range-sorted write lays files out for range pruning") {
     val path = s"${sys.props("java.io.tmpdir")}/graft_test/range_${System.nanoTime()}"
     Scale.writeSortedByRange(Tables.orders(spark, sf), path,
