@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ETL-utilities verbs (the reference's home turf: batch table
+  * maintenance, not analytics): keyed upsert (MERGE semantics on plain
+  * parquet), SCD-type-2 history derivation, and declarative data-quality
+  * checks. All three are deterministic DataFrame programs with exact
+  * DuckDB oracles.
+  *
+  * Scale notes: the upsert is one left-anti join + union (shuffle on
+  * the key, both sides prunable); SCD2 is one window per entity key
+  * (state stays on its reducer); DQ checks are scans + one broadcast-able
+  * anti join for the FK rule — nothing quadratic, nothing driver-side.
+  */
+object Etl {
+
+  val qs: Seq[Q] = Seq(
+    // MERGE INTO semantics on plain tables: updates win on key match,
+    // inserts append, untouched base rows pass through. The update/insert
+    // sets are derived deterministically from the base table itself so
+    // the query is self-contained on the shared testdata.
+    Q("upsert_keyed",
+      (s, d) => {
+        val base = orders(s, d).select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("v"), col("o_orderstatus").as("st"))
+        // money math in exact decimals, kept at full product scale —
+        // NO scale-reducing decimal cast (Spark rounds HALF_UP there,
+        // DuckDB truncates) — then one exact decimal→double conversion
+        def scaled(factor: String) =
+          (col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+            lit(new java.math.BigDecimal(factor)))
+            .cast("double")
+        val updates = base.filter(col("k") % 10 === 0)
+          .select(col("k"), scaled("1.10").as("v"), lit("U").as("st"))
+          .unionByName(base.filter(col("k") % 1000 === 1)
+            .select((col("k") + 10000000L).as("k"),
+              scaled("0.50").as("v"), lit("N").as("st")))
+        updates
+          .unionByName(base.join(updates.select("k"), Seq("k"), "left_anti"))
+          .orderBy("k")
+      },
+      """WITH base AS (
+           SELECT o_orderkey AS k, o_totalprice AS v, o_orderstatus AS st
+           FROM orders),
+         updates AS (
+           SELECT k, CAST(CAST(v AS DECIMAL(18,2)) *
+                    CAST(1.10 AS DECIMAL(3,2)) AS DOUBLE) AS v,
+                  'U' AS st
+           FROM base WHERE k % 10 = 0
+           UNION ALL
+           SELECT k + 10000000, CAST(CAST(v AS DECIMAL(18,2)) *
+                    CAST(0.50 AS DECIMAL(3,2)) AS DOUBLE) AS v,
+                  'N' AS st
+           FROM base WHERE k % 1000 = 1)
+         SELECT k, v, st FROM updates
+         UNION ALL
+         SELECT k, v, st FROM base
+         WHERE k NOT IN (SELECT k FROM updates)
+         ORDER BY k"""),
+
+    // SCD type 2: each customer's orders become versioned history rows
+    // with [valid_from, valid_to) windows; the open row is current.
+    Q("scd2_history",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("valid_from", "o_orderkey")
+        orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp"))
+              .as("valid_from"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+          .withColumn("is_current",
+            col("valid_to").isNull.cast("int"))
+          .orderBy("o_custkey", "valid_from", "o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey,
+                epoch_us(o_orderdate) AS valid_from,
+                LEAD(epoch_us(o_orderdate), 1) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY epoch_us(o_orderdate), o_orderkey) AS valid_to,
+                CAST(LEAD(epoch_us(o_orderdate), 1) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY epoch_us(o_orderdate), o_orderkey) IS NULL
+                  AS INT) AS is_current
+         FROM orders
+         ORDER BY o_custkey, valid_from, o_orderkey"""),
+
+    // Declarative data-quality summary: null / range / referential
+    // rules, one (rule, violations) row each — the report a pipeline
+    // gates a load on.
+    Q("dq_checks",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val counts = li.agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("l_quantity").isNull, 1)).as("null_qty"),
+          count(when(col("l_extendedprice") <= 0, 1)).as("nonpos_price"),
+          count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1))
+            .as("bad_discount"))
+        val orphans = li.join(orders(s, d)
+            .select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_lineitems"))
+        counts.crossJoin(orphans)
+          .selectExpr(
+            """stack(5,
+                 'row_count', n_rows,
+                 'null_quantity', null_qty,
+                 'nonpositive_price', nonpos_price,
+                 'discount_out_of_range', bad_discount,
+                 'orphan_lineitems', orphan_lineitems)
+               AS (rule, violations)""")
+          .orderBy("rule")
+      },
+      """WITH counts AS (
+           SELECT COUNT(*) AS n_rows,
+                  COUNT(CASE WHEN l_quantity IS NULL THEN 1 END)
+                    AS null_qty,
+                  COUNT(CASE WHEN l_extendedprice <= 0 THEN 1 END)
+                    AS nonpos_price,
+                  COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                    THEN 1 END) AS bad_discount
+           FROM lineitem),
+         orphans AS (
+           SELECT COUNT(*) AS orphan_lineitems FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         SELECT rule, violations FROM (
+           SELECT 'row_count' AS rule, n_rows AS violations
+           FROM counts, orphans
+           UNION ALL SELECT 'null_quantity', null_qty FROM counts
+           UNION ALL SELECT 'nonpositive_price', nonpos_price FROM counts
+           UNION ALL SELECT 'discount_out_of_range', bad_discount
+           FROM counts
+           UNION ALL SELECT 'orphan_lineitems', orphan_lineitems
+           FROM orphans)
+         ORDER BY rule"""),
+  )
+}
