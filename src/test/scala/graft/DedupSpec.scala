@@ -162,6 +162,17 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     Dedup.unpersistTracked()
   }
 
+  test("resolvePairs with no pairs keeps every document") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (1L to 5L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val resolved = Dedup.resolvePairs(noPairs, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved === (1L to 5L).map(i => i -> i).toMap)
+    Dedup.unpersistTracked()
+  }
+
   test("resolvePairs keep-list drops exactly the planted copies") {
     val (corpus, nearPairs, exactPairs) = planted(15)
     val pairs = Dedup.ngramJaccardPairs(corpus, 0.5)
