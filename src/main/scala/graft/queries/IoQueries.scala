@@ -65,6 +65,37 @@ object IoQueries {
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id"""),
 
+    // binaryFile source: Spark's multimodal ingest format — each file
+    // becomes one row of (path, length, content bytes). The roundtrip
+    // writes each document's text as its own file named by doc_id, reads
+    // the folder back with binaryFile, and checks id/length/byte-checksum
+    // against the table — the exact shape an image/audio corpus lands in.
+    Q("scan_binaryfile",
+      (s, d) => {
+        val out = scratch(d, "binfiles")
+        val rows = documents(s, d).filter(col("doc_id") < 40)
+          .select("doc_id", "text").collect() // bounded: 40 small files
+        val dir = new org.apache.hadoop.fs.Path(out)
+        val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(dir, true); fs.mkdirs(dir)
+        rows.foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(dir, f"${r.getLong(0)}%06d.bin")
+          val os = fs.create(p, true)
+          os.write(r.getString(1).getBytes("UTF-8")); os.close()
+        }
+        s.read.format("binaryFile").load(out)
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+              .cast("long").as("doc_id"),
+            col("length"),
+            md5(col("content")).as("digest"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+                  AS length,
+                md5(text) AS digest
+         FROM documents WHERE doc_id < 40 ORDER BY doc_id"""),
+
     // ORC roundtrip: same write→read cycle as the CSV/JSONL pipelines on
     // Spark's native ORC source — columnar + predicate pushdown, the
     // other big-data format a lake migration encounters besides parquet.
