@@ -429,6 +429,30 @@ object Dedup {
     else resolveDistributed(p, docs, maxRounds)
   }
 
+  /** Fit-once keep-list (same rationale as the persisted IVF
+    * quantizer): near-dup resolution is a curation-time artifact — the
+    * component mapping is computed once per (dataset, threshold),
+    * persisted under the warehouse, and every later query loads it.
+    * The row count keys the artifact so regenerated data re-resolves. */
+  def keepListFor(docs: DataFrame, datasetTag: String,
+      threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val n = docs.count()
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
+    val t = math.round(threshold * 1000)
+    val path = s"$warehouse/graft_keeplists/${safe}_${n}_t$t"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      resolvePairs(
+        ngramJaccardPairs(docs, threshold).select("doc_a", "doc_b"), docs)
+        .write.mode("overwrite").parquet(path)
+      unpersistTracked()
+    }
+    spark.read.parquet(path)
+  }
+
   private def resolveOnDriver(pairs: DataFrame,
       docs: DataFrame): DataFrame = {
     val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))

