@@ -197,6 +197,77 @@ object EventOps {
     }
   }
 
+  case class SnapState(n: Long, nextFire: Long)
+  case class Snapshot(user_id: Long, fire_ms: Long, n_events: Long)
+
+  /** Timer CHAINING: emit a per-key snapshot at every `periodMs`
+    * event-time boundary the watermark crosses — each expiry re-arms
+    * the next timer, so a key keeps reporting on a fixed cadence
+    * without any input driving it. This is the periodic-emission
+    * pattern (metrics rollups, liveness marks) that complements
+    * [[SessionTimerProcessor]]'s expire-once shape; state is one
+    * (count, nextFire) pair per key, and the chain stops re-arming only
+    * when the key's state is cleared. */
+  class PeriodicSnapshotProcessor(periodMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), Snapshot] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[SnapState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SnapState]("snap",
+        org.apache.spark.sql.Encoders.product[SnapState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[Snapshot] = {
+      var st =
+        if (state.exists()) state.get() else SnapState(0L, Long.MinValue)
+      var maxMs = Long.MinValue
+      rows.foreach { case (_, tUs) =>
+        st = st.copy(n = st.n + 1)
+        maxMs = math.max(maxMs, tUs / 1000L)
+      }
+      if (st.nextFire == Long.MinValue) {
+        // first input for this key: align the chain to the next period
+        // boundary after the latest event seen
+        val aligned = (maxMs / periodMs + 1) * periodMs
+        st = st.copy(nextFire = aligned)
+        getHandle.registerTimer(aligned)
+      }
+      state.update(st)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Snapshot] = {
+      if (!state.exists()) Iterator.empty
+      else {
+        val st = state.get()
+        val fired = expiredTimerInfo.getExpiryTimeInMs
+        // re-arm: the chain continues at the next boundary
+        val next = fired + periodMs
+        state.update(st.copy(nextFire = next))
+        getHandle.registerTimer(next)
+        Iterator.single(Snapshot(key, fired, st.n))
+      }
+    }
+  }
+
+  /** Periodic per-user snapshots on a WATERMARKED stream — one row per
+    * (user, crossed period boundary), append mode. */
+  def periodicSnapshotsTws(events: DataFrame,
+      periodMs: Long = 3600000L): Dataset[Snapshot] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new PeriodicSnapshotProcessor(periodMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Timer-driven session summaries over a WATERMARKED event stream
     * (callers apply `withWatermark("ts", ...)`; TimeMode.EventTime
     * requires one). Output is append-mode: one row per closed session. */

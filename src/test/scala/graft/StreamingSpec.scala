@@ -269,6 +269,47 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("chained timers emit one snapshot per crossed period boundary") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[Ev]
+      val name = s"q_${System.nanoTime()}"
+      val q = EventOps.periodicSnapshotsTws(
+          input.toDF().withWatermark("ts", "0 seconds"), 3600000L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // two events for user 1 at 10:05/10:20 → chain aligned to 11:00
+        input.addData(
+          Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+          Ev(2, ts("2024-01-01 10:20:00"), 1, "view", 1.0))
+        q.processAllAvailable()
+        // watermark jumps to 13:30 → boundaries 11:00, 12:00, 13:00
+        // all fire, each expiry re-arming the next
+        input.addData(Ev(3, ts("2024-01-01 13:30:00"), 2, "click", 1.0))
+        q.processAllAvailable()
+        input.addData(Ev(4, ts("2024-01-01 13:31:00"), 2, "view", 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val fires = spark.table(name).collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val hour = (h: String) => ts(s"2024-01-01 $h").getTime
+      assert(fires.toSeq === Seq(
+        (hour("11:00:00"), 2L), (hour("12:00:00"), 2L),
+        (hour("13:00:00"), 2L)),
+        s"expected three chained fires, got ${fires.toSeq}")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join matches clicks to in-window purchases") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
