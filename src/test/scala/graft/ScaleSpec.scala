@@ -117,6 +117,38 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     assert(knnOn(emb) === knnOn(emb.repartition(13)))
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~98% of fact rows share one hot key — classic join skew; wide
+      // payload pushes the hot partition well past the thresholds
+      val fact = spark.range(300000)
+        .select(when(col("id") % 50 === 0, col("id")).otherwise(lit(7L))
+          .as("k"), concat(lit("x" * 64), col("id")).as("payload"))
+      val dim = spark.range(300000)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = fact.join(dim, "k")
+      // materialize THIS QueryExecution (count() would plan a new one
+      // and leave this plan un-adapted)
+      assert(joined.collect().length === 300000)
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-split join in:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("range-sorted write lays files out for range pruning") {
     val path = s"${sys.props("java.io.tmpdir")}/graft_test/range_${System.nanoTime()}"
     Scale.writeSortedByRange(Tables.orders(spark, sf), path,
