@@ -188,6 +188,50 @@ object Aggregates {
                 COUNT(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
 
+    // Linear-regression aggregates from EXACT decimal moment sums: both
+    // engines reduce to identical decimal (n, Σx, Σy, Σxy, Σx²), cast
+    // to identical doubles, and apply the textually-identical formula —
+    // so slope/intercept match to the last bit (builtin regr_slope
+    // would accumulate doubles in partition order: nondeterministic).
+    Q("agg_regression",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val x = col("l_quantity").cast(DecimalType(18, 2))
+        val y = col("l_extendedprice").cast(DecimalType(18, 2))
+        lineitem(s, d).groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * y).cast("double").as("sxy"),
+            sum(x * x).cast("double").as("sxx"))
+          .selectExpr("l_returnflag", "CAST(n AS BIGINT) AS n",
+            """ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS slope""",
+            """ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                 * sx) / n, 4) AS intercept""")
+          .orderBy("l_returnflag")
+      },
+      """WITH sums AS (
+           SELECT l_returnflag,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                           CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sxy,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                           CAST(l_quantity AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sxx
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                  AS slope,
+                ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                  * sx) / n, 4) AS intercept
+         FROM sums ORDER BY l_returnflag"""),
+
     // Two-phase salted aggregation (Scale.saltedSum): phase 1 sums on
     // (key, salt) so a skewed key spreads over 16 reducers, phase 2
     // combines partials — decimal-exact, so the oracle is the PLAIN

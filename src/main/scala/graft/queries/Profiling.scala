@@ -131,5 +131,50 @@ object Profiling {
                 MIN(o_orderstatus), MAX(o_orderstatus)
          FROM orders
          ORDER BY col_name"""),
+
+    // Snapshot-drift report: per-column stat deltas between two table
+    // snapshots (halves by key parity here) — the monitoring check that
+    // catches a bad upstream load before it trains. Decimal-exact sums,
+    // deltas computed from identically-rounded doubles on both engines.
+    Q("profile_drift",
+      (s, d) => {
+        val prof = orders(s, d)
+          .withColumn("half", (col("o_orderkey") % 2).cast("int"))
+          .groupBy("half")
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("o_totalprice"), 2).as("sum_price"),
+            ravg(col("o_totalprice"), 4).as("avg_price"),
+            countDistinct(col("o_custkey")).as("n_custs"))
+        val a = prof.filter(col("half") === 0)
+          .select(col("n_rows").as("n_a"), col("sum_price").as("sum_a"),
+            col("avg_price").as("avg_a"), col("n_custs").as("cust_a"))
+        val b = prof.filter(col("half") === 1)
+          .select(col("n_rows").as("n_b"), col("sum_price").as("sum_b"),
+            col("avg_price").as("avg_b"), col("n_custs").as("cust_b"))
+        a.crossJoin(b).select(
+          col("n_a"), col("n_b"), (col("n_b") - col("n_a")).as("n_delta"),
+          round(col("sum_b") - col("sum_a"), 2).as("sum_delta"),
+          round(col("avg_b") - col("avg_a"), 4).as("avg_delta"),
+          (col("cust_b") - col("cust_a")).as("cust_delta"))
+      },
+      """WITH prof AS (
+           SELECT CAST(o_orderkey % 2 AS INT) AS half,
+                  COUNT(*) AS n_rows,
+                  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE), 2) AS sum_price,
+                  ROUND(AVG(o_totalprice), 4) AS avg_price,
+                  COUNT(DISTINCT o_custkey) AS n_custs
+           FROM orders GROUP BY 1),
+         a AS (SELECT n_rows AS n_a, sum_price AS sum_a,
+                      avg_price AS avg_a, n_custs AS cust_a
+               FROM prof WHERE half = 0),
+         b AS (SELECT n_rows AS n_b, sum_price AS sum_b,
+                      avg_price AS avg_b, n_custs AS cust_b
+               FROM prof WHERE half = 1)
+         SELECT n_a, n_b, n_b - n_a AS n_delta,
+                ROUND(sum_b - sum_a, 2) AS sum_delta,
+                ROUND(avg_b - avg_a, 4) AS avg_delta,
+                cust_b - cust_a AS cust_delta
+         FROM a, b"""),
   )
 }
