@@ -76,6 +76,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getLong(0)).sorted === Seq(1L, 2L))
   }
 
+  test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    // the production form of streaming dedup: duplicate ids are dropped
+    // while inside the watermark horizon, and state for expired ids is
+    // EVICTED — a re-arrival far past the watermark is admitted again
+    // (that's the state-size bound; plain dropDuplicates keeps all ids
+    // forever). Event times: dup at +30 s (dropped), re-arrival next
+    // day, long after the 10-minute watermark passed (admitted).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val name = s"q_${System.nanoTime()}"
+    val q = input.toDF().withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id", "ts")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(1, ts("2024-01-01 10:00:30"), 1, "click", 1.0)) // dup: dropped
+      q.processAllAvailable()
+      input.addData(Ev(2, ts("2024-01-01 12:00:00"), 2, "view", 1.0))
+      q.processAllAvailable() // watermark now 11:50 → id 1 state evicted
+      input.addData(Ev(1, ts("2024-01-02 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable() // same id, fresh horizon → admitted
+    } finally q.stop()
+    val byId = spark.table(name).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byId(2L) === 1)
+    assert(byId(1L) === 2, // one per horizon, middle dup dropped
+      s"expected id 1 admitted twice across horizons, got $byId")
+  }
+
   test("session windows close after the 30-minute gap (batch ≡ stream)") {
     val evs = Seq(
       Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
