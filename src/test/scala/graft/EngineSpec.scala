@@ -74,6 +74,33 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(!spark.catalog.tableExists("graft_nation_ext"))
   }
 
+  test("Catalog: external DDL survives quotes and backslashes in location") {
+    // hostile-but-legal POSIX paths must be escaped so the interpolated
+    // LOCATION can neither break nor smuggle clauses into the DDL.
+    // Quote path: full round-trip.
+    val quoted = s"${sys.props("java.io.tmpdir")}/graft_test/" +
+      s"loc_'q'_${System.nanoTime()}"
+    Tables.nation(spark, sf).write.mode("overwrite").parquet(quoted)
+    Catalog.registerExternal(spark, graft.queries.Scans.nationMeta,
+      quoted, Some("graft_weird_ext"))
+    try {
+      assert(spark.sql("SELECT COUNT(*) FROM graft_weird_ext")
+        .head().getLong(0) === 25)
+    } finally Catalog.dropExternal(spark, "graft_weird_ext")
+    // Backslash path: Hadoop's glob layer treats \ as its own escape,
+    // so data can't live there — but the DDL layer must still pass the
+    // literal through unmangled: the path-resolution error has to quote
+    // the path VERBATIM (a parse error or a clause-smuggled statement
+    // would surface very differently).
+    val bs = s"${sys.props("java.io.tmpdir")}/graft_test/no_such_b\\s_dir"
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Catalog.registerExternal(spark, graft.queries.Scans.nationMeta,
+        bs, Some("graft_weird_ext2"))
+    }
+    assert(err.getMessage.contains("b\\s_dir"), err.getMessage)
+    Catalog.dropExternal(spark, "graft_weird_ext2")
+  }
+
   test("Multimodal: feature extraction is deterministic over binary media") {
     val rows = (0L until 10L).map { i =>
       MediaRow(i, Array.tabulate(100 + i.toInt)(j => (i + j).toByte),
