@@ -98,6 +98,29 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("upsert: anti-join+union ≡ full-outer-join formulation") {
+    check(6) { xs =>
+      import spark.implicits._
+      val base = xs.zipWithIndex
+        .map { case (v, i) => (i.toLong % 15, v) }.distinctBy(_._1)
+        .toDF("k", "v")
+      val updates = xs.take(8).zipWithIndex
+        .map { case (v, i) => ((i * 3).toLong % 20, v + 100) }
+        .distinctBy(_._1).toDF("k", "v")
+      // the shipped formulation
+      val merged = updates.unionByName(
+        base.join(updates.select("k"), Seq("k"), "left_anti"))
+      // the textbook MERGE formulation
+      val viaOuter = base.select(col("k"), col("v").as("bv"))
+        .join(updates.select(col("k"), col("v").as("uv")),
+          Seq("k"), "full_outer")
+        .select(col("k"), coalesce(col("uv"), col("bv")).as("v"))
+      assert(merged.exceptAll(viaOuter).isEmpty &&
+        viaOuter.exceptAll(merged).isEmpty,
+        s"upsert formulations diverged for $xs")
+    }
+  }
+
   /** Reference connected components: BFS over an adjacency map. */
   private def refComponents(n: Int,
       edges: Seq[(Long, Long)]): Map[Long, Long] = {
