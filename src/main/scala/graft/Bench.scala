@@ -22,7 +22,8 @@ object Bench {
     // shot per query is noise: run `reps` passes over the whole query
     // set (whole-set passes, not back-to-back repeats, so JIT/cache
     // state is comparable across reps) and keep each query's MEDIAN.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt).getOrElse(3))
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = (1 to reps).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
