@@ -25,8 +25,35 @@ object Bench {
     val reps = math.max(1, scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt).getOrElse(3))
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val samples = (1 to reps).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
+    def f3(v: Double): String = f"$v%.3f"
+    def qmap(rs: Iterable[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+    // The harness keeps only the LAST ~2000 bytes of stdout, so the
+    // final line must be compact: a full per-query map line (for
+    // human/judge reading), then a contract-shaped line whose queries
+    // field holds the 20 slowest — guaranteed to fit the tail window
+    // whole. The pair is re-emitted after EVERY pass with
+    // medians-so-far, so a run killed by an external timeout still
+    // leaves a complete, parseable record from its finished passes;
+    // only the lines after the last pass (post spark.stop()) can't
+    // interleave with executor logs, but Spark logs to stderr anyway.
+    def emit(samples: Seq[Map[String, Double]], nReps: Int): Unit = {
+      val results: Map[String, Double] = names.map { n =>
+        val xs = samples.map(_(n)).sorted
+        n -> xs(xs.length / 2)
+      }.toMap
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val slowest = results.toSeq.sortBy(-_._2).take(20)
+      System.out.println(
+        s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","reps":$nReps,"queries":${qmap(results)},"sf":"$sfDir"}""")
+      System.out.println(
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"reps":$nReps,"queries":${qmap(slowest)},"sf":"$sfDir"}""")
+      System.out.flush()
+    }
+    var samples = Vector.empty[Map[String, Double]]
+    (1 to reps).foreach { pass =>
+      samples = samples :+ SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         // release per-query caches (dedup signatures / gram sets) so
@@ -34,28 +61,9 @@ object Bench {
         graft.engine.ml.Dedup.unpersistTracked()
         name -> (System.nanoTime() - t0) / 1e9
       }
+      if (pass < reps) emit(samples, pass)
     }
-    val results: Map[String, Double] = names.map { n =>
-      val xs = samples.map(_(n)).sorted
-      n -> xs(xs.length / 2)
-    }.toMap
-    def f3(v: Double): String = f"$v%.3f"
-    def qmap(rs: Iterable[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-        .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // stop Spark FIRST so no executor/log output can interleave with or
-    // follow the JSON lines; the harness keeps only the LAST ~2000
-    // bytes of stdout, so the final line must be compact. Emit the full
-    // per-query map on its own line (for human/judge reading), then a
-    // contract-shaped line whose queries field holds the 20 slowest —
-    // guaranteed to fit the tail window whole.
-    spark.stop()
-    val slowest = results.toSeq.sortBy(-_._2).take(20)
-    System.out.println(
-      s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","reps":$reps,"queries":${qmap(results)},"sf":"$sfDir"}""")
-    System.out.println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"queries":${qmap(slowest)},"sf":"$sfDir"}""")
-    System.out.flush()
+    spark.stop() // final emission after stop: nothing can follow it
+    emit(samples, reps)
   }
 }
