@@ -130,7 +130,9 @@ object Dedup {
     val cs = coeffs(numHashes, seed)
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.engine.ops.Scale
+      .spreadForCompute(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val seen = new java.util.HashSet[Long]()
@@ -239,7 +241,9 @@ object Dedup {
   def simHash(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.engine.ops.Scale
+      .spreadForCompute(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .mapPartitions { it =>
         val counts = new Array[Int](64)
         it.map { case (id, text) =>
@@ -321,8 +325,10 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val grams = trackCache( // reused by the prefix index + verify joins
-      docs.select(col("doc_id"), col("lang"), col("source"),
-        col("text")).as[(Long, String, String, String)]
+      graft.engine.ops.Scale
+        .spreadForCompute(docs.select(col("doc_id"), col("lang"),
+          col("source"), col("text")))
+        .as[(Long, String, String, String)]
         .mapPartitions { it =>
           it.map { case (id, lang, src, text) =>
             val ws = text.split(' ')

@@ -332,13 +332,30 @@ object Similarity {
     * it), so a query's `cell IN (probed…)` predicate becomes partition
     * pruning — the scan reads nProbe/nCells of the FILES instead of
     * scanning everything and filtering. At 100 TB this is the
-    * difference between reading ~2 TB and reading the corpus. */
+    * difference between reading ~2 TB and reading the corpus.
+    *
+    * `replication` > 1 is WRITE-TIME MULTI-PROBE: each vector is stored
+    * in its `replication` nearest cells, so boundary vectors (the ones
+    * read-side multi-probe exists to recover) are already present in
+    * every nearby cell — a query needs proportionally fewer probe
+    * cells for the same recall. The trade is replication× storage and
+    * write bandwidth for a narrower read, which is the right direction
+    * when the corpus is written once and probed forever. Readers must
+    * dedup (vec_id appears in several cells); [[ivfTopKIndexed]] does.
+    *
+    * The pre-write repartition by cell is the compaction target: all
+    * rows of a cell land in one task → one file per cell directory
+    * instead of (input partitions × cells) shards. At 100 TB, cap file
+    * size with `spark.sql.files.maxRecordsPerFile` instead of changing
+    * the shape. */
   def writeCellIndex(emb: DataFrame, path: String, datasetTag: String,
-      nCells: Int = 16, seed: Long = 42L): Unit = {
+      nCells: Int = 16, seed: Long = 42L, replication: Int = 1): Unit = {
     val spark = emb.sparkSession
     val centroids = quantizerFor(emb, datasetTag, nCells, seed)
-    val cellOf = udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, 1).head)
-    emb.withColumn("cell", cellOf(col("embedding")))
+    val cellsOf =
+      udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, replication))
+    emb.withColumn("cell", explode(cellsOf(col("embedding"))))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     saveQuantizer(spark, centroids, s"${path}_quantizer")
   }
@@ -350,18 +367,19 @@ object Similarity {
     * first call writes it under the warehouse, later calls (any
     * session — checked via _SUCCESS) return the existing path. */
   def cellIndexFor(emb: DataFrame, datasetTag: String, nCells: Int = 16,
-      seed: Long = 42L): String = {
+      seed: Long = 42L, replication: Int = 1): String = {
     val spark = emb.sparkSession
     val n = emb.count()
-    val key = s"$datasetTag|$n|$nCells|$seed"
+    val key = s"$datasetTag|$n|$nCells|$seed|$replication"
     cellIndexCache.computeIfAbsent(key, _ => {
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
-      val path = s"$warehouse/graft_cell_index/${safe}_${n}_${nCells}_$seed"
+      val path =
+        s"$warehouse/graft_cell_index/${safe}_${n}_${nCells}_${seed}_r$replication"
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
-        writeCellIndex(emb, path, datasetTag, nCells, seed)
+        writeCellIndex(emb, path, datasetTag, nCells, seed, replication)
       path
     })
   }
@@ -392,6 +410,11 @@ object Similarity {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         expr("graft_cosine(probe_emb, embedding)").as("cos"))
+      // a replicated index stores a vector in several cells, and even
+      // an unreplicated one can pair (probe, vec) through multiple
+      // probed cells — dedup before ranking so a vector never occupies
+      // two top-k slots
+      .dropDuplicates("probe_id", "vec_id")
     val w = Window.partitionBy("probe_id")
       .orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w))

@@ -116,7 +116,8 @@ object Text {
     // from a typed hot loop, one groupBy, topK per language.
     val spark = docs.sparkSession
     import spark.implicits._
-    val gramCounts = docs.select(col("lang"), col("text"))
+    val gramCounts = graft.engine.ops.Scale
+      .spreadForCompute(docs.select(col("lang"), col("text")))
       .as[(String, String)]
       .mapPartitions { it =>
         // combine within the partition: (lang, gram) -> count, so the
@@ -148,7 +149,9 @@ object Text {
     // no exploded gram rows ever shuffle (the old formulation shuffled
     // every distinct (doc, gram) pair twice). Docs with zero overlap
     // are dropped, matching the previous inner-join semantics.
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.engine.ops.Scale
+      .spreadForCompute(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .mapPartitions { it =>
         val pm = bc.value
         it.flatMap { case (id, text) =>

@@ -1,0 +1,55 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph verbs over edge DataFrames. Connected components
+  * live in [[graft.engine.ml.Dedup.resolvePairs]] (min-label
+  * propagation with pointer halving); this object holds the
+  * fixed-iteration power-method family.
+  */
+object Graph {
+
+  /** PageRank by `iterations` rounds of the power method over a
+    * directed edge list `(src, dst)` — corpus-curation's
+    * quality-weighting primitive (rank web-ish sources by link mass).
+    *
+    * Shape per round: one equi-join of ranks onto edges (both sides
+    * hash-partitioned on `src` — the partitioning is REUSED across
+    * rounds since every round shuffles on the same keys) and one
+    * aggregation on `dst`. No driver-side state; the rank vector never
+    * leaves the cluster. Fixed iteration count (not convergence-tested)
+    * keeps the plan static and the result deterministic — the shape to
+    * prefer at 100 TB where a convergence check would add a full pass
+    * per round. For >10 rounds at scale, localCheckpoint the rank
+    * vector every few rounds to truncate lineage (cf.
+    * Dedup.resolveDistributed); at this fixed depth the lineage is
+    * bounded and reused-exchange-friendly, so we keep it pure.
+    *
+    * Every node present as a source participates; because the caller
+    * supplies both directions for an undirected graph, every node has
+    * out-degree ≥ 1 and no dangling-mass correction is needed.
+    * Arithmetic is all-double so an external engine (the DuckDB oracle)
+    * reproduces it bit-for-bit modulo summation order — callers round
+    * the emitted rank. */
+  def pageRank(edges: DataFrame, iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nDf = broadcast(deg.agg(count(lit(1)).cast("double").as("n")))
+    var ranks = deg.crossJoin(nDf)
+      .select(col("src").as("node"), (lit(1.0) / col("n")).as("pr"))
+    (1 to iterations).foreach { _ =>
+      val inflow = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("deg").cast("double")).as("inflow"))
+      ranks = ranks.select("node").join(inflow, Seq("node"), "left")
+        .crossJoin(nDf)
+        .select(col("node"),
+          (lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+    }
+    ranks
+  }
+}

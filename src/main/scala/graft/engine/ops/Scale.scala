@@ -17,6 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Ensure a CPU-bound per-row pass (signature hashing, tokenizing,
+    * decoding) has at least ~half the cluster's cores' worth of
+    * partitions under it. A parquet scan can't split below one file, so
+    * a single-file input serializes the whole pass on one task while
+    * every other core idles — the measured cost of dedup_near/dedup_ngram
+    * at small scale. At corpus scale input files vastly outnumber cores,
+    * the guard is already satisfied, and this is a no-op — no shuffle is
+    * ever added where the scan is parallel enough. Round-robin
+    * repartition keeps the spread balanced regardless of input order. */
+  def spreadForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(1, target / 2)) df
+    else df.repartition(target)
+  }
+
   /** Write `df` as a bucketed, sorted table (hive-style layout in the
     * session warehouse). Both sides of a co-located join must use the
     * same bucket count and keys. */
@@ -43,6 +58,29 @@ object Scale {
       .agg(sum(valueCol.cast(dec)).as("_partial"))
     phase1.groupBy(keys.map(col): _*)
       .agg(sum(col("_partial")).cast(dec).as("total"))
+  }
+
+  /** Salted equi-join for skewed keys: the fact side gets a
+    * deterministic row-hash salt in [0, numSalts); the dim side is
+    * replicated numSalts× with every salt value; the join runs on
+    * (keys ++ salt). A hot key's rows — which a plain shuffle join
+    * would pile onto ONE reducer — spread across numSalts reducers,
+    * at the cost of numSalts× the dim-side shuffle volume (dims are
+    * small by assumption; this is the skew treatment for when the dim
+    * is too big to broadcast outright but its replication is still
+    * cheaper than the straggler). Result is identical to the plain
+    * join: every fact row meets every matching dim row exactly once,
+    * because the dim carries ALL salt values and the fact exactly one.
+    * AQE's skew-join handles sort-merge skew adaptively at runtime;
+    * this static form is for when the skew is known at plan time and
+    * for hash-partitioned sinks where AQE cannot split a partition. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      numSalts: Int = 16): DataFrame = {
+    val salted = fact.withColumn("_salt",
+      pmod(xxhash64(struct(fact.columns.map(col).toSeq: _*)), lit(numSalts)))
+    val replicated = dim.withColumn("_salt",
+      explode(array((0 until numSalts).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
   }
 
   /** Distributive 2D skyline (Pareto frontier, maximizing both

@@ -254,6 +254,52 @@ object EventOps {
     }
   }
 
+  case class TtlCount(user_id: Long, n_events: Long)
+
+  /** Per-key running count whose ValueState carries a REAL TTL — the
+    * lazy complement to [[SessionTimerProcessor]]'s timer-driven
+    * eviction: no timer fires, but any state older than `ttl` is
+    * invisible to reads and reclaimed by the store's maintenance pass.
+    * This is the right bound for state that only needs recency (rate
+    * counters, last-seen caches) on an unbounded keyspace: keys that
+    * stop arriving cost nothing after one TTL, with zero timer
+    * bookkeeping per key. TTL is wall-clock by definition, so the
+    * processor runs in TimeMode.ProcessingTime. */
+  class TtlCountProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), TtlCount] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig(ttl))
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[TtlCount] = {
+      // an expired value reads as absent — the lazy-TTL contract
+      val cur = if (state.exists()) state.get() else 0L
+      val n = cur + rows.size
+      state.update(n) // update refreshes the value's TTL clock
+      Iterator.single(TtlCount(key, n))
+    }
+  }
+
+  /** Per-user event counts with TTL-bounded state: a user idle longer
+    * than `ttl` restarts from zero (their state expired). */
+  def ttlUserCountsTws(events: DataFrame,
+      ttl: java.time.Duration): Dataset[TtlCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TtlCountProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
   /** Periodic per-user snapshots on a WATERMARKED stream — one row per
     * (user, crossed period boundary), append mode. */
   def periodicSnapshotsTws(events: DataFrame,

@@ -262,5 +262,30 @@ object Aggregates {
          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
                   AS DECIMAL(18,2)) > 800
          ORDER BY l_partkey"""),
+
+    // Deterministic mode: the most frequent value per group, ties to the
+    // LOWEST value — builtin mode() leaves ties engine-defined, so both
+    // sides run the same count + rank formulation instead.
+    Q("agg_mode",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = orders(s, d)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("mode_count"))
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(desc("mode_count"), asc("o_orderpriority"))
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderstatus"),
+            col("o_orderpriority").as("mode_priority"), col("mode_count"))
+          .orderBy("o_orderstatus")
+      },
+      """SELECT o_orderstatus, mode_priority, mode_count FROM (
+           SELECT o_orderstatus, o_orderpriority AS mode_priority,
+                  COUNT(*) AS mode_count,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                    ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+           FROM orders GROUP BY o_orderstatus, o_orderpriority)
+         WHERE rn = 1 ORDER BY o_orderstatus"""),
   )
 }

@@ -79,5 +79,83 @@ object Analytics {
                           THEN 1 ELSE 0 END)
                       / CAST(COUNT(*) AS DOUBLE), 4) AS conversion_rate
          FROM first_click LEFT JOIN first_purchase USING (user_id)"""),
+
+    // PageRank (5 fixed power-method rounds, d=0.85) over the
+    // undirected supplier↔part co-occurrence graph from lineitem —
+    // link-mass quality weighting, the corpus-curation shape. Engine
+    // verb: graft.engine.ops.Graph.pageRank; the oracle unrolls the
+    // identical 5 rounds (generated below — same joins, same
+    // all-double arithmetic), so ranks hash-match at 8 decimals.
+    Q("graph_pagerank",
+      (s, d) => {
+        val e0 = lineitem(s, d)
+          .select(concat(lit("s"), col("l_suppkey")).as("a"),
+            concat(lit("p"), col("l_partkey")).as("b"))
+          .distinct()
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        graft.engine.ops.Graph.pageRank(edges, 5)
+          .select(col("node"), round(col("pr"), 8).as("pr"))
+          .orderBy("node")
+      }, {
+        val iters = (1 to 5).map { i =>
+          s"""r$i AS (
+               SELECT r.node,
+                      CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) +
+                      CAST(0.85 AS DOUBLE) * COALESCE(c.inflow,
+                        CAST(0 AS DOUBLE)) AS pr
+               FROM r${i - 1} r LEFT JOIN (
+                 SELECT e.dst AS node,
+                        SUM(rp.pr / CAST(dg.deg AS DOUBLE)) AS inflow
+                 FROM edges e
+                   JOIN r${i - 1} rp ON rp.node = e.src
+                   JOIN deg dg ON dg.src = e.src
+                 GROUP BY e.dst) c ON c.node = r.node)"""
+        }.mkString(",\n")
+        s"""WITH e0 AS (
+              SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b
+              FROM lineitem),
+            edges AS (
+              SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b, a FROM e0),
+            deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+            r0 AS (
+              SELECT src AS node,
+                     CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr
+              FROM deg),
+            $iters
+            SELECT node, ROUND(pr, 8) AS pr FROM r5 ORDER BY node"""
+      }),
+
+    // Z-order (Morton) clustering key: interleave the bits of two
+    // dimensions so sorting by the key co-locates rows close in BOTH —
+    // the layout that lets min/max file stats prune 2-D range
+    // predicates at 100 TB (sort by one column and the other's stats
+    // are useless). Pure integer bit math, generated identically for
+    // both engines; pairs with Scale.writeSortedByRange for the
+    // physical write.
+    Q("sort_zorder",
+      (s, d) => {
+        val z = (0 until 10).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) + " +
+            s"(((y >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+        part(s, d)
+          .select(col("p_partkey"),
+            (col("p_partkey") % 1024).as("x"),
+            (col("p_size").cast("bigint") % 1024).as("y"))
+          .withColumn("zval", expr(z))
+          .select("p_partkey", "x", "y", "zval")
+          .orderBy("zval", "p_partkey")
+      }, {
+        val z = (0 until 10).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) + " +
+            s"(((y >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+        s"""SELECT p_partkey, x, y, $z AS zval
+            FROM (SELECT p_partkey, p_partkey % 1024 AS x,
+                         CAST(p_size AS BIGINT) % 1024 AS y
+                  FROM part)
+            ORDER BY zval, p_partkey"""
+      }),
   )
 }

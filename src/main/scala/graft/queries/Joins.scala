@@ -224,5 +224,31 @@ object Joins {
                     AS last_click_id
            FROM events WHERE event_type IN ('click', 'purchase'))
          WHERE event_type = 'purchase' ORDER BY event_id"""),
+
+    // Skew-treated join (Scale.saltedJoin): documents join their
+    // per-language stats dim on `lang` — ~10 distinct values, so a
+    // plain shuffle join piles each language onto ONE reducer while the
+    // rest of the cluster idles. Salting spreads every language across
+    // 16 reducers; the dim rides along replicated 16×. The oracle runs
+    // the plain join — salting must be invisible in the result.
+    Q("join_skew_salted",
+      (s, d) => {
+        val docs = documents(s, d)
+        val dim = docs.groupBy("lang")
+          .agg(round(avg(col("n_chars")), 4).as("lang_avg_chars"),
+            count(lit(1)).as("lang_docs"))
+        graft.engine.ops.Scale
+          .saltedJoin(docs.select("doc_id", "lang", "n_chars"), dim,
+            Seq("lang"), 16)
+          .select("doc_id", "lang", "lang_avg_chars", "lang_docs")
+          .orderBy("doc_id")
+      },
+      """WITH dim AS (
+           SELECT lang, ROUND(AVG(n_chars), 4) AS lang_avg_chars,
+                  COUNT(*) AS lang_docs
+           FROM documents GROUP BY lang)
+         SELECT doc_id, d.lang, lang_avg_chars, lang_docs
+         FROM documents d JOIN dim ON d.lang = dim.lang
+         ORDER BY doc_id"""),
   )
 }

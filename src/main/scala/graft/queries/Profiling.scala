@@ -176,5 +176,33 @@ object Profiling {
                 ROUND(avg_b - avg_a, 4) AS avg_delta,
                 cust_b - cust_a AS cust_delta
          FROM a, b"""),
+
+    // Stratified sampling with EXACT per-stratum counts: each language
+    // contributes exactly ceil(n/10) documents, chosen by md5 rank —
+    // reproducible like sample_hash, but guaranteeing every stratum its
+    // quota (a plain Bernoulli sample under/over-shoots small strata).
+    // ceil(n/10) is computed in integer arithmetic ((n+9) div 10) so no
+    // float boundary can disagree between engines.
+    Q("sample_stratified",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+        documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            md5(col("doc_id").cast("string")).as("h"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("quota",
+            expr("(count(1) OVER (PARTITION BY lang) + 9) div 10"))
+          .filter(col("rn") <= col("quota"))
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                  (COUNT(*) OVER (PARTITION BY lang) + 9) // 10 AS quota
+           FROM documents)
+         WHERE rn <= quota ORDER BY doc_id"""),
   )
 }

@@ -290,5 +290,30 @@ object Scalars {
         .orderBy("doc_id", "word"),
       """SELECT doc_id, unnest(string_split(text, ' ')) AS word
          FROM documents ORDER BY doc_id, word"""),
+
+    // URL decomposition via parse_url. The URLs are synthesized from
+    // table columns, so the oracle rebuilds each component from the
+    // same parts — checking the parser against construction-time truth
+    // (DuckDB has no parse_url to mirror).
+    Q("fn_url",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/"),
+            col("lang"), lit("/doc?id="), col("doc_id"), lit("&n="),
+            col("n_chars")).as("url"))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'PROTOCOL')").as("proto"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'QUERY', 'n')").as("q_n"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+                'https' AS proto,
+                source || '.example.com' AS host,
+                '/' || lang || '/doc' AS path,
+                'id=' || doc_id || '&n=' || n_chars AS query,
+                CAST(n_chars AS VARCHAR) AS q_n
+         FROM documents ORDER BY doc_id"""),
   )
 }

@@ -97,5 +97,48 @@ object Streaming {
                     ORDER BY epoch_us(ts)) AS rn
            FROM events)
          WHERE rn = 1 ORDER BY event_id"""),
+
+    // Batch sessionization (gaps-and-islands): a session breaks after
+    // 30 minutes of per-user silence — the portable formulation of
+    // stream_session (lag → break flag → running sum), on integer
+    // epoch-µs. One shuffle on user_id; both windows share it.
+    Q("sessionize_batch",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy("user_id").orderBy("t", "event_id")
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("t"))
+          .withColumn("brk",
+            when(col("t") - lag(col("t"), 1).over(wOrd) > 1800000000L ||
+              lag(col("t"), 1).over(wOrd).isNull, 1L).otherwise(0L))
+          .withColumn("session_seq", sum(col("brk")).over(wRun))
+          .groupBy("user_id", "session_seq")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("t")).as("start_us"), max(col("t")).as("end_us"))
+          .orderBy("user_id", "session_seq")
+      },
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+         flagged AS (
+           SELECT user_id, event_id, t,
+                  CASE WHEN t - LAG(t, 1) OVER w > 1800000000
+                         OR LAG(t, 1) OVER w IS NULL
+                       THEN 1 ELSE 0 END AS brk
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         sessions AS (
+           SELECT user_id, t,
+                  CAST(SUM(brk) OVER (PARTITION BY user_id
+                    ORDER BY t, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_seq
+           FROM flagged)
+         SELECT user_id, session_seq, COUNT(*) AS n_events,
+                MIN(t) AS start_us, MAX(t) AS end_us
+         FROM sessions GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq"""),
   )
 }

@@ -101,6 +101,23 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     assert(salted.toSeq === direct.toSeq)
   }
 
+  test("salted join equals the plain join exactly, and spreads the salt") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+    val dim = docs.groupBy("lang")
+      .agg(count(lit(1)).as("lang_docs"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang", "lang_docs")
+        .collect().map(_.toSeq).toSet
+    assert(rows(Scale.saltedJoin(docs, dim, Seq("lang"), 8)) ===
+      rows(docs.join(dim, Seq("lang"))))
+    // the salt really fans each key out: >1 distinct salt per lang
+    val spread = docs.withColumn("_salt",
+        pmod(xxhash64(struct(docs.columns.map(col).toSeq: _*)), lit(8L)))
+      .groupBy("lang").agg(countDistinct("_salt").as("nsalts"))
+      .agg(min("nsalts")).collect().head.getLong(0)
+    assert(spread > 1, s"expected every lang spread over >1 salt, min=$spread")
+  }
+
   test("r3 operators are invariant to input partitioning") {
     import graft.engine.ml.{Dedup, Similarity}
     val docs = Tables.documents(spark, sf)

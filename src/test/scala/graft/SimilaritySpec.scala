@@ -200,6 +200,32 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(pruned.contains("PartitionFilters"), pruned)
   }
 
+  test("write-time multi-probe replication trades storage for probes") {
+    val tag = s"repltest_${System.nanoTime()}"
+    val probes = Similarity.probes(emb)
+    // full replication: every cell holds every vector, so probing ONE
+    // cell must reproduce brute force exactly — the strongest check of
+    // the explode/dedup/pruning plumbing
+    val nCells = 4
+    val full = Similarity.cellIndexFor(emb, tag, nCells = nCells,
+      replication = nCells)
+    val oneProbe = Similarity.ivfTopKIndexed(spark, full, probes, 5,
+      nProbe = 1).collect().map(_.toSeq).toSet
+    val brute = Similarity.bruteForceTopK(emb, probes, 5)
+      .collect().map(_.toSeq).toSet
+    assert(oneProbe === brute)
+    // storage really is replicated: row count = replication × corpus
+    assert(spark.read.parquet(full).count() === nCells * emb.count())
+    // compaction target: one file per cell directory (the warehouse
+    // path may carry a file: scheme — resolve to a local path first)
+    val localDir = new java.io.File(full.stripPrefix("file:"))
+    val files = localDir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty && files.forall(_ === 1),
+      s"expected one compacted file per cell, got ${files.toSeq}")
+  }
+
   test("fitCentroids is invariant to physical partitioning") {
     val a = Similarity.fitCentroids(emb, 8, 42L)
     val b = Similarity.fitCentroids(emb.repartition(13), 8, 42L)

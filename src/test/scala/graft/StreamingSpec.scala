@@ -343,6 +343,55 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("state TTL: values expire after the duration, persist within it") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      // In ProcessingTime mode the engine schedules batches continuously
+      // (shouldRunAnotherBatch stays true so TTL can advance), so the
+      // query NEVER quiesces — processAllAvailable / AvailableNow would
+      // wait forever. Poll the sink for the expected emission instead.
+      // Each batch emits exactly one (user, count) row per keyed input,
+      // so the target count value identifies the batch that produced it.
+      def emits(ttl: java.time.Duration, sleepMs: Long,
+          expect: Long): Boolean = {
+        val input = MemoryStream[Ev]
+        val name = s"q_${System.nanoTime()}"
+        val q = EventOps.ttlUserCountsTws(input.toDF(), ttl)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          def await(v: Long): Boolean = {
+            val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+            def seen = spark.table(name).collect().exists(_.getLong(1) == v)
+            while (!seen && System.nanoTime() < deadline) Thread.sleep(100)
+            seen
+          }
+          input.addData(
+            Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+            Ev(2, ts("2024-01-01 10:05:00"), 1, "view", 1.0))
+          assert(await(2L), "first batch must emit count 2")
+          Thread.sleep(sleepMs)
+          input.addData(Ev(3, ts("2024-01-01 10:10:00"), 1, "click", 1.0))
+          await(expect)
+        } finally q.stop()
+      }
+      // TTL far beyond the gap: the count keeps accumulating → 2 + 1
+      assert(emits(java.time.Duration.ofHours(1), 0L, 3L),
+        "state inside its TTL must persist across batches")
+      // TTL far below the gap: batch-2 reads expired state → restart at 1
+      assert(emits(java.time.Duration.ofMillis(200), 2000L, 1L),
+        "state past its TTL must read as absent (lazy eviction)")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join matches clicks to in-window purchases") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
