@@ -35,16 +35,22 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int,
       damping: Double = 0.85): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (src, dst, deg): static across rounds — shuffled on src once,
+    // every round's rank join reuses the exchange
+    val outflow = edges.join(deg, "src")
     val nDf = broadcast(deg.agg(count(lit(1)).cast("double").as("n")))
-    var ranks = deg.crossJoin(nDf)
-      .select(col("src").as("node"), (lit(1.0) / col("n")).as("pr"))
+    // node universe from the STATIC deg relation, not from the evolving
+    // ranks: referencing `ranks` twice per round would double the plan
+    // every iteration (2^rounds copies of the base by the last one)
+    val nodes = deg.select(col("src").as("node"))
+    var ranks = nodes.crossJoin(nDf)
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
     (1 to iterations).foreach { _ =>
-      val inflow = edges
+      val inflow = outflow
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("deg").cast("double")).as("inflow"))
-      ranks = ranks.select("node").join(inflow, Seq("node"), "left")
+      ranks = nodes.join(inflow, Seq("node"), "left")
         .crossJoin(nDf)
         .select(col("node"),
           (lit(1.0 - damping) / col("n") +

@@ -88,9 +88,12 @@ object Analytics {
     // all-double arithmetic), so ranks hash-match at 8 decimals.
     Q("graph_pagerank",
       (s, d) => {
+        // numeric node ids (suppliers even, parts odd): string keys
+        // would double the shuffle bytes and make every compare a
+        // memcmp — at 100 TB the id encoding IS the performance knob
         val e0 = lineitem(s, d)
-          .select(concat(lit("s"), col("l_suppkey")).as("a"),
-            concat(lit("p"), col("l_partkey")).as("b"))
+          .select((col("l_suppkey").cast("bigint") * 2).as("a"),
+            (col("l_partkey").cast("bigint") * 2 + 1).as("b"))
           .distinct()
         val edges = e0.select(col("a").as("src"), col("b").as("dst"))
           .union(e0.select(col("b").as("src"), col("a").as("dst")))
@@ -113,7 +116,8 @@ object Analytics {
                  GROUP BY e.dst) c ON c.node = r.node)"""
         }.mkString(",\n")
         s"""WITH e0 AS (
-              SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b
+              SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS a,
+                     CAST(l_partkey AS BIGINT) * 2 + 1 AS b
               FROM lineitem),
             edges AS (
               SELECT a AS src, b AS dst FROM e0
