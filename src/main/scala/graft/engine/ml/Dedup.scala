@@ -82,6 +82,21 @@ object Dedup {
       .drop("bucket_n"))
   }
 
+  /** Distinct candidate pairs, hash-partitioned by doc_a ONLY. A pair's
+    * duplicate emissions come from DIFFERENT band/token partitions
+    * (different bucket hash → different shuffle partition), so the
+    * map-side partial aggregate under a (doc_a, doc_b)-keyed `distinct`
+    * collapses nothing — the k× duplicates cross the wire either way.
+    * Clustering by doc_a alone still satisfies the dedup aggregate's
+    * required distribution (same (doc_a, doc_b) always co-locate) and
+    * is exactly the partitioning the verify join on doc_a needs next,
+    * so the same bytes move through ONE exchange instead of two
+    * (distinct-by-both-keys + join re-shuffle). Asserted in PlanSpec. */
+  private def distinctPairs(pairs: DataFrame): DataFrame =
+    pairs.select("doc_a", "doc_b")
+      .repartition(col("doc_a"))
+      .dropDuplicates(Seq("doc_a", "doc_b"))
+
   /** Exact dedup: keep the lowest doc_id per md5(text). The window
     * hash-partitions on the digest, so at scale each digest group lands
     * on one reducer — no global sort, no hotspot (digests are uniform). */
@@ -194,9 +209,9 @@ object Dedup {
       col("band_idx"), col("band_hash"))
     val b = capped.select(col("doc_id").as("doc_b"),
       col("band_idx"), col("band_hash"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    distinctPairs(
+      a.join(b, Seq("band_idx", "band_hash"))
+        .filter(col("doc_a") < col("doc_b")))
   }
 
   /** Exact Jaccard on candidate pairs. Two stages: a MinHash-estimate
@@ -390,13 +405,13 @@ object Dedup {
           .select("lang", "source", "doc_id", "tok")
       }
     val capped = capBuckets(pref, Seq("lang", "source", "tok"), maxBucket)
-    capped.select(col("lang"), col("source"),
-        col("doc_id").as("doc_a"), col("tok"))
-      .join(capped.select(col("lang"), col("source"),
-        col("doc_id").as("doc_b"), col("tok")),
-        Seq("lang", "source", "tok"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    distinctPairs(
+      capped.select(col("lang"), col("source"),
+          col("doc_id").as("doc_a"), col("tok"))
+        .join(capped.select(col("lang"), col("source"),
+          col("doc_id").as("doc_b"), col("tok")),
+          Seq("lang", "source", "tok"))
+        .filter(col("doc_a") < col("doc_b")))
   }
 
   /** Resolve near-dup PAIRS into the keep-list every real dedup

@@ -116,6 +116,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("dedup candidate dedup shuffles once, keyed by doc_a only") {
+    // distinctPairs: the (doc_a, doc_b) distinct must ride a doc_a-only
+    // exchange (reused by the verify join) — never its own two-key
+    // exchange, which would shuffle the same bytes twice
+    Seq("dedup_near", "dedup_ngram").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==").head
+        .replaceAll("#\\d+L?", "")
+      assert(p.contains("Exchange hashpartitioning(doc_a,"), p)
+      assert(!p.contains("Exchange hashpartitioning(doc_a, doc_b"), p)
+      graft.engine.ml.Dedup.unpersistTracked()
+    }
+  }
+
   test("skyline_2d runs the distributive path (no global window)") {
     val p = plan("skyline_2d")
     // the single-reducer shape would be a Window with no partitionBy;
