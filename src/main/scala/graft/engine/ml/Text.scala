@@ -20,6 +20,68 @@ object Text {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Word n-grams of a document as ONE generator expression (array of
+    * space-joined n-token windows); empty below n words. Stays inside
+    * whole-stage codegen — per-document work, no shuffle. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
+      .otherwise(typedLit(Array.empty[String]))
+  }
+
+  /** Benchmark decontamination (the n-gram-overlap check every serious
+    * training-data pipeline runs before training): flag each training
+    * document that shares any word n-gram with the benchmark/eval
+    * corpus, with the count of distinct overlapping grams.
+    *
+    * Scale shape: the benchmark gram set is tiny next to a 100 TB
+    * training corpus (eval suites are megabytes), so it is DISTINCTed
+    * once and BROADCAST — flagging is then a map-side hash-join against
+    * the scan, and the only shuffle is the per-doc partial-agg count.
+    * 13 is the published n for word-level overlap (GPT-3 appendix C
+    * uses 13-gram collisions); callers tune per tokenizer. */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+      n: Int = 13): DataFrame = {
+    val bg = broadcast(benchmark
+      .select(explode(wordNgrams(col("text"), n)).as("g")).distinct())
+    train
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgrams(col("text"), n))).as("g"))
+      .join(bg, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
+  /** Fixed-size overlapping word windows — context-window chunking for
+    * training ingest: chunk i covers words [i·stride, i·stride+size).
+    * Left-aligned coverage: nChunks = 1 + ⌈(nWords − size)/stride⌉
+    * (one chunk when the doc fits), so every word lands in ≥1 chunk and
+    * the final chunk may run short. One generator expression per
+    * document — no shuffle, no UDF; chunking 100 TB is a map-only pass
+    * that parallelizes with the scan. */
+  def chunkOverlap(docs: DataFrame, chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got stride=$stride size=$chunkSize")
+    val ws = tokens(col("text"))
+    val nw = size(ws)
+    // integer ceil-div: ⌈(nw−size)/stride⌉ = (nw−size+stride−1) div stride
+    val nChunks = when(nw <= chunkSize, lit(1))
+      .otherwise(lit(1) +
+        ((nw - chunkSize + stride - 1) / stride).cast("int"))
+    docs
+      .select(col("doc_id"), ws.as("ws"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("ws"), col("chunk_id") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        size(slice(col("ws"), col("chunk_id") * stride + 1, lit(chunkSize)))
+          .as("n_words"))
+  }
+
   /** Word counts over the corpus, heaviest first (deterministic tiebreak
     * on the word). At scale this is the canonical map-side-combine
     * aggregation: the shuffle carries (word, partial count). */

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables._
+import graft.engine.ml.Text
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and tokenization: benchmark decontamination, PII masking,
+  * domain-mixture weighting, and context-window chunking. All four are
+  * map-heavy shapes — the scan does the work; shuffles touch only
+  * per-doc or per-domain aggregates.
+  */
+object Curation {
+
+  // one (lang, source) slice plays the benchmark/eval corpus; the rest
+  // of the table is the training corpus being screened
+  private val BenchSource = "src1"
+
+  val qs: Seq[Q] = Seq(
+    // n=5 rather than the published 13 because the synthetic corpus is
+    // ~100-word documents — 5 keeps planted near-dup overlap visible at
+    // every SF while random 5-gram collisions stay at zero
+    Q("decontaminate",
+      (s, d) => {
+        val docs = documents(s, d)
+        Text.decontaminate(
+          docs.filter(col("source") =!= BenchSource),
+          docs.filter(col("source") === BenchSource), n = 5)
+          .orderBy("doc_id")
+      },
+      s"""WITH w AS (
+            SELECT doc_id, source, string_split(text, ' ') AS ws
+            FROM documents),
+          grams AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(ws) - 4 + 1),
+                     i -> array_to_string(ws[i:i+4], ' '))) AS g
+            FROM w WHERE len(ws) >= 5),
+          bench AS (SELECT DISTINCT g FROM grams
+                    WHERE source = '$BenchSource'),
+          hits AS (SELECT DISTINCT t.doc_id, t.g
+                   FROM grams t JOIN bench USING (g)
+                   WHERE t.source <> '$BenchSource')
+          SELECT doc_id, COUNT(*) AS n_hit_grams
+          FROM hits GROUP BY doc_id ORDER BY doc_id"""),
+
+    // deterministic synthetic PII (the corpus itself is clean): build a
+    // contact line per doc, then mask emails and phone-like digit runs.
+    // Identical construction on both engines; Java and RE2 regexes
+    // agree on this character-class subset.
+    Q("text_pii_mask",
+      (s, d) => {
+        val withPii = documents(s, d).select(col("doc_id"),
+          concat(lit("reach user"), col("doc_id"),
+            lit("@mail.example.org or +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" re: "), substring(col("text"), 1, 40)).as("contact"))
+        withPii.select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("contact"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "\\+?[0-9][0-9-]{7,}", "<PHONE>").as("masked"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 'reach user' || doc_id || '@mail.example.org or +1-555-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                   ' re: ' || substr(text, 1, 40),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\+?[0-9][0-9-]{7,}', '<PHONE>', 'g') AS masked
+          FROM documents ORDER BY doc_id"""),
+
+    // temperature-scaled domain sampling weights (α=0.5, the standard
+    // square-root rebalance): w_d ∝ tokens_d^α, normalized. The
+    // normalizer is a one-row aggregate of the post-agg relation (one
+    // row per domain), broadcast back — no single-partition window.
+    Q("mix_weights",
+      (s, d) => {
+        val tok = documents(s, d)
+          .groupBy("lang", "source")
+          .agg(sum(size(split(col("text"), " "))).as("n_tokens"))
+        val total = tok.agg(
+          sum(pow(col("n_tokens"), 0.5)).as("w_total"))
+        tok.crossJoin(broadcast(total))
+          .select(col("lang"), col("source"), col("n_tokens"),
+            round(pow(col("n_tokens"), 0.5) / col("w_total"), 6)
+              .as("weight"))
+          .orderBy("lang", "source")
+      },
+      """WITH tok AS (
+           SELECT lang, source,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                    AS n_tokens
+           FROM documents GROUP BY 1, 2)
+         SELECT lang, source, n_tokens,
+                ROUND(pow(n_tokens, 0.5) /
+                      (SELECT SUM(pow(n_tokens, 0.5)) FROM tok), 6)
+                  AS weight
+         FROM tok ORDER BY lang, source"""),
+
+    Q("chunk_overlap",
+      (s, d) => Text.chunkOverlap(documents(s, d), 32, 24)
+        .orderBy("doc_id", "chunk_id"),
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         c AS (
+           SELECT doc_id, ws,
+                  unnest(range(0,
+                    CASE WHEN len(ws) <= 32 THEN 1
+                         ELSE 1 + (len(ws) - 32 + 23) // 24 END))
+                    AS chunk_id
+           FROM w)
+         SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                array_to_string(ws[chunk_id*24+1 : chunk_id*24+32], ' ')
+                  AS chunk_text,
+                len(ws[chunk_id*24+1 : chunk_id*24+32]) AS n_words
+         FROM c ORDER BY doc_id, chunk_id"""),
+  )
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.engine.ml.Text
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-curation verbs: decontamination, chunking (Curation.scala /
+  * Text.scala). Planted-overlap and coverage properties — the oracle
+  * checks value parity; these check the semantics hold off the golden
+  * path (short docs, exact spans, stride edges). */
+class CurationSpec extends AnyFunSuite with SparkFixture {
+
+  private def docsOf(rows: Seq[(Long, String)]) = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram span") {
+    val span = "alpha beta gamma delta epsilon"
+    val train = docsOf(Seq(
+      1L -> s"one two three $span four five",     // contains the span
+      2L -> "totally unrelated words here only",  // clean
+      3L -> s"$span tail words",                  // span at position 0
+      4L -> "alpha beta gamma unrelated suffix no full span present"))
+    val bench = docsOf(Seq(100L -> s"prefix words $span suffix words"))
+    val hits = Text.decontaminate(train, bench, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet === Set(1L, 3L), s"got $hits")
+    // doc 4 shares only a 3-gram — below n — and must not be flagged
+    assert(!hits.contains(4L) && !hits.contains(2L))
+    // every flagged doc counts at least the planted 5-gram
+    assert(hits.values.forall(_ >= 1))
+  }
+
+  test("decontaminate ignores docs/benchmarks shorter than n") {
+    val train = docsOf(Seq(1L -> "a b c", 2L -> "a b c d e f"))
+    val bench = docsOf(Seq(100L -> "a b"))
+    assert(Text.decontaminate(train, bench, n = 5).count() === 0)
+  }
+
+  test("chunk_overlap covers every word; stride/size edges hold") {
+    val words = (1 to 100).map(i => s"w$i")
+    val docs = docsOf(Seq(
+      1L -> words.mkString(" "),          // 100 words: 4 chunks at 32/24
+      2L -> words.take(32).mkString(" "), // exactly one full chunk
+      3L -> words.take(5).mkString(" "))) // short doc: one short chunk
+    val chunks = Text.chunkOverlap(docs, 32, 24)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val byDoc = chunks.groupBy(_._1)
+    // nChunks = 1 + ceil((100-32)/24) = 1 + 3 = 4
+    assert(byDoc(1L).length === 4)
+    assert(byDoc(2L).length === 1 && byDoc(2L).head._4 === 32)
+    assert(byDoc(3L).length === 1 && byDoc(3L).head._4 === 5)
+    // coverage: the union of chunk words is the document, in order per
+    // chunk; chunk i starts at word i*stride+1
+    byDoc(1L).sortBy(_._2).foreach { case (_, cid, text, n) =>
+      val expect = words.slice(cid * 24, cid * 24 + 32)
+      assert(text === expect.mkString(" "))
+      assert(n === expect.length)
+    }
+    assert(byDoc(1L).flatMap(_._3.split(" ")).toSet === words.toSet)
+    // overlap: consecutive chunks share size-stride = 8 words
+    val sorted = byDoc(1L).sortBy(_._2)
+    val c0 = sorted.head._3.split(" ").toSet
+    val c1 = sorted(1)._3.split(" ").toSet
+    assert((c0 & c1).size === 8)
+  }
+
+  test("wordNgrams emits size-n windows, empty below n") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = Seq("a b c d", "a b").toDF("text")
+      .select(Text.wordNgrams(col("text"), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty)
+  }
+}
