@@ -98,6 +98,32 @@ object Streaming {
            FROM events)
          WHERE rn = 1 ORDER BY event_id"""),
 
+    // foreachBatch keyed-upsert sink, replayed as deterministic batch
+    // chunks: events split by event_id hash into 3 "micro-batches",
+    // each MERGEd last-writer-wins into a bucketed parquet target
+    // (touched buckets only, dynamic overwrite). The merge is
+    // max-by-(t_us, event_id) per user — associative + commutative —
+    // so any replay order (and any redelivery) converges to the global
+    // last-writer-wins the oracle computes. The live streaming form
+    // (MemoryStream → foreachBatch) is asserted in StreamingSpec.
+    Q("stream_foreach_batch",
+      (s, d) => {
+        val target = s"${sys.props("java.io.tmpdir")}/graft_io/" +
+          s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_fb_upsert"
+        // fresh target per run: replay convergence, not accumulation,
+        // is what the oracle checks (idempotence is specced separately)
+        graft.engine.io.Storage.deleteFolder(s, target)
+        graft.engine.stream.Sinks.replayUpserts(events(s, d), target)
+          .orderBy("user_id")
+      },
+      """SELECT user_id, event_id, t_us, event_type, value FROM (
+           SELECT user_id, event_id, epoch_us(ts) AS t_us, event_type,
+                  value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY user_id"""),
+
     // Batch sessionization (gaps-and-islands): a session breaks after
     // 30 minutes of per-user silence — the portable formulation of
     // stream_session (lag → break flag → running sum), on integer

@@ -425,4 +425,52 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(wins.map(_.getTimestamp(0)).toSet ===
       Set(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
   }
+
+  test("foreachBatch upsert sink: streaming LWW state, idempotent replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.engine.stream.Sinks
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test/" +
+      s"fb_${System.nanoTime()}"
+    val target = s"$base/target"
+    val input = MemoryStream[Ev]
+    val q = Sinks.foreachBatchUpsert(input.toDF(), target,
+      s"$base/ckpt", nBuckets = 4)
+    def state(): Map[Long, (Long, String, Double)] =
+      spark.read.parquet(target).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+            r.getAs[Double]("value")))).toMap
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      assert(state() === Map(
+        1L -> ((1L, "click", 1.0)), 2L -> ((2L, "view", 2.0))))
+      // batch 2: user 1 advances, user 3 appears, user 2 untouched;
+      // plus a LATE row for user 2 that must lose to its existing state
+      input.addData(
+        Ev(3, ts("2024-01-01 11:00:00"), 1, "purchase", 9.0),
+        Ev(4, ts("2024-01-01 10:01:00"), 3, "click", 3.0),
+        Ev(5, ts("2024-01-01 09:00:00"), 2, "stale", 0.0))
+      q.processAllAvailable()
+      val after = state()
+      assert(after === Map(
+        1L -> ((3L, "purchase", 9.0)),
+        2L -> ((2L, "view", 2.0)), // stale row lost LWW
+        3L -> ((4L, "click", 3.0))))
+      // at-least-once redelivery: re-upserting batch 2's data directly
+      // through the merge is a no-op (idempotent without a txn log)
+      import spark.implicits._
+      Sinks.upsertBatch(Seq(
+        (1L, 3L, tsUs("2024-01-01 11:00:00"), "purchase", 9.0),
+        (3L, 4L, tsUs("2024-01-01 10:01:00"), "click", 3.0))
+        .toDF("user_id", "event_id", "t_us", "event_type", "value"),
+        target, nBuckets = 4)
+      assert(state() === after, "replaying a committed batch changed state")
+    } finally q.stop()
+  }
+
+  private def tsUs(s: String): Long = ts(s).getTime * 1000L
 }
