@@ -203,7 +203,14 @@ object Similarity {
         .filter(col("vec_a") < col("vec_b"))
         .select("label", "vec_a", "vec_b")
       candSmall.select("label", "vec_a", "vec_b").union(candLarge)
-    }).select("label", "vec_a", "vec_b").distinct()
+    }).select("label", "vec_a", "vec_b")
+      // multi-probe re-emits a pair once per shared cell, from
+      // DIFFERENT cell partitions — same argument as Dedup
+      // .distinctPairs: dedup on a vec_a-only exchange that the verify
+      // join immediately reuses, instead of a three-key shuffle plus a
+      // re-shuffle
+      .repartition(col("vec_a"))
+      .dropDuplicates(Seq("label", "vec_a", "vec_b"))
     cand
       .join(emb.select(col("vec_id").as("vec_a"),
         col("embedding").as("emb_a")), Seq("vec_a"))

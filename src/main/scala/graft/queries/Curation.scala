@@ -101,6 +101,99 @@ object Curation {
                   AS weight
          FROM tok ORDER BY lang, source"""),
 
+    // The capstone composite: the whole curation pipeline as ONE
+    // declared operator — length rule, near-dup keep-list (the
+    // persisted dedup_resolve artifact), and benchmark decontamination
+    // — emitting the per-domain audit every curation run reports
+    // (independent per-rule drop counts + docs surviving all rules).
+    // Each stage keeps its standalone scale shape: the keep-list is a
+    // doc_id-keyed artifact join, contamination a broadcast gram join,
+    // the rules scan-local expressions.
+    Q("curate_corpus",
+      (s, d) => {
+        val docs = documents(s, d)
+        val train = docs.filter(col("source") =!= BenchSource)
+        val keep = graft.engine.ml.Dedup.keepListFor(docs, d, 0.05)
+        val contam = graft.engine.ml.Text.decontaminate(
+          train, docs.filter(col("source") === BenchSource), n = 5)
+          .select(col("doc_id"), lit(1).as("hit"))
+        val flagged = train
+          .join(keep, Seq("doc_id")) // keep-list has every doc: inner
+          .join(contam, Seq("doc_id"), "left")
+          .select(col("lang"), col("source"),
+            (col("n_chars") < 100 || col("n_chars") > 520)
+              .cast("long").as("bad_len"),
+            (col("doc_id") =!= col("keep_id")).cast("long").as("dup"),
+            col("hit").isNotNull.cast("long").as("contam"))
+        flagged.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("bad_len").as("drop_len"),
+            sum("dup").as("drop_dup"),
+            sum("contam").as("drop_contam"),
+            sum(when(col("bad_len") + col("dup") + col("contam") === 0, 1L)
+              .otherwise(0L)).as("n_kept"))
+          .orderBy("lang", "source")
+      },
+      s"""WITH RECURSIVE grams AS (
+            SELECT DISTINCT doc_id, lang, source,
+                   unnest(list_transform(range(1, len(string_split(text,' '))),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1])) AS g
+            FROM documents),
+          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+          common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM grams a JOIN grams b
+              ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT doc_a, doc_b
+            FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05),
+          edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM pairs),
+          reach(u, v) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          keep AS (
+            SELECT u AS doc_id, MIN(v) AS keep_id FROM reach GROUP BY u),
+          w5 AS (
+            SELECT doc_id, source, string_split(text, ' ') AS ws
+            FROM documents),
+          g5 AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(ws) - 4 + 1),
+                     i -> array_to_string(ws[i:i+4], ' '))) AS g
+            FROM w5 WHERE len(ws) >= 5),
+          bench AS (SELECT DISTINCT g FROM g5 WHERE source = '$BenchSource'),
+          contam AS (
+            SELECT DISTINCT t.doc_id FROM g5 t JOIN bench USING (g)
+            WHERE t.source <> '$BenchSource'),
+          flagged AS (
+            SELECT d.lang, d.source,
+                   CASE WHEN d.n_chars < 100 OR d.n_chars > 520
+                        THEN 1 ELSE 0 END AS bad_len,
+                   CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END AS dup,
+                   CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contam
+            FROM documents d
+              JOIN keep k ON k.doc_id = d.doc_id
+              LEFT JOIN contam c ON c.doc_id = d.doc_id
+            WHERE d.source <> '$BenchSource')
+          SELECT lang, source,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(bad_len) AS BIGINT) AS drop_len,
+                 CAST(SUM(dup) AS BIGINT) AS drop_dup,
+                 CAST(SUM(contam) AS BIGINT) AS drop_contam,
+                 CAST(SUM(CASE WHEN bad_len + dup + contam = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM flagged GROUP BY lang, source ORDER BY lang, source"""),
+
     Q("chunk_overlap",
       (s, d) => Text.chunkOverlap(documents(s, d), 32, 24)
         .orderBy("doc_id", "chunk_id"),
