@@ -31,6 +31,43 @@ object Text {
       .otherwise(typedLit(Array.empty[String]))
   }
 
+  /** One (doc_id, gram) row per DISTINCT word n-gram of each document —
+    * the exploded form [[decontaminate]] joins on. Typed mapPartitions
+    * hot loop rather than explode(wordNgrams(...)): the HOF lambda
+    * interprets per gram (measured ~1.8 s for ~2.3M grams at sf0.1,
+    * pure CPU — same finding as the MinHash shingle loops), while this
+    * JIT-compiled pass is one StringBuilder sweep per document, narrow
+    * and shuffle-free at any scale. */
+  def explodedNgrams(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val ws = text.split(' ')
+          if (ws.length < n) Iterator.empty
+          else {
+            val seen = new java.util.LinkedHashSet[String]()
+            val sb = new java.lang.StringBuilder
+            var i = 0
+            while (i <= ws.length - n) {
+              sb.setLength(0)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(ws(i + j))
+                j += 1
+              }
+              seen.add(sb.toString)
+              i += 1
+            }
+            scala.jdk.CollectionConverters.IteratorHasAsScala(
+              seen.iterator()).asScala.map(g => (id, g))
+          }
+        }
+      }.toDF("doc_id", "g")
+  }
+
   /** Benchmark decontamination (the n-gram-overlap check every serious
     * training-data pipeline runs before training): flag each training
     * document that shares any word n-gram with the benchmark/eval
@@ -44,11 +81,8 @@ object Text {
     * uses 13-gram collisions); callers tune per tokenizer. */
   def decontaminate(train: DataFrame, benchmark: DataFrame,
       n: Int = 13): DataFrame = {
-    val bg = broadcast(benchmark
-      .select(explode(wordNgrams(col("text"), n)).as("g")).distinct())
-    train
-      .select(col("doc_id"),
-        explode(array_distinct(wordNgrams(col("text"), n))).as("g"))
+    val bg = broadcast(explodedNgrams(benchmark, n).select("g").distinct())
+    explodedNgrams(train, n)
       .join(bg, "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_grams"))
