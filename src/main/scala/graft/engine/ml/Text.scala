@@ -68,6 +68,44 @@ object Text {
       }.toDF("doc_id", "g")
   }
 
+  /** Per-document n-gram repetition profile (Gopher-style quality
+    * filter): total gram count and distinct gram count per document,
+    * computed in the same JIT-compiled sweep as [[explodedNgrams]] but
+    * emitting ONE row per document — the per-doc aggregate never leaves
+    * its partition, so the whole operator is a map-only pass with zero
+    * shuffle at any corpus size. Documents shorter than n words emit
+    * (0, 0) and are filtered by the caller. */
+  def repetitionProfile(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val ws = text.split(' ')
+          if (ws.length < n) (id, 0L, 0L)
+          else {
+            val seen = new java.util.HashSet[String]()
+            val sb = new java.lang.StringBuilder
+            var total = 0L
+            var i = 0
+            while (i <= ws.length - n) {
+              sb.setLength(0)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(ws(i + j))
+                j += 1
+              }
+              seen.add(sb.toString)
+              total += 1
+              i += 1
+            }
+            (id, total, seen.size.toLong)
+          }
+        }
+      }.toDF("doc_id", "n_grams", "n_distinct")
+  }
+
   /** Benchmark decontamination (the n-gram-overlap check every serious
     * training-data pipeline runs before training): flag each training
     * document that shares any word n-gram with the benchmark/eval

@@ -287,5 +287,59 @@ object Aggregates {
                     ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
            FROM orders GROUP BY o_orderstatus, o_orderpriority)
          WHERE rn = 1 ORDER BY o_orderstatus"""),
+
+    // Winsorized (p01/p99-clipped) robust stats per group. The
+    // percentile is the k-th SMALLEST element with k = ceil(q·n) —
+    // integer arithmetic on a rank window, no interpolation — so both
+    // engines pick the identical raw money value and the clipped sum
+    // stays decimal-exact. One sort-window shuffle on the group key to
+    // rank, then a broadcast of the 3-row bounds table back onto the
+    // scan; at 100 TB you would swap the exact rank for approx_percentile
+    // and keep the same clip+agg shape.
+    Q("agg_winsorize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = lineitem(s, d).select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("p"))
+        val w = Window.partitionBy("flag").orderBy("p")
+        val ranked = li.withColumn("rn", row_number().over(w))
+        val counts = li.groupBy("flag").agg(count(lit(1)).as("n"))
+        val bounds = ranked.join(counts, "flag")
+          .groupBy("flag")
+          .agg(max(when(col("rn") === expr("(n + 99) div 100"), col("p")))
+              .as("p_lo"),
+            max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("p")))
+              .as("p_hi"))
+        li.join(broadcast(bounds), "flag")
+          .withColumn("cp", least(greatest(col("p"), col("p_lo")),
+            col("p_hi")))
+          .groupBy("flag")
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("cp"), 2).as("sum_winsorized"),
+            round(min(col("cp")), 2).as("min_w"),
+            round(max(col("cp")), 2).as("max_w"))
+          .orderBy("flag")
+      },
+      """WITH li AS (
+           SELECT l_returnflag AS flag, l_extendedprice AS p
+           FROM lineitem),
+         counts AS (SELECT flag, COUNT(*) AS n FROM li GROUP BY 1),
+         ranked AS (
+           SELECT flag, p,
+                  ROW_NUMBER() OVER (PARTITION BY flag ORDER BY p) AS rn
+           FROM li),
+         bounds AS (
+           SELECT r.flag,
+                  MAX(CASE WHEN rn = (n + 99) // 100 THEN p END) AS p_lo,
+                  MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN p END) AS p_hi
+           FROM ranked r JOIN counts c ON r.flag = c.flag
+           GROUP BY r.flag)
+         SELECT li.flag, COUNT(*) AS n_rows,
+                ROUND(CAST(SUM(CAST(LEAST(GREATEST(p, p_lo), p_hi)
+                      AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_winsorized,
+                ROUND(MIN(LEAST(GREATEST(p, p_lo), p_hi)), 2) AS min_w,
+                ROUND(MAX(LEAST(GREATEST(p, p_lo), p_hi)), 2) AS max_w
+         FROM li JOIN bounds ON li.flag = bounds.flag
+         GROUP BY li.flag ORDER BY li.flag"""),
   )
 }

@@ -161,5 +161,54 @@ object Analytics {
                   FROM part)
             ORDER BY zval, p_partkey"""
       }),
+
+    // Per-node triangle counts on the supplier co-supply graph (edge =
+    // two suppliers sharing ≥25 distinct parts — the strength threshold
+    // keeps the projection sparse as the corpus grows). Triangles via
+    // the oriented-edge wedge join: every edge stored once as a<b, so
+    // each triangle {a<b<c} is found exactly once as (a,b)+(b,c)+(a,c)
+    // — no ×6 duplication, and the wedge intermediate is Σ_b in(b)·out(b)
+    // rather than degree². At 100 TB the orientation would be by degree
+    // (low→high), the standard bound on wedge fan-out; id order is
+    // enough for this projection's near-uniform degrees.
+    Q("graph_triangles",
+      (s, d) => {
+        val sp = lineitem(s, d)
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct()
+        val edges = sp.as("x").join(sp.as("y"),
+            col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))
+          .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 25)
+          .select("a", "b")
+        val tri = edges.as("e1")
+          .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+          .join(edges.as("e3"),
+            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+          .select(col("e1.a").as("u"), col("e1.b").as("v"),
+            col("e2.b").as("t"))
+        tri.select(col("u").as("node"))
+          .union(tri.select(col("v").as("node")))
+          .union(tri.select(col("t").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+          .orderBy("node")
+      },
+      """WITH sp AS (
+           SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         edges AS (
+           SELECT x.sk AS a, y.sk AS b
+           FROM sp x JOIN sp y ON x.pk = y.pk AND x.sk < y.sk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 25),
+         tri AS (
+           SELECT e1.a AS u, e1.b AS v, e2.b AS t
+           FROM edges e1
+             JOIN edges e2 ON e1.b = e2.a
+             JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b)
+         SELECT node, COUNT(*) AS n_triangles FROM (
+           SELECT u AS node FROM tri
+           UNION ALL SELECT v FROM tri
+           UNION ALL SELECT t FROM tri)
+         GROUP BY node ORDER BY node"""),
   )
 }

@@ -16,6 +16,54 @@ object Curation {
   // of the table is the training corpus being screened
   private val BenchSource = "src1"
 
+  /** Shared oracle CTE prefix for the curation composites: the near-dup
+    * keep-list (bigram Jaccard ≥ 0.05 pair graph → recursive-CTE
+    * connected components, survivor = component min) and the n=5
+    * benchmark-contamination set. `curate_corpus` aggregates these into
+    * the audit; `curate_apply` emits the surviving rows. */
+  private val curateCtes: String =
+    s"""WITH RECURSIVE grams AS (
+            SELECT DISTINCT doc_id, lang, source,
+                   unnest(list_transform(range(1, len(string_split(text,' '))),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1])) AS g
+            FROM documents),
+          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+          common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM grams a JOIN grams b
+              ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT doc_a, doc_b
+            FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05),
+          edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM pairs),
+          reach(u, v) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          keep AS (
+            SELECT u AS doc_id, MIN(v) AS keep_id FROM reach GROUP BY u),
+          w5 AS (
+            SELECT doc_id, source, string_split(text, ' ') AS ws
+            FROM documents),
+          g5 AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(ws) - 4 + 1),
+                     i -> array_to_string(ws[i:i+4], ' '))) AS g
+            FROM w5 WHERE len(ws) >= 5),
+          bench AS (SELECT DISTINCT g FROM g5 WHERE source = '$BenchSource'),
+          contam AS (
+            SELECT DISTINCT t.doc_id FROM g5 t JOIN bench USING (g)
+            WHERE t.source <> '$BenchSource')"""
+
   val qs: Seq[Q] = Seq(
     // n=5 rather than the published 13 because the synthetic corpus is
     // ~100-word documents — 5 keeps planted near-dup overlap visible at
@@ -134,47 +182,7 @@ object Curation {
               .otherwise(0L)).as("n_kept"))
           .orderBy("lang", "source")
       },
-      s"""WITH RECURSIVE grams AS (
-            SELECT DISTINCT doc_id, lang, source,
-                   unnest(list_transform(range(1, len(string_split(text,' '))),
-                     i -> string_split(text,' ')[i] || ' ' ||
-                          string_split(text,' ')[i+1])) AS g
-            FROM documents),
-          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
-          common AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-            FROM grams a JOIN grams b
-              ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
-             AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
-          pairs AS (
-            SELECT doc_a, doc_b
-            FROM common
-              JOIN sizes sa ON sa.doc_id = doc_a
-              JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05),
-          edges AS (
-            SELECT doc_a AS u, doc_b AS v FROM pairs
-            UNION
-            SELECT doc_b AS u, doc_a AS v FROM pairs),
-          reach(u, v) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-          keep AS (
-            SELECT u AS doc_id, MIN(v) AS keep_id FROM reach GROUP BY u),
-          w5 AS (
-            SELECT doc_id, source, string_split(text, ' ') AS ws
-            FROM documents),
-          g5 AS (
-            SELECT doc_id, source,
-                   unnest(list_transform(range(1, len(ws) - 4 + 1),
-                     i -> array_to_string(ws[i:i+4], ' '))) AS g
-            FROM w5 WHERE len(ws) >= 5),
-          bench AS (SELECT DISTINCT g FROM g5 WHERE source = '$BenchSource'),
-          contam AS (
-            SELECT DISTINCT t.doc_id FROM g5 t JOIN bench USING (g)
-            WHERE t.source <> '$BenchSource'),
+      s"""$curateCtes,
           flagged AS (
             SELECT d.lang, d.source,
                    CASE WHEN d.n_chars < 100 OR d.n_chars > 520
@@ -193,6 +201,96 @@ object Curation {
                  CAST(SUM(CASE WHEN bad_len + dup + contam = 0
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
           FROM flagged GROUP BY lang, source ORDER BY lang, source"""),
+
+    // curate_apply: the row-level companion of curate_corpus — emit the
+    // SURVIVING corpus (the rows a tokenizer would actually consume)
+    // instead of the audit. Same three rules, same persisted keep-list
+    // artifact; the plan is the audit's minus the final aggregate, so
+    // at 100 TB it stays a scan + artifact join + broadcast gram join
+    // with no added shuffle.
+    Q("curate_apply",
+      (s, d) => {
+        val docs = documents(s, d)
+        val train = docs.filter(col("source") =!= BenchSource)
+        val keep = graft.engine.ml.Dedup.keepListFor(docs, d, 0.05)
+        val contam = graft.engine.ml.Text.decontaminate(
+          train, docs.filter(col("source") === BenchSource), n = 5)
+          .select(col("doc_id"), lit(1).as("hit"))
+        train
+          .join(keep, Seq("doc_id"))
+          .join(contam, Seq("doc_id"), "left")
+          .filter(col("n_chars") >= 100 && col("n_chars") <= 520 &&
+            col("doc_id") === col("keep_id") && col("hit").isNull)
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      s"""$curateCtes
+          SELECT d.doc_id, d.lang, d.source, d.n_chars
+          FROM documents d
+            JOIN keep k ON k.doc_id = d.doc_id
+            LEFT JOIN contam c ON c.doc_id = d.doc_id
+          WHERE d.source <> '$BenchSource'
+            AND d.n_chars >= 100 AND d.n_chars <= 520
+            AND d.doc_id = k.keep_id
+            AND c.doc_id IS NULL
+          ORDER BY d.doc_id"""),
+
+    // Per-document lexical richness: mean inverse document frequency of
+    // the doc's distinct words (ln N/df). Low scores mark boilerplate /
+    // templated text — a standard curation quality signal. Two shuffles
+    // (word distinct + df agg) and a word-keyed join back; df for a real
+    // corpus is Zipfian, but the join key is (word), whose skew the
+    // AQE skew-join handles, and the final per-doc agg is uniform.
+    Q("text_idf_score",
+      (s, d) => {
+        val docs = documents(s, d)
+        val dw = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w")).distinct()
+        val wdf = dw.groupBy("w").agg(count(lit(1)).as("df"))
+        val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        dw.join(wdf, "w")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            round(avg(log(col("n_docs") / col("df"))), 6).as("avg_idf"))
+          .orderBy("doc_id")
+      },
+      """WITH dw AS (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         wdf AS (SELECT w, COUNT(*) AS df FROM dw GROUP BY 1),
+         total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+         SELECT doc_id, COUNT(*) AS n_words,
+                ROUND(AVG(LN(n_docs / df)), 6) AS avg_idf
+         FROM dw JOIN wdf USING (w) CROSS JOIN total
+         GROUP BY doc_id ORDER BY doc_id"""),
+
+    // Gopher-style repetition filter: fraction of a document's word
+    // 3-grams that are repeats of an earlier gram in the same document.
+    // High ratios mark degenerate/looping text. One map-only pass
+    // (Text.repetitionProfile): the per-doc counts are computed inside
+    // the scan partition, so there is NO shuffle — the shape that
+    // survives any corpus size.
+    Q("text_repetition",
+      (s, d) => graft.engine.ml.Text
+        .repetitionProfile(documents(s, d), 3)
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          round((col("n_grams") - col("n_distinct")) /
+            col("n_grams").cast("double"), 6).as("dup_ratio"))
+        .orderBy("doc_id"),
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws) - 1),
+                    i -> array_to_string(ws[i:i+2], ' '))) AS g
+           FROM w WHERE len(ws) >= 3)
+         SELECT doc_id, COUNT(*) AS n_grams,
+                COUNT(DISTINCT g) AS n_distinct,
+                ROUND((COUNT(*) - COUNT(DISTINCT g)) /
+                      CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+         FROM g GROUP BY doc_id ORDER BY doc_id"""),
 
     Q("chunk_overlap",
       (s, d) => Text.chunkOverlap(documents(s, d), 32, 24)

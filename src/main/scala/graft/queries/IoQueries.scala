@@ -185,5 +185,30 @@ object IoQueries {
                 CAST(year(o_orderdate) AS INT) AS y
          FROM orders WHERE year(o_orderdate) = 1997
          ORDER BY o_orderkey"""),
+
+    // Small-file compaction — THE standing maintenance job of any
+    // streaming/incremental lake (a year of micro-batches leaves
+    // millions of KB-sized files; scans then pay one open+footer per
+    // file). Stage 1 manufactures the problem (64 shards); stage 2
+    // compacts with coalesce — a shuffle-FREE narrow repack that only
+    // merges co-located shards — and the read back proves content
+    // identity. In production the target count comes from
+    // bytes/maxPartitionBytes instead of a constant, and the rewrite
+    // goes partition-by-partition under a lock or a table format.
+    Q("compact_files",
+      (s, d) => {
+        val small = scratch(d, "compact_small")
+        val big = scratch(d, "compact_big")
+        events(s, d).select("event_id", "event_type", "value")
+          .repartition(64)
+          .write.mode("overwrite").parquet(small)
+        s.read.parquet(small).coalesce(4)
+          .write.mode("overwrite").parquet(big)
+        s.read.parquet(big)
+          .select("event_id", "event_type", "value")
+          .orderBy("event_id")
+      },
+      """SELECT event_id, event_type, value
+         FROM events ORDER BY event_id"""),
   )
 }

@@ -155,6 +155,33 @@ object Windows {
          WINDOW w AS (PARTITION BY c_mktsegment
                       ORDER BY c_acctbal DESC, c_custkey ASC)
          ORDER BY c_mktsegment, c_custkey"""),
+
+    // Time-interval RANGE frame: per-user trailing 1-hour event count
+    // and value sum. Spark has no INTERVAL range frames over timestamps,
+    // so both engines run the frame over integer epoch-µs — the exact
+    // same 3.6e9-µs lookback, and the formulation that survives any
+    // timezone/precision drift. One shuffle on user_id; the frame is
+    // evaluated with a sliding two-pointer pass inside each partition.
+    Q("win_range_interval",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("t_us"))
+          .rangeBetween(-3600000000L, 0L)
+        events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("t_us"), col("value"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_1h", dsumOver(col("value"), 2, w))
+          .select("event_id", "user_id", "t_us", "n_1h", "sum_1h")
+          .orderBy("user_id", "t_us", "event_id")
+      },
+      """SELECT event_id, user_id, epoch_us(ts) AS t_us,
+                COUNT(*) OVER w AS n_1h,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w
+                      AS DOUBLE), 2) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, t_us, event_id"""),
   )
 
   /** Exact decimal windowed sum, emitted as ROUND(CAST(.. AS DOUBLE), s)

@@ -77,4 +77,33 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(out(0) === Seq("a b c", "b c d"))
     assert(out(1) === Seq.empty)
   }
+
+  test("repetitionProfile counts planted repetition; short docs emit 0") {
+    val docs = docsOf(Seq(
+      1L -> "x y z x y z x y z",   // 7 trigrams, 3 distinct
+      2L -> "a b c d e f g",       // 5 trigrams, all distinct
+      3L -> "a b"))                // shorter than n
+    val out = Text.repetitionProfile(docs, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) === ((7L, 3L)))
+    assert(out(2L) === ((5L, 5L)))
+    assert(out(3L) === ((0L, 0L)))
+  }
+
+  test("curate_apply survivors are exactly the audit's n_kept") {
+    // the audit (curate_corpus) and the row-level apply must agree on
+    // every (lang, source) slice — same rules, same keep-list artifact
+    val audit = SparkEntry.queries("curate_corpus")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(6))
+      .toMap
+    val applied = SparkEntry.queries("curate_apply")(spark, sf)
+      .groupBy("lang", "source").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(applied === audit.filter(_._2 > 0),
+      s"audit=$audit applied=$applied")
+  }
 }

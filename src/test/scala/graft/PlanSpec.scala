@@ -176,4 +176,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val p = df.queryExecution.executedPlan.toString()
     assert(p.contains("PartitionFilters: [isnotnull(y"), p)
   }
+
+  test("text_repetition is a map-only plan (zero shuffle before sort)") {
+    // the per-doc profile never leaves its partition; the only Exchange
+    // allowed is the final presentation orderBy's range partitioning
+    val p = graft.engine.ml.Text
+      .repetitionProfile(Tables.documents(spark, sf), 3)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("agg_winsorize joins the bounds back by broadcast") {
+    assert(plan("agg_winsorize").contains("BroadcastHashJoin"))
+  }
 }

@@ -185,4 +185,27 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
       case _ =>
     }
   }
+
+  test("compact_files rewrites 64 shards into ≤4 files, same rows") {
+    val n = SparkEntry.queries("compact_files")(spark, sf).count()
+    assert(n === Tables.events(spark, sf).count())
+    // the compacted dir (IoQueries scratch layout) really has ≤4 files
+    val tag = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    val big = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_io/${tag}_compact_big")
+    val parts = big.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts > 0 && parts <= 4, s"$parts files in $big")
+    val small = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_io/${tag}_compact_small")
+    assert(small.listFiles().count(_.getName.endsWith(".parquet")) === 64)
+  }
+
+  test("graph_triangles on sf0.001 sees the complete K10 projection") {
+    // every supplier pair at sf0.001 co-supplies ≥25 parts, so the
+    // projection is K10: each node closes C(9,2)=36 triangles
+    val rows = SparkEntry.queries("graph_triangles")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length === 10)
+    assert(rows.forall(_._2 === 36L), rows.mkString(","))
+  }
 }
