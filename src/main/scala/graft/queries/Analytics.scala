@@ -173,12 +173,20 @@ object Analytics {
     // enough for this projection's near-uniform degrees.
     Q("graph_triangles",
       (s, d) => {
-        val sp = lineitem(s, d)
+        // pair generation via per-part sorted supplier array + generator
+        // explode, not a self-join: collect_set dedupes (pk, sk) AND
+        // builds the array in the same single shuffle on pk (map-side
+        // partial sets), then the a<b pairs stream out of codegen'd
+        // generators straight into the (a,b) partial agg — no separate
+        // distinct, no second copy of the scan shuffled, no join to plan
+        val edges = lineitem(s, d)
           .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-          .distinct()
-        val edges = sp.as("x").join(sp.as("y"),
-            col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))
-          .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+          .groupBy("pk")
+          .agg(sort_array(collect_set(col("sk"))).as("sks"))
+          .select(posexplode(col("sks")).as(Seq("i", "a")), col("sks"))
+          .select(col("a"),
+            explode(expr("slice(sks, i + 2, size(sks))")).as("b"))
+          .groupBy("a", "b")
           .agg(count(lit(1)).as("w"))
           .filter(col("w") >= 25)
           .select("a", "b")
