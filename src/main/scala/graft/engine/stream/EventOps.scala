@@ -356,4 +356,43 @@ object EventOps {
           Iterator.single(UserAgg(user, st.n, st.lastType))
       }
   }
+
+  /** State-store introspection — the state-debugging surface every
+    * production streaming job eventually needs ("what does my running
+    * state actually contain?"). Runs a per-type running aggregate over
+    * a file stream with Trigger.AvailableNow, then reads the query's
+    * OWN state store back as a DataFrame via Spark's `statestore` data
+    * source (key struct, value struct = the agg buffer, partition_id).
+    *
+    * The returned rows come from the checkpoint files, not the sink —
+    * so equality with the batch aggregate proves the persisted state is
+    * the number the next restart would resume from. The buffer layout
+    * (count, sum, isEmpty) is Spark's HashAggregate state; we surface
+    * it as typed columns and leave partition_id visible because "which
+    * store holds key X" is exactly what state debugging asks. */
+  def aggStateDump(events: DataFrame, scratchDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val src = s"$scratchDir/src"
+    val ckpt = s"$scratchDir/ckpt"
+    // fresh checkpoint per run: the query reads state for ITS run, not
+    // an accumulation across runs
+    graft.engine.io.Storage.deleteFolder(spark, scratchDir)
+    val slim = events.select(col("event_type"), col("value"))
+    slim.write.mode("overwrite").parquet(src)
+    val in = spark.readStream.schema(slim.schema).parquet(src)
+    val agg = in.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .as("total"))
+    val q = agg.writeStream.format("noop")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.format("statestore").load(ckpt)
+      .select(col("key.event_type").as("event_type"),
+        col("value.count").as("n"),
+        col("value.sum").cast("double").as("total"),
+        col("partition_id"))
+  }
 }

@@ -124,6 +124,26 @@ object Streaming {
            FROM events)
          WHERE rn = 1 ORDER BY user_id"""),
 
+    // State-store READ-BACK: run a per-type running aggregate as a real
+    // AvailableNow streaming query, then read the checkpoint's state
+    // store (Spark `statestore` data source) and check it equals the
+    // batch aggregate — the rows come from the persisted state files,
+    // so this proves what the next restart would resume from. The
+    // state-debugging surface of SURVEY §2.8.
+    Q("stream_state_read",
+      (s, d) => {
+        val scratch = s"${sys.props("java.io.tmpdir")}/graft_io/" +
+          s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_state_read"
+        EventOps.aggStateDump(events(s, d), scratch)
+          .select(col("event_type"), col("n"),
+            round(col("total"), 2).as("total"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, COUNT(*) AS n,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                  AS total
+         FROM events GROUP BY event_type ORDER BY event_type"""),
+
     // Batch sessionization (gaps-and-islands): a session breaks after
     // 30 minutes of per-user silence — the portable formulation of
     // stream_session (lag → break flag → running sum), on integer

@@ -473,4 +473,19 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
   }
 
   private def tsUs(s: String): Long = ts(s).getTime * 1000L
+
+  test("statestore read-back equals the batch aggregate, state is spread") {
+    val scratch =
+      s"${sys.props("java.io.tmpdir")}/graft_test/state_read_spec"
+    val ev = Tables.events(spark, sf)
+    val state = EventOps.aggStateDump(ev, scratch)
+      .collect()
+    val batch = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromState = state.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromState === batch)
+    // the state really lives in multiple stores (one per shuffle
+    // partition) — the distributed layout, not a single blob
+    assert(state.map(_.getInt(3)).distinct.length > 1)
+  }
 }
