@@ -210,5 +210,54 @@ object IoQueries {
       },
       """SELECT event_id, event_type, value
          FROM events ORDER BY event_id"""),
+
+    // Plain text-line source — the rawest LLM-corpus ingest format
+    // (one document per line). Write "id<TAB>text" lines, read back
+    // with spark.read.text, re-split on the first tab. Line files are
+    // splittable by newline offset, so a 100 TB text corpus scans with
+    // full parallelism; the tab framing survives because document text
+    // is tab-free by construction (conformance would enforce that).
+    Q("scan_text",
+      (s, d) => {
+        val out = scratch(d, "textlines")
+        documents(s, d)
+          .select(concat(col("doc_id").cast("string"), lit("\t"),
+            col("text")).as("value"))
+          .write.mode("overwrite").text(out)
+        val parts = split(col("value"), "\t", 2)
+        s.read.text(out)
+          .select(parts.getItem(0).cast("bigint").as("doc_id"),
+            parts.getItem(1).as("text"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, text FROM documents ORDER BY doc_id"""),
+
+    // Partition retention (vacuum): the other standing lake-maintenance
+    // job besides compaction — expire partitions past the retention
+    // window by deleting their directories, no rewrite of surviving
+    // data. The read back proves partition discovery sees exactly the
+    // surviving years; the oracle is the retention predicate itself.
+    Q("maintain_retention",
+      (s, d) => {
+        val out = scratch(d, "retention")
+        orders(s, d).withColumn("y", year(col("o_orderdate")))
+          .select("o_orderkey", "o_totalprice", "y")
+          .write.mode("overwrite").partitionBy("y").parquet(out)
+        val root = new org.apache.hadoop.fs.Path(out)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(root).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("y=") && name.drop(2).toInt < 1997)
+            fs.delete(st.getPath, true)
+        }
+        s.read.parquet(out)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("y").cast("int").as("y"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS y
+         FROM orders WHERE year(o_orderdate) >= 1997
+         ORDER BY o_orderkey"""),
   )
 }

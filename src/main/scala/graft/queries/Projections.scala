@@ -74,6 +74,36 @@ object Projections {
                 CAST(l_returnflag AS VARCHAR) AS l_returnflag
          FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
 
+    // Error-TOLERANT conformance: try_cast turns unparseable cells into
+    // NULL instead of failing the job — the ingest mode for dirty
+    // feeds (reject-and-continue, with the NULLs countable as a DQ
+    // metric afterwards). Dirt is synthesized deterministically: every
+    // 3rd key gets a non-numeric prefix, month slots 0/13/14 make
+    // invalid dates. Both engines parse the identical strings.
+    Q("conform_trycast",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"),
+        expr("""try_cast(concat(CASE WHEN o_orderkey % 3 = 0
+                                     THEN 'x' ELSE '' END,
+                                CAST(o_orderkey AS STRING)) AS BIGINT)""")
+          .as("k_parsed"),
+        expr("try_cast(CAST(o_totalprice AS STRING) AS DOUBLE)")
+          .as("price_parsed"),
+        expr("""try_cast(concat('2024-',
+                  lpad(CAST(o_orderkey % 15 AS STRING), 2, '0'),
+                  '-15') AS DATE)""").as("date_parsed"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+                TRY_CAST(CASE WHEN o_orderkey % 3 = 0
+                              THEN 'x' ELSE '' END ||
+                         CAST(o_orderkey AS VARCHAR) AS BIGINT) AS k_parsed,
+                TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE)
+                  AS price_parsed,
+                TRY_CAST('2024-' ||
+                         lpad(CAST(o_orderkey % 15 AS VARCHAR), 2, '0') ||
+                         '-15' AS DATE) AS date_parsed
+         FROM orders ORDER BY o_orderkey"""),
+
     Q("distinct_rows",
       (s, d) => lineitem(s, d).select("l_returnflag", "l_linestatus")
         .distinct()

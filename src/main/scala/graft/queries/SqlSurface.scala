@@ -31,6 +31,34 @@ object SqlSurface {
                  WHERE l_orderkey = o_orderkey) AS last_ship
          FROM orders ORDER BY o_orderkey"""),
 
+    // correlated EXISTS / NOT EXISTS → LeftSemi + LeftAnti hash joins
+    // after decorrelation; both subqueries push their own predicate
+    // into the orders scan before the join
+    Q("subquery_exists",
+      (s, d) => {
+        customer(s, d).createOrReplaceTempView("graft_customer_ex")
+        orders(s, d).createOrReplaceTempView("graft_orders_ex")
+        s.sql("""
+          SELECT c_custkey, c_mktsegment
+          FROM graft_customer_ex c
+          WHERE EXISTS (SELECT 1 FROM graft_orders_ex o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 300000)
+            AND NOT EXISTS (SELECT 1 FROM graft_orders_ex o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderstatus = 'F')
+          ORDER BY c_custkey""")
+      },
+      """SELECT c_custkey, c_mktsegment
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 300000)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'F')
+         ORDER BY c_custkey"""),
+
     // bag (ALL) semantics: multiplicities subtract instead of vanish
     Q("set_except_all",
       (s, d) => {
