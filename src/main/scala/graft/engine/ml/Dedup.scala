@@ -335,32 +335,40 @@ object Dedup {
     * only — no O(group²) term — plus the hot-bucket cap (see
     * [[capBuckets]]) as the backstop against a degenerate token, and
     * exact merge-scan Jaccard verifies just the survivors. */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-      freqOrdered: Boolean = false, maxBucket: Int = 10000): DataFrame = {
+  /** (doc_id, lang, source, sorted bigram-hash array) — the shared
+    * signature relation behind the exact-Jaccard operators. One JIT
+    * mapPartitions sweep per document, hash-sorted so merge-scan
+    * intersection and prefix slicing are O(|g|). */
+  private def bigramSets(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val grams = trackCache( // reused by the prefix index + verify joins
-      graft.engine.ops.Scale
-        .spreadForCompute(docs.select(col("doc_id"), col("lang"),
-          col("source"), col("text")))
-        .as[(Long, String, String, String)]
-        .mapPartitions { it =>
-          it.map { case (id, lang, src, text) =>
-            val ws = text.split(' ')
-            val seen = new java.util.HashSet[Long]()
-            val out = Array.newBuilder[Long]
-            var i = 0
-            while (i < ws.length - 1) {
-              val bg = ws(i) + " " + ws(i + 1)
-              val h = fnv1a(bg, 0, bg.length)
-              if (seen.add(h)) out += h
-              i += 1
-            }
-            val arr = out.result()
-            java.util.Arrays.sort(arr)
-            (id, lang, src, arr)
+    graft.engine.ops.Scale
+      .spreadForCompute(docs.select(col("doc_id"), col("lang"),
+        col("source"), col("text")))
+      .as[(Long, String, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, lang, src, text) =>
+          val ws = text.split(' ')
+          val seen = new java.util.HashSet[Long]()
+          val out = Array.newBuilder[Long]
+          var i = 0
+          while (i < ws.length - 1) {
+            val bg = ws(i) + " " + ws(i + 1)
+            val h = fnv1a(bg, 0, bg.length)
+            if (seen.add(h)) out += h
+            i += 1
           }
-        }.toDF("doc_id", "lang", "source", "g"))
+          val arr = out.result()
+          java.util.Arrays.sort(arr)
+          (id, lang, src, arr)
+        }
+      }.toDF("doc_id", "lang", "source", "g")
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      freqOrdered: Boolean = false, maxBucket: Int = 10000): DataFrame = {
+    // reused by the prefix index + verify joins
+    val grams = trackCache(bigramSets(docs))
     val cand = ngramCandidates(grams, threshold, freqOrdered, maxBucket)
     graft.engine.expr.GraftFunctions.ensureRegistered(docs.sparkSession)
     cand
@@ -412,6 +420,58 @@ object Dedup {
           col("doc_id").as("doc_b"), col("tok")),
           Seq("lang", "source", "tok"))
         .filter(col("doc_a") < col("doc_b")))
+  }
+
+  /** INCREMENTAL near-dup screen — the ingest-time shape: a new batch
+    * arrives against an already-screened corpus, and only pairs
+    * TOUCHING the batch are generated. The existing×existing quadrant —
+    * at 100 TB, ~all of the work a full re-pair would do — never
+    * exists: the prefix-index probe side is the batch alone, the index
+    * side is batch ∪ existing, so work is Σ_token df_batch·df_all over
+    * prefix tokens instead of Σ df_all². Same exact prefix-filter
+    * theorem (a qualifying pair shares a prefix token under the global
+    * hash order regardless of which side each doc is on), same
+    * merge-scan Jaccard verify; emits (doc_a, doc_b, jaccard) with at
+    * least one side in the batch. In production the existing side's
+    * signatures/prefix index are a persisted artifact (keepListFor
+    * pattern) rather than recomputed. */
+  def incrementalNearDups(existing: DataFrame, batch: DataFrame,
+      threshold: Double, maxBucket: Int = 10000): DataFrame = {
+    val grams = trackCache(
+      bigramSets(existing).withColumn("is_new", lit(false))
+        .unionByName(bigramSets(batch).withColumn("is_new", lit(true))))
+    val plenSql =
+      s"cast(size(g) - ceil($threshold * size(g) - 1e-9) + 1 AS int)"
+    val pref = grams.select(col("lang"), col("source"), col("doc_id"),
+      col("is_new"), explode(expr(s"slice(g, 1, $plenSql)")).as("tok"))
+    val capped = capBuckets(pref, Seq("lang", "source", "tok"), maxBucket)
+    val probe = capped.filter(col("is_new"))
+      .select(col("lang"), col("source"), col("doc_id").as("doc_n"),
+        col("tok"))
+    val index = capped.select(col("lang"), col("source"),
+      col("doc_id").as("doc_o"), col("is_new").as("new_o"), col("tok"))
+    val cand = distinctPairs(
+      probe.join(index, Seq("lang", "source", "tok"))
+        .filter(col("doc_n") =!= col("doc_o"))
+        // batch×batch pairs arrive from both probes: keep one orientation
+        .filter(!col("new_o") || col("doc_n") < col("doc_o"))
+        .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+          greatest(col("doc_n"), col("doc_o")).as("doc_b")))
+    graft.engine.expr.GraftFunctions.ensureRegistered(
+      existing.sparkSession)
+    cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("g").as("g_a")),
+        Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("g").as("g_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("graft_intersect_count(g_a, g_b)").as("n_common"),
+        size(col("g_a")).as("sz_a"), size(col("g_b")).as("sz_b"))
+      .filter(col("sz_a") + col("sz_b") - col("n_common") > 0)
+      .withColumn("jaccard", round(col("n_common") /
+        (col("sz_a") + col("sz_b") - col("n_common")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** Resolve near-dup PAIRS into the keep-list every real dedup

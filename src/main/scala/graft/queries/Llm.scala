@@ -60,6 +60,43 @@ object Llm {
          WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.12
          ORDER BY doc_a, doc_b"""),
 
+    // Incremental ingest screen: every 5th doc plays the NEWLY-ARRIVED
+    // batch, the rest the already-screened corpus. Only pairs touching
+    // the batch are generated (Dedup.incrementalNearDups — the
+    // existing×existing quadrant never exists); the oracle is the full
+    // exact pair set restricted by the same touch predicate, so the
+    // incremental path must find exactly what a full re-pair would.
+    Q("dedup_incremental",
+      (s, d) => {
+        val docs = documents(s, d)
+        Dedup.incrementalNearDups(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0), 0.05)
+          .orderBy("doc_a", "doc_b")
+      },
+      """WITH grams AS (
+           SELECT DISTINCT doc_id, lang, source,
+                  unnest(list_transform(range(1, len(string_split(text,' '))),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1])) AS g
+           FROM documents),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+           FROM grams a JOIN grams b
+             ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                ROUND(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 4)
+                  AS jaccard
+         FROM common
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05
+           AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+         ORDER BY doc_a, doc_b"""),
+
     // Pairs → keep-list: connected components over the exact n-gram
     // pair graph, canonical survivor = min doc_id. Threshold 0.05 is
     // deliberate: this synthetic corpus has almost no pair mass in

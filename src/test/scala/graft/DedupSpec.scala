@@ -229,4 +229,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(resolved.filter(col("keep_id") > col("doc_id")).count() === 0)
     Dedup.unpersistTracked()
   }
+
+  test("incremental screen equals the full re-pair restricted to batch") {
+    // the exactness contract: incrementalNearDups(existing, batch) must
+    // find exactly the full pair set's pairs that touch the batch
+    val docs = Tables.documents(spark, sf)
+    val full = Dedup.ngramJaccardPairs(docs, 0.05)
+      .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.unpersistTracked()
+    val inc = Dedup.incrementalNearDups(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.unpersistTracked()
+    assert(inc === full,
+      s"missing=${full.diff(inc)} extra=${inc.diff(full)}")
+  }
 }
