@@ -341,5 +341,21 @@ object Aggregates {
                 ROUND(MAX(LEAST(GREATEST(p, p_lo), p_hi)), 2) AS max_w
          FROM li JOIN bounds ON li.flag = bounds.flag
          GROUP BY li.flag ORDER BY li.flag"""),
+
+    // Sketch percentiles — the constant-memory alternative to
+    // agg_winsorize's exact rank: each partition builds a bounded
+    // quantile summary, summaries MERGE (the property that matters at
+    // 1000 executors — no per-value shuffle, just one small buffer per
+    // partition). Approximate ⇒ no SQL oracle; EngineSpec bounds it
+    // against the exact percentile instead.
+    Q.noOracle("agg_approx_percentile",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+          .as("pcts"))
+        .select(col("l_returnflag"),
+          col("pcts").getItem(0).as("p50"),
+          col("pcts").getItem(1).as("p95"))
+        .orderBy("l_returnflag")),
   )
 }

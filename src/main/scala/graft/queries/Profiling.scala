@@ -204,5 +204,42 @@ object Profiling {
                   (COUNT(*) OVER (PARTITION BY lang) + 9) // 10 AS quota
            FROM documents)
          WHERE rn <= quota ORDER BY doc_id"""),
+
+    // Per-column top-k value profile — the "most frequent values" panel
+    // of every data-profiling report. One groupBy per profiled column
+    // (map-side combined), tiny rank windows over the per-column value
+    // counts; the long (column, value) output shape scales to any
+    // column count without widening rows.
+    Q("profile_topk_values",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = orders(s, d)
+        def top(colName: String) = {
+          val w = Window.partitionBy(lit(1))
+            .orderBy(desc("n"), asc("value"))
+          o.groupBy(col(colName).as("value"))
+            .agg(count(lit(1)).as("n"))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 3)
+            .select(lit(colName).as("column_name"), col("value"),
+              col("n"), col("rk"))
+        }
+        top("o_orderstatus").unionByName(top("o_orderpriority"))
+          .orderBy("column_name", "rk")
+      },
+      """WITH s AS (
+           SELECT 'o_orderstatus' AS column_name, o_orderstatus AS value,
+                  COUNT(*) AS n
+           FROM orders GROUP BY 2
+           UNION ALL
+           SELECT 'o_orderpriority', o_orderpriority, COUNT(*)
+           FROM orders GROUP BY 2),
+         ranked AS (
+           SELECT column_name, value, n,
+                  ROW_NUMBER() OVER (PARTITION BY column_name
+                    ORDER BY n DESC, value ASC) AS rk
+           FROM s)
+         SELECT column_name, value, n, rk FROM ranked
+         WHERE rk <= 3 ORDER BY column_name, rk"""),
   )
 }

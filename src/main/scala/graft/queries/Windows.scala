@@ -182,6 +182,33 @@ object Windows {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, t_us, event_id"""),
+
+    // Forward fill (last-observation-carried-forward) — the time-series
+    // repair for sensor dropout. Every 3rd event's value is nulled
+    // deterministically, then last(..., ignoreNulls) carries the prior
+    // observation forward per user; a user's leading nulls stay null in
+    // both engines. Values pass through un-arithmetic'd, so doubles
+    // hash exactly.
+    Q("win_forward_fill",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("t_us"),
+            when(col("event_id") % 3 === 0, lit(null))
+              .otherwise(col("value")).as("v"))
+          .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+          .orderBy("user_id", "t_us", "event_id")
+      },
+      """SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v,
+                LAST_VALUE(CASE WHEN event_id % 3 = 0 THEN NULL
+                           ELSE value END IGNORE NULLS) OVER w AS v_filled
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, t_us, event_id"""),
   )
 
   /** Exact decimal windowed sum, emitted as ROUND(CAST(.. AS DOUBLE), s)

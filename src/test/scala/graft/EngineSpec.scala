@@ -158,6 +158,26 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("approx_percentile lands within 2% of the exact quantiles") {
+    val approx = SparkEntry.queries("agg_approx_percentile")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("p"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getSeq[Double](1).head, r.getSeq[Double](1)(1))))
+      .toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (flag, (e50, e95)) =>
+      val (a50, a95) = approx(flag)
+      assert(math.abs(a50 - e50) / e50 <= 0.02, s"$flag p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) / e95 <= 0.02, s"$flag p95: $a95 vs $e95")
+    }
+  }
+
   test("broadcast-scored language-ID ≡ the join-based formulation") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sf)
