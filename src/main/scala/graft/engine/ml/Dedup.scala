@@ -435,10 +435,34 @@ object Dedup {
     * least one side in the batch. In production the existing side's
     * signatures/prefix index are a persisted artifact (keepListFor
     * pattern) rather than recomputed. */
+  /** Persisted bigram-signature store (same artifact pattern as
+    * [[keepListFor]] / the IVF quantizer): the screened corpus's
+    * signatures are computed ONCE at ingest and re-read by every later
+    * incremental screen — at 100 TB, re-sweeping the corpus per batch
+    * would dwarf the batch itself. Keyed by (tag, row count) so
+    * regenerated data re-signs. */
+  def signatureStoreFor(docs: DataFrame, datasetTag: String): DataFrame = {
+    val spark = docs.sparkSession
+    val n = docs.count()
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"$warehouse/graft_signatures/${safe}_$n"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      bigramSets(docs).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   def incrementalNearDups(existing: DataFrame, batch: DataFrame,
-      threshold: Double, maxBucket: Int = 10000): DataFrame = {
+      threshold: Double, maxBucket: Int = 10000,
+      existingTag: Option[String] = None): DataFrame = {
+    val existingSigs = existingTag match {
+      case Some(tag) => signatureStoreFor(existing, tag)
+      case None      => bigramSets(existing)
+    }
     val grams = trackCache(
-      bigramSets(existing).withColumn("is_new", lit(false))
+      existingSigs.withColumn("is_new", lit(false))
         .unionByName(bigramSets(batch).withColumn("is_new", lit(true))))
     val plenSql =
       s"cast(size(g) - ceil($threshold * size(g) - 1e-9) + 1 AS int)"

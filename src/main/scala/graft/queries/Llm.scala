@@ -69,9 +69,13 @@ object Llm {
     Q("dedup_incremental",
       (s, d) => {
         val docs = documents(s, d)
+        // existing-side signatures come from the persisted store (fit
+        // once per dataset, like the keep-list/quantizer artifacts);
+        // only the batch is swept fresh
         Dedup.incrementalNearDups(
           docs.filter(col("doc_id") % 5 =!= 0),
-          docs.filter(col("doc_id") % 5 === 0), 0.05)
+          docs.filter(col("doc_id") % 5 === 0), 0.05,
+          existingTag = Some(s"${d}_inc"))
           .orderBy("doc_a", "doc_b")
       },
       """WITH grams AS (
