@@ -259,5 +259,52 @@ object IoQueries {
                 CAST(year(o_orderdate) AS INT) AS y
          FROM orders WHERE year(o_orderdate) >= 1997
          ORDER BY o_orderkey"""),
+
+    // PERMISSIVE malformed-record handling: a dirty CSV (every 7th row
+    // gets an unparseable key) reads without failing the job — bad rows
+    // land in the _corrupt_record column, good rows parse. The summary
+    // proves the split is exact: corrupt count, parsed count, and the
+    // decimal-exact price sum over ONLY the parsed rows. The oracle
+    // recomputes all three from the construction rule — the CSV write
+    // and permissive read must lose nothing and leak nothing.
+    Q("scan_csv_malformed",
+      (s, d) => {
+        val out = scratch(d, "badcsv")
+        orders(s, d).select(
+          concat(
+            when(col("o_orderkey") % 7 === 0,
+              concat(lit("bad"), col("o_orderkey").cast("string")))
+              .otherwise(col("o_orderkey").cast("string")),
+            lit(","), col("o_totalprice").cast("string")).as("value"))
+          .write.mode("overwrite").text(out)
+        val schema = StructType(Seq(
+          StructField("k", LongType), StructField("price", DoubleType),
+          StructField("_corrupt_record", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(out)
+          // count(k) is load-bearing beyond the metric: corrupt-record
+          // detection only runs over the columns the query references
+          // (requiredSchema pruning) — without touching k, the bad keys
+          // are never parsed and nothing is flagged corrupt
+          .agg(
+            count(when(col("_corrupt_record").isNotNull, 1))
+              .as("n_corrupt"),
+            count(when(col("_corrupt_record").isNull, 1)).as("n_parsed"),
+            count(col("k")).as("n_valid_keys"),
+            dsum(when(col("_corrupt_record").isNull, col("price")), 2)
+              .as("parsed_price_sum"))
+      },
+      """SELECT COUNT(CASE WHEN o_orderkey % 7 = 0 THEN 1 END)
+                  AS n_corrupt,
+                COUNT(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END)
+                  AS n_parsed,
+                COUNT(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END)
+                  AS n_valid_keys,
+                ROUND(CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                      AS DOUBLE), 2) AS parsed_price_sum
+         FROM orders"""),
   )
 }

@@ -250,5 +250,32 @@ object Joins {
          SELECT doc_id, d.lang, lang_avg_chars, lang_docs
          FROM documents d JOIN dim ON d.lang = dim.lang
          ORDER BY doc_id"""),
+
+    // NULL-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // MATCH each other instead of silently dropping — the semantics a
+    // dimension join needs when "unknown" is itself a category. Keys
+    // are nullified deterministically on both sides; plain equality
+    // would lose the NULL↔NULL row.
+    Q("join_null_safe",
+      (s, d) => {
+        val a = orders(s, d)
+          .groupBy(expr("nullif(o_orderstatus, 'P')").as("k"))
+          .agg(count(lit(1)).as("n_orders"))
+        val b = lineitem(s, d)
+          .groupBy(expr("nullif(l_linestatus, 'F')").as("k"))
+          .agg(count(lit(1)).as("n_lines"))
+        a.join(b, a("k") <=> b("k"), "left")
+          .select(a("k").as("k"), col("n_orders"), col("n_lines"))
+          .orderBy(col("k").asc_nulls_first)
+      },
+      """WITH a AS (
+           SELECT NULLIF(o_orderstatus, 'P') AS k, COUNT(*) AS n_orders
+           FROM orders GROUP BY 1),
+         b AS (
+           SELECT NULLIF(l_linestatus, 'F') AS k, COUNT(*) AS n_lines
+           FROM lineitem GROUP BY 1)
+         SELECT a.k, n_orders, n_lines
+         FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k
+         ORDER BY a.k NULLS FIRST"""),
   )
 }

@@ -209,6 +209,41 @@ object Windows {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY user_id, t_us, event_id"""),
+
+    // Running COUNT(DISTINCT) — not directly expressible as a window
+    // in either engine, so both run the same two-step formulation:
+    // flag each (user, type)'s first occurrence with a rank window,
+    // then running-sum the flags. Both windows key on user_id first,
+    // so the sort-within-partition is the only extra cost over one
+    // window.
+    Q("win_cumulative_distinct",
+      (s, d) => {
+        val wFirst = Window.partitionBy("user_id", "event_type")
+          .orderBy("t_us", "event_id")
+        val wRun = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("t_us"))
+          .withColumn("first_seen",
+            (row_number().over(wFirst) === 1).cast("long"))
+          .withColumn("types_so_far", sum(col("first_seen")).over(wRun))
+          .select("user_id", "event_id", "t_us", "types_so_far")
+          .orderBy("user_id", "t_us", "event_id")
+      },
+      """WITH flagged AS (
+           SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                  CASE WHEN ROW_NUMBER() OVER (
+                         PARTITION BY user_id, event_type
+                         ORDER BY epoch_us(ts), event_id) = 1
+                       THEN 1 ELSE 0 END AS first_seen
+           FROM events)
+         SELECT user_id, event_id, t_us,
+                CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                  ORDER BY t_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS types_so_far
+         FROM flagged ORDER BY user_id, t_us, event_id"""),
   )
 
   /** Exact decimal windowed sum, emitted as ROUND(CAST(.. AS DOUBLE), s)
