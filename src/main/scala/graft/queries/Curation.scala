@@ -292,6 +292,40 @@ object Curation {
                       CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
          FROM g GROUP BY doc_id ORDER BY doc_id"""),
 
+    // Canonicalization before dedup/fingerprinting: lowercase, strip
+    // non-alphanumerics, collapse runs of whitespace, trim. Pure
+    // map-side string work; emits the normalized text plus the shrink
+    // audit (chars before/after). Dirt is injected deterministically so
+    // the rules all fire on this clean corpus.
+    Q("text_normalize",
+      (s, d) => documents(s, d)
+        .withColumn("dirty",
+          concat(lit("  "), upper(substring(col("text"), 1, 30)),
+            lit(" ,. !!  "), col("text"), lit("   ")))
+        .select(col("doc_id"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("dirty")), "[^a-z0-9 ]", ""),
+            " +", " ")).as("norm_text"),
+          length(col("dirty")).as("n_before"))
+        .withColumn("n_after", length(col("norm_text")))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+                trim(regexp_replace(
+                  regexp_replace(
+                    lower('  ' || upper(substr(text, 1, 30)) ||
+                          ' ,. !!  ' || text || '   '),
+                    '[^a-z0-9 ]', '', 'g'),
+                  ' +', ' ', 'g')) AS norm_text,
+                CAST(length('  ' || upper(substr(text, 1, 30)) ||
+                     ' ,. !!  ' || text || '   ') AS BIGINT) AS n_before,
+                CAST(length(trim(regexp_replace(
+                  regexp_replace(
+                    lower('  ' || upper(substr(text, 1, 30)) ||
+                          ' ,. !!  ' || text || '   '),
+                    '[^a-z0-9 ]', '', 'g'),
+                  ' +', ' ', 'g'))) AS BIGINT) AS n_after
+         FROM documents ORDER BY doc_id"""),
+
     Q("chunk_overlap",
       (s, d) => Text.chunkOverlap(documents(s, d), 32, 24)
         .orderBy("doc_id", "chunk_id"),

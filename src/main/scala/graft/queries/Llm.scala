@@ -401,6 +401,47 @@ object Llm {
                FROM embeddings)
          GROUP BY label ORDER BY label"""),
 
+    // Per-vector symmetric int8 quantization — the 4× storage compression
+    // a 100 TB embedding store runs at ingest (scale = max|v|/127,
+    // q_i = round(v_i/scale)). Map-only; emits the quantizer audit every
+    // compression job reports: the scale, an exact integer checksum of
+    // the quantized codes, and the reconstruction MSE. All arithmetic is
+    // a left fold over doubles, mirrored exactly by the oracle's
+    // list_reduce so the folds hash-match (same pattern as
+    // dedup_embedding's cosine).
+    Q("vec_quantize",
+      (s, d) => embeddings(s, d)
+        .withColumn("scale",
+          expr("""aggregate(embedding, CAST(0.0 AS DOUBLE),
+                    (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"""))
+        .select(col("vec_id"), round(col("scale"), 8).as("scale_r"),
+          expr("""aggregate(transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)),
+                    CAST(0 AS BIGINT), (acc, q) -> acc + abs(q))""")
+            .as("abs_code_sum"),
+          round(expr("""aggregate(transform(embedding,
+                    x -> pow(CAST(x AS DOUBLE) -
+                         round(CAST(x AS DOUBLE) / scale) * scale, 2)),
+                    CAST(0.0 AS DOUBLE), (acc, e) -> acc + e) / 64.0"""),
+            12).as("mse"))
+        .orderBy("vec_id"),
+      """WITH scaled AS (
+           SELECT vec_id, embedding,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> abs(CAST(embedding[i] AS DOUBLE))),
+                    (x, y) -> greatest(x, y)) / 127.0 AS scale
+           FROM embeddings)
+         SELECT vec_id, ROUND(scale, 8) AS scale_r,
+                CAST(list_reduce(list_transform(range(1, 65),
+                  i -> abs(CAST(round(CAST(embedding[i] AS DOUBLE) / scale)
+                           AS BIGINT))), (x, y) -> x + y) AS BIGINT)
+                  AS abs_code_sum,
+                ROUND(list_reduce(list_transform(range(1, 65),
+                  i -> pow(CAST(embedding[i] AS DOUBLE) -
+                           round(CAST(embedding[i] AS DOUBLE) / scale) *
+                           scale, 2)), (x, y) -> x + y) / 64.0, 12) AS mse
+         FROM scaled ORDER BY vec_id"""),
+
     // Training-mixture sampling: per-language rates (en 40%, others 10%)
     // over a reproducible md5 bucket of doc_id — the weighted-interleave
     // step of corpus assembly, exact-membership checked by the oracle.
