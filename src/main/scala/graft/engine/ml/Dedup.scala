@@ -243,9 +243,35 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash-LSH near-dup pipeline: shingle → sign → band → verify. */
-  def nearMinHash(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val state = signatures(docs)
+  /** Persisted MinHash/shingle signature store — the ingest-time-
+    * artifact form of [[signatures]] (same pattern as the bigram
+    * [[signatureStoreFor]]): sign the corpus once, every later near-dup
+    * run reads the stored (shingles, signature) relation instead of
+    * re-sweeping the text. */
+  def minhashStoreFor(docs: DataFrame, datasetTag: String,
+      numHashes: Int = 32, seed: Long = 42L): DataFrame = {
+    val spark = docs.sparkSession
+    val n = docs.count()
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"$warehouse/graft_signatures/minhash_${safe}_${n}_" +
+      s"${numHashes}_$seed"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      signatures(docs, numHashes, seed).write.mode("overwrite")
+        .parquet(path)
+    trackCache(spark.read.parquet(path))
+  }
+
+  /** MinHash-LSH near-dup pipeline: shingle → sign → band → verify.
+    * With `datasetTag`, the sign pass reads the persisted store. */
+  def nearMinHash(docs: DataFrame, threshold: Double = 0.8,
+      datasetTag: Option[String] = None): DataFrame = {
+    val state = datasetTag match {
+      case Some(tag) => minhashStoreFor(docs, tag)
+      case None      => signatures(docs)
+    }
     jaccardVerify(lshCandidates(state), state, threshold)
   }
 

@@ -26,7 +26,8 @@ object Llm {
     // MinHash-LSH near-dup: xxhash64-seeded → not SQL-mirrorable; the
     // exact-Jaccard verification of planted dupes runs in ScalaTest.
     Q.noOracle("dedup_near",
-      (s, d) => Dedup.nearMinHash(documents(s, d), 0.8)
+      (s, d) => Dedup.nearMinHash(documents(s, d), 0.8,
+          datasetTag = Some(d))
         .orderBy("doc_a", "doc_b")),
 
     Q.noOracle("dedup_simhash",

@@ -230,6 +230,18 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     Dedup.unpersistTracked()
   }
 
+  test("stored-signature near-dup equals the fresh-signature path") {
+    val docs = Tables.documents(spark, sf)
+    val fresh = Dedup.nearMinHash(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.unpersistTracked()
+    val stored = Dedup.nearMinHash(docs, 0.8,
+        datasetTag = Some("spec_store"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.unpersistTracked()
+    assert(stored === fresh)
+  }
+
   test("incremental screen equals the full re-pair restricted to batch") {
     // the exactness contract: incrementalNearDups(existing, batch) must
     // find exactly the full pair set's pairs that touch the batch
