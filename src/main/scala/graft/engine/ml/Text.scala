@@ -106,6 +106,47 @@ object Text {
       }.toDF("doc_id", "n_grams", "n_distinct")
   }
 
+  /** EXACT heavy hitters (words with frequency > total/k) at sketch
+    * cost: per-partition Misra-Gries summaries with m ≥ k counters —
+    * pigeonhole guarantees a globally-heavy word is locally heavy in
+    * at least one partition, and MG never evicts a key with local
+    * frequency > n_p/(m+1) — then one exact recount of the tiny
+    * candidate union (broadcast semi-join + groupBy). Output equals
+    * the exact answer, deterministically, while the full-shuffle
+    * word count is replaced by: narrow sketch pass + recount over
+    * candidates only. The 100 TB win: the shuffle carries one row per
+    * (partition × candidate), not per word occurrence. */
+  def heavyHitters(docs: DataFrame, k: Int, m: Int = 256): DataFrame = {
+    require(m >= k, s"need at least k=$k counters, got $m")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+    val candidates = words.as[String].mapPartitions { it =>
+      val counts = new java.util.HashMap[String, Long]()
+      it.foreach { w =>
+        val c = counts.get(w)
+        if (c != null) counts.put(w, c + 1L)
+        else if (counts.size < m) counts.put(w, 1L)
+        else { // decrement-all: the Misra-Gries eviction step
+          val e = counts.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue == 1L) e.remove()
+            else kv.setValue(kv.getValue - 1L)
+          }
+        }
+      }
+      scala.jdk.CollectionConverters
+        .IteratorHasAsScala(counts.keySet().iterator()).asScala
+    }.toDF("w").distinct()
+    val total = words.agg(count(lit(1)).cast("double").as("n_words"))
+    words.join(broadcast(candidates), "w")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") > col("n_words") / k)
+      .select("w", "cnt")
+  }
+
   /** Benchmark decontamination (the n-gram-overlap check every serious
     * training-data pipeline runs before training): flag each training
     * document that shares any word n-gram with the benchmark/eval

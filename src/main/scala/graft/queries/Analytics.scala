@@ -218,5 +218,47 @@ object Analytics {
            UNION ALL SELECT v FROM tri
            UNION ALL SELECT t FROM tri)
          GROUP BY node ORDER BY node"""),
+
+    // Time-weighted average per user: each observation holds until the
+    // next one (step interpolation), weight = µs held. Products stay
+    // EXACT — DECIMAL(18,2) value × integer-µs interval — so the only
+    // float op is one final double division on identical inputs.
+    // One lead() window + one agg, both on the user_id shuffle.
+    Q("time_weighted_avg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("t"), col("value"))
+          .withColumn("dt", lead(col("t"), 1).over(w) - col("t"))
+          .filter(col("dt").isNotNull && col("dt") > 0)
+          .groupBy("user_id")
+          .agg(
+            sum(col("value")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+              col("dt").cast(org.apache.spark.sql.types.DecimalType(18, 0)))
+              .as("num"),
+            sum(col("dt")).as("den"))
+          .select(col("user_id"),
+            round(col("num").cast("double") / col("den").cast("double"), 6)
+              .as("twa"))
+          .orderBy("user_id")
+      },
+      """WITH stepped AS (
+           SELECT user_id, value,
+                  LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS dt
+           FROM events),
+         agg AS (
+           SELECT user_id,
+                  SUM(CAST(value AS DECIMAL(18,2)) *
+                      CAST(dt AS DECIMAL(18,0))) AS num,
+                  SUM(dt) AS den
+           FROM stepped WHERE dt IS NOT NULL AND dt > 0
+           GROUP BY user_id)
+         SELECT user_id,
+                ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS twa
+         FROM agg ORDER BY user_id"""),
   )
 }

@@ -292,6 +292,23 @@ object Curation {
                       CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
          FROM g GROUP BY doc_id ORDER BY doc_id"""),
 
+    // Exact heavy hitters at sketch cost: per-partition Misra-Gries
+    // candidates (narrow pass, bounded memory), then an exact recount
+    // of the tiny candidate union — output EQUALS the exact frequent-
+    // words answer (the stopword list every tokenizer/quality pass
+    // wants), so the plain GROUP BY oracle checks it directly.
+    Q("agg_heavy_hitters",
+      (s, d) => Text.heavyHitters(documents(s, d), 100)
+        .orderBy("w"),
+      """WITH w AS (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_words FROM w)
+         SELECT w, COUNT(*) AS cnt
+         FROM w CROSS JOIN tot
+         GROUP BY w, n_words
+         HAVING COUNT(*) > n_words / 100
+         ORDER BY w"""),
+
     // Canonicalization before dedup/fingerprinting: lowercase, strip
     // non-alphanumerics, collapse runs of whitespace, trim. Pure
     // map-side string work; emits the normalized text plus the shrink
