@@ -194,6 +194,38 @@ object Joins {
           AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 3600000000
          GROUP BY 1 ORDER BY user_id"""),
 
+    // The SCALE path for the interval join above: quantize time into
+    // window-width buckets and join on (user, bucket) with the probe
+    // side expanded to its two candidate buckets — every qualifying
+    // pair lands in exactly one of them (distinct jb values ⇒ no
+    // double count). The equi-join key gains the bucket, so a hot
+    // user's join group is bounded by bucket occupancy instead of the
+    // user's whole history — the difference between O(history²) and
+    // O(history × bucket) on a power user at 100 TB. Same output as
+    // join_range (bucketing must be invisible).
+    Q("join_range_bucketed",
+      (s, d) => {
+        val B = 3600000000L
+        val e1 = events(s, d).select(
+          col("user_id").as("u1"), unix_micros(col("ts")).as("t1"))
+          .withColumn("b1", expr(s"t1 div $B"))
+        val e2 = events(s, d).select(
+          col("user_id").as("u2"), unix_micros(col("ts")).as("t2"))
+          .withColumn("b2", expr(s"t2 div $B"))
+        e1.withColumn("jb", explode(array(col("b1"), col("b1") + 1)))
+          .join(e2, col("jb") === col("b2") && col("u1") === col("u2") &&
+            col("t2") > col("t1") && col("t2") <= col("t1") + B)
+          .groupBy(col("u1").as("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      """SELECT e1.user_id AS user_id, COUNT(*) AS n_pairs
+         FROM events e1 JOIN events e2
+           ON e1.user_id = e2.user_id
+          AND epoch_us(e2.ts) > epoch_us(e1.ts)
+          AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 3600000000
+         GROUP BY 1 ORDER BY user_id"""),
+
     // As-of join (no native Spark operator): each purchase event matched
     // to the same user's latest prior click. Expressed as a window scan
     // over the union — O(n log n) per user partition, one shuffle. At
