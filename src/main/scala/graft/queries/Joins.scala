@@ -283,6 +283,37 @@ object Joins {
          FROM documents d JOIN dim ON d.lang = dim.lang
          ORDER BY doc_id"""),
 
+    // Forward as-of: each click matched to the same user's EARLIEST
+    // subsequent purchase (the "next conversion" lookup) — the mirror
+    // of join_asof's backward scan, same one-shuffle window formulation
+    // with the frame reversed.
+    Q("join_asof_forward",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("t"))
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+          .rowsBetween(1, Window.unboundedFollowing)
+        ev.withColumn("next_purchase_id",
+            first(when(col("event_type") === "purchase", col("event_id")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "click")
+          .select("event_id", "user_id", "next_purchase_id")
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, next_purchase_id FROM (
+           SELECT event_id, user_id, event_type,
+                  FIRST_VALUE(CASE WHEN event_type = 'purchase'
+                    THEN event_id END IGNORE NULLS) OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                    AS next_purchase_id
+           FROM events WHERE event_type IN ('click', 'purchase'))
+         WHERE event_type = 'click' ORDER BY event_id"""),
+
     // NULL-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     // MATCH each other instead of silently dropping — the semantics a
     // dimension join needs when "unknown" is itself a category. Keys

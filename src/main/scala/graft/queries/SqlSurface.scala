@@ -59,6 +59,30 @@ object SqlSurface {
                              AND o.o_orderstatus = 'F')
          ORDER BY c_custkey"""),
 
+    // FILTER-clause aggregates: per-aggregate predicates without
+    // CASE-wrapping every argument — one scan, one agg, N conditions
+    Q("agg_filter_clause",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("graft_lineitem_fc")
+        s.sql("""
+          SELECT l_returnflag,
+                 COUNT(*) AS n_all,
+                 COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+                 COUNT(*) FILTER (WHERE l_discount = 0) AS n_no_disc,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                   FILTER (WHERE l_quantity > 25) AS DOUBLE) AS bulk_price
+          FROM graft_lineitem_fc
+          GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      """SELECT l_returnflag,
+                COUNT(*) AS n_all,
+                COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+                COUNT(*) FILTER (WHERE l_discount = 0) AS n_no_disc,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  FILTER (WHERE l_quantity > 25) AS DOUBLE) AS bulk_price
+         FROM lineitem
+         GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
     // bag (ALL) semantics: multiplicities subtract instead of vanish
     Q("set_except_all",
       (s, d) => {
