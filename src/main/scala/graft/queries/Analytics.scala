@@ -165,12 +165,10 @@ object Analytics {
     // Per-node triangle counts on the supplier co-supply graph (edge =
     // two suppliers sharing ≥25 distinct parts — the strength threshold
     // keeps the projection sparse as the corpus grows). Triangles via
-    // the oriented-edge wedge join: every edge stored once as a<b, so
-    // each triangle {a<b<c} is found exactly once as (a,b)+(b,c)+(a,c)
-    // — no ×6 duplication, and the wedge intermediate is Σ_b in(b)·out(b)
-    // rather than degree². At 100 TB the orientation would be by degree
-    // (low→high), the standard bound on wedge fan-out; id order is
-    // enough for this projection's near-uniform degrees.
+    // the oriented-edge wedge join: every edge stored once, each
+    // triangle found exactly once from its unique source — no ×6
+    // duplication — with DEGREE orientation bounding the wedge fan-out
+    // on hub nodes (see below).
     Q("graph_triangles",
       (s, d) => {
         // pair generation via per-part sorted supplier array + generator
@@ -179,7 +177,7 @@ object Analytics {
         // partial sets), then the a<b pairs stream out of codegen'd
         // generators straight into the (a,b) partial agg — no separate
         // distinct, no second copy of the scan shuffled, no join to plan
-        val edges = lineitem(s, d)
+        val undirected = lineitem(s, d)
           .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
           .groupBy("pk")
           .agg(sort_array(collect_set(col("sk"))).as("sks"))
@@ -190,12 +188,34 @@ object Analytics {
           .agg(count(lit(1)).as("w"))
           .filter(col("w") >= 25)
           .select("a", "b")
+        // DEGREE orientation (the standard wedge-fan-out bound): each
+        // edge points low-(degree, id) → high-(degree, id), an acyclic
+        // orientation under which every node's out-degree is O(√edges)
+        // on any graph — so the wedge join below never fans out on a
+        // hub node, the failure mode id-orientation hits on skewed
+        // co-occurrence graphs. Triangle identity is unchanged (each
+        // triangle has exactly one source under any acyclic
+        // orientation), so the oracle stays the plain a<b SQL.
+        val deg = undirected.select(col("a").as("n"))
+          .union(undirected.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val edges = undirected
+          .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+          .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+          .select(
+            when(col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b")),
+              col("a")).otherwise(col("b")).as("src"),
+            when(col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b")),
+              col("b")).otherwise(col("a")).as("dst"))
         val tri = edges.as("e1")
-          .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+          .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
           .join(edges.as("e3"),
-            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-          .select(col("e1.a").as("u"), col("e1.b").as("v"),
-            col("e2.b").as("t"))
+            col("e1.src") === col("e3.src") &&
+              col("e2.dst") === col("e3.dst"))
+          .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+            col("e2.dst").as("t"))
         tri.select(col("u").as("node"))
           .union(tri.select(col("v").as("node")))
           .union(tri.select(col("t").as("node")))

@@ -91,6 +91,34 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L) === ((0L, 0L)))
   }
 
+  test("Misra-Gries heavy hitters are exact on a Zipfian corpus") {
+    // the guarantee that matters on real (Zipfian) text: the bounded-
+    // memory candidate pass must not miss any word above n/k, and the
+    // recount must equal the exact answer — under skew AND under a
+    // different partitioning
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 200).map { i =>
+      val head = Seq.fill(30)(s"w${rnd.nextInt(1 + rnd.nextInt(40))}")
+      val tail = Seq.fill(10)(s"rare${rnd.nextInt(20000)}")
+      (i.toLong, (head ++ tail).mkString(" "))
+    }.toDF("doc_id", "text")
+    def exact(k: Int) = {
+      val w = docs.select(explode(split(col("text"), " ")).as("w"))
+      val n = w.count().toDouble
+      w.groupBy("w").count().filter(col("count") > n / k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val want = exact(50)
+    assert(want.nonEmpty) // the corpus really has heavy hitters
+    Seq(docs, docs.repartition(17)).foreach { d =>
+      val got = Text.heavyHitters(d, 50)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    }
+  }
+
   test("curate_apply survivors are exactly the audit's n_kept") {
     // the audit (curate_corpus) and the row-level apply must agree on
     // every (lang, source) slice — same rules, same keep-list artifact
