@@ -395,4 +395,46 @@ object EventOps {
         col("value.sum").cast("double").as("total"),
         col("partition_id"))
   }
+
+  /** Checkpoint RESUME proof: the same running aggregate executed as
+    * two separate streaming queries over one checkpoint — half the
+    * input lands, the query runs and stops; the rest lands, a NEW
+    * query starts on the SAME checkpoint and processes only the new
+    * files. The final state equals the batch aggregate over the full
+    * input iff resume is incremental: a restart that re-read phase-1
+    * files would double-count and the equality breaks. This is the
+    * operational property streaming deployments live on (deploys,
+    * crashes, upgrades all restart the query). */
+  def aggStateResume(events: DataFrame, scratchDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val src = s"$scratchDir/src"
+    val ckpt = s"$scratchDir/ckpt"
+    graft.engine.io.Storage.deleteFolder(spark, scratchDir)
+    val slim = events.select(col("event_type"), col("value"),
+      col("event_id"))
+    def runOnce(): Unit = {
+      val in = spark.readStream
+        .schema(slim.drop("event_id").schema).parquet(src)
+      val agg = in.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(col("value")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("total"))
+      val q = agg.writeStream.format("noop")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    slim.filter(col("event_id") % 2 === 0).drop("event_id")
+      .write.mode("overwrite").parquet(src)
+    runOnce()
+    slim.filter(col("event_id") % 2 === 1).drop("event_id")
+      .write.mode("append").parquet(src)
+    runOnce() // new query object, same checkpoint: must resume
+    spark.read.format("statestore").load(ckpt)
+      .select(col("key.event_type").as("event_type"),
+        col("value.count").as("n"),
+        col("value.sum").cast("double").as("total"))
+  }
 }

@@ -144,6 +144,25 @@ object Streaming {
                   AS total
          FROM events GROUP BY event_type ORDER BY event_type"""),
 
+    // Checkpoint RESUME proof: two streaming queries, one checkpoint —
+    // the restart must process ONLY the files that arrived after the
+    // first run. The oracle (batch aggregate over the full input)
+    // catches any resume failure: re-reading phase-1 files would
+    // double-count and break the hash.
+    Q("stream_restart_resume",
+      (s, d) => {
+        val scratch = s"${sys.props("java.io.tmpdir")}/graft_io/" +
+          s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_restart_resume"
+        EventOps.aggStateResume(events(s, d), scratch)
+          .select(col("event_type"), col("n"),
+            round(col("total"), 2).as("total"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, COUNT(*) AS n,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                  AS total
+         FROM events GROUP BY event_type ORDER BY event_type"""),
+
     // Batch sessionization (gaps-and-islands): a session breaks after
     // 30 minutes of per-user silence — the portable formulation of
     // stream_session (lag → break flag → running sum), on integer
