@@ -177,6 +177,13 @@ object Analytics {
         // partial sets), then the a<b pairs stream out of codegen'd
         // generators straight into the (a,b) partial agg — no separate
         // distinct, no second copy of the scan shuffled, no join to plan
+        // pair emission via codegen'd posexplode+slice generators: the
+        // generators fuse with the (a,b) partial agg in one codegen
+        // stage. (A JIT mapPartitions pair emitter was measured and
+        // REJECTED — 4.6 s → 6.6 s: the Dataset boundary breaks the
+        // fused generator→partial-agg pipeline and pays tuple
+        // serialization per pair, outweighing the per-position slice
+        // allocation it saves.)
         val undirected = lineitem(s, d)
           .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
           .groupBy("pk")
