@@ -309,6 +309,70 @@ object Curation {
          HAVING COUNT(*) > n_words / 100
          ORDER BY w"""),
 
+    // Tokenizer-prep: the frequency-ranked vocabulary (min count 10,
+    // ids dense by count desc / word asc — the deterministic order a
+    // reproducible tokenizer needs). One word-count shuffle + a rank
+    // window over the small vocab relation.
+    Q("vocab_build",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(lit(1))
+          .orderBy(desc("cnt"), asc("w"))
+        documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 10)
+          .withColumn("vocab_id", row_number().over(w))
+          .select("vocab_id", "w", "cnt")
+          .orderBy("vocab_id")
+      },
+      """SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS vocab_id,
+                w, cnt
+         FROM (SELECT w, COUNT(*) AS cnt FROM (
+                 SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+               GROUP BY w HAVING COUNT(*) >= 10)
+         ORDER BY vocab_id"""),
+
+    // ...and the OOV audit against that vocabulary: per-document
+    // out-of-vocabulary token fraction — the number that decides
+    // whether the vocab (or the corpus slice) is usable. Vocab is
+    // broadcast; the scan stays map-side.
+    Q("text_oov_rate",
+      (s, d) => {
+        val vocab = documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 10)
+          .select("w")
+        documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .join(broadcast(vocab.withColumn("in_vocab", lit(1L))),
+            Seq("w"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+              .as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            round(col("n_oov") / col("n_tokens").cast("double"), 6)
+              .as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      """WITH vocab AS (
+           SELECT w FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w HAVING COUNT(*) >= 10),
+         toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+                CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov,
+                ROUND(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) /
+                      CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+         FROM toks LEFT JOIN vocab v USING (w)
+         GROUP BY doc_id ORDER BY doc_id"""),
+
     // Canonicalization before dedup/fingerprinting: lowercase, strip
     // non-alphanumerics, collapse runs of whitespace, trim. Pure
     // map-side string work; emits the normalized text plus the shrink
