@@ -402,6 +402,64 @@ object Llm {
                FROM embeddings)
          GROUP BY label ORDER BY label"""),
 
+    // FILTERED vector search — similarity under a metadata predicate
+    // (the shape modern vector stores call "filtered ANN": WHERE +
+    // ORDER BY distance). Exact baseline: the predicate composes with
+    // the broadcast-probe scan, so the filter prunes BEFORE scoring —
+    // at scale the same predicate prunes IVF cells/files first. Probes
+    // carry their label; candidates must be cross-label and in the
+    // vec_id%3 slice.
+    Q("sim_search_filtered",
+      (s, d) => {
+        graft.engine.expr.GraftFunctions.ensureRegistered(s)
+        import org.apache.spark.sql.expressions.Window
+        val emb = embeddings(s, d)
+        val probeIds = emb.groupBy("label")
+          .agg(min(col("vec_id")).as("vec_id"))
+        val probes = emb.join(probeIds.select("vec_id"), "vec_id")
+          .select(col("vec_id").as("probe_id"),
+            col("label").as("probe_label"),
+            col("embedding").as("probe_emb"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(desc("cos"), asc("vec_id"))
+        emb.filter(col("vec_id") % 3 === 0)
+          .crossJoin(broadcast(probes))
+          .filter(col("label") =!= col("probe_label"))
+          .select(col("probe_id"), col("vec_id"),
+            expr("graft_cosine(probe_emb, embedding)").as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("probe_id"), col("rn"), col("vec_id"),
+            round(col("cos"), 6).as("score"))
+          .orderBy("probe_id", "rn")
+      },
+      """WITH probe_ids AS (
+           SELECT MIN(vec_id) AS probe_id FROM embeddings GROUP BY label),
+         p AS (SELECT e.vec_id AS probe_id, e.label AS probe_label,
+                      e.embedding AS probe_emb
+               FROM embeddings e JOIN probe_ids ON e.vec_id = probe_id),
+         scored AS (
+           SELECT p.probe_id, e.vec_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+             (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(p.probe_emb[i] AS DOUBLE)), (x, y) -> x + y)) *
+              sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+             AS cos
+           FROM embeddings e CROSS JOIN p
+           WHERE e.vec_id % 3 = 0 AND e.label <> p.probe_label),
+         ranked AS (
+           SELECT probe_id, vec_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY cos DESC, vec_id ASC) AS rn
+           FROM scored)
+         SELECT probe_id, rn, vec_id, ROUND(cos, 6) AS score
+         FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn"""),
+
     // Per-vector symmetric int8 quantization — the 4× storage compression
     // a 100 TB embedding store runs at ingest (scale = max|v|/127,
     // q_i = round(v_i/scale)). Map-only; emits the quantizer audit every
