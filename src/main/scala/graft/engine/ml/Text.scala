@@ -78,7 +78,9 @@ object Text {
   def repetitionProfile(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.engine.ops.Scale
+      .spreadForCompute(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val ws = text.split(' ')
@@ -120,7 +122,8 @@ object Text {
     require(m >= k, s"need at least k=$k counters, got $m")
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+    val words = graft.engine.ops.Scale.spreadForCompute(docs)
+      .select(explode(split(col("text"), " ")).as("w"))
     val candidates = words.as[String].mapPartitions { it =>
       val counts = new java.util.HashMap[String, Long]()
       it.foreach { w =>

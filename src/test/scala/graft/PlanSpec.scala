@@ -177,13 +177,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("PartitionFilters: [isnotnull(y"), p)
   }
 
-  test("text_repetition is a map-only plan (zero shuffle before sort)") {
-    // the per-doc profile never leaves its partition; the only Exchange
-    // allowed is the final presentation orderBy's range partitioning
+  test("text_repetition never shuffles by key (no aggregation exchange)") {
+    // the per-doc profile never leaves its partition: the ONLY exchange
+    // allowed is spreadForCompute's round-robin repartition, which
+    // exists to unlock parallelism when the local scan under-splits (a
+    // real corpus scan has thousands of splits and the spread no-ops) —
+    // there must be no hash exchange from any per-doc aggregation
     val p = graft.engine.ml.Text
       .repetitionProfile(Tables.documents(spark, sf), 3)
       .queryExecution.executedPlan.toString()
-    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
   test("agg_winsorize joins the bounds back by broadcast") {
