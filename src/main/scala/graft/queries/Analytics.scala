@@ -246,6 +246,50 @@ object Analytics {
            UNION ALL SELECT t FROM tri)
          GROUP BY node ORDER BY node"""),
 
+    // Connected components over the THRESHOLDED co-supply graph (edge =
+    // ≥150 shared parts — tight enough that the graph fragments into
+    // real components at the sf0.01 gate instead of staying one blob).
+    // Reuses the dedup resolver: union-find on the driver under the
+    // edge cap, pointer-halving label propagation beyond — component
+    // id = member minimum. The oracle is the same recursive-CTE
+    // reachability as the curation keep-list.
+    Q("graph_components",
+      (s, d) => {
+        val edges = lineitem(s, d)
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .groupBy("pk")
+          .agg(sort_array(collect_set(col("sk"))).as("sks"))
+          .select(posexplode(col("sks")).as(Seq("i", "a")), col("sks"))
+          .select(col("a"),
+            explode(expr("slice(sks, i + 2, size(sks))")).as("b"))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 150)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
+        val nodes = lineitem(s, d)
+          .select(col("l_suppkey").as("doc_id")).distinct()
+        graft.engine.ml.Dedup.resolvePairs(edges, nodes)
+          .select(col("doc_id").as("node"),
+            col("keep_id").as("component_id"))
+          .orderBy("node")
+      },
+      """WITH RECURSIVE sp AS (
+           SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         e AS (
+           SELECT x.sk AS a, y.sk AS b
+           FROM sp x JOIN sp y ON x.pk = y.pk AND x.sk < y.sk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 150),
+         edges AS (
+           SELECT a AS u, b AS v FROM e
+           UNION SELECT b, a FROM e),
+         reach(u, v) AS (
+           SELECT DISTINCT l_suppkey, l_suppkey FROM lineitem
+           UNION
+           SELECT r.u, ed.v FROM reach r JOIN edges ed ON r.v = ed.u),
+         comp AS (
+           SELECT u AS node, MIN(v) AS component_id FROM reach GROUP BY u)
+         SELECT node, component_id FROM comp ORDER BY node"""),
+
     // Time-weighted average per user: each observation holds until the
     // next one (step interpolation), weight = µs held. Products stay
     // EXACT — DECIMAL(18,2) value × integer-µs interval — so the only

@@ -64,6 +64,31 @@ object Curation {
             SELECT DISTINCT t.doc_id FROM g5 t JOIN bench USING (g)
             WHERE t.source <> '$BenchSource')"""
 
+  /** Render the curate_corpus audit into the markdown report a data
+    * team circulates: per-domain rows + a totals line + the global
+    * survival rate. Pure presentation over the already-aggregated
+    * audit relation (tiny — one row per domain), so the collect is
+    * bounded by domain count, never corpus size. */
+  def renderReport(audit: org.apache.spark.sql.DataFrame): String = {
+    val rows = audit.orderBy("lang", "source").collect()
+    val sb = new StringBuilder
+    sb.append("# Corpus curation report\n\n")
+    sb.append("| lang | source | docs | drop:len | drop:dup | " +
+      "drop:contam | kept | kept% |\n")
+    sb.append("|---|---|---|---|---|---|---|---|\n")
+    var (docs, len, dup, contam, kept) = (0L, 0L, 0L, 0L, 0L)
+    rows.foreach { r =>
+      val (n, l, du, c, k) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+      docs += n; len += l; dup += du; contam += c; kept += k
+      sb.append(f"| ${r.getString(0)} | ${r.getString(1)} | $n | $l | " +
+        f"$du | $c | $k | ${100.0 * k / n}%.1f |\n")
+    }
+    sb.append(f"| **total** | | $docs | $len | $dup | $contam | $kept " +
+      f"| ${100.0 * kept / docs}%.1f |\n")
+    sb.toString
+  }
+
   val qs: Seq[Q] = Seq(
     // n=5 rather than the published 13 because the synthetic corpus is
     // ~100-word documents — 5 keeps planted near-dup overlap visible at

@@ -119,6 +119,21 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("curate_report renders the audit with consistent totals") {
+    val audit = SparkEntry.queries("curate_corpus")(spark, sf)
+    val report = graft.queries.Curation.renderReport(audit)
+    assert(report.startsWith("# Corpus curation report"))
+    val totalDocs = audit.agg(sum("n_docs")).collect()(0).getLong(0)
+    val totalKept = audit.agg(sum("n_kept")).collect()(0).getLong(0)
+    val totalLine = report.linesIterator
+      .find(_.startsWith("| **total**")).get
+    assert(totalLine.contains(s"| $totalDocs |"), totalLine)
+    assert(totalLine.contains(s"| $totalKept "), totalLine)
+    // one row per audit domain + header + separator + total
+    assert(report.linesIterator.count(_.startsWith("|")) ===
+      audit.count() + 3)
+  }
+
   test("curate_apply survivors are exactly the audit's n_kept") {
     // the audit (curate_corpus) and the row-level apply must agree on
     // every (lang, source) slice — same rules, same keep-list artifact
