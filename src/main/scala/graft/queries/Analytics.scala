@@ -281,6 +281,34 @@ object Analytics {
            SELECT u AS node, MIN(v) AS component_id FROM reach GROUP BY u)
          SELECT node, component_id FROM comp ORDER BY node"""),
 
+    // Degree distribution of the thresholded co-supply graph — the
+    // first diagnostic anyone computes on a graph (is it skewed? is
+    // the threshold right?). Third consumer of the persisted edge
+    // artifact: histogram of node degree over w ≥ 25 edges.
+    Q("graph_degree_distribution",
+      (s, d) => {
+        val e = graft.engine.ops.Graph.coOccurrenceEdgesFor(
+            lineitem(s, d).select(col("l_partkey").as("pk"),
+              col("l_suppkey").as("sk")), s"${d}_cosupply")
+          .filter(col("w") >= 25)
+        e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("degree")
+      },
+      """WITH sp AS (
+           SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         e AS (
+           SELECT x.sk AS a, y.sk AS b
+           FROM sp x JOIN sp y ON x.pk = y.pk AND x.sk < y.sk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 25),
+         deg AS (
+           SELECT n, COUNT(*) AS degree FROM (
+             SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+           GROUP BY n)
+         SELECT degree, COUNT(*) AS n_nodes
+         FROM deg GROUP BY degree ORDER BY degree"""),
+
     // Time-weighted average per user: each observation holds until the
     // next one (step interpolation), weight = µs held. Products stay
     // EXACT — DECIMAL(18,2) value × integer-µs interval — so the only

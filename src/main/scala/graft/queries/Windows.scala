@@ -244,6 +244,31 @@ object Windows {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS types_so_far
          FROM flagged ORDER BY user_id, t_us, event_id"""),
+
+    // Per-group standardization (z-score) — the feature-engineering
+    // staple before any model consumes a metric. Group stats via one
+    // aggregate broadcast back onto the scan (no per-row window state);
+    // rounded at 4 decimals since sample-stddev summation order
+    // differs between engines at the last ulp.
+    Q("win_zscore",
+      (s, d) => {
+        val stats = events(s, d).groupBy("event_type")
+          .agg(avg(col("value")).as("mu"),
+            stddev_samp(col("value")).as("sigma"))
+        events(s, d)
+          .join(broadcast(stats), "event_type")
+          .select(col("event_id"), col("event_type"), col("value"),
+            round((col("value") - col("mu")) / col("sigma"), 4)
+              .as("zscore"))
+          .orderBy("event_id")
+      },
+      """WITH stats AS (
+           SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+           FROM events GROUP BY 1)
+         SELECT event_id, e.event_type, value,
+                ROUND((value - mu) / sigma, 4) AS zscore
+         FROM events e JOIN stats USING (event_type)
+         ORDER BY event_id"""),
   )
 
   /** Exact decimal windowed sum, emitted as ROUND(CAST(.. AS DOUBLE), s)
