@@ -162,6 +162,37 @@ object Analytics {
             ORDER BY zval, p_partkey"""
       }),
 
+    // 3-dimensional Morton key — the same bit-interleave as sort_zorder
+    // but over three dims (7 bits each): the layout for min/max pruning
+    // when queries slice on THREE columns (e.g. time × tenant × region).
+    // Same generated-identically-for-both-engines integer bit math.
+    Q("sort_zorder3",
+      (s, d) => {
+        val z = (0 until 7).map(i =>
+          s"(((x >> $i) & 1) << ${3 * i}) + " +
+            s"(((y >> $i) & 1) << ${3 * i + 1}) + " +
+            s"(((z >> $i) & 1) << ${3 * i + 2})").mkString(" + ")
+        part(s, d)
+          .select(col("p_partkey"),
+            (col("p_partkey") % 128).as("x"),
+            (col("p_size").cast("bigint") % 128).as("y"),
+            (expr("length(p_name)").cast("bigint") % 128).as("z"))
+          .withColumn("zval", expr(z))
+          .select("p_partkey", "x", "y", "z", "zval")
+          .orderBy("zval", "p_partkey")
+      }, {
+        val z = (0 until 7).map(i =>
+          s"(((x >> $i) & 1) << ${3 * i}) + " +
+            s"(((y >> $i) & 1) << ${3 * i + 1}) + " +
+            s"(((z >> $i) & 1) << ${3 * i + 2})").mkString(" + ")
+        s"""SELECT p_partkey, x, y, z, $z AS zval
+            FROM (SELECT p_partkey, p_partkey % 128 AS x,
+                         CAST(p_size AS BIGINT) % 128 AS y,
+                         CAST(length(p_name) AS BIGINT) % 128 AS z
+                  FROM part)
+            ORDER BY zval, p_partkey"""
+      }),
+
     // Per-node triangle counts on the supplier co-supply graph (edge =
     // two suppliers sharing ≥25 distinct parts — the strength threshold
     // keeps the projection sparse as the corpus grows). Triangles via

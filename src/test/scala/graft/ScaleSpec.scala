@@ -200,6 +200,23 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     assert(small.listFiles().count(_.getName.endsWith(".parquet")) === 64)
   }
 
+  test("co-occurrence edge store is keyed by input size (invalidation)") {
+    // a dataset with a different row count must get its own artifact —
+    // a stale store silently serving old edges is the failure mode the
+    // (tag, count) key exists to prevent
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+    def mass(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("w")).collect()(0).getLong(0)
+    val full = mass(graft.engine.ops.Graph
+      .coOccurrenceEdgesFor(li, "spec_inval"))
+    val half = mass(graft.engine.ops.Graph
+      .coOccurrenceEdgesFor(li.filter(col("pk") % 2 === 0), "spec_inval"))
+    // at sf0.001 the K10 projection keeps all 45 edges either way, so
+    // the rebuild is visible in the co-occurrence MASS, not edge count
+    assert(half < full, s"half-input store not rebuilt: $half vs $full")
+  }
+
   test("graph_triangles on sf0.001 sees the complete K10 projection") {
     // every supplier pair at sf0.001 co-supplies ≥25 parts, so the
     // projection is K10: each node closes C(9,2)=36 triangles
