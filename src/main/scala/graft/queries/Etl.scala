@@ -87,6 +87,28 @@ object Etl {
          FROM orders
          ORDER BY o_custkey, valid_from, o_orderkey"""),
 
+    // Keyed delete on plain parquet — the right-to-be-forgotten
+    // rewrite (DELETE WHERE key IN ...): anti-join the tombstone set,
+    // rewrite, read back. Completes the plain-file CRUD family
+    // (upsert_keyed / compact_files / maintain_retention); on a real
+    // lake the rewrite touches only files whose min/max key stats
+    // overlap the tombstones.
+    Q("delete_keyed",
+      (s, d) => {
+        val out = s"${sys.props("java.io.tmpdir")}/graft_io/" +
+          s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_delete_keyed"
+        val base = orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val tombstones = base.filter(col("o_custkey") % 100 === 7)
+          .select("o_orderkey")
+        base.join(tombstones, Seq("o_orderkey"), "left_anti")
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out).orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders WHERE o_custkey % 100 <> 7
+         ORDER BY o_orderkey"""),
+
     // Blocking-based entity resolution — the record-matching half of
     // the dedup story (the document half is MinHash/Jaccard): candidate
     // pairs come from an equi-join on the BLOCKING key (brand), never
