@@ -159,6 +159,54 @@ object Etl {
          WHERE levenshtein(a.p_name, b.p_name) <= 3
          ORDER BY key_a, key_b"""),
 
+    // Temporal (point-in-time) join: each fact row joined to the
+    // dimension VERSION valid at the fact's timestamp — the SCD2
+    // consumption pattern every warehouse join against history needs.
+    // Versions come from scd2-deriving orders per customer; facts are
+    // later orders of the same customer. Equi-join on the entity key
+    // with the validity-interval predicate as the join filter — the
+    // right plan because versions-per-key is small (the interval
+    // filter prunes within the hash-join group, never all-pairs).
+    Q("join_temporal",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("valid_from", "version_key")
+        val dim = orders(s, d).select(col("o_custkey"),
+            col("o_orderkey").as("version_key"),
+            unix_micros(col("o_orderdate").cast("timestamp"))
+              .as("valid_from"))
+          .withColumn("valid_to",
+            coalesce(lead(col("valid_from"), 1).over(w), lit(Long.MaxValue)))
+        val fact = orders(s, d).select(col("o_custkey"),
+          col("o_orderkey").as("fact_key"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("fact_t"))
+        fact.join(dim,
+            fact("o_custkey") === dim("o_custkey") &&
+              col("fact_t") >= col("valid_from") &&
+              col("fact_t") < col("valid_to"))
+          .select(fact("o_custkey").as("o_custkey"), col("fact_key"),
+            col("fact_t"), col("version_key"))
+          .orderBy("o_custkey", "fact_t", "fact_key", "version_key")
+      },
+      """WITH dim AS (
+           SELECT o_custkey, o_orderkey AS version_key,
+                  epoch_us(o_orderdate) AS valid_from,
+                  COALESCE(LEAD(epoch_us(o_orderdate), 1) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY epoch_us(o_orderdate), o_orderkey),
+                    9223372036854775807) AS valid_to
+           FROM orders),
+         fact AS (
+           SELECT o_custkey, o_orderkey AS fact_key,
+                  epoch_us(o_orderdate) AS fact_t
+           FROM orders)
+         SELECT f.o_custkey, f.fact_key, f.fact_t, d.version_key
+         FROM fact f JOIN dim d
+           ON f.o_custkey = d.o_custkey
+          AND f.fact_t >= d.valid_from AND f.fact_t < d.valid_to
+         ORDER BY f.o_custkey, f.fact_t, f.fact_key, d.version_key"""),
+
     // Declarative data-quality summary: null / range / referential
     // rules, one (rule, violations) row each — the report a pipeline
     // gates a load on.

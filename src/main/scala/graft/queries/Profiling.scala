@@ -205,6 +205,29 @@ object Profiling {
            FROM documents)
          WHERE rn <= quota ORDER BY doc_id"""),
 
+    // Pre-join skew diagnostic: the per-key-mass distribution of a
+    // prospective join key — max/mean ratio plus the heavy keys — the
+    // number you check BEFORE launching a 100 TB join (and the input
+    // to choosing a salt factor). One count agg + one tiny stats agg.
+    Q("profile_skew",
+      (s, d) => {
+        val counts = lineitem(s, d).groupBy("l_partkey")
+          .agg(count(lit(1)).as("n"))
+        val stats = counts.agg(
+          count(lit(1)).as("n_keys"),
+          max(col("n")).as("max_n"),
+          round(avg(col("n")), 4).as("avg_n"),
+          round(max(col("n")) / avg(col("n")), 4).as("skew_ratio"))
+        stats
+      },
+      """WITH counts AS (
+           SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+         SELECT COUNT(*) AS n_keys,
+                MAX(n) AS max_n,
+                ROUND(AVG(n), 4) AS avg_n,
+                ROUND(MAX(n) / AVG(n), 4) AS skew_ratio
+         FROM counts"""),
+
     // Per-column top-k value profile — the "most frequent values" panel
     // of every data-profiling report. One groupBy per profiled column
     // (map-side combined), tiny rank windows over the per-column value
