@@ -342,6 +342,31 @@ object Aggregates {
          FROM li JOIN bounds ON li.flag = bounds.flag
          GROUP BY li.flag ORDER BY li.flag"""),
 
+    // Quantity-weighted mean price — the weighted-average shape done
+    // decimal-exact: both the numerator's value×weight products and
+    // the weight sum are exact decimals (same discipline as
+    // time_weighted_avg), so the only float op is one final division
+    // on identical inputs.
+    Q("agg_weighted_avg",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        lineitem(s, d).groupBy("l_returnflag")
+          .agg(
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              col("l_quantity").cast(DecimalType(18, 2))).as("num"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).as("den"))
+          .select(col("l_returnflag"),
+            round(col("num").cast("double") / col("den").cast("double"), 6)
+              .as("wavg_price"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag,
+                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                           AS DOUBLE), 6) AS wavg_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
     // Sketch percentiles — the constant-memory alternative to
     // agg_winsorize's exact rank: each partition builds a bounded
     // quantile summary, summaries MERGE (the property that matters at

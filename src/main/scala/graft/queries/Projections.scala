@@ -104,6 +104,52 @@ object Projections {
                          '-15' AS DATE) AS date_parsed
          FROM orders ORDER BY o_orderkey"""),
 
+    // Mixed-format date parsing — the classic multi-source ingest mess:
+    // three date formats in one column, parsed with a coalesce chain of
+    // format-specific TRY parsers (each returns NULL on mismatch, so
+    // order only matters for performance). All rows recover the same
+    // calendar date; format syntax differs between engines but the
+    // construction is shared, so parity is on the parsed VALUES.
+    Q("conform_dates_multi",
+      (s, d) => orders(s, d)
+        .withColumn("ds",
+          when(col("o_orderkey") % 3 === 0,
+            date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .when(col("o_orderkey") % 3 === 1,
+            date_format(col("o_orderdate"), "MM/dd/yyyy"))
+          .otherwise(date_format(col("o_orderdate"), "dd.MM.yyyy")))
+        .select(col("o_orderkey"), col("ds"),
+          coalesce(
+            expr("try_to_timestamp(ds, 'yyyy-MM-dd')"),
+            expr("try_to_timestamp(ds, 'MM/dd/yyyy')"),
+            expr("try_to_timestamp(ds, 'dd.MM.yyyy')"))
+            .cast("date").as("parsed"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 3 = 0
+                       THEN strftime(o_orderdate, '%Y-%m-%d')
+                     WHEN o_orderkey % 3 = 1
+                       THEN strftime(o_orderdate, '%m/%d/%Y')
+                     ELSE strftime(o_orderdate, '%d.%m.%Y') END AS ds,
+                CAST(COALESCE(
+                  try_strptime(CASE WHEN o_orderkey % 3 = 0
+                       THEN strftime(o_orderdate, '%Y-%m-%d')
+                     WHEN o_orderkey % 3 = 1
+                       THEN strftime(o_orderdate, '%m/%d/%Y')
+                     ELSE strftime(o_orderdate, '%d.%m.%Y') END, '%Y-%m-%d'),
+                  try_strptime(CASE WHEN o_orderkey % 3 = 0
+                       THEN strftime(o_orderdate, '%Y-%m-%d')
+                     WHEN o_orderkey % 3 = 1
+                       THEN strftime(o_orderdate, '%m/%d/%Y')
+                     ELSE strftime(o_orderdate, '%d.%m.%Y') END, '%m/%d/%Y'),
+                  try_strptime(CASE WHEN o_orderkey % 3 = 0
+                       THEN strftime(o_orderdate, '%Y-%m-%d')
+                     WHEN o_orderkey % 3 = 1
+                       THEN strftime(o_orderdate, '%m/%d/%Y')
+                     ELSE strftime(o_orderdate, '%d.%m.%Y') END, '%d.%m.%Y'))
+                  AS DATE) AS parsed
+         FROM orders ORDER BY o_orderkey"""),
+
     Q("distinct_rows",
       (s, d) => lineitem(s, d).select("l_returnflag", "l_linestatus")
         .distinct()
