@@ -87,6 +87,70 @@ object Etl {
          FROM orders
          ORDER BY o_custkey, valid_from, o_orderkey"""),
 
+    // Cross-pipeline reconciliation — the migration-validation op: two
+    // pipeline outputs compared per partition-key on row count, exact
+    // decimal sum, and an ORDER-INDEPENDENT md5 checksum (sum of
+    // per-row 32-bit digests — commutative, so layout/partitioning
+    // can't affect it). Copy B plants real drift (dropped keys +
+    // doubled prices) so the report shows both OK and DRIFT rows.
+    // Three aggregates + one tiny full-outer join; at 100 TB each
+    // side is one pass.
+    Q("recon_tables",
+      (s, d) => {
+        def digest = conv(substring(md5(concat_ws("|",
+          col("o_orderkey").cast("string"),
+          col("o_totalprice").cast(org.apache.spark.sql.types
+            .DecimalType(18, 2)).cast("string"))), 1, 8), 16, 10)
+          .cast("long")
+        def side(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.withColumn("y", year(col("o_orderdate")))
+            .groupBy("y")
+            .agg(count(lit(1)).as(s"n_$tag"),
+              dsum(col("o_totalprice"), 2).as(s"sum_$tag"),
+              sum(digest).as(s"chk_$tag"))
+        val base = orders(s, d)
+        val b = base.filter(col("o_orderkey") % 1000 =!= 13)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 500 === 77,
+              col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+        side(base, "a").join(side(b, "b"), Seq("y"), "full_outer")
+          .withColumn("status",
+            when(col("n_a") <=> col("n_b") &&
+              col("sum_a") <=> col("sum_b") &&
+              col("chk_a") <=> col("chk_b"), "OK").otherwise("DRIFT"))
+          .orderBy("y")
+      },
+      """WITH a AS (
+           SELECT year(o_orderdate) AS y, COUNT(*) AS n_a,
+                  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE), 2) AS sum_a,
+                  CAST(SUM(CAST(('0x' || substring(md5(
+                    CAST(o_orderkey AS VARCHAR) || '|' ||
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)),
+                    1, 8)) AS BIGINT)) AS BIGINT) AS chk_a
+           FROM orders GROUP BY 1),
+         bsrc AS (
+           SELECT o_orderkey, o_orderdate,
+                  CASE WHEN o_orderkey % 500 = 77 THEN o_totalprice * 2
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 1000 <> 13),
+         b AS (
+           SELECT year(o_orderdate) AS y, COUNT(*) AS n_b,
+                  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE), 2) AS sum_b,
+                  CAST(SUM(CAST(('0x' || substring(md5(
+                    CAST(o_orderkey AS VARCHAR) || '|' ||
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)),
+                    1, 8)) AS BIGINT)) AS BIGINT) AS chk_b
+           FROM bsrc GROUP BY 1)
+         SELECT y, n_a, sum_a, chk_a, n_b, sum_b, chk_b,
+                CASE WHEN n_a IS NOT DISTINCT FROM n_b
+                      AND sum_a IS NOT DISTINCT FROM sum_b
+                      AND chk_a IS NOT DISTINCT FROM chk_b
+                     THEN 'OK' ELSE 'DRIFT' END AS status
+         FROM a FULL OUTER JOIN b USING (y)
+         ORDER BY y"""),
+
     // Keyed delete on plain parquet — the right-to-be-forgotten
     // rewrite (DELETE WHERE key IN ...): anti-join the tombstone set,
     // rewrite, read back. Completes the plain-file CRUD family
