@@ -142,6 +142,72 @@ object Llm {
          SELECT u AS doc_id, MIN(v) AS keep_id
          FROM reach GROUP BY u ORDER BY doc_id"""),
 
+    // Cluster-size histogram of the resolved dup graph — the headline
+    // number of every dedup report ("how big are my duplicate
+    // clusters?"). Tiny consumer of the persisted keep-list artifact.
+    Q("dedup_cluster_stats",
+      (s, d) => Dedup.keepListFor(documents(s, d), d, 0.05)
+        .groupBy("keep_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size"),
+      """WITH RECURSIVE grams AS (
+           SELECT DISTINCT doc_id, lang, source,
+                  unnest(list_transform(range(1, len(string_split(text,' '))),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1])) AS g
+           FROM documents),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+           FROM grams a JOIN grams b
+             ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b
+           FROM common
+             JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05),
+         edges AS (
+           SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION
+           SELECT doc_b AS u, doc_a AS v FROM pairs),
+         reach(u, v) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         keep AS (
+           SELECT u AS doc_id, MIN(v) AS keep_id FROM reach GROUP BY u),
+         csize AS (
+           SELECT keep_id, COUNT(*) AS cluster_size FROM keep GROUP BY 1)
+         SELECT cluster_size, COUNT(*) AS n_clusters
+         FROM csize GROUP BY cluster_size ORDER BY cluster_size"""),
+
+    // Deterministic train/val/test split — the terminal ML-prep op:
+    // md5-bucket of the stable key → 90/5/5 assignment that is
+    // reproducible across runs, engines, and retries (rand() is none
+    // of those). Exact membership oracle-checked.
+    Q("sample_split",
+      (s, d) => documents(s, d)
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+            16, 10).cast("long") % 100)
+        .select(col("doc_id"), col("lang"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id"),
+      """SELECT doc_id, lang,
+                CASE WHEN CAST(('0x' || substring(md5(
+                       CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 100 < 90 THEN 'train'
+                     WHEN CAST(('0x' || substring(md5(
+                       CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 100 < 95 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id"""),
+
     // Keep-list APPLIED: the corpus a training run actually reads —
     // every document whose doc_id survives resolution (doc_id =
     // component min). The terminal operator of the dedup ladder.
