@@ -251,16 +251,14 @@ object Dedup {
   def minhashStoreFor(docs: DataFrame, datasetTag: String,
       numHashes: Int = 32, seed: Long = 42L): DataFrame = {
     val spark = docs.sparkSession
-    val n = docs.count()
+    val fp = graft.engine.io.Artifacts.fingerprintOf(docs)
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"$warehouse/graft_signatures/minhash_${safe}_${n}_" +
-      s"${numHashes}_$seed"
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
-      signatures(docs, numHashes, seed).write.mode("overwrite")
-        .parquet(path)
+    val path = graft.engine.io.Artifacts.ensure(spark,
+      s"$warehouse/graft_signatures/minhash_${safe}_${fp}_" +
+        s"${numHashes}_$seed") { tmp =>
+      signatures(docs, numHashes, seed).write.mode("overwrite").parquet(tmp)
+    }
     trackCache(spark.read.parquet(path))
   }
 
@@ -465,18 +463,18 @@ object Dedup {
     * [[keepListFor]] / the IVF quantizer): the screened corpus's
     * signatures are computed ONCE at ingest and re-read by every later
     * incremental screen — at 100 TB, re-sweeping the corpus per batch
-    * would dwarf the batch itself. Keyed by (tag, row count) so
-    * regenerated data re-signs. */
+    * would dwarf the batch itself. Keyed by (tag, content fingerprint)
+    * so regenerated data re-signs — see
+    * [[graft.engine.io.Artifacts.fingerprintOf]]. */
   def signatureStoreFor(docs: DataFrame, datasetTag: String): DataFrame = {
     val spark = docs.sparkSession
-    val n = docs.count()
+    val fp = graft.engine.io.Artifacts.fingerprintOf(docs)
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"$warehouse/graft_signatures/${safe}_$n"
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
-      bigramSets(docs).write.mode("overwrite").parquet(path)
+    val path = graft.engine.io.Artifacts.ensure(spark,
+      s"$warehouse/graft_signatures/${safe}_$fp") { tmp =>
+      bigramSets(docs).write.mode("overwrite").parquet(tmp)
+    }
     spark.read.parquet(path)
   }
 
@@ -564,21 +562,20 @@ object Dedup {
     * quantizer): near-dup resolution is a curation-time artifact — the
     * component mapping is computed once per (dataset, threshold),
     * persisted under the warehouse, and every later query loads it.
-    * The row count keys the artifact so regenerated data re-resolves. */
+    * The content fingerprint keys the artifact so regenerated data
+    * re-resolves. */
   def keepListFor(docs: DataFrame, datasetTag: String,
       threshold: Double): DataFrame = {
     val spark = docs.sparkSession
-    val n = docs.count()
+    val fp = graft.engine.io.Artifacts.fingerprintOf(docs)
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
     val t = math.round(threshold * 1000)
-    val path = s"$warehouse/graft_keeplists/${safe}_${n}_t$t"
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+    val path = graft.engine.io.Artifacts.ensure(spark,
+      s"$warehouse/graft_keeplists/${safe}_${fp}_t$t") { tmp =>
       resolvePairs(
         ngramJaccardPairs(docs, threshold).select("doc_a", "doc_b"), docs)
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(tmp)
       unpersistTracked()
     }
     spark.read.parquet(path)

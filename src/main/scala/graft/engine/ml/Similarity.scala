@@ -300,28 +300,24 @@ object Similarity {
     * and persists the centroids under the warehouse via
     * [[saveQuantizer]]; later calls — in this session (in-memory map)
     * or any later session (parquet) — load instead of refitting. The
-    * row count participates in the key so a regenerated dataset at the
-    * same path doesn't silently reuse stale centroids. This is the
+    * content fingerprint ([[graft.engine.io.Artifacts.fingerprintOf]])
+    * participates in the key so a regenerated dataset at the same path
+    * doesn't silently reuse stale centroids. This is the
     * 100 TB deployment shape: the quantizer is index metadata fitted at
     * ingest, shipped with the dataset, loaded by every query. */
   def quantizerFor(emb: DataFrame, datasetTag: String, nCells: Int = 16,
       seed: Long = 42L): Array[Array[Double]] = {
     val spark = emb.sparkSession
-    val n = emb.count()
-    val key = s"${datasetTag}|$n|$nCells|$seed"
+    val fp = graft.engine.io.Artifacts.fingerprintOf(emb)
+    val key = s"${datasetTag}|$fp|$nCells|$seed"
     quantizerCache.computeIfAbsent(key, _ => {
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
-      val path = s"$warehouse/graft_quantizers/${safe}_${n}_${nCells}_$seed"
-      val hPath = new org.apache.hadoop.fs.Path(path)
-      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
-        loadQuantizer(spark, path)
-      else {
-        val c = fitCentroids(emb, nCells, seed)
-        saveQuantizer(spark, c, path)
-        c
+      val path = graft.engine.io.Artifacts.ensure(spark,
+        s"$warehouse/graft_quantizers/${safe}_${fp}_${nCells}_$seed") {
+        tmp => saveQuantizer(spark, fitCentroids(emb, nCells, seed), tmp)
       }
+      loadQuantizer(spark, path)
     })
   }
 
@@ -364,7 +360,9 @@ object Similarity {
     emb.withColumn("cell", explode(cellsOf(col("embedding"))))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    saveQuantizer(spark, centroids, s"${path}_quantizer")
+    // inside the index directory (underscore-prefixed → invisible to
+    // the table scan) so the whole artifact moves as one atomic rename
+    saveQuantizer(spark, centroids, s"$path/_quantizer")
   }
 
   private val cellIndexCache =
@@ -376,18 +374,16 @@ object Similarity {
   def cellIndexFor(emb: DataFrame, datasetTag: String, nCells: Int = 16,
       seed: Long = 42L, replication: Int = 1): String = {
     val spark = emb.sparkSession
-    val n = emb.count()
-    val key = s"$datasetTag|$n|$nCells|$seed|$replication"
+    val fp = graft.engine.io.Artifacts.fingerprintOf(emb)
+    val key = s"$datasetTag|$fp|$nCells|$seed|$replication"
     cellIndexCache.computeIfAbsent(key, _ => {
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
-      val path =
-        s"$warehouse/graft_cell_index/${safe}_${n}_${nCells}_${seed}_r$replication"
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
-        writeCellIndex(emb, path, datasetTag, nCells, seed, replication)
-      path
+      graft.engine.io.Artifacts.ensure(spark,
+        s"$warehouse/graft_cell_index/${safe}_${fp}_${nCells}_${seed}" +
+          s"_r$replication") { tmp =>
+        writeCellIndex(emb, tmp, datasetTag, nCells, seed, replication)
+      }
     })
   }
 
@@ -401,7 +397,7 @@ object Similarity {
       indexPath: String, probeDf: DataFrame, k: Int,
       nProbe: Int = 6): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
-    val centroids = loadQuantizer(spark, s"${indexPath}_quantizer")
+    val centroids = loadQuantizer(spark, s"$indexPath/_quantizer")
     val probeRows = probeDf.select("probe_id", "probe_emb").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
     val probeCells = probeRows.flatMap { case (id, v) =>

@@ -125,10 +125,14 @@ object Text {
     val words = graft.engine.ops.Scale.spreadForCompute(docs)
       .select(explode(split(col("text"), " ")).as("w"))
     val candidates = words.as[String].mapPartitions { it =>
-      val counts = new java.util.HashMap[String, Long]()
+      // values boxed explicitly: a HashMap[String, Long] get() on a
+      // missing key would UNBOX null to 0L, making every presence test
+      // true and the eviction branch dead — the map would then grow to
+      // the full vocabulary (exact output, but no bounded-memory sketch)
+      val counts = new java.util.HashMap[String, java.lang.Long]()
       it.foreach { w =>
         val c = counts.get(w)
-        if (c != null) counts.put(w, c + 1L)
+        if (c ne null) counts.put(w, c + 1L)
         else if (counts.size < m) counts.put(w, 1L)
         else { // decrement-all: the Misra-Gries eviction step
           val e = counts.entrySet().iterator()
@@ -283,23 +287,18 @@ object Text {
                         0L, (a, c) -> (a * 31 + c) % $P))) END""")
         .as("min_8gram_hash"))
 
-  /** Language-ID by character-trigram profile overlap: learn the topK
-    * trigrams per labeled language, then classify each document by which
-    * profile it overlaps most (ties broken alphabetically).
-    *
-    * Scale: the profile table is tiny (langs × topK) and broadcast; the
-    * per-document side is one explode + one aggregation. */
-  def langIdPredict(docs: DataFrame, topK: Int = 40): DataFrame = {
-    // Pass 1 (wide, once): per-language trigram profile — trigram counts
-    // from a typed hot loop, one groupBy, topK per language.
+  /** Per-language trigram profile: the topK character trigrams of each
+    * labeled language by corpus frequency (ties broken by trigram).
+    * One wide pass: trigram counts from a typed hot loop (combined
+    * within the partition so the shuffle carries partial aggregates,
+    * not per-doc rows), one groupBy, topK per language. */
+  def langIdProfile(docs: DataFrame, topK: Int = 40): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val gramCounts = graft.engine.ops.Scale
       .spreadForCompute(docs.select(col("lang"), col("text")))
       .as[(String, String)]
       .mapPartitions { it =>
-        // combine within the partition: (lang, gram) -> count, so the
-        // shuffle carries partial aggregates, not per-doc rows
         val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
         it.foreach { case (lang, text) =>
           var i = 0
@@ -311,13 +310,54 @@ object Text {
         }
         m.iterator.map { case ((l, g), c) => (l, g, c) }
       }.toDF("lang", "gram", "cnt")
-    val profile = gramCounts.groupBy("lang", "gram")
+    gramCounts.groupBy("lang", "gram")
       .agg(sum(col("cnt")).as("freq"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("lang")
           .orderBy(desc("freq"), asc("gram"))))
       .filter(col("rk") <= topK)
       .select("lang", "gram")
+  }
+
+  /** Fit-once persisted form of [[langIdProfile]] (same artifact
+    * family as the dedup keep-list / IVF quantizer): the profile is a
+    * property of the labeled corpus, so it is learned ONCE at ingest
+    * and every later classify call loads the tiny (langs × topK)
+    * relation instead of re-scanning the corpus — at 100 TB the
+    * re-scan would cost more than the classification itself. Keyed by
+    * dataset tag + content fingerprint so regenerated data refits. */
+  def langIdProfileFor(docs: DataFrame, datasetTag: String,
+      topK: Int = 40): DataFrame = {
+    val spark = docs.sparkSession
+    val fp = graft.engine.io.Artifacts.fingerprintOf(docs)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = graft.engine.io.Artifacts.ensure(spark,
+      s"$warehouse/graft_lang_profiles/profile_${safe}_${fp}_$topK") { tmp =>
+      langIdProfile(docs, topK).coalesce(1).write.mode("overwrite")
+        .parquet(tmp)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Language-ID by character-trigram profile overlap: learn the topK
+    * trigrams per labeled language, then classify each document by which
+    * profile it overlaps most (integer distinct-trigram overlap, ties
+    * broken alphabetically — deterministic, so any engine reproduces
+    * the prediction exactly).
+    *
+    * Scale: the profile table is tiny (langs × topK) and broadcast; the
+    * per-document side is one narrow pass. With `datasetTag` the
+    * profile comes from the persisted store ([[langIdProfileFor]])
+    * instead of a fresh corpus scan. */
+  def langIdPredict(docs: DataFrame, topK: Int = 40,
+      datasetTag: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val profile = datasetTag match {
+      case Some(tag) => langIdProfileFor(docs, tag, topK)
+      case None      => langIdProfile(docs, topK)
+    }
     // gram -> sorted langs whose profile contains it: tiny (langs × topK)
     val gramLangs: Map[String, Array[String]] = profile.collect()
       .groupBy(_.getString(1))

@@ -14,19 +14,18 @@ object Graph {
     * member of the fit-once artifact family (keep-list, quantizer,
     * signature stores): project the (group, member) relation onto
     * member–member edges weighted by shared-group count ONCE at ingest,
-    * keyed by dataset tag + row count. Triangle counting, components,
+    * keyed by dataset tag + content fingerprint. Triangle counting,
+    * components,
     * and any other strength-thresholded consumer read the same stored
     * relation and apply their own threshold — the 6M-pair projection
     * agg is paid once, not per query. */
   def coOccurrenceEdgesFor(pairs: DataFrame, datasetTag: String): DataFrame = {
     val spark = pairs.sparkSession
-    val n = pairs.count()
+    val fp = graft.engine.io.Artifacts.fingerprintOf(pairs)
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"$warehouse/graft_graph_edges/${safe}_$n"
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+    val path = graft.engine.io.Artifacts.ensure(spark,
+      s"$warehouse/graft_graph_edges/${safe}_$fp") { tmp =>
       pairs
         .groupBy("pk")
         .agg(sort_array(collect_set(col("sk"))).as("sks"))
@@ -36,7 +35,8 @@ object Graph {
           explode(expr("slice(sks, i + 2, size(sks))")).as("b"))
         .groupBy("a", "b")
         .agg(count(lit(1)).as("w"))
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(tmp)
+    }
     spark.read.parquet(path)
   }
 

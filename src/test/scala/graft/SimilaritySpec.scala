@@ -176,9 +176,9 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val second = Similarity.quantizerFor(emb, tag, 8, 7L)
     assert(first eq second)
     // and the persisted copy under the warehouse reloads identically
-    val n = emb.count()
+    val fp = graft.engine.io.Artifacts.fingerprintOf(emb)
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val path = s"$warehouse/graft_quantizers/${tag}_${n}_8_7"
+    val path = s"$warehouse/graft_quantizers/${tag}_${fp}_8_7"
     val loaded = Similarity.loadQuantizer(spark, path)
     assert(loaded.length === first.length)
     first.zip(loaded).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
