@@ -115,6 +115,13 @@ object Dedup {
       (rnd.nextLong().abs % (P - 1) + 1, rnd.nextLong().abs % P))
   }
 
+  /** The seeded affine MinHash coefficients, exposed so the declared
+    * oracle SQL can inline the exact same (a, b) stream the engine
+    * hashes with — the oracle replicates the full pipeline and must
+    * never drift from it. */
+  def minhashCoeffs(numHashes: Int = 32,
+      seed: Long = 42L): Seq[(Long, Long)] = coeffs(numHashes, seed)
+
   /** 64-bit FNV-1a over a char window — the shingle hash. */
   private def fnv1a(s: String, from: Int, len: Int): Long = {
     var h = 0xcbf29ce484222325L

@@ -450,6 +450,52 @@ object Similarity {
         round(col("cos"), 6).as("score"))
   }
 
+  /** Exact top-k EUCLIDEAN neighbours per probe — the ground truth for
+    * auditing distance-ranked ANN (LSH); [[bruteForceTopK]] is the
+    * cosine counterpart. Probe side broadcast, one pass over the
+    * table. */
+  def bruteForceTopKEuclid(emb: DataFrame, probeDf: DataFrame,
+      k: Int): DataFrame = {
+    val scored = emb
+      .crossJoin(broadcast(probeDf))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        expr("""sqrt(aggregate(zip_with(probe_emb, embedding,
+                  (x, y) -> (cast(x AS double) - cast(y AS double)) *
+                            (cast(x AS double) - cast(y AS double))),
+                0.0D, (a, v) -> a + v))""").as("dist"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(asc("dist"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"), col("dist"))
+  }
+
+  /** Per-probe recall audit of an ANN result against the exact top-k
+    * under the same metric: `(probe_id, n_ann, probe_ok, mean_ok)`
+    * with recall = |ann ∩ exact| / k, `probe_ok` a per-probe floor and
+    * `mean_ok` a fleet-wide mean bound (the p0/mean SLO pair an index-
+    * quality monitor tracks). This is the DECLARED relation of the
+    * sim_ann_* queries — the ANN ranking itself is engine-specific
+    * (depends on the seeded quantizer/hyperplanes), but the audit is
+    * deterministic and its exact side is what an oracle can pin. At
+    * corpus scale the same audit runs on a probe SAMPLE as the
+    * index-quality monitor. Both inputs expose (probe_id, vec_id). */
+  def recallAudit(ann: DataFrame, exact: DataFrame, k: Int,
+      minRecall: Double, minMeanRecall: Double): DataFrame = {
+    val a = ann.select(col("probe_id"), col("vec_id"))
+    val e = exact.select(col("probe_id"), col("vec_id"))
+    val hits = a.join(e, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+    val wAll = Window.partitionBy()
+    a.groupBy("probe_id").agg(count(lit(1)).as("n_ann"))
+      .join(hits, Seq("probe_id"), "left")
+      .withColumn("recall", coalesce(col("hits"), lit(0L)).cast("double") / k)
+      .select(col("probe_id"), col("n_ann"),
+        (col("recall") >= minRecall).as("probe_ok"),
+        (avg(col("recall")).over(wAll) >= minMeanRecall).as("mean_ok"))
+  }
+
   /** Within-label kNN graph: every vector's top-k cosine neighbours —
     * the neighbour-graph builder behind SemDeDup-style clustering and
     * graph-based corpus curation. Same two-regime hybrid as

@@ -14,6 +14,13 @@ object Llm {
 
   private val P = 1000000007L
 
+  /** The engine's seeded MinHash coefficients as SQL VALUES rows — the
+    * dedup_near oracle replicates the full LSH pipeline and inlines
+    * these so it can never drift from what the engine hashes with. */
+  private val MinhashCoeffRows: String =
+    Dedup.minhashCoeffs().zipWithIndex
+      .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
+
   val qs: Seq[Q] = Seq(
     Q("dedup_exact",
       (s, d) => Dedup.exact(documents(s, d)).orderBy("doc_id"),
@@ -23,16 +30,127 @@ object Llm {
                     ORDER BY doc_id) AS rn
            FROM documents) WHERE rn = 1 ORDER BY doc_id"""),
 
-    // MinHash-LSH near-dup: xxhash64-seeded → not SQL-mirrorable; the
-    // exact-Jaccard verification of planted dupes runs in ScalaTest.
-    Q.noOracle("dedup_near",
+    // MinHash-LSH near-dup, oracle-checked END TO END: every stage is
+    // deterministic given the seeded coefficients (inlined below from
+    // Dedup.minhashCoeffs so engine and oracle cannot drift), and each
+    // maps to SQL — FNV-1a trigram hashing (HUGEINT mod-2^64 arithmetic
+    // reproduces Java's wrapping multiply), 32 affine min-hashes, 4×8
+    // banding (band equality ⇔ slice equality; the engine's xxhash64
+    // band key only compresses the slice), the ±0.2 signature-estimate
+    // pre-filter, and exact hashed-shingle Jaccard on survivors.
+    Q("dedup_near",
       (s, d) => Dedup.nearMinHash(documents(s, d), 0.8,
           datasetTag = Some(d))
-        .orderBy("doc_a", "doc_b")),
+        .orderBy("doc_a", "doc_b"),
+      s"""WITH coeffs(k, a, b) AS (VALUES $MinhashCoeffRows),
+          trigrams AS (
+            SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+              i -> substring(text, i, 3))) AS g
+            FROM documents),
+          ghash AS (
+            SELECT DISTINCT doc_id,
+              CASE WHEN hu >= 9223372036854775808::HUGEINT
+                   THEN (hu - 18446744073709551616::HUGEINT)::BIGINT
+                   ELSE hu::BIGINT END AS h
+            FROM (
+              SELECT doc_id, list_reduce(
+                list_prepend(14695981039346656037::HUGEINT,
+                  list_transform(range(1, 4),
+                    i -> ascii(substring(g, i, 1))::HUGEINT)),
+                (h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT
+                           * 1099511628211::HUGEINT)
+                          % 18446744073709551616::HUGEINT) AS hu
+              FROM trigrams)),
+          hp AS (
+            SELECT doc_id, h,
+                   ((h % 2147483647) + 2147483647) % 2147483647 AS hp
+            FROM ghash),
+          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ghash GROUP BY 1),
+          sigs AS (
+            SELECT doc_id, k, MIN((a * hp + b) % 2147483647) AS sig
+            FROM hp, coeffs GROUP BY doc_id, k),
+          sigvec AS (
+            SELECT doc_id, list(sig ORDER BY k) AS sig
+            FROM sigs GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, bi AS band_idx,
+                   sig[bi * 8 + 1 : bi * 8 + 8] AS bandsig
+            FROM sigvec, (SELECT unnest(range(0, 4)) AS bi)),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band_idx = y.band_idx AND x.bandsig = y.bandsig
+             AND x.doc_id < y.doc_id),
+          est AS (
+            SELECT doc_a, doc_b
+            FROM cand
+              JOIN sigvec sa ON sa.doc_id = doc_a
+              JOIN sigvec sb ON sb.doc_id = doc_b
+            WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))
+                  / 32.0 >= 0.8 - 0.2),
+          hlist AS (SELECT doc_id, list(h) AS hs FROM hp GROUP BY doc_id),
+          verified AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(ha.hs, hb.hs)) AS n_common,
+                   sa.sz AS sza, sb.sz AS szb
+            FROM est
+              JOIN hlist ha ON ha.doc_id = doc_a
+              JOIN hlist hb ON hb.doc_id = doc_b
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE sa.sz + sb.sz - len(list_intersect(ha.hs, hb.hs)) > 0)
+          SELECT doc_a, doc_b,
+                 ROUND(n_common / CAST(sza + szb - n_common AS DOUBLE), 4)
+                   AS jaccard
+          FROM verified
+          WHERE n_common / CAST(sza + szb - n_common AS DOUBLE) >= 0.8
+          ORDER BY doc_a, doc_b"""),
 
-    Q.noOracle("dedup_simhash",
+    // SimHash near-dup IS exactly oracle-able: with 4×16-bit chunk
+    // buckets, any pair within Hamming ≤ 3 must agree on one chunk
+    // (pigeonhole) — recall is 1.0 BY CONSTRUCTION, so the emitted set
+    // equals {all pairs with Hamming(simhash) ≤ 3}. The oracle
+    // replicates the whole pipeline in SQL: FNV-1a per token (HUGEINT
+    // arithmetic mod 2^64 reproduces Java's wrapping 64-bit multiply),
+    // per-bit ±1 majority vote, pairwise popcount(xor).
+    Q("dedup_simhash",
       (s, d) => Dedup.nearSimHash(documents(s, d), 3)
-        .orderBy("doc_a", "doc_b")),
+        .orderBy("doc_a", "doc_b"),
+      """WITH words AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         whash AS (
+           SELECT doc_id, list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+               list_transform(range(1, length(w) + 1),
+                 i -> ascii(substring(w, i, 1))::HUGEINT)),
+             (h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT
+                        * 1099511628211::HUGEINT)
+                       % 18446744073709551616::HUGEINT) AS h
+           FROM words),
+         wsigned AS (
+           SELECT doc_id,
+                  CASE WHEN h >= 9223372036854775808::HUGEINT
+                       THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+                       ELSE h::BIGINT END AS sh
+           FROM whash),
+         sums AS (
+           SELECT doc_id, b,
+                  SUM(CASE WHEN (sh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM wsigned, (SELECT unnest(range(0, 64)) AS b)
+           GROUP BY doc_id, b),
+         sim AS (
+           SELECT doc_id,
+                  CAST(SUM(CASE WHEN s > 0 THEN
+                    CASE WHEN b = 63 THEN -9223372036854775808::HUGEINT
+                         ELSE (1::BIGINT << CAST(b AS INT))::HUGEINT END
+                    ELSE 0::HUGEINT END) AS BIGINT) AS sh
+           FROM sums GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         ORDER BY doc_a, doc_b"""),
 
     // Exact n-gram Jaccard within (lang, source) groups — SQL-expressible
     // near-dup; the group equi-term bounds the pair space.
@@ -346,34 +464,62 @@ object Llm {
                 ROUND(cos, 6) AS score
          FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn"""),
 
-    Q.noOracle("sim_ann_lsh",
+    // The ANN rankings themselves depend on the seeded hyperplanes /
+    // quantizer (engine-specific), so the DECLARED relation of each
+    // sim_ann_* key is the deterministic recall AUDIT against the
+    // exact metric top-k: per-probe floor + fleet-mean bound
+    // (Similarity.recallAudit). If ANN quality regresses, a boolean
+    // flips and the oracle hash-compare fails; SimilaritySpec keeps
+    // the tighter numeric recall bounds on the raw rankings.
+    Q("sim_ann_lsh",
       (s, d) => {
         val emb = embeddings(s, d)
-        Similarity.annTopK(emb, Similarity.probes(emb), 5,
-            datasetTag = Some(d))
-          .orderBy("probe_id", "rn")
-      }),
+        val probes = Similarity.probes(emb)
+        Similarity.recallAudit(
+            Similarity.annTopK(emb, probes, 5, datasetTag = Some(d)),
+            Similarity.bruteForceTopKEuclid(emb, probes, 5),
+            5, minRecall = 0.4, minMeanRecall = 0.8)
+          .orderBy("probe_id")
+      },
+      """SELECT MIN(vec_id) AS probe_id, CAST(5 AS BIGINT) AS n_ann,
+                TRUE AS probe_ok, TRUE AS mean_ok
+         FROM embeddings GROUP BY label ORDER BY probe_id"""),
 
-    Q.noOracle("sim_ann_ivf",
+    Q("sim_ann_ivf",
       (s, d) => {
         val emb = embeddings(s, d)
+        val probes = Similarity.probes(emb)
         // fit-once: the quantizer is cached per dataset (and persisted
         // to the warehouse), so repeat queries skip the fit entirely
-        Similarity.ivfTopKCached(emb, Similarity.probes(emb), 5, d)
-          .orderBy("probe_id", "rn")
-      }),
+        Similarity.recallAudit(
+            Similarity.ivfTopKCached(emb, probes, 5, d),
+            Similarity.bruteForceTopK(emb, probes, 5),
+            5, minRecall = 0.2, minMeanRecall = 0.5)
+          .orderBy("probe_id")
+      },
+      """SELECT MIN(vec_id) AS probe_id, CAST(5 AS BIGINT) AS n_ann,
+                TRUE AS probe_ok, TRUE AS mean_ok
+         FROM embeddings GROUP BY label ORDER BY probe_id"""),
 
     // IVF over the cell-PARTITIONED index: the scan prunes to the
     // probed cells' files (ingest-time write, partition-pruned read —
-    // the true corpus-scale IVF). Bit-equal to sim_ann_ivf
-    // (equivalence-tested); approximate vs brute force → no oracle.
-    Q.noOracle("sim_ann_ivf_indexed",
+    // the true corpus-scale IVF). The ranking is bit-equal to
+    // sim_ann_ivf (equivalence-tested), so its audit relation and
+    // bounds are identical.
+    Q("sim_ann_ivf_indexed",
       (s, d) => {
         val emb = embeddings(s, d)
+        val probes = Similarity.probes(emb)
         val idx = Similarity.cellIndexFor(emb, d)
-        Similarity.ivfTopKIndexed(s, idx, Similarity.probes(emb), 5)
-          .orderBy("probe_id", "rn")
-      }),
+        Similarity.recallAudit(
+            Similarity.ivfTopKIndexed(s, idx, probes, 5),
+            Similarity.bruteForceTopK(emb, probes, 5),
+            5, minRecall = 0.2, minMeanRecall = 0.5)
+          .orderBy("probe_id")
+      },
+      """SELECT MIN(vec_id) AS probe_id, CAST(5 AS BIGINT) AS n_ann,
+                TRUE AS probe_ok, TRUE AS mean_ok
+         FROM embeddings GROUP BY label ORDER BY probe_id"""),
 
     Q("text_wordcount",
       (s, d) => Text.wordCount(documents(s, d), 50),
