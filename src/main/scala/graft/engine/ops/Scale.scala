@@ -25,10 +25,21 @@ object Scale {
     * at small scale. At corpus scale input files vastly outnumber cores,
     * the guard is already satisfied, and this is a no-op — no shuffle is
     * ever added where the scan is parallel enough. Round-robin
-    * repartition keeps the spread balanced regardless of input order. */
+    * repartition keeps the spread balanced regardless of input order.
+    *
+    * Parallelism is ESTIMATED from optimizer statistics (plan bytes /
+    * `files.maxPartitionBytes`), not probed via `df.rdd` — the RDD probe
+    * compiled a physical plan per invocation and pinned the subtree
+    * before AQE could see it. Statistics come from the logical plan
+    * (file-index sizes for scans), so no job, no RDD, no physical plan
+    * is materialized here. */
   def spreadForCompute(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(1, target / 2)) df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val splitBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estSplits = (planBytes / splitBytes).min(Int.MaxValue) + 1
+    if (estSplits >= math.max(1, target / 2)) df
     else df.repartition(target)
   }
 

@@ -14,6 +14,38 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Generate the unrolled Hilbert xy→d walk (grid 1024×1024) over a
+    * source relation exposing (p_partkey, x, y). Pure integer CASE/&
+    * arithmetic — runs verbatim on Spark SQL and DuckDB. Each of the 10
+    * levels reads the previous level's rotated (x, y) frame and
+    * accumulates s²·quadrant into d; the flip uses n-1 (the canonical
+    * xy2d form). */
+  def hilbertSql(src: String): String = {
+    val n = 1024L
+    var inner =
+      s"SELECT p_partkey, x AS x0, y AS y0, x, y, CAST(0 AS BIGINT) AS d FROM ($src)"
+    var step = n / 2
+    while (step > 0) {
+      val rx = s"(CASE WHEN (x & $step) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y & $step) > 0 THEN 1 ELSE 0 END)"
+      inner = s"""SELECT p_partkey, x0, y0,
+        CASE WHEN $ry = 0
+             THEN (CASE WHEN $rx = 1 THEN ${n - 1} - y ELSE y END)
+             ELSE x END AS x,
+        CASE WHEN $ry = 0
+             THEN (CASE WHEN $rx = 1 THEN ${n - 1} - x ELSE x END)
+             ELSE y END AS y,
+        d + ${step * step} * (CASE WHEN $rx = 1 AND $ry = 1 THEN 2
+                                   WHEN $rx = 1 THEN 3
+                                   WHEN $ry = 1 THEN 1
+                                   ELSE 0 END) AS d
+        FROM ($inner)"""
+      step /= 2
+    }
+    s"SELECT p_partkey, x0 AS x, y0 AS y, d AS hval FROM ($inner) " +
+      "ORDER BY hval, p_partkey"
+  }
+
   val qs: Seq[Q] = Seq(
     Q("skyline_2d",
       (s, d) => {
@@ -192,6 +224,26 @@ object Analytics {
                   FROM part)
             ORDER BY zval, p_partkey"""
       }),
+
+    // Hilbert-curve clustering key — the locality-better alternative to
+    // Morton: consecutive Hilbert indexes are always grid-adjacent (no
+    // Z-shaped jumps across the space), so file min/max ranges along the
+    // sort are tighter and 2-D range predicates prune more files at
+    // 100 TB. The xy→d walk is inherently iterative (each level rotates
+    // the frame), so it unrolls as 10 nested projections — Catalyst
+    // collapses them into ONE codegen'd Project over the scan; the same
+    // generated string is the DuckDB oracle, so engine and oracle cannot
+    // drift. Validated cell-by-cell against the canonical xy2d walk.
+    Q("sort_hilbert",
+      (s, d) => {
+        part(s, d).createOrReplaceTempView("graft_part_hil")
+        s.sql(Analytics.hilbertSql(
+          "SELECT p_partkey, p_partkey % 1024 AS x, " +
+            "CAST(p_size AS BIGINT) % 1024 AS y FROM graft_part_hil"))
+      },
+      Analytics.hilbertSql(
+        "SELECT p_partkey, p_partkey % 1024 AS x, " +
+          "CAST(p_size AS BIGINT) % 1024 AS y FROM part")),
 
     // Per-node triangle counts on the supplier co-supply graph (edge =
     // two suppliers sharing ≥25 distinct parts — the strength threshold

@@ -24,7 +24,49 @@ object Projections {
     ColumnMeta("l_shipdate", "date"),            // timestamp → date
     ColumnMeta("l_returnflag", "character")))
 
+  /** The reference's signature input format: a metadata JSON *document*
+    * in the agnostic type dialect (SURVEY §1.1 [RECONSTRUCTED]) is the
+    * schema contract; conformance is driven entirely from parsing it —
+    * nothing is hard-coded Spark-side. Exercises every conformance
+    * dimension: column reorder (date before status), type imposition
+    * (long, decimal, timestamp→date), surplus drop (o_orderpriority,
+    * o_custkey never selected), and a declared-but-missing column
+    * (o_channel) materializing as a typed null. */
+  val ordersMetaJson: String = """{
+    "name": "orders_conformed",
+    "description": "orders conformed from a declared metadata document",
+    "columns": [
+      {"name": "o_orderkey",   "type": "long"},
+      {"name": "o_orderdate",  "type": "date"},
+      {"name": "o_orderstatus","type": "character"},
+      {"name": "o_totalprice", "type": "decimal(14,2)"},
+      {"name": "o_channel",    "type": "character"}
+    ],
+    "partitions": []
+  }"""
+
   val qs: Seq[Q] = Seq(
+    // Metadata-JSON → StructType → conform, end to end: parse the
+    // document (TableMeta.fromJson ⇄ TypeMap), then conformLenient so
+    // the missing declared column becomes a typed null. Still a pure
+    // Project over the scan — fuses into whole-stage codegen, prunes
+    // the two surplus columns out of ReadSchema.
+    Q("conform_metadata_json",
+      (s, d) => {
+        val meta = graft.engine.meta.TableMeta.fromJson(ordersMetaJson)
+        Conform.conformLenient(orders(s, d), meta)
+          // decimal → double for the driver comparator (exact cast)
+          .withColumn("o_totalprice", col("o_totalprice").cast("double"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                CAST(o_orderdate AS DATE) AS o_orderdate,
+                CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
+                CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE)
+                  AS o_totalprice,
+                CAST(NULL AS VARCHAR) AS o_channel
+         FROM orders ORDER BY o_orderkey"""),
+
     Q("project_select",
       (s, d) => lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),

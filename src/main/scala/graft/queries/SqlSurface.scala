@@ -12,7 +12,44 @@ import org.apache.spark.sql.functions._
   */
 object SqlSurface {
 
+  /** The passthrough statement: one identical ANSI string runs through
+    * [[graft.engine.sql.Query]] on Spark and verbatim in DuckDB — the
+    * point of the passthrough surface is that users bring whole SQL
+    * statements, not DataFrame programs. Joins + aggregate + window in
+    * one statement; decimal-cast per row before SUM so the aggregate is
+    * addition-order independent. */
+  private val passthroughSql = """
+    SELECT n_name, yr, revenue,
+           RANK() OVER (PARTITION BY yr
+                        ORDER BY revenue DESC, n_name) AS rnk
+    FROM (
+      SELECT n_name, year(o_orderdate) AS yr,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(1 - l_discount   AS DECIMAL(18,2)))
+                  AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey  = o_orderkey
+      JOIN customer ON o_custkey   = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name, year(o_orderdate))
+    ORDER BY yr, rnk, n_name"""
+
   val qs: Seq[Q] = Seq(
+    // The reference's PRIMARY surface (SURVEY §1.2 `athena.py`
+    // [RECONSTRUCTED]): register the dataset's tables once, then run an
+    // arbitrary multi-table SQL statement against them. Catalyst plans
+    // it like any DataFrame program: region/nation/customer broadcast
+    // under the 10 MB threshold, the lineitem⋈orders join shuffles on
+    // the 64-bit key, partial aggregation precedes the exchange, and
+    // the window sorts only within its yr partitions.
+    Q("sql_passthrough",
+      (s, d) => {
+        graft.engine.sql.Query.registerAll(s, d)
+        graft.engine.sql.Query.sql(s, passthroughSql)
+      },
+      passthroughSql),
     // correlated scalar subquery → decorrelated aggregate join
     Q("subquery_scalar",
       (s, d) => {

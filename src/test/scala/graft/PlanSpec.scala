@@ -192,4 +192,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   test("agg_winsorize joins the bounds back by broadcast") {
     assert(plan("agg_winsorize").contains("BroadcastHashJoin"))
   }
+
+  test("win_range_interval shuffles once on user_id (frame rides the window exchange)") {
+    // the interval frame + the windowed sum must share ONE user_id hash
+    // exchange; the only other exchange is the presentation sort's range
+    // partitioning — a second hash exchange would mean the frame and the
+    // aggregate each shuffled the events separately
+    val df = SparkEntry.queries("win_range_interval")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+      .replaceAll("#\\d+L?", "")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("sessionize_batch shares one user_id shuffle across windows AND the session agg") {
+    // lag-window, running-sum window, and the (user_id, session_seq)
+    // aggregate all cluster on user_id — HashPartitioning(user_id)
+    // satisfies the aggregate's ClusteredDistribution, so the whole
+    // gaps-and-islands pipeline rides a single hash exchange
+    val df = SparkEntry.queries("sessionize_batch")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+      .replaceAll("#\\d+L?", "")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
 }
