@@ -471,6 +471,29 @@ object Similarity {
       .select(col("probe_id"), col("rn"), col("vec_id"), col("dist"))
   }
 
+  /** Persisted exact-top-k ground truth for the standard probe set —
+    * the fit-once artifact every ANN recall audit compares against
+    * (the ANN-benchmark pattern: ground truth is labeled ONCE at
+    * ingest, not re-scanned per evaluation — at corpus scale the
+    * brute-force pass is the single most expensive part of an audit
+    * and it never changes until the data does). Keyed by content
+    * fingerprint like the quantizer; metric ∈ {cosine, euclid}. */
+  def groundTruthFor(emb: DataFrame, datasetTag: String, k: Int,
+      metric: String = "cosine"): DataFrame = {
+    val spark = emb.sparkSession
+    val fp = graft.engine.io.Artifacts.fingerprintOf(emb)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = graft.engine.io.Artifacts.ensure(spark,
+      s"$warehouse/graft_groundtruth/${metric}_${safe}_${fp}_$k") { tmp =>
+      val p = probes(emb)
+      (if (metric == "euclid") bruteForceTopKEuclid(emb, p, k)
+       else bruteForceTopK(emb, p, k))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(path)
+  }
+
   /** Per-probe recall audit of an ANN result against the exact top-k
     * under the same metric: `(probe_id, n_ann, probe_ok, mean_ok)`
     * with recall = |ann ∩ exact| / k, `probe_ok` a per-probe floor and

@@ -433,5 +433,78 @@ object Analytics {
          SELECT user_id,
                 ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS twa
          FROM agg ORDER BY user_id"""),
+
+    // Gap fill + linear interpolation onto a regular per-user daily
+    // grid — the time-series regularization that turns irregular event
+    // streams into model-ready features. The grid (tiny: one row per
+    // user-day) unions with the observations and ONE user_id shuffle
+    // carries both directional windows: last-non-null-behind gives the
+    // left anchor, first-non-null-ahead the right, and the interp is a
+    // per-row closed form. No as-of join, no per-gap explode, and the
+    // grid bounds the output regardless of event density.
+    Q("time_gap_fill",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d).select(col("user_id"),
+          unix_micros(col("ts")).as("t_us"), col("value").as("v"),
+          lit(0).as("is_grid"))
+        val grid = events(s, d).groupBy("user_id")
+          .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+          .select(col("user_id"),
+            explode(expr("""sequence(date_trunc('DAY', mn) + INTERVAL 1 DAY,
+                date_trunc('DAY', mx), INTERVAL 1 DAY)""")).as("gts"))
+          .select(col("user_id"), unix_micros(col("gts")).as("t_us"),
+            lit(null).cast("double").as("v"), lit(1).as("is_grid"))
+        val ord = Window.partitionBy("user_id").orderBy("t_us", "is_grid")
+        val wp = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ev.unionByName(grid)
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+          .withColumn("pt", last(when(col("is_grid") === 0, col("t_us")),
+            ignoreNulls = true).over(wp))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+          .withColumn("nt", first(when(col("is_grid") === 0, col("t_us")),
+            ignoreNulls = true).over(wn))
+          .filter(col("is_grid") === 1 && col("pv").isNotNull &&
+            col("nv").isNotNull)
+          .select(col("user_id"), col("t_us"),
+            round(when(col("nt") === col("pt"), col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                (col("t_us") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double")), 6).as("v_interp"))
+          .orderBy("user_id", "t_us")
+      },
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS t_us, value AS v, 0 AS is_grid
+           FROM events),
+         g AS (
+           SELECT user_id,
+                  epoch_us(unnest(generate_series(
+                    date_trunc('day', mn) + INTERVAL 1 DAY,
+                    date_trunc('day', mx), INTERVAL 1 DAY))) AS t_us,
+                  CAST(NULL AS DOUBLE) AS v, 1 AS is_grid
+           FROM (SELECT user_id, MIN(ts) AS mn, MAX(ts) AS mx
+                 FROM events GROUP BY 1)),
+         allr AS (SELECT * FROM ev UNION ALL SELECT * FROM g),
+         w AS (
+           SELECT user_id, t_us, is_grid,
+                  LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+                  LAST_VALUE(CASE WHEN is_grid = 0 THEN t_us END
+                             IGNORE NULLS) OVER wp AS pt,
+                  FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+                  FIRST_VALUE(CASE WHEN is_grid = 0 THEN t_us END
+                              IGNORE NULLS) OVER wn AS nt
+           FROM allr
+           WINDOW wp AS (PARTITION BY user_id ORDER BY t_us, is_grid
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wn AS (PARTITION BY user_id ORDER BY t_us, is_grid
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, t_us,
+                ROUND(CASE WHEN nt = pt THEN pv
+                           ELSE pv + (nv - pv) * CAST(t_us - pt AS DOUBLE)
+                                / CAST(nt - pt AS DOUBLE) END, 6) AS v_interp
+         FROM w
+         WHERE is_grid = 1 AND pv IS NOT NULL AND nv IS NOT NULL
+         ORDER BY user_id, t_us"""),
   )
 }

@@ -340,5 +340,55 @@ object Joins {
          SELECT a.k, n_orders, n_lines
          FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k
          ORDER BY a.k NULLS FIRST"""),
+
+    // Interval-OVERLAP join (both sides are intervals — distinct from
+    // join_range's point-in-interval and join_temporal's
+    // fact-to-version): per customer, which 7-day order windows
+    // overlap? The scale path is week bucketing: a 7-day interval spans
+    // EXACTLY its start bucket and the next, so each side expands 2×
+    // into (custkey, bucket) equi-keys and the join is a plain hash
+    // join whose group size is bounded by per-customer-per-week
+    // occupancy — never history². A pair overlapping in both shared
+    // buckets would emit twice; instead of a distinct (a second
+    // shuffle), each pair is claimed only by the unique bucket
+    // containing its overlap START — dedup by arithmetic, no exchange.
+    // The oracle writes the plain quadratic inequality join: bucketing
+    // must be invisible.
+    Q("join_interval_overlap",
+      (s, d) => {
+        val iv = orders(s, d).select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("bigint").as("sd"))
+        def expand(keyAs: String, sdAs: String) = iv.select(
+          col("o_custkey"),
+          col("o_orderkey").as(keyAs),
+          col("sd").as(sdAs),
+          explode(array(floor(col("sd") / 7).cast("bigint"),
+            floor(col("sd") / 7).cast("bigint") + 1)).as("bkt"))
+        expand("key_a", "sa").join(expand("key_b", "sb"),
+            Seq("o_custkey", "bkt"))
+          .where(col("key_a") < col("key_b") &&
+            col("sa") < col("sb") + 7 && col("sb") < col("sa") + 7 &&
+            floor(greatest(col("sa"), col("sb")) / 7).cast("bigint")
+              === col("bkt"))
+          .select(col("o_custkey"), col("key_a"), col("key_b"),
+            (least(col("sa"), col("sb")) + 7 -
+              greatest(col("sa"), col("sb"))).as("overlap_days"))
+          .orderBy("o_custkey", "key_a", "key_b")
+      },
+      """WITH iv AS (
+           SELECT o_custkey, o_orderkey,
+                  date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS sd
+           FROM orders)
+         SELECT a.o_custkey AS o_custkey, a.o_orderkey AS key_a,
+                b.o_orderkey AS key_b,
+                LEAST(a.sd, b.sd) + 7 - GREATEST(a.sd, b.sd) AS overlap_days
+         FROM iv a JOIN iv b
+           ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+          AND a.sd < b.sd + 7 AND b.sd < a.sd + 7
+         ORDER BY a.o_custkey, key_a, key_b"""),
   )
 }

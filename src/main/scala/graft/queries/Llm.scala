@@ -477,7 +477,7 @@ object Llm {
         val probes = Similarity.probes(emb)
         Similarity.recallAudit(
             Similarity.annTopK(emb, probes, 5, datasetTag = Some(d)),
-            Similarity.bruteForceTopKEuclid(emb, probes, 5),
+            Similarity.groundTruthFor(emb, d, 5, "euclid"),
             5, minRecall = 0.4, minMeanRecall = 0.8)
           .orderBy("probe_id")
       },
@@ -493,7 +493,7 @@ object Llm {
         // to the warehouse), so repeat queries skip the fit entirely
         Similarity.recallAudit(
             Similarity.ivfTopKCached(emb, probes, 5, d),
-            Similarity.bruteForceTopK(emb, probes, 5),
+            Similarity.groundTruthFor(emb, d, 5, "cosine"),
             5, minRecall = 0.2, minMeanRecall = 0.5)
           .orderBy("probe_id")
       },
@@ -513,7 +513,7 @@ object Llm {
         val idx = Similarity.cellIndexFor(emb, d)
         Similarity.recallAudit(
             Similarity.ivfTopKIndexed(s, idx, probes, 5),
-            Similarity.bruteForceTopK(emb, probes, 5),
+            Similarity.groundTruthFor(emb, d, 5, "cosine"),
             5, minRecall = 0.2, minMeanRecall = 0.5)
           .orderBy("probe_id")
       },

@@ -264,5 +264,37 @@ object Profiling {
            FROM s)
          SELECT column_name, value, n, rk FROM ranked
          WHERE rk <= 3 ORDER BY column_name, rk"""),
+
+    // Shannon entropy per profiled column — the information-content
+    // diagnostic (is this column a constant? an id? a balanced
+    // category?) that prioritizes profiling attention at 100 TB. One
+    // scan (stack to long form), one shuffle to value counts, then the
+    // per-column entropy folds in the SAME aggregate via the identity
+    // H = log2(n) − Σ c·log2(c) / n — no window, no second pass over
+    // the data, no total-count join.
+    Q("profile_entropy",
+      (s, d) => orders(s, d)
+        .select(expr("""stack(2,
+            'o_orderstatus',   o_orderstatus,
+            'o_orderpriority', o_orderpriority) AS (col_name, val)"""))
+        .groupBy("col_name", "val").agg(count(lit(1)).as("c"))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum("c").as("n"),
+          round(log2(sum("c")) -
+            sum(col("c") * log2(col("c"))) / sum("c"), 6).as("entropy"))
+        .orderBy("col_name"),
+      """WITH vals AS (
+           SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', o_orderpriority FROM orders),
+         counts AS (
+           SELECT col_name, val, COUNT(*) AS c FROM vals GROUP BY 1, 2)
+         SELECT col_name, COUNT(*) AS n_distinct,
+                CAST(SUM(c) AS BIGINT) AS n,
+                ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6)
+                  AS entropy
+         FROM counts GROUP BY col_name ORDER BY col_name"""),
   )
 }
