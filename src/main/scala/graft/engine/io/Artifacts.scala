@@ -38,7 +38,16 @@ object Artifacts {
   }
 
   private def compute(df: DataFrame): String = {
-    val planHash = df.queryExecution.analyzed.semanticHash()
+    // Session-STABLE plan signature: the analyzed plan text with the
+    // per-JVM tokens (expression ids, object identity hashes) stripped.
+    // semanticHash() is NOT stable across JVMs — it hashes relation
+    // objects whose FileIndex uses identity hashCode — so keying on it
+    // silently rebuilt every artifact once per session: the "fit once
+    // per dataset" guarantee only held within one driver process, and
+    // every fresh session leaked a new copy of every store.
+    val planHash = df.queryExecution.analyzed.toString
+      .replaceAll("#\\d+L?", "")
+      .replaceAll("@[0-9a-fA-F]+", "")
     val files = df.inputFiles
     val body: String =
       if (files.nonEmpty) {

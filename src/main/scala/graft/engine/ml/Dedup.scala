@@ -203,6 +203,16 @@ object Dedup {
     require(numHashes == bands * rowsPerBand,
       s"lshCandidates: signature length $numHashes != " +
         s"bands*rowsPerBand (${bands * rowsPerBand})")
+    candidatePairs(bandedCapped(sigs, bands, rowsPerBand, maxBucket))
+  }
+
+  /** The banded, hot-bucket-capped inverted index rows
+    * `(doc_id, band_idx, band_hash)` — what a set-similarity join
+    * materializes before its self-join. Split out so the tagged path
+    * can persist it ([[bandIndexFor]]) instead of recomputing the
+    * explode + cap window per query. */
+  private def bandedCapped(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
     val banded = sigs.select(col("doc_id"),
       explode(expr(
         s"""transform(sequence(0, ${bands - 1}),
@@ -211,7 +221,13 @@ object Dedup {
                           slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))
                           AS band_hash))""")).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
-    val capped = capBuckets(banded, Seq("band_idx", "band_hash"), maxBucket)
+    capBuckets(banded, Seq("band_idx", "band_hash"), maxBucket)
+  }
+
+  /** Candidate pairs from a (possibly stored) capped band index:
+    * equi-self-join on the bucket key, each pair emitted once per
+    * shared bucket then deduped on a doc_a-only exchange. */
+  private def candidatePairs(capped: DataFrame): DataFrame = {
     val a = capped.select(col("doc_id").as("doc_a"),
       col("band_idx"), col("band_hash"))
     val b = capped.select(col("doc_id").as("doc_b"),
@@ -219,6 +235,28 @@ object Dedup {
     distinctPairs(
       a.join(b, Seq("band_idx", "band_hash"))
         .filter(col("doc_a") < col("doc_b")))
+  }
+
+  /** Persisted band index — the second half of the ingest-time LSH
+    * artifact pair (signatures + bands): production set-similarity
+    * systems store the banded inverted index, not just the signatures,
+    * so a near-dup query starts at the self-join. Content-fingerprint
+    * keyed like every fit-once store. */
+  def bandIndexFor(docs: DataFrame, datasetTag: String,
+      numHashes: Int = 32, bands: Int = 4, rowsPerBand: Int = 8,
+      maxBucket: Int = 10000, seed: Long = 42L): DataFrame = {
+    val spark = docs.sparkSession
+    val fp = graft.engine.io.Artifacts.fingerprintOf(docs)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = graft.engine.io.Artifacts.ensure(spark,
+      s"$warehouse/graft_signatures/bands_${safe}_${fp}_" +
+        s"${numHashes}_${bands}_${rowsPerBand}_${maxBucket}_$seed") { tmp =>
+      bandedCapped(minhashStoreFor(docs, datasetTag, numHashes, seed),
+        bands, rowsPerBand, maxBucket)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(path)
   }
 
   /** Exact Jaccard on candidate pairs. Two stages: a MinHash-estimate
@@ -272,12 +310,15 @@ object Dedup {
   /** MinHash-LSH near-dup pipeline: shingle → sign → band → verify.
     * With `datasetTag`, the sign pass reads the persisted store. */
   def nearMinHash(docs: DataFrame, threshold: Double = 0.8,
-      datasetTag: Option[String] = None): DataFrame = {
-    val state = datasetTag match {
-      case Some(tag) => minhashStoreFor(docs, tag)
-      case None      => signatures(docs)
-    }
-    jaccardVerify(lshCandidates(state), state, threshold)
+      datasetTag: Option[String] = None): DataFrame = datasetTag match {
+    case Some(tag) =>
+      // both ingest-time artifacts: stored signatures AND stored band
+      // index — the query starts at the candidate self-join
+      jaccardVerify(candidatePairs(bandIndexFor(docs, tag)),
+        minhashStoreFor(docs, tag), threshold)
+    case None =>
+      val state = signatures(docs)
+      jaccardVerify(lshCandidates(state), state, threshold)
   }
 
   /** 64-bit SimHash per document: per-bit ±1 sums of token hashes, sign

@@ -450,5 +450,56 @@ object Curation {
                   AS chunk_text,
                 len(ws[chunk_id*24+1 : chunk_id*24+32]) AS n_words
          FROM c ORDER BY doc_id, chunk_id"""),
+
+    // Cross-document boilerplate detection (the CCNet/RefinedWeb move:
+    // a passage repeated across documents is template/nav chrome, not
+    // content): fingerprint every 10-word chunk, count per-chunk
+    // document frequency on DISTINCT (doc, chunk), and score each doc
+    // by its fraction of corpus-repeated chunks. One shuffle builds the
+    // chunk-frequency relation; the repeated-chunk set is tiny by the
+    // Zipf of real corpora, so it broadcasts back onto the narrow chunk
+    // stream (were it ever large, the join key `ch` is already the
+    // shuffle key — flip to sort-merge, same plan family).
+    Q("text_boilerplate",
+      (s, d) => {
+        val chunks = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(w) < 10 THEN array()
+               ELSE transform(sequence(0, size(w) div 10 - 1),
+                 i -> md5(array_join(slice(w, i * 10 + 1, 10), ' ')))
+               END""")).as("ch"))
+        val freq = chunks.select("doc_id", "ch").distinct()
+          .groupBy("ch").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+          .select(col("ch"), lit(1).as("hit"))
+        chunks.join(broadcast(freq), Seq("ch"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(coalesce(col("hit"), lit(0))).as("n_boiler"))
+          .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+            round(col("n_boiler").cast("double") / col("n_chunks"), 4)
+              .as("boiler_frac"))
+          .orderBy("doc_id")
+      },
+      """WITH chunks AS (
+           SELECT doc_id,
+                  md5(array_to_string(w[i * 10 + 1 : i * 10 + 10], ' '))
+                    AS ch
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+                LATERAL unnest(range(0,
+                  CAST(floor(len(w) / 10) AS BIGINT))) AS t(i)),
+         dch AS (SELECT DISTINCT doc_id, ch FROM chunks),
+         freq AS (SELECT ch FROM dch GROUP BY ch HAVING COUNT(*) >= 2),
+         per_doc AS (
+           SELECT c.doc_id, COUNT(*) AS n_chunks,
+                  COUNT(*) FILTER (WHERE f.ch IS NOT NULL) AS n_boiler
+           FROM chunks c LEFT JOIN freq f ON c.ch = f.ch
+           GROUP BY c.doc_id)
+         SELECT doc_id, n_chunks, n_boiler,
+                ROUND(CAST(n_boiler AS DOUBLE) / n_chunks, 4)
+                  AS boiler_frac
+         FROM per_doc ORDER BY doc_id"""),
   )
 }

@@ -320,5 +320,47 @@ object Etl {
            UNION ALL SELECT 'orphan_lineitems', orphan_lineitems
            FROM orphans)
          ORDER BY rule"""),
+
+    // Volume-anomaly detection over ingest metrics (the pipeline-health
+    // companion to dq_checks): daily event counts z-scored against the
+    // fleet, |z| > 2 flags the day. The statistics fold to EXACT integer
+    // sums (Σn, Σn² as BIGINT) so the z arithmetic is bit-identical in
+    // both engines — no stddev_samp whose partial-merge order could
+    // drift a ulp. The tiny stats row broadcasts; at scale the daily
+    // relation is already the rolled-up metrics table, so this costs
+    // one agg over metadata, not a data scan.
+    Q("dq_anomaly",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(date_trunc("DAY", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val stats = daily.agg(count(lit(1)).as("k"),
+          sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"))
+        daily.crossJoin(broadcast(stats))
+          .select(col("day"), col("n"),
+            expr("""round((n - CAST(s1 AS DOUBLE) / k) /
+                sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+                      CAST(s1 AS DOUBLE) / k) / (k - 1)), 4)""").as("z"),
+            expr("""abs((n - CAST(s1 AS DOUBLE) / k) /
+                sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+                      CAST(s1 AS DOUBLE) / k) / (k - 1))) > 2""")
+              .as("is_anomaly"))
+          .orderBy("day")
+      },
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1),
+         st AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS s1,
+                       CAST(SUM(n * n) AS BIGINT) AS s2 FROM daily)
+         SELECT day, n,
+                ROUND((n - CAST(s1 AS DOUBLE) / k) /
+                      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+                            CAST(s1 AS DOUBLE) / k) / (k - 1)), 4) AS z,
+                abs((n - CAST(s1 AS DOUBLE) / k) /
+                    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+                          CAST(s1 AS DOUBLE) / k) / (k - 1))) > 2
+                  AS is_anomaly
+         FROM daily, st ORDER BY day"""),
   )
 }

@@ -822,5 +822,42 @@ object Llm {
                 i -> CAST(ascii(substring(text, i, 1)) AS VARCHAR)), ',')
             END AS head_features
           FROM documents ORDER BY doc_id"""),
+
+    // Frame sampling through the real multimodal pipeline shape
+    // (Multimodal.sampleFrames: typed Dataset[MediaRow] →
+    // partition-local flatMap → Dataset[FrameRow]) — every stride-th
+    // fixed-size window of the payload becomes a frame row, the
+    // stand-in for video frame extraction with the codec stubbed.
+    // Media bytes never shuffle: frames are digested in the same
+    // narrow stage. Oracle reconstructs each frame from the SOURCE
+    // text (construction-time truth, like scan_binaryfile): the corpus
+    // is ASCII so char windows == byte windows.
+    Q("multimodal_framesample",
+      (s, d) => {
+        import s.implicits._
+        val media = documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, t) =>
+            graft.engine.ml.Multimodal.MediaRow(id, t.getBytes("UTF-8"),
+              graft.engine.ml.Multimodal.MediaMeta("text/plain", 0, 0, 0L))
+          }
+        graft.engine.ml.Multimodal.sampleFrames(media, 256, 2)
+          .select(col("media_id"), col("frame_idx").cast("bigint"),
+            octet_length(col("frame")).cast("bigint").as("frame_len"),
+            md5(col("frame")).as("digest"))
+          .orderBy("media_id", "frame_idx")
+      },
+      """SELECT doc_id AS media_id, fi AS frame_idx,
+                CAST(octet_length(CAST(substring(text,
+                  CAST(fi * 256 + 1 AS INT), 256) AS BLOB)) AS BIGINT)
+                  AS frame_len,
+                md5(substring(text, CAST(fi * 256 + 1 AS INT), 256))
+                  AS digest
+         FROM (SELECT doc_id, text,
+                      unnest(range(0, CAST(ceil(length(text) / 256.0)
+                        AS BIGINT))) AS fi
+               FROM documents WHERE doc_id < 40)
+         WHERE fi % 2 = 0
+         ORDER BY media_id, frame_idx"""),
   )
 }
