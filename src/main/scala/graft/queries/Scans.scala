@@ -20,6 +20,15 @@ object Scans {
     ColumnMeta("n_name", "character"),
     ColumnMeta("n_regionkey", "int")))
 
+  /** Declared metadata for the external-table DDL over `supplier` —
+    * types match the parquet footer (external DDL binds by name, it
+    * does not cast). */
+  val supplierMeta: TableMeta = TableMeta("graft_supplier_ext", Seq(
+    ColumnMeta("s_suppkey", "long"),
+    ColumnMeta("s_name", "character"),
+    ColumnMeta("s_nationkey", "int"),
+    ColumnMeta("s_acctbal", "double")))
+
   val qs: Seq[Q] = Seq(
     Q("scan_parquet",
       (s, d) => lineitem(s, d).orderBy("l_orderkey", "l_linenumber"),
@@ -38,5 +47,56 @@ object Scans {
       """SELECT n_regionkey, COUNT(*) AS n_nations,
                 MIN(n_name) AS first_name
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""),
+
+    // Persistent EXTERNAL table over the parquet location — the other
+    // half of Glue parity (catalog_register covers temp views): the
+    // declared metadata becomes `CREATE TABLE ... USING parquet
+    // LOCATION ...` DDL, the data never moves, and the table is
+    // queryable by name across the whole session. The declared schema
+    // binds by COLUMN NAME to the parquet footer, exactly how a
+    // metastore table over an existing lake path behaves.
+    Q("catalog_external",
+      (s, d) => {
+        Catalog.dropExternal(s, "graft_supplier_ext")
+        Catalog.registerExternal(s, Scans.supplierMeta,
+          s"$d/supplier.parquet", Some("graft_supplier_ext"))
+        s.sql("""SELECT s_nationkey, COUNT(*) AS n_suppliers,
+                        MIN(s_name) AS first_name
+                 FROM graft_supplier_ext GROUP BY s_nationkey
+                 ORDER BY s_nationkey""")
+      },
+      """SELECT s_nationkey, COUNT(*) AS n_suppliers,
+                MIN(s_name) AS first_name
+         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""),
+
+    // CTAS — THE Athena working pattern (SELECT → new table in one
+    // statement) over the passthrough surface: registerAll, CREATE
+    // TABLE AS a decimal-exact aggregate, read the result back from
+    // the catalog. The materialized table lands in the session
+    // warehouse as parquet; at scale this is the "publish a derived
+    // table" verb, and the write inherits the aggregate's partitioning
+    // (no extra exchange for the sink).
+    Q("sql_ctas",
+      (s, d) => {
+        graft.engine.sql.Query.registerAll(s, d)
+        s.sql("DROP TABLE IF EXISTS graft_ctas_cust")
+        // the in-memory catalog is per-session but the warehouse dir is
+        // not: a leftover table directory from an earlier session makes
+        // CTAS fail on "location already exists" even after the DROP —
+        // clear the path as well (what DROP does when the table IS known)
+        graft.engine.io.Storage.deleteFolder(s,
+          s.conf.get("spark.sql.warehouse.dir") + "/graft_ctas_cust")
+        s.sql("""CREATE TABLE graft_ctas_cust USING parquet AS
+                 SELECT o_custkey,
+                        COUNT(*) AS n_orders,
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                             AS DOUBLE) AS total_spend
+                 FROM orders GROUP BY o_custkey""")
+        s.table("graft_ctas_cust").orderBy("o_custkey")
+      },
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DOUBLE) AS total_spend
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
   )
 }

@@ -193,6 +193,38 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan("agg_winsorize").contains("BroadcastHashJoin"))
   }
 
+  test("sql_passthrough broadcasts every dimension of the 5-table join") {
+    // region/nation/customer broadcast; only lineitem⋈orders shuffles
+    val p = plan("sql_passthrough")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("join_interval_overlap joins on the bucket equi-key with no dedup aggregate") {
+    // the week-bucket expansion must make this a plain hash/merge join
+    // on (o_custkey, bkt) — no cartesian/range fallback — and the
+    // claim-by-overlap-start arithmetic must replace any distinct
+    // (a dropDuplicates would show as an extra aggregate + exchange)
+    val df = SparkEntry.queries("join_interval_overlap")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("text_boilerplate broadcasts the frequent-chunk set") {
+    assert(plan("text_boilerplate").contains("BroadcastHashJoin"))
+  }
+
+  test("dq_anomaly broadcasts the one-row stats relation") {
+    val p = plan("dq_anomaly")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("win_range_interval shuffles once on user_id (frame rides the window exchange)") {
     // the interval frame + the windowed sum must share ONE user_id hash
     // exchange; the only other exchange is the presentation sort's range

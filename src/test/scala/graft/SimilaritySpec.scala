@@ -33,6 +33,18 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(topk.filter(col("probe_id") === col("vec_id")).count() === 0)
   }
 
+  test("persisted ground truth equals the live brute-force top-k (both metrics)") {
+    val probes = Similarity.probes(emb)
+    Seq("cosine" -> Similarity.bruteForceTopK(emb, probes, 5),
+        "euclid" -> Similarity.bruteForceTopKEuclid(emb, probes, 5))
+      .foreach { case (metric, live) =>
+        val stored = Similarity.groundTruthFor(emb, s"spec_gt_$metric", 5,
+          metric)
+        assert(stored.collect().map(_.toSeq).toSet ===
+          live.collect().map(_.toSeq).toSet, metric)
+      }
+  }
+
   test("ANN recall ≥ 0.8 of exact euclidean top-5") {
     import org.apache.spark.sql.expressions.Window
     val probes = Similarity.probes(emb)
