@@ -434,6 +434,49 @@ object Analytics {
                 ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS twa
          FROM agg ORDER BY user_id"""),
 
+    // Bounded BFS (shortest hop counts ≤4 from the lowest-id supplier)
+    // on the SAME thresholded co-supply projection as graph_components —
+    // fourth consumer of the persisted edge artifact. Levels expand as
+    // unrolled frontier joins (frontier ⋈ edges → distinct), each level
+    // tiny; min-over-levels folds at the end. The level-wise expansion
+    // mirrors the oracle's bounded recursive CTE state set exactly, so
+    // hash parity is structural. At corpus scale each hop is one
+    // edge-keyed equi-join — the standard Pregel-free BFS shape.
+    Q("graph_shortest_hops",
+      (s, d) => {
+        val e = graft.engine.ops.Graph.coOccurrenceEdgesFor(
+            lineitem(s, d).select(col("l_partkey").as("pk"),
+              col("l_suppkey").as("sk")), s"${d}_cosupply")
+          .filter(col("w") >= 150)
+        val und = e.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+        val src = e.agg(min(col("a")).as("node"))
+        var levels = List(src.withColumn("d", lit(0L)))
+        var frontier = src
+        (1 to 4).foreach { h =>
+          frontier = frontier.join(und, col("node") === col("u"))
+            .select(col("v").as("node")).distinct()
+          levels = frontier.withColumn("d", lit(h.toLong)) :: levels
+        }
+        levels.reduce(_ unionByName _)
+          .groupBy("node").agg(min(col("d")).as("dist"))
+          .orderBy("node")
+      },
+      """WITH RECURSIVE sp AS (
+           SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         e AS (
+           SELECT x.sk AS a, y.sk AS b
+           FROM sp x JOIN sp y ON x.pk = y.pk AND x.sk < y.sk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 150),
+         edges AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+         src AS (SELECT MIN(a) AS s FROM e),
+         walk(node, d) AS (
+           SELECT s, 0 FROM src
+           UNION
+           SELECT v, d + 1 FROM walk JOIN edges ON node = u WHERE d < 4)
+         SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+         FROM walk GROUP BY node ORDER BY node"""),
+
     // Gap fill + linear interpolation onto a regular per-user daily
     // grid — the time-series regularization that turns irregular event
     // streams into model-ready features. The grid (tiny: one row per

@@ -269,6 +269,47 @@ object Windows {
                 ROUND((value - mu) / sigma, 4) AS zscore
          FROM events e JOIN stats USING (event_type)
          ORDER BY event_id"""),
+
+    // Longest consecutive-day activity streak per user (retention/
+    // engagement staple) — the day-level gaps-and-islands: group id =
+    // epoch_day − row_number is constant exactly along a run of
+    // consecutive days. All-integer arithmetic, so both engines agree
+    // bit-for-bit. ONE user_id exchange total: the (user, day) dedup
+    // repartitions by user_id and collapses map-side (distinctPairs
+    // pattern), and the window + both aggregates all cluster on
+    // user_id over that same exchange.
+    Q("win_streak",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = events(s, d)
+          .select(col("user_id"),
+            date_trunc("DAY", col("ts")).cast("date").as("day"))
+          .repartition(col("user_id"))
+          .dropDuplicates("user_id", "day")
+        val w = Window.partitionBy("user_id").orderBy("day")
+        days
+          .withColumn("grp",
+            datediff(col("day"), lit("1970-01-01").cast("date"))
+              .cast("bigint") - row_number().over(w))
+          .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+          .groupBy("user_id").agg(max("len").as("max_streak"),
+            count(lit(1)).as("n_streaks"))
+          .orderBy("user_id")
+      },
+      """WITH days AS (
+           SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', ts) AS DATE) AS day
+           FROM events),
+         r AS (
+           SELECT user_id, day,
+                  date_diff('day', DATE '1970-01-01', day) -
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY day) AS grp
+           FROM days),
+         streaks AS (
+           SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2)
+         SELECT user_id, MAX(len) AS max_streak, COUNT(*) AS n_streaks
+         FROM streaks GROUP BY user_id ORDER BY user_id"""),
   )
 
   /** Exact decimal windowed sum, emitted as ROUND(CAST(.. AS DOUBLE), s)
