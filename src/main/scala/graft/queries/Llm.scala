@@ -745,6 +745,38 @@ object Llm {
     // Training-mixture sampling: per-language rates (en 40%, others 10%)
     // over a reproducible md5 bucket of doc_id — the weighted-interleave
     // step of corpus assembly, exact-membership checked by the oracle.
+    // Class-balanced downsample: every language contributes exactly
+    // min-class-count docs, selected by deterministic md5 rank (stable
+    // across runs/engines/partitionings — never rand()). The balancing
+    // verb a training mix applies before sample_mixture's weighted
+    // draw; one shuffle for the rank window, the 1-row target
+    // broadcasts.
+    Q("sample_balanced",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = documents(s, d)
+        val target = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+          .agg(min("cnt").as("target"))
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs.select(col("doc_id"), col("lang"))
+          .withColumn("rk", row_number().over(w))
+          .crossJoin(broadcast(target))
+          .filter(col("rk") <= col("target"))
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      """WITH tgt AS (
+           SELECT MIN(cnt) AS target FROM (
+             SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1)),
+         ranked AS (
+           SELECT doc_id, lang,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, lang FROM ranked, tgt
+         WHERE rk <= target ORDER BY doc_id"""),
+
     Q("sample_mixture",
       (s, d) => documents(s, d)
         .withColumn("bucket",
