@@ -249,6 +249,39 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(tiny.isNullAt(1))
   }
 
+  test("hilbertSql matches the canonical xy2d walk (independent implementation)") {
+    // the sort_hilbert oracle runs the SAME generated SQL in DuckDB, so
+    // a generator bug would agree with itself — this pins the generated
+    // expression against an independent Scala transcription of the
+    // canonical algorithm
+    def xy2d(n: Long, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    spark.range(0, 500)
+      .selectExpr("id AS p_partkey", "(id * 131) % 1024 AS x",
+        "(id * 37) % 1024 AS y")
+      .createOrReplaceTempView("graft_hil_probe")
+    val rows = spark.sql(graft.queries.Analytics.hilbertSql(
+      "SELECT p_partkey, x, y FROM graft_hil_probe")).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getLong(3) === xy2d(1024L, r.getLong(1), r.getLong(2)),
+        s"(${r.getLong(1)}, ${r.getLong(2)})")
+    }
+  }
+
   test("driver contract: entry>0 rows; every oracle key has a query") {
     assert(SparkEntry.entry(spark).count() > 0)
     val qk = SparkEntry.queries.keySet
