@@ -1,0 +1,397 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Behavioral / retail analytics + pipeline-maintenance shapes
+  * (SURVEY.md §2 [ADDED r5], second batch): cohort retention, market
+  * baskets, Markov event transitions, RFM segmentation, incremental
+  * aggregate maintenance, bloom-prefiltered semi joins, row-level
+  * snapshot diff (CDC), and A/B conversion stats.
+  *
+  * Scale notes are per-key below; the common theme is that every key is
+  * a bounded number of key-partitioned shuffles over declarative plans
+  * (Catalyst picks partial aggregation and broadcast automatically), no
+  * driver-side row loops, and every float output is either decimal-exact
+  * or a deterministic double expression rounded identically in both
+  * engines (SURVEY §7.4 R3/R4).
+  */
+object Behavior {
+
+  val qs: Seq[Q] = Seq(
+
+    // Classic cohort-retention triangle: cohort = month of the
+    // customer's first order; n_active = distinct customers from that
+    // cohort ordering again `offset_m` months later. Two shuffles: one
+    // on o_custkey for the first-order month (and the join back — AQE
+    // reuses the key), one for the (cohort, offset) distinct-count.
+    // At 100 TB the custkey join is the big exchange and it's a plain
+    // equi-shuffle; no window, no driver state.
+    Q("cohort_retention",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_custkey"),
+          trunc(col("o_orderdate").cast("date"), "MM").as("m"))
+        val firstM = o.groupBy("o_custkey").agg(min(col("m")).as("cohort_m"))
+        o.join(firstM, "o_custkey")
+          .withColumn("offset_m",
+            months_between(col("m"), col("cohort_m")).cast("long"))
+          .groupBy(col("cohort_m").as("cohort_month"), col("offset_m"))
+          .agg(countDistinct(col("o_custkey")).as("n_active"))
+          .orderBy("cohort_month", "offset_m")
+      },
+      """WITH o AS (
+           SELECT o_custkey,
+                  CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+           FROM orders),
+         f AS (SELECT o_custkey, MIN(m) AS cohort_m FROM o GROUP BY 1)
+         SELECT cohort_m AS cohort_month,
+                datediff('month', cohort_m, m) AS offset_m,
+                COUNT(DISTINCT o.o_custkey) AS n_active
+         FROM o JOIN f USING (o_custkey)
+         GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    // Market-basket co-occurrence with lift. Baskets = distinct
+    // (order, part); the pair stream is a self-equi-join on the order
+    // key, so pair fan-out is bounded by per-basket size squared (TPC-H
+    // baskets are ≤7 lines; a 100 TB corpus would cap basket size the
+    // same way the dedup buckets are capped). Support ≥2 prunes the
+    // long tail before the two part-side joins; lift's integer ratio is
+    // cast to double identically in both engines. Top-100 under a total
+    // order keeps the output bounded and deterministic.
+    Q("market_basket",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val a = li.select(col("ok"), col("pk").as("part_a"))
+        val b = li.select(col("ok"), col("pk").as("part_b"))
+        val pairs = a.join(b, Seq("ok"))
+          .filter(col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b").agg(count(lit(1)).as("pair_cnt"))
+          .filter(col("pair_cnt") >= 2)
+        val item = li.groupBy("pk").agg(count(lit(1)).as("cnt"))
+        val tot = li.agg(countDistinct(col("ok")).as("n_orders"))
+        pairs
+          .join(item.select(col("pk").as("part_a"), col("cnt").as("cnt_a")),
+            "part_a")
+          .join(item.select(col("pk").as("part_b"), col("cnt").as("cnt_b")),
+            "part_b")
+          .crossJoin(broadcast(tot))
+          .withColumn("lift",
+            round((col("pair_cnt") * col("n_orders")).cast("double") /
+              (col("cnt_a") * col("cnt_b")).cast("double"), 6))
+          .select(col("part_a"), col("part_b"), col("pair_cnt"), col("lift"))
+          .orderBy(desc("pair_cnt"), col("part_a"), col("part_b"))
+          .limit(100)
+      },
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         pairs AS (
+           SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS pair_cnt
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         item AS (SELECT pk, COUNT(*) AS cnt FROM li GROUP BY 1),
+         tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li)
+         SELECT part_a, part_b, pair_cnt,
+                ROUND(CAST(pair_cnt * n_orders AS DOUBLE) /
+                      CAST(ia.cnt * ib.cnt AS DOUBLE), 6) AS lift
+         FROM pairs
+         JOIN item ia ON pairs.part_a = ia.pk
+         JOIN item ib ON pairs.part_b = ib.pk
+         CROSS JOIN tot
+         ORDER BY pair_cnt DESC, part_a, part_b LIMIT 100"""),
+
+    // First-order Markov transition matrix over the event stream:
+    // count + row-normalized probability of event_type -> next
+    // event_type per user timeline. ONE user_id sort-shuffle carries the
+    // LEAD; the (from, to) aggregate and its row-normalizing window are
+    // over the tiny type×type matrix. Ties on ts break by event_id, so
+    // the successor is total-order deterministic in both engines.
+    Q("event_transitions",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        val wf = Window.partitionBy("from_type")
+        ev.withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            round(col("n").cast("double") / sum(col("n")).over(wf), 6))
+          .orderBy("from_type", "to_type")
+      },
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+           FROM events),
+         tr AS (
+           SELECT event_type AS from_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY t, event_id) AS to_type
+           FROM ev),
+         m AS (
+           SELECT from_type, to_type, COUNT(*) AS n FROM tr
+           WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+                ROUND(CAST(n AS DOUBLE) /
+                      SUM(n) OVER (PARTITION BY from_type), 6) AS p
+         FROM m ORDER BY from_type, to_type"""),
+
+    // RFM segmentation: per-customer recency/frequency/monetary, each
+    // split at its exact median (k-th smallest, k = (n+1) div 2 — rank
+    // arithmetic, no interpolation, so both engines pick the identical
+    // raw value; same device as agg_winsorize). Customers get a 3-digit
+    // segment (2 = at-or-better-than-median) and the output is the
+    // 8-cell segment summary. The three global rank windows run over the
+    // PER-CUSTOMER aggregate (|customers| ≪ |orders|); at 100 TB you'd
+    // swap them for approx_percentile boundaries and keep the same
+    // broadcast-compare shape.
+    Q("rfm_segmentation",
+      (s, d) => {
+        val o = orders(s, d)
+        val maxD = o.agg(max(col("o_orderdate").cast("date")).as("max_d"))
+        val rfm = o.groupBy("o_custkey").agg(
+            max(col("o_orderdate").cast("date")).as("last_d"),
+            count(lit(1)).as("frequency"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("monetary"))
+          .crossJoin(broadcast(maxD))
+          .withColumn("recency",
+            datediff(col("max_d"), col("last_d")).cast("long"))
+        val cnt = rfm.agg(count(lit(1)).as("n"))
+        def med(dim: String, as: String): DataFrame =
+          rfm.select(col(dim))
+            .withColumn("rn", row_number().over(Window.orderBy(col(dim))))
+            .crossJoin(broadcast(cnt))
+            .filter(col("rn") === expr("(n + 1) div 2"))
+            .select(col(dim).as(as))
+        rfm.crossJoin(broadcast(med("recency", "r_med")))
+          .crossJoin(broadcast(med("frequency", "f_med")))
+          .crossJoin(broadcast(med("monetary", "m_med")))
+          .withColumn("segment", concat(
+            when(col("recency") <= col("r_med"), lit("2")).otherwise(lit("1")),
+            when(col("frequency") >= col("f_med"), lit("2")).otherwise(lit("1")),
+            when(col("monetary") >= col("m_med"), lit("2")).otherwise(lit("1"))))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum(col("recency")).cast("double") / count(lit(1)), 4)
+              .as("avg_recency"),
+            round(sum(col("frequency")).cast("double") / count(lit(1)), 4)
+              .as("avg_frequency"),
+            round(sum(col("monetary").cast(DecimalType(18, 2))).cast("double")
+              / count(lit(1)), 2).as("avg_monetary"))
+          .orderBy("segment")
+      },
+      """WITH rfm0 AS (
+           SELECT o_custkey,
+                  MAX(CAST(o_orderdate AS DATE)) AS last_d,
+                  COUNT(*) AS frequency,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS monetary
+           FROM orders GROUP BY 1),
+         mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_d FROM orders),
+         rfm AS (
+           SELECT o_custkey, frequency, monetary,
+                  datediff('day', last_d, max_d) AS recency
+           FROM rfm0 CROSS JOIN mx),
+         n AS (SELECT COUNT(*) AS n FROM rfm),
+         rmed AS (SELECT recency AS r_med FROM
+           (SELECT recency, ROW_NUMBER() OVER (ORDER BY recency) AS rn
+            FROM rfm) CROSS JOIN n WHERE rn = (n + 1) // 2),
+         fmed AS (SELECT frequency AS f_med FROM
+           (SELECT frequency, ROW_NUMBER() OVER (ORDER BY frequency) AS rn
+            FROM rfm) CROSS JOIN n WHERE rn = (n + 1) // 2),
+         mmed AS (SELECT monetary AS m_med FROM
+           (SELECT monetary, ROW_NUMBER() OVER (ORDER BY monetary) AS rn
+            FROM rfm) CROSS JOIN n WHERE rn = (n + 1) // 2)
+         SELECT (CASE WHEN recency <= r_med THEN '2' ELSE '1' END ||
+                 CASE WHEN frequency >= f_med THEN '2' ELSE '1' END ||
+                 CASE WHEN monetary >= m_med THEN '2' ELSE '1' END)
+                   AS segment,
+                COUNT(*) AS n_customers,
+                ROUND(CAST(SUM(recency) AS DOUBLE) / COUNT(*), 4)
+                  AS avg_recency,
+                ROUND(CAST(SUM(frequency) AS DOUBLE) / COUNT(*), 4)
+                  AS avg_frequency,
+                ROUND(CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*), 2) AS avg_monetary
+         FROM rfm CROSS JOIN rmed CROSS JOIN fmed CROSS JOIN mmed
+         GROUP BY 1 ORDER BY 1"""),
+
+    // Incremental aggregate maintenance (materialized-view merge): the
+    // daily-revenue state computed on the historical partition is merged
+    // with the state of the new-arrivals partition by re-aggregating the
+    // UNION of partial states — the mergeable-state contract (decimal
+    // sums and counts are associative), proved by hash-matching the
+    // oracle's from-scratch recompute. At 100 TB this is the pattern
+    // that turns a full-table re-agg into a delta-sized one; the state
+    // union is two tiny daily tables.
+    Q("agg_incremental",
+      (s, d) => {
+        val o = orders(s, d).select(
+          col("o_orderdate").cast("date").as("day"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        val split = lit("1997-06-01").cast("date")
+        def state(df: DataFrame): DataFrame =
+          df.groupBy("day").agg(sum(col("price")).as("rev"),
+            count(lit(1)).as("n"))
+        state(o.filter(col("day") < split))
+          .unionByName(state(o.filter(col("day") >= split)))
+          .groupBy("day")
+          .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"),
+            sum(col("n")).as("n_orders"))
+          .orderBy("day")
+      },
+      """SELECT CAST(o_orderdate AS DATE) AS day,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS revenue,
+                COUNT(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY 1"""),
+
+    // Semi-join reduction via an explicit bloom filter: the high-value
+    // order-key set is sketched (distributed build, ~1 MB bitmap on the
+    // driver), broadcast, and probed map-side to prefilter lineitem
+    // BEFORE its shuffle; the exact left-semi join then removes the
+    // false positives, so the result is exact. This is the manual form
+    // of Spark's runtime row-level filtering
+    // (spark.sql.optimizer.runtime.bloomFilter.enabled) — made explicit
+    // so the 100 TB shuffle-volume cut is deterministic, not
+    // cost-model-dependent.
+    Q("join_bloom_prefilter",
+      (s, d) => {
+        val hi = orders(s, d).filter(col("o_totalprice") > 400000.0)
+          .select("o_orderkey")
+        val bf = hi.stat.bloomFilter("o_orderkey", 1L << 20, 0.03)
+        val bcBf = s.sparkContext.broadcast(bf)
+        val probe = udf((k: Long) => bcBf.value.mightContainLong(k))
+        val li = lineitem(s, d)
+        li.filter(probe(col("l_orderkey")))
+          .join(hi, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("l_extendedprice"), 2).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS revenue
+         FROM lineitem
+         WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+         GROUP BY 1 ORDER BY 1"""),
+
+    // Row-level snapshot diff (CDC): snapshot B is derived from A by
+    // deterministic arithmetic (keys ≡0 mod 97 deleted, ≡0 mod 13
+    // repriced by +1000.00 — an exact double add, no rounding — and ≡0
+    // mod 101 re-inserted under a negated key), then ONE full-outer
+    // join on the key classifies every row as D/I/U. The per-side
+    // snapshots never materialize; at 100 TB this is a single pair of
+    // key-partitioned exchanges, the standard reconciliation shape
+    // (recon_tables is the checksum summary; this is the row-level
+    // drill-down).
+    Q("table_diff",
+      (s, d) => {
+        val a = orders(s, d).select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("price_a"))
+        val bMod = a.filter(col("k") % 97 =!= 0)
+          .select(col("k"),
+            when(col("k") % 13 === 0, col("price_a") + 1000.0)
+              .otherwise(col("price_a")).as("price_b"))
+        val bIns = a.filter(col("k") % 101 === 0)
+          .select((-col("k")).as("k"), col("price_a").as("price_b"))
+        a.join(bMod.unionByName(bIns), Seq("k"), "full_outer")
+          .withColumn("change_type",
+            when(col("price_b").isNull, "D")
+              .when(col("price_a").isNull, "I")
+              .when(col("price_a") =!= col("price_b"), "U"))
+          .filter(col("change_type").isNotNull)
+          .select(col("change_type"), col("k").as("o_orderkey"),
+            col("price_a").as("old_price"), col("price_b").as("new_price"))
+          .orderBy("change_type", "o_orderkey")
+      },
+      """WITH a AS (
+           SELECT o_orderkey AS k, o_totalprice AS price_a FROM orders),
+         b AS (
+           SELECT k, CASE WHEN k % 13 = 0 THEN price_a + 1000.0
+                          ELSE price_a END AS price_b
+           FROM a WHERE k % 97 <> 0
+           UNION ALL
+           SELECT -k AS k, price_a AS price_b FROM a WHERE k % 101 = 0)
+         SELECT CASE WHEN price_b IS NULL THEN 'D'
+                     WHEN price_a IS NULL THEN 'I'
+                     ELSE 'U' END AS change_type,
+                k AS o_orderkey, price_a AS old_price, price_b AS new_price
+         FROM a FULL OUTER JOIN b USING (k)
+         WHERE price_b IS NULL OR price_a IS NULL OR price_a <> price_b
+         ORDER BY change_type, o_orderkey"""),
+
+    // A/B conversion readout: users hash-split into variants by key
+    // parity, converted = ever made a high-value purchase (value > 100 —
+    // plain "ever purchased" saturates at 100% and degenerates the
+    // pooled variance to zero); one user_id aggregate then a
+    // single-row fold into rates, lift, and the pooled two-proportion
+    // z-score — all-double closed form, identical IEEE arithmetic in
+    // both engines, rounded once at the end. Fully distributed: the
+    // only data-sized exchange is the per-user aggregate.
+    Q("ab_test",
+      (s, d) => {
+        val pu = events(s, d)
+          .select(col("user_id"), col("event_type"), col("value"))
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 100.0, 1L).otherwise(0L)).as("conv"))
+          .withColumn("v", col("user_id") % 2)
+        pu.agg(
+            sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("v") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+            sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("v") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+          .withColumn("rate_a", col("conv_a").cast("double") / col("n_a"))
+          .withColumn("rate_b", col("conv_b").cast("double") / col("n_b"))
+          .withColumn("p_pool",
+            (col("conv_a") + col("conv_b")).cast("double") /
+              (col("n_a") + col("n_b")))
+          .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+            round(col("rate_a"), 6).as("rate_a"),
+            round(col("rate_b"), 6).as("rate_b"),
+            round(col("rate_b") / col("rate_a"), 6).as("lift"),
+            round((col("rate_b") - col("rate_a")) /
+              sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+                (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)
+              .as("z_score"))
+      },
+      """WITH pu AS (
+           SELECT user_id,
+                  MAX(CASE WHEN event_type = 'purchase' AND value > 100.0
+                           THEN 1 ELSE 0 END) AS conv,
+                  user_id % 2 AS v
+           FROM events GROUP BY user_id),
+         c AS (
+           SELECT CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_a,
+                  CAST(SUM(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT)
+                    AS conv_a,
+                  CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_b,
+                  CAST(SUM(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT)
+                    AS conv_b
+           FROM pu),
+         r AS (
+           SELECT *,
+                  CAST(conv_a AS DOUBLE) / n_a AS rate_a0,
+                  CAST(conv_b AS DOUBLE) / n_b AS rate_b0,
+                  CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p_pool
+           FROM c)
+         SELECT n_a, conv_a, n_b, conv_b,
+                ROUND(rate_a0, 6) AS rate_a,
+                ROUND(rate_b0, 6) AS rate_b,
+                ROUND(rate_b0 / rate_a0, 6) AS lift,
+                ROUND((rate_b0 - rate_a0) /
+                      SQRT(p_pool * (1.0 - p_pool) *
+                           (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
+         FROM r""")
+  )
+}

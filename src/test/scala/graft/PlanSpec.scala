@@ -252,4 +252,51 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
+
+  test("market_basket reuses the basket exchange and takes top-100 without a global sort") {
+    // the pair self-join's two sides are the SAME distinct (ok, pk)
+    // relation — AQE must reuse the first shuffle (ReusedExchange), not
+    // scan+shuffle lineitem twice; the bounded output rides
+    // TakeOrderedAndProject, never a full rangepartition sort
+    val df = SparkEntry.queries("market_basket")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"), p)
+    assert(p.contains("TakeOrderedAndProject(limit=100"), p)
+  }
+
+  test("join_bloom_prefilter probes the bloom below the semi join, in the scan stage") {
+    // the broadcast sketch probe must run map-side on the lineitem scan
+    // (a Filter with the UDF over l_orderkey feeding the join), so at
+    // scale the semi join's shuffle/broadcast sees only the survivors
+    val df = SparkEntry.queries("join_bloom_prefilter")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+      .replaceAll("#\\d+L?", "")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("UDF(knownnotnull(l_orderkey))"), p)
+  }
+
+  test("event_transitions shuffles the event stream once, on user_id") {
+    // the LEAD window is the only data-sized exchange; everything after
+    // it operates on the tiny type×type matrix
+    val df = SparkEntry.queries("event_transitions")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+      .replaceAll("#\\d+L?", "")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p)
+  }
+
+  test("table_diff classifies via one full-outer sort-merge join on the key") {
+    val df = SparkEntry.queries("table_diff")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+      .replaceAll("#\\d+L?", "")
+    assert(p.contains("SortMergeJoin [k], [k], FullOuter"), p)
+    assert("Exchange hashpartitioning\\(k,".r.findAllIn(p).size === 2, p)
+  }
 }
