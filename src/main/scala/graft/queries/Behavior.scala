@@ -392,6 +392,141 @@ object Behavior {
                 ROUND((rate_b0 - rate_a0) /
                       SQRT(p_pool * (1.0 - p_pool) *
                            (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
-         FROM r""")
+         FROM r"""),
+
+    // Deterministic weighted sampling without replacement (Efraimidis–
+    // Spirakis A-ES): key = u^(1/w) with u an md5-derived uniform and
+    // w = n_chars, take the top-100 keys. Everything is a map-side
+    // expression + TakeOrderedAndProject — no rand() (layout-stable,
+    // rerun-stable) and no global sort. The key is ROUNDed to 12
+    // decimals before ranking so the one transcendental (pow) can't
+    // flip a rank between libm implementations; doc_id breaks ties.
+    Q("sample_weighted",
+      (s, d) => {
+        val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("double") + 1.0) / 4294967296.0
+        documents(s, d)
+          .withColumn("key",
+            round(pow(u, lit(1.0) / col("n_chars")), 12))
+          .orderBy(desc("key"), col("doc_id"))
+          .limit(100)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("key"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, lang, n_chars, key FROM (
+           SELECT doc_id, lang, n_chars,
+                  ROUND(POW((CAST(('0x' ||
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 1.0) / 4294967296.0,
+                    1.0 / n_chars), 12) AS key
+           FROM documents)
+         ORDER BY key DESC, doc_id LIMIT 100"""),
+
+    // Keyword extraction: top-3 TF·IDF terms per document. Token
+    // explosion is map-side; one (doc, term) aggregate, one term DF
+    // aggregate joined back on the term key, then a per-doc top-k
+    // window. The score is ROUNDed before ranking (absorbs ln() libm
+    // skew — the text_idf_score precedent) and ties break on the term,
+    // so the extracted set is engine-invariant.
+    Q("text_keywords",
+      (s, d) => {
+        val docs = documents(s, d)
+        val tok = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tok.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("score"), col("term"))
+        tf.join(df, "term")
+          .crossJoin(broadcast(total))
+          .withColumn("score",
+            round(col("tf") * log(col("n_docs") / col("df")), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("score"))
+          .orderBy("doc_id", "rk")
+      },
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(*) AS df FROM
+                  (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+         total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, term,
+                  ROUND(tf * LN(n_docs / df), 6) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN total),
+         ranked AS (
+           SELECT doc_id, term, score,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rk
+           FROM scored)
+         SELECT doc_id, rk, term, score FROM ranked
+         WHERE rk <= 3 ORDER BY doc_id, rk"""),
+
+    // M4 time-series downsampling: per hourly bucket keep the first,
+    // last, min, and max of the value series — the error-free
+    // aggregation for line-chart rendering at any zoom (output scales
+    // with buckets, not rows). The first/last row_numbers and the
+    // bucket aggregate all cluster on the bucket key, so the whole
+    // reduction rides ONE hash exchange; ties on ts break by event_id.
+    Q("time_m4_downsample",
+      (s, d) => {
+        val ev = events(s, d).select(
+          (unix_micros(col("ts")) / 3600000000L).cast("long").as("bucket"),
+          unix_micros(col("ts")).as("t"), col("value"), col("event_id"))
+        val wa = Window.partitionBy("bucket").orderBy(col("t"), col("event_id"))
+        val wd = Window.partitionBy("bucket")
+          .orderBy(desc("t"), desc("event_id"))
+        ev.withColumn("rn_a", row_number().over(wa))
+          .withColumn("rn_d", row_number().over(wd))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_points"),
+            max(when(col("rn_a") === 1, col("t"))).as("t_first"),
+            max(when(col("rn_a") === 1, col("value"))).as("v_first"),
+            max(when(col("rn_d") === 1, col("t"))).as("t_last"),
+            max(when(col("rn_d") === 1, col("value"))).as("v_last"),
+            min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+          .orderBy("bucket")
+      },
+      """WITH ev AS (
+           SELECT epoch_us(ts) // 3600000000 AS bucket, epoch_us(ts) AS t,
+                  value, event_id
+           FROM events),
+         r AS (
+           SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY bucket
+                    ORDER BY t, event_id) AS rn_a,
+                  ROW_NUMBER() OVER (PARTITION BY bucket
+                    ORDER BY t DESC, event_id DESC) AS rn_d
+           FROM ev)
+         SELECT bucket, COUNT(*) AS n_points,
+                MAX(CASE WHEN rn_a = 1 THEN t END) AS t_first,
+                MAX(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+                MAX(CASE WHEN rn_d = 1 THEN t END) AS t_last,
+                MAX(CASE WHEN rn_d = 1 THEN value END) AS v_last,
+                MIN(value) AS v_min, MAX(value) AS v_max
+         FROM r GROUP BY bucket ORDER BY bucket"""),
+
+    // k-anonymity audit (k=5) over the quasi-identifier pair
+    // (nation, market segment) — the privacy companion to
+    // text_pii_mask: any equivalence class smaller than k re-identifies
+    // its members and must be generalized or suppressed before release.
+    // One aggregate exchange on the QI key; the summary row count is
+    // the QI-domain size, not the data size.
+    Q("dq_kanonymity",
+      (s, d) => customer(s, d)
+        .groupBy(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", col("n") < 5)
+        .orderBy("nation", "segment"),
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                c_mktsegment AS segment, COUNT(*) AS n,
+                (COUNT(*) < 5) AS at_risk
+         FROM customer GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 }

@@ -299,4 +299,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("SortMergeJoin [k], [k], FullOuter"), p)
     assert("Exchange hashpartitioning\\(k,".r.findAllIn(p).size === 2, p)
   }
+
+  test("time_m4_downsample rides one bucket exchange (both windows + the agg)") {
+    val df = SparkEntry.queries("time_m4_downsample")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+      .replaceAll("#\\d+L?", "")
+    assert("Exchange hashpartitioning\\(bucket".r.findAllIn(p).size === 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("sample_weighted takes its top-100 without a global sort") {
+    val df = SparkEntry.queries("sample_weighted")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject(limit=100"), p)
+  }
 }
