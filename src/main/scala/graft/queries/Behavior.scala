@@ -527,6 +527,210 @@ object Behavior {
       """SELECT CAST(c_nationkey AS BIGINT) AS nation,
                 c_mktsegment AS segment, COUNT(*) AS n,
                 (COUNT(*) < 5) AS at_risk
-         FROM customer GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM customer GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    // Per-user exponentially-weighted moving average of the event value
+    // (closed form: EWMA_n = Σ value_i·α^(n−i) / Σ α^(n−i), α = 0.5 —
+    // a POWER OF TWO, so every weight and weight·value product is an
+    // EXACT IEEE scaling with no libm in sight). The row_number, the
+    // window count, and the final aggregate all cluster on user_id —
+    // one exchange.
+    Q("time_ewma",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("value"),
+          unix_micros(col("ts")).as("t"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        val wn = Window.partitionBy("user_id")
+        ev.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("user_id")
+          .agg(max(col("n")).as("n_events"),
+            round(sum(col("value") * pow(lit(0.5), col("n") - col("rn"))) /
+              sum(pow(lit(0.5), col("n") - col("rn"))), 6).as("ewma"))
+          .orderBy("user_id")
+      },
+      """WITH ev AS (
+           SELECT user_id, value, epoch_us(ts) AS t, event_id FROM events),
+         r AS (
+           SELECT user_id, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY t, event_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY user_id) AS n
+           FROM ev)
+         SELECT user_id, MAX(n) AS n_events,
+                ROUND(SUM(value * POW(0.5, n - rn)) /
+                      SUM(POW(0.5, n - rn)), 6) AS ewma
+         FROM r GROUP BY user_id ORDER BY user_id"""),
+
+    // Benford first-digit profile of order totals — the classic
+    // fraud/data-entry anomaly screen. The leading digit comes from the
+    // integer part's STRING head (no log10 on the data path); the
+    // expected Benford share is log10(1+1/d) on the 9-row output only,
+    // rounded. One tiny aggregate + a broadcast total.
+    Q("profile_benford",
+      (s, d) => {
+        val digits = orders(s, d)
+          .select(substring(floor(col("o_totalprice")).cast("long")
+            .cast("string"), 1, 1).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val total = digits.agg(sum(col("n")).cast("double").as("tot"))
+        digits.crossJoin(broadcast(total))
+          .select(col("digit"), col("n"),
+            round(col("n") / col("tot"), 6).as("obs_share"),
+            round(log(10.0,
+              lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+              .as("exp_share"))
+          .orderBy("digit")
+      },
+      """WITH d AS (
+           SELECT substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS digit, COUNT(*) AS n
+           FROM orders GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM d)
+         SELECT digit, n, ROUND(n / tot, 6) AS obs_share,
+                ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+                  AS exp_share
+         FROM d CROSS JOIN t ORDER BY digit"""),
+
+    // D1/D7 retention — the product-analytics staple (daily-grain
+    // companion to the monthly cohort_retention): of all users, how
+    // many came back exactly 1 / 7 days after their first-seen day.
+    // The (user, day) dedup, the min-day aggregate, and the flag join
+    // all shuffle on user_id; the result is one row.
+    Q("retention_dn",
+      (s, d) => {
+        val ud = events(s, d)
+          .select(col("user_id"),
+            (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+          .distinct()
+        val first = ud.groupBy("user_id").agg(min(col("day")).as("d0"))
+        ud.join(first, "user_id")
+          .groupBy("user_id")
+          .agg(max(when(col("day") === col("d0") + 1, 1L).otherwise(0L))
+              .as("r1"),
+            max(when(col("day") === col("d0") + 7, 1L).otherwise(0L))
+              .as("r7"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("r1")).as("d1_retained"),
+            sum(col("r7")).as("d7_retained"),
+            round(sum(col("r1")).cast("double") / count(lit(1)), 6)
+              .as("d1_rate"),
+            round(sum(col("r7")).cast("double") / count(lit(1)), 6)
+              .as("d7_rate"))
+      },
+      """WITH ud AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         f AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY 1),
+         flags AS (
+           SELECT ud.user_id,
+                  MAX(CASE WHEN day = d0 + 1 THEN 1 ELSE 0 END) AS r1,
+                  MAX(CASE WHEN day = d0 + 7 THEN 1 ELSE 0 END) AS r7
+           FROM ud JOIN f USING (user_id) GROUP BY 1)
+         SELECT COUNT(*) AS n_users,
+                CAST(SUM(r1) AS BIGINT) AS d1_retained,
+                CAST(SUM(r7) AS BIGINT) AS d7_retained,
+                ROUND(CAST(SUM(r1) AS DOUBLE) / COUNT(*), 6) AS d1_rate,
+                ROUND(CAST(SUM(r7) AS DOUBLE) / COUNT(*), 6) AS d7_rate
+         FROM flags"""),
+
+    // Strict-order three-step funnel (signup → click → purchase, each
+    // step within 7 days of the previous): per-step minimum times chain
+    // through three user-keyed joins — the same exchange key end to
+    // end, no windows, counts fold to one row.
+    Q("funnel_multistep",
+      (s, d) => {
+        val week = 7L * 86400000000L
+        val ev = events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("t")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+          .filter(col("t") >= col("t1") && col("t") <= col("t1") + week)
+          .groupBy("user_id").agg(min(col("t")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id")
+          .filter(col("t") >= col("t2") && col("t") <= col("t2") + week)
+          .groupBy("user_id").agg(min(col("t")).as("t3"))
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_signup"),
+            count(col("t2")).as("n_click"),
+            count(col("t3")).as("n_purchase"),
+            round(count(col("t2")).cast("double") / count(lit(1)), 6)
+              .as("click_rate"),
+            round(count(col("t3")).cast("double") / count(lit(1)), 6)
+              .as("purchase_rate"))
+      },
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         s1 AS (SELECT user_id, MIN(t) AS t1 FROM ev
+                WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(e.t) AS t2
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.t >= t1
+                  AND e.t <= t1 + 604800000000 GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(e.t) AS t3
+                FROM ev e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.t >= t2
+                  AND e.t <= t2 + 604800000000 GROUP BY 1)
+         SELECT COUNT(*) AS n_signup,
+                COUNT(t2) AS n_click,
+                COUNT(t3) AS n_purchase,
+                ROUND(CAST(COUNT(t2) AS DOUBLE) / COUNT(*), 6)
+                  AS click_rate,
+                ROUND(CAST(COUNT(t3) AS DOUBLE) / COUNT(*), 6)
+                  AS purchase_rate
+         FROM s1 LEFT JOIN s2 USING (user_id)
+                 LEFT JOIN s3 USING (user_id)"""),
+
+    // Pareto concentration (80/20): per return flag, how many parts —
+    // taken in descending revenue order — cover 80% of revenue. The
+    // running share is a decimal-exact cumulative sum over the
+    // per-part aggregate (both engines divide identical decimals cast
+    // to identical doubles), so the <0.8 frontier is engine-invariant.
+    // One (flag, part) aggregate exchange, one flag-key window.
+    Q("pareto_topn",
+      (s, d) => {
+        val rev = lineitem(s, d)
+          .groupBy(col("l_returnflag").as("flag"),
+            col("l_partkey").as("pk"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .as("rev"))
+        val w = Window.partitionBy("flag")
+          .orderBy(desc("rev"), col("pk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("flag")
+        rev.withColumn("cum", sum(col("rev")).over(w))
+          .withColumn("tot", sum(col("rev")).over(wt))
+          .groupBy("flag")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(when((col("cum") - col("rev")).cast("double") /
+              col("tot").cast("double") < 0.8, 1L).otherwise(0L))
+              .as("n_parts_80"))
+          .withColumn("pct_of_parts",
+            round(col("n_parts_80").cast("double") / col("n_parts"), 6))
+          .orderBy("flag")
+      },
+      """WITH rev AS (
+           SELECT l_returnflag AS flag, l_partkey AS pk,
+                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+           FROM lineitem GROUP BY 1, 2),
+         c AS (
+           SELECT flag, rev,
+                  SUM(rev) OVER (PARTITION BY flag
+                    ORDER BY rev DESC, pk
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum,
+                  SUM(rev) OVER (PARTITION BY flag) AS tot
+           FROM rev)
+         SELECT flag, COUNT(*) AS n_parts,
+                CAST(SUM(CASE WHEN CAST(cum - rev AS DOUBLE) /
+                                   CAST(tot AS DOUBLE) < 0.8
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_parts_80,
+                ROUND(CAST(SUM(CASE WHEN CAST(cum - rev AS DOUBLE) /
+                                         CAST(tot AS DOUBLE) < 0.8
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*), 6) AS pct_of_parts
+         FROM c GROUP BY flag ORDER BY flag""")
   )
 }
