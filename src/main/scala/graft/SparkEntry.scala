@@ -18,7 +18,8 @@ object SparkEntry {
     Scans.qs ++ Projections.qs ++ Joins.qs ++ Aggregates.qs ++
       Windows.qs ++ SetOps.qs ++ Scalars.qs ++ Streaming.qs ++
       Llm.qs ++ UdfQueries.qs ++ IoQueries.qs ++ Profiling.qs ++
-      SqlSurface.qs ++ Analytics.qs ++ Etl.qs ++ Curation.qs ++ Behavior.qs
+      SqlSurface.qs ++ Analytics.qs ++ Etl.qs ++ Curation.qs ++
+      Behavior.qs ++ Ml.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,330 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Training-pipeline / advanced-analytics batch (SURVEY.md §2
+  * [ADDED r5], third batch): mergeable-sketch two-phase aggregation,
+  * deterministic negative sampling, unigram-LM document quality scoring,
+  * interval merge/coverage (gaps-and-islands), Adamic-Adar link
+  * prediction on the co-order graph, rolling window statistics from
+  * exact sums, and rank-distribution windows.
+  *
+  * Parity rules as elsewhere (SURVEY §7.4 R3/R4): integer/decimal math
+  * wherever the value crosses the oracle hash, doubles only through
+  * identical closed-form expressions rounded identically in both
+  * engines, md5 as the only cross-engine hash, every output totally
+  * ordered.
+  */
+object Ml {
+
+  val qs: Seq[Q] = Seq(
+
+    // Two-phase MERGEABLE sketch aggregation — the canonical 100 TB
+    // distinct-count shape: build per-(nation, segment) HLL sketches
+    // (Spark's DataSketches HllSketch, lgK=14), then MERGE the sketch
+    // bytes per nation with hll_union_agg and estimate. At scale the
+    // partial sketches are built map-side per file split and only
+    // ~16 KB of sketch bytes per group cross the wire — never raw ids;
+    // re-aggregating a day→month→year hierarchy reuses the same stored
+    // partials instead of rescanning the corpus. The oracle pins the
+    // EXACT distinct (c_custkey is the PK, so Σ per-segment exacts is
+    // the per-nation exact) and the sketch estimate is asserted within
+    // 5% — same bound pattern as agg_approx_distinct.
+    Q("agg_sketch_merge",
+      (s, d) => {
+        val perSeg = customer(s, d)
+          .groupBy(col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("seg"))
+          .agg(expr("hll_sketch_agg(c_custkey, 14)").as("sk"),
+            count(lit(1)).as("exact_seg"))
+        perSeg.groupBy("nation")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+              .as("approx"),
+            sum(col("exact_seg")).as("exact_customers"))
+          .select(col("nation"), col("exact_customers"),
+            (abs(col("approx") - col("exact_customers")) <=
+              col("exact_customers").cast("double") * 0.05)
+              .as("within_tol"))
+          .orderBy("nation")
+      },
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                COUNT(DISTINCT c_custkey) AS exact_customers,
+                TRUE AS within_tol
+         FROM customer GROUP BY 1 ORDER BY nation"""),
+
+    // Deterministic negative sampling — the recommender / contrastive-
+    // training staple: for every customer, k=3 parts they have NEVER
+    // ordered, drawn from the 50 most-ordered parts, ranked by an
+    // md5-derived per-(user,part) score so the sample is reproducible
+    // run-to-run and engine-to-engine (no rand()). Shape at 100 TB:
+    // the candidate catalog is a broadcast literal (top-N popular
+    // items), the positives anti-join is semi-filtered to catalog
+    // items first (tiny), and the only wide exchange is the per-user
+    // rank window on c_custkey.
+    Q("sample_negative",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val topParts = li.groupBy(col("l_partkey").as("pk"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("pk")).limit(50)
+          .select("pk")
+        val positives = li
+          .join(broadcast(topParts), li("l_partkey") === topParts("pk"))
+          .join(orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+            col("o_custkey")), "l_orderkey")
+          .select(col("o_custkey").as("c"), col("pk")).distinct()
+        val cand = customer(s, d).select(col("c_custkey").as("c"))
+          .crossJoin(broadcast(topParts))
+          .join(positives, Seq("c", "pk"), "left_anti")
+          .withColumn("score",
+            md5(concat_ws("#", col("c"), col("pk"))))
+        val w = Window.partitionBy("c").orderBy(col("score"), col("pk"))
+        cand.withColumn("neg_rank", row_number().over(w))
+          .filter(col("neg_rank") <= 3)
+          .select(col("c").as("c_custkey"), col("neg_rank"),
+            col("pk").as("p_partkey"))
+          .orderBy("c_custkey", "neg_rank")
+      },
+      """WITH topp AS (
+           SELECT l_partkey AS pk, COUNT(*) AS cnt FROM lineitem
+           GROUP BY 1 ORDER BY cnt DESC, pk LIMIT 50),
+         pos AS (
+           SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS pk
+           FROM lineitem l
+           JOIN topp t ON l.l_partkey = t.pk
+           JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         cand AS (
+           SELECT cu.c_custkey AS c, t.pk,
+                  md5(CAST(cu.c_custkey AS VARCHAR) || '#' ||
+                      CAST(t.pk AS VARCHAR)) AS score
+           FROM customer cu CROSS JOIN topp t
+           WHERE NOT EXISTS (SELECT 1 FROM pos
+                             WHERE pos.c = cu.c_custkey AND pos.pk = t.pk)),
+         r AS (
+           SELECT c, pk, ROW_NUMBER() OVER (PARTITION BY c
+                    ORDER BY score, pk) AS neg_rank
+           FROM cand)
+         SELECT c AS c_custkey, neg_rank, pk AS p_partkey
+         FROM r WHERE neg_rank <= 3
+         ORDER BY c_custkey, neg_rank"""),
+
+    // Unigram corpus language-model score per document — the CCNet-
+    // style quality filter: score(doc) = mean over tokens of
+    // log(corpus_count(w) / corpus_total), higher = more "typical"
+    // text. Every token is by construction in the corpus vocabulary,
+    // so no smoothing term is needed and the probabilities are exact
+    // rationals; the only doubles are the identical LN expressions
+    // rounded at 6dp (the text_idf_score precedent). Shape: one token
+    // exchange to build the count table, one broadcast of the (tiny)
+    // scalar total, one doc_id aggregate.
+    Q("text_lm_score",
+      (s, d) => {
+        val tok = documents(s, d).select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        val total = tok.agg(count(lit(1)).cast("double").as("t"))
+        tok.join(cnt, "w").crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(avg(log(col("c") / col("t"))), 6).as("lm_score"))
+          .orderBy("doc_id")
+      },
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+         total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+                ROUND(AVG(LN(c / t)), 6) AS lm_score
+         FROM tok JOIN cnt USING (w) CROSS JOIN total
+         GROUP BY doc_id ORDER BY doc_id"""),
+
+    // Merge overlapping intervals per user (gaps-and-islands over real
+    // intervals, not just adjacent days): each event claims
+    // [t, t+300 s); overlapping/touching claims fuse into islands;
+    // emit per-user island count and total covered seconds. A new
+    // island starts exactly where the running max of previous ends
+    // stays below the next start — all integer epoch-second
+    // arithmetic, bit-exact in both engines. ONE user_id exchange:
+    // the running-max window, the island cumsum, and both group-bys
+    // cluster on user_id.
+    Q("interval_coverage",
+      (s, d) => {
+        val iv = events(s, d).select(col("user_id"),
+          (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("st"))
+          .withColumn("en", col("st") + 300L)
+        val w = Window.partitionBy("user_id").orderBy("st", "en")
+        val flagged = iv
+          .withColumn("prev_max_en",
+            max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_island",
+            when(col("prev_max_en").isNull ||
+              col("st") > col("prev_max_en"), 1L).otherwise(0L))
+          .withColumn("island",
+            sum(col("new_island")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+        flagged.groupBy("user_id", "island")
+          .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("ien") - col("ist")).as("covered_s"))
+          .orderBy("user_id")
+      },
+      """WITH iv AS (
+           SELECT user_id, epoch_us(ts) // 1000000 AS st,
+                  epoch_us(ts) // 1000000 + 300 AS en
+           FROM events),
+         f AS (
+           SELECT user_id, st, en,
+                  MAX(en) OVER (PARTITION BY user_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max_en
+           FROM iv),
+         g AS (
+           SELECT user_id, st, en,
+                  SUM(CASE WHEN prev_max_en IS NULL OR st > prev_max_en
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY st, en
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS island
+           FROM f),
+         isl AS (
+           SELECT user_id, island, MIN(st) AS ist, MAX(en) AS ien
+           FROM g GROUP BY 1, 2)
+         SELECT user_id, COUNT(*) AS n_islands,
+                CAST(SUM(ien - ist) AS BIGINT) AS covered_s
+         FROM isl GROUP BY 1 ORDER BY user_id"""),
+
+    // Adamic-Adar link prediction on the co-order (part-part) graph:
+    // the common "neighbor" between two parts is an order containing
+    // both, down-weighted by how big that basket is —
+    // AA(a,b) = Σ_orders 1/LN(basket_size). Pair fan-out is bounded by
+    // basket size squared exactly like market_basket (TPC-H baskets
+    // ≤7; a production corpus caps basket size the same way the dedup
+    // buckets are capped). The per-order weight is attached BEFORE the
+    // pair join (map-side), so the pair exchange carries (ok, pk, w)
+    // only; the Σ is an exact DECIMAL(18,9) sum, making the float
+    // addition order irrelevant to the hash.
+    Q("graph_adamic_adar",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val sz = li.groupBy("ok").agg(count(lit(1)).as("bs"))
+          .filter(col("bs") >= 2)
+          .withColumn("w",
+            (lit(1.0) / log(col("bs").cast("double")))
+              .cast(DecimalType(18, 9)))
+        val wk = li.join(sz, "ok")
+        val a = wk.select(col("ok"), col("pk").as("part_a"), col("w"))
+        val b = wk.select(col("ok"), col("pk").as("part_b"))
+        a.join(b, Seq("ok"))
+          .filter(col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b")
+          .agg(count(lit(1)).as("common"), sum(col("w")).as("aa_dec"))
+          .filter(col("common") >= 2)
+          .select(col("part_a"), col("part_b"), col("common"),
+            round(col("aa_dec").cast("double"), 6).as("aa_score"))
+          .orderBy(desc("aa_dec"), col("part_a"), col("part_b"))
+          .limit(100)
+      },
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         sz AS (
+           SELECT ok, COUNT(*) AS bs,
+                  CAST(1.0 / LN(CAST(COUNT(*) AS DOUBLE))
+                       AS DECIMAL(18,9)) AS w
+           FROM li GROUP BY ok HAVING COUNT(*) >= 2),
+         pairs AS (
+           SELECT a.pk AS part_a, b.pk AS part_b,
+                  COUNT(*) AS common, SUM(sz.w) AS aa_dec
+           FROM li a
+           JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           JOIN sz ON sz.ok = a.ok
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         SELECT part_a, part_b, common,
+                ROUND(CAST(aa_dec AS DOUBLE), 6) AS aa_score
+         FROM pairs
+         ORDER BY aa_dec DESC, part_a, part_b LIMIT 100"""),
+
+    // Rolling 7-row mean/stddev per user — the feature-engineering
+    // window. The rolling Σx and Σx² are EXACT decimal sums over the
+    // row frame (value quantized to DECIMAL(12,4) once, map-side), so
+    // partitioning and frame-slide order cannot move the hash; the
+    // mean/std are then identical closed-form double expressions on
+    // those exact sums (sample std, greatest(...,0) guards the ~0
+    // variance cancellation). ONE user_id sort-exchange carries all
+    // three frame aggregates.
+    Q("win_rolling_stats",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t"),
+          col("value").cast(DecimalType(12, 4)).as("v"))
+          .withColumn("v2", (col("v") * col("v")).cast(DecimalType(24, 8)))
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+          .rowsBetween(-6, 0)
+        val rolled = ev
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("v")).over(w))
+          .withColumn("sx2", sum(col("v2")).over(w))
+        rolled.select(col("event_id"), col("user_id"), col("n").as("roll_n"),
+          round(col("sx").cast("double") / col("n"), 4).as("roll_mean"),
+          when(col("n") > 1,
+            round(sqrt(greatest(
+              (col("n") * col("sx2").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) /
+                (col("n") * (col("n") - 1)), lit(0.0))), 4))
+            .as("roll_std"))
+          .orderBy("event_id")
+      },
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(ts) AS t,
+                  CAST(value AS DECIMAL(12,4)) AS v,
+                  CAST(CAST(value AS DECIMAL(12,4)) *
+                       CAST(value AS DECIMAL(12,4)) AS DECIMAL(24,8)) AS v2
+           FROM events),
+         r AS (
+           SELECT event_id, user_id,
+                  COUNT(*) OVER fr AS n,
+                  SUM(v) OVER fr AS sx,
+                  SUM(v2) OVER fr AS sx2
+           FROM ev
+           WINDOW fr AS (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, n AS roll_n,
+                ROUND(CAST(sx AS DOUBLE) / n, 4) AS roll_mean,
+                CASE WHEN n > 1 THEN
+                  ROUND(SQRT(GREATEST(
+                    (n * CAST(sx2 AS DOUBLE) -
+                     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                    (n * (n - 1)), 0.0)), 4)
+                END AS roll_std
+         FROM r ORDER BY event_id"""),
+
+    // Rank-distribution window surface: percent_rank + cume_dist of
+    // each customer's balance within their market segment. Both
+    // functions are tie-aware (equal balances share a value), so the
+    // output is deterministic under any partitioning; the values are
+    // exact small-integer ratios evaluated by the identical double
+    // division in both engines. One segment sort-exchange.
+    Q("win_distribution",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+        customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_mktsegment,
+                ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal), 6) AS pct_rank,
+                ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal), 6) AS cume
+         FROM customer ORDER BY c_custkey""")
+  )
+}
