@@ -211,20 +211,28 @@ object Ml {
     // addition order irrelevant to the hash.
     Q("graph_adamic_adar",
       (s, d) => {
-        val li = lineitem(s, d)
+        // Baskets roll up ONCE on the order key (collect_set is bounded
+        // by basket size, ≤7 here — a production corpus caps it like
+        // the dedup buckets); the a<b pair stream is then generated
+        // MAP-SIDE from each basket array with its weight already
+        // attached, so the whole query is one ok-exchange plus one
+        // pair-key exchange — no self-join, no basket-size join-back.
+        val baskets = lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val sz = li.groupBy("ok").agg(count(lit(1)).as("bs"))
-          .filter(col("bs") >= 2)
+          .groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("ps"))
+          .filter(size(col("ps")) >= 2)
           .withColumn("w",
-            (lit(1.0) / log(col("bs").cast("double")))
+            (lit(1.0) / log(size(col("ps")).cast("double")))
               .cast(DecimalType(18, 9)))
-        val wk = li.join(sz, "ok")
-        val a = wk.select(col("ok"), col("pk").as("part_a"), col("w"))
-        val b = wk.select(col("ok"), col("pk").as("part_b"))
-        a.join(b, Seq("ok"))
-          .filter(col("part_a") < col("part_b"))
-          .groupBy("part_a", "part_b")
+        baskets
+          .select(col("w"), explode(expr(
+            """flatten(transform(sequence(1, size(ps) - 1),
+                 i -> transform(sequence(0, i - 1),
+                   j -> struct(ps[j] AS part_a, ps[i] AS part_b))))"""))
+            .as("p"))
+          .groupBy(col("p.part_a").as("part_a"),
+            col("p.part_b").as("part_b"))
           .agg(count(lit(1)).as("common"), sum(col("w")).as("aa_dec"))
           .filter(col("common") >= 2)
           .select(col("part_a"), col("part_b"), col("common"),
@@ -325,6 +333,160 @@ object Ml {
                   ORDER BY c_acctbal), 6) AS pct_rank,
                 ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
                   ORDER BY c_acctbal), 6) AS cume
-         FROM customer ORDER BY c_custkey""")
+         FROM customer ORDER BY c_custkey"""),
+
+    // Grid-bucketed spatial neighbor join — the standard no-cross-join
+    // shape for "all pairs within radius r": points land in r-sized
+    // cells, the SMALL side (suppliers) is replicated into its 3×3
+    // neighbor stencil map-side (×9 of the small side only), the join
+    // is a plain equi-join on the cell key, and the exact L2 refine
+    // runs on the candidates — candidate count is bounded by cell
+    // occupancy, never |A|×|B|. Coordinates are md5-derived integers
+    // in [0,10000)² (deterministic, engine-portable — the testdata has
+    // no geo columns), so every distance is exact BIGINT math. The
+    // oracle is the plain quadratic inequality join — the bucketing is
+    // invisible to semantics (join_interval_overlap precedent).
+    Q("join_spatial_grid",
+      (s, d) => {
+        val r = 150L
+        def coord(key: org.apache.spark.sql.Column, salt: String) =
+          pmod(conv(substring(md5(concat(key.cast("string"), lit(salt))),
+            1, 8), 16, 10).cast("long"), lit(10000L))
+        val cust = customer(s, d).select(col("c_custkey"),
+          coord(col("c_custkey"), "x").as("cx"),
+          coord(col("c_custkey"), "y").as("cy"))
+          .withColumn("gx", floor(col("cx") / r))
+          .withColumn("gy", floor(col("cy") / r))
+        val supp = supplier(s, d).select(col("s_suppkey"),
+          coord(col("s_suppkey"), "sx").as("sx"),
+          coord(col("s_suppkey"), "sy").as("sy"))
+          .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .select(col("s_suppkey"), col("sx"), col("sy"),
+            (floor(col("sx") / r) + col("dx")).as("gx"),
+            (floor(col("sy") / r) + col("dy")).as("gy"))
+        cust.join(supp, Seq("gx", "gy"))
+          .withColumn("dist2",
+            (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+              (col("cy") - col("sy")) * (col("cy") - col("sy")))
+          .filter(col("dist2") <= r * r)
+          .select(col("c_custkey"), col("s_suppkey"), col("dist2"))
+          .orderBy("c_custkey", "s_suppkey")
+      },
+      """WITH cust AS (
+           SELECT c_custkey,
+                  CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                    || 'x'), 1, 8)) AS BIGINT) % 10000 AS cx,
+                  CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                    || 'y'), 1, 8)) AS BIGINT) % 10000 AS cy
+           FROM customer),
+         supp AS (
+           SELECT s_suppkey,
+                  CAST(('0x' || substring(md5(CAST(s_suppkey AS VARCHAR)
+                    || 'sx'), 1, 8)) AS BIGINT) % 10000 AS sx,
+                  CAST(('0x' || substring(md5(CAST(s_suppkey AS VARCHAR)
+                    || 'sy'), 1, 8)) AS BIGINT) % 10000 AS sy
+           FROM supplier)
+         SELECT c_custkey, s_suppkey,
+                (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS dist2
+         FROM cust CROSS JOIN supp
+         WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 22500
+         ORDER BY c_custkey, s_suppkey"""),
+
+    // Asymmetric CONTAINMENT dedup — the subset-duplicate detector
+    // (doc A largely contained in doc B scores high even when Jaccard
+    // is low; the RealNews/C4 incremental-crawl case that dedup_ngram's
+    // symmetric Jaccard misses). Candidates are blocked by a shared
+    // 10-word chunk fingerprint (the text_boilerplate device) — never
+    // all pairs; the exact 5-gram intersection then runs only on
+    // candidates, as a gram-key join bounded by |pairs|·grams/doc.
+    // All counts are integers; the one ratio is rounded identically.
+    Q("dedup_containment",
+      (s, d) => {
+        val docs = documents(s, d)
+        val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+        val chunks = words.select(col("doc_id"),
+          explode(expr(
+            """CASE WHEN size(w) < 10 THEN array()
+               ELSE transform(sequence(0, size(w) div 10 - 1),
+                 i -> md5(array_join(slice(w, i * 10 + 1, 10), ' ')))
+               END""")).as("ch"))
+          .distinct()
+        // hot-chunk cap (the dedup bucket-cap device): a chunk shared
+        // by >20 docs is boilerplate chrome, not duplication evidence —
+        // without the cap one template chunk makes C(df,2) candidates.
+        val blockable = chunks.groupBy("ch")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= 20)
+          .select("ch")
+        val blocked = chunks.join(blockable, "ch")
+        val pairs = blocked.as("a")
+          .join(blocked.as("b"), Seq("ch"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        // grams are only needed for docs that appear in a candidate
+        // pair — semi-filter BEFORE the 5-gram explode so the corpus-
+        // wide shingle distinct never materializes (at 100 TB the
+        // candidate set is a vanishing fraction of the corpus).
+        val candDocs = pairs.select(col("da").as("doc_id"))
+          .union(pairs.select(col("db").as("doc_id"))).distinct()
+        val grams = words.join(candDocs, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            explode(expr(
+              """CASE WHEN size(w) < 5 THEN array()
+                 ELSE transform(sequence(1, size(w) - 4),
+                   i -> array_join(slice(w, i, 5), ' '))
+                 END""")).as("g"))
+          .distinct()
+        val nA = grams.groupBy(col("doc_id").as("da"))
+          .agg(count(lit(1)).as("n_a"))
+        val inter = pairs
+          .join(grams.select(col("doc_id").as("da"), col("g")), "da")
+          .join(grams.select(col("doc_id").as("db"), col("g")),
+            Seq("db", "g"))
+          .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
+        inter.join(nA, "da")
+          .select(col("da"), col("db"), col("n_common"), col("n_a"),
+            round(col("n_common") / col("n_a").cast("double"), 6)
+              .as("containment"))
+          .filter(col("containment") >= 0.5)
+          .orderBy("da", "db")
+      },
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         chunks AS (
+           SELECT DISTINCT doc_id,
+                  md5(array_to_string(w[i * 10 + 1 : i * 10 + 10], ' '))
+                    AS ch
+           FROM w,
+                LATERAL unnest(range(0,
+                  CAST(floor(len(w) / 10) AS BIGINT))) AS t(i)),
+         blockable AS (
+           SELECT ch FROM chunks GROUP BY ch
+           HAVING COUNT(*) >= 2 AND COUNT(*) <= 20),
+         blocked AS (SELECT c.doc_id, c.ch FROM chunks c
+                     JOIN blockable USING (ch)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM blocked a JOIN blocked b
+             ON a.ch = b.ch AND a.doc_id < b.doc_id),
+         grams AS (
+           SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(w) - 3),
+                    i -> array_to_string(w[i : i + 4], ' '))) AS g
+           FROM w),
+         na AS (SELECT doc_id AS da, COUNT(*) AS n_a FROM grams GROUP BY 1),
+         inter AS (
+           SELECT p.da, p.db, COUNT(*) AS n_common
+           FROM pairs p
+           JOIN grams ga ON ga.doc_id = p.da
+           JOIN grams gb ON gb.doc_id = p.db AND gb.g = ga.g
+           GROUP BY 1, 2)
+         SELECT i.da, i.db, n_common, n_a,
+                ROUND(n_common / CAST(n_a AS DOUBLE), 6) AS containment
+         FROM inter i JOIN na USING (da)
+         WHERE ROUND(n_common / CAST(n_a AS DOUBLE), 6) >= 0.5
+         ORDER BY da, db""")
   )
 }
