@@ -63,17 +63,31 @@ object Behavior {
     // order keeps the output bounded and deterministic.
     Q("market_basket",
       (s, d) => {
-        val li = lineitem(s, d)
+        // Baskets roll up ONCE on the order key; the a<b pair stream,
+        // the per-item counts, and the basket total are all generated
+        // from that ONE exchange (three consumers → ReusedExchange,
+        // PlanSpec-pinned). Pair generation is map-side from the
+        // sorted basket array (bounded ≤7 items here; a production
+        // corpus caps basket size like the dedup buckets) — no
+        // (ok,pk)-distinct shuffle, no pair self-join.
+        val baskets = lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val a = li.select(col("ok"), col("pk").as("part_a"))
-        val b = li.select(col("ok"), col("pk").as("part_b"))
-        val pairs = a.join(b, Seq("ok"))
-          .filter(col("part_a") < col("part_b"))
-          .groupBy("part_a", "part_b").agg(count(lit(1)).as("pair_cnt"))
+          .groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("ps"))
+        val pairs = baskets
+          .select(explode(expr(
+            """CASE WHEN size(ps) < 2 THEN array()
+               ELSE flatten(transform(sequence(1, size(ps) - 1),
+                 i -> transform(sequence(0, i - 1),
+                   j -> struct(ps[j] AS part_a, ps[i] AS part_b))))
+               END""")).as("p"))
+          .groupBy(col("p.part_a").as("part_a"),
+            col("p.part_b").as("part_b"))
+          .agg(count(lit(1)).as("pair_cnt"))
           .filter(col("pair_cnt") >= 2)
-        val item = li.groupBy("pk").agg(count(lit(1)).as("cnt"))
-        val tot = li.agg(countDistinct(col("ok")).as("n_orders"))
+        val item = baskets.select(explode(col("ps")).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("cnt"))
+        val tot = baskets.agg(count(lit(1)).as("n_orders"))
         pairs
           .join(item.select(col("pk").as("part_a"), col("cnt").as("cnt_a")),
             "part_a")
