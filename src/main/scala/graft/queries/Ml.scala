@@ -487,6 +487,91 @@ object Ml {
                 ROUND(n_common / CAST(n_a AS DOUBLE), 6) AS containment
          FROM inter i JOIN na USING (da)
          WHERE ROUND(n_common / CAST(n_a AS DOUBLE), 6) >= 0.5
-         ORDER BY da, db""")
+         ORDER BY da, db"""),
+
+    // PMI-ranked bigram collocations — the corpus phrase-mining staple
+    // (vocab_build's unigram counterpart): PMI(a,b) =
+    // LN((c_ab/B) / ((c_a/T)(c_b/T))), c_ab ≥ 5, top-50. Bigram
+    // generation is map-side from each doc's token array (1-based
+    // element_at mirrors the oracle's 1-based lists exactly); the
+    // unigram and bigram count relations are two key-partitioned
+    // aggregates; the two scalar totals broadcast. All counts exact
+    // integers; PMI is the identical LN closed form rounded 6dp, with
+    // the (a,b) tie-break making the top-50 deterministic.
+    Q("text_pmi",
+      (s, d) => {
+        val words = documents(s, d)
+          .select(split(col("text"), " ").as("w"))
+        val uni = words.select(explode(col("w")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val bi = words.select(explode(expr(
+            """CASE WHEN size(w) < 2 THEN array()
+               ELSE transform(sequence(1, size(w) - 1),
+                 i -> struct(element_at(w, i) AS a,
+                             element_at(w, i + 1) AS b))
+               END""")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        val totT = uni.agg(sum(col("c")).cast("double").as("t_tot"))
+        val totB = words
+          .agg(sum(greatest(size(col("w")) - 1, lit(0)))
+            .cast("double").as("b_tot"))
+        bi.join(uni.select(col("t").as("a"), col("c").as("c_a")), "a")
+          .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
+          .crossJoin(broadcast(totT)).crossJoin(broadcast(totB))
+          .select(col("a"), col("b"), col("c_ab"),
+            round(log((col("c_ab") / col("b_tot")) /
+              ((col("c_a") / col("t_tot")) * (col("c_b") / col("t_tot")))),
+              6).as("pmi"))
+          .orderBy(desc("pmi"), col("a"), col("b"))
+          .limit(50)
+      },
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+         uni AS (
+           SELECT t, COUNT(*) AS c FROM (
+             SELECT unnest(w) AS t FROM w) GROUP BY 1),
+         bi AS (
+           SELECT p.a AS a, p.b AS b, COUNT(*) AS c_ab FROM (
+             SELECT unnest(list_transform(range(1, len(w)),
+               i -> {'a': w[i], 'b': w[i + 1]})) AS p
+             FROM w) GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS t_tot FROM uni),
+         tb AS (SELECT CAST(SUM(GREATEST(len(w) - 1, 0)) AS DOUBLE)
+                  AS b_tot FROM w)
+         SELECT a, b, c_ab,
+                ROUND(LN((c_ab / b_tot) /
+                  ((ua.c / t_tot) * (ub.c / t_tot))), 6) AS pmi
+         FROM bi
+         JOIN uni ua ON bi.a = ua.t
+         JOIN uni ub ON bi.b = ub.t
+         CROSS JOIN tt CROSS JOIN tb
+         ORDER BY pmi DESC, a, b LIMIT 50"""),
+
+    // Hour-of-day × ISO-weekday activity heatmap with each cell's
+    // share of total traffic — the seasonality profile behind every
+    // ops dashboard. Spark's weekday() (0=Mon) + 1 equals DuckDB's
+    // isodow exactly (dayofweek disagrees between engines — 1=Sun vs
+    // 0=Sun — so it is deliberately avoided). One tiny aggregate +
+    // broadcast total; all counts exact, one rounded ratio.
+    Q("time_seasonality",
+      (s, d) => {
+        val cells = events(s, d)
+          .groupBy((weekday(col("ts")) + 1).as("dow"),
+            hour(col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cells.agg(sum(col("n")).cast("double").as("t"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("dow"), col("hr"), col("n"),
+            round(col("n") / col("t"), 6).as("share"))
+          .orderBy("dow", "hr")
+      },
+      """WITH cells AS (
+           SELECT isodow(ts) AS dow, CAST(hour(ts) AS INT) AS hr,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM cells)
+         SELECT dow, hr, n, ROUND(n / t, 6) AS share
+         FROM cells CROSS JOIN tot ORDER BY dow, hr""")
   )
 }
