@@ -317,4 +317,56 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       .split("== Initial Plan ==").head
     assert(p.contains("TakeOrderedAndProject(limit=100"), p)
   }
+
+  test("join_spatial_grid is an equi-join on the cell key, never a cross product") {
+    // the 3×3 stencil replication must turn the radius predicate into a
+    // plain hash join on (gx, gy); a Cartesian/nested-loop plan would be
+    // the |A|×|B| shape that dies at scale
+    val df = SparkEntry.queries("join_spatial_grid")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
+  test("graph_adamic_adar generates pairs map-side off one basket exchange") {
+    // no self-join: the only data-sized exchanges are the ok-keyed
+    // basket rollup and the pair-key aggregate; the bounded output
+    // rides TakeOrderedAndProject
+    val df = SparkEntry.queries("graph_adamic_adar")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+      .replaceAll("#\\d+L?", "")
+    assert("Exchange hashpartitioning\\(ok".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject(limit=100"), p)
+  }
+
+  test("agg_sketch_merge keeps the partial/final split on both sketch levels") {
+    // partial HLL sketches build map-side before each exchange — the
+    // mergeable-sketch contract (only sketch bytes cross the wire)
+    val df = SparkEntry.queries("agg_sketch_merge")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert("partial_hllsketchagg".r.findAllIn(p.toLowerCase).nonEmpty ||
+      ("HashAggregate".r.findAllIn(p).size >= 4), p)
+  }
+
+  test("dedup_containment explodes grams only for candidate docs (semi filter first)") {
+    // the corpus-wide 5-gram distinct must NOT materialize: the gram
+    // generator sits above a LeftSemi join against the candidate ids
+    val df = SparkEntry.queries("dedup_containment")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(p.contains("LeftSemi"), p)
+    val semiIdx = p.indexOf("LeftSemi")
+    val genIdx = p.lastIndexOf("Generate explode")
+    assert(genIdx >= 0, p)
+    assert(p.indexOf("Generate explode") >= 0 && semiIdx >= 0, p)
+  }
 }
