@@ -684,6 +684,134 @@ object Ml {
            FROM dist)
          SELECT label, rk, vec_id,
                 ROUND(SQRT(CAST(d2 AS DOUBLE)), 4) AS dist
-         FROM r WHERE rk <= 3 ORDER BY label, rk""")
+         FROM r WHERE rk <= 3 ORDER BY label, rk"""),
+
+    // MATCH_RECOGNIZE-style sequence-pattern match over per-user event
+    // timelines: encode each user's ordered events as a compact symbol
+    // string (first letter of the type — collision-free on this domain:
+    // click/error/purchase/signup/view), then run the pattern as a
+    // regex ("a view, then eventually a click, then eventually a
+    // purchase"). ONE user_id sort-exchange builds the sequence
+    // (string_agg/array_join over the ordered window); the regex runs
+    // on the tiny per-user strings. The encode-then-regex shape is how
+    // sequence mining survives scale — the pattern engine never sees
+    // raw rows, only |users| bounded symbol strings.
+    Q("seq_pattern",
+      (s, d) => {
+        val seqs = events(s, d)
+          .groupBy("user_id")
+          .agg(concat_ws("",
+            array_sort(collect_list(struct(
+              unix_micros(col("ts")).as("t"), col("event_id"),
+              substring(col("event_type"), 1, 1).as("sym"))))
+              .getField("sym")).as("seq"))
+        seqs.select(col("user_id"), length(col("seq")).as("n_events"),
+            col("seq").rlike("v.*c.*p").as("matched"))
+          .orderBy("user_id")
+      },
+      """WITH seqs AS (
+           SELECT user_id,
+                  string_agg(substring(event_type, 1, 1), ''
+                    ORDER BY epoch_us(ts), event_id) AS seq
+           FROM events GROUP BY user_id)
+         SELECT user_id, CAST(length(seq) AS INT) AS n_events,
+                regexp_matches(seq, 'v.*c.*p') AS matched
+         FROM seqs ORDER BY user_id"""),
+
+    // Equi-DEPTH histogram of order totals — the other histogram CBOs
+    // keep (profile_histogram is equi-width): 10 buckets of equal row
+    // count, each reporting its row span and value bounds. The ntile
+    // assignment is tie-aware over a deterministic (value, key) order;
+    // bounds are exact decimals so the bucket edges hash identically.
+    Q("profile_equidepth",
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("v"))
+        .withColumn("bucket",
+          ntile(10).over(Window.orderBy(col("v"), col("o_orderkey"))))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("v")).cast("double").as("lo"),
+          max(col("v")).cast("double").as("hi"))
+        .orderBy("bucket"),
+      """WITH t AS (
+           SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+           FROM orders),
+         b AS (
+           SELECT v, NTILE(10) OVER (ORDER BY v, o_orderkey) AS bucket
+           FROM t)
+         SELECT bucket, COUNT(*) AS n,
+                CAST(MIN(v) AS DOUBLE) AS lo,
+                CAST(MAX(v) AS DOUBLE) AS hi
+         FROM b GROUP BY 1 ORDER BY bucket"""),
+
+    // Foreign-key candidate discovery (Metanome-style inclusion
+    // profiling): for each declared candidate pair, the inclusion
+    // coefficient |distinct(child) ∩ distinct(parent)| / |distinct
+    // (child)| — 1.0 marks a real FK, near-0 rules one out (the
+    // deliberately-wrong l_suppkey→c_custkey pair pins the negative
+    // case). Each pair is two pre-shrunk distinct sets joined on the
+    // key family — at 100 TB the distinct projections collapse
+    // map-side first, so the join sees NDV-sized inputs, never rows.
+    Q("profile_fk_candidates",
+      (s, d) => {
+        // ONE declarative plan, no driver actions: the tagged child and
+        // parent key sets union into two long relations whose distincts
+        // collapse map-side, then a single (candidate, k) join + two
+        // tiny aggregates produce every pair's coefficient together —
+        // the same jobs-fused shape maintain_stats uses for columns.
+        def tagged(tag: String, df: DataFrame, c: String): DataFrame =
+          df.select(lit(tag).as("candidate"), col(c).as("k")).distinct()
+        val child =
+          tagged("lineitem.l_orderkey->orders.o_orderkey",
+            lineitem(s, d), "l_orderkey")
+          .unionByName(tagged("orders.o_custkey->customer.c_custkey",
+            orders(s, d), "o_custkey"))
+          .unionByName(tagged("lineitem.l_suppkey->customer.c_custkey",
+            lineitem(s, d), "l_suppkey"))
+        val parent =
+          tagged("lineitem.l_orderkey->orders.o_orderkey",
+            orders(s, d), "o_orderkey")
+          .unionByName(tagged("orders.o_custkey->customer.c_custkey",
+            customer(s, d), "c_custkey"))
+          .unionByName(tagged("lineitem.l_suppkey->customer.c_custkey",
+            customer(s, d), "c_custkey"))
+        val ndv = child.groupBy("candidate")
+          .agg(count(lit(1)).as("child_ndv"))
+        val contained = child.join(parent, Seq("candidate", "k"))
+          .groupBy("candidate").agg(count(lit(1)).as("contained"))
+        ndv.join(contained, Seq("candidate"), "left")
+          .select(col("candidate"), col("child_ndv"),
+            coalesce(col("contained"), lit(0L)).as("contained"),
+            round(coalesce(col("contained"), lit(0L)) /
+              col("child_ndv").cast("double"), 6).as("inclusion"))
+          .orderBy("candidate")
+      },
+      """SELECT candidate, child_ndv, contained,
+                ROUND(contained / CAST(child_ndv AS DOUBLE), 6)
+                  AS inclusion
+         FROM (
+           SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS candidate,
+                  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)
+                    AS child_ndv,
+                  (SELECT COUNT(*) FROM
+                    (SELECT DISTINCT l_orderkey FROM lineitem) c
+                    JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+                      ON c.l_orderkey = p.o_orderkey) AS contained
+           UNION ALL
+           SELECT 'orders.o_custkey->customer.c_custkey',
+                  (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+                  (SELECT COUNT(*) FROM
+                    (SELECT DISTINCT o_custkey FROM orders) c
+                    JOIN (SELECT DISTINCT c_custkey FROM customer) p
+                      ON c.o_custkey = p.c_custkey)
+           UNION ALL
+           SELECT 'lineitem.l_suppkey->customer.c_custkey',
+                  (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+                  (SELECT COUNT(*) FROM
+                    (SELECT DISTINCT l_suppkey FROM lineitem) c
+                    JOIN (SELECT DISTINCT c_custkey FROM customer) p
+                      ON c.l_suppkey = p.c_custkey))
+         ORDER BY candidate""")
   )
 }
