@@ -38,15 +38,19 @@ object Artifacts {
   }
 
   private def compute(df: DataFrame): String = {
-    // Session-STABLE plan signature: the analyzed plan text with the
-    // per-JVM tokens (expression ids, object identity hashes) stripped.
-    // semanticHash() is NOT stable across JVMs — it hashes relation
-    // objects whose FileIndex uses identity hashCode — so keying on it
-    // silently rebuilt every artifact once per session: the "fit once
-    // per dataset" guarantee only held within one driver process, and
-    // every fresh session leaked a new copy of every store.
-    val planHash = df.queryExecution.analyzed.toString
-      .replaceAll("#\\d+L?", "")
+    // Session-STABLE plan signature. semanticHash() is NOT stable
+    // across JVMs — it hashes relation objects whose FileIndex uses
+    // identity hashCode — so keying on it silently rebuilt every
+    // artifact once per session. The default toString is ALSO unsafe:
+    // it truncates each node's argument list at
+    // spark.sql.debug.maxToStringFields (25), so two plans differing
+    // only past the 25th projected column would collide and serve a
+    // stale artifact. Render the CANONICALIZED plan (exprIds
+    // normalized deterministically — no regex strip that could eat
+    // numeric-suffix string literals) with an un-truncated treeString.
+    val planHash = df.queryExecution.analyzed.canonicalized
+      .treeString(verbose = true, addSuffix = false,
+        maxFields = Int.MaxValue, printOperatorId = false)
       .replaceAll("@[0-9a-fA-F]+", "")
     val files = df.inputFiles
     val body: String =

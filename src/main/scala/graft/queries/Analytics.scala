@@ -490,15 +490,28 @@ object Analytics {
         import org.apache.spark.sql.expressions.Window
         val ev = events(s, d).select(col("user_id"),
           unix_micros(col("ts")).as("t_us"), col("value").as("v"),
-          lit(0).as("is_grid"))
+          lit(0).as("is_grid"), col("event_id"))
+        // Guard the grid source: a user whose events all land on one
+        // calendar day has trunc(mn)+1d > trunc(mx), and Spark's
+        // sequence() with an explicit positive step THROWS there while
+        // DuckDB's generate_series returns empty — a data-dependent
+        // crash/engine divergence. The filter mirrors the oracle's
+        // zero-grid-rows outcome exactly.
         val grid = events(s, d).groupBy("user_id")
           .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+          .filter(expr("date_trunc('DAY', mn) < date_trunc('DAY', mx)"))
           .select(col("user_id"),
             explode(expr("""sequence(date_trunc('DAY', mn) + INTERVAL 1 DAY,
                 date_trunc('DAY', mx), INTERVAL 1 DAY)""")).as("gts"))
           .select(col("user_id"), unix_micros(col("gts")).as("t_us"),
-            lit(null).cast("double").as("v"), lit(1).as("is_grid"))
-        val ord = Window.partitionBy("user_id").orderBy("t_us", "is_grid")
+            lit(null).cast("double").as("v"), lit(1).as("is_grid"),
+            lit(-1L).as("event_id"))
+        // event_id is the final tiebreak (same discipline as
+        // event_transitions / time_ewma / time_m4_downsample): two
+        // events at the same timestamp must window identically in
+        // Spark and DuckDB or last/first over the frame can disagree.
+        val ord = Window.partitionBy("user_id")
+          .orderBy("t_us", "is_grid", "event_id")
         val wp = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wn = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         ev.unionByName(grid)
@@ -518,14 +531,16 @@ object Analytics {
           .orderBy("user_id", "t_us")
       },
       """WITH ev AS (
-           SELECT user_id, epoch_us(ts) AS t_us, value AS v, 0 AS is_grid
+           SELECT user_id, epoch_us(ts) AS t_us, value AS v, 0 AS is_grid,
+                  event_id
            FROM events),
          g AS (
            SELECT user_id,
                   epoch_us(unnest(generate_series(
                     date_trunc('day', mn) + INTERVAL 1 DAY,
                     date_trunc('day', mx), INTERVAL 1 DAY))) AS t_us,
-                  CAST(NULL AS DOUBLE) AS v, 1 AS is_grid
+                  CAST(NULL AS DOUBLE) AS v, 1 AS is_grid,
+                  CAST(-1 AS BIGINT) AS event_id
            FROM (SELECT user_id, MIN(ts) AS mn, MAX(ts) AS mx
                  FROM events GROUP BY 1)),
          allr AS (SELECT * FROM ev UNION ALL SELECT * FROM g),
@@ -538,9 +553,11 @@ object Analytics {
                   FIRST_VALUE(CASE WHEN is_grid = 0 THEN t_us END
                               IGNORE NULLS) OVER wn AS nt
            FROM allr
-           WINDOW wp AS (PARTITION BY user_id ORDER BY t_us, is_grid
+           WINDOW wp AS (PARTITION BY user_id
+                         ORDER BY t_us, is_grid, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                  wn AS (PARTITION BY user_id ORDER BY t_us, is_grid
+                  wn AS (PARTITION BY user_id
+                         ORDER BY t_us, is_grid, event_id
                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
          SELECT user_id, t_us,
                 ROUND(CASE WHEN nt = pt THEN pv

@@ -279,8 +279,13 @@ object Behavior {
         val hi = orders(s, d).filter(col("o_totalprice") > 400000.0)
           .select("o_orderkey")
         val bf = hi.stat.bloomFilter("o_orderkey", 1L << 20, 0.03)
-        val bcBf = s.sparkContext.broadcast(bf)
-        val probe = udf((k: Long) => bcBf.value.mightContainLong(k))
+        // The filter rides the UDF closure (task binary — itself
+        // broadcast once per stage and GC-reclaimed with the plan), NOT
+        // an explicit sparkContext.broadcast: an explicit broadcast
+        // created per invocation and never destroyed accumulates on the
+        // driver and executors for the life of the session under a
+        // bench loop.
+        val probe = udf((k: Long) => bf.mightContainLong(k))
         val li = lineitem(s, d)
         li.filter(probe(col("l_orderkey")))
           .join(hi, col("l_orderkey") === col("o_orderkey"), "left_semi")

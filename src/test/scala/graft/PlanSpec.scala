@@ -365,8 +365,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       .split("== Initial Plan ==").head
     assert(p.contains("LeftSemi"), p)
     val semiIdx = p.indexOf("LeftSemi")
-    val genIdx = p.lastIndexOf("Generate explode")
+    val genIdx = p.indexOf("Generate explode")
     assert(genIdx >= 0, p)
-    assert(p.indexOf("Generate explode") >= 0 && semiIdx >= 0, p)
+    // The positional relationship IS the property: in the tree dump an
+    // ancestor prints before its descendants, so the gram explode
+    // (applied to the semi-join output) must appear ABOVE the LeftSemi
+    // candidate filter. A regression that exploded corpus-wide grams
+    // below the semi join would print Generate after LeftSemi.
+    assert(genIdx < semiIdx,
+      s"Generate explode at $genIdx not above LeftSemi at $semiIdx:\n$p")
   }
 }
