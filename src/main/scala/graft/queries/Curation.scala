@@ -148,14 +148,17 @@ object Curation {
           FROM documents ORDER BY doc_id"""),
 
     // temperature-scaled domain sampling weights (α=0.5, the standard
-    // square-root rebalance): w_d ∝ tokens_d^α, normalized. The
-    // normalizer is a one-row aggregate of the post-agg relation (one
-    // row per domain), broadcast back — no single-partition window.
+    // square-root rebalance): w_d ∝ tokens_d^α, normalized. Token
+    // counts are REAL subword counts from the trained BPE merge table
+    // (graft.engine.ml.Bpe — fit-once artifact, map-side encode); the
+    // oracle replays the trainer+encoder in DuckDB. The normalizer is
+    // a one-row aggregate of the post-agg relation (one row per
+    // domain), broadcast back — no single-partition window.
     Q("mix_weights",
       (s, d) => {
-        val tok = documents(s, d)
+        val tok = graft.engine.ml.Bpe.tokensPerDoc(documents(s, d), d)
           .groupBy("lang", "source")
-          .agg(sum(size(split(col("text"), " "))).as("n_tokens"))
+          .agg(sum(col("n_tokens")).as("n_tokens"))
         val total = tok.agg(
           sum(pow(col("n_tokens"), 0.5)).as("w_total"))
         tok.crossJoin(broadcast(total))
@@ -164,16 +167,14 @@ object Curation {
               .as("weight"))
           .orderBy("lang", "source")
       },
-      """WITH tok AS (
-           SELECT lang, source,
-                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
-                    AS n_tokens
-           FROM documents GROUP BY 1, 2)
-         SELECT lang, source, n_tokens,
-                ROUND(pow(n_tokens, 0.5) /
-                      (SELECT SUM(pow(n_tokens, 0.5)) FROM tok), 6)
-                  AS weight
-         FROM tok ORDER BY lang, source"""),
+      graft.engine.ml.Bpe.tokensCtePrefix + """,
+tok AS (
+  SELECT lang, source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM dtok GROUP BY 1, 2)
+SELECT lang, source, n_tokens,
+       ROUND(pow(n_tokens, 0.5) /
+             (SELECT SUM(pow(n_tokens, 0.5)) FROM tok), 6) AS weight
+FROM tok ORDER BY lang, source"""),
 
     // The capstone composite: the whole curation pipeline as ONE
     // declared operator — length rule, near-dup keep-list (the

@@ -795,35 +795,38 @@ object Llm {
          ORDER BY doc_id"""),
 
     // Sequence packing: greedily pack documents (in doc_id order, per
-    // source) into 4096-estimated-token context windows — running token
-    // sum → bin id. The windowed-cumsum shape scales: one shuffle on the
-    // pack key, sequential packing only within each group.
+    // source) into 4096-token context windows — running token sum →
+    // bin id. Token counts are REAL subword counts from the trained
+    // BPE merge table (graft.engine.ml.Bpe — fit-once artifact,
+    // map-side encode), not the old len/4 estimate; the oracle replays
+    // the whole trainer+encoder in DuckDB so the packing is checked
+    // against exact counts. The windowed-cumsum shape scales: one
+    // shuffle on the pack key, sequential packing only within a group.
     Q("pack_sequences",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("source").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        documents(s, d)
-          .select(col("doc_id"), col("source"),
-            ceil(col("n_chars") / 4.0).cast("long").as("est_tokens"))
-          .withColumn("cum_tokens", sum(col("est_tokens")).over(w))
+        graft.engine.ml.Bpe.tokensPerDoc(documents(s, d), d)
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
           .withColumn("bin",
-            ((col("cum_tokens") - col("est_tokens")) / 4096L)
+            ((col("cum_tokens") - col("n_tokens")) / 4096L)
               .cast("long"))
-          .select("source", "doc_id", "est_tokens", "bin")
+          .select("source", "doc_id", "n_tokens", "bin")
           .orderBy("source", "doc_id")
       },
-      """SELECT source, doc_id, est_tokens,
-                CAST(floor((cum_tokens - est_tokens) / 4096) AS BIGINT) AS bin
-         FROM (
-           SELECT source, doc_id,
-                  CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens,
-                  SUM(CAST(ceil(n_chars / 4.0) AS BIGINT)) OVER (
-                    PARTITION BY source ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS cum_tokens
-           FROM documents)
-         ORDER BY source, doc_id"""),
+      graft.engine.ml.Bpe.tokensCtePrefix + """
+SELECT source, doc_id, n_tokens,
+       CAST(floor((cum_tokens - n_tokens) / 4096) AS BIGINT) AS bin
+FROM (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM dtok)
+ORDER BY source, doc_id"""),
 
     // Multimodal: opaque bytes + derived features, fully deterministic.
     // The real batch-decode plumbing lives in engine.ml.Multimodal

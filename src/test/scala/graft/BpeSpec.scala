@@ -1,0 +1,100 @@
+package graft
+
+import graft.engine.ml.Bpe
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite with SparkFixture {
+
+  test("trainMerges is deterministic with count-then-lexicographic tie-break") {
+    // "ab" and "cd" pair counts tie at 3; (a,b) < (c,d) lexicographically
+    val words = Seq(("abab", 1L), ("ab", 1L), ("cdcd", 1L), ("cd", 1L))
+    val m = Bpe.trainMerges(words, 2)
+    assert(m.map(x => (x.lhs, x.rhs)) == Seq(("a", "b"), ("c", "d")))
+    // re-run: identical (no hash-order dependence)
+    assert(Bpe.trainMerges(words, 2) == m)
+  }
+
+  test("merge application is exhaustive left-to-right on overlaps") {
+    // "aaa" under merge (a,a): leftmost-first -> [aa, a], never [a, aa]
+    val m = Bpe.trainMerges(Seq(("aaa", 5L)), 1)
+    assert(m.head.lhs == "a" && m.head.rhs == "a")
+    val m2 = Bpe.trainMerges(Seq(("aaa", 5L)), 2)
+    // second round: pairs are (aa, a) -> merges to the full word
+    assert(m2(1).lhs == "aa" && m2(1).rhs == "a")
+  }
+
+  test("sequential rank-order application equals priority encoding") {
+    // merges learned on a corpus; encoding any word by applying merges
+    // in rank order exhaustively must equal the lowest-rank-first
+    // priority encoder (symbols only grow, so a merge can never make a
+    // lower-ranked pair newly adjacent)
+    val words = Seq(("their", 10L), ("there", 8L), ("then", 6L),
+      ("the", 20L), ("rethink", 3L), ("hint", 2L))
+    val merges = Bpe.trainMerges(words, 8)
+    val ranks = merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    def priorityEncode(w: String): List[String] = {
+      var sp = w.map(_.toString).toList
+      var done = false
+      while (!done) {
+        val cands = sp.zip(sp.drop(1)).flatMap(p => ranks.get(p).map(p -> _))
+        if (cands.isEmpty) done = true
+        else {
+          val (bl, br) = cands.minBy(_._2)._1
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < sp.length) {
+            if (i + 1 < sp.length && sp(i) == bl && sp(i + 1) == br) {
+              out += (bl + br); i += 2
+            } else { out += sp(i); i += 1 }
+          }
+          sp = out.toList
+        }
+      }
+      sp
+    }
+    for (w <- Seq("their", "there", "then", "the", "rethink", "hint",
+        "thine", "rent", "unseen")) {
+      var sp: Array[String] = w.map(_.toString).toArray
+      merges.foreach { m =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < sp.length) {
+          if (i + 1 < sp.length && sp(i) == m.lhs && sp(i + 1) == m.rhs) {
+            out += (m.lhs + m.rhs); i += 2
+          } else { out += sp(i); i += 1 }
+        }
+        sp = out.toArray
+      }
+      assert(sp.toList == priorityEncode(w), s"word $w")
+    }
+  }
+
+  test("tokensPerDoc: roundtrip holds, counts bounded by words and chars") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tok = Bpe.tokensPerDoc(docs, sf).cache()
+    assert(tok.filter(!col("roundtrip_ok")).count() == 0)
+    // n_words <= n_tokens <= n_chars over the filtered word stream
+    val joined = docs
+      .select(col("doc_id"),
+        expr("""aggregate(filter(split(lower(text), '\\s+'),
+                 w -> w rlike '^[a-z]{2,}$'),
+               named_struct('w', 0L, 'c', 0L),
+               (a, x) -> named_struct('w', a.w + 1L,
+                                      'c', a.c + length(x)))""").as("agg"))
+      .select(col("doc_id"), col("agg.w").as("n_words"),
+        col("agg.c").as("n_chars"))
+      .join(tok, "doc_id")
+    assert(joined.filter(col("n_tokens") < col("n_words") ||
+      col("n_tokens") > col("n_chars")).count() == 0)
+    tok.unpersist()
+  }
+
+  test("merge table artifact: second call serves the persisted fit") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Bpe.mergesFor(docs, sf)
+    val b = Bpe.mergesFor(docs, sf)
+    assert(a == b && a.size == Bpe.NumMerges)
+    assert(a.map(_.rank) == (0 until Bpe.NumMerges))
+  }
+}
