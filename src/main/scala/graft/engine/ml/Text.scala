@@ -412,4 +412,52 @@ object Text {
       .groupBy("lang", "source").agg(count(lit(1)).as("n_distinct_words"))
     stats.join(words, Seq("lang", "source"))
   }
+
+  /** CCNet-style line-level dedup, EMITTING the line-dedup'd corpus
+    * (text_boilerplate only scores repetition; this removes it). The
+    * corpus has no newlines, so a "line" is the same unit
+    * text_boilerplate fingerprints: a non-overlapping [[nWords]]-word
+    * chunk. Every chunk occurrence keeps only the globally FIRST copy
+    * — ROW_NUMBER over md5(chunk) ordered by (doc_id, position), the
+    * deterministic keep-first rule — and each document is rebuilt from
+    * its surviving chunks (plus the always-kept sub-chunk tail).
+    *
+    * Scale: one chunk-hash exchange for the keep decision and one
+    * doc_id exchange for the rebuild — both map-reduce shapes, never
+    * all-pairs; the chunk stream is ~corpus-sized, the same volume the
+    * boilerplate scorer already moves. */
+  def lineDedup(docs: DataFrame, nWords: Int = 10): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        expr(s"size(w) div $nWords").cast("long").as("nf"))
+    // sequence(0, nf-1) steps DOWNWARD for nf < 1 (house-documented
+    // Spark trap) — the CASE guard yields zero chunks instead
+    val chunks = base.select(col("doc_id"),
+        posexplode(expr(
+          s"""CASE WHEN nf < 1 THEN array()
+              ELSE transform(sequence(0, nf - 1),
+                i -> array_join(slice(w, i * $nWords + 1, $nWords), ' '))
+              END""")))
+      .toDF("doc_id", "pos", "chunk_text")
+    val keepWin = Window.partitionBy(md5(col("chunk_text")))
+      .orderBy("doc_id", "pos")
+    val keptAgg = chunks
+      .withColumn("rn", row_number().over(keepWin))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("""array_join(transform(
+                  array_sort(collect_list(struct(pos, chunk_text))),
+                  x -> x.chunk_text), ' ')""").as("kept_text"))
+    base
+      .select(col("doc_id"), col("nf").as("n_chunks"),
+        expr(s"array_join(slice(w, nf * $nWords + 1," +
+          s" size(w) - nf * $nWords), ' ')").as("tail"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        concat_ws(" ", expr("nullif(kept_text, '')"),
+          expr("nullif(tail, '')")).as("text_dedup"))
+  }
 }

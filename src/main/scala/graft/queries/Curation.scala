@@ -64,6 +64,38 @@ object Curation {
             SELECT DISTINCT t.doc_id FROM g5 t JOIN bench USING (g)
             WHERE t.source <> '$BenchSource')"""
 
+  /** Oracle CTE chain for line-level dedup (see Text.lineDedup): chunk
+    * every doc into non-overlapping 10-word "lines", keep the globally
+    * first occurrence of each distinct chunk (ROW_NUMBER over
+    * md5(chunk) ordered by doc_id, position), rebuild the text.
+    * `ldstats` = (doc_id, n_chunks, n_kept, text_dedup) for every doc. */
+  private val lineDedupCtes: String =
+    """lb AS (
+         SELECT doc_id, w, CAST(floor(len(w) / 10) AS BIGINT) AS nf
+         FROM (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents)),
+       lchunks AS (
+         SELECT doc_id, i AS pos,
+                array_to_string(w[i*10+1 : i*10+10], ' ') AS chunk_text
+         FROM lb, LATERAL unnest(range(0, nf)) AS t(i)),
+       lkept AS (
+         SELECT doc_id, pos, chunk_text FROM (
+           SELECT doc_id, pos, chunk_text,
+                  ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                                     ORDER BY doc_id, pos) AS rn
+           FROM lchunks) WHERE rn = 1),
+       lka AS (
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                string_agg(chunk_text, ' ' ORDER BY pos) AS kept_text
+         FROM lkept GROUP BY doc_id),
+       ldstats AS (
+         SELECT lb.doc_id, lb.nf AS n_chunks,
+                CAST(COALESCE(lka.n_kept, 0) AS BIGINT) AS n_kept,
+                concat_ws(' ', nullif(lka.kept_text, ''),
+                  nullif(array_to_string(w[nf*10+1 : len(w)], ' '), ''))
+                  AS text_dedup
+         FROM lb LEFT JOIN lka ON lb.doc_id = lka.doc_id)"""
+
   /** Render the curate_corpus audit into the markdown report a data
     * team circulates: per-domain rows + a totals line + the global
     * survival rate. Pure presentation over the already-aggregated
@@ -74,19 +106,19 @@ object Curation {
     val sb = new StringBuilder
     sb.append("# Corpus curation report\n\n")
     sb.append("| lang | source | docs | drop:len | drop:dup | " +
-      "drop:contam | kept | kept% |\n")
-    sb.append("|---|---|---|---|---|---|---|---|\n")
-    var (docs, len, dup, contam, kept) = (0L, 0L, 0L, 0L, 0L)
+      "drop:contam | drop:linedup | kept | kept% |\n")
+    sb.append("|---|---|---|---|---|---|---|---|---|\n")
+    var (docs, len, dup, contam, ld, kept) = (0L, 0L, 0L, 0L, 0L, 0L)
     def pct(k: Long, n: Long): Double = if (n == 0) 0.0 else 100.0 * k / n
     rows.foreach { r =>
-      val (n, l, du, c, k) = (r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getLong(5), r.getLong(6))
-      docs += n; len += l; dup += du; contam += c; kept += k
+      val (n, l, du, c, li, k) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))
+      docs += n; len += l; dup += du; contam += c; ld += li; kept += k
       sb.append(f"| ${r.getString(0)} | ${r.getString(1)} | $n | $l | " +
-        f"$du | $c | $k | ${pct(k, n)}%.1f |\n")
+        f"$du | $c | $li | $k | ${pct(k, n)}%.1f |\n")
     }
-    sb.append(f"| **total** | | $docs | $len | $dup | $contam | $kept " +
-      f"| ${pct(kept, docs)}%.1f |\n")
+    sb.append(f"| **total** | | $docs | $len | $dup | $contam | $ld " +
+      f"| $kept | ${pct(kept, docs)}%.1f |\n")
     sb.toString
   }
 
@@ -192,40 +224,58 @@ FROM tok ORDER BY lang, source"""),
         val contam = graft.engine.ml.Text.decontaminate(
           train, docs.filter(col("source") === BenchSource), n = 5)
           .select(col("doc_id"), lit(1).as("hit"))
+        // rule 4 (line-level): a doc that loses over half its 10-word
+        // chunks to the globally-first-occurrence rule is template
+        // chrome, not content — drop it (the chunk dedup relation is
+        // computed corpus-wide, like the keep-list)
+        val linedup = Text.lineDedup(docs, 10)
+          .select(col("doc_id"),
+            (col("n_chunks") > 0 &&
+              col("n_kept") * 2 < col("n_chunks")).cast("long")
+              .as("line_dup"))
         val flagged = train
           .join(keep, Seq("doc_id")) // keep-list has every doc: inner
           .join(contam, Seq("doc_id"), "left")
+          .join(linedup, Seq("doc_id"))
           .select(col("lang"), col("source"),
             (col("n_chars") < 100 || col("n_chars") > 520)
               .cast("long").as("bad_len"),
             (col("doc_id") =!= col("keep_id")).cast("long").as("dup"),
-            col("hit").isNotNull.cast("long").as("contam"))
+            col("hit").isNotNull.cast("long").as("contam"),
+            col("line_dup"))
         flagged.groupBy("lang", "source")
           .agg(count(lit(1)).as("n_docs"),
             sum("bad_len").as("drop_len"),
             sum("dup").as("drop_dup"),
             sum("contam").as("drop_contam"),
-            sum(when(col("bad_len") + col("dup") + col("contam") === 0, 1L)
+            sum("line_dup").as("drop_linedup"),
+            sum(when(col("bad_len") + col("dup") + col("contam") +
+              col("line_dup") === 0, 1L)
               .otherwise(0L)).as("n_kept"))
           .orderBy("lang", "source")
       },
       s"""$curateCtes,
+          $lineDedupCtes,
           flagged AS (
             SELECT d.lang, d.source,
                    CASE WHEN d.n_chars < 100 OR d.n_chars > 520
                         THEN 1 ELSE 0 END AS bad_len,
                    CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END AS dup,
-                   CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contam
+                   CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contam,
+                   CASE WHEN l.n_chunks > 0 AND l.n_kept * 2 < l.n_chunks
+                        THEN 1 ELSE 0 END AS line_dup
             FROM documents d
               JOIN keep k ON k.doc_id = d.doc_id
               LEFT JOIN contam c ON c.doc_id = d.doc_id
+              JOIN ldstats l ON l.doc_id = d.doc_id
             WHERE d.source <> '$BenchSource')
           SELECT lang, source,
                  COUNT(*) AS n_docs,
                  CAST(SUM(bad_len) AS BIGINT) AS drop_len,
                  CAST(SUM(dup) AS BIGINT) AS drop_dup,
                  CAST(SUM(contam) AS BIGINT) AS drop_contam,
-                 CAST(SUM(CASE WHEN bad_len + dup + contam = 0
+                 CAST(SUM(line_dup) AS BIGINT) AS drop_linedup,
+                 CAST(SUM(CASE WHEN bad_len + dup + contam + line_dup = 0
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
           FROM flagged GROUP BY lang, source ORDER BY lang, source"""),
 
@@ -243,23 +293,32 @@ FROM tok ORDER BY lang, source"""),
         val contam = graft.engine.ml.Text.decontaminate(
           train, docs.filter(col("source") === BenchSource), n = 5)
           .select(col("doc_id"), lit(1).as("hit"))
+        val linedup = Text.lineDedup(docs, 10)
+          .select(col("doc_id"),
+            (col("n_chunks") > 0 &&
+              col("n_kept") * 2 < col("n_chunks")).as("line_dup"))
         train
           .join(keep, Seq("doc_id"))
           .join(contam, Seq("doc_id"), "left")
+          .join(linedup, Seq("doc_id"))
           .filter(col("n_chars") >= 100 && col("n_chars") <= 520 &&
-            col("doc_id") === col("keep_id") && col("hit").isNull)
+            col("doc_id") === col("keep_id") && col("hit").isNull &&
+            !col("line_dup"))
           .select("doc_id", "lang", "source", "n_chars")
           .orderBy("doc_id")
       },
-      s"""$curateCtes
+      s"""$curateCtes,
+          $lineDedupCtes
           SELECT d.doc_id, d.lang, d.source, d.n_chars
           FROM documents d
             JOIN keep k ON k.doc_id = d.doc_id
             LEFT JOIN contam c ON c.doc_id = d.doc_id
+            JOIN ldstats l ON l.doc_id = d.doc_id
           WHERE d.source <> '$BenchSource'
             AND d.n_chars >= 100 AND d.n_chars <= 520
             AND d.doc_id = k.keep_id
             AND c.doc_id IS NULL
+            AND NOT (l.n_chunks > 0 AND l.n_kept * 2 < l.n_chunks)
           ORDER BY d.doc_id"""),
 
     // Per-document lexical richness: mean inverse document frequency of
@@ -502,5 +561,16 @@ FROM tok ORDER BY lang, source"""),
                 ROUND(CAST(n_boiler AS DOUBLE) / n_chunks, 4)
                   AS boiler_frac
          FROM per_doc ORDER BY doc_id"""),
+
+    // Line-level dedup EMITTING the cleaned corpus (text_boilerplate
+    // only scores; this removes): globally-first-occurrence keep rule
+    // per 10-word chunk, doc rebuilt from survivors. The CCNet move
+    // that doc-level keep-lists can't make — boilerplate inside
+    // surviving docs is dropped, not just counted.
+    Q("dedup_lines",
+      (s, d) => Text.lineDedup(documents(s, d), 10).orderBy("doc_id"),
+      s"""WITH $lineDedupCtes
+          SELECT doc_id, n_chunks, n_kept, text_dedup
+          FROM ldstats ORDER BY doc_id"""),
   )
 }

@@ -139,7 +139,7 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     // every (lang, source) slice — same rules, same keep-list artifact
     val audit = SparkEntry.queries("curate_corpus")(spark, sf)
       .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(6))
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(7))
       .toMap
     val applied = SparkEntry.queries("curate_apply")(spark, sf)
       .groupBy("lang", "source").count()
@@ -148,5 +148,24 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       .toMap
     assert(applied === audit.filter(_._2 > 0),
       s"audit=$audit applied=$applied")
+  }
+
+  test("lineDedup keeps the globally first chunk copy and the tail") {
+    import spark.implicits._
+    val w10a = (1 to 10).map(i => s"a$i").mkString(" ")   // shared chunk
+    val w10b = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$w10a $w10b tail words"), // first: keeps both chunks + tail
+      (2L, s"$w10b $w10a"),            // later: loses BOTH chunks
+      (3L, "short text only")          // sub-chunk: tail survives intact
+    ).toDF("doc_id", "text")
+    val out = graft.engine.ml.Text.lineDedup(docs, 10)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 2 &&
+      out(0).getString(3) == s"$w10a $w10b tail words")
+    assert(out(1).getLong(1) == 2 && out(1).getLong(2) == 0 &&
+      out(1).getString(3) == "")
+    assert(out(2).getLong(1) == 0 && out(2).getLong(2) == 0 &&
+      out(2).getString(3) == "short text only")
   }
 }
