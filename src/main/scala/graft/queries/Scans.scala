@@ -69,6 +69,40 @@ object Scans {
                 MIN(s_name) AS first_name
          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""),
 
+    // ANALYZE TABLE — the optimizer-statistics feed: external table →
+    // COMPUTE STATISTICS FOR COLUMNS → the catalog's stored stats read
+    // back AS DATA and oracle-checked against DuckDB's exact
+    // count/nulls/ndv/min/max. The stats themselves are what
+    // spark.sql.cbo.enabled consumes for hint-free broadcast decisions
+    // and join reorder — that plan-level effect is PlanSpec-asserted.
+    Q("catalog_analyze",
+      (s, d) => {
+        Catalog.dropExternal(s, "graft_supplier_stats")
+        Catalog.registerExternal(s, Scans.supplierMeta,
+          s"$d/supplier.parquet", Some("graft_supplier_stats"))
+        Catalog.analyzeColumns(s, "graft_supplier_stats",
+          Seq("s_suppkey", "s_nationkey"))
+        Catalog.columnStats(s, "graft_supplier_stats")
+          .orderBy("col_name")
+      },
+      """SELECT * FROM (
+           SELECT 's_nationkey' AS col_name,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) - COUNT(s_nationkey) AS BIGINT) AS n_nulls,
+                  TRUE AS ndv_ok,
+                  CAST(MIN(s_nationkey) AS VARCHAR) AS min_val,
+                  CAST(MAX(s_nationkey) AS VARCHAR) AS max_val
+           FROM supplier
+           UNION ALL
+           SELECT 's_suppkey',
+                  CAST(COUNT(*) AS BIGINT),
+                  CAST(COUNT(*) - COUNT(s_suppkey) AS BIGINT),
+                  TRUE,
+                  CAST(MIN(s_suppkey) AS VARCHAR),
+                  CAST(MAX(s_suppkey) AS VARCHAR)
+           FROM supplier)
+         ORDER BY col_name"""),
+
     // CTAS — THE Athena working pattern (SELECT → new table in one
     // statement) over the passthrough surface: registerAll, CREATE
     // TABLE AS a decimal-exact aggregate, read the result back from

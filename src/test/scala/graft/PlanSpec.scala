@@ -375,4 +375,50 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(genIdx < semiIdx,
       s"Generate explode at $genIdx not above LeftSemi at $semiIdx:\n$p")
   }
+
+  test("catalog_analyze: column stats + CBO flip a join to broadcast, no hint") {
+    import graft.engine.catalog.Catalog
+    import graft.engine.meta.{ColumnMeta, TableMeta}
+    import org.apache.spark.sql.functions.col
+    // fresh session: conf isolated, persistent catalog (and thus the
+    // ANALYZE results) shared with the fixture session
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    // both raw files (orders 35 KB, customer 6.9 KB at sf0.001) exceed
+    // the threshold, so WITHOUT stats no side broadcasts
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    val ordersMeta = TableMeta("graft_orders_cbo", Seq(
+      ColumnMeta("o_orderkey", "long"),
+      ColumnMeta("o_custkey", "long"),
+      ColumnMeta("o_totalprice", "double")))
+    val custMeta = TableMeta("graft_customer_cbo", Seq(
+      ColumnMeta("c_custkey", "long"),
+      ColumnMeta("c_name", "character")))
+    for (m <- Seq(ordersMeta, custMeta)) Catalog.dropExternal(s2, m.name)
+    Catalog.registerExternal(s2, ordersMeta, s"$sf/orders.parquet")
+    Catalog.registerExternal(s2, custMeta, s"$sf/customer.parquet")
+
+    def joined = s2.table("graft_orders_cbo")
+      .filter(col("o_totalprice") > 500000.0)
+      .join(s2.table("graft_customer_cbo"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_name").count()
+
+    // control: no statistics — size-only estimation sees the full file
+    // behind the filter and plans a shuffle join
+    val before = joined.queryExecution.executedPlan.toString()
+    assert(!before.contains("BroadcastHashJoin"), before)
+
+    // ANALYZE → filter-cardinality estimation from min/max + rowCount
+    // shrinks the filtered side below the threshold → broadcast,
+    // purely stats-driven (no hint anywhere in the query)
+    Catalog.analyzeColumns(s2, "graft_orders_cbo",
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    Catalog.analyzeColumns(s2, "graft_customer_cbo",
+      Seq("c_custkey", "c_name"))
+    val after = joined.queryExecution.executedPlan.toString()
+    assert(after.contains("BroadcastHashJoin"), after)
+    for (m <- Seq(ordersMeta, custMeta)) Catalog.dropExternal(s2, m.name)
+  }
 }
