@@ -501,6 +501,26 @@ object Llm {
                 TRUE AS probe_ok, TRUE AS mean_ok
          FROM embeddings GROUP BY label ORDER BY probe_id"""),
 
+    // Large-probe-set IVF (the probe relation is a TABLE, not a
+    // broadcastable handful): both sides bucket to quantizer cells and
+    // meet in a shuffle equi-join — shuffle volume |corpus| +
+    // nProbe×|probes|, never |probes|×|corpus|; no cartesian
+    // (PlanSpec-asserted). Audited per probe against the persisted
+    // exact top-k for the same batch probe set.
+    Q("sim_search_batch",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = Similarity.batchProbes(emb)
+        Similarity.recallAudit(
+            Similarity.ivfTopKBatch(emb, probes, 5, d),
+            Similarity.batchGroundTruthFor(emb, d, 5),
+            5, minRecall = 0.2, minMeanRecall = 0.5)
+          .orderBy("probe_id")
+      },
+      """SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_ann,
+                TRUE AS probe_ok, TRUE AS mean_ok
+         FROM embeddings WHERE vec_id % 10 = 0 ORDER BY probe_id"""),
+
     // IVF over the cell-PARTITIONED index: the scan prunes to the
     // probed cells' files (ingest-time write, partition-pruned read —
     // the true corpus-scale IVF). The ranking is bit-equal to

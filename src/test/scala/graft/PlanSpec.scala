@@ -376,6 +376,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"Generate explode at $genIdx not above LeftSemi at $semiIdx:\n$p")
   }
 
+  test("sim_search_batch: cell equi-join, no cartesian, no probe broadcast") {
+    val df = SparkEntry.queries("sim_search_batch")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the probes×corpus meet is a shuffled equi-join on the cell key
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("catalog_analyze: column stats + CBO flip a join to broadcast, no hint") {
     import graft.engine.catalog.Catalog
     import graft.engine.meta.{ColumnMeta, TableMeta}

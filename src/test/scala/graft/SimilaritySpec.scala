@@ -243,4 +243,18 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val b = Similarity.fitCentroids(emb.repartition(13), 8, 42L)
     a.zip(b).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
   }
+
+  test("batch IVF probing every cell equals brute force exactly") {
+    // with nProbe = nCells the candidate set is the whole corpus, so
+    // the shuffle-equi-join path must reproduce brute force bit-for-bit
+    val probes = Similarity.batchProbes(emb)
+    val batch = Similarity.ivfTopKBatch(emb, probes, 3, sf,
+        nCells = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val brute = Similarity.bruteForceTopK(emb, probes, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(batch === brute)
+  }
 }
