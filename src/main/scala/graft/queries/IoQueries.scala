@@ -260,6 +260,60 @@ object IoQueries {
          FROM orders WHERE year(o_orderdate) >= 1997
          ORDER BY o_orderkey"""),
 
+    // Schema-evolution WRITE path — the missing half of
+    // scan_merge_schema's read-side merge: evolve a STORED table in
+    // place. The old file generation is conform-rewritten to the v2
+    // metadata (the new column backfilled as a TYPED null) and swapped
+    // in atomically (stage + rename — the same move Artifacts.ensure
+    // makes); the new writer generation appends rows that carry the
+    // column; the evolved table then reads BY NAME through the catalog
+    // with one schema across both generations. At 100 TB the rewrite
+    // half runs partition-by-partition (it is a pure projection — scan
+    // speed, no shuffle); the read-by-name half is free immediately
+    // because parquet binds columns by name, old files just project
+    // the null.
+    Q("evolve_add_column",
+      (s, d) => {
+        import graft.engine.catalog.Catalog
+        import graft.engine.meta.{ColumnMeta, TableMeta}
+        val out = scratch(d, "evolve")
+        val v2 = TableMeta("graft_orders_evolved", Seq(
+          ColumnMeta("o_orderkey", "long"),
+          ColumnMeta("o_totalprice", "double"),
+          ColumnMeta("band", "character")))
+        // generation 1: the table as originally written — no band
+        orders(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(out)
+        // EVOLVE: conform-rewrite the stored generation to v2 (typed
+        // null backfill), atomically swap the staged rewrite in
+        val staged = out + ".stage"
+        Conform.conformLenient(s.read.parquet(out), v2)
+          .write.mode("overwrite").parquet(staged)
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        fs.rename(new org.apache.hadoop.fs.Path(staged),
+          new org.apache.hadoop.fs.Path(out))
+        // generation 2: the evolved writer appends rows WITH the column
+        orders(s, d).filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            when(col("o_totalprice") > 200000.0, "hi").otherwise("lo")
+              .as("band"))
+          .write.mode("append").parquet(out)
+        // read back BY NAME through the catalog under the v2 schema
+        Catalog.dropExternal(s, v2.name)
+        Catalog.registerExternal(s, v2, out)
+        s.table(v2.name).orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS band
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_totalprice,
+                CASE WHEN o_totalprice > 200000.0 THEN 'hi' ELSE 'lo' END
+         FROM orders WHERE o_orderkey % 2 = 1
+         ORDER BY o_orderkey"""),
+
     // PERMISSIVE malformed-record handling: a dirty CSV (every 7th row
     // gets an unparseable key) reads without failing the job — bad rows
     // land in the _corrupt_record column, good rows parse. The summary
