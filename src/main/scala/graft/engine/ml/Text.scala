@@ -413,6 +413,52 @@ object Text {
     stats.join(words, Seq("lang", "source"))
   }
 
+  /** Content-defined chunking (CDC): variable-size chunks whose
+    * boundaries come from the CONTENT (a rolling hash over the last
+    * `win` words hitting a divisor), not from fixed offsets. The
+    * property fixed-size chunking lacks: inserting one word early in a
+    * document only moves boundaries locally, so downstream chunk-hash
+    * dedup (dedup_containment/dedup_lines style) still matches the
+    * unchanged remainder — the standard trick for dedup robust to
+    * edits (rsync/LBFS lineage, used by modern corpus dedup).
+    *
+    * Fully deterministic integer arithmetic (per-word polynomial char
+    * hash mod P, then a `win`-word polynomial window hash mod P,
+    * boundary iff window hash ≡ 0 mod `div` — average chunk ≈ `div`
+    * words), so any engine reproduces boundaries bit-for-bit. ONE
+    * doc_id exchange carries both the lag window and the per-chunk
+    * rebuild (same partitioning key). */
+  def cdcChunks(docs: DataFrame, win: Int = 4, div: Int = 8): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .withColumn("h",
+        expr(s"""aggregate(transform(sequence(1, length(word)),
+                   i -> CAST(ascii(substring(word, i, 1)) AS BIGINT)),
+                 0L, (a, c) -> (a * 31 + c) % $P)"""))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    // window hash over the last `win` word hashes, folded mod P at
+    // every step (the order the oracle mirrors exactly)
+    val g = (1 until win).foldLeft(lag(col("h"), win - 1).over(byPos)) {
+      (acc, j) =>
+        val off = win - 1 - j
+        val term = if (off == 0) col("h") else lag(col("h"), off).over(byPos)
+        (acc * 31L + term) % P
+    }
+    val flagged = words
+      .withColumn("boundary",
+        (col("pos") >= (win - 1) && g % div === 0).cast("long"))
+      .withColumn("chunk_id", coalesce(sum(col("boundary")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    flagged.groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_words"),
+        expr("""array_join(transform(
+                  array_sort(collect_list(struct(pos, word))),
+                  x -> x.word), ' ')""").as("chunk_text"))
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+      .select("doc_id", "chunk_id", "n_words", "chunk_text", "chunk_hash")
+  }
+
   /** CCNet-style line-level dedup, EMITTING the line-dedup'd corpus
     * (text_boilerplate only scores repetition; this removes it). The
     * corpus has no newlines, so a "line" is the same unit

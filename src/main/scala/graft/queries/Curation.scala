@@ -562,6 +562,90 @@ FROM tok ORDER BY lang, source"""),
                   AS boiler_frac
          FROM per_doc ORDER BY doc_id"""),
 
+    // Content-defined chunking: boundaries from a rolling hash over
+    // the last 4 words (avg chunk ~8 words), so an edit early in a doc
+    // moves boundaries only LOCALLY and chunk-hash dedup still matches
+    // the unchanged remainder — what fixed-stride chunk_overlap can't
+    // give. Exact integer arithmetic end to end; the oracle replays
+    // word hash → window hash → boundary cumsum → chunk rebuild.
+    Q("chunk_cdc",
+      (s, d) => Text.cdcChunks(documents(s, d), 4, 8)
+        .orderBy("doc_id", "chunk_id"),
+      """WITH words AS (
+           SELECT doc_id, i - 1 AS pos, w[i] AS word,
+                  list_reduce(list_transform(
+                    range(1, len(w[i]) + 1),
+                    j -> CAST(ascii(substring(w[i], j, 1)) AS BIGINT)),
+                    (a, c) -> (a * 31 + c) % 1000000007) AS h
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+                LATERAL unnest(range(1, len(w) + 1)) AS t(i)),
+         hashed AS (
+           SELECT doc_id, pos, word,
+                  ((((LAG(h, 3) OVER wd * 31 + LAG(h, 2) OVER wd)
+                     % 1000000007) * 31 + LAG(h, 1) OVER wd)
+                     % 1000000007) * 31 + h AS g_pre
+           FROM words
+           WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+         flagged AS (
+           SELECT doc_id, pos, word,
+                  CASE WHEN pos >= 3 AND (g_pre % 1000000007) % 8 = 0
+                       THEN 1 ELSE 0 END AS boundary
+           FROM hashed),
+         assigned AS (
+           SELECT doc_id, pos, word,
+                  CAST(COALESCE(SUM(boundary) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS chunk_id
+           FROM flagged)
+         SELECT doc_id, chunk_id,
+                CAST(COUNT(*) AS BIGINT) AS n_words,
+                string_agg(word, ' ' ORDER BY pos) AS chunk_text,
+                md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+         FROM assigned GROUP BY doc_id, chunk_id
+         ORDER BY doc_id, chunk_id"""),
+
+    // Token-budget allocation — the step after mix_weights in a real
+    // training-mix pipeline: turn normalized domain weights into
+    // concrete token quotas against a fixed budget, with the
+    // oversampling factor (epochs) each domain runs at. Pure
+    // deterministic arithmetic over the per-domain REAL BPE token
+    // counts; one tiny post-agg relation.
+    Q("mix_allocate",
+      (s, d) => {
+        val budget = 1000000L
+        val tok = graft.engine.ml.Bpe.tokensPerDoc(documents(s, d), d)
+          .groupBy("lang", "source")
+          .agg(sum(col("n_tokens")).as("n_tokens"))
+        val total = tok.agg(
+          sum(pow(col("n_tokens"), 0.5)).as("w_total"))
+        tok.crossJoin(broadcast(total))
+          .select(col("lang"), col("source"), col("n_tokens"),
+            round(pow(col("n_tokens"), 0.5) / col("w_total"), 6)
+              .as("weight"))
+          .withColumn("alloc_tokens",
+            floor(col("weight") * budget).cast("long"))
+          .withColumn("epochs",
+            round(col("alloc_tokens") /
+              col("n_tokens").cast("double"), 4))
+          .orderBy("lang", "source")
+      },
+      graft.engine.ml.Bpe.tokensCtePrefix + """,
+tok AS (
+  SELECT lang, source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM dtok GROUP BY 1, 2),
+wt AS (
+  SELECT lang, source, n_tokens,
+         ROUND(pow(n_tokens, 0.5) /
+               (SELECT SUM(pow(n_tokens, 0.5)) FROM tok), 6) AS weight
+  FROM tok)
+SELECT lang, source, n_tokens, weight,
+       CAST(floor(weight * 1000000) AS BIGINT) AS alloc_tokens,
+       ROUND(CAST(floor(weight * 1000000) AS BIGINT) /
+             CAST(n_tokens AS DOUBLE), 4) AS epochs
+FROM wt ORDER BY lang, source"""),
+
     // Line-level dedup EMITTING the cleaned corpus (text_boilerplate
     // only scores; this removes): globally-first-occurrence keep rule
     // per 10-word chunk, doc rebuilt from survivors. The CCNet move

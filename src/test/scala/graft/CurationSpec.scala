@@ -150,6 +150,32 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       s"audit=$audit applied=$applied")
   }
 
+  test("cdcChunks: an early insertion leaves later chunk hashes intact") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    val edited = "INSERTED " + base
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val chunks = graft.engine.ml.Text.cdcChunks(docs, 4, 8)
+      .select("doc_id", "chunk_hash").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+    val shared = chunks(1L) intersect chunks(2L)
+    // fixed-stride chunking would share ZERO chunks after a 1-word
+    // insertion; CDC must re-sync and share most of the tail
+    assert(shared.size * 2 > chunks(1L).size,
+      s"shared ${shared.size} of ${chunks(1L).size}")
+  }
+
+  test("cdcChunks covers every word exactly once, in order") {
+    import spark.implicits._
+    val docs = Seq((7L, (1 to 100).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rebuilt = graft.engine.ml.Text.cdcChunks(docs, 4, 8)
+      .orderBy("chunk_id").collect()
+      .map(_.getString(3)).mkString(" ")
+    assert(rebuilt == (1 to 100).map(i => s"t$i").mkString(" "))
+  }
+
   test("lineDedup keeps the globally first chunk copy and the tail") {
     import spark.implicits._
     val w10a = (1 to 10).map(i => s"a$i").mkString(" ")   // shared chunk
