@@ -511,8 +511,15 @@ object Llm {
       (s, d) => {
         val emb = embeddings(s, d)
         val probes = Similarity.batchProbes(emb)
+        // nProbe=8 (vs the 10-probe keys' 6): with a 500-probe fleet
+        // the per-probe floor sees the tail of the recall
+        // distribution — a boundary probe whose exact neighbours all
+        // sit outside its 6 nearest cells fails the floor at sf0.1;
+        // probing half the cells still scans half what brute force
+        // would while holding the floor fleet-wide (gated at all
+        // three SFs).
         Similarity.recallAudit(
-            Similarity.ivfTopKBatch(emb, probes, 5, d),
+            Similarity.ivfTopKBatch(emb, probes, 5, d, nProbe = 8),
             Similarity.batchGroundTruthFor(emb, d, 5),
             5, minRecall = 0.2, minMeanRecall = 0.5)
           .orderBy("probe_id")
