@@ -90,6 +90,30 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     tok.unpersist()
   }
 
+  test("tokensPerDoc and cdcChunks are invariant to physical partitioning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val skewed = docs.repartition(13)
+    def tokMap(d: org.apache.spark.sql.DataFrame) =
+      Bpe.tokensPerDoc(d, sf).select("doc_id", "n_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tokMap(docs) === tokMap(skewed))
+    def chunkSet(d: org.apache.spark.sql.DataFrame) =
+      graft.engine.ml.Text.cdcChunks(d, 4, 8)
+        .select("doc_id", "chunk_id", "chunk_hash")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+    assert(chunkSet(docs) === chunkSet(skewed))
+  }
+
+  test("lineDedup is invariant to physical partitioning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def out(d: org.apache.spark.sql.DataFrame) =
+      graft.engine.ml.Text.lineDedup(d, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+    assert(out(docs) === out(docs.repartition(13)))
+  }
+
   test("merge table artifact: second call serves the persisted fit") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val a = Bpe.mergesFor(docs, sf)
