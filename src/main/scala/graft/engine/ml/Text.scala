@@ -425,38 +425,63 @@ object Text {
     * Fully deterministic integer arithmetic (per-word polynomial char
     * hash mod P, then a `win`-word polynomial window hash mod P,
     * boundary iff window hash ≡ 0 mod `div` — average chunk ≈ `div`
-    * words), so any engine reproduces boundaries bit-for-bit. ONE
-    * doc_id exchange carries both the lag window and the per-chunk
-    * rebuild (same partitioning key). */
+    * words), so any engine reproduces boundaries bit-for-bit.
+    *
+    * ZERO-SHUFFLE shape: the whole computation is per-document, so it
+    * runs as one typed mapPartitions sweep — the exploded-word
+    * window/groupBy formulation this replaced moved the corpus through
+    * TWO exchanges for what is a sequential per-doc scan; at 100 TB
+    * chunking must ride the ingest scan, not shuffle it. */
   def cdcChunks(docs: DataFrame, win: Int = 4, div: Int = 8): DataFrame = {
-    val words = docs
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      .withColumn("h",
-        expr(s"""aggregate(transform(sequence(1, length(word)),
-                   i -> CAST(ascii(substring(word, i, 1)) AS BIGINT)),
-                 0L, (a, c) -> (a * 31 + c) % $P)"""))
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    // window hash over the last `win` word hashes, folded mod P at
-    // every step (the order the oracle mirrors exactly)
-    val g = (1 until win).foldLeft(lag(col("h"), win - 1).over(byPos)) {
-      (acc, j) =>
-        val off = win - 1 - j
-        val term = if (off == 0) col("h") else lag(col("h"), off).over(byPos)
-        (acc * 31L + term) % P
-    }
-    val flagged = words
-      .withColumn("boundary",
-        (col("pos") >= (win - 1) && g % div === 0).cast("long"))
-      .withColumn("chunk_id", coalesce(sum(col("boundary")).over(
-        byPos.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    flagged.groupBy("doc_id", "chunk_id")
-      .agg(count(lit(1)).as("n_words"),
-        expr("""array_join(transform(
-                  array_sort(collect_list(struct(pos, word))),
-                  x -> x.word), ' ')""").as("chunk_text"))
-      .withColumn("chunk_hash", md5(col("chunk_text")))
-      .select("doc_id", "chunk_id", "n_words", "chunk_text", "chunk_hash")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = P
+    graft.engine.ops.Scale
+      .spreadForCompute(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(" ", -1)
+        val n = ws.length
+        // per-word polynomial char hash mod P (the oracle's
+        // list_reduce order, exactly)
+        val h = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          var a = 0L
+          val w = ws(i)
+          var j = 0
+          while (j < w.length) { a = (a * 31 + w.charAt(j)) % p; j += 1 }
+          h(i) = a
+          i += 1
+        }
+        // boundary after word i iff the win-word window hash ending at
+        // i is ≡ 0 (mod div); chunk of word i = boundaries before i
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, String, String)]
+        var chunkId = 0L
+        var start = 0
+        var pos = 0
+        def emit(end: Int): Unit = { // [start, end) as one chunk
+          val textChunk = ws.slice(start, end).mkString(" ")
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(textChunk.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          out += ((id, chunkId, (end - start).toLong, textChunk, md))
+          chunkId += 1; start = end
+        }
+        while (pos < n) {
+          if (pos >= win - 1) {
+            var g = h(pos - win + 1)
+            var j = pos - win + 2
+            while (j <= pos) { g = (g * 31 + h(j)) % p; j += 1 }
+            if (g % div == 0) emit(pos + 1)
+          }
+          pos += 1
+        }
+        if (start < n) emit(n)
+        out
+      }
+      .toDF("doc_id", "chunk_id", "n_words", "chunk_text", "chunk_hash")
   }
 
   /** CCNet-style line-level dedup, EMITTING the line-dedup'd corpus

@@ -376,6 +376,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"Generate explode at $genIdx not above LeftSemi at $semiIdx:\n$p")
   }
 
+  test("chunk_cdc is map-only: no keyed exchange anywhere in the plan") {
+    // the whole computation is per-document, so the only exchanges
+    // allowed are the compute-spread round-robin and the presentation
+    // sort's range partitioning — never a hashpartitioning shuffle
+    val df = SparkEntry.queries("chunk_cdc")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("sim_search_batch: cell equi-join, no cartesian, no probe broadcast") {
     val df = SparkEntry.queries("sim_search_batch")(spark, sf)
     df.collect()
