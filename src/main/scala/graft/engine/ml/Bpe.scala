@@ -178,6 +178,26 @@ object Bpe {
       }.toDF("doc_id", "lang", "source", "n_tokens", "roundtrip_ok")
   }
 
+  /** Fit-once PER-DOC TOKEN STORE: [[tokensPerDoc]] persisted under
+    * the warehouse keyed by the corpus content fingerprint — the
+    * ingest-time shape for token counts, which every mixture/packing
+    * decision reads instead of re-encoding the corpus per query
+    * (encode is map-side cheap, but at 100 TB "cheap × every
+    * consumer" is still corpus scans; a 4-column store read is not). */
+  def tokensStoreFor(docs: DataFrame, datasetTag: String): DataFrame = {
+    val spark = docs.sparkSession
+    val fp = graft.engine.io.Artifacts.fingerprintOf(docs)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = graft.engine.io.Artifacts.ensure(spark,
+      s"$warehouse/graft_bpe/tokens_${safe}_${fp}_${TopWords}_$NumMerges") {
+      tmp =>
+        tokensPerDoc(docs, datasetTag)
+          .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(path)
+  }
+
   // ------------------------------------------------------------------
   // Generated DuckDB replay oracle. MATERIALIZED is load-bearing: each
   // w{m} is referenced by both b{m+1} and w{m+1}, so an inlining

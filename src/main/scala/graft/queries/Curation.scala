@@ -188,7 +188,7 @@ object Curation {
     // domain), broadcast back — no single-partition window.
     Q("mix_weights",
       (s, d) => {
-        val tok = graft.engine.ml.Bpe.tokensPerDoc(documents(s, d), d)
+        val tok = graft.engine.ml.Bpe.tokensStoreFor(documents(s, d), d)
           .groupBy("lang", "source")
           .agg(sum(col("n_tokens")).as("n_tokens"))
         val total = tok.agg(
@@ -615,7 +615,7 @@ FROM tok ORDER BY lang, source"""),
     Q("mix_allocate",
       (s, d) => {
         val budget = 1000000L
-        val tok = graft.engine.ml.Bpe.tokensPerDoc(documents(s, d), d)
+        val tok = graft.engine.ml.Bpe.tokensStoreFor(documents(s, d), d)
           .groupBy("lang", "source")
           .agg(sum(col("n_tokens")).as("n_tokens"))
         val total = tok.agg(

@@ -834,7 +834,7 @@ object Llm {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("source").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        graft.engine.ml.Bpe.tokensPerDoc(documents(s, d), d)
+        graft.engine.ml.Bpe.tokensStoreFor(documents(s, d), d)
           .select(col("doc_id"), col("source"), col("n_tokens"))
           .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
           .withColumn("bin",

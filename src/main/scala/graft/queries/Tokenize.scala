@@ -30,7 +30,7 @@ object Tokenize {
     // word memo) — the count that replaces the len/4 heuristic in
     // pack_sequences / mix_weights.
     Q("text_tokenize_bpe",
-      (s, d) => Bpe.tokensPerDoc(documents(s, d), d)
+      (s, d) => Bpe.tokensStoreFor(documents(s, d), d)
         .select("doc_id", "n_tokens", "roundtrip_ok")
         .orderBy("doc_id"),
       Bpe.tokensCtePrefix + """
