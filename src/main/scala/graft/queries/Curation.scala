@@ -646,6 +646,66 @@ SELECT lang, source, n_tokens, weight,
              CAST(n_tokens AS DOUBLE), 4) AS epochs
 FROM wt ORDER BY lang, source"""),
 
+    // Quality-bucketed sampling — the classifier-bucket mix move
+    // (keep high-quality docs at full rate, downsample the tail):
+    // exact quartile boundaries over the quality score (explicit
+    // boundary compare, NOT ntile — tie handling differs between
+    // engines), deterministic md5-keyed keep decision per doc, audit
+    // per bucket. Boundaries are a one-row aggregate broadcast back;
+    // the bucket/keep pass is scan-local.
+    Q("mix_by_quality",
+      (s, d) => {
+        val q = Text.qualityScore(documents(s, d),
+          Seq("join", "filter", "sort", "hash", "scan"))
+          .select(col("doc_id"), col("quality"))
+        val b = q.agg(expr(
+          "percentile(quality, array(0.25D, 0.5D, 0.75D))").as("qs"))
+        val rate = when(col("bucket") === 1, 10)
+          .when(col("bucket") === 2, 25)
+          .when(col("bucket") === 3, 50).otherwise(100)
+        q.crossJoin(broadcast(b))
+          .select(col("doc_id"), col("quality"),
+            when(col("quality") <= expr("qs[0]"), 1)
+              .when(col("quality") <= expr("qs[1]"), 2)
+              .when(col("quality") <= expr("qs[2]"), 3)
+              .otherwise(4).as("bucket"))
+          .withColumn("kept",
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+              16, 10).cast("long") % 100 < rate).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+          .orderBy("bucket")
+      },
+      """WITH q AS (
+           SELECT doc_id,
+                  ROUND(least(1.0, len(string_split(text, ' ')) / 200.0)
+                    * (1.0 - len(list_filter(string_split(text, ' '),
+                        t -> list_contains(
+                          ['join','filter','sort','hash','scan'], t)))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4)
+                    AS quality
+           FROM documents),
+         b AS (SELECT quantile_cont(quality, [0.25, 0.5, 0.75]) AS qs
+               FROM q),
+         bucketed AS (
+           SELECT doc_id, quality,
+                  CASE WHEN quality <= qs[1] THEN 1
+                       WHEN quality <= qs[2] THEN 2
+                       WHEN quality <= qs[3] THEN 3
+                       ELSE 4 END AS bucket,
+                  CASE WHEN CAST(('0x' ||
+                         substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 <
+                       CASE WHEN quality <= qs[1] THEN 10
+                            WHEN quality <= qs[2] THEN 25
+                            WHEN quality <= qs[3] THEN 50
+                            ELSE 100 END
+                       THEN 1 ELSE 0 END AS kept
+           FROM q, b)
+         SELECT bucket, COUNT(*) AS n_docs,
+                CAST(SUM(kept) AS BIGINT) AS n_kept
+         FROM bucketed GROUP BY bucket ORDER BY bucket"""),
+
     // Line-level dedup EMITTING the cleaned corpus (text_boilerplate
     // only scores; this removes): globally-first-occurrence keep rule
     // per 10-word chunk, doc rebuilt from survivors. The CCNet move

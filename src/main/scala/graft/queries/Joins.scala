@@ -314,6 +314,68 @@ object Joins {
            FROM events WHERE event_type IN ('click', 'purchase'))
          WHERE event_type = 'click' ORDER BY event_id"""),
 
+    // Nearest as-of (pandas merge_asof direction='nearest'): each
+    // purchase matched to the temporally closest click in EITHER
+    // direction — min absolute gap, ties prefer the earlier (backward)
+    // side, event_id tiebreak inside the frames. Completes the as-of
+    // family (backward/forward exist); still the one-shuffle window
+    // formulation — the backward and forward anchors ride the SAME
+    // user_id exchange, no join at all.
+    Q("join_asof_nearest",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("t"))
+        val ord = Window.partitionBy("user_id").orderBy("t", "event_id")
+        val wb = ord.rowsBetween(Window.unboundedPreceding, -1)
+        val wf = ord.rowsBetween(1, Window.unboundedFollowing)
+        def clickOnly(c: org.apache.spark.sql.Column) =
+          when(col("event_type") === "click", c)
+        ev
+          .withColumn("pb_id",
+            last(clickOnly(col("event_id")), ignoreNulls = true).over(wb))
+          .withColumn("pb_t",
+            last(clickOnly(col("t")), ignoreNulls = true).over(wb))
+          .withColumn("nf_id",
+            first(clickOnly(col("event_id")), ignoreNulls = true).over(wf))
+          .withColumn("nf_t",
+            first(clickOnly(col("t")), ignoreNulls = true).over(wf))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            when(col("pb_id").isNull, col("nf_id"))
+              .when(col("nf_id").isNull, col("pb_id"))
+              .when(col("t") - col("pb_t") <= col("nf_t") - col("t"),
+                col("pb_id"))
+              .otherwise(col("nf_id")).as("nearest_click_id"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id,
+                CASE WHEN pb_id IS NULL THEN nf_id
+                     WHEN nf_id IS NULL THEN pb_id
+                     WHEN t - pb_t <= nf_t - t THEN pb_id
+                     ELSE nf_id END AS nearest_click_id
+         FROM (
+           SELECT event_id, user_id, event_type, t,
+                  LAST_VALUE(CASE WHEN event_type = 'click'
+                    THEN event_id END IGNORE NULLS) OVER wb AS pb_id,
+                  LAST_VALUE(CASE WHEN event_type = 'click'
+                    THEN t END IGNORE NULLS) OVER wb AS pb_t,
+                  FIRST_VALUE(CASE WHEN event_type = 'click'
+                    THEN event_id END IGNORE NULLS) OVER wf AS nf_id,
+                  FIRST_VALUE(CASE WHEN event_type = 'click'
+                    THEN t END IGNORE NULLS) OVER wf AS nf_t
+           FROM (SELECT event_id, user_id, event_type,
+                        epoch_us(ts) AS t
+                 FROM events
+                 WHERE event_type IN ('click', 'purchase'))
+           WINDOW wb AS (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  wf AS (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         WHERE event_type = 'purchase' ORDER BY event_id"""),
+
     // NULL-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     // MATCH each other instead of silently dropping — the semantics a
     // dimension join needs when "unknown" is itself a category. Keys

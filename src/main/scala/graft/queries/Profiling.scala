@@ -296,5 +296,47 @@ object Profiling {
                 ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6)
                   AS entropy
          FROM counts GROUP BY col_name ORDER BY col_name"""),
+
+    // Pairwise mutual information between two categorical columns —
+    // the dependency profile behind redundant-feature detection and
+    // join-key discovery (profile_fk_candidates' statistical cousin).
+    // One cell aggregate; the marginals are window sums OVER THE CELL
+    // RELATION (|X|×|Y| rows — tiny), never a second corpus pass. Each
+    // cell's PMI contribution is emitted per row (the total is their
+    // sum) so no float accumulates across an engine-dependent
+    // summation order.
+    Q("profile_mutual_info",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"))
+        val nx = sum(col("n")).over(Window.partitionBy("l_returnflag"))
+        val ny = sum(col("n")).over(Window.partitionBy("l_linestatus"))
+        val tot = sum(col("n")).over(Window.partitionBy())
+        cells
+          .withColumn("nx", nx).withColumn("ny", ny)
+          .withColumn("tot", tot)
+          .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+            col("nx"), col("ny"),
+            round((col("n") / col("tot").cast("double")) *
+              log((col("n") * col("tot")) /
+                (col("nx") * col("ny")).cast("double")), 6).as("pmi"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      """WITH cells AS (
+           SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+           FROM lineitem GROUP BY 1, 2),
+         m AS (
+           SELECT l_returnflag, l_linestatus, n,
+                  SUM(n) OVER (PARTITION BY l_returnflag) AS nx,
+                  SUM(n) OVER (PARTITION BY l_linestatus) AS ny,
+                  SUM(n) OVER () AS tot
+           FROM cells)
+         SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+                CAST(nx AS BIGINT) AS nx, CAST(ny AS BIGINT) AS ny,
+                ROUND((n / CAST(tot AS DOUBLE)) *
+                      ln((n * tot) / CAST(nx * ny AS DOUBLE)), 6) AS pmi
+         FROM m ORDER BY l_returnflag, l_linestatus"""),
   )
 }
