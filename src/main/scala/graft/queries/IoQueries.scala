@@ -314,6 +314,86 @@ object IoQueries {
          FROM orders WHERE o_orderkey % 2 = 1
          ORDER BY o_orderkey"""),
 
+    // Plain-file time travel: snapshots are version directories
+    // (v=1, v=2, …) — the Hive-era pattern table formats industrialized.
+    // Write v1, derive v2 by keyed upsert, then read BOTH versions back
+    // (AS OF = pick the version directory; current = max version) and
+    // emit each version's audit row. At 100 TB v2 would share unchanged
+    // files via manifests (what Iceberg/Delta add); the directory form
+    // keeps the semantics — historical reads are never torn by later
+    // writes — with zero table-format machinery.
+    Q("table_time_travel",
+      (s, d) => {
+        val base = scratch(d, "timetravel")
+        def dec = col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        val v1 = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+        v1.write.mode("overwrite").parquet(s"$base/v=1")
+        val v2 = v1.withColumn("v",
+          when(col("k") % 10 === 0,
+            (col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+              lit(new java.math.BigDecimal("1.10"))).cast("double"))
+            .otherwise(col("v")))
+        v2.write.mode("overwrite").parquet(s"$base/v=2")
+        // sum at scale 4, not 2: the upserted values are exact
+        // 4-decimal quantities stored as double, so both engines cast
+        // them to DECIMAL(18,4) identically — a scale-2 recast would
+        // hit the HALF_UP (Spark) vs half-even (DuckDB) split on .005
+        def audit(version: Int) =
+          s.read.parquet(s"$base/v=$version")
+            .agg(count(lit(1)).as("n_rows"),
+              round(sum(col("v").cast(
+                org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast("double"), 2).as("total"))
+            .select(lit(version).as("version"), col("n_rows"), col("total"))
+        audit(1).unionByName(audit(2)).orderBy("version")
+      },
+      """WITH v1 AS (
+           SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+           WHERE o_orderkey % 2 = 0),
+         v2 AS (
+           SELECT k, CASE WHEN k % 10 = 0
+                  THEN CAST(CAST(v AS DECIMAL(18,2)) *
+                       CAST(1.10 AS DECIMAL(3,2)) AS DOUBLE)
+                  ELSE v END AS v
+           FROM v1)
+         SELECT 1 AS version, COUNT(*) AS n_rows,
+                ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2)
+                  AS total
+         FROM v1
+         UNION ALL
+         SELECT 2, COUNT(*),
+                ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2)
+         FROM v2
+         ORDER BY version"""),
+
+    // Sharded JSONL export + manifest — the corpus-assembly EXIT step:
+    // the curated table leaves as deterministic-shard JSONL (what a
+    // tokenizer fleet consumes), partitioned by a doc_id hash so any
+    // shard re-exports reproducibly, plus the per-shard manifest
+    // (counts + id range) a downstream loader validates against. The
+    // read-back proves the export is lossless.
+    Q("export_jsonl_sharded",
+      (s, d) => {
+        val out = scratch(d, "jsonl_shards")
+        documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+          .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("int"))
+          .write.mode("overwrite").partitionBy("shard").json(out)
+        s.read.schema(
+            "doc_id BIGINT, lang STRING, text STRING, shard INT")
+          .json(out)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+            sum(length(col("text"))).as("n_chars"))
+          .orderBy("shard")
+      },
+      """SELECT CAST(doc_id % 8 AS INT) AS shard, COUNT(*) AS n_docs,
+                MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+                CAST(SUM(length(text)) AS BIGINT) AS n_chars
+         FROM documents GROUP BY 1 ORDER BY 1"""),
+
     // PERMISSIVE malformed-record handling: a dirty CSV (every 7th row
     // gets an unparseable key) reads without failing the job — bad rows
     // land in the _corrupt_record column, good rows parse. The summary
