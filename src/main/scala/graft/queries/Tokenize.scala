@@ -35,5 +35,48 @@ object Tokenize {
         .orderBy("doc_id"),
       Bpe.tokensCtePrefix + """
 SELECT doc_id, n_tokens, TRUE AS roundtrip_ok FROM dtok ORDER BY doc_id"""),
+
+    // The metric a vocabulary is judged by: chars-per-token compression
+    // per domain (higher = the merge table captures that domain's
+    // morphology better; 1.0 = degenerate char-level). Char counts over
+    // the SAME filtered word stream the encoder tokenizes; token counts
+    // from the persisted store — one scan-local projection + the tiny
+    // domain aggregate.
+    Q("vocab_compression",
+      (s, d) => {
+        val chars = documents(s, d).select(col("lang"), col("source"),
+          expr("""aggregate(filter(split(lower(text), '\\s+'),
+                    w -> w rlike '^[a-z]{2,}$'),
+                  0L, (a, w) -> a + length(w))""").as("n_chars"))
+          .groupBy("lang", "source")
+          .agg(sum(col("n_chars")).as("n_chars"))
+        val toks = Bpe.tokensStoreFor(documents(s, d), d)
+          .groupBy("lang", "source")
+          .agg(sum(col("n_tokens")).as("n_tokens"))
+        chars.join(toks, Seq("lang", "source"))
+          .select(col("lang"), col("source"), col("n_chars"),
+            col("n_tokens"),
+            round(col("n_chars") /
+              expr("cast(nullif(n_tokens, 0) AS double)"), 4)
+              .as("chars_per_token"))
+          .orderBy("lang", "source")
+      },
+      Bpe.tokensCtePrefix + """,
+chars AS (
+  SELECT lang, source, CAST(SUM(len(word)) AS BIGINT) AS n_chars
+  FROM (
+    SELECT lang, source,
+           unnest(string_split_regex(lower(text), '\s+')) AS word
+    FROM documents)
+  WHERE regexp_full_match(word, '[a-z]{2,}')
+  GROUP BY 1, 2),
+toks AS (
+  SELECT lang, source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM dtok GROUP BY 1, 2)
+SELECT lang, source, n_chars, n_tokens,
+       ROUND(n_chars / CAST(nullif(n_tokens, 0) AS DOUBLE), 4)
+         AS chars_per_token
+FROM chars JOIN toks USING (lang, source)
+ORDER BY lang, source"""),
   )
 }
