@@ -484,6 +484,53 @@ object Text {
       .toDF("doc_id", "chunk_id", "n_words", "chunk_text", "chunk_hash")
   }
 
+  /** Incremental line-level dedup — the continuous-ingest companion of
+    * [[lineDedup]] (same move dedup_incremental makes for documents):
+    * screen a NEW BATCH's chunks against existing ∪ batch, emitting
+    * keep decisions for BATCH docs only. A batch chunk survives iff
+    * its (doc_id, pos) is the globally FIRST occurrence of that chunk
+    * hash — identical rule to the full dedup, so batch results equal
+    * the full run restricted to batch docs (spec-asserted).
+    *
+    * Scale: the existing side is SEMI-FILTERED to chunk hashes the
+    * batch actually contains before any aggregation — the
+    * existing×existing quadrant is never aggregated, so incremental
+    * cost is Σ df(batch chunks), not a full-corpus re-dedup. (At
+    * ingest the existing side's chunk hashes would come from a
+    * persisted chunk store rather than a re-chunk; the relation shape
+    * is the same.) */
+  def lineDedupIncremental(existing: DataFrame, batch: DataFrame,
+      nWords: Int = 10): DataFrame = {
+    def chunksOf(docs: DataFrame) = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""CASE WHEN size(w) div $nWords < 1 THEN array()
+              ELSE transform(sequence(0, size(w) div $nWords - 1),
+                i -> md5(array_join(slice(w, i * $nWords + 1, $nWords), ' ')))
+              END""")))
+      .toDF("doc_id", "pos", "ch")
+    val bchunks = chunksOf(batch)
+    val bhashes = bchunks.select("ch").distinct()
+    // existing occurrences of batch hashes ONLY (left-semi before agg)
+    val relevant = chunksOf(existing)
+      .join(bhashes, Seq("ch"), "left_semi")
+      .unionByName(bchunks)
+    val firsts = relevant.groupBy("ch")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val perDoc = bchunks.join(firsts, Seq("ch"))
+      .select(col("doc_id"), col("pos"),
+        (col("first.doc_id") === col("doc_id") &&
+          col("first.pos") === col("pos")).cast("long").as("kept"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum(col("kept")).as("n_kept"))
+    batch.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** CCNet-style line-level dedup, EMITTING the line-dedup'd corpus
     * (text_boilerplate only scores repetition; this removes it). The
     * corpus has no newlines, so a "line" is the same unit

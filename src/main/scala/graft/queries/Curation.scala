@@ -706,6 +706,48 @@ FROM wt ORDER BY lang, source"""),
                 CAST(SUM(kept) AS BIGINT) AS n_kept
          FROM bucketed GROUP BY bucket ORDER BY bucket"""),
 
+    // Incremental line dedup: the batch (every 5th doc) screened
+    // against existing ∪ batch with the same globally-first keep rule
+    // — existing×existing never aggregated (semi-filter first, the
+    // dedup_incremental move at chunk granularity). Oracle = the full
+    // rule restricted to batch docs.
+    Q("dedup_lines_incremental",
+      (s, d) => {
+        val docs = documents(s, d)
+        Text.lineDedupIncremental(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0), 10)
+          .orderBy("doc_id")
+      },
+      """WITH b AS (
+           SELECT doc_id, string_split(text, ' ') AS w,
+                  CAST(floor(len(string_split(text, ' ')) / 10) AS BIGINT)
+                    AS nf
+           FROM documents),
+         chunks AS (
+           SELECT doc_id, i AS pos,
+                  md5(array_to_string(w[i*10+1 : i*10+10], ' ')) AS ch
+           FROM b, LATERAL unnest(range(0, nf)) AS t(i)),
+         firsts AS (
+           SELECT ch, MIN({'doc_id': doc_id, 'pos': pos}) AS f
+           FROM chunks
+           WHERE ch IN (SELECT ch FROM chunks WHERE doc_id % 5 = 0)
+           GROUP BY ch),
+         perdoc AS (
+           SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                  CAST(SUM(CASE WHEN (f).doc_id = c.doc_id
+                                 AND (f).pos = c.pos
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           FROM chunks c JOIN firsts USING (ch)
+           WHERE c.doc_id % 5 = 0
+           GROUP BY c.doc_id)
+         SELECT d.doc_id,
+                COALESCE(p.n_chunks, 0) AS n_chunks,
+                COALESCE(p.n_kept, 0) AS n_kept
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         LEFT JOIN perdoc p USING (doc_id)
+         ORDER BY d.doc_id"""),
+
     // Line-level dedup EMITTING the cleaned corpus (text_boilerplate
     // only scores; this removes): globally-first-occurrence keep rule
     // per 10-word chunk, doc rebuilt from survivors. The CCNet move

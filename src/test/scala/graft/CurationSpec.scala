@@ -176,6 +176,23 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(rebuilt == (1 to 100).map(i => s"t$i").mkString(" "))
   }
 
+  test("incremental line dedup equals the full run restricted to batch") {
+    val docs = Tables.documents(spark, sf)
+    val existing = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 5 === 0)
+    val inc = graft.engine.ml.Text.lineDedupIncremental(existing, batch, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // full-corpus run keeps the SAME first-occurrence rule; restricting
+    // its stats to batch docs must agree exactly with the incremental
+    // screen (only chunks shared with the batch can affect batch rows)
+    val full = graft.engine.ml.Text.lineDedup(docs, 10)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full)
+  }
+
   test("lineDedup keeps the globally first chunk copy and the tail") {
     import spark.implicits._
     val w10a = (1 to 10).map(i => s"a$i").mkString(" ")   // shared chunk
