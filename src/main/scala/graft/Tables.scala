@@ -23,11 +23,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp. Read it as raw nanos (legacy conf) and truncate
-    * to a µs TimestampType — the same floor-division DuckDB's
-    * `epoch_us()` applies, keeping both engines on identical µs values
-    * (SURVEY §7.4 R2). */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some
+    * testdata generations and TIMESTAMP(MICROS) in others, so the reader
+    * adapts to whichever is on disk. NANOS: Spark 4 refuses to read it as
+    * a timestamp, so read raw nanos (legacy conf) and truncate to a µs
+    * TimestampType — the same floor-division DuckDB's `epoch_us()`
+    * applies. MICROS: Spark infers TIMESTAMP_NTZ; every graft session
+    * runs with session timeZone=UTC, so the NTZ→TimestampType cast is
+    * value-preserving and lands on the exact µs DuckDB's `epoch_us()`
+    * reads. Either way downstream sees µs TimestampType (SURVEY §7.4 R2). */
   def events(s: SparkSession, d: String): DataFrame = {
     // nanosAsLong is set once at session init (Verify/Bench/SparkFixture
     // builders); only fall back to setting it here for ad-hoc sessions
@@ -36,8 +40,15 @@ object Tables {
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         .contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TIMESTAMP_NTZ (µs): UTC session ⇒ same instant
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
