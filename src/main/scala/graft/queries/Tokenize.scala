@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import graft.engine.ml.Bpe
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Subword tokenization (BPE): the trained merge table and the
@@ -78,5 +79,69 @@ SELECT lang, source, n_chars, n_tokens,
          AS chars_per_token
 FROM chars JOIN toks USING (lang, source)
 ORDER BY lang, source"""),
+
+    // Deterministic global shuffle into token-balanced training shards —
+    // the step between packing and export that every pretraining run
+    // needs: the corpus must arrive at the trainer in a reproducible
+    // pseudo-random order, split into shards a loader fleet can consume
+    // independently. Shard assignment is an md5 hash of the doc id
+    // (statistically token-balanced — at 100 TB the law of large
+    // numbers IS the balancer; no global coordination), and the
+    // within-shard order is a SECOND independent md5 (salted 'ord'), so
+    // the permutation is fixed by the ids alone — any two runs, any two
+    // engines, any partition layout produce the byte-identical order.
+    // The per-shard row_number is the shard WRITER's local sort
+    // (spillable, one shard per task — K is chosen so a shard is a
+    // file bundle, exactly how export_jsonl_sharded writes); nothing
+    // global ever sorts. The declared relation is the shard manifest a
+    // loader validates against: doc/token totals off the persisted BPE
+    // token store, an order checksum (sum of seq×doc_id — any
+    // permutation change flips it) pinning the exact within-shard
+    // sequence, and the token-balance ratio vs the ideal K-way split.
+    Q("shuffle_shards",
+      (s, d) => {
+        val k = 8
+        val toks = Bpe.tokensStoreFor(documents(s, d), d)
+          .select("doc_id", "n_tokens")
+        val sharded = toks
+          .withColumn("shard",
+            (conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit("shard"))), 1, 8), 16, 10).cast("long") % k).cast("int"))
+          .withColumn("ord",
+            md5(concat(col("doc_id").cast("string"), lit("ord"))))
+        val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+        val stats = sharded.withColumn("seq", row_number().over(w))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("seq").cast("long") * col("doc_id"))
+              .as("order_checksum"))
+        val wAll = Window.partitionBy()
+        stats
+          .withColumn("balance_ratio",
+            round(col("n_tokens") /
+              (sum(col("n_tokens")).over(wAll) / lit(k.toDouble)), 4))
+          .orderBy("shard")
+      },
+      Bpe.tokensCtePrefix + """,
+sharded AS (
+  SELECT doc_id, n_tokens,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'shard'),
+           1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+         md5(CAST(doc_id AS VARCHAR) || 'ord') AS ord
+  FROM dtok),
+seqd AS (
+  SELECT shard, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS seq
+  FROM sharded),
+stats AS (
+  SELECT shard, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(seq * doc_id) AS BIGINT) AS order_checksum
+  FROM seqd GROUP BY shard)
+SELECT shard, n_docs, n_tokens, order_checksum,
+       ROUND(n_tokens / (CAST(SUM(n_tokens) OVER () AS DOUBLE) / 8.0), 4)
+         AS balance_ratio
+FROM stats ORDER BY shard"""),
   )
 }
