@@ -365,6 +365,57 @@ object Similarity {
     saveQuantizer(spark, centroids, s"$path/_quantizer")
   }
 
+  /** Incremental index maintenance — append a vector batch to an
+    * existing cell-partitioned index WITHOUT refitting the quantizer
+    * and WITHOUT touching any cell the batch doesn't land in. The
+    * batch is assigned with the STORED quantizer (at 100 TB the fit is
+    * frozen at ingest and revisited on drift schedules, never per
+    * batch — a refit would re-cell the whole corpus), and the write is
+    * `mode("append")` under `partitionBy(cell)`: new parquet files
+    * appear ONLY inside the touched cell directories, existing files
+    * are never rewritten — the LSM shape. Segment-file accumulation is
+    * compaction's problem (the compact_files operator), not the
+    * append path's. Readers are already duplicate-safe
+    * ([[ivfTopKIndexed]] dedups (probe_id, vec_id)), and build-once
+    * callers ([[appendedIndexFor]]) make the append itself
+    * exactly-once. Returns the touched cell ids (bounded by nCells —
+    * a driver-side handful by construction). */
+  def appendCellIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batch: DataFrame,
+      replication: Int = 1): Seq[Int] = {
+    val centroids = loadQuantizer(spark, s"$indexPath/_quantizer")
+    val cellsOf =
+      udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, replication))
+    val assigned = batch
+      .withColumn("cell", explode(cellsOf(col("embedding"))))
+    val touched = assigned.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assigned.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(indexPath)
+    touched
+  }
+
+  /** Build-once accessor for the INCREMENTALLY-BUILT index of
+    * base ∪ batch: the base index is written (quantizer fit on base
+    * only), then the batch is appended through [[appendCellIndex]] —
+    * all inside one atomic artifact build, so the append runs exactly
+    * once per dataset version and repeat queries read the finished
+    * index. Keyed by both inputs' content fingerprints. */
+  def appendedIndexFor(base: DataFrame, batch: DataFrame,
+      datasetTag: String, nCells: Int = 16, seed: Long = 42L): String = {
+    val spark = base.sparkSession
+    val fpB = graft.engine.io.Artifacts.fingerprintOf(base)
+    val fpN = graft.engine.io.Artifacts.fingerprintOf(batch)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.engine.io.Artifacts.ensure(spark,
+      s"$warehouse/graft_cell_index/append_${safe}_${fpB}_${fpN}" +
+        s"_${nCells}_$seed") { tmp =>
+      writeCellIndex(base, tmp, datasetTag, nCells, seed)
+      appendCellIndex(spark, tmp, batch)
+    }
+  }
+
   private val cellIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -548,6 +548,35 @@ object Llm {
                 TRUE AS probe_ok, TRUE AS mean_ok
          FROM embeddings GROUP BY label ORDER BY probe_id"""),
 
+    // Incremental index maintenance — the operation that makes IVF
+    // viable as a LIVING index: a new embedding batch (every 5th
+    // vector here) is appended to the cell-partitioned index built on
+    // the rest, assigned by the STORED quantizer, as new segment files
+    // inside ONLY the touched cell directories (LSM shape; no refit,
+    // no rewrite of untouched cells — at 100 TB rebuilding the index
+    // for a 0.1% batch is the thing this exists to avoid). Search over
+    // the appended index is audited against the exact top-k of the
+    // FULL corpus — the recall a freshly-rebuilt index would be held
+    // to. SimilaritySpec pins the stronger exact properties: appended
+    // contents == base-quantizer assignment of base ∪ batch, untouched
+    // cell files byte-identical, and search == the unindexed IVF path
+    // over the union.
+    Q("sim_index_append",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val base = emb.filter(col("vec_id") % 5 =!= 0)
+        val batch = emb.filter(col("vec_id") % 5 === 0)
+        val idx = Similarity.appendedIndexFor(base, batch, d)
+        Similarity.recallAudit(
+            Similarity.ivfTopKIndexed(s, idx, Similarity.probes(emb), 5),
+            Similarity.groundTruthFor(emb, d, 5, "cosine"),
+            5, minRecall = 0.2, minMeanRecall = 0.5)
+          .orderBy("probe_id")
+      },
+      """SELECT MIN(vec_id) AS probe_id, CAST(5 AS BIGINT) AS n_ann,
+                TRUE AS probe_ok, TRUE AS mean_ok
+         FROM embeddings GROUP BY label ORDER BY probe_id"""),
+
     Q("text_wordcount",
       (s, d) => Text.wordCount(documents(s, d), 50),
       """SELECT word, COUNT(*) AS cnt FROM (

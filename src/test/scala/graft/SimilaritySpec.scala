@@ -238,6 +238,64 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       s"expected one compacted file per cell, got ${files.toSeq}")
   }
 
+  test("incremental append: touched cells only, contents ≡ union, search ≡ scan path") {
+    // a SMALL batch (2% of ids) so some cells stay untouched and the
+    // touched-cells-only property is observable at the file level
+    val base = emb.filter(col("vec_id") % 50 =!= 0)
+    val batch = emb.filter(col("vec_id") % 50 === 0)
+    val tag = s"appendtest_${System.nanoTime()}"
+    // a plain mutable index (not the build-once artifact) so the append
+    // is observable at the file level
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_append")
+      .toString
+    Similarity.writeCellIndex(base, dir, tag)
+    def snapshot(): Map[String, Set[(String, Long, Long)]] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(cd => cd.getName ->
+          cd.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length(), f.lastModified())).toSet)
+        .toMap
+    val before = snapshot()
+    val touched = Similarity.appendCellIndex(spark, dir, batch)
+    val after = snapshot()
+    val touchedNames = touched.map(c => s"cell=$c").toSet
+    assert(touched.nonEmpty && touchedNames.size < before.size,
+      s"batch should land in a strict subset of cells: $touched")
+    // untouched cell directories byte-identical (names, sizes, mtimes)
+    before.keySet.diff(touchedNames).foreach { c =>
+      assert(after(c) === before(c), s"untouched $c was rewritten")
+    }
+    // touched directories kept every pre-existing file and gained new
+    // segment files — append, never rewrite
+    touchedNames.foreach { c =>
+      val b = before.getOrElse(c, Set.empty[(String, Long, Long)])
+      assert(b.subsetOf(after(c)), s"$c lost a pre-existing file")
+      assert(after(c).size > b.size, s"$c gained no segment file")
+    }
+    // contents: (cell, vec_id) equals an INDEPENDENT nearest-cell
+    // assignment of base ∪ batch under the stored (base-fit) quantizer
+    val centroids = Similarity.loadQuantizer(spark, s"$dir/_quantizer")
+    def cellOf(v: Seq[Float]): Int = centroids.zipWithIndex.map {
+      case (c, i) =>
+        (i, c.zip(v.map(_.toDouble)).map { case (a, b) =>
+          (a - b) * (a - b) }.sum)
+    }.minBy(_._2)._1
+    val expected = emb.select("vec_id", "embedding").collect()
+      .map(r => (cellOf(r.getSeq[Float](1)), r.getLong(0))).toSet
+    val got = spark.read.parquet(dir).select("cell", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got === expected)
+    // search over the appended index == the scan-and-filter IVF path
+    // over the union with the same frozen quantizer
+    val probes = Similarity.probes(emb)
+    val viaIndex = Similarity.ivfTopKIndexed(spark, dir, probes, 5)
+      .collect().map(_.toSeq).toSet
+    val viaScan = Similarity.ivfTopKWith(emb, probes, 5, centroids)
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex === viaScan)
+  }
+
   test("fitCentroids is invariant to physical partitioning") {
     val a = Similarity.fitCentroids(emb, 8, 42L)
     val b = Similarity.fitCentroids(emb.repartition(13), 8, 42L)
