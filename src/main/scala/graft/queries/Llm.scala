@@ -30,6 +30,107 @@ object Llm {
                     ORDER BY doc_id) AS rn
            FROM documents) WHERE rn = 1 ORDER BY doc_id"""),
 
+    // URL-level dedup — the crawl pipeline's FIRST pass, upstream of
+    // any content hashing: the same page arrives under many URL
+    // spellings (scheme/host case, explicit default port, trailing
+    // slash, utm_* tracking params, fragments), and canonicalizing
+    // then keeping one fetch per canonical URL removes the bulk of
+    // refetch duplicates before a byte of text is compared. URLs are
+    // synthesized with deterministic per-doc noise (doc_id % 6 picks
+    // the variant class; doc_id div 7 the page, so each page arrives
+    // ~7 times) and the canonicalizer — lowercase scheme+host, strip
+    // :443, drop the fragment, strip one trailing slash, drop utm_*
+    // params while KEEPING the rest of the query — faces every class.
+    // Map-side string work + one groupBy on the canonical key (the
+    // exact-dedup shape: no joins, no windows over the corpus); the
+    // oracle replays construction + canonicalization — exact.
+    Q("dedup_url",
+      (s, d) => {
+        val urls = documents(s, d)
+          .select(col("doc_id"),
+            concat(lit("site"), expr("(doc_id div 7) % 50"),
+              lit(".example.com")).as("host"),
+            concat(lit("/page/"), expr("doc_id div 7")).as("path"),
+            expr("doc_id % 6").as("v"))
+          .withColumn("url", expr(
+            """CASE v
+                 WHEN 0 THEN 'https://' || host || path
+                 WHEN 1 THEN 'HTTPS://' || upper(host) || path
+                 WHEN 2 THEN 'https://' || host || ':443' || path
+                 WHEN 3 THEN 'https://' || host || path || '/'
+                 WHEN 4 THEN 'https://' || host || path ||
+                   '?utm_source=feed&ref=rss'
+                 ELSE 'https://' || host || path || '#frag'
+               END"""))
+        val canon = urls
+          .withColumn("scheme",
+            lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
+          .withColumn("hostc", regexp_replace(
+            lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)),
+            ":443$", ""))
+          .withColumn("rest", regexp_replace(
+            regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+(.*)$", 1),
+            "#.*$", ""))
+          .withColumn("pathc", regexp_replace(
+            regexp_extract(col("rest"), "^([^?]*)", 1), "/$", ""))
+          .withColumn("q", regexp_extract(col("rest"), "\\?(.*)$", 1))
+          .withColumn("qf", expr(
+            """array_join(filter(split(q, '&'),
+                 p -> p != '' AND p NOT LIKE 'utm_%'), '&')"""))
+          .withColumn("canonical_url",
+            concat(col("scheme"), lit("://"), col("hostc"), col("pathc"),
+              when(col("qf") =!= "", concat(lit("?"), col("qf")))
+                .otherwise(lit(""))))
+        canon.groupBy("canonical_url")
+          .agg(min(col("doc_id")).as("keep_doc_id"),
+            count(lit(1)).as("n_variants"))
+          .orderBy("canonical_url")
+      },
+      """WITH u AS (
+           SELECT doc_id,
+                  'site' || (doc_id // 7) % 50 || '.example.com' AS host,
+                  '/page/' || (doc_id // 7) AS path,
+                  doc_id % 6 AS v
+           FROM documents),
+         urls AS (
+           SELECT doc_id,
+                  CASE v
+                    WHEN 0 THEN 'https://' || host || path
+                    WHEN 1 THEN 'HTTPS://' || upper(host) || path
+                    WHEN 2 THEN 'https://' || host || ':443' || path
+                    WHEN 3 THEN 'https://' || host || path || '/'
+                    WHEN 4 THEN 'https://' || host || path ||
+                      '?utm_source=feed&ref=rss'
+                    ELSE 'https://' || host || path || '#frag'
+                  END AS url
+           FROM u),
+         parts AS (
+           SELECT doc_id,
+                  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+                  regexp_replace(lower(regexp_extract(url,
+                    '^[A-Za-z]+://([^/?#]+)', 1)), ':443$', '') AS hostc,
+                  regexp_replace(regexp_extract(url,
+                    '^[A-Za-z]+://[^/?#]+(.*)$', 1), '#.*$', '') AS rest
+           FROM urls),
+         pq AS (
+           SELECT doc_id, scheme, hostc,
+                  regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                    '/$', '') AS pathc,
+                  regexp_extract(rest, '\?(.*)$', 1) AS q
+           FROM parts),
+         canon AS (
+           SELECT doc_id,
+                  scheme || '://' || hostc || pathc ||
+                    CASE WHEN qf <> '' THEN '?' || qf ELSE '' END
+                    AS canonical_url
+           FROM (SELECT doc_id, scheme, hostc, pathc,
+                        array_to_string(list_filter(string_split(q, '&'),
+                          p -> p <> '' AND p NOT LIKE 'utm_%'), '&') AS qf
+                 FROM pq))
+         SELECT canonical_url, MIN(doc_id) AS keep_doc_id,
+                COUNT(*) AS n_variants
+         FROM canon GROUP BY 1 ORDER BY 1"""),
+
     // MinHash-LSH near-dup, oracle-checked END TO END: every stage is
     // deterministic given the seeded coefficients (inlined below from
     // Dedup.minhashCoeffs so engine and oracle cannot drift), and each
