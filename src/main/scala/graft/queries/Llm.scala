@@ -427,6 +427,35 @@ object Llm {
                      ELSE 'test' END AS split
          FROM documents ORDER BY doc_id"""),
 
+    // GROUP-aware split — the leakage-safe variant of sample_split:
+    // hashing doc ids sends near-identical documents (refetches of one
+    // page, chunks of one source file) across the train/val boundary,
+    // and the eval set silently overlaps training data. Hash the
+    // LEAKAGE UNIT instead (here the page id every ~7 docs share —
+    // the dedup_url collision group): every doc of a group lands in
+    // the same split by construction, on any engine, at any scale —
+    // still pure map-side assignment, no join against a split table.
+    Q("sample_split_grouped",
+      (s, d) => documents(s, d)
+        .withColumn("page", expr("doc_id div 7"))
+        .withColumn("bucket",
+          conv(substring(md5(concat(col("page").cast("string"),
+            lit("grp"))), 1, 8), 16, 10).cast("long") % 100)
+        .select(col("doc_id"), col("page"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id"),
+      """SELECT doc_id, doc_id // 7 AS page,
+                CASE WHEN CAST(('0x' || substring(md5(
+                       CAST(doc_id // 7 AS VARCHAR) || 'grp'), 1, 8))
+                       AS BIGINT) % 100 < 90 THEN 'train'
+                     WHEN CAST(('0x' || substring(md5(
+                       CAST(doc_id // 7 AS VARCHAR) || 'grp'), 1, 8))
+                       AS BIGINT) % 100 < 95 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id"""),
+
     // Keep-list APPLIED: the corpus a training run actually reads —
     // every document whose doc_id survives resolution (doc_id =
     // component min). The terminal operator of the dedup ladder.

@@ -136,6 +136,62 @@ object Profiling {
     // snapshots (halves by key parity here) — the monitoring check that
     // catches a bad upstream load before it trains. Decimal-exact sums,
     // deltas computed from identically-rounded doubles on both engines.
+    // Two-sample Kolmogorov-Smirnov drift statistic — the
+    // distribution-shape complement to profile_drift's moment deltas
+    // (means can agree while the shapes diverge). Computed over a
+    // BINNED ECDF: per-bin counts for both populations (one shuffle on
+    // the bin key), then the running-maximum of |cumA·nB − cumB·nA|
+    // over the bounded bin relation — ALL INTEGER arithmetic (the
+    // float division happens once, at the end, on two exact integers),
+    // so the statistic is engine-exact, partition-order-proof, and
+    // oracle-hashable. Binning is what production drift monitors do at
+    // scale anyway: the window runs over ≤ n_bins rows, never the
+    // data; exact per-value KS would sort the corpus for a monitor.
+    Q("profile_ks_test",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val binned = orders(s, d)
+          .withColumn("half", (col("o_orderkey") % 2).cast("int"))
+          .withColumn("bin", floor(col("o_totalprice") / 1000.0))
+          .groupBy("bin")
+          .agg(count(when(col("half") === 0, 1)).as("da"),
+            count(when(col("half") === 1, 1)).as("db"))
+        val wAll = Window.partitionBy()
+        val wCum = Window.partitionBy().orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        binned
+          .withColumn("n_a", sum(col("da")).over(wAll))
+          .withColumn("n_b", sum(col("db")).over(wAll))
+          .withColumn("cum_a", sum(col("da")).over(wCum))
+          .withColumn("cum_b", sum(col("db")).over(wCum))
+          .withColumn("gap",
+            abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+          .groupBy("n_a", "n_b")
+          .agg(max(col("gap")).as("d_num"))
+          .select(col("n_a"), col("n_b"), col("d_num"),
+            round(col("d_num") /
+              (col("n_a") * col("n_b")).cast("double"), 6).as("ks_stat"))
+      },
+      """WITH binned AS (
+           SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin,
+                  COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS da,
+                  COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS db
+           FROM orders GROUP BY 1),
+         cum AS (
+           SELECT CAST(SUM(da) OVER () AS BIGINT) AS n_a,
+                  CAST(SUM(db) OVER () AS BIGINT) AS n_b,
+                  CAST(SUM(da) OVER (ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+                  CAST(SUM(db) OVER (ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+           FROM binned)
+         SELECT n_a, n_b,
+                CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT)
+                  AS d_num,
+                ROUND(CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT)
+                  / CAST(n_a * n_b AS DOUBLE), 6) AS ks_stat
+         FROM cum GROUP BY n_a, n_b"""),
+
     Q("profile_drift",
       (s, d) => {
         val prof = orders(s, d)

@@ -80,6 +80,53 @@ SELECT lang, source, n_chars, n_tokens,
 FROM chars JOIN toks USING (lang, source)
 ORDER BY lang, source"""),
 
+    // Temperature-flattened domain mixture — the multilingual-corpus
+    // standard (sample domain i ∝ T_i^α, α<1, so head domains stop
+    // drowning the tail): here α = 1/2, i.e. sqrt — chosen over an
+    // arbitrary α because IEEE sqrt is CORRECTLY ROUNDED on every
+    // engine (pow(x, 0.7) is not), which is what lets the oracle
+    // hash-match the weights bit-for-bit. The engine-dependent hazard
+    // is the DENOMINATOR (a float sum whose order differs per engine):
+    // each sqrt is first pinned to DECIMAL(18,6) — a double never sits
+    // exactly on a decimal midpoint, so the cast is engine-exact —
+    // and the decimal SUM is order-free; the one float divide at the
+    // end runs on identical inputs. Boost = temperature weight over
+    // the proportional weight — the upsampling factor each tail
+    // domain actually receives. One tiny aggregate off the persisted
+    // BPE token store; nothing scans the corpus.
+    Q("mix_temperature",
+      (s, d) => {
+        val toks = Bpe.tokensStoreFor(documents(s, d), d)
+          .groupBy("lang", "source")
+          .agg(sum(col("n_tokens")).as("n_tokens"))
+          .withColumn("s_i", sqrt(col("n_tokens").cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        val wAll = Window.partitionBy()
+        toks
+          .withColumn("denom", sum(col("s_i")).over(wAll))
+          .withColumn("tok_total", sum(col("n_tokens")).over(wAll))
+          .select(col("lang"), col("source"), col("n_tokens"),
+            round(col("s_i").cast("double") /
+              col("denom").cast("double"), 6).as("w_temp"),
+            round((col("s_i").cast("double") /
+                col("denom").cast("double")) /
+              (col("n_tokens").cast("double") /
+                col("tok_total").cast("double")), 4).as("boost"))
+          .orderBy("lang", "source")
+      },
+      Bpe.tokensCtePrefix + """,
+dom AS (
+  SELECT lang, source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sqrt(CAST(SUM(n_tokens) AS DOUBLE)) AS DECIMAL(18,6)) AS s_i
+  FROM dtok GROUP BY 1, 2)
+SELECT lang, source, n_tokens,
+       ROUND(CAST(s_i AS DOUBLE) / CAST(SUM(s_i) OVER () AS DOUBLE), 6)
+         AS w_temp,
+       ROUND((CAST(s_i AS DOUBLE) / CAST(SUM(s_i) OVER () AS DOUBLE)) /
+             (CAST(n_tokens AS DOUBLE) /
+              CAST(SUM(n_tokens) OVER () AS DOUBLE)), 4) AS boost
+FROM dom ORDER BY lang, source"""),
+
     // Deterministic global shuffle into token-balanced training shards —
     // the step between packing and export that every pretraining run
     // needs: the corpus must arrive at the trainer in a reproducible
