@@ -61,6 +61,91 @@ object Etl {
          WHERE k NOT IN (SELECT k FROM updates)
          ORDER BY k"""),
 
+    // CDC change-log APPLY — the Debezium-consumption shape upsert_keyed
+    // can't express: an ORDERED stream of I/U/D operations per key
+    // (multiple changes to one key, deletes included) collapses onto
+    // the snapshot by last-writer-wins on (ts, seq). One window per
+    // key — rank the full history once, keep rn=1, drop keys whose
+    // final op is D. The snapshot rides in as ts=0 so base rows,
+    // updates and deletes all resolve through the SAME rank — no
+    // join-per-operation-type, one shuffle on the key total. The
+    // change log is synthesized deterministically from the snapshot
+    // (op class by key % 10: update, delete, update-then-update —
+    // the reorder test — and fresh-key inserts), so the oracle replays
+    // construction + the same rank exactly.
+    Q("cdc_merge",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val snap = orders(s, d).select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("v"), lit("I").as("op"),
+          lit(0L).as("ts"), lit(0L).as("seq"))
+        def scaled(base: org.apache.spark.sql.DataFrame, factor: String) =
+          (base("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+            lit(new java.math.BigDecimal(factor))).cast("double")
+        val base = snap.select("k", "v")
+        val changes =
+          base.filter(col("k") % 10 === 3)
+            .select(col("k"), scaled(base, "1.05").as("v"),
+              lit("U").as("op"), lit(2L).as("ts"), lit(1L).as("seq"))
+          .unionByName(base.filter(col("k") % 10 === 4)
+            .select(col("k"), lit(null).cast("double").as("v"),
+              lit("D").as("op"), lit(2L).as("ts"), lit(1L).as("seq")))
+          // same key changed twice in one tick: seq breaks the tie —
+          // the second write must win on every engine
+          .unionByName(base.filter(col("k") % 10 === 5)
+            .select(col("k"), scaled(base, "2.00").as("v"),
+              lit("U").as("op"), lit(2L).as("ts"), lit(1L).as("seq")))
+          .unionByName(base.filter(col("k") % 10 === 5)
+            .select(col("k"), scaled(base, "3.00").as("v"),
+              lit("U").as("op"), lit(2L).as("ts"), lit(2L).as("seq")))
+          .unionByName(base.filter(col("k") % 1000 === 7)
+            .select((col("k") + 20000000L).as("k"),
+              scaled(base, "0.25").as("v"),
+              lit("I").as("op"), lit(1L).as("ts"), lit(1L).as("seq")))
+        val w = Window.partitionBy("k")
+          .orderBy(desc("ts"), desc("seq"))
+        snap.unionByName(changes)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("op") =!= "D")
+          .select(col("k"), col("v"), col("op").as("last_op"))
+          .orderBy("k")
+      },
+      """WITH snap AS (
+           SELECT o_orderkey AS k, o_totalprice AS v, 'I' AS op,
+                  0 AS ts, 0 AS seq
+           FROM orders),
+         changes AS (
+           SELECT k, CAST(CAST(v AS DECIMAL(18,2)) *
+                    CAST(1.05 AS DECIMAL(3,2)) AS DOUBLE) AS v,
+                  'U' AS op, 2 AS ts, 1 AS seq
+           FROM snap WHERE k % 10 = 3
+           UNION ALL
+           SELECT k, CAST(NULL AS DOUBLE), 'D', 2, 1
+           FROM snap WHERE k % 10 = 4
+           UNION ALL
+           SELECT k, CAST(CAST(v AS DECIMAL(18,2)) *
+                    CAST(2.00 AS DECIMAL(3,2)) AS DOUBLE),
+                  'U', 2, 1
+           FROM snap WHERE k % 10 = 5
+           UNION ALL
+           SELECT k, CAST(CAST(v AS DECIMAL(18,2)) *
+                    CAST(3.00 AS DECIMAL(3,2)) AS DOUBLE),
+                  'U', 2, 2
+           FROM snap WHERE k % 10 = 5
+           UNION ALL
+           SELECT k + 20000000, CAST(CAST(v AS DECIMAL(18,2)) *
+                    CAST(0.25 AS DECIMAL(3,2)) AS DOUBLE),
+                  'I', 1, 1
+           FROM snap WHERE k % 1000 = 7),
+         ranked AS (
+           SELECT k, v, op,
+                  ROW_NUMBER() OVER (PARTITION BY k
+                    ORDER BY ts DESC, seq DESC) AS rn
+           FROM (SELECT * FROM snap UNION ALL SELECT * FROM changes))
+         SELECT k, v, op AS last_op
+         FROM ranked WHERE rn = 1 AND op <> 'D'
+         ORDER BY k"""),
+
     // SCD type 2: each customer's orders become versioned history rows
     // with [valid_from, valid_to) windows; the open row is current.
     Q("scd2_history",

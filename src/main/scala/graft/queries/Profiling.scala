@@ -192,6 +192,63 @@ object Profiling {
                   / CAST(n_a * n_b AS DOUBLE), 6) AS ks_stat
          FROM cum GROUP BY n_a, n_b"""),
 
+    // Count-min sketch, the fixed-size frequency summary for streams
+    // and shuffles too wide for exact per-key counts: depth×width
+    // seeded-md5 cell counters, point estimate = MIN over the depth
+    // rows (one-sided error: est ≥ true, inflated only when a key
+    // collides in EVERY row). Everything is seeded integer arithmetic,
+    // so unlike a library sketch the whole structure — build AND
+    // probe — replays in SQL and the estimates hash-match exactly;
+    // the (est, true, overest) triple makes the collision structure
+    // visible (width 32 vs 25 brands forces some row collisions). At
+    // scale the two-phase aggregate IS the sketch property: partials
+    // compress every partition to ≤ depth×width cells before the
+    // exchange, the final merge is cellwise sum — the mergeability
+    // that makes CM work distributed.
+    Q("agg_countmin",
+      (s, d) => {
+        val depth = 4
+        val width = 32
+        def cellOf(item: org.apache.spark.sql.Column,
+            j: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(item, lit("cm"),
+            j.cast("string"))), 1, 8), 16, 10).cast("long") % width
+        val js = array((0 until depth).map(lit): _*)
+        val cells = part(s, d).select(col("p_brand"))
+          .withColumn("j", explode(js))
+          .withColumn("cell", cellOf(col("p_brand"), col("j")))
+          .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+        val brands = part(s, d).groupBy("p_brand")
+          .agg(count(lit(1)).as("true_cnt"))
+        brands
+          .withColumn("j", explode(js))
+          .withColumn("cell", cellOf(col("p_brand"), col("j")))
+          .join(broadcast(cells), Seq("j", "cell"))
+          .groupBy("p_brand", "true_cnt")
+          .agg(min(col("cnt")).as("est"))
+          .select(col("p_brand"), col("est"), col("true_cnt"),
+            (col("est") - col("true_cnt")).as("overest"))
+          .orderBy("p_brand")
+      },
+      """WITH js AS (SELECT unnest(range(0, 4)) AS j),
+         cells AS (
+           SELECT j,
+                  CAST(('0x' || substring(md5(p_brand || 'cm' || j), 1, 8))
+                    AS BIGINT) % 32 AS cell,
+                  COUNT(*) AS cnt
+           FROM part CROSS JOIN js GROUP BY 1, 2),
+         brands AS (
+           SELECT p_brand, COUNT(*) AS true_cnt FROM part GROUP BY 1),
+         probes AS (
+           SELECT p_brand, true_cnt, j,
+                  CAST(('0x' || substring(md5(p_brand || 'cm' || j), 1, 8))
+                    AS BIGINT) % 32 AS cell
+           FROM brands CROSS JOIN js)
+         SELECT p_brand, CAST(MIN(cnt) AS BIGINT) AS est, true_cnt,
+                CAST(MIN(cnt) - true_cnt AS BIGINT) AS overest
+         FROM probes JOIN cells USING (j, cell)
+         GROUP BY p_brand, true_cnt ORDER BY p_brand"""),
+
     Q("profile_drift",
       (s, d) => {
         val prof = orders(s, d)
