@@ -260,6 +260,52 @@ object IoQueries {
          FROM orders WHERE year(o_orderdate) >= 1997
          ORDER BY o_orderkey"""),
 
+    // VERSION vacuum — the retention policy for table_time_travel's
+    // snapshot chain: partition-level retention (maintain_retention)
+    // ages out DATA; this ages out VERSIONS. Keep the newest N version
+    // directories, delete the rest wholesale (directory unlink — no
+    // data pass, the property that matters when each version is a
+    // 100 TB snapshot), and prove two things in one relation: exactly
+    // the surviving versions remain on disk (n_versions_left) and a
+    // reader of each surviving version sees its rows untouched (count
+    // + exact-decimal sum vs the construction rule).
+    Q("maintain_vacuum",
+      (s, d) => {
+        val base = scratch(d, "vacuum")
+        (1 to 4).foreach { n =>
+          orders(s, d).filter(col("o_orderkey") % n === 0)
+            .select(col("o_orderkey").as("k"),
+              col("o_totalprice").as("v"))
+            .write.mode("overwrite").parquet(s"$base/v=$n")
+        }
+        val root = new org.apache.hadoop.fs.Path(base)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val versions = fs.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith("v=")).map(_.drop(2).toInt).sorted
+        versions.dropRight(2).foreach { n =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$base/v=$n"), true)
+        }
+        val left = fs.listStatus(root).map(_.getPath.getName)
+          .count(_.startsWith("v="))
+        def audit(n: Int) =
+          s.read.parquet(s"$base/v=$n")
+            .agg(count(lit(1)).as("n_rows"), dsum(col("v"), 2).as("total"))
+            .select(lit(n).as("version"), col("n_rows"), col("total"),
+              lit(left).as("n_versions_left"))
+        audit(3).unionByName(audit(4)).orderBy("version")
+      },
+      """SELECT 3 AS version, COUNT(*) AS n_rows,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS total,
+                2 AS n_versions_left
+         FROM orders WHERE o_orderkey % 3 = 0
+         UNION ALL
+         SELECT 4, COUNT(*),
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2), 2
+         FROM orders WHERE o_orderkey % 4 = 0
+         ORDER BY version"""),
+
     // Schema-evolution WRITE path — the missing half of
     // scan_merge_schema's read-side merge: evolve a STORED table in
     // place. The old file generation is conform-rewritten to the v2

@@ -192,6 +192,55 @@ object Profiling {
                   / CAST(n_a * n_b AS DOUBLE), 6) AS ks_stat
          FROM cum GROUP BY n_a, n_b"""),
 
+    // Pairwise correlation screen over the numeric columns — the
+    // profiler step that finds redundant/derived columns before
+    // feature selection (|corr| ≈ 1 ⇒ one column is the other in
+    // disguise). ONE pass computes all pairs as co-grouped aggregates
+    // (no per-pair scans — the profiler property that matters when the
+    // table is wide and the scan is 100 TB), then stack() unpivots the
+    // single row into the (col_a, col_b, corr) matrix relation.
+    // round(6) parity with the oracle follows agg_corr's precedent.
+    Q("profile_corr_matrix",
+      (s, d) => {
+        val pairs = Seq(
+          ("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+          ("l_quantity", "l_tax"), ("l_extendedprice", "l_discount"),
+          ("l_extendedprice", "l_tax"), ("l_discount", "l_tax"))
+        val aggs = pairs.map { case (a, b) =>
+          round(corr(col(a), col(b)), 6).as(s"${a}__$b") } :+
+          count(lit(1)).as("n")
+        lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+          .select(expr("stack(6, " + pairs.map { case (a, b) =>
+              s"'$a', '$b', ${a}__$b" }.mkString(", ") +
+            ") AS (col_a, col_b, corr)"), col("n"))
+          .orderBy("col_a", "col_b")
+      },
+      """SELECT col_a, col_b, corr, n FROM (
+           SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr,
+                  COUNT(*) AS n FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', 'l_discount',
+                  ROUND(corr(l_quantity, l_discount), 6), COUNT(*)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', 'l_tax',
+                  ROUND(corr(l_quantity, l_tax), 6), COUNT(*)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', 'l_discount',
+                  ROUND(corr(l_extendedprice, l_discount), 6), COUNT(*)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', 'l_tax',
+                  ROUND(corr(l_extendedprice, l_tax), 6), COUNT(*)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', 'l_tax',
+                  ROUND(corr(l_discount, l_tax), 6), COUNT(*)
+           FROM lineitem)
+         ORDER BY col_a, col_b"""),
+
     // Count-min sketch, the fixed-size frequency summary for streams
     // and shuffles too wide for exact per-key counts: depth×width
     // seeded-md5 cell counters, point estimate = MIN over the depth
