@@ -19,7 +19,7 @@ object SparkEntry {
       Windows.qs ++ SetOps.qs ++ Scalars.qs ++ Streaming.qs ++
       Llm.qs ++ UdfQueries.qs ++ IoQueries.qs ++ Profiling.qs ++
       SqlSurface.qs ++ Analytics.qs ++ Etl.qs ++ Curation.qs ++
-      Behavior.qs ++ Ml.qs ++ Tokenize.qs
+      Behavior.qs ++ Ml.qs ++ Tokenize.qs ++ Quality.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** In-engine trained quality model: fit a linear scorer to document
+  * features in ONE corpus pass, then score every document with it —
+  * the fastText/logistic "quality classifier" stage of an LLM data
+  * pipeline, reduced to what a distributed engine can make EXACT.
+  *
+  * The fit is ordinary least squares on two features via the normal
+  * equations: the only data-dependent quantities are nine moment sums
+  * (n, Σx1, Σx2, Σx1², Σx1x2, Σx2², Σy, Σx1y, Σx2y). Each per-doc
+  * feature is a deterministic double (integer ratios — identical on
+  * every engine) pinned to DECIMAL(12,6) (a double never sits exactly
+  * on a decimal midpoint, so the cast is engine-exact), products and
+  * sums then stay in exact decimal arithmetic — ORDER-FREE, so the
+  * moments are partition-layout-proof and engine-identical. The 3×3
+  * Cramer solve runs on doubles cast from those exact decimals with
+  * TEXTUALLY IDENTICAL formulas on both engines (the shared string
+  * constants below are spliced into the Spark selectExpr AND the
+  * DuckDB oracle),
+  * so the coefficients — and every downstream score — hash-match
+  * bit-for-bit. This is also the honest 100 TB shape: one scan, a
+  * 9-number reduce, a driver-free closed-form solve, then a map-side
+  * scoring pass with the coefficient row broadcast.
+  *
+  * Label: the text_quality heuristic y = min(1, nt/200)·(1 − stopword
+  * ratio) — a PRODUCT, so the linear fit is honest (R² < 1, residuals
+  * carry signal) while remaining fully deterministic.
+  */
+object Quality {
+
+  /** Feature/label SQL, identical dialect on both engines after the
+    * per-engine word-count macro is spliced in. */
+  private def featsSql(nt: String, nStop: String): Seq[String] = Seq(
+    s"CAST(least(1.0, $nt / 200.0) AS DECIMAL(12,6)) AS x1",
+    s"CAST($nStop / CAST($nt AS DOUBLE) AS DECIMAL(12,6)) AS x2",
+    s"CAST(least(1.0, $nt / 200.0) * " +
+      s"(1.0 - $nStop / CAST($nt AS DOUBLE)) AS DECIMAL(12,6)) AS y")
+
+  private val sparkFeats = featsSql(
+    "size(split(text, ' '))",
+    "size(filter(split(text, ' '), " +
+      "t -> array_contains(array('join','filter','sort','hash','scan'), t)))")
+
+  private val duckFeats = featsSql(
+    "len(string_split(text, ' '))",
+    "len(list_filter(string_split(text, ' '), " +
+      "t -> list_contains(['join','filter','sort','hash','scan'], t)))")
+    .mkString(",\n                   ")
+
+  /** The nine exact-decimal moments, one aggregate. */
+  private val momentsSeq = Seq(
+    "CAST(COUNT(*) AS DOUBLE) AS n",
+    "CAST(SUM(x1) AS DOUBLE) AS s1",
+    "CAST(SUM(x2) AS DOUBLE) AS s2",
+    "CAST(SUM(x1 * x1) AS DOUBLE) AS s11",
+    "CAST(SUM(x1 * x2) AS DOUBLE) AS s12",
+    "CAST(SUM(x2 * x2) AS DOUBLE) AS s22",
+    "CAST(SUM(y) AS DOUBLE) AS sy",
+    "CAST(SUM(x1 * y) AS DOUBLE) AS s1y",
+    "CAST(SUM(x2 * y) AS DOUBLE) AS s2y")
+  private val momentsSql = momentsSeq.mkString(",\n                   ")
+
+  /** Cramer's rule for the symmetric 3×3 normal equations — spliced
+    * verbatim into both engines so every float op runs in the same
+    * order on the same inputs. */
+  private val detSql =
+    "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2))"
+  private val b0Sql =
+    s"((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / $detSql)"
+  private val b1Sql =
+    s"((n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / $detSql)"
+  private val b2Sql =
+    s"((n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / $detSql)"
+
+  val qs: Seq[Q] = Seq(
+
+    // The fit surface: coefficients + R² from one corpus pass. R²'s
+    // residual sum replays the per-doc prediction inside the same
+    // moments algebra (SSE = Σy² − b·[Sy,S1y,S2y] would reintroduce
+    // float-order hazards, so it is computed from a SECOND exact pass
+    // with the broadcast coefficients — still scan-local).
+    Q("quality_train",
+      (s, d) => {
+        val feats = documents(s, d)
+          .selectExpr("doc_id" +: sparkFeats: _*)
+        val m = feats.selectExpr(momentsSeq: _*)
+          .selectExpr("n", "sy",
+            s"round($b0Sql, 6) AS b0",
+            s"round($b1Sql, 6) AS b1",
+            s"round($b2Sql, 6) AS b2",
+            b0Sql + " AS rb0", b1Sql + " AS rb1", b2Sql + " AS rb2")
+        // R² from exact decimal sums of the rounded-coefficient
+        // predictions: pin each residual to DECIMAL(12,6) first so the
+        // two sums are order-free on both engines
+        val scored = feats.crossJoin(broadcast(m))
+          .selectExpr("y",
+            "CAST(sy / n AS DOUBLE) AS ybar",
+            "CAST(rb0 + rb1 * CAST(x1 AS DOUBLE) + rb2 * CAST(x2 AS DOUBLE) AS DECIMAL(12,6)) AS yhat")
+          .selectExpr(
+            "CAST(SUM(CAST((CAST(y AS DOUBLE) - CAST(yhat AS DOUBLE)) * (CAST(y AS DOUBLE) - CAST(yhat AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE) AS sse",
+            "CAST(SUM(CAST((CAST(y AS DOUBLE) - ybar) * (CAST(y AS DOUBLE) - ybar) AS DECIMAL(18,12))) AS DOUBLE) AS sst")
+        m.crossJoin(broadcast(scored))
+          .selectExpr("CAST(n AS BIGINT) AS n_docs", "b0", "b1", "b2",
+            "round(1.0 - sse / sst, 6) AS r2")
+      },
+      s"""WITH feats AS (
+            SELECT doc_id, $duckFeats
+            FROM documents),
+          m AS (
+            SELECT $momentsSql
+            FROM feats),
+          coef AS (
+            SELECT n,
+                   round($b0Sql, 6) AS b0,
+                   round($b1Sql, 6) AS b1,
+                   round($b2Sql, 6) AS b2,
+                   $b0Sql AS rb0, $b1Sql AS rb1, $b2Sql AS rb2,
+                   sy
+            FROM m),
+          scored AS (
+            SELECT CAST(SUM(CAST((CAST(y AS DOUBLE) - CAST(yhat AS DOUBLE)) * (CAST(y AS DOUBLE) - CAST(yhat AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE) AS sse,
+                   CAST(SUM(CAST((CAST(y AS DOUBLE) - ybar) * (CAST(y AS DOUBLE) - ybar) AS DECIMAL(18,12))) AS DOUBLE) AS sst
+            FROM (
+              SELECT y, CAST(sy / n AS DOUBLE) AS ybar,
+                     CAST(rb0 + rb1 * CAST(x1 AS DOUBLE) + rb2 * CAST(x2 AS DOUBLE) AS DECIMAL(12,6)) AS yhat
+              FROM feats CROSS JOIN coef))
+          SELECT CAST(n AS BIGINT) AS n_docs, b0, b1, b2,
+                 round(1.0 - sse / sst, 6) AS r2
+          FROM coef CROSS JOIN scored"""),
+
+    // The apply surface: every document scored map-side with the
+    // broadcast coefficient row; residual = heuristic label − linear
+    // prediction (the docs the linear model mis-ranks are exactly the
+    // ones a human would audit when promoting the scorer); the + 0.0
+    // normalizes IEEE -0.0 residuals so both engines emit +0.0.
+    Q("quality_score",
+      (s, d) => {
+        val feats = documents(s, d)
+          .selectExpr("doc_id" +: sparkFeats: _*)
+        val m = feats.selectExpr(momentsSeq: _*)
+          .selectExpr(b0Sql + " AS rb0", b1Sql + " AS rb1", b2Sql + " AS rb2")
+        feats.crossJoin(broadcast(m))
+          .selectExpr("doc_id",
+            "round(CAST(y AS DOUBLE), 4) AS label",
+            "round(rb0 + rb1 * CAST(x1 AS DOUBLE) + rb2 * CAST(x2 AS DOUBLE), 4) AS predicted",
+            "round(CAST(y AS DOUBLE) - (rb0 + rb1 * CAST(x1 AS DOUBLE) + rb2 * CAST(x2 AS DOUBLE)), 4) + 0.0 AS residual")
+          .orderBy("doc_id")
+      },
+      s"""WITH feats AS (
+            SELECT doc_id, $duckFeats
+            FROM documents),
+          m AS (
+            SELECT $momentsSql
+            FROM feats),
+          coef AS (
+            SELECT $b0Sql AS rb0, $b1Sql AS rb1, $b2Sql AS rb2
+            FROM m)
+          SELECT doc_id,
+                 round(CAST(y AS DOUBLE), 4) AS label,
+                 round(rb0 + rb1 * CAST(x1 AS DOUBLE) + rb2 * CAST(x2 AS DOUBLE), 4) AS predicted,
+                 round(CAST(y AS DOUBLE) - (rb0 + rb1 * CAST(x1 AS DOUBLE) + rb2 * CAST(x2 AS DOUBLE)), 4) + 0.0 AS residual
+          FROM feats CROSS JOIN coef
+          ORDER BY doc_id"""),
+  )
+}
