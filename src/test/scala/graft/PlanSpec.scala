@@ -444,4 +444,24 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(after.contains("BroadcastHashJoin"), after)
     for (m <- Seq(ordersMeta, custMeta)) Catalog.dropExternal(s2, m.name)
   }
+
+  test("cdc_merge resolves the whole change log through ONE key shuffle") {
+    // snapshot + every change class union into a single rank window:
+    // exactly one hashpartitioning exchange (on k), no join operator —
+    // a per-operation-type join-apply shape would show several
+    val p = plan("cdc_merge")
+    assert("Exchange hashpartitioning\\(k".r.findAllIn(p).size === 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("shuffle_shards: shard manifest rides one shard exchange") {
+    // the per-shard row_number and the manifest aggregate share the
+    // single hashpartitioning(shard) exchange; the only other exchange
+    // is the SinglePartition collapse of the K-row manifest for the
+    // global balance window — nothing reshuffles the corpus twice
+    val p = plan("shuffle_shards")
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).size === 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
 }
