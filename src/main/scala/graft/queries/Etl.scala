@@ -61,6 +61,49 @@ object Etl {
          WHERE k NOT IN (SELECT k FROM updates)
          ORDER BY k"""),
 
+    // Robust outlier screen — median/MAD instead of mean/stddev, the
+    // DQ detector that survives the skewed heavy-tailed distributions
+    // z-scores die on (dq_anomaly's mean±k·σ inflates its own
+    // threshold when outliers pollute σ; the median and MAD don't
+    // move). Two tiny aggregate passes (median, then MAD around it)
+    // each broadcast back — robust stats inherently need the median
+    // first; both joins are against a 3-row relation. The outlier
+    // compare runs on the ROUNDED med/MAD (the established
+    // percentile↔quantile_cont parity is at round(2)), so both
+    // engines compare identical doubles and the counts hash-match.
+    Q("dq_outlier_mad",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderstatus").as("st"),
+          col("o_totalprice").as("x"))
+        val med = o.groupBy("st")
+          .agg(round(expr("percentile(x, 0.5)"), 2).as("med"))
+        val dev = o.join(broadcast(med), "st")
+        val mad = dev.groupBy("st")
+          .agg(round(expr("percentile(abs(x - med), 0.5)"), 2).as("mad"))
+        dev.join(broadcast(mad), "st")
+          .groupBy("st")
+          .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+            count(lit(1)).as("n"),
+            count(when(abs(col("x") - col("med")) >
+              col("mad") * lit(5.0), 1)).as("n_outliers"))
+          .orderBy("st")
+      },
+      """WITH o AS (
+           SELECT o_orderstatus AS st, o_totalprice AS x FROM orders),
+         med AS (
+           SELECT st, ROUND(quantile_cont(x, 0.5), 2) AS med
+           FROM o GROUP BY 1),
+         dev AS (SELECT o.st, x, med FROM o JOIN med USING (st)),
+         mad AS (
+           SELECT st, ROUND(quantile_cont(abs(x - med), 0.5), 2) AS mad
+           FROM dev GROUP BY 1)
+         SELECT st, MIN(med) AS med, MIN(mad) AS mad,
+                COUNT(*) AS n,
+                COUNT(CASE WHEN abs(x - med) > mad * 5.0 THEN 1 END)
+                  AS n_outliers
+         FROM dev JOIN mad USING (st)
+         GROUP BY st ORDER BY st"""),
+
     // CDC change-log APPLY — the Debezium-consumption shape upsert_keyed
     // can't express: an ORDERED stream of I/U/D operations per key
     // (multiple changes to one key, deletes included) collapses onto
