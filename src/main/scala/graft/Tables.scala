@@ -45,9 +45,16 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => df
-      case _ => // TIMESTAMP_NTZ (µs): UTC session ⇒ same instant
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ (µs): UTC session ⇒ same instant
         df.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        // fail loudly: a silent cast of an unexpected regen type (string,
+        // int32, …) would turn every downstream event into null
+        throw new IllegalStateException(
+          s"events.ts has unsupported on-disk type $other — " +
+            "add an explicit branch for the new testdata generation")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -386,13 +386,20 @@ object Similarity {
     val centroids = loadQuantizer(spark, s"$indexPath/_quantizer")
     val cellsOf =
       udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, replication))
+    // persist: `assigned` feeds BOTH the touched-cell collect and the
+    // append write; without it the assignment runs as two jobs, and a
+    // non-deterministic batch source could report touched cells
+    // inconsistent with what was written
     val assigned = batch
       .withColumn("cell", explode(cellsOf(col("embedding"))))
-    val touched = assigned.select("cell").distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
-    assigned.repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(indexPath)
-    touched
+      .persist()
+    try {
+      val touched = assigned.select("cell").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assigned.repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(indexPath)
+      touched
+    } finally assigned.unpersist()
   }
 
   /** Build-once accessor for the INCREMENTALLY-BUILT index of

@@ -141,8 +141,12 @@ object Etl {
           .unionByName(base.filter(col("k") % 10 === 5)
             .select(col("k"), scaled(base, "3.00").as("v"),
               lit("U").as("op"), lit(2L).as("ts"), lit(2L).as("seq")))
+          // fresh-key inserts live in the NEGATIVE key space — disjoint
+          // from any positive o_orderkey by construction at every SF
+          // (a fixed "+20M" offset collides once o_orderkey reaches it,
+          // silently turning documented inserts into updates)
           .unionByName(base.filter(col("k") % 1000 === 7)
-            .select((col("k") + 20000000L).as("k"),
+            .select((-col("k")).as("k"),
               scaled(base, "0.25").as("v"),
               lit("I").as("op"), lit(1L).as("ts"), lit(1L).as("seq")))
         val w = Window.partitionBy("k")
@@ -176,7 +180,7 @@ object Etl {
                   'U', 2, 2
            FROM snap WHERE k % 10 = 5
            UNION ALL
-           SELECT k + 20000000, CAST(CAST(v AS DECIMAL(18,2)) *
+           SELECT -k, CAST(CAST(v AS DECIMAL(18,2)) *
                     CAST(0.25 AS DECIMAL(3,2)) AS DOUBLE),
                   'I', 1, 1
            FROM snap WHERE k % 1000 = 7),

@@ -17,9 +17,13 @@ import org.apache.spark.sql.types._
   */
 object IoQueries {
 
-  private def scratch(sfDir: String, name: String): String = {
+  /** Per-JVM scratch dir: the pid suffix keeps two concurrent sessions
+    * (e.g. verify and bench overlapping) from racing each other's
+    * write→delete→audit cycles on the same path. */
+  private[graft] def scratch(sfDir: String, name: String): String = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_io/${tag}_$name"
+    val pid = ProcessHandle.current().pid()
+    s"${sys.props("java.io.tmpdir")}/graft_io/p${pid}_${tag}_$name"
   }
 
   val qs: Seq[Q] = Seq(

@@ -157,12 +157,18 @@ FROM dom ORDER BY lang, source"""),
           .withColumn("ord",
             md5(concat(col("doc_id").cast("string"), lit("ord"))))
         val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+        // checksum folded mod a large prime: raw SUM(seq × doc_id) grows
+        // ~N³ and overflows BIGINT past ~1e7 docs — where ANSI Spark
+        // throws but DuckDB widens to HUGEINT, i.e. the engines diverge.
+        // (seq%p)×(doc_id%p) < p² ≈ 1e18 stays in BIGINT, and the outer
+        // mod keeps the per-shard sum bounded for any corpus size.
+        val p = 1000000007L
         val stats = sharded.withColumn("seq", row_number().over(w))
           .groupBy("shard")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("n_tokens"),
-            sum(col("seq").cast("long") * col("doc_id"))
-              .as("order_checksum"))
+            (sum((col("seq").cast("long") % p) * (col("doc_id") % p) % p)
+              % p).as("order_checksum"))
         val wAll = Window.partitionBy()
         stats
           .withColumn("balance_ratio",
@@ -184,7 +190,8 @@ seqd AS (
 stats AS (
   SELECT shard, COUNT(*) AS n_docs,
          CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-         CAST(SUM(seq * doc_id) AS BIGINT) AS order_checksum
+         CAST(SUM((seq % 1000000007) * (doc_id % 1000000007)
+           % 1000000007) % 1000000007 AS BIGINT) AS order_checksum
   FROM seqd GROUP BY shard)
 SELECT shard, n_docs, n_tokens, order_checksum,
        ROUND(n_tokens / (CAST(SUM(n_tokens) OVER () AS DOUBLE) / 8.0), 4)

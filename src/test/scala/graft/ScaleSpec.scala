@@ -190,13 +190,11 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     val n = SparkEntry.queries("compact_files")(spark, sf).count()
     assert(n === Tables.events(spark, sf).count())
     // the compacted dir (IoQueries scratch layout) really has ≤4 files
-    val tag = sf.replaceAll("[^a-zA-Z0-9]", "_")
-    val big = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_io/${tag}_compact_big")
+    val big = new java.io.File(queries.IoQueries.scratch(sf, "compact_big"))
     val parts = big.listFiles().count(_.getName.endsWith(".parquet"))
     assert(parts > 0 && parts <= 4, s"$parts files in $big")
-    val small = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_io/${tag}_compact_small")
+    val small =
+      new java.io.File(queries.IoQueries.scratch(sf, "compact_small"))
     assert(small.listFiles().count(_.getName.endsWith(".parquet")) === 64)
   }
 
