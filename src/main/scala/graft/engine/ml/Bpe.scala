@@ -47,7 +47,37 @@ object Bpe {
   val TopWords = 1500
   val NumMerges = 40
 
-  private val WordRe = "[a-z]{2,}"
+  /** Word filter: UNICODE letter/number classes plus apostrophe — NOT
+    * the ASCII `[a-z]{2,}` of earlier rounds, under which digits,
+    * apostrophes and ALL non-Latin text contributed zero tokens, so on
+    * a multilingual corpus every token-count consumer (mix_weights,
+    * mix_temperature, mix_allocate, pack_sequences, shuffle_shards,
+    * vocab_compression) skewed toward English. `\pL`/`\pN` parse
+    * identically in Java regex (Spark side) and RE2 (DuckDB side), and
+    * both engines match them over code points, so the filtered word
+    * streams agree byte-for-byte. Case: the corpus passes through
+    * lower() in both engines — ASCII and the common bicameral scripts
+    * (Greek, Cyrillic, accented Latin) lower identically; locale
+    * specials like dotted İ are the documented edge. */
+  val WordRe = "[\\pL\\pN']{2,}"
+
+  /** [[WordRe]] with the apostrophe doubled for embedding in
+    * single-quoted SQL literals. */
+  val WordReSql: String = WordRe.replace("'", "''")
+
+  /** Split a word into CODE POINTS (one String per code point) — not
+    * UTF-16 chars: a surrogate pair (non-BMP letter) must stay one
+    * symbol, matching DuckDB's code-point-indexed substring(). */
+  def codepoints(w: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
 
   /** One merge rule: (rank, lhs, rhs) → token lhs+rhs. */
   final case class Merge(rank: Int, lhs: String, rhs: String)
@@ -77,7 +107,7 @@ object Bpe {
     * profile and the IVF quantizer. */
   def trainMerges(words: Seq[(String, Long)], nMerges: Int): Seq[Merge] = {
     var segs: Array[(Array[String], Long)] =
-      words.map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+      words.map { case (w, c) => (codepoints(w), c) }.toArray
     val merges = mutable.ArrayBuffer.empty[Merge]
     var rank = 0
     var done = false
@@ -106,8 +136,12 @@ object Bpe {
     val fp = graft.engine.io.Artifacts.fingerprintOf(docs)
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
+    // the word-filter regex is part of the key: a filter change must
+    // invalidate stored merges, not silently serve the old vocabulary
+    val wre = Integer.toHexString(WordRe.hashCode)
     val path = graft.engine.io.Artifacts.ensure(spark,
-      s"$warehouse/graft_bpe/merges_${safe}_${fp}_${TopWords}_$NumMerges") {
+      s"$warehouse/graft_bpe/merges_${safe}_${fp}_${TopWords}_" +
+        s"${NumMerges}_$wre") {
       tmp =>
         val top = wordCounts(docs)
           .orderBy(desc("cnt"), asc("word")).limit(TopWords)
@@ -139,7 +173,7 @@ object Bpe {
     * trivially true for merge-only BPE, asserted anyway as the
     * encode∘decode audit). */
   private def encodeWord(w: String, merges: Seq[Merge]): Array[String] = {
-    var sp: Array[String] = w.map(_.toString).toArray
+    var sp: Array[String] = codepoints(w)
     merges.foreach(m => sp = applyMerge(sp, m.lhs, m.rhs))
     sp
   }
@@ -159,12 +193,13 @@ object Bpe {
       .as[(Long, String, String, String)]
       .mapPartitions { it =>
         val memo = new mutable.HashMap[String, (Int, Boolean)]()
+        val wordPat = java.util.regex.Pattern.compile(WordRe)
         it.map { case (id, lang, source, text) =>
           var n = 0L
           var ok = true
           text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
             .foreach { w =>
-              if (w.matches(WordRe)) {
+              if (wordPat.matcher(w).matches()) {
                 val (k, good) = memo.getOrElseUpdate(w, {
                   val toks = encodeWord(w, merges)
                   (toks.length, toks.mkString("") == w)
@@ -189,8 +224,10 @@ object Bpe {
     val fp = graft.engine.io.Artifacts.fingerprintOf(docs)
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
+    val wre = Integer.toHexString(WordRe.hashCode)
     val path = graft.engine.io.Artifacts.ensure(spark,
-      s"$warehouse/graft_bpe/tokens_${safe}_${fp}_${TopWords}_$NumMerges") {
+      s"$warehouse/graft_bpe/tokens_${safe}_${fp}_${TopWords}_" +
+        s"${NumMerges}_$wre") {
       tmp =>
         tokensPerDoc(docs, datasetTag)
           .write.mode("overwrite").parquet(tmp)
@@ -207,16 +244,18 @@ object Bpe {
   private val S = "chr(31)"
 
   /** CTE chain w0,b1,w1..b{n},w{n}: training replay over the top-k
-    * word table. b{m} holds merge m-1's (lhs, rhs). */
-  private def trainCtes(k: Int, n: Int): Seq[String] = {
+    * word table of `src` (any relation with doc_id/lang/source/text).
+    * b{m} holds merge m-1's (lhs, rhs). DuckDB's len()/substring() are
+    * code-point indexed, matching [[codepoints]] on the engine side. */
+  private def trainCtes(k: Int, n: Int, src: String): Seq[String] = {
     val w0 = s"""w0 AS MATERIALIZED (
   SELECT word, cnt, $S || array_to_string(list_transform(
       range(1, len(word)+1), i -> substring(word, i, 1)), $S) || $S AS seg
   FROM (
     SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
       SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
-      FROM documents)
-    WHERE regexp_full_match(word, '$WordRe')
+      FROM $src)
+    WHERE regexp_full_match(word, '$WordReSql')
     GROUP BY word ORDER BY cnt DESC, word ASC LIMIT $k))"""
     w0 +: (1 to n).flatMap { m =>
       Seq(
@@ -236,12 +275,16 @@ object Bpe {
   }
 
   /** Oracle for vocab_bpe: the exact merge table, replayed. */
-  def mergeTableOracle: String = {
+  def mergeTableOracle: String = mergeTableOracleFor("documents")
+
+  /** [[mergeTableOracle]] over an arbitrary source relation (used by
+    * the planted-multilingual twin vocab_bpe_unicode). */
+  def mergeTableOracleFor(src: String): String = {
     val union = (1 to NumMerges).map { m =>
       s"SELECT CAST(${m - 1} AS BIGINT) AS rank, l AS lhs, r AS rhs," +
         s" l || r AS merged FROM b$m"
     }.mkString("\nUNION ALL\n")
-    "WITH " + trainCtes(TopWords, NumMerges).mkString(",\n") +
+    "WITH " + trainCtes(TopWords, NumMerges, src).mkString(",\n") +
       s"\nSELECT * FROM (\n$union\n) ORDER BY rank"
   }
 
@@ -249,14 +292,14 @@ object Bpe {
     * document's filtered word stream by replaying the merges in rank
     * order; dtok = (doc_id, n_tokens) for every document (zero-word
     * docs included at 0). */
-  private def docCtes(n: Int): Seq[String] = {
+  private def docCtes(n: Int, src: String): Seq[String] = {
     val d0 = s"""d0 AS MATERIALIZED (
   SELECT doc_id, $S || array_to_string(list_transform(
       range(1, len(word)+1), i -> substring(word, i, 1)), $S) || $S AS seg
   FROM (
     SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
-    FROM documents)
-  WHERE regexp_full_match(word, '$WordRe'))"""
+    FROM $src)
+  WHERE regexp_full_match(word, '$WordReSql'))"""
     val chain = (1 to n).map { m =>
       s"""d$m AS MATERIALIZED (
   SELECT doc_id,
@@ -266,7 +309,7 @@ object Bpe {
     }
     val dtok = s"""dtok AS MATERIALIZED (
   SELECT d.doc_id, d.lang, d.source, COALESCE(t.n_tokens, 0) AS n_tokens
-  FROM documents d LEFT JOIN (
+  FROM $src d LEFT JOIN (
     SELECT doc_id, CAST(SUM(len(string_split(trim(seg, $S), $S)))
       AS BIGINT) AS n_tokens
     FROM d$n GROUP BY 1) t USING (doc_id))"""
@@ -276,7 +319,11 @@ object Bpe {
   /** WITH-prefix ending in dtok(doc_id, lang, source, n_tokens) — the
     * shared replay head for every oracle that consumes real token
     * counts (text_tokenize_bpe, pack_sequences, mix_weights). */
-  def tokensCtePrefix: String =
+  def tokensCtePrefix: String = tokensCtePrefixFor("documents")
+
+  /** [[tokensCtePrefix]] over an arbitrary source relation. */
+  def tokensCtePrefixFor(src: String): String =
     "WITH " +
-      (trainCtes(TopWords, NumMerges) ++ docCtes(NumMerges)).mkString(",\n")
+      (trainCtes(TopWords, NumMerges, src) ++
+        docCtes(NumMerges, src)).mkString(",\n")
 }

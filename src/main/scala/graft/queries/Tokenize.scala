@@ -16,6 +16,51 @@ import org.apache.spark.sql.functions._
   */
 object Tokenize {
 
+  /** Deterministic planted-multilingual twin of the corpus: every doc
+    * gets one of seven lowercase non-ASCII phrases appended (Greek,
+    * Cyrillic, CJK, Arabic, accented Latin, digit-bearing, and non-BMP
+    * Gothic — the surrogate-pair stress case), chosen by doc_id mod 7.
+    * The testdata corpus is pure ASCII, so this construction is what
+    * PROVES the tokenizer's Unicode path end-to-end: the planted words
+    * must contribute real tokens in both engines or the hash diverges.
+    * Phrases are pre-lowercased so lower() parity between engines is
+    * trivially safe. */
+  val UniPhrases: Seq[String] = Seq(
+    "γλώσσα μοντέλο δεδομένα επεξεργασία",
+    "данные модель язык обучение",
+    "数据 模型 语言 训练",
+    "بيانات نموذج لغة تدريب",
+    "café naïve résumé déjà vu",
+    "2026 año 42 datos 2026",
+    "𐌰𐌱𐌲 𐌳𐌴𐌵 𐌰𐌱𐌲")
+
+  /** Phrase repetition factor: each planted word must out-count the
+    * ~40th-ranked ASCII pair (measured ≈ 1.9× docs) for non-ASCII
+    * merges to actually surface in the top-40 merge table — one
+    * occurrence per doc gives count ≈ docs/7, 16 gives ≈ 2.3× docs.
+    * The ratio is scale-invariant: planted counts and English pair
+    * counts both grow linearly in doc count. */
+  val UniRepeat = 16
+
+  def multilingual(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.withColumn("text",
+      concat(col("text"),
+        repeat(concat(lit(" "),
+          element_at(array(UniPhrases.map(lit): _*),
+            (pmod(col("doc_id"), lit(7)) + 1).cast("int"))), UniRepeat)))
+
+  /** The same construction as a DuckDB relation (oracle source). */
+  val UniSrc: String = {
+    val whens = UniPhrases.zipWithIndex.map { case (p, i) =>
+      s"WHEN $i THEN '$p'"
+    }.mkString(" ")
+    s"""(SELECT doc_id, lang, source,
+       text || repeat(' ' || CASE CAST(doc_id % 7 AS INT) $whens END,
+                      $UniRepeat) AS text
+     FROM documents)"""
+  }
+
   val qs: Seq[Q] = Seq(
 
     // The trainer surface: rank-ordered merge rules. Fit-once persisted
@@ -45,10 +90,10 @@ SELECT doc_id, n_tokens, TRUE AS roundtrip_ok FROM dtok ORDER BY doc_id"""),
     // domain aggregate.
     Q("vocab_compression",
       (s, d) => {
+        val fw = filter(split(lower(col("text")), "\\s+"),
+          w => w.rlike("^" + Bpe.WordRe + "$"))
         val chars = documents(s, d).select(col("lang"), col("source"),
-          expr("""aggregate(filter(split(lower(text), '\\s+'),
-                    w -> w rlike '^[a-z]{2,}$'),
-                  0L, (a, w) -> a + length(w))""").as("n_chars"))
+          aggregate(fw, lit(0L), (a, w) => a + length(w)).as("n_chars"))
           .groupBy("lang", "source")
           .agg(sum(col("n_chars")).as("n_chars"))
         val toks = Bpe.tokensStoreFor(documents(s, d), d)
@@ -62,14 +107,14 @@ SELECT doc_id, n_tokens, TRUE AS roundtrip_ok FROM dtok ORDER BY doc_id"""),
               .as("chars_per_token"))
           .orderBy("lang", "source")
       },
-      Bpe.tokensCtePrefix + """,
+      Bpe.tokensCtePrefix + s""",
 chars AS (
   SELECT lang, source, CAST(SUM(len(word)) AS BIGINT) AS n_chars
   FROM (
     SELECT lang, source,
-           unnest(string_split_regex(lower(text), '\s+')) AS word
+           unnest(string_split_regex(lower(text), '\\s+')) AS word
     FROM documents)
-  WHERE regexp_full_match(word, '[a-z]{2,}')
+  WHERE regexp_full_match(word, '${Bpe.WordReSql}')
   GROUP BY 1, 2),
 toks AS (
   SELECT lang, source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
@@ -197,5 +242,29 @@ SELECT shard, n_docs, n_tokens, order_checksum,
        ROUND(n_tokens / (CAST(SUM(n_tokens) OVER () AS DOUBLE) / 8.0), 4)
          AS balance_ratio
 FROM stats ORDER BY shard"""),
+
+    // The Unicode proof for the trainer: BPE trained on the
+    // planted-multilingual twin corpus. The planted phrases repeat
+    // ~N/7 times each, so Greek/Cyrillic/CJK/Arabic/non-BMP pairs MUST
+    // surface in the merge table — under the old ASCII word filter
+    // they'd contribute nothing and this key could not hash-match the
+    // DuckDB replay (which filters with the same \pL\pN classes).
+    Q("vocab_bpe_unicode",
+      (s, d) => Bpe.mergeTable(multilingual(documents(s, d)), d + "_uni")
+        .orderBy("rank"),
+      Bpe.mergeTableOracleFor(UniSrc)),
+
+    // The Unicode proof for the encoder: per-doc token counts on the
+    // planted twin. Counts strictly exceed the ASCII-only counts for
+    // every doc (each planted phrase tokenizes to >=1 token), and the
+    // encode∘decode roundtrip must hold codepoint-for-codepoint across
+    // surrogate pairs — matched against DuckDB's code-point substring
+    // replay of the same merges.
+    Q("text_tokenize_unicode",
+      (s, d) => Bpe.tokensStoreFor(multilingual(documents(s, d)), d + "_uni")
+        .select("doc_id", "n_tokens", "roundtrip_ok")
+        .orderBy("doc_id"),
+      Bpe.tokensCtePrefixFor(UniSrc) + """
+SELECT doc_id, n_tokens, TRUE AS roundtrip_ok FROM dtok ORDER BY doc_id"""),
   )
 }

@@ -75,13 +75,16 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     val tok = Bpe.tokensPerDoc(docs, sf).cache()
     assert(tok.filter(!col("roundtrip_ok")).count() == 0)
     // n_words <= n_tokens <= n_chars over the filtered word stream
+    val fw = org.apache.spark.sql.functions.filter(
+      split(lower(col("text")), "\\s+"),
+      w => w.rlike("^" + Bpe.WordRe + "$"))
     val joined = docs
       .select(col("doc_id"),
-        expr("""aggregate(filter(split(lower(text), '\\s+'),
-                 w -> w rlike '^[a-z]{2,}$'),
-               named_struct('w', 0L, 'c', 0L),
-               (a, x) -> named_struct('w', a.w + 1L,
-                                      'c', a.c + length(x)))""").as("agg"))
+        aggregate(fw,
+          struct(lit(0L).as("w"), lit(0L).as("c")),
+          (a, x) => struct((a.getField("w") + lit(1L)).as("w"),
+            (a.getField("c") + length(x)).as("c")))
+          .as("agg"))
       .select(col("doc_id"), col("agg.w").as("n_words"),
         col("agg.c").as("n_chars"))
       .join(tok, "doc_id")
@@ -112,6 +115,22 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getString(3))).toSet
     assert(out(docs) === out(docs.repartition(13)))
+  }
+
+  test("codepoints keeps non-BMP letters (surrogate pairs) as one symbol") {
+    // Gothic 𐌰 is U+10330 — two UTF-16 chars, one code point; a
+    // char-based split would break it into unpaired surrogates and the
+    // DuckDB replay (code-point substring) could never hash-match
+    assert(Bpe.codepoints("𐌰𐌱").toSeq == Seq("𐌰", "𐌱"))
+    assert(Bpe.codepoints("a𐌰b").toSeq == Seq("a", "𐌰", "b"))
+    // the unicode word filter admits letters, digits and apostrophes
+    // of any script, and still rejects punctuation/symbols
+    val pat = java.util.regex.Pattern.compile(Bpe.WordRe)
+    for (w <- Seq("γλώσσα", "данные", "数据", "بيانات", "café", "2026",
+        "don't", "𐌰𐌱𐌲"))
+      assert(pat.matcher(w).matches(), w)
+    for (w <- Seq("a", "!!", "a.b", "→→", "  "))
+      assert(!pat.matcher(w).matches(), w)
   }
 
   test("merge table artifact: second call serves the persisted fit") {
