@@ -418,6 +418,83 @@ object IoQueries {
          FROM v2
          ORDER BY version"""),
 
+    // Optimistic COMMIT-LOG time travel — the concurrent-writer story
+    // the plain v=N directory scheme (table_time_travel) lacks: every
+    // snapshot lands by staging data fully, then atomically claiming
+    // the next monotonic version file; a losing writer re-derives
+    // against the winner's snapshot and retries (loser-retries — the
+    // two-writer race itself is ScalaTest-proved in CommitLogSpec;
+    // this key proves the log is READABLE AS DATA and that version
+    // resolution through the log reproduces each snapshot exactly).
+    // Three serial commits: the initial snapshot, a keyed upsert
+    // derived AS OF v1, a keyed delete derived AS OF v2 — each
+    // version's audit row (count + decimal-exact sum) must match the
+    // oracle's replay of the same derivation chain.
+    Q("table_commit_log",
+      (s, d) => {
+        import graft.engine.io.CommitLog
+        val root = scratch(d, "commitlog")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        CommitLog.init(s, root)
+        val v1 = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+        CommitLog.commit(s, root, "snapshot") { (dir, _) =>
+          v1.write.parquet(dir)
+        }
+        // upsert derived AS OF the observed base — the shape a racing
+        // writer re-runs against the new base on conflict
+        CommitLog.commit(s, root, "upsert") { (dir, base) =>
+          CommitLog.readVersion(s, root, base).withColumn("v",
+            when(col("k") % 10 === 0,
+              (col("v").cast(DecimalType(18, 2)) *
+                lit(new java.math.BigDecimal("1.10"))).cast("double"))
+              .otherwise(col("v")))
+            .write.parquet(dir)
+        }
+        CommitLog.commit(s, root, "delete") { (dir, base) =>
+          CommitLog.readVersion(s, root, base)
+            .filter(col("k") % 100 =!= 0)
+            .write.parquet(dir)
+        }
+        val audits = CommitLog.commits(s, root).map { c =>
+          CommitLog.readVersion(s, root, c.version)
+            .agg(count(lit(1)).as("n_rows"),
+              round(sum(col("v").cast(DecimalType(18, 4)))
+                .cast("double"), 2).as("total"))
+            .select(lit(c.version).as("version"),
+              lit(c.action).as("action"),
+              lit(c.baseVersion).as("base_version"),
+              col("n_rows"), col("total"))
+        }
+        audits.reduce(_ unionByName _).orderBy("version")
+      },
+      """WITH v1 AS (
+           SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+           WHERE o_orderkey % 2 = 0),
+         v2 AS (
+           SELECT k, CASE WHEN k % 10 = 0
+                  THEN CAST(CAST(v AS DECIMAL(18,2)) *
+                       CAST(1.10 AS DECIMAL(3,2)) AS DOUBLE)
+                  ELSE v END AS v
+           FROM v1),
+         v3 AS (SELECT * FROM v2 WHERE k % 100 <> 0)
+         SELECT 1 AS version, 'snapshot' AS action, 0 AS base_version,
+                COUNT(*) AS n_rows,
+                ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2)
+                  AS total
+         FROM v1
+         UNION ALL
+         SELECT 2, 'upsert', 1, COUNT(*),
+                ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2)
+         FROM v2
+         UNION ALL
+         SELECT 3, 'delete', 2, COUNT(*),
+                ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2)
+         FROM v3
+         ORDER BY version"""),
+
     // Sharded JSONL export + manifest — the corpus-assembly EXIT step:
     // the curated table leaves as deterministic-shard JSONL (what a
     // tokenizer fleet consumes), partitioned by a doc_id hash so any
