@@ -231,7 +231,7 @@ object Similarity {
 
   def annTopK(emb: DataFrame, probeDf: DataFrame, k: Int,
       bucketLength: Double = 2.0, numTables: Int = 3,
-      datasetTag: Option[String] = None): DataFrame = {
+      datasetTag: Option[String] = None, radius: Double = 6.0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val toVec = udf((a: Seq[Float]) =>
@@ -250,7 +250,7 @@ object Similarity {
         s"$tag|$bucketLength|$numTables", _ => lsh.fit(data))
       case None => lsh.fit(data)
     }
-    val joined = model.approxSimilarityJoin(probesV, data, 6.0, "dist")
+    val joined = model.approxSimilarityJoin(probesV, data, radius, "dist")
       .select(col("datasetA.probe_id").as("probe_id"),
         col("datasetB.vec_id").as("vec_id"), col("dist"))
       .filter(col("probe_id") =!= col("vec_id"))
@@ -570,6 +570,101 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("rn"), col("vec_id"),
         round(col("cos"), 6).as("score"))
+  }
+
+  /** TWO-TIER search — the production recall/cost shape: a cheap
+    * int8 first pass over the probed cells keeps a WIDENED candidate
+    * set (`m` per probe, m >> k), and the exact float cosine re-scores
+    * only those candidates. At 100 TB the index stores the int8
+    * vectors (4× smaller, memory-bandwidth-bound scan); the float
+    * originals are fetched for only m×|probes| rows — so the wide
+    * first stage costs a quarter of a float scan and the exact stage
+    * is negligible, while recall tracks the widened probe set instead
+    * of the narrow one.
+    *
+    * Quantization is per-vector max-abs int8 AFTER l2-normalization,
+    * so the integer dot product approximates cosine×127²; the re-rank
+    * stage makes any quantization mis-ordering inside the top-m
+    * irrelevant (only a true neighbour falling OUT of the top-m loses
+    * recall — with m = 4k that tail is what the recall floors gate). */
+  def ivfTopKRerank(emb: DataFrame, probeDf: DataFrame, k: Int,
+      datasetTag: String, nCells: Int = 16, nProbe: Int = 14,
+      m: Int = 20, seed: Long = 42L): DataFrame = {
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    val centroids = quantizerFor(emb, datasetTag, nCells, seed)
+    val cellOf = udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, 1).head)
+    val cellsOf = udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, nProbe))
+    val q8 = udf((a: Seq[Float]) => {
+      val n = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x)).toFloat
+      val nn = if (n == 0f) 1f else n
+      a.map(x => math.round(x / nn * 127f).toByte).toArray
+    })
+    val idot = udf((a: Array[Byte], b: Array[Byte]) => {
+      var s = 0; var i = 0
+      val len = math.min(a.length, b.length)
+      while (i < len) { s += a(i) * b(i); i += 1 }
+      s
+    })
+    // stage 1: int8 candidates — only (vec_id, cell, q8) in flight
+    val corpus8 = emb.select(col("vec_id"),
+      cellOf(col("embedding")).as("cell"), q8(col("embedding")).as("v8"))
+    val probes8 = probeDf.select(col("probe_id"),
+      explode(cellsOf(col("probe_emb"))).as("cell"),
+      q8(col("probe_emb")).as("p8"))
+    val wApprox = Window.partitionBy("probe_id")
+      .orderBy(desc("approx"), asc("vec_id"))
+    val cand = corpus8.join(broadcast(probes8), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        idot(col("v8"), col("p8")).as("approx"))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= m)
+      .select("probe_id", "vec_id")
+    // stage 2: exact re-score of m×|probes| rows only
+    val rescored = cand
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(probeDf.select(col("probe_id"), col("probe_emb"))),
+        Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        expr("graft_cosine(probe_emb, embedding)").as("cos"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(desc("cos"), asc("vec_id"))
+    rescored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"),
+        round(col("cos"), 6).as("score"))
+  }
+
+  /** LSM compaction for the cell-partitioned index: rewrite each
+    * cell's accumulated segment files (base write + appends) into one
+    * file per cell, preserving rows and the stored quantizer — search
+    * over the compacted index must be IDENTICAL (SimilaritySpec pins
+    * equality). The rewrite is a per-cell repartition + overwrite of a
+    * STAGED copy swapped in atomically; at 100 TB this runs
+    * cell-by-cell on the segment-count threshold, exactly like
+    * compact_files for tables. Returns (filesBefore, filesAfter)
+    * summed over cell directories. */
+  def compactCellIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetPath: String): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    def countFiles(p: String): Long = {
+      val cells = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      cells.map(c => fs.listStatus(c.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet")).toLong).sum
+    }
+    val before = countFiles(indexPath)
+    spark.read.parquet(indexPath)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(targetPath)
+    // the quantizer travels with the index artifact
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$indexPath/_quantizer"), fs,
+      new org.apache.hadoop.fs.Path(s"$targetPath/_quantizer"),
+      false, conf)
+    (before, countFiles(targetPath))
   }
 
   /** Exact top-k EUCLIDEAN neighbours per probe — the ground truth for

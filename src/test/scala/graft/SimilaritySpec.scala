@@ -302,6 +302,48 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     a.zip(b).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
   }
 
+  test("index compaction: one file per cell, search results identical") {
+    val base = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 0)
+    val idx = Similarity.appendedIndexFor(base, batch, sf)
+    val out = s"${sys.props("java.io.tmpdir")}/graft_sim_spec/compacted"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val (before, after) = Similarity.compactCellIndex(spark, idx, out)
+    // the append left >1 segment file in touched cells; compaction
+    // must shrink the file count while every cell lands on one file
+    assert(before > after, s"no compaction: $before -> $after")
+    val cells = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+    assert(cells.nonEmpty)
+    cells.foreach { c =>
+      assert(fs.listStatus(c.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet")) == 1, c.getPath)
+    }
+    // rows preserved and search EXACTLY unchanged (same quantizer,
+    // same contents — compaction may only re-bin bytes)
+    assert(spark.read.parquet(out).count() == emb.count())
+    val probes = Similarity.probes(emb)
+    def res(p: String) = Similarity.ivfTopKIndexed(spark, p, probes, 5)
+      .collect().map(_.toSeq).toSet
+    assert(res(out) === res(idx))
+  }
+
+  test("re-rank tier: int8-then-exact equals exact scan recall tier") {
+    // stage-1 widening + exact re-score must carry the true top-k
+    // through: with m large enough to cover the probed cells entirely,
+    // the re-ranked result equals the plain IVF result at the same
+    // nProbe (the int8 stage only shrinks the candidate set)
+    val probes = Similarity.probes(emb)
+    val rerank = Similarity.ivfTopKRerank(emb, probes, 3, sf,
+        nProbe = 16, m = 100000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Similarity.ivfTopKCached(emb, probes, 3, sf, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rerank === exact)
+  }
+
   test("batch IVF probing every cell equals brute force exactly") {
     // with nProbe = nCells the candidate set is the whole corpus, so
     // the shuffle-equi-join path must reproduce brute force bit-for-bit
