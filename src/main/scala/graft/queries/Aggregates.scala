@@ -83,6 +83,74 @@ object Aggregates {
                 TRUE AS within_tol
          FROM orders GROUP BY 1 ORDER BY y"""),
 
+    // KMV (k-minimum-values) distinct sketch in SEEDED INTEGER
+    // arithmetic — the oracle-strengthened member of the estimator
+    // family: unlike HLL (engine-specific sketch → boolean-only
+    // audit), every intermediate here — the 60-bit md5 hash, the kth
+    // minimum, the estimate (k-1)·M/h_k, and the relative error vs
+    // the exact count — is computed identically in DuckDB, so est,
+    // exact AND rel_err are all HASH-COMPARED data, not pre-checked
+    // booleans. A quality regression in the estimator changes rel_err
+    // and fails the gate outright. Distributed shape: the distinct
+    // (group, hash) set is one exchange; the per-group k-minimum is a
+    // rank window; at 100 TB the same sketch merges by unioning
+    // hash sets pre-rank (associative, partial-aggregatable).
+    Q("agg_kmv_distinct",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 64
+        val M = "1152921504606846976.0" // 16^15 = 2^60, the hash space
+        val hashed = lineitem(s, d).select(
+            col("l_returnflag").as("g"),
+            conv(substring(md5(col("l_orderkey").cast("string")), 1, 15),
+              16, 10).cast("long").as("hv"))
+          .distinct()
+        val w = Window.partitionBy("g").orderBy("hv")
+        val sketch = hashed.withColumn("rn", row_number().over(w))
+          .groupBy("g")
+          .agg(count(lit(1)).as("nh"),
+            max(when(col("rn") === k, col("hv"))).as("hk"))
+        val exact = lineitem(s, d).groupBy(col("l_returnflag").as("g"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_keys"))
+        sketch.join(exact, Seq("g"))
+          .withColumn("est",
+            round(when(col("nh") < k, col("nh").cast("double"))
+              .otherwise(lit(63.0) * expr(M) /
+                col("hk").cast("double")), 4))
+          .select(col("g"), col("exact_keys"), col("est"),
+            round(abs(col("est") - col("exact_keys").cast("double")) /
+              col("exact_keys").cast("double"), 6).as("rel_err"))
+          .orderBy("g")
+      },
+      """WITH h AS (
+           SELECT DISTINCT l_returnflag AS g,
+                  CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)),
+                    1, 15)) AS BIGINT) AS hv
+           FROM lineitem),
+         r AS (
+           SELECT g, hv,
+                  ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv) AS rn
+           FROM h),
+         s AS (
+           SELECT g, COUNT(*) AS nh,
+                  MAX(CASE WHEN rn = 64 THEN hv END) AS hk
+           FROM r GROUP BY g),
+         e AS (
+           SELECT l_returnflag AS g,
+                  COUNT(DISTINCT l_orderkey) AS exact_keys
+           FROM lineitem GROUP BY 1)
+         SELECT g, exact_keys,
+                ROUND(CASE WHEN nh < 64 THEN CAST(nh AS DOUBLE)
+                      ELSE 63.0 * 1152921504606846976.0 /
+                           CAST(hk AS DOUBLE) END, 4) AS est,
+                ROUND(abs(ROUND(CASE WHEN nh < 64 THEN CAST(nh AS DOUBLE)
+                      ELSE 63.0 * 1152921504606846976.0 /
+                           CAST(hk AS DOUBLE) END, 4) -
+                      CAST(exact_keys AS DOUBLE)) /
+                      CAST(exact_keys AS DOUBLE), 6) AS rel_err
+         FROM s JOIN e USING (g)
+         ORDER BY g"""),
+
     Q("agg_rollup",
       (s, d) => orders(s, d)
         .rollup(year(col("o_orderdate")).as("y"),
