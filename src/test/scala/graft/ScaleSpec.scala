@@ -160,6 +160,26 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
       val plan = joined.queryExecution.executedPlan.toString()
       assert(plan.contains("skew=true"),
         s"expected AQE skew-split join in:\n${plan.take(2000)}")
+      // "skew=true" is SortMergeJoinExec's isSkewJoin rendering — the
+      // literal marker OptimizeSkewedJoin set on the join node.
+      // The split must also be RESULT-INVISIBLE: the same aggregate over
+      // (k, v, payload-length) from three executions — AQE-skew,
+      // AQE-skew disabled (the unsalted baseline), and the manual
+      // salted fallback (what join_skew_salted ships) — is identical.
+      // That is the 100x answer: AQE handles planted skew natively,
+      // salting remains the equivalent manual fallback.
+      def digest(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+        df.agg(count(lit(1)), sum(col("k")), sum(col("v")),
+          sum(length(col("payload")))).collect()(0).toSeq
+      val viaAqeSkew = digest(joined)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val viaPlain = digest(fact.join(dim, "k"))
+      val viaSalted = digest(graft.engine.ops.Scale
+        .saltedJoin(fact, dim, Seq("k"), 16))
+      assert(viaAqeSkew === viaPlain,
+        s"AQE skew split changed the result: $viaAqeSkew vs $viaPlain")
+      assert(viaSalted === viaPlain,
+        s"salted fallback changed the result: $viaSalted vs $viaPlain")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)

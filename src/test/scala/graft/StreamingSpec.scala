@@ -418,6 +418,55 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"expected only the in-window pair, got $rows")
   }
 
+  test("stream-stream join: watermark evicts state and drops late rows " +
+      "on BOTH sides") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val name = s"q_${System.nanoTime()}"
+    val joined = EventOps.clickPurchasePairs(
+      clicks.toDF().withWatermark("ts", "10 minutes"),
+      purchases.toDF().withWatermark("ts", "10 minutes"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1: one in-window pair; both rows enter join state
+      clicks.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      purchases.addData(Ev(10, ts("2024-01-01 10:20:00"), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      val afterB1 = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(afterB1 >= 2, s"join state should hold both sides: $afterB1")
+
+      // batch 2: advance BOTH watermarks to ~13:50 — far past
+      // 10:00 + 1h join window + 10m delay, so batch-1 state on both
+      // sides is evictable; the no-data cleanup batch applies it
+      clicks.addData(Ev(2, ts("2024-01-01 14:00:00"), 2, "click", 1.0))
+      purchases.addData(Ev(11, ts("2024-01-01 14:00:00"), 3, "purchase", 2.0))
+      q.processAllAvailable()
+      val afterB2 = q.lastProgress.stateOperators(0).numRowsTotal
+      // state ceiling: ONLY the two fresh rows may remain — the
+      // batch-1 rows are beyond the watermark horizon and must be gone
+      assert(afterB2 <= 2,
+        s"watermark did not evict join state: $afterB2 rows retained")
+
+      // batch 3: late rows on BOTH sides, far behind the 13:50
+      // watermark — a click and a purchase that WOULD pair if admitted
+      clicks.addData(Ev(3, ts("2024-01-01 10:05:00"), 9, "click", 1.0))
+      purchases.addData(Ev(12, ts("2024-01-01 10:10:00"), 9, "purchase", 3.0))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 2,
+        s"late rows on both sides must be watermark-dropped: $dropped")
+    } finally q.stop()
+    // output: exactly the batch-1 pair — nothing from the late pair
+    val rows = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set((1L, 10L, 1L)),
+      s"late pair must not surface in append output: $rows")
+  }
+
   test("sliding windows assign each event to two 1h/30m windows") {
     import spark.implicits._
     val evs = Seq(Ev(1, ts("2024-01-01 10:40:00"), 1, "click", 1.0))
