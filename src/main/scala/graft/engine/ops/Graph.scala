@@ -88,4 +88,36 @@ object Graph {
     }
     ranks
   }
+
+  /** SYNCHRONOUS label propagation (fixed round count) — community
+    * detection by majority vote: each round every node adopts the most
+    * frequent label among its neighbours, ties broken by the SMALLEST
+    * label (a total order, so the rounds are deterministic and an
+    * external engine replays them exactly — the async/random-order
+    * variant converges faster but is unreproducible, which disqualifies
+    * it here). Labels initialize to the node id. On the undirected
+    * projections we feed it, every node has ≥1 neighbour, so the
+    * majority vote covers the full node set each round.
+    *
+    * Scale shape: per round ONE join of the static edge relation with
+    * the (node, label) frontier + one count aggregate + one rank
+    * window — all shuffled on node ids; no driver-side state, same
+    * discipline as [[pageRank]]. Fixed rounds (not convergence
+    * detection) keep the plan linear in rounds. */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    (1 to iterations).foreach { _ =>
+      val w = Window.partitionBy("node").orderBy(desc("c"), asc("label"))
+      labels = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "label")
+    }
+    labels
+  }
 }

@@ -164,6 +164,47 @@ object Analytics {
             SELECT node, ROUND(pr, 8) AS pr FROM r5 ORDER BY node"""
       }),
 
+    // Label-propagation community detection (3 synchronous rounds,
+    // min-label tie-break) over the same undirected supplier↔part
+    // projection as graph_pagerank — the curation verb that groups a
+    // corpus into supply communities without choosing k in advance.
+    // Deterministic by construction (integer votes, total tie order),
+    // so the oracle replays every round as a chained CTE. One edge
+    // join + count + rank window per round; no driver state.
+    Q("graph_label_prop",
+      (s, d) => {
+        val e0 = lineitem(s, d)
+          .select((col("l_suppkey").cast("bigint") * 2).as("a"),
+            (col("l_partkey").cast("bigint") * 2 + 1).as("b"))
+          .distinct()
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        graft.engine.ops.Graph.labelPropagation(edges, 3)
+          .orderBy("node")
+      }, {
+        val rounds = (1 to 3).map { i =>
+          s"""lp$i AS MATERIALIZED (
+               SELECT node, label FROM (
+                 SELECT e.dst AS node, l.label, COUNT(*) AS c,
+                        ROW_NUMBER() OVER (PARTITION BY e.dst
+                          ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+                 FROM edges e JOIN lp${i - 1} l ON l.node = e.src
+                 GROUP BY e.dst, l.label)
+               WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH e0 AS (
+              SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS a,
+                     CAST(l_partkey AS BIGINT) * 2 + 1 AS b
+              FROM lineitem),
+            edges AS (
+              SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b, a FROM e0),
+            lp0 AS (
+              SELECT DISTINCT src AS node, src AS label FROM edges),
+            $rounds
+            SELECT node, label FROM lp3 ORDER BY node"""
+      }),
+
     // Z-order (Morton) clustering key: interleave the bits of two
     // dimensions so sorting by the key co-locates rows close in BOTH —
     // the layout that lets min/max file stats prune 2-D range

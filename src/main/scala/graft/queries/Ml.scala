@@ -637,6 +637,52 @@ object Ml {
     // then sums (v − c)² as exact decimals too, so the ranking key is
     // bit-stable under any partitioning. Two key-partitioned
     // aggregates ((label, dim) then vec) + one label window; at scale
+    // Seeded random projection (Johnson–Lindenstrauss): 64-dim
+    // embeddings down to 8 components via a Rademacher (±1) matrix
+    // whose signs derive from md5(i_j) parity — a PSEUDO-RANDOM matrix
+    // both engines can regenerate from the seed formula alone, which
+    // is what makes dimensionality reduction exactly-oracle-checkable
+    // (a Gaussian matrix from a library RNG would be engine-private
+    // state). Per-term decimal pinning makes the 64-term sums
+    // order-free; the one float divide (1/sqrt(8), correctly-rounded
+    // sqrt) runs on identical inputs. Shape: posexplode + partial-agg
+    // — map-side expansion, one (vec_id, j) exchange; at 100 TB the
+    // fused form is a custom Expression, the relational form here
+    // keeps every intermediate auditable.
+    Q("vec_project",
+      (s, d) => {
+        import s.implicits._
+        val dOut = 8
+        val jDf = (0 until dOut).toDF("j")
+        val sign = when(
+          conv(substring(md5(concat_ws("_", col("i"), col("j"))), 1, 1),
+            16, 10).cast("int") % 2 === 0, 1.0).otherwise(-1.0)
+        embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .crossJoin(broadcast(jDf))
+          .select(col("vec_id"), col("j"),
+            (col("x").cast("double") * sign)
+              .cast(DecimalType(18, 9)).as("term"))
+          .groupBy("vec_id", "j")
+          .agg(round(sum(col("term")).cast("double") /
+            sqrt(lit(dOut.toDouble)), 6).as("comp"))
+          .orderBy("vec_id", "j")
+      },
+      """SELECT vec_id, j,
+                ROUND(CAST(SUM(term) AS DOUBLE) / sqrt(8.0), 6) AS comp
+         FROM (
+           SELECT vec_id, jj.j,
+                  CAST(CAST(embedding[u.i] AS DOUBLE) *
+                    (CASE WHEN CAST(('0x' || substring(md5(
+                       CAST(u.i - 1 AS VARCHAR) || '_' ||
+                       CAST(jj.j AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+                     THEN 1.0 ELSE -1.0 END) AS DECIMAL(18,9)) AS term
+           FROM embeddings,
+                UNNEST(range(1, 65)) AS u(i),
+                UNNEST(range(0, 8)) AS jj(j))
+         GROUP BY vec_id, j
+         ORDER BY vec_id, j"""),
+
     // both cluster on the label family and the 64× dim explode is
     // map-side.
     Q("vec_centroids",
