@@ -47,6 +47,53 @@ object Conform {
     }: _*)
   }
 
+  /** The reference's `validate` verb as DATA: a per-column conformance
+    * report against the declared metadata, computed in ONE aggregate
+    * pass over the input (all conditional counts fold into a single
+    * partial-agg shuffle of one row — no per-column scans). Each
+    * declared column present in the input gets its null count and its
+    * cast-failure count (raw value present but `try_cast` to the
+    * declared type returns null — the rows `conformSafe` would
+    * quarantine); declared-but-absent and present-but-undeclared
+    * columns appear as `missing` / `surplus` rows with null counts.
+    * This is the pre-flight report a 100 TB ingest runs BEFORE
+    * committing a conform rewrite: one scan decides accept / reject /
+    * quarantine per column. */
+  def validateReport(df: DataFrame, meta: TableMeta): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val present = meta.columns.filter(c => df.columns.contains(c.name))
+    val aggs = present.flatMap { c =>
+      val dt = c.sparkField.dataType
+      Seq(
+        count(when(col(c.name).isNull, 1)).as(s"${c.name}__nulls"),
+        count(when(col(c.name).isNotNull &&
+          expr(s"try_cast(`${c.name}` AS ${dt.sql})").isNull, 1))
+          .as(s"${c.name}__fail"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val longForm = wide.select(explode(array(present.map { c =>
+      struct(
+        lit(c.name).as("col_name"),
+        lit(c.agnosticType).as("declared_type"),
+        lit("ok").as("status"),
+        col(s"${c.name}__nulls").as("n_nulls"),
+        col(s"${c.name}__fail").as("n_cast_fail"))
+    }: _*)).as("r")).select(col("r.*"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val missing = meta.columns.filterNot(c => df.columns.contains(c.name))
+      .map(c => (c.name, c.agnosticType, "missing"))
+    val surplus = df.columns.toSeq
+      .filterNot(meta.columns.map(_.name).contains)
+      .map(n => (n, null: String, "surplus"))
+    val shapeRows = (missing ++ surplus)
+      .toDF("col_name", "declared_type", "status")
+      .withColumn("n_nulls", lit(null).cast("long"))
+      .withColumn("n_cast_fail", lit(null).cast("long"))
+    if (missing.isEmpty && surplus.isEmpty) longForm
+    else longForm.unionByName(shapeRows)
+  }
+
   /** Check conformance without mutating: list of human-readable
     * violations, empty iff `df` already matches `meta` exactly. */
   def violations(df: DataFrame, meta: TableMeta): Seq[String] = {

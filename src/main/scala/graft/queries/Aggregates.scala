@@ -151,6 +151,121 @@ object Aggregates {
          FROM s JOIN e USING (g)
          ORDER BY g"""),
 
+    // KMV SET OPERATIONS — the reason production keeps KMV/theta
+    // sketches next to HLL: two sketches support union AND
+    // intersection estimation (HLL only unions). Customer populations
+    // of two half-periods are sketched independently (k=64 minimum
+    // 60-bit hashes each — at 100 TB each side is one distinct
+    // exchange + a rank window, and sketches merge associatively);
+    // the union sketch is the k smallest of the merged hash sets, the
+    // Jaccard estimate is the fraction of union-sketch members present
+    // in BOTH sides' sketches, and the intersection estimate is
+    // J·|A∪B|_est — set overlap WITHOUT ever joining the raw sets.
+    // Every intermediate (hashes, kth minima, overlap count, the
+    // estimates AND their exact counterparts) is integer-or-single-
+    // divide arithmetic replayed identically in DuckDB: the estimator
+    // quality itself is hash-compared data, not a boolean audit.
+    Q("agg_kmv_ops",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 64
+        val M = "1152921504606846976.0" // 2^60 hash space
+        val cut = lit("1996-07-01").cast("timestamp")
+        val tagged = orders(s, d).select(
+          when(col("o_orderdate") < cut, "a").otherwise("b").as("side"),
+          col("o_custkey"))
+          .distinct()
+          .withColumn("hv",
+            conv(substring(md5(col("o_custkey").cast("string")), 1, 15),
+              16, 10).cast("long"))
+        val wSide = Window.partitionBy("side").orderBy("hv")
+        val sketches = tagged
+          .withColumn("rn", row_number().over(wSide))
+          .filter(col("rn") <= k)
+          .select("side", "hv")
+        val wAll = Window.partitionBy().orderBy("hv")
+        val unionSketch = sketches.select("hv").distinct()
+          .withColumn("rn", row_number().over(wAll))
+          .filter(col("rn") <= k)
+        val hk = unionSketch.agg(
+          max(when(col("rn") === k, col("hv"))).as("hk"),
+          count(lit(1)).as("nu"))
+        val overlap = unionSketch
+          .join(sketches.filter(col("side") === "a"), Seq("hv"))
+          .join(sketches.filter(col("side") === "b").select("hv"),
+            Seq("hv"))
+          .agg(count(lit(1)).as("x"))
+        val exact = orders(s, d).select(
+          when(col("o_orderdate") < cut, "a").otherwise("b").as("side"),
+          col("o_custkey")).distinct()
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("sides"))
+          .agg(count(lit(1)).as("union_exact"),
+            count(when(col("sides") === 2, 1)).as("inter_exact"))
+        hk.crossJoin(overlap).crossJoin(exact)
+          .withColumn("union_est",
+            round(when(col("nu") < k, col("nu").cast("double"))
+              .otherwise(lit(63.0) * expr(M) / col("hk").cast("double")),
+              4))
+          .select(
+            col("union_exact"), col("inter_exact"),
+            round(col("inter_exact").cast("double") /
+              col("union_exact").cast("double"), 6).as("jaccard_exact"),
+            col("union_est"),
+            round(col("x").cast("double") / k, 6).as("jaccard_est"),
+            round((col("x").cast("double") / k) * col("union_est"), 4)
+              .as("inter_est"))
+      },
+      """WITH tagged AS (
+           SELECT DISTINCT
+                  CASE WHEN o_orderdate < TIMESTAMP '1996-07-01'
+                       THEN 'a' ELSE 'b' END AS side,
+                  o_custkey
+           FROM orders),
+         hashed AS (
+           SELECT side, o_custkey,
+                  CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+                    1, 15)) AS BIGINT) AS hv
+           FROM tagged),
+         sk AS (
+           SELECT side, hv FROM (
+             SELECT side, hv,
+                    ROW_NUMBER() OVER (PARTITION BY side ORDER BY hv) AS rn
+             FROM hashed)
+           WHERE rn <= 64),
+         us AS (
+           SELECT hv, rn FROM (
+             SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+             FROM (SELECT DISTINCT hv FROM sk))
+           WHERE rn <= 64),
+         hk AS (
+           SELECT MAX(CASE WHEN rn = 64 THEN hv END) AS hk,
+                  COUNT(*) AS nu
+           FROM us),
+         ov AS (
+           SELECT COUNT(*) AS x
+           FROM us
+           JOIN (SELECT hv FROM sk WHERE side = 'a') a USING (hv)
+           JOIN (SELECT hv FROM sk WHERE side = 'b') b USING (hv)),
+         ex AS (
+           SELECT COUNT(*) AS union_exact,
+                  COUNT(CASE WHEN sides = 2 THEN 1 END) AS inter_exact
+           FROM (SELECT o_custkey, COUNT(*) AS sides
+                 FROM tagged GROUP BY 1)),
+         est AS (
+           SELECT union_exact, inter_exact, x,
+                  ROUND(CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+                        ELSE 63.0 * 1152921504606846976.0 /
+                             CAST(hk AS DOUBLE) END, 4) AS union_est
+           FROM hk, ov, ex)
+         SELECT union_exact, inter_exact,
+                ROUND(CAST(inter_exact AS DOUBLE) /
+                      CAST(union_exact AS DOUBLE), 6) AS jaccard_exact,
+                union_est,
+                ROUND(CAST(x AS DOUBLE) / 64, 6) AS jaccard_est,
+                ROUND((CAST(x AS DOUBLE) / 64) * union_est, 4) AS inter_est
+         FROM est"""),
+
     Q("agg_rollup",
       (s, d) => orders(s, d)
         .rollup(year(col("o_orderdate")).as("y"),

@@ -567,5 +567,65 @@ object IoQueries {
                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
                       AS DOUBLE), 2) AS parsed_price_sum
          FROM orders"""),
+
+    // Change-data-feed read over the commit log: the incremental-
+    // consumer surface. Three committed versions (snapshot → upsert →
+    // delete), then `CommitLog.changes(1, 3)` emits the row-level delta
+    // a downstream job re-processes — update pre+post images, deletes —
+    // each stamped with the commit version that introduced it, resolved
+    // through the log (never by directory listing). Per version step
+    // the diff is ONE full-outer sort-merge join on the key; at 100 TB
+    // a writer persists this join's output at commit time and consumers
+    // skip the diff entirely — same output contract either way. The
+    // oracle replays the construction: v2 updates every k%10 row
+    // (both images), v3 deletes every k%100 row at its UPDATED value
+    // (k%100=0 ⊂ k%10=0).
+    Q("table_changes",
+      (s, d) => {
+        import graft.engine.io.CommitLog
+        val root = scratch(d, "cdf")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        CommitLog.init(s, root)
+        val v1 = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+        CommitLog.commit(s, root, "snapshot") { (dir, _) =>
+          v1.write.parquet(dir)
+        }
+        CommitLog.commit(s, root, "upsert") { (dir, base) =>
+          CommitLog.readVersion(s, root, base).withColumn("v",
+            when(col("k") % 10 === 0,
+              (col("v").cast(DecimalType(18, 2)) *
+                lit(new java.math.BigDecimal("1.10"))).cast("double"))
+              .otherwise(col("v")))
+            .write.parquet(dir)
+        }
+        CommitLog.commit(s, root, "delete") { (dir, base) =>
+          CommitLog.readVersion(s, root, base)
+            .filter(col("k") % 100 =!= 0)
+            .write.parquet(dir)
+        }
+        CommitLog.changes(s, root, 1, 3, Seq("k"))
+          .orderBy("_commit_version", "_change_type", "k")
+      },
+      """WITH v1 AS (
+           SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+           WHERE o_orderkey % 2 = 0),
+         v2 AS (
+           SELECT k, CASE WHEN k % 10 = 0
+                  THEN CAST(CAST(v AS DECIMAL(18,2)) *
+                       CAST(1.10 AS DECIMAL(3,2)) AS DOUBLE)
+                  ELSE v END AS v
+           FROM v1)
+         SELECT k, v, _change_type, _commit_version FROM (
+           SELECT k, v, 'update_preimage' AS _change_type,
+                  2 AS _commit_version
+           FROM v1 WHERE k % 10 = 0
+           UNION ALL
+           SELECT k, v, 'update_postimage', 2 FROM v2 WHERE k % 10 = 0
+           UNION ALL
+           SELECT k, v, 'delete', 3 FROM v2 WHERE k % 100 = 0)
+         ORDER BY _commit_version, _change_type, k"""),
   )
 }

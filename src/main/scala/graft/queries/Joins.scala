@@ -452,5 +452,57 @@ object Joins {
            ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
           AND a.sd < b.sd + 7 AND b.sd < a.sd + 7
          ORDER BY a.o_custkey, key_a, key_b"""),
+
+    // Toleranced as-of (pandas merge_asof tolerance=...): the backward
+    // as-of match is DISCARDED when the anchor is staler than the
+    // tolerance window (1 h here) — the semantics attribution/feature
+    // pipelines need ("last click, but only if recent enough"; a
+    // day-old click must not claim the conversion). Same one-shuffle
+    // window formulation as join_asof — id and timestamp anchors ride
+    // the same frame (total order ⇒ same source row), the tolerance is
+    // a map-side post-filter on the µs gap, NOT a join: no extra
+    // exchange over the plain as-of at any scale.
+    Q("join_asof_tolerance",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tolUs = 3600000000L // 1 hour
+        val ev = events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("t"))
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev.withColumn("lc_id",
+            last(when(col("event_type") === "click", col("event_id")),
+              ignoreNulls = true).over(w))
+          .withColumn("lc_t",
+            last(when(col("event_type") === "click", col("t")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            when(col("t") - col("lc_t") <= tolUs, col("lc_id"))
+              .as("click_in_window"),
+            when(col("t") - col("lc_t") <= tolUs, col("t") - col("lc_t"))
+              .as("gap_us"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id,
+                CASE WHEN t - lc_t <= 3600000000 THEN lc_id END
+                  AS click_in_window,
+                CASE WHEN t - lc_t <= 3600000000 THEN t - lc_t END
+                  AS gap_us
+         FROM (
+           SELECT event_id, user_id, event_type, t,
+                  LAST_VALUE(CASE WHEN event_type = 'click'
+                    THEN event_id END IGNORE NULLS) OVER wb AS lc_id,
+                  LAST_VALUE(CASE WHEN event_type = 'click'
+                    THEN t END IGNORE NULLS) OVER wb AS lc_t
+           FROM (SELECT event_id, user_id, event_type,
+                        epoch_us(ts) AS t
+                 FROM events
+                 WHERE event_type IN ('click', 'purchase'))
+           WINDOW wb AS (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         WHERE event_type = 'purchase' ORDER BY event_id"""),
   )
 }

@@ -227,5 +227,62 @@ object Projections {
                      ELSE 'high' END AS discount_band,
                 COUNT(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY discount_band"""),
+
+    // The reference's `validate` verb as data (pair of `conform`): a
+    // per-column conformance report against a declared metadata
+    // document, over a dirty string ingest with planted defects — bad
+    // keys (x-prefix every 11th), null prices (every 13th), impossible
+    // months (k%15 ∈ {0,13,14}), null notes (every 7th), one declared-
+    // but-absent column and one surplus column. ONE aggregate pass
+    // computes every count (all conditionals fold into a single
+    // 1-row partial agg — no per-column scans); the missing/surplus
+    // rows are schema facts, not data. The oracle recomputes each count
+    // from the construction rule.
+    Q("conform_validate",
+      (s, d) => {
+        val dirty = orders(s, d).select(
+          when(col("o_orderkey") % 11 === 0,
+            concat(lit("x"), col("o_orderkey").cast("string")))
+            .otherwise(col("o_orderkey").cast("string")).as("k"),
+          when(col("o_orderkey") % 13 === 0, lit(null: String))
+            .otherwise(col("o_totalprice").cast("string")).as("price"),
+          concat(lit("2024-"),
+            lpad((col("o_orderkey") % 15).cast("string"), 2, "0"),
+            lit("-15")).as("event_date"),
+          when(col("o_orderkey") % 7 === 0, lit(null: String))
+            .otherwise(concat(lit("n"), col("o_orderkey"))).as("note"),
+          lit("extra").as("extra_col"))
+        val meta = TableMeta("orders_dirty", Seq(
+          ColumnMeta("k", "long"),
+          ColumnMeta("price", "double"),
+          ColumnMeta("event_date", "date"),
+          ColumnMeta("note", "character"),
+          ColumnMeta("region", "character")))
+        Conform.validateReport(dirty, meta)
+          .orderBy("status", "col_name")
+      },
+      """WITH c AS (
+           SELECT COUNT(*) FILTER (WHERE o_orderkey % 11 = 0) AS k_fail,
+                  COUNT(*) FILTER (WHERE o_orderkey % 13 = 0) AS price_nulls,
+                  COUNT(*) FILTER (WHERE o_orderkey % 15 IN (0, 13, 14))
+                    AS date_fail,
+                  COUNT(*) FILTER (WHERE o_orderkey % 7 = 0) AS note_nulls
+           FROM orders)
+         SELECT col_name, declared_type, status, n_nulls, n_cast_fail
+         FROM (
+           SELECT 'k' AS col_name, 'long' AS declared_type,
+                  'ok' AS status, CAST(0 AS BIGINT) AS n_nulls,
+                  k_fail AS n_cast_fail FROM c
+           UNION ALL
+           SELECT 'price', 'double', 'ok', price_nulls, 0 FROM c
+           UNION ALL
+           SELECT 'event_date', 'date', 'ok', 0, date_fail FROM c
+           UNION ALL
+           SELECT 'note', 'character', 'ok', note_nulls, 0 FROM c
+           UNION ALL
+           SELECT 'region', 'character', 'missing', NULL, NULL
+           UNION ALL
+           SELECT 'extra_col', NULL, 'surplus', NULL, NULL)
+         ORDER BY status, col_name"""),
   )
 }

@@ -315,5 +315,50 @@ object Scalars {
                 'id=' || doc_id || '&n=' || n_chars AS query,
                 CAST(n_chars AS VARCHAR) AS q_n
          FROM documents ORDER BY doc_id"""),
+
+    // Spark 4 VARIANT — the semi-structured column type that replaces
+    // schema-on-read JSON string re-parsing: parse once into the binary
+    // variant encoding, then typed path extraction (variant_get) without
+    // per-access string parsing. At 100 TB the difference is real: a
+    // variant column stores the parsed tree (with shredding in parquet),
+    // so N path extractions cost one parse, not N. The JSON documents
+    // are synthesized identically in both engines (ints + strings only —
+    // no float formatting divergence); DuckDB mirrors with ->> JSONPath
+    // extraction on the same strings. try_variant_get on an absent path
+    // is the NULL-not-error contract (same as DuckDB's ->> miss).
+    Q("fn_variant",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"),
+        concat(lit("{\"id\":"), col("o_orderkey"),
+          lit(",\"status\":\""), col("o_orderstatus"),
+          lit("\",\"tags\":[\""), col("o_orderpriority"),
+          lit("\",\"p"), col("o_orderkey") % 7,
+          lit("\"],\"nested\":{\"m\":"), col("o_orderkey") % 100,
+          lit("}}")).as("jstr"))
+        .select(col("o_orderkey"),
+          expr("variant_get(parse_json(jstr), '$.id', 'bigint')").as("vid"),
+          expr("variant_get(parse_json(jstr), '$.status', 'string')")
+            .as("vstatus"),
+          expr("variant_get(parse_json(jstr), '$.tags[1]', 'string')")
+            .as("vtag"),
+          expr("variant_get(parse_json(jstr), '$.nested.m', 'bigint')")
+            .as("vm"),
+          expr("try_variant_get(parse_json(jstr), '$.absent', 'bigint')")
+            .as("vmissing"))
+        .orderBy("o_orderkey"),
+      """WITH j AS (
+           SELECT o_orderkey,
+                  '{"id":' || o_orderkey || ',"status":"' || o_orderstatus ||
+                  '","tags":["' || o_orderpriority || '","p' ||
+                  (o_orderkey % 7) || '"],"nested":{"m":' ||
+                  (o_orderkey % 100) || '}}' AS jstr
+           FROM orders)
+         SELECT o_orderkey,
+                CAST(jstr->>'$.id' AS BIGINT) AS vid,
+                jstr->>'$.status' AS vstatus,
+                jstr->>'$.tags[1]' AS vtag,
+                CAST(jstr->>'$.nested.m' AS BIGINT) AS vm,
+                CAST(jstr->>'$.absent' AS BIGINT) AS vmissing
+         FROM j ORDER BY o_orderkey"""),
   )
 }

@@ -36,6 +36,23 @@ object SqlSurface {
       GROUP BY n_name, year(o_orderdate))
     ORDER BY yr, rnk, n_name"""
 
+  /** Shared statement for sql_recursive — table name `part` patched to
+    * the temp-view name on the Spark side, otherwise verbatim. */
+  private val recursiveSql = """
+    WITH RECURSIVE walk AS (
+      SELECT p_partkey, 0 AS depth,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(28,2))
+               AS path_cost
+      FROM part WHERE p_partkey = 1
+      UNION ALL
+      SELECT p.p_partkey, w.depth + 1,
+             CAST(w.path_cost + CAST(p.p_retailprice AS DECIMAL(18,2))
+                  AS DECIMAL(28,2))
+      FROM walk w
+      JOIN part p ON CAST(FLOOR(p.p_partkey / 2) AS BIGINT) = w.p_partkey)
+    SELECT p_partkey, depth, CAST(path_cost AS DOUBLE) AS path_cost
+    FROM walk ORDER BY p_partkey"""
+
   val qs: Seq[Q] = Seq(
     // The reference's PRIMARY surface (SURVEY §1.2 `athena.py`
     // [RECONSTRUCTED]): register the dataset's tables once, then run an
@@ -219,5 +236,23 @@ object SqlSurface {
            FROM lineitem GROUP BY l_returnflag)
          UNPIVOT (qty FOR status IN (F, O))
          ORDER BY l_returnflag, status"""),
+
+    // WITH RECURSIVE (Spark 4's UnionLoop execution) — the BOM/hierarchy
+    // rollup no window can express: part keys form an implicit binary
+    // tree (parent(k) = floor(k/2), root = 1, TPC-H keys contiguous), and
+    // the walk accumulates a PATH-dependent cost (ancestor-chain retail
+    // price sum) that is only computable by carrying state down the
+    // recursion. Each iteration is one distributed hash join of the
+    // frontier against the part scan on the derived parent key — the
+    // frontier doubles per level, depth = log2(n) ≈ 15 at sf0.1, so at
+    // 100 TB the recursion is log-deep with equi-join iterations, never
+    // a driver loop. Decimal path sums keep every engine's add exact;
+    // the identical statement runs verbatim in DuckDB.
+    Q("sql_recursive",
+      (s, d) => {
+        part(s, d).createOrReplaceTempView("graft_part_rec")
+        s.sql(recursiveSql.replace(" part", " graft_part_rec"))
+      },
+      recursiveSql),
   )
 }

@@ -266,5 +266,85 @@ FROM stats ORDER BY shard"""),
         .orderBy("doc_id"),
       Bpe.tokensCtePrefixFor(UniSrc) + """
 SELECT doc_id, n_tokens, TRUE AS roundtrip_ok FROM dtok ORDER BY doc_id"""),
+
+    // Epoch-CAPPED allocation — the constraint mix_allocate ignores
+    // and every real pretraining mix enforces (post-Hoffmann/"Scaling
+    // Data-Constrained LMs" practice): a domain can only be repeated
+    // so many times before marginal value collapses, so quotas are
+    // min(weighted share, max_epochs × native tokens) and the excess
+    // is re-spread over uncapped domains (one water-filling round,
+    // closed-form, both engines replay it bit-for-bit). Budget is
+    // 1.2× the corpus so the cap genuinely binds on tail domains:
+    // sqrt-temperature weights hand them >2 epochs, the cap claws it
+    // back, and head domains absorb the surplus. All weight sums are
+    // DECIMAL-pinned (order-free); the only floats are the two final
+    // divides on identical inputs. Not-all-capped is structural:
+    // Σcap = 2T > budget = 1.2T ≥ Σalloc0 ⇒ an uncapped domain always
+    // exists, so the redistribution denominator is never zero.
+    Q("mix_epochs",
+      (s, d) => {
+        val maxEpochs = 2L
+        val toks = Bpe.tokensStoreFor(documents(s, d), d)
+          .groupBy("lang", "source")
+          .agg(sum(col("n_tokens")).as("n_tokens"))
+          .withColumn("s_i", sqrt(col("n_tokens").cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        val wAll = Window.partitionBy()
+        toks
+          .withColumn("denom", sum(col("s_i")).over(wAll))
+          .withColumn("budget",
+            floor(sum(col("n_tokens")).over(wAll).cast("double") * 1.2)
+              .cast("long"))
+          .withColumn("alloc0",
+            floor((col("s_i").cast("double") / col("denom").cast("double"))
+              * col("budget").cast("double")).cast("long"))
+          .withColumn("cap", col("n_tokens") * maxEpochs)
+          .withColumn("capped", col("alloc0") > col("cap"))
+          .withColumn("excess",
+            sum(when(col("capped"), col("alloc0") - col("cap"))
+              .otherwise(0L)).over(wAll))
+          .withColumn("u_denom",
+            sum(when(!col("capped"), col("s_i"))).over(wAll))
+          .withColumn("alloc_final",
+            when(col("capped"), col("cap"))
+              .otherwise(col("alloc0") +
+                floor(col("excess").cast("double") *
+                  (col("s_i").cast("double") /
+                    col("u_denom").cast("double"))).cast("long")))
+          .select(col("lang"), col("source"), col("n_tokens"),
+            col("alloc0"), col("capped"), col("alloc_final"),
+            round(col("alloc_final").cast("double") /
+              col("n_tokens").cast("double"), 4).as("epochs"))
+          .orderBy("lang", "source")
+      },
+      Bpe.tokensCtePrefix + """,
+dom AS (
+  SELECT lang, source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sqrt(CAST(SUM(n_tokens) AS DOUBLE)) AS DECIMAL(18,6)) AS s_i
+  FROM dtok GROUP BY 1, 2),
+a0 AS (
+  SELECT lang, source, n_tokens, s_i,
+         CAST(floor((CAST(s_i AS DOUBLE) /
+                     CAST((SELECT SUM(s_i) FROM dom) AS DOUBLE)) *
+                    CAST((SELECT CAST(floor(
+                      CAST(SUM(n_tokens) AS DOUBLE) * 1.2) AS BIGINT)
+                      FROM dom) AS DOUBLE)) AS BIGINT) AS alloc0,
+         n_tokens * 2 AS cap
+  FROM dom),
+r AS (
+  SELECT SUM(CASE WHEN alloc0 > cap THEN alloc0 - cap ELSE 0 END) AS excess,
+         SUM(CASE WHEN alloc0 <= cap THEN s_i END) AS u_denom
+  FROM a0),
+fin AS (
+  SELECT lang, source, n_tokens, alloc0, alloc0 > cap AS capped,
+         CASE WHEN alloc0 > cap THEN cap
+              ELSE alloc0 + CAST(floor(CAST(excess AS DOUBLE) *
+                   (CAST(s_i AS DOUBLE) / CAST(u_denom AS DOUBLE)))
+                   AS BIGINT) END AS alloc_final
+  FROM a0, r)
+SELECT lang, source, n_tokens, alloc0, capped, alloc_final,
+       ROUND(CAST(alloc_final AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+         AS epochs
+FROM fin ORDER BY lang, source"""),
   )
 }
