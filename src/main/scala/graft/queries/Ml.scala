@@ -683,6 +683,91 @@ object Ml {
          GROUP BY vec_id, j
          ORDER BY vec_id, j"""),
 
+    // PRODUCT QUANTIZATION (Jégou et al., the FAISS `PQ8` shape): the
+    // 64-dim embedding splits into 8 orthogonal 8-dim subspaces, each
+    // quantized independently against a 16-codeword codebook → an
+    // 8-byte code replacing 256 bytes of floats (32× compression, vs
+    // vec_quantize's 4× int8). Codebooks here are md5-rank-seeded
+    // sample vectors (both engines regenerate them from the seed
+    // formula — a k-means codebook would be engine-private state; at
+    // 100 TB the seeds become a bounded fit-once artifact exactly like
+    // the IVF quantizer). Every per-subspace distance sums identical
+    // IEEE (v−c)² doubles as exact DECIMAL(24,12) — the argmin key is
+    // bit-stable under any partitioning, ties break on code id — so
+    // codes AND reconstruction error are hash-compared data. Shape:
+    // map-side dim explode, codebook broadcast against the stream, one
+    // (vec, subspace, code) partial-agg exchange, rank window, pivot —
+    // no all-pairs anything.
+    Q("vec_pq",
+      (s, d) => {
+        val dims = embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+          .select(col("vec_id"), (col("p") + 1).as("i"),
+            col("x").cast("double").as("v"))
+        // seed selection: k smallest md5(vec_id) — at scale a
+        // TakeOrdered(16), not a global sort
+        val wSeed = Window.orderBy(md5(col("vec_id").cast("string")),
+          col("vec_id"))
+        val seeds = embeddings(s, d).select(col("vec_id"))
+          .withColumn("code_id", (row_number().over(wSeed) - 1).cast("long"))
+          .filter(col("code_id") < 16)
+        val cb = seeds.join(dims, Seq("vec_id"))
+          .select(col("code_id"), col("i"), col("v").as("cv"))
+        val dist = dims.join(broadcast(cb), Seq("i"))
+          .withColumn("j", floor((col("i") - 1) / 8.0).cast("int"))
+          .withColumn("sq",
+            ((col("v") - col("cv")) * (col("v") - col("cv")))
+              .cast(DecimalType(24, 12)))
+          .groupBy("vec_id", "j", "code_id")
+          .agg(sum(col("sq")).as("d2"))
+        val wBest = Window.partitionBy("vec_id", "j")
+          .orderBy(col("d2"), col("code_id"))
+        val best = dist.withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+        val codeCols = (0 until 8).map(jj =>
+          max(when(col("j") === jj, col("code_id"))).as(s"c$jj"))
+        val aggs = codeCols :+
+          round(sum(col("d2")).cast("double"), 6).as("recon_err")
+        best.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+          .orderBy("vec_id")
+      },
+      """WITH dims AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, LATERAL unnest(range(1, 65)) AS t(i)),
+         seeds AS (
+           SELECT vec_id, rn - 1 AS code_id FROM (
+             SELECT vec_id, ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM embeddings)
+           WHERE rn <= 16),
+         cb AS (
+           SELECT code_id, i, v AS cv
+           FROM seeds JOIN dims USING (vec_id)),
+         dist AS (
+           SELECT d.vec_id, CAST(floor((d.i - 1) / 8.0) AS INT) AS j,
+                  c.code_id,
+                  SUM(CAST((d.v - c.cv) * (d.v - c.cv)
+                      AS DECIMAL(24,12))) AS d2
+           FROM dims d JOIN cb c ON d.i = c.i
+           GROUP BY 1, 2, 3),
+         best AS (
+           SELECT vec_id, j, code_id, d2,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                    ORDER BY d2, code_id) AS rn
+           FROM dist)
+         SELECT vec_id,
+                MAX(CASE WHEN j = 0 THEN code_id END) AS c0,
+                MAX(CASE WHEN j = 1 THEN code_id END) AS c1,
+                MAX(CASE WHEN j = 2 THEN code_id END) AS c2,
+                MAX(CASE WHEN j = 3 THEN code_id END) AS c3,
+                MAX(CASE WHEN j = 4 THEN code_id END) AS c4,
+                MAX(CASE WHEN j = 5 THEN code_id END) AS c5,
+                MAX(CASE WHEN j = 6 THEN code_id END) AS c6,
+                MAX(CASE WHEN j = 7 THEN code_id END) AS c7,
+                ROUND(CAST(SUM(d2) AS DOUBLE), 6) AS recon_err
+         FROM best WHERE rn = 1
+         GROUP BY vec_id ORDER BY vec_id"""),
+
     // both cluster on the label family and the 64× dim explode is
     // map-side.
     Q("vec_centroids",
