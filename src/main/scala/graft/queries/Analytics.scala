@@ -607,5 +607,64 @@ object Analytics {
          FROM w
          WHERE is_grid = 1 AND pv IS NOT NULL AND nv IS NOT NULL
          ORDER BY user_id, t_us"""),
+
+    // Bounded k-core peeling (k=2, 4 synchronous rounds) on the
+    // co-order part graph — the graph-sparsification verb the
+    // curation/graph family lacked: strip the tree-like periphery so
+    // downstream quadratic ops (triangles, Adamic-Adar) run on the
+    // dense core only. Each round recomputes degrees within the
+    // surviving subgraph (two alive-semijoins + one count on the SAME
+    // edge-keyed exchange) and drops nodes under degree k — the
+    // standard iterative-peel; at 100 TB the loop stops on a
+    // convergence check, and the fixed-round bounded form here is what
+    // the oracle replays as chained CTEs (the graph_shortest_hops
+    // device). Support-≥2 co-order edges keep pair fan-out
+    // basket-bounded; the peel is real at every SF (sf0.1:
+    // 5922 → 22 nodes in 3 rounds).
+    Q("graph_kcore",
+      (s, d) => {
+        // persisted co-order edge artifact (the co-supply device on the
+        // (order, part) relation): each peel round re-reads the tiny
+        // stored parquet instead of re-deriving the basket projection —
+        // the unrolled 4-round plan stays linear, not 2^rounds
+        val e = graft.engine.ops.Graph.coOccurrenceEdgesFor(
+            lineitem(s, d).select(col("l_orderkey").as("pk"),
+              col("l_partkey").as("sk")), s"${d}_coorder")
+          .filter(col("w") >= 2)
+        val und = e.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+        def peel(alive: org.apache.spark.sql.DataFrame) =
+          und.join(alive, Seq("u"))
+            .join(alive.select(col("u").as("v")), Seq("v"))
+            .groupBy("u").agg(count(lit(1)).as("deg"))
+        var alive = und.select("u").distinct()
+        for (_ <- 1 to 4)
+          alive = peel(alive).filter(col("deg") >= 2).select("u")
+        peel(alive)
+          .select(col("u").as("node"), col("deg").as("core_deg"))
+          .orderBy("node")
+      },
+      """WITH op AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e AS (
+           SELECT x.pk AS a, y.pk AS b
+           FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         und AS (
+           SELECT a AS u, b AS v FROM e
+           UNION ALL SELECT b, a FROM e),
+         a0 AS (SELECT DISTINCT u FROM und),
+         a1 AS (SELECT d.u FROM und d JOIN a0 x ON d.u = x.u
+                JOIN a0 y ON d.v = y.u GROUP BY d.u HAVING COUNT(*) >= 2),
+         a2 AS (SELECT d.u FROM und d JOIN a1 x ON d.u = x.u
+                JOIN a1 y ON d.v = y.u GROUP BY d.u HAVING COUNT(*) >= 2),
+         a3 AS (SELECT d.u FROM und d JOIN a2 x ON d.u = x.u
+                JOIN a2 y ON d.v = y.u GROUP BY d.u HAVING COUNT(*) >= 2),
+         a4 AS (SELECT d.u FROM und d JOIN a3 x ON d.u = x.u
+                JOIN a3 y ON d.v = y.u GROUP BY d.u HAVING COUNT(*) >= 2)
+         SELECT d.u AS node, COUNT(*) AS core_deg
+         FROM und d JOIN a4 x ON d.u = x.u JOIN a4 y ON d.v = y.u
+         GROUP BY 1 ORDER BY node"""),
   )
 }

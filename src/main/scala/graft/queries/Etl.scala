@@ -494,5 +494,40 @@ object Etl {
                           CAST(s1 AS DOUBLE) / k) / (k - 1))) > 2
                   AS is_anomaly
          FROM daily, st ORDER BY day"""),
+
+    // Freshness / staleness audit — the pipeline-health check that
+    // catches a SILENT upstream stall (dq_anomaly flags weird volume;
+    // this flags "stream X stopped arriving"): per event stream, the
+    // last-seen timestamp and its age against the corpus watermark
+    // (max ts — the deterministic stand-in for wall-clock "now"; in
+    // production the reference instant is the run timestamp). Ages are
+    // exact integer µs; stale = older than 1 h. One tiny aggregate +
+    // broadcast 1-row watermark — a metadata-scale query even at
+    // 100 TB (at scale the per-partition max comes free from parquet
+    // footer stats).
+    Q("dq_freshness",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_type"),
+          unix_micros(col("ts")).as("t"))
+        val per = ev.groupBy("event_type")
+          .agg(max(col("t")).as("last_us"), count(lit(1)).as("n_events"))
+        val now = ev.agg(max(col("t")).as("now_us"))
+        per.crossJoin(broadcast(now))
+          .select(col("event_type"), col("n_events"),
+            col("last_us"),
+            (col("now_us") - col("last_us")).as("age_us"),
+            ((col("now_us") - col("last_us")) > 3600000000L).as("stale"))
+          .orderBy("event_type")
+      },
+      """WITH ev AS (
+           SELECT event_type, epoch_us(ts) AS t FROM events),
+         per AS (
+           SELECT event_type, MAX(t) AS last_us, COUNT(*) AS n_events
+           FROM ev GROUP BY 1),
+         now_w AS (SELECT MAX(t) AS now_us FROM ev)
+         SELECT event_type, n_events, last_us,
+                now_us - last_us AS age_us,
+                (now_us - last_us) > 3600000000 AS stale
+         FROM per, now_w ORDER BY event_type"""),
   )
 }

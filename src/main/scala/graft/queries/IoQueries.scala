@@ -627,5 +627,69 @@ object IoQueries {
            UNION ALL
            SELECT k, v, 'delete', 3 FROM v2 WHERE k % 100 = 0)
          ORDER BY _commit_version, _change_type, k"""),
+
+    // OPTIMIZE ... ZORDER BY — the clustering REWRITE (compact_files
+    // re-packs, this re-ORDERS): rows are laid out along the 2-D Morton
+    // curve over (partkey, suppkey) and written as range shards, so
+    // every shard's min/max box is tight in BOTH dims and a 2-D range
+    // predicate prunes whole files at 100 TB. Shards here are a
+    // deterministic NTILE over the z-order (the oracle-replayable twin
+    // of repartitionByRange(zval), whose sampled boundaries are not
+    // reproducible); the physical write is partitionBy(shard) +
+    // sortWithinPartitions(zval) — data ends up clustered on disk and
+    // the read-back audit proves per-shard box bounds + row counts off
+    // the REWRITTEN files, not the source.
+    Q("maintain_cluster_rewrite",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val out = scratch(d, "zrewrite")
+        val z = (0 until 10).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) + " +
+            s"(((y >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+        val w = Window.orderBy(col("zval"), col("l_orderkey"),
+          col("l_linenumber"))
+        lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            (col("l_partkey") % 1024).as("x"),
+            (col("l_suppkey") % 1024).as("y"))
+          .withColumn("zval", expr(z))
+          .withColumn("shard", ntile(4).over(w).cast("long"))
+          .drop("x", "y")
+          .write.mode("overwrite").partitionBy("shard")
+          .option("maxRecordsPerFile", 2000000).parquet(out)
+        s.read.parquet(out)
+          // partition-dir values re-infer as INT; restore the BIGINT
+          // the oracle's NTILE emits
+          .withColumn("shard", col("shard").cast("long"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_partkey")).as("pk_min"),
+            max(col("l_partkey")).as("pk_max"),
+            min(col("l_suppkey")).as("sk_min"),
+            max(col("l_suppkey")).as("sk_max"),
+            min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))
+          .orderBy("shard")
+      }, {
+        val z = (0 until 10).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) + " +
+            s"(((y >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+        s"""WITH zed AS (
+              SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                     $z AS zval
+              FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                           l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+                    FROM lineitem)),
+            sharded AS (
+              SELECT l_partkey, l_suppkey, zval,
+                     NTILE(4) OVER (ORDER BY zval, l_orderkey,
+                                    l_linenumber) AS shard
+              FROM zed)
+            SELECT shard, COUNT(*) AS n_rows,
+                   MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+                   MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max,
+                   MIN(zval) AS z_min, MAX(zval) AS z_max
+            FROM sharded GROUP BY shard ORDER BY shard"""
+      }),
   )
 }
