@@ -628,6 +628,61 @@ object IoQueries {
            SELECT k, v, 'delete', 3 FROM v2 WHERE k % 100 = 0)
          ORDER BY _commit_version, _change_type, k"""),
 
+    // Export with a written MANIFEST — the production handoff contract
+    // (Athena/Redshift UNLOAD's manifest, a training-data drop's
+    // index.json): the exporter writes the sharded data AND a machine-
+    // readable manifest (per shard: file count, row count, an
+    // ORDER-INDEPENDENT content checksum — the recon_tables commutative
+    // digest device, layout-invariant at any parallelism), then the
+    // DECLARED relation is the manifest file READ BACK — so the oracle
+    // hash-checks what a downstream consumer would actually validate
+    // against, recomputed from construction truth. Checksums fold
+    // md5-ints mod 1e9+7 (bounded for any corpus size, same device as
+    // shuffle_shards).
+    Q("export_manifest",
+      (s, d) => {
+        val out = scratch(d, "manifest_export")
+        val p = 1000000007L
+        documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+          .withColumn("shard", pmod(col("doc_id"), lit(4)).cast("int"))
+          .repartition(4, col("shard"))
+          .write.mode("overwrite").partitionBy("shard").json(s"$out/data")
+        val back = s.read
+          .schema("doc_id BIGINT, lang STRING, text STRING, shard INT")
+          .json(s"$out/data")
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val manifest = back.groupBy("shard")
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit("|"), col("text"))), 1, 15), 16, 10).cast("long") % p)
+              % p).as("checksum"))
+          .withColumn("n_files", lit(1L))
+        manifest.coalesce(1).write.mode("overwrite")
+          .json(s"$out/_manifest")
+        // per-shard file count audited off the real directory listing —
+        // the repartition(shard) pins one file per shard dir
+        val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/data"))
+          .filter(_.getPath.getName.startsWith("shard="))
+        dirs.foreach { st =>
+          val n = fs.listStatus(st.getPath)
+            .count(_.getPath.getName.endsWith(".json"))
+          require(n == 1, s"expected 1 file in ${st.getPath}, found $n")
+        }
+        s.read.schema("shard INT, n_rows BIGINT, checksum BIGINT, " +
+            "n_files BIGINT")
+          .json(s"$out/_manifest")
+          .select("shard", "n_files", "n_rows", "checksum")
+          .orderBy("shard")
+      },
+      """SELECT CAST(doc_id % 4 AS INT) AS shard,
+                CAST(1 AS BIGINT) AS n_files,
+                COUNT(*) AS n_rows,
+                CAST(SUM(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                    || '|' || text), 1, 15)) AS BIGINT) % 1000000007)
+                  % 1000000007 AS BIGINT) AS checksum
+         FROM documents GROUP BY 1 ORDER BY 1"""),
+
     // OPTIMIZE ... ZORDER BY — the clustering REWRITE (compact_files
     // re-packs, this re-ORDERS): rows are laid out along the 2-D Morton
     // curve over (partkey, suppkey) and written as range shards, so

@@ -768,6 +768,85 @@ object Ml {
          FROM best WHERE rn = 1
          GROUP BY vec_id ORDER BY vec_id"""),
 
+    // K-CENTER GREEDY CORESET (farthest-point sampling, the 2-approx
+    // of Gonzalez '85 — the data-selection primitive behind coverage-
+    // maximizing training subsets): seed at the lowest vec_id, then 5
+    // rounds of "add the point farthest from the selected set", each
+    // emitted with its selection radius (the coverage bound after that
+    // round — the sequence is the coreset's quality curve). Distances
+    // are exact DECIMAL(24,12) per-dim sums (vec_centroids device) ⇒
+    // the argmax is bit-stable under any partitioning, vec_id breaks
+    // ties. The selected set is a BOUNDED driver fit (k+1 = 6 one-row
+    // collects — the Bpe.mergeTable device): each round is one
+    // broadcast of ≤6×64 selected dims against the map-side dim
+    // stream + a 1-row TakeOrdered, so at 100 TB the cost is k scans,
+    // never a quadratic pair set. Oracle replays every round as
+    // chained CTEs over the same decimal arithmetic.
+    Q("sample_coreset",
+      (s, d) => {
+        import s.implicits._
+        val rounds = 5
+        val dims = embeddings(s, d)
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("p", "x")))
+          .select(col("vec_id"), (col("p") + 1).as("i"),
+            col("x").cast("double").as("v"))
+        var selected = Vector(
+          embeddings(s, d).agg(min(col("vec_id"))).collect()(0).getLong(0))
+        val picks = scala.collection.mutable.ArrayBuffer[
+          (Int, Long, Option[Double])]((0, selected(0), None))
+        for (r <- 1 to rounds) {
+          val selDims = dims.filter(col("vec_id").isin(selected: _*))
+            .select(col("vec_id").as("s_id"), col("i"),
+              col("v").as("sv"))
+          val pick = dims.join(broadcast(selDims), Seq("i"))
+            .withColumn("sq",
+              ((col("v") - col("sv")) * (col("v") - col("sv")))
+                .cast(DecimalType(24, 12)))
+            .groupBy("vec_id", "s_id").agg(sum(col("sq")).as("d2"))
+            .groupBy("vec_id").agg(min(col("d2")).as("dmin"))
+            .select(col("vec_id"),
+              round(col("dmin").cast("double"), 6).as("radius"))
+            .orderBy(desc("radius"), col("vec_id")).limit(1)
+            .collect()(0)
+          selected :+= pick.getLong(0)
+          picks += ((r, pick.getLong(0), Some(pick.getDouble(1))))
+        }
+        picks.toSeq.toDF("round", "vec_id", "radius").orderBy("round")
+      }, {
+        val roundCtes = (1 to 5).map { r =>
+          s"""d$r AS (
+               SELECT vec_id, MIN(d2) AS dmin FROM (
+                 SELECT a.vec_id AS vec_id, s.s_id,
+                        SUM(CAST((a.v - b.v) * (a.v - b.v)
+                            AS DECIMAL(24,12))) AS d2
+                 FROM dims a
+                 CROSS JOIN sel${r - 1} s
+                 JOIN dims b ON b.vec_id = s.s_id AND b.i = a.i
+                 GROUP BY 1, 2)
+               GROUP BY vec_id),
+             p$r AS (SELECT vec_id, ROUND(CAST(dmin AS DOUBLE), 6)
+                       AS radius
+                     FROM d$r ORDER BY radius DESC, vec_id LIMIT 1),
+             sel$r AS (SELECT s_id FROM sel${r - 1}
+                       UNION ALL SELECT vec_id FROM p$r)"""
+        }.mkString(",\n")
+        val outRows = (1 to 5).map { r =>
+          s"SELECT $r AS round, vec_id, radius FROM p$r"
+        }.mkString("\nUNION ALL ")
+        s"""WITH dims AS (
+              SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+              FROM embeddings, LATERAL unnest(range(1, 65)) AS t(i)),
+            sel0 AS (SELECT MIN(vec_id) AS s_id FROM embeddings),
+            $roundCtes
+            SELECT round, vec_id, radius FROM (
+              SELECT 0 AS round, s_id AS vec_id,
+                     CAST(NULL AS DOUBLE) AS radius
+              FROM sel0
+              UNION ALL $outRows)
+            ORDER BY round"""
+      }),
+
     // both cluster on the label family and the 64× dim explode is
     // map-side.
     Q("vec_centroids",

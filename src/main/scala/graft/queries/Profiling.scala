@@ -500,5 +500,58 @@ object Profiling {
                 ROUND((n / CAST(tot AS DOUBLE)) *
                       ln((n * tot) / CAST(nx * ny AS DOUBLE)), 6) AS pmi
          FROM m ORDER BY l_returnflag, l_linestatus"""),
+
+    // Pairwise corpus-slice vocabulary overlap (exact Jaccard over
+    // distinct word sets) — the multilingual-curation diagnostic that
+    // decides whether two slices can SHARE a tokenizer/vocab budget or
+    // need their own (high overlap ⇒ shared merges pay off; low ⇒
+    // per-slice vocab). One distinct (lang, word) exchange, vocabulary
+    // sizes off it, then a word-keyed self-join whose fan-out is
+    // bounded by vocabulary size (not corpus size) — at 100 TB the
+    // vocab relation is millions of rows while the corpus is billions,
+    // so the pairwise matrix stays a small-join problem.
+    Q("profile_vocab_overlap",
+      (s, d) => {
+        val vocab = documents(s, d)
+          .select(col("lang"),
+            explode(split(col("text"), " ")).as("word"))
+          .distinct()
+        val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("n"))
+        val inter = vocab.as("a")
+          .join(vocab.as("b"),
+            col("a.word") === col("b.word") &&
+              col("a.lang") < col("b.lang"))
+          .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+          .agg(count(lit(1)).as("n_common"))
+        inter
+          .join(sizes.select(col("lang").as("lang_a"), col("n").as("n_a")),
+            Seq("lang_a"))
+          .join(sizes.select(col("lang").as("lang_b"), col("n").as("n_b")),
+            Seq("lang_b"))
+          .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
+            col("n_common"),
+            round(col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")).cast("double"),
+              6).as("jaccard"))
+          .orderBy("lang_a", "lang_b")
+      },
+      """WITH vocab AS (
+           SELECT DISTINCT lang,
+                  unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         sizes AS (SELECT lang, COUNT(*) AS n FROM vocab GROUP BY 1),
+         inter AS (
+           SELECT a.lang AS lang_a, b.lang AS lang_b,
+                  COUNT(*) AS n_common
+           FROM vocab a JOIN vocab b
+             ON a.word = b.word AND a.lang < b.lang
+           GROUP BY 1, 2)
+         SELECT lang_a, lang_b, sa.n AS n_a, sb.n AS n_b, n_common,
+                ROUND(CAST(n_common AS DOUBLE) /
+                      CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.lang = lang_a
+         JOIN sizes sb ON sb.lang = lang_b
+         ORDER BY lang_a, lang_b"""),
   )
 }

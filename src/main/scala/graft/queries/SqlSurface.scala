@@ -237,6 +237,29 @@ object SqlSurface {
          UNPIVOT (qty FOR status IN (F, O))
          ORDER BY l_returnflag, status"""),
 
+    // ANSI LISTAGG ... WITHIN GROUP (Spark 4's ListAgg) — the ordered
+    // string aggregation as its standard SQL surface (agg_stringagg is
+    // the collect_set composition; this is the syntax an Athena/Trino
+    // user types). DISTINCT + explicit WITHIN GROUP order makes the
+    // result deterministic under any partitioning; DuckDB mirrors with
+    // ordered string_agg.
+    Q("agg_listagg",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("graft_orders_la")
+        s.sql("""
+          SELECT o_orderpriority,
+                 listagg(DISTINCT o_orderstatus, '|')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+                 COUNT(*) AS n
+          FROM graft_orders_la
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      """SELECT o_orderpriority,
+                string_agg(DISTINCT o_orderstatus, '|'
+                           ORDER BY o_orderstatus) AS statuses,
+                COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority"""),
+
     // WITH RECURSIVE (Spark 4's UnionLoop execution) — the BOM/hierarchy
     // rollup no window can express: part keys form an implicit binary
     // tree (parent(k) = floor(k/2), root = 1, TPC-H keys contiguous), and
