@@ -151,6 +151,46 @@ object Aggregates {
          FROM s JOIN e USING (g)
          ORDER BY g"""),
 
+    // EXACT distinct counting via MERGEABLE BITMAPS (Spark 4's bitmap
+    // aggregate family) — the third point in the distinct-count design
+    // space: HLL is approximate-mergeable (agg_approx_distinct), KMV is
+    // approximate-with-set-ops (agg_kmv_ops), bitmaps are EXACT and
+    // mergeable: key space splits into 32k-bit buckets
+    // (bitmap_bucket_number), each (group, bucket) builds a bitmap
+    // map-side (bitmap_construct_agg — partial-aggregatable, OR is the
+    // merge), and the final count is a Σ of per-bucket popcounts. The
+    // 100 TB shape for dense integer keys: day→month→year rollups
+    // reuse stored bucket bitmaps, only bitmap bytes cross the wire,
+    // and unlike HLL the answer is exact — which is why the oracle can
+    // hash-check it against a plain COUNT(DISTINCT).
+    Q("agg_bitmap_distinct",
+      (s, d) => {
+        val perBucket = lineitem(s, d).select(
+            col("l_returnflag").as("g"),
+            expr("bitmap_bucket_number(l_orderkey)").as("bucket"),
+            expr("bitmap_bit_position(l_orderkey)").as("pos"))
+          .groupBy("g", "bucket")
+          .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+        perBucket.groupBy("g")
+          .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_bitmap"),
+            count(lit(1)).as("n_buckets"))
+          .join(lineitem(s, d).groupBy(col("l_returnflag").as("g"))
+            .agg(countDistinct(col("l_orderkey")).as("n_distinct_exact")),
+            Seq("g"))
+          .select(col("g"), col("n_buckets"), col("n_distinct_bitmap"),
+            col("n_distinct_exact"))
+          .orderBy("g")
+      },
+      """WITH ex AS (
+           SELECT l_returnflag AS g,
+                  COUNT(DISTINCT l_orderkey) AS n_distinct,
+                  COUNT(DISTINCT CAST(ceil(l_orderkey / 32768.0)
+                    AS BIGINT)) AS n_buckets
+           FROM lineitem GROUP BY 1)
+         SELECT g, n_buckets, n_distinct AS n_distinct_bitmap,
+                n_distinct AS n_distinct_exact
+         FROM ex ORDER BY g"""),
+
     // KMV SET OPERATIONS — the reason production keeps KMV/theta
     // sketches next to HLL: two sketches support union AND
     // intersection estimation (HLL only unions). Customer populations

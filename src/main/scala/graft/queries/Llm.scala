@@ -856,6 +856,46 @@ object Llm {
                      (a, c) -> (a * 31 + c) % $P))) END AS min_8gram_hash
           FROM documents ORDER BY doc_id"""),
 
+    // HASHING-TRICK featurization (hashingTF): bag-of-words projected
+    // into a FIXED 16-dim space by hashing each token (md5 % 16) — the
+    // featurizer that needs NO vocabulary fit, no broadcast, no
+    // id-assignment pass, which is why it's the scalable front end for
+    // linear quality classifiers at 100 TB (vocab_build's dense-id
+    // path needs a fit; this is one stateless map-side projection +
+    // one (doc, dim) partial-agg exchange). Long-form output (the
+    // sparse representation — dims a doc never hits are absent);
+    // collisions are the accepted trade, and the l2 column is the
+    // per-doc norm a downstream cosine/logreg consumer uses.
+    Q("text_hash_features",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = documents(s, d)
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+          .select(col("doc_id"),
+            (conv(substring(md5(col("w")), 1, 8), 16, 10)
+              .cast("long") % 16).as("dim"))
+          .groupBy("doc_id", "dim")
+          .agg(count(lit(1)).as("n"))
+        val wDoc = Window.partitionBy("doc_id")
+        tf.withColumn("l2",
+            round(sqrt(sum(col("n") * col("n")).over(wDoc)
+              .cast("double")), 6))
+          .orderBy("doc_id", "dim")
+      },
+      """WITH tf AS (
+           SELECT doc_id,
+                  CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 16
+                    AS dim,
+                  COUNT(*) AS n
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           GROUP BY 1, 2)
+         SELECT doc_id, dim, n,
+                ROUND(sqrt(CAST(SUM(n * n) OVER (PARTITION BY doc_id)
+                  AS DOUBLE)), 6) AS l2
+         FROM tf ORDER BY doc_id, dim"""),
+
     // Fully deterministic (integer overlap scoring, alphabetical
     // tie-break), so the whole train-profile → classify pipeline is
     // SQL-expressible and oracle-checked end to end. The profile comes

@@ -768,6 +768,90 @@ object Ml {
          FROM best WHERE rn = 1
          GROUP BY vec_id ORDER BY vec_id"""),
 
+    // DISTRIBUTED LLOYD'S K-MEANS, exactly replayable: k=8 clusters,
+    // md5-rank-seeded initial centroids, TWO synchronous rounds of
+    // assign-then-recompute (fixed depth keeps the plan static — the
+    // graph_pagerank convention; production iterates with a
+    // convergence check). Assignment distances sum identical IEEE
+    // (v−c)² doubles as exact DECIMAL(24,12) (argmin bit-stable, ties
+    // → lowest cluster); new centroids are exact decimal means. Per
+    // round: one broadcast of 8×64 centroid dims against the map-side
+    // dim stream, one (vec, cluster) partial-agg exchange, one
+    // (cluster, dim) mean exchange — the canonical distributed k-means
+    // shape (centroids never leave the cluster as driver state; the
+    // oracle replays both rounds as chained CTEs). Declared relation:
+    // per-cluster membership + within-cluster inertia after round 2 —
+    // the quality curve a mixture/IVF consumer reads.
+    Q("vec_kmeans",
+      (s, d) => {
+        val dims = embeddings(s, d)
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("p", "x")))
+          .select(col("vec_id"), (col("p") + 1).as("i"),
+            col("x").cast("double").as("v"))
+        val wSeed = Window.orderBy(md5(col("vec_id").cast("string")),
+          col("vec_id"))
+        val seeds = embeddings(s, d).select(col("vec_id"))
+          .withColumn("c", (row_number().over(wSeed) - 1).cast("long"))
+          .filter(col("c") < 8)
+        var cent = seeds.join(dims, Seq("vec_id"))
+          .select(col("c"), col("i"), col("v").as("cv"))
+        var assign: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to 2) {
+          val d2 = dims.join(broadcast(cent), Seq("i"))
+            .withColumn("sq",
+              ((col("v") - col("cv")) * (col("v") - col("cv")))
+                .cast(DecimalType(24, 12)))
+            .groupBy("vec_id", "c").agg(sum(col("sq")).as("d2"))
+          val wBest = Window.partitionBy("vec_id")
+            .orderBy(col("d2"), col("c"))
+          assign = d2.withColumn("rn", row_number().over(wBest))
+            .filter(col("rn") === 1).select("vec_id", "c", "d2")
+          cent = assign.join(dims, Seq("vec_id"))
+            .groupBy("c", "i")
+            .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+              count(lit(1))).as("cv"))
+        }
+        assign.groupBy("c")
+          .agg(count(lit(1)).as("n_members"),
+            round(sum(col("d2")).cast("double"), 4).as("inertia"))
+          .orderBy("c")
+      }, {
+        def assignCte(r: Int, centSrc: String) =
+          s"""d$r AS (
+               SELECT vec_id, c, d2 FROM (
+                 SELECT a.vec_id, cc.c,
+                        SUM(CAST((a.v - cc.cv) * (a.v - cc.cv)
+                            AS DECIMAL(24,12))) AS d2,
+                        ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                          ORDER BY SUM(CAST((a.v - cc.cv) * (a.v - cc.cv)
+                            AS DECIMAL(24,12))), cc.c) AS rn
+                 FROM dims a JOIN $centSrc cc ON cc.i = a.i
+                 GROUP BY a.vec_id, cc.c)
+               WHERE rn = 1)"""
+        s"""WITH dims AS (
+              SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+              FROM embeddings, LATERAL unnest(range(1, 65)) AS t(i)),
+            seeds AS (
+              SELECT vec_id, rn - 1 AS c FROM (
+                SELECT vec_id, ROW_NUMBER() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                FROM embeddings)
+              WHERE rn <= 8),
+            cent0 AS (
+              SELECT c, i, v AS cv FROM seeds JOIN dims USING (vec_id)),
+            ${assignCte(1, "cent0")},
+            cent1 AS (
+              SELECT c, i,
+                     CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
+                       / COUNT(*) AS cv
+              FROM d1 JOIN dims USING (vec_id) GROUP BY 1, 2),
+            ${assignCte(2, "cent1")}
+            SELECT c, COUNT(*) AS n_members,
+                   ROUND(CAST(SUM(d2) AS DOUBLE), 4) AS inertia
+            FROM d2 GROUP BY c ORDER BY c"""
+      }),
+
     // K-CENTER GREEDY CORESET (farthest-point sampling, the 2-approx
     // of Gonzalez '85 — the data-selection primitive behind coverage-
     // maximizing training subsets): seed at the lowest vec_id, then 5
