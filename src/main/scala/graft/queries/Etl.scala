@@ -219,6 +219,57 @@ object Etl {
          FROM orders
          ORDER BY o_custkey, valid_from, o_orderkey"""),
 
+    // INCREMENTAL SCD2 merge — the production form of scd2_history
+    // (which rebuilds from scratch): apply a delta batch of new
+    // observations to an existing versioned table by (a) closing each
+    // entity's open version at its first new observation, (b)
+    // version-chaining ONLY the delta rows. History rows are never
+    // re-windowed — the window runs over the delta alone and the close
+    // is one entity-keyed equi-join against a min-aggregate, so at
+    // 100 TB the cost scales with the batch, not the table. The proof
+    // obligation IS the oracle: the merged result hash-equals the
+    // from-scratch SCD2 over all observations (the agg_incremental /
+    // dedup_incremental equivalence discipline).
+    Q("scd2_apply",
+      (s, d) => {
+        val cut = lit("1997-01-01").cast("timestamp")
+        def obs(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("o_custkey"), col("o_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp"))
+              .as("valid_from"))
+        val base = obs(orders(s, d).filter(col("o_orderdate") < cut))
+        val delta = obs(orders(s, d).filter(col("o_orderdate") >= cut))
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("valid_from", "o_orderkey")
+        val hist = base.withColumn("valid_to",
+          lead(col("valid_from"), 1).over(w))
+        val firstNew = delta.groupBy("o_custkey")
+          .agg(min(col("valid_from")).as("first_new"))
+        val closed = hist.join(firstNew, Seq("o_custkey"), "left")
+          .withColumn("valid_to",
+            when(col("valid_to").isNull && col("first_new").isNotNull,
+              col("first_new")).otherwise(col("valid_to")))
+          .drop("first_new")
+        val deltaVers = delta.withColumn("valid_to",
+          lead(col("valid_from"), 1).over(w))
+        closed.unionByName(deltaVers)
+          .withColumn("is_current", col("valid_to").isNull.cast("int"))
+          .orderBy("o_custkey", "valid_from", "o_orderkey")
+      },
+      // the from-scratch recompute over ALL observations — incremental
+      // apply must be indistinguishable from it
+      """SELECT o_custkey, o_orderkey,
+                epoch_us(o_orderdate) AS valid_from,
+                LEAD(epoch_us(o_orderdate), 1) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY epoch_us(o_orderdate), o_orderkey) AS valid_to,
+                CAST(LEAD(epoch_us(o_orderdate), 1) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY epoch_us(o_orderdate), o_orderkey) IS NULL
+                  AS INT) AS is_current
+         FROM orders
+         ORDER BY o_custkey, valid_from, o_orderkey"""),
+
     // Cross-pipeline reconciliation — the migration-validation op: two
     // pipeline outputs compared per partition-key on row count, exact
     // decimal sum, and an ORDER-INDEPENDENT md5 checksum (sum of

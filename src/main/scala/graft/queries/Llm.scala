@@ -856,6 +856,76 @@ object Llm {
                      (a, c) -> (a * 31 + c) % $P))) END AS min_8gram_hash
           FROM documents ORDER BY doc_id"""),
 
+    // BM25 RANKING (Robertson k1=1.2, b=0.75, the +1 idf variant
+    // Lucene uses so scores stay positive) against a fixed query term
+    // set — the search-side scoring the corpus-analysis family lacked
+    // (text_idf_score profiles documents; this RANKS them for a
+    // query). All inputs are exact integers off ONE token exchange
+    // (tf restricted to query terms map-side, doc lengths, per-term
+    // df, corpus N/avgdl as broadcast scalars); the score is one
+    // closed-form double expression on identical rationals, rounded
+    // once. At 100 TB: the df/avgdl stats are a reusable fit-once
+    // relation and scoring is a map-side join against the tiny term
+    // stats — no inverted index needed for a fixed query set.
+    Q("text_bm25",
+      (s, d) => {
+        val terms = Seq("join", "filter", "hash")
+        val toks = documents(s, d)
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val corpus = dl.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("total_len"))
+        val tf = toks.filter(col("w").isin(terms: _*))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df), Seq("w"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(corpus))
+          .withColumn("idf",
+            log((col("n_docs") - col("df") + 0.5) /
+              (col("df") + 0.5) + 1.0))
+          .withColumn("avgdl",
+            col("total_len").cast("double") / col("n_docs"))
+          .withColumn("part",
+            col("idf") * (col("tf") * 2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) +
+                lit(0.75) * col("dl") / col("avgdl"))))
+          .groupBy("doc_id")
+          .agg(round(sum(
+            col("part").cast(org.apache.spark.sql.types
+              .DecimalType(18, 9))).cast("double"), 6)
+            .as("bm25"),
+            count(lit(1)).as("n_terms_hit"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         corpus AS (
+           SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len
+           FROM dl),
+         tf AS (
+           SELECT doc_id, w, COUNT(*) AS tf FROM toks
+           WHERE w IN ('join', 'filter', 'hash') GROUP BY 1, 2),
+         df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT tf.doc_id,
+                  CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                       (tf * 2.2) /
+                       (tf + 1.2 * (0.25 + 0.75 * dl /
+                         (CAST(total_len AS DOUBLE) / n_docs)))
+                    AS DECIMAL(18,9)) AS part
+           FROM tf
+           JOIN df USING (w)
+           JOIN dl USING (doc_id)
+           CROSS JOIN corpus)
+         SELECT doc_id,
+                ROUND(CAST(SUM(part) AS DOUBLE), 6) AS bm25,
+                COUNT(*) AS n_terms_hit
+         FROM scored GROUP BY 1 ORDER BY doc_id"""),
+
     // HASHING-TRICK featurization (hashingTF): bag-of-words projected
     // into a FIXED 16-dim space by hashing each token (md5 % 16) — the
     // featurizer that needs NO vocabulary fit, no broadcast, no

@@ -316,6 +316,67 @@ object Scalars {
                 CAST(n_chars AS VARCHAR) AS q_n
          FROM documents ORDER BY doc_id"""),
 
+    // ANSI-mode SURVIVABLE arithmetic (try_add / try_subtract /
+    // try_multiply / try_divide): Spark 4 runs ANSI by default, so
+    // plain arithmetic THROWS on overflow and division by zero — one
+    // poison row kills a 100 TB job. The try_ family quarantines to
+    // NULL instead (the arithmetic twin of conform_trycast). Overflow
+    // is planted near Long.MaxValue and at 2^62 so both directions
+    // trip; DuckDB (which widens to HUGEINT instead of overflowing)
+    // mirrors with the construction-rule CASE — the oracle checks the
+    // null pattern matches the planted rule exactly.
+    Q("fn_try_arith",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"),
+        expr("try_add(9223372036854775807 - 5000, o_orderkey)")
+          .as("add_guarded"),
+        expr("try_multiply(o_orderkey, 4611686018427387904L)")
+          .as("mul_guarded"),
+        expr("try_divide(o_totalprice, o_orderkey % 3)")
+          .as("div_guarded"),
+        expr("try_subtract(-9223372036854775807 + 5000, o_orderkey)")
+          .as("sub_guarded"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey <= 5000
+                     THEN 9223372036854775807 - 5000 + o_orderkey END
+                  AS add_guarded,
+                CASE WHEN o_orderkey <= 1
+                     THEN o_orderkey * 4611686018427387904 END
+                  AS mul_guarded,
+                CASE WHEN o_orderkey % 3 <> 0
+                     THEN o_totalprice / (o_orderkey % 3) END
+                  AS div_guarded,
+                CASE WHEN o_orderkey <= 5001
+                     THEN -9223372036854775807 + 5000 - o_orderkey END
+                  AS sub_guarded
+         FROM orders ORDER BY o_orderkey"""),
+
+    // Spark 4 COLLATION surface: UTF8_LCASE makes comparison/grouping
+    // case-insensitive AT THE TYPE LEVEL — the engine-native form of
+    // "wrap everything in lower()" (which breaks pushdown and index
+    // use). Mixed-case status values are planted deterministically;
+    // grouping on the collated column merges the case variants, and
+    // the emitted group label is lower()ed on both sides so the
+    // representative is deterministic. DuckDB mirrors with lower()
+    // grouping — same relation, different mechanism, which is the
+    // point: collation is Spark's declarative route to it.
+    Q("fn_collate",
+      (s, d) => orders(s, d)
+        .select(when(col("o_orderkey") % 2 === 0,
+            upper(col("o_orderpriority")))
+          .otherwise(lower(col("o_orderpriority"))).as("pri_mixed"))
+        .groupBy(expr("collate(pri_mixed, 'UTF8_LCASE')").as("pri_ci"))
+        .agg(count(lit(1)).as("n"))
+        .select(lower(col("pri_ci")).as("pri"), col("n"))
+        .orderBy("pri"),
+      """SELECT lower(pri_mixed) AS pri, COUNT(*) AS n
+         FROM (SELECT CASE WHEN o_orderkey % 2 = 0
+                           THEN upper(o_orderpriority)
+                           ELSE lower(o_orderpriority) END AS pri_mixed
+               FROM orders)
+         GROUP BY 1 ORDER BY pri"""),
+
     // Spark 4 VARIANT — the semi-structured column type that replaces
     // schema-on-read JSON string re-parsing: parse once into the binary
     // variant encoding, then typed path extraction (variant_get) without
