@@ -119,12 +119,58 @@ object CommitLog {
       s"commit on $root lost ${attempt} straight races — aborting")
   }
 
-  /** Read the snapshot AS OF a version, resolving through the log. */
+  /** Read the snapshot AS OF a version, resolving through the log.
+    * A dataDir may be root-relative (normal commits) or absolute (a
+    * shallow-clone reference into another table's data). */
   def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
     val c = commits(spark, root).find(_.version == version).getOrElse(
       throw new IllegalArgumentException(
         s"version $version not in commit log at $root"))
-    spark.read.parquet(s"$root/${c.dataDir}")
+    val path = if (c.dataDir.startsWith("/") || c.dataDir.contains("://"))
+      c.dataDir else s"$root/${c.dataDir}"
+    spark.read.parquet(path)
+  }
+
+  /** SHALLOW CLONE (Delta's CLONE): a new table whose first commit
+    * REFERENCES the source version's data absolutely — a metadata-only
+    * operation (no bytes move, O(1) regardless of table size), after
+    * which the clone's log evolves independently: its own commits
+    * stage their own data, and the source is never written through the
+    * clone. Vacuum safety is structural: [[vacuum]] only unlinks dirs
+    * under the clone's OWN data/ — an absolute reference never matches,
+    * so a clone can never reap shared source files (the flip side:
+    * vacuuming the SOURCE can orphan a clone's base version — same
+    * contract as Delta shallow clones, documented not solved). */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
+      version: Int): Commit = {
+    val src = commits(spark, srcRoot).find(_.version == version).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $version not in commit log at $srcRoot"))
+    val abs = if (src.dataDir.startsWith("/") || src.dataDir.contains("://"))
+      src.dataDir else s"$srcRoot/${src.dataDir}"
+    init(spark, dstRoot)
+    var attempt = 0
+    while (attempt < 50) {
+      attempt += 1
+      val base = latest(spark, dstRoot).map(_.version).getOrElse(0)
+      val rec = Commit(base + 1, "clone", base, abs)
+      val line = s"${rec.version}|${rec.baseVersion}|${rec.action}|${rec.dataDir}"
+      val tmp = Paths.get(commitsDir(dstRoot),
+        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.createDirectories(tmp.getParent)
+      Files.write(tmp, line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val target = Paths.get(commitsDir(dstRoot), f"v${rec.version}%08d.json")
+      try {
+        Files.createLink(target, tmp)
+        Files.delete(tmp)
+        return rec
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.delete(tmp)
+      }
+    }
+    throw new IllegalStateException(
+      s"clone into $dstRoot lost $attempt straight races — aborting")
   }
 
   def readLatest(spark: SparkSession, root: String): DataFrame = {

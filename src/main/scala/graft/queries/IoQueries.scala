@@ -683,6 +683,107 @@ object IoQueries {
                   % 1000000007 AS BIGINT) AS checksum
          FROM documents GROUP BY 1 ORDER BY 1"""),
 
+    // SHALLOW CLONE (Delta CLONE): fork a table at a version WITHOUT
+    // copying data — the clone's first commit references the source
+    // snapshot absolutely (O(1) metadata at any table size; the dev/
+    // test-against-prod and what-if-migration primitive), then both
+    // logs evolve independently: the source deletes rows, the clone
+    // inserts, and neither sees the other's change. The declared
+    // relation audits every version of BOTH tables through their logs;
+    // the clone's base version hash-equals the source version it
+    // forked (rows are the proof no bytes were copied wrong), and the
+    // divergent heads differ. Clone-side vacuum can never reap shared
+    // source files (absolute refs never match the clone's own data/
+    // listing — CommitLogSpec pins the metadata-only property).
+    Q("table_clone",
+      (s, d) => {
+        import graft.engine.io.CommitLog
+        val srcRoot = scratch(d, "clone_src")
+        val dstRoot = scratch(d, "clone_dst")
+        val fs = new org.apache.hadoop.fs.Path(srcRoot)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(srcRoot), true)
+        fs.delete(new org.apache.hadoop.fs.Path(dstRoot), true)
+        CommitLog.init(s, srcRoot)
+        CommitLog.commit(s, srcRoot, "snapshot") { (dir, _) =>
+          orders(s, d).filter(col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+            .write.parquet(dir)
+        }
+        CommitLog.commit(s, srcRoot, "update") { (dir, base) =>
+          CommitLog.readVersion(s, srcRoot, base).withColumn("v",
+            when(col("k") % 9 === 0,
+              (col("v").cast(DecimalType(18, 2)) *
+                lit(new java.math.BigDecimal("1.05"))).cast("double"))
+              .otherwise(col("v")))
+            .write.parquet(dir)
+        }
+        CommitLog.cloneTable(s, srcRoot, dstRoot, 2)
+        // divergence: source deletes, clone inserts — independent logs
+        CommitLog.commit(s, srcRoot, "delete") { (dir, base) =>
+          CommitLog.readVersion(s, srcRoot, base)
+            .filter(col("k") % 27 =!= 0).write.parquet(dir)
+        }
+        CommitLog.commit(s, dstRoot, "insert") { (dir, base) =>
+          CommitLog.readVersion(s, dstRoot, base)
+            .unionByName(orders(s, d)
+              .filter(col("o_orderkey") % 1000 === 0 &&
+                col("o_orderkey") > 0)
+              .select((-col("o_orderkey")).as("k"),
+                col("o_totalprice").as("v")))
+            .write.parquet(dir)
+        }
+        def audit(tbl: String, root: String) =
+          CommitLog.commits(s, root).map { c =>
+            CommitLog.readVersion(s, root, c.version)
+              .agg(count(lit(1)).as("n_rows"),
+                round(sum(col("v").cast(DecimalType(18, 4)))
+                  .cast("double"), 2).as("total"))
+              .select(lit(tbl).as("tbl"), lit(c.version).as("version"),
+                lit(c.action).as("action"), col("n_rows"), col("total"))
+          }
+        (audit("src", srcRoot) ++ audit("clone", dstRoot))
+          .reduce(_ unionByName _).orderBy("tbl", "version")
+      },
+      """WITH v1 AS (
+           SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+           WHERE o_orderkey % 3 = 0),
+         v2 AS (
+           SELECT k, CASE WHEN k % 9 = 0
+                  THEN CAST(CAST(v AS DECIMAL(18,2)) *
+                       CAST(1.05 AS DECIMAL(3,2)) AS DOUBLE)
+                  ELSE v END AS v
+           FROM v1),
+         v3 AS (SELECT * FROM v2 WHERE k % 27 <> 0),
+         c2 AS (
+           SELECT * FROM v2
+           UNION ALL
+           SELECT -o_orderkey AS k, o_totalprice AS v FROM orders
+           WHERE o_orderkey % 1000 = 0 AND o_orderkey > 0)
+         SELECT tbl, version, action, n_rows, total FROM (
+           SELECT 'src' AS tbl, 1 AS version, 'snapshot' AS action,
+                  COUNT(*) AS n_rows,
+                  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2)
+                    AS total
+           FROM v1
+           UNION ALL
+           SELECT 'src', 2, 'update', COUNT(*),
+                  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2)
+           FROM v2
+           UNION ALL
+           SELECT 'src', 3, 'delete', COUNT(*),
+                  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2)
+           FROM v3
+           UNION ALL
+           SELECT 'clone', 1, 'clone', COUNT(*),
+                  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2)
+           FROM v2
+           UNION ALL
+           SELECT 'clone', 2, 'insert', COUNT(*),
+                  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2)
+           FROM c2)
+         ORDER BY tbl, version"""),
+
     // OPTIMIZE ... ZORDER BY — the clustering REWRITE (compact_files
     // re-packs, this re-ORDERS): rows are laid out along the 2-D Morton
     // curve over (partkey, suppkey) and written as range shards, so

@@ -594,6 +594,54 @@ object Llm {
                 ROUND(cos, 6) AS score
          FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn"""),
 
+    // MAXIMUM INNER-PRODUCT search (MIPS) — the retrieval objective
+    // recommenders and reward models actually rank by: the RAW dot
+    // product, NOT length-normalized cosine (a long vector SHOULD
+    // outrank a perfectly-aligned short one when scores carry
+    // magnitude). Distinct top-k from sim_search_topk on the same
+    // probes — which is the point: the engine exposes both metrics
+    // over one broadcast-probe scan. The classic scale path is the
+    // norm-augmentation reduction (append sqrt(M²−‖x‖²) ⇒ MIPS becomes
+    // cosine ANN, reusing the whole IVF machinery); exact brute force
+    // here is the oracle-checkable tier. Left-fold double dot product
+    // mirrors DuckDB's list_reduce exactly (sim_search_topk device).
+    Q("sim_search_dot",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val scored = emb.crossJoin(broadcast(Similarity.probes(emb)))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            expr("""aggregate(zip_with(probe_emb, embedding,
+                      (x, y) -> cast(x AS double) * cast(y AS double)),
+                    0.0D, (a, v) -> a + v)""").as("dot"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy(desc("dot"), asc("vec_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("probe_id"), col("rn").cast("int").as("rn"),
+            col("vec_id"), round(col("dot"), 6).as("score"))
+          .orderBy("probe_id", "rn")
+      },
+      """WITH probe_ids AS (
+           SELECT MIN(vec_id) AS probe_id FROM embeddings GROUP BY label),
+         p AS (SELECT e.vec_id AS probe_id, e.embedding AS probe_emb
+               FROM embeddings e JOIN probe_ids ON e.vec_id = probe_id),
+         scored AS (
+           SELECT p.probe_id, e.vec_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+             AS dot
+           FROM p CROSS JOIN embeddings e WHERE e.vec_id <> p.probe_id),
+         ranked AS (
+           SELECT probe_id, vec_id, dot,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY dot DESC, vec_id ASC) AS rn
+           FROM scored)
+         SELECT probe_id, CAST(rn AS INT) AS rn, vec_id,
+                ROUND(dot, 6) AS score
+         FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn"""),
+
     // The ANN rankings themselves depend on the seeded hyperplanes /
     // quantizer (engine-specific), so the DECLARED relation of each
     // sim_ann_* key is the deterministic recall AUDIT against the

@@ -164,5 +164,79 @@ object Quality {
                  round(CAST(y AS DOUBLE) - (rb0 + rb1 * CAST(x1 AS DOUBLE) + rb2 * CAST(x2 AS DOUBLE)), 4) + 0.0 AS residual
           FROM feats CROSS JOIN coef
           ORDER BY doc_id"""),
+
+    // The missing third of the scorer lifecycle: HELD-OUT evaluation.
+    // Train on the md5-90% split, evaluate on the unseen 10% — the
+    // out-of-sample MSE/R² that decides whether the scorer is promoted
+    // (in-sample R² from quality_train always flatters). Same exact-
+    // decimal moments + Cramer solve, fit ONLY on train rows; test
+    // residuals pinned to decimals so both sums are order-free. The
+    // honest 100 TB shape: the split is a map-side hash predicate, the
+    // fit is still one 9-number reduce over train, the eval one
+    // decimal reduce over test.
+    Q("quality_eval",
+      (s, d) => {
+        val isTrain =
+          "conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) % 10 < 9"
+        val feats = documents(s, d)
+          .selectExpr("doc_id" +: s"($isTrain) AS is_train" +: sparkFeats: _*)
+        val m = feats.filter(col("is_train"))
+          .selectExpr(momentsSeq: _*)
+          .selectExpr("CAST(n AS BIGINT) AS n_train",
+            s"round($b0Sql, 6) AS b0",
+            s"round($b1Sql, 6) AS b1",
+            s"round($b2Sql, 6) AS b2",
+            b0Sql + " AS rb0", b1Sql + " AS rb1", b2Sql + " AS rb2")
+        val test = feats.filter(!col("is_train"))
+        val tstats = test.agg(
+          count(lit(1)).as("n_test"),
+          (sum(col("y")).cast("double") / count(lit(1))).as("ybar_t"))
+        val ev = test.crossJoin(broadcast(m))
+          .crossJoin(broadcast(tstats))
+          .selectExpr("n_test", "ybar_t",
+            "CAST(y AS DOUBLE) AS yd",
+            "CAST(rb0 + rb1 * CAST(x1 AS DOUBLE) + rb2 * CAST(x2 AS DOUBLE) AS DECIMAL(12,6)) AS yhat")
+          .groupBy("n_test")
+          .agg(
+            expr("CAST(SUM(CAST((yd - CAST(yhat AS DOUBLE)) * (yd - CAST(yhat AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE)").as("sse"),
+            expr("CAST(SUM(CAST((yd - ybar_t) * (yd - ybar_t) AS DECIMAL(18,12))) AS DOUBLE)").as("sst"))
+        m.crossJoin(broadcast(ev))
+          .selectExpr("n_train", "n_test", "b0", "b1", "b2",
+            "round(sse / n_test, 6) AS mse_test",
+            "round(1.0 - sse / sst, 6) AS r2_test")
+      },
+      s"""WITH feats AS (
+            SELECT doc_id,
+                   (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 9) AS is_train,
+                   $duckFeats
+            FROM documents),
+          m AS (
+            SELECT $momentsSql
+            FROM feats WHERE is_train),
+          coef AS (
+            SELECT CAST(n AS BIGINT) AS n_train,
+                   round($b0Sql, 6) AS b0,
+                   round($b1Sql, 6) AS b1,
+                   round($b2Sql, 6) AS b2,
+                   $b0Sql AS rb0, $b1Sql AS rb1, $b2Sql AS rb2
+            FROM m),
+          tstats AS (
+            SELECT COUNT(*) AS n_test,
+                   CAST(SUM(y) AS DOUBLE) / COUNT(*) AS ybar_t
+            FROM feats WHERE NOT is_train),
+          ev AS (
+            SELECT n_test,
+                   CAST(SUM(CAST((yd - CAST(yhat AS DOUBLE)) * (yd - CAST(yhat AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE) AS sse,
+                   CAST(SUM(CAST((yd - ybar_t) * (yd - ybar_t) AS DECIMAL(18,12))) AS DOUBLE) AS sst
+            FROM (
+              SELECT n_test, ybar_t, CAST(y AS DOUBLE) AS yd,
+                     CAST(rb0 + rb1 * CAST(x1 AS DOUBLE) + rb2 * CAST(x2 AS DOUBLE) AS DECIMAL(12,6)) AS yhat
+              FROM feats CROSS JOIN coef CROSS JOIN tstats
+              WHERE NOT is_train)
+            GROUP BY n_test)
+          SELECT n_train, n_test, b0, b1, b2,
+                 round(sse / n_test, 6) AS mse_test,
+                 round(1.0 - sse / sst, 6) AS r2_test
+          FROM coef CROSS JOIN ev"""),
   )
 }

@@ -128,4 +128,37 @@ class CommitLogSpec extends AnyFunSuite with SparkFixture {
     // history (the log itself) is preserved — only data expired
     assert(CommitLog.commits(spark, root).map(_.version) == Seq(1, 2, 3))
   }
+
+  test("shallow clone is metadata-only, diverges independently, " +
+      "and clone-side vacuum never reaps shared source data") {
+    val src = freshRoot("clone_src")
+    val dst = s"${sys.props("java.io.tmpdir")}/graft_commitlog_spec/clone_dst"
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    import spark.implicits._
+    CommitLog.commit(spark, src, "snap") { (dir, _) =>
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").write.parquet(dir)
+    }
+    CommitLog.cloneTable(spark, src, dst, 1)
+    // metadata-only: the clone has NO data directory of its own
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dst/data")))
+    // the clone reads the source snapshot through its own log
+    assert(CommitLog.readVersion(spark, dst, 1).count() == 2)
+    // divergence: clone inserts, source unaffected and vice versa
+    CommitLog.commit(spark, dst, "ins") { (dir, base) =>
+      CommitLog.readVersion(spark, dst, base)
+        .unionByName(Seq((3L, 3.0)).toDF("k", "v")).write.parquet(dir)
+    }
+    CommitLog.commit(spark, src, "del") { (dir, base) =>
+      CommitLog.readVersion(spark, src, base)
+        .filter($"k" =!= 1L).write.parquet(dir)
+    }
+    assert(CommitLog.readLatest(spark, dst).count() == 3)
+    assert(CommitLog.readLatest(spark, src).count() == 1)
+    // clone-side vacuum with keep=1 expires the clone's base version
+    // record but MUST NOT delete the source's shared files
+    CommitLog.vacuum(spark, dst, keep = 1, orphanGraceMs = 0L)
+    assert(CommitLog.readVersion(spark, src, 1).count() == 2)
+  }
 }
