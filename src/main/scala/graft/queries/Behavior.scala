@@ -750,6 +750,78 @@ object Behavior {
                                          CAST(tot AS DOUBLE) < 0.8
                                     THEN 1 ELSE 0 END) AS DOUBLE)
                       / COUNT(*), 6) AS pct_of_parts
-         FROM c GROUP BY flag ORDER BY flag""")
+         FROM c GROUP BY flag ORDER BY flag"""),
+
+    // MULTI-TOUCH ATTRIBUTION — the marketing-analytics capstone the
+    // funnel/transition family leads to: every purchase distributes
+    // one unit of conversion credit over the clicks in its trailing
+    // 1-hour window, linearly (1/n per touch), and channels are
+    // compared on linear vs last-touch credit (the two models whose
+    // disagreement IS the attribution debate). Credits are rationals
+    // pinned to DECIMAL(12,8) before the channel sum (order-free);
+    // the touch join is the plain interval form here — at 100 TB it
+    // becomes the join_range_bucketed (user, time-bucket) equi-join,
+    // identical output. Channel is derived from the click's payload
+    // (props.k mod 5 — construction-time truth both engines replay).
+    Q("event_attribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("t"),
+          col("props"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("c_id"),
+            col("t").as("c_t"),
+            concat(lit("ch"),
+              get_json_object(col("props"), "$.k").cast("long") % 5)
+              .as("channel"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("t").as("p_t"))
+        val touches = purchases.join(clicks, Seq("user_id"))
+          .filter(col("c_t") < col("p_t") &&
+            col("p_t") - col("c_t") <= 3600000000L)
+        val wP = Window.partitionBy("p_id")
+        val wLast = Window.partitionBy("p_id")
+          .orderBy(desc("c_t"), desc("c_id"))
+        touches
+          .withColumn("n_touch", count(lit(1)).over(wP))
+          .withColumn("is_last",
+            (row_number().over(wLast) === 1).cast("long"))
+          .withColumn("credit",
+            (lit(1.0) / col("n_touch"))
+              .cast(org.apache.spark.sql.types.DecimalType(12, 8)))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_touches"),
+            round(sum(col("credit")).cast("double"), 4)
+              .as("linear_credit"),
+            sum(col("is_last")).as("last_touch_credit"))
+          .orderBy("channel")
+      },
+      """WITH clicks AS (
+           SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_t,
+                  'ch' || (CAST(json_extract_string(props, '$.k')
+                    AS BIGINT) % 5) AS channel
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_t
+           FROM events WHERE event_type = 'purchase'),
+         touches AS (
+           SELECT p.p_id, c.c_id, c.c_t, c.channel
+           FROM purchases p JOIN clicks c USING (user_id)
+           WHERE c.c_t < p.p_t AND p.p_t - c.c_t <= 3600000000),
+         credited AS (
+           SELECT channel,
+                  CAST(1.0 AS DOUBLE) /
+                    COUNT(*) OVER (PARTITION BY p_id) AS credit_raw,
+                  CASE WHEN ROW_NUMBER() OVER (PARTITION BY p_id
+                         ORDER BY c_t DESC, c_id DESC) = 1
+                       THEN 1 ELSE 0 END AS is_last
+           FROM touches)
+         SELECT channel, COUNT(*) AS n_touches,
+                ROUND(CAST(SUM(CAST(credit_raw AS DECIMAL(12,8)))
+                  AS DOUBLE), 4) AS linear_credit,
+                CAST(SUM(is_last) AS BIGINT) AS last_touch_credit
+         FROM credited GROUP BY channel ORDER BY channel""")
   )
 }

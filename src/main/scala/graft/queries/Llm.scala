@@ -403,6 +403,62 @@ object Llm {
          SELECT cluster_size, COUNT(*) AS n_clusters
          FROM csize GROUP BY cluster_size ORDER BY cluster_size"""),
 
+    // SOFT dedup (down-WEIGHT, don't drop): every member of a resolved
+    // near-dup cluster gets sampling weight 1/cluster_size, so the
+    // cluster as a whole contributes one document's worth of
+    // probability mass to training — the gentler alternative to
+    // dedup_apply's hard keep-list (used when near-dups carry real
+    // variation worth a fractional vote, e.g. templated pages with
+    // differing payloads). Third consumer of the persisted keep-list
+    // artifact: one tiny cluster-size aggregate joined back, map-side
+    // weight arithmetic — the corpus is never rescanned.
+    Q("dedup_soft_weights",
+      (s, d) => {
+        val keep = Dedup.keepListFor(documents(s, d), d, 0.05)
+        val sizes = keep.groupBy("keep_id")
+          .agg(count(lit(1)).as("cluster_size"))
+        keep.join(sizes, Seq("keep_id"))
+          .select(col("doc_id"), col("keep_id").as("cluster_id"),
+            col("cluster_size"),
+            round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+          .orderBy("doc_id")
+      },
+      """WITH RECURSIVE grams AS (
+           SELECT DISTINCT doc_id, lang, source,
+                  unnest(list_transform(range(1, len(string_split(text,' '))),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1])) AS g
+           FROM documents),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+           FROM grams a JOIN grams b
+             ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b
+           FROM common
+             JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05),
+         edges AS (
+           SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION
+           SELECT doc_b AS u, doc_a AS v FROM pairs),
+         reach(u, v) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         keep AS (
+           SELECT u AS doc_id, MIN(v) AS keep_id FROM reach GROUP BY u),
+         csize AS (
+           SELECT keep_id, COUNT(*) AS cluster_size FROM keep GROUP BY 1)
+         SELECT doc_id, keep_id AS cluster_id, cluster_size,
+                ROUND(CAST(1.0 AS DOUBLE) / cluster_size, 6) AS weight
+         FROM keep JOIN csize USING (keep_id)
+         ORDER BY doc_id"""),
+
     // Deterministic train/val/test split — the terminal ML-prep op:
     // md5-bucket of the stable key → 90/5/5 assignment that is
     // reproducible across runs, engines, and retries (rand() is none

@@ -501,6 +501,49 @@ object Profiling {
                       ln((n * tot) / CAST(nx * ny AS DOUBLE)), 6) AS pmi
          FROM m ORDER BY l_returnflag, l_linestatus"""),
 
+    // NULL-PATTERN matrix — missingness PROFILING beyond per-column
+    // null counts (profile_summary): which columns go null TOGETHER.
+    // Correlated missingness (one upstream extractor dying takes three
+    // fields with it) is invisible to per-column stats and is exactly
+    // what this histogram of row-level null bitmasks exposes. Nulls
+    // are planted deterministically (testdata has none — FIXTURES
+    // note 3); one scan, one tiny bitmask aggregate.
+    Q("profile_null_matrix",
+      (s, d) => {
+        val dirty = orders(s, d).select(
+          when(col("o_orderkey") % 7 === 0, lit(null: String))
+            .otherwise(col("o_orderstatus")).as("status"),
+          when(col("o_orderkey") % 5 === 0,
+            lit(null).cast("double"))
+            .otherwise(col("o_totalprice")).as("price"),
+          when(col("o_orderkey") % 11 === 0,
+            lit(null).cast("timestamp"))
+            .otherwise(col("o_orderdate")).as("odate"))
+        dirty.select(
+          (when(col("status").isNull, 4).otherwise(0) +
+            when(col("price").isNull, 2).otherwise(0) +
+            when(col("odate").isNull, 1).otherwise(0)).as("mask"),
+          concat_ws(",",
+            when(col("status").isNull, "status"),
+            when(col("price").isNull, "price"),
+            when(col("odate").isNull, "odate")).as("pattern"))
+          .groupBy("mask", "pattern")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("mask")
+      },
+      """SELECT mask, pattern, COUNT(*) AS n FROM (
+           SELECT (CASE WHEN o_orderkey % 7 = 0 THEN 4 ELSE 0 END +
+                   CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 0 END +
+                   CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END)
+                    AS mask,
+                  concat_ws(',',
+                    CASE WHEN o_orderkey % 7 = 0 THEN 'status' END,
+                    CASE WHEN o_orderkey % 5 = 0 THEN 'price' END,
+                    CASE WHEN o_orderkey % 11 = 0 THEN 'odate' END)
+                    AS pattern
+           FROM orders)
+         GROUP BY mask, pattern ORDER BY mask"""),
+
     // Pairwise corpus-slice vocabulary overlap (exact Jaccard over
     // distinct word sets) — the multilingual-curation diagnostic that
     // decides whether two slices can SHARE a tokenizer/vocab budget or

@@ -310,6 +310,36 @@ object Windows {
            SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2)
          SELECT user_id, MAX(len) AS max_streak, COUNT(*) AS n_streaks
          FROM streaks GROUP BY user_id ORDER BY user_id"""),
+
+    // ROLLING MEDIAN — the robust companion to win_rolling_stats'
+    // mean/stddev (one outlier wrecks a rolling mean; the median
+    // shrugs): 7-row trailing median of event value per user. A
+    // percentile aggregate over a ROWS frame — Spark evaluates
+    // percentile() per frame, DuckDB's quantile_cont has a native
+    // sliding-window path; both define the 0.5 quantile by linear
+    // interpolation on the sorted frame, midpoints are exact IEEE
+    // means of identical doubles, rounded once. Same single user_id
+    // sort-exchange as every rolling key.
+    Q("win_rolling_median",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("t"), col("event_id"))
+          .rowsBetween(-6, Window.currentRow)
+        events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("t"), col("value"))
+          .withColumn("med7",
+            round(expr("percentile(value, 0.5D)")
+              .over(w), 4))
+          .select("event_id", "user_id", "med7")
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id,
+                ROUND(quantile_cont(value, 0.5) OVER (
+                  PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+         FROM events ORDER BY event_id"""),
   )
 
   /** Exact decimal windowed sum, emitted as ROUND(CAST(.. AS DOUBLE), s)
