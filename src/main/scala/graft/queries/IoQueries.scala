@@ -683,6 +683,94 @@ object IoQueries {
                   % 1000000007 AS BIGINT) AS checksum
          FROM documents GROUP BY 1 ORDER BY 1"""),
 
+    // PARTITION-SCHEME EVOLUTION through the commit log — the lake
+    // migration nobody can do in-place (Hive tables freeze their
+    // partition columns at creation): v1 lays the table out by year,
+    // v2 REWRITES the same rows year/month (finer pruning as the
+    // table grows), v3 appends under the new scheme. Because readers
+    // resolve snapshots through the log, a layout change is just
+    // another commit — every version answers the same query
+    // identically, and the audit proves both the content (rows +
+    // decimal sum) and the LAYOUT (leaf partition-directory count:
+    // |years| → |year×month|) per version. The oracle recomputes both
+    // from construction — directory counts are distinct-count
+    // queries. At 100 TB this is how partition evolution ships:
+    // rewrite once under the new scheme, cut over atomically via the
+    // commit, old readers keep their version.
+    Q("table_partition_evolution",
+      (s, d) => {
+        import graft.engine.io.CommitLog
+        val root = scratch(d, "partevo")
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        CommitLog.init(s, root)
+        val cut = lit("1997-01-01").cast("timestamp")
+        val early = orders(s, d).filter(col("o_orderdate") < cut)
+        CommitLog.commit(s, root, "layout_y") { (dir, _) =>
+          early.select(col("o_orderkey").as("k"),
+            col("o_totalprice").as("v"),
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"))
+            .write.partitionBy("y").parquet(dir)
+        }
+        CommitLog.commit(s, root, "relayout_ym") { (dir, baseV) =>
+          CommitLog.readVersion(s, root, baseV)
+            .write.partitionBy("y", "m").parquet(dir)
+        }
+        CommitLog.commit(s, root, "append_ym") { (dir, baseV) =>
+          CommitLog.readVersion(s, root, baseV)
+            .unionByName(orders(s, d).filter(col("o_orderdate") >= cut)
+              .select(col("o_orderkey").as("k"),
+                col("o_totalprice").as("v"),
+                year(col("o_orderdate")).as("y"),
+                month(col("o_orderdate")).as("m")))
+            .write.partitionBy("y", "m").parquet(dir)
+        }
+        def leafDirs(p: org.apache.hadoop.fs.Path): Long = {
+          val kids = fsys.listStatus(p).filter(_.isDirectory)
+            .filterNot(_.getPath.getName.startsWith("_"))
+          if (kids.isEmpty) 1L else kids.map(k => leafDirs(k.getPath)).sum
+        }
+        val audits = CommitLog.commits(s, root).map { c =>
+          val dataPath = new org.apache.hadoop.fs.Path(s"$root/${c.dataDir}")
+          CommitLog.readVersion(s, root, c.version)
+            .agg(count(lit(1)).as("n_rows"),
+              round(sum(col("v").cast(DecimalType(18, 4)))
+                .cast("double"), 2).as("total"))
+            .select(lit(c.version).as("version"),
+              lit(c.action).as("action"), col("n_rows"),
+              lit(leafDirs(dataPath)).as("n_leaf_dirs"), col("total"))
+        }
+        audits.reduce(_ unionByName _).orderBy("version")
+      },
+      """WITH early AS (
+           SELECT o_orderkey AS k, o_totalprice AS v,
+                  year(o_orderdate) AS y, month(o_orderdate) AS m
+           FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+         full_t AS (
+           SELECT o_orderkey AS k, o_totalprice AS v,
+                  year(o_orderdate) AS y, month(o_orderdate) AS m
+           FROM orders)
+         SELECT version, action, n_rows, n_leaf_dirs, total FROM (
+           SELECT 1 AS version, 'layout_y' AS action,
+                  COUNT(*) AS n_rows,
+                  COUNT(DISTINCT y) AS n_leaf_dirs,
+                  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2)
+                    AS total
+           FROM early
+           UNION ALL
+           SELECT 2, 'relayout_ym', COUNT(*),
+                  COUNT(DISTINCT (y, m)),
+                  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2)
+           FROM early
+           UNION ALL
+           SELECT 3, 'append_ym', COUNT(*),
+                  COUNT(DISTINCT (y, m)),
+                  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2)
+           FROM full_t)
+         ORDER BY version"""),
+
     // SHALLOW CLONE (Delta CLONE): fork a table at a version WITHOUT
     // copying data — the clone's first commit references the source
     // snapshot absolutely (O(1) metadata at any table size; the dev/

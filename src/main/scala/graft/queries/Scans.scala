@@ -29,6 +29,16 @@ object Scans {
     ColumnMeta("s_nationkey", "int"),
     ColumnMeta("s_acctbal", "double")))
 
+  /** External-table metadata over `orders` (footer-matching types —
+    * same binding rule as supplierMeta). */
+  val ordersMeta: TableMeta = TableMeta("graft_orders_vsrc", Seq(
+    ColumnMeta("o_orderkey", "long"),
+    ColumnMeta("o_custkey", "long"),
+    ColumnMeta("o_orderstatus", "character"),
+    ColumnMeta("o_totalprice", "double"),
+    ColumnMeta("o_orderdate", "datetime"),
+    ColumnMeta("o_orderpriority", "character")))
+
   val qs: Seq[Q] = Seq(
     Q("scan_parquet",
       (s, d) => lineitem(s, d).orderBy("l_orderkey", "l_linenumber"),
@@ -68,6 +78,63 @@ object Scans {
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
                 MIN(s_name) AS first_name
          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""),
+
+    // CATALOG VIEW — the Athena/Glue surface the reference's analysts
+    // lived in: a named view whose TEXT is stored in the catalog and
+    // re-resolved per query (schema changes flow through; a CTAS table
+    // would freeze them). The view composes an aggregate over the
+    // external table; querying it must produce exactly the underlying
+    // statement's relation. At 100 TB a view is free — it's the
+    // pushdown-transparent form of sharing a query, vs materializing.
+    Q("catalog_view",
+      (s, d) => {
+        Catalog.dropExternal(s, "graft_orders_vsrc")
+        Catalog.registerExternal(s, Scans.ordersMeta,
+          s"$d/orders.parquet", Some("graft_orders_vsrc"))
+        s.sql("DROP VIEW IF EXISTS graft_rev_by_status")
+        s.sql("""CREATE VIEW graft_rev_by_status AS
+                 SELECT o_orderstatus,
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS revenue,
+                        COUNT(*) AS n
+                 FROM graft_orders_vsrc GROUP BY o_orderstatus""")
+        s.sql("""SELECT o_orderstatus, revenue, n
+                 FROM graft_rev_by_status
+                 WHERE n > 10 ORDER BY o_orderstatus""")
+      },
+      """SELECT o_orderstatus,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue,
+                COUNT(*) AS n
+         FROM orders GROUP BY o_orderstatus
+         HAVING COUNT(*) > 10 ORDER BY o_orderstatus"""),
+
+    // PARAMETERIZED SQL (named-marker form) — the injection-safe query
+    // surface a reference user templated their Athena statements with:
+    // the statement text carries :named markers, values bind at
+    // execution (typed, never string-spliced). Catalyst folds the
+    // bound literals before optimization, so parameterization costs
+    // nothing at plan time — the filter still pushes into the scan.
+    Q("sql_params",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("graft_orders_par")
+        s.sql(
+          """SELECT o_orderpriority, COUNT(*) AS n,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE) AS revenue
+             FROM graft_orders_par
+             WHERE o_totalprice BETWEEN :lo AND :hi
+               AND o_orderstatus = :status
+             GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+          Map("lo" -> 50000, "hi" -> 200000, "status" -> "O"))
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders
+         WHERE o_totalprice BETWEEN 50000 AND 200000
+           AND o_orderstatus = 'O'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
 
     // ANALYZE TABLE — the optimizer-statistics feed: external table →
     // COMPUTE STATISTICS FOR COLUMNS → the catalog's stored stats read
