@@ -562,6 +562,103 @@ FROM tok ORDER BY lang, source"""),
                   AS boiler_frac
          FROM per_doc ORDER BY doc_id"""),
 
+    // EXACT-SUBSTRING duplication coverage (the "Deduplicating
+    // Training Data Makes LMs Better" metric): per document, the
+    // fraction of TOKENS lying inside any ≥10-token window that also
+    // appears verbatim in another document. Differs from
+    // text_boilerplate in both stride and unit: stride-1 windows (a
+    // duplicated span is caught at every offset, not only at aligned
+    // decile chunks) and OVERLAPPING matched windows merged into
+    // maximal runs (interval_coverage's running-max islands on token
+    // offsets) so a token is counted once no matter how many windows
+    // cover it. Shape: map-side window fingerprints, one distinct
+    // (doc, ch) exchange for the shared set, matched positions join,
+    // one doc_id window family for the merge — never a suffix array,
+    // which is the point: the suffix-automaton metric reduced to
+    // relational ops that scale.
+    Q("text_dup_coverage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val chunks = t.select(col("doc_id"),
+            size(col("w")).cast("long").as("n_tokens"),
+            explode(expr(
+              """CASE WHEN size(w) < 10 THEN
+                   array() ELSE transform(sequence(1, size(w) - 9),
+                   i -> struct(i AS st,
+                     md5(array_join(slice(w, i, 10), ' ')) AS ch))
+                 END""")).as("c"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("c.st").as("st"), col("c.ch").as("ch"))
+        val shared = chunks.select("doc_id", "ch").distinct()
+          .groupBy("ch").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2).select("ch")
+        val iv = chunks.join(shared, Seq("ch"))
+          .select(col("doc_id"), col("st"), (col("st") + 9).as("en"))
+        val wOrd = Window.partitionBy("doc_id").orderBy("st", "en")
+        val runs = iv
+          .withColumn("prev_max",
+            max(col("en")).over(wOrd.rowsBetween(
+              Window.unboundedPreceding, -1)))
+          .withColumn("ni",
+            (col("prev_max").isNull || col("st") > col("prev_max"))
+              .cast("int"))
+          .withColumn("island", sum(col("ni")).over(wOrd))
+          .groupBy("doc_id", "island")
+          .agg(min(col("st")).as("s"), max(col("en")).as("e"))
+          .groupBy("doc_id")
+          .agg(sum(col("e") - col("s") + 1).as("covered"))
+        chunks.select("doc_id", "n_tokens").distinct()
+          .join(runs, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+            round(coalesce(col("covered"), lit(0L)).cast("double") /
+              col("n_tokens"), 6).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         chunks AS (
+           SELECT doc_id, len(w) AS n_tokens, i AS st,
+                  md5(array_to_string(w[i : i + 9], ' ')) AS ch
+           FROM t, LATERAL unnest(range(1,
+             CASE WHEN len(w) < 10 THEN 1 ELSE len(w) - 8 END)) AS u(i)),
+         shared AS (
+           SELECT ch FROM (SELECT DISTINCT doc_id, ch FROM chunks)
+           GROUP BY ch HAVING COUNT(*) >= 2),
+         iv AS (
+           SELECT c.doc_id, c.st, c.st + 9 AS en
+           FROM chunks c JOIN shared s ON c.ch = s.ch),
+         m AS (
+           SELECT doc_id, st, en,
+                  MAX(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+           FROM iv),
+         isl AS (
+           SELECT doc_id, st, en,
+                  SUM(CASE WHEN prev_max IS NULL OR st > prev_max
+                           THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY doc_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS island
+           FROM m),
+         runs AS (
+           SELECT doc_id, island, MIN(st) AS s, MAX(en) AS e
+           FROM isl GROUP BY 1, 2),
+         cov AS (
+           SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS covered
+           FROM runs GROUP BY 1),
+         docs AS (
+           SELECT DISTINCT doc_id, n_tokens FROM chunks)
+         SELECT doc_id, n_tokens,
+                COALESCE(covered, 0) AS covered_tokens,
+                ROUND(CAST(COALESCE(covered, 0) AS DOUBLE) / n_tokens, 6)
+                  AS dup_frac
+         FROM docs LEFT JOIN cov USING (doc_id)
+         ORDER BY doc_id"""),
+
     // Content-defined chunking: boundaries from a rolling hash over
     // the last 4 words (avg chunk ~8 words), so an edit early in a doc
     // moves boundaries only LOCALLY and chunk-hash dedup still matches
