@@ -455,6 +455,41 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"), p)
   }
 
+  test("vec_pq / vec_kmeans broadcast the codebook against the dim " +
+      "stream (no cartesian, partial agg before the pair exchange)") {
+    for (k <- Seq("vec_pq", "vec_kmeans")) {
+      val p = plan(k)
+      assert(p.contains("BroadcastHashJoin [i#"), s"$k:\n$p")
+      assert(!p.contains("CartesianProduct"), k)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, k)
+    }
+  }
+
+  test("text_dup_coverage joins the shared set by fingerprint hash " +
+      "and never goes quadratic") {
+    val p = plan("text_dup_coverage")
+    assert(p.contains("BroadcastHashJoin [ch#") ||
+      p.contains("SortMergeJoin [ch#"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("event_attribution evaluates the interval condition INSIDE the " +
+      "user join (no nested-loop fallback)") {
+    val p = plan("event_attribution")
+    assert(p.contains("BroadcastHashJoin [user_id#") ||
+      p.contains("SortMergeJoin [user_id#"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("graph_kcore peel rounds stay equi-joins over the edge artifact") {
+    val p = plan("graph_kcore")
+    assert(!p.contains("CartesianProduct"), p)
+    // 4 peel rounds x 2 alive-joins + the final degree pass
+    assert(("BroadcastHashJoin".r.findAllIn(p).size +
+      "SortMergeJoin".r.findAllIn(p).size) >= 8, p)
+  }
+
   test("shuffle_shards: shard manifest rides one shard exchange") {
     // the per-shard row_number and the manifest aggregate share the
     // single hashpartitioning(shard) exchange; the only other exchange
