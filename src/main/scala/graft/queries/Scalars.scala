@@ -316,6 +316,34 @@ object Scalars {
                 CAST(n_chars AS VARCHAR) AS q_n
          FROM documents ORDER BY doc_id"""),
 
+    // Built-in data MASKING (Spark's mask()): the column-level redaction
+    // verb for showing data shape without content — upper→X, lower→x,
+    // digit→n, other preserved — plus a custom-char variant. The
+    // class-preserving property is what distinguishes it from
+    // text_pii_mask's pattern redaction: a masked value still validates
+    // format rules downstream. DuckDB mirrors with the equivalent
+    // per-class regexp_replace chain ('g'), checking Spark's builtin
+    // against the spelled-out semantics.
+    Q("fn_mask",
+      (s, d) => customer(s, d).select(
+        col("c_custkey"),
+        expr("mask(c_name)").as("masked_default"),
+        expr("mask(c_name, '#', '*', '0')").as("masked_custom"),
+        expr("mask(c_mktsegment, 'U', 'l', 'd', '-')").as("masked_all"))
+        .orderBy("c_custkey"),
+      """SELECT c_custkey,
+                regexp_replace(regexp_replace(regexp_replace(c_name,
+                  '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n',
+                  'g') AS masked_default,
+                regexp_replace(regexp_replace(regexp_replace(c_name,
+                  '[A-Z]', '#', 'g'), '[a-z]', '*', 'g'), '[0-9]', '0',
+                  'g') AS masked_custom,
+                regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(c_mktsegment,
+                  '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', 'd',
+                  'g'), '[^Ulld]', '-', 'g') AS masked_all
+         FROM customer ORDER BY c_custkey"""),
+
     // ANSI-mode SURVIVABLE arithmetic (try_add / try_subtract /
     // try_multiply / try_divide): Spark 4 runs ANSI by default, so
     // plain arithmetic THROWS on overflow and division by zero — one
