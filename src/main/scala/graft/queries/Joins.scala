@@ -453,6 +453,31 @@ object Joins {
           AND a.sd < b.sd + 7 AND b.sd < a.sd + 7
          ORDER BY a.o_custkey, key_a, key_b"""),
 
+    // JOIN-STRATEGY HINTS — the operator-level override for when the
+    // optimizer's cost model is wrong about YOUR data: SHUFFLE_HASH
+    // forces a shuffled hash join (the right call when both sides are
+    // large but one fits a per-partition hash map, and the sort in SMJ
+    // is pure waste); the result must be hint-invisible. The oracle is
+    // the plain join; PlanSpec pins that the hint actually flipped the
+    // physical operator — hint surface without result risk.
+    Q("join_hint_shuffle_hash",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_extendedprice")
+        val o = orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"))
+        li.hint("shuffle_hash")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice"), 2).as("rev"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS rev
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY o_orderpriority"""),
+
     // Toleranced as-of (pandas merge_asof tolerance=...): the backward
     // as-of match is DISCARDED when the anchor is staler than the
     // tolerance window (1 h here) — the semantics attribution/feature

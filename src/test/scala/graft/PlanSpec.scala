@@ -490,6 +490,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "SortMergeJoin".r.findAllIn(p).size) >= 8, p)
   }
 
+  test("join_hint_shuffle_hash: the hint flips the physical join to " +
+      "ShuffledHashJoin") {
+    assert(plan("join_hint_shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
   test("shuffle_shards: shard manifest rides one shard exchange") {
     // the per-shard row_number and the manifest aggregate share the
     // single hashpartitioning(shard) exchange; the only other exchange
