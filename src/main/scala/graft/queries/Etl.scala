@@ -546,6 +546,52 @@ object Etl {
                   AS is_anomaly
          FROM daily, st ORDER BY day"""),
 
+    // OBSERVED METRICS (df.observe / the Observation API) — pipeline
+    // health metrics computed AS A SIDE EFFECT of the job that is
+    // already running, not by a second scan: the write/action drives
+    // one pass, and the observe() aggregates (row count, null count,
+    // decimal value sum, min/max key) ride along inside it as
+    // accumulator-backed expressions. This is how a 100 TB ingest
+    // reports its own volume/quality without doubling its IO. The
+    // declared relation is the observed metric row; the oracle
+    // recomputes the same aggregates from the table — they must agree
+    // exactly or the side-channel is lying about the data.
+    Q("dq_observe",
+      (s, d) => {
+        import s.implicits._
+        val obs = org.apache.spark.sql.Observation("graft_ingest")
+        val df = orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            nullif(col("o_orderstatus"), lit("P")).as("status_nullable"))
+          .observe(obs,
+            count(lit(1)).as("n_rows"),
+            count(when(col("status_nullable").isNull, 1))
+              .as("n_null_status"),
+            round(sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double"), 2).as("price_sum"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+        df.write.mode("overwrite")
+          .parquet(graft.queries.IoQueries.scratch(d, "observe_sink"))
+        val m = obs.get
+        Seq((m("n_rows").asInstanceOf[Long],
+          m("n_null_status").asInstanceOf[Long],
+          m("price_sum").asInstanceOf[Double],
+          m("min_key").asInstanceOf[Long],
+          m("max_key").asInstanceOf[Long]))
+          .toDF("n_rows", "n_null_status", "price_sum", "min_key",
+            "max_key")
+      },
+      """SELECT COUNT(*) AS n_rows,
+                COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END)
+                  AS n_null_status,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS price_sum,
+                MIN(o_orderkey) AS min_key,
+                MAX(o_orderkey) AS max_key
+         FROM orders"""),
+
     // Freshness / staleness audit — the pipeline-health check that
     // catches a SILENT upstream stall (dq_anomaly flags weird volume;
     // this flags "stream X stopped arriving"): per event stream, the
