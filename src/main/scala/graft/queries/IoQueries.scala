@@ -905,6 +905,73 @@ object IoQueries {
            FROM c2)
          ORDER BY tbl, version"""),
 
+    // CDF-DRIVEN incremental view maintenance — the reason the change
+    // feed exists: a downstream per-group aggregate (count + decimal
+    // sum per k%5) is maintained by folding ONLY the change rows onto
+    // the initial-load state — inserts/post-images add, deletes/
+    // pre-images subtract; the head snapshot is NEVER rescanned after
+    // v1. The oracle aggregates the head directly, so the merge
+    // algebra (state + Σ±delta = head) is hash-proved exact. At
+    // 100 TB this is the materialized-view refresh pattern: work
+    // scales with the delta, not the table (the agg_incremental
+    // discipline composed with table_changes).
+    Q("stream_cdf_consume",
+      (s, d) => {
+        import graft.engine.io.CommitLog
+        val root = scratch(d, "cdfview")
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+        CommitLog.init(s, root)
+        CommitLog.commit(s, root, "snapshot") { (dir, _) =>
+          orders(s, d).filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+            .write.parquet(dir)
+        }
+        CommitLog.commit(s, root, "upsert") { (dir, base) =>
+          CommitLog.readVersion(s, root, base).withColumn("v",
+            when(col("k") % 10 === 0,
+              (col("v").cast(DecimalType(18, 2)) *
+                lit(new java.math.BigDecimal("1.10"))).cast("double"))
+              .otherwise(col("v")))
+            .write.parquet(dir)
+        }
+        CommitLog.commit(s, root, "delete") { (dir, base) =>
+          CommitLog.readVersion(s, root, base)
+            .filter(col("k") % 100 =!= 0).write.parquet(dir)
+        }
+        val sign = when(col("_change_type").isin("insert",
+          "update_postimage"), 1).otherwise(-1)
+        val deltas = CommitLog.changes(s, root, 1, 3, Seq("k"))
+          .select((col("k") % 5).as("g"),
+            sign.cast("long").as("cnt"),
+            (col("v").cast(DecimalType(18, 4)) * sign).as("dv"))
+        val initial = CommitLog.readVersion(s, root, 1)
+          .select((col("k") % 5).as("g"), lit(1L).as("cnt"),
+            col("v").cast(DecimalType(18, 4)).as("dv"))
+        initial.unionByName(deltas)
+          .groupBy("g")
+          .agg(sum(col("cnt")).as("n"),
+            round(sum(col("dv")).cast("double"), 2).as("total"))
+          .orderBy("g")
+      },
+      // the head snapshot aggregated DIRECTLY — the maintained state
+      // must be indistinguishable from it
+      """WITH v1 AS (
+           SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+           WHERE o_orderkey % 2 = 0),
+         v2 AS (
+           SELECT k, CASE WHEN k % 10 = 0
+                  THEN CAST(CAST(v AS DECIMAL(18,2)) *
+                       CAST(1.10 AS DECIMAL(3,2)) AS DOUBLE)
+                  ELSE v END AS v
+           FROM v1),
+         v3 AS (SELECT * FROM v2 WHERE k % 100 <> 0)
+         SELECT k % 5 AS g, COUNT(*) AS n,
+                ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 2)
+                  AS total
+         FROM v3 GROUP BY 1 ORDER BY g"""),
+
     // OPTIMIZE ... ZORDER BY — the clustering REWRITE (compact_files
     // re-packs, this re-ORDERS): rows are laid out along the 2-D Morton
     // curve over (partkey, suppkey) and written as range shards, so

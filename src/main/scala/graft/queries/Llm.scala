@@ -650,6 +650,221 @@ object Llm {
                 ROUND(cos, 6) AS score
          FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn"""),
 
+    // HYBRID RETRIEVAL FUSION (reciprocal-rank fusion, k=60 — the
+    // Cormack/Clarke constant everyone ships): lexical BM25 ranking
+    // and dense cosine ranking disagree in exactly the ways that make
+    // their fusion better than either, and RRF combines them with NO
+    // score calibration — only ranks. Doc ids bridge the corpus and
+    // the embedding table (synthetic alignment doc_id = vec_id,
+    // construction-time truth). Scores are 1/(60+r) sums of exact
+    // integer ranks pinned to decimals; rank ties broken by id on
+    // both engines. The full-outer union is the real semantics: a doc
+    // ranked by only one retriever still scores. One tiny join of two
+    // top-50 rank relations — at 100 TB the inputs are the ANN/BM25
+    // indexes' outputs, and fusion stays this cheap.
+    Q("rank_fusion_rrf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val terms = Seq("join", "filter", "hash")
+        // lexical leg: BM25 over the fixed query (text_bm25's shape)
+        val toks = documents(s, d).select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val corpus = dl.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("total_len"))
+        val tf = toks.filter(col("w").isin(terms: _*))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val bm = tf.join(broadcast(df), Seq("w"))
+          .join(dl, Seq("doc_id")).crossJoin(broadcast(corpus))
+          .withColumn("part",
+            (log((col("n_docs") - col("df") + 0.5) /
+              (col("df") + 0.5) + 1.0) * (col("tf") * 2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) +
+                lit(0.75) * col("dl") /
+                  (col("total_len").cast("double") / col("n_docs")))))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .groupBy("doc_id")
+          .agg(round(sum(col("part")).cast("double"), 6).as("bm25"))
+        val wBm = Window.orderBy(desc("bm25"), col("doc_id"))
+        val bmRank = bm.withColumn("r_lex", row_number().over(wBm))
+          .filter(col("r_lex") <= 50).select("doc_id", "r_lex")
+        // dense leg: cosine vs the lowest-id probe embedding
+        val emb = embeddings(s, d)
+        val probe = emb.orderBy("vec_id").limit(1)
+          .select(col("embedding").as("probe_emb"))
+        graft.engine.expr.GraftFunctions.ensureRegistered(s)
+        val cos = emb.crossJoin(broadcast(probe))
+          .select(col("vec_id").as("doc_id"),
+            round(expr("graft_cosine(probe_emb, embedding)"), 6)
+              .as("cosv"))
+        val wCos = Window.orderBy(desc("cosv"), col("doc_id"))
+        val cosRank = cos.withColumn("r_dense", row_number().over(wCos))
+          .filter(col("r_dense") <= 50).select("doc_id", "r_dense")
+        val fused = bmRank.join(cosRank, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("r_lex"), col("r_dense"),
+            (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0))
+              .cast(org.apache.spark.sql.types.DecimalType(12, 9)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0))
+                .cast(org.apache.spark.sql.types.DecimalType(12, 9)))
+              .as("rrf_d"))
+        val wF = Window.orderBy(desc("rrf_d"), col("doc_id"))
+        fused.withColumn("fused_rank", row_number().over(wF))
+          .filter(col("fused_rank") <= 20)
+          .select(col("fused_rank"), col("doc_id"), col("r_lex"),
+            col("r_dense"),
+            round(col("rrf_d").cast("double"), 9).as("rrf"))
+          .orderBy("fused_rank")
+      },
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         corpus AS (
+           SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len
+           FROM dl),
+         tf AS (
+           SELECT doc_id, w, COUNT(*) AS tf FROM toks
+           WHERE w IN ('join', 'filter', 'hash') GROUP BY 1, 2),
+         df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+         bm AS (
+           SELECT doc_id, ROUND(CAST(SUM(CAST(
+                    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                    (tf * 2.2) /
+                    (tf + 1.2 * (0.25 + 0.75 * dl /
+                      (CAST(total_len AS DOUBLE) / n_docs)))
+                  AS DECIMAL(18,9))) AS DOUBLE), 6) AS bm25
+           FROM tf JOIN df USING (w) JOIN dl USING (doc_id)
+           CROSS JOIN corpus
+           GROUP BY doc_id),
+         bm_rank AS (
+           SELECT doc_id, r_lex FROM (
+             SELECT doc_id, ROW_NUMBER() OVER (
+               ORDER BY bm25 DESC, doc_id) AS r_lex FROM bm)
+           WHERE r_lex <= 50),
+         probe AS (
+           SELECT embedding AS probe_emb FROM embeddings
+           ORDER BY vec_id LIMIT 1),
+         cos AS (
+           SELECT e.vec_id AS doc_id,
+                  ROUND(
+                    list_reduce(list_transform(range(1, 65),
+                      i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                           CAST(e.embedding[i] AS DOUBLE)),
+                      (x, y) -> x + y) /
+                    (sqrt(list_reduce(list_transform(range(1, 65),
+                      i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                           CAST(p.probe_emb[i] AS DOUBLE)),
+                      (x, y) -> x + y)) *
+                     sqrt(list_reduce(list_transform(range(1, 65),
+                      i -> CAST(e.embedding[i] AS DOUBLE) *
+                           CAST(e.embedding[i] AS DOUBLE)),
+                      (x, y) -> x + y))), 6) AS cosv
+           FROM embeddings e CROSS JOIN probe p),
+         cos_rank AS (
+           SELECT doc_id, r_dense FROM (
+             SELECT doc_id, ROW_NUMBER() OVER (
+               ORDER BY cosv DESC, doc_id) AS r_dense FROM cos)
+           WHERE r_dense <= 50),
+         fused AS (
+           SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+                  r_lex, r_dense,
+                  COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0.0)
+                    ::DECIMAL(12,9) +
+                  COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_dense), 0.0)
+                    ::DECIMAL(12,9) AS rrf_d
+           FROM bm_rank b FULL OUTER JOIN cos_rank c
+             ON b.doc_id = c.doc_id)
+         SELECT CAST(fused_rank AS INT) AS fused_rank, doc_id,
+                CAST(r_lex AS INT) AS r_lex,
+                CAST(r_dense AS INT) AS r_dense,
+                ROUND(CAST(rrf_d AS DOUBLE), 9) AS rrf
+         FROM (
+           SELECT doc_id, r_lex, r_dense, rrf_d,
+                  ROW_NUMBER() OVER (ORDER BY rrf_d DESC, doc_id)
+                    AS fused_rank
+           FROM fused)
+         WHERE fused_rank <= 20 ORDER BY fused_rank"""),
+
+    // MATRYOSHKA TRUNCATION EVAL — the dimension-budget question every
+    // embedding deployment asks: how much retrieval quality survives
+    // if we keep only the first 16 of 64 dims (4× cheaper storage +
+    // dot products)? Per probe: exact top-5 under full-dim cosine vs
+    // top-5 under the 16-dim prefix, overlap = recall@5. Both
+    // rankings are exact and rounded-then-ranked, so the recall curve
+    // is hash-compared DATA — the measurement a Matryoshka-style
+    // truncation decision reads. One broadcast-probe scan computes
+    // both scores (the prefix fold reuses the same rows).
+    Q("sim_dim_truncation",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = embeddings(s, d)
+        graft.engine.expr.GraftFunctions.ensureRegistered(s)
+        val scored = emb.crossJoin(broadcast(Similarity.probes(emb)))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            round(expr("graft_cosine(probe_emb, embedding)"), 6)
+              .as("cos_full"),
+            round(expr(
+              "graft_cosine(slice(probe_emb, 1, 16), slice(embedding, 1, 16))"),
+              6).as("cos_trunc"))
+        def top5(scoreCol: String) = {
+          val w = Window.partitionBy("probe_id")
+            .orderBy(desc(scoreCol), asc("vec_id"))
+          scored.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 5).select("probe_id", "vec_id")
+        }
+        top5("cos_full").join(top5("cos_trunc"),
+            Seq("probe_id", "vec_id"))
+          .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
+          .select(col("probe_id"), col("n_overlap"),
+            round(col("n_overlap") / 5.0, 2).as("recall_at_5"))
+          .orderBy("probe_id")
+      },
+      """WITH probe_ids AS (
+           SELECT MIN(vec_id) AS probe_id FROM embeddings GROUP BY label),
+         p AS (SELECT e.vec_id AS probe_id, e.embedding AS probe_emb
+               FROM embeddings e JOIN probe_ids ON e.vec_id = probe_id),
+         scored AS (
+           SELECT p.probe_id, e.vec_id,
+             ROUND(list_reduce(list_transform(range(1, 65),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+             (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(p.probe_emb[i] AS DOUBLE)), (x, y) -> x + y)) *
+              sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))),
+               6) AS cos_full,
+             ROUND(list_reduce(list_transform(range(1, 17),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+             (sqrt(list_reduce(list_transform(range(1, 17),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(p.probe_emb[i] AS DOUBLE)), (x, y) -> x + y)) *
+              sqrt(list_reduce(list_transform(range(1, 17),
+               i -> CAST(e.embedding[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))),
+               6) AS cos_trunc
+           FROM p CROSS JOIN embeddings e WHERE e.vec_id <> p.probe_id),
+         t_full AS (
+           SELECT probe_id, vec_id FROM (
+             SELECT probe_id, vec_id, ROW_NUMBER() OVER (
+               PARTITION BY probe_id
+               ORDER BY cos_full DESC, vec_id) AS rn
+             FROM scored) WHERE rn <= 5),
+         t_trunc AS (
+           SELECT probe_id, vec_id FROM (
+             SELECT probe_id, vec_id, ROW_NUMBER() OVER (
+               PARTITION BY probe_id
+               ORDER BY cos_trunc DESC, vec_id) AS rn
+             FROM scored) WHERE rn <= 5)
+         SELECT probe_id, COUNT(*) AS n_overlap,
+                ROUND(CAST(COUNT(*) AS DOUBLE) / 5.0, 2) AS recall_at_5
+         FROM t_full JOIN t_trunc USING (probe_id, vec_id)
+         GROUP BY probe_id ORDER BY probe_id"""),
+
     // MAXIMUM INNER-PRODUCT search (MIPS) — the retrieval objective
     // recommenders and reward models actually rank by: the RAW dot
     // product, NOT length-normalized cosine (a long vector SHOULD
