@@ -104,6 +104,27 @@ object Graph {
     * window — all shuffled on node ids; no driver-side state, same
     * discipline as [[pageRank]]. Fixed rounds (not convergence
     * detection) keep the plan linear in rounds. */
+  /** Persisted directed both-ways bipartite edge list — the iterative
+    * consumers (label propagation, modularity) reference the edge
+    * relation once per round, so re-deriving it from the fact scan
+    * each time multiplies the scan by the round count; staging it
+    * once (artifact-keyed like the co-occurrence projection) makes
+    * every round a small parquet read. */
+  def bipartiteEdgesFor(pairs: DataFrame, datasetTag: String): DataFrame = {
+    val spark = pairs.sparkSession
+    val fp = graft.engine.io.Artifacts.fingerprintOf(pairs)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = graft.engine.io.Artifacts.ensure(spark,
+      s"$warehouse/graft_graph_edges/bip_${safe}_$fp") { tmp =>
+      val e0 = pairs.select(col("a"), col("b")).distinct()
+      e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(path)
+  }
+
   def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     var labels = edges.select(col("src").as("node")).distinct()

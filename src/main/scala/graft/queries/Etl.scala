@@ -546,6 +546,121 @@ object Etl {
                   AS is_anomaly
          FROM daily, st ORDER BY day"""),
 
+    // POPULATION STABILITY INDEX — the model-monitoring drift score
+    // (banking/scoring standard; >0.1 investigate, >0.25 retrain):
+    // PSI = Σ (p_i − q_i)·ln(p_i/q_i) over fixed equal-width value
+    // bins between a baseline period and a comparison period.
+    // Complements profile_ks_test (KS finds ANY distributional shift;
+    // PSI localizes WHERE mass moved, per bin). Fixed bin edges (not
+    // quantiles) keep both engines' binning trivially identical; bin
+    // probabilities are exact integer ratios, the PSI term is one
+    // closed-form double rounded per bin, and the headline PSI is the
+    // decimal-pinned sum of per-bin terms. Two scans' worth of counts
+    // from ONE scan (conditional aggregation on the period flag).
+    Q("dq_drift_psi",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cut = lit("1996-07-01").cast("timestamp")
+        val binned = orders(s, d).select(
+          (col("o_orderdate") < cut).as("is_base"),
+          least(floor(col("o_totalprice") / 60000.0), lit(9.0))
+            .cast("int").as("bin"))
+        val counts = binned.groupBy("bin")
+          .agg(count(when(col("is_base"), 1)).as("n_base"),
+            count(when(!col("is_base"), 1)).as("n_comp"))
+        val wAll = Window.partitionBy()
+        // add-one smoothing per bin (standard PSI practice): a bin
+        // empty in one period must not produce ±inf terms
+        counts
+          .withColumn("p", (col("n_base") + 1).cast("double") /
+            (sum(col("n_base")).over(wAll) + 10))
+          .withColumn("q", (col("n_comp") + 1).cast("double") /
+            (sum(col("n_comp")).over(wAll) + 10))
+          .withColumn("psi_term",
+            round((col("p") - col("q")) * log(col("p") / col("q")), 6))
+          .withColumn("psi_total",
+            round(sum(col("psi_term")
+              .cast(org.apache.spark.sql.types.DecimalType(12, 6)))
+              .over(wAll).cast("double"), 6))
+          .select("bin", "n_base", "n_comp", "psi_term", "psi_total")
+          .orderBy("bin")
+      },
+      """WITH binned AS (
+           SELECT o_orderdate < TIMESTAMP '1996-07-01' AS is_base,
+                  CAST(least(floor(o_totalprice / 60000.0), 9.0) AS INT)
+                    AS bin
+           FROM orders),
+         counts AS (
+           SELECT bin,
+                  COUNT(CASE WHEN is_base THEN 1 END) AS n_base,
+                  COUNT(CASE WHEN NOT is_base THEN 1 END) AS n_comp
+           FROM binned GROUP BY 1),
+         terms AS (
+           SELECT bin, n_base, n_comp,
+                  ROUND((CAST(n_base + 1 AS DOUBLE) /
+                           ((SELECT SUM(n_base) FROM counts) + 10) -
+                         CAST(n_comp + 1 AS DOUBLE) /
+                           ((SELECT SUM(n_comp) FROM counts) + 10)) *
+                        ln((CAST(n_base + 1 AS DOUBLE) /
+                             ((SELECT SUM(n_base) FROM counts) + 10)) /
+                            (CAST(n_comp + 1 AS DOUBLE) /
+                             ((SELECT SUM(n_comp) FROM counts) + 10))),
+                    6) AS psi_term
+           FROM counts)
+         SELECT bin, n_base, n_comp, psi_term,
+                ROUND(CAST((SELECT SUM(CAST(psi_term AS DECIMAL(12,6)))
+                  FROM terms) AS DOUBLE), 6) AS psi_total
+         FROM terms ORDER BY bin"""),
+
+    // ROW-LEVEL REJECT ROUTING — the half of validation conform_
+    // validate's report doesn't give you: WHICH rows failed and WHY.
+    // Every planted defect routes its row into the quarantine relation
+    // with a deterministic pipe-joined reason list (bad key, null
+    // price, impossible date) — the sidecar table an ingest writes
+    // next to the accepted data so nothing is silently dropped.
+    // One scan, map-side reason derivation, quarantined rows only.
+    Q("dq_rules_quarantine",
+      (s, d) => {
+        val dirty = orders(s, d).select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 11 === 0,
+            concat(lit("x"), col("o_orderkey").cast("string")))
+            .otherwise(col("o_orderkey").cast("string")).as("k_raw"),
+          when(col("o_orderkey") % 13 === 0, lit(null: String))
+            .otherwise(col("o_totalprice").cast("string")).as("price_raw"),
+          concat(lit("2024-"),
+            lpad((col("o_orderkey") % 15).cast("string"), 2, "0"),
+            lit("-15")).as("date_raw"))
+        dirty
+          .withColumn("reasons", concat_ws("|",
+            when(expr("try_cast(k_raw AS BIGINT)").isNull,
+              "bad_key"),
+            when(col("price_raw").isNull, "null_price"),
+            when(expr("try_cast(date_raw AS DATE)").isNull,
+              "bad_date")))
+          .filter(col("reasons") =!= "")
+          .select("o_orderkey", "k_raw", "price_raw", "date_raw",
+            "reasons")
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 11 = 0
+                     THEN 'x' || CAST(o_orderkey AS VARCHAR)
+                     ELSE CAST(o_orderkey AS VARCHAR) END AS k_raw,
+                CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                     ELSE CAST(o_totalprice AS VARCHAR) END AS price_raw,
+                '2024-' || lpad(CAST(o_orderkey % 15 AS VARCHAR), 2, '0')
+                  || '-15' AS date_raw,
+                concat_ws('|',
+                  CASE WHEN o_orderkey % 11 = 0 THEN 'bad_key' END,
+                  CASE WHEN o_orderkey % 13 = 0 THEN 'null_price' END,
+                  CASE WHEN o_orderkey % 15 IN (0, 13, 14)
+                       THEN 'bad_date' END) AS reasons
+         FROM orders
+         WHERE o_orderkey % 11 = 0 OR o_orderkey % 13 = 0
+            OR o_orderkey % 15 IN (0, 13, 14)
+         ORDER BY o_orderkey"""),
+
     // OBSERVED METRICS (df.observe / the Observation API) — pipeline
     // health metrics computed AS A SIDE EFFECT of the job that is
     // already running, not by a second scan: the write/action drives
