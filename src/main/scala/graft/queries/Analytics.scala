@@ -243,7 +243,7 @@ object Analytics {
           .withColumn("q_term",
             round(col("e_in_dir").cast("double") / col("m_dir") -
               (col("d_c").cast("double") / col("m_dir")) *
-              (col("d_c").cast("double") / col("m_dir")), 8))
+              (col("d_c").cast("double") / col("m_dir")), 8) + 0.0)
           .withColumn("modularity",
             round(sum(col("q_term")
               .cast(org.apache.spark.sql.types.DecimalType(14, 8)))
@@ -287,7 +287,8 @@ object Analytics {
               SELECT community, e_in_dir, d_c,
                      ROUND(CAST(e_in_dir AS DOUBLE) / m_dir -
                            (CAST(d_c AS DOUBLE) / m_dir) *
-                           (CAST(d_c AS DOUBLE) / m_dir), 8) AS q_term
+                           (CAST(d_c AS DOUBLE) / m_dir), 8) + 0.0
+                       AS q_term
               FROM per_c, m)
             SELECT community, e_in_dir, d_c, q_term,
                    ROUND(CAST((SELECT
@@ -698,6 +699,129 @@ object Analytics {
          FROM w
          WHERE is_grid = 1 AND pv IS NOT NULL AND nv IS NOT NULL
          ORDER BY user_id, t_us"""),
+
+    // DEGREE ASSORTATIVITY (Newman's r) — do high-degree nodes link to
+    // high-degree nodes? The one-number answer that separates social
+    // graphs (assortative, r>0) from infrastructure/dependency graphs
+    // (disassortative, r<0) — and for the co-supply projection it
+    // predicts whether hub suppliers cluster (hot partitions under any
+    // graph algorithm). Pearson correlation of endpoint degrees over
+    // the directed both-ways edge list: every moment (n, Σx, Σy, Σxy,
+    // Σx², Σy²) is an EXACT integer sum, the coefficient one rounded
+    // closed form — bit-identical on both engines. One degree
+    // aggregate + two joins back onto the edge list.
+    Q("graph_assortativity",
+      (s, d) => {
+        // the co-ORDER part graph (graph_kcore's artifact — reused, no
+        // extra build): real degree spread at every SF, unlike the
+        // w≥25 co-supply projection which is degree-regular at small
+        // SF (zero variance ⇒ r undefined)
+        val e = graft.engine.ops.Graph.coOccurrenceEdgesFor(
+            lineitem(s, d).select(col("l_orderkey").as("pk"),
+              col("l_partkey").as("sk")), s"${d}_coorder")
+          .filter(col("w") >= 2)
+        val und = e.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+        val deg = und.groupBy("u").agg(count(lit(1)).as("du"))
+        val pairs = und
+          .join(deg, Seq("u"))
+          .join(deg.select(col("u").as("v"), col("du").as("dv")),
+            Seq("v"))
+        pairs.agg(
+            count(lit(1)).as("n"),
+            sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+            sum(col("du") * col("dv")).as("sxy"),
+            sum(col("du") * col("du")).as("sxx"),
+            sum(col("dv") * col("dv")).as("syy"))
+          .select(col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")), 6).as("assortativity"))
+      },
+      """WITH op AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e AS (
+           SELECT x.pk AS a, y.pk AS b
+           FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         und AS (
+           SELECT a AS u, b AS v FROM e
+           UNION ALL SELECT b, a FROM e),
+         deg AS (SELECT u, COUNT(*) AS du FROM und GROUP BY 1),
+         pairs AS (
+           SELECT x.du AS du, y.du AS dv
+           FROM und
+           JOIN deg x ON und.u = x.u
+           JOIN deg y ON und.v = y.u),
+         m AS (
+           SELECT COUNT(*) AS n,
+                  CAST(SUM(du) AS BIGINT) AS sx,
+                  CAST(SUM(dv) AS BIGINT) AS sy,
+                  CAST(SUM(du * dv) AS BIGINT) AS sxy,
+                  CAST(SUM(du * du) AS BIGINT) AS sxx,
+                  CAST(SUM(dv * dv) AS BIGINT) AS syy
+           FROM pairs)
+         SELECT n,
+                ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                           CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                  AS assortativity
+         FROM m"""),
+
+    // CUSUM CHANGE-POINT detection on the daily event volume — "when
+    // did behavior change?" in exact INTEGER arithmetic: the scaled
+    // cusum S_d = D·(running count through day d) − d_idx·N is the
+    // textbook cusum multiplied by the day count D, which clears every
+    // division — S is a BIGINT on both engines, the change-point is
+    // argmax |S| (earliest day on ties), and no float ever enters. At
+    // 100 TB: one day-key aggregate (tiny), one ordered window over
+    // |days| rows.
+    Q("time_cusum",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val wOrd = Window.orderBy("day")
+        val wAll = Window.partitionBy()
+        val scored = daily
+          .withColumn("d_idx", row_number().over(wOrd).cast("long"))
+          .withColumn("run", sum(col("n")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .withColumn("nn", sum(col("n")).over(wAll))
+          .withColumn("dd", count(lit(1)).over(wAll))
+          .withColumn("s_scaled",
+            col("dd") * col("run") - col("d_idx") * col("nn"))
+        val wPick = Window.orderBy(abs(col("s_scaled")).desc,
+          col("day").asc)
+        scored
+          .withColumn("is_changepoint",
+            (row_number().over(wPick) === 1).cast("int"))
+          .select("day", "n", "s_scaled", "is_changepoint")
+          .orderBy("day")
+      },
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1),
+         scored AS (
+           SELECT day, n,
+                  (SELECT COUNT(*) FROM daily) *
+                    SUM(n) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) -
+                  ROW_NUMBER() OVER (ORDER BY day) *
+                    (SELECT SUM(n) FROM daily) AS s_scaled
+           FROM daily)
+         SELECT day, n, CAST(s_scaled AS BIGINT) AS s_scaled,
+                CAST(CASE WHEN ROW_NUMBER() OVER (
+                    ORDER BY abs(s_scaled) DESC, day ASC) = 1
+                  THEN 1 ELSE 0 END AS INT) AS is_changepoint
+         FROM scored ORDER BY day"""),
 
     // Bounded k-core peeling (k=2, 4 synchronous rounds) on the
     // co-order part graph — the graph-sparsification verb the

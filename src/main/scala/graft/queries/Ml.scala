@@ -768,6 +768,70 @@ object Ml {
          FROM best WHERE rn = 1
          GROUP BY vec_id ORDER BY vec_id"""),
 
+    // BIGRAM-LM document scoring — the sequence-aware upgrade of
+    // text_lm_score's unigram model (CCNet-style quality filters use
+    // exactly this: mean log p(w_i | w_{i-1}) under the corpus bigram
+    // distribution, add-half smoothed so unseen continuations don't
+    // blow up). Every probability is a ratio of exact integer counts
+    // (bigram count, left-unigram count, vocab size), each ln pinned
+    // to DECIMAL(18,9) so the per-doc mean is order-free. Shape: one
+    // bigram-key exchange for corpus counts, map-side per-doc bigram
+    // stream joined against them (Zipf skew on the bigram key is
+    // AQE's problem, same as text_idf_score), one doc_id aggregate.
+    Q("text_bigram_lm",
+      (s, d) => {
+        val words = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val docBi = words.select(col("doc_id"), explode(expr(
+            """CASE WHEN size(w) < 2 THEN array()
+               ELSE transform(sequence(1, size(w) - 1),
+                 i -> struct(element_at(w, i) AS a,
+                             element_at(w, i + 1) AS b))
+               END""")).as("p"))
+          .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+        val biC = docBi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        val uniC = words
+          .select(explode(col("w")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c_t"))
+        val vocab = uniC.agg(count(lit(1)).as("v"))
+        docBi.join(biC, Seq("a", "b"))
+          .join(uniC.select(col("t").as("a"), col("c_t").as("c_a")),
+            Seq("a"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("lp",
+            log((col("c_ab") + 0.5) / (col("c_a") + lit(0.5) * col("v")))
+              .cast(DecimalType(18, 9)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+              .as("lm_score"))
+          .orderBy("doc_id")
+      },
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         doc_bi AS (
+           SELECT doc_id, p.a AS a, p.b AS b FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(w)),
+               i -> {'a': w[i], 'b': w[i + 1]})) AS p
+             FROM w)),
+         bic AS (
+           SELECT a, b, COUNT(*) AS c_ab FROM doc_bi GROUP BY 1, 2),
+         unic AS (
+           SELECT t, COUNT(*) AS c_t FROM (
+             SELECT unnest(w) AS t FROM w) GROUP BY 1),
+         vocab AS (SELECT COUNT(*) AS v FROM unic)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                ROUND(CAST(SUM(CAST(
+                    ln(CAST(c_ab + 0.5 AS DOUBLE) /
+                       CAST(c_a + 0.5 * v AS DOUBLE))
+                    AS DECIMAL(18,9)))
+                  AS DOUBLE) / COUNT(*), 6) AS lm_score
+         FROM doc_bi
+         JOIN bic USING (a, b)
+         JOIN (SELECT t AS a, c_t AS c_a FROM unic) ua USING (a)
+         CROSS JOIN vocab
+         GROUP BY doc_id ORDER BY doc_id"""),
+
     // DISTRIBUTED LLOYD'S K-MEANS, exactly replayable: k=8 clusters,
     // md5-rank-seeded initial centroids, TWO synchronous rounds of
     // assign-then-recompute (fixed depth keeps the plan static — the

@@ -501,6 +501,59 @@ object Profiling {
                       ln((n * tot) / CAST(nx * ny AS DOUBLE)), 6) AS pmi
          FROM m ORDER BY l_returnflag, l_linestatus"""),
 
+    // NEYMAN ALLOCATION — optimal stratified-sample design (n_h ∝
+    // N_h·σ_h): strata with more rows AND more internal variance get
+    // more of the budget, the minimum-variance allocation for a fixed
+    // total (the survey-sampling classic; uniform-per-stratum
+    // sample_stratified is what it improves on). Per-stratum variance
+    // comes from exact integer Σx/Σx² moments; each N_h·σ_h weight is
+    // pinned to DECIMAL(18,6) so the normalizing sum is order-free;
+    // allocations are floors of one double product. One tiny stats
+    // aggregate — the design step costs a metadata query even at
+    // 100 TB, and the draw itself reuses the md5-rank machinery.
+    Q("sample_neyman",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 100
+        val stats = documents(s, d).groupBy("lang")
+          .agg(count(lit(1)).as("n_h"),
+            sum(col("n_chars")).as("s1"),
+            sum(col("n_chars") * col("n_chars")).as("s2"))
+          .withColumn("sigma",
+            sqrt((col("s2").cast("double") -
+              col("s1").cast("double") * col("s1") / col("n_h")) /
+              (col("n_h") - 1)))
+          .withColumn("w_h", (col("n_h") * col("sigma"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        val wAll = Window.partitionBy()
+        stats
+          .withColumn("alloc",
+            floor(lit(budget) * (col("w_h").cast("double") /
+              sum(col("w_h")).over(wAll).cast("double"))).cast("long"))
+          .select(col("lang"), col("n_h"),
+            round(col("sigma"), 4).as("sigma"), col("alloc"))
+          .orderBy("lang")
+      },
+      """WITH stats AS (
+           SELECT lang, COUNT(*) AS n_h,
+                  CAST(SUM(n_chars) AS BIGINT) AS s1,
+                  CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+           FROM documents GROUP BY 1),
+         w AS (
+           SELECT lang, n_h,
+                  sqrt((CAST(s2 AS DOUBLE) -
+                        CAST(s1 AS DOUBLE) * s1 / n_h) / (n_h - 1))
+                    AS sigma,
+                  CAST(n_h * sqrt((CAST(s2 AS DOUBLE) -
+                        CAST(s1 AS DOUBLE) * s1 / n_h) / (n_h - 1))
+                    AS DECIMAL(18,6)) AS w_h
+           FROM stats)
+         SELECT lang, n_h, ROUND(sigma, 4) AS sigma,
+                CAST(floor(100 * (CAST(w_h AS DOUBLE) /
+                  CAST((SELECT SUM(w_h) FROM w) AS DOUBLE)))
+                  AS BIGINT) AS alloc
+         FROM w ORDER BY lang"""),
+
     // NULL-PATTERN matrix — missingness PROFILING beyond per-column
     // null counts (profile_summary): which columns go null TOGETHER.
     // Correlated missingness (one upstream extractor dying takes three
