@@ -501,6 +501,58 @@ object Profiling {
                       ln((n * tot) / CAST(nx * ny AS DOUBLE)), 6) AS pmi
          FROM m ORDER BY l_returnflag, l_linestatus"""),
 
+    // TUKEY-FENCE outlier screen (IQR rule) — the box-plot definition
+    // (outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR]) next to dq_outlier_mad's
+    // robust z-score: the two standard screens disagree exactly on
+    // moderately-skewed data, which is why profilers report both.
+    // Quartiles are k-th-smallest ranked values (integer k = ceil(qn),
+    // no interpolation — the winsorize device, identical picks both
+    // engines); fences and counts are exact after that. One rank
+    // window + broadcast bounds.
+    Q("profile_outlier_iqr",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("g").orderBy("v")
+        val ranked = orders(s, d)
+          .select(col("o_orderstatus").as("g"),
+            col("o_totalprice").as("v"))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+        val quarts = ranked
+          .filter(col("rk") === ceil(col("n") * 0.25).cast("long") ||
+            col("rk") === ceil(col("n") * 0.75).cast("long"))
+          .groupBy("g")
+          .agg(min(col("v")).as("q1"), max(col("v")).as("q3"))
+        ranked.join(broadcast(quarts), Seq("g"))
+          .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+          .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+          .groupBy("g")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("q1")).as("q1"), min(col("q3")).as("q3"),
+            count(when(col("v") < col("lo") || col("v") > col("hi"), 1))
+              .as("n_outliers"))
+          .orderBy("g")
+      },
+      """WITH ranked AS (
+           SELECT o_orderstatus AS g, o_totalprice AS v,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice) AS rk,
+                  COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+           FROM orders),
+         quarts AS (
+           SELECT g, MIN(v) AS q1, MAX(v) AS q3
+           FROM ranked
+           WHERE rk = CAST(ceil(n * 0.25) AS BIGINT)
+              OR rk = CAST(ceil(n * 0.75) AS BIGINT)
+           GROUP BY g)
+         SELECT g, COUNT(*) AS n_rows,
+                MIN(q1) AS q1, MIN(q3) AS q3,
+                COUNT(CASE WHEN v < q1 - (q3 - q1) * 1.5
+                             OR v > q3 + (q3 - q1) * 1.5 THEN 1 END)
+                  AS n_outliers
+         FROM ranked JOIN quarts USING (g)
+         GROUP BY g ORDER BY g"""),
+
     // NEYMAN ALLOCATION — optimal stratified-sample design (n_h ∝
     // N_h·σ_h): strata with more rows AND more internal variance get
     // more of the budget, the minimum-variance allocation for a fixed

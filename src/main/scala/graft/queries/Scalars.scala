@@ -316,6 +316,94 @@ object Scalars {
                 CAST(n_chars AS VARCHAR) AS q_n
          FROM documents ORDER BY doc_id"""),
 
+    // DETERMINISTIC content-addressed UUIDs (the v5/name-based shape):
+    // stable surrogate keys minted from business content, so the same
+    // entity gets the same id on every run, every engine, every retry —
+    // what rand-based uuid() can never give an idempotent pipeline.
+    // Digest = md5 of the canonical key string; the UUID text form is
+    // sliced from the hex with version/variant nibbles pinned (version
+    // 5 in the third group, variant '8' in the fourth) — pure string
+    // ops, identical both engines.
+    Q("fn_uuid_v5",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"),
+        concat_ws("-",
+          substring(md5(concat(lit("order:"),
+            col("o_orderkey").cast("string"))), 1, 8),
+          substring(md5(concat(lit("order:"),
+            col("o_orderkey").cast("string"))), 9, 4),
+          concat(lit("5"), substring(md5(concat(lit("order:"),
+            col("o_orderkey").cast("string"))), 14, 3)),
+          concat(lit("8"), substring(md5(concat(lit("order:"),
+            col("o_orderkey").cast("string"))), 18, 3)),
+          substring(md5(concat(lit("order:"),
+            col("o_orderkey").cast("string"))), 21, 12)).as("entity_uuid"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+                concat_ws('-',
+                  substring(md5('order:' || o_orderkey), 1, 8),
+                  substring(md5('order:' || o_orderkey), 9, 4),
+                  '5' || substring(md5('order:' || o_orderkey), 14, 3),
+                  '8' || substring(md5('order:' || o_orderkey), 18, 3),
+                  substring(md5('order:' || o_orderkey), 21, 12))
+                  AS entity_uuid
+         FROM orders ORDER BY o_orderkey"""),
+
+    // GEOMETRIC MEAN per group via exp∘mean∘ln — the aggregate for
+    // multiplicative quantities (growth factors, ratios) where the
+    // arithmetic mean is simply wrong. Neither engine has a builtin;
+    // both compose it the same way: ln of identical doubles, pinned to
+    // DECIMAL(18,9) so the sum is order-free, one exp on the identical
+    // mean, rounded once.
+    Q("agg_geomean",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(exp(sum(log(col("l_extendedprice"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+            .cast("double") / count(lit(1))), 4).as("geo_mean_price"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag, COUNT(*) AS n,
+                ROUND(exp(CAST(SUM(CAST(ln(l_extendedprice)
+                    AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)), 4)
+                  AS geo_mean_price
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+
+    // regexp_extract_all — pull EVERY match out of semi-structured
+    // text (the extraction dual of text_pii_mask's redaction): contact
+    // lines with a deterministic email + two id tokens are synthesized
+    // per customer, and all id-like tokens come back as ordered scalar
+    // columns (arrays are unhashable in the driver comparator).
+    Q("text_extract_entities",
+      (s, d) => customer(s, d).select(
+        col("c_custkey"),
+        concat(lit("contact user"), col("c_custkey"),
+          lit("@example.com ref ID-"), col("c_custkey") % 97,
+          lit(" and ID-"), col("c_custkey") % 31).as("line"))
+        .select(col("c_custkey"),
+          expr("regexp_extract(line, '([a-z0-9]+@[a-z.]+)', 1)")
+            .as("email"),
+          expr("element_at(regexp_extract_all(line, 'ID-([0-9]+)', 1), 1)")
+            .as("id_first"),
+          expr("element_at(regexp_extract_all(line, 'ID-([0-9]+)', 1), 2)")
+            .as("id_second"),
+          expr("size(regexp_extract_all(line, 'ID-([0-9]+)', 1))")
+            .cast("long").as("n_ids"))
+        .orderBy("c_custkey"),
+      """WITH t AS (
+           SELECT c_custkey,
+                  'contact user' || c_custkey || '@example.com ref ID-'
+                    || (c_custkey % 97) || ' and ID-' || (c_custkey % 31)
+                    AS line
+           FROM customer)
+         SELECT c_custkey,
+                regexp_extract(line, '([a-z0-9]+@[a-z.]+)', 1) AS email,
+                regexp_extract_all(line, 'ID-([0-9]+)', 1)[1] AS id_first,
+                regexp_extract_all(line, 'ID-([0-9]+)', 1)[2] AS id_second,
+                CAST(len(regexp_extract_all(line, 'ID-([0-9]+)', 1))
+                  AS BIGINT) AS n_ids
+         FROM t ORDER BY c_custkey"""),
+
     // Built-in data MASKING (Spark's mask()): the column-level redaction
     // verb for showing data shape without content — upper→X, lower→x,
     // digit→n, other preserved — plus a custom-char variant. The
