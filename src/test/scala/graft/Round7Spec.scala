@@ -184,6 +184,70 @@ class Round7Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("time_cusum: the scaled cusum telescopes to zero and exactly " +
+      "one change-point is flagged") {
+    val df = graft.SparkEntry.queries("time_cusum")(spark, sf).cache()
+    assert(df.filter(col("is_changepoint") === 1).count() === 1)
+    // S_D = D·N − D·N = 0 at the last day by construction
+    val last = df.orderBy(desc("day")).limit(1).collect()(0)
+    assert(last.getAs[Long]("s_scaled") === 0L)
+    df.unpersist()
+  }
+
+  test("graph_modularity: Q in [-1, 1] and internal edges never " +
+      "exceed the edge total") {
+    val df = graft.SparkEntry.queries("graph_modularity")(spark, sf).cache()
+    val q = df.select("modularity").distinct().collect()(0).getDouble(0)
+    assert(q >= -1.0 && q <= 1.0, q)
+    val sums = df.agg(sum("e_in_dir").as("ein"), sum("d_c").as("dc"))
+      .collect()(0)
+    // Σ d_c counts every directed edge once; internal ⊆ all
+    assert(sums.getAs[Long]("ein") <= sums.getAs[Long]("dc"))
+    df.unpersist()
+  }
+
+  test("sample_neyman: allocations respect the budget and order by " +
+      "stratum weight") {
+    val rows = graft.SparkEntry.queries("sample_neyman")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum <= 100)
+    // monotone: a stratum with strictly larger N_h·σ_h never gets a
+    // smaller allocation
+    val byW = rows.sortBy(r =>
+      r.getAs[Long]("n_h") * r.getAs[Double]("sigma"))
+    byW.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("alloc") <= b.getAs[Long]("alloc"))
+    }
+  }
+
+  test("text_dup_coverage: coverage is bounded by doc length and a " +
+      "verbatim duplicate pair is fully covered") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("text_dup_coverage")(spark, sf)
+    assert(out.filter(col("covered_tokens") > col("n_tokens"))
+      .count() === 0)
+    // planted construction: two identical 12-token docs ⇒ dup_frac 1.0
+    val twelve = (1 to 12).map(i => s"tok$i").mkString(" ")
+    Seq((900001L, twelve), (900002L, twelve), (900003L,
+      (1 to 12).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .createOrReplaceTempView("graft_dupcov_probe")
+    val t = spark.table("graft_dupcov_probe")
+    // rerun the operator's core on the probe corpus
+    val chunks = t.select(col("doc_id"),
+        org.apache.spark.sql.functions.split(col("text"), " ").as("w"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(w) < 10 THEN array()
+           ELSE transform(sequence(1, size(w) - 9),
+             i -> md5(array_join(slice(w, i, 10), ' '))) END""").as("cs"))
+      .select(col("doc_id"), explode(col("cs")).as("ch"))
+    val shared = chunks.distinct().groupBy("ch")
+      .agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+    val dupDocs = chunks.join(shared.select("ch"), Seq("ch"))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(dupDocs === Set(900001L, 900002L))
+  }
+
   test("agg_kmv_ops: sketch estimates track the exact set operations") {
     val r = graft.SparkEntry.queries("agg_kmv_ops")(spark, sf).collect()(0)
     val jx = r.getAs[Double]("jaccard_exact")
