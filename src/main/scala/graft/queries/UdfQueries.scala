@@ -97,5 +97,49 @@ object UdfQueries {
              i -> substring(text, i, 3))) AS sh
            FROM documents)
          GROUP BY doc_id ORDER BY doc_id"""),
+
+    // SQL-DEFINED functions (Spark 4's CREATE FUNCTION ... RETURN —
+    // the extension path that needs NO jar, no closure, no registry
+    // code: the body is SQL, so Catalyst INLINES it into the plan and
+    // whole-stage codegen sees straight expressions, unlike a black-box
+    // scalar udf (udf_scalar) that breaks codegen at every call). Two
+    // functions — a scalar margin and one composing the other — prove
+    // nesting resolves; the oracle writes the bodies inline, which is
+    // exactly what the optimizer reduces them to.
+    Q("udf_sql",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("graft_li_sqludf")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_margin(
+                   price DOUBLE, disc DOUBLE, tax DOUBLE)
+                 RETURNS DOUBLE
+                 RETURN price * (1 - disc) * (1 + tax) - price""")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_margin_band(
+                   price DOUBLE, disc DOUBLE, tax DOUBLE)
+                 RETURNS STRING
+                 RETURN CASE
+                   WHEN graft_margin(price, disc, tax) < 0 THEN 'loss'
+                   WHEN graft_margin(price, disc, tax) < 1000 THEN 'thin'
+                   ELSE 'healthy' END""")
+        s.sql("""SELECT graft_margin_band(l_extendedprice, l_discount,
+                          l_tax) AS band,
+                        COUNT(*) AS n,
+                        ROUND(CAST(SUM(CAST(graft_margin(l_extendedprice,
+                          l_discount, l_tax) AS DECIMAL(18,4)))
+                          AS DOUBLE), 2) AS total_margin
+                 FROM graft_li_sqludf
+                 GROUP BY 1 ORDER BY band""")
+      },
+      """SELECT CASE
+                  WHEN l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       - l_extendedprice < 0 THEN 'loss'
+                  WHEN l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       - l_extendedprice < 1000 THEN 'thin'
+                  ELSE 'healthy' END AS band,
+                COUNT(*) AS n,
+                ROUND(CAST(SUM(CAST(
+                  l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                  - l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+                  AS total_margin
+         FROM lineitem GROUP BY 1 ORDER BY band"""),
   )
 }

@@ -475,6 +475,98 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       Set(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
   }
 
+  test("commit-log tail: a streaming consumer of the change feed " +
+      "maintains the aggregate and a restart folds only new commits") {
+    import graft.engine.io.CommitLog
+    import org.apache.spark.sql.functions._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_cdf"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val root = s"$base/table"
+    val stateDir = s"$base/state"
+    val chk = s"$base/chk"
+    CommitLog.init(spark, root)
+    import spark.implicits._
+    CommitLog.commit(spark, root, "snap") { (dir, _) =>
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (10L, 100.0))
+        .toDF("k", "v").write.parquet(dir)
+    }
+    CommitLog.commit(spark, root, "upsert") { (dir, b) =>
+      CommitLog.readVersion(spark, root, b)
+        .withColumn("v", when($"k" === 2L, 25.0).otherwise($"v"))
+        .write.parquet(dir)
+    }
+    CommitLog.commit(spark, root, "delete") { (dir, b) =>
+      CommitLog.readVersion(spark, root, b).filter($"k" =!= 3L)
+        .write.parquet(dir)
+    }
+    // the streaming consumer: tail the _commits dir as a file stream;
+    // each micro-batch folds the change feed of its NEW versions onto
+    // the state table (initial load at v1). AvailableNow drains what
+    // exists, the checkpoint remembers which commit files were seen.
+    def drain(): Unit = {
+      val q = spark.readStream.format("text").load(s"$root/_commits")
+        .writeStream.trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", chk)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val versions = batch.collect()
+            .map(_.getString(0).trim.split('|')(0).toInt).sorted
+          versions.foreach { v =>
+            val delta =
+              if (v == 1)
+                CommitLog.readVersion(spark, root, 1)
+                  .select(($"k" % 2).as("g"), lit(1L).as("cnt"),
+                    $"v".cast("decimal(18,4)").as("dv"))
+              else {
+                val sign = when(col("_change_type")
+                  .isin("insert", "update_postimage"), 1).otherwise(-1)
+                CommitLog.changes(spark, root, v - 1, v, Seq("k"))
+                  .select(($"k" % 2).as("g"), sign.cast("long").as("cnt"),
+                    ($"v".cast("decimal(18,4)") * sign).as("dv"))
+              }
+            val prior =
+              if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
+                spark.read.parquet(stateDir)
+                  .select($"g", $"n".as("cnt"), $"total".as("dv"))
+              else delta.limit(0)
+            val next = prior.unionByName(delta)
+              .groupBy("g")
+              .agg(sum($"cnt").as("n"),
+                sum($"dv").cast("decimal(18,4)").as("total"))
+            val tmp = s"$stateDir.tmp"
+            next.write.mode("overwrite").parquet(tmp)
+            fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
+            fs.rename(new org.apache.hadoop.fs.Path(tmp),
+              new org.apache.hadoop.fs.Path(stateDir))
+          }
+        }.start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    def stateRows() = spark.read.parquet(stateDir)
+      .select($"g", $"n", $"total".cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    def headRows() = CommitLog.readLatest(spark, root)
+      .groupBy(($"k" % 2).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum($"v".cast("decimal(18,4)")).cast("decimal(18,4)")
+          .cast("double").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(stateRows() === headRows())
+    // a NEW commit lands; the restarted stream folds ONLY it (the
+    // checkpoint already holds v1..v3)
+    CommitLog.commit(spark, root, "delete2") { (dir, b) =>
+      CommitLog.readVersion(spark, root, b).filter($"k" =!= 10L)
+        .write.parquet(dir)
+    }
+    drain()
+    assert(stateRows() === headRows())
+  }
+
   test("foreachBatch upsert sink: streaming LWW state, idempotent replay") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
