@@ -237,6 +237,52 @@ object SqlSurface {
          UNPIVOT (qty FOR status IN (F, O))
          ORDER BY l_returnflag, status"""),
 
+    // Inline VALUES relation — the lookup-list join every analyst
+    // writes (priority → SLA days mapping typed straight into the
+    // statement, no table needed); the constructor must behave as a
+    // first-class relation: joinable, broadcastable, type-coerced.
+    Q("sql_values",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("graft_orders_val")
+        s.sql("""
+          SELECT o.o_orderpriority, sla.sla_days, COUNT(*) AS n
+          FROM graft_orders_val o
+          JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 5),
+                       ('4-NOT SPECIFIED', 10), ('5-LOW', 30))
+               AS sla(o_orderpriority, sla_days)
+            ON o.o_orderpriority = sla.o_orderpriority
+          GROUP BY 1, 2 ORDER BY o.o_orderpriority""")
+      },
+      """SELECT o.o_orderpriority, sla.sla_days, COUNT(*) AS n
+         FROM orders o
+         JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 5),
+                      ('4-NOT SPECIFIED', 10), ('5-LOW', 30))
+              AS sla(o_orderpriority, sla_days)
+           ON o.o_orderpriority = sla.o_orderpriority
+         GROUP BY 1, 2 ORDER BY o.o_orderpriority"""),
+
+    // EXECUTE IMMEDIATE (Spark 4) — dynamic SQL with positional
+    // binding: statement text arrives as a string at runtime (the
+    // metadata-driven-pipeline case: the statement is DATA), values
+    // bind typed via USING — no string splicing, same safety contract
+    // as sql_params but for statements composed at runtime.
+    Q("sql_exec_immediate",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("graft_orders_ei")
+        s.sql("""EXECUTE IMMEDIATE
+          'SELECT o_orderstatus, COUNT(*) AS n,
+                  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE), 2) AS revenue
+           FROM graft_orders_ei WHERE o_totalprice > ?
+           GROUP BY o_orderstatus ORDER BY o_orderstatus'
+          USING 250000""")
+      },
+      """SELECT o_orderstatus, COUNT(*) AS n,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS revenue
+         FROM orders WHERE o_totalprice > 250000
+         GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+
     // ANSI LISTAGG ... WITHIN GROUP (Spark 4's ListAgg) — the ordered
     // string aggregation as its standard SQL surface (agg_stringagg is
     // the collect_set composition; this is the syntax an Athena/Trino
