@@ -209,8 +209,11 @@ object CommitLog {
       val n = neu.select(
         keyCols.map(col) :+ struct(dataCols.map(col): _*).as("_n"): _*)
       val j = o.join(n, keyCols, "full_outer")
+      // null-safe struct compare: with plain ===, a NULL→value update
+      // makes the predicate NULL and the filter silently DROPS the
+      // change row — <=> keeps null-bearing updates in the feed
       val unchanged = col("_o").isNotNull && col("_n").isNotNull &&
-        col("_o") === col("_n")
+        (col("_o") <=> col("_n"))
       val classified = j.filter(!unchanged).select(
         keyCols.map(col) :+
           when(col("_o").isNull, lit("insert"))

@@ -70,17 +70,24 @@ object Conform {
           expr(s"try_cast(`${c.name}` AS ${dt.sql})").isNull, 1))
           .as(s"${c.name}__fail"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val longForm = wide.select(explode(array(present.map { c =>
-      struct(
-        lit(c.name).as("col_name"),
-        lit(c.agnosticType).as("declared_type"),
-        lit("ok").as("status"),
-        col(s"${c.name}__nulls").as("n_nulls"),
-        col(s"${c.name}__fail").as("n_cast_fail"))
-    }: _*)).as("r")).select(col("r.*"))
     val spark = df.sparkSession
     import spark.implicits._
+    // a fully-disjoint declaration (no declared column present) still
+    // yields a well-formed report: missing/surplus rows only
+    val longForm =
+      if (present.isEmpty)
+        Seq.empty[(String, String, String, Long, Long)]
+          .toDF("col_name", "declared_type", "status", "n_nulls",
+            "n_cast_fail")
+      else df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(present.map { c =>
+          struct(
+            lit(c.name).as("col_name"),
+            lit(c.agnosticType).as("declared_type"),
+            lit("ok").as("status"),
+            col(s"${c.name}__nulls").as("n_nulls"),
+            col(s"${c.name}__fail").as("n_cast_fail"))
+        }: _*)).as("r")).select(col("r.*"))
     val missing = meta.columns.filterNot(c => df.columns.contains(c.name))
       .map(c => (c.name, c.agnosticType, "missing"))
     val surplus = df.columns.toSeq

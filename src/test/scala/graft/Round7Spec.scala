@@ -54,6 +54,48 @@ class Round7Spec extends AnyFunSuite with SparkFixture {
     assert(replayed.exceptAll(head).isEmpty && head.exceptAll(replayed).isEmpty)
   }
 
+  test("table_changes: NULL-bearing updates stay in the feed " +
+      "(null-safe struct compare)") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_r7_cdf_nulls"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    CommitLog.init(spark, root)
+    import spark.implicits._
+    CommitLog.commit(spark, root, "snap") { (dir, _) =>
+      Seq((1L, Option(1.0)), (2L, Option.empty[Double]),
+        (3L, Option(3.0))).toDF("k", "v").write.parquet(dir)
+    }
+    CommitLog.commit(spark, root, "mut") { (dir, base) =>
+      CommitLog.readVersion(spark, root, base)
+        .withColumn("v",
+          when($"k" === 2L, 22.0) // NULL → value
+            .when($"k" === 3L, lit(null).cast("double")) // value → NULL
+            .otherwise($"v"))
+        .write.parquet(dir)
+    }
+    val chg = CommitLog.changes(spark, root, 1, 2, Seq("k")).cache()
+    // both null-transition updates must appear with both images;
+    // the unchanged row must not
+    assert(chg.filter($"k" === 2L).count() === 2)
+    assert(chg.filter($"k" === 3L).count() === 2)
+    assert(chg.filter($"k" === 1L).count() === 0)
+    chg.unpersist()
+  }
+
+  test("conform_validate: fully-disjoint declaration yields a " +
+      "missing/surplus-only report") {
+    import graft.engine.meta.{ColumnMeta, TableMeta}
+    val meta = TableMeta("ghost", Seq(ColumnMeta("absent_a", "long"),
+      ColumnMeta("absent_b", "character")))
+    val rep = graft.engine.ops.Conform.validateReport(
+      orders(spark, sf).select("o_orderkey"), meta)
+    val statuses = rep.select("status").collect().map(_.getString(0))
+    assert(statuses.count(_ == "missing") === 2)
+    assert(statuses.count(_ == "surplus") === 1)
+    assert(statuses.forall(s => s == "missing" || s == "surplus"))
+  }
+
   test("sql_recursive: walk depth equals floor(log2(p_partkey))") {
     val df = graft.SparkEntry.queries("sql_recursive")(spark, sf)
     val bad = df.filter(col("depth") =!=
