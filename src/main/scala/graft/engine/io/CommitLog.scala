@@ -97,38 +97,49 @@ object CommitLog {
       val rel = "data/" + java.util.UUID.randomUUID().toString.take(12)
       stage(s"$root/$rel", base)
       val rec = Commit(base + 1, action, base, rel)
-      val line = s"${rec.version}|${rec.baseVersion}|${rec.action}|${rec.dataDir}"
-      val tmp = Paths.get(commitsDir(root),
-        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      Files.createDirectories(tmp.getParent)
-      Files.write(tmp, line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val target = Paths.get(commitsDir(root), f"v${rec.version}%08d.json")
-      try {
-        Files.createLink(target, tmp) // atomic claim: O_EXCL-equivalent
-        Files.delete(tmp)
-        return rec
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          // lost the race: discard this attempt's staging and record,
-          // re-derive against the winner's snapshot
-          Files.delete(tmp)
-          f.delete(new Path(s"$root/$rel"), true)
-      }
+      if (claimVersion(root, rec)) return rec
+      // lost the race: discard this attempt's staging and record,
+      // re-derive against the winner's snapshot
+      f.delete(new Path(s"$root/$rel"), true)
     }
     throw new IllegalStateException(
       s"commit on $root lost ${attempt} straight races — aborting")
   }
 
-  /** Read the snapshot AS OF a version, resolving through the log.
-    * A dataDir may be root-relative (normal commits) or absolute (a
+  /** A dataDir may be root-relative (normal commits) or absolute (a
     * shallow-clone reference into another table's data). */
+  private def resolveData(root: String, c: Commit): String =
+    if (c.dataDir.startsWith("/") || c.dataDir.contains("://")) c.dataDir
+    else s"$root/${c.dataDir}"
+
+  /** Atomic version claim shared by [[commit]] and [[cloneTable]]:
+    * write the full record to a temp file, hard-link it into place
+    * (POSIX-atomic, fails if another writer won the version). Returns
+    * true iff this writer claimed the version. */
+  private def claimVersion(root: String, rec: Commit): Boolean = {
+    val line = s"${rec.version}|${rec.baseVersion}|${rec.action}|${rec.dataDir}"
+    val tmp = Paths.get(commitsDir(root),
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.createDirectories(tmp.getParent)
+    Files.write(tmp, line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val target = Paths.get(commitsDir(root), f"v${rec.version}%08d.json")
+    try {
+      Files.createLink(target, tmp) // atomic claim: O_EXCL-equivalent
+      Files.delete(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.delete(tmp)
+        false
+    }
+  }
+
+  /** Read the snapshot AS OF a version, resolving through the log. */
   def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
     val c = commits(spark, root).find(_.version == version).getOrElse(
       throw new IllegalArgumentException(
         s"version $version not in commit log at $root"))
-    val path = if (c.dataDir.startsWith("/") || c.dataDir.contains("://"))
-      c.dataDir else s"$root/${c.dataDir}"
-    spark.read.parquet(path)
+    spark.read.parquet(resolveData(root, c))
   }
 
   /** SHALLOW CLONE (Delta's CLONE): a new table whose first commit
@@ -146,28 +157,14 @@ object CommitLog {
     val src = commits(spark, srcRoot).find(_.version == version).getOrElse(
       throw new IllegalArgumentException(
         s"version $version not in commit log at $srcRoot"))
-    val abs = if (src.dataDir.startsWith("/") || src.dataDir.contains("://"))
-      src.dataDir else s"$srcRoot/${src.dataDir}"
+    val abs = resolveData(srcRoot, src)
     init(spark, dstRoot)
     var attempt = 0
     while (attempt < 50) {
       attempt += 1
       val base = latest(spark, dstRoot).map(_.version).getOrElse(0)
       val rec = Commit(base + 1, "clone", base, abs)
-      val line = s"${rec.version}|${rec.baseVersion}|${rec.action}|${rec.dataDir}"
-      val tmp = Paths.get(commitsDir(dstRoot),
-        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      Files.createDirectories(tmp.getParent)
-      Files.write(tmp, line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val target = Paths.get(commitsDir(dstRoot), f"v${rec.version}%08d.json")
-      try {
-        Files.createLink(target, tmp)
-        Files.delete(tmp)
-        return rec
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.delete(tmp)
-      }
+      if (claimVersion(dstRoot, rec)) return rec
     }
     throw new IllegalStateException(
       s"clone into $dstRoot lost $attempt straight races — aborting")
@@ -176,7 +173,7 @@ object CommitLog {
   def readLatest(spark: SparkSession, root: String): DataFrame = {
     val c = latest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"empty commit log at $root"))
-    spark.read.parquet(s"$root/${c.dataDir}")
+    spark.read.parquet(resolveData(root, c))
   }
 
   /** Change-data-feed read: the row-level changes between two committed
@@ -203,11 +200,22 @@ object CommitLog {
     val steps = (fromVersion until toVersion).map { v =>
       val old = readVersion(spark, root, v)
       val neu = readVersion(spark, root, v + 1)
-      val dataCols = old.columns.filterNot(keyCols.contains).toSeq
-      val o = old.select(
-        keyCols.map(col) :+ struct(dataCols.map(col): _*).as("_o"): _*)
-      val n = neu.select(
-        keyCols.map(col) :+ struct(dataCols.map(col): _*).as("_n"): _*)
+      // schema evolution between versions: the feed carries the UNION
+      // of both versions' data columns, padding the side that lacks a
+      // column with a typed null — so an update that only touches an
+      // added column still surfaces, and a dropped column's final
+      // values still appear in its last pre-images
+      val dataCols = (old.columns ++ neu.columns).distinct
+        .filterNot(keyCols.contains).toSeq
+      def typed(df: DataFrame, name: String) =
+        df.schema.fields.find(_.name == name).map(_.dataType)
+      def side(df: DataFrame, other: DataFrame, tag: String) =
+        df.select(keyCols.map(col) :+ struct(dataCols.map { c =>
+          if (df.columns.contains(c)) col(c).as(c)
+          else lit(null).cast(typed(other, c).get).as(c)
+        }: _*).as(tag): _*)
+      val o = side(old, neu, "_o")
+      val n = side(neu, old, "_n")
       val j = o.join(n, keyCols, "full_outer")
       // null-safe struct compare: with plain ===, a NULL→value update
       // makes the predicate NULL and the filter silently DROPS the

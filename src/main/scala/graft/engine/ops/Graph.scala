@@ -103,7 +103,14 @@ object Graph {
     * the (node, label) frontier + one count aggregate + one rank
     * window — all shuffled on node ids; no driver-side state, same
     * discipline as [[pageRank]]. Fixed rounds (not convergence
-    * detection) keep the plan linear in rounds. */
+    * detection) keep the plan linear in rounds.
+    *
+    * Feed the edge relation through [[bipartiteEdgesFor]] (or another
+    * persisted artifact): each round references it once, so an
+    * unstaged derivation would recompute its fact scan per round. */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame =
+    labelPropagationImpl(edges, iterations)
+
   /** Persisted directed both-ways bipartite edge list — the iterative
     * consumers (label propagation, modularity) reference the edge
     * relation once per round, so re-deriving it from the fact scan
@@ -125,7 +132,8 @@ object Graph {
     spark.read.parquet(path)
   }
 
-  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+  private def labelPropagationImpl(edges: DataFrame,
+      iterations: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))

@@ -252,9 +252,16 @@ object Aggregates {
             round(col("inter_exact").cast("double") /
               col("union_exact").cast("double"), 6).as("jaccard_exact"),
             col("union_est"),
-            round(col("x").cast("double") / k, 6).as("jaccard_est"),
-            round((col("x").cast("double") / k) * col("union_est"), 4)
-              .as("inter_est"))
+            // denominator is the union SKETCH size min(k, |A∪B|), not
+            // the constant k — with a small union the sketch holds
+            // nu < k hashes and x/k would understate J (e.g. full
+            // overlap at nu=32 would read 0.5)
+            round(col("x").cast("double") /
+              least(lit(k), col("nu")).cast("double"), 6)
+              .as("jaccard_est"),
+            round((col("x").cast("double") /
+              least(lit(k), col("nu")).cast("double")) *
+              col("union_est"), 4).as("inter_est"))
       },
       """WITH tagged AS (
            SELECT DISTINCT
@@ -293,7 +300,7 @@ object Aggregates {
            FROM (SELECT o_custkey, COUNT(*) AS sides
                  FROM tagged GROUP BY 1)),
          est AS (
-           SELECT union_exact, inter_exact, x,
+           SELECT union_exact, inter_exact, x, nu,
                   ROUND(CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
                         ELSE 63.0 * 1152921504606846976.0 /
                              CAST(hk AS DOUBLE) END, 4) AS union_est
@@ -302,8 +309,11 @@ object Aggregates {
                 ROUND(CAST(inter_exact AS DOUBLE) /
                       CAST(union_exact AS DOUBLE), 6) AS jaccard_exact,
                 union_est,
-                ROUND(CAST(x AS DOUBLE) / 64, 6) AS jaccard_est,
-                ROUND((CAST(x AS DOUBLE) / 64) * union_est, 4) AS inter_est
+                ROUND(CAST(x AS DOUBLE) /
+                      CAST(least(64, nu) AS DOUBLE), 6) AS jaccard_est,
+                ROUND((CAST(x AS DOUBLE) /
+                      CAST(least(64, nu) AS DOUBLE)) * union_est, 4)
+                  AS inter_est
          FROM est"""),
 
     Q("agg_rollup",

@@ -228,10 +228,9 @@ object Analytics {
           s"${d}_bipsp")
         // stage the propagated labels once: both endpoint joins read
         // the staged relation, so the 3-round chain runs ONCE, not per
-        // join branch (measured ~1.9 s saved at sf0.1)
-        val labelScratch = s"${sys.props("java.io.tmpdir")}/graft_io/" +
-          s"p${ProcessHandle.current().pid()}_" +
-          d.replaceAll("[^a-zA-Z0-9]", "_") + "_lp_labels"
+        // join branch (measured at sf0.1); IoQueries.scratch carries
+        // the per-PID isolation convention
+        val labelScratch = IoQueries.scratch(d, "lp_labels")
         graft.engine.ops.Graph.labelPropagation(edges, 3)
           .write.mode("overwrite").parquet(labelScratch)
         val labels = s.read.parquet(labelScratch)

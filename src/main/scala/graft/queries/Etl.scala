@@ -621,17 +621,9 @@ object Etl {
     // One scan, map-side reason derivation, quarantined rows only.
     Q("dq_rules_quarantine",
       (s, d) => {
-        val dirty = orders(s, d).select(
-          col("o_orderkey"),
-          when(col("o_orderkey") % 11 === 0,
-            concat(lit("x"), col("o_orderkey").cast("string")))
-            .otherwise(col("o_orderkey").cast("string")).as("k_raw"),
-          when(col("o_orderkey") % 13 === 0, lit(null: String))
-            .otherwise(col("o_totalprice").cast("string")).as("price_raw"),
-          concat(lit("2024-"),
-            lpad((col("o_orderkey") % 15).cast("string"), 2, "0"),
-            lit("-15")).as("date_raw"))
-        dirty
+        // shared planted-defect construction — one source of truth
+        // with conform_validate's report (Projections.dirtyOrdersBase)
+        Projections.dirtyOrdersBase(s, d)
           .withColumn("reasons", concat_ws("|",
             when(expr("try_cast(k_raw AS BIGINT)").isNull,
               "bad_key"),

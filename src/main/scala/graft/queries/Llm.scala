@@ -21,6 +21,65 @@ object Llm {
     Dedup.minhashCoeffs().zipWithIndex
       .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
 
+  /** Fixed query term set shared by the BM25 consumers. */
+  private val Bm25Terms = Seq("join", "filter", "hash")
+
+  /** Per-doc BM25 scores (k1=1.2, b=0.75, +1 idf) against
+    * [[Bm25Terms]] — the ONE implementation text_bm25 declares and
+    * rank_fusion_rrf fuses; a formula/term change edits exactly here. */
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    val tf = toks.filter(col("w").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("part",
+        (log((col("n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5) + 1.0) * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") /
+              (col("total_len").cast("double") / col("n_docs")))))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy("doc_id")
+      .agg(round(sum(col("part")).cast("double"), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** The identical BM25 chain as DuckDB CTEs ending in `bm(doc_id,
+    * bm25, n_terms_hit)` — spliced into both consumers' oracles. */
+  private val Bm25Cte: String = """toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         corpus AS (
+           SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len
+           FROM dl),
+         tf AS (
+           SELECT doc_id, w, COUNT(*) AS tf FROM toks
+           WHERE w IN ('join', 'filter', 'hash') GROUP BY 1, 2),
+         df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+         bm AS (
+           SELECT tf.doc_id,
+                  ROUND(CAST(SUM(CAST(
+                    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                    (tf * 2.2) /
+                    (tf + 1.2 * (0.25 + 0.75 * dl /
+                      (CAST(total_len AS DOUBLE) / n_docs)))
+                  AS DECIMAL(18,9))) AS DOUBLE), 6) AS bm25,
+                  COUNT(*) AS n_terms_hit
+           FROM tf
+           JOIN df USING (w)
+           JOIN dl USING (doc_id)
+           CROSS JOIN corpus
+           GROUP BY tf.doc_id)"""
+
   val qs: Seq[Q] = Seq(
     Q("dedup_exact",
       (s, d) => Dedup.exact(documents(s, d)).orderBy("doc_id"),
@@ -665,27 +724,10 @@ object Llm {
     Q("rank_fusion_rrf",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val terms = Seq("join", "filter", "hash")
-        // lexical leg: BM25 over the fixed query (text_bm25's shape)
-        val toks = documents(s, d).select(col("doc_id"),
-          explode(split(col("text"), " ")).as("w"))
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val corpus = dl.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("total_len"))
-        val tf = toks.filter(col("w").isin(terms: _*))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
-        val bm = tf.join(broadcast(df), Seq("w"))
-          .join(dl, Seq("doc_id")).crossJoin(broadcast(corpus))
-          .withColumn("part",
-            (log((col("n_docs") - col("df") + 0.5) /
-              (col("df") + 0.5) + 1.0) * (col("tf") * 2.2) /
-              (col("tf") + lit(1.2) * (lit(0.25) +
-                lit(0.75) * col("dl") /
-                  (col("total_len").cast("double") / col("n_docs")))))
-              .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
-          .groupBy("doc_id")
-          .agg(round(sum(col("part")).cast("double"), 6).as("bm25"))
+        // lexical leg: the SAME bm25Scores implementation text_bm25
+        // declares — fusion quality claims are only meaningful if the
+        // fused leg IS the deployed ranker
+        val bm = bm25Scores(s, d).select("doc_id", "bm25")
         val wBm = Window.orderBy(desc("bm25"), col("doc_id"))
         val bmRank = bm.withColumn("r_lex", row_number().over(wBm))
           .filter(col("r_lex") <= 50).select("doc_id", "r_lex")
@@ -716,27 +758,7 @@ object Llm {
             round(col("rrf_d").cast("double"), 9).as("rrf"))
           .orderBy("fused_rank")
       },
-      """WITH toks AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS w
-           FROM documents),
-         dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-         corpus AS (
-           SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len
-           FROM dl),
-         tf AS (
-           SELECT doc_id, w, COUNT(*) AS tf FROM toks
-           WHERE w IN ('join', 'filter', 'hash') GROUP BY 1, 2),
-         df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
-         bm AS (
-           SELECT doc_id, ROUND(CAST(SUM(CAST(
-                    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
-                    (tf * 2.2) /
-                    (tf + 1.2 * (0.25 + 0.75 * dl /
-                      (CAST(total_len AS DOUBLE) / n_docs)))
-                  AS DECIMAL(18,9))) AS DOUBLE), 6) AS bm25
-           FROM tf JOIN df USING (w) JOIN dl USING (doc_id)
-           CROSS JOIN corpus
-           GROUP BY doc_id),
+      s"""WITH $Bm25Cte,
          bm_rank AS (
            SELECT doc_id, r_lex FROM (
              SELECT doc_id, ROW_NUMBER() OVER (
@@ -1187,63 +1209,12 @@ object Llm {
     // relation and scoring is a map-side join against the tiny term
     // stats — no inverted index needed for a fixed query set.
     Q("text_bm25",
-      (s, d) => {
-        val terms = Seq("join", "filter", "hash")
-        val toks = documents(s, d)
-          .select(col("doc_id"),
-            explode(split(col("text"), " ")).as("w"))
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val corpus = dl.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("total_len"))
-        val tf = toks.filter(col("w").isin(terms: _*))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(df), Seq("w"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(corpus))
-          .withColumn("idf",
-            log((col("n_docs") - col("df") + 0.5) /
-              (col("df") + 0.5) + 1.0))
-          .withColumn("avgdl",
-            col("total_len").cast("double") / col("n_docs"))
-          .withColumn("part",
-            col("idf") * (col("tf") * 2.2) /
-              (col("tf") + lit(1.2) * (lit(0.25) +
-                lit(0.75) * col("dl") / col("avgdl"))))
-          .groupBy("doc_id")
-          .agg(round(sum(
-            col("part").cast(org.apache.spark.sql.types
-              .DecimalType(18, 9))).cast("double"), 6)
-            .as("bm25"),
-            count(lit(1)).as("n_terms_hit"))
-          .orderBy("doc_id")
-      },
-      """WITH toks AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS w
-           FROM documents),
-         dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-         corpus AS (
-           SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len
-           FROM dl),
-         tf AS (
-           SELECT doc_id, w, COUNT(*) AS tf FROM toks
-           WHERE w IN ('join', 'filter', 'hash') GROUP BY 1, 2),
-         df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
-         scored AS (
-           SELECT tf.doc_id,
-                  CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
-                       (tf * 2.2) /
-                       (tf + 1.2 * (0.25 + 0.75 * dl /
-                         (CAST(total_len AS DOUBLE) / n_docs)))
-                    AS DECIMAL(18,9)) AS part
-           FROM tf
-           JOIN df USING (w)
-           JOIN dl USING (doc_id)
-           CROSS JOIN corpus)
-         SELECT doc_id,
-                ROUND(CAST(SUM(part) AS DOUBLE), 6) AS bm25,
-                COUNT(*) AS n_terms_hit
-         FROM scored GROUP BY 1 ORDER BY doc_id"""),
+      (s, d) => bm25Scores(s, d)
+        .select("doc_id", "bm25", "n_terms_hit")
+        .orderBy("doc_id"),
+      s"""WITH $Bm25Cte
+         SELECT doc_id, bm25, n_terms_hit
+         FROM bm ORDER BY doc_id"""),
 
     // HASHING-TRICK featurization (hashingTF): bag-of-words projected
     // into a FIXED 16-dim space by hashing each token (md5 % 16) — the

@@ -45,6 +45,25 @@ object Projections {
     "partitions": []
   }"""
 
+  /** Shared planted-defect dirty ingest — conform_validate's report
+    * and dq_rules_quarantine's row routing are two halves of one
+    * validation story, so the defect rules live ONCE: x-prefixed key
+    * every 11th row, null price every 13th, impossible month for
+    * o_orderkey % 15 ∈ {0, 13, 14}. */
+  private[queries] def dirtyOrdersBase(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 11 === 0,
+        concat(lit("x"), col("o_orderkey").cast("string")))
+        .otherwise(col("o_orderkey").cast("string")).as("k_raw"),
+      when(col("o_orderkey") % 13 === 0, lit(null: String))
+        .otherwise(col("o_totalprice").cast("string")).as("price_raw"),
+      concat(lit("2024-"),
+        lpad((col("o_orderkey") % 15).cast("string"), 2, "0"),
+        lit("-15")).as("date_raw"))
+
   val qs: Seq[Q] = Seq(
     // Metadata-JSON → StructType → conform, end to end: parse the
     // document (TableMeta.fromJson ⇄ TypeMap), then conformLenient so
@@ -240,15 +259,10 @@ object Projections {
     // from the construction rule.
     Q("conform_validate",
       (s, d) => {
-        val dirty = orders(s, d).select(
-          when(col("o_orderkey") % 11 === 0,
-            concat(lit("x"), col("o_orderkey").cast("string")))
-            .otherwise(col("o_orderkey").cast("string")).as("k"),
-          when(col("o_orderkey") % 13 === 0, lit(null: String))
-            .otherwise(col("o_totalprice").cast("string")).as("price"),
-          concat(lit("2024-"),
-            lpad((col("o_orderkey") % 15).cast("string"), 2, "0"),
-            lit("-15")).as("event_date"),
+        val dirty = dirtyOrdersBase(s, d).select(
+          col("k_raw").as("k"),
+          col("price_raw").as("price"),
+          col("date_raw").as("event_date"),
           when(col("o_orderkey") % 7 === 0, lit(null: String))
             .otherwise(concat(lit("n"), col("o_orderkey"))).as("note"),
           lit("extra").as("extra_col"))

@@ -83,6 +83,53 @@ class Round7Spec extends AnyFunSuite with SparkFixture {
     chg.unpersist()
   }
 
+  test("table_changes: a column ADDED between versions surfaces its " +
+      "updates (union-schema feed)") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_r7_cdf_evolve"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    CommitLog.init(spark, root)
+    import spark.implicits._
+    CommitLog.commit(spark, root, "snap") { (dir, _) =>
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").write.parquet(dir)
+    }
+    // v2 keeps v untouched but ADDS column w with per-row values —
+    // with old-version-only dataCols this produced an EMPTY feed
+    CommitLog.commit(spark, root, "evolve") { (dir, base) =>
+      CommitLog.readVersion(spark, root, base)
+        .withColumn("w", $"k" * 10).write.parquet(dir)
+    }
+    val chg = CommitLog.changes(spark, root, 1, 2, Seq("k")).cache()
+    assert(chg.filter(col("_change_type") === "update_postimage")
+      .count() === 2)
+    val post = chg.filter(col("_change_type") === "update_postimage" &&
+      $"k" === 2L).collect()(0)
+    assert(post.getAs[Long]("w") === 20L)
+    // pre-images carry a typed null for the not-yet-existing column
+    assert(chg.filter(col("_change_type") === "update_preimage")
+      .filter(col("w").isNull).count() === 2)
+    chg.unpersist()
+  }
+
+  test("readLatest resolves a fresh clone's absolute data reference") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_r7_clone_latest"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    CommitLog.init(spark, src)
+    import spark.implicits._
+    CommitLog.commit(spark, src, "snap") { (dir, _) =>
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").write.parquet(dir)
+    }
+    CommitLog.cloneTable(spark, src, dst, 1)
+    // BEFORE any clone-local commit, latest points at the absolute
+    // source reference — readLatest must resolve it like readVersion
+    assert(CommitLog.readLatest(spark, dst).count() === 2)
+  }
+
   test("conform_validate: fully-disjoint declaration yields a " +
       "missing/surplus-only report") {
     import graft.engine.meta.{ColumnMeta, TableMeta}
