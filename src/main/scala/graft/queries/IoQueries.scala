@@ -628,6 +628,30 @@ object IoQueries {
            SELECT k, v, 'delete', 3 FROM v2 WHERE k % 100 = 0)
          ORDER BY _commit_version, _change_type, k"""),
 
+    // The _metadata FILE-PROVENANCE column — every parquet scan can
+    // ask WHERE each row physically came from (file, position) with
+    // no user bookkeeping: the debugging/lineage surface behind
+    // "which file holds the poison row". row_index is pinned against
+    // construction truth by writing the table SORTED into one file,
+    // so physical position must equal rank — any reader reordering
+    // or split would break the hash.
+    Q("scan_row_index",
+      (s, d) => {
+        val out = scratch(d, "rowidx")
+        orders(s, d).filter(col("o_orderkey") < 1000)
+          .select("o_orderkey", "o_orderstatus")
+          .orderBy("o_orderkey").coalesce(1)
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("_metadata.row_index").as("row_index"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_orderstatus,
+                ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_index
+         FROM orders WHERE o_orderkey < 1000
+         ORDER BY o_orderkey"""),
+
     // ZSTD-compressed parquet roundtrip — codec coverage beyond the
     // snappy default: zstd is the 100 TB archival choice (2-3× denser
     // than snappy at comparable scan speed since parquet-mr 1.12 /

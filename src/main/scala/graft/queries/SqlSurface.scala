@@ -237,6 +237,44 @@ object SqlSurface {
          UNPIVOT (qty FOR status IN (F, O))
          ORDER BY l_returnflag, status"""),
 
+    // DataFrame.transpose (Spark 4) — rows↔columns flip as a native
+    // op: the per-status revenue summary turns into one row per
+    // metric with a column per status (the report orientation), keyed
+    // by the first column. The oracle rebuilds the transposed shape
+    // from conditional aggregates — same relation, orthodox SQL.
+    Q("fn_transpose",
+      (s, d) => {
+        val wide = orders(s, d).groupBy("o_orderstatus")
+          .agg(round(count(lit(1)).cast("double"), 1).as("n_orders"),
+            dsum(col("o_totalprice"), 2).as("revenue"))
+          .orderBy("o_orderstatus")
+        wide.transpose()
+          .withColumnRenamed("key", "metric")
+          .orderBy("metric")
+      },
+      """SELECT metric, F, O, P FROM (
+           SELECT 'n_orders' AS metric,
+                  ROUND(CAST(COUNT(CASE WHEN o_orderstatus = 'F'
+                    THEN 1 END) AS DOUBLE), 1) AS F,
+                  ROUND(CAST(COUNT(CASE WHEN o_orderstatus = 'O'
+                    THEN 1 END) AS DOUBLE), 1) AS O,
+                  ROUND(CAST(COUNT(CASE WHEN o_orderstatus = 'P'
+                    THEN 1 END) AS DOUBLE), 1) AS P
+           FROM orders
+           UNION ALL
+           SELECT 'revenue',
+                  ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                    AS DOUBLE), 2),
+                  ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                    AS DOUBLE), 2),
+                  ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                    AS DOUBLE), 2)
+           FROM orders)
+         ORDER BY metric"""),
+
     // Inline VALUES relation — the lookup-list join every analyst
     // writes (priority → SLA days mapping typed straight into the
     // statement, no table needed); the constructor must behave as a
