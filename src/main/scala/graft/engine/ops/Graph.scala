@@ -132,6 +132,25 @@ object Graph {
     spark.read.parquet(path)
   }
 
+  /** Persisted label-propagation result — the fit-once form: both the
+    * community listing (graph_label_prop) and its quality score
+    * (graph_modularity) consume the SAME propagated labels, so the
+    * 3-round chain runs once per dataset version, not per consumer.
+    * Fingerprint-keyed on the edge relation like every other store. */
+  def labelPropagationFor(edges: DataFrame, iterations: Int,
+      datasetTag: String): DataFrame = {
+    val spark = edges.sparkSession
+    val fp = graft.engine.io.Artifacts.fingerprintOf(edges)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = graft.engine.io.Artifacts.ensure(spark,
+      s"$warehouse/graft_graph_labels/${safe}_r${iterations}_$fp") { tmp =>
+      labelPropagationImpl(edges, iterations)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(path)
+  }
+
   private def labelPropagationImpl(edges: DataFrame,
       iterations: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -181,7 +181,8 @@ object Analytics {
             .select((col("l_suppkey").cast("bigint") * 2).as("a"),
               (col("l_partkey").cast("bigint") * 2 + 1).as("b")),
           s"${d}_bipsp")
-        graft.engine.ops.Graph.labelPropagation(edges, 3)
+        graft.engine.ops.Graph.labelPropagationFor(edges, 3,
+            s"${d}_bipsp")
           .orderBy("node")
       }, {
         val rounds = (1 to 3).map { i =>
@@ -226,14 +227,11 @@ object Analytics {
             .select((col("l_suppkey").cast("bigint") * 2).as("a"),
               (col("l_partkey").cast("bigint") * 2 + 1).as("b")),
           s"${d}_bipsp")
-        // stage the propagated labels once: both endpoint joins read
-        // the staged relation, so the 3-round chain runs ONCE, not per
-        // join branch (measured at sf0.1); IoQueries.scratch carries
-        // the per-PID isolation convention
-        val labelScratch = IoQueries.scratch(d, "lp_labels")
-        graft.engine.ops.Graph.labelPropagation(edges, 3)
-          .write.mode("overwrite").parquet(labelScratch)
-        val labels = s.read.parquet(labelScratch)
+        // the SAME persisted label store graph_label_prop reads: the
+        // 3-round chain is a fit-once artifact, and the two endpoint
+        // joins here read it, not recompute it
+        val labels = graft.engine.ops.Graph.labelPropagationFor(
+          edges, 3, s"${d}_bipsp")
         val lsrc = labels.select(col("node").as("src"),
           col("label").as("c_src"))
         val ldst = labels.select(col("node").as("dst"),
