@@ -887,6 +887,69 @@ object Llm {
          FROM t_full JOIN t_trunc USING (probe_id, vec_id)
          GROUP BY probe_id ORDER BY probe_id"""),
 
+    // BINARY-HASH retrieval (sign binarization → 1 bit/dim) — the
+    // bottom rung of the compression ladder (float32 → int8 re-rank →
+    // PQ → THIS): a 64-dim vector collapses to ONE 64-bit word
+    // (256× smaller), candidate ranking is bit_count(xor) — an
+    // L1-cache-speed instruction, the shape binary recall stacks
+    // (e.g. hash-based prefilters before exact re-rank) run at
+    // billion-vector scale. Engine side genuinely packs (bit_or of
+    // shifted sign bits) and XORs; the oracle computes the SAME
+    // Hamming distance as a per-dim sign-disagreement count — equal
+    // by construction, so the packed path is hash-checked against
+    // first-principles arithmetic. Exact integer ranking, vec_id
+    // tie-break (ties are heavy at 64-bit resolution — determinism is
+    // the tie-break's job).
+    Q("sim_search_hamming",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = embeddings(s, d)
+        val sigs = emb
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+          .groupBy("vec_id")
+          .agg(expr("""bit_or(CASE WHEN x >= 0
+                       THEN shiftleft(1L, cast(p AS INT)) ELSE 0L END)""")
+            .as("sig"))
+        val probeIds = emb.groupBy("label")
+          .agg(min(col("vec_id")).as("probe_id"))
+        val probes = probeIds.join(sigs,
+            col("probe_id") === col("vec_id"))
+          .select(col("probe_id"), col("sig").as("psig"))
+        val scored = sigs.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            expr("bit_count(sig ^ psig)").as("hamming"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("hamming"), col("vec_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("probe_id"), col("rn").cast("int").as("rn"),
+            col("vec_id"), col("hamming"))
+          .orderBy("probe_id", "rn")
+      },
+      """WITH dims AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, LATERAL unnest(range(1, 65)) AS t(i)),
+         probe_ids AS (
+           SELECT MIN(vec_id) AS probe_id FROM embeddings GROUP BY label),
+         pd AS (
+           SELECT probe_id, i, x AS px
+           FROM probe_ids JOIN dims ON vec_id = probe_id),
+         scored AS (
+           SELECT pd.probe_id, d.vec_id,
+                  CAST(SUM(CASE WHEN (d.x >= 0) <> (pd.px >= 0)
+                           THEN 1 ELSE 0 END) AS INT) AS hamming
+           FROM dims d JOIN pd ON pd.i = d.i
+           WHERE d.vec_id <> pd.probe_id
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT probe_id, vec_id, hamming,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY hamming, vec_id) AS rn
+           FROM scored)
+         SELECT probe_id, CAST(rn AS INT) AS rn, vec_id, hamming
+         FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn"""),
+
     // MAXIMUM INNER-PRODUCT search (MIPS) — the retrieval objective
     // recommenders and reward models actually rank by: the RAW dot
     // product, NOT length-normalized cosine (a long vector SHOULD
