@@ -752,6 +752,43 @@ object Behavior {
                       / COUNT(*), 6) AS pct_of_parts
          FROM c GROUP BY flag ORDER BY flag"""),
 
+    // ORDER-2 PATH MINING — the Sankey-diagram feed event_transitions'
+    // order-1 matrix can't give (A→B→C distinguishes "view→click→
+    // purchase" from "view→click→error"; the pairwise matrix conflates
+    // them): per-user ordered event triples via two LEADs on ONE
+    // user_id sort-exchange, top-20 paths by count with a full
+    // lexicographic tie-break. At 100 TB: one window family + one
+    // tiny path aggregate — paths are bounded by |event types|³, not
+    // by rows.
+    Q("event_paths3",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy("t", "event_id")
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("t"), col("event_type"))
+          .withColumn("e2", lead(col("event_type"), 1).over(w))
+          .withColumn("e3", lead(col("event_type"), 2).over(w))
+          .filter(col("e3").isNotNull)
+          .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+            col("e3").as("step3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("step1"), col("step2"), col("step3"))
+          .limit(20)
+      },
+      """SELECT step1, step2, step3, COUNT(*) AS n FROM (
+           SELECT event_type AS step1,
+                  LEAD(event_type, 1) OVER w AS step2,
+                  LEAD(event_type, 2) OVER w AS step3
+           FROM (SELECT user_id, event_id, epoch_us(ts) AS t,
+                        event_type FROM events)
+           WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+         WHERE step3 IS NOT NULL
+         GROUP BY 1, 2, 3
+         ORDER BY n DESC, step1, step2, step3
+         LIMIT 20"""),
+
     // MULTI-TOUCH ATTRIBUTION — the marketing-analytics capstone the
     // funnel/transition family leads to: every purchase distributes
     // one unit of conversion credit over the clicks in its trailing

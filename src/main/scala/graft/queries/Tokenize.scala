@@ -267,6 +267,66 @@ FROM stats ORDER BY shard"""),
       Bpe.tokensCtePrefixFor(UniSrc) + """
 SELECT doc_id, n_tokens, TRUE AS roundtrip_ok FROM dtok ORDER BY doc_id"""),
 
+    // LARGEST-REMAINDER integerization — the finishing step every
+    // quota allocator needs (mix_allocate floors leave budget
+    // unspent): floor each share, then hand the leftover units to the
+    // largest fractional remainders, ties by domain order. The
+    // result is the unique deterministic integer allocation summing
+    // EXACTLY to the budget (Hamilton's method). Remainders compare
+    // as exact decimals of one identical double each — rank-stable on
+    // both engines; the leftover count is itself derived data.
+    Q("mix_round_lrm",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val budget = 1000L
+        val toks = Bpe.tokensStoreFor(documents(s, d), d)
+          .groupBy("lang", "source")
+          .agg(sum(col("n_tokens")).as("n_tokens"))
+        val wAll = Window.partitionBy()
+        val wRank = Window.orderBy(desc("rem"), col("lang"),
+          col("source"))
+        toks
+          .withColumn("tok_total", sum(col("n_tokens")).over(wAll))
+          .withColumn("share",
+            col("n_tokens").cast("double") * budget /
+              col("tok_total").cast("double"))
+          .withColumn("fl", floor(col("share")).cast("long"))
+          .withColumn("rem",
+            (col("share") - col("fl")).cast(DecimalType(18, 12)))
+          .withColumn("leftover",
+            lit(budget) - sum(col("fl")).over(wAll))
+          .withColumn("extra",
+            (row_number().over(wRank) <= col("leftover")).cast("long"))
+          .select(col("lang"), col("source"), col("n_tokens"),
+            col("fl").as("floor_alloc"), col("extra"),
+            (col("fl") + col("extra")).as("alloc"))
+          .orderBy("lang", "source")
+      },
+      Bpe.tokensCtePrefix + """,
+tok AS (
+  SELECT lang, source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM dtok GROUP BY 1, 2),
+sh AS (
+  SELECT lang, source, n_tokens,
+         CAST(n_tokens AS DOUBLE) * 1000 /
+           CAST((SELECT SUM(n_tokens) FROM tok) AS DOUBLE) AS share
+  FROM tok),
+fl AS (
+  SELECT lang, source, n_tokens,
+         CAST(floor(share) AS BIGINT) AS fl,
+         CAST(share - floor(share) AS DECIMAL(18,12)) AS rem
+  FROM sh),
+lo AS (SELECT 1000 - CAST(SUM(fl) AS BIGINT) AS leftover FROM fl),
+ranked AS (
+  SELECT lang, source, n_tokens, fl, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rk
+  FROM fl)
+SELECT lang, source, n_tokens, fl AS floor_alloc,
+       CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS extra,
+       fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+FROM ranked, lo ORDER BY lang, source"""),
+
     // Epoch-CAPPED allocation — the constraint mix_allocate ignores
     // and every real pretraining mix enforces (post-Hoffmann/"Scaling
     // Data-Constrained LMs" practice): a domain can only be repeated
