@@ -462,6 +462,87 @@ object Llm {
          SELECT cluster_size, COUNT(*) AS n_clusters
          FROM csize GROUP BY cluster_size ORDER BY cluster_size"""),
 
+    // QUALITY-CANONICAL dedup resolution — the survivor policy
+    // production curation actually wants: dedup_resolve keeps the
+    // LOWEST-ID cluster member (stable, arbitrary); this keeps the
+    // HIGHEST-QUALITY one (tie → lowest id), so near-dup clusters
+    // contribute their best representative to training. Reuses the
+    // persisted keep-list artifact as the cluster LABELING and joins
+    // the map-side quality score — one cluster-keyed rank window
+    // replaces nothing else; at 100 TB this is the same cost as
+    // dedup_resolve plus a scan-local score.
+    Q("dedup_resolve_quality",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val keep = Dedup.keepListFor(documents(s, d), d, 0.05)
+        val q = Text.qualityScore(documents(s, d),
+          Seq("join", "filter", "sort", "hash", "scan"))
+          .select(col("doc_id"), col("quality"))
+        val w = Window.partitionBy("keep_id")
+          .orderBy(desc("quality"), col("doc_id"))
+        keep.join(q, Seq("doc_id"))
+          .withColumn("canonical_id",
+            first(col("doc_id")).over(
+              w.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+          .select(col("doc_id"), col("keep_id").as("cluster_id"),
+            col("quality"), col("canonical_id"),
+            (col("doc_id") === col("canonical_id")).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      """WITH RECURSIVE grams AS (
+           SELECT DISTINCT doc_id, lang, source,
+                  unnest(list_transform(range(1, len(string_split(text,' '))),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1])) AS g
+           FROM documents),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+           FROM grams a JOIN grams b
+             ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b
+           FROM common
+             JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05),
+         edges AS (
+           SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION
+           SELECT doc_b AS u, doc_a AS v FROM pairs),
+         reach(u, v) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         keep AS (
+           SELECT u AS doc_id, MIN(v) AS keep_id FROM reach GROUP BY u),
+         q AS (
+           SELECT doc_id,
+                  ROUND(least(1.0, len(string_split(text, ' ')) / 200.0)
+                    * (1.0 - len(list_filter(string_split(text, ' '),
+                        t -> list_contains(
+                          ['join','filter','sort','hash','scan'], t)))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4)
+                    AS quality
+           FROM documents),
+         canon AS (
+           SELECT keep_id, doc_id AS canonical_id FROM (
+             SELECT keep_id, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY keep_id
+                      ORDER BY quality DESC, doc_id) AS rn
+             FROM keep JOIN q USING (doc_id))
+           WHERE rn = 1)
+         SELECT k.doc_id, k.keep_id AS cluster_id, q.quality,
+                c.canonical_id,
+                k.doc_id = c.canonical_id AS is_canonical
+         FROM keep k
+         JOIN q ON q.doc_id = k.doc_id
+         JOIN canon c ON c.keep_id = k.keep_id
+         ORDER BY k.doc_id"""),
+
     // SOFT dedup (down-WEIGHT, don't drop): every member of a resolved
     // near-dup cluster gets sampling weight 1/cluster_size, so the
     // cluster as a whole contributes one document's worth of
