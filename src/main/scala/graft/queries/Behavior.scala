@@ -752,6 +752,56 @@ object Behavior {
                       / COUNT(*), 6) AS pct_of_parts
          FROM c GROUP BY flag ORDER BY flag"""),
 
+    // EVENT-TIME DECAYED SUM (half-life 24 h, discretized per full
+    // day) — the recency-weighted engagement score recommenders keep
+    // per user: each event contributes v·2^(−⌊Δt/half_life⌋) against
+    // the user's LAST event time. time_ewma decays per ROW; this
+    // decays per DAY of real elapsed time — the production form, and
+    // the discrete exponent is what makes it LIBM-FREE: v / (1 << k)
+    // is exact IEEE scaling (continuous pow(2, −Δt/hl) was measured
+    // to diverge between engines in the last ulp and flip a rounding
+    // at sf0.1 — the discretized form cannot). One user_id window
+    // family; the per-term decimals sum order-free.
+    Q("time_decay_sum",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+        val ev = events(s, d).select(col("user_id"),
+          unix_micros(col("ts")).as("t"), col("value"))
+        ev.withColumn("t_last", max(col("t")).over(w))
+          .withColumn("k",
+            floor((col("t_last") - col("t")).cast("double") /
+              86400000000L).cast("int"))
+          // FIXED-POINT arithmetic end to end: value → exact 1e-4
+          // units (decimal cast is engine-exact), halve by INTEGER
+          // floor division — bit-identical on any engine, no float
+          // rounding anywhere until the one final divide (per-term
+          // double ROUND near ties was measured to differ between
+          // engines' rounding implementations at sf0.1)
+          .withColumn("iv",
+            (col("value").cast(org.apache.spark.sql.types
+              .DecimalType(18, 4)) * 10000).cast("long"))
+          .withColumn("term", expr("iv div shiftleft(1L, k)"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("term")).cast("double") / 10000, 4)
+              .as("decayed_value"))
+          .orderBy("user_id")
+      },
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS t, value FROM events),
+         anchored AS (
+           SELECT user_id, t, value,
+                  CAST(floor(CAST(MAX(t) OVER (PARTITION BY user_id) - t
+                    AS DOUBLE) / 86400000000) AS INT) AS k
+           FROM ev)
+         SELECT user_id, COUNT(*) AS n_events,
+                ROUND(CAST(SUM(
+                  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    // (1::BIGINT << k)) AS DOUBLE) / 10000, 4)
+                  AS decayed_value
+         FROM anchored GROUP BY user_id ORDER BY user_id"""),
+
     // ORDER-2 PATH MINING — the Sankey-diagram feed event_transitions'
     // order-1 matrix can't give (A→B→C distinguishes "view→click→
     // purchase" from "view→click→error"; the pairwise matrix conflates

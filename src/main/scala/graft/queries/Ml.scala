@@ -768,6 +768,69 @@ object Ml {
          FROM best WHERE rn = 1
          GROUP BY vec_id ORDER BY vec_id"""),
 
+    // ZIPF EXPONENT of the word-frequency distribution — the corpus
+    // healthiness number (natural language sits near slope −1 in
+    // log-log rank/frequency space; a synthetic or template-heavy
+    // corpus deviates hard): one-variable OLS slope over
+    // (ln rank, ln freq) of the top-100 words, every moment an exact
+    // decimal sum of identically-computed logs, the slope one Cramer
+    // closed form (the quality_train discipline at 1 variable). One
+    // word-count exchange + a 100-row window.
+    Q("text_zipf_slope",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(desc("c"), col("t"))
+        val ranked = documents(s, d)
+          .select(explode(split(col("text"), " ")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 100)
+          .select(
+            log(col("rk").cast("double"))
+              .cast(DecimalType(18, 12)).as("x"),
+            log(col("c").cast("double"))
+              .cast(DecimalType(18, 12)).as("y"))
+        ranked.agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum((col("x") * col("y")).cast(DecimalType(24, 12)))
+              .as("sxy"),
+            sum((col("x") * col("x")).cast(DecimalType(24, 12)))
+              .as("sxx"))
+          .select(col("n"),
+            // closed form on DOUBLES cast from the exact decimal
+            // moments (decimal×decimal would overflow precision 38 and
+            // each engine truncates differently; identical doubles
+            // through an identical formula cannot)
+            round((col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")),
+              4).as("zipf_slope"))
+      },
+      """WITH ranked AS (
+           SELECT CAST(ln(CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*)
+                    DESC, t) AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+                  CAST(ln(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,12))
+                    AS y,
+                  ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rk
+           FROM (SELECT unnest(string_split(text, ' ')) AS t
+                 FROM documents)
+           GROUP BY t),
+         top100 AS (SELECT x, y FROM ranked WHERE rk <= 100),
+         m AS (
+           SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(CAST(x * y AS DECIMAL(24,12))) AS sxy,
+                  SUM(CAST(x * x AS DECIMAL(24,12))) AS sxx
+           FROM top100)
+         SELECT n,
+                ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+                  AS zipf_slope
+         FROM m"""),
+
     // BIGRAM-LM document scoring — the sequence-aware upgrade of
     // text_lm_score's unigram model (CCNet-style quality filters use
     // exactly this: mean log p(w_i | w_{i-1}) under the corpus bigram

@@ -501,6 +501,46 @@ object Profiling {
                       ln((n * tot) / CAST(nx * ny AS DOUBLE)), 6) AS pmi
          FROM m ORDER BY l_returnflag, l_linestatus"""),
 
+    // HILL TAIL-INDEX estimator — "how heavy is the tail?" as a
+    // number: α̂ = 1 / mean(ln(x_(i)/x_(k))) over the top-k order
+    // statistics (k=50). α ≈ 1 means Zipf-like (heads dominate any
+    // sample — plan for skew everywhere); α > 3 means effectively
+    // light tails. The diagnostic that decides whether a 100 TB key
+    // distribution needs salting BEFORE the job falls over. Top-k by
+    // rank window (TakeOrdered shape), each ln on identical rationals
+    // pinned to decimal, one closed-form divide.
+    Q("profile_hill_tail",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 50
+        val w = Window.orderBy(desc("v"), col("o_orderkey"))
+        val topk = orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice").as("v"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+        val xk = topk.filter(col("rk") === k).select(col("v").as("x_k"))
+        topk.filter(col("rk") < k).crossJoin(broadcast(xk))
+          .select(log(col("v") / col("x_k"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 12))
+            .as("lr"))
+          .agg(count(lit(1)).as("n_top"),
+            round(lit(1.0) /
+              (sum(col("lr")).cast("double") / count(lit(1))), 4)
+              .as("hill_alpha"))
+      },
+      """WITH ranked AS (
+           SELECT o_orderkey, o_totalprice AS v,
+                  ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                    o_orderkey) AS rk
+           FROM orders),
+         topk AS (SELECT v, rk FROM ranked WHERE rk <= 50),
+         xk AS (SELECT v AS x_k FROM topk WHERE rk = 50)
+         SELECT COUNT(*) AS n_top,
+                ROUND(CAST(1.0 AS DOUBLE) /
+                      (CAST(SUM(CAST(ln(v / x_k) AS DECIMAL(18,12)))
+                        AS DOUBLE) / COUNT(*)), 4) AS hill_alpha
+         FROM topk CROSS JOIN xk WHERE rk < 50"""),
+
     // TUKEY-FENCE outlier screen (IQR rule) — the box-plot definition
     // (outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR]) next to dq_outlier_mad's
     // robust z-score: the two standard screens disagree exactly on
