@@ -26,6 +26,40 @@ object IoQueries {
     s"${sys.props("java.io.tmpdir")}/graft_io/p${pid}_${tag}_$name"
   }
 
+  /** The maintain_cluster_rewrite pre-write relation, split out so
+    * PlanSpec can pin its physical shape: z-value per row, shard from
+    * the bounded zval-histogram cumulative (the only unpartitioned
+    * window runs over the ≤2^20-row domain histogram, never the rows),
+    * then RangePartitioning on (shard, zval) + in-partition sort — the
+    * 32-way-parallel clustered-write shape, no single-task stage. */
+  private[graft] def clusterRewriteSharded(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val z = (0 until 10).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + " +
+        s"(((y >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+    val zed = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        (col("l_partkey") % 1024).as("x"),
+        (col("l_suppkey") % 1024).as("y"))
+      .withColumn("zval", expr(z))
+      .drop("x", "y")
+    val hist = zed.groupBy("zval").agg(count(lit(1)).as("cnt"))
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    val shards = hist
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy("zval")))
+      .crossJoin(broadcast(tot))
+      .select(col("zval"),
+        (expr("(cum - 1) * 4 div n") + 1).cast("long").as("shard"))
+    zed.join(broadcast(shards), Seq("zval"))
+      .repartitionByRange(col("shard"), col("zval"))
+      .sortWithinPartitions("shard", "zval", "l_orderkey",
+        "l_linenumber")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("scan_csv_roundtrip",
       (s, d) => {
@@ -1000,30 +1034,23 @@ object IoQueries {
     // re-packs, this re-ORDERS): rows are laid out along the 2-D Morton
     // curve over (partkey, suppkey) and written as range shards, so
     // every shard's min/max box is tight in BOTH dims and a 2-D range
-    // predicate prunes whole files at 100 TB. Shards here are a
-    // deterministic NTILE over the z-order (the oracle-replayable twin
-    // of repartitionByRange(zval), whose sampled boundaries are not
-    // reproducible); the physical write is partitionBy(shard) +
-    // sortWithinPartitions(zval) — data ends up clustered on disk and
-    // the read-back audit proves per-shard box bounds + row counts off
-    // the REWRITTEN files, not the source.
+    // predicate prunes whole files at 100 TB. Shard boundaries come
+    // from the zval HISTOGRAM, not a global-sort NTILE: the z-domain is
+    // ≤ 2^20 values BY CONSTRUCTION (both dims mod 1024), so the
+    // cumulative-count window runs over a bounded domain-sized
+    // relation regardless of table size, never over the rows — and the
+    // shard map broadcasts back. shard = ((cum−1)·4) div n + 1 in
+    // exact integer arithmetic: a zval's rows never split across
+    // shards (file boxes stay disjoint in z), the oracle replays the
+    // identical formula. The physical write range-partitions on
+    // (shard, zval) — RangePartitioning in the plan, 32-way parallel
+    // sorted write, NO single-task stage — then partitionBy(shard) +
+    // sortWithinPartitions; the read-back audit proves per-shard box
+    // bounds + row counts off the REWRITTEN files, not the source.
     Q("maintain_cluster_rewrite",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val out = scratch(d, "zrewrite")
-        val z = (0 until 10).map(i =>
-          s"(((x >> $i) & 1) << ${2 * i}) + " +
-            s"(((y >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
-        val w = Window.orderBy(col("zval"), col("l_orderkey"),
-          col("l_linenumber"))
-        lineitem(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"),
-            col("l_partkey"), col("l_suppkey"),
-            (col("l_partkey") % 1024).as("x"),
-            (col("l_suppkey") % 1024).as("y"))
-          .withColumn("zval", expr(z))
-          .withColumn("shard", ntile(4).over(w).cast("long"))
-          .drop("x", "y")
+        clusterRewriteSharded(s, d)
           .write.mode("overwrite").partitionBy("shard")
           .option("maxRecordsPerFile", 2000000).parquet(out)
         s.read.parquet(out)
@@ -1048,11 +1075,17 @@ object IoQueries {
               FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                            l_partkey % 1024 AS x, l_suppkey % 1024 AS y
                     FROM lineitem)),
+            hist AS (SELECT zval, COUNT(*) AS cnt FROM zed GROUP BY zval),
+            cum AS (
+              SELECT zval, SUM(cnt) OVER (ORDER BY zval) AS cum
+              FROM hist),
+            tot AS (SELECT COUNT(*) AS n FROM zed),
+            shardmap AS (
+              SELECT zval, CAST((cum - 1) * 4 // n + 1 AS BIGINT) AS shard
+              FROM cum, tot),
             sharded AS (
-              SELECT l_partkey, l_suppkey, zval,
-                     NTILE(4) OVER (ORDER BY zval, l_orderkey,
-                                    l_linenumber) AS shard
-              FROM zed)
+              SELECT l_partkey, l_suppkey, zval, shard
+              FROM zed JOIN shardmap USING (zval))
             SELECT shard, COUNT(*) AS n_rows,
                    MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
                    MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max,

@@ -704,13 +704,19 @@ object Ml {
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
           .select(col("vec_id"), (col("p") + 1).as("i"),
             col("x").cast("double").as("v"))
-        // seed selection: k smallest md5(vec_id) — at scale a
-        // TakeOrdered(16), not a global sort
-        val wSeed = Window.orderBy(md5(col("vec_id").cast("string")),
-          col("vec_id"))
-        val seeds = embeddings(s, d).select(col("vec_id"))
+        // seed selection: k smallest md5(vec_id) via orderBy+limit —
+        // plans as TakeOrderedAndProject (per-partition top-16 heaps,
+        // 16-row driver merge), never a single-partition global sort.
+        // The rank window that numbers the codes runs over the 16-row
+        // result: bounded by construction, not a scale stage.
+        val picked = embeddings(s, d)
+          .select(col("vec_id"),
+            md5(col("vec_id").cast("string")).as("h"))
+          .orderBy(col("h"), col("vec_id")).limit(16)
+        val wSeed = Window.orderBy(col("h"), col("vec_id"))
+        val seeds = picked
           .withColumn("code_id", (row_number().over(wSeed) - 1).cast("long"))
-          .filter(col("code_id") < 16)
+          .drop("h")
         val cb = seeds.join(dims, Seq("vec_id"))
           .select(col("code_id"), col("i"), col("v").as("cv"))
         val dist = dims.join(broadcast(cb), Seq("i"))
@@ -779,12 +785,16 @@ object Ml {
     Q("text_zipf_slope",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // top-100 words by orderBy+limit (TakeOrderedAndProject off the
+        // word-count exchange — per-partition heaps, 100-row merge);
+        // the rank that becomes the regression x runs over the 100-row
+        // result only, never the vocab-sized relation
         val w = Window.orderBy(desc("c"), col("t"))
         val ranked = documents(s, d)
           .select(explode(split(col("text"), " ")).as("t"))
           .groupBy("t").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), col("t")).limit(100)
           .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 100)
           .select(
             log(col("rk").cast("double"))
               .cast(DecimalType(18, 12)).as("x"),
@@ -916,11 +926,17 @@ object Ml {
             posexplode(col("embedding")).as(Seq("p", "x")))
           .select(col("vec_id"), (col("p") + 1).as("i"),
             col("x").cast("double").as("v"))
-        val wSeed = Window.orderBy(md5(col("vec_id").cast("string")),
-          col("vec_id"))
-        val seeds = embeddings(s, d).select(col("vec_id"))
+        // seed pick: TakeOrdered(8) via orderBy+limit, then the code
+        // numbering window over the 8-row result (vec_pq device — no
+        // single-partition pass over the full relation)
+        val picked = embeddings(s, d)
+          .select(col("vec_id"),
+            md5(col("vec_id").cast("string")).as("h"))
+          .orderBy(col("h"), col("vec_id")).limit(8)
+        val wSeed = Window.orderBy(col("h"), col("vec_id"))
+        val seeds = picked
           .withColumn("c", (row_number().over(wSeed) - 1).cast("long"))
-          .filter(col("c") < 8)
+          .drop("h")
         var cent = seeds.join(dims, Seq("vec_id"))
           .select(col("c"), col("i"), col("v").as("cv"))
         var assign: org.apache.spark.sql.DataFrame = null

@@ -506,18 +506,20 @@ object Profiling {
     // statistics (k=50). α ≈ 1 means Zipf-like (heads dominate any
     // sample — plan for skew everywhere); α > 3 means effectively
     // light tails. The diagnostic that decides whether a 100 TB key
-    // distribution needs salting BEFORE the job falls over. Top-k by
-    // rank window (TakeOrdered shape), each ln on identical rationals
-    // pinned to decimal, one closed-form divide.
+    // distribution needs salting BEFORE the job falls over. Top-k is a
+    // real TakeOrderedAndProject (orderBy+limit), each ln on identical
+    // rationals pinned to decimal, one closed-form divide.
     Q("profile_hill_tail",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val k = 50
+        // top-k by orderBy+limit (TakeOrderedAndProject — per-partition
+        // heaps, k-row merge), rank window only over the 50-row result
         val w = Window.orderBy(desc("v"), col("o_orderkey"))
         val topk = orders(s, d)
           .select(col("o_orderkey"), col("o_totalprice").as("v"))
+          .orderBy(desc("v"), col("o_orderkey")).limit(k)
           .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= k)
         val xk = topk.filter(col("rk") === k).select(col("v").as("x_k"))
         topk.filter(col("rk") < k).crossJoin(broadcast(xk))
           .select(log(col("v") / col("x_k"))

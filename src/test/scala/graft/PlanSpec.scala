@@ -504,4 +504,42 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).size === 1, p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
+
+  test("seed/top-k keys: no unpartitioned Window over a full-table " +
+      "input (every global window sits above a TakeOrdered k-row " +
+      "relation)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (name <- Seq("vec_pq", "vec_kmeans", "profile_hill_tail",
+        "text_zipf_slope")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val p = df.queryExecution.sparkPlan
+      assert(p.toString.contains("TakeOrderedAndProject"),
+        s"$name: no TakeOrderedAndProject\n$p")
+      val bad = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+            !w.child.toString.contains("TakeOrderedAndProject") => w
+      }
+      assert(bad.isEmpty,
+        s"$name: unpartitioned Window over a non-TakeOrdered input:\n" +
+          bad.mkString("\n"))
+    }
+  }
+
+  test("maintain_cluster_rewrite pre-write plan range-partitions the " +
+      "rows; the only global window runs over the bounded zval " +
+      "histogram") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.queries.IoQueries.clusterRewriteSharded(spark, sf)
+    val p = df.queryExecution.sparkPlan
+    assert(p.toString.toLowerCase.contains("rangepartitioning"),
+      p.toString)
+    val unpart = p.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.nonEmpty, "expected the histogram cumulative window")
+    unpart.foreach { w =>
+      assert(w.child.toString.contains("HashAggregate(keys=[zval"),
+        s"global window input is not the zval histogram:\n${w.child}")
+    }
+  }
 }
