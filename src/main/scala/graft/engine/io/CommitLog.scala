@@ -117,6 +117,16 @@ object CommitLog {
     * (POSIX-atomic, fails if another writer won the version). Returns
     * true iff this writer claimed the version. */
   private def claimVersion(root: String, rec: Commit): Boolean = {
+    // readers go through the Hadoop FS API, but the claim itself is
+    // POSIX hard-link atomicity — valid ONLY on a local filesystem. A
+    // non-local root (s3a://, hdfs://) would silently "claim" against
+    // a bogus local path: fail loudly instead (an object-store claim
+    // needs a conditional put / DynamoDB-style lock, not a hard link).
+    val scheme = try java.net.URI.create(root).getScheme
+      catch { case _: IllegalArgumentException => null }
+    require(scheme == null || scheme == "file",
+      s"claimVersion needs a local commit root (got '$root'); " +
+        "non-local stores need a conditional-put claim")
     val line = s"${rec.version}|${rec.baseVersion}|${rec.action}|${rec.dataDir}"
     val tmp = Paths.get(commitsDir(root),
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -125,12 +135,13 @@ object CommitLog {
     val target = Paths.get(commitsDir(root), f"v${rec.version}%08d.json")
     try {
       Files.createLink(target, tmp) // atomic claim: O_EXCL-equivalent
-      Files.delete(tmp)
       true
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.delete(tmp)
-        false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      // ALWAYS sweep the staging file — a non-FileAlreadyExists error
+      // must not leak a .tmp-* into _commits that vacuum never reaps
+      Files.deleteIfExists(tmp)
     }
   }
 
@@ -197,6 +208,21 @@ object CommitLog {
     import org.apache.spark.sql.functions._
     require(fromVersion < toVersion,
       s"empty change range: $fromVersion >= $toVersion")
+    // a column dropped and re-added with a DIFFERENT type anywhere in
+    // the range would make the typed-null padding pick one side's type
+    // arbitrarily and the cross-step unionByName fail at analysis time
+    // with a confusing cast error — detect it up front and fail with
+    // the actual conflict (schema-only parquet footer reads, no scan)
+    val typeConflicts = (fromVersion to toVersion)
+      .flatMap(v => readVersion(spark, root, v).schema.fields)
+      .groupBy(_.name).collect {
+        case (n, fs) if fs.map(_.dataType).distinct.size > 1 =>
+          s"$n (${fs.map(_.dataType.simpleString).distinct.mkString(" vs ")})"
+      }
+    require(typeConflicts.isEmpty,
+      s"changes($fromVersion -> $toVersion) on $root: column(s) change " +
+        s"data type across versions — ${typeConflicts.mkString(", ")}; " +
+        "a change feed needs one type per column name over the range")
     val steps = (fromVersion until toVersion).map { v =>
       val old = readVersion(spark, root, v)
       val neu = readVersion(spark, root, v + 1)

@@ -781,7 +781,19 @@ object Behavior {
           .withColumn("iv",
             (col("value").cast(org.apache.spark.sql.types
               .DecimalType(18, 4)) * 10000).cast("long"))
-          .withColumn("term", expr("iv div shiftleft(1L, k)"))
+          // k ≥ 63 would WRAP shiftleft's shift count (mod 64) — a
+          // user whose history spans 63+ half-life days must decay to
+          // exactly 0, not a wrapped divisor; and the halving is
+          // declared TRUNC-toward-zero division (sign split), because
+          // Spark's div truncates while DuckDB's // floors — they
+          // diverge on negative values without the split. The shift
+          // count is clamped inside every branch so no lane ever
+          // evaluates an out-of-range shift.
+          .withColumn("term", expr(
+            "case when k >= 63 then 0L " +
+              "when iv < 0L then " +
+              "-(abs(iv) div shiftleft(1L, least(k, 62))) " +
+              "else iv div shiftleft(1L, least(k, 62)) end"))
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"),
             round(sum(col("term")).cast("double") / 10000, 4)
@@ -794,13 +806,22 @@ object Behavior {
            SELECT user_id, t, value,
                   CAST(floor(CAST(MAX(t) OVER (PARTITION BY user_id) - t
                     AS DOUBLE) / 86400000000) AS INT) AS k
-           FROM ev)
+           FROM ev),
+         terms AS (
+           SELECT user_id,
+                  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    AS iv,
+                  k
+           FROM anchored)
          SELECT user_id, COUNT(*) AS n_events,
                 ROUND(CAST(SUM(
-                  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
-                    // (1::BIGINT << k)) AS DOUBLE) / 10000, 4)
+                  CASE WHEN k >= 63 THEN 0
+                       WHEN iv < 0 THEN
+                         -(abs(iv) // (1::BIGINT << least(k, 62)))
+                       ELSE iv // (1::BIGINT << least(k, 62)) END)
+                  AS DOUBLE) / 10000, 4)
                   AS decayed_value
-         FROM anchored GROUP BY user_id ORDER BY user_id"""),
+         FROM terms GROUP BY user_id ORDER BY user_id"""),
 
     // ORDER-2 PATH MINING — the Sankey-diagram feed event_transitions'
     // order-1 matrix can't give (A→B→C distinguishes "view→click→

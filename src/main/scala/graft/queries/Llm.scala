@@ -1512,7 +1512,10 @@ object Llm {
     // the quantized codes, and the reconstruction MSE. All arithmetic is
     // a left fold over doubles, mirrored exactly by the oracle's
     // list_reduce so the folds hash-match (same pattern as
-    // dedup_embedding's cosine).
+    // dedup_embedding's cosine). An all-zero vector has scale 0 — the
+    // divides guard with nullif so the degenerate row reports
+    // deterministic NULL codes/MSE on BOTH engines instead of an
+    // engine-specific divide-by-zero (Inf/NaN) disagreement.
     Q("vec_quantize",
       (s, d) => embeddings(s, d)
         .withColumn("scale",
@@ -1520,12 +1523,14 @@ object Llm {
                     (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"""))
         .select(col("vec_id"), round(col("scale"), 8).as("scale_r"),
           expr("""aggregate(transform(embedding,
-                    x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)),
+                    x -> CAST(round(CAST(x AS DOUBLE) /
+                      nullif(scale, CAST(0.0 AS DOUBLE))) AS BIGINT)),
                     CAST(0 AS BIGINT), (acc, q) -> acc + abs(q))""")
             .as("abs_code_sum"),
           round(expr("""aggregate(transform(embedding,
                     x -> pow(CAST(x AS DOUBLE) -
-                         round(CAST(x AS DOUBLE) / scale) * scale, 2)),
+                         round(CAST(x AS DOUBLE) /
+                           nullif(scale, CAST(0.0 AS DOUBLE))) * scale, 2)),
                     CAST(0.0 AS DOUBLE), (acc, e) -> acc + e) / 64.0"""),
             12).as("mse"))
         .orderBy("vec_id"),
@@ -1537,12 +1542,14 @@ object Llm {
            FROM embeddings)
          SELECT vec_id, ROUND(scale, 8) AS scale_r,
                 CAST(list_reduce(list_transform(range(1, 65),
-                  i -> abs(CAST(round(CAST(embedding[i] AS DOUBLE) / scale)
+                  i -> abs(CAST(round(CAST(embedding[i] AS DOUBLE) /
+                           nullif(scale, 0.0))
                            AS BIGINT))), (x, y) -> x + y) AS BIGINT)
                   AS abs_code_sum,
                 ROUND(list_reduce(list_transform(range(1, 65),
                   i -> pow(CAST(embedding[i] AS DOUBLE) -
-                           round(CAST(embedding[i] AS DOUBLE) / scale) *
+                           round(CAST(embedding[i] AS DOUBLE) /
+                             nullif(scale, 0.0)) *
                            scale, 2)), (x, y) -> x + y) / 64.0, 12) AS mse
          FROM scaled ORDER BY vec_id"""),
 

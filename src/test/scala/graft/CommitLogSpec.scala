@@ -161,4 +161,26 @@ class CommitLogSpec extends AnyFunSuite with SparkFixture {
     CommitLog.vacuum(spark, dst, keep = 1, orphanGraceMs = 0L)
     assert(CommitLog.readVersion(spark, src, 1).count() == 2)
   }
+
+  test("changes() fails loudly when a column is re-added with a " +
+      "different type across the range") {
+    val root = freshRoot("typeflip")
+    import spark.implicits._
+    CommitLog.commit(spark, root, "base") { (dir, _) =>
+      Seq((1L, 10)).toDF("k", "x").write.parquet(dir) // x: INT
+    }
+    CommitLog.commit(spark, root, "drop_x") { (dir, _) =>
+      Seq(Tuple1(1L)).toDF("k").write.parquet(dir)
+    }
+    CommitLog.commit(spark, root, "readd_x_as_string") { (dir, _) =>
+      Seq((1L, "ten")).toDF("k", "x").write.parquet(dir) // x: STRING
+    }
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.changes(spark, root, 1, 3, Seq("k")).collect()
+    }
+    assert(ex.getMessage.contains("x"), ex.getMessage)
+    assert(ex.getMessage.contains("type"), ex.getMessage)
+    // the consistent sub-range still works
+    assert(CommitLog.changes(spark, root, 1, 2, Seq("k")).count() > 0)
+  }
 }
