@@ -1182,6 +1182,51 @@ object Ml {
                 CAST(MAX(v) AS DOUBLE) AS hi
          FROM b GROUP BY 1 ORDER BY bucket"""),
 
+    // profile_equidepth's 100 TB path: the exact NTILE form above
+    // funnels every row through one sort task — correct, and kept as
+    // the oracle-checked twin — while THIS is how the histogram is
+    // actually built at scale: one approx_percentile sketch aggregate
+    // (Greenwald-Khanna partials merge map-side, no sort, no window),
+    // the 9 boundaries broadcast, bucket assignment is a map-side fold
+    // against the broadcast array, and one bucket-key aggregate ends
+    // it. Approximate boundaries mean approximate depths, so the
+    // DECLARED relation is the scale-invariant audit every equi-depth
+    // builder reports — per-bucket depth within ±25% of n/10 and full
+    // row coverage — not the boundary values (Round8Spec bounds the
+    // drift against the exact form much tighter at test SFs).
+    Q("profile_equidepth_approx",
+      (s, d) => {
+        val t = orders(s, d).select(
+          col("o_totalprice").cast(DecimalType(18, 2)).as("v"))
+        val fit = t.agg(
+          expr("""approx_percentile(v,
+                    array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D),
+                    10000)""").as("bs"),
+          count(lit(1)).as("total"))
+        val counts = t.crossJoin(broadcast(fit))
+          .select(
+            expr("1 + aggregate(bs, 0, (acc, b) -> acc + if(v > b, 1, 0))")
+              .cast("int").as("bucket"),
+            col("total"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), first(col("total")).as("total"))
+        val cover = counts.agg(sum(col("n")).as("covered"),
+          first(col("total")).as("total"))
+        val spine = s.range(1, 11)
+          .select(col("id").cast("int").as("bucket"))
+        spine.join(counts.drop("total"), Seq("bucket"), "left")
+          .crossJoin(broadcast(cover))
+          .select(col("bucket"),
+            (abs(coalesce(col("n"), lit(0L)).cast("double") -
+              col("total").cast("double") / 10.0) <=
+              col("total").cast("double") / 10.0 * 0.25).as("ok_depth"),
+            (col("covered") === col("total")).as("ok_cover"))
+          .orderBy("bucket")
+      },
+      """SELECT CAST(i AS INT) AS bucket, true AS ok_depth,
+                true AS ok_cover
+         FROM range(1, 11) AS t(i) ORDER BY bucket"""),
+
     // Foreign-key candidate discovery (Metanome-style inclusion
     // profiling): for each declared candidate pair, the inclusion
     // coefficient |distinct(child) ∩ distinct(parent)| / |distinct
