@@ -635,30 +635,48 @@ object Similarity {
         round(col("cos"), 6).as("score"))
   }
 
-  /** LSM compaction for the cell-partitioned index: rewrite each
-    * cell's accumulated segment files (base write + appends) into one
-    * file per cell, preserving rows and the stored quantizer — search
-    * over the compacted index must be IDENTICAL (SimilaritySpec pins
-    * equality). The rewrite is a per-cell repartition + overwrite of a
-    * STAGED copy swapped in atomically; at 100 TB this runs
-    * cell-by-cell on the segment-count threshold, exactly like
-    * compact_files for tables. Returns (filesBefore, filesAfter)
-    * summed over cell directories. */
+  /** LSM compaction for the cell-partitioned index, THRESHOLD-DRIVEN:
+    * only cells whose segment-file count exceeds `segmentThreshold`
+    * (append-heavy cells) are read and rewritten to one file; every
+    * other cell's files are copied BYTE-IDENTICAL into the staged
+    * target (SimilaritySpec pins both the identity and that search
+    * over the compacted index is exactly unchanged). This is the
+    * 100 TB contract: compaction cost scales with the appended-into
+    * cells, not the index — an index with 10k cells and 3 hot ones
+    * reads 3 cells. The rewrite read pins `basePath` so the cell
+    * partition column survives, repartitions on cell (each hot cell's
+    * rows land in one task → one file), and appends next to the
+    * copied cold cells; the stored quantizer travels with the index.
+    * Returns (filesBefore, filesAfter) summed over cell dirs. */
   def compactCellIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, targetPath: String): (Long, Long) = {
+      indexPath: String, targetPath: String,
+      segmentThreshold: Int = 1): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(conf)
-    def countFiles(p: String): Long = {
-      val cells = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+    def cellDirs(p: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      cells.map(c => fs.listStatus(c.getPath)
-        .count(f => f.getPath.getName.endsWith(".parquet")).toLong).sum
-    }
+    def segments(c: org.apache.hadoop.fs.FileStatus) =
+      fs.listStatus(c.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet"))
+    def countFiles(p: String): Long =
+      cellDirs(p).map(segments(_).toLong).sum
     val before = countFiles(indexPath)
-    spark.read.parquet(indexPath)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(targetPath)
+    val (hot, cold) = cellDirs(indexPath)
+      .partition(segments(_) > segmentThreshold)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(targetPath))
+    cold.foreach { c =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, c.getPath, fs,
+        new org.apache.hadoop.fs.Path(targetPath, c.getPath.getName),
+        false, conf)
+    }
+    if (hot.nonEmpty) {
+      spark.read.option("basePath", indexPath)
+        .parquet(hot.map(_.getPath.toString).toIndexedSeq: _*)
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(targetPath)
+    }
     // the quantizer travels with the index artifact
     org.apache.hadoop.fs.FileUtil.copy(fs,
       new org.apache.hadoop.fs.Path(s"$indexPath/_quantizer"), fs,

@@ -1225,9 +1225,11 @@ object Llm {
 
     // LSM COMPACTION for the cell-partitioned index — the close of
     // the append loop: sim_index_append accumulates segment files per
-    // touched cell; compaction rewrites each cell to one file,
-    // preserving rows, the stored quantizer, and (SimilaritySpec-
-    // pinned) the EXACT search results. The declared relation is the
+    // touched cell; compaction rewrites ONLY cells over the segment
+    // threshold (cost scales with appended-into cells, not the index
+    // — cold cells are copied byte-identical, SimilaritySpec-pinned),
+    // preserving rows, the stored quantizer, and the EXACT search
+    // results. The declared relation is the
     // compaction audit: total vectors preserved (data-dependent — the
     // oracle counts the corpus), every cell down to one file, and
     // search-identical before/after computed in-engine.

@@ -302,14 +302,30 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     a.zip(b).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
   }
 
-  test("index compaction: one file per cell, search results identical") {
-    val base = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 5 =!= 0)
-    val batch = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 0)
-    val idx = Similarity.appendedIndexFor(base, batch, sf)
+  test("index compaction: one file per cell, untouched cells " +
+      "byte-identical, search results identical") {
+    // a SMALL batch (2% of ids) so some cells accumulate no second
+    // segment — those must survive compaction byte-identical
+    val base = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 50 =!= 0)
+    val batch = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_idx_compact").toString
+    Similarity.writeCellIndex(base, idx, s"compacttest_${System.nanoTime()}")
+    Similarity.appendCellIndex(spark, idx, batch)
     val out = s"${sys.props("java.io.tmpdir")}/graft_sim_spec/compacted"
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    def cellFiles(p: String) = fs
+      .listStatus(new org.apache.hadoop.fs.Path(p))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(c => c.getPath.getName -> fs.listStatus(c.getPath)
+        .filter(f => f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).sortBy(_.getName)).toMap
+    val idxCells = cellFiles(idx)
+    val coldCells = idxCells.filter(_._2.length == 1).keys.toSeq
+    assert(coldCells.nonEmpty,
+      "need at least one single-segment cell to pin the untouched path")
     val (before, after) = Similarity.compactCellIndex(spark, idx, out)
     // the append left >1 segment file in touched cells; compaction
     // must shrink the file count while every cell lands on one file
@@ -320,6 +336,24 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     cells.foreach { c =>
       assert(fs.listStatus(c.getPath)
         .count(f => f.getPath.getName.endsWith(".parquet")) == 1, c.getPath)
+    }
+    // threshold contract: a cell compaction had no reason to touch is
+    // COPIED byte-for-byte — same file name, same bytes
+    def bytesOf(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+      val in = fs.open(p)
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        buf
+      } finally in.close()
+    }
+    val outCells = cellFiles(out)
+    coldCells.foreach { cell =>
+      val (src, dst) = (idxCells(cell).head, outCells(cell).head)
+      assert(src.getName === dst.getName, s"$cell renamed by compaction")
+      assert(java.util.Arrays.equals(bytesOf(src), bytesOf(dst)),
+        s"$cell rewritten despite being under the segment threshold")
     }
     // rows preserved and search EXACTLY unchanged (same quantizer,
     // same contents — compaction may only re-bin bytes)
