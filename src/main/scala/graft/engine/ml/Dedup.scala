@@ -212,8 +212,15 @@ object Dedup {
     * can persist it ([[bandIndexFor]]) instead of recomputing the
     * explode + cap window per query. */
   private def bandedCapped(sigs: DataFrame, bands: Int, rowsPerBand: Int,
-      maxBucket: Int): DataFrame = {
-    val banded = sigs.select(col("doc_id"),
+      maxBucket: Int): DataFrame =
+    capBuckets(bandExplode(sigs, bands, rowsPerBand),
+      Seq("band_idx", "band_hash"), maxBucket)
+
+  /** The raw (doc_id, band_idx, band_hash) inverted-index rows before
+    * any cap — shared by [[bandedCapped]] and [[bandAudit]]. */
+  private def bandExplode(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc_id"),
       explode(expr(
         s"""transform(sequence(0, ${bands - 1}),
             b -> struct(b AS band_idx,
@@ -221,7 +228,35 @@ object Dedup {
                           slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))
                           AS band_hash))""")).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
-    capBuckets(banded, Seq("band_idx", "band_hash"), maxBucket)
+
+  /** Per-band hot-bucket audit — the dedup recall knob SURFACED as a
+    * declared relation: for a given cap, how many inverted-index
+    * entries a hot-bucket screen at `maxBucket` would drop (bucket
+    * size > cap), how many are singletons (can never pair), and how
+    * many survive into the candidate self-join. [[capBuckets]] counts
+    * drops in a driver-side accumulator nobody queries; THIS is the
+    * operational form — at 100 TB a curation run alerts on
+    * entries_dropped_cap / entries_total instead of reading logs.
+    * Cost: one band explode + one bucket-key aggregate + one band-key
+    * aggregate — always index-sized, never pair-sized. */
+  def bandAudit(docs: DataFrame, maxBucket: Int,
+      datasetTag: Option[String] = None, bands: Int = 4,
+      rowsPerBand: Int = 8): DataFrame = {
+    val sigs = datasetTag match {
+      case Some(tag) => minhashStoreFor(docs, tag)
+      case None => signatures(docs)
+    }
+    bandExplode(sigs, bands, rowsPerBand)
+      .groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("band_idx")
+      .agg(sum(col("n")).as("entries_total"),
+        sum(when(col("n") === 1, col("n")).otherwise(0L))
+          .as("entries_singleton"),
+        sum(when(col("n") > maxBucket, col("n")).otherwise(0L))
+          .as("entries_dropped_cap"),
+        sum(when(col("n") >= 2 && col("n") <= maxBucket, col("n"))
+          .otherwise(0L)).as("entries_kept"))
   }
 
   /** Candidate pairs from a (possibly stored) capped band index:

@@ -266,6 +266,67 @@ object Llm {
           WHERE n_common / CAST(sza + szb - n_common AS DOUBLE) >= 0.8
           ORDER BY doc_a, doc_b"""),
 
+    // THE DEDUP RECALL KNOB, SURFACED: the LSH hot-bucket cap
+    // (Dedup.capBuckets) silently drops degenerate buckets into a
+    // driver accumulator — at 100 TB that is an unobserved recall
+    // loss. This relation is the operational audit: per band, the
+    // inverted-index entry total, the singleton entries (can never
+    // pair), the entries a cap-4 screen would drop, and the survivors
+    // feeding the candidate join. Deterministic given the cap, so the
+    // oracle replays bucket sizes off the same signature pipeline
+    // (bucket identity = the band slice itself — xxhash64 on the
+    // engine side partitions identically absent a 64-bit collision,
+    // the dedup_near precedent). Index-sized cost, never pair-sized.
+    Q("dq_dedup_dropped",
+      (s, d) => Dedup.bandAudit(documents(s, d), maxBucket = 4,
+          datasetTag = Some(d))
+        .orderBy("band_idx"),
+      s"""WITH coeffs(k, a, b) AS (VALUES $MinhashCoeffRows),
+          trigrams AS (
+            SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+              i -> substring(text, i, 3))) AS g
+            FROM documents),
+          ghash AS (
+            SELECT DISTINCT doc_id,
+              CASE WHEN hu >= 9223372036854775808::HUGEINT
+                   THEN (hu - 18446744073709551616::HUGEINT)::BIGINT
+                   ELSE hu::BIGINT END AS h
+            FROM (
+              SELECT doc_id, list_reduce(
+                list_prepend(14695981039346656037::HUGEINT,
+                  list_transform(range(1, 4),
+                    i -> ascii(substring(g, i, 1))::HUGEINT)),
+                (h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT
+                           * 1099511628211::HUGEINT)
+                          % 18446744073709551616::HUGEINT) AS hu
+              FROM trigrams)),
+          hp AS (
+            SELECT doc_id, h,
+                   ((h % 2147483647) + 2147483647) % 2147483647 AS hp
+            FROM ghash),
+          sigs AS (
+            SELECT doc_id, k, MIN((a * hp + b) % 2147483647) AS sig
+            FROM hp, coeffs GROUP BY doc_id, k),
+          sigvec AS (
+            SELECT doc_id, list(sig ORDER BY k) AS sig
+            FROM sigs GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, bi AS band_idx,
+                   sig[bi * 8 + 1 : bi * 8 + 8] AS bandsig
+            FROM sigvec, (SELECT unnest(range(0, 4)) AS bi)),
+          buckets AS (
+            SELECT band_idx, bandsig, COUNT(*) AS n
+            FROM bands GROUP BY 1, 2)
+          SELECT CAST(band_idx AS INT) AS band_idx,
+                 CAST(SUM(n) AS BIGINT) AS entries_total,
+                 CAST(SUM(CASE WHEN n = 1 THEN n ELSE 0 END) AS BIGINT)
+                   AS entries_singleton,
+                 CAST(SUM(CASE WHEN n > 4 THEN n ELSE 0 END) AS BIGINT)
+                   AS entries_dropped_cap,
+                 CAST(SUM(CASE WHEN n BETWEEN 2 AND 4 THEN n ELSE 0 END)
+                   AS BIGINT) AS entries_kept
+          FROM buckets GROUP BY 1 ORDER BY band_idx"""),
+
     // SimHash near-dup IS exactly oracle-able: with 4×16-bit chunk
     // buckets, any pair within Hamming ≤ 3 must agree on one chunk
     // (pigeonhole) — recall is 1.0 BY CONSTRUCTION, so the emitted set
