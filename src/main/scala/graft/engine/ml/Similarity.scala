@@ -78,9 +78,43 @@ object Similarity {
     * a skewed slice, and makes the result depend on physical layout. A
     * hash filter sees every partition uniformly and is invariant to
     * repartitioning. */
+  /** Exact row count for the sample modulus WITHOUT a Spark job when
+    * the input is a bare parquet scan: footers carry exact row counts,
+    * so the cold fit reads metadata instead of scheduling a job purely
+    * to size the sample. The value equals count()'s exactly — same
+    * sample rule, same quantizer. Filtered/transformed inputs (the
+    * append-base fit), non-parquet sources, and very wide file
+    * inventories (driver-sequential footer reads beat a distributed
+    * count only while the inventory is small) fall back to count(). */
+  private def exactRowCount(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def bareScan(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRelation => true
+      case Project(ps, child) if ps.forall(_.isInstanceOf[Attribute]) =>
+        bareScan(child)
+      case SubqueryAlias(_, child) => bareScan(child)
+      case _ => false
+    }
+    val files = df.inputFiles
+    if (bareScan(df.queryExecution.optimizedPlan) && files.nonEmpty &&
+        files.length <= 1024 && files.forall(_.endsWith(".parquet"))) {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      try files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+      catch { case scala.util.control.NonFatal(_) => df.count() }
+    } else df.count()
+  }
+
   def fitCentroids(emb: DataFrame, nCells: Int,
       seed: Long): Array[Array[Double]] = {
-    val n = emb.count()
+    val n = exactRowCount(emb)
     val mod = math.max(1L, n / 4096L)
     // collect() returns rows in whatever partition order the layout
     // produces and the fit is order-sensitive (k-means++ indexes the
