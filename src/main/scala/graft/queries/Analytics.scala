@@ -886,5 +886,77 @@ object Analytics {
          SELECT d.u AS node, COUNT(*) AS core_deg
          FROM und d JOIN a4 x ON d.u = x.u JOIN a4 y ON d.v = y.u
          GROUP BY 1 ORDER BY node"""),
+
+    // LAG-k AUTOCORRELATION (k = 1..3) of the daily revenue series —
+    // the seasonality/momentum screen next to time_seasonality's
+    // day-of-week decomposition: r_k near 1 means a smooth trending
+    // series (downsample it), oscillating r_k flags periodicity at k.
+    // The series is the BOUNDED daily aggregate (days, never rows),
+    // so the one unpartitioned lag window runs over a calendar-sized
+    // relation — the zval-histogram discipline; all three lags ride
+    // ONE window pass, pairs explode via stack, and r_k is the
+    // agg_corr closed form on exact decimal moments cast to double
+    // once.
+    Q("time_autocorr",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("x"))
+        val w = Window.orderBy("day")
+        val pairs = daily
+          .select(col("x"),
+            lag(col("x"), 1).over(w).as("l1"),
+            lag(col("x"), 2).over(w).as("l2"),
+            lag(col("x"), 3).over(w).as("l3"))
+          .selectExpr("x", "stack(3, 1, l1, 2, l2, 3, l3) AS (k, y)")
+          .filter(col("y").isNotNull)
+        pairs.groupBy("k")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum((col("x") * col("y")).cast(DecimalType(38, 6))).as("sxy"),
+            sum((col("x") * col("x")).cast(DecimalType(38, 6))).as("sxx"),
+            sum((col("y") * col("y")).cast(DecimalType(38, 6))).as("syy"))
+          .select(col("k"), col("n").as("n_pairs"),
+            round((col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              sqrt((col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                (col("n").cast("double") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))),
+              6).as("autocorr"))
+          .orderBy("k")
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+           FROM orders GROUP BY 1),
+         lagged AS (
+           SELECT x, lag(x, 1) OVER (ORDER BY day) AS l1,
+                  lag(x, 2) OVER (ORDER BY day) AS l2,
+                  lag(x, 3) OVER (ORDER BY day) AS l3
+           FROM daily),
+         pairs AS (
+           SELECT 1 AS k, x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+           UNION ALL
+           SELECT 2, x, l2 FROM lagged WHERE l2 IS NOT NULL
+           UNION ALL
+           SELECT 3, x, l3 FROM lagged WHERE l3 IS NOT NULL),
+         m AS (
+           SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy,
+                  SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+                  SUM(CAST(y * y AS DECIMAL(38,6))) AS syy
+           FROM pairs GROUP BY k)
+         SELECT k, CAST(n AS BIGINT) AS n_pairs,
+                ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                      sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                           (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                            CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                      6) AS autocorr
+         FROM m ORDER BY k"""),
   )
 }

@@ -930,6 +930,77 @@ object Behavior {
                 ROUND(CAST(SUM(CAST(credit_raw AS DECIMAL(12,8)))
                   AS DOUBLE), 4) AS linear_credit,
                 CAST(SUM(is_last) AS BIGINT) AS last_touch_credit
-         FROM credited GROUP BY channel ORDER BY channel""")
+         FROM credited GROUP BY channel ORDER BY channel"""),
+
+    // TIME-TO-CONVERT distribution — funnel_conversion counts WHO
+    // converts; this measures HOW LONG conversion takes, the latency
+    // product teams actually watch: per first-view month cohort, the
+    // exact p50/p90/max of first-view → first-purchase delay. The
+    // percentile picks are the winsorize device (k = ceil(q·n) ranked
+    // row, rank windows PARTITIONED by cohort — never a global sort),
+    // and every reported number is an exact integer second (floor
+    // division of a nonnegative µs delta — no float rounding
+    // anywhere), so the relation hashes identically by construction.
+    Q("funnel_latency",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+        val firstView = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("t")).as("view_t"))
+        val firstPurch = ev.filter(col("event_type") === "purchase")
+          .join(firstView, "user_id")
+          .filter(col("t") >= col("view_t"))
+          .groupBy("user_id").agg(min(col("t")).as("purch_t"))
+        val conv = firstView.join(firstPurch, Seq("user_id"))
+          .select(col("user_id"),
+            trunc(to_date(timestamp_micros(col("view_t"))), "MM")
+              .as("cohort_month"),
+            (col("purch_t") - col("view_t")).as("delta_us"))
+        val w = Window.partitionBy("cohort_month")
+          .orderBy("delta_us", "user_id")
+        conv
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("cohort_month")))
+          .groupBy("cohort_month")
+          .agg(count(lit(1)).as("n_converted"),
+            max(when(col("rk") ===
+              ceil(col("n") * lit(0.5)).cast("long"),
+              expr("delta_us div 1000000"))).as("p50_s"),
+            max(when(col("rk") ===
+              ceil(col("n") * lit(0.9)).cast("long"),
+              expr("delta_us div 1000000"))).as("p90_s"),
+            max(expr("delta_us div 1000000")).as("max_s"))
+          .orderBy("cohort_month")
+      },
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         fv AS (
+           SELECT user_id, MIN(t) AS view_t FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         fp AS (
+           SELECT e.user_id, MIN(e.t) AS purch_t
+           FROM ev e JOIN fv ON e.user_id = fv.user_id
+             AND e.t >= fv.view_t
+           WHERE e.event_type = 'purchase' GROUP BY 1),
+         conv AS (
+           SELECT user_id,
+                  CAST(date_trunc('month', make_timestamp(view_t))
+                    AS DATE) AS cohort_month,
+                  purch_t - view_t AS delta_us
+           FROM fv JOIN fp USING (user_id)),
+         ranked AS (
+           SELECT cohort_month, delta_us,
+                  ROW_NUMBER() OVER (PARTITION BY cohort_month
+                    ORDER BY delta_us, user_id) AS rk,
+                  COUNT(*) OVER (PARTITION BY cohort_month) AS n
+           FROM conv)
+         SELECT cohort_month, COUNT(*) AS n_converted,
+                MAX(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT)
+                    THEN delta_us // 1000000 END) AS p50_s,
+                MAX(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
+                    THEN delta_us // 1000000 END) AS p90_s,
+                MAX(delta_us // 1000000) AS max_s
+         FROM ranked GROUP BY cohort_month ORDER BY cohort_month""")
   )
 }

@@ -855,5 +855,111 @@ FROM wt ORDER BY lang, source"""),
       s"""WITH $lineDedupCtes
           SELECT doc_id, n_chunks, n_kept, text_dedup
           FROM ldstats ORDER BY doc_id"""),
+
+    // TYPE-TOKEN RATIO + hapax rate per document — the lexical-
+    // diversity pair every corpus-quality profile carries (template
+    // and boilerplate text shows low TTR; OCR noise shows a hapax
+    // spike). One (doc_id, token) partial-agg exchange collapses
+    // map-side, then a doc-key aggregate: the plan is token-count
+    // bounded at any corpus size. Ratios are identical doubles from
+    // exact integer counts through an identical formula.
+    Q("text_ttr",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          round(col("n_types").cast("double") /
+            col("n_tokens").cast("double"), 6).as("ttr"),
+          round(col("n_hapax").cast("double") /
+            col("n_types").cast("double"), 6).as("hapax_rate"))
+        .orderBy("doc_id"),
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                CAST(COUNT(*) AS BIGINT) AS n_types,
+                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax,
+                ROUND(CAST(COUNT(*) AS DOUBLE) /
+                      CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+                ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) /
+                      CAST(COUNT(*) AS DOUBLE), 6) AS hapax_rate
+         FROM tc GROUP BY doc_id ORDER BY doc_id"""),
+
+    // JENSEN-SHANNON DIVERGENCE between the en slice's and the
+    // non-en slice's unigram distributions — the symmetric, bounded
+    // [0, ln 2] drift number for "are these two corpus slices the
+    // same language distribution?" (dq_drift_psi is per-bucket on one
+    // numeric column; profile_vocab_overlap counts shared types; this
+    // weighs the full distributions). ONE token exchange builds both
+    // slices' counts (conditional sums, not two passes), totals
+    // broadcast back, each p·ln term computed on identical doubles
+    // from exact integer ratios and pinned to DECIMAL(18,12) so the
+    // global sum is order-free (text_zipf discipline); zero-count
+    // sides contribute exact 0, never a NaN.
+    Q("text_js_divergence",
+      (s, d) => {
+        val counts = documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+          .groupBy("t")
+          .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cb"))
+        val tot = counts.agg(sum(col("ca")).as("na"),
+          sum(col("cb")).as("nb"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("ca"), col("cb"),
+            (col("ca").cast("double") / col("na").cast("double")).as("p"),
+            (col("cb").cast("double") / col("nb").cast("double")).as("q"),
+            col("na"), col("nb"))
+          .agg(max(col("na")).as("n_tokens_en"),
+            max(col("nb")).as("n_tokens_other"),
+            sum(when(col("ca") > 0, 1L).otherwise(0L)).as("vocab_en"),
+            sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vocab_other"),
+            sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+              .as("vocab_shared"),
+            round((sum(
+              (when(col("p") > 0,
+                expr("p * ln((2.0 * p) / (p + q))")).otherwise(lit(0.0)) +
+                when(col("q") > 0,
+                  expr("q * ln((2.0 * q) / (p + q))")).otherwise(lit(0.0)))
+                .cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+              .cast("double") * 0.5), 6).as("js_nats"))
+      },
+      """WITH tok AS (
+           SELECT lang, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         counts AS (
+           SELECT t,
+                  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+                  SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cb
+           FROM tok GROUP BY t),
+         tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts),
+         terms AS (
+           SELECT ca, cb, na, nb,
+                  CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS p,
+                  CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS q
+           FROM counts, tot)
+         SELECT CAST(MAX(na) AS BIGINT) AS n_tokens_en,
+                CAST(MAX(nb) AS BIGINT) AS n_tokens_other,
+                CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS vocab_en,
+                CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS vocab_other,
+                CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS vocab_shared,
+                ROUND(CAST(SUM(CAST(
+                  CASE WHEN p > 0 THEN p * ln((2.0 * p) / (p + q))
+                       ELSE 0.0 END +
+                  CASE WHEN q > 0 THEN q * ln((2.0 * q) / (p + q))
+                       ELSE 0.0 END AS DECIMAL(18,12)))
+                  AS DOUBLE) * 0.5, 6) AS js_nats
+         FROM terms"""),
   )
 }

@@ -1294,6 +1294,51 @@ object Ml {
                     (SELECT DISTINCT l_suppkey FROM lineitem) c
                     JOIN (SELECT DISTINCT c_custkey FROM customer) p
                       ON c.l_suppkey = p.c_custkey))
-         ORDER BY candidate""")
+         ORDER BY candidate"""),
+
+    // PER-DIMENSION STANDARDIZATION FIT — the (mean, std) table a
+    // feature-normalization pipeline persists at ingest and applies
+    // map-side forever after (vec_norm_stats profiles whole-vector
+    // norms; this is the per-dim z-score fit). One dim explode + one
+    // 64-key partial-agg exchange — dimension-bounded output at any
+    // corpus size. Moments are exact decimals; mean/std come off the
+    // agg_corr closed form on doubles cast once, population form
+    // (n divisor), rounded at 8.
+    Q("vec_standardize",
+      (s, d) => {
+        val dims = embeddings(s, d)
+          .select(posexplode(col("embedding")).as(Seq("p", "x")))
+          .select((col("p") + 1).as("i"), col("x").cast("double").as("v"))
+        dims.groupBy("i")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v").cast(DecimalType(24, 12))).as("sv"),
+            sum((col("v") * col("v")).cast(DecimalType(30, 12)))
+              .as("svv"))
+          .select(col("i"), col("n"),
+            round(col("sv").cast("double") / col("n").cast("double"), 8)
+              .as("mean_r"),
+            round(sqrt((col("n").cast("double") *
+              col("svv").cast("double") -
+              col("sv").cast("double") * col("sv").cast("double")) /
+              (col("n").cast("double") * col("n").cast("double"))), 8)
+              .as("std_r"))
+          .orderBy("i")
+      },
+      """WITH dims AS (
+           SELECT i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, LATERAL unnest(range(1, 65)) AS t(i)),
+         m AS (
+           SELECT i, COUNT(*) AS n,
+                  SUM(CAST(v AS DECIMAL(24,12))) AS sv,
+                  SUM(CAST(v * v AS DECIMAL(30,12))) AS svv
+           FROM dims GROUP BY i)
+         SELECT CAST(i AS INT) AS i, CAST(n AS BIGINT) AS n,
+                ROUND(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 8)
+                  AS mean_r,
+                ROUND(sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) -
+                            CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) /
+                           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 8)
+                  AS std_r
+         FROM m ORDER BY i""")
   )
 }

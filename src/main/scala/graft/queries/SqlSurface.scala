@@ -361,5 +361,29 @@ object SqlSurface {
         s.sql(recursiveSql.replace(" part", " graft_part_rec"))
       },
       recursiveSql),
+
+    // SQL PIPE SYNTAX (Spark 4 / SPARK-49555): the |> operator chain
+    // — FROM … |> WHERE … |> AGGREGATE … GROUP BY … |> ORDER BY —
+    // parses to EXACTLY the Catalyst plan of the ANSI equivalent (the
+    // oracle runs the ANSI form, so the hash-compare IS the proof the
+    // two surfaces agree). Decimal-pinned sum, one partial-agg
+    // exchange, broadcast-free.
+    Q("sql_pipe_syntax",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("graft_orders_pipe")
+        s.sql("""
+          FROM graft_orders_pipe
+          |> WHERE o_orderstatus = 'F'
+          |> AGGREGATE COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS total
+             GROUP BY o_orderpriority
+          |> ORDER BY o_orderpriority""")
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS total
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
   )
 }
