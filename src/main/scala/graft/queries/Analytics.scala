@@ -14,6 +14,53 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Per-node triangle-membership counts + degrees over the
+    * thresholded (w ≥ 25) co-supply graph — shared by graph_triangles
+    * and graph_clustering_coef. DEGREE orientation (the standard
+    * wedge-fan-out bound): each edge points low-(degree, id) →
+    * high-(degree, id), an acyclic orientation under which every
+    * node's out-degree is O(√edges) on any graph — so the wedge join
+    * never fans out on a hub node, the failure mode id-orientation
+    * hits on skewed co-occurrence graphs. Triangle identity is
+    * unchanged (each triangle has exactly one source under any
+    * acyclic orientation), so the oracles stay the plain a<b SQL.
+    * Edges come from the persisted co-occurrence artifact
+    * (Graph.coOccurrenceEdgesFor — built once per dataset). */
+  private def triangleCounts(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val undirected = graft.engine.ops.Graph.coOccurrenceEdgesFor(
+        lineitem(s, d).select(col("l_partkey").as("pk"),
+          col("l_suppkey").as("sk")), s"${d}_cosupply")
+      .filter(col("w") >= 25)
+      .select("a", "b")
+    val deg = undirected.select(col("a").as("n"))
+      .union(undirected.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val edges = undirected
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(edges.as("e3"),
+        col("e1.src") === col("e3.src") &&
+          col("e2.dst") === col("e3.dst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+        col("e2.dst").as("t"))
+    val nodeTri = tri.select(col("u").as("node"))
+      .union(tri.select(col("v").as("node")))
+      .union(tri.select(col("t").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    (nodeTri, deg.select(col("n").as("node"), col("deg")))
+  }
+
   /** Generate the unrolled Hilbert xy→d walk (grid 1024×1024) over a
     * source relation exposing (p_partkey, x, y). Pure integer CASE/&
     * arithmetic — runs verbatim on Spark SQL and DuckDB. Each of the 10
@@ -405,44 +452,8 @@ object Analytics {
         // partial agg — a JIT mapPartitions emitter was measured and
         // REJECTED, 4.6 s → 6.6 s, because the Dataset boundary breaks
         // that fusion); this query just thresholds the stored relation
-        val undirected = graft.engine.ops.Graph.coOccurrenceEdgesFor(
-            lineitem(s, d).select(col("l_partkey").as("pk"),
-              col("l_suppkey").as("sk")), s"${d}_cosupply")
-          .filter(col("w") >= 25)
-          .select("a", "b")
-        // DEGREE orientation (the standard wedge-fan-out bound): each
-        // edge points low-(degree, id) → high-(degree, id), an acyclic
-        // orientation under which every node's out-degree is O(√edges)
-        // on any graph — so the wedge join below never fans out on a
-        // hub node, the failure mode id-orientation hits on skewed
-        // co-occurrence graphs. Triangle identity is unchanged (each
-        // triangle has exactly one source under any acyclic
-        // orientation), so the oracle stays the plain a<b SQL.
-        val deg = undirected.select(col("a").as("n"))
-          .union(undirected.select(col("b").as("n")))
-          .groupBy("n").agg(count(lit(1)).as("deg"))
-        val edges = undirected
-          .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
-          .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
-          .select(
-            when(col("da") < col("db") ||
-              (col("da") === col("db") && col("a") < col("b")),
-              col("a")).otherwise(col("b")).as("src"),
-            when(col("da") < col("db") ||
-              (col("da") === col("db") && col("a") < col("b")),
-              col("b")).otherwise(col("a")).as("dst"))
-        val tri = edges.as("e1")
-          .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
-          .join(edges.as("e3"),
-            col("e1.src") === col("e3.src") &&
-              col("e2.dst") === col("e3.dst"))
-          .select(col("e1.src").as("u"), col("e1.dst").as("v"),
-            col("e2.dst").as("t"))
-        tri.select(col("u").as("node"))
-          .union(tri.select(col("v").as("node")))
-          .union(tri.select(col("t").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-          .orderBy("node")
+        val (nodeTri, _) = triangleCounts(s, d)
+        nodeTri.orderBy("node")
       },
       """WITH sp AS (
            SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
@@ -958,5 +969,54 @@ object Analytics {
                             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
                       6) AS autocorr
          FROM m ORDER BY k"""),
+
+    // LOCAL CLUSTERING COEFFICIENT per node — "how clique-like is
+    // this node's neighborhood" (2·T(v) / deg(v)(deg(v)−1)), the
+    // community-density number next to graph_triangles' raw counts
+    // and graph_modularity's global Q. Reuses the SAME degree-oriented
+    // wedge plan and persisted co-occurrence artifact
+    // (triangleCounts); one extra broadcast-sized join of the two
+    // node-keyed aggregates. Nodes with deg ≥ 2 and no triangles
+    // report an exact 0.
+    Q("graph_clustering_coef",
+      (s, d) => {
+        val (nodeTri, deg) = triangleCounts(s, d)
+        deg.filter(col("deg") >= 2)
+          .join(nodeTri, Seq("node"), "left")
+          .select(col("node"), col("deg"),
+            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+            round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+              (col("deg") * (col("deg") - lit(1.0))), 6)
+              .as("clustering_coef"))
+          .orderBy("node")
+      },
+      """WITH sp AS (
+           SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         edges AS (
+           SELECT x.sk AS a, y.sk AS b
+           FROM sp x JOIN sp y ON x.pk = y.pk AND x.sk < y.sk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 25),
+         tri AS (
+           SELECT e1.a AS u, e1.b AS v, e2.b AS t
+           FROM edges e1
+             JOIN edges e2 ON e1.b = e2.a
+             JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b),
+         tc AS (
+           SELECT node, COUNT(*) AS n_tri FROM (
+             SELECT u AS node FROM tri
+             UNION ALL SELECT v FROM tri
+             UNION ALL SELECT t FROM tri)
+           GROUP BY node),
+         deg AS (
+           SELECT node, COUNT(*) AS deg FROM (
+             SELECT a AS node FROM edges
+             UNION ALL SELECT b FROM edges)
+           GROUP BY node)
+         SELECT d.node, d.deg,
+                COALESCE(tc.n_tri, 0) AS n_triangles,
+                ROUND(2.0 * COALESCE(tc.n_tri, 0) /
+                      (d.deg * (d.deg - 1.0)), 6) AS clustering_coef
+         FROM deg d LEFT JOIN tc USING (node)
+         WHERE d.deg >= 2 ORDER BY node"""),
   )
 }

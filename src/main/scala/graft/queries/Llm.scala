@@ -1702,6 +1702,55 @@ FROM (
   FROM dtok)
 ORDER BY source, doc_id"""),
 
+    // PACKING-EFFICIENCY audit — the padding-waste number a training
+    // pipeline watches per source (pack_sequences assigns bins; this
+    // reports what the assignment COSTS): bins consumed, tokens
+    // packed, capacity = bins·4096, and fill efficiency. Rides the
+    // same BPE token store + source-keyed cumsum window, collapsed to
+    // one source-keyed aggregate — source-bounded output. Ratios are
+    // identical doubles over exact integer counts.
+    Q("pack_efficiency",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        graft.engine.ml.Bpe.tokensStoreFor(documents(s, d), d)
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .withColumn("bin",
+            ((col("cum_tokens") - col("n_tokens")) / 4096L)
+              .cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            (max(col("bin")) + 1L).as("n_bins"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_bins"), (col("n_bins") * 4096L).as("capacity"),
+            round(col("n_tokens").cast("double") /
+              (col("n_bins") * 4096L).cast("double"), 6)
+              .as("fill_efficiency"))
+          .orderBy("source")
+      },
+      graft.engine.ml.Bpe.tokensCtePrefix + """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+       CAST((MAX(bin) + 1) * 4096 AS BIGINT) AS capacity,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) /
+             CAST((MAX(bin) + 1) * 4096 AS DOUBLE), 6)
+         AS fill_efficiency
+FROM (
+  SELECT source, n_tokens,
+         CAST(floor((cum_tokens - n_tokens) / 4096) AS BIGINT) AS bin
+  FROM (
+    SELECT source, doc_id, n_tokens,
+           SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_tokens
+    FROM dtok))
+GROUP BY source ORDER BY source"""),
+
     // Multimodal: opaque bytes + derived features, fully deterministic.
     // The real batch-decode plumbing lives in engine.ml.Multimodal
     // (ScalaTest); this query checks the byte-level feature math.
