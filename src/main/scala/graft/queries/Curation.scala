@@ -961,5 +961,67 @@ FROM wt ORDER BY lang, source"""),
                        ELSE 0.0 END AS DECIMAL(18,12)))
                   AS DOUBLE) * 0.5, 6) AS js_nats
          FROM terms"""),
+
+    // VOCAB COVERAGE CURVE — what fraction of all token occurrences
+    // the top-10/100/1000 types cover: the number that sizes a
+    // vocabulary budget (vocab_build picks a cutoff; this shows what
+    // any cutoff buys on a Zipf corpus). One word-count exchange,
+    // then TakeOrdered(1000) — per-partition heaps, never a
+    // vocab-wide global sort (the text_zipf_slope lesson) — and the
+    // rank window runs over the 1000-row survivor set only. Fixed-k
+    // sums stack into the curve; ratios are identical doubles over
+    // exact integer counts.
+    Q("vocab_coverage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = documents(s, d)
+          .select(explode(split(col("text"), " ")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val tot = counts.agg(sum(col("c")).as("total_tokens"),
+          count(lit(1)).as("n_types"))
+        val top = counts.orderBy(desc("c"), col("t")).limit(1000)
+          .withColumn("rk",
+            row_number().over(Window.orderBy(desc("c"), col("t"))))
+        top.agg(
+            sum(when(col("rk") <= 10, col("c")).otherwise(0L)).as("c10"),
+            sum(when(col("rk") <= 100, col("c")).otherwise(0L))
+              .as("c100"),
+            sum(col("c")).as("c1000"))
+          .crossJoin(broadcast(tot))
+          .selectExpr(
+            "stack(3, 10, c10, 100, c100, 1000, c1000) AS (k, covered_tokens)",
+            "total_tokens", "n_types")
+          .select(col("k"), col("covered_tokens"), col("total_tokens"),
+            col("n_types"),
+            round(col("covered_tokens").cast("double") /
+              col("total_tokens").cast("double"), 6).as("coverage"))
+          .orderBy("k")
+      },
+      """WITH tok AS (
+           SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         counts AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+         tot AS (
+           SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+                  CAST(COUNT(*) AS BIGINT) AS n_types
+           FROM counts),
+         ranked AS (
+           SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk
+           FROM counts),
+         top AS (SELECT * FROM ranked WHERE rk <= 1000),
+         a AS (
+           SELECT CAST(SUM(CASE WHEN rk <= 10 THEN c ELSE 0 END)
+                    AS BIGINT) AS c10,
+                  CAST(SUM(CASE WHEN rk <= 100 THEN c ELSE 0 END)
+                    AS BIGINT) AS c100,
+                  CAST(SUM(c) AS BIGINT) AS c1000
+           FROM top),
+         curve AS (
+           SELECT 10 AS k, c10 AS covered_tokens FROM a
+           UNION ALL SELECT 100, c100 FROM a
+           UNION ALL SELECT 1000, c1000 FROM a)
+         SELECT k, covered_tokens, total_tokens, n_types,
+                ROUND(CAST(covered_tokens AS DOUBLE) /
+                      CAST(total_tokens AS DOUBLE), 6) AS coverage
+         FROM curve, tot ORDER BY k"""),
   )
 }
