@@ -120,12 +120,19 @@ object UdfQueries {
                    WHEN graft_margin(price, disc, tax) < 0 THEN 'loss'
                    WHEN graft_margin(price, disc, tax) < 1000 THEN 'thin'
                    ELSE 'healthy' END""")
+        // the margin total is declared in EXACT 1e-4 units: the old
+        // CAST(margin AS DECIMAL(18,4)) hit the double→decimal cast
+        // tie (Spark BigDecimal HALF_UP vs DuckDB float-based
+        // rounding) on one sf0.1 row — floor(x·10⁴ + 0.5) of an
+        // identical double is engine-exact, and the BIGINT sum needs
+        // no rounding at all (the verify-skill lesson: stay integer
+        // on the data path)
         s.sql("""SELECT graft_margin_band(l_extendedprice, l_discount,
                           l_tax) AS band,
                         COUNT(*) AS n,
-                        ROUND(CAST(SUM(CAST(graft_margin(l_extendedprice,
-                          l_discount, l_tax) AS DECIMAL(18,4)))
-                          AS DOUBLE), 2) AS total_margin
+                        SUM(CAST(floor(graft_margin(l_extendedprice,
+                          l_discount, l_tax) * 10000 + 0.5) AS BIGINT))
+                          AS margin_1e4
                  FROM graft_li_sqludf
                  GROUP BY 1 ORDER BY band""")
       },
@@ -136,10 +143,10 @@ object UdfQueries {
                        - l_extendedprice < 1000 THEN 'thin'
                   ELSE 'healthy' END AS band,
                 COUNT(*) AS n,
-                ROUND(CAST(SUM(CAST(
-                  l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                  - l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
-                  AS total_margin
+                CAST(SUM(CAST(floor(
+                  (l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                   - l_extendedprice) * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS margin_1e4
          FROM lineitem GROUP BY 1 ORDER BY band"""),
   )
 }
