@@ -30,8 +30,15 @@ object IoQueries {
     * PlanSpec can pin its physical shape: z-value per row, shard from
     * the bounded zval-histogram cumulative (the only unpartitioned
     * window runs over the ≤2^20-row domain histogram, never the rows),
-    * then RangePartitioning on (shard, zval) + in-partition sort — the
-    * 32-way-parallel clustered-write shape, no single-task stage. */
+    * then a HASH exchange on the shard id + in-partition sort. Hash,
+    * not repartitionByRange: the shard id is already computed and
+    * row-balanced by construction, so range partitioning would only
+    * add its boundary-SAMPLING pass over the full relation (measured
+    * +0.7 s at sf0.1, and an extra full-data job at any scale) to
+    * derive boundaries we already know. Parallelism scales with the
+    * shard count (4 here; a 100 TB run sizes shards to target file
+    * sizes, thousands of them), and no stage ever sees more than one
+    * shard's rows. */
   private[graft] def clusterRewriteSharded(
       s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
@@ -55,7 +62,7 @@ object IoQueries {
       .select(col("zval"),
         (expr("(cum - 1) * 4 div n") + 1).cast("long").as("shard"))
     zed.join(broadcast(shards), Seq("zval"))
-      .repartitionByRange(col("shard"), col("zval"))
+      .repartition(col("shard"))
       .sortWithinPartitions("shard", "zval", "l_orderkey",
         "l_linenumber")
   }
@@ -1042,10 +1049,11 @@ object IoQueries {
     // shard map broadcasts back. shard = ((cum−1)·4) div n + 1 in
     // exact integer arithmetic: a zval's rows never split across
     // shards (file boxes stay disjoint in z), the oracle replays the
-    // identical formula. The physical write range-partitions on
-    // (shard, zval) — RangePartitioning in the plan, 32-way parallel
-    // sorted write, NO single-task stage — then partitionBy(shard) +
-    // sortWithinPartitions; the read-back audit proves per-shard box
+    // identical formula. The physical write hash-exchanges on the
+    // shard id (already computed and row-balanced — range
+    // partitioning would only add its boundary-sampling pass) +
+    // sortWithinPartitions(shard, zval), NO single-task stage, then
+    // partitionBy(shard); the read-back audit proves per-shard box
     // bounds + row counts off the REWRITTEN files, not the source.
     Q("maintain_cluster_rewrite",
       (s, d) => {

@@ -525,14 +525,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("maintain_cluster_rewrite pre-write plan range-partitions the " +
-      "rows; the only global window runs over the bounded zval " +
-      "histogram") {
+  test("maintain_cluster_rewrite pre-write plan shard-partitions the " +
+      "rows (one hash exchange, no sampling pass, no global sort); " +
+      "the only global window runs over the bounded zval histogram") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = graft.queries.IoQueries.clusterRewriteSharded(spark, sf)
     val p = df.queryExecution.sparkPlan
-    assert(p.toString.toLowerCase.contains("rangepartitioning"),
-      p.toString)
+    assert(p.toString.contains("hashpartitioning(shard"), p.toString)
+    assert(!p.toString.toLowerCase.contains("rangepartitioning"),
+      "range partitioning would add a boundary-sampling pass: " +
+        p.toString)
     val unpart = p.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w
     }
