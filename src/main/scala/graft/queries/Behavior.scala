@@ -1001,6 +1001,154 @@ object Behavior {
                 MAX(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
                     THEN delta_us // 1000000 END) AS p90_s,
                 MAX(delta_us // 1000000) AS max_s
-         FROM ranked GROUP BY cohort_month ORDER BY cohort_month""")
+         FROM ranked GROUP BY cohort_month ORDER BY cohort_month"""),
+
+    // CUPED variance reduction (Deng et al. 2013 — the standard
+    // experimentation upgrade over ab_test's raw z): adjust each
+    // arm's post-period metric by the pre-period covariate,
+    // θ = cov(pre, post) / var(pre) pooled over all users, adjusted
+    // arm mean = mean(post) − θ·(mean(pre_arm) − mean(pre_all)).
+    // EVERYTHING reduces to exact decimal moment sums (per-user
+    // pre/post totals, their products) — no per-row adjusted values
+    // ever materialize — so one user_id exchange + two tiny
+    // aggregates carry the whole estimator at any scale; θ and the
+    // adjusted means are closed forms on doubles cast once.
+    Q("ab_cuped",
+      (s, d) => {
+        val pu = events(s, d)
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("event_type") === "click",
+              col("value").cast(DecimalType(18, 2))).otherwise(lit(0)
+              .cast(DecimalType(18, 2)))).as("pre"),
+            sum(when(col("event_type") === "purchase",
+              col("value").cast(DecimalType(18, 2))).otherwise(lit(0)
+              .cast(DecimalType(18, 2)))).as("post"))
+          .withColumn("v", col("user_id") % 2)
+        val m = pu.agg(
+          count(lit(1)).as("n"),
+          sum(col("pre")).as("sx"), sum(col("post")).as("sy"),
+          sum((col("pre") * col("post")).cast(DecimalType(38, 6)))
+            .as("sxy"),
+          sum((col("pre") * col("pre")).cast(DecimalType(38, 6)))
+            .as("sxx"),
+          sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("v") === 0, col("pre"))).as("sx_a"),
+          sum(when(col("v") === 0, col("post"))).as("sy_a"),
+          sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("v") === 1, col("pre"))).as("sx_b"),
+          sum(when(col("v") === 1, col("post"))).as("sy_b"))
+        m.select(col("n_a"), col("n_b"),
+            (((col("n").cast("double") * col("sxy").cast("double")) -
+              (col("sx").cast("double") * col("sy").cast("double"))) /
+              ((col("n").cast("double") * col("sxx").cast("double")) -
+                (col("sx").cast("double") * col("sx").cast("double"))))
+              .as("theta"),
+            (col("sx").cast("double") / col("n").cast("double"))
+              .as("mu_pre"),
+            (col("sy_a").cast("double") / col("n_a").cast("double"))
+              .as("mean_a"),
+            (col("sy_b").cast("double") / col("n_b").cast("double"))
+              .as("mean_b"),
+            (col("sx_a").cast("double") / col("n_a").cast("double"))
+              .as("pre_a"),
+            (col("sx_b").cast("double") / col("n_b").cast("double"))
+              .as("pre_b"))
+          .select(col("n_a"), col("n_b"),
+            round(col("theta"), 6).as("theta_r"),
+            round(col("mean_a"), 6).as("mean_post_a"),
+            round(col("mean_b"), 6).as("mean_post_b"),
+            round(col("mean_a") -
+              col("theta") * (col("pre_a") - col("mu_pre")), 6)
+              .as("adj_mean_a"),
+            round(col("mean_b") -
+              col("theta") * (col("pre_b") - col("mu_pre")), 6)
+              .as("adj_mean_b"))
+      },
+      """WITH pu AS (
+           SELECT user_id,
+                  SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(value AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS pre,
+                  SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS post,
+                  user_id % 2 AS v
+           FROM events GROUP BY user_id),
+         m AS (
+           SELECT COUNT(*) AS n, SUM(pre) AS sx, SUM(post) AS sy,
+                  SUM(CAST(pre * post AS DECIMAL(38,6))) AS sxy,
+                  SUM(CAST(pre * pre AS DECIMAL(38,6))) AS sxx,
+                  SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n_a,
+                  SUM(CASE WHEN v = 0 THEN pre END) AS sx_a,
+                  SUM(CASE WHEN v = 0 THEN post END) AS sy_a,
+                  SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n_b,
+                  SUM(CASE WHEN v = 1 THEN pre END) AS sx_b,
+                  SUM(CASE WHEN v = 1 THEN post END) AS sy_b
+           FROM pu),
+         t AS (
+           SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) -
+                   (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+                  ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) -
+                   (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS theta,
+                  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu_pre,
+                  CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+                  CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+                  CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pre_a,
+                  CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pre_b
+           FROM m)
+         SELECT n_a, n_b,
+                ROUND(theta, 6) AS theta_r,
+                ROUND(mean_a, 6) AS mean_post_a,
+                ROUND(mean_b, 6) AS mean_post_b,
+                ROUND(mean_a - theta * (pre_a - mu_pre), 6)
+                  AS adj_mean_a,
+                ROUND(mean_b - theta * (pre_b - mu_pre), 6)
+                  AS adj_mean_b
+         FROM t"""),
+
+    // DAU/MAU STICKINESS per month — the engagement ratio product
+    // dashboards lead with: average daily active users over monthly
+    // active users. Two distinct-count exchanges (day-keyed, then
+    // month-keyed); the ratio is identical doubles over exact counts.
+    Q("event_stickiness",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          col("ts").cast("date").as("day"),
+          trunc(col("ts").cast("date"), "MM").as("m"))
+        val dau = ev.groupBy("m", "day")
+          .agg(countDistinct(col("user_id")).as("dau"))
+          .groupBy("m").agg(count(lit(1)).as("n_days"),
+            sum(col("dau")).as("dau_sum"))
+        val mau = ev.groupBy("m")
+          .agg(countDistinct(col("user_id")).as("mau"))
+        dau.join(mau, Seq("m"))
+          .select(col("m").as("month"), col("n_days"), col("mau"),
+            round(col("dau_sum").cast("double") /
+              col("n_days").cast("double"), 4).as("avg_dau"),
+            round((col("dau_sum").cast("double") /
+              col("n_days").cast("double")) /
+              col("mau").cast("double"), 6).as("stickiness"))
+          .orderBy("month")
+      },
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  CAST(date_trunc('month', ts) AS DATE) AS m
+           FROM events),
+         dau AS (
+           SELECT m, CAST(COUNT(*) AS BIGINT) AS n_days,
+                  CAST(SUM(dau) AS BIGINT) AS dau_sum
+           FROM (SELECT m, day, COUNT(DISTINCT user_id) AS dau
+                 FROM ev GROUP BY 1, 2)
+           GROUP BY m),
+         mau AS (
+           SELECT m, COUNT(DISTINCT user_id) AS mau FROM ev GROUP BY 1)
+         SELECT m AS month, n_days, mau,
+                ROUND(CAST(dau_sum AS DOUBLE) /
+                      CAST(n_days AS DOUBLE), 4) AS avg_dau,
+                ROUND((CAST(dau_sum AS DOUBLE) / CAST(n_days AS DOUBLE))
+                      / CAST(mau AS DOUBLE), 6) AS stickiness
+         FROM dau JOIN mau USING (m) ORDER BY month""")
   )
 }

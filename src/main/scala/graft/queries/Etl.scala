@@ -780,5 +780,54 @@ object Etl {
                 k - prev - 1 AS gap_len
          FROM g WHERE prev IS NOT NULL AND k - prev > 1
          ORDER BY gap_len DESC, gap_start LIMIT 50"""),
+
+    // KEY-UNIQUENESS profiling — "is this a primary key?" answered
+    // with numbers (dq_checks screens values; this screens key
+    // CANDIDATES): for each declared candidate, total rows, distinct
+    // key values, rows carrying a duplicated key, and the verdict.
+    // Each candidate is one distinct-aggregate exchange on its key;
+    // map-side partials shrink to NDV before the wire. The
+    // (o_custkey, day) candidate is deliberately non-unique so the
+    // report shows both verdicts.
+    Q("dq_uniqueness",
+      (s, d) => {
+        val o = orders(s, d)
+        def audit(name: String, keyed: org.apache.spark.sql.DataFrame) =
+          keyed.groupBy("k").agg(count(lit(1)).as("c"))
+            .agg(lit(name).as("candidate"),
+              sum(col("c")).as("n_rows"),
+              count(lit(1)).as("n_keys"),
+              sum(when(col("c") > 1, col("c")).otherwise(0L))
+                .as("dup_rows"))
+            .withColumn("is_unique", col("dup_rows") === 0)
+        audit("o_orderkey",
+            o.select(col("o_orderkey").cast("string").as("k")))
+          .unionByName(audit("o_custkey_day",
+            o.select(concat_ws("|", col("o_custkey"),
+              col("o_orderdate").cast("date")).as("k"))))
+          .orderBy("candidate")
+      },
+      """WITH a AS (
+           SELECT 'o_orderkey' AS candidate,
+                  CAST(SUM(c) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) AS BIGINT) AS n_keys,
+                  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                    AS dup_rows
+           FROM (SELECT CAST(o_orderkey AS VARCHAR) AS k, COUNT(*) AS c
+                 FROM orders GROUP BY 1)),
+         b AS (
+           SELECT 'o_custkey_day' AS candidate,
+                  CAST(SUM(c) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) AS BIGINT) AS n_keys,
+                  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                    AS dup_rows
+           FROM (SELECT concat_ws('|', o_custkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS k,
+                   COUNT(*) AS c
+                 FROM orders GROUP BY 1))
+         SELECT candidate, n_rows, n_keys, dup_rows,
+                dup_rows = 0 AS is_unique
+         FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+         ORDER BY candidate"""),
   )
 }

@@ -68,6 +68,42 @@ object IoQueries {
   }
 
   val qs: Seq[Q] = Seq(
+    // RECURSIVE GLOB-FILTERED SCAN — the data-lake janitorial read: a
+    // landing zone mixing parquet data with sidecar junk (JSON
+    // manifests here) at several nesting depths, read with
+    // recursiveFileLookup + pathGlobFilter so ONLY *.parquet files
+    // feed the scan — the file-level filter runs at listing time in
+    // the FileIndex (no job touches a json byte), which is the
+    // mechanism that keeps a 100 TB landing-zone read from choking on
+    // sidecars. The json decoys carry the same schema and WOULD
+    // poison the counts if the filter leaked.
+    Q("scan_glob_filtered",
+      (s, d) => {
+        val out = scratch(d, "globscan")
+        val o = orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$out/even/deep")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .write.mode("overwrite").parquet(s"$out/odd")
+        // decoys: identical schema, json — must be invisible
+        o.limit(100).write.mode("overwrite").json(s"$out/junk")
+        s.read
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(out)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            round(sum(col("o_totalprice")
+              .cast(DecimalType(18, 2))).cast("double"), 2)
+              .as("total"))
+      },
+      """SELECT COUNT(*) AS n_rows,
+                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS total
+         FROM orders"""),
+
     Q("scan_csv_roundtrip",
       (s, d) => {
         val out = scratch(d, "csv")

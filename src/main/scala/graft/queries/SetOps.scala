@@ -21,6 +21,22 @@ object SetOps {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"""),
 
+    // PAGINATION (LIMIT + OFFSET under a total order) — page 3 of a
+    // 50-row listing: Spark plans offset+limit as one
+    // TakeOrderedAndProject(limit=150, offset=100) — per-partition
+    // top-150 heaps, a 150-row driver merge, never a global sort —
+    // so a deep page costs O(offset+limit) heap space, the documented
+    // pagination contract (and why offset must stay bounded; cursor
+    // pagination replaces it at depth).
+    Q("sort_limit_offset",
+      (s, d) => orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .offset(100).limit(50),
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC
+         LIMIT 50 OFFSET 100"""),
+
     // Bag union: the src tag keeps the total order unique even where the
     // two slices overlap (R3).
     Q("set_union_all",

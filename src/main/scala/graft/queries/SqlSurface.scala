@@ -385,5 +385,53 @@ object SqlSurface {
                   AS DOUBLE), 2) AS total
          FROM orders WHERE o_orderstatus = 'F'
          GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+
+    // GROUP BY ALL (Spark 4 / DuckDB-style): every non-aggregate
+    // select item becomes a grouping key — the analyst surface that
+    // removes the classic silent-bug of a forgotten grouping column.
+    // Resolves to the identical Catalyst aggregate as the explicit
+    // form (the oracle runs GROUP BY 1, 2 — hash-equality IS the
+    // resolution proof).
+    Q("sql_group_by_all",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("graft_orders_gba")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                        COUNT(*) AS n,
+                        ROUND(CAST(SUM(CAST(o_totalprice
+                          AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+                 FROM graft_orders_gba
+                 GROUP BY ALL
+                 ORDER BY o_orderstatus, o_orderpriority""")
+      },
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS total
+         FROM orders GROUP BY 1, 2
+         ORDER BY o_orderstatus, o_orderpriority"""),
+
+    // Named WINDOW clause — one window spec declared once and shared
+    // by several window functions (the ANSI form dashboards generate);
+    // Catalyst expands every OVER w to the same window family, so ONE
+    // user_id sort-exchange carries all three functions (the
+    // win_lag_lead plan, reached through the SQL surface).
+    Q("sql_named_window",
+      (s, d) => {
+        events(s, d).createOrReplaceTempView("graft_events_nw")
+        s.sql("""SELECT user_id, event_id,
+                        ROW_NUMBER() OVER w AS rn,
+                        LAG(event_type, 1) OVER w AS prev_type,
+                        LEAD(event_type, 1) OVER w AS next_type
+                 FROM graft_events_nw
+                 WINDOW w AS (PARTITION BY user_id
+                              ORDER BY ts, event_id)
+                 ORDER BY user_id, rn""")
+      },
+      """SELECT user_id, event_id,
+                ROW_NUMBER() OVER w AS rn,
+                LAG(event_type, 1) OVER w AS prev_type,
+                LEAD(event_type, 1) OVER w AS next_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, rn"""),
   )
 }
