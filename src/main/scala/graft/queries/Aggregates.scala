@@ -681,5 +681,36 @@ object Aggregates {
       """SELECT COUNT(DISTINCT o_custkey) AS n_exact,
                 TRUE AS merge_within_1pct, TRUE AS within_tol
          FROM orders"""),
+
+    // GROUPING() / GROUPING_ID() over a cube — the disambiguation
+    // surface agg_cube leaves open: a NULL grouping column in cube
+    // output is ambiguous (real NULL vs subtotal) until grouping()
+    // labels it. gid uses the shared bit convention (first grouping
+    // expr = MSB), hash-checked across engines.
+    Q("agg_grouping_func",
+      (s, d) => lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping_id().as("gid"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          col("gid"), col("g_rf"), col("g_ls"),
+          when(col("gid") === 0, lit("cell"))
+            .when(col("gid") === 3, lit("grand_total"))
+            .otherwise(lit("subtotal")).as("level"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus")),
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                  AS gid,
+                CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+                CASE GROUPING(l_returnflag, l_linestatus)
+                  WHEN 0 THEN 'cell' WHEN 3 THEN 'grand_total'
+                  ELSE 'subtotal' END AS level
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag ASC NULLS FIRST,
+                  l_linestatus ASC NULLS FIRST"""),
   )
 }

@@ -1023,5 +1023,34 @@ FROM wt ORDER BY lang, source"""),
                 ROUND(CAST(covered_tokens AS DOUBLE) /
                       CAST(total_tokens AS DOUBLE), 6) AS coverage
          FROM curve, tot ORDER BY k"""),
+
+    // CURRICULUM SCHEDULE — the phased training order (easy → hard)
+    // curriculum-learning pipelines consume: difficulty phase from a
+    // deterministic map-side length bucket (a trained scorer slots in
+    // identically — quality_score is the upgrade), docs shuffled
+    // WITHIN a phase by md5 (stable across engines/partitionings,
+    // never rand()), position numbered per phase. Phase-partitioned
+    // rank windows only — the schedule never passes through one task;
+    // a trainer reads (phase ASC, pos ASC) as the epoch order.
+    Q("mix_curriculum",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("phase")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        documents(s, d)
+          .select(col("doc_id"),
+            least(col("n_chars") / lit(200), lit(9)).cast("int")
+              .as("phase"))
+          .withColumn("pos", row_number().over(w))
+          .orderBy("phase", "pos")
+      },
+      """SELECT doc_id,
+                CAST(least(n_chars // 200, 9) AS INT) AS phase,
+                CAST(ROW_NUMBER() OVER (
+                  PARTITION BY least(n_chars // 200, 9)
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                  AS INT) AS pos
+         FROM documents
+         ORDER BY phase, pos"""),
   )
 }

@@ -104,6 +104,44 @@ object IoQueries {
                   AS DOUBLE), 2) AS total
          FROM orders"""),
 
+    // SORTED-WRITE STATS AUDIT — the QA pass after a globally-sorted
+    // write (the layout maintain_cluster_rewrite and range-bucketed
+    // sinks promise): read the files BACK and prove from their
+    // contents that per-file key ranges are pairwise DISJOINT — the
+    // property that lets a key predicate prune whole files at
+    // 100 TB. The write is a 4-way repartitionByRange (here the
+    // sampling pass IS the operator under test) + in-partition sort;
+    // the audit groups by _metadata.file_path, so it measures the
+    // actual files, and the disjointness window runs over the
+    // 4-row file-summary relation — bounded by construction.
+    Q("sink_sorted_stats",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val out = scratch(d, "sortedstats")
+        orders(s, d).select("o_orderkey", "o_totalprice")
+          .repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+          .write.mode("overwrite").parquet(out)
+        val files = s.read.parquet(out)
+          .select(col("o_orderkey"),
+            col("_metadata.file_path").as("f"))
+          .groupBy("f")
+          .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("lo"),
+            max(col("o_orderkey")).as("hi"))
+        val w = Window.orderBy("lo")
+        files
+          .withColumn("prev_hi", lag(col("hi"), 1).over(w))
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("n")).as("n_rows"),
+            (sum(when(col("prev_hi").isNotNull &&
+              col("prev_hi") >= col("lo"), 1).otherwise(0)) === 0)
+              .as("ranges_disjoint"))
+      },
+      """SELECT CAST(4 AS BIGINT) AS n_files,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                TRUE AS ranges_disjoint
+         FROM orders"""),
+
     Q("scan_csv_roundtrip",
       (s, d) => {
         val out = scratch(d, "csv")

@@ -199,6 +199,72 @@ object Ml {
                 CAST(SUM(ien - ist) AS BIGINT) AS covered_s
          FROM isl GROUP BY 1 ORDER BY user_id"""),
 
+    // INTERVAL GAPS — interval_coverage's complement: per user, the
+    // idle stretches BETWEEN merged activity islands (the "user went
+    // dark for N minutes" relation feeding churn/session analyses).
+    // Same max-running-end island construction, one extra partitioned
+    // lead; all arithmetic exact integer seconds, user-partitioned
+    // windows only.
+    Q("interval_gaps",
+      (s, d) => {
+        val iv = events(s, d).select(col("user_id"),
+          (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("st"))
+          .withColumn("en", col("st") + 300L)
+        val w = Window.partitionBy("user_id").orderBy("st", "en")
+        val islands = iv
+          .withColumn("prev_max_en",
+            max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_island",
+            when(col("prev_max_en").isNull ||
+              col("st") > col("prev_max_en"), 1L).otherwise(0L))
+          .withColumn("island",
+            sum(col("new_island")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "island")
+          .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+        val wg = Window.partitionBy("user_id").orderBy("ist")
+        islands
+          .withColumn("next_ist", lead(col("ist"), 1).over(wg))
+          .filter(col("next_ist").isNotNull)
+          .select(col("user_id"), (col("next_ist") - col("ien")).as("gap_s"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("gap_s")).as("idle_s"),
+            max(col("gap_s")).as("max_gap_s"))
+          .orderBy("user_id")
+      },
+      """WITH iv AS (
+           SELECT user_id, epoch_us(ts) // 1000000 AS st,
+                  epoch_us(ts) // 1000000 + 300 AS en
+           FROM events),
+         f AS (
+           SELECT user_id, st, en,
+                  MAX(en) OVER (PARTITION BY user_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max_en
+           FROM iv),
+         g AS (
+           SELECT user_id, st, en,
+                  SUM(CASE WHEN prev_max_en IS NULL OR st > prev_max_en
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY st, en
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS island
+           FROM f),
+         isl AS (
+           SELECT user_id, island, MIN(st) AS ist, MAX(en) AS ien
+           FROM g GROUP BY 1, 2),
+         gaps AS (
+           SELECT user_id,
+                  LEAD(ist, 1) OVER (PARTITION BY user_id ORDER BY ist)
+                    - ien AS gap_s
+           FROM isl)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                CAST(SUM(gap_s) AS BIGINT) AS idle_s,
+                CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+         FROM gaps WHERE gap_s IS NOT NULL
+         GROUP BY user_id ORDER BY user_id"""),
+
     // Adamic-Adar link prediction on the co-order (part-part) graph:
     // the common "neighbor" between two parts is an order containing
     // both, down-weighted by how big that basket is —

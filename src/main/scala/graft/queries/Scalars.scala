@@ -537,5 +537,47 @@ object Scalars {
                 CAST(jstr->>'$.nested.m' AS BIGINT) AS vm,
                 CAST(jstr->>'$.absent' AS BIGINT) AS vmissing
          FROM j ORDER BY o_orderkey"""),
+
+    // ARRAY SET ALGEBRA (union / intersect / except) — fn_array covers
+    // indexing and folds; this covers the set verbs a tag-matching or
+    // feature-overlap pipeline leans on. Results are SORTED then
+    // serialized (raw list columns crash the comparator, and
+    // DuckDB's list_distinct does not define an order — sorting
+    // makes the declared value engine-neutral). Map-only.
+    Q("fn_array_set_ops",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"),
+        expr("""concat_ws(',', sort_array(array_union(
+                  array(o_orderkey % 5, o_orderkey % 7, o_orderkey % 11),
+                  array(o_orderkey % 3, o_orderkey % 5))))""")
+          .as("u"),
+        expr("""concat_ws(',', sort_array(array_intersect(
+                  array(o_orderkey % 5, o_orderkey % 7, o_orderkey % 11),
+                  array(o_orderkey % 3, o_orderkey % 5))))""")
+          .as("i"),
+        expr("""concat_ws(',', sort_array(array_except(
+                  array(o_orderkey % 5, o_orderkey % 7, o_orderkey % 11),
+                  array(o_orderkey % 3, o_orderkey % 5))))""")
+          .as("e"),
+        expr("""array_contains(
+                  array(o_orderkey % 5, o_orderkey % 7, o_orderkey % 11),
+                  o_orderkey % 3)""").as("has"))
+        .orderBy("o_orderkey"),
+      """WITH t AS (
+           SELECT o_orderkey,
+                  [o_orderkey % 5, o_orderkey % 7, o_orderkey % 11] AS a,
+                  [o_orderkey % 3, o_orderkey % 5] AS b
+           FROM orders)
+         SELECT o_orderkey,
+                COALESCE(array_to_string(
+                  list_sort(list_distinct(a || b)), ','), '') AS u,
+                COALESCE(array_to_string(list_sort(list_distinct(
+                  list_filter(a, x -> list_contains(b, x)))), ','), '')
+                  AS i,
+                COALESCE(array_to_string(list_sort(list_distinct(
+                  list_filter(a, x -> NOT list_contains(b, x)))), ','),
+                  '') AS e,
+                list_contains(a, o_orderkey % 3) AS has
+         FROM t ORDER BY o_orderkey"""),
   )
 }
