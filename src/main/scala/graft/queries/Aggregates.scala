@@ -712,5 +712,29 @@ object Aggregates {
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag ASC NULLS FIRST,
                   l_linestatus ASC NULLS FIRST"""),
+
+    // BITWISE AGGREGATES (bit_and / bit_or / bit_xor) — the flag-mask
+    // reducers permission systems and feature-flag tables fold with:
+    // which bits are set EVERYWHERE (and), ANYWHERE (or), an ODD
+    // number of times (xor). All three are commutative/associative ⇒
+    // map-side partials collapse before the exchange; exact integer
+    // arithmetic end to end.
+    Q("agg_bit_ops",
+      (s, d) => orders(s, d)
+        .select(col("o_orderpriority"),
+          (col("o_orderkey") % 256).as("flags"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("bit_and(flags)").as("bits_all"),
+          expr("bit_or(flags)").as("bits_any"),
+          expr("bit_xor(flags)").as("bits_odd"))
+        .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority, COUNT(*) AS n,
+                CAST(BIT_AND(flags) AS BIGINT) AS bits_all,
+                CAST(BIT_OR(flags) AS BIGINT) AS bits_any,
+                CAST(BIT_XOR(flags) AS BIGINT) AS bits_odd
+         FROM (SELECT o_orderpriority, o_orderkey % 256 AS flags
+               FROM orders)
+         GROUP BY 1 ORDER BY o_orderpriority"""),
   )
 }

@@ -1018,5 +1018,46 @@ object Analytics {
                       (d.deg * (d.deg - 1.0)), 6) AS clustering_coef
          FROM deg d LEFT JOIN tc USING (node)
          WHERE d.deg >= 2 ORDER BY node"""),
+
+    // TOP MOVERS — the day-over-day change leaderboard (the ops
+    // dashboard's "what spiked yesterday"): per-priority daily
+    // revenue, DoD delta via one priority-partitioned lag, top-20 by
+    // |delta| through TakeOrdered — never a global sort. Deltas are
+    // exact decimal differences; only the emitted columns cast to
+    // double once.
+    Q("time_top_movers",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val daily = orders(s, d)
+          .groupBy(col("o_orderpriority").as("prio"),
+            col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .as("rev"))
+        val w = Window.partitionBy("prio").orderBy("day")
+        daily
+          .withColumn("prev", lag(col("rev"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("prio"), col("day"),
+            (col("rev") - col("prev")).as("delta"))
+          .withColumn("abs_delta", abs(col("delta")))
+          .orderBy(desc("abs_delta"), col("prio"), col("day"))
+          .limit(20)
+          .select(col("prio"), col("day"),
+            col("delta").cast("double").as("delta"))
+      },
+      """WITH daily AS (
+           SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE)
+                    AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1, 2),
+         deltas AS (
+           SELECT prio, day,
+                  rev - LAG(rev, 1) OVER (PARTITION BY prio
+                    ORDER BY day) AS delta
+           FROM daily)
+         SELECT prio, day, CAST(delta AS DOUBLE) AS delta
+         FROM deltas WHERE delta IS NOT NULL
+         ORDER BY abs(delta) DESC, prio, day LIMIT 20"""),
   )
 }

@@ -1149,6 +1149,39 @@ object Behavior {
                       CAST(n_days AS DOUBLE), 4) AS avg_dau,
                 ROUND((CAST(dau_sum AS DOUBLE) / CAST(n_days AS DOUBLE))
                       / CAST(mau AS DOUBLE), 6) AS stickiness
-         FROM dau JOIN mau USING (m) ORDER BY month""")
+         FROM dau JOIN mau USING (m) ORDER BY month"""),
+
+    // BURST DETECTION — the rate-limit/abuse screen: a user's peak
+    // events-per-minute, computed as a 60-second RANGE frame count
+    // over each user's own event stream (one user_id sort-exchange,
+    // the win_range_interval device — never a self-join on time).
+    // Declared relation: users whose peak burst hits the threshold,
+    // with the peak. Exact integer counts.
+    Q("event_burst",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d).select(col("user_id"),
+          (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("t"))
+        val w = Window.partitionBy("user_id").orderBy("t")
+          .rangeBetween(-59L, 0L)
+        ev.withColumn("burst", count(lit(1)).over(w))
+          .groupBy("user_id")
+          .agg(max(col("burst")).as("peak_per_min"),
+            count(lit(1)).as("n_events"))
+          .filter(col("peak_per_min") >= 2)
+          .orderBy("user_id")
+      },
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) // 1000000 AS t FROM events),
+         b AS (
+           SELECT user_id,
+                  COUNT(*) OVER (PARTITION BY user_id ORDER BY t
+                    RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+                    AS burst
+           FROM ev)
+         SELECT user_id, CAST(MAX(burst) AS BIGINT) AS peak_per_min,
+                CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM b GROUP BY user_id HAVING MAX(burst) >= 2
+         ORDER BY user_id""")
   )
 }

@@ -238,5 +238,58 @@ object Quality {
                  round(sse / n_test, 6) AS mse_test,
                  round(1.0 - sse / sst, 6) AS r2_test
           FROM coef CROSS JOIN ev"""),
+
+    // CALIBRATION (reliability table) — the eval-ops verb after
+    // quality_eval's MSE/R²: bucket predictions into FIXED-WIDTH 0.1
+    // bins (map-side floor, never an ntile — a bin boundary must not
+    // depend on a global sort) and compare mean prediction to mean
+    // label per bin; a well-calibrated scorer tracks the diagonal.
+    // Same fit-once moments + broadcast coefficients; per-bin means
+    // from exact decimal sums, n-weighted.
+    Q("quality_calibration",
+      (s, d) => {
+        val feats = documents(s, d)
+          .selectExpr("doc_id" +: sparkFeats: _*)
+        val m = feats.selectExpr(momentsSeq: _*)
+          .selectExpr(b0Sql + " AS rb0", b1Sql + " AS rb1",
+            b2Sql + " AS rb2")
+        feats.crossJoin(broadcast(m))
+          .selectExpr("y",
+            "CAST(rb0 + rb1 * CAST(x1 AS DOUBLE) + rb2 * CAST(x2 AS DOUBLE) AS DECIMAL(12,6)) AS yhat")
+          // bin on the DOUBLE form exactly as the oracle does —
+          // decimal×10 floor could disagree with double×10 floor at
+          // an exact bin boundary
+          .withColumn("bin",
+            greatest(lit(0L), least(lit(10L),
+              floor(col("yhat").cast("double") * 10))).cast("int"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("yhat")).cast("double") / count(lit(1)), 6)
+              .as("mean_pred"),
+            round(sum(col("y")).cast("double") / count(lit(1)), 6)
+              .as("mean_label"))
+          .orderBy("bin")
+      },
+      s"""WITH feats AS (
+            SELECT doc_id, $duckFeats
+            FROM documents),
+          m AS (
+            SELECT $momentsSql
+            FROM feats),
+          coef AS (
+            SELECT $b0Sql AS rb0, $b1Sql AS rb1, $b2Sql AS rb2
+            FROM m),
+          scored AS (
+            SELECT y,
+                   CAST(rb0 + rb1 * CAST(x1 AS DOUBLE) + rb2 * CAST(x2 AS DOUBLE) AS DECIMAL(12,6)) AS yhat
+            FROM feats CROSS JOIN coef)
+          SELECT CAST(greatest(0, least(10,
+                   floor(CAST(yhat AS DOUBLE) * 10))) AS INT) AS bin,
+                 COUNT(*) AS n,
+                 round(CAST(SUM(yhat) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_pred,
+                 round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_label
+          FROM scored GROUP BY 1 ORDER BY bin"""),
   )
 }
