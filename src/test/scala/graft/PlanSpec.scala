@@ -525,6 +525,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("round-8 top-k keys plan as TakeOrderedAndProject, not a " +
+      "global sort") {
+    for (name <- Seq("sort_limit_offset", "time_top_movers",
+        "dq_sequence_gaps", "vocab_coverage")) {
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(p.contains("TakeOrderedAndProject"), s"$name:\n$p")
+    }
+  }
+
   test("maintain_cluster_rewrite pre-write plan shard-partitions the " +
       "rows (one hash exchange, no sampling pass, no global sort); " +
       "the only global window runs over the bounded zval histogram") {
