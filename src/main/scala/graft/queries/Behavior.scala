@@ -159,10 +159,15 @@ object Behavior {
     // arithmetic, no interpolation, so both engines pick the identical
     // raw value; same device as agg_winsorize). Customers get a 3-digit
     // segment (2 = at-or-better-than-median) and the output is the
-    // 8-cell segment summary. The three global rank windows run over the
-    // PER-CUSTOMER aggregate (|customers| ≪ |orders|); at 100 TB you'd
-    // swap them for approx_percentile boundaries and keep the same
-    // broadcast-compare shape.
+    // 8-cell segment summary. Each exact median is a two-level
+    // HISTOGRAM DRILL-DOWN, not a global rank window over the
+    // customer relation (that was one task at 100 TB): pass 1 buckets
+    // the dimension (bucket count bounded by range/width), a
+    // cumulative window over the BOUNDED bucket histogram locates the
+    // k-th value's bucket, and pass 2 ranks ONLY that bucket's rows —
+    // a window bounded by bucket occupancy. Same value as the plain
+    // global rank (floor preserves order; equal values share a
+    // bucket), which is exactly what the oracle replays.
     Q("rfm_segmentation",
       (s, d) => {
         val o = orders(s, d)
@@ -176,15 +181,28 @@ object Behavior {
           .withColumn("recency",
             datediff(col("max_d"), col("last_d")).cast("long"))
         val cnt = rfm.agg(count(lit(1)).as("n"))
-        def med(dim: String, as: String): DataFrame =
+        def med(dim: String, as: String, bw: Double): DataFrame = {
+          val hist = rfm.groupBy(floor(col(dim) / bw).as("b"))
+            .agg(count(lit(1)).as("c"))
+          val cum = hist
+            .withColumn("cum", sum(col("c")).over(Window.orderBy("b")))
+            .withColumn("before", col("cum") - col("c"))
+          val target = cum.crossJoin(broadcast(cnt))
+            .filter(col("before") < expr("(n + 1) div 2") &&
+              expr("(n + 1) div 2") <= col("cum"))
+            .select(col("b"), col("before"))
           rfm.select(col(dim))
-            .withColumn("rn", row_number().over(Window.orderBy(col(dim))))
+            .crossJoin(broadcast(target))
+            .filter(floor(col(dim) / bw) === col("b"))
+            .withColumn("rn",
+              row_number().over(Window.orderBy(col(dim))))
             .crossJoin(broadcast(cnt))
-            .filter(col("rn") === expr("(n + 1) div 2"))
+            .filter(col("rn") === expr("(n + 1) div 2") - col("before"))
             .select(col(dim).as(as))
-        rfm.crossJoin(broadcast(med("recency", "r_med")))
-          .crossJoin(broadcast(med("frequency", "f_med")))
-          .crossJoin(broadcast(med("monetary", "m_med")))
+        }
+        rfm.crossJoin(broadcast(med("recency", "r_med", 16.0)))
+          .crossJoin(broadcast(med("frequency", "f_med", 4.0)))
+          .crossJoin(broadcast(med("monetary", "m_med", 1024.0)))
           .withColumn("segment", concat(
             when(col("recency") <= col("r_med"), lit("2")).otherwise(lit("1")),
             when(col("frequency") >= col("f_med"), lit("2")).otherwise(lit("1")),

@@ -869,10 +869,14 @@ object Llm {
         // lexical leg: the SAME bm25Scores implementation text_bm25
         // declares — fusion quality claims are only meaningful if the
         // fused leg IS the deployed ranker
+        // top-50 per leg via orderBy+limit (TakeOrderedAndProject —
+        // per-partition heaps); the rank window numbering each leg
+        // runs over its 50-row survivor set only, never the corpus
         val bm = bm25Scores(s, d).select("doc_id", "bm25")
         val wBm = Window.orderBy(desc("bm25"), col("doc_id"))
-        val bmRank = bm.withColumn("r_lex", row_number().over(wBm))
-          .filter(col("r_lex") <= 50).select("doc_id", "r_lex")
+        val bmRank = bm.orderBy(desc("bm25"), col("doc_id")).limit(50)
+          .withColumn("r_lex", row_number().over(wBm))
+          .select("doc_id", "r_lex")
         // dense leg: cosine vs the lowest-id probe embedding
         val emb = embeddings(s, d)
         val probe = emb.orderBy("vec_id").limit(1)
@@ -883,8 +887,9 @@ object Llm {
             round(expr("graft_cosine(probe_emb, embedding)"), 6)
               .as("cosv"))
         val wCos = Window.orderBy(desc("cosv"), col("doc_id"))
-        val cosRank = cos.withColumn("r_dense", row_number().over(wCos))
-          .filter(col("r_dense") <= 50).select("doc_id", "r_dense")
+        val cosRank = cos.orderBy(desc("cosv"), col("doc_id")).limit(50)
+          .withColumn("r_dense", row_number().over(wCos))
+          .select("doc_id", "r_dense")
         val fused = bmRank.join(cosRank, Seq("doc_id"), "full_outer")
           .select(col("doc_id"), col("r_lex"), col("r_dense"),
             (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0))

@@ -510,7 +510,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "relation)") {
     import org.apache.spark.sql.execution.window.WindowExec
     for (name <- Seq("vec_pq", "vec_kmeans", "profile_hill_tail",
-        "text_zipf_slope")) {
+        "text_zipf_slope", "rank_fusion_rrf")) {
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan
       assert(p.toString.contains("TakeOrderedAndProject"),
