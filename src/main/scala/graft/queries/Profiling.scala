@@ -743,5 +743,64 @@ object Profiling {
          JOIN sizes sa ON sa.lang = lang_a
          JOIN sizes sb ON sb.lang = lang_b
          ORDER BY lang_a, lang_b"""),
+
+    // NDV-vs-SAMPLE curve — "can I estimate distinct customers from a
+    // sample?" answered empirically: exact NDV of o_custkey inside
+    // deterministic md5 1% / 10% / 100% slices, with the naive
+    // scale-up estimate next to the truth. On a key whose NDV ≈ rows
+    // the scale-up works; on a heavy-hitter key it wildly overcounts —
+    // this relation is how a profiler decides whether sampling is
+    // safe before profiling 100 TB. Three conditional distinct
+    // aggregates in ONE pass (no three scans).
+    Q("profile_cardinality_curve",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_custkey"),
+          (conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
+            16, 10).cast("long") % 100).as("bucket"))
+        val m = o.agg(
+          count(when(col("bucket") < 1, 1)).as("rows_1"),
+          countDistinct(when(col("bucket") < 1, col("o_custkey")))
+            .as("ndv_1"),
+          count(when(col("bucket") < 10, 1)).as("rows_10"),
+          countDistinct(when(col("bucket") < 10, col("o_custkey")))
+            .as("ndv_10"),
+          count(lit(1)).as("rows_100"),
+          countDistinct(col("o_custkey")).as("ndv_100"))
+        m.selectExpr(
+            "stack(3, 1, rows_1, ndv_1, 10, rows_10, ndv_10, " +
+              "100, rows_100, ndv_100) AS (pct, n_rows, ndv)",
+            "ndv_100 AS ndv_true")
+          .select(col("pct"), col("n_rows"), col("ndv"),
+            round(col("ndv").cast("double") * 100.0 /
+              col("pct").cast("double"), 2).as("naive_scaleup"),
+            col("ndv_true"))
+          .orderBy("pct")
+      },
+      """WITH o AS (
+           SELECT o_custkey,
+                  CAST(('0x' || substring(md5(CAST(o_orderkey
+                    AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+           FROM orders),
+         m AS (
+           SELECT COUNT(CASE WHEN bucket < 1 THEN 1 END) AS rows_1,
+                  COUNT(DISTINCT CASE WHEN bucket < 1
+                    THEN o_custkey END) AS ndv_1,
+                  COUNT(CASE WHEN bucket < 10 THEN 1 END) AS rows_10,
+                  COUNT(DISTINCT CASE WHEN bucket < 10
+                    THEN o_custkey END) AS ndv_10,
+                  COUNT(*) AS rows_100,
+                  COUNT(DISTINCT o_custkey) AS ndv_100
+           FROM o),
+         curve AS (
+           SELECT 1 AS pct, rows_1 AS n_rows, ndv_1 AS ndv,
+                  ndv_100 AS ndv_true FROM m
+           UNION ALL SELECT 10, rows_10, ndv_10, ndv_100 FROM m
+           UNION ALL SELECT 100, rows_100, ndv_100, ndv_100 FROM m)
+         SELECT pct, CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(ndv AS BIGINT) AS ndv,
+                ROUND(CAST(ndv AS DOUBLE) * 100.0 /
+                      CAST(pct AS DOUBLE), 2) AS naive_scaleup,
+                CAST(ndv_true AS BIGINT) AS ndv_true
+         FROM curve ORDER BY pct"""),
   )
 }

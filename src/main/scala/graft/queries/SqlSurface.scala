@@ -180,6 +180,29 @@ object SqlSurface {
                 ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
          FROM orders GROUP BY 1 ORDER BY o_orderstatus"""),
 
+    // percentile_disc — the DISCRETE quantile (an actual data value,
+    // never an interpolation; what SLO/latency reporting wants, since
+    // an interpolated latency was never observed). Paired with the
+    // continuous form so the declared relation shows exactly where
+    // they diverge. ANSI WITHIN GROUP syntax on both engines.
+    Q("agg_percentile_disc",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("graft_orders_pdisc")
+        s.sql("""SELECT o_orderstatus,
+                        ROUND(percentile_disc(0.5)
+                          WITHIN GROUP (ORDER BY o_totalprice), 2)
+                          AS p50_disc,
+                        ROUND(percentile_cont(0.5)
+                          WITHIN GROUP (ORDER BY o_totalprice), 2)
+                          AS p50_cont
+                 FROM graft_orders_pdisc
+                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      """SELECT o_orderstatus,
+                ROUND(quantile_disc(o_totalprice, 0.5), 2) AS p50_disc,
+                ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50_cont
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus"""),
+
     // boolean aggregates + conditional count
     Q("agg_bool",
       (s, d) => orders(s, d).groupBy("o_orderpriority")
