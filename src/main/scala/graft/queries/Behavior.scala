@@ -181,28 +181,37 @@ object Behavior {
           .withColumn("recency",
             datediff(col("max_d"), col("last_d")).cast("long"))
         val cnt = rfm.agg(count(lit(1)).as("n"))
-        def med(dim: String, as: String, bw: Double): DataFrame = {
-          val hist = rfm.groupBy(floor(col(dim) / bw).as("b"))
-            .agg(count(lit(1)).as("c"))
-          val cum = hist
-            .withColumn("cum", sum(col("c")).over(Window.orderBy("b")))
-            .withColumn("before", col("cum") - col("c"))
-          val target = cum.crossJoin(broadcast(cnt))
-            .filter(col("before") < expr("(n + 1) div 2") &&
-              expr("(n + 1) div 2") <= col("cum"))
-            .select(col("b"), col("before"))
-          rfm.select(col(dim))
-            .crossJoin(broadcast(target))
-            .filter(floor(col(dim) / bw) === col("b"))
-            .withColumn("rn",
-              row_number().over(Window.orderBy(col(dim))))
-            .crossJoin(broadcast(cnt))
-            .filter(col("rn") === expr("(n + 1) div 2") - col("before"))
-            .select(col(dim).as(as))
-        }
-        rfm.crossJoin(broadcast(med("recency", "r_med", 16.0)))
-          .crossJoin(broadcast(med("frequency", "f_med", 4.0)))
-          .crossJoin(broadcast(med("monetary", "m_med", 1024.0)))
+        // all three medians ride ONE stacked histogram exchange and
+        // ONE bucket-rank pass, every window PARTITIONED by dim; the
+        // pivoted 1-row (r_med, f_med, m_med) result broadcasts
+        val stacked = rfm.selectExpr(
+          """stack(3,
+               'r', floor(CAST(recency AS DOUBLE) / 16.0),
+                    CAST(recency AS DOUBLE),
+               'f', floor(CAST(frequency AS DOUBLE) / 4.0),
+                    CAST(frequency AS DOUBLE),
+               'm', floor(monetary / 1024.0), monetary)
+             AS (dim, b, v)""")
+        val cum = stacked.groupBy("dim", "b")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c"))
+            .over(Window.partitionBy("dim").orderBy("b")))
+          .withColumn("before", col("cum") - col("c"))
+        val target = cum.crossJoin(broadcast(cnt))
+          .filter(col("before") < expr("(n + 1) div 2") &&
+            expr("(n + 1) div 2") <= col("cum"))
+          .select(col("dim"), col("b"), col("before"))
+        val meds = stacked
+          .join(broadcast(target), Seq("dim", "b"))
+          .withColumn("rn", row_number()
+            .over(Window.partitionBy("dim").orderBy("v")))
+          .crossJoin(broadcast(cnt))
+          .filter(col("rn") === expr("(n + 1) div 2") - col("before"))
+          .groupBy()
+          .agg(max(when(col("dim") === "r", col("v"))).as("r_med"),
+            max(when(col("dim") === "f", col("v"))).as("f_med"),
+            max(when(col("dim") === "m", col("v"))).as("m_med"))
+        rfm.crossJoin(broadcast(meds))
           .withColumn("segment", concat(
             when(col("recency") <= col("r_med"), lit("2")).otherwise(lit("1")),
             when(col("frequency") >= col("f_med"), lit("2")).otherwise(lit("1")),
