@@ -39,4 +39,82 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
           f"${drift * 100}%.1f%% from $expected (exact ${exact(b)})")
     }
   }
+
+  test("dq_sequence_gaps: the two-level blocked form equals the " +
+      "textbook single-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val blocked = SparkEntry.queries("dq_sequence_gaps")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val keys = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("k"))
+    val textbook = keys
+      .withColumn("prev", lag(col("k"), 1).over(Window.orderBy("k")))
+      .filter(col("prev").isNotNull && col("k") - col("prev") > 1)
+      .select((col("prev") + 1).as("s"), (col("k") - 1).as("e"),
+        (col("k") - col("prev") - 1).as("l"))
+      .orderBy(desc("l"), col("s")).limit(50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(blocked === textbook)
+  }
+
+  test("rfm medians: the histogram drill-down equals the plain " +
+      "global-rank k-th smallest") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val o = graft.Tables.orders(spark, sf)
+    val maxD = o.agg(max(col("o_orderdate").cast("date")).as("max_d"))
+    val rfm = o.groupBy("o_custkey").agg(
+        max(col("o_orderdate").cast("date")).as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("monetary"))
+      .crossJoin(broadcast(maxD))
+      .withColumn("recency",
+        datediff(col("max_d"), col("last_d")).cast("long"))
+      .cache()
+    val n = rfm.count()
+    val k = ((n + 1) / 2).toInt
+    def plainMed(dim: String): Double = rfm
+      .select(col(dim).cast("double").as("v"))
+      .withColumn("rn", row_number().over(Window.orderBy("v")))
+      .filter(col("rn") === k).collect()(0).getDouble(0)
+    // the declared query's segment split must match the plain medians
+    val seg = SparkEntry.queries("rfm_segmentation")(spark, sf)
+    val (rm, fm, mm) =
+      (plainMed("recency"), plainMed("frequency"), plainMed("monetary"))
+    val expected = rfm.withColumn("segment", concat(
+        when(col("recency") <= rm, lit("2")).otherwise(lit("1")),
+        when(col("frequency") >= fm, lit("2")).otherwise(lit("1")),
+        when(col("monetary") >= mm, lit("2")).otherwise(lit("1"))))
+      .groupBy("segment").agg(count(lit(1)).as("n_customers"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = seg.select("segment", "n_customers").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    rfm.unpersist()
+  }
+
+  test("interval identity: covered + idle spans the first-to-last " +
+      "window per user") {
+    val cov = SparkEntry.queries("interval_coverage")(spark, sf)
+      .select("user_id", "covered_s").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gaps = SparkEntry.queries("interval_gaps")(spark, sf)
+      .select("user_id", "idle_s").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val span = graft.Tables.events(spark, sf)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("st"))
+      .groupBy("user_id")
+      .agg((max(col("st")) + 300L - min(col("st"))).as("span"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    span.foreach { case (u, sp) =>
+      assert(cov(u) + gaps.getOrElse(u, 0L) === sp,
+        s"user $u: covered ${cov(u)} + idle ${gaps.getOrElse(u, 0L)}" +
+          s" != span $sp")
+    }
+  }
 }
