@@ -239,6 +239,33 @@ object Dedup {
     * entries_dropped_cap / entries_total instead of reading logs.
     * Cost: one band explode + one bucket-key aggregate + one band-key
     * aggregate — always index-sized, never pair-sized. */
+  /** Band-geometry TUNING audit: for each (bands × rowsPerBand) split
+    * of the stored signature, the bucket-entry totals, pairable
+    * buckets, and the pair-EMISSION count Σ n·(n−1)/2 — the candidate
+    * volume that config would push into verification, computed from
+    * bucket sizes alone (index-sized, no pair ever materializes).
+    * This is how the s-curve knee is picked BEFORE paying for a run:
+    * more bands = looser knee = more candidates. */
+  def bandTuning(docs: DataFrame,
+      datasetTag: Option[String] = None,
+      configs: Seq[(Int, Int)] = Seq((2, 16), (4, 8), (8, 4)))
+      : DataFrame = {
+    val sigs = datasetTag match {
+      case Some(tag) => minhashStoreFor(docs, tag)
+      case None => signatures(docs)
+    }
+    configs.map { case (b, r) =>
+      bandExplode(sigs, b, r)
+        .groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("entries"),
+          sum(when(col("n") >= 2, 1L).otherwise(0L)).as("buckets_ge2"),
+          sum(expr("n * (n - 1) div 2")).as("pair_emissions"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("entries"), col("buckets_ge2"), col("pair_emissions"))
+    }.reduce(_ unionByName _)
+  }
+
   def bandAudit(docs: DataFrame, maxBucket: Int,
       datasetTag: Option[String] = None, bands: Int = 4,
       rowsPerBand: Int = 8): DataFrame = {

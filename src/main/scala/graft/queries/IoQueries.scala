@@ -142,6 +142,36 @@ object IoQueries {
                 TRUE AS ranges_disjoint
          FROM orders"""),
 
+    // CSV QUOTING/ESCAPING fidelity — the roundtrip that actually
+    // breaks parsers: values carrying embedded delimiters, double
+    // quotes, newlines, and backslashes. The writer must quote+escape
+    // and the reader (multiLine=true — embedded newlines split
+    // records otherwise) must restore the EXACT bytes; the oracle
+    // derives the same strings directly, no IO — so a hash match
+    // proves writer∘reader = identity on the hostile alphabet.
+    Q("scan_csv_quoted",
+      (s, d) => {
+        val out = scratch(d, "csvq")
+        val tricky = documents(s, d).select(col("doc_id"),
+          concat(lit("a,\"q\"\n"), col("lang"), lit("\\x|"),
+            substring(col("text"), 1, 20)).as("s"))
+        tricky.write.mode("overwrite").option("header", "true")
+          .option("escape", "\"")
+          // the WRITER trims field whitespace by default — identity
+          // roundtrip needs the bytes kept
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .csv(out)
+        s.read.schema("doc_id LONG, s STRING")
+          .option("header", "true").option("multiLine", "true")
+          .option("escape", "\"").csv(out)
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+                'a,"q"' || chr(10) || lang || '\x|' ||
+                  substring(text, 1, 20) AS s
+         FROM documents ORDER BY doc_id"""),
+
     Q("scan_csv_roundtrip",
       (s, d) => {
         val out = scratch(d, "csv")

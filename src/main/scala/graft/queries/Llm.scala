@@ -327,6 +327,69 @@ object Llm {
                    AS BIGINT) AS entries_kept
           FROM buckets GROUP BY 1 ORDER BY band_idx"""),
 
+    // BAND-GEOMETRY TUNING — pick the s-curve knee BEFORE paying for
+    // a run: for 2×16 / 4×8 / 8×4 splits of the 32-hash signature,
+    // the candidate volume each geometry would push into verification
+    // (pair emissions Σ n·(n−1)/2 from bucket sizes alone — no pair
+    // materializes, cost stays index-sized). More bands = looser
+    // knee = more candidates; this relation is the tuning table that
+    // decision reads at 100 TB.
+    Q("dedup_band_tuning",
+      (s, d) => Dedup.bandTuning(documents(s, d), datasetTag = Some(d))
+        .orderBy("bands"),
+      s"""WITH coeffs(k, a, b) AS (VALUES $MinhashCoeffRows),
+          trigrams AS (
+            SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+              i -> substring(text, i, 3))) AS g
+            FROM documents),
+          ghash AS (
+            SELECT DISTINCT doc_id,
+              CASE WHEN hu >= 9223372036854775808::HUGEINT
+                   THEN (hu - 18446744073709551616::HUGEINT)::BIGINT
+                   ELSE hu::BIGINT END AS h
+            FROM (
+              SELECT doc_id, list_reduce(
+                list_prepend(14695981039346656037::HUGEINT,
+                  list_transform(range(1, 4),
+                    i -> ascii(substring(g, i, 1))::HUGEINT)),
+                (h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT
+                           * 1099511628211::HUGEINT)
+                          % 18446744073709551616::HUGEINT) AS hu
+              FROM trigrams)),
+          hp AS (
+            SELECT doc_id,
+                   ((h % 2147483647) + 2147483647) % 2147483647 AS hp
+            FROM ghash),
+          sigs AS (
+            SELECT doc_id, k, MIN((a * hp + b) % 2147483647) AS sig
+            FROM hp, coeffs GROUP BY doc_id, k),
+          sigvec AS (
+            SELECT doc_id, list(sig ORDER BY k) AS sig
+            FROM sigs GROUP BY doc_id),
+          cfg AS (
+            SELECT 2 AS bands, 16 AS rows_per_band
+            UNION ALL SELECT 4, 8
+            UNION ALL SELECT 8, 4),
+          banded AS (
+            SELECT c.bands, c.rows_per_band, bi AS band_idx,
+                   v.sig[bi * c.rows_per_band + 1 :
+                         bi * c.rows_per_band + c.rows_per_band]
+                     AS bandsig
+            FROM sigvec v, cfg c,
+                 LATERAL unnest(range(0, c.bands)) AS t(bi)),
+          buckets AS (
+            SELECT bands, rows_per_band, band_idx, bandsig,
+                   COUNT(*) AS n
+            FROM banded GROUP BY 1, 2, 3, 4)
+          SELECT CAST(bands AS INT) AS bands,
+                 CAST(rows_per_band AS INT) AS rows_per_band,
+                 CAST(SUM(n) AS BIGINT) AS entries,
+                 CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS buckets_ge2,
+                 CAST(SUM(n * (n - 1) // 2) AS BIGINT)
+                   AS pair_emissions
+          FROM buckets GROUP BY 1, 2 ORDER BY bands"""),
+
     // SimHash near-dup IS exactly oracle-able: with 4×16-bit chunk
     // buckets, any pair within Hamming ≤ 3 must agree on one chunk
     // (pigeonhole) — recall is 1.0 BY CONSTRUCTION, so the emitted set
