@@ -802,5 +802,93 @@ object Profiling {
                       CAST(pct AS DOUBLE), 2) AS naive_scaleup,
                 CAST(ndv_true AS BIGINT) AS ndv_true
          FROM curve ORDER BY pct"""),
+
+    // POISSON-BOOTSTRAP confidence interval for a mean — the
+    // resampling method that actually works distributed (Chamandy et
+    // al., Google): instead of drawing n rows with replacement
+    // (impossible map-side), each row contributes to replicate r with
+    // a Poisson(1) weight — here DERIVED from md5(key:r) through the
+    // inverse CDF on fixed thresholds, so both engines compute
+    // IDENTICAL weights and the whole CI is hash-exact data, not a
+    // tolerance audit. One map-side 32× replicate explode, one
+    // (r)-keyed exact-decimal aggregate, ranked picks over the
+    // 32-row replicate relation (bounded window). 90% CI by rank 2/31.
+    Q("sample_bootstrap_ci",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = orders(s, d).select(col("o_orderkey"),
+          col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+        val full = o.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("v")).cast("double") / count(lit(1)), 4)
+            .as("mean_full"))
+        val reps = o
+          .select(col("o_orderkey"), col("v"),
+            explode(expr("sequence(0, 31)")).as("r"))
+          .withColumn("u",
+            expr("""conv(substring(md5(concat(
+                      cast(o_orderkey AS string), ':',
+                      cast(r AS string))), 1, 8), 16, 10)""")
+              .cast("long").cast("double") / 4294967296.0)
+          .withColumn("w", expr(
+            """CASE WHEN u < 0.36787944117144233 THEN 0
+                    WHEN u < 0.7357588823428847 THEN 1
+                    WHEN u < 0.9196986029286058 THEN 2
+                    WHEN u < 0.9810118431238462 THEN 3
+                    WHEN u < 0.9963401531726563 THEN 4
+                    WHEN u < 0.9994058151824183 THEN 5
+                    ELSE 6 END"""))
+          .groupBy("r")
+          .agg(sum(expr("w * v")).as("swv"), sum(col("w")).as("sw"))
+          .select((col("swv").cast("double") /
+            col("sw").cast("double")).as("m"))
+        val ranked = reps.withColumn("rk",
+          row_number().over(Window.orderBy("m")))
+        ranked.agg(count(lit(1)).as("n_replicates"),
+            round(max(when(col("rk") === 2, col("m"))), 4).as("ci_lo"),
+            round(max(when(col("rk") === 31, col("m"))), 4)
+              .as("ci_hi"))
+          .crossJoin(broadcast(full))
+          .select(col("n_rows"), col("n_replicates"), col("mean_full"),
+            col("ci_lo"), col("ci_hi"))
+      },
+      """WITH o AS (
+           SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+           FROM orders),
+         full_m AS (
+           SELECT COUNT(*) AS n_rows,
+                  ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4)
+                    AS mean_full
+           FROM o),
+         reps AS (
+           SELECT o_orderkey, v, bi AS r,
+                  CAST(('0x' || substring(md5(
+                    CAST(o_orderkey AS VARCHAR) || ':' ||
+                    CAST(bi AS VARCHAR)), 1, 8)) AS BIGINT)
+                    / 4294967296.0 AS u
+           FROM o, LATERAL unnest(range(0, 32)) AS t(bi)),
+         weighted AS (
+           SELECT r, v,
+                  CASE WHEN u < 0.36787944117144233 THEN 0
+                       WHEN u < 0.7357588823428847 THEN 1
+                       WHEN u < 0.9196986029286058 THEN 2
+                       WHEN u < 0.9810118431238462 THEN 3
+                       WHEN u < 0.9963401531726563 THEN 4
+                       WHEN u < 0.9994058151824183 THEN 5
+                       ELSE 6 END AS w
+           FROM reps),
+         means AS (
+           SELECT CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+                    AS m
+           FROM weighted GROUP BY r),
+         ranked AS (
+           SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk FROM means),
+         ci AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+                  ROUND(MAX(CASE WHEN rk = 2 THEN m END), 4) AS ci_lo,
+                  ROUND(MAX(CASE WHEN rk = 31 THEN m END), 4) AS ci_hi
+           FROM ranked)
+         SELECT n_rows, n_replicates, mean_full, ci_lo, ci_hi
+         FROM full_m CROSS JOIN ci"""),
   )
 }
