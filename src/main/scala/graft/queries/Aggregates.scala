@@ -736,5 +736,74 @@ object Aggregates {
          FROM (SELECT o_orderpriority, o_orderkey % 256 AS flags
                FROM orders)
          GROUP BY 1 ORDER BY o_orderpriority"""),
+
+    // Skewness + excess kurtosis from RAW POWER SUMS — the engine-
+    // neutral higher-moment aggregate. Spark's kurtosis() and DuckDB's
+    // kurtosis() disagree on the estimator (population excess vs
+    // sample-corrected), so neither is oracle-checkable against the
+    // other; computing S1..S4 as exact BIGINT sums of the integer
+    // quantity (l_quantity is integral 1..50; 50^4 × 6e5 rows ≈ 3.8e12,
+    // far inside BIGINT) and folding the textbook central-moment
+    // closed forms in identical double arithmetic makes BOTH moments
+    // hash-exact data. One partial-agg exchange on the group key;
+    // map-side combine carries four BIGINTs per group — the same
+    // single-pass moment sketch a 100 TB profiler streams.
+    Q("agg_kurtosis",
+      (s, d) => {
+        val li = lineitem(s, d).select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"))
+        li.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("s1"),
+            sum(col("x") * col("x")).as("s2"),
+            sum(col("x") * col("x") * col("x")).as("s3"),
+            sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+          .withColumn("mu", col("s1").cast("double") / col("n"))
+          .withColumn("m2",
+            col("s2").cast("double") / col("n") - col("mu") * col("mu"))
+          .withColumn("m3",
+            col("s3").cast("double") / col("n") -
+              lit(3.0) * col("mu") * (col("s2").cast("double") / col("n")) +
+              lit(2.0) * col("mu") * col("mu") * col("mu"))
+          .withColumn("m4",
+            col("s4").cast("double") / col("n") -
+              lit(4.0) * col("mu") * (col("s3").cast("double") / col("n")) +
+              lit(6.0) * col("mu") * col("mu") *
+                (col("s2").cast("double") / col("n")) -
+              lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+          .select(col("l_returnflag"), col("n"),
+            round(col("mu"), 4).as("mean_q"),
+            // m2*sqrt(m2), not pow(m2,1.5): sqrt is correctly-rounded
+            // IEEE in both engines, libm pow is not (verify-skill trap)
+            round(col("m3") / (col("m2") * sqrt(col("m2"))), 6)
+              .as("skewness"),
+            round(col("m4") / (col("m2") * col("m2")) - 3.0, 6)
+              .as("kurtosis_excess"))
+          .orderBy("l_returnflag")
+      },
+      """WITH li AS (
+           SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x
+           FROM lineitem),
+         s AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+                  SUM(x) AS s1, SUM(x * x) AS s2,
+                  SUM(x * x * x) AS s3, SUM(x * x * x * x) AS s4
+           FROM li GROUP BY 1),
+         m AS (
+           SELECT l_returnflag, n, mu,
+                  CAST(s2 AS DOUBLE) / n - mu * mu AS m2,
+                  CAST(s3 AS DOUBLE) / n
+                    - 3.0 * mu * (CAST(s2 AS DOUBLE) / n)
+                    + 2.0 * mu * mu * mu AS m3,
+                  CAST(s4 AS DOUBLE) / n
+                    - 4.0 * mu * (CAST(s3 AS DOUBLE) / n)
+                    + 6.0 * mu * mu * (CAST(s2 AS DOUBLE) / n)
+                    - 3.0 * mu * mu * mu * mu AS m4
+           FROM (SELECT *, CAST(s1 AS DOUBLE) / n AS mu FROM s))
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                ROUND(mu, 4) AS mean_q,
+                ROUND(m3 / (m2 * SQRT(m2)), 6) AS skewness,
+                ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+         FROM m ORDER BY l_returnflag"""),
   )
 }

@@ -1209,6 +1209,127 @@ object Behavior {
          SELECT user_id, CAST(MAX(burst) AS BIGINT) AS peak_per_min,
                 CAST(COUNT(*) AS BIGINT) AS n_events
          FROM b GROUP BY user_id HAVING MAX(burst) >= 2
-         ORDER BY user_id""")
+         ORDER BY user_id"""),
+
+    // SAMPLE-RATIO-MISMATCH check (the standard pre-readout A/B health
+    // gate, Fabijan et al.): units hash-split 50/50 exactly like
+    // ab_test, but the EXPOSURE log has a simulated logging bug that
+    // drops every 20th variant-A unit — the chi-square goodness-of-fit
+    // stat against the intended 1:1 allocation flags it. Counts are one
+    // user-keyed aggregate + a single-row fold; chi2 is an all-double
+    // closed form on two BIGINTs, rounded once — hash-exact on both
+    // engines. At 100 TB the only data-sized exchange is the per-user
+    // distinct.
+    Q("ab_srm",
+      (s, d) => {
+        val pu = events(s, d).select(col("user_id")).distinct()
+          .withColumn("v", col("user_id") % 2)
+          // simulated exposure-logging bug: variant A drops user_id%20==0
+          .filter(!(col("v") === 0 && col("user_id") % 20 === 0))
+        pu.agg(
+            sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"))
+          .withColumn("e",
+            (col("n_a") + col("n_b")).cast("double") / 2.0)
+          .select(col("n_a"), col("n_b"),
+            round(((col("n_a") - col("e")) * (col("n_a") - col("e")) +
+              (col("n_b") - col("e")) * (col("n_b") - col("e"))) /
+              col("e"), 4).as("chi2"),
+            (((col("n_a") - col("e")) * (col("n_a") - col("e")) +
+              (col("n_b") - col("e")) * (col("n_b") - col("e"))) /
+              col("e") > 3.841459).as("srm_detected"))
+      },
+      """WITH pu AS (
+           SELECT DISTINCT user_id, user_id % 2 AS v FROM events),
+         kept AS (
+           SELECT v FROM pu
+           WHERE NOT (v = 0 AND user_id % 20 = 0)),
+         c AS (
+           SELECT CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_a,
+                  CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_b
+           FROM kept)
+         SELECT n_a, n_b,
+                ROUND(((n_a - e) * (n_a - e) + (n_b - e) * (n_b - e)) / e,
+                      4) AS chi2,
+                ((n_a - e) * (n_a - e) + (n_b - e) * (n_b - e)) / e
+                  > 3.841459 AS srm_detected
+         FROM (SELECT n_a, n_b,
+                      CAST(n_a + n_b AS DOUBLE) / 2.0 AS e FROM c)"""),
+
+    // COHORT LTV curve: customers grouped by first-order month, revenue
+    // accumulated by month-offset 0..5 — the lifetime-value readout
+    // every growth team runs. Month index is exact integer arithmetic
+    // (y*12 + m - 1, no months_between float), revenue an exact
+    // DECIMAL(18,2) sum, and the cumulative runs over a per-cohort
+    // window whose partition count equals the number of cohort months —
+    // bounded and key-partitioned, never global. Cohort sizes join back
+    // on the cohort key (broadcastable: one row per month).
+    Q("cohort_ltv",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .as("mi"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+        val first = o.groupBy("o_custkey").agg(min(col("mi")).as("m0"))
+        val sizes = first.groupBy("m0")
+          .agg(count(lit(1)).as("n_customers"))
+        val rev = o.join(first, "o_custkey")
+          .withColumn("k", (col("mi") - col("m0")).cast("int"))
+          .filter(col("k") <= 5)
+          .groupBy("m0", "k")
+          .agg(sum(col("p")).as("rev"))
+        val wc = Window.partitionBy("m0").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        rev.withColumn("cum", sum(col("rev")).over(wc))
+          .join(sizes, "m0")
+          // ltv at scale 4 via exact integer 1e-4 units (half-up integer
+          // division) — a double ROUND of cum/n sits on tie boundaries
+          // that Spark (exact BigDecimal) and DuckDB (multiply-based)
+          // resolve differently (udf_sql precedent)
+          .withColumn("cumu", (col("cum") * 10000).cast("long"))
+          .withColumn("ltv_e4",
+            expr("(cumu + n_customers div 2) div n_customers"))
+          .select(
+            concat(
+              expr("m0 div 12").cast("string"), lit("-"),
+              lpad((col("m0") % 12 + 1).cast("string"), 2, "0"))
+              .as("cohort_month"),
+            col("k"), col("n_customers"),
+            round(col("cum").cast("double"), 2).as("cum_rev"),
+            (col("ltv_e4").cast("double") / 10000.0).as("ltv"))
+          .orderBy("cohort_month", "k")
+      },
+      """WITH o AS (
+           SELECT o_custkey,
+                  year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders),
+         f AS (
+           SELECT o_custkey, MIN(mi) AS m0 FROM o GROUP BY 1),
+         sz AS (
+           SELECT m0, COUNT(*) AS n_customers FROM f GROUP BY 1),
+         rev AS (
+           SELECT f.m0, CAST(o.mi - f.m0 AS INTEGER) AS k,
+                  SUM(o.p) AS rev
+           FROM o JOIN f USING (o_custkey)
+           WHERE o.mi - f.m0 <= 5
+           GROUP BY 1, 2),
+         c AS (
+           SELECT m0, k,
+                  SUM(rev) OVER (PARTITION BY m0 ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+           FROM rev)
+         SELECT CAST(m0 // 12 AS VARCHAR) || '-' ||
+                  lpad(CAST(m0 % 12 + 1 AS VARCHAR), 2, '0')
+                  AS cohort_month,
+                k, CAST(n_customers AS BIGINT) AS n_customers,
+                ROUND(CAST(cum AS DOUBLE), 2) AS cum_rev,
+                CAST((CAST(cum * 10000 AS BIGINT) + n_customers // 2)
+                       // n_customers AS DOUBLE) / 10000.0 AS ltv
+         FROM c JOIN sz USING (m0)
+         ORDER BY cohort_month, k"""),
   )
 }

@@ -325,6 +325,73 @@ object Ml {
          FROM pairs
          ORDER BY aa_dec DESC, part_a, part_b LIMIT 100"""),
 
+    // Neighborhood-Jaccard link prediction on the same co-order graph —
+    // adamic_adar's set-overlap sibling: J(a,b) = |N(a)∩N(b)| /
+    // |N(a)∪N(b)| where N(p) is the set of orders containing part p.
+    // The intersection count rides the SAME map-side basket-pair
+    // stream (bounded fan-out, no self-join); the union denominator is
+    // da + db − common via two equi-joins against the part-degree
+    // relation (|parts|-sized — tiny next to the pair stream, and
+    // broadcastable at any realistic catalog size). The ranking key is
+    // an exact integer-ratio comparison (common/denominator ordered as
+    // DECIMAL division to micro-precision), top-100 via TakeOrdered.
+    Q("graph_jaccard",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val deg = li.groupBy("pk").agg(count(lit(1)).as("deg"))
+        val pairs = li.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("ps"))
+          .filter(size(col("ps")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, size(ps) - 1),
+                 i -> transform(sequence(0, i - 1),
+                   j -> struct(ps[j] AS part_a, ps[i] AS part_b))))"""))
+            .as("p"))
+          .groupBy(col("p.part_a").as("part_a"),
+            col("p.part_b").as("part_b"))
+          .agg(count(lit(1)).as("common"))
+          .filter(col("common") >= 2)
+        pairs
+          .join(broadcast(deg.withColumnRenamed("pk", "part_a")
+            .withColumnRenamed("deg", "da")), Seq("part_a"))
+          .join(broadcast(deg.withColumnRenamed("pk", "part_b")
+            .withColumnRenamed("deg", "db")), Seq("part_b"))
+          .withColumn("uni", col("da") + col("db") - col("common"))
+          // double division of two BIGINTs is correctly-rounded IEEE —
+          // identical in both engines (decimal division scale rules are
+          // not); ties in the sort break on the part keys
+          .withColumn("jd", col("common").cast("double") / col("uni"))
+          .select(col("part_a"), col("part_b"), col("common"),
+            col("uni").as("union_n"),
+            round(col("jd").cast("double"), 6).as("jaccard"))
+          .orderBy(desc("jd"), col("part_a"), col("part_b"))
+          .limit(100)
+          .drop("jd")
+      },
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         deg AS (
+           SELECT pk, COUNT(*) AS deg FROM li GROUP BY pk),
+         pairs AS (
+           SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS common
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         j AS (
+           SELECT part_a, part_b, common,
+                  da.deg + db.deg - common AS union_n,
+                  CAST(common AS DOUBLE) /
+                    (da.deg + db.deg - common) AS jd
+           FROM pairs
+           JOIN deg da ON da.pk = part_a
+           JOIN deg db ON db.pk = part_b)
+         SELECT part_a, part_b, common,
+                CAST(union_n AS BIGINT) AS union_n,
+                ROUND(CAST(jd AS DOUBLE), 6) AS jaccard
+         FROM j
+         ORDER BY jd DESC, part_a, part_b LIMIT 100"""),
+
     // Rolling 7-row mean/stddev per user — the feature-engineering
     // window. The rolling Σx and Σx² are EXACT decimal sums over the
     // row frame (value quantized to DECIMAL(12,4) once, map-side), so
