@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -829,5 +830,108 @@ object Etl {
                 dup_rows = 0 AS is_unique
          FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
          ORDER BY candidate"""),
+
+    // SCD2 AS-OF (point-in-time) query — the read side of the
+    // scd2_history/scd2_apply pair: reconstruct the table exactly as
+    // it stood at T by picking, per entity, the version whose
+    // [valid_from, valid_to) interval brackets T. One entity-keyed
+    // window to chain versions, one predicate — Catalyst pushes the
+    // valid_from ≤ T half into the scan, and at 100 TB a version table
+    // partitioned on entity key answers this with zero extra
+    // exchanges. Exact µs integer time arithmetic throughout.
+    Q("scd2_asof",
+      (s, d) => {
+        val t = lit(java.time.Instant.parse("1998-06-15T00:00:00Z")
+          .getEpochSecond * 1000000L)
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("valid_from", "o_orderkey")
+        orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp"))
+              .as("valid_from"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+          .filter(col("valid_from") <= t &&
+            (col("valid_to").isNull || col("valid_to") > t))
+          .select(col("o_custkey"), col("o_orderkey").as("version_key"),
+            col("valid_from"), col("valid_to"))
+          .orderBy("o_custkey")
+      },
+      """WITH h AS (
+           SELECT o_custkey, o_orderkey,
+                  epoch_us(o_orderdate) AS valid_from,
+                  LEAD(epoch_us(o_orderdate), 1) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY epoch_us(o_orderdate), o_orderkey)
+                    AS valid_to
+           FROM orders),
+         t AS (SELECT epoch_us(TIMESTAMP '1998-06-15 00:00:00') AS tv)
+         SELECT o_custkey, o_orderkey AS version_key, valid_from,
+                valid_to
+         FROM h, t
+         WHERE valid_from <= tv AND (valid_to IS NULL OR valid_to > tv)
+         ORDER BY o_custkey"""),
+
+    // REFERENTIAL-INTEGRITY report — the FK orphan audit every
+    // warehouse DQ suite runs: for each declared child→parent edge,
+    // count child rows whose key has no parent. The child stream for
+    // lineitem→orders carries PLANTED drift (every 97th order key
+    // negated — simulating an upstream key-mangling bug) so the report
+    // demonstrably detects, not just passes. Each edge is one LEFT
+    // ANTI join — broadcast when the parent is dim-sized, shuffle-hash
+    // on the key otherwise — and the output is three audit rows; at
+    // 100 TB each edge is one pass over the child.
+    Q("dq_referential",
+      (s, d) => {
+        def edge(name: String, child: DataFrame, key: String,
+                 parent: DataFrame, pkey: String) = {
+          val orphans = child.join(parent.select(col(pkey).as(key)),
+            Seq(key), "left_anti")
+          child.agg(count(lit(1)).as("n_child"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+            // pct at scale 4 via exact integer 1e-4-percent units —
+            // round(100*o/n) is a rational that CAN tie at the 5th
+            // decimal (cohort_ltv precedent)
+            .select(lit(name).as("fk_edge"), col("n_child"),
+              col("n_orphans"),
+              (expr("(n_orphans * 1000000L + n_child div 2) div n_child")
+                .cast("double") / 10000.0).as("orphan_pct"))
+        }
+        val liDrift = lineitem(s, d).select(
+          when(col("l_orderkey") % 97 === 0, -col("l_orderkey"))
+            .otherwise(col("l_orderkey")).as("l_orderkey"))
+        val e1 = edge("lineitem.l_orderkey->orders", liDrift,
+          "l_orderkey", orders(s, d), "o_orderkey")
+        val e2 = edge("orders.o_custkey->customer",
+          orders(s, d).select(col("o_custkey")), "o_custkey",
+          customer(s, d), "c_custkey")
+        val e3 = edge("lineitem.l_partkey->part",
+          lineitem(s, d).select(col("l_partkey")), "l_partkey",
+          part(s, d), "p_partkey")
+        e1.unionByName(e2).unionByName(e3).orderBy("fk_edge")
+      },
+      """WITH li AS (
+           SELECT CASE WHEN l_orderkey % 97 = 0 THEN -l_orderkey
+                       ELSE l_orderkey END AS l_orderkey
+           FROM lineitem),
+         e1 AS (
+           SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+                  COUNT(*) AS n_child,
+                  COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS n_orphans
+           FROM li LEFT JOIN orders ON l_orderkey = o_orderkey),
+         e2 AS (
+           SELECT 'orders.o_custkey->customer', COUNT(*),
+                  COUNT(*) FILTER (WHERE c_custkey IS NULL)
+           FROM orders LEFT JOIN customer ON o_custkey = c_custkey),
+         e3 AS (
+           SELECT 'lineitem.l_partkey->part', COUNT(*),
+                  COUNT(*) FILTER (WHERE p_partkey IS NULL)
+           FROM lineitem LEFT JOIN part ON l_partkey = p_partkey),
+         u AS (
+           SELECT * FROM e1 UNION ALL SELECT * FROM e2
+           UNION ALL SELECT * FROM e3)
+         SELECT fk_edge, CAST(n_child AS BIGINT) AS n_child,
+                CAST(n_orphans AS BIGINT) AS n_orphans,
+                CAST((n_orphans * 1000000 + n_child // 2) // n_child
+                     AS DOUBLE) / 10000.0 AS orphan_pct
+         FROM u ORDER BY fk_edge"""),
   )
 }

@@ -890,5 +890,43 @@ object Profiling {
            FROM ranked)
          SELECT n_rows, n_replicates, mean_full, ci_lo, ci_hi
          FROM full_m CROSS JOIN ci"""),
+
+    // 2-D HISTOGRAM (heatmap feed): orders binned on (price band ×
+    // order month) — the joint-distribution profile behind every
+    // "when do big orders happen" dashboard. Fixed-width price bands
+    // clamped to 10 buckets (no min/max pre-pass — the bounds are part
+    // of the report spec, so the whole thing is ONE partial-agg
+    // exchange on the 120-cell key space); the share denominator joins
+    // back as a broadcast single row. Integer bucket arithmetic plus
+    // one exact-integer-units share — nothing floats until the final
+    // division of two BIGINTs.
+    Q("agg_histogram2d",
+      (s, d) => {
+        val o = orders(s, d).select(
+          least(floor(col("o_totalprice") / 60000.0), lit(9.0))
+            .cast("int").as("price_band"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        val cells = o.groupBy("price_band", "m")
+          .agg(count(lit(1)).as("cnt"))
+        val total = cells.agg(sum(col("cnt")).as("total"))
+        cells.crossJoin(broadcast(total))
+          .select(col("price_band"), col("m"), col("cnt"),
+            (expr("(cnt * 1000000L + total div 2) div total")
+              .cast("double") / 10000.0).as("share_pct"))
+          .orderBy("price_band", "m")
+      },
+      """WITH o AS (
+           SELECT CAST(LEAST(FLOOR(o_totalprice / 60000.0), 9.0)
+                    AS INTEGER) AS price_band,
+                  month(o_orderdate) AS m
+           FROM orders),
+         cells AS (
+           SELECT price_band, m, COUNT(*) AS cnt FROM o GROUP BY 1, 2),
+         t AS (SELECT SUM(cnt) AS total FROM cells)
+         SELECT price_band, CAST(m AS BIGINT) AS m,
+                CAST(cnt AS BIGINT) AS cnt,
+                CAST((cnt * 1000000 + total // 2) // total AS DOUBLE)
+                  / 10000.0 AS share_pct
+         FROM cells, t ORDER BY price_band, m"""),
   )
 }

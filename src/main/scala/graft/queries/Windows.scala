@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
-  val qs: Seq[Q] = Seq(
+  val qs: Seq[Q] = baseQs :+ rollingSlope
+
+  private def baseQs: Seq[Q] = Seq(
     Q("win_rank", (s, d) => {
       val w = Window.partitionBy("c_mktsegment")
         .orderBy(desc("c_acctbal"), asc("c_custkey"))
@@ -348,4 +350,70 @@ object Windows {
       w: org.apache.spark.sql.expressions.WindowSpec) =
     round(sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
       .over(w).cast("double"), scale)
+
+  /** ROLLING OLS SLOPE — the local-trend feature every forecasting
+    * pipeline engineers: per user, the least-squares slope of value
+    * vs. in-series position over the trailing 7 rows. All four frame
+    * sums (Σt, Σt², Σv, Σtv) are EXACT (BIGINT positions from a
+    * row_number over the same user partition; value quantized to
+    * DECIMAL(12,4) once, the cross term widened to DECIMAL(24,4)), so
+    * the closed-form slope is one deterministic double expression on
+    * hash-stable inputs. The row_number and the four frame aggregates
+    * share ONE user-keyed sort exchange. Positions are in-partition
+    * ranks, so the denominator n·Σt²−(Σt)² is never zero for n ≥ 2.
+    */
+  // def (not val): referenced from qs above, which initializes first
+  private def rollingSlope: Q = Q("win_rolling_slope",
+    (s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(12, 4))
+          .as("v"))
+      val wo = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val wf = wo.rowsBetween(-6, 0)
+      val pos = ev.withColumn("rn",
+        row_number().over(wo).cast("long"))
+        .withColumn("tv", (col("rn") * col("v"))
+          .cast(org.apache.spark.sql.types.DecimalType(24, 4)))
+      pos
+        .withColumn("n", count(lit(1)).over(wf))
+        .withColumn("st", sum(col("rn")).over(wf))
+        .withColumn("st2", sum(col("rn") * col("rn")).over(wf))
+        .withColumn("sv", sum(col("v")).over(wf))
+        .withColumn("stv", sum(col("tv")).over(wf))
+        .select(col("event_id"), col("user_id"), col("n").as("roll_n"),
+          when(col("n") > 1,
+            round((col("n") * col("stv").cast("double") -
+              col("st") * col("sv").cast("double")) /
+              (col("n") * col("st2") - col("st") * col("st"))
+                .cast("double"), 6) + 0.0)
+            .as("slope"))
+        .orderBy("event_id")
+    },
+    """WITH ev AS (
+         SELECT event_id, user_id, epoch_us(ts) AS t,
+                CAST(value AS DECIMAL(12,4)) AS v
+         FROM events),
+       p AS (
+         SELECT event_id, user_id, t, v,
+                CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY t, event_id) AS BIGINT) AS rn
+         FROM ev),
+       r AS (
+         SELECT event_id, user_id,
+                COUNT(*) OVER fr AS n,
+                SUM(rn) OVER fr AS st,
+                SUM(rn * rn) OVER fr AS st2,
+                SUM(v) OVER fr AS sv,
+                SUM(CAST(rn * v AS DECIMAL(24,4))) OVER fr AS stv
+         FROM p
+         WINDOW fr AS (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+       SELECT event_id, user_id, n AS roll_n,
+              CASE WHEN n > 1 THEN
+                ROUND((n * CAST(stv AS DOUBLE) -
+                       st * CAST(sv AS DOUBLE)) /
+                      CAST(n * st2 - st * st AS DOUBLE), 6) + 0.0
+              END AS slope
+       FROM r ORDER BY event_id""")
 }
