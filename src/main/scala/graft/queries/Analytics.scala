@@ -1059,5 +1059,53 @@ object Analytics {
          SELECT prio, day, CAST(delta AS DOUBLE) AS delta
          FROM deltas WHERE delta IS NOT NULL
          ORDER BY abs(delta) DESC, prio, day LIMIT 20"""),
+
+    // SEASONAL-NAIVE BACKTEST — the forecasting-pipeline evaluation
+    // primitive: predict each event's value with the user's value 7
+    // observations earlier (the "same slot last cycle" baseline every
+    // model must beat), then report per-event-type MAE and coverage.
+    // The lag is one user-partitioned window (shares the sort exchange
+    // with nothing else — a single pass); the absolute errors are
+    // exact DECIMAL(12,4) so the Σ|err| is order-free, and the MAE
+    // divides in exact 1e-4 integer units (no ROUND ties). At 100 TB
+    // this is one window + one partial-agg exchange.
+    Q("time_backtest_naive",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("t"),
+          col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(12, 4)).as("v"))
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        ev.withColumn("pred", lag(col("v"), 7).over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            count(col("pred")).as("n_scored"),
+            sum(abs(col("v") - col("pred"))).as("sae"))
+          .withColumn("sae_u", (col("sae") * 10000).cast("long"))
+          .select(col("event_type"), col("n_events"), col("n_scored"),
+            (expr("(sae_u + n_scored div 2) div n_scored")
+              .cast("double") / 10000.0).as("mae"))
+          .orderBy("event_type")
+      },
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
+                  CAST(value AS DECIMAL(12,4)) AS v
+           FROM events),
+         p AS (
+           SELECT event_type, v,
+                  LAG(v, 7) OVER (PARTITION BY user_id
+                    ORDER BY t, event_id) AS pred
+           FROM ev),
+         a AS (
+           SELECT event_type, COUNT(*) AS n_events,
+                  COUNT(pred) AS n_scored,
+                  CAST(SUM(ABS(v - pred)) * 10000 AS BIGINT) AS sae_u
+           FROM p GROUP BY 1)
+         SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+                CAST(n_scored AS BIGINT) AS n_scored,
+                CAST((sae_u + n_scored // 2) // n_scored AS DOUBLE)
+                  / 10000.0 AS mae
+         FROM a ORDER BY event_type"""),
   )
 }

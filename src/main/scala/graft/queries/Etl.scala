@@ -933,5 +933,45 @@ object Etl {
                 CAST((n_orphans * 1000000 + n_child // 2) // n_child
                      AS DOUBLE) / 10000.0 AS orphan_pct
          FROM u ORDER BY fk_edge"""),
+
+    // PARTITION-SKEW audit — the layout report run before choosing (or
+    // after suspecting) a partition column: per candidate partition
+    // value, row count, share, and the ratio to the mean partition
+    // size. A ratio_to_mean ≫ 1 is the hot-partition warning that at
+    // 100 TB means one executor owns the month. One partial-agg
+    // exchange on the candidate key; the mean joins back as a
+    // broadcast single row; all shares in exact 1e-4 integer units.
+    Q("dq_partition_skew",
+      (s, d) => {
+        val parts = orders(s, d)
+          .select(concat(year(col("o_orderdate")).cast("string"),
+            lit("-"),
+            lpad(month(col("o_orderdate")).cast("string"), 2, "0"))
+            .as("pkey"))
+          .groupBy("pkey").agg(count(lit(1)).as("n_rows"))
+        val tot = parts.agg(sum(col("n_rows")).as("total"),
+          count(lit(1)).as("n_parts"))
+        parts.crossJoin(broadcast(tot))
+          .select(col("pkey"), col("n_rows"),
+            (expr("(n_rows * 1000000L + total div 2) div total")
+              .cast("double") / 10000.0).as("share_pct"),
+            (expr("(n_rows * n_parts * 10000L + total div 2) div total")
+              .cast("double") / 10000.0).as("ratio_to_mean"))
+          .orderBy("pkey")
+      },
+      """WITH parts AS (
+           SELECT CAST(year(o_orderdate) AS VARCHAR) || '-' ||
+                    lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0')
+                    AS pkey,
+                  COUNT(*) AS n_rows
+           FROM orders GROUP BY 1),
+         t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_parts
+               FROM parts)
+         SELECT pkey, CAST(n_rows AS BIGINT) AS n_rows,
+                CAST((n_rows * 1000000 + total // 2) // total AS DOUBLE)
+                  / 10000.0 AS share_pct,
+                CAST((n_rows * n_parts * 10000 + total // 2) // total
+                     AS DOUBLE) / 10000.0 AS ratio_to_mean
+         FROM parts, t ORDER BY pkey"""),
   )
 }

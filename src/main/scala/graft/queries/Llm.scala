@@ -1885,5 +1885,157 @@ GROUP BY source ORDER BY source"""),
                FROM documents WHERE doc_id < 40)
          WHERE fi % 2 = 0
          ORDER BY media_id, frame_idx"""),
+
+    // Exact top-k by EUCLIDEAN distance — the third metric of the
+    // search family (dot / cosine / hamming already declared). The
+    // squared distance sums per-dim (x−y)² as exact DECIMAL(20,10)
+    // (float→double casts exact, decimal add order-free), so the
+    // ranking key is bit-stable under any partitioning; ranking is a
+    // per-probe bounded window over the broadcast-probe scan — at
+    // 100 TB the same IVF cell-pruning path as the cosine keys applies
+    // (triangle-inequality pruning on the residual metric).
+    Q("sim_search_l2",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val scored = emb.crossJoin(broadcast(Similarity.probes(emb)))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            expr("""aggregate(zip_with(probe_emb, embedding,
+                      (x, y) -> cast(cast(x AS double) - cast(y AS double)
+                        AS decimal(20,10)) *
+                        cast(cast(x AS double) - cast(y AS double)
+                        AS decimal(20,10))),
+                    cast(0 AS decimal(38,20)),
+                    (a, v) -> cast(a + v AS decimal(38,20)))""").as("d2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy(asc("d2"), asc("vec_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("probe_id"), col("rn").cast("int").as("rn"),
+            col("vec_id"),
+            round(sqrt(col("d2").cast("double")), 6).as("dist"))
+          .orderBy("probe_id", "rn")
+      },
+      """WITH probe_ids AS (
+           SELECT MIN(vec_id) AS probe_id FROM embeddings GROUP BY label),
+         p AS (SELECT e.vec_id AS probe_id, e.embedding AS probe_emb
+               FROM embeddings e JOIN probe_ids ON e.vec_id = probe_id),
+         scored AS (
+           SELECT p.probe_id, e.vec_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(CAST(CAST(p.probe_emb[i] AS DOUBLE) -
+                      CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(20,10)) *
+                    CAST(CAST(p.probe_emb[i] AS DOUBLE) -
+                      CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(20,10))
+                    AS DECIMAL(38,20))), (x, y) -> x + y)
+             AS d2
+           FROM p CROSS JOIN embeddings e WHERE e.vec_id <> p.probe_id),
+         ranked AS (
+           SELECT probe_id, vec_id, d2,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY d2 ASC, vec_id ASC) AS rn
+           FROM scored)
+         SELECT probe_id, CAST(rn AS INT) AS rn, vec_id,
+                ROUND(SQRT(CAST(d2 AS DOUBLE)), 6) AS dist
+         FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn"""),
+
+    // MIPS → L2 reduction audit (Shrivastava & Li's asymmetric-LSH
+    // norm-augmentation trick, the standard way to serve max-inner-
+    // product from an L2/cosine index): corpus vectors gain one extra
+    // dimension sqrt(M² − ‖v‖²) with M = max corpus norm, probes gain
+    // 0 — then augmented-L2 NN order equals inner-product order. The
+    // declared relation is the top-5-by-dot per probe ANNOTATED with
+    // the augmented distance and a per-row monotonicity flag
+    // (aug-L2 rank == dot rank), all on exact decimal sums — the
+    // audit that justifies pointing the existing IVF index at MIPS
+    // workloads. M²−‖v‖² is clamped at ≥0 (M is the max, so exact-
+    // arithmetic equality at the max vector itself).
+    Q("vec_mips",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val withN2 = emb.withColumn("n2",
+          expr("""aggregate(embedding, cast(0 AS decimal(38,20)),
+                    (a, v) -> cast(a + cast(cast(v AS double) *
+                      cast(v AS double) AS decimal(20,10))
+                      AS decimal(38,20)))"""))
+        val m2 = withN2.agg(max(col("n2")).as("m2"))
+        val scored = withN2.crossJoin(broadcast(m2))
+          .crossJoin(broadcast(Similarity.probes(emb)))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            expr("""aggregate(zip_with(probe_emb, embedding,
+                      (x, y) -> cast(cast(x AS double) * cast(y AS double)
+                        AS decimal(20,10))),
+                    cast(0 AS decimal(38,20)),
+                    (a, v) -> cast(a + v AS decimal(38,20)))""")
+              .as("dot"),
+            expr("""aggregate(zip_with(probe_emb, probe_emb,
+                      (x, y) -> cast(cast(x AS double) * cast(y AS double)
+                        AS decimal(20,10))),
+                    cast(0 AS decimal(38,20)),
+                    (a, v) -> cast(a + v AS decimal(38,20)))""")
+              .as("q2"),
+            col("n2"), col("m2"))
+          // augmented squared L2: ‖q‖² + M² − 2·q·v  (the sqrt(M²−‖v‖²)
+          // aug-dim contributes M²−‖v‖² and cancels ‖v‖²) — exact
+          // decimal arithmetic end to end
+          .withColumn("aug_d2",
+            col("q2") + col("m2") - col("dot") - col("dot"))
+        val wDot = org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy(desc("dot"), asc("vec_id"))
+        val wAug = org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy(asc("aug_d2"), asc("vec_id"))
+        scored
+          .withColumn("rn_dot", row_number().over(wDot))
+          .withColumn("rn_aug", row_number().over(wAug))
+          .filter(col("rn_dot") <= 5)
+          .select(col("probe_id"), col("rn_dot").cast("int").as("rn"),
+            col("vec_id"),
+            round(col("dot").cast("double"), 6).as("ip_score"),
+            round(col("aug_d2").cast("double"), 6).as("aug_d2"),
+            (col("rn_aug") === col("rn_dot")).as("order_preserved"))
+          .orderBy("probe_id", "rn")
+      },
+      """WITH probe_ids AS (
+           SELECT MIN(vec_id) AS probe_id FROM embeddings GROUP BY label),
+         p AS (SELECT e.vec_id AS probe_id, e.embedding AS probe_emb
+               FROM embeddings e JOIN probe_ids ON e.vec_id = probe_id),
+         n2t AS (
+           SELECT vec_id, embedding,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> CAST(CAST(embedding[i] AS DOUBLE) *
+                         CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))),
+                    (x, y) -> CAST(x + y AS DECIMAL(38,20))) AS n2
+           FROM embeddings),
+         m2t AS (SELECT MAX(n2) AS m2 FROM n2t),
+         scored AS (
+           SELECT p.probe_id, e.vec_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(20,10))),
+               (x, y) -> CAST(x + y AS DECIMAL(38,20))) AS dot,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(p.probe_emb[i] AS DOUBLE) AS DECIMAL(20,10))),
+               (x, y) -> CAST(x + y AS DECIMAL(38,20))) AS q2,
+             e.n2, m2t.m2
+           FROM p CROSS JOIN n2t e CROSS JOIN m2t
+           WHERE e.vec_id <> p.probe_id),
+         aug AS (
+           SELECT probe_id, vec_id, dot,
+                  q2 + m2 - dot - dot AS aug_d2
+           FROM scored),
+         ranked AS (
+           SELECT probe_id, vec_id, dot, aug_d2,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY dot DESC, vec_id ASC) AS rn_dot,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY aug_d2 ASC, vec_id ASC) AS rn_aug
+           FROM aug)
+         SELECT probe_id, CAST(rn_dot AS INT) AS rn, vec_id,
+                ROUND(CAST(dot AS DOUBLE), 6) AS ip_score,
+                ROUND(CAST(aug_d2 AS DOUBLE), 6) AS aug_d2,
+                rn_aug = rn_dot AS order_preserved
+         FROM ranked WHERE rn_dot <= 5 ORDER BY probe_id, rn"""),
   )
 }
