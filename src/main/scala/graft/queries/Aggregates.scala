@@ -805,5 +805,33 @@ object Aggregates {
                 ROUND(m3 / (m2 * SQRT(m2)), 6) AS skewness,
                 ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
          FROM m ORDER BY l_returnflag"""),
+
+    // MULTIPLE DISTINCT aggregates in ONE GROUP BY — the plan shape
+    // that matters: Spark compiles n distinct columns into a single
+    // Expand (n× row replication tagged by gid) + two aggregate
+    // levels, NOT n separate scans/joins. One pass over lineitem
+    // answers "distinct parts, distinct suppliers, distinct ship
+    // months, and plain row count per return flag" — the profiling
+    // query that naive engines run as four. At 100 TB the Expand
+    // multiplies the shuffle by n, which still beats n full scans;
+    // the truly-huge-NDV alternative (approx_count_distinct) is the
+    // agg_approx_distinct key.
+    Q("agg_multi_distinct",
+      (s, d) => {
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("l_partkey")).as("ndv_part"),
+            countDistinct(col("l_suppkey")).as("ndv_supp"),
+            countDistinct(date_format(col("l_shipdate"), "yyyy-MM"))
+              .as("ndv_ship_month"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+                COUNT(DISTINCT l_partkey) AS ndv_part,
+                COUNT(DISTINCT l_suppkey) AS ndv_supp,
+                COUNT(DISTINCT strftime(l_shipdate, '%Y-%m'))
+                  AS ndv_ship_month
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
   )
 }

@@ -529,5 +529,53 @@ object Joins {
            WINDOW wb AS (PARTITION BY user_id ORDER BY t, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
          WHERE event_type = 'purchase' ORDER BY event_id"""),
+
+    // EXISTENCE-FLAG enrichment — the "semi-join as a column" pattern:
+    // instead of filtering (join_semi), annotate every customer with
+    // boolean has-flags from three child relations. Spark plans each
+    // flag as an ExistenceJoin (a left-outer semi variant that emits
+    // the match bit instead of dropping rows) when phrased as EXISTS
+    // in SQL; here the equivalent distinct-key left joins keep the
+    // child side pre-aggregated to one row per key, so each flag costs
+    // one key-partitioned exchange of DISTINCT keys — never a row
+    // multiplication. At 100 TB the distinct-key relations are the
+    // cheap side and broadcast or bucket cleanly.
+    Q("join_exists_flags",
+      (s, d) => {
+        val cust = customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment"))
+        val hasOrder = orders(s, d).select(col("o_custkey")).distinct()
+          .withColumn("f1", lit(1))
+        val hasBig = orders(s, d)
+          .filter(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey")).distinct().withColumn("f2", lit(1))
+        val hasUrgent = orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct().withColumn("f3", lit(1))
+        cust
+          .join(hasOrder, cust("c_custkey") === hasOrder("o_custkey"),
+            "left").drop(hasOrder("o_custkey"))
+          .join(hasBig, cust("c_custkey") === hasBig("o_custkey"),
+            "left").drop(hasBig("o_custkey"))
+          .join(hasUrgent, cust("c_custkey") === hasUrgent("o_custkey"),
+            "left").drop(hasUrgent("o_custkey"))
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("f1").isNotNull.as("has_order"),
+            col("f2").isNotNull.as("has_big_order"),
+            col("f3").isNotNull.as("has_urgent_order"))
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_mktsegment,
+                EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey) AS has_order,
+                EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_totalprice > 300000.0)
+                  AS has_big_order,
+                EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+                  AS has_urgent_order
+         FROM customer ORDER BY c_custkey"""),
   )
 }

@@ -2037,5 +2037,51 @@ GROUP BY source ORDER BY source"""),
                 ROUND(CAST(aug_d2 AS DOUBLE), 6) AS aug_d2,
                 rn_aug = rn_dot AS order_preserved
          FROM ranked WHERE rn_dot <= 5 ORDER BY probe_id, rn"""),
+
+    // IMPORTANCE (quality-proportional) downsampling with Horvitz–
+    // Thompson correction — the principled way to thin a corpus
+    // without biasing downstream statistics: keep each doc with
+    // p ∝ quality proxy (here length, clamped to 1), carry weight 1/p
+    // so Σweights over the kept set estimates the full count. The
+    // accept draw is md5-derived (both engines replay it exactly) and
+    // the HT weight is computed in exact 1e-6 integer units — the
+    // whole sample is hash-checkable data. Map-side only: one filter,
+    // no shuffle at any scale.
+    Q("sample_importance",
+      (s, d) => {
+        val D = 2000.0
+        documents(s, d)
+          .withColumn("p_keep",
+            least(col("n_chars").cast("double") / D, lit(1.0)))
+          .withColumn("u",
+            conv(substring(md5(concat(lit("imp:"),
+              col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long").cast("double") / 4294967296.0)
+          .filter(col("u") < col("p_keep"))
+          // HT weight = 1/p = D/n_chars for short docs, 1 otherwise —
+          // exact 1e-6 integer units (rational ties, cohort_ltv rule)
+          .withColumn("ht_e6",
+            when(col("n_chars") >= D.toLong,
+              lit(1000000L))
+              .otherwise(expr(s"(${D.toLong} * 1000000L + " +
+                "n_chars div 2) div n_chars")))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            round(col("p_keep"), 6).as("p_keep"),
+            (col("ht_e6").cast("double") / 1000000.0).as("ht_weight"))
+          .orderBy("doc_id")
+      },
+      """WITH s AS (
+           SELECT doc_id, lang, n_chars,
+                  LEAST(CAST(n_chars AS DOUBLE) / 2000.0, 1.0) AS p_keep,
+                  CAST(('0x' || substring(md5('imp:' ||
+                      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    / 4294967296.0 AS u
+           FROM documents)
+         SELECT doc_id, lang, n_chars,
+                ROUND(p_keep, 6) AS p_keep,
+                CAST(CASE WHEN n_chars >= 2000 THEN 1000000
+                          ELSE (2000 * 1000000 + n_chars // 2) // n_chars
+                     END AS DOUBLE) / 1000000.0 AS ht_weight
+         FROM s WHERE u < p_keep ORDER BY doc_id"""),
   )
 }

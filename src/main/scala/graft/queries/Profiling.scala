@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Data-QA / pipeline-utility operators: pivot, deterministic sampling,
@@ -928,5 +929,70 @@ object Profiling {
                 CAST((cnt * 1000000 + total // 2) // total AS DOUBLE)
                   / 10000.0 AS share_pct
          FROM cells, t ORDER BY price_band, m"""),
+
+    // FUNCTIONAL-DEPENDENCY discovery (the in-table sibling of
+    // profile_fk_candidates): for each candidate determinant→dependent
+    // pair, count determinant values that map to MORE than one
+    // dependent value — zero violators means A→B holds and the column
+    // is derivable/normalizable. Each candidate is one (A)-keyed
+    // aggregate over distinct (A,B) — the same single-exchange shape
+    // TANE/metanome use per lattice node; candidates evaluated
+    // independently (trivially parallel at 100 TB). Planted check:
+    // orderkey→custkey HOLDS, custkey→orderpriority does not.
+    Q("profile_functional_dep",
+      (s, d) => {
+        def cand(name: String, df: DataFrame, a: String, b: String) =
+          df.select(col(a).cast("string").as("a"),
+              col(b).cast("string").as("b")).distinct()
+            .groupBy("a").agg(countDistinct(col("b")).as("ndv_b"))
+            .agg(count(lit(1)).as("n_det"),
+              sum(when(col("ndv_b") > 1, 1L).otherwise(0L))
+                .as("n_violating"))
+            .select(lit(name).as("candidate"), col("n_det"),
+              col("n_violating"),
+              (col("n_violating") === 0).as("fd_holds"))
+        cand("orders: o_orderkey->o_custkey", orders(s, d),
+            "o_orderkey", "o_custkey")
+          .unionByName(cand("orders: o_custkey->o_orderpriority",
+            orders(s, d), "o_custkey", "o_orderpriority"))
+          .unionByName(cand("customer: c_custkey->c_mktsegment",
+            customer(s, d), "c_custkey", "c_mktsegment"))
+          .unionByName(cand("lineitem: l_partkey->l_returnflag",
+            lineitem(s, d), "l_partkey", "l_returnflag"))
+          .orderBy("candidate")
+      },
+      """WITH c1 AS (
+           SELECT 'orders: o_orderkey->o_custkey' AS candidate,
+                  COUNT(*) AS n_det,
+                  SUM(CASE WHEN ndv_b > 1 THEN 1 ELSE 0 END)
+                    AS n_violating
+           FROM (SELECT CAST(o_orderkey AS VARCHAR) AS a,
+                        COUNT(DISTINCT CAST(o_custkey AS VARCHAR))
+                          AS ndv_b
+                 FROM orders GROUP BY 1)),
+         c2 AS (
+           SELECT 'orders: o_custkey->o_orderpriority', COUNT(*),
+                  SUM(CASE WHEN ndv_b > 1 THEN 1 ELSE 0 END)
+           FROM (SELECT CAST(o_custkey AS VARCHAR) AS a,
+                        COUNT(DISTINCT o_orderpriority) AS ndv_b
+                 FROM orders GROUP BY 1)),
+         c3 AS (
+           SELECT 'customer: c_custkey->c_mktsegment', COUNT(*),
+                  SUM(CASE WHEN ndv_b > 1 THEN 1 ELSE 0 END)
+           FROM (SELECT CAST(c_custkey AS VARCHAR) AS a,
+                        COUNT(DISTINCT c_mktsegment) AS ndv_b
+                 FROM customer GROUP BY 1)),
+         c4 AS (
+           SELECT 'lineitem: l_partkey->l_returnflag', COUNT(*),
+                  SUM(CASE WHEN ndv_b > 1 THEN 1 ELSE 0 END)
+           FROM (SELECT CAST(l_partkey AS VARCHAR) AS a,
+                        COUNT(DISTINCT l_returnflag) AS ndv_b
+                 FROM lineitem GROUP BY 1)),
+         u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+               UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)
+         SELECT candidate, CAST(n_det AS BIGINT) AS n_det,
+                CAST(n_violating AS BIGINT) AS n_violating,
+                n_violating = 0 AS fd_holds
+         FROM u ORDER BY candidate"""),
   )
 }
