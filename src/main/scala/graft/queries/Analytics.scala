@@ -1107,5 +1107,70 @@ object Analytics {
                 CAST((sae_u + n_scored // 2) // n_scored AS DOUBLE)
                   / 10000.0 AS mae
          FROM a ORDER BY event_type"""),
+
+    // PERIOD-OVER-PERIOD scorecard — monthly revenue with
+    // month-over-month and year-over-year deltas, the BI table every
+    // finance dashboard leads with. Aggregate once to month grain
+    // (exact DECIMAL(18,2) sums), then lag(1) and lag(12) over the
+    // MONTH-GRAIN relation — the window input is #months rows, so the
+    // "global" window is bounded by the calendar, not the data
+    // (contrast the corpus-sized windows round 8 re-planned away).
+    // Growth pcts divide exact integer cents, in 1e-4 units.
+    Q("time_period_over_period",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = orders(s, d)
+          .groupBy((year(col("o_orderdate")) * 12 +
+            month(col("o_orderdate")) - 1).as("mi"))
+          .agg(sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .as("rev"))
+          .withColumn("rev_c", (col("rev") * 100).cast("long"))
+        val w = Window.orderBy("mi") // month-grain: ≤ #months rows
+        // pct in exact 1e-4 units on ABSOLUTE values (floor division of
+        // positives is identical in both engines; Spark div truncates
+        // vs DuckDB // floors on negatives — the time_decay_sum trap),
+        // sign re-applied after
+        def pct(prev: String) =
+          when(col(prev).isNotNull && col(prev) =!= 0,
+            expr(s"""(case when rev_c >= $prev then 1 else -1 end) *
+                 ((abs(rev_c - $prev) * 1000000L + abs($prev) div 2)
+                  div abs($prev))""").cast("double") / 10000.0)
+        m.withColumn("prev_m", lag(col("rev_c"), 1).over(w))
+          .withColumn("prev_y", lag(col("rev_c"), 12).over(w))
+          .select(
+            concat(expr("mi div 12").cast("string"), lit("-"),
+              lpad((col("mi") % 12 + 1).cast("string"), 2, "0"))
+              .as("month"),
+            round(col("rev").cast("double"), 2).as("revenue"),
+            pct("prev_m").as("mom_pct"),
+            pct("prev_y").as("yoy_pct"))
+          .orderBy("month")
+      },
+      """WITH m AS (
+           SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         c AS (
+           SELECT mi, rev, CAST(rev * 100 AS BIGINT) AS rev_c,
+                  LAG(CAST(rev * 100 AS BIGINT), 1)
+                    OVER (ORDER BY mi) AS prev_m,
+                  LAG(CAST(rev * 100 AS BIGINT), 12)
+                    OVER (ORDER BY mi) AS prev_y
+           FROM m)
+         SELECT CAST(mi // 12 AS VARCHAR) || '-' ||
+                  lpad(CAST(mi % 12 + 1 AS VARCHAR), 2, '0') AS month,
+                ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+                CASE WHEN prev_m IS NOT NULL AND prev_m <> 0 THEN
+                  CAST((CASE WHEN rev_c >= prev_m THEN 1 ELSE -1 END) *
+                       ((ABS(rev_c - prev_m) * 1000000 +
+                         ABS(prev_m) // 2) // ABS(prev_m)) AS DOUBLE)
+                    / 10000.0 END AS mom_pct,
+                CASE WHEN prev_y IS NOT NULL AND prev_y <> 0 THEN
+                  CAST((CASE WHEN rev_c >= prev_y THEN 1 ELSE -1 END) *
+                       ((ABS(rev_c - prev_y) * 1000000 +
+                         ABS(prev_y) // 2) // ABS(prev_y)) AS DOUBLE)
+                    / 10000.0 END AS yoy_pct
+         FROM c ORDER BY month"""),
   )
 }

@@ -2083,5 +2083,109 @@ GROUP BY source ORDER BY source"""),
                           ELSE (2000 * 1000000 + n_chars // 2) // n_chars
                      END AS DOUBLE) / 1000000.0 AS ht_weight
          FROM s WHERE u < p_keep ORDER BY doc_id"""),
+
+    // MINHASH ESTIMATOR-ERROR audit — the calibration table behind
+    // every "32 hashes is enough" decision: for each LSH candidate
+    // pair, the signature-agreement estimate k/32 (exactly dyadic —
+    // never a rounding tie) against the true shingle Jaccard, with the
+    // absolute error. Mean |err| should sit near the 1/√32 ≈ 0.18
+    // binomial bound; a regression here means the hash family or band
+    // geometry broke. Candidates and signatures come from the SAME
+    // persisted stores the production dedup path reads — the audit
+    // costs one candidate-keyed join, no new corpus pass.
+    Q("dedup_minhash_error",
+      (s, d) => {
+        graft.engine.expr.GraftFunctions.ensureRegistered(s)
+        val state = Dedup.minhashStoreFor(documents(s, d), d)
+        Dedup.lshCandidates(state)
+          .join(state.select(col("doc_id").as("doc_a"),
+            col("sh_h").as("sh_a"), col("sig").as("sig_a")), Seq("doc_a"))
+          .join(state.select(col("doc_id").as("doc_b"),
+            col("sh_h").as("sh_b"), col("sig").as("sig_b")), Seq("doc_b"))
+          // 32.0D: a bare decimal-point literal parses as DECIMAL in
+          // Spark SQL (DuckDB reads it as DOUBLE) — force the double
+          .withColumn("est_j", expr(
+            """size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),
+                 v -> v)) / 32.0D"""))
+          .filter(col("est_j") >= 0.5)
+          .withColumn("n_common",
+            expr("graft_intersect_count(sh_a, sh_b)"))
+          .withColumn("uni",
+            size(col("sh_a")) + size(col("sh_b")) - col("n_common"))
+          .filter(col("uni") > 0)
+          .withColumn("exact_j",
+            round(col("n_common") / col("uni").cast("double"), 4))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("est_j"), 4).as("est_j"), col("exact_j"),
+            round(abs(round(col("est_j"), 4) - col("exact_j")), 4)
+              .as("abs_err"))
+          .orderBy("doc_a", "doc_b")
+      },
+      s"""WITH coeffs(k, a, b) AS (VALUES $MinhashCoeffRows),
+          trigrams AS (
+            SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+              i -> substring(text, i, 3))) AS g
+            FROM documents),
+          ghash AS (
+            SELECT DISTINCT doc_id,
+              CASE WHEN hu >= 9223372036854775808::HUGEINT
+                   THEN (hu - 18446744073709551616::HUGEINT)::BIGINT
+                   ELSE hu::BIGINT END AS h
+            FROM (
+              SELECT doc_id, list_reduce(
+                list_prepend(14695981039346656037::HUGEINT,
+                  list_transform(range(1, 4),
+                    i -> ascii(substring(g, i, 1))::HUGEINT)),
+                (h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT
+                           * 1099511628211::HUGEINT)
+                          % 18446744073709551616::HUGEINT) AS hu
+              FROM trigrams)),
+          hp AS (
+            SELECT doc_id, h,
+                   ((h % 2147483647) + 2147483647) % 2147483647 AS hp
+            FROM ghash),
+          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ghash GROUP BY 1),
+          sigs AS (
+            SELECT doc_id, k, MIN((a * hp + b) % 2147483647) AS sig
+            FROM hp, coeffs GROUP BY doc_id, k),
+          sigvec AS (
+            SELECT doc_id, list(sig ORDER BY k) AS sig
+            FROM sigs GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, bi AS band_idx,
+                   sig[bi * 8 + 1 : bi * 8 + 8] AS bandsig
+            FROM sigvec, (SELECT unnest(range(0, 4)) AS bi)),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band_idx = y.band_idx AND x.bandsig = y.bandsig
+             AND x.doc_id < y.doc_id),
+          est AS (
+            SELECT doc_a, doc_b,
+                   len(list_filter(range(1, 33),
+                     i -> sa.sig[i] = sb.sig[i])) / 32.0 AS est_j
+            FROM cand
+              JOIN sigvec sa ON sa.doc_id = doc_a
+              JOIN sigvec sb ON sb.doc_id = doc_b
+            WHERE len(list_filter(range(1, 33),
+                    i -> sa.sig[i] = sb.sig[i])) / 32.0 >= 0.5),
+          hlist AS (SELECT doc_id, list(h) AS hs FROM hp GROUP BY doc_id),
+          verified AS (
+            SELECT doc_a, doc_b, est_j,
+                   len(list_intersect(ha.hs, hb.hs)) AS n_common,
+                   sa.sz AS sza, sb.sz AS szb
+            FROM est
+              JOIN hlist ha ON ha.doc_id = doc_a
+              JOIN hlist hb ON hb.doc_id = doc_b
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE sa.sz + sb.sz - len(list_intersect(ha.hs, hb.hs)) > 0)
+          SELECT doc_a, doc_b, ROUND(est_j, 4) AS est_j,
+                 ROUND(n_common / CAST(sza + szb - n_common AS DOUBLE), 4)
+                   AS exact_j,
+                 ROUND(ABS(ROUND(est_j, 4) -
+                   ROUND(n_common / CAST(sza + szb - n_common AS DOUBLE),
+                         4)), 4) AS abs_err
+          FROM verified ORDER BY doc_a, doc_b"""),
   )
 }

@@ -291,5 +291,54 @@ object Quality {
                  round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6)
                    AS mean_label
           FROM scored GROUP BY 1 ORDER BY bin"""),
+
+    // THRESHOLD SWEEP — the filter-tuning table: for nine candidate
+    // cutoffs over the deterministic quality label y, how many
+    // documents survive, what corpus share that is, and the mean
+    // quality of the kept set. This is the relation a curation team
+    // reads to pick curate_corpus's cutoff. The 9-row threshold
+    // relation broadcasts against the one-pass features (9× map-side
+    // expansion, one partial-agg exchange on t); shares and means are
+    // exact integer-unit divisions. y is DECIMAL(12,6); the cutoffs
+    // are DECIMAL(3,1), so every comparison is exact on both engines.
+    Q("quality_threshold_sweep",
+      (s, d) => {
+        val feats = documents(s, d).selectExpr("doc_id" +: sparkFeats: _*)
+        val tot = feats.agg(count(lit(1)).as("total"))
+        val th = s.range(1, 10)
+          .selectExpr("CAST(id / 10.0 AS DECIMAL(3,1)) AS t")
+        feats.crossJoin(broadcast(th))
+          .filter(col("y") >= col("t"))
+          .groupBy("t")
+          .agg(count(lit(1)).as("n_kept"),
+            sum((col("y") * 1000000).cast("long")).as("sy_u"))
+          .crossJoin(broadcast(tot))
+          .select(col("t").cast("double").as("threshold"),
+            col("n_kept"),
+            (expr("(n_kept * 1000000L + total div 2) div total")
+              .cast("double") / 10000.0).as("kept_pct"),
+            (expr("(sy_u + n_kept div 2) div n_kept")
+              .cast("double") / 1000000.0).as("mean_y_kept"))
+          .orderBy("threshold")
+      },
+      s"""WITH feats AS (
+            SELECT doc_id, $duckFeats
+            FROM documents),
+          th AS (
+            SELECT CAST(t / 10.0 AS DECIMAL(3,1)) AS t
+            FROM unnest(range(1, 10)) AS r(t)),
+          tot AS (SELECT COUNT(*) AS total FROM feats),
+          kept AS (
+            SELECT t, COUNT(*) AS n_kept,
+                   SUM(CAST(y * 1000000 AS BIGINT)) AS sy_u
+            FROM feats CROSS JOIN th
+            WHERE y >= t GROUP BY t)
+          SELECT CAST(t AS DOUBLE) AS threshold,
+                 CAST(n_kept AS BIGINT) AS n_kept,
+                 CAST((n_kept * 1000000 + total // 2) // total AS DOUBLE)
+                   / 10000.0 AS kept_pct,
+                 CAST((sy_u + n_kept // 2) // n_kept AS DOUBLE)
+                   / 1000000.0 AS mean_y_kept
+          FROM kept, tot ORDER BY threshold"""),
   )
 }
