@@ -1052,5 +1052,99 @@ FROM wt ORDER BY lang, source"""),
                   AS INT) AS pos
          FROM documents
          ORDER BY phase, pos"""),
+
+    // N-GRAM NOVELTY score — dedup-aware curation's ordering signal:
+    // how much of each document's 3-word-shingle vocabulary is UNSEEN
+    // in all earlier documents (doc_id order = ingest order). The
+    // first-seer relation is one (gram → min doc_id) aggregate; the
+    // novelty ratio is a join back on the gram key — two key-
+    // partitioned exchanges total, the same Σdf shape as the dedup
+    // inverted indexes, no quadratic anything. A corpus whose novelty
+    // curve collapses is re-crawling itself — this is the relation
+    // that shows it. Ratios in exact 1e-4 integer units.
+    Q("text_novelty",
+      (s, d) => {
+        val grams = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(w) < 3 THEN array()
+               ELSE transform(sequence(0, size(w) - 3),
+                 i -> md5(array_join(slice(w, i + 1, 3), ' ')))
+               END""")).as("g"))
+          .distinct()
+        val firstSeen = grams.groupBy("g")
+          .agg(min(col("doc_id")).as("first_doc"))
+        grams.join(firstSeen, Seq("g"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L)
+              .otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            (expr("(n_novel * 1000000L + n_grams div 2) div n_grams")
+              .cast("double") / 10000.0).as("novelty_pct"))
+          .orderBy("doc_id")
+      },
+      """WITH g AS (
+           SELECT DISTINCT doc_id,
+                  md5(array_to_string(ws[i + 1 : i + 3], ' ')) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+                UNNEST(range(0, GREATEST(len(ws) - 2, 0))) AS u(i)),
+         fs AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g),
+         agg AS (
+           SELECT g.doc_id, COUNT(*) AS n_grams,
+                  SUM(CASE WHEN fs.first_doc = g.doc_id
+                           THEN 1 ELSE 0 END) AS n_novel
+           FROM g JOIN fs USING (g) GROUP BY 1)
+         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                CAST(n_novel AS BIGINT) AS n_novel,
+                CAST((n_novel * 1000000 + n_grams // 2) // n_grams
+                     AS DOUBLE) / 10000.0 AS novelty_pct
+         FROM agg ORDER BY doc_id"""),
+
+    // Per-document CHARACTER ENTROPY — the gibberish/encoding-junk
+    // screen (low entropy = repeated filler, high = random bytes;
+    // both tails get filtered in web-corpus curation). Per doc the
+    // char histogram is exact integers; H = log2(n) − Σc·log2(c)/n is
+    // evaluated with the IDENTICAL formula string on both engines and
+    // rounded once. Map-side explode + one (doc, char) partial agg +
+    // one doc agg — the same two-exchange profile as text_wordcount.
+    Q("text_char_entropy",
+      (s, d) => {
+        val chars = documents(s, d)
+          .select(col("doc_id"),
+            explode(split(col("text"), "")).as("c"))
+          .filter(col("c") =!= "")
+          .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+        chars.groupBy("doc_id")
+          .agg(sum(col("cnt")).as("n"),
+            count(lit(1)).as("alphabet"),
+            sum(expr("CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE))")
+              .cast(org.apache.spark.sql.types.DecimalType(24, 10)))
+              .as("sclog"))
+          .select(col("doc_id"), col("n"), col("alphabet"),
+            round(expr("log2(CAST(n AS DOUBLE)) - " +
+              "CAST(sclog AS DOUBLE) / CAST(n AS DOUBLE)"), 4)
+              .as("entropy_bits"))
+          .orderBy("doc_id")
+      },
+      """WITH ch AS (
+           SELECT doc_id, u.c, COUNT(*) AS cnt
+           FROM (SELECT doc_id, string_split(text, '') AS cs
+                 FROM documents), UNNEST(cs) AS u(c)
+           WHERE u.c <> ''
+           GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS alphabet,
+                  SUM(CAST(CAST(cnt AS DOUBLE) *
+                    log2(CAST(cnt AS DOUBLE)) AS DECIMAL(24,10)))
+                    AS sclog
+           FROM ch GROUP BY 1)
+         SELECT doc_id, CAST(n AS BIGINT) AS n,
+                CAST(alphabet AS BIGINT) AS alphabet,
+                ROUND(log2(CAST(n AS DOUBLE)) -
+                      CAST(sclog AS DOUBLE) / CAST(n AS DOUBLE), 4)
+                  AS entropy_bits
+         FROM agg ORDER BY doc_id"""),
   )
 }

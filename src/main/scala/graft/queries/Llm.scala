@@ -2187,5 +2187,52 @@ GROUP BY source ORDER BY source"""),
                    ROUND(n_common / CAST(sza + szb - n_common AS DOUBLE),
                          4)), 4) AS abs_err
           FROM verified ORDER BY doc_a, doc_b"""),
+
+    // ROLLING-ORIGIN TIME FOLDS — the expanding-window cross-
+    // validation split (never shuffle-split time series): fold k
+    // trains on everything before month 24+12k and validates on the
+    // following 6 months. The fold spec is a 4-row broadcast; rows
+    // classify map-side by exact integer month index and one
+    // (fold)-keyed aggregate emits the census a backtest harness
+    // consumes. Leakage-proof by construction: train_end ==
+    // valid_start, and both boundaries are part of the declared
+    // relation so the oracle re-proves it.
+    Q("sample_time_folds",
+      (s, d) => {
+        val anchor = 1995 * 12
+        val o = orders(s, d).select(
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1
+            - anchor).as("rel"))
+        val folds = s.range(0, 4).select(col("id").cast("int").as("fold"),
+          (lit(24) + col("id") * 12).cast("int").as("train_end"),
+          (lit(30) + col("id") * 12).cast("int").as("valid_end"))
+        o.crossJoin(broadcast(folds))
+          .groupBy("fold", "train_end", "valid_end")
+          .agg(
+            sum(when(col("rel") < col("train_end"), 1L).otherwise(0L))
+              .as("train_rows"),
+            sum(when(col("rel") >= col("train_end") &&
+              col("rel") < col("valid_end"), 1L).otherwise(0L))
+              .as("valid_rows"))
+          .select(col("fold"), col("train_end"), col("valid_end"),
+            col("train_rows"), col("valid_rows"))
+          .orderBy("fold")
+      },
+      """WITH o AS (
+           SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1
+                    - 1995 * 12 AS rel
+           FROM orders),
+         folds AS (
+           SELECT CAST(k AS INTEGER) AS fold,
+                  CAST(24 + k * 12 AS INTEGER) AS train_end,
+                  CAST(30 + k * 12 AS INTEGER) AS valid_end
+           FROM unnest(range(0, 4)) AS t(k))
+         SELECT fold, train_end, valid_end,
+                CAST(SUM(CASE WHEN rel < train_end THEN 1 ELSE 0 END)
+                  AS BIGINT) AS train_rows,
+                CAST(SUM(CASE WHEN rel >= train_end AND rel < valid_end
+                         THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows
+         FROM o CROSS JOIN folds
+         GROUP BY 1, 2, 3 ORDER BY fold"""),
   )
 }
