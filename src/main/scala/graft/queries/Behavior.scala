@@ -1331,5 +1331,52 @@ object Behavior {
                        // n_customers AS DOUBLE) / 10000.0 AS ltv
          FROM c JOIN sz USING (m0)
          ORDER BY cohort_month, k"""),
+
+    // AUDIENCE OVERLAP matrix — "users who do X also do Y": Jaccard
+    // between the user sets of every event-type pair. The co-presence
+    // counts ride ONE self-join of the distinct (user, type) relation
+    // keyed on user (fan-out bounded by types-per-user ≤ |types|);
+    // per-type audience sizes join back broadcast (|types| rows).
+    // Jaccard is a correctly-rounded double ratio of two BIGINTs.
+    // At 100 TB: the distinct is the only data-sized exchange.
+    Q("event_audience_overlap",
+      (s, d) => {
+        val ut = events(s, d)
+          .select(col("user_id"), col("event_type")).distinct()
+        val sizes = ut.groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"))
+        val pairs = ut.as("a").join(ut.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+        pairs
+          .join(broadcast(sizes.select(col("event_type").as("type_a"),
+            col("n_users").as("na"))), Seq("type_a"))
+          .join(broadcast(sizes.select(col("event_type").as("type_b"),
+            col("n_users").as("nb"))), Seq("type_b"))
+          .select(col("type_a"), col("type_b"), col("n_both"),
+            round(col("n_both").cast("double") /
+              (col("na") + col("nb") - col("n_both")), 6).as("jaccard"))
+          .orderBy("type_a", "type_b")
+      },
+      """WITH ut AS (
+           SELECT DISTINCT user_id, event_type FROM events),
+         sz AS (
+           SELECT event_type, COUNT(*) AS n_users FROM ut GROUP BY 1),
+         p AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  COUNT(*) AS n_both
+           FROM ut a JOIN ut b ON a.user_id = b.user_id
+             AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+                ROUND(CAST(n_both AS DOUBLE) /
+                      (sa.n_users + sb.n_users - n_both), 6) AS jaccard
+         FROM p
+         JOIN sz sa ON sa.event_type = type_a
+         JOIN sz sb ON sb.event_type = type_b
+         ORDER BY type_a, type_b"""),
   )
 }

@@ -392,6 +392,75 @@ object Ml {
          FROM j
          ORDER BY jd DESC, part_a, part_b LIMIT 100"""),
 
+    // CLUSTER-PURITY evaluation — the label-agreement audit run after
+    // any embedding clustering: assign every vector to its nearest
+    // per-label centroid (exact decimal means and distances, so the
+    // argmin is bit-stable), then report per centroid how many
+    // assigned vectors carry that true label. The distance relation is
+    // |vecs| × |labels| rows from ONE broadcast centroid join
+    // (|labels|×64 rows); the argmin is a per-vector bounded window.
+    // The standard eval for vec_centroids / vec_kmeans outputs.
+    Q("vec_cluster_purity",
+      (s, d) => {
+        val dims = embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("p", "v")))
+          .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
+            col("v").cast("double").as("v"))
+        val cent = dims.groupBy(col("label").as("clabel"), col("i"))
+          .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+            count(lit(1))).as("c"))
+        val d2 = dims.join(broadcast(cent), Seq("i"))
+          .withColumn("sq",
+            ((col("v") - col("c")) * (col("v") - col("c")))
+              .cast(DecimalType(24, 12)))
+          .groupBy("vec_id", "label", "clabel")
+          .agg(sum(col("sq")).as("d2"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("d2"), col("clabel"))
+        d2.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .groupBy("clabel")
+          .agg(count(lit(1)).as("n_assigned"),
+            sum(when(col("label") === col("clabel"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(col("clabel").as("cluster"), col("n_assigned"),
+            col("n_correct"),
+            (expr("(n_correct * 1000000L + n_assigned div 2) " +
+              "div n_assigned").cast("double") / 10000.0)
+              .as("purity_pct"))
+          .orderBy("cluster")
+      },
+      """WITH dims AS (
+           SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, LATERAL unnest(range(1, 65)) AS t(i)),
+         cent AS (
+           SELECT label AS clabel, i,
+                  CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
+                    / COUNT(*) AS c
+           FROM dims GROUP BY 1, 2),
+         d2 AS (
+           SELECT vec_id, label, clabel,
+                  SUM(CAST((v - c) * (v - c) AS DECIMAL(24,12))) AS d2
+           FROM dims JOIN cent USING (i)
+           GROUP BY 1, 2, 3),
+         assigned AS (
+           SELECT vec_id, label, clabel,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY d2, clabel) AS rk
+           FROM d2),
+         agg AS (
+           SELECT clabel, COUNT(*) AS n_assigned,
+                  SUM(CASE WHEN label = clabel THEN 1 ELSE 0 END)
+                    AS n_correct
+           FROM assigned WHERE rk = 1 GROUP BY 1)
+         SELECT clabel AS cluster,
+                CAST(n_assigned AS BIGINT) AS n_assigned,
+                CAST(n_correct AS BIGINT) AS n_correct,
+                CAST((n_correct * 1000000 + n_assigned // 2)
+                     // n_assigned AS DOUBLE) / 10000.0 AS purity_pct
+         FROM agg ORDER BY cluster"""),
+
     // Rolling 7-row mean/stddev per user — the feature-engineering
     // window. The rolling Σx and Σx² are EXACT decimal sums over the
     // row frame (value quantized to DECIMAL(12,4) once, map-side), so

@@ -994,5 +994,59 @@ object Profiling {
                 CAST(n_violating AS BIGINT) AS n_violating,
                 n_violating = 0 AS fd_holds
          FROM u ORDER BY candidate"""),
+
+    // VALUE-PATTERN profiling — the shape classifier every data
+    // catalog runs on string columns: classify each value into
+    // anchored regex classes (tagged-id `Word#digits`, coded-enum
+    // `digit-WORDS`, json-object, free text) and count per
+    // (column, class). One stacked pass, map-side regex, one
+    // partial-agg exchange on the tiny (col, class) key space. Both
+    // engines anchor explicitly (Spark rlike and DuckDB
+    // regexp_matches are both UNanchored by default — the trap).
+    Q("profile_value_patterns",
+      (s, d) => {
+        val stacked = customer(s, d)
+          .select(expr("""stack(2, 'c_name', c_name,
+                          'c_mktsegment', c_mktsegment)
+                          AS (col_name, val)"""))
+          .unionByName(orders(s, d).select(
+            lit("o_orderpriority").as("col_name"),
+            col("o_orderpriority").as("val")))
+          .unionByName(events(s, d).select(
+            lit("props").as("col_name"), col("props").as("val")))
+        stacked
+          .withColumn("pattern_class",
+            when(col("val").rlike("^[A-Za-z]+#[0-9]+$"), "tagged_id")
+              .when(col("val").rlike("^[0-9]+-[A-Z ]+$"), "coded_enum")
+              .when(col("val").rlike("^\\{.*\\}$"), "json_object")
+              .when(col("val").rlike("^[A-Za-z ]+$"), "alpha_text")
+              .otherwise("other"))
+          .groupBy("col_name", "pattern_class")
+          .agg(count(lit(1)).as("n_values"))
+          .orderBy("col_name", "pattern_class")
+      },
+      """WITH stacked AS (
+           SELECT 'c_name' AS col_name, c_name AS val FROM customer
+           UNION ALL
+           SELECT 'c_mktsegment', c_mktsegment FROM customer
+           UNION ALL
+           SELECT 'o_orderpriority', o_orderpriority FROM orders
+           UNION ALL
+           SELECT 'props', props FROM events),
+         classed AS (
+           SELECT col_name,
+                  CASE
+                    WHEN regexp_matches(val, '^[A-Za-z]+#[0-9]+$')
+                      THEN 'tagged_id'
+                    WHEN regexp_matches(val, '^[0-9]+-[A-Z ]+$')
+                      THEN 'coded_enum'
+                    WHEN regexp_matches(val, '^\{.*\}$')
+                      THEN 'json_object'
+                    WHEN regexp_matches(val, '^[A-Za-z ]+$')
+                      THEN 'alpha_text'
+                    ELSE 'other' END AS pattern_class
+           FROM stacked)
+         SELECT col_name, pattern_class, COUNT(*) AS n_values
+         FROM classed GROUP BY 1, 2 ORDER BY col_name, pattern_class"""),
   )
 }

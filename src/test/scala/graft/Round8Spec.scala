@@ -117,4 +117,49 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
           s" != span $sp")
     }
   }
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString()
+
+  test("agg_multi_distinct: one Expand over ONE lineitem scan, " +
+      "not n scans") {
+    val p = plan("agg_multi_distinct")
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("graph_jaccard: top-100 is TakeOrdered, degree joins are " +
+      "broadcast, no cartesian") {
+    val p = plan("graph_jaccard")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("time_period_over_period: the unpartitioned window runs over " +
+      "the month-grain aggregate, never the row stream") {
+    val df = SparkEntry.queries("time_period_over_period")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // the Window's child chain must contain the month HashAggregate —
+    // i.e. aggregation happens BELOW the window operator
+    val winIdx = p.indexOf("Window")
+    val aggBelow = p.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx,
+      "expected HashAggregate below (after, in tree print) Window:\n" + p)
+  }
+
+  test("join_exists_flags: three left joins, zero cartesian products") {
+    val p = plan("join_exists_flags")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Join".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("sample_importance is map-side only: no exchange in the plan") {
+    val p = plan("sample_importance")
+    assert(!p.contains("Exchange") ||
+      // the final orderBy is presentation; allow only rangepartitioning
+      !p.replaceAll("(?s)Exchange rangepartitioning.*?\\n", "")
+        .contains("Exchange"), p)
+  }
 }
