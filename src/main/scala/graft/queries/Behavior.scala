@@ -1378,5 +1378,78 @@ object Behavior {
          JOIN sz sa ON sa.event_type = type_a
          JOIN sz sb ON sb.event_type = type_b
          ORDER BY type_a, type_b"""),
+
+    // POSITION-BASED (U-shaped 40/20/40) ATTRIBUTION — the third
+    // standard model next to event_attribution's linear + last-touch:
+    // first and last touch in the window get 0.40 each, the middles
+    // split 0.20 (n=1 → 1.0, n=2 → 0.5/0.5). Same touch relation and
+    // purchase-partitioned windows (bounded by touches-per-purchase);
+    // credits quantized to DECIMAL(12,8) once, so the per-channel Σ is
+    // order-free and hash-exact. One windowed pass + one channel agg.
+    Q("event_attribution_ushape",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("t"),
+          col("props"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("c_id"),
+            col("t").as("c_t"),
+            concat(lit("ch"),
+              get_json_object(col("props"), "$.k").cast("long") % 5)
+              .as("channel"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("t").as("p_t"))
+        val touches = purchases.join(clicks, Seq("user_id"))
+          .filter(col("c_t") < col("p_t") &&
+            col("p_t") - col("c_t") <= 3600000000L)
+        val wP = Window.partitionBy("p_id")
+        val wAsc = wP.orderBy(asc("c_t"), asc("c_id"))
+        touches
+          .withColumn("n", count(lit(1)).over(wP))
+          .withColumn("pos", row_number().over(wAsc))
+          .withColumn("credit",
+            when(col("n") === 1, lit(1.0))
+              .when(col("n") === 2, lit(0.5))
+              .when(col("pos") === 1 || col("pos") === col("n"),
+                lit(0.4))
+              .otherwise(lit(0.2) / (col("n") - 2))
+              .cast(DecimalType(12, 8)))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_touches"),
+            round(sum(col("credit")).cast("double"), 4)
+              .as("ushape_credit"))
+          .orderBy("channel")
+      },
+      """WITH clicks AS (
+           SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_t,
+                  'ch' || (CAST(json_extract_string(props, '$.k')
+                    AS BIGINT) % 5) AS channel
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_t
+           FROM events WHERE event_type = 'purchase'),
+         touches AS (
+           SELECT p_id, channel, c_t, c_id
+           FROM purchases JOIN clicks USING (user_id)
+           WHERE c_t < p_t AND p_t - c_t <= 3600000000),
+         pos AS (
+           SELECT channel,
+                  COUNT(*) OVER (PARTITION BY p_id) AS n,
+                  ROW_NUMBER() OVER (PARTITION BY p_id
+                    ORDER BY c_t ASC, c_id ASC) AS pos
+           FROM touches),
+         credits AS (
+           SELECT channel,
+                  CAST(CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                            WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                            WHEN pos = 1 OR pos = n
+                              THEN CAST(0.4 AS DOUBLE)
+                            ELSE CAST(0.2 AS DOUBLE) / (n - 2) END
+                       AS DECIMAL(12,8)) AS credit
+           FROM pos)
+         SELECT channel, COUNT(*) AS n_touches,
+                ROUND(CAST(SUM(credit) AS DOUBLE), 4) AS ushape_credit
+         FROM credits GROUP BY 1 ORDER BY channel"""),
   )
 }

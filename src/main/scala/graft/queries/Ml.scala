@@ -461,6 +461,97 @@ object Ml {
                      // n_assigned AS DOUBLE) / 10000.0 AS purity_pct
          FROM agg ORDER BY cluster"""),
 
+    // JOHNSON–LINDENSTRAUSS DISTORTION audit for vec_project's seeded
+    // Rademacher projection: for every probe pair, the squared-
+    // distance ratio ‖f(a)−f(b)‖²/‖a−b‖² — the empirical ε the JL
+    // lemma bounds. Original distances are exact decimal sums;
+    // projected components reuse vec_project's md5-sign formula, with
+    // per-component products decimal-pinned before the 8-term sum so
+    // both engines hash the identical ratio. 45 probe pairs — the
+    // audit relation is bounded; at 100 TB the probe set stays
+    // k-sized while the projection itself remains map-side.
+    Q("vec_jl_distortion",
+      (s, d) => {
+        import s.implicits._
+        val dOut = 8
+        val probes = graft.engine.ml.Similarity.probes(embeddings(s, d))
+        val dims = probes
+          .select(col("probe_id"), posexplode(col("probe_emb"))
+            .as(Seq("p", "x")))
+          .select(col("probe_id"), col("p").as("i"),
+            col("x").cast("double").as("v"))
+        val jDf = (0 until dOut).toDF("j")
+        val sign = when(
+          conv(substring(md5(concat_ws("_", col("i"), col("j"))), 1, 1),
+            16, 10).cast("int") % 2 === 0, 1.0).otherwise(-1.0)
+        val proj = dims.crossJoin(broadcast(jDf))
+          .select(col("probe_id"), col("j"),
+            (col("v") * sign).cast(DecimalType(18, 9)).as("term"))
+          .groupBy("probe_id", "j")
+          .agg((sum(col("term")).cast("double") /
+            sqrt(lit(dOut.toDouble))).as("comp"))
+        val origD = dims.as("a").join(dims.as("b"),
+            col("a.i") === col("b.i") &&
+              col("a.probe_id") < col("b.probe_id"))
+          .select(col("a.probe_id").as("pa"), col("b.probe_id").as("pb"),
+            ((col("a.v") - col("b.v")) * (col("a.v") - col("b.v")))
+              .cast(DecimalType(24, 12)).as("sq"))
+          .groupBy("pa", "pb").agg(sum(col("sq")).as("d2_orig"))
+        val projD = proj.as("a").join(proj.as("b"),
+            col("a.j") === col("b.j") &&
+              col("a.probe_id") < col("b.probe_id"))
+          .select(col("a.probe_id").as("pa"), col("b.probe_id").as("pb"),
+            ((col("a.comp") - col("b.comp")) *
+              (col("a.comp") - col("b.comp")))
+              .cast(DecimalType(24, 12)).as("sq"))
+          .groupBy("pa", "pb").agg(sum(col("sq")).as("d2_proj"))
+        origD.join(projD, Seq("pa", "pb"))
+          .select(col("pa"), col("pb"),
+            round(col("d2_orig").cast("double"), 6).as("d2_orig"),
+            round(col("d2_proj").cast("double"), 6).as("d2_proj"),
+            round(col("d2_proj").cast("double") /
+              col("d2_orig").cast("double"), 4).as("ratio"))
+          .orderBy("pa", "pb")
+      },
+      """WITH probe_ids AS (
+           SELECT MIN(vec_id) AS probe_id FROM embeddings GROUP BY label),
+         p AS (SELECT e.vec_id AS probe_id, e.embedding AS emb
+               FROM embeddings e JOIN probe_ids ON e.vec_id = probe_id),
+         dims AS (
+           SELECT probe_id, u.i, CAST(emb[u.i] AS DOUBLE) AS v
+           FROM p, UNNEST(range(1, 65)) AS u(i)),
+         proj AS (
+           SELECT probe_id, jj.j,
+                  CAST(SUM(CAST(v *
+                    (CASE WHEN CAST(('0x' || substring(md5(
+                       CAST(dims.i - 1 AS VARCHAR) || '_' ||
+                       CAST(jj.j AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+                     THEN 1.0 ELSE -1.0 END) AS DECIMAL(18,9)))
+                    AS DOUBLE) / sqrt(8.0) AS comp
+           FROM dims, UNNEST(range(0, 8)) AS jj(j)
+           GROUP BY 1, 2),
+         od AS (
+           SELECT a.probe_id AS pa, b.probe_id AS pb,
+                  SUM(CAST((a.v - b.v) * (a.v - b.v) AS DECIMAL(24,12)))
+                    AS d2_orig
+           FROM dims a JOIN dims b
+             ON a.i = b.i AND a.probe_id < b.probe_id
+           GROUP BY 1, 2),
+         pd AS (
+           SELECT a.probe_id AS pa, b.probe_id AS pb,
+                  SUM(CAST((a.comp - b.comp) * (a.comp - b.comp)
+                    AS DECIMAL(24,12))) AS d2_proj
+           FROM proj a JOIN proj b
+             ON a.j = b.j AND a.probe_id < b.probe_id
+           GROUP BY 1, 2)
+         SELECT pa, pb,
+                ROUND(CAST(d2_orig AS DOUBLE), 6) AS d2_orig,
+                ROUND(CAST(d2_proj AS DOUBLE), 6) AS d2_proj,
+                ROUND(CAST(d2_proj AS DOUBLE) /
+                      CAST(d2_orig AS DOUBLE), 4) AS ratio
+         FROM od JOIN pd USING (pa, pb)
+         ORDER BY pa, pb"""),
+
     // Rolling 7-row mean/stddev per user — the feature-engineering
     // window. The rolling Σx and Σx² are EXACT decimal sums over the
     // row frame (value quantized to DECIMAL(12,4) once, map-side), so
