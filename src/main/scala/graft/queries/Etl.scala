@@ -973,5 +973,40 @@ object Etl {
                 CAST((n_rows * n_parts * 10000 + total // 2) // total
                      AS DOUBLE) / 10000.0 AS ratio_to_mean
          FROM parts, t ORDER BY pkey"""),
+
+    // CALENDAR-COMPLETENESS audit — days inside the table's own
+    // [min, max] date span with ZERO rows (the ingestion-hole
+    // detector; time_gap_fill REPAIRS a keyed series, this AUDITS the
+    // table). The observed-day relation is one date-grain aggregate;
+    // the spine generates from the broadcast single-row bounds
+    // (sequence() is calendar-bounded, not data-sized) and anti-joins
+    // the observed days. At 100 TB the date aggregate is the only
+    // data-sized exchange.
+    Q("dq_calendar_gaps",
+      (s, d) => {
+        val days = orders(s, d)
+          .select(to_date(col("o_orderdate")).as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n"))
+        val bounds = days.agg(min(col("day")).as("lo"),
+          max(col("day")).as("hi"))
+        val spine = bounds.select(
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        spine.join(days, Seq("day"), "left_anti")
+          .select(date_format(col("day"), "yyyy-MM-dd")
+            .as("missing_day"))
+          .orderBy("missing_day")
+      },
+      """WITH days AS (
+           SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+           FROM orders GROUP BY 1),
+         b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM days),
+         spine AS (
+           SELECT CAST(unnest(generate_series(lo, hi,
+             INTERVAL 1 DAY)) AS DATE) AS day
+           FROM b)
+         SELECT strftime(s.day, '%Y-%m-%d') AS missing_day
+         FROM spine s LEFT JOIN days USING (day)
+         WHERE days.n IS NULL
+         ORDER BY missing_day"""),
   )
 }

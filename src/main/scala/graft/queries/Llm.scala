@@ -2234,5 +2234,50 @@ GROUP BY source ORDER BY source"""),
                          THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows
          FROM o CROSS JOIN folds
          GROUP BY 1, 2, 3 ORDER BY fold"""),
+
+    // LANG-ID CONFUSION MATRIX — the eval table for the trigram
+    // classifier: true label × predicted label counts, off the SAME
+    // persisted profile artifact the production text_langid path
+    // reads (the prediction join costs one doc-keyed join on top).
+    // The standard companion to any classifier key — text_langid
+    // ships predictions, this ships its error structure.
+    Q("text_langid_confusion",
+      (s, d) => {
+        val pred = Text.langIdPredict(documents(s, d),
+          datasetTag = Some(d))
+          .select(col("doc_id"), col("predicted_lang"))
+        documents(s, d).select(col("doc_id"), col("lang"))
+          .join(pred, Seq("doc_id"))
+          .groupBy("lang", "predicted_lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "predicted_lang")
+      },
+      """WITH grams AS (
+           SELECT lang, unnest(list_transform(range(1, length(text) - 1),
+             i -> substring(text, i, 3))) AS g
+           FROM documents),
+         profile AS (
+           SELECT lang, g FROM (
+             SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY COUNT(*) DESC, g ASC) AS rk
+             FROM grams GROUP BY lang, g)
+           WHERE rk <= 40),
+         docgrams AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(text) - 1),
+               i -> substring(text, i, 3))) AS g
+           FROM documents),
+         overlap AS (
+           SELECT d.doc_id, p.lang, COUNT(*) AS n
+           FROM docgrams d JOIN profile p USING (g)
+           GROUP BY 1, 2),
+         pred AS (
+           SELECT doc_id, lang AS predicted_lang FROM (
+             SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY n DESC, lang ASC) AS rn
+             FROM overlap) WHERE rn = 1)
+         SELECT dd.lang, p.predicted_lang, COUNT(*) AS n_docs
+         FROM documents dd JOIN pred p USING (doc_id)
+         GROUP BY 1, 2 ORDER BY lang, predicted_lang"""),
   )
 }
