@@ -1451,5 +1451,56 @@ object Behavior {
          SELECT channel, COUNT(*) AS n_touches,
                 ROUND(CAST(SUM(credit) AS DOUBLE), 4) AS ushape_credit
          FROM credits GROUP BY 1 ORDER BY channel"""),
+
+    // ENGAGEMENT SPECTRUM — users bucketed by activity volume (the
+    // power-user curve every product review starts with): events per
+    // user → fixed log-ish buckets → user counts + share of total
+    // EVENT volume each bucket drives. Two key-partitioned aggregates
+    // (user, then bucket) and a broadcast totals row; shares in exact
+    // 1e-4 integer units. The "1% of users drive 40% of events"
+    // relation, hash-exact.
+    Q("event_engagement_spectrum",
+      (s, d) => {
+        val pu = events(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("n_ev"))
+        val bucketed = pu.withColumn("bucket",
+          when(col("n_ev") === 1, "1")
+            .when(col("n_ev") <= 5, "2-5")
+            .when(col("n_ev") <= 10, "6-10")
+            .when(col("n_ev") <= 50, "11-50")
+            .otherwise("50+"))
+        val agg = bucketed.groupBy("bucket")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("n_ev")).as("n_events"))
+        val tot = agg.agg(sum(col("n_users")).as("tu"),
+          sum(col("n_events")).as("te"))
+        agg.crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_users"), col("n_events"),
+            (expr("(n_users * 1000000L + tu div 2) div tu")
+              .cast("double") / 10000.0).as("user_share_pct"),
+            (expr("(n_events * 1000000L + te div 2) div te")
+              .cast("double") / 10000.0).as("event_share_pct"))
+          .orderBy("bucket")
+      },
+      """WITH pu AS (
+           SELECT user_id, COUNT(*) AS n_ev FROM events GROUP BY 1),
+         b AS (
+           SELECT CASE WHEN n_ev = 1 THEN '1'
+                       WHEN n_ev <= 5 THEN '2-5'
+                       WHEN n_ev <= 10 THEN '6-10'
+                       WHEN n_ev <= 50 THEN '11-50'
+                       ELSE '50+' END AS bucket, n_ev
+           FROM pu),
+         agg AS (
+           SELECT bucket, COUNT(*) AS n_users, SUM(n_ev) AS n_events
+           FROM b GROUP BY 1),
+         t AS (SELECT SUM(n_users) AS tu, SUM(n_events) AS te FROM agg)
+         SELECT bucket, CAST(n_users AS BIGINT) AS n_users,
+                CAST(n_events AS BIGINT) AS n_events,
+                CAST((n_users * 1000000 + tu // 2) // tu AS DOUBLE)
+                  / 10000.0 AS user_share_pct,
+                CAST((n_events * 1000000 + te // 2) // te AS DOUBLE)
+                  / 10000.0 AS event_share_pct
+         FROM agg, t ORDER BY bucket"""),
   )
 }

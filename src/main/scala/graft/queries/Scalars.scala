@@ -369,6 +369,27 @@ object Scalars {
                   AS geo_mean_price
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
 
+    // HARMONIC mean — the third Pythagorean mean (rate averaging:
+    // "mean price per unit" style); completes the geomean pattern with
+    // the same discipline: per-row reciprocals pinned to
+    // DECIMAL(18,12) (order-free Σ), one closed-form double division
+    // at the end, rounded once. Same single partial-agg exchange.
+    Q("agg_harmonic_mean",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(count(lit(1)) /
+            sum((lit(1.0) / col("l_extendedprice"))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+              .cast("double"), 4).as("harmonic_mean_price"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag, COUNT(*) AS n,
+                ROUND(COUNT(*) / CAST(SUM(CAST(
+                    CAST(1.0 AS DOUBLE) / l_extendedprice
+                    AS DECIMAL(18,12))) AS DOUBLE), 4)
+                  AS harmonic_mean_price
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+
     // regexp_extract_all — pull EVERY match out of semi-structured
     // text (the extraction dual of text_pii_mask's redaction): contact
     // lines with a deterministic email + two id tokens are synthesized

@@ -456,5 +456,45 @@ object SqlSurface {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, rn"""),
+
+    // NOT IN null semantics — the classic three-valued-logic footgun,
+    // declared as an audit relation: the same NOT IN anti filter run
+    // against a clean subquery and against one poisoned with a single
+    // NULL (which per ANSI makes EVERY row's predicate UNKNOWN → zero
+    // survivors). Spark plans the poisoned side as a null-aware anti
+    // join (BroadcastNestedLoopJoin + null check), the clean side as a
+    // plain LeftAnti — both rows of this relation prove the engine
+    // implements the standard, not the intuition. Counts only; both
+    // engines evaluate the identical ANSI semantics.
+    Q("sql_not_in_nulls",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("g_nin_orders")
+        customer(s, d).createOrReplaceTempView("g_nin_cust")
+        s.sql("""
+          SELECT 'clean_subquery' AS variant, COUNT(*) AS n_rows
+          FROM g_nin_orders
+          WHERE o_custkey NOT IN
+            (SELECT c_custkey FROM g_nin_cust WHERE c_custkey % 3 = 0)
+          UNION ALL
+          SELECT 'null_poisoned', COUNT(*)
+          FROM g_nin_orders
+          WHERE o_custkey NOT IN
+            (SELECT CASE WHEN c_custkey % 1000 = 0 THEN NULL
+                         ELSE c_custkey END
+             FROM g_nin_cust WHERE c_custkey % 3 = 0)
+          ORDER BY variant""")
+      },
+      """SELECT 'clean_subquery' AS variant, COUNT(*) AS n_rows
+         FROM orders
+         WHERE o_custkey NOT IN
+           (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)
+         UNION ALL
+         SELECT 'null_poisoned', COUNT(*)
+         FROM orders
+         WHERE o_custkey NOT IN
+           (SELECT CASE WHEN c_custkey % 1000 = 0 THEN NULL
+                        ELSE c_custkey END
+            FROM customer WHERE c_custkey % 3 = 0)
+         ORDER BY variant"""),
   )
 }
