@@ -1215,5 +1215,158 @@ object Analytics {
                 CAST(a2 AS BIGINT) AS authority2
          FROM a2 JOIN a1 USING (p)
          ORDER BY authority2 DESC, part LIMIT 20"""),
+
+    // KAPLAN–MEIER survival estimate for time-to-conversion (first
+    // click → first purchase, right-censored at users who never
+    // convert): at each event day t, S(t) = Π_{i≤t} (1 − dᵢ/nᵢ) with
+    // dᵢ = conversions at day i and nᵢ = users still at risk. The
+    // product is exp(Σ ln(1 − d/n)) with each ln term pinned to
+    // DECIMAL(18,12) (order-free cumulative window over the DAY-GRAIN
+    // relation — calendar-bounded, never data-sized); d/n divides two
+    // exact BIGINTs so both engines feed ln identical doubles (the
+    // agg_geomean discipline). The risk-set count is total users −
+    // running prior events/censors — all integer window arithmetic.
+    Q("time_survival_km",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d).select(col("user_id"), col("event_type"),
+          (unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+            .as("day"))
+        val firstClick = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min(col("day")).as("d0"))
+        val firstBuy = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min(col("day")).as("dp"))
+        val users = firstClick.join(firstBuy, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("dp").isNotNull && col("dp") >= col("d0"),
+              col("dp") - col("d0")).as("t_event"))
+        val tot = users.agg(count(lit(1)).as("n_total"))
+        val byDay = users.filter(col("t_event").isNotNull)
+          .groupBy(col("t_event").as("t"))
+          .agg(count(lit(1)).as("d_events"))
+        val wc = Window.orderBy("t") // day-grain: calendar-bounded
+        byDay.crossJoin(broadcast(tot))
+          .withColumn("prior",
+            coalesce(sum(col("d_events"))
+              .over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .withColumn("n_risk", col("n_total") - col("prior"))
+          .withColumn("lnterm",
+            expr("CAST(ln(1.0D - CAST(d_events AS DOUBLE) / n_risk) " +
+              "AS DECIMAL(18,12))"))
+          .withColumn("s",
+            exp(sum(col("lnterm"))
+              .over(wc.rowsBetween(Window.unboundedPreceding, 0))
+              .cast("double")))
+          .select(col("t").as("day"), col("n_risk"), col("d_events"),
+            round(col("s"), 6).as("survival"))
+          .orderBy("day")
+      },
+      """WITH ev AS (
+           SELECT user_id, event_type,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         fc AS (
+           SELECT user_id, MIN(day) AS d0 FROM ev
+           WHERE event_type = 'click' GROUP BY 1),
+         fb AS (
+           SELECT user_id, MIN(day) AS dp FROM ev
+           WHERE event_type = 'purchase' GROUP BY 1),
+         users AS (
+           SELECT fc.user_id,
+                  CASE WHEN dp IS NOT NULL AND dp >= d0
+                       THEN dp - d0 END AS t_event
+           FROM fc LEFT JOIN fb USING (user_id)),
+         tot AS (SELECT COUNT(*) AS n_total FROM users),
+         byday AS (
+           SELECT t_event AS t, COUNT(*) AS d_events
+           FROM users WHERE t_event IS NOT NULL GROUP BY 1),
+         km AS (
+           SELECT t, d_events, n_total,
+                  n_total - COALESCE(SUM(d_events) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS n_risk
+           FROM byday, tot),
+         lns AS (
+           SELECT t, d_events, n_risk,
+                  CAST(ln(1.0 - CAST(d_events AS DOUBLE) / n_risk)
+                    AS DECIMAL(18,12)) AS lnterm
+           FROM km),
+         surv AS (
+           SELECT t, n_risk, d_events,
+                  exp(CAST(SUM(lnterm) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE)) AS s
+           FROM lns)
+         SELECT t AS day, CAST(n_risk AS BIGINT) AS n_risk,
+                CAST(d_events AS BIGINT) AS d_events,
+                ROUND(s, 6) AS survival
+         FROM surv ORDER BY day"""),
+
+    // SAX SYMBOLIZATION (Lin et al.) of the daily-revenue series:
+    // z-normalize against the series' own exact-decimal moments, then
+    // map to a 4-letter alphabet at the standard N(0,1) quartile
+    // breakpoints ±0.6745 — the discretization behind time-series
+    // motif/anomaly indexing. Moments are one aggregate broadcast
+    // back; every z is the identical double expression on exact
+    // inputs, and the breakpoint comparisons are deterministic
+    // because both engines see bit-equal z. Day-grain relation —
+    // calendar-bounded.
+    Q("time_sax_symbolize",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .as("rev"))
+        val m = daily.agg(count(lit(1)).as("n"),
+          sum(col("rev")).as("sx"),
+          sum((col("rev") * col("rev"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+            .as("sx2"))
+        daily.crossJoin(broadcast(m))
+          .withColumn("mu", col("sx").cast("double") / col("n"))
+          .withColumn("sd", sqrt(
+            col("sx2").cast("double") / col("n") -
+              (col("sx").cast("double") / col("n")) *
+              (col("sx").cast("double") / col("n"))))
+          .withColumn("z",
+            (col("rev").cast("double") - col("mu")) / col("sd"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            round(col("rev").cast("double"), 2).as("revenue"),
+            // + 0.0: a small negative z rounds to -0.0 in one engine
+            // and +0.0 in the other (comparator-distinct cells)
+            (round(col("z"), 4) + 0.0).as("z"),
+            when(col("z") < -0.6745, "a")
+              .when(col("z") < 0.0, "b")
+              .when(col("z") < 0.6745, "c")
+              .otherwise("d").as("sax_symbol"))
+          .orderBy("day")
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         m AS (
+           SELECT COUNT(*) AS n, SUM(rev) AS sx,
+                  SUM(CAST(rev * rev AS DECIMAL(38,4))) AS sx2
+           FROM daily),
+         z AS (
+           SELECT day, rev,
+                  (CAST(rev AS DOUBLE) - mu) / sd AS z
+           FROM daily, (
+             SELECT n, CAST(sx AS DOUBLE) / n AS mu,
+                    sqrt(CAST(sx2 AS DOUBLE) / n -
+                         (CAST(sx AS DOUBLE) / n) *
+                         (CAST(sx AS DOUBLE) / n)) AS sd
+             FROM m))
+         SELECT strftime(day, '%Y-%m-%d') AS day,
+                ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+                ROUND(z, 4) + 0.0 AS z,
+                CASE WHEN z < -0.6745 THEN 'a'
+                     WHEN z < 0.0 THEN 'b'
+                     WHEN z < 0.6745 THEN 'c'
+                     ELSE 'd' END AS sax_symbol
+         FROM z ORDER BY day"""),
   )
 }
