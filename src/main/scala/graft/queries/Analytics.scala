@@ -1368,5 +1368,56 @@ object Analytics {
                      WHEN z < 0.6745 THEN 'c'
                      ELSE 'd' END AS sax_symbol
          FROM z ORDER BY day"""),
+
+    // THEIL–SEN robust trend — the median of all pairwise slopes of
+    // the monthly-revenue series (breakdown point 29%, immune to the
+    // outlier months that wreck OLS). The pair relation is C(m,2)
+    // over the MONTH-GRAIN aggregate (calendar-bounded — ~80 months →
+    // ~3k pairs at any data scale), so the "quadratic" step is
+    // quadratic in the calendar, not the data; the median is a ranked
+    // pick over that bounded relation. Slopes divide exact cents by
+    // exact month deltas — identical doubles both engines.
+    Q("time_theilsen_trend",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = orders(s, d)
+          .groupBy((year(col("o_orderdate")) * 12 +
+            month(col("o_orderdate")) - 1).as("mi"))
+          .agg(sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .as("rev"))
+          .withColumn("rc", (col("rev") * 100).cast("long"))
+        val pairs = m.as("a").join(m.as("b"),
+            col("a.mi") < col("b.mi"))
+          .select(col("a.mi").as("m1"), col("b.mi").as("m2"),
+            ((col("b.rc") - col("a.rc")).cast("double") / 100.0 /
+              (col("b.mi") - col("a.mi"))).as("slope"))
+        val n = pairs.agg(count(lit(1)).as("n_pairs"))
+        val wr = Window.orderBy(col("slope"), col("m1"), col("m2"))
+        val ranked = pairs.withColumn("rk", row_number().over(wr))
+        ranked.crossJoin(broadcast(n))
+          .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+          .select(col("n_pairs"),
+            round(col("slope"), 4).as("sen_slope_per_month"))
+      },
+      """WITH m AS (
+           SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS rc
+           FROM orders GROUP BY 1),
+         pairs AS (
+           SELECT a.mi AS m1, b.mi AS m2,
+                  CAST(b.rc - a.rc AS DOUBLE) / 100.0 / (b.mi - a.mi)
+                    AS slope
+           FROM m a JOIN m b ON a.mi < b.mi),
+         n AS (SELECT COUNT(*) AS n_pairs FROM pairs),
+         ranked AS (
+           SELECT slope, m1, m2,
+                  ROW_NUMBER() OVER (ORDER BY slope, m1, m2) AS rk
+           FROM pairs)
+         SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+                ROUND(slope, 4) AS sen_slope_per_month
+         FROM ranked, n
+         WHERE rk = (n_pairs + 1) // 2"""),
   )
 }

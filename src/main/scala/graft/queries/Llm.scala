@@ -1897,16 +1897,17 @@ GROUP BY source ORDER BY source"""),
     Q("sim_search_l2",
       (s, d) => {
         val emb = embeddings(s, d)
+        // plain-double fold: aggregate/list_reduce are SEQUENTIAL
+        // left-to-right per row, so the IEEE sum order is fixed and
+        // identical in both engines (sim_search_dot precedent) — no
+        // decimal pinning needed, and the HOF stays cheap
         val scored = emb.crossJoin(broadcast(Similarity.probes(emb)))
           .filter(col("vec_id") =!= col("probe_id"))
           .select(col("probe_id"), col("vec_id"),
             expr("""aggregate(zip_with(probe_emb, embedding,
-                      (x, y) -> cast(cast(x AS double) - cast(y AS double)
-                        AS decimal(20,10)) *
-                        cast(cast(x AS double) - cast(y AS double)
-                        AS decimal(20,10))),
-                    cast(0 AS decimal(38,20)),
-                    (a, v) -> cast(a + v AS decimal(38,20)))""").as("d2"))
+                      (x, y) -> (cast(x AS double) - cast(y AS double))
+                        * (cast(x AS double) - cast(y AS double))),
+                    0.0D, (a, v) -> a + v)""").as("d2"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("probe_id").orderBy(asc("d2"), asc("vec_id"))
         scored.withColumn("rn", row_number().over(w))
@@ -1923,11 +1924,10 @@ GROUP BY source ORDER BY source"""),
          scored AS (
            SELECT p.probe_id, e.vec_id,
              list_reduce(list_transform(range(1, 65),
-               i -> CAST(CAST(CAST(p.probe_emb[i] AS DOUBLE) -
-                      CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(20,10)) *
-                    CAST(CAST(p.probe_emb[i] AS DOUBLE) -
-                      CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(20,10))
-                    AS DECIMAL(38,20))), (x, y) -> x + y)
+               i -> (CAST(p.probe_emb[i] AS DOUBLE) -
+                     CAST(e.embedding[i] AS DOUBLE)) *
+                    (CAST(p.probe_emb[i] AS DOUBLE) -
+                     CAST(e.embedding[i] AS DOUBLE))), (x, y) -> x + y)
              AS d2
            FROM p CROSS JOIN embeddings e WHERE e.vec_id <> p.probe_id),
          ranked AS (

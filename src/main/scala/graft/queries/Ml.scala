@@ -394,12 +394,14 @@ object Ml {
 
     // CLUSTER-PURITY evaluation — the label-agreement audit run after
     // any embedding clustering: assign every vector to its nearest
-    // per-label centroid (exact decimal means and distances, so the
-    // argmin is bit-stable), then report per centroid how many
-    // assigned vectors carry that true label. The distance relation is
-    // |vecs| × |labels| rows from ONE broadcast centroid join
-    // (|labels|×64 rows); the argmin is a per-vector bounded window.
-    // The standard eval for vec_centroids / vec_kmeans outputs.
+    // per-label centroid, then report per centroid how many assigned
+    // vectors carry that true label. Centroid MEANS are exact-decimal
+    // (order-free); each distance is then a SEQUENTIAL per-row double
+    // fold over the broadcast centroid array — fixed IEEE order,
+    // bit-identical in both engines, no 64× explode join. |labels|
+    // broadcast rows against the un-exploded embedding stream; the
+    // argmin is a per-vector bounded window. The standard eval for
+    // vec_centroids / vec_kmeans outputs.
     Q("vec_cluster_purity",
       (s, d) => {
         val dims = embeddings(s, d)
@@ -410,12 +412,21 @@ object Ml {
         val cent = dims.groupBy(col("label").as("clabel"), col("i"))
           .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
             count(lit(1))).as("c"))
-        val d2 = dims.join(broadcast(cent), Seq("i"))
-          .withColumn("sq",
-            ((col("v") - col("c")) * (col("v") - col("c")))
-              .cast(DecimalType(24, 12)))
-          .groupBy("vec_id", "label", "clabel")
-          .agg(sum(col("sq")).as("d2"))
+        // assemble each centroid as ONE ordered array (|labels| rows)
+        // and broadcast it against the un-exploded embedding stream:
+        // the distance is a sequential per-row double fold (fixed IEEE
+        // order, identical in both engines) — no 64× explode join
+        val cvecs = cent
+          .groupBy("clabel")
+          .agg(expr("transform(sort_array(collect_list(struct(i, c))), " +
+            "s -> s.c)").as("cvec"))
+        val d2 = embeddings(s, d)
+          .crossJoin(broadcast(cvecs))
+          .select(col("vec_id"), col("label"), col("clabel"),
+            expr("""aggregate(zip_with(embedding, cvec,
+                      (x, y) -> (cast(x AS double) - y) *
+                                (cast(x AS double) - y)),
+                    0.0D, (a, v) -> a + v)""").as("d2"))
         val w = Window.partitionBy("vec_id")
           .orderBy(col("d2"), col("clabel"))
         d2.withColumn("rk", row_number().over(w))
@@ -439,11 +450,16 @@ object Ml {
                   CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
                     / COUNT(*) AS c
            FROM dims GROUP BY 1, 2),
+         cvecs AS (
+           SELECT clabel, list(c ORDER BY i) AS cvec
+           FROM cent GROUP BY 1),
          d2 AS (
-           SELECT vec_id, label, clabel,
-                  SUM(CAST((v - c) * (v - c) AS DECIMAL(24,12))) AS d2
-           FROM dims JOIN cent USING (i)
-           GROUP BY 1, 2, 3),
+           SELECT e.vec_id, e.label, cv.clabel,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i]) *
+                         (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i])),
+                    (x, y) -> x + y) AS d2
+           FROM embeddings e CROSS JOIN cvecs cv),
          assigned AS (
            SELECT vec_id, label, clabel,
                   ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -551,6 +567,82 @@ object Ml {
                       CAST(d2_orig AS DOUBLE), 4) AS ratio
          FROM od JOIN pd USING (pa, pb)
          ORDER BY pa, pb"""),
+
+    // DETERMINISTIC RANDOM WALKS on the co-order graph — the corpus
+    // generator behind DeepWalk/node2vec embeddings, made
+    // oracle-checkable: each step picks neighbor index
+    // md5(seed:step) % degree over the SORTED adjacency list, so both
+    // engines replay the identical walk. Adjacency is one edge-keyed
+    // aggregate (list bounded by co-order degree — capped in
+    // production exactly like the dedup buckets); the walk itself is
+    // 3 joins of a 10-row frontier against the adjacency — at 100 TB
+    // the frontier stays walk-count-sized while adjacency shuffles
+    // once. Seeds are the 10 smallest connected nodes (TakeOrdered).
+    Q("graph_random_walks",
+      (s, d) => {
+        val pairs = lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val und = pairs.as("a").join(pairs.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+          .distinct()
+        val adj = und.groupBy("src")
+          .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+        val seeds = adj.select(col("src")).orderBy("src").limit(10)
+          .select(col("src").as("walk_id"), col("src").as("node"))
+        def step(frontier: DataFrame, k: Int): DataFrame =
+          frontier.join(adj, frontier("node") === adj("src"))
+            .select(col("walk_id"),
+              // conv→BIGINT first: 8 hex chars exceed INT range
+              expr(s"""element_at(nbrs, cast(
+                cast(conv(substring(md5(concat(cast(walk_id AS string),
+                  ':', '$k')), 1, 8), 16, 10) AS bigint) % size(nbrs)
+                + 1 AS int))""").as("node"))
+        val w1 = step(seeds, 1)
+        val w2 = step(w1, 2)
+        val w3 = step(w2, 3)
+        seeds.select(col("walk_id"), lit(0).as("step"), col("node"))
+          .unionByName(w1.select(col("walk_id"), lit(1).as("step"),
+            col("node")))
+          .unionByName(w2.select(col("walk_id"), lit(2).as("step"),
+            col("node")))
+          .unionByName(w3.select(col("walk_id"), lit(3).as("step"),
+            col("node")))
+          .orderBy("walk_id", "step")
+      },
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         und AS (
+           SELECT DISTINCT a.pk AS src, b.pk AS dst
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         adj AS (
+           SELECT src, list(dst ORDER BY dst) AS nbrs
+           FROM und GROUP BY src),
+         seeds AS (
+           SELECT src AS walk_id, src AS node
+           FROM adj ORDER BY src LIMIT 10),
+         s1 AS (
+           SELECT walk_id, nbrs[CAST(CAST(('0x' || substring(md5(
+                    CAST(walk_id AS VARCHAR) || ':1'), 1, 8)) AS BIGINT)
+                    % len(nbrs) AS INTEGER) + 1] AS node
+           FROM seeds JOIN adj ON node = src),
+         s2 AS (
+           SELECT walk_id, nbrs[CAST(CAST(('0x' || substring(md5(
+                    CAST(walk_id AS VARCHAR) || ':2'), 1, 8)) AS BIGINT)
+                    % len(nbrs) AS INTEGER) + 1] AS node
+           FROM s1 JOIN adj ON node = src),
+         s3 AS (
+           SELECT walk_id, nbrs[CAST(CAST(('0x' || substring(md5(
+                    CAST(walk_id AS VARCHAR) || ':3'), 1, 8)) AS BIGINT)
+                    % len(nbrs) AS INTEGER) + 1] AS node
+           FROM s2 JOIN adj ON node = src)
+         SELECT walk_id, 0 AS step, node FROM seeds
+         UNION ALL SELECT walk_id, 1, node FROM s1
+         UNION ALL SELECT walk_id, 2, node FROM s2
+         UNION ALL SELECT walk_id, 3, node FROM s3
+         ORDER BY walk_id, step"""),
 
     // Rolling 7-row mean/stddev per user — the feature-engineering
     // window. The rolling Σx and Σx² are EXACT decimal sums over the
