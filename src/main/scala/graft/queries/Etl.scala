@@ -1008,5 +1008,92 @@ object Etl {
          FROM spine s LEFT JOIN days USING (day)
          WHERE days.n IS NULL
          ORDER BY missing_day"""),
+
+    // SCD2 CHANGES-BETWEEN — the third read of the SCD2 trio (history
+    // / as-of / delta): which entities changed version inside (T1, T2]
+    // and what they changed from/to. New versions in the window come
+    // from one predicate on valid_from; the prior version rides the
+    // SAME entity-partitioned lag window that chains the history — no
+    // extra join. Exact µs arithmetic; entity-keyed exchange only.
+    Q("scd2_changes_between",
+      (s, d) => {
+        val t1 = lit(java.time.Instant.parse("1998-01-01T00:00:00Z")
+          .getEpochSecond * 1000000L)
+        val t2 = lit(java.time.Instant.parse("1998-07-01T00:00:00Z")
+          .getEpochSecond * 1000000L)
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("valid_from", "o_orderkey")
+        orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp"))
+              .as("valid_from"))
+          .withColumn("prev_version", lag(col("o_orderkey"), 1).over(w))
+          .filter(col("valid_from") > t1 && col("valid_from") <= t2)
+          .select(col("o_custkey"),
+            col("prev_version"),
+            col("o_orderkey").as("new_version"),
+            col("valid_from").as("changed_at"))
+          .orderBy("o_custkey", "changed_at", "new_version")
+      },
+      """WITH h AS (
+           SELECT o_custkey, o_orderkey,
+                  epoch_us(o_orderdate) AS valid_from,
+                  LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                    ORDER BY epoch_us(o_orderdate), o_orderkey)
+                    AS prev_version
+           FROM orders),
+         t AS (SELECT epoch_us(TIMESTAMP '1998-01-01 00:00:00') AS t1,
+                      epoch_us(TIMESTAMP '1998-07-01 00:00:00') AS t2)
+         SELECT o_custkey, prev_version, o_orderkey AS new_version,
+                valid_from AS changed_at
+         FROM h, t
+         WHERE valid_from > t1 AND valid_from <= t2
+         ORDER BY o_custkey, changed_at, new_version"""),
+
+    // ORDER-INDEPENDENT TABLE CHECKSUMS — the one-row-per-table digest
+    // a migration diff starts from (recon_tables' whole-table form):
+    // row count + the SUM of per-row 32-bit md5 digests (commutative,
+    // so partitioning/layout cannot move it) over a canonical
+    // serialization of the key columns. Three map-side digest passes,
+    // three single-row aggregates, one stacked audit relation.
+    Q("dq_table_checksum",
+      (s, d) => {
+        def side(name: String, df: DataFrame, ser: org.apache.spark.sql
+            .Column) =
+          df.select(conv(substring(md5(ser), 1, 8), 16, 10)
+            .cast("long").as("dg"))
+            .agg(count(lit(1)).as("n_rows"), sum(col("dg")).as("checksum"))
+            .select(lit(name).as("table_name"), col("n_rows"),
+              col("checksum"))
+        side("customer", customer(s, d),
+          concat_ws("|", col("c_custkey"), col("c_mktsegment")))
+          .unionByName(side("orders", orders(s, d),
+            concat_ws("|", col("o_orderkey"), col("o_custkey"))))
+          .unionByName(side("supplier", supplier(s, d),
+            concat_ws("|", col("s_suppkey"), col("s_nationkey"))))
+          .orderBy("table_name")
+      },
+      """WITH c AS (
+           SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+                  SUM(CAST(('0x' || substring(md5(
+                    CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment),
+                    1, 8)) AS BIGINT)) AS checksum
+           FROM customer),
+         o AS (
+           SELECT 'orders', COUNT(*),
+                  SUM(CAST(('0x' || substring(md5(
+                    CAST(o_orderkey AS VARCHAR) || '|' ||
+                    CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT))
+           FROM orders),
+         s AS (
+           SELECT 'supplier', COUNT(*),
+                  SUM(CAST(('0x' || substring(md5(
+                    CAST(s_suppkey AS VARCHAR) || '|' ||
+                    CAST(s_nationkey AS VARCHAR)), 1, 8)) AS BIGINT))
+           FROM supplier),
+         u AS (SELECT * FROM c UNION ALL SELECT * FROM o
+               UNION ALL SELECT * FROM s)
+         SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(checksum AS BIGINT) AS checksum
+         FROM u ORDER BY table_name"""),
   )
 }

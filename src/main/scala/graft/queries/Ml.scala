@@ -644,6 +644,73 @@ object Ml {
          UNION ALL SELECT walk_id, 3, node FROM s3
          ORDER BY walk_id, step"""),
 
+    // GRID-PRUNED k-NN — join_spatial_grid's top-k sibling: nearest 3
+    // suppliers per customer, candidates limited to the 3×3 grid ring
+    // (the declared semantics are ring-bounded kNN — customers with a
+    // sparse ring report fewer than 3, exactly what a production
+    // grid/ball-tree index returns before an expanding re-probe).
+    // Same md5-synthesized coordinates, one (gx,gy) equi-join, a
+    // per-customer bounded rank window on exact integer distances.
+    // No cartesian at any scale.
+    Q("join_spatial_knn",
+      (s, d) => {
+        val r = 1000L
+        def coord(key: org.apache.spark.sql.Column, salt: String) =
+          pmod(conv(substring(md5(concat(key.cast("string"), lit(salt))),
+            1, 8), 16, 10).cast("long"), lit(10000L))
+        val cust = customer(s, d).select(col("c_custkey"),
+          coord(col("c_custkey"), "x").as("cx"),
+          coord(col("c_custkey"), "y").as("cy"))
+          .withColumn("gx", floor(col("cx") / r))
+          .withColumn("gy", floor(col("cy") / r))
+        val supp = supplier(s, d).select(col("s_suppkey"),
+          coord(col("s_suppkey"), "sx").as("sx"),
+          coord(col("s_suppkey"), "sy").as("sy"))
+          .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .select(col("s_suppkey"), col("sx"), col("sy"),
+            (floor(col("sx") / r) + col("dx")).as("gx"),
+            (floor(col("sy") / r) + col("dy")).as("gy"))
+        val cand = cust.join(supp, Seq("gx", "gy"))
+          .withColumn("dist2",
+            (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+              (col("cy") - col("sy")) * (col("cy") - col("sy")))
+        val w = Window.partitionBy("c_custkey")
+          .orderBy(col("dist2"), col("s_suppkey"))
+        cand.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("c_custkey"), col("rk").cast("int").as("rk"),
+            col("s_suppkey"), col("dist2"))
+          .orderBy("c_custkey", "rk")
+      },
+      """WITH cust AS (
+           SELECT c_custkey,
+                  CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                    || 'x'), 1, 8)) AS BIGINT) % 10000 AS cx,
+                  CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                    || 'y'), 1, 8)) AS BIGINT) % 10000 AS cy
+           FROM customer),
+         supp AS (
+           SELECT s_suppkey,
+                  CAST(('0x' || substring(md5(CAST(s_suppkey AS VARCHAR)
+                    || 'sx'), 1, 8)) AS BIGINT) % 10000 AS sx,
+                  CAST(('0x' || substring(md5(CAST(s_suppkey AS VARCHAR)
+                    || 'sy'), 1, 8)) AS BIGINT) % 10000 AS sy
+           FROM supplier),
+         cand AS (
+           SELECT c_custkey, s_suppkey,
+                  (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS dist2
+           FROM cust JOIN supp
+             ON cx // 1000 BETWEEN sx // 1000 - 1 AND sx // 1000 + 1
+            AND cy // 1000 BETWEEN sy // 1000 - 1 AND sy // 1000 + 1),
+         ranked AS (
+           SELECT c_custkey, s_suppkey, dist2,
+                  ROW_NUMBER() OVER (PARTITION BY c_custkey
+                    ORDER BY dist2, s_suppkey) AS rk
+           FROM cand)
+         SELECT c_custkey, CAST(rk AS INT) AS rk, s_suppkey, dist2
+         FROM ranked WHERE rk <= 3 ORDER BY c_custkey, rk"""),
+
     // Rolling 7-row mean/stddev per user — the feature-engineering
     // window. The rolling Σx and Σx² are EXACT decimal sums over the
     // row frame (value quantized to DECIMAL(12,4) once, map-side), so
