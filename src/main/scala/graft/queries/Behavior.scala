@@ -1502,5 +1502,90 @@ object Behavior {
                 CAST((n_events * 1000000 + te // 2) // te AS DOUBLE)
                   / 10000.0 AS event_share_pct
          FROM agg, t ORDER BY bucket"""),
+
+    // POWER-LAW RETENTION FIT — retention_dn's model layer: fit
+    // ln(retention_k) = a + b·ln(k) over day offsets 1..30 (the
+    // "shifted power law" every growth model starts from; b is the
+    // decay exponent). retention_k divides two exact BIGINTs; the OLS
+    // runs on ≤30 day-grain points with each ln product pinned to
+    // DECIMAL(18,12) (agg_regression discipline), so the closed-form
+    // (a, b) are identical doubles. Two user-keyed exchanges (first
+    // day, activity days) then calendar-bounded arithmetic.
+    Q("retention_powerlaw_fit",
+      (s, d) => {
+        val ud = events(s, d).select(col("user_id"),
+          (unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+            .as("day")).distinct()
+        val first = ud.groupBy("user_id").agg(min(col("day")).as("d0"))
+        val cohort = first.agg(count(lit(1)).as("n_cohort"))
+        val ret = ud.join(first, Seq("user_id"))
+          .withColumn("k", col("day") - col("d0"))
+          .filter(col("k") >= 1 && col("k") <= 30)
+          .select(col("k"), col("user_id")).distinct()
+          .groupBy("k").agg(count(lit(1)).as("n_active"))
+        val pts = ret.crossJoin(broadcast(cohort))
+          .select(col("k"),
+            expr("ln(CAST(n_active AS DOUBLE) / n_cohort)").as("ly"),
+            expr("ln(CAST(k AS DOUBLE))").as("lx"))
+          .select(col("k"),
+            col("lx").cast(DecimalType(18, 12)).as("lx"),
+            col("ly").cast(DecimalType(18, 12)).as("ly"))
+        pts.agg(count(lit(1)).as("n_points"),
+            sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+            sum((col("lx") * col("lx")).cast(DecimalType(38, 12)))
+              .as("sxx"),
+            sum((col("lx") * col("ly")).cast(DecimalType(38, 12)))
+              .as("sxy"))
+          .select(col("n_points"),
+            round((col("n_points") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n_points") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")), 6)
+              .as("decay_exponent"),
+            round((col("sy").cast("double") -
+              ((col("n_points") * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")) /
+                (col("n_points") * col("sxx").cast("double") -
+                  col("sx").cast("double") * col("sx").cast("double"))) *
+                col("sx").cast("double")) / col("n_points"), 6)
+              .as("intercept_ln"))
+      },
+      """WITH ud AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         f AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY 1),
+         cohort AS (SELECT COUNT(*) AS n_cohort FROM f),
+         ret AS (
+           SELECT k, COUNT(*) AS n_active FROM (
+             SELECT DISTINCT ud.user_id, ud.day - f.d0 AS k
+             FROM ud JOIN f USING (user_id)
+             WHERE ud.day - f.d0 BETWEEN 1 AND 30)
+           GROUP BY k),
+         pts AS (
+           SELECT k,
+                  CAST(ln(CAST(k AS DOUBLE)) AS DECIMAL(18,12)) AS lx,
+                  CAST(ln(CAST(n_active AS DOUBLE) / n_cohort)
+                    AS DECIMAL(18,12)) AS ly
+           FROM ret, cohort),
+         m AS (
+           SELECT COUNT(*) AS n_points,
+                  SUM(lx) AS sx, SUM(ly) AS sy,
+                  SUM(CAST(lx * lx AS DECIMAL(38,12))) AS sxx,
+                  SUM(CAST(lx * ly AS DECIMAL(38,12))) AS sxy
+           FROM pts)
+         SELECT CAST(n_points AS BIGINT) AS n_points,
+                ROUND((n_points * CAST(sxy AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                      (n_points * CAST(sxx AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                  AS decay_exponent,
+                ROUND((CAST(sy AS DOUBLE) -
+                       ((n_points * CAST(sxy AS DOUBLE) -
+                         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                        (n_points * CAST(sxx AS DOUBLE) -
+                         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+                       CAST(sx AS DOUBLE)) / n_points, 6)
+                  AS intercept_ln
+         FROM m"""),
   )
 }

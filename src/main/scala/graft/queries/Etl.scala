@@ -1095,5 +1095,74 @@ object Etl {
          SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
                 CAST(checksum AS BIGINT) AS checksum
          FROM u ORDER BY table_name"""),
+
+    // BOT-SESSION screen — the traffic-quality gate web-corpus
+    // pipelines run before any behavioral stat: flag users whose
+    // event stream is both FAST (rate ≥ 30/min) and mechanically
+    // REGULAR (inter-event-gap std < 2 s). A synthetic bot (user −1,
+    // 120 events exactly 1 s apart, generated from sequence() — both
+    // engines replay it) proves the screen detects; organic users
+    // pass. Gap moments are exact integer sums through one
+    // user-partitioned lag + one user aggregate; rate in exact 1e-4
+    // integer units.
+    Q("dq_bot_sessions",
+      (s, d) => {
+        val organic = events(s, d).select(col("user_id"),
+          (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("t"))
+        val bot = s.range(0, 120).select(lit(-1L).as("user_id"),
+          (lit(800000000L) + col("id")).as("t"))
+        val ev = organic.unionByName(bot)
+        val w = Window.partitionBy("user_id").orderBy("t")
+        val gaps = ev.withColumn("g", col("t") - lag(col("t"), 1).over(w))
+        gaps.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("t")) - min(col("t"))).as("span_s"),
+            count(col("g")).as("n_gaps"),
+            sum(col("g")).as("sg"),
+            sum(col("g") * col("g")).as("sg2"))
+          .filter(col("span_s") > 0 && col("n_gaps") > 1)
+          .withColumn("rate_pm",
+            expr("(n_events * 600000L + span_s div 2) div span_s")
+              .cast("double") / 10000.0)
+          .withColumn("gap_std", sqrt(greatest(
+            (col("n_gaps") * col("sg2") - col("sg") * col("sg"))
+              .cast("double") /
+              (col("n_gaps") * (col("n_gaps") - 1)), lit(0.0))))
+          .filter(col("rate_pm") >= 30.0 && col("gap_std") < 2.0)
+          .select(col("user_id"), col("n_events"), col("span_s"),
+            col("rate_pm"), (round(col("gap_std"), 4) + 0.0)
+              .as("gap_std"))
+          .orderBy("user_id")
+      },
+      """WITH organic AS (
+           SELECT user_id, epoch_us(ts) // 1000000 AS t FROM events),
+         bot AS (
+           SELECT CAST(-1 AS BIGINT) AS user_id, 800000000 + k AS t
+           FROM unnest(range(0, 120)) AS u(k)),
+         ev AS (SELECT * FROM organic UNION ALL SELECT * FROM bot),
+         gaps AS (
+           SELECT user_id, t,
+                  t - LAG(t, 1) OVER (PARTITION BY user_id ORDER BY t)
+                    AS g
+           FROM ev),
+         agg AS (
+           SELECT user_id, COUNT(*) AS n_events,
+                  MAX(t) - MIN(t) AS span_s,
+                  COUNT(g) AS n_gaps, SUM(g) AS sg, SUM(g * g) AS sg2
+           FROM gaps GROUP BY 1),
+         scored AS (
+           SELECT user_id, n_events, span_s,
+                  CAST((n_events * 600000 + span_s // 2) // span_s
+                       AS DOUBLE) / 10000.0 AS rate_pm,
+                  sqrt(GREATEST(
+                    CAST(n_gaps * sg2 - sg * sg AS DOUBLE) /
+                    (n_gaps * (n_gaps - 1)), 0.0)) AS gap_std
+           FROM agg WHERE span_s > 0 AND n_gaps > 1)
+         SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+                CAST(span_s AS BIGINT) AS span_s, rate_pm,
+                ROUND(gap_std, 4) + 0.0 AS gap_std
+         FROM scored
+         WHERE rate_pm >= 30.0 AND gap_std < 2.0
+         ORDER BY user_id"""),
   )
 }
