@@ -1587,5 +1587,53 @@ object Behavior {
                        CAST(sx AS DOUBLE)) / n_points, 6)
                   AS intercept_ln
          FROM m"""),
+
+    // REPURCHASE-CYCLE distribution — per buyer, the average gap (in
+    // exact whole seconds) between consecutive purchases, then the
+    // cross-buyer quartiles of that per-user metric — the cadence
+    // readout behind replenishment and churn-risk models. One
+    // user-partitioned lag, one user aggregate (mean gap in exact
+    // 1e-4 integer units), one exact-percentile fold over the
+    // user-grain relation. No global windows.
+    Q("event_repurchase_cycle",
+      (s, d) => {
+        val p = events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            (unix_micros(col("ts")) / lit(1000000L)).cast("long")
+              .as("t"))
+        val w = Window.partitionBy("user_id").orderBy("t")
+        val gaps = p.withColumn("g", col("t") - lag(col("t"), 1).over(w))
+          .filter(col("g").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sg"))
+          .withColumn("mean_gap_s",
+            expr("(sg * 10000L + n_gaps div 2) div n_gaps")
+              .cast("double") / 10000.0)
+        gaps.agg(count(lit(1)).as("n_repeat_buyers"),
+          round(expr("percentile(mean_gap_s, 0.25)"), 2).as("p25_s"),
+          round(expr("percentile(mean_gap_s, 0.5)"), 2).as("median_s"),
+          round(expr("percentile(mean_gap_s, 0.75)"), 2).as("p75_s"))
+      },
+      """WITH p AS (
+           SELECT user_id, epoch_us(ts) // 1000000 AS t
+           FROM events WHERE event_type = 'purchase'),
+         g AS (
+           SELECT user_id,
+                  t - LAG(t, 1) OVER (PARTITION BY user_id ORDER BY t)
+                    AS g
+           FROM p),
+         pu AS (
+           SELECT user_id, COUNT(*) AS n_gaps, SUM(g) AS sg
+           FROM g WHERE g IS NOT NULL GROUP BY 1),
+         m AS (
+           SELECT user_id,
+                  CAST((sg * 10000 + n_gaps // 2) // n_gaps AS DOUBLE)
+                    / 10000.0 AS mean_gap_s
+           FROM pu)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_repeat_buyers,
+                ROUND(quantile_cont(mean_gap_s, 0.25), 2) AS p25_s,
+                ROUND(quantile_cont(mean_gap_s, 0.5), 2) AS median_s,
+                ROUND(quantile_cont(mean_gap_s, 0.75), 2) AS p75_s
+         FROM m"""),
   )
 }

@@ -1048,5 +1048,45 @@ object Profiling {
            FROM stacked)
          SELECT col_name, pattern_class, COUNT(*) AS n_values
          FROM classed GROUP BY 1, 2 ORDER BY col_name, pattern_class"""),
+
+    // DOC-LENGTH HISTOGRAM in log₂ character bands — the first chart
+    // of every corpus report (truncation cliffs and boilerplate
+    // spikes both show up here). Integer log₂ band from bit length
+    // (exact in both engines — no float log), one partial-agg
+    // exchange on ≤40 band keys, shares in exact 1e-4 integer units.
+    Q("profile_doc_length_hist",
+      (s, d) => {
+        // bit-length, not float log2: Math.log ratios can land a hair
+        // under an integer at exact powers of two and floor() then
+        // disagrees across engines — length(bin(n))-1 is exact
+        val b = documents(s, d)
+          .select(expr("cast(length(bin(greatest(n_chars, 1))) - 1 " +
+            "AS int)").as("log2_band"), col("n_chars"))
+        val cells = b.groupBy("log2_band")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+        val t = cells.agg(sum(col("n_docs")).as("total"))
+        cells.crossJoin(broadcast(t))
+          .select(col("log2_band"), col("n_docs"),
+            col("min_chars"), col("max_chars"),
+            (expr("(n_docs * 1000000L + total div 2) div total")
+              .cast("double") / 10000.0).as("share_pct"))
+          .orderBy("log2_band")
+      },
+      """WITH b AS (
+           SELECT CAST(length(bin(GREATEST(n_chars, 1))) - 1 AS INTEGER)
+                    AS log2_band, n_chars
+           FROM documents),
+         cells AS (
+           SELECT log2_band, COUNT(*) AS n_docs,
+                  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+           FROM b GROUP BY 1),
+         t AS (SELECT SUM(n_docs) AS total FROM cells)
+         SELECT log2_band, CAST(n_docs AS BIGINT) AS n_docs,
+                min_chars, max_chars,
+                CAST((n_docs * 1000000 + total // 2) // total AS DOUBLE)
+                  / 10000.0 AS share_pct
+         FROM cells, t ORDER BY log2_band"""),
   )
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
-  val qs: Seq[Q] = baseQs :+ rollingSlope
+  val qs: Seq[Q] = baseQs :+ rollingSlope :+ shareOfGroup
 
   private def baseQs: Seq[Q] = Seq(
     Q("win_rank", (s, d) => {
@@ -362,6 +362,41 @@ object Windows {
     * share ONE user-keyed sort exchange. Positions are in-partition
     * ranks, so the denominator n·Σt²−(Σt)² is never zero for n ≥ 2.
     */
+  /** PERCENT-OF-GROUP — each order's share of its customer's lifetime
+    * spend: one partitioned window sum (no ordering — a full-partition
+    * frame, so no sort exchange beyond the hash partition), share in
+    * exact 1e-4 integer units of exact cents. The per-row
+    * normalization every contribution/mix report uses.
+    */
+  private def shareOfGroup: Q = Q("win_share_of_group",
+    (s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("pc"))
+      val w = Window.partitionBy("o_custkey")
+      o.withColumn("tot", sum(col("pc")).over(w))
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("pc").cast("double") / 100.0).as("price"),
+          (expr("(pc * 1000000L + tot div 2) div tot")
+            .cast("double") / 10000.0).as("share_of_customer_pct"))
+        .orderBy("o_orderkey")
+    },
+    """WITH o AS (
+         SELECT o_orderkey, o_custkey,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS pc
+         FROM orders),
+       t AS (
+         SELECT o_orderkey, o_custkey, pc,
+                SUM(pc) OVER (PARTITION BY o_custkey) AS tot
+         FROM o)
+       SELECT o_orderkey, o_custkey,
+              CAST(pc AS DOUBLE) / 100.0 AS price,
+              CAST((pc * 1000000 + tot // 2) // tot AS DOUBLE)
+                / 10000.0 AS share_of_customer_pct
+       FROM t ORDER BY o_orderkey""")
+
   // def (not val): referenced from qs above, which initializes first
   private def rollingSlope: Q = Q("win_rolling_slope",
     (s, d) => {
