@@ -1419,5 +1419,52 @@ object Analytics {
                 ROUND(slope, 4) AS sen_slope_per_month
          FROM ranked, n
          WHERE rk = (n_pairs + 1) // 2"""),
+
+    // VELOCITY & ACCELERATION — first and second differences of the
+    // monthly revenue series (growth and growth-of-growth, the two
+    // derivatives a trend readout needs). Exact cents throughout; two
+    // lags share ONE month-grain window (calendar-bounded). NULL
+    // velocity/accel on the first one/two months by construction.
+    Q("time_velocity_accel",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = orders(s, d)
+          .groupBy((year(col("o_orderdate")) * 12 +
+            month(col("o_orderdate")) - 1).as("mi"))
+          .agg((sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+            .cast("long").as("rc"))
+        val w = Window.orderBy("mi") // month-grain
+        m.withColumn("vel_c", col("rc") - lag(col("rc"), 1).over(w))
+          .withColumn("acc_c",
+            col("vel_c") - lag(col("vel_c"), 1).over(w))
+          .select(
+            concat(expr("mi div 12").cast("string"), lit("-"),
+              lpad((col("mi") % 12 + 1).cast("string"), 2, "0"))
+              .as("month"),
+            (col("rc").cast("double") / 100.0).as("revenue"),
+            (col("vel_c").cast("double") / 100.0).as("velocity"),
+            (col("acc_c").cast("double") / 100.0).as("acceleration"))
+          .orderBy("month")
+      },
+      """WITH m AS (
+           SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS rc
+           FROM orders GROUP BY 1),
+         v AS (
+           SELECT mi, rc,
+                  rc - LAG(rc, 1) OVER (ORDER BY mi) AS vel_c
+           FROM m),
+         a AS (
+           SELECT mi, rc, vel_c,
+                  vel_c - LAG(vel_c, 1) OVER (ORDER BY mi) AS acc_c
+           FROM v)
+         SELECT CAST(mi // 12 AS VARCHAR) || '-' ||
+                  lpad(CAST(mi % 12 + 1 AS VARCHAR), 2, '0') AS month,
+                CAST(rc AS DOUBLE) / 100.0 AS revenue,
+                CAST(vel_c AS DOUBLE) / 100.0 AS velocity,
+                CAST(acc_c AS DOUBLE) / 100.0 AS acceleration
+         FROM a ORDER BY month"""),
   )
 }

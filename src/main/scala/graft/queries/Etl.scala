@@ -1164,5 +1164,57 @@ object Etl {
          FROM scored
          WHERE rate_pm >= 30.0 AND gap_std < 2.0
          ORDER BY user_id"""),
+
+    // SURROGATE-KEY DENSITY audit — for each declared key column:
+    // span vs count → how many ids inside [min, max] never arrived
+    // (dropped upstream batches show up as density dips). Pure
+    // aggregates — no global sort/window at any scale; the gap-RANGE
+    // enumeration (which would need an ordered scan) is exactly what
+    // dq_sequence_gaps' blocked form provides when a dip needs
+    // localizing. Density in exact 1e-4 integer units.
+    Q("dq_key_density",
+      (s, d) => {
+        def side(name: String, df: DataFrame, key: String) =
+          df.agg(count(col(key)).as("n_rows"),
+              countDistinct(col(key)).as("n_distinct"),
+              min(col(key)).as("min_key"), max(col(key)).as("max_key"))
+            .withColumn("span", col("max_key") - col("min_key") + 1)
+            .select(lit(name).as("key_col"), col("n_rows"),
+              col("n_distinct"), col("min_key"), col("max_key"),
+              (col("span") - col("n_distinct")).as("n_missing"),
+              (expr("(n_distinct * 1000000L + span div 2) div span")
+                .cast("double") / 10000.0).as("density_pct"))
+        side("orders.o_orderkey", orders(s, d), "o_orderkey")
+          .unionByName(side("customer.c_custkey", customer(s, d),
+            "c_custkey"))
+          .unionByName(side("documents.doc_id", documents(s, d),
+            "doc_id"))
+          .orderBy("key_col")
+      },
+      """WITH o AS (
+           SELECT 'orders.o_orderkey' AS key_col,
+                  COUNT(o_orderkey) AS n_rows,
+                  COUNT(DISTINCT o_orderkey) AS n_distinct,
+                  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+           FROM orders),
+         c AS (
+           SELECT 'customer.c_custkey', COUNT(c_custkey),
+                  COUNT(DISTINCT c_custkey),
+                  MIN(c_custkey), MAX(c_custkey)
+           FROM customer),
+         dd AS (
+           SELECT 'documents.doc_id', COUNT(doc_id),
+                  COUNT(DISTINCT doc_id), MIN(doc_id), MAX(doc_id)
+           FROM documents),
+         u AS (SELECT * FROM o UNION ALL SELECT * FROM c
+               UNION ALL SELECT * FROM dd),
+         w AS (SELECT *, max_key - min_key + 1 AS span FROM u)
+         SELECT key_col, CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(n_distinct AS BIGINT) AS n_distinct,
+                min_key, max_key,
+                CAST(span - n_distinct AS BIGINT) AS n_missing,
+                CAST((n_distinct * 1000000 + span // 2) // span
+                     AS DOUBLE) / 10000.0 AS density_pct
+         FROM w ORDER BY key_col"""),
   )
 }

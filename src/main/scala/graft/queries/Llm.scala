@@ -2279,5 +2279,95 @@ GROUP BY source ORDER BY source"""),
          SELECT dd.lang, p.predicted_lang, COUNT(*) AS n_docs
          FROM documents dd JOIN pred p USING (doc_id)
          GROUP BY 1, 2 ORDER BY lang, predicted_lang"""),
+
+    // CROSS-SOURCE DUPLICATION MATRIX — where the near-dups COME FROM:
+    // the verified MinHash pair stream (same persisted stores as
+    // dedup_near) joined to each side's source, counted per
+    // (source_a, source_b) cell. The mirror-site / re-crawl detector:
+    // an off-diagonal hot cell means two "sources" are shipping the
+    // same corpus. Two doc-keyed joins on the pair stream — pairs are
+    // the small relation by construction.
+    Q("dedup_source_matrix",
+      (s, d) => {
+        val pairs = Dedup.nearMinHash(documents(s, d), 0.8,
+          datasetTag = Some(d))
+        val src = documents(s, d).select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("doc_a"),
+            col("source").as("sa")), Seq("doc_a"))
+          .join(src.select(col("doc_id").as("doc_b"),
+            col("source").as("sb")), Seq("doc_b"))
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_dup_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      s"""WITH coeffs(k, a, b) AS (VALUES $MinhashCoeffRows),
+          trigrams AS (
+            SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+              i -> substring(text, i, 3))) AS g
+            FROM documents),
+          ghash AS (
+            SELECT DISTINCT doc_id,
+              CASE WHEN hu >= 9223372036854775808::HUGEINT
+                   THEN (hu - 18446744073709551616::HUGEINT)::BIGINT
+                   ELSE hu::BIGINT END AS h
+            FROM (
+              SELECT doc_id, list_reduce(
+                list_prepend(14695981039346656037::HUGEINT,
+                  list_transform(range(1, 4),
+                    i -> ascii(substring(g, i, 1))::HUGEINT)),
+                (h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT
+                           * 1099511628211::HUGEINT)
+                          % 18446744073709551616::HUGEINT) AS hu
+              FROM trigrams)),
+          hp AS (
+            SELECT doc_id, h,
+                   ((h % 2147483647) + 2147483647) % 2147483647 AS hp
+            FROM ghash),
+          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ghash GROUP BY 1),
+          sigs AS (
+            SELECT doc_id, k, MIN((a * hp + b) % 2147483647) AS sig
+            FROM hp, coeffs GROUP BY doc_id, k),
+          sigvec AS (
+            SELECT doc_id, list(sig ORDER BY k) AS sig
+            FROM sigs GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, bi AS band_idx,
+                   sig[bi * 8 + 1 : bi * 8 + 8] AS bandsig
+            FROM sigvec, (SELECT unnest(range(0, 4)) AS bi)),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band_idx = y.band_idx AND x.bandsig = y.bandsig
+             AND x.doc_id < y.doc_id),
+          est AS (
+            SELECT doc_a, doc_b
+            FROM cand
+              JOIN sigvec sa ON sa.doc_id = doc_a
+              JOIN sigvec sb ON sb.doc_id = doc_b
+            WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))
+                  / 32.0 >= 0.8 - 0.2),
+          hlist AS (SELECT doc_id, list(h) AS hs FROM hp GROUP BY doc_id),
+          verified AS (
+            SELECT doc_a, doc_b
+            FROM est
+              JOIN hlist ha ON ha.doc_id = doc_a
+              JOIN hlist hb ON hb.doc_id = doc_b
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE sa.sz + sb.sz - len(list_intersect(ha.hs, hb.hs)) > 0
+              AND len(list_intersect(ha.hs, hb.hs)) /
+                  CAST(sa.sz + sb.sz - len(list_intersect(ha.hs, hb.hs))
+                    AS DOUBLE) >= 0.8),
+          cells AS (
+            SELECT LEAST(da.source, db.source) AS source_a,
+                   GREATEST(da.source, db.source) AS source_b
+            FROM verified
+              JOIN documents da ON da.doc_id = doc_a
+              JOIN documents db ON db.doc_id = doc_b)
+          SELECT source_a, source_b, COUNT(*) AS n_dup_pairs
+          FROM cells GROUP BY 1, 2 ORDER BY source_a, source_b"""),
   )
 }
