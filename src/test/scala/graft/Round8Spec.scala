@@ -162,4 +162,23 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
       !p.replaceAll("(?s)Exchange rangepartitioning.*?\\n", "")
         .contains("Exchange"), p)
   }
+
+  test("time_survival_km: the unpartitioned KM window runs over the " +
+      "day-grain aggregate, not the event stream") {
+    val p = plan("time_survival_km")
+    val winIdx = p.indexOf("Window")
+    val aggBelow = p.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx, p)
+  }
+
+  test("spatial and dedup matrix joins plan no cartesian product") {
+    assert(!plan("join_spatial_knn").contains("CartesianProduct"))
+    assert(!plan("dedup_source_matrix").contains("CartesianProduct"))
+  }
+
+  test("graph_random_walks reads the persisted co-order projection, " +
+      "not a per-query pair emission") {
+    val p = plan("graph_random_walks")
+    assert(p.contains("graft_graph_edges"), p)
+  }
 }
