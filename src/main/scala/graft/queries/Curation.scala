@@ -1146,5 +1146,55 @@ FROM wt ORDER BY lang, source"""),
                       CAST(sclog AS DOUBLE) / CAST(n AS DOUBLE), 4)
                   AS entropy_bits
          FROM agg ORDER BY doc_id"""),
+
+    // CORPUS BIGRAM ENTROPY + PERPLEXITY — the one-number diversity
+    // tracker (a collapsing bigram entropy across crawl snapshots
+    // means the corpus is re-crawling itself; the per-doc view is
+    // text_novelty, this is the corpus aggregate). H over the word-
+    // bigram distribution from exact counts: one (bigram) partial-agg
+    // exchange, then a single fold with decimal-pinned c·log2(c)
+    // terms (order-free); perplexity = 2^H on the rounded H so both
+    // engines exponentiate the identical double.
+    Q("text_bigram_entropy",
+      (s, d) => {
+        val bg = documents(s, d)
+          .select(split(col("text"), " ").as("w"))
+          .select(explode(expr(
+            """CASE WHEN size(w) < 2 THEN array()
+               ELSE transform(sequence(0, size(w) - 2),
+                 i -> concat(w[i], ' ', w[i + 1])) END""")).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c"))
+        bg.agg(sum(col("c")).as("n"),
+            count(lit(1)).as("n_distinct"),
+            sum(expr("CAST(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)) " +
+              "AS DECIMAL(24,10))")).as("sclog"))
+          .withColumn("h", round(expr(
+            "log2(CAST(n AS DOUBLE)) - CAST(sclog AS DOUBLE) / " +
+              "CAST(n AS DOUBLE)"), 4))
+          .select(col("n").as("n_bigrams"), col("n_distinct"),
+            col("h").as("entropy_bits"),
+            round(pow(lit(2.0), col("h")), 2).as("perplexity"))
+      },
+      """WITH bg AS (
+           SELECT array_to_string(ws[i + 1 : i + 2], ' ') AS bg
+           FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+                UNNEST(range(0, GREATEST(len(ws) - 1, 0))) AS u(i)),
+         cnt AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY 1),
+         agg AS (
+           SELECT SUM(c) AS n, COUNT(*) AS n_distinct,
+                  SUM(CAST(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+                    AS DECIMAL(24,10))) AS sclog
+           FROM cnt),
+         h AS (
+           SELECT n, n_distinct,
+                  ROUND(log2(CAST(n AS DOUBLE)) -
+                        CAST(sclog AS DOUBLE) / CAST(n AS DOUBLE), 4)
+                    AS entropy_bits
+           FROM agg)
+         SELECT CAST(n AS BIGINT) AS n_bigrams,
+                CAST(n_distinct AS BIGINT) AS n_distinct,
+                entropy_bits,
+                ROUND(POW(2.0, entropy_bits), 2) AS perplexity
+         FROM h"""),
   )
 }

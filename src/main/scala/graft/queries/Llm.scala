@@ -2369,5 +2369,104 @@ GROUP BY source ORDER BY source"""),
               JOIN documents db ON db.doc_id = doc_b)
           SELECT source_a, source_b, COUNT(*) AS n_dup_pairs
           FROM cells GROUP BY 1, 2 ORDER BY source_a, source_b"""),
+
+    // DEDUP THRESHOLD CURVE — how many verified near-dup pairs each
+    // candidate cutoff keeps (the tuning table read before committing
+    // a threshold to curate_corpus): exact Jaccard per LSH candidate
+    // (same stores as dedup_near), folded into cumulative counts at
+    // 0.80/0.85/0.90/0.95 in ONE aggregate, stacked to rows. The
+    // curve's shape (how fast pairs evaporate as t rises) is the
+    // corpus's duplication-intensity signature.
+    Q("dedup_threshold_curve",
+      (s, d) => {
+        graft.engine.expr.GraftFunctions.ensureRegistered(s)
+        val state = Dedup.minhashStoreFor(documents(s, d), d)
+        val ex = Dedup.lshCandidates(state)
+          .join(state.select(col("doc_id").as("doc_a"),
+            col("sh_h").as("sh_a")), Seq("doc_a"))
+          .join(state.select(col("doc_id").as("doc_b"),
+            col("sh_h").as("sh_b")), Seq("doc_b"))
+          .withColumn("n_common",
+            expr("graft_intersect_count(sh_a, sh_b)"))
+          .withColumn("uni",
+            size(col("sh_a")) + size(col("sh_b")) - col("n_common"))
+          .filter(col("uni") > 0)
+          .withColumn("j",
+            round(col("n_common") / col("uni").cast("double"), 4))
+        ex.agg(
+            sum(when(col("j") >= 0.80, 1L).otherwise(0L)).as("n80"),
+            sum(when(col("j") >= 0.85, 1L).otherwise(0L)).as("n85"),
+            sum(when(col("j") >= 0.90, 1L).otherwise(0L)).as("n90"),
+            sum(when(col("j") >= 0.95, 1L).otherwise(0L)).as("n95"))
+          .select(expr("""stack(4, 0.80D, n80, 0.85D, n85,
+                          0.90D, n90, 0.95D, n95)
+                          AS (threshold, n_pairs)"""))
+          .orderBy("threshold")
+      },
+      s"""WITH coeffs(k, a, b) AS (VALUES $MinhashCoeffRows),
+          trigrams AS (
+            SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+              i -> substring(text, i, 3))) AS g
+            FROM documents),
+          ghash AS (
+            SELECT DISTINCT doc_id,
+              CASE WHEN hu >= 9223372036854775808::HUGEINT
+                   THEN (hu - 18446744073709551616::HUGEINT)::BIGINT
+                   ELSE hu::BIGINT END AS h
+            FROM (
+              SELECT doc_id, list_reduce(
+                list_prepend(14695981039346656037::HUGEINT,
+                  list_transform(range(1, 4),
+                    i -> ascii(substring(g, i, 1))::HUGEINT)),
+                (h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT
+                           * 1099511628211::HUGEINT)
+                          % 18446744073709551616::HUGEINT) AS hu
+              FROM trigrams)),
+          hp AS (
+            SELECT doc_id, h,
+                   ((h % 2147483647) + 2147483647) % 2147483647 AS hp
+            FROM ghash),
+          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ghash GROUP BY 1),
+          sigs AS (
+            SELECT doc_id, k, MIN((a * hp + b) % 2147483647) AS sig
+            FROM hp, coeffs GROUP BY doc_id, k),
+          sigvec AS (
+            SELECT doc_id, list(sig ORDER BY k) AS sig
+            FROM sigs GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, bi AS band_idx,
+                   sig[bi * 8 + 1 : bi * 8 + 8] AS bandsig
+            FROM sigvec, (SELECT unnest(range(0, 4)) AS bi)),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band_idx = y.band_idx AND x.bandsig = y.bandsig
+             AND x.doc_id < y.doc_id),
+          hlist AS (SELECT doc_id, list(h) AS hs FROM hp GROUP BY doc_id),
+          ex AS (
+            SELECT doc_a, doc_b,
+                   ROUND(len(list_intersect(ha.hs, hb.hs)) /
+                     CAST(sa.sz + sb.sz -
+                          len(list_intersect(ha.hs, hb.hs)) AS DOUBLE),
+                     4) AS j
+            FROM cand
+              JOIN hlist ha ON ha.doc_id = doc_a
+              JOIN hlist hb ON hb.doc_id = doc_b
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE sa.sz + sb.sz - len(list_intersect(ha.hs, hb.hs)) > 0),
+          agg AS (
+            SELECT SUM(CASE WHEN j >= 0.80 THEN 1 ELSE 0 END) AS n80,
+                   SUM(CASE WHEN j >= 0.85 THEN 1 ELSE 0 END) AS n85,
+                   SUM(CASE WHEN j >= 0.90 THEN 1 ELSE 0 END) AS n90,
+                   SUM(CASE WHEN j >= 0.95 THEN 1 ELSE 0 END) AS n95
+            FROM ex)
+          SELECT threshold, CAST(n_pairs AS BIGINT) AS n_pairs FROM (
+            SELECT CAST(0.80 AS DOUBLE) AS threshold, n80 AS n_pairs
+            FROM agg
+            UNION ALL SELECT CAST(0.85 AS DOUBLE), n85 FROM agg
+            UNION ALL SELECT CAST(0.90 AS DOUBLE), n90 FROM agg
+            UNION ALL SELECT CAST(0.95 AS DOUBLE), n95 FROM agg)
+          ORDER BY threshold"""),
   )
 }
