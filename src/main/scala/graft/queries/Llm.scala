@@ -2280,6 +2280,54 @@ GROUP BY source ORDER BY source"""),
          FROM documents dd JOIN pred p USING (doc_id)
          GROUP BY 1, 2 ORDER BY lang, predicted_lang"""),
 
+    // LANG-ID MISMATCH worklist — the actionable row-level companion
+    // to the confusion matrix: documents whose DECLARED language
+    // disagrees with the trigram classifier (either the metadata is
+    // wrong — common in web crawls — or the doc is code-switched).
+    // Same persisted profile artifact; one doc-keyed join + filter.
+    Q("text_langid_mismatch",
+      (s, d) => {
+        val pred = Text.langIdPredict(documents(s, d),
+          datasetTag = Some(d))
+          .select(col("doc_id"), col("predicted_lang"))
+        documents(s, d).select(col("doc_id"), col("lang"),
+            col("n_chars"))
+          .join(pred, Seq("doc_id"))
+          .filter(col("lang") =!= col("predicted_lang"))
+          .select(col("doc_id"), col("lang").as("declared_lang"),
+            col("predicted_lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      """WITH grams AS (
+           SELECT lang, unnest(list_transform(range(1, length(text) - 1),
+             i -> substring(text, i, 3))) AS g
+           FROM documents),
+         profile AS (
+           SELECT lang, g FROM (
+             SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY COUNT(*) DESC, g ASC) AS rk
+             FROM grams GROUP BY lang, g)
+           WHERE rk <= 40),
+         docgrams AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(text) - 1),
+               i -> substring(text, i, 3))) AS g
+           FROM documents),
+         overlap AS (
+           SELECT d.doc_id, p.lang, COUNT(*) AS n
+           FROM docgrams d JOIN profile p USING (g)
+           GROUP BY 1, 2),
+         pred AS (
+           SELECT doc_id, lang AS predicted_lang FROM (
+             SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY n DESC, lang ASC) AS rn
+             FROM overlap) WHERE rn = 1)
+         SELECT doc_id, dd.lang AS declared_lang, p.predicted_lang,
+                n_chars
+         FROM documents dd JOIN pred p USING (doc_id)
+         WHERE dd.lang <> p.predicted_lang
+         ORDER BY doc_id"""),
+
     // CROSS-SOURCE DUPLICATION MATRIX — where the near-dups COME FROM:
     // the verified MinHash pair stream (same persisted stores as
     // dedup_near) joined to each side's source, counted per

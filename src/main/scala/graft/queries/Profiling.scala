@@ -1088,5 +1088,54 @@ object Profiling {
                 CAST((n_docs * 1000000 + total // 2) // total AS DOUBLE)
                   / 10000.0 AS share_pct
          FROM cells, t ORDER BY log2_band"""),
+
+    // CONSTANT / NEAR-CONSTANT column screen — the dead-column report
+    // catalogs run before schema pruning: per candidate column, NDV
+    // and the top value's share; constant (NDV=1) and near-constant
+    // (top share ≥ 99%) flags. One stacked pass → one (col, val)
+    // aggregate → per-col max-by fold; shares in exact 1e-4 integer
+    // units. A 100 TB scan wasted on a constant column is exactly
+    // what this relation exists to prevent.
+    Q("profile_constant_columns",
+      (s, d) => {
+        val stacked = orders(s, d).select(expr(
+          """stack(3, 'o_orderstatus', o_orderstatus,
+                      'o_orderpriority', o_orderpriority,
+                      'o_currency', 'USD')
+             AS (col_name, val)"""))
+        val counts = stacked.groupBy("col_name", "val")
+          .agg(count(lit(1)).as("c"))
+        counts.groupBy("col_name")
+          .agg(count(lit(1)).as("ndv"),
+            sum(col("c")).as("n"),
+            max(col("c")).as("top_c"))
+          .select(col("col_name"), col("ndv"),
+            (expr("(top_c * 1000000L + n div 2) div n")
+              .cast("double") / 10000.0).as("top_share_pct"),
+            (col("ndv") === 1).as("is_constant"),
+            (expr("(top_c * 1000000L + n div 2) div n") >= 990000L)
+              .as("near_constant"))
+          .orderBy("col_name")
+      },
+      """WITH stacked AS (
+           SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val
+           FROM orders
+           UNION ALL SELECT 'o_orderpriority', o_orderpriority
+           FROM orders
+           UNION ALL SELECT 'o_currency', 'USD' FROM orders),
+         counts AS (
+           SELECT col_name, val, COUNT(*) AS c
+           FROM stacked GROUP BY 1, 2),
+         agg AS (
+           SELECT col_name, COUNT(*) AS ndv, SUM(c) AS n,
+                  MAX(c) AS top_c
+           FROM counts GROUP BY 1)
+         SELECT col_name, CAST(ndv AS BIGINT) AS ndv,
+                CAST((top_c * 1000000 + n // 2) // n AS DOUBLE)
+                  / 10000.0 AS top_share_pct,
+                ndv = 1 AS is_constant,
+                (top_c * 1000000 + n // 2) // n >= 990000
+                  AS near_constant
+         FROM agg ORDER BY col_name"""),
   )
 }
