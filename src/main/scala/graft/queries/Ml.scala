@@ -712,6 +712,112 @@ object Ml {
          SELECT c_custkey, CAST(rk AS INT) AS rk, s_suppkey, dist2
          FROM ranked WHERE rk <= 3 ORDER BY c_custkey, rk"""),
 
+    // TOP PRINCIPAL COMPONENT by two POWER-ITERATION rounds over the
+    // exact-pinned covariance — the fixed-depth, oracle-checkable form
+    // of PCA (a converged eigensolver is engine-private state; two
+    // deterministic rounds from the all-ones start are hash-exact
+    // data). Covariance cells come from ONE (i,j)-keyed aggregate of
+    // the per-vector dim pairs (E[x_i x_j] − μ_i μ_j on exact decimal
+    // sums, pinned to DECIMAL(18,12)); each matvec is a 64×64-cell
+    // join against the broadcast 64-row vector with per-term products
+    // decimal-pinned (order-free Σ), max-normalized between rounds in
+    // identical double arithmetic. At 100 TB only the moment
+    // aggregate touches data — the iteration runs on the 4096-cell
+    // relation.
+    Q("vec_pca_top_component",
+      (s, d) => {
+        val dims = embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding"))
+            .as(Seq("p", "x")))
+          .select(col("vec_id"), (col("p") + 1).as("i"),
+            col("x").cast("double").as("v"))
+        val n = dims.select(col("vec_id")).distinct()
+          .agg(count(lit(1)).as("n"))
+        val mu = dims.groupBy("i")
+          .agg(sum(col("v").cast(DecimalType(20, 10))).as("sv"))
+        val prods = dims.as("a").join(dims.as("b"), Seq("vec_id"))
+          .select(col("a.i").as("i"), col("b.i").as("j"),
+            (col("a.v") * col("b.v")).cast(DecimalType(24, 12))
+              .as("xy"))
+          .groupBy("i", "j").agg(sum(col("xy")).as("sxy"))
+        val cov = prods
+          .join(broadcast(mu.select(col("i"), col("sv").as("svi"))),
+            Seq("i"))
+          .join(broadcast(mu.select(col("i").as("j"),
+            col("sv").as("svj"))), Seq("j"))
+          .crossJoin(broadcast(n))
+          .select(col("i"), col("j"),
+            expr("""CAST(CAST(sxy AS DOUBLE) / n -
+                    (CAST(svi AS DOUBLE) / n) *
+                    (CAST(svj AS DOUBLE) / n) AS DECIMAL(18,12))""")
+              .as("c"))
+        def matvec(v: DataFrame): DataFrame = {
+          // no rounding cast on the product: the full-scale decimal
+          // sum is exact, and the value leaves decimal land only via
+          // the CAST-to-double below (identical in both engines)
+          val r = cov.join(broadcast(v), Seq("j"))
+            .select(col("i"), (col("c") * col("vv")).as("term"))
+            .groupBy("i").agg(sum(col("term")).as("w"))
+          val m = r.agg(max(abs(col("w"))).as("m"))
+          r.crossJoin(broadcast(m))
+            .select(col("i").as("j"),
+              expr("CAST(CAST(w AS DOUBLE) / CAST(m AS DOUBLE) " +
+                "AS DECIMAL(18,12))").as("vv"))
+        }
+        val v0 = s.range(1, 65).select(col("id").cast("int").as("j"),
+          lit(BigDecimal(1)).cast(DecimalType(18, 12)).as("vv"))
+        val v2 = matvec(matvec(v0))
+        v2.select(col("j").as("dim"),
+            round(col("vv").cast("double"), 6).as("loading"))
+          .orderBy("dim")
+      },
+      """WITH dims AS (
+           SELECT vec_id, u.i, CAST(embedding[u.i] AS DOUBLE) AS v
+           FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+         nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM dims),
+         mu AS (
+           SELECT i, SUM(CAST(v AS DECIMAL(20,10))) AS sv
+           FROM dims GROUP BY 1),
+         prods AS (
+           SELECT a.i, b.i AS j,
+                  SUM(CAST(a.v * b.v AS DECIMAL(24,12))) AS sxy
+           FROM dims a JOIN dims b USING (vec_id)
+           GROUP BY 1, 2),
+         cov AS (
+           SELECT p.i, p.j,
+                  CAST(CAST(sxy AS DOUBLE) / n -
+                       (CAST(ma.sv AS DOUBLE) / n) *
+                       (CAST(mb.sv AS DOUBLE) / n) AS DECIMAL(18,12))
+                    AS c
+           FROM prods p
+           JOIN mu ma ON ma.i = p.i
+           JOIN mu mb ON mb.i = p.j
+           CROSS JOIN nn),
+         v0 AS (
+           SELECT CAST(k AS INTEGER) AS j,
+                  CAST(1 AS DECIMAL(18,12)) AS vv
+           FROM unnest(range(1, 65)) AS t(k)),
+         r1 AS (
+           SELECT cov.i, SUM(c * vv) AS w
+           FROM cov JOIN v0 USING (j) GROUP BY 1),
+         m1 AS (SELECT MAX(ABS(w)) AS m FROM r1),
+         v1 AS (
+           SELECT i AS j,
+                  CAST(CAST(w AS DOUBLE) / CAST(m AS DOUBLE)
+                    AS DECIMAL(18,12)) AS vv
+           FROM r1, m1),
+         r2 AS (
+           SELECT cov.i, SUM(c * vv) AS w
+           FROM cov JOIN v1 USING (j) GROUP BY 1),
+         m2 AS (SELECT MAX(ABS(w)) AS m FROM r2),
+         v2 AS (
+           SELECT i AS j,
+                  CAST(CAST(w AS DOUBLE) / CAST(m AS DOUBLE)
+                    AS DECIMAL(18,12)) AS vv
+           FROM r2, m2)
+         SELECT j AS dim, ROUND(CAST(vv AS DOUBLE), 6) AS loading
+         FROM v2 ORDER BY dim"""),
+
     // Rolling 7-row mean/stddev per user — the feature-engineering
     // window. The rolling Σx and Σx² are EXACT decimal sums over the
     // row frame (value quantized to DECIMAL(12,4) once, map-side), so
