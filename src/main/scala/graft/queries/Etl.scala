@@ -1216,5 +1216,52 @@ object Etl {
                 CAST((n_distinct * 1000000 + span // 2) // span
                      AS DOUBLE) / 10000.0 AS density_pct
          FROM w ORDER BY key_col"""),
+
+    // STRING-HYGIENE audit — the whitespace/invisible-character screen
+    // (leading/trailing spaces and doubled spaces silently break
+    // joins, dedup keys, and GROUP BYs): per column, counts of each
+    // defect class. Every 50th customer name carries PLANTED trailing
+    // whitespace (an upstream export bug simulation) so the screen
+    // demonstrably detects. Map-side regex classification + one tiny
+    // (column) aggregate.
+    Q("dq_string_hygiene",
+      (s, d) => {
+        val stacked = customer(s, d)
+          .select(
+            when(col("c_custkey") % 50 === 0,
+              concat(col("c_name"), lit(" ")))
+              .otherwise(col("c_name")).as("c_name"),
+            col("c_mktsegment"))
+          .select(expr("""stack(2, 'c_name', c_name,
+                          'c_mktsegment', c_mktsegment)
+                          AS (col_name, val)"""))
+          .unionByName(documents(s, d).select(
+            lit("documents.text").as("col_name"), col("text").as("val")))
+        stacked.groupBy("col_name")
+          .agg(count(lit(1)).as("n_values"),
+            sum(when(col("val").rlike("^\\s"), 1L).otherwise(0L))
+              .as("n_leading_ws"),
+            sum(when(col("val").rlike("\\s$"), 1L).otherwise(0L))
+              .as("n_trailing_ws"),
+            sum(when(col("val").rlike("  "), 1L).otherwise(0L))
+              .as("n_double_space"))
+          .orderBy("col_name")
+      },
+      """WITH cust AS (
+           SELECT CASE WHEN c_custkey % 50 = 0 THEN c_name || ' '
+                       ELSE c_name END AS c_name, c_mktsegment
+           FROM customer),
+         stacked AS (
+           SELECT 'c_name' AS col_name, c_name AS val FROM cust
+           UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM cust
+           UNION ALL SELECT 'documents.text', text FROM documents)
+         SELECT col_name, COUNT(*) AS n_values,
+                CAST(SUM(CASE WHEN regexp_matches(val, '^\s')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_leading_ws,
+                CAST(SUM(CASE WHEN regexp_matches(val, '\s$')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_trailing_ws,
+                CAST(SUM(CASE WHEN val LIKE '%  %'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_double_space
+         FROM stacked GROUP BY 1 ORDER BY col_name"""),
   )
 }
