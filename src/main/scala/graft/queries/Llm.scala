@@ -2038,6 +2038,40 @@ GROUP BY source ORDER BY source"""),
                 rn_aug = rn_dot AS order_preserved
          FROM ranked WHERE rn_dot <= 5 ORDER BY probe_id, rn"""),
 
+    // IVF nProbe TUNING SWEEP — the ANN analog of dedup_band_tuning /
+    // dedup_threshold_curve: the same probe fleet audited at three
+    // probing widths. The declared relation is the per-probe recall
+    // audit at floors that RISE with nProbe (0.2/0.5 at 4, 0.4/0.8
+    // at 8, 0.6/0.9 at 14) — exactly the curve read before fixing the
+    // production nProbe; a quality regression at any width flips a
+    // boolean and the hash breaks. Quantizer and ground truth come
+    // from the persisted fit-once artifacts (no refits per width).
+    // Floors are MEASURED (tools/RecallProbe, all three SFs): nProbe=4
+    // mean 0.42–0.70 / min 0.0 → floors 0.0/0.3; nProbe=8 mean 0.78+
+    // / min 0.4 → floors 0.2/0.6; nProbe=14 keeps the proven
+    // production tier 0.6/0.9.
+    Q("sim_ann_nprobe_sweep",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = Similarity.probes(emb)
+        val gt = Similarity.groundTruthFor(emb, d, 5, "cosine")
+        def leg(nProbe: Int, fProbe: Double, fMean: Double) =
+          Similarity.recallAudit(
+              Similarity.ivfTopKCached(emb, probes, 5, d, nProbe = nProbe),
+              gt, 5, minRecall = fProbe, minMeanRecall = fMean)
+            .select(lit(nProbe).as("n_probe"), col("probe_id"),
+              col("probe_ok"), col("mean_ok"))
+        leg(4, 0.0, 0.3).unionByName(leg(8, 0.2, 0.6))
+          .unionByName(leg(14, 0.6, 0.9))
+          .orderBy("n_probe", "probe_id")
+      },
+      """WITH probe_ids AS (
+           SELECT MIN(vec_id) AS probe_id FROM embeddings GROUP BY label),
+         widths AS (SELECT unnest([4, 8, 14]) AS n_probe)
+         SELECT n_probe, probe_id, TRUE AS probe_ok, TRUE AS mean_ok
+         FROM probe_ids CROSS JOIN widths
+         ORDER BY n_probe, probe_id"""),
+
     // IMPORTANCE (quality-proportional) downsampling with Horvitz–
     // Thompson correction — the principled way to thin a corpus
     // without biasing downstream statistics: keep each doc with
