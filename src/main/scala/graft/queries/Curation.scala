@@ -1196,5 +1196,87 @@ FROM wt ORDER BY lang, source"""),
                 entropy_bits,
                 ROUND(POW(2.0, entropy_bits), 2) AS perplexity
          FROM h"""),
+
+    // CURATION FUNNEL — the stage-ordered waterfall over the same
+    // rules curate_corpus audits per cell: how many documents survive
+    // after each rule is applied IN ORDER (raw → length → dedup →
+    // decontamination → line-dedup). The headline observability
+    // relation of the pipeline — the first chart in every curation
+    // run report. One flags pass (same persisted keep-list /
+    // decontam screen / chunk relation), conditional survivor sums,
+    // stacked to six rows.
+    Q("curate_funnel",
+      (s, d) => {
+        val docs = documents(s, d)
+        val train = docs.filter(col("source") =!= BenchSource)
+        val keep = graft.engine.ml.Dedup.keepListFor(docs, d, 0.05)
+        val contam = graft.engine.ml.Text.decontaminate(
+          train, docs.filter(col("source") === BenchSource), n = 5)
+          .select(col("doc_id"), lit(1).as("hit"))
+        val linedup = Text.lineDedup(docs, 10)
+          .select(col("doc_id"),
+            (col("n_chunks") > 0 &&
+              col("n_kept") * 2 < col("n_chunks")).cast("long")
+              .as("line_dup"))
+        val flags = train
+          .join(keep, Seq("doc_id"))
+          .join(contam, Seq("doc_id"), "left")
+          .join(linedup, Seq("doc_id"))
+          .select(
+            (col("n_chars") < 100 || col("n_chars") > 520)
+              .cast("long").as("f1"),
+            (col("doc_id") =!= col("keep_id")).cast("long").as("f2"),
+            col("hit").isNotNull.cast("long").as("f3"),
+            col("line_dup").as("f4"))
+        flags.agg(count(lit(1)).as("s0"),
+            sum(when(col("f1") === 0, 1L).otherwise(0L)).as("s1"),
+            sum(when(col("f1") + col("f2") === 0, 1L).otherwise(0L))
+              .as("s2"),
+            sum(when(col("f1") + col("f2") + col("f3") === 0, 1L)
+              .otherwise(0L)).as("s3"),
+            sum(when(col("f1") + col("f2") + col("f3") + col("f4") === 0,
+              1L).otherwise(0L)).as("s4"))
+          .select(expr("""stack(5,
+              0, 'raw',              s0,
+              1, 'length_filter',    s1,
+              2, 'near_dedup',       s2,
+              3, 'decontamination',  s3,
+              4, 'line_dedup',       s4)
+            AS (stage, stage_name, n_surviving)"""))
+          .orderBy("stage")
+      },
+      s"""$curateCtes,
+          $lineDedupCtes,
+          flags AS (
+            SELECT CASE WHEN d.n_chars < 100 OR d.n_chars > 520
+                        THEN 1 ELSE 0 END AS f1,
+                   CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END AS f2,
+                   CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f3,
+                   CASE WHEN l.n_chunks > 0 AND l.n_kept * 2 < l.n_chunks
+                        THEN 1 ELSE 0 END AS f4
+            FROM documents d
+              JOIN keep k ON k.doc_id = d.doc_id
+              LEFT JOIN contam c ON c.doc_id = d.doc_id
+              JOIN ldstats l ON l.doc_id = d.doc_id
+            WHERE d.source <> '$BenchSource'),
+          agg AS (
+            SELECT COUNT(*) AS s0,
+                   SUM(CASE WHEN f1 = 0 THEN 1 ELSE 0 END) AS s1,
+                   SUM(CASE WHEN f1 + f2 = 0 THEN 1 ELSE 0 END) AS s2,
+                   SUM(CASE WHEN f1 + f2 + f3 = 0 THEN 1 ELSE 0 END)
+                     AS s3,
+                   SUM(CASE WHEN f1 + f2 + f3 + f4 = 0 THEN 1 ELSE 0 END)
+                     AS s4
+            FROM flags)
+          SELECT stage, stage_name, CAST(n_surviving AS BIGINT)
+                   AS n_surviving
+          FROM (
+            SELECT 0 AS stage, 'raw' AS stage_name, s0 AS n_surviving
+            FROM agg
+            UNION ALL SELECT 1, 'length_filter', s1 FROM agg
+            UNION ALL SELECT 2, 'near_dedup', s2 FROM agg
+            UNION ALL SELECT 3, 'decontamination', s3 FROM agg
+            UNION ALL SELECT 4, 'line_dedup', s4 FROM agg)
+          ORDER BY stage"""),
   )
 }
