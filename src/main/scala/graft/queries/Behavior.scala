@@ -1635,5 +1635,93 @@ object Behavior {
                 ROUND(quantile_cont(mean_gap_s, 0.5), 2) AS median_s,
                 ROUND(quantile_cont(mean_gap_s, 0.75), 2) AS p75_s
          FROM m"""),
+
+    // BANDED LORENZ CURVE + GINI — spend-inequality without the
+    // global sort an exact Gini needs (ranking every customer by
+    // spend is THE single-partition anti-pattern at scale): customers
+    // bucket into exact bit-length spend bands (≤40 — bounded), the
+    // Lorenz curve accumulates over the BAND relation, and the Gini
+    // is the trapezoid fold over those bounded points. Band-granular
+    // by construction and documented as such — the same
+    // histogram-drill honesty as rfm_segmentation's medians. All
+    // shares in exact integer units; the one double fold runs over
+    // ≤40 rows with identical expressions.
+    Q("pareto_gini_banded",
+      (s, d) => {
+        val spend = orders(s, d).groupBy("o_custkey")
+          .agg((sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+            .cast("long").as("cents"))
+        val bands = spend
+          .select(expr("length(bin(greatest(cents, 1))) - 1")
+            .cast("int").as("band"), col("cents"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("c"))
+        val tot = bands.agg(sum(col("n_cust")).as("tn"),
+          sum(col("c")).as("tc"))
+        val w = Window.orderBy("band") // ≤40 band rows
+        bands.crossJoin(broadcast(tot))
+          .withColumn("cum_n",
+            sum(col("n_cust")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("cum_c",
+            sum(col("c")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("pop_x",
+            col("cum_n").cast("double") / col("tn"))
+          .withColumn("lorenz_y",
+            col("cum_c").cast("double") / col("tc"))
+          .withColumn("prev_x",
+            coalesce(lag(col("pop_x"), 1).over(w), lit(0.0)))
+          .withColumn("prev_y",
+            coalesce(lag(col("lorenz_y"), 1).over(w), lit(0.0)))
+          .withColumn("seg_auc",
+            (col("pop_x") - col("prev_x")) *
+              (col("lorenz_y") + col("prev_y")) / 2.0)
+          .withColumn("gini_banded",
+            round(lit(1.0) - lit(2.0) * sum(col("seg_auc")).over(
+              w.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)), 4))
+          // shares emit UNrounded: each is one correctly-rounded IEEE
+          // division of two exact BIGINTs — identical doubles in both
+          // engines, and no ROUND means no rational-tie hazard
+          .select(col("band"), col("n_cust"),
+            col("pop_x").as("pop_share"),
+            col("lorenz_y").as("spend_share"),
+            col("gini_banded"))
+          .orderBy("band")
+      },
+      """WITH spend AS (
+           SELECT o_custkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         bands AS (
+           SELECT CAST(length(bin(GREATEST(cents, 1))) - 1 AS INTEGER)
+                    AS band,
+                  COUNT(*) AS n_cust, SUM(cents) AS c
+           FROM spend GROUP BY 1),
+         t AS (SELECT SUM(n_cust) AS tn, SUM(c) AS tc FROM bands),
+         cum AS (
+           SELECT band, n_cust,
+                  CAST(SUM(n_cust) OVER (ORDER BY band) AS DOUBLE) / tn
+                    AS pop_x,
+                  CAST(SUM(c) OVER (ORDER BY band) AS DOUBLE) / tc
+                    AS lorenz_y
+           FROM bands, t),
+         seg AS (
+           SELECT band, n_cust, pop_x, lorenz_y,
+                  (pop_x - COALESCE(LAG(pop_x) OVER (ORDER BY band),
+                    0.0)) *
+                  (lorenz_y + COALESCE(LAG(lorenz_y)
+                    OVER (ORDER BY band), 0.0)) / 2.0 AS seg_auc
+           FROM cum),
+         g AS (SELECT ROUND(1.0 - 2.0 * SUM(seg_auc), 4)
+                 AS gini_banded FROM seg)
+         SELECT band, CAST(n_cust AS BIGINT) AS n_cust,
+                pop_x AS pop_share,
+                lorenz_y AS spend_share,
+                gini_banded
+         FROM seg, g ORDER BY band"""),
   )
 }

@@ -1278,5 +1278,62 @@ FROM wt ORDER BY lang, source"""),
             UNION ALL SELECT 3, 'decontamination', s3 FROM agg
             UNION ALL SELECT 4, 'line_dedup', s4 FROM agg)
           ORDER BY stage"""),
+
+    // HEAPS'-LAW EXPONENT — vocabulary growth V(N) ≈ K·N^β measured
+    // on md5-sliced 1%/10%/100% corpus prefixes (deterministic slices,
+    // the profile_cardinality_curve discipline): β from consecutive
+    // slice pairs via ln ratios of exact BIGINT counts. β drifting
+    // toward 0 across crawl snapshots is the vocabulary-saturation /
+    // duplication signal; β near the 0.4–0.6 natural-language band
+    // says the corpus is still growing real content. One token pass
+    // with three conditional DISTINCTs (a single Expand plan).
+    Q("vocab_heaps_law",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " "))
+            .as("w"))
+          .filter(col("w") =!= "")
+          .withColumn("bucket",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+              16, 10).cast("long") % 100)
+        toks.agg(
+            sum(when(col("bucket") < 1, 1L).otherwise(0L)).as("n1"),
+            countDistinct(when(col("bucket") < 1, col("w"))).as("v1"),
+            sum(when(col("bucket") < 10, 1L).otherwise(0L)).as("n10"),
+            countDistinct(when(col("bucket") < 10, col("w"))).as("v10"),
+            count(lit(1)).as("n100"),
+            countDistinct(col("w")).as("v100"))
+          .select(col("n1"), col("v1"), col("n10"), col("v10"),
+            col("n100"), col("v100"),
+            round(expr("ln(CAST(v10 AS DOUBLE) / v1) / " +
+              "ln(CAST(n10 AS DOUBLE) / n1)"), 4).as("beta_small"),
+            round(expr("ln(CAST(v100 AS DOUBLE) / v10) / " +
+              "ln(CAST(n100 AS DOUBLE) / n10)"), 4).as("beta_large"))
+      },
+      """WITH toks AS (
+           SELECT doc_id, u.w,
+                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % 100 AS bucket
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents), UNNEST(ws) AS u(w)
+           WHERE u.w <> ''),
+         agg AS (
+           SELECT CAST(SUM(CASE WHEN bucket < 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+                  COUNT(DISTINCT CASE WHEN bucket < 1 THEN w END) AS v1,
+                  CAST(SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n10,
+                  COUNT(DISTINCT CASE WHEN bucket < 10 THEN w END)
+                    AS v10,
+                  COUNT(*) AS n100,
+                  COUNT(DISTINCT w) AS v100
+           FROM toks)
+         SELECT n1, v1, n10, v10,
+                CAST(n100 AS BIGINT) AS n100, v100,
+                ROUND(ln(CAST(v10 AS DOUBLE) / v1) /
+                      ln(CAST(n10 AS DOUBLE) / n1), 4) AS beta_small,
+                ROUND(ln(CAST(v100 AS DOUBLE) / v10) /
+                      ln(CAST(n100 AS DOUBLE) / n10), 4) AS beta_large
+         FROM agg"""),
   )
 }
