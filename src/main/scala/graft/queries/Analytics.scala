@@ -1369,6 +1369,95 @@ object Analytics {
                      ELSE 'd' END AS sax_symbol
          FROM z ORDER BY day"""),
 
+    // SAX RUN-LENGTH SEGMENTS — the motif layer over
+    // time_sax_symbolize: collapse the symbol stream into (symbol,
+    // start, end, length) runs via the gaps-and-islands change flag.
+    // Long 'a'/'d' runs are sustained regime excursions; this is the
+    // relation a motif index or anomaly report consumes. All windows
+    // run over the day-grain series (calendar-bounded).
+    Q("time_sax_runs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .as("rev"))
+        val m = daily.agg(count(lit(1)).as("n"),
+          sum(col("rev")).as("sx"),
+          sum((col("rev") * col("rev"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+            .as("sx2"))
+        val sym = daily.crossJoin(broadcast(m))
+          .withColumn("mu", col("sx").cast("double") / col("n"))
+          .withColumn("sd", sqrt(
+            col("sx2").cast("double") / col("n") -
+              (col("sx").cast("double") / col("n")) *
+              (col("sx").cast("double") / col("n"))))
+          .withColumn("z",
+            (col("rev").cast("double") - col("mu")) / col("sd"))
+          .select(col("day"),
+            when(col("z") < -0.6745, "a")
+              .when(col("z") < 0.0, "b")
+              .when(col("z") < 0.6745, "c")
+              .otherwise("d").as("sym"))
+        val w = Window.orderBy("day") // day-grain
+        sym
+          .withColumn("chg",
+            when(lag(col("sym"), 1).over(w).isNull ||
+              lag(col("sym"), 1).over(w) =!= col("sym"), 1L)
+              .otherwise(0L))
+          .withColumn("run_id",
+            sum(col("chg")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("run_id", "sym")
+          .agg(date_format(min(col("day")), "yyyy-MM-dd").as("run_start"),
+            date_format(max(col("day")), "yyyy-MM-dd").as("run_end"),
+            count(lit(1)).as("run_days"))
+          .select(col("run_id"), col("sym").as("sax_symbol"),
+            col("run_start"), col("run_end"), col("run_days"))
+          .orderBy("run_id")
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         m AS (
+           SELECT COUNT(*) AS n, SUM(rev) AS sx,
+                  SUM(CAST(rev * rev AS DECIMAL(38,4))) AS sx2
+           FROM daily),
+         sym AS (
+           SELECT day,
+                  CASE WHEN z < -0.6745 THEN 'a'
+                       WHEN z < 0.0 THEN 'b'
+                       WHEN z < 0.6745 THEN 'c'
+                       ELSE 'd' END AS sym
+           FROM (
+             SELECT day, (CAST(rev AS DOUBLE) - mu) / sd AS z
+             FROM daily, (
+               SELECT n, CAST(sx AS DOUBLE) / n AS mu,
+                      sqrt(CAST(sx2 AS DOUBLE) / n -
+                           (CAST(sx AS DOUBLE) / n) *
+                           (CAST(sx AS DOUBLE) / n)) AS sd
+               FROM m))),
+         flagged AS (
+           SELECT day, sym,
+                  CASE WHEN LAG(sym) OVER (ORDER BY day) IS NULL
+                         OR LAG(sym) OVER (ORDER BY day) <> sym
+                       THEN 1 ELSE 0 END AS chg
+           FROM sym),
+         runs AS (
+           SELECT day, sym,
+                  SUM(chg) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS run_id
+           FROM flagged)
+         SELECT CAST(run_id AS BIGINT) AS run_id, sym AS sax_symbol,
+                strftime(MIN(day), '%Y-%m-%d') AS run_start,
+                strftime(MAX(day), '%Y-%m-%d') AS run_end,
+                COUNT(*) AS run_days
+         FROM runs GROUP BY 1, 2 ORDER BY run_id"""),
+
     // THEIL–SEN robust trend — the median of all pairwise slopes of
     // the monthly-revenue series (breakdown point 29%, immune to the
     // outlier months that wreck OLS). The pair relation is C(m,2)

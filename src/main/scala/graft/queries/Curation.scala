@@ -1335,5 +1335,59 @@ FROM wt ORDER BY lang, source"""),
                 ROUND(ln(CAST(v100 AS DOUBLE) / v10) /
                       ln(CAST(n100 AS DOUBLE) / n10), 4) AS beta_large
          FROM agg"""),
+
+    // NORMALIZATION-ABLATION for exact dedup — how many extra
+    // duplicate pairs each canonicalization level surfaces (the table
+    // that justifies the normalize step's cost): raw digest vs
+    // casefolded vs casefold+whitespace-collapsed, each one
+    // digest-keyed aggregate over a PERTURBED copy of the corpus
+    // (every 7th doc re-cased, every 11th whitespace-padded — both
+    // engines synthesize the identical perturbations). n_dup_rows =
+    // rows beyond their group's first occurrence.
+    Q("dedup_normalization_gain",
+      (s, d) => {
+        val perturbed = documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, upper(col("text")))
+            .when(col("doc_id") % 11 === 0,
+              concat(lit("  "), regexp_replace(col("text"), " ", "  ")))
+            .otherwise(col("text")).as("t"))
+        def level(name: String, keyed: org.apache.spark.sql.Column) =
+          perturbed.select(md5(keyed).as("dg"))
+            .groupBy("dg").agg(count(lit(1)).as("c"))
+            .agg(count(lit(1)).as("n_groups"),
+              sum(col("c") - 1).as("n_dup_rows"))
+            .select(lit(name).as("normalization"), col("n_groups"),
+              col("n_dup_rows"))
+        level("1_raw", col("t"))
+          .unionByName(level("2_casefold", lower(col("t"))))
+          .unionByName(level("3_casefold_ws",
+            trim(regexp_replace(lower(col("t")), " +", " "))))
+          .orderBy("normalization")
+      },
+      """WITH p AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN upper(text)
+                       WHEN doc_id % 11 = 0
+                         THEN '  ' || replace(text, ' ', '  ')
+                       ELSE text END AS t
+           FROM documents),
+         l1 AS (
+           SELECT '1_raw' AS normalization, COUNT(*) AS n_groups,
+                  CAST(SUM(c - 1) AS BIGINT) AS n_dup_rows
+           FROM (SELECT md5(t) AS dg, COUNT(*) AS c FROM p GROUP BY 1)),
+         l2 AS (
+           SELECT '2_casefold', COUNT(*), CAST(SUM(c - 1) AS BIGINT)
+           FROM (SELECT md5(lower(t)) AS dg, COUNT(*) AS c
+                 FROM p GROUP BY 1)),
+         l3 AS (
+           SELECT '3_casefold_ws', COUNT(*), CAST(SUM(c - 1) AS BIGINT)
+           FROM (SELECT md5(trim(regexp_replace(lower(t), ' +', ' ',
+                   'g'))) AS dg, COUNT(*) AS c
+                 FROM p GROUP BY 1)),
+         u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2
+               UNION ALL SELECT * FROM l3)
+         SELECT normalization, CAST(n_groups AS BIGINT) AS n_groups,
+                n_dup_rows
+         FROM u ORDER BY normalization"""),
   )
 }
