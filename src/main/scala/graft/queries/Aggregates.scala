@@ -833,5 +833,56 @@ object Aggregates {
                 COUNT(DISTINCT strftime(l_shipdate, '%Y-%m'))
                   AS ndv_ship_month
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+
+    // 10%-TRIMMED MEAN — agg_winsorize's estimator sibling: instead of
+    // CLAMPING the tails it DROPS them (rows ranked inside the bottom
+    // or top decile are excluded, then an exact-decimal mean of the
+    // keepers). Same group-partitioned rank window (never global);
+    // the mean divides exact integer cents in 1e-4 units — ROUND-tie-
+    // proof. The robust location estimate for skewed money columns.
+    Q("agg_trimmed_mean",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = lineitem(s, d).select(col("l_returnflag").as("flag"),
+          col("l_extendedprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("p"))
+        val w = Window.partitionBy("flag").orderBy("p", "l_orderkey")
+        val ranked = lineitem(s, d).select(col("l_returnflag").as("flag"),
+            col("l_extendedprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              .as("p"), col("l_orderkey"))
+          .withColumn("rn", row_number().over(w))
+        val counts = li.groupBy("flag").agg(count(lit(1)).as("n"))
+        ranked.join(broadcast(counts), Seq("flag"))
+          .filter(col("rn") > expr("n div 10") &&
+            col("rn") <= expr("n - n div 10"))
+          .groupBy("flag")
+          .agg(count(lit(1)).as("n_kept"),
+            sum((col("p") * 100).cast("long")).as("sc"))
+          .select(col("flag"), col("n_kept"),
+            (expr("(sc * 100 + n_kept div 2) div n_kept")
+              .cast("double") / 10000.0).as("trimmed_mean"))
+          .orderBy("flag")
+      },
+      """WITH li AS (
+           SELECT l_returnflag AS flag,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+                  l_orderkey
+           FROM lineitem),
+         counts AS (SELECT flag, COUNT(*) AS n FROM li GROUP BY 1),
+         ranked AS (
+           SELECT flag, p,
+                  ROW_NUMBER() OVER (PARTITION BY flag
+                    ORDER BY p, l_orderkey) AS rn
+           FROM li),
+         kept AS (
+           SELECT r.flag, p
+           FROM ranked r JOIN counts c ON c.flag = r.flag
+           WHERE rn > n // 10 AND rn <= n - n // 10)
+         SELECT flag, COUNT(*) AS n_kept,
+                CAST((SUM(CAST(p * 100 AS BIGINT)) * 100
+                      + COUNT(*) // 2) // COUNT(*) AS DOUBLE)
+                  / 10000.0 AS trimmed_mean
+         FROM kept GROUP BY 1 ORDER BY flag"""),
   )
 }
