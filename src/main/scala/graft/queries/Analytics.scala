@@ -1555,5 +1555,245 @@ object Analytics {
                 CAST(vel_c AS DOUBLE) / 100.0 AS velocity,
                 CAST(acc_c AS DOUBLE) / 100.0 AS acceleration
          FROM a ORDER BY month"""),
+
+    // HURST EXPONENT via rescaled-range (R/S) analysis of the daily
+    // revenue series — the long-memory diagnostic next to
+    // time_autocorr's short-lag view: H ≈ 0.5 random walk, H > 0.5
+    // persistent trend, H < 0.5 mean reversion. Mandelbrot–Wallis
+    // form: for dyadic block sizes n ∈ {8,16,32} chop the day-indexed
+    // series into complete blocks, compute range-of-cumulative-
+    // deviations over in-block stddev, and read H off the log2 slope —
+    // with three equally spaced log2 sizes the LSQ slope collapses to
+    // (y(32) − y(8)) / 2. Parity: every block moment stays EXACT
+    // (cents as longs, Σx² as DECIMAL(38,0), the deviation series is
+    // the integer n·cum − t·S so no division happens before the one
+    // closed-form double R′/√(n·Σx² − S²) whose /,√ are IEEE-exact in
+    // both engines), and the per-n representative is a MEDIAN — a rank
+    // SELECTION of a bit-identical double, never an order-sensitive
+    // sum. Windows all run over bounded relations: day-index over the
+    // calendar-sized daily aggregate, in-block cumsum partitioned by
+    // (n, block) with ≤ 32 rows, block rank partitioned by n over the
+    // block-count-sized R/S relation.
+    Q("time_hurst_rs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+          .select(col("day"), (col("rev") * 100).cast("long").as("xc"))
+        val idx = daily
+          .withColumn("i", row_number().over(Window.orderBy("day")))
+        val blocks = idx
+          .select(col("i"), col("xc"),
+            explode(array(lit(8), lit(16), lit(32))).as("n"))
+          .withColumn("blk", expr("(i - 1) div n"))
+        val wB = Window.partitionBy("n", "blk").orderBy("i")
+        val wAll = Window.partitionBy("n", "blk")
+        val xd = col("xc").cast(DecimalType(19, 0))
+        val z = blocks
+          .withColumn("cum", sum(col("xc")).over(wB))
+          .withColumn("t", row_number().over(wB))
+          .withColumn("cnt", count(lit(1)).over(wAll))
+          .filter(col("cnt") === col("n"))
+          .withColumn("sx", sum(col("xc")).over(wAll))
+          .withColumn("sxx", sum(xd * xd).over(wAll))
+          .withColumn("zp", col("n") * col("cum") - col("t") * col("sx"))
+        val rs = z.groupBy("n", "blk", "sx", "sxx")
+          .agg(greatest(max("zp"), lit(0L)).as("zmax"),
+            least(min("zp"), lit(0L)).as("zmin"))
+          .withColumn("denom",
+            col("n").cast(DecimalType(19, 0)) * col("sxx") -
+              col("sx").cast(DecimalType(19, 0)) *
+                col("sx").cast(DecimalType(19, 0)))
+          .filter(col("denom") > 0)
+          .select(col("n"), col("blk"),
+            ((col("zmax") - col("zmin")).cast("double") /
+              sqrt(col("denom").cast("double"))).as("rs"))
+        val wN = Window.partitionBy("n").orderBy("rs", "blk")
+        val med = rs
+          .withColumn("rk", row_number().over(wN))
+          .withColumn("nb", count(lit(1)).over(Window.partitionBy("n")))
+          .filter(col("rk") === expr("(nb + 1) div 2"))
+          .select(col("n"), col("nb").as("n_blocks"),
+            col("rs").as("median_rs"))
+        val h = med.agg(
+          round((log(max(when(col("n") === 32, col("median_rs")))) -
+            log(max(when(col("n") === 8, col("median_rs"))))) /
+            (lit(2.0) * log(lit(2.0))), 4).as("hurst"))
+        med.crossJoin(h).orderBy("n")
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS xc
+           FROM orders GROUP BY 1),
+         idx AS (SELECT xc, ROW_NUMBER() OVER (ORDER BY day) AS i
+                 FROM daily),
+         blocks AS (
+           SELECT n, (i - 1) // n AS blk, i, xc
+           FROM idx CROSS JOIN (SELECT UNNEST([8, 16, 32]) AS n)),
+         cum AS (
+           SELECT n, blk, xc,
+                  SUM(xc) OVER (PARTITION BY n, blk ORDER BY i) AS cum,
+                  ROW_NUMBER() OVER (PARTITION BY n, blk ORDER BY i)
+                    AS t,
+                  COUNT(*) OVER (PARTITION BY n, blk) AS cnt,
+                  SUM(xc) OVER (PARTITION BY n, blk) AS sx,
+                  SUM(CAST(xc AS HUGEINT) * xc)
+                    OVER (PARTITION BY n, blk) AS sxx
+           FROM blocks),
+         z AS (SELECT n, blk, sx, sxx, n * cum - t * sx AS zp
+               FROM cum WHERE cnt = n),
+         rs AS (
+           SELECT n, blk,
+                  CAST(GREATEST(MAX(zp), 0) - LEAST(MIN(zp), 0)
+                    AS DOUBLE) /
+                    sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                      AS DOUBLE)) AS rs
+           FROM z GROUP BY n, blk, sx, sxx
+           HAVING n * sxx - CAST(sx AS HUGEINT) * sx > 0),
+         med AS (
+           SELECT n, nb AS n_blocks, rs AS median_rs FROM (
+             SELECT n, rs, blk,
+                    ROW_NUMBER() OVER (PARTITION BY n
+                      ORDER BY rs, blk) AS rk,
+                    COUNT(*) OVER (PARTITION BY n) AS nb
+             FROM rs) WHERE rk = (nb + 1) // 2),
+         h AS (SELECT ROUND(
+                 (ln(MAX(CASE WHEN n = 32 THEN median_rs END)) -
+                  ln(MAX(CASE WHEN n = 8 THEN median_rs END))) /
+                 (2.0 * ln(2.0)), 4) AS hurst FROM med)
+         SELECT n, CAST(n_blocks AS BIGINT) AS n_blocks, median_rs,
+                hurst
+         FROM med, h ORDER BY n"""),
+
+    // LAGGED CROSS-CORRELATION between the daily view-count and
+    // purchase-count series (k = −3..3) — the lead/lag screen between
+    // two event streams that time_autocorr answers for one: a peak at
+    // k > 0 means views LEAD purchases by k days. Pairing is a
+    // date-shift equi-join on the bounded daily aggregate (days,
+    // never rows), one partial-agg exchange per side; all moments are
+    // exact integer counts (longs, products < 2^53) and r_k is one
+    // closed-form double expression on identical rationals, with each
+    // factor cast to double BEFORE the product so nothing overflows —
+    // rounded once.
+    Q("time_cross_corr",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"))
+        val xs = daily.select(col("day"), col("x"),
+            explode(sequence(lit(-3), lit(3))).as("k"))
+          .withColumn("yday", date_add(col("day"), col("k")))
+        val m = xs
+          .join(daily.select(col("day").as("yday"), col("y")),
+            Seq("yday"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        m.select(col("k"), col("n_pairs"),
+            round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+                (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), 6).as("xcorr"))
+          .orderBy("k")
+      },
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  CAST(SUM(CASE WHEN event_type = 'view' THEN 1
+                    ELSE 0 END) AS BIGINT) AS x,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                    ELSE 0 END) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         pairs AS (
+           SELECT k, a.x, b.y
+           FROM daily a
+           CROSS JOIN (SELECT UNNEST(range(-3, 4)) AS k)
+           JOIN daily b ON b.day = a.day + k * INTERVAL 1 DAY),
+         m AS (SELECT k, COUNT(*) AS n_pairs, SUM(x) AS sx,
+                      SUM(y) AS sy, SUM(x * y) AS sxy,
+                      SUM(x * x) AS sxx, SUM(y * y) AS syy
+               FROM pairs GROUP BY k)
+         SELECT CAST(k AS INT) AS k, n_pairs,
+                ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+                      sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
+                           CAST(n_pairs * syy - sy * sy AS DOUBLE)),
+                      6) AS xcorr
+         FROM m ORDER BY k"""),
+
+    // HOLT LINEAR (double-exponential) SMOOTHING of the daily revenue
+    // series — the trend-aware sibling of time_ewma's single
+    // smoothing: level and trend evolve by the coupled recursion
+    // l_t = α·x_t + (1−α)(l+b), b_t = β(l_t − l) + (1−β)b with
+    // α = β = 0.5. The recursion is inherently sequential, so it runs
+    // as ONE ordered HOF fold over the calendar-bounded daily series
+    // (days, never rows — collect_list of a ~2.4k-element array);
+    // both engines fold strictly left-to-right, and with α = 0.5
+    // every step is add-and-halve, so the doubles are bit-identical
+    // without any decimal pinning (the sequential-fold rule from
+    // SKILL.md). The oracle replays the identical recursion as a
+    // recursive CTE. Output: final state + 1/2-step-ahead forecasts.
+    Q("time_holt_linear",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+          .select(col("day"), (col("rev") * 100).cast("long").as("xc"))
+        val st = daily
+          .agg(sort_array(collect_list(struct(col("day"), col("xc"))))
+            .as("s"))
+          .select(expr(
+            """aggregate(
+                 slice(s, 2, size(s) - 1),
+                 named_struct('l', CAST(s[0].xc AS DOUBLE),
+                              'b', CAST(0.0 AS DOUBLE), 'n', 1),
+                 (acc, e) -> named_struct(
+                   'l', 0.5D * CAST(e.xc AS DOUBLE)
+                        + 0.5D * (acc.l + acc.b),
+                   'b', 0.5D * (0.5D * CAST(e.xc AS DOUBLE)
+                        + 0.5D * (acc.l + acc.b) - acc.l)
+                        + 0.5D * acc.b,
+                   'n', acc.n + 1),
+                 acc -> acc) AS st"""))
+        st.select(col("st.n").as("n_days"),
+          (col("st.l") / 100.0).as("level"),
+          (col("st.b") / 100.0).as("trend"),
+          ((col("st.l") + col("st.b")) / 100.0).as("forecast_1"),
+          ((col("st.l") + lit(2.0) * col("st.b")) / 100.0)
+            .as("forecast_2"))
+      },
+      """WITH RECURSIVE daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS xc
+           FROM orders GROUP BY 1),
+         idx AS (SELECT xc, ROW_NUMBER() OVER (ORDER BY day) AS i
+                 FROM daily),
+         h AS (
+           SELECT 1 AS i, CAST(xc AS DOUBLE) AS l,
+                  CAST(0 AS DOUBLE) AS b
+           FROM idx WHERE i = 1
+           UNION ALL
+           SELECT h.i + 1,
+                  0.5 * CAST(x.xc AS DOUBLE) + 0.5 * (h.l + h.b),
+                  0.5 * (0.5 * CAST(x.xc AS DOUBLE)
+                         + 0.5 * (h.l + h.b) - h.l) + 0.5 * h.b
+           FROM h JOIN idx x ON x.i = h.i + 1),
+         fin AS (SELECT * FROM h ORDER BY i DESC LIMIT 1)
+         SELECT CAST(i AS INT) AS n_days, l / 100.0 AS level,
+                b / 100.0 AS trend, (l + b) / 100.0 AS forecast_1,
+                (l + 2.0 * b) / 100.0 AS forecast_2
+         FROM fin"""),
   )
 }

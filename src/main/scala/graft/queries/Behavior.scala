@@ -1723,5 +1723,73 @@ object Behavior {
                 lorenz_y AS spend_share,
                 gini_banded
          FROM seg, g ORDER BY band"""),
+
+    // WEIGHTED RECIPROCITY of the directed event-transition graph
+    // (Squartini et al.): per unordered type pair, how much of the
+    // u→v flow is matched by v→u — r = Σ min(w_uv, w_vu) / Σ w_uv
+    // over ordered pairs. The asymmetric complement of
+    // event_transitions' row-normalized probabilities: high-traffic
+    // one-way pairs (view→purchase with no purchase→view) drop
+    // reciprocity and flag funnel-like flow. The heavy part is the
+    // same per-user lead() pass (user-partitioned window, parallel by
+    // construction) into a domain-sized edge aggregate; the pair
+    // matching and the global ratio run over the ≤|types|² relation.
+    // The ratio is an exact 1e-6-unit integer division (truncation
+    // identical across engines on the positive operands), never
+    // ROUND(double).
+    Q("graph_reciprocity",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        val edges = ev
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull &&
+            col("to_type") =!= col("event_type"))
+          .groupBy(col("event_type").as("u"), col("to_type").as("v"))
+          .agg(count(lit(1)).as("w_uv"))
+        val pairs = edges.filter(col("u") < col("v"))
+          .select(col("u"), col("v"), col("w_uv"))
+          .join(edges.filter(col("u") > col("v"))
+            .select(col("v").as("u"), col("u").as("v"),
+              col("w_uv").as("w_vu")),
+            Seq("u", "v"), "full_outer")
+          .select(col("u"), col("v"),
+            coalesce(col("w_uv"), lit(0L)).as("w_uv"),
+            coalesce(col("w_vu"), lit(0L)).as("w_vu"))
+          .withColumn("w_min", least(col("w_uv"), col("w_vu")))
+        val tot = pairs
+          .agg(sum(col("w_uv") + col("w_vu")).as("w_total"),
+            sum(col("w_min") * 2).as("w_recip"))
+          .select(
+            (expr("(w_recip * 1000000 + w_total div 2) div w_total")
+              .cast("double") / 1000000.0).as("reciprocity"))
+        pairs.crossJoin(tot).orderBy("u", "v")
+      },
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+           FROM events),
+         tr AS (
+           SELECT event_type AS u,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY t, event_id) AS v
+           FROM ev),
+         e AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM tr
+               WHERE v IS NOT NULL AND v <> u GROUP BY 1, 2),
+         p AS (
+           SELECT COALESCE(a.u, b.u) AS u, COALESCE(a.v, b.v) AS v,
+                  COALESCE(a.w, 0) AS w_uv, COALESCE(b.w2, 0) AS w_vu
+           FROM (SELECT u, v, w FROM e WHERE u < v) a
+           FULL OUTER JOIN (SELECT v AS u, u AS v, w AS w2 FROM e
+                            WHERE u > v) b
+             ON a.u = b.u AND a.v = b.v),
+         q AS (SELECT u, v, w_uv, w_vu, LEAST(w_uv, w_vu) AS w_min
+               FROM p),
+         t AS (SELECT SUM(w_uv + w_vu) AS w_total,
+                      SUM(w_min * 2) AS w_recip FROM q)
+         SELECT u, v, w_uv, w_vu, w_min,
+                CAST((w_recip * 1000000 + w_total // 2) // w_total
+                  AS DOUBLE) / 1000000.0 AS reciprocity
+         FROM q, t ORDER BY u, v"""),
   )
 }
