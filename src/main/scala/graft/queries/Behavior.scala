@@ -1791,5 +1791,80 @@ object Behavior {
                 CAST((w_recip * 1000000 + w_total // 2) // w_total
                   AS DOUBLE) / 1000000.0 AS reciprocity
          FROM q, t ORDER BY u, v"""),
+
+    // STATIONARY DISTRIBUTION of the event-type Markov chain by 8
+    // rounds of fixed-point power iteration — where event_transitions
+    // stops at one-step probabilities, this answers "which state does
+    // the process spend its time in at equilibrium". Parity-proof
+    // arithmetic: π lives in exact 1e-12 integer units and each step
+    // is π'_v = Σ_u (π_u·w_uv) div W_u — integer multiply/divide on
+    // positive operands, so Spark's div and DuckDB's // agree exactly
+    // and no float ever enters the recursion (the small downward
+    // drift from truncation is deterministic and identical). The
+    // heavy pass is the one per-user lead() window; the iteration
+    // runs over the |types|²-bounded transition relation (8 chained
+    // domain-sized joins — bounded plan, no driver loop over data).
+    Q("event_markov_stationary",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        val edges = ev
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("u"), col("to_type").as("v"))
+          .agg(count(lit(1)).as("wt"))
+        val rowsum = edges.groupBy("u").agg(sum("wt").as("wu"))
+        val trans = edges.join(rowsum, Seq("u"))
+        val types = edges.select(col("u")).distinct()
+        val nT = types.agg(count(lit(1)).as("nt"))
+        val p0 = types.crossJoin(nT)
+          .select(col("u"), expr("1000000000000 div nt").as("pi"))
+        val pN = (1 to 8).foldLeft(p0) { (p, _) =>
+          types.join(
+            p.join(trans, Seq("u"))
+              .select(col("v").as("u"),
+                expr("(pi * wt) div wu").as("c"))
+              .groupBy("u").agg(sum("c").as("pi")),
+            Seq("u"), "left")
+            .select(col("u"), coalesce(col("pi"), lit(0L)).as("pi"))
+        }
+        pN.select(col("u").as("event_type"),
+            (col("pi").cast("double") / 1.0e12).as("pi_stationary"),
+            lit(8).as("n_iter"))
+          .orderBy("event_type")
+      }, {
+        val steps = (1 to 8).map { i =>
+          s"""p$i AS (
+               SELECT ty.u, CAST(COALESCE(sq.pi, 0) AS BIGINT) AS pi
+               FROM ty LEFT JOIN (
+                 SELECT t.v AS u, SUM((p.pi * t.wt) // t.wu) AS pi
+                 FROM p${i - 1} p JOIN t ON t.u = p.u
+                 GROUP BY t.v) sq ON sq.u = ty.u)"""
+        }.mkString(",\n         ")
+        s"""WITH ev AS (
+              SELECT user_id, event_type, epoch_us(ts) AS tm, event_id
+              FROM events),
+            tr AS (
+              SELECT event_type AS u,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                       ORDER BY tm, event_id) AS v
+              FROM ev),
+            e AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS wt FROM tr
+                  WHERE v IS NOT NULL GROUP BY 1, 2),
+            rs AS (SELECT u, CAST(SUM(wt) AS BIGINT) AS wu FROM e
+                   GROUP BY 1),
+            t AS (SELECT e.u, e.v, e.wt, rs.wu FROM e
+                  JOIN rs ON rs.u = e.u),
+            ty AS (SELECT DISTINCT u FROM e),
+            p0 AS (SELECT u, CAST(1000000000000 //
+                     (SELECT COUNT(*) FROM ty) AS BIGINT) AS pi
+                   FROM ty),
+            $steps
+            SELECT u AS event_type,
+                   CAST(pi AS DOUBLE) / 1e12 AS pi_stationary,
+                   8 AS n_iter
+            FROM p8 ORDER BY event_type"""
+      }),
   )
 }

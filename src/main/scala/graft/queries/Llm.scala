@@ -2550,5 +2550,183 @@ GROUP BY source ORDER BY source"""),
             UNION ALL SELECT CAST(0.90 AS DOUBLE), n90 FROM agg
             UNION ALL SELECT CAST(0.95 AS DOUBLE), n95 FROM agg)
           ORDER BY threshold"""),
+
+    // WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    // MOSS algorithm) — the guarantee text_fingerprint's single
+    // min-hash lacks: selecting the MINIMUM 8-gram hash of every
+    // 4-window means any match of length ≥ w + k − 1 = 11 chars
+    // between two documents shares at least one selected fingerprint.
+    // The declared relation is the per-doc selection audit: gram
+    // count, distinct selected fingerprints, and selection density
+    // (expected ≈ 2/(w+1) = 0.4 for random hashes). Everything is
+    // per-document: the gram hash is the same rolling polynomial as
+    // text_fingerprint, the window min is partitioned by doc_id over
+    // a ≤ |text| frame of 4 rows, and the density is an exact
+    // 1e-6-unit integer division — at 100 TB this is embarrassingly
+    // parallel (partition by doc, no cross-doc exchange until the
+    // final per-doc aggregate).
+    Q("text_winnow_fingerprint",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val grams = documents(s, d)
+          .filter(length(col("text")) >= 8)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), length(col("text")) - 7)).as("i"),
+            col("text"))
+          .select(col("doc_id"), col("i"),
+            expr(s"""aggregate(transform(sequence(0, 7),
+                       j -> CAST(ascii(substring(text, i + j, 1))
+                         AS BIGINT)),
+                     CAST(0 AS BIGINT), (a, c) -> (a * 31 + c) % $P)""")
+              .as("h"))
+        val wD = Window.partitionBy("doc_id").orderBy("i")
+          .rowsBetween(0, 3)
+        val wAll = Window.partitionBy("doc_id")
+        val wins = grams
+          .withColumn("ng", count(lit(1)).over(wAll))
+          .withColumn("wmin", min(col("h")).over(wD))
+          .filter(col("i") <= col("ng") - 3)
+        wins.groupBy("doc_id", "ng")
+          .agg(countDistinct("wmin").as("n_selected"))
+          .select(col("doc_id"), col("ng").as("n_grams"),
+            col("n_selected"),
+            (expr("""(n_selected * 1000000 + (ng - 3) div 2)
+                     div (ng - 3)""").cast("double") / 1000000.0)
+              .as("density"))
+          .orderBy("doc_id")
+      },
+      s"""WITH docs AS (
+            SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+          pos AS (
+            SELECT doc_id, text,
+                   UNNEST(range(1, length(text) - 6)) AS i
+            FROM docs),
+          grams AS (
+            SELECT doc_id, i,
+                   list_reduce(list_transform(range(0, 8),
+                     j -> CAST(ascii(substring(text, i + j, 1))
+                       AS BIGINT)),
+                     (a, c) -> (a * 31 + c) % $P) AS h
+            FROM pos),
+          wins AS (
+            SELECT doc_id, i,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+            FROM grams),
+          m AS (
+            SELECT doc_id, ng,
+                   CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_selected
+            FROM wins WHERE i <= ng - 3 GROUP BY 1, 2)
+          SELECT doc_id, ng AS n_grams, n_selected,
+                 CAST((n_selected * 1000000 + (ng - 3) // 2)
+                   // (ng - 3) AS DOUBLE) / 1000000.0 AS density
+          FROM m ORDER BY doc_id"""),
+
+    // WORD BURSTINESS (Church & Gale): variance-to-mean ratio of
+    // per-document counts for the top-20 corpus words. VMR ≈ 1 is
+    // Poisson (function words spread evenly); VMR ≫ 1 flags bursty
+    // topical words that concentrate in few documents — the signal
+    // separating stopword-like from content-bearing terms without any
+    // language resource. Candidate set is a TakeOrdered top-20 off
+    // the word-count exchange (never a global sort), per-doc counts
+    // ride one broadcast semi-join + partial-agg exchange, and VMR =
+    // (N·Σc² − (Σc)²)/(N·Σc) is an exact integer rational emitted via
+    // 1e-6-unit division (Cauchy–Schwarz keeps the numerator ≥ 0, so
+    // engine truncation semantics agree).
+    Q("text_burstiness",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w0"))
+        val top = toks.groupBy("w0").agg(count(lit(1)).as("tc"))
+          .orderBy(desc("tc"), col("w0")).limit(20)
+        val perDoc = toks.join(broadcast(top.select("w0")), Seq("w0"))
+          .groupBy("w0", "doc_id").agg(count(lit(1)).as("c"))
+        val nDocs = documents(s, d).agg(count(lit(1)).as("nd_all"))
+        perDoc.groupBy("w0")
+          .agg(count(lit(1)).as("n_docs_with"), sum("c").as("sc"),
+            sum(col("c") * col("c")).as("scc"))
+          .crossJoin(nDocs)
+          .select(col("w0").as("word"), col("n_docs_with"),
+            col("sc").as("total_count"),
+            (expr("""((nd_all * scc - sc * sc) * 1000000
+                      + (nd_all * sc) div 2) div (nd_all * sc)""")
+              .cast("double") / 1000000.0).as("vmr"))
+          .orderBy("word")
+      },
+      """WITH toks AS (
+           SELECT doc_id, UNNEST(string_split(text, ' ')) AS w0
+           FROM documents),
+         top AS (SELECT w0 FROM toks GROUP BY w0
+                 ORDER BY COUNT(*) DESC, w0 LIMIT 20),
+         pd AS (SELECT t.w0, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+                FROM toks t JOIN top USING (w0) GROUP BY 1, 2),
+         nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd_all
+                FROM documents),
+         m AS (SELECT w0, CAST(COUNT(*) AS BIGINT) AS n_docs_with,
+                      CAST(SUM(c) AS BIGINT) AS sc,
+                      CAST(SUM(c * c) AS BIGINT) AS scc
+               FROM pd GROUP BY 1)
+         SELECT w0 AS word, n_docs_with, sc AS total_count,
+                CAST(((nd_all * scc - sc * sc) * 1000000
+                      + (nd_all * sc) // 2) // (nd_all * sc)
+                  AS DOUBLE) / 1000000.0 AS vmr
+         FROM m, nd ORDER BY word"""),
+
+    // RANGE (radius) SEARCH — all corpus vectors within cosine ≥ 0.3
+    // of each probe, the fixed-similarity complement of
+    // sim_search_topk's fixed-count contract: dedup wants "everything
+    // closer than τ", not "the 5 closest whatever their distance".
+    // Engine shape is the broadcast-probe scan with the SEQUENTIAL
+    // plain-double HOF fold (sim_search_l2 precedent — IEEE order
+    // fixed in both engines, no decimal pinning); at 100 TB the same
+    // τ-filter runs after IVF cell pruning (cells whose centroid
+    // bound can't reach τ are skipped), which the indexed family
+    // already demonstrates — the declared relation pins the exact
+    // semantics that path must preserve.
+    Q("sim_search_radius",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        emb.crossJoin(broadcast(graft.engine.ml.Similarity.probes(emb)))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            expr("""aggregate(zip_with(probe_emb, embedding,
+                      (x, y) -> cast(x AS double) * cast(y AS double)),
+                    0.0D, (a, v) -> a + v)""").as("dot"),
+            expr("""aggregate(transform(probe_emb,
+                      x -> cast(x AS double) * cast(x AS double)),
+                    0.0D, (a, v) -> a + v)""").as("np"),
+            expr("""aggregate(transform(embedding,
+                      x -> cast(x AS double) * cast(x AS double)),
+                    0.0D, (a, v) -> a + v)""").as("ne"))
+          .select(col("probe_id"), col("vec_id"),
+            (col("dot") / (sqrt(col("np")) * sqrt(col("ne"))))
+              .as("cos"))
+          .filter(col("cos") >= 0.3)
+          .select(col("probe_id"), col("vec_id"),
+            round(col("cos"), 6).as("cos_sim"))
+          .orderBy("probe_id", "vec_id")
+      },
+      """WITH probe_ids AS (
+           SELECT MIN(vec_id) AS probe_id FROM embeddings
+           GROUP BY label),
+         p AS (SELECT e.vec_id AS probe_id, e.embedding AS probe_emb
+               FROM embeddings e JOIN probe_ids ON e.vec_id = probe_id),
+         scored AS (
+           SELECT p.probe_id, e.vec_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+             (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(p.probe_emb[i] AS DOUBLE)), (x, y) -> x + y)) *
+              sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+               AS cos
+           FROM p CROSS JOIN embeddings e WHERE e.vec_id <> p.probe_id)
+         SELECT probe_id, vec_id, ROUND(cos, 6) AS cos_sim
+         FROM scored WHERE cos >= CAST(0.3 AS DOUBLE)
+         ORDER BY probe_id, vec_id"""),
   )
 }
