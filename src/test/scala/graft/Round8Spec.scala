@@ -181,4 +181,49 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
     val p = plan("graph_random_walks")
     assert(p.contains("graft_graph_edges"), p)
   }
+
+  test("time_hurst_rs / time_holt_linear: every unpartitioned stage " +
+      "runs over the day-grain aggregate, never the order stream") {
+    // hurst: the day-index Window's child chain contains the daily
+    // HashAggregate (aggregation below the window in tree print)
+    val p = plan("time_hurst_rs")
+    val winIdx = p.indexOf("Window")
+    val aggBelow = p.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx, p)
+    // holt: one orders scan feeding the fold — no window at all, the
+    // sequential recursion lives in a single HOF aggregate
+    val ph = plan("time_holt_linear")
+    assert(!ph.contains("Window "), ph)
+    assert("Scan parquet".r.findAllIn(ph).size == 1, ph)
+  }
+
+  test("winnowing / reciprocity / markov windows are key-partitioned " +
+      "(doc_id / user_id), never global") {
+    Seq("text_winnow_fingerprint" -> "doc_id",
+        "graph_reciprocity" -> "user_id",
+        "event_markov_stationary" -> "user_id").foreach {
+      case (k, part) =>
+        val p = plan(k)
+        // every Window operator line must carry the partition key
+        p.linesIterator.filter(_.contains("Window [")).foreach { l =>
+          assert(l.contains(part), s"$k has a Window not partitioned " +
+            s"by $part:\n$l")
+        }
+        assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("text_burstiness: top-20 is TakeOrdered + broadcast semi " +
+      "join, no global sort before the limit") {
+    val p = plan("text_burstiness")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_search_radius / time_cross_corr plan no cartesian " +
+      "product (broadcast probe / date-shift equi join)") {
+    assert(!plan("sim_search_radius").contains("CartesianProduct"))
+    assert(!plan("time_cross_corr").contains("CartesianProduct"))
+  }
 }
