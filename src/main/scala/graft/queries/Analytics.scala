@@ -1795,5 +1795,158 @@ object Analytics {
                 b / 100.0 AS trend, (l + b) / 100.0 AS forecast_1,
                 (l + 2.0 * b) / 100.0 AS forecast_2
          FROM fin"""),
+
+    // SAMPLED CLOSENESS CENTRALITY — bounded-radius BFS from the 4
+    // lowest-id nodes of the thresholded co-supply graph (fifth
+    // consumer of the persisted edge artifact): per seed, nodes
+    // reached within 4 hops, total hop distance, and HARMONIC
+    // closeness Σ 1/d — the variant that stays well-defined on
+    // disconnected graphs. Sampling seeds is how closeness runs at
+    // 100 TB (exact all-pairs BFS is quadratic; k sampled sources is
+    // the standard estimator) and the multi-seed frontier is ONE
+    // relation tagged (seed, node), so all 4 BFS trees expand in the
+    // same 4 edge-keyed equi-joins. Parity: harmonic closeness is
+    // kept in exact twelfths (Σ count_d · 12/d is an integer for
+    // d ≤ 4) and divided by 12 once — no float sum of reciprocals.
+    Q("graph_closeness_sampled",
+      (s, d) => {
+        val e = graft.engine.ops.Graph.coOccurrenceEdgesFor(
+            lineitem(s, d).select(col("l_partkey").as("pk"),
+              col("l_suppkey").as("sk")), s"${d}_cosupply")
+          .filter(col("w") >= 25)
+        val und = e.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+        val seeds = und.select(col("u")).distinct()
+          .orderBy("u").limit(4).select(col("u").as("seed"))
+        var frontier = seeds.select(col("seed"), col("seed").as("node"))
+        var levels = List(frontier.withColumn("dd", lit(0L)))
+        (1 to 4).foreach { h =>
+          frontier = frontier.join(und, col("node") === col("u"))
+            .select(col("seed"), col("v").as("node")).distinct()
+          levels = frontier.withColumn("dd", lit(h.toLong)) :: levels
+        }
+        levels.reduce(_ unionByName _)
+          .groupBy("seed", "node").agg(min(col("dd")).as("dist"))
+          .filter(col("dist") > 0)
+          .groupBy("seed")
+          .agg(count(lit(1)).as("n_reached"),
+            sum("dist").as("sum_dist"),
+            sum(expr("12 div dist")).as("h12"))
+          .select(col("seed"), col("n_reached"), col("sum_dist"),
+            (col("h12").cast("double") / 12.0).as("harmonic_closeness"))
+          .orderBy("seed")
+      },
+      """WITH RECURSIVE sp AS (
+           SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+           FROM lineitem),
+         e AS (
+           SELECT x.sk AS a, y.sk AS b
+           FROM sp x JOIN sp y ON x.pk = y.pk AND x.sk < y.sk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 25),
+         edges AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a
+                   FROM e),
+         seeds AS (SELECT u AS seed FROM (SELECT DISTINCT u FROM edges)
+                   ORDER BY u LIMIT 4),
+         walk(seed, node, dd) AS (
+           SELECT seed, seed, 0 FROM seeds
+           UNION
+           SELECT seed, v, dd + 1 FROM walk JOIN edges ON node = u
+           WHERE dd < 4),
+         md AS (SELECT seed, node, MIN(dd) AS dist FROM walk
+                GROUP BY 1, 2),
+         r AS (SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+                      CAST(SUM(dist) AS BIGINT) AS sum_dist,
+                      CAST(SUM(12 // dist) AS BIGINT) AS h12
+               FROM md WHERE dist > 0 GROUP BY 1)
+         SELECT seed, n_reached, sum_dist,
+                CAST(h12 AS DOUBLE) / 12.0 AS harmonic_closeness
+         FROM r ORDER BY seed"""),
+
+    // SINGLE CHANGEPOINT DETECTION (binary-segmentation step): the
+    // split of the daily revenue series minimizing total within-
+    // segment SSE — the offline complement of time_cusum's online
+    // drift alarm. Classic two-pass prefix-moment form: cumulative
+    // S_t (cents, long) and SS_t (DECIMAL(38,0)) over the day-grain
+    // series, then cost(t) = [SS_t − S_t²/t] + [rest] is one
+    // closed-form double per candidate split — every input to the
+    // float expression is an exact integer, so the doubles are
+    // bit-identical across engines and the argmin is a TakeOrdered
+    // (cost, t) limit 1, never a global sort. All windows run over
+    // the calendar-bounded daily aggregate.
+    Q("time_changepoint",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+          .select(col("day"), (col("rev") * 100).cast("long").as("xc"))
+        val w = Window.orderBy("day")
+        val xd = col("xc").cast(DecimalType(19, 0))
+        val pre = daily
+          .withColumn("t", row_number().over(w))
+          .withColumn("st", sum(col("xc")).over(w))
+          .withColumn("sst", sum(xd * xd).over(w))
+        val tot = pre.agg(max("t").as("n"), max("st").as("sn"),
+          max("sst").as("ssn"))
+        val costs = pre.crossJoin(tot)
+          .filter(col("t") < col("n"))
+          .withColumn("lc", col("sst").cast("double") -
+            col("st").cast("double") * col("st").cast("double") /
+              col("t").cast("double"))
+          .withColumn("rc",
+            (col("ssn") - col("sst")).cast("double") -
+              (col("sn") - col("st")).cast("double") *
+                (col("sn") - col("st")).cast("double") /
+                (col("n") - col("t")).cast("double"))
+          .withColumn("cost", col("lc") + col("rc"))
+          .withColumn("ctot", col("ssn").cast("double") -
+            col("sn").cast("double") * col("sn").cast("double") /
+              col("n").cast("double"))
+        costs.orderBy("cost", "t").limit(1)
+          .select(col("day").as("split_day"),
+            col("t").cast("long").as("n_left"),
+            (col("n") - col("t")).cast("long").as("n_right"),
+            (expr("(st * 100 + t div 2) div t").cast("double") /
+              10000.0).as("mean_left"),
+            (expr("((sn - st) * 100 + (n - t) div 2) div (n - t)")
+              .cast("double") / 10000.0).as("mean_right"),
+            (round(lit(1.0) - col("cost") / col("ctot"), 4) + lit(0.0))
+              .as("sse_drop_pct"))
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS xc
+           FROM orders GROUP BY 1),
+         pre AS (
+           SELECT day, xc,
+                  ROW_NUMBER() OVER (ORDER BY day) AS t,
+                  SUM(xc) OVER (ORDER BY day) AS st,
+                  SUM(CAST(xc AS HUGEINT) * xc) OVER (ORDER BY day)
+                    AS sst
+           FROM daily),
+         tot AS (SELECT MAX(t) AS n, MAX(st) AS sn, MAX(sst) AS ssn
+                 FROM pre),
+         costs AS (
+           SELECT day, t, st, n, sn,
+                  (CAST(sst AS DOUBLE) -
+                   CAST(st AS DOUBLE) * CAST(st AS DOUBLE) /
+                     CAST(t AS DOUBLE)) +
+                  (CAST(ssn - sst AS DOUBLE) -
+                   CAST(sn - st AS DOUBLE) * CAST(sn - st AS DOUBLE) /
+                     CAST(n - t AS DOUBLE)) AS cost,
+                  CAST(ssn AS DOUBLE) -
+                  CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) /
+                    CAST(n AS DOUBLE) AS ctot
+           FROM pre, tot WHERE t < n)
+         SELECT day AS split_day, CAST(t AS BIGINT) AS n_left,
+                CAST(n - t AS BIGINT) AS n_right,
+                CAST((st * 100 + t // 2) // t AS DOUBLE) / 10000.0
+                  AS mean_left,
+                CAST(((sn - st) * 100 + (n - t) // 2) // (n - t)
+                  AS DOUBLE) / 10000.0 AS mean_right,
+                ROUND(1.0 - cost / ctot, 4) + 0.0 AS sse_drop_pct
+         FROM costs ORDER BY cost, t LIMIT 1"""),
   )
 }
