@@ -1866,5 +1866,71 @@ object Behavior {
                    8 AS n_iter
             FROM p8 ORDER BY event_type"""
       }),
+
+    // PER-SERIES RATE ANOMALY — a trailing-window Poisson test per
+    // (event_type, day): each day's count against the mean of its own
+    // previous 28 observed days, reporting the TOP-3 most anomalous
+    // days per series by Poisson z² — the per-series, windowed
+    // complement of dq_anomaly's global row-count z (a fixed
+    // threshold would emit nothing on this under-dispersed synthetic
+    // stream; a top-k worklist is also what an operator actually
+    // triages). Parity: the ranking key is the EXACT integer
+    // 1e6·z² = (28c − m)²·10⁶ div (28m), so the selected rows cannot
+    // drift a ulp between engines; λ and z are integer-unit /
+    // closed-form-double emissions. Windows partition by event_type
+    // over the day-grain aggregate: bounded, parallel by series.
+    Q("event_rate_anomaly",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-28, -1)
+        val scored = daily
+          .withColumn("m", sum(col("c")).over(w))
+          .withColumn("nw", count(col("c")).over(w))
+          .filter(col("nw") === 28)
+          .withColumn("num", lit(28) * col("c") - col("m"))
+          .withColumn("score",
+            expr("(num * num * 1000000) div (28 * m)"))
+        val wr = Window.partitionBy("event_type")
+          .orderBy(desc("score"), col("day"))
+        scored.withColumn("rk", row_number().over(wr))
+          .filter(col("rk") <= 3)
+          .select(col("event_type"), col("rk").cast("long").as("rk"),
+            col("day"), col("c").as("n_events"),
+            (expr("(m * 10000 + 14) div 28").cast("double") / 10000.0)
+              .as("baseline_mean"),
+            round(col("num").cast("double") /
+              sqrt(lit(28.0) * col("m").cast("double")), 4)
+              .as("z_score"))
+          .orderBy("event_type", "rk")
+      },
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         sc AS (
+           SELECT event_type, day, c,
+                  SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS m,
+                  COUNT(c) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS nw
+           FROM daily),
+         f AS (SELECT event_type, day, c, m, 28 * c - m AS num,
+                      (28 * c - m) * (28 * c - m) * 1000000
+                        // (28 * m) AS score
+               FROM sc WHERE nw = 28),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY score DESC, day) AS rk
+               FROM f)
+         SELECT event_type, CAST(rk AS BIGINT) AS rk, day,
+                c AS n_events,
+                CAST((m * 10000 + 14) // 28 AS DOUBLE) / 10000.0
+                  AS baseline_mean,
+                ROUND(CAST(num AS DOUBLE) /
+                      sqrt(28.0 * CAST(m AS DOUBLE)), 4) AS z_score
+         FROM r WHERE rk <= 3
+         ORDER BY event_type, rk"""),
   )
 }

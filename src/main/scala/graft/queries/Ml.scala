@@ -1898,6 +1898,75 @@ object Ml {
                             CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) /
                            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 8)
                   AS std_r
-         FROM m ORDER BY i""")
+         FROM m ORDER BY i"""),
+
+    // LABEL-MARGIN SCREEN — the mislabel detector the embedding-QA
+    // family lacked: for every vector, squared distance to its OWN
+    // label centroid vs the closest OTHER centroid; margin < 0 means
+    // the vector sits in another label's territory (a confusable /
+    // mislabeled training example — SemDeDup-adjacent curation
+    // signal). Where vec_centroids ranks within-label outliers, this
+    // ranks BETWEEN-label confusion. Parity: centroids are exact
+    // per-dim decimal sums cast to double once (vec_centroids
+    // precedent); each d² is an exact DECIMAL(24,12) sum of
+    // bit-identical squared gaps, so the own-vs-other comparison and
+    // the margin are decimal-exact — no float min, no order
+    // sensitivity. Per-label aggregate output; the |labels|×64
+    // centroid relation broadcasts, distances are one map-side join
+    // + (vec,label)-keyed partial agg at any scale.
+    Q("vec_label_margin",
+      (s, d) => {
+        val dims = embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("p", "v")))
+          .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
+            col("v").cast("double").as("v"))
+        val cent = dims.groupBy(col("label").as("clabel"), col("i"))
+          .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+            count(lit(1))).as("c"))
+        val d2 = dims.join(broadcast(cent), Seq("i"))
+          .withColumn("sq",
+            ((col("v") - col("c")) * (col("v") - col("c")))
+              .cast(DecimalType(24, 12)))
+          .groupBy("vec_id", "label", "clabel")
+          .agg(sum(col("sq")).as("d2"))
+        val own = d2.filter(col("label") === col("clabel"))
+          .select(col("vec_id"), col("label"), col("d2").as("d_own"))
+        val other = d2.filter(col("label") =!= col("clabel"))
+          .groupBy("vec_id").agg(min(col("d2")).as("d_other"))
+        own.join(other, Seq("vec_id"))
+          .withColumn("margin", col("d_other") - col("d_own"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("margin") < 0, 1L).otherwise(0L))
+              .as("n_confusable"),
+            round(sum("margin").cast("double") / count(lit(1)), 6)
+              .as("avg_margin"))
+          .orderBy("label")
+      },
+      """WITH dims AS (
+           SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, LATERAL unnest(range(1, 65)) AS t(i)),
+         cent AS (
+           SELECT label AS clabel, i,
+                  CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) /
+                    COUNT(*) AS c
+           FROM dims GROUP BY 1, 2),
+         d2 AS (
+           SELECT vec_id, label, clabel,
+                  SUM(CAST((v - c) * (v - c) AS DECIMAL(24,12))) AS d2
+           FROM dims JOIN cent USING (i) GROUP BY 1, 2, 3),
+         own AS (SELECT vec_id, label, d2 AS d_own FROM d2
+                 WHERE label = clabel),
+         oth AS (SELECT vec_id, MIN(d2) AS d_other FROM d2
+                 WHERE label <> clabel GROUP BY 1),
+         m AS (SELECT o.label, ot.d_other - o.d_own AS margin
+               FROM own o JOIN oth ot USING (vec_id))
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                CAST(SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_confusable,
+                ROUND(CAST(SUM(margin) AS DOUBLE) / COUNT(*), 6)
+                  AS avg_margin
+         FROM m GROUP BY 1 ORDER BY label""")
   )
 }
