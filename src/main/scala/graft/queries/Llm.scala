@@ -2728,5 +2728,163 @@ GROUP BY source ORDER BY source"""),
          SELECT probe_id, vec_id, ROUND(cos, 6) AS cos_sim
          FROM scored WHERE cos >= CAST(0.3 AS DOUBLE)
          ORDER BY probe_id, vec_id"""),
+
+    // MAXIMAL MARGINAL RELEVANCE retrieval (Carbonell & Goldstein) —
+    // the diversified top-k that raw cosine ranking lacks: after the
+    // most-relevant hit, each next pick maximizes
+    // λ·sim(probe, x) − (1−λ)·max_{s∈S} sim(x, s) with λ = 0.5, so
+    // near-duplicates of an already-selected result are penalized —
+    // the retrieval-side counterpart of SemDeDup's corpus-side
+    // pruning. Greedy selection is inherently sequential in k, so it
+    // runs as 4 unrolled selection stages over a top-16 candidate
+    // pool per probe (pool from the usual broadcast-probe scan +
+    // per-probe TakeOrdered window; the 16×16 pair-similarity
+    // relation is domain-sized). Parity: every cosine is the
+    // SEQUENTIAL plain-double HOF fold (bit-identical across
+    // engines), argmax ties break on vec_id, and each stage's argmax
+    // is a rank-1 window over a ≤16-row partition — deterministic
+    // selection, no order-sensitive float aggregation anywhere.
+    Q("sim_search_mmr",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = embeddings(s, d)
+        val scoredAll = emb
+          .crossJoin(broadcast(graft.engine.ml.Similarity.probes(emb)))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), col("embedding"),
+            (expr("""aggregate(zip_with(probe_emb, embedding,
+                       (x, y) -> cast(x AS double) * cast(y AS double)),
+                     0.0D, (a, v) -> a + v)""") /
+              (sqrt(expr("""aggregate(transform(probe_emb,
+                              x -> cast(x AS double) * cast(x AS double)),
+                            0.0D, (a, v) -> a + v)""")) *
+               sqrt(expr("""aggregate(transform(embedding,
+                              x -> cast(x AS double) * cast(x AS double)),
+                            0.0D, (a, v) -> a + v)"""))))
+              .as("cos"))
+        val wP = Window.partitionBy("probe_id")
+          .orderBy(desc("cos"), col("vec_id"))
+        val cand = scoredAll.withColumn("rn", row_number().over(wP))
+          .filter(col("rn") <= 16).drop("rn")
+        val pairs = cand.select(col("probe_id"), col("vec_id").as("av"),
+            col("embedding").as("aemb"))
+          .join(cand.select(col("probe_id"), col("vec_id").as("bv"),
+            col("embedding").as("bemb")), Seq("probe_id"))
+          .filter(col("av") =!= col("bv"))
+          .select(col("probe_id"), col("av"), col("bv"),
+            (expr("""aggregate(zip_with(aemb, bemb,
+                       (x, y) -> cast(x AS double) * cast(y AS double)),
+                     0.0D, (a, v) -> a + v)""") /
+              (sqrt(expr("""aggregate(transform(aemb,
+                              x -> cast(x AS double) * cast(x AS double)),
+                            0.0D, (a, v) -> a + v)""")) *
+               sqrt(expr("""aggregate(transform(bemb,
+                              x -> cast(x AS double) * cast(x AS double)),
+                            0.0D, (a, v) -> a + v)"""))))
+              .as("pc"))
+        var sel = cand.withColumn("r0", row_number().over(wP))
+          .filter(col("r0") === 1)
+          .select(col("probe_id"), col("vec_id"),
+            lit(1L).as("rk"), col("cos").as("mmr"))
+        (2 to 5).foreach { t =>
+          val pen = pairs
+            .join(sel.select(col("probe_id"), col("vec_id").as("bv")),
+              Seq("probe_id", "bv"))
+            .groupBy(col("probe_id"), col("av"))
+            .agg(max("pc").as("pen"))
+          val scored = cand
+            .join(sel.select(col("probe_id"), col("vec_id")),
+              Seq("probe_id", "vec_id"), "left_anti")
+            .join(pen.select(col("probe_id"), col("av").as("vec_id"),
+              col("pen")), Seq("probe_id", "vec_id"))
+            .withColumn("score",
+              lit(0.5) * col("cos") - lit(0.5) * col("pen"))
+          val wS = Window.partitionBy("probe_id")
+            .orderBy(desc("score"), col("vec_id"))
+          val pick = scored.withColumn("r", row_number().over(wS))
+            .filter(col("r") === 1)
+            .select(col("probe_id"), col("vec_id"),
+              lit(t.toLong).as("rk"), col("score").as("mmr"))
+          sel = sel.unionByName(pick)
+        }
+        sel.select(col("probe_id"), col("rk"), col("vec_id"),
+            round(col("mmr"), 6).as("mmr_score"))
+          .orderBy("probe_id", "rk")
+      }, {
+        val steps = (2 to 5).map { t =>
+          s"""pen$t AS (
+                SELECT pr.probe_id, pr.av, MAX(pr.pc) AS pen
+                FROM pairs pr JOIN sel${t - 1} s
+                  ON s.probe_id = pr.probe_id AND s.vec_id = pr.bv
+                GROUP BY 1, 2),
+              sc$t AS (
+                SELECT c.probe_id, c.vec_id,
+                       0.5 * c.cos - 0.5 * pn.pen AS score
+                FROM cand c JOIN pen$t pn
+                  ON pn.probe_id = c.probe_id AND pn.av = c.vec_id
+                WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+                  WHERE s.probe_id = c.probe_id
+                    AND s.vec_id = c.vec_id)),
+              s$t AS (
+                SELECT probe_id, vec_id, CAST($t AS BIGINT) AS rk,
+                       score AS mmr
+                FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                        ORDER BY score DESC, vec_id) AS rn FROM sc$t)
+                WHERE rn = 1),
+              sel$t AS (SELECT * FROM sel${t - 1}
+                        UNION ALL SELECT * FROM s$t)"""
+        }.mkString(",\n            ")
+        s"""WITH probe_ids AS (
+              SELECT MIN(vec_id) AS probe_id FROM embeddings
+              GROUP BY label),
+            p AS (SELECT e.vec_id AS probe_id,
+                         e.embedding AS probe_emb
+                  FROM embeddings e
+                  JOIN probe_ids ON e.vec_id = probe_id),
+            scored AS (
+              SELECT p.probe_id, e.vec_id, e.embedding AS emb,
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                       CAST(e.embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y) /
+                (sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                       CAST(p.probe_emb[i] AS DOUBLE)),
+                  (x, y) -> x + y)) *
+                 sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) *
+                       CAST(e.embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y))) AS cos
+              FROM p CROSS JOIN embeddings e
+              WHERE e.vec_id <> p.probe_id),
+            cand AS (
+              SELECT probe_id, vec_id, emb, cos
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                      ORDER BY cos DESC, vec_id) AS rn FROM scored)
+              WHERE rn <= 16),
+            pairs AS (
+              SELECT a.probe_id, a.vec_id AS av, b.vec_id AS bv,
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(a.emb[i] AS DOUBLE) *
+                       CAST(b.emb[i] AS DOUBLE)), (x, y) -> x + y) /
+                (sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> CAST(a.emb[i] AS DOUBLE) *
+                       CAST(a.emb[i] AS DOUBLE)), (x, y) -> x + y)) *
+                 sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> CAST(b.emb[i] AS DOUBLE) *
+                       CAST(b.emb[i] AS DOUBLE)), (x, y) -> x + y)))
+                  AS pc
+              FROM cand a JOIN cand b
+                ON a.probe_id = b.probe_id AND a.vec_id <> b.vec_id),
+            sel1 AS (
+              SELECT probe_id, vec_id, CAST(1 AS BIGINT) AS rk,
+                     cos AS mmr
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                      ORDER BY cos DESC, vec_id) AS rn FROM cand)
+              WHERE rn = 1),
+            $steps
+            SELECT probe_id, rk, vec_id, ROUND(mmr, 6) AS mmr_score
+            FROM sel5 ORDER BY probe_id, rk"""
+      }),
   )
 }
