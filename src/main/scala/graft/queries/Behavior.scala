@@ -1932,5 +1932,104 @@ object Behavior {
                       sqrt(28.0 * CAST(m AS DOUBLE)), 4) AS z_score
          FROM r WHERE rk <= 3
          ORDER BY event_type, rk"""),
+
+    // INTER-ARRIVAL BURSTINESS (Goh & Barabási): per user,
+    // B = (σ − μ)/(σ + μ) over the gaps between consecutive events —
+    // B → −1 periodic, ≈ 0 Poisson, → +1 bursty. The population
+    // summary reports p10/p50/p90 of B and the bursty-user share.
+    // Parity: per-user moments are exact integers (Σdt as long,
+    // Σdt² as DECIMAL(38,0)) and B collapses to
+    // (√(nΣdt²−(Σdt)²) − Σdt)/(√·+Σdt) — one closed-form double on
+    // exact ints, bit-identical across engines. The quantiles are
+    // EXACT rank selections via the two-level histogram drill-down
+    // (rfm_segmentation discipline): band = floor(1000·B) bounds the
+    // cumulative window at 2001 rows and the in-band rank window at
+    // band occupancy — no user-sized single-task window, ever. The
+    // oracle replays the same k-th-smallest with a global rank
+    // (banding preserves (B, user) order, so values are identical).
+    Q("event_interarrival_burstiness",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          unix_micros(col("ts")).as("t"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        val dts = ev.withColumn("dt", col("t") - lag("t", 1).over(w))
+          .filter(col("dt").isNotNull)
+        val dd = col("dt").cast(DecimalType(19, 0))
+        val per = dts.groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum("dt").as("sd"),
+            sum(dd * dd).as("sdd"))
+          .filter(col("n") >= 5 && col("sd") > 0)
+          .withColumn("disc",
+            (col("n").cast(DecimalType(19, 0)) * col("sdd") -
+              col("sd").cast(DecimalType(19, 0)) *
+                col("sd").cast(DecimalType(19, 0))).cast("double"))
+          .withColumn("bv",
+            (sqrt(col("disc")) - col("sd").cast("double")) /
+              (sqrt(col("disc")) + col("sd").cast("double")))
+          .select(col("user_id"), col("bv"))
+        val tot = per.agg(count(lit(1)).as("nu"),
+          sum(when(col("bv") > 0, 1L).otherwise(0L)).as("n_bursty"))
+        val ks = tot.select(col("nu"), col("n_bursty"),
+            explode(array(
+              struct(lit(10).as("q"), expr("(nu + 9) div 10").as("k")),
+              struct(lit(50).as("q"), expr("(nu + 1) div 2").as("k")),
+              struct(lit(90).as("q"),
+                expr("(9 * nu + 9) div 10").as("k")))).as("qk"))
+          .select(col("nu"), col("n_bursty"), col("qk.q"), col("qk.k"))
+        val banded = per
+          .withColumn("band", floor(col("bv") * 1000).cast("long"))
+        val hist = banded.groupBy("band").agg(count(lit(1)).as("c"))
+        val wb = Window.orderBy("band")
+        val cum = hist.withColumn("cum", sum("c").over(wb))
+          .withColumn("prev",
+            coalesce(lag("cum", 1).over(wb), lit(0L)))
+        val target = ks.join(cum,
+          col("cum") >= col("k") && col("prev") < col("k"))
+        val wIn = Window.partitionBy("band").orderBy("bv", "user_id")
+        val rankedIn = banded
+          .withColumn("rkb", row_number().over(wIn))
+          .select(col("band").as("band2"), col("bv"), col("rkb"))
+        target.join(rankedIn,
+            col("band") === col("band2") &&
+              col("rkb") === (col("k") - col("prev")))
+          .select(col("q"), col("nu").as("n_users"), col("n_bursty"),
+            col("k"), col("bv").as("b_value"))
+          .orderBy("q")
+      },
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+         dts AS (
+           SELECT user_id,
+                  t - LAG(t, 1) OVER (PARTITION BY user_id
+                    ORDER BY t, event_id) AS dt
+           FROM ev),
+         per AS (
+           SELECT user_id, COUNT(*) AS n,
+                  CAST(SUM(dt) AS BIGINT) AS sd,
+                  SUM(CAST(dt AS HUGEINT) * dt) AS sdd
+           FROM dts WHERE dt IS NOT NULL GROUP BY 1
+           HAVING COUNT(*) >= 5 AND SUM(dt) > 0),
+         b AS (
+           SELECT user_id,
+                  (sqrt(CAST(n * sdd - CAST(sd AS HUGEINT) * sd
+                     AS DOUBLE)) - CAST(sd AS DOUBLE)) /
+                  (sqrt(CAST(n * sdd - CAST(sd AS HUGEINT) * sd
+                     AS DOUBLE)) + CAST(sd AS DOUBLE)) AS bv
+           FROM per),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+                        CAST(SUM(CASE WHEN bv > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_bursty FROM b),
+         ks AS (
+           SELECT nu, n_bursty, q,
+                  CASE q WHEN 10 THEN (nu + 9) // 10
+                         WHEN 50 THEN (nu + 1) // 2
+                         ELSE (9 * nu + 9) // 10 END AS k
+           FROM tot, (SELECT UNNEST([10, 50, 90]) AS q)),
+         ranked AS (
+           SELECT bv, ROW_NUMBER() OVER (ORDER BY bv, user_id) AS rk
+           FROM b)
+         SELECT q, nu AS n_users, n_bursty, CAST(k AS BIGINT) AS k,
+                bv AS b_value
+         FROM ks JOIN ranked ON rk = k ORDER BY q"""),
   )
 }

@@ -2886,5 +2886,67 @@ GROUP BY source ORDER BY source"""),
             SELECT probe_id, rk, vec_id, ROUND(mmr, 6) AS mmr_score
             FROM sel5 ORDER BY probe_id, rk"""
       }),
+
+    // SIMHASH BIT-BALANCE AUDIT — the sketch-quality diagnostic the
+    // simhash family needs in production: each of the 64 signature
+    // bits should split the corpus ~50/50; a biased bit (here ≥5
+    // points off balance) carries less than one bit of information,
+    // inflating collision rates in the 16-bit chunk index and
+    // silently degrading dedup_simhash recall. One pass over the
+    // per-doc signatures (same engine code path as dedup_simhash —
+    // Dedup.simHash), a 64-way map-side explode, and a bit-keyed
+    // partial agg; the share and the bias flag are exact integer
+    // arithmetic, so nothing can drift between engines.
+    Q("dedup_simhash_balance",
+      (s, d) => {
+        val sigs = Dedup.simHash(documents(s, d))
+        val tot = sigs.agg(count(lit(1)).as("nd"))
+        sigs.select(col("simhash"),
+            explode(sequence(lit(0), lit(63))).as("b"))
+          .withColumn("bit", expr("shiftright(simhash, b) & 1"))
+          .groupBy("b").agg(sum("bit").as("n_set"))
+          .crossJoin(tot)
+          .select(col("b"), col("n_set"),
+            (expr("(n_set * 1000000 + nd div 2) div nd")
+              .cast("double") / 1000000.0).as("pct_set"),
+            (abs(lit(2) * col("n_set") - col("nd")) * 10 >= col("nd"))
+              .as("biased"))
+          .orderBy("b")
+      },
+      """WITH words AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         whash AS (
+           SELECT doc_id, list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+               list_transform(range(1, length(w) + 1),
+                 i -> ascii(substring(w, i, 1))::HUGEINT)),
+             (h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT
+                        * 1099511628211::HUGEINT)
+                       % 18446744073709551616::HUGEINT) AS h
+           FROM words),
+         wsigned AS (
+           SELECT doc_id,
+                  CASE WHEN h >= 9223372036854775808::HUGEINT
+                       THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+                       ELSE h::BIGINT END AS sh
+           FROM whash),
+         sums AS (
+           SELECT doc_id, b,
+                  SUM(CASE WHEN (sh >> b) & 1 = 1 THEN 1 ELSE -1 END)
+                    AS s
+           FROM wsigned, (SELECT unnest(range(0, 64)) AS b)
+           GROUP BY doc_id, b),
+         n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+               FROM sums),
+         bits AS (
+           SELECT b, CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_set
+           FROM sums GROUP BY b)
+         SELECT CAST(b AS INT) AS b, n_set,
+                CAST((n_set * 1000000 + nd // 2) // nd AS DOUBLE)
+                  / 1000000.0 AS pct_set,
+                abs(2 * n_set - nd) * 10 >= nd AS biased
+         FROM bits, n ORDER BY b"""),
   )
 }
