@@ -1967,6 +1967,74 @@ object Ml {
                   AS BIGINT) AS n_confusable,
                 ROUND(CAST(SUM(margin) AS DOUBLE) / COUNT(*), 6)
                   AS avg_margin
-         FROM m GROUP BY 1 ORDER BY label""")
+         FROM m GROUP BY 1 ORDER BY label"""),
+
+    // INTERVAL CONCURRENCY (sweep line) — "how many lineitems are in
+    // the open order→ship window on any given day": the interval-
+    // STABBING count that coverage/gaps don't answer, i.e. the queue-
+    // depth / open-WIP metric of a fulfillment pipeline. Classic
+    // event-sweep: +1 at o_orderdate, −1 the day after l_shipdate,
+    // cumulative sum over the day-grain delta relation (calendar-
+    // bounded window — the zval-histogram discipline), then a
+    // month-keyed rollup of peak / average depth. All integer counts;
+    // the monthly average is a 1e-4-unit integer division and the
+    // peak day is the rank-1 (depth desc, day) row per month — every
+    // window either calendar-sized or month-partitioned.
+    Q("interval_concurrency",
+      (s, d) => {
+        val iv = lineitem(s, d)
+          .join(orders(s, d).select(col("o_orderkey"),
+            col("o_orderdate").cast("date").as("od")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("od"), col("l_shipdate").cast("date").as("sd"))
+        val deltas = iv.select(col("od").as("day"), lit(1L).as("delta"))
+          .unionByName(iv.select(date_add(col("sd"), 1).as("day"),
+            lit(-1L).as("delta")))
+          .groupBy("day").agg(sum("delta").as("dsum"))
+        val w = Window.orderBy("day")
+        val daily = deltas.withColumn("conc", sum("dsum").over(w))
+          .select(col("day"), col("conc"))
+        val wm = Window.partitionBy("month")
+          .orderBy(desc("conc"), col("day"))
+        daily
+          .withColumn("month", date_format(col("day"), "yyyy-MM"))
+          .withColumn("rk", row_number().over(wm))
+          .groupBy("month")
+          .agg(count(lit(1)).as("n_delta_days"),
+            max("conc").as("max_concurrency"),
+            min(when(col("rk") === 1, col("day"))).as("peak_day"),
+            sum("conc").as("sc"))
+          .select(col("month"), col("n_delta_days"),
+            col("max_concurrency"), col("peak_day"),
+            (expr("(sc * 10000 + n_delta_days div 2) div n_delta_days")
+              .cast("double") / 10000.0).as("avg_concurrency"))
+          .orderBy("month")
+      },
+      """WITH iv AS (
+           SELECT CAST(o.o_orderdate AS DATE) AS od,
+                  CAST(l.l_shipdate AS DATE) AS sd
+           FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey),
+         deltas AS (
+           SELECT day, CAST(SUM(delta) AS BIGINT) AS dsum FROM (
+             SELECT od AS day, 1 AS delta FROM iv
+             UNION ALL
+             SELECT CAST(sd + INTERVAL 1 DAY AS DATE), -1 FROM iv)
+             GROUP BY 1),
+         daily AS (
+           SELECT CAST(day AS DATE) AS day,
+                  SUM(dsum) OVER (ORDER BY day) AS conc
+           FROM deltas),
+         ranked AS (
+           SELECT strftime(day, '%Y-%m') AS month, day, conc,
+                  ROW_NUMBER() OVER (PARTITION BY strftime(day, '%Y-%m')
+                    ORDER BY conc DESC, day) AS rk
+           FROM daily)
+         SELECT month, CAST(COUNT(*) AS BIGINT) AS n_delta_days,
+                CAST(MAX(conc) AS BIGINT) AS max_concurrency,
+                MIN(CASE WHEN rk = 1 THEN day END) AS peak_day,
+                CAST((SUM(conc) * 10000 + COUNT(*) // 2) // COUNT(*)
+                  AS DOUBLE) / 10000.0 AS avg_concurrency
+         FROM ranked GROUP BY 1 ORDER BY month""")
   )
 }

@@ -1137,5 +1137,89 @@ object Profiling {
                 (top_c * 1000000 + n // 2) // n >= 990000
                   AS near_constant
          FROM agg ORDER BY col_name"""),
+
+    // COUNT-MIN WIDTH SWEEP — the sizing curve behind agg_countmin's
+    // single sketch: the same depth-4 seeded-md5 CMS built at widths
+    // 16/32/64/128 over the l_partkey stream (thousands of keys, so
+    // narrow widths genuinely collide), probed for EVERY key, and
+    // rolled into the error curve an operator sizes a sketch with:
+    // exact-hit share, mean and worst overestimate per width.
+    // Overestimates are one-sided (est ≥ true) and all arithmetic is
+    // integer, so the sweep replays exactly in SQL. The base hash is
+    // computed once per (item, row) and re-bucketed per width — the
+    // explode cost is 4·depth cells per row into a two-phase
+    // partial-agg whose state is ≤ Σ depth·width cells, the
+    // mergeability that makes CMS distributed.
+    Q("agg_countmin_sweep",
+      (s, d) => {
+        val depth = 4
+        val js = array((0 until depth).map(lit): _*)
+        val ws = array(Seq(16, 32, 64, 128).map(lit): _*)
+        def baseHash(item: org.apache.spark.sql.Column,
+            j: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(item, lit("cm"),
+            j.cast("string"))), 1, 8), 16, 10).cast("long")
+        val base = lineitem(s, d)
+          .select(col("l_partkey").cast("string").as("k"))
+          .withColumn("j", explode(js))
+          .withColumn("h", baseHash(col("k"), col("j")))
+        val cells = base.withColumn("w", explode(ws))
+          .withColumn("cell", col("h") % col("w"))
+          .groupBy("w", "j", "cell").agg(count(lit(1)).as("cnt"))
+        val keys = lineitem(s, d)
+          .groupBy(col("l_partkey").cast("string").as("k"))
+          .agg(count(lit(1)).as("true_cnt"))
+        val est = keys
+          .withColumn("j", explode(js))
+          .withColumn("h", baseHash(col("k"), col("j")))
+          .withColumn("w", explode(ws))
+          .withColumn("cell", col("h") % col("w"))
+          .join(broadcast(cells), Seq("w", "j", "cell"))
+          .groupBy("w", "k", "true_cnt").agg(min("cnt").as("est"))
+          .withColumn("over", col("est") - col("true_cnt"))
+        est.groupBy("w")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("over") === 0, 1L).otherwise(0L))
+              .as("n_exact"),
+            sum("over").as("so"), max("over").as("max_overest"))
+          .select(col("w").as("width"), col("n_keys"), col("n_exact"),
+            (expr("(so * 10000 + n_keys div 2) div n_keys")
+              .cast("double") / 10000.0).as("avg_overest"),
+            col("max_overest"))
+          .orderBy("width")
+      },
+      """WITH js AS (SELECT unnest(range(0, 4)) AS j),
+         ws AS (SELECT unnest([16, 32, 64, 128]) AS w),
+         base AS (
+           SELECT CAST(l_partkey AS VARCHAR) AS k, j,
+                  CAST(('0x' || substring(md5(
+                    CAST(l_partkey AS VARCHAR) || 'cm' || j), 1, 8))
+                    AS BIGINT) AS h
+           FROM lineitem CROSS JOIN js),
+         cells AS (
+           SELECT w, j, h % w AS cell, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM base CROSS JOIN ws GROUP BY 1, 2, 3),
+         keys AS (
+           SELECT CAST(l_partkey AS VARCHAR) AS k,
+                  CAST(COUNT(*) AS BIGINT) AS true_cnt
+           FROM lineitem GROUP BY 1),
+         est AS (
+           SELECT w, k, true_cnt, MIN(cnt) AS est
+           FROM (
+             SELECT ws.w, ky.k, ky.true_cnt, js.j,
+                    CAST(('0x' || substring(md5(ky.k || 'cm' || js.j),
+                      1, 8)) AS BIGINT) % ws.w AS cell
+             FROM keys ky CROSS JOIN js CROSS JOIN ws) p
+           JOIN cells USING (w, j, cell)
+           GROUP BY 1, 2, 3),
+         errs AS (SELECT w, est - true_cnt AS ov FROM est)
+         SELECT CAST(w AS INT) AS width,
+                CAST(COUNT(*) AS BIGINT) AS n_keys,
+                CAST(SUM(CASE WHEN ov = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_exact,
+                CAST((SUM(ov) * 10000 + COUNT(*) // 2) // COUNT(*)
+                  AS DOUBLE) / 10000.0 AS avg_overest,
+                CAST(MAX(ov) AS BIGINT) AS max_overest
+         FROM errs GROUP BY 1 ORDER BY width"""),
   )
 }
