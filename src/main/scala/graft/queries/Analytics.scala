@@ -1948,5 +1948,186 @@ object Analytics {
                   AS DOUBLE) / 10000.0 AS mean_right,
                 ROUND(1.0 - cost / ctot, 4) + 0.0 AS sse_drop_pct
          FROM costs ORDER BY cost, t LIMIT 1"""),
+
+    // PERSONALIZED PAGERANK from a single seed (teleport mass returns
+    // to the seed, not the uniform vector) — the LOCAL relevance
+    // ranking behind related-item / graph-expansion retrieval, where
+    // graph_pagerank's global variant ranks universal hubness. Runs
+    // on the same even/odd-encoded supplier↔part bipartite graph, 8
+    // rounds in EXACT 1e-12 integer units: per-edge flow is
+    // (π_u·85) div (100·deg_u) and the seed gets the fixed 1.5e11
+    // teleport — positive-operand integer division, so both engines
+    // truncate identically and no float enters the recursion (the
+    // event_markov_stationary discipline, here at graph scale: each
+    // round is one edge-keyed equi-join + partial agg). Top-10 by
+    // (π, node) via TakeOrdered.
+    Q("graph_pagerank_personalized",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e0 = lineitem(s, d)
+          .select((col("l_suppkey").cast("bigint") * 2).as("a"),
+            (col("l_partkey").cast("bigint") * 2 + 1).as("b"))
+          .distinct()
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val ed = edges.join(deg, Seq("src"))
+        val seed = e0.agg(min("a").as("seed"))
+        val nodes = edges.select(col("src").as("node")).distinct()
+        var pi = nodes.crossJoin(seed)
+          .select(col("node"), col("seed"),
+            when(col("node") === col("seed"), lit(1000000000000L))
+              .otherwise(lit(0L)).as("pi"))
+        (1 to 8).foreach { _ =>
+          val contrib = pi
+            .join(ed, col("node") === col("src"))
+            .select(col("dst").as("node"),
+              expr("(pi * 85) div (100 * deg)").as("c"))
+            .groupBy("node").agg(sum("c").as("c"))
+          pi = nodes.crossJoin(seed).join(contrib, Seq("node"), "left")
+            .select(col("node"), col("seed"),
+              (coalesce(col("c"), lit(0L)) +
+                when(col("node") === col("seed"),
+                  lit(150000000000L)).otherwise(lit(0L))).as("pi"))
+        }
+        val top = pi.orderBy(desc("pi"), col("node")).limit(10)
+        val w = Window.orderBy(desc("pi"), col("node"))
+        top.withColumn("rk", row_number().over(w).cast("long"))
+          .select(col("rk"), col("node"),
+            (col("pi").cast("double") / 1.0e12).as("ppr"))
+          .orderBy("rk")
+      }, {
+        val steps = (1 to 8).map { i =>
+          s"""p$i AS (
+               SELECT n.node,
+                      CAST(COALESCE(sq.c, 0) +
+                        CASE WHEN n.node = (SELECT seed FROM sd)
+                             THEN 150000000000 ELSE 0 END
+                        AS BIGINT) AS pi
+               FROM nodes n LEFT JOIN (
+                 SELECT e.dst AS node,
+                        SUM((p.pi * 85) // (100 * e.deg)) AS c
+                 FROM p${i - 1} p JOIN ed e ON e.src = p.node
+                 GROUP BY 1) sq ON sq.node = n.node)"""
+        }.mkString(",\n            ")
+        s"""WITH e0 AS (
+              SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS a,
+                     CAST(l_partkey AS BIGINT) * 2 + 1 AS b
+              FROM lineitem),
+            edges AS (SELECT a AS src, b AS dst FROM e0
+                      UNION ALL SELECT b, a FROM e0),
+            deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM edges GROUP BY 1),
+            ed AS (SELECT e.src, e.dst, dg.deg FROM edges e
+                   JOIN deg dg ON dg.src = e.src),
+            sd AS (SELECT MIN(a) AS seed FROM e0),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            p0 AS (SELECT node,
+                     CAST(CASE WHEN node = (SELECT seed FROM sd)
+                          THEN 1000000000000 ELSE 0 END AS BIGINT)
+                     AS pi
+                   FROM nodes),
+            $steps,
+            top AS (SELECT node, pi FROM p8
+                    ORDER BY pi DESC, node LIMIT 10)
+            SELECT ROW_NUMBER() OVER (ORDER BY pi DESC, node) AS rk,
+                   node, CAST(pi AS DOUBLE) / 1e12 AS ppr
+            FROM top ORDER BY rk"""
+      }),
+
+    // Z-ORDER LAYOUT EFFECTIVENESS — the measurement that justifies
+    // sort_zorder / maintain_cluster_rewrite: simulate 64 equal-count
+    // shards under (a) hash layout (l_orderkey % 64 — what an
+    // unclustered table gives you) and (b) z-order layout (the
+    // zval-HISTOGRAM shard map: cumulative window over the ≤2^20
+    // bounded zval domain, shard = ((cum−1)·64) div n — the
+    // maintain_cluster_rewrite device, never a global ntile), collect
+    // per-shard min/max "file stats" on both dims, and count how many
+    // shards a 2-D range probe (x∈[100,130] ∧ y∈[200,230]) can skip.
+    // This is exactly the min/max pruning a 100 TB scan does with
+    // parquet footers; hash layout skips ≈ 0, z-order skips almost
+    // everything — the audit makes the layout win a NUMBER. All
+    // integer arithmetic, rates in 1e-4 units.
+    Q("maintain_zorder_effectiveness",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val zexpr = (0 until 10).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) + " +
+            s"(((y >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+        val base = lineitem(s, d)
+          .select(col("l_orderkey"),
+            (col("l_partkey") % 1024).as("x"),
+            (col("l_suppkey") % 1024).as("y"))
+          .withColumn("zval", expr(zexpr))
+        val tot = base.agg(count(lit(1)).as("n"))
+        val hist = base.groupBy("zval").agg(count(lit(1)).as("c"))
+        val wz = Window.orderBy("zval")
+        val shardMap = hist.withColumn("cum", sum("c").over(wz))
+          .crossJoin(tot)
+          .select(col("zval"), expr("((cum - 1) * 64) div n").as("shard"))
+        val zorder = base.join(shardMap, Seq("zval"))
+          .select(lit("zorder").as("layout"), col("shard"), col("x"),
+            col("y"))
+        val hashed = base.select(lit("hash").as("layout"),
+          (col("l_orderkey") % 64).as("shard"), col("x"), col("y"))
+        zorder.unionByName(hashed)
+          .groupBy("layout", "shard")
+          .agg(min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"))
+          .withColumn("skip_x",
+            when(col("max_x") < 100 || col("min_x") > 130, 1L)
+              .otherwise(0L))
+          .withColumn("skip_xy",
+            when(col("max_x") < 100 || col("min_x") > 130 ||
+              col("max_y") < 200 || col("min_y") > 230, 1L)
+              .otherwise(0L))
+          .groupBy("layout")
+          .agg(count(lit(1)).as("n_shards"),
+            sum("skip_x").as("n_skip_x"),
+            sum("skip_xy").as("n_skip_xy"))
+          .select(col("layout"), col("n_shards"), col("n_skip_x"),
+            col("n_skip_xy"),
+            (expr("(n_skip_xy * 10000 + n_shards div 2) div n_shards")
+              .cast("double") / 10000.0).as("skip_rate_xy"))
+          .orderBy("layout")
+      }, {
+        val zexpr = (0 until 10).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) + " +
+            s"(((y >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+        s"""WITH base AS (
+              SELECT l_orderkey, l_partkey % 1024 AS x,
+                     l_suppkey % 1024 AS y
+              FROM lineitem),
+            bz AS (SELECT l_orderkey, x, y, $zexpr AS zval FROM base),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bz),
+            hist AS (SELECT zval, COUNT(*) AS c FROM bz GROUP BY 1),
+            sm AS (SELECT zval,
+                          ((SUM(c) OVER (ORDER BY zval) - 1) * 64)
+                            // (SELECT n FROM tot) AS shard
+                   FROM hist),
+            layouts AS (
+              SELECT 'zorder' AS layout, sm.shard, x, y
+              FROM bz JOIN sm ON sm.zval = bz.zval
+              UNION ALL
+              SELECT 'hash', l_orderkey % 64, x, y FROM bz),
+            st AS (
+              SELECT layout, shard, MIN(x) AS min_x, MAX(x) AS max_x,
+                     MIN(y) AS min_y, MAX(y) AS max_y
+              FROM layouts GROUP BY 1, 2),
+            fl AS (
+              SELECT layout,
+                     CASE WHEN max_x < 100 OR min_x > 130 THEN 1
+                          ELSE 0 END AS skip_x,
+                     CASE WHEN max_x < 100 OR min_x > 130
+                            OR max_y < 200 OR min_y > 230 THEN 1
+                          ELSE 0 END AS skip_xy
+              FROM st)
+            SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_shards,
+                   CAST(SUM(skip_x) AS BIGINT) AS n_skip_x,
+                   CAST(SUM(skip_xy) AS BIGINT) AS n_skip_xy,
+                   CAST((SUM(skip_xy) * 10000 + COUNT(*) // 2)
+                     // COUNT(*) AS DOUBLE) / 10000.0 AS skip_rate_xy
+            FROM fl GROUP BY 1 ORDER BY layout"""
+      }),
   )
 }

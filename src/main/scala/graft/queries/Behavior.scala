@@ -21,6 +21,39 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Behavior {
 
+  /** Event-type Markov chain pieces shared by event_markov_stationary
+    * and event_markov_entropy: the (u, v, wt, wu) transition relation
+    * and the stationary π after `iters` rounds of the exact
+    * 1e-12-integer-unit power iteration (π'_v = Σ (π_u·w_uv) div W_u —
+    * positive-operand integer division, identical in both engines). */
+  private def markovParts(s: org.apache.spark.sql.SparkSession,
+      d: String, iters: Int):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("t"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val edges = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("u"), col("to_type").as("v"))
+      .agg(count(lit(1)).as("wt"))
+    val rowsum = edges.groupBy("u").agg(sum("wt").as("wu"))
+    val trans = edges.join(rowsum, Seq("u"))
+    val types = edges.select(col("u")).distinct()
+    val nT = types.agg(count(lit(1)).as("nt"))
+    val p0 = types.crossJoin(nT)
+      .select(col("u"), expr("1000000000000 div nt").as("pi"))
+    val pN = (1 to iters).foldLeft(p0) { (p, _) =>
+      types.join(
+        p.join(trans, Seq("u"))
+          .select(col("v").as("u"), expr("(pi * wt) div wu").as("c"))
+          .groupBy("u").agg(sum("c").as("pi")),
+        Seq("u"), "left")
+        .select(col("u"), coalesce(col("pi"), lit(0L)).as("pi"))
+    }
+    (trans, pN)
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Classic cohort-retention triangle: cohort = month of the
@@ -1806,29 +1839,7 @@ object Behavior {
     // domain-sized joins — bounded plan, no driver loop over data).
     Q("event_markov_stationary",
       (s, d) => {
-        val ev = events(s, d).select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("t"), col("event_id"))
-        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
-        val edges = ev
-          .withColumn("to_type", lead(col("event_type"), 1).over(w))
-          .filter(col("to_type").isNotNull)
-          .groupBy(col("event_type").as("u"), col("to_type").as("v"))
-          .agg(count(lit(1)).as("wt"))
-        val rowsum = edges.groupBy("u").agg(sum("wt").as("wu"))
-        val trans = edges.join(rowsum, Seq("u"))
-        val types = edges.select(col("u")).distinct()
-        val nT = types.agg(count(lit(1)).as("nt"))
-        val p0 = types.crossJoin(nT)
-          .select(col("u"), expr("1000000000000 div nt").as("pi"))
-        val pN = (1 to 8).foldLeft(p0) { (p, _) =>
-          types.join(
-            p.join(trans, Seq("u"))
-              .select(col("v").as("u"),
-                expr("(pi * wt) div wu").as("c"))
-              .groupBy("u").agg(sum("c").as("pi")),
-            Seq("u"), "left")
-            .select(col("u"), coalesce(col("pi"), lit(0L)).as("pi"))
-        }
+        val (_, pN) = markovParts(s, d, 8)
         pN.select(col("u").as("event_type"),
             (col("pi").cast("double") / 1.0e12).as("pi_stationary"),
             lit(8).as("n_iter"))
@@ -2031,5 +2042,79 @@ object Behavior {
          SELECT q, nu AS n_users, n_bursty, CAST(k AS BIGINT) AS k,
                 bv AS b_value
          FROM ks JOIN ranked ON rk = k ORDER BY q"""),
+
+    // ENTROPY RATE of the event-type Markov chain —
+    // H = −Σ_u π_u Σ_v p_uv log2 p_uv, the single number summarizing
+    // how predictable the NEXT event is given the current one (0 =
+    // deterministic flow, log2|types| = memoryless uniform). Built on
+    // the same exact-integer stationary π as event_markov_stationary
+    // (shared markovParts); each of the ≤|types|² terms is a closed-
+    // form double on exact integer rationals with ln(x)/ln(2) spelled
+    // out identically in both engines, cast to DECIMAL(20,15) so the
+    // domain-sized sum is order-free, rounded once.
+    Q("event_markov_entropy",
+      (s, d) => {
+        val (trans, pN) = markovParts(s, d, 8)
+        val terms = trans.join(pN, Seq("u"))
+          .withColumn("term",
+            ((col("pi").cast("double") / 1.0e12) *
+              (col("wt").cast("double") / col("wu").cast("double")) *
+              (log(col("wu").cast("double") / col("wt").cast("double"))
+                / log(lit(2.0))))
+              .cast(DecimalType(20, 15)))
+        val nS = pN.agg(count(lit(1)).as("n_states"))
+        terms.agg(count(lit(1)).as("n_transitions"),
+            round(sum("term").cast("double"), 6)
+              .as("entropy_rate_bits"))
+          .crossJoin(nS)
+          .select(col("n_states"), col("n_transitions"),
+            col("entropy_rate_bits"),
+            round(log(col("n_states").cast("double")) / log(lit(2.0)),
+              6).as("max_entropy_bits"))
+      }, {
+        val steps = (1 to 8).map { i =>
+          s"""p$i AS (
+               SELECT ty.u, CAST(COALESCE(sq.pi, 0) AS BIGINT) AS pi
+               FROM ty LEFT JOIN (
+                 SELECT t.v AS u, SUM((p.pi * t.wt) // t.wu) AS pi
+                 FROM p${i - 1} p JOIN t ON t.u = p.u
+                 GROUP BY t.v) sq ON sq.u = ty.u)"""
+        }.mkString(",\n         ")
+        s"""WITH ev AS (
+              SELECT user_id, event_type, epoch_us(ts) AS tm, event_id
+              FROM events),
+            tr AS (
+              SELECT event_type AS u,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                       ORDER BY tm, event_id) AS v
+              FROM ev),
+            e AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS wt FROM tr
+                  WHERE v IS NOT NULL GROUP BY 1, 2),
+            rs AS (SELECT u, CAST(SUM(wt) AS BIGINT) AS wu FROM e
+                   GROUP BY 1),
+            t AS (SELECT e.u, e.v, e.wt, rs.wu FROM e
+                  JOIN rs ON rs.u = e.u),
+            ty AS (SELECT DISTINCT u FROM e),
+            p0 AS (SELECT u, CAST(1000000000000 //
+                     (SELECT COUNT(*) FROM ty) AS BIGINT) AS pi
+                   FROM ty),
+            $steps,
+            terms AS (
+              SELECT CAST(
+                (CAST(pi AS DOUBLE) / 1e12) *
+                (CAST(wt AS DOUBLE) / CAST(wu AS DOUBLE)) *
+                (ln(CAST(wu AS DOUBLE) / CAST(wt AS DOUBLE)) / ln(2.0))
+                AS DECIMAL(20,15)) AS term
+              FROM t JOIN p8 ON p8.u = t.u),
+            ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_states FROM p8)
+            SELECT n_states,
+                   CAST((SELECT COUNT(*) FROM terms) AS BIGINT)
+                     AS n_transitions,
+                   ROUND(CAST((SELECT SUM(term) FROM terms) AS DOUBLE),
+                     6) AS entropy_rate_bits,
+                   ROUND(ln(CAST(n_states AS DOUBLE)) / ln(2.0), 6)
+                     AS max_entropy_bits
+            FROM ns"""
+      }),
   )
 }

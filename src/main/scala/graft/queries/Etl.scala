@@ -1263,5 +1263,52 @@ object Etl {
                 CAST(SUM(CASE WHEN val LIKE '%  %'
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_double_space
          FROM stacked GROUP BY 1 ORDER BY col_name"""),
+
+    // ORDER CONCORDANCE — does the surrogate key's order agree with
+    // event time? Per user, walk events in event_id order and count
+    // adjacent pairs whose timestamp goes BACKWARD: a nonzero
+    // discordance rate means event_id is not ingestion-ordered and
+    // every "ORDER BY id as time" consumer is silently wrong — the
+    // id-vs-time contract check the dq family lacked (dq_sequence_gaps
+    // checks density, dq_freshness recency; this checks ORDER).
+    // Grouped by the leading event's type so a misbehaving producer is
+    // attributable. All windows user-partitioned, all arithmetic
+    // exact integer, the rate a 1e-6-unit division.
+    Q("dq_order_concordance",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        val pairs = ev
+          .withColumn("next_t", lead(col("t"), 1).over(w))
+          .filter(col("next_t").isNotNull)
+          .withColumn("disc",
+            when(col("next_t") < col("t"), 1L).otherwise(0L))
+        pairs.groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("disc").as("n_discordant"))
+          .select(col("event_type"), col("n_pairs"),
+            col("n_discordant"),
+            (expr("(n_discordant * 1000000 + n_pairs div 2) div n_pairs")
+              .cast("double") / 1000000.0).as("discordance_rate"))
+          .orderBy("event_type")
+      },
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+           FROM events),
+         pr AS (
+           SELECT event_type, t,
+                  LEAD(t) OVER (PARTITION BY user_id
+                    ORDER BY event_id) AS next_t
+           FROM ev),
+         m AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                  CAST(SUM(CASE WHEN next_t < t THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_discordant
+           FROM pr WHERE next_t IS NOT NULL GROUP BY 1)
+         SELECT event_type, n_pairs, n_discordant,
+                CAST((n_discordant * 1000000 + n_pairs // 2) // n_pairs
+                  AS DOUBLE) / 1000000.0 AS discordance_rate
+         FROM m ORDER BY event_type"""),
   )
 }
