@@ -884,5 +884,79 @@ object Aggregates {
                       + COUNT(*) // 2) // COUNT(*) AS DOUBLE)
                   / 10000.0 AS trimmed_mean
          FROM kept GROUP BY 1 ORDER BY flag"""),
+
+    // THEIL T INEQUALITY INDEX of per-customer spend by region —
+    // the decomposable inequality measure next to pareto_gini_banded's
+    // Lorenz view: T = (1/n)·Σ (x/μ)·ln(x/μ), 0 = perfect equality,
+    // ln(n) = one customer holds everything. Spend is exact BIGINT
+    // cents (decimal-summed totalprice × 100); the ratio x/μ = x·n/S
+    // is formed as one exact DECIMAL product cast to double ONCE, so
+    // both engines feed ln() bit-identical operands; per-term t·ln(t)
+    // doubles are decimal-pinned before the region sum (order-free),
+    // rounded once. Plan: one customer-key partial agg over orders,
+    // broadcast nation→region dims, one region agg — no window, no
+    // sort, scales as a two-exchange aggregation.
+    Q("agg_theil_index",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val spend = orders(s, d)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) *
+            lit(100)).cast("bigint").as("x"))
+        val geo = customer(s, d)
+          .join(broadcast(nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey").as("custkey"),
+            col("r_name").as("region"))
+        val base = spend.join(geo, Seq("custkey"))
+        val tot = base.groupBy("region")
+          .agg(count(lit(1)).as("n"), sum("x").as("s"))
+        base.join(broadcast(tot), Seq("region"))
+          .withColumn("r",
+            (col("x").cast(DecimalType(38, 0)) * col("n"))
+              .cast("double") / col("s").cast("double"))
+          .withColumn("term",
+            (col("r") * log(col("r"))).cast(DecimalType(24, 12)))
+          .groupBy("region")
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum("term").cast("double") /
+              first(col("n")).cast("double"), 6).as("theil_t"),
+            round(log(first(col("n")).cast("double")), 6)
+              .as("theil_max"))
+          .orderBy("region")
+      },
+      """WITH spend AS (
+           SELECT o_custkey AS custkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         geo AS (
+           SELECT c_custkey AS custkey, r_name AS region
+           FROM customer
+           JOIN nation ON n_nationkey = c_nationkey
+           JOIN region ON r_regionkey = n_regionkey),
+         base AS (
+           SELECT g.region, s.x FROM spend s
+           JOIN geo g ON g.custkey = s.custkey),
+         tot AS (
+           SELECT region, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS s
+           FROM base GROUP BY 1),
+         terms AS (
+           SELECT b.region, t.n,
+                  CAST(
+                    (CAST(CAST(b.x AS DECIMAL(38,0)) * t.n AS DOUBLE)
+                       / CAST(t.s AS DOUBLE)) *
+                    ln(CAST(CAST(b.x AS DECIMAL(38,0)) * t.n AS DOUBLE)
+                       / CAST(t.s AS DOUBLE))
+                    AS DECIMAL(24,12)) AS term
+           FROM base b JOIN tot t ON t.region = b.region)
+         SELECT region, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                ROUND(CAST(SUM(term) AS DOUBLE)
+                  / CAST(MIN(n) AS DOUBLE), 6) AS theil_t,
+                ROUND(ln(CAST(MIN(n) AS DOUBLE)), 6) AS theil_max
+         FROM terms GROUP BY region ORDER BY region"""),
   )
 }

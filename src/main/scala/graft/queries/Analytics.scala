@@ -2129,5 +2129,159 @@ object Analytics {
                      // COUNT(*) AS DOUBLE) / 10000.0 AS skip_rate_xy
             FROM fl GROUP BY 1 ORDER BY layout"""
       }),
+
+    // PARTIAL AUTOCORRELATION (lags 1–3) of the daily revenue series —
+    // the AR-order pick next to time_autocorr's raw ρ_k: PACF removes
+    // the shorter-lag pass-through, so an AR(1) series shows ρ_2 > 0
+    // but PACF_2 ≈ 0 — the cutoff lag IS the model order
+    // (Box–Jenkins). ρ_k comes from the identical exact decimal
+    // moments as time_autocorr (one calendar-bounded lag window, one
+    // agg); the Durbin–Levinson recursion to depth 3 is closed-form
+    // doubles spelled identically in both engines, so no estimator
+    // state diverges. Bounded end-to-end: days → 3 moment rows → 1
+    // pivot row → 3 output rows.
+    Q("time_pacf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("x"))
+        val w = Window.orderBy("day")
+        val pairs = daily
+          .select(col("x"),
+            lag(col("x"), 1).over(w).as("l1"),
+            lag(col("x"), 2).over(w).as("l2"),
+            lag(col("x"), 3).over(w).as("l3"))
+          .selectExpr("x", "stack(3, 1, l1, 2, l2, 3, l3) AS (k, y)")
+          .filter(col("y").isNotNull)
+        val rho = pairs.groupBy("k")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum((col("x") * col("y")).cast(DecimalType(38, 6))).as("sxy"),
+            sum((col("x") * col("x")).cast(DecimalType(38, 6))).as("sxx"),
+            sum((col("y") * col("y")).cast(DecimalType(38, 6))).as("syy"))
+          .select(col("k"),
+            ((col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              sqrt((col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                (col("n").cast("double") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))))
+              .as("rho"))
+        rho.groupBy()
+          .agg(max(when(col("k") === 1, col("rho"))).as("r1"),
+            max(when(col("k") === 2, col("rho"))).as("r2"),
+            max(when(col("k") === 3, col("rho"))).as("r3"))
+          .withColumn("pacf2", (col("r2") - col("r1") * col("r1")) /
+            (lit(1.0) - col("r1") * col("r1")))
+          .withColumn("phi21", col("r1") * (lit(1.0) - col("r2")) /
+            (lit(1.0) - col("r1") * col("r1")))
+          .withColumn("pacf3",
+            (col("r3") - col("phi21") * col("r2") -
+              col("pacf2") * col("r1")) /
+              (lit(1.0) - col("phi21") * col("r1") -
+                col("pacf2") * col("r2")))
+          .selectExpr(
+            "stack(3, 1, r1, r1, 2, r2, pacf2, 3, r3, pacf3) " +
+              "AS (k, rho, pacf)")
+          .select(col("k"), round(col("rho"), 6).as("autocorr"),
+            round(col("pacf"), 6).as("pacf"))
+          .orderBy("k")
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+           FROM orders GROUP BY 1),
+         lagged AS (
+           SELECT x, lag(x, 1) OVER (ORDER BY day) AS l1,
+                  lag(x, 2) OVER (ORDER BY day) AS l2,
+                  lag(x, 3) OVER (ORDER BY day) AS l3
+           FROM daily),
+         pairs AS (
+           SELECT 1 AS k, x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+           UNION ALL
+           SELECT 2, x, l2 FROM lagged WHERE l2 IS NOT NULL
+           UNION ALL
+           SELECT 3, x, l3 FROM lagged WHERE l3 IS NOT NULL),
+         m AS (
+           SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy,
+                  SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+                  SUM(CAST(y * y AS DECIMAL(38,6))) AS syy
+           FROM pairs GROUP BY k),
+         rho AS (
+           SELECT k,
+                  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                       (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    AS rho
+           FROM m),
+         pv AS (
+           SELECT MAX(CASE WHEN k = 1 THEN rho END) AS r1,
+                  MAX(CASE WHEN k = 2 THEN rho END) AS r2,
+                  MAX(CASE WHEN k = 3 THEN rho END) AS r3
+           FROM rho),
+         dl AS (
+           SELECT r1, r2, r3,
+                  (r2 - r1 * r1) / (CAST(1.0 AS DOUBLE) - r1 * r1) AS pacf2,
+                  r1 * (CAST(1.0 AS DOUBLE) - r2) / (CAST(1.0 AS DOUBLE) - r1 * r1) AS phi21
+           FROM pv),
+         fin AS (
+           SELECT r1, r2, r3, pacf2,
+                  (r3 - phi21 * r2 - pacf2 * r1) /
+                  (CAST(1.0 AS DOUBLE) - phi21 * r1 - pacf2 * r2) AS pacf3
+           FROM dl)
+         SELECT 1 AS k, ROUND(r1, 6) AS autocorr, ROUND(r1, 6) AS pacf
+         FROM fin
+         UNION ALL
+         SELECT 2, ROUND(r2, 6), ROUND(pacf2, 6) FROM fin
+         UNION ALL
+         SELECT 3, ROUND(r3, 6), ROUND(pacf3, 6) FROM fin
+         ORDER BY k"""),
+
+    // BIPARTITE PROJECTION of the part↔supplier incidence onto
+    // weighted supplier–supplier "co-supply" edges — the
+    // network-building primitive behind every co-occurrence graph in
+    // the repo (graph_triangles' co-order projection, done here as a
+    // declared top-k relation): weight(s1, s2) = #parts both supply.
+    // The quadratic blow-up is bounded the standard way: work is
+    // Σ_p deg(p)² over DISTINCT (part, supplier) incidences, and
+    // parts with deg(p) > 16 are EXCLUDED by a declared degree screen
+    // (a part supplied by everyone carries no pair signal — same
+    // df-cap rationale as the dedup prefix filter). Top-20 pairs via
+    // TakeOrdered, never a global sort.
+    Q("graph_bipartite_projection",
+      (s, d) => {
+        val inc = lineitem(s, d)
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct()
+        val deg = inc.groupBy("pk").agg(count(lit(1)).as("dp"))
+        val kept = inc.join(deg.filter(col("dp").between(2, 16)), Seq("pk"))
+        val pairs = kept.as("a").join(kept.as("b"),
+            col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+          .groupBy(col("a.sk").as("s1"), col("b.sk").as("s2"))
+          .agg(count(lit(1)).as("weight"))
+        pairs.orderBy(desc("weight"), col("s1"), col("s2")).limit(20)
+      },
+      """WITH inc AS (
+           SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+           FROM lineitem),
+         deg AS (
+           SELECT pk, COUNT(*) AS dp FROM inc GROUP BY 1),
+         kept AS (
+           SELECT i.pk, i.sk FROM inc i
+           JOIN deg d ON d.pk = i.pk AND d.dp BETWEEN 2 AND 16),
+         pairs AS (
+           SELECT a.sk AS s1, b.sk AS s2,
+                  CAST(COUNT(*) AS BIGINT) AS weight
+           FROM kept a JOIN kept b
+             ON a.pk = b.pk AND a.sk < b.sk
+           GROUP BY 1, 2)
+         SELECT s1, s2, weight FROM pairs
+         ORDER BY weight DESC, s1, s2 LIMIT 20"""),
   )
 }

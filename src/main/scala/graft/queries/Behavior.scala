@@ -21,14 +21,17 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Behavior {
 
-  /** Event-type Markov chain pieces shared by event_markov_stationary
-    * and event_markov_entropy: the (u, v, wt, wu) transition relation
-    * and the stationary π after `iters` rounds of the exact
-    * 1e-12-integer-unit power iteration (π'_v = Σ (π_u·w_uv) div W_u —
-    * positive-operand integer division, identical in both engines). */
+  /** Event-type Markov chain pieces shared by event_markov_stationary,
+    * event_markov_entropy, and event_markov_convergence: the
+    * (u, v, wt, wu) transition relation and EVERY intermediate π of the
+    * exact 1e-12-integer-unit power iteration (π'_v = Σ (π_u·w_uv)
+    * div W_u — positive-operand integer division, identical in both
+    * engines). Returned seq is π_0 (uniform) through π_iters; each π is
+    * a |types|-sized relation, so keeping all of them materializes
+    * nothing row-scaled. */
   private def markovParts(s: org.apache.spark.sql.SparkSession,
       d: String, iters: Int):
-      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
     val ev = events(s, d).select(col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("t"), col("event_id"))
     val w = Window.partitionBy("user_id").orderBy("t", "event_id")
@@ -43,7 +46,7 @@ object Behavior {
     val nT = types.agg(count(lit(1)).as("nt"))
     val p0 = types.crossJoin(nT)
       .select(col("u"), expr("1000000000000 div nt").as("pi"))
-    val pN = (1 to iters).foldLeft(p0) { (p, _) =>
+    val pis = (1 to iters).scanLeft(p0) { (p, _) =>
       types.join(
         p.join(trans, Seq("u"))
           .select(col("v").as("u"), expr("(pi * wt) div wu").as("c"))
@@ -51,7 +54,7 @@ object Behavior {
         Seq("u"), "left")
         .select(col("u"), coalesce(col("pi"), lit(0L)).as("pi"))
     }
-    (trans, pN)
+    (trans, pis)
   }
 
   val qs: Seq[Q] = Seq(
@@ -1839,7 +1842,8 @@ object Behavior {
     // domain-sized joins — bounded plan, no driver loop over data).
     Q("event_markov_stationary",
       (s, d) => {
-        val (_, pN) = markovParts(s, d, 8)
+        val (_, pis) = markovParts(s, d, 8)
+        val pN = pis.last
         pN.select(col("u").as("event_type"),
             (col("pi").cast("double") / 1.0e12).as("pi_stationary"),
             lit(8).as("n_iter"))
@@ -2054,7 +2058,8 @@ object Behavior {
     // domain-sized sum is order-free, rounded once.
     Q("event_markov_entropy",
       (s, d) => {
-        val (trans, pN) = markovParts(s, d, 8)
+        val (trans, pis) = markovParts(s, d, 8)
+        val pN = pis.last
         val terms = trans.join(pN, Seq("u"))
           .withColumn("term",
             ((col("pi").cast("double") / 1.0e12) *
@@ -2115,6 +2120,73 @@ object Behavior {
                    ROUND(ln(CAST(n_states AS DOUBLE)) / ln(2.0), 6)
                      AS max_entropy_bits
             FROM ns"""
+      }),
+
+    // CONVERGENCE CURVE of the power iteration behind
+    // event_markov_stationary: total-variation distance
+    // TV_t = ½·Σ_u |π_t(u) − π_8(u)| for every round t = 1..8 — the
+    // audit that says how many rounds the fixed 8-round budget
+    // actually NEEDED (TV_8 ≡ 0 by construction; the first t with
+    // TV_t ≈ 0 is the answer). All π's live in the same exact 1e-12
+    // integer units, so |Δ| sums are exact BIGINTs and the halving is
+    // one integer shift — no float enters until the final /1e12
+    // display division. Every π_t is a |types|-sized relation: the 8
+    // tagged frames union to ≤ 8·|types| rows, joined once against
+    // π_8 — domain-sized end to end.
+    Q("event_markov_convergence",
+      (s, d) => {
+        val (_, pis) = markovParts(s, d, 8)
+        val fin = pis.last.select(col("u"), col("pi").as("pi_fin"))
+        val tagged = (1 to 8).map { t =>
+          pis(t).select(lit(t).cast("int").as("t"), col("u"), col("pi"))
+        }.reduce(_ unionAll _)
+        tagged.join(fin, Seq("u"))
+          .groupBy("t")
+          .agg(count(lit(1)).as("n_states"),
+            sum(abs(col("pi") - col("pi_fin"))).as("l1"))
+          .select(col("t"), col("n_states"),
+            (expr("(l1 div 2)").cast("double") / 1.0e12)
+              .as("tv_distance"))
+          .orderBy("t")
+      }, {
+        val steps = (1 to 8).map { i =>
+          s"""p$i AS (
+               SELECT ty.u, CAST(COALESCE(sq.pi, 0) AS BIGINT) AS pi
+               FROM ty LEFT JOIN (
+                 SELECT t.v AS u, SUM((p.pi * t.wt) // t.wu) AS pi
+                 FROM p${i - 1} p JOIN t ON t.u = p.u
+                 GROUP BY t.v) sq ON sq.u = ty.u)"""
+        }.mkString(",\n            ")
+        val tagged = (1 to 8).map { t =>
+          s"SELECT $t AS t, u, pi FROM p$t"
+        }.mkString("\n              UNION ALL ")
+        s"""WITH ev AS (
+              SELECT user_id, event_type, epoch_us(ts) AS tm, event_id
+              FROM events),
+            tr AS (
+              SELECT event_type AS u,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                       ORDER BY tm, event_id) AS v
+              FROM ev),
+            e AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS wt FROM tr
+                  WHERE v IS NOT NULL GROUP BY 1, 2),
+            rs AS (SELECT u, CAST(SUM(wt) AS BIGINT) AS wu FROM e
+                   GROUP BY 1),
+            t AS (SELECT e.u, e.v, e.wt, rs.wu FROM e
+                  JOIN rs ON rs.u = e.u),
+            ty AS (SELECT DISTINCT u FROM e),
+            p0 AS (SELECT u, CAST(1000000000000 //
+                     (SELECT COUNT(*) FROM ty) AS BIGINT) AS pi
+                   FROM ty),
+            $steps,
+            tagged AS (
+              $tagged)
+            SELECT CAST(x.t AS INTEGER) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS n_states,
+                   CAST((SUM(ABS(x.pi - f.pi)) // 2) AS DOUBLE) / 1e12
+                     AS tv_distance
+            FROM tagged x JOIN p8 f ON f.u = x.u
+            GROUP BY x.t ORDER BY t"""
       }),
   )
 }

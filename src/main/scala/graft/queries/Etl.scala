@@ -1310,5 +1310,95 @@ object Etl {
                 CAST((n_discordant * 1000000 + n_pairs // 2) // n_pairs
                   AS DOUBLE) / 1000000.0 AS discordance_rate
          FROM m ORDER BY event_type"""),
+
+    // COMPLETENESS TREND — is a column's missingness DRIFTING over
+    // ingestion history? Per-month null rate of a field plus the OLS
+    // slope of rate-vs-month: a flat nonzero rate is a lossy-but-
+    // stable producer, a positive slope is active decay that a
+    // point-in-time null-rate check (dq_checks) can never see. The
+    // testdata has no natural nulls, so missingness is PLANTED
+    // deterministically — md5(o_orderkey) % 1000 < 5·month_idx, a
+    // linear-in-time decay both engines replay bit-identically (the
+    // dq_referential planted-drift device). Rates are ROUND-tie-proof
+    // integer 1e-6-unit divisions; the slope comes from exact BIGINT
+    // moments over the ≤80-month relation. Plan: one month-grain
+    // partial agg + a broadcast month-zero bound — no window over
+    // rows.
+    Q("dq_completeness_trend",
+      (s, d) => {
+        val o = orders(s, d)
+          .select(col("o_orderkey").as("k"),
+            col("o_orderdate").cast("date").as("dt"))
+        val m0 = o.agg(min(expr("year(dt) * 12 + month(dt)")).as("m0"))
+        val flagged = o.crossJoin(broadcast(m0))
+          .withColumn("month_idx",
+            (expr("year(dt) * 12 + month(dt)") - col("m0")).cast("int"))
+          .withColumn("is_missing",
+            when(expr("conv(substring(md5(CAST(k AS STRING)), 1, 8)" +
+              ", 16, 10) % 1000") < lit(5) * col("month_idx"), 1L)
+              .otherwise(0L))
+        val monthly = flagged.groupBy("month_idx")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("is_missing").as("n_missing"))
+          .withColumn("rate_u",
+            expr("(n_missing * 1000000 + n_rows div 2) div n_rows"))
+        val reg = monthly.agg(count(lit(1)).as("nm"),
+            sum("month_idx").as("sx"), sum("rate_u").as("sy"),
+            sum(col("month_idx").cast("bigint") * col("rate_u"))
+              .as("sxy"),
+            sum(col("month_idx").cast("bigint") * col("month_idx"))
+              .as("sxx"))
+          .select(round(
+            (col("nm").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("nm").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) /
+              lit(1.0e6), 8).as("slope_per_month"))
+        monthly.crossJoin(broadcast(reg))
+          .select(col("month_idx"), col("n_rows"), col("n_missing"),
+            (col("rate_u").cast("double") / 1.0e6).as("missing_rate"),
+            col("slope_per_month"))
+          .orderBy("month_idx")
+      },
+      """WITH o AS (
+           SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS dt
+           FROM orders),
+         m0 AS (
+           SELECT MIN(year(dt) * 12 + month(dt)) AS m0 FROM o),
+         flagged AS (
+           SELECT CAST(year(dt) * 12 + month(dt)
+                    - (SELECT m0 FROM m0) AS INTEGER) AS month_idx,
+                  CASE WHEN CAST(('0x' || substring(
+                         md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)
+                         % 1000
+                       < 5 * (year(dt) * 12 + month(dt)
+                              - (SELECT m0 FROM m0))
+                       THEN 1 ELSE 0 END AS is_missing
+           FROM o),
+         monthly AS (
+           SELECT month_idx, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(is_missing) AS BIGINT) AS n_missing
+           FROM flagged GROUP BY 1),
+         rated AS (
+           SELECT month_idx, n_rows, n_missing,
+                  (n_missing * 1000000 + n_rows // 2) // n_rows
+                    AS rate_u
+           FROM monthly),
+         reg AS (
+           SELECT ROUND(
+                    (CAST(COUNT(*) AS DOUBLE) *
+                       CAST(SUM(month_idx * rate_u) AS DOUBLE) -
+                     CAST(SUM(month_idx) AS DOUBLE) *
+                       CAST(SUM(rate_u) AS DOUBLE)) /
+                    (CAST(COUNT(*) AS DOUBLE) *
+                       CAST(SUM(month_idx * month_idx) AS DOUBLE) -
+                     CAST(SUM(month_idx) AS DOUBLE) *
+                       CAST(SUM(month_idx) AS DOUBLE)) / 1e6,
+                    8) AS slope_per_month
+           FROM rated)
+         SELECT month_idx, n_rows, n_missing,
+                CAST(rate_u AS DOUBLE) / 1e6 AS missing_rate,
+                slope_per_month
+         FROM rated CROSS JOIN reg ORDER BY month_idx"""),
   )
 }

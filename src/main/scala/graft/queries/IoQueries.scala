@@ -1204,5 +1204,65 @@ object IoQueries {
                    MIN(zval) AS z_min, MAX(zval) AS z_max
             FROM sharded GROUP BY shard ORDER BY shard"""
       }),
+
+    // PARQUET BLOOM FILTER SINK — point-lookup acceleration for the
+    // lakehouse layout family (sink_zstd: codec, sink_sorted_stats:
+    // min/max, this: membership): writes with a bloom filter on
+    // l_partkey (parquet.bloom.filter.enabled#col), PROVES the filter
+    // landed by reading the footer back (every row group's l_partkey
+    // chunk must carry a bloom offset — not just the write option
+    // being accepted), then runs the equality-probe read the filter
+    // exists for. At 100 TB the bloom turns a needle-in-haystack
+    // point lookup from "decode every row group the min/max range
+    // admits" into "skip all but the true hits" — min/max stats are
+    // useless for a high-NDV unsorted column, which is exactly this
+    // probe. Declared relation = the probe read-back aggregate.
+    Q("sink_bloom_filter",
+      (s, d) => {
+        import scala.jdk.CollectionConverters._
+        val out = scratch(d, "bloomf")
+        lineitem(s, d).filter(col("l_orderkey") < 2000)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#l_partkey", "true")
+          .option("parquet.bloom.filter.expected.ndv#l_partkey", "20000")
+          // parquet-mr SKIPS the bloom filter for a column whose every
+          // page is dictionary-encoded (the dictionary already answers
+          // membership); at small SFs l_partkey dict-encodes, so force
+          // plain encoding for it — at 100 TB the column would blow the
+          // dictionary-size threshold and take this path anyway.
+          .option("parquet.enable.dictionary#l_partkey", "false")
+          .parquet(out)
+        val conf = s.sparkContext.hadoopConfiguration
+        val fsys = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(conf)
+        val files = fsys.listStatus(new org.apache.hadoop.fs.Path(out))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        require(files.nonEmpty, s"no parquet files written under $out")
+        files.foreach { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(p, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val ok = r.getFooter.getBlocks.asScala.forall(
+              _.getColumns.asScala.exists(c =>
+                c.getPath.toDotString == "l_partkey" &&
+                  c.getBloomFilterOffset >= 0))
+            require(ok, s"row group in ${p.getName} missing " +
+              "l_partkey bloom filter")
+          } finally r.close()
+        }
+        s.read.parquet(out)
+          .filter(col("l_partkey") % 1000 === 17)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            dsum(col("l_quantity"), 2).as("qty"))
+      },
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS qty
+         FROM lineitem
+         WHERE l_orderkey < 2000 AND l_partkey % 1000 = 17"""),
   )
 }
