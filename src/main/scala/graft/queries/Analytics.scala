@@ -2283,5 +2283,71 @@ object Analytics {
            GROUP BY 1, 2)
          SELECT s1, s2, weight FROM pairs
          ORDER BY weight DESC, s1, s2 LIMIT 20"""),
+
+    // MANN–KENDALL TREND TEST on the daily revenue series — the
+    // nonparametric companion to time_theilsen_trend's slope (same
+    // quadratic-in-the-CALENDAR discipline: the pair self-join is over
+    // days, never rows): S = Σ_{i<j} sign(x_j − x_i) on exact decimal
+    // revenues, the tie-corrected variance
+    // (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18 from exact BIGINT
+    // numerators, and the continuity-corrected Z = (S − sign(S)) /
+    // sqrt(Var). S and both variance numerators never see a float;
+    // the single division by 18.0 and the sqrt are spelled identically
+    // in both engines.
+    Q("time_mann_kendall",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("x"))
+        val sStat = daily.as("a").join(daily.as("b"),
+            col("a.day") < col("b.day"))
+          .agg(sum(signum(col("b.x") - col("a.x")).cast("bigint"))
+            .as("s_stat"))
+        val nDays = daily.agg(count(lit(1)).as("n"))
+        val ties = daily.groupBy("x").agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+            .as("tie_num"))
+        sStat.crossJoin(nDays).crossJoin(ties)
+          .withColumn("var_num",
+            expr("n * (n - 1) * (2 * n + 5) - tie_num"))
+          .select(col("n").as("n_days"), col("s_stat"),
+            (col("var_num").cast("double") / lit(18.0)).as("var_s"),
+            round((col("s_stat") - signum(col("s_stat")).cast("bigint"))
+              .cast("double") /
+              sqrt(col("var_num").cast("double") / lit(18.0)), 6)
+              .as("z_score"),
+            signum(col("s_stat")).cast("int").as("trend_sign"))
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+           FROM orders GROUP BY 1),
+         s AS (
+           SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                                WHEN b.x < a.x THEN -1
+                                ELSE 0 END) AS BIGINT) AS s_stat
+           FROM daily a JOIN daily b ON a.day < b.day),
+         nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+         ties AS (
+           SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+             AS BIGINT) AS tie_num
+           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+                 FROM daily GROUP BY x)),
+         v AS (
+           SELECT n, s_stat, tie_num,
+                  n * (n - 1) * (2 * n + 5) - tie_num AS var_num
+           FROM s CROSS JOIN nd CROSS JOIN ties)
+         SELECT n AS n_days, s_stat,
+                CAST(var_num AS DOUBLE) / 18.0 AS var_s,
+                ROUND(CAST(s_stat - CASE WHEN s_stat > 0 THEN 1
+                                         WHEN s_stat < 0 THEN -1
+                                         ELSE 0 END AS DOUBLE) /
+                      sqrt(CAST(var_num AS DOUBLE) / 18.0), 6)
+                  AS z_score,
+                CAST(CASE WHEN s_stat > 0 THEN 1
+                          WHEN s_stat < 0 THEN -1 ELSE 0 END
+                  AS INTEGER) AS trend_sign
+         FROM v"""),
   )
 }

@@ -2188,5 +2188,57 @@ object Behavior {
             FROM tagged x JOIN p8 f ON f.u = x.u
             GROUP BY x.t ORDER BY t"""
       }),
+
+    // DWELL TIME per event type — how long does a user sit on each
+    // event before the next one? Gap to the user's next event (exact
+    // integer µs off the (ts, event_id) total order) attributed to
+    // the CURRENT event's type — the engagement-cost view next to
+    // win_lag_lead's raw gaps and event_transitions' destinations.
+    // Mean is a ROUND-tie-proof integer millisecond division; the
+    // dwell share of total is a 1e-6-unit integer ratio. One
+    // user-partitioned lead window + one agg.
+    Q("event_dwell_time",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        val dw = ev.withColumn("next_t", lead(col("t"), 1).over(w))
+          .filter(col("next_t").isNotNull)
+          .select(col("event_type"), (col("next_t") - col("t")).as("g"))
+        val tot = dw.agg(sum("g").as("total_g"))
+        dw.groupBy("event_type")
+          .agg(count(lit(1)).as("n_dwells"), sum("g").as("dwell_us"),
+            max("g").as("max_us"), min("g").as("min_us"))
+          .crossJoin(broadcast(tot))
+          .select(col("event_type"), col("n_dwells"),
+            expr("(dwell_us div 1000 + n_dwells div 2) div n_dwells")
+              .as("mean_ms"),
+            col("max_us"), col("min_us"),
+            // share ratio at SECOND granularity: µs totals × 1e6
+            // overflow BIGINT once the corpus carries ~10^5 user-days
+            (expr("((dwell_us div 1000000) * 1000000 + " +
+              "(total_g div 1000000) div 2) div (total_g div 1000000)")
+              .cast("double") / 1.0e6).as("share_of_total"))
+          .orderBy("event_type")
+      },
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+           FROM events),
+         dw AS (
+           SELECT event_type,
+                  LEAD(t) OVER (PARTITION BY user_id
+                    ORDER BY t, event_id) - t AS g
+           FROM ev QUALIFY g IS NOT NULL),
+         tot AS (SELECT CAST(SUM(g) AS BIGINT) AS total_g FROM dw)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_dwells,
+                (CAST(SUM(g) AS BIGINT) // 1000 + COUNT(*) // 2)
+                  // COUNT(*) AS mean_ms,
+                CAST(MAX(g) AS BIGINT) AS max_us,
+                CAST(MIN(g) AS BIGINT) AS min_us,
+                CAST(((CAST(SUM(g) AS BIGINT) // 1000000) * 1000000
+                      + ((SELECT total_g FROM tot) // 1000000) // 2)
+                     // ((SELECT total_g FROM tot) // 1000000)
+                  AS DOUBLE) / 1e6 AS share_of_total
+         FROM dw GROUP BY event_type ORDER BY event_type"""),
   )
 }

@@ -1389,5 +1389,136 @@ FROM wt ORDER BY lang, source"""),
          SELECT normalization, CAST(n_groups AS BIGINT) AS n_groups,
                 n_dup_rows
          FROM u ORDER BY normalization"""),
+
+    // FLESCH READING-EASE per language — the classic readability
+    // screen next to text_quality's length/stopword heuristics:
+    // sentences = [.!?]+ runs (min 1/doc), words = whitespace tokens,
+    // syllables ≈ [aeiouy]+ vowel runs (the standard regex proxy).
+    // All three are exact per-doc BIGINT counts summed per lang; the
+    // score is computed ONCE per lang from the exact totals as a
+    // single-rational integer division — F = (206.835·S·W − 1.015·W²
+    // − 84.6·Y·S)/(S·W) in 1e-3-scaled BIGINT numerator units,
+    // sign-split because low-quality corpora go negative (Spark div
+    // truncates, DuckDB // floors). One partial-agg exchange; no
+    // windows, no per-doc floats.
+    Q("text_readability",
+      (s, d) => {
+        val base = documents(s, d).select(col("lang"),
+          greatest(lit(1L),
+            expr("CAST(regexp_count(text, '[.!?]+') AS BIGINT)"))
+            .as("sentences"),
+          expr("CAST(size(filter(split(text, '\\\\s+'), " +
+            "t -> t != '')) AS BIGINT)").as("words"),
+          expr("CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT)")
+            .as("syllables"))
+        base.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("sentences").as("s"), sum("words").as("w"),
+            sum("syllables").as("y"))
+          .withColumn("num",
+            expr("206835 * s * w - 1015 * w * w - 84600 * y * s"))
+          .withColumn("den", expr("s * w"))
+          .select(col("lang"), col("n_docs"), col("s").as("n_sentences"),
+            col("w").as("n_words"), col("y").as("n_syllables"),
+            (when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+              expr("(abs(num) div 100 + den div 2) div den"))
+              .cast("double").divide(lit(10.0)).as("flesch_score"))
+          .orderBy("lang")
+      },
+      """WITH base AS (
+           SELECT lang,
+                  GREATEST(1, CAST(len(regexp_extract_all(text,
+                    '[.!?]+')) AS BIGINT)) AS sentences,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'),
+                    t -> t != '')) AS BIGINT) AS words,
+                  CAST(len(regexp_extract_all(lower(text),
+                    '[aeiouy]+')) AS BIGINT) AS syllables
+           FROM documents),
+         agg AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(sentences) AS BIGINT) AS s,
+                  CAST(SUM(words) AS BIGINT) AS w,
+                  CAST(SUM(syllables) AS BIGINT) AS y
+           FROM base GROUP BY 1),
+         f AS (
+           SELECT lang, n_docs, s, w, y,
+                  206835 * s * w - 1015 * w * w - 84600 * y * s AS num,
+                  s * w AS den
+           FROM agg)
+         SELECT lang, n_docs, s AS n_sentences, w AS n_words,
+                y AS n_syllables,
+                CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+                  ((ABS(num) // 100 + den // 2) // den) AS DOUBLE)
+                  / 10.0 AS flesch_score
+         FROM f ORDER BY lang"""),
+
+    // TOKEN-BUDGET MIX — "fill a 40% token budget with the
+    // highest-quality documents": the budgeting verb between
+    // mix_by_quality's fixed per-bucket rates and curate_corpus's
+    // threshold keep-list. BAND-GRANULAR by declared construction
+    // (the pareto_gini_banded discipline): docs land in 0.05-wide
+    // quality bands (double×20 floor spelled identically in both
+    // engines — the quality_calibration boundary lesson), the
+    // cumulative-token window runs over the ≤21-row band histogram
+    // (never over docs), and each band's status is full / boundary /
+    // excluded against the exact integer budget B = (total·2) div 5.
+    // At 100 TB the only shuffle is the band aggregation; resolving
+    // the boundary band to individual docs is the caller's second,
+    // band-pruned pass.
+    Q("mix_token_budget",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val q = graft.engine.ml.Text.qualityScore(documents(s, d),
+          Seq("join", "filter", "sort", "hash", "scan"))
+          .select(col("doc_id"), col("quality"),
+            col("n_tokens").cast("bigint").as("tokens"))
+        val bands = q
+          .withColumn("band",
+            floor(col("quality") * lit(20.0)).cast("int"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_docs"), sum("tokens").as("band_tokens"))
+        val tot = bands.agg(sum("band_tokens").as("total"))
+          .select(expr("(total * 2) div 5").as("budget"))
+        val w = Window.orderBy(desc("band"))
+        bands.crossJoin(broadcast(tot))
+          .withColumn("cum_tokens", sum("band_tokens").over(w))
+          .select(col("band"), col("n_docs"), col("band_tokens"),
+            col("cum_tokens"), col("budget"),
+            when(col("cum_tokens") <= col("budget"), lit("full"))
+              .when(col("cum_tokens") - col("band_tokens") <
+                col("budget"), lit("boundary"))
+              .otherwise(lit("excluded")).as("status"))
+          .orderBy(desc("band"))
+      },
+      """WITH q AS (
+           SELECT doc_id,
+                  ROUND(least(1.0, len(string_split(text, ' ')) / 200.0)
+                    * (1.0 - len(list_filter(string_split(text, ' '),
+                        t -> list_contains(
+                          ['join','filter','sort','hash','scan'], t)))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4)
+                    AS quality,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+           FROM documents),
+         bands AS (
+           SELECT CAST(FLOOR(quality * 20.0) AS INTEGER) AS band,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(tokens) AS BIGINT) AS band_tokens
+           FROM q GROUP BY 1),
+         tot AS (
+           SELECT (SUM(band_tokens) * 2) // 5 AS budget FROM bands),
+         cum AS (
+           SELECT band, n_docs, band_tokens,
+                  CAST(SUM(band_tokens) OVER (ORDER BY band DESC)
+                    AS BIGINT) AS cum_tokens,
+                  (SELECT budget FROM tot) AS budget
+           FROM bands)
+         SELECT band, n_docs, band_tokens, cum_tokens,
+                CAST(budget AS BIGINT) AS budget,
+                CASE WHEN cum_tokens <= budget THEN 'full'
+                     WHEN cum_tokens - band_tokens < budget
+                       THEN 'boundary'
+                     ELSE 'excluded' END AS status
+         FROM cum ORDER BY band DESC"""),
   )
 }

@@ -496,5 +496,40 @@ object SqlSurface {
                         ELSE c_custkey END
             FROM customer WHERE c_custkey % 3 = 0)
          ORDER BY variant"""),
+
+    // SQL SESSION VARIABLES (Spark 4 DECLARE VARIABLE / SET VAR) —
+    // the parameterization surface scripts use where sql_params uses
+    // the programmatic API: declare, overwrite with SET VAR (proving
+    // the second assignment is the one the query sees), and reference
+    // the variables in a query. The oracle replays the query with the
+    // variables' final values inlined — a session variable is a
+    // planning-time constant, so the plans are identical and the
+    // filter still pushes into the scan.
+    Q("sql_variables",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("graft_orders_var")
+        s.sql("DECLARE OR REPLACE VARIABLE graft_min_price DOUBLE " +
+          "DEFAULT 50000.0D")
+        s.sql("DECLARE OR REPLACE VARIABLE graft_status STRING " +
+          "DEFAULT 'X'")
+        s.sql("SET VAR graft_min_price = 150000.0D")
+        s.sql("SET VAR graft_status = 'O'")
+        s.sql("""
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DOUBLE), 2) AS revenue
+          FROM graft_orders_var
+          WHERE o_totalprice > graft_min_price
+            AND o_orderstatus = graft_status
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS revenue
+         FROM orders
+         WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
   )
 }
