@@ -2297,9 +2297,15 @@ object Analytics {
     Q("time_mann_kendall",
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
+        // day-grain series is tiny; eagerly checkpoint it so the
+        // four consumers (both pair-join sides, n, ties) read the
+        // materialized relation instead of re-scanning orders — at
+        // 100 TB a 4× scan of the fact table is the real cost here
+        // (the Dedup.keepListFor localCheckpoint precedent)
         val daily = orders(s, d)
           .groupBy(col("o_orderdate").cast("date").as("day"))
           .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("x"))
+          .localCheckpoint(true)
         val sStat = daily.as("a").join(daily.as("b"),
             col("a.day") < col("b.day"))
           .agg(sum(signum(col("b.x") - col("a.x")).cast("bigint"))

@@ -226,4 +226,49 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
     assert(!plan("sim_search_radius").contains("CartesianProduct"))
     assert(!plan("time_cross_corr").contains("CartesianProduct"))
   }
+
+  test("fourth-session top-k keys plan TakeOrdered, not a global " +
+      "sort (pagerank_personalized, bipartite_projection)") {
+    Seq("graph_pagerank_personalized", "graph_bipartite_projection")
+      .foreach { k =>
+        val p = plan(k)
+        assert(p.contains("TakeOrderedAndProject"), s"$k:\n$p")
+        assert(!p.contains("CartesianProduct"), s"$k:\n$p")
+      }
+  }
+
+  test("fourth-session bounded-domain windows run over an aggregate " +
+      "(zorder histogram, token-budget bands, pacf day grain)") {
+    Seq("maintain_zorder_effectiveness", "mix_token_budget",
+        "time_pacf").foreach { k =>
+      val p = plan(k)
+      val winIdx = p.indexOf("Window")
+      val aggBelow = p.indexOf("HashAggregate", winIdx)
+      assert(winIdx >= 0 && aggBelow > winIdx,
+        s"$k: expected HashAggregate below Window:\n$p")
+    }
+  }
+
+  test("fourth-session event-stream windows are user-partitioned, " +
+      "never global (dwell, concordance, markov entropy/convergence)") {
+    Seq("event_dwell_time", "dq_order_concordance",
+        "event_markov_entropy", "event_markov_convergence").foreach {
+      k =>
+        val p = plan(k)
+        p.linesIterator.filter(_.contains("Window [")).foreach { l =>
+          assert(l.contains("user_id"),
+            s"$k has a Window not partitioned by user_id:\n$l")
+        }
+        assert(!p.contains("CartesianProduct"), s"$k:\n$p")
+    }
+  }
+
+  test("time_mann_kendall: the pair join runs over day-grain " +
+      "aggregates, never the order stream") {
+    val p = plan("time_mann_kendall")
+    // the day-grain series is checkpointed once — every consumer
+    // (pair join sides, n, ties) reads the materialized relation, so
+    // the orders parquet scan appears ZERO times in the final plan
+    assert(!p.contains("Scan parquet"), p)
+  }
 }
