@@ -2240,5 +2240,86 @@ object Behavior {
                      // ((SELECT total_g FROM tot) // 1000000)
                   AS DOUBLE) / 1e6 AS share_of_total
          FROM dw GROUP BY event_type ORDER BY event_type"""),
+
+    // SPEND-BAND MIGRATION MATRIX — how customers move between spend
+    // tiers from the first half of the order history to the second:
+    // the churn/upgrade structure a point-in-time RFM snapshot can't
+    // show. Halves split at the exact integer midpoint of the date
+    // span; tiers are exact bit-length log2 bands of half-spend cents
+    // (length(bin(n))−1 — float log2 floors disagree at powers of
+    // two), −1 = inactive that half. The matrix is a ≤ bands² count
+    // relation with 1e-4-unit integer shares. Plan: one customer×half
+    // partial agg + a customer pivot agg + the matrix agg — three
+    // key exchanges, no windows.
+    Q("cohort_spend_migration",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val o = orders(s, d).select(col("o_custkey").as("c"),
+          col("o_orderdate").cast("date").as("dt"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+        val bounds = o.agg(min("dt").as("d0"), max("dt").as("d1"))
+          .select(expr("date_add(d0, CAST(datediff(d1, d0) div 2 " +
+            "AS int))").as("mid"))
+        val half = o.crossJoin(broadcast(bounds))
+          .select(col("c"),
+            when(col("dt") <= col("mid"), lit(1)).otherwise(lit(2))
+              .as("half"), col("p"))
+          .groupBy("c", "half")
+          .agg((sum("p") * 100).cast("bigint").as("cents"))
+          .withColumn("band",
+            expr("CAST(length(bin(greatest(cents, 1))) - 1 AS int)"))
+        val mig = half.groupBy("c")
+          .agg(coalesce(max(when(col("half") === 1, col("band"))),
+            lit(-1)).as("band_h1"),
+            coalesce(max(when(col("half") === 2, col("band"))),
+              lit(-1)).as("band_h2"))
+          .groupBy("band_h1", "band_h2")
+          .agg(count(lit(1)).as("n_customers"))
+        val tot = mig.agg(sum("n_customers").as("total"))
+        mig.crossJoin(broadcast(tot))
+          .select(col("band_h1"), col("band_h2"), col("n_customers"),
+            (expr("(n_customers * 1000000 + total div 2) div total")
+              .cast("double") / 10000.0).as("share_pct"))
+          .orderBy("band_h1", "band_h2")
+      },
+      """WITH o AS (
+           SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS dt,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders),
+         bounds AS (
+           SELECT MIN(dt) + CAST(date_diff('day', MIN(dt), MAX(dt))
+             // 2 AS INTEGER) AS mid
+           FROM o),
+         half AS (
+           SELECT c, CASE WHEN dt <= (SELECT mid FROM bounds)
+                          THEN 1 ELSE 2 END AS half, p
+           FROM o),
+         hs AS (
+           SELECT c, half, CAST(SUM(p) * 100 AS BIGINT) AS cents
+           FROM half GROUP BY 1, 2),
+         banded AS (
+           SELECT c, half,
+                  CAST(length(bin(GREATEST(cents, 1))) - 1 AS INTEGER)
+                    AS band
+           FROM hs),
+         pv AS (
+           SELECT c,
+                  COALESCE(MAX(CASE WHEN half = 1 THEN band END), -1)
+                    AS band_h1,
+                  COALESCE(MAX(CASE WHEN half = 2 THEN band END), -1)
+                    AS band_h2
+           FROM banded GROUP BY 1),
+         mig AS (
+           SELECT band_h1, band_h2,
+                  CAST(COUNT(*) AS BIGINT) AS n_customers
+           FROM pv GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS total
+                 FROM mig)
+         SELECT band_h1, band_h2, n_customers,
+                CAST((n_customers * 1000000
+                      + (SELECT total FROM tot) // 2)
+                     // (SELECT total FROM tot) AS DOUBLE) / 10000.0
+                  AS share_pct
+         FROM mig ORDER BY band_h1, band_h2"""),
   )
 }

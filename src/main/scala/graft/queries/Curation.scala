@@ -1520,5 +1520,57 @@ FROM wt ORDER BY lang, source"""),
                        THEN 'boundary'
                      ELSE 'excluded' END AS status
          FROM cum ORDER BY band DESC"""),
+
+    // CODE-LIKE DOCUMENT DETECTION per source — the corpus-routing
+    // screen an LLM pipeline runs before tokenizer/mix decisions
+    // (code wants different dedup thresholds, quality rules, and BPE
+    // vocab than prose): a doc is code-like when its code-symbol
+    // density {}();=<>[] clears 1.5% of characters. The flag is an
+    // exact integer cross-multiplication (sym·1000 ≥ len·15 — never a
+    // float ratio at a threshold boundary), rates are 1e-4-unit
+    // integer divisions, and the mean density is a 1e-6-unit division
+    // of exact BIGINT sums. One partial-agg exchange on source.
+    Q("text_code_detect",
+      (s, d) => {
+        val base = documents(s, d).select(col("source"),
+          expr("CAST(regexp_count(text, '[{}();=<>\\\\[\\\\]]') " +
+            "AS BIGINT)").as("sym"),
+          expr("CAST(length(text) AS BIGINT)").as("len"))
+          .withColumn("code_like",
+            when(col("sym") * 1000 >= col("len") * 15, 1L)
+              .otherwise(0L))
+        base.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("code_like").as("n_code_like"),
+            sum("sym").as("total_sym"), sum("len").as("total_len"))
+          .select(col("source"), col("n_docs"), col("n_code_like"),
+            (expr("(n_code_like * 1000000 + n_docs div 2) div n_docs")
+              .cast("double") / 10000.0).as("code_rate_pct"),
+            (expr("(total_sym * 1000000 + total_len div 2) " +
+              "div total_len").cast("double") / 1.0e6)
+              .as("mean_sym_density"))
+          .orderBy("source")
+      },
+      """WITH base AS (
+           SELECT source,
+                  CAST(len(regexp_extract_all(text,
+                    '[{}();=<>\[\]]')) AS BIGINT) AS sym,
+                  CAST(length(text) AS BIGINT) AS len
+           FROM documents),
+         flagged AS (
+           SELECT source, sym, len,
+                  CASE WHEN sym * 1000 >= len * 15 THEN 1 ELSE 0 END
+                    AS code_like
+           FROM base)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(code_like) AS BIGINT) AS n_code_like,
+                CAST((CAST(SUM(code_like) AS BIGINT) * 1000000
+                      + COUNT(*) // 2) // COUNT(*) AS DOUBLE)
+                  / 10000.0 AS code_rate_pct,
+                CAST((CAST(SUM(sym) AS BIGINT) * 1000000
+                      + CAST(SUM(len) AS BIGINT) // 2)
+                     // CAST(SUM(len) AS BIGINT) AS DOUBLE) / 1e6
+                  AS mean_sym_density
+         FROM flagged GROUP BY source ORDER BY source"""),
   )
 }

@@ -531,5 +531,29 @@ object SqlSurface {
          FROM orders
          WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
          GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+
+    // IDENTIFIER() DYNAMIC NAMES (Spark 4) — templated SQL that picks
+    // the table AND the grouping column at runtime without string
+    // concatenation (the SQL-injection-safe form of "SELECT ... FROM
+    // $table GROUP BY $col"). IDENTIFIER is resolved at analysis
+    // time, so the plan is identical to the literal query — the
+    // oracle replays it with the names inlined.
+    Q("sql_identifier",
+      (s, d) => {
+        customer(s, d).createOrReplaceTempView("graft_customer_idf")
+        s.sql("""
+          SELECT IDENTIFIER('c_mktsegment') AS segment,
+                 CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                   AS DOUBLE), 2) AS total_balance
+          FROM IDENTIFIER('graft_customer_idf')
+          GROUP BY IDENTIFIER('c_mktsegment')
+          ORDER BY segment""")
+      },
+      """SELECT c_mktsegment AS segment,
+                CAST(COUNT(*) AS BIGINT) AS n_customers,
+                ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS total_balance
+         FROM customer GROUP BY c_mktsegment ORDER BY segment"""),
   )
 }
