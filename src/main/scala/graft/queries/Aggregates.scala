@@ -958,5 +958,57 @@ object Aggregates {
                   / CAST(MIN(n) AS DOUBLE), 6) AS theil_t,
                 ROUND(ln(CAST(MIN(n) AS DOUBLE)), 6) AS theil_max
          FROM terms GROUP BY region ORDER BY region"""),
+
+    // EXACT PER-GROUP MEDIAN WITHOUT PER-GROUP VALUE BUFFERS — the
+    // scale path for exact group quantiles: Spark's percentile()
+    // aggregate collects every value of a group into executor memory
+    // (agg_percentile's documented ceiling); this key computes the
+    // same lower median as a (group, value)-histogram drill-down —
+    // count per exact cents value, ONE cumulative window PARTITIONED
+    // BY GROUP over the value histogram, pick the first value whose
+    // cumulative count reaches k = (n+1) div 2. Memory per task is a
+    // histogram row, not a group's row set; the window is
+    // key-partitioned, never global. The oracle replays the identical
+    // construction (no reliance on an engine's quantile convention).
+    Q("agg_percentile_drilldown",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val vals = customer(s, d).select(col("c_mktsegment").as("seg"),
+          (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+            .cast("bigint").as("cents"))
+        val hist = vals.groupBy("seg", "cents")
+          .agg(count(lit(1)).as("c"))
+        val tot = vals.groupBy("seg").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("seg").orderBy("cents")
+        hist.withColumn("cum", sum("c").over(w))
+          .join(tot, Seq("seg"))
+          .filter(col("cum") >= expr("(n + 1) div 2") &&
+            col("cum") - col("c") < expr("(n + 1) div 2"))
+          .select(col("seg"), col("n").as("n_customers"),
+            (col("cents").cast("double") / 100.0).as("median_acctbal"))
+          .orderBy("seg")
+      },
+      """WITH vals AS (
+           SELECT c_mktsegment AS seg,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+           FROM customer),
+         hist AS (
+           SELECT seg, cents, CAST(COUNT(*) AS BIGINT) AS c
+           FROM vals GROUP BY 1, 2),
+         tot AS (
+           SELECT seg, CAST(COUNT(*) AS BIGINT) AS n
+           FROM vals GROUP BY 1),
+         cum AS (
+           SELECT seg, cents, c,
+                  CAST(SUM(c) OVER (PARTITION BY seg ORDER BY cents)
+                    AS BIGINT) AS cum
+           FROM hist)
+         SELECT cum.seg, tot.n AS n_customers,
+                CAST(cents AS DOUBLE) / 100.0 AS median_acctbal
+         FROM cum JOIN tot ON tot.seg = cum.seg
+         WHERE cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2
+         ORDER BY cum.seg"""),
   )
 }

@@ -2355,5 +2355,132 @@ object Analytics {
                           WHEN s_stat < 0 THEN -1 ELSE 0 END
                   AS INTEGER) AS trend_sign
          FROM v"""),
+
+    // MAXIMUM DRAWDOWN of the cumulative daily revenue curve — the
+    // worst peak-to-trough slide, THE risk number for any cumulative
+    // series (here: how far below its best day the running total ever
+    // fell... for a revenue series the interesting variant is the
+    // demeaned curve, so the cumulative is of (revenue − global daily
+    // mean) in exact cents — a flat business has drawdowns, a growing
+    // one a flat curve). Every window runs over the calendar-bounded
+    // day grain; the trough pick is a 1-row TakeOrdered; drawdown
+    // percentage of peak is a 1e-4-unit integer division. All cents
+    // BIGINT until the display division.
+    Q("time_max_drawdown",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+            .cast("bigint").as("cents"))
+        val tot = daily.agg(count(lit(1)).as("nd"),
+          sum("cents").as("tc"))
+        val w = Window.orderBy("day")
+        val curve = daily.crossJoin(broadcast(tot))
+          // demean in exact integers: day value − (total div n) keeps
+          // everything BIGINT; the constant remainder skews all days
+          // equally and cancels in peak−trough differences
+          .select(col("day"),
+            (col("cents") - expr("tc div nd")).as("dv"))
+          .withColumn("cum", sum("dv").over(w))
+          .withColumn("peak", max("cum").over(w))
+          .withColumn("dd", col("peak") - col("cum"))
+        curve.orderBy(desc("dd"), col("day")).limit(1)
+          .select(col("day").as("trough_day"),
+            (col("dd").cast("double") / 100.0).as("max_drawdown"),
+            (col("peak").cast("double") / 100.0).as("peak_cum"),
+            when(col("peak") > 0,
+              (expr("(dd * 1000000 + peak div 2) div peak")
+                .cast("double") / 10000.0)).otherwise(lit(null))
+              .as("drawdown_pct"))
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                        CAST(SUM(cents) AS BIGINT) AS tc
+                 FROM daily),
+         curve AS (
+           SELECT day, cents - (SELECT tc // nd FROM tot) AS dv
+           FROM daily),
+         cumed AS (
+           SELECT day,
+                  CAST(SUM(dv) OVER (ORDER BY day) AS BIGINT) AS cum
+           FROM curve),
+         peaked AS (
+           SELECT day, cum,
+                  CAST(MAX(cum) OVER (ORDER BY day) AS BIGINT) AS peak
+           FROM cumed),
+         dd AS (
+           SELECT day, peak, peak - cum AS dd FROM peaked)
+         SELECT day AS trough_day,
+                CAST(dd AS DOUBLE) / 100.0 AS max_drawdown,
+                CAST(peak AS DOUBLE) / 100.0 AS peak_cum,
+                CASE WHEN peak > 0 THEN
+                  CAST((dd * 1000000 + peak // 2) // peak AS DOUBLE)
+                    / 10000.0
+                END AS drawdown_pct
+         FROM dd ORDER BY dd DESC, day LIMIT 1"""),
+
+    // DEGREE-INEQUALITY GINI of the supplier workload — how unevenly
+    // parts are spread across suppliers (degree = distinct parts
+    // supplied). EXACT Gini without any global row sort: distinct
+    // degree VALUES form a small histogram, the rank mass of a value
+    // with count c after cumulative count F is c·F + c(c+1)/2, so
+    // G = (2·Σranks·x − (n+1)·Σx) / (n·Σx) assembles from BIGINTs
+    // with ONE cumulative window over the degree-value histogram
+    // (the rfm drill-down discipline). Sign-safe 1e-6-unit division.
+    Q("graph_degree_gini",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val deg = lineitem(s, d)
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+          .distinct()
+          .groupBy("sk").agg(count(lit(1)).as("v"))
+        val hist = deg.groupBy("v").agg(count(lit(1)).as("c"))
+        val w = Window.orderBy("v")
+        val ranked = hist
+          .withColumn("cum", sum("c").over(w))
+          .select(col("v"), col("c"),
+            (col("cum") - col("c")).as("f"))
+          .select(
+            (col("v") * (col("c") * col("f") +
+              expr("(c * (c + 1)) div 2"))).as("rank_mass"),
+            (col("v") * col("c")).as("x_mass"), col("c"))
+        ranked.agg(sum("c").as("n"), sum("x_mass").as("sx"),
+            sum("rank_mass").as("srm"))
+          .select(col("n").as("n_suppliers"),
+            expr("sx div n").as("mean_degree"),
+            (expr("((2 * srm - (n + 1) * sx) * 1000000 " +
+              "+ (n * sx) div 2) div (n * sx)")
+              .cast("double") / 1.0e6).as("gini"))
+      },
+      """WITH deg AS (
+           SELECT l_suppkey AS sk,
+                  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS v
+           FROM lineitem GROUP BY 1),
+         hist AS (
+           SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY 1),
+         ranked AS (
+           SELECT v, c,
+                  CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) - c AS f
+           FROM hist),
+         mass AS (
+           SELECT v * (c * f + (c * (c + 1)) // 2) AS rank_mass,
+                  v * c AS x_mass, c
+           FROM ranked),
+         agg AS (
+           SELECT CAST(SUM(c) AS BIGINT) AS n,
+                  CAST(SUM(x_mass) AS BIGINT) AS sx,
+                  CAST(SUM(rank_mass) AS BIGINT) AS srm
+           FROM mass)
+         SELECT n AS n_suppliers, sx // n AS mean_degree,
+                CAST(((2 * srm - (n + 1) * sx) * 1000000
+                      + (n * sx) // 2) // (n * sx) AS DOUBLE) / 1e6
+                  AS gini
+         FROM agg"""),
   )
 }

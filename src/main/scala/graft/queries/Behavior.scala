@@ -2321,5 +2321,48 @@ object Behavior {
                      // (SELECT total FROM tot) AS DOUBLE) / 10000.0
                   AS share_pct
          FROM mig ORDER BY band_h1, band_h2"""),
+
+    // BEHAVIORAL DIVERSITY HISTOGRAM — Simpson index 1 − Σp² of each
+    // user's event-type mix (0 = single-type specialist, →0.8 =
+    // uniform over 5 types), bucketed into 0.005 bands (the whole
+    // population sits in [1−1/k − ε, 1−1/k] on a near-balanced type
+    // mix, so coarse 0.1 bands would collapse to one row): the
+    // population-shape view of engagement breadth next to
+    // event_engagement_spectrum's volume curve. The per-user index is
+    // an exact 1e-6-unit integer rational ((n²−Σc²)·1e6 + n² div 2)
+    // div n², so the band assignment is an INTEGER division —
+    // no float ever touches a band boundary. One user×type partial
+    // agg + one user agg + the ≤11-row band agg.
+    Q("event_diversity_index",
+      (s, d) => {
+        val ut = events(s, d)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("c"))
+        val per = ut.groupBy("user_id")
+          .agg(sum("c").as("n"), sum(col("c") * col("c")).as("ssq"))
+          .select(col("user_id"),
+            expr("((n * n - ssq) * 1000000 + (n * n) div 2) " +
+              "div (n * n)").as("div_u"))
+        per.withColumn("band", expr("CAST(div_u div 5000 AS int)"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_users"),
+            (min("div_u").cast("double") / 1.0e6).as("min_diversity"),
+            (max("div_u").cast("double") / 1.0e6).as("max_diversity"))
+          .orderBy("band")
+      },
+      """WITH ut AS (
+           SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         per AS (
+           SELECT user_id,
+                  ((SUM(c) * SUM(c) - SUM(c * c)) * 1000000
+                   + (SUM(c) * SUM(c)) // 2) // (SUM(c) * SUM(c))
+                    AS div_u
+           FROM ut GROUP BY 1)
+         SELECT CAST(div_u // 5000 AS INTEGER) AS band,
+                CAST(COUNT(*) AS BIGINT) AS n_users,
+                CAST(MIN(div_u) AS DOUBLE) / 1e6 AS min_diversity,
+                CAST(MAX(div_u) AS DOUBLE) / 1e6 AS max_diversity
+         FROM per GROUP BY 1 ORDER BY band"""),
   )
 }

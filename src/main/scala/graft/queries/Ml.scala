@@ -2035,6 +2035,98 @@ object Ml {
                 MIN(CASE WHEN rk = 1 THEN day END) AS peak_day,
                 CAST((SUM(conc) * 10000 + COUNT(*) // 2) // COUNT(*)
                   AS DOUBLE) / 10000.0 AS avg_concurrency
-         FROM ranked GROUP BY 1 ORDER BY month""")
+         FROM ranked GROUP BY 1 ORDER BY month"""),
+
+    // RESIDUAL QUANTIZATION ERROR — the two-stage coding audit behind
+    // every modern vector index (IVF-PQ/RQ): stage 0 reconstructs a
+    // vector as its label centroid alone, stage 1 adds an int8-coded
+    // residual (the vec_quantize scale rule applied to the residual).
+    // Per-label MSEs for both stages quantify what the residual stage
+    // buys. Centroids are the exact-decimal per-dim means assembled
+    // into ordered arrays and BROADCAST against the un-exploded
+    // embedding stream (the vec_cluster_purity device — never a 64×
+    // explode join); all per-vector work is sequential plain-double
+    // HOF folds (fixed IEEE order), per-vector sums are
+    // decimal-pinned before the engine-ordered label aggregate.
+    Q("vec_residual_error",
+      (s, d) => {
+        val dims = embeddings(s, d)
+          .select(col("label"),
+            posexplode(col("embedding")).as(Seq("p", "v")))
+          .select(col("label"), (col("p") + 1).as("i"),
+            col("v").cast("double").as("v"))
+        val cvecs = dims.groupBy(col("label").as("clabel"), col("i"))
+          .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+            count(lit(1))).as("c"))
+          .groupBy("clabel")
+          .agg(expr("transform(sort_array(collect_list(struct(i, c))), " +
+            "s -> s.c)").as("cvec"))
+        val r0 = embeddings(s, d)
+          .join(broadcast(cvecs), col("label") === col("clabel"))
+          .select(col("vec_id"), col("label"),
+            col("embedding"), col("cvec"),
+            expr("""aggregate(zip_with(embedding, cvec,
+                      (x, y) -> (cast(x AS double) - y) *
+                                (cast(x AS double) - y)),
+                    0.0D, (a, v) -> a + v)""").as("sse0"),
+            expr("""aggregate(zip_with(embedding, cvec,
+                      (x, y) -> abs(cast(x AS double) - y)),
+                    0.0D, (a, v) -> greatest(a, v)) / 127.0""")
+              .as("rscale"))
+        val r1 = r0.select(col("label"),
+          col("sse0").cast(DecimalType(24, 12)).as("sse0d"),
+          expr("""aggregate(zip_with(embedding, cvec,
+                    (x, y) -> pow((cast(x AS double) - y) -
+                      round((cast(x AS double) - y) /
+                        nullif(rscale, CAST(0.0 AS DOUBLE))) * rscale,
+                      2)),
+                  0.0D, (a, v) -> a + v)""")
+            .cast(DecimalType(24, 12)).as("sse1d"))
+        r1.groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            round(sum("sse0d").cast("double") /
+              (count(lit(1)) * lit(64)), 12).as("mse_stage0"),
+            round(sum("sse1d").cast("double") /
+              (count(lit(1)) * lit(64)), 12).as("mse_stage1"))
+          .orderBy("label")
+      },
+      """WITH dims AS (
+           SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, LATERAL unnest(range(1, 65)) AS t(i)),
+         cent AS (
+           SELECT label AS clabel, i,
+                  CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
+                    / COUNT(*) AS c
+           FROM dims GROUP BY 1, 2),
+         cvecs AS (
+           SELECT clabel, list(c ORDER BY i) AS cvec
+           FROM cent GROUP BY 1),
+         r0 AS (
+           SELECT e.vec_id, e.label, e.embedding, cv.cvec,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i]) *
+                         (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i])),
+                    (x, y) -> x + y) AS sse0,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> abs(CAST(e.embedding[i] AS DOUBLE)
+                             - cv.cvec[i])),
+                    (x, y) -> greatest(x, y)) / 127.0 AS rscale
+           FROM embeddings e JOIN cvecs cv ON cv.clabel = e.label),
+         r1 AS (
+           SELECT label,
+                  CAST(sse0 AS DECIMAL(24,12)) AS sse0d,
+                  CAST(list_reduce(list_transform(range(1, 65),
+                    i -> pow((CAST(embedding[i] AS DOUBLE) - cvec[i]) -
+                             round((CAST(embedding[i] AS DOUBLE)
+                                    - cvec[i]) /
+                               nullif(rscale, 0.0)) * rscale, 2)),
+                    (x, y) -> x + y) AS DECIMAL(24,12)) AS sse1d
+           FROM r0)
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                ROUND(CAST(SUM(sse0d) AS DOUBLE) / (COUNT(*) * 64),
+                  12) AS mse_stage0,
+                ROUND(CAST(SUM(sse1d) AS DOUBLE) / (COUNT(*) * 64),
+                  12) AS mse_stage1
+         FROM r1 GROUP BY label ORDER BY label""")
   )
 }
