@@ -1264,5 +1264,35 @@ object IoQueries {
                   AS DOUBLE), 2) AS qty
          FROM lineitem
          WHERE l_orderkey < 2000 AND l_partkey % 1000 = 17"""),
+
+    // GZIP JSONL EXPORT — the interchange format most training-data
+    // handoffs actually ship (shard.jsonl.gz): json writer + gzip
+    // codec, file-extension proof that the codec engaged (.json.gz),
+    // then the roundtrip read-back aggregate. Complements sink_zstd
+    // (columnar codec) and export_jsonl_sharded (sharding contract) —
+    // this pins the TEXT-sink codec path.
+    Q("sink_gzip_jsonl",
+      (s, d) => {
+        val out = scratch(d, "gzjsonl")
+        documents(s, d).filter(col("doc_id") % 7 === 0)
+          .select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").option("compression", "gzip")
+          .json(out)
+        val fsys = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val files = fsys.listStatus(new org.apache.hadoop.fs.Path(out))
+          .map(_.getPath.getName).filter(_.startsWith("part-"))
+        require(files.nonEmpty && files.forall(_.endsWith(".json.gz")),
+          s"expected gzip json files, found: ${files.mkString(",")}")
+        s.read.json(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"))
+          .orderBy("lang")
+      },
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM documents WHERE doc_id % 7 = 0
+         GROUP BY lang ORDER BY lang"""),
   )
 }

@@ -577,5 +577,53 @@ object Joins {
                           AND o_orderpriority = '1-URGENT')
                   AS has_urgent_order
          FROM customer ORDER BY c_custkey"""),
+
+    // NULL-KEY ISOLATION JOIN — the production skew fix nobody writes
+    // down: a LEFT JOIN whose key is heavily null ships every
+    // null-key row to ONE reducer (all nulls hash alike) where they
+    // match nothing anyway. Isolate them: non-null rows take the real
+    // join, null rows bypass it entirely (union of the two branches) —
+    // same relation as the plain left join, but the null mass never
+    // enters the exchange. Null keys are PLANTED deterministically
+    // (suppkey nulled when orderkey ≡ 0 mod 13 — ~7.7% of rows); the
+    // oracle runs the PLAIN left join on the same planted relation,
+    // proving semantic equality; Round8Spec pins the plan (a union
+    // whose join branch filters nulls out before the exchange).
+    Q("join_null_isolated",
+      (s, d) => {
+        val li = lineitem(s, d).select(col("l_orderkey"),
+          when(col("l_orderkey") % 13 === 0, lit(null))
+            .otherwise(col("l_suppkey")).as("sk"),
+          col("l_quantity"))
+        val sup = supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val matched = li.filter(col("sk").isNotNull)
+          .join(sup, col("sk") === col("s_suppkey"), "left")
+          .select(col("l_orderkey"), col("sk"), col("l_quantity"),
+            col("s_nationkey"))
+        val nulls = li.filter(col("sk").isNull)
+          .select(col("l_orderkey"), col("sk"), col("l_quantity"),
+            lit(null).cast("long").as("s_nationkey"))
+        matched.unionByName(nulls)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("sk").isNull, 1L).otherwise(0L))
+              .as("n_null_key"),
+            dsum(col("l_quantity"), 2).as("qty"))
+          .orderBy(asc_nulls_first("s_nationkey"))
+      },
+      """WITH li AS (
+           SELECT l_orderkey,
+                  CASE WHEN l_orderkey % 13 = 0 THEN NULL
+                       ELSE l_suppkey END AS sk,
+                  l_quantity
+           FROM lineitem)
+         SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN sk IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_key,
+                ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS qty
+         FROM li LEFT JOIN supplier ON sk = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey NULLS FIRST"""),
   )
 }

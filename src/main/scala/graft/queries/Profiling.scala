@@ -1221,5 +1221,47 @@ object Profiling {
                   AS DOUBLE) / 10000.0 AS avg_overest,
                 CAST(MAX(ov) AS BIGINT) AS max_overest
          FROM errs GROUP BY 1 ORDER BY width"""),
+
+    // BLOCK BOOTSTRAP SAMPLE — time-series resampling that preserves
+    // AUTOCORRELATION: iid row sampling (sample_hash) destroys serial
+    // structure, so TS model validation samples contiguous BLOCKS
+    // (Künsch's moving-block bootstrap, here non-overlapping 7-day
+    // blocks keyed off the epoch-day). Block keep/drop is the
+    // deterministic md5 draw (30% rate) every sampling key in the
+    // repo uses — stable across runs, engines, partitionings. The
+    // declared relation is the per-kept-block audit: contiguity span,
+    // day count, exact decimal revenue.
+    Q("sample_block_bootstrap",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .as("rev"))
+          .withColumn("block",
+            expr("CAST(datediff(day, DATE '1990-01-01') div 7 " +
+              "AS BIGINT)"))
+        daily
+          .filter(expr("conv(substring(md5(CAST(block AS STRING)), " +
+            "1, 8), 16, 10) % 10 < 3"))
+          .groupBy("block")
+          .agg(count(lit(1)).as("n_days"),
+            min("day").as("first_day"), max("day").as("last_day"),
+            round(sum("rev").cast("double"), 2).as("revenue"))
+          .orderBy("block")
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+                  CAST(date_diff('day', DATE '1990-01-01',
+                    CAST(o_orderdate AS DATE)) // 7 AS BIGINT) AS block
+           FROM orders GROUP BY 1, 3)
+         SELECT block, CAST(COUNT(*) AS BIGINT) AS n_days,
+                MIN(day) AS first_day, MAX(day) AS last_day,
+                ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS revenue
+         FROM daily
+         WHERE CAST(('0x' || substring(md5(CAST(block AS VARCHAR)),
+                 1, 8)) AS BIGINT) % 10 < 3
+         GROUP BY block ORDER BY block"""),
   )
 }

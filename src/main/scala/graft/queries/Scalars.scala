@@ -600,5 +600,38 @@ object Scalars {
                   '') AS e,
                 list_contains(a, o_orderkey % 3) AS has
          FROM t ORDER BY o_orderkey"""),
+
+    // AES ROUNDTRIP — column-level encryption for PII-bearing exports
+    // (the mask-free alternative to fn_mask when the consumer must be
+    // able to decrypt): aes_encrypt/aes_decrypt in ECB mode — GCM's
+    // random IV would make every run's ciphertext different; ECB is
+    // deterministic, which is exactly what a hash-checked relation
+    // needs (and why real deployments pay GCM's nondeterminism — ECB
+    // leaks equality, which the n_distinct_cipher column demonstrates:
+    // it EQUALS the distinct plaintext count). The declared relation
+    // is construction truth: every row roundtrips, ciphertext equality
+    // mirrors plaintext equality.
+    Q("fn_aes_roundtrip",
+      (s, d) => {
+        val key = "graft-0123456789"  // 16-byte AES-128 key
+        customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            expr(s"aes_encrypt(c_mktsegment, '$key', 'ECB')").as("ct"))
+          .select(col("c_mktsegment"), col("ct"),
+            expr(s"CAST(aes_decrypt(ct, '$key', 'ECB') AS STRING)")
+              .as("rt"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("rt") === col("c_mktsegment"), 1L)
+              .otherwise(0L)).as("n_roundtrip_ok"),
+            countDistinct(col("ct")).as("n_distinct_cipher"),
+            countDistinct(col("c_mktsegment")).as("n_distinct_plain"))
+      },
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok,
+                CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+                  AS n_distinct_cipher,
+                CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+                  AS n_distinct_plain
+         FROM customer"""),
   )
 }

@@ -263,6 +263,17 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("join_null_isolated: the join branch filters nulls before " +
+      "the exchange; the null branch plans no join at all") {
+    val p = plan("join_null_isolated")
+    assert(p.contains("Union"), p)
+    // exactly one join in the whole plan — the null branch bypasses it
+    assert("Join".r.findAllIn(p).size == 1, p)
+    // the join's stream side carries the not-null screen — the
+    // optimizer pushes it into the scan as a CASE data filter
+    assert(p.contains("isnotnull(l_suppkey"), p)
+  }
+
   test("time_mann_kendall: the pair join runs over day-grain " +
       "aggregates, never the order stream") {
     val p = plan("time_mann_kendall")
