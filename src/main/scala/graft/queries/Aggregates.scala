@@ -1010,5 +1010,65 @@ object Aggregates {
          FROM cum JOIN tot ON tot.seg = cum.seg
          WHERE cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2
          ORDER BY cum.seg"""),
+
+    // SHARE-OF-PARENT within a hierarchy — the % column every rollup
+    // report actually renders (nation revenue as % of its region,
+    // region as % of grand total): the leaf and parent levels come
+    // from ONE region×nation aggregate (parents re-aggregate the
+    // leaf relation — dims-sized, no second fact scan), the share is
+    // a ROUND-tie-proof 1e-4-unit integer division on exact cents.
+    // Two broadcast dim joins + one fact partial agg; the hierarchy
+    // math never touches the fact table again.
+    Q("agg_rollup_share",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val geo = customer(s, d)
+          .join(broadcast(nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey").as("ck"), col("r_name").as("region"),
+            col("n_name").as("nation"))
+        val leaf = orders(s, d)
+          .join(geo, col("o_custkey") === col("ck"))
+          .groupBy("region", "nation")
+          .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+            .cast("bigint").as("cents"))
+        val reg = leaf.groupBy("region")
+          .agg(sum("cents").as("rcents"))
+        val tot = leaf.agg(sum("cents").as("tcents"))
+        leaf.join(reg, Seq("region")).crossJoin(broadcast(tot))
+          .select(col("region"), col("nation"),
+            (col("cents").cast("double") / 100.0).as("revenue"),
+            (expr("(cents * 1000000 + rcents div 2) div rcents")
+              .cast("double") / 10000.0).as("pct_of_region"),
+            (expr("(rcents * 1000000 + tcents div 2) div tcents")
+              .cast("double") / 10000.0).as("region_pct_of_total"))
+          .orderBy("region", "nation")
+      },
+      """WITH geo AS (
+           SELECT c_custkey AS ck, r_name AS region, n_name AS nation
+           FROM customer
+           JOIN nation ON n_nationkey = c_nationkey
+           JOIN region ON r_regionkey = n_regionkey),
+         leaf AS (
+           SELECT region, nation,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+           FROM orders JOIN geo ON ck = o_custkey
+           GROUP BY 1, 2),
+         reg AS (
+           SELECT region, CAST(SUM(cents) AS BIGINT) AS rcents
+           FROM leaf GROUP BY 1),
+         tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tcents FROM leaf)
+         SELECT l.region, l.nation,
+                CAST(l.cents AS DOUBLE) / 100.0 AS revenue,
+                CAST((l.cents * 1000000 + r.rcents // 2) // r.rcents
+                  AS DOUBLE) / 10000.0 AS pct_of_region,
+                CAST((r.rcents * 1000000 + t.tcents // 2) // t.tcents
+                  AS DOUBLE) / 10000.0 AS region_pct_of_total
+         FROM leaf l JOIN reg r ON r.region = l.region
+         CROSS JOIN tot t
+         ORDER BY l.region, l.nation"""),
   )
 }

@@ -2482,5 +2482,58 @@ object Analytics {
                       + (n * sx) // 2) // (n * sx) AS DOUBLE) / 1e6
                   AS gini
          FROM agg"""),
+
+    // FEATURE PROPAGATION over the part↔supplier bipartite graph —
+    // two rounds of neighborhood averaging (the message-passing
+    // primitive under every GNN feature pipeline and label-spreading
+    // heuristic): supplier spend → part = mean of its suppliers →
+    // supplier' = mean of its parts. Propagating THROUGH the
+    // bipartite incidence needs no pair materialization at all — each
+    // round is one equi-join + one keyed mean on the DISTINCT
+    // (part, supplier) edges, so the cost is |edges| per round where
+    // any projected-graph form pays Σdeg² (the
+    // graph_bipartite_projection trade, sidestepped). Integer 1e-0
+    // cent means via positive-operand div; top-20 TakeOrdered.
+    Q("graph_feature_propagation",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val li = lineitem(s, d)
+        val edges = li
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct()
+        val x0 = li.groupBy(col("l_suppkey").as("sk"))
+          .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            * 100).cast("bigint").as("x"))
+        val parts = edges.join(x0, Seq("sk"))
+          .groupBy("pk")
+          .agg(expr("sum(x) div count(1)").as("xp"))
+        val x1 = edges.join(parts, Seq("pk"))
+          .groupBy("sk")
+          .agg(expr("sum(xp) div count(1)").as("x1"))
+        x1.join(x0, Seq("sk"))
+          .select(col("sk").as("suppkey"),
+            (col("x").cast("double") / 100.0).as("spend"),
+            (col("x1").cast("double") / 100.0).as("smoothed_spend"))
+          .orderBy(desc("x1"), col("sk")).limit(20)
+      },
+      """WITH edges AS (
+           SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+           FROM lineitem),
+         x0 AS (
+           SELECT l_suppkey AS sk,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    * 100 AS BIGINT) AS x
+           FROM lineitem GROUP BY 1),
+         parts AS (
+           SELECT pk, CAST(SUM(x) // COUNT(*) AS BIGINT) AS xp
+           FROM edges JOIN x0 USING (sk) GROUP BY 1),
+         x1 AS (
+           SELECT sk, CAST(SUM(xp) // COUNT(*) AS BIGINT) AS x1
+           FROM edges JOIN parts USING (pk) GROUP BY 1)
+         SELECT sk AS suppkey,
+                CAST(x AS DOUBLE) / 100.0 AS spend,
+                CAST(x1 AS DOUBLE) / 100.0 AS smoothed_spend
+         FROM x1 JOIN x0 USING (sk)
+         ORDER BY x1 DESC, sk LIMIT 20"""),
   )
 }

@@ -2127,6 +2127,132 @@ object Ml {
                   12) AS mse_stage0,
                 ROUND(CAST(SUM(sse1d) AS DOUBLE) / (COUNT(*) * 64),
                   12) AS mse_stage1
-         FROM r1 GROUP BY label ORDER BY label""")
+         FROM r1 GROUP BY label ORDER BY label"""),
+
+    // FEATURE ASSEMBLY — the feature-store verb: one wide per-entity
+    // relation a churn/LTV model trains on, every column an exact
+    // integer so the "feature parity" between the offline store and
+    // the serving path is provable (the whole point of declaring it):
+    // volume (n_events, active_days), tempo (span, mean gap — an
+    // exact integer division, no per-row gap window needed: span and
+    // count determine it), recency vs the corpus watermark, and the
+    // purchase rate in 1e-4 units. ONE user-keyed aggregate + a
+    // broadcast watermark — no windows at all.
+    Q("ml_feature_assembly",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("t"),
+          col("ts").cast("date").as("dt"))
+        val wm = ev.agg(max("dt").as("maxd"))
+        ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("event_type").as("n_types"),
+            countDistinct("dt").as("active_days"),
+            min("t").as("t0"), max("t").as("t1"), max("dt").as("lastd"),
+            sum(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("n_purchases"))
+          .crossJoin(broadcast(wm))
+          .select(col("user_id"), col("n_events"), col("n_types"),
+            col("active_days"),
+            expr("(t1 - t0) div 1000000").as("span_s"),
+            when(col("n_events") > 1,
+              expr("((t1 - t0) div 1000000) div (n_events - 1)"))
+              .otherwise(lit(0L)).as("mean_gap_s"),
+            datediff(col("maxd"), col("lastd")).cast("long")
+              .as("recency_days"),
+            (expr("(n_purchases * 1000000 + n_events div 2) " +
+              "div n_events").cast("double") / 10000.0)
+              .as("purchase_rate_pct"))
+          .orderBy("user_id")
+      },
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS t,
+                  CAST(ts AS DATE) AS dt
+           FROM events),
+         wm AS (SELECT MAX(dt) AS maxd FROM ev),
+         agg AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                  CAST(COUNT(DISTINCT dt) AS BIGINT) AS active_days,
+                  MIN(t) AS t0, MAX(t) AS t1, MAX(dt) AS lastd,
+                  CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+           FROM ev GROUP BY 1)
+         SELECT user_id, n_events, n_types, active_days,
+                (t1 - t0) // 1000000 AS span_s,
+                CASE WHEN n_events > 1
+                     THEN ((t1 - t0) // 1000000) // (n_events - 1)
+                     ELSE 0 END AS mean_gap_s,
+                CAST(date_diff('day', lastd, (SELECT maxd FROM wm))
+                  AS BIGINT) AS recency_days,
+                CAST((n_purchases * 1000000 + n_events // 2)
+                     // n_events AS DOUBLE) / 10000.0
+                  AS purchase_rate_pct
+         FROM agg ORDER BY user_id"""),
+
+    // SEASONAL STRENGTH — variance share explained by day-of-week:
+    // 1 − SS_resid/SS_total over the daily revenue series, the single
+    // number that says whether time_seasonality's per-dow table
+    // matters (≈0: no weekly structure; →1: the weekday predicts the
+    // day). Squared-cents sums exceed BIGINT at ~10^3 days, so both
+    // engines pin x² and S_g² to DECIMAL(38,0) (exact), the ≤7
+    // per-dow S²/n terms to DECIMAL(38,6) (order-free sum), and the
+    // final ratio is ROUND(…, 6) + 0.0 — the strength can land on an
+    // exact 0 and −0.0 ≠ 0.0 to the comparator.
+    Q("time_seasonal_strength",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+            .cast("bigint").as("x"))
+          .withColumn("dow", dayofweek(col("day")).cast("int"))
+        val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+        val dow = daily.groupBy("dow")
+          .agg(count(lit(1)).as("ng"), sum("x").as("sg"))
+          .select((expr("CAST(CAST(sg AS DECIMAL(38,0)) * sg " +
+            "AS DOUBLE)") / col("ng")).cast(DecimalType(38, 6))
+            .as("term"))
+          .agg(sum("term").as("fit"))
+        // the SS magnitudes themselves are NOT declared: at ~1e17 the
+        // DECIMAL(38)→DOUBLE casts are rounded differently by the two
+        // engines (observed 1-ulp skew at sf0.001), so only the
+        // dimensionless ratio — where the skew cancels to sub-1e-6 —
+        // survives a ROUND(6) hash-compare
+        tot.crossJoin(dow)
+          .select(col("n").as("n_days"),
+            (round(lit(1.0) -
+              expr("(CAST(sxx AS DOUBLE) - CAST(fit AS DOUBLE))") /
+              expr("(CAST(sxx AS DOUBLE) - " +
+                "CAST(CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) / n)"),
+              6) + lit(0.0)).as("seasonal_strength"))
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         dd AS (
+           SELECT CAST(dayofweek(day) AS INTEGER) AS dow, x
+           FROM daily),
+         tot AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sx,
+                  SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+           FROM dd),
+         dow AS (
+           SELECT SUM(CAST(
+                    CAST(CAST(sg AS DECIMAL(38,0)) * sg AS DOUBLE) / ng
+                    AS DECIMAL(38,6))) AS fit
+           FROM (SELECT dow, CAST(COUNT(*) AS BIGINT) AS ng,
+                        CAST(SUM(x) AS BIGINT) AS sg
+                 FROM dd GROUP BY 1))
+         SELECT n AS n_days,
+                ROUND(1.0 - (CAST(sxx AS DOUBLE) - CAST(fit AS DOUBLE))
+                  / (CAST(sxx AS DOUBLE) -
+                     CAST(CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) / n),
+                  6) + 0.0 AS seasonal_strength
+         FROM tot CROSS JOIN dow""")
   )
 }
