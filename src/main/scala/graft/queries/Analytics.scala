@@ -2535,5 +2535,65 @@ object Analytics {
                 CAST(x1 AS DOUBLE) / 100.0 AS smoothed_spend
          FROM x1 JOIN x0 USING (sk)
          ORDER BY x1 DESC, sk LIMIT 20"""),
+
+    // WAPE / BIAS SCORECARD of the seasonal-naive lag-7 forecast per
+    // order priority — the %-scale error metrics a forecast review
+    // actually reads (time_backtest_naive reports MAE, which can't be
+    // compared across priorities of different volume): WAPE =
+    // Σ|err|/Σactual and signed bias, both exact integer cent sums
+    // with 1e-6-unit divisions — the bias numerator sign-split
+    // because Spark div truncates while DuckDB // floors on
+    // negatives. Lag windows run per priority over the
+    // calendar-bounded day grain.
+    Q("time_wape",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val daily = orders(s, d)
+          .groupBy(col("o_orderpriority").as("prio"),
+            col("o_orderdate").cast("date").as("day"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+            .cast("bigint").as("y"))
+        val w = Window.partitionBy("prio").orderBy("day")
+        val scored = daily
+          .withColumn("f", lag(col("y"), 7).over(w))
+          .filter(col("f").isNotNull)
+          .select(col("prio"), col("y"), col("f"),
+            abs(col("y") - col("f")).as("ae"),
+            (col("y") - col("f")).as("e"))
+        scored.groupBy("prio")
+          .agg(count(lit(1)).as("n_days"),
+            sum("y").as("sy"), sum("ae").as("sae"), sum("e").as("se"))
+          .select(col("prio"), col("n_days"),
+            (expr("(sae * 1000000 + sy div 2) div sy")
+              .cast("double") / 1.0e6).as("wape"),
+            (when(col("se") < 0, lit(-1L)).otherwise(lit(1L)) *
+              expr("(abs(se) * 1000000 + sy div 2) div sy"))
+              .cast("double").divide(lit(1.0e6)).as("bias_pct"))
+          .orderBy("prio")
+      },
+      """WITH daily AS (
+           SELECT o_orderpriority AS prio,
+                  CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2),
+         scored AS (
+           SELECT prio, y,
+                  LAG(y, 7) OVER (PARTITION BY prio ORDER BY day) AS f
+           FROM daily QUALIFY f IS NOT NULL),
+         agg AS (
+           SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_days,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(ABS(y - f)) AS BIGINT) AS sae,
+                  CAST(SUM(y - f) AS BIGINT) AS se
+           FROM scored GROUP BY 1)
+         SELECT prio, n_days,
+                CAST((sae * 1000000 + sy // 2) // sy AS DOUBLE) / 1e6
+                  AS wape,
+                CAST((CASE WHEN se < 0 THEN -1 ELSE 1 END) *
+                  ((ABS(se) * 1000000 + sy // 2) // sy) AS DOUBLE)
+                  / 1e6 AS bias_pct
+         FROM agg ORDER BY prio"""),
   )
 }

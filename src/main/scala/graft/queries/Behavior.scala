@@ -2364,5 +2364,152 @@ object Behavior {
                 CAST(MIN(div_u) AS DOUBLE) / 1e6 AS min_diversity,
                 CAST(MAX(div_u) AS DOUBLE) / 1e6 AS max_diversity
          FROM per GROUP BY 1 ORDER BY band"""),
+
+    // HOUR-OF-DAY LOAD PROFILE per event type — the capacity-planning
+    // heatmap (when do purchases vs errors actually happen?): share
+    // of each type's volume per hour in 1e-4-unit integer divisions,
+    // peak flagged by exact count equality against the type max
+    // (ties flag every tied hour — deterministic, no rank pick).
+    // One (hour, type) partial agg; the per-type max joins back
+    // broadcast-sized.
+    Q("event_hourly_profile",
+      (s, d) => {
+        val hv = events(s, d)
+          .select(hour(col("ts")).cast("int").as("hr"),
+            col("event_type"))
+          .groupBy("hr", "event_type")
+          .agg(count(lit(1)).as("n"))
+        val byType = hv.groupBy("event_type")
+          .agg(sum("n").as("tn"), max("n").as("mx"))
+        hv.join(broadcast(byType), Seq("event_type"))
+          .select(col("event_type"), col("hr"), col("n"),
+            (expr("(n * 1000000 + tn div 2) div tn")
+              .cast("double") / 10000.0).as("share_pct"),
+            (col("n") === col("mx")).as("is_peak"))
+          .orderBy("event_type", "hr")
+      },
+      """WITH hv AS (
+           SELECT CAST(hour(ts) AS INTEGER) AS hr, event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         bt AS (
+           SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn,
+                  CAST(MAX(n) AS BIGINT) AS mx
+           FROM hv GROUP BY 1)
+         SELECT hv.event_type, hr, n,
+                CAST((n * 1000000 + tn // 2) // tn AS DOUBLE)
+                  / 10000.0 AS share_pct,
+                n = mx AS is_peak
+         FROM hv JOIN bt ON bt.event_type = hv.event_type
+         ORDER BY hv.event_type, hr"""),
+
+    // WILSON SCORE INTERVALS per experiment arm — the CI that stays
+    // inside [0,1] at small n where the naive Wald interval doesn't
+    // (the reason every A/B dashboard quotes Wilson): same arms and
+    // conversion rule as ab_test, the closed-form
+    // (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n) at z=1.96
+    // spelled identically in both engines on exact integer counts —
+    // deterministic doubles end to end, rounded once.
+    Q("ab_wilson_ci",
+      (s, d) => {
+        val pu = events(s, d)
+          .select(col("user_id"), col("event_type"), col("value"))
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 100.0, 1L).otherwise(0L)).as("conv"))
+          .withColumn("arm",
+            when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")))
+        pu.groupBy("arm")
+          .agg(count(lit(1)).as("n"), sum("conv").as("k"))
+          .withColumn("p", col("k").cast("double") / col("n"))
+          .withColumn("z2n", lit(1.96 * 1.96) / col("n"))
+          .withColumn("ctr",
+            (col("p") + col("z2n") / lit(2.0)) /
+              (lit(1.0) + col("z2n")))
+          .withColumn("hw",
+            lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) /
+              col("n") + col("z2n") / (lit(4.0) * col("n"))) /
+              (lit(1.0) + col("z2n")))
+          .select(col("arm"), col("n").as("n_users"),
+            col("k").as("n_converted"),
+            round(col("p"), 6).as("rate"),
+            round(col("ctr") - col("hw"), 6).as("wilson_lo"),
+            round(col("ctr") + col("hw"), 6).as("wilson_hi"))
+          .orderBy("arm")
+      },
+      """WITH pu AS (
+           SELECT user_id,
+                  MAX(CASE WHEN event_type = 'purchase'
+                           AND value > 100.0
+                           THEN 1 ELSE 0 END) AS conv,
+                  CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                    AS arm
+           FROM events GROUP BY user_id),
+         agg AS (
+           SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(conv) AS BIGINT) AS k
+           FROM pu GROUP BY 1),
+         w AS (
+           SELECT arm, n, k,
+                  CAST(k AS DOUBLE) / n AS p,
+                  -- CAST both factors: DuckDB parses bare 1.96 as
+                  -- DECIMAL and DECIMAL*DECIMAL is exact 3.8416,
+                  -- while Spark's lit(1.96*1.96) is the double
+                  -- 3.8415999999999997
+                  (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n
+                    AS z2n
+           FROM agg),
+         c AS (
+           SELECT arm, n, k, p, z2n,
+                  (p + z2n / 2.0) / (1.0 + z2n) AS ctr,
+                  1.96 * sqrt(p * (1.0 - p) / n + z2n / (4.0 * n))
+                    / (1.0 + z2n) AS hw
+           FROM w)
+         SELECT arm, n AS n_users, k AS n_converted,
+                ROUND(p, 6) AS rate,
+                ROUND(ctr - hw, 6) AS wilson_lo,
+                ROUND(ctr + hw, 6) AS wilson_hi
+         FROM c ORDER BY arm"""),
+
+    // NEW-USER TRAFFIC SHARE per day — what fraction of each day's
+    // events come from users inside their first 24 hours? The
+    // growth-vs-retention mix in one series (a rising share means
+    // acquisition is carrying volume). Per-user first-event time is
+    // one user-keyed aggregate joined back (no window); "new" is an
+    // exact integer µs comparison; shares are 1e-4-unit integer
+    // divisions on the day grain.
+    Q("event_newuser_share",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          unix_micros(col("ts")).as("t"), col("ts").cast("date").as("day"))
+        val first = ev.groupBy("user_id").agg(min("t").as("t0"))
+        ev.join(first, Seq("user_id"))
+          .withColumn("is_new",
+            when(col("t") - col("t0") < 86400000000L, 1L)
+              .otherwise(0L))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_events"),
+            sum("is_new").as("n_new_user_events"))
+          .select(col("day"), col("n_events"), col("n_new_user_events"),
+            (expr("(n_new_user_events * 1000000 + n_events div 2) " +
+              "div n_events").cast("double") / 10000.0)
+              .as("new_share_pct"))
+          .orderBy("day")
+      },
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS t, CAST(ts AS DATE) AS day
+           FROM events),
+         f AS (SELECT user_id, MIN(t) AS t0 FROM ev GROUP BY 1),
+         flagged AS (
+           SELECT day,
+                  CASE WHEN t - t0 < 86400000000 THEN 1 ELSE 0 END
+                    AS is_new
+           FROM ev JOIN f USING (user_id))
+         SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(SUM(is_new) AS BIGINT) AS n_new_user_events,
+                CAST((CAST(SUM(is_new) AS BIGINT) * 1000000
+                      + COUNT(*) // 2) // COUNT(*) AS DOUBLE)
+                  / 10000.0 AS new_share_pct
+         FROM flagged GROUP BY 1 ORDER BY day"""),
   )
 }

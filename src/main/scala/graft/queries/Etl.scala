@@ -1400,5 +1400,59 @@ object Etl {
                 CAST(rate_u AS DOUBLE) / 1e6 AS missing_rate,
                 slope_per_month
          FROM rated CROSS JOIN reg ORDER BY month_idx"""),
+
+    // FLOAT-ACCUMULATION DRIFT AUDIT — the measurement behind this
+    // repo's own dsum convention: per month, the money column summed
+    // the WRONG way (sequential IEEE-double adds in o_orderkey order —
+    // a deterministic stand-in for what an unpinned SUM(double) does
+    // nondeterministically at every partitioning) vs the exact
+    // decimal sum, drift reported in cents. The fold must be
+    // SEQUENTIAL to be declarable at all: both engines reduce the
+    // identically-ordered list left-to-right, so the drift is
+    // reproducible — the point is its magnitude, which a reader can
+    // extrapolate to a 100 TB SUM. Month grain bounds each
+    // collected list by declared construction.
+    Q("dq_float_drift",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        orders(s, d)
+          .select((year(col("o_orderdate")) * 100 +
+            month(col("o_orderdate"))).cast("int").as("ym"),
+            col("o_orderkey").as("k"),
+            col("o_totalprice"))
+          .groupBy("ym")
+          .agg(count(lit(1)).as("n_orders"),
+            (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+              .cast("bigint").as("cents"),
+            expr("""aggregate(transform(
+                      sort_array(collect_list(struct(k,
+                        CAST(o_totalprice AS DOUBLE) AS v))),
+                      s -> s.v),
+                    0.0D, (a, v) -> a + v)""").as("naive"))
+          .select(col("ym"), col("n_orders"),
+            (col("cents").cast("double") / 100.0).as("exact_total"),
+            ((col("naive") - col("cents").cast("double") / 100.0) *
+              100.0).as("drift_cents"))
+          .orderBy("ym")
+      },
+      """WITH o AS (
+           SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                    AS INTEGER) AS ym,
+                  o_orderkey AS k, o_totalprice
+           FROM orders),
+         agg AS (
+           SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents,
+                  list_reduce(
+                    list_prepend(CAST(0.0 AS DOUBLE),
+                      list(CAST(o_totalprice AS DOUBLE) ORDER BY k)),
+                    (x, y) -> x + y) AS naive
+           FROM o GROUP BY 1)
+         SELECT ym, n_orders,
+                CAST(cents AS DOUBLE) / 100.0 AS exact_total,
+                (naive - CAST(cents AS DOUBLE) / 100.0) * 100.0
+                  AS drift_cents
+         FROM agg ORDER BY ym"""),
   )
 }

@@ -1294,5 +1294,31 @@ object IoQueries {
                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM documents WHERE doc_id % 7 = 0
          GROUP BY lang ORDER BY lang"""),
+
+    // MULTI-CHARACTER DELIMITER CSV (Spark 4: sep can be any string) —
+    // the escape hatch for data whose fields CONTAIN every
+    // single-char delimiter (raw text exports): write and read with
+    // "||" as separator, fields carrying commas/tabs/pipes unquoted-
+    // hazardous content; declared relation = the read-back, oracle =
+    // the construction truth.
+    Q("scan_csv_multichar_delim",
+      (s, d) => {
+        val out = scratch(d, "csvmd")
+        val tricky = documents(s, d).select(col("doc_id"),
+          concat(col("lang"), lit(",\t|"),
+            substring(col("text"), 1, 24)).as("s"))
+        tricky.write.mode("overwrite").option("header", "true")
+          .option("sep", "||")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .csv(out)
+        s.read.schema("doc_id LONG, s STRING")
+          .option("header", "true").option("sep", "||").csv(out)
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+                lang || ',' || chr(9) || '|' || substring(text, 1, 24)
+                  AS s
+         FROM documents ORDER BY doc_id"""),
   )
 }
