@@ -151,6 +151,51 @@ object Graph {
     spark.read.parquet(path)
   }
 
+  /** Persisted single-seed personalized PageRank — the fit-once form
+    * (labelPropagationFor discipline): the 8-round exact-integer power
+    * iteration runs once per (edge relation, iterations) version and
+    * every consumer reads the tiny (node, seed, pi) parquet. Seed =
+    * the minimum even-coded node (the declared rule). Inside the fit,
+    * the degree-annotated edge relation is eagerly checkpointed once
+    * and the rounds stay one linear deferred chain — measured faster
+    * than per-round materialization (no 8× job latency) and far
+    * faster than re-deriving edges per round. */
+  def personalizedPagerankFor(edges: DataFrame, iterations: Int,
+      datasetTag: String): DataFrame = {
+    val spark = edges.sparkSession
+    val fp = graft.engine.io.Artifacts.fingerprintOf(edges)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = graft.engine.io.Artifacts.ensure(spark,
+      s"$warehouse/graft_graph_ppr/${safe}_r${iterations}_$fp") { tmp =>
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val ed = edges.join(deg, Seq("src")).localCheckpoint(true)
+      val seed = ed.filter(col("src") % 2 === 0)
+        .agg(min("src").as("seed")).localCheckpoint(true)
+      var pi = ed.select(col("src").as("node")).distinct()
+        .crossJoin(seed)
+        .select(col("node"), col("seed"),
+          when(col("node") === col("seed"), lit(1000000000000L))
+            .otherwise(lit(0L)).as("pi"))
+      // every node of the undirected graph has in-degree >= 1 and the
+      // start vector is positive everywhere after round 1, so contrib
+      // covers all nodes each round — no nodes-relation left join
+      (1 to iterations).foreach { _ =>
+        val contrib = pi
+          .join(ed, col("node") === col("src"))
+          .select(col("dst").as("node"),
+            expr("(pi * 85) div (100 * deg)").as("c"))
+          .groupBy("node").agg(sum("c").as("c"))
+        pi = contrib.crossJoin(seed)
+          .select(col("node"), col("seed"),
+            (col("c") + when(col("node") === col("seed"),
+              lit(150000000000L)).otherwise(lit(0L))).as("pi"))
+      }
+      pi.write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(path)
+  }
+
   private def labelPropagationImpl(edges: DataFrame,
       iterations: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

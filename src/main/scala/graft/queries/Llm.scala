@@ -2747,41 +2747,39 @@ GROUP BY source ORDER BY source"""),
     Q("sim_search_mmr",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        graft.engine.expr.GraftFunctions.ensureRegistered(s)
         val emb = embeddings(s, d)
+        // native fused cosine (codegen) — bit-identical to the
+        // HOF-composed fold (CosineSimilarity scaladoc) and ~10×
+        // cheaper on the corpus-sized candidate scan
         val scoredAll = emb
           .crossJoin(broadcast(graft.engine.ml.Similarity.probes(emb)))
           .filter(col("vec_id") =!= col("probe_id"))
           .select(col("probe_id"), col("vec_id"), col("embedding"),
-            (expr("""aggregate(zip_with(probe_emb, embedding,
-                       (x, y) -> cast(x AS double) * cast(y AS double)),
-                     0.0D, (a, v) -> a + v)""") /
-              (sqrt(expr("""aggregate(transform(probe_emb,
-                              x -> cast(x AS double) * cast(x AS double)),
-                            0.0D, (a, v) -> a + v)""")) *
-               sqrt(expr("""aggregate(transform(embedding,
-                              x -> cast(x AS double) * cast(x AS double)),
-                            0.0D, (a, v) -> a + v)"""))))
-              .as("cos"))
+            expr("graft_cosine(probe_emb, embedding)").as("cos"))
         val wP = Window.partitionBy("probe_id")
           .orderBy(desc("cos"), col("vec_id"))
-        val cand = scoredAll.withColumn("rn", row_number().over(wP))
+        // EAGER CHECKPOINT of the one corpus-cost stage: the rank
+        // window runs over NARROW (probe, vec, cos) rows — attaching
+        // the 64-float arrays before the window would shuffle them
+        // for every scored row; instead the 160 winners re-join the
+        // embedding relation afterwards. Unmaterialized, the greedy
+        // recursion below re-ran this scan ~15× (measured 15 s at
+        // sf0.1); checkpointed it runs once.
+        val cand = scoredAll.drop("embedding")
+          .withColumn("rn", row_number().over(wP))
           .filter(col("rn") <= 16).drop("rn")
+          .join(emb.select(col("vec_id"), col("embedding")),
+            Seq("vec_id"))
+          .localCheckpoint(true)
         val pairs = cand.select(col("probe_id"), col("vec_id").as("av"),
             col("embedding").as("aemb"))
           .join(cand.select(col("probe_id"), col("vec_id").as("bv"),
             col("embedding").as("bemb")), Seq("probe_id"))
           .filter(col("av") =!= col("bv"))
           .select(col("probe_id"), col("av"), col("bv"),
-            (expr("""aggregate(zip_with(aemb, bemb,
-                       (x, y) -> cast(x AS double) * cast(y AS double)),
-                     0.0D, (a, v) -> a + v)""") /
-              (sqrt(expr("""aggregate(transform(aemb,
-                              x -> cast(x AS double) * cast(x AS double)),
-                            0.0D, (a, v) -> a + v)""")) *
-               sqrt(expr("""aggregate(transform(bemb,
-                              x -> cast(x AS double) * cast(x AS double)),
-                            0.0D, (a, v) -> a + v)"""))))
-              .as("pc"))
+            expr("graft_cosine(aemb, bemb)").as("pc"))
+          .localCheckpoint(true)
         var sel = cand.withColumn("r0", row_number().over(wP))
           .filter(col("r0") === 1)
           .select(col("probe_id"), col("vec_id"),
@@ -2805,7 +2803,12 @@ GROUP BY source ORDER BY source"""),
             .filter(col("r") === 1)
             .select(col("probe_id"), col("vec_id"),
               lit(t.toLong).as("rk"), col("score").as("mmr"))
-          sel = sel.unionByName(pick)
+          // checkpoint the ≤40-row selection each stage: pick_t
+          // references sel_{t-1} twice (penalty join + anti-join), so
+          // the deferred chain doubles per stage — 2^4 nested
+          // subplans at collect time (measured 7 s of pure planning/
+          // scheduling on 2400 rows)
+          sel = sel.unionByName(pick).localCheckpoint(true)
         }
         sel.select(col("probe_id"), col("rk"), col("vec_id"),
             round(col("mmr"), 6).as("mmr_score"))
