@@ -41,8 +41,12 @@ object Behavior {
       .groupBy(col("event_type").as("u"), col("to_type").as("v"))
       .agg(count(lit(1)).as("wt"))
     val rowsum = edges.groupBy("u").agg(sum("wt").as("wu"))
-    val trans = edges.join(rowsum, Seq("u"))
-    val types = edges.select(col("u")).distinct()
+    // eager checkpoints: every iteration references trans and types —
+    // unmaterialized, each round re-derives the events window + aggs
+    // inside one nested plan (the sim_search_mmr lesson); both are
+    // |types|²-bounded relations
+    val trans = edges.join(rowsum, Seq("u")).localCheckpoint(true)
+    val types = edges.select(col("u")).distinct().localCheckpoint(true)
     val nT = types.agg(count(lit(1)).as("nt"))
     val p0 = types.crossJoin(nT)
       .select(col("u"), expr("1000000000000 div nt").as("pi"))
