@@ -1572,5 +1572,84 @@ FROM wt ORDER BY lang, source"""),
                      // CAST(SUM(len) AS BIGINT) AS DOUBLE) / 1e6
                   AS mean_sym_density
          FROM flagged GROUP BY source ORDER BY source"""),
+
+    // POST-DEDUP MIX RE-WEIGHTING — dedup changes the mixture:
+    // a source that was 30% of the raw corpus but full of near-dups
+    // can be 15% of the deduplicated one, and a mix tuned on raw
+    // shares silently over-trains the duplicate-heavy sources. Per
+    // source: raw vs canonical-survivor doc counts and both share
+    // vectors (1e-6-unit integer), plus the survival rate — all off
+    // the SAME persisted keep-list artifact the dedup family resolves
+    // once (keepListFor); the oracle replays the full n-gram Jaccard
+    // + transitive-closure resolution.
+    Q("mix_post_dedup",
+      (s, d) => {
+        val docs = documents(s, d)
+        val keep = graft.engine.ml.Dedup.keepListFor(docs, d, 0.05)
+          .filter(col("doc_id") === col("keep_id")).select("doc_id")
+        val pre = docs.groupBy("source").agg(count(lit(1)).as("n_pre"))
+        val post = docs.join(keep, Seq("doc_id"))
+          .groupBy("source").agg(count(lit(1)).as("n_post"))
+        val tots = pre.agg(sum("n_pre").as("tp")).crossJoin(
+          post.agg(sum("n_post").as("tq")))
+        pre.join(post, Seq("source"))
+          .crossJoin(broadcast(tots))
+          .select(col("source"), col("n_pre"), col("n_post"),
+            (expr("(n_pre * 1000000 + tp div 2) div tp")
+              .cast("double") / 1.0e6).as("share_pre"),
+            (expr("(n_post * 1000000 + tq div 2) div tq")
+              .cast("double") / 1.0e6).as("share_post"),
+            (expr("(n_post * 1000000 + n_pre div 2) div n_pre")
+              .cast("double") / 1.0e6).as("survival_rate"))
+          .orderBy("source")
+      },
+      """WITH RECURSIVE grams AS (
+           SELECT DISTINCT doc_id, lang, source,
+                  unnest(list_transform(range(1, len(string_split(text,' '))),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1])) AS g
+           FROM documents),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+           FROM grams a JOIN grams b
+             ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b
+           FROM common
+             JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05),
+         edges AS (
+           SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION
+           SELECT doc_b AS u, doc_a AS v FROM pairs),
+         reach(u, v) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         resolved AS (
+           SELECT u AS doc_id, MIN(v) AS keep_id FROM reach GROUP BY u),
+         pre AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pre
+           FROM documents GROUP BY 1),
+         post AS (
+           SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_post
+           FROM documents d JOIN resolved r ON r.doc_id = d.doc_id
+           WHERE r.doc_id = r.keep_id GROUP BY 1),
+         tots AS (
+           SELECT (SELECT CAST(SUM(n_pre) AS BIGINT) FROM pre) AS tp,
+                  (SELECT CAST(SUM(n_post) AS BIGINT) FROM post) AS tq)
+         SELECT p.source, p.n_pre, q.n_post,
+                CAST((p.n_pre * 1000000 + t.tp // 2) // t.tp AS DOUBLE)
+                  / 1e6 AS share_pre,
+                CAST((q.n_post * 1000000 + t.tq // 2) // t.tq AS DOUBLE)
+                  / 1e6 AS share_post,
+                CAST((q.n_post * 1000000 + p.n_pre // 2) // p.n_pre
+                  AS DOUBLE) / 1e6 AS survival_rate
+         FROM pre p JOIN post q ON q.source = p.source
+         CROSS JOIN tots t ORDER BY p.source"""),
   )
 }

@@ -1454,5 +1454,74 @@ object Etl {
                 (naive - CAST(cents AS DOUBLE) / 100.0) * 100.0
                   AS drift_cents
          FROM agg ORDER BY ym"""),
+
+    // CROSS-TABLE ACCOUNTING RECONCILIATION — does the header total
+    // equal the sum of its line items? Per year: orders.o_totalprice
+    // vs the lineitem-derived Σ extendedprice·(1−disc)·(1+tax), both
+    // as exact decimal cents, delta and a 1e-4-unit relative gap.
+    // recon_tables diffs two same-schema versions; this reconciles
+    // ACROSS the header/detail hierarchy — the invoice-vs-ledger
+    // audit. In this testdata the books do NOT balance (≈16% gap) —
+    // the audit's value is making that a number. Two fact partial
+    // aggs joined on year; decimal products pinned identically.
+    Q("dq_cross_table_recon",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val hdr = orders(s, d)
+          .groupBy(year(col("o_orderdate")).cast("int").as("y"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+            .cast("bigint").as("hdr_cents"),
+            count(lit(1)).as("n_orders"))
+        // per-row product in DOUBLE then ONE decimal cast — the
+        // agg_groupby sum_charge device: chained DECIMAL×DECIMAL
+        // intermediate precision rules differ between engines
+        // (observed a 1-cent skew), the double product is IEEE-
+        // identical per row and the decimal pin makes the sum
+        // order-free
+        val det = lineitem(s, d)
+          .join(orders(s, d).select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("int").as("y")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("y")
+          .agg(expr("CAST(ROUND(SUM(CAST(l_extendedprice * " +
+            "(1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) " +
+            "* 100, 0) AS BIGINT)").as("det_cents"))
+        hdr.join(det, Seq("y"))
+          .select(col("y"), col("n_orders"),
+            (col("hdr_cents").cast("double") / 100.0).as("header_total"),
+            (col("det_cents").cast("double") / 100.0).as("detail_total"),
+            ((col("hdr_cents") - col("det_cents")).cast("double") /
+              100.0).as("delta"),
+            (when(col("hdr_cents") - col("det_cents") < 0, lit(-1L))
+              .otherwise(lit(1L)) *
+              expr("(abs(hdr_cents - det_cents) * 1000000 " +
+                "+ hdr_cents div 2) div hdr_cents"))
+              .cast("double").divide(lit(10000.0)).as("gap_pct"))
+          .orderBy("y")
+      },
+      """WITH hdr AS (
+           SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS hdr_cents,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1),
+         det AS (
+           SELECT CAST(year(o.o_orderdate) AS INTEGER) AS y,
+                  CAST(ROUND(SUM(CAST(l_extendedprice *
+                    (1.0 - l_discount) * (1.0 + l_tax)
+                    AS DECIMAL(18,6))) * 100, 0) AS BIGINT)
+                    AS det_cents
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1)
+         SELECT hdr.y, n_orders,
+                CAST(hdr_cents AS DOUBLE) / 100.0 AS header_total,
+                CAST(det_cents AS DOUBLE) / 100.0 AS detail_total,
+                CAST(hdr_cents - det_cents AS DOUBLE) / 100.0 AS delta,
+                CAST((CASE WHEN hdr_cents - det_cents < 0 THEN -1
+                           ELSE 1 END) *
+                     ((ABS(hdr_cents - det_cents) * 1000000
+                       + hdr_cents // 2) // hdr_cents) AS DOUBLE)
+                  / 10000.0 AS gap_pct
+         FROM hdr JOIN det ON det.y = hdr.y ORDER BY hdr.y"""),
   )
 }

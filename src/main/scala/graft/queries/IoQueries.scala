@@ -1320,5 +1320,53 @@ object IoQueries {
                 lang || ',' || chr(9) || '|' || substring(text, 1, 24)
                   AS s
          FROM documents ORDER BY doc_id"""),
+
+    // ROW-GROUP SIZING SINK — the parquet knob that decides how much
+    // a 100 TB scan can parallelize and prune: row groups are the
+    // unit of both split planning and min/max skipping, and the
+    // default 128 MB block would put this whole small table in ONE
+    // group (no intra-file parallelism, one footer stat row). Write
+    // with parquet.block.size forced down, PROVE multiple row groups
+    // in the footer (and that every group carries l_orderkey stats),
+    // then run the read-back aggregate.
+    Q("sink_row_group_size",
+      (s, d) => {
+        import scala.jdk.CollectionConverters._
+        val out = scratch(d, "rowgroups")
+        lineitem(s, d).filter(col("l_orderkey") < 5000)
+          .select("l_orderkey", "l_partkey", "l_quantity")
+          .coalesce(1)
+          .write.mode("overwrite")
+          .option("parquet.block.size", "65536")
+          .parquet(out)
+        val conf = s.sparkContext.hadoopConfiguration
+        val fsys = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(conf)
+        val files = fsys.listStatus(new org.apache.hadoop.fs.Path(out))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        require(files.length == 1, s"expected 1 file, got ${files.length}")
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(files.head, conf))
+        try {
+          val blocks = r.getFooter.getBlocks.asScala
+          require(blocks.size >= 2,
+            s"expected >=2 row groups at 64 KiB block size, " +
+              s"got ${blocks.size}")
+          require(blocks.forall(_.getColumns.asScala.exists(c =>
+            c.getPath.toDotString == "l_orderkey" &&
+              c.getStatistics != null)),
+            "row group missing l_orderkey statistics")
+        } finally r.close()
+        s.read.parquet(out)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct("l_orderkey").as("n_orders"),
+            dsum(col("l_quantity"), 2).as("qty"))
+      },
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS qty
+         FROM lineitem WHERE l_orderkey < 5000"""),
   )
 }
