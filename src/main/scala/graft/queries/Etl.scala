@@ -1523,5 +1523,122 @@ object Etl {
                        + hdr_cents // 2) // hdr_cents) AS DOUBLE)
                   / 10000.0 AS gap_pct
          FROM hdr JOIN det ON det.y = hdr.y ORDER BY hdr.y"""),
+
+    // CATEGORICAL DRIFT χ² — the discrete complement to dq_drift_psi:
+    // per month, Pearson's χ² of the order-priority mix against the
+    // pooled distribution, the months ranked worst-first (top-5
+    // TakeOrdered). All observed/expected inputs are exact BIGINTs;
+    // each cell's (O·T − E')²/(E'·T) is assembled as doubles through
+    // an identical formula (E' = pooled_count·month_total, an exact
+    // BIGINT product — no rational enters until the one final
+    // division chain), rounded once.
+    Q("dq_drift_chi2",
+      (s, d) => {
+        val o = orders(s, d).select(
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("int").as("ym"),
+          col("o_orderpriority").as("prio"))
+        val cell = o.groupBy("ym", "prio").agg(count(lit(1)).as("obs"))
+        val mt = cell.groupBy("ym").agg(sum("obs").as("mt"))
+        val pool = cell.groupBy("prio").agg(sum("obs").as("pc"))
+        val tot = pool.agg(sum("pc").as("t"))
+        cell.join(mt, Seq("ym")).join(broadcast(pool), Seq("prio"))
+          .crossJoin(broadcast(tot))
+          .select(col("ym"),
+            ((col("obs") * col("t") - col("pc") * col("mt"))
+              .cast("double") *
+              (col("obs") * col("t") - col("pc") * col("mt"))
+                .cast("double") /
+              (col("pc").cast("double") * col("mt").cast("double") *
+                col("t").cast("double"))).as("term"))
+          .groupBy("ym")
+          .agg(round(sum(col("term").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(
+              28, 10))).cast("double"), 6).as("chi2"))
+          .orderBy(desc("chi2"), col("ym")).limit(5)
+      },
+      """WITH o AS (
+           SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                    AS INTEGER) AS ym,
+                  o_orderpriority AS prio
+           FROM orders),
+         cell AS (
+           SELECT ym, prio, CAST(COUNT(*) AS BIGINT) AS obs
+           FROM o GROUP BY 1, 2),
+         mt AS (SELECT ym, CAST(SUM(obs) AS BIGINT) AS mt
+                FROM cell GROUP BY 1),
+         pool AS (SELECT prio, CAST(SUM(obs) AS BIGINT) AS pc
+                  FROM cell GROUP BY 1),
+         tot AS (SELECT CAST(SUM(pc) AS BIGINT) AS t FROM pool),
+         terms AS (
+           SELECT ym,
+                  CAST(CAST(obs * t - pc * mt AS DOUBLE) *
+                       CAST(obs * t - pc * mt AS DOUBLE) /
+                       (CAST(pc AS DOUBLE) * CAST(mt AS DOUBLE) *
+                        CAST(t AS DOUBLE)) AS DECIMAL(28,10)) AS term
+           FROM cell JOIN mt USING (ym) JOIN pool USING (prio)
+           CROSS JOIN tot)
+         SELECT ym, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+         FROM terms GROUP BY 1
+         ORDER BY chi2 DESC, ym LIMIT 5"""),
+
+    // LEAKAGE-SAFE TARGET ENCODING — the feature-engineering verb
+    // behind every categorical column in a GBM pipeline: per
+    // category, the leave-one-out encoding range (each row's own
+    // target excluded — the leakage fix) and the m=100-smoothed
+    // encoding toward the global prior (the rare-category fix). All
+    // inputs exact cents; min/max LOO and the smoothed value are
+    // ROUND-tie-proof integer 1e-4-unit divisions (values positive —
+    // no sign split needed). One category aggregate; the extreme
+    // rows' LOO values derive from (S − max)/(n−1) closed form, no
+    // per-row relation declared.
+    Q("ml_target_encoding",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val o = orders(s, d).select(col("o_orderpriority").as("cat"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("bigint").as("t"))
+        val g = o.agg(sum("t").as("gs"), count(lit(1)).as("gn"))
+        o.groupBy("cat")
+          .agg(count(lit(1)).as("n"), sum("t").as("s"),
+            min("t").as("mn"), max("t").as("mx"))
+          .crossJoin(broadcast(g))
+          .select(col("cat"), col("n"),
+            (expr("((s - mx) * 100 + (n - 1) * 5000) div " +
+              "((n - 1) * 10000)").cast("double") / 1.0)
+              .as("loo_min_dollars"),
+            (expr("((s - mn) * 100 + (n - 1) * 5000) div " +
+              "((n - 1) * 10000)").cast("double") / 1.0)
+              .as("loo_max_dollars"),
+            (expr("((s + 100 * (gs div gn)) * 100 " +
+              "+ (n + 100) * 5000) div ((n + 100) * 10000)")
+              .cast("double") / 1.0).as("smoothed_dollars"))
+          .orderBy("cat")
+      },
+      """WITH o AS (
+           SELECT o_orderpriority AS cat,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS t
+           FROM orders),
+         g AS (SELECT CAST(SUM(t) AS BIGINT) AS gs,
+                      CAST(COUNT(*) AS BIGINT) AS gn
+               FROM o),
+         agg AS (
+           SELECT cat, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(t) AS BIGINT) AS s,
+                  CAST(MIN(t) AS BIGINT) AS mn,
+                  CAST(MAX(t) AS BIGINT) AS mx
+           FROM o GROUP BY 1)
+         SELECT cat, n,
+                CAST(((s - mx) * 100 + (n - 1) * 5000)
+                     // ((n - 1) * 10000) AS DOUBLE)
+                  AS loo_min_dollars,
+                CAST(((s - mn) * 100 + (n - 1) * 5000)
+                     // ((n - 1) * 10000) AS DOUBLE)
+                  AS loo_max_dollars,
+                CAST(((s + 100 * (SELECT gs // gn FROM g)) * 100
+                      + (n + 100) * 5000) // ((n + 100) * 10000)
+                  AS DOUBLE) AS smoothed_dollars
+         FROM agg CROSS JOIN g ORDER BY cat"""),
   )
 }

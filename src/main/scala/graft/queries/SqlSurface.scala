@@ -555,5 +555,22 @@ object SqlSurface {
                 ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
                   AS DOUBLE), 2) AS total_balance
          FROM customer GROUP BY c_mktsegment ORDER BY segment"""),
+
+    // SELECT * EXCEPT — the wide-table ergonomics clause (Spark 4;
+    // DuckDB spells it EXCLUDE): project everything but the noisy
+    // columns without enumerating the keep-set, the daily idiom on
+    // 200-column fact tables. The declared relation proves the
+    // remaining column set and order match the engine's star
+    // expansion.
+    Q("sql_select_except",
+      (s, d) => {
+        part(s, d).createOrReplaceTempView("graft_part_exc")
+        s.sql("""
+          SELECT * EXCEPT (p_name, p_type)
+          FROM graft_part_exc
+          ORDER BY p_partkey""")
+      },
+      """SELECT * EXCLUDE (p_name, p_type) FROM part
+         ORDER BY p_partkey"""),
   )
 }
