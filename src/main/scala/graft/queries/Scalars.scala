@@ -633,5 +633,26 @@ object Scalars {
                 CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
                   AS n_distinct_plain
          FROM customer"""),
+
+    // Binary↔text codec roundtrips (base64 / hex) — the interchange
+    // codecs every export/ingest boundary leans on. Both engines use
+    // unchunked RFC-4648 base64 and uppercase hex, so the encoded
+    // FORMS are compared directly, not just the roundtrip flags —
+    // a one-char alphabet/padding drift fails the hash.
+    Q("fn_encode_roundtrip",
+      (s, d) => customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          base64(col("c_name").cast("binary")).as("b64"),
+          hex(col("c_name")).as("hx"),
+          unbase64(base64(col("c_name").cast("binary"))).cast("string")
+            .as("b64_rt"),
+          unhex(hex(col("c_name"))).cast("string").as("hex_rt"))
+        .orderBy("c_custkey"),
+      """SELECT c_custkey, c_name,
+                base64(c_name::BLOB) AS b64,
+                hex(c_name) AS hx,
+                CAST(from_base64(base64(c_name::BLOB)) AS VARCHAR) AS b64_rt,
+                CAST(unhex(hex(c_name)) AS VARCHAR) AS hex_rt
+         FROM customer ORDER BY c_custkey"""),
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Remaining ANSI-SQL surface a reference user exercised through Athena
@@ -572,5 +573,85 @@ object SqlSurface {
       },
       """SELECT * EXCLUDE (p_name, p_type) FROM part
          ORDER BY p_partkey"""),
+
+    // QUALIFY (filter-on-window-result) — OSS Spark has no QUALIFY
+    // clause, so the engine side is the canonical emulation: project
+    // the window, then filter on its alias; Catalyst plans the same
+    // partitioned Window + Filter a native QUALIFY would. The oracle
+    // IS DuckDB's QUALIFY, proving the emulation is semantics-exact.
+    // Scale: one hash exchange on the partition key, never global.
+    Q("sql_qualify",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        orders(s, d)
+          .select(col("o_orderpriority").as("priority"),
+            col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 2)
+          .orderBy("priority", "rn")
+      },
+      """SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+                CAST(row_number() OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+         FROM orders
+         QUALIFY rn <= 2
+         ORDER BY priority, rn"""),
+
+    // DISTINCT ON (first-row-per-key under an order) — the Postgres/
+    // DuckDB idiom for "latest order per customer". Spark spells it as
+    // a row_number()=1 pick over (key, order) — one hash exchange on
+    // the key, per-group heads, no global sort; at 100 TB this is the
+    // dedup-to-latest plan every CDC consumer runs.
+    Q("sql_distinct_on",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+        orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey")
+      },
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+         FROM orders
+         ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC"""),
+
+    // Quantified subquery comparisons (> ALL / < ALL / ANY-range) —
+    // Spark SQL has no ALL/ANY, so the engine reduces the quantifier
+    // to its scalar witness (ALL ⇒ compare against max/min) computed
+    // once and broadcast — a 1-row cross join, zero shuffle on the
+    // probe side. The oracle keeps the literal ALL/ANY spelling.
+    // The witness subset is non-empty at every SF (2/29/288 rows), so
+    // the vacuous-truth branch of ALL never fires.
+    Q("subquery_any_all",
+      (s, d) => {
+        val o = orders(s, d)
+        val sub = o.filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_custkey") % 97 === 0)
+          .agg(max("o_totalprice").as("mx"), min("o_totalprice").as("mn"))
+        o.crossJoin(broadcast(sub))
+          .agg(
+            sum(when(col("o_totalprice") > col("mx"), 1L).otherwise(0L))
+              .as("n_gt_all"),
+            sum(when(col("o_totalprice") < col("mn"), 1L).otherwise(0L))
+              .as("n_lt_all"),
+            sum(when(col("o_totalprice") >= col("mn") &&
+                     col("o_totalprice") <= col("mx"), 1L).otherwise(0L))
+              .as("n_within"),
+            count(lit(1)).as("n_total"))
+      },
+      """WITH sub AS (SELECT o_totalprice AS p FROM orders
+                      WHERE o_orderpriority = '1-URGENT'
+                        AND o_custkey % 97 = 0)
+         SELECT CAST(sum(CASE WHEN o_totalprice > ALL (SELECT p FROM sub)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gt_all,
+                CAST(sum(CASE WHEN o_totalprice < ALL (SELECT p FROM sub)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lt_all,
+                CAST(sum(CASE WHEN o_totalprice >= ANY (SELECT p FROM sub)
+                          AND o_totalprice <= ANY (SELECT p FROM sub)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+                CAST(count(*) AS BIGINT) AS n_total
+         FROM orders"""),
   )
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
-  val qs: Seq[Q] = baseQs :+ rollingSlope :+ shareOfGroup
+  val qs: Seq[Q] = baseQs :+ rollingSlope :+ shareOfGroup :+ frameExclude
 
   private def baseQs: Seq[Q] = Seq(
     Q("win_rank", (s, d) => {
@@ -451,4 +451,46 @@ object Windows {
                       CAST(n * st2 - st * st AS DOUBLE), 6) + 0.0
               END AS slope
        FROM r ORDER BY event_id""")
+
+  // Frame EXCLUDE CURRENT ROW (peer average: "how do my ±3 neighbours
+  // price, not counting me") — Spark frames have no EXCLUDE clause, so
+  // the engine computes the inclusive frame's sum/count once and
+  // subtracts the current row: identical relation, one window pass, and
+  // the subtraction form is actually cheaper than a second frame. The
+  // oracle spells the literal EXCLUDE CURRENT ROW. Money goes through
+  // the DECIMAL(18,2)→integer-cents path and the peer mean is an exact
+  // integer division in 1e-4 dollar units (ROUND-tie-proof; verify-skill
+  // rule), NULL when the customer has a lone order (empty peer frame on
+  // both engines).
+  private def frameExclude: Q = Q("win_frame_exclude",
+    (s, d) => {
+      val fr = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey").rowsBetween(-3, 3)
+      orders(s, d)
+        .withColumn("cents",
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .withColumn("sum_fr", sum("cents").over(fr))
+        .withColumn("n_fr", count("cents").over(fr))
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("n_fr") - 1).as("n_peers"),
+          expr("""CASE WHEN n_fr > 1 THEN
+                    ((sum_fr - cents) * 100 + (n_fr - 1) div 2)
+                      div (n_fr - 1) / 10000.0D END""").as("peer_avg"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS cents FROM orders),
+         w AS (SELECT o_custkey, o_orderkey,
+           sum(cents) OVER fr AS sum_ex,
+           count(cents) OVER fr AS n_peers
+          FROM c WINDOW fr AS (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+            EXCLUDE CURRENT ROW))
+       SELECT o_custkey, o_orderkey, CAST(n_peers AS BIGINT) AS n_peers,
+              CASE WHEN n_peers > 0 THEN
+                (sum_ex * 100 + n_peers // 2) // n_peers / 10000.0
+              END AS peer_avg
+       FROM w ORDER BY o_custkey, o_orderkey""")
 }
