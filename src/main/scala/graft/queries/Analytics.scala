@@ -2583,5 +2583,67 @@ object Analytics {
                   ((ABS(se) * 1000000 + sy // 2) // sy) AS DOUBLE)
                   / 1e6 AS bias_pct
          FROM agg ORDER BY prio"""),
+
+    // ROLLING CORRELATION (trailing-7-day Pearson r between daily
+    // revenue and daily traffic) — the co-movement monitor behind
+    // "did spend decouple from visits this week". All five frame sums
+    // are exact BIGINTs (value in centi-units keeps v² ≤ ~1e17 — a
+    // 1e-4-unit scale overflows BIGINT in sxx at sf0.1); the closed
+    // form touches doubles only in the final expression, identical on
+    // both engines. One day-keyed aggregate + one window over the
+    // calendar-bounded (≤ #days) daily series — never a row-level sort.
+    // NULL until the frame holds a full 7 days.
+    Q("time_rolling_corr",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = events(s, d)
+          .groupBy(col("ts").cast("date").as("dy"))
+          .agg(
+            expr("CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)")
+              .as("v"),
+            count(lit(1)).as("n_ev"))
+        val w = Window.orderBy("dy").rowsBetween(-6, 0)
+        daily
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum("v").over(w))
+          .withColumn("sy", sum("n_ev").over(w))
+          .withColumn("sxx", sum(col("v") * col("v")).over(w))
+          .withColumn("syy", sum(col("n_ev") * col("n_ev")).over(w))
+          .withColumn("sxy", sum(col("v") * col("n_ev")).over(w))
+          .select(col("dy"), col("n").as("n_days"),
+            expr("""CASE WHEN n = 7 AND (n*sxx - sx*sx) > 0
+                         AND (n*syy - sy*sy) > 0 THEN
+                      ROUND((n*CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+                            (sqrt(n*CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+                             sqrt(n*CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))),
+                            6) + 0.0D
+                    END""").as("roll_corr"))
+          .orderBy("dy")
+      },
+      """WITH d AS (SELECT CAST(ts AS DATE) AS dy,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS n_ev
+           FROM events GROUP BY 1),
+         f AS (SELECT dy, count(*) OVER w AS n,
+                 sum(v) OVER w AS sx, sum(n_ev) OVER w AS sy,
+                 sum(v*v) OVER w AS sxx, sum(n_ev*n_ev) OVER w AS syy,
+                 sum(v*n_ev) OVER w AS sxy
+               FROM d WINDOW w AS (ORDER BY dy
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT dy, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n = 7 AND (n*sxx - sx*sx) > 0
+                    AND (n*syy - sy*sy) > 0 THEN
+             ROUND((n*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+                   (sqrt(n*CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+                    sqrt(n*CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))),
+                   6) + 0.0
+           END AS roll_corr
+         FROM f ORDER BY dy"""),
   )
 }

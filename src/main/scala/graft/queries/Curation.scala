@@ -1651,5 +1651,68 @@ FROM wt ORDER BY lang, source"""),
                   AS DOUBLE) / 1e6 AS survival_rate
          FROM pre p JOIN post q ON q.source = p.source
          CROSS JOIN tots t ORDER BY p.source"""),
+
+    // CHARACTER-CLASS CENSUS per (lang, source) — the composition
+    // audit behind encoding/OCR screens: what fraction of a slice's
+    // bytes are letters, digits, whitespace, other. Counts come from
+    // length-minus-stripped-length with EXPLICIT byte-range classes
+    // ([A-Za-z], [0-9], space) so both regex engines agree on any
+    // input; shares are exact integer divisions in 1e-4 units. One
+    // map-side projection + one aggregate — the whole census is a
+    // single exchange at any corpus size.
+    Q("text_charclass_profile",
+      (s, d) => documents(s, d)
+        .select(col("lang"), col("source"),
+          length(col("text")).as("total"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[A-Za-z]", "")))
+            .as("letters"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", "")))
+            .as("digits"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), " ", ""))).as("spaces"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("total").cast("long")).as("n_chars"),
+          sum(col("letters").cast("long")).as("n_letters"),
+          sum(col("digits").cast("long")).as("n_digits"),
+          sum(col("spaces").cast("long")).as("n_spaces"))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
+          expr("(n_letters * 10000 + n_chars div 2) div n_chars / 10000.0D")
+            .as("letter_share"),
+          expr("(n_digits * 10000 + n_chars div 2) div n_chars / 10000.0D")
+            .as("digit_share"),
+          expr("(n_spaces * 10000 + n_chars div 2) div n_chars / 10000.0D")
+            .as("space_share"),
+          expr("""((n_chars - n_letters - n_digits - n_spaces) * 10000
+                   + n_chars div 2) div n_chars / 10000.0D""")
+            .as("other_share"))
+        .orderBy("lang", "source"),
+      """WITH per AS (SELECT lang, source, length(text) AS total,
+             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+               AS letters,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS digits,
+             length(text) - length(regexp_replace(text, ' ', '', 'g'))
+               AS spaces
+           FROM documents),
+         agg AS (SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(total) AS BIGINT) AS n_chars,
+             CAST(sum(letters) AS BIGINT) AS n_letters,
+             CAST(sum(digits) AS BIGINT) AS n_digits,
+             CAST(sum(spaces) AS BIGINT) AS n_spaces
+           FROM per GROUP BY lang, source)
+         SELECT lang, source, n_docs, n_chars,
+           (n_letters * 10000 + n_chars // 2) // n_chars / 10000.0
+             AS letter_share,
+           (n_digits * 10000 + n_chars // 2) // n_chars / 10000.0
+             AS digit_share,
+           (n_spaces * 10000 + n_chars // 2) // n_chars / 10000.0
+             AS space_share,
+           ((n_chars - n_letters - n_digits - n_spaces) * 10000
+            + n_chars // 2) // n_chars / 10000.0 AS other_share
+         FROM agg ORDER BY lang, source"""),
   )
 }

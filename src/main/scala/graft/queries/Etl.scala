@@ -1640,5 +1640,39 @@ object Etl {
                       + (n + 100) * 5000) // ((n + 100) * 10000)
                   AS DOUBLE) AS smoothed_dollars
          FROM agg CROSS JOIN g ORDER BY cat"""),
+
+    // CONTENT-HASH SURROGATE KEYS — dimension-key generation without a
+    // central sequence: surrogate = first 60 bits of md5(natural key),
+    // stable across runs/partitions/engines (a monotonic id would be
+    // partition-order-dependent). The declared relation is the audit a
+    // warehouse runs before trusting the keys: key count, distinct
+    // surrogates, collisions (birthday bound ⇒ 0 here; ~50% only at
+    // ~1.3e9 keys for 60 bits), plus the first 10 mappings as the
+    // spot-check sample. Zero shuffles beyond one aggregate.
+    Q("etl_surrogate_key",
+      (s, d) => {
+        val keyed = customer(s, d).select(col("c_custkey"),
+          expr("CAST(conv(substr(md5(c_name), 1, 15), 16, 10) AS BIGINT)")
+            .as("sk"))
+        val audit = keyed.agg(
+          count(lit(1)).as("n_keys"),
+          countDistinct(col("sk")).as("n_surrogates"),
+          (count(lit(1)) - countDistinct(col("sk"))).as("n_collisions"))
+        keyed.orderBy("c_custkey").limit(10)
+          .crossJoin(broadcast(audit))
+          .orderBy("c_custkey")
+      },
+      """WITH keyed AS (SELECT c_custkey,
+             CAST(concat('0x', substr(md5(c_name), 1, 15)) AS BIGINT) AS sk
+           FROM customer),
+         audit AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(count(DISTINCT sk) AS BIGINT) AS n_surrogates,
+             CAST(count(*) - count(DISTINCT sk) AS BIGINT) AS n_collisions
+           FROM keyed),
+         sample_rows AS (SELECT c_custkey, sk
+           FROM keyed ORDER BY c_custkey LIMIT 10)
+         SELECT c_custkey, sk, n_keys, n_surrogates, n_collisions
+         FROM sample_rows CROSS JOIN audit
+         ORDER BY c_custkey"""),
   )
 }

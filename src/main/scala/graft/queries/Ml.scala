@@ -2253,6 +2253,154 @@ object Ml {
                   / (CAST(sxx AS DOUBLE) -
                      CAST(CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) / n),
                   6) + 0.0 AS seasonal_strength
-         FROM tot CROSS JOIN dow""")
+         FROM tot CROSS JOIN dow"""),
+
+    // ROC AUC via the Mann–Whitney rank statistic (scorer = n_chars,
+    // label = lang·en): AUC = (Σ midranks(pos) − n₊(n₊+1)/2)/(n₊n₋),
+    // with TIED scores getting average ranks. Computed entirely on the
+    // score-value HISTOGRAM — midranks in doubled units (2·mr = 2·cum_
+    // before + c + 1) stay integral, and the final AUC is an exact
+    // integer division in 1e-6 units (tie-proof). One histogram
+    // aggregate + one cumulative window over the ≤|distinct scores|
+    // domain — never a row-level global rank, the profile_equidepth
+    // drill-down lesson applied to model evaluation.
+    Q("ml_auc_roc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = documents(s, d)
+          .groupBy(col("n_chars").as("sc"))
+          .agg(count(lit(1)).as("c"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cp"))
+        val w = Window.orderBy("sc").rowsBetween(Window.unboundedPreceding, -1)
+        h.withColumn("cb", coalesce(sum("c").over(w), lit(0L)))
+          .agg(sum("cp").as("np"),
+            (sum("c") - sum("cp")).as("nn"),
+            sum((lit(2) * col("cb") + col("c") + 1) * col("cp")).as("r2"))
+          .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+            expr("""((r2 - np*(np+1)) * 1000000 + (2*np*nn) div 2)
+                    div (2*np*nn) / 1000000.0D""").as("auc"))
+      },
+      """WITH h AS (SELECT n_chars AS sc, count(*) AS c,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp
+             FROM documents GROUP BY 1),
+         cum AS (SELECT sc, c, cp,
+             coalesce(sum(c) OVER (ORDER BY sc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM h),
+         agg AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+                        CAST(sum(c) - sum(cp) AS BIGINT) AS nn,
+                        CAST(sum((2*cb + c + 1) * cp) AS BIGINT) AS r2
+                 FROM cum)
+         SELECT np AS n_pos, nn AS n_neg,
+                ((r2 - np*(np+1)) * 1000000 + (2*np*nn) // 2)
+                  // (2*np*nn) / 1000000.0 AS auc
+         FROM agg"""),
+
+    // TWO-FEATURE OLS (normal equations, closed form) — extends
+    // agg_regression past one regressor: ŷ = b0 + bx·quantity +
+    // bz·discount over lineitem, solved by Cramer on the centered 2×2
+    // moment matrix. Per-row cross products are double products pinned
+    // ONCE to decimal (chained decimal×decimal precision rules differ
+    // across engines — the dq_cross_table_recon lesson), summed
+    // exactly, cast to double once; both engines then run the
+    // IDENTICAL closed-form expression on identical doubles. One
+    // partial-agg exchange, no windows, no iteration.
+    Q("ml_ols_multi",
+      (s, d) => lineitem(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("sx"),
+          expr("CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)")
+            .as("sz"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("sy"),
+          expr("CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))" +
+            " AS DOUBLE)").as("sxx"),
+          expr("CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,8)))" +
+            " AS DOUBLE)").as("szz"),
+          expr("CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,6)))" +
+            " AS DOUBLE)").as("sxz"),
+          expr("CAST(sum(CAST(l_quantity * l_extendedprice" +
+            " AS DECIMAL(28,4))) AS DOUBLE)").as("sxy"),
+          expr("CAST(sum(CAST(l_discount * l_extendedprice" +
+            " AS DECIMAL(28,4))) AS DOUBLE)").as("szy"),
+          expr("CAST(sum(CAST(l_extendedprice * l_extendedprice" +
+            " AS DECIMAL(32,4))) AS DOUBLE)").as("syy"))
+        .selectExpr(
+          "n",
+          """ROUND(((szz - sz*sz/n)*(sxy - sx*sy/n)
+                    - (sxz - sx*sz/n)*(szy - sz*sy/n)) /
+                   ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                    - (sxz - sx*sz/n)*(sxz - sx*sz/n)), 6) + 0.0D AS b_qty""",
+          """ROUND(((sxx - sx*sx/n)*(szy - sz*sy/n)
+                    - (sxz - sx*sz/n)*(sxy - sx*sy/n)) /
+                   ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                    - (sxz - sx*sz/n)*(sxz - sx*sz/n)), 6) + 0.0D AS b_disc""",
+          """ROUND(sy/n
+               - (((szz - sz*sz/n)*(sxy - sx*sy/n)
+                   - (sxz - sx*sz/n)*(szy - sz*sy/n)) /
+                  ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                   - (sxz - sx*sz/n)*(sxz - sx*sz/n))) * (sx/n)
+               - (((sxx - sx*sx/n)*(szy - sz*sy/n)
+                   - (sxz - sx*sz/n)*(sxy - sx*sy/n)) /
+                  ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                   - (sxz - sx*sz/n)*(sxz - sx*sz/n))) * (sz/n), 4)
+             + 0.0D AS intercept""",
+          """ROUND((((szz - sz*sz/n)*(sxy - sx*sy/n)
+                     - (sxz - sx*sz/n)*(szy - sz*sy/n)) /
+                    ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                     - (sxz - sx*sz/n)*(sxz - sx*sz/n)) * (sxy - sx*sy/n)
+                   + ((sxx - sx*sx/n)*(szy - sz*sy/n)
+                      - (sxz - sx*sz/n)*(sxy - sx*sy/n)) /
+                     ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                      - (sxz - sx*sz/n)*(sxz - sx*sz/n)) * (szy - sz*sy/n))
+                  / (syy - sy*sy/n), 6) + 0.0D AS r2"""),
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sz,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+             AS DOUBLE) AS sxx,
+           CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,8)))
+             AS DOUBLE) AS szz,
+           CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,6)))
+             AS DOUBLE) AS sxz,
+           CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4)))
+             AS DOUBLE) AS sxy,
+           CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(28,4)))
+             AS DOUBLE) AS szy,
+           CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(32,4)))
+             AS DOUBLE) AS syy
+           FROM lineitem)
+         SELECT n,
+           ROUND(((szz - sz*sz/n)*(sxy - sx*sy/n)
+                  - (sxz - sx*sz/n)*(szy - sz*sy/n)) /
+                 ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                  - (sxz - sx*sz/n)*(sxz - sx*sz/n)), 6) + 0.0 AS b_qty,
+           ROUND(((sxx - sx*sx/n)*(szy - sz*sy/n)
+                  - (sxz - sx*sz/n)*(sxy - sx*sy/n)) /
+                 ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                  - (sxz - sx*sz/n)*(sxz - sx*sz/n)), 6) + 0.0 AS b_disc,
+           ROUND(sy/n
+             - (((szz - sz*sz/n)*(sxy - sx*sy/n)
+                 - (sxz - sx*sz/n)*(szy - sz*sy/n)) /
+                ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                 - (sxz - sx*sz/n)*(sxz - sx*sz/n))) * (sx/n)
+             - (((sxx - sx*sx/n)*(szy - sz*sy/n)
+                 - (sxz - sx*sz/n)*(sxy - sx*sy/n)) /
+                ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                 - (sxz - sx*sz/n)*(sxz - sx*sz/n))) * (sz/n), 4)
+             + 0.0 AS intercept,
+           ROUND((((szz - sz*sz/n)*(sxy - sx*sy/n)
+                   - (sxz - sx*sz/n)*(szy - sz*sy/n)) /
+                  ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                   - (sxz - sx*sz/n)*(sxz - sx*sz/n)) * (sxy - sx*sy/n)
+                 + ((sxx - sx*sx/n)*(szy - sz*sy/n)
+                    - (sxz - sx*sz/n)*(sxy - sx*sy/n)) /
+                   ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                    - (sxz - sx*sz/n)*(sxz - sx*sz/n)) * (szy - sz*sy/n))
+                / (syy - sy*sy/n), 6) + 0.0 AS r2
+         FROM m""")
   )
 }
