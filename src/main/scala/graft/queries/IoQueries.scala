@@ -1368,5 +1368,71 @@ object IoQueries {
                 ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
                   AS DOUBLE), 2) AS qty
          FROM lineitem WHERE l_orderkey < 5000"""),
+
+    // Malformed-JSONL quarantine — the scan_csv_malformed twin for the
+    // dominant LLM-corpus interchange format: every k%11 line is torn
+    // mid-record (closing brace dropped — the partial-flush shape), the
+    // PERMISSIVE reader routes them to _corrupt_record and parses the
+    // rest. Same requiredSchema-pruning caveat as CSV: corrupt
+    // detection only fires over referenced columns. The oracle replays
+    // the tear rule arithmetically — it never parses JSON.
+    Q("scan_jsonl_malformed",
+      (s, d) => {
+        val out = scratch(d, "badjsonl")
+        orders(s, d).select(
+          expr("""CASE WHEN o_orderkey % 11 = 0 THEN
+                    substring(to_json(named_struct(
+                      'k', o_orderkey, 'price', o_totalprice)), 1,
+                      length(to_json(named_struct(
+                        'k', o_orderkey, 'price', o_totalprice))) - 1)
+                  ELSE to_json(named_struct(
+                    'k', o_orderkey, 'price', o_totalprice)) END""")
+            .as("value"))
+          .write.mode("overwrite").text(out)
+        val schema = StructType(Seq(
+          StructField("k", LongType), StructField("price", DoubleType),
+          StructField("_corrupt_record", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(out)
+          .agg(
+            count(when(col("_corrupt_record").isNotNull, 1))
+              .as("n_corrupt"),
+            count(when(col("_corrupt_record").isNull, 1)).as("n_parsed"),
+            count(col("k")).as("n_valid_keys"),
+            dsum(when(col("_corrupt_record").isNull, col("price")), 2)
+              .as("parsed_price_sum"))
+      },
+      """SELECT COUNT(CASE WHEN o_orderkey % 11 = 0 THEN 1 END)
+                  AS n_corrupt,
+                COUNT(CASE WHEN o_orderkey % 11 <> 0 THEN 1 END)
+                  AS n_parsed,
+                COUNT(CASE WHEN o_orderkey % 11 <> 0 THEN 1 END)
+                  AS n_valid_keys,
+                ROUND(CAST(SUM(CASE WHEN o_orderkey % 11 <> 0
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                      AS DOUBLE), 2) AS parsed_price_sum
+         FROM orders"""),
+
+    // XML roundtrip — Spark 4's built-in XML source (the spark-xml
+    // donation): write nation as <nations><nation>…</nation></nations>
+    // documents, read back with schema inference (ints widen to LONG —
+    // cast back explicitly), prove value identity against the parquet
+    // original. XML is the interchange format of record for the
+    // legacy/regulatory feeds an ETL library still has to ingest.
+    Q("scan_xml_roundtrip",
+      (s, d) => {
+        val out = scratch(d, "xmlrt")
+        nation(s, d).write.format("xml")
+          .option("rowTag", "nation").option("rootTag", "nations")
+          .mode("overwrite").save(out)
+        s.read.format("xml").option("rowTag", "nation").load(out)
+          .select(col("n_nationkey").cast("int"), col("n_name"),
+            col("n_regionkey").cast("int"))
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+         ORDER BY n_nationkey"""),
   )
 }

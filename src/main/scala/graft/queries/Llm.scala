@@ -2951,5 +2951,82 @@ GROUP BY source ORDER BY source"""),
                   / 1000000.0 AS pct_set,
                 abs(2 * n_set - nd) * 10 >= nd AS biased
          FROM bits, n ORDER BY b"""),
+
+    // HARD-NEGATIVE TRIPLET MINING — the contrastive-training data
+    // miner: per anchor, the nearest SAME-label vector (positive) and
+    // the nearest OTHER-label vector (the hard negative an easy random
+    // negative never finds); margin = pos − neg is the triplet-loss
+    // headroom. One broadcast of the |labels| anchors against the
+    // un-exploded corpus stream (the sim_search plan shape — at 100 TB
+    // swap the scan for the IVF cell-pruned index, same contract);
+    // selection is max_by over (cos, −vec_id) so ties break on id
+    // without a window. Scores use the native codegen graft_cosine.
+    Q("vec_hard_negatives",
+      (s, d) => {
+        graft.engine.expr.GraftFunctions.ensureRegistered(s)
+        val emb = embeddings(s, d)
+        val anchors = emb.join(
+            emb.groupBy("label").agg(min(col("vec_id")).as("vec_id"))
+              .select("vec_id"),
+            Seq("vec_id"))
+          .select(col("vec_id").as("anchor_id"),
+            col("label").as("anchor_label"),
+            col("embedding").as("anchor_emb"))
+        emb.crossJoin(broadcast(anchors))
+          .filter(col("vec_id") =!= col("anchor_id"))
+          .select(col("anchor_id"), col("anchor_label"), col("vec_id"),
+            (col("label") === col("anchor_label")).as("same"),
+            expr("graft_cosine(anchor_emb, embedding)").as("cos"))
+          .groupBy("anchor_id", "anchor_label")
+          .agg(
+            expr("""max_by(vec_id, named_struct('c', cos, 'i', -vec_id))
+                    FILTER (WHERE same)""").as("pos_id"),
+            expr("ROUND(max(cos) FILTER (WHERE same), 6) + 0.0D")
+              .as("pos_cos"),
+            expr("""max_by(vec_id, named_struct('c', cos, 'i', -vec_id))
+                    FILTER (WHERE NOT same)""").as("neg_id"),
+            expr("ROUND(max(cos) FILTER (WHERE NOT same), 6) + 0.0D")
+              .as("neg_cos"))
+          .withColumn("margin",
+            expr("ROUND(pos_cos - neg_cos, 6) + 0.0D"))
+          .orderBy("anchor_id")
+      },
+      """WITH a_ids AS (
+           SELECT MIN(vec_id) AS anchor_id FROM embeddings GROUP BY label),
+         a AS (SELECT e.vec_id AS anchor_id, e.label AS anchor_label,
+                      e.embedding AS anchor_emb
+               FROM embeddings e JOIN a_ids ON e.vec_id = anchor_id),
+         scored AS (
+           SELECT a.anchor_id, a.anchor_label, e.vec_id,
+                  e.label = a.anchor_label AS same,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(a.anchor_emb[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+             (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(a.anchor_emb[i] AS DOUBLE) *
+                    CAST(a.anchor_emb[i] AS DOUBLE)), (x, y) -> x + y)) *
+              sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+             AS cos
+           FROM a CROSS JOIN embeddings e WHERE e.vec_id <> a.anchor_id),
+         ranked AS (
+           SELECT anchor_id, anchor_label, vec_id, same, cos,
+                  ROW_NUMBER() OVER (PARTITION BY anchor_id, same
+                    ORDER BY cos DESC, vec_id ASC) AS rn
+           FROM scored)
+         SELECT anchor_id, anchor_label,
+                max(CASE WHEN same THEN vec_id END) AS pos_id,
+                ROUND(max(CASE WHEN same THEN cos END), 6) + 0.0
+                  AS pos_cos,
+                max(CASE WHEN NOT same THEN vec_id END) AS neg_id,
+                ROUND(max(CASE WHEN NOT same THEN cos END), 6) + 0.0
+                  AS neg_cos,
+                ROUND((ROUND(max(CASE WHEN same THEN cos END), 6) + 0.0)
+                      - (ROUND(max(CASE WHEN NOT same THEN cos END), 6)
+                         + 0.0), 6) + 0.0 AS margin
+         FROM ranked WHERE rn = 1
+         GROUP BY anchor_id, anchor_label
+         ORDER BY anchor_id"""),
   )
 }

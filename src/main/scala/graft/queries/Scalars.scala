@@ -654,5 +654,28 @@ object Scalars {
                 CAST(from_base64(base64(c_name::BLOB)) AS VARCHAR) AS b64_rt,
                 CAST(unhex(hex(c_name)) AS VARCHAR) AS hex_rt
          FROM customer ORDER BY c_custkey"""),
+
+    // XPATH extraction over per-row XML payloads — the legacy-feed
+    // field-puller (SOAP bodies, RSS items, regulatory filings).
+    // The XML is built row-side from typed columns, then xpath_string /
+    // xpath() pull them back out; DuckDB has no XPath, so the oracle
+    // replays the extraction as the identity on the source columns —
+    // exactly what the xpath calls must reduce to. Money goes through
+    // CAST(DECIMAL AS STRING) so the embedded text is canonical 2-dp.
+    Q("fn_xpath",
+      (s, d) => customer(s, d)
+        .select(col("c_custkey"),
+          expr("""concat('<c><seg>', c_mktsegment, '</seg><bal>',
+                    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS STRING),
+                    '</bal></c>')""").as("xml"))
+        .select(col("c_custkey"),
+          expr("xpath_string(xml, '/c/seg')").as("seg"),
+          expr("CAST(xpath_string(xml, '/c/bal') AS DOUBLE)").as("bal"),
+          expr("CAST(size(xpath(xml, '/c/*')) AS INT)").as("n_fields"))
+        .orderBy("c_custkey"),
+      """SELECT c_custkey, c_mktsegment AS seg,
+                CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
+                CAST(2 AS INT) AS n_fields
+         FROM customer ORDER BY c_custkey"""),
   )
 }

@@ -205,5 +205,76 @@ object Streaming {
                 MIN(t) AS start_us, MAX(t) AS end_us
          FROM sessions GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq"""),
+
+    // WATERMARK LATE-DATA AUDIT — what a 10-minute watermark would
+    // drop, replayed as deterministic micro-batches: arrival batch =
+    // day-of-month tertile, except every event_id%17 row is a
+    // straggler delivered ONE BATCH LATE with its original (old)
+    // event time. Spark's rule: a late row is discarded when its
+    // hour-window END ≤ the watermark computed from the PREVIOUS
+    // batch's max event time − 10 min (state already finalized).
+    // Declared relation = the 3-row per-batch audit (rows, stragglers,
+    // dropped, kept, watermark) — the lateness-budget sizing table you
+    // read before choosing a watermark in production. Batch maxes are
+    // one 3-row aggregate; the running max is a window over that 3-row
+    // relation, then one broadcast join back onto the stream.
+    Q("stream_late_drop",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d).select(
+          unix_micros(col("ts")).as("t"), col("event_id"),
+          expr("""least(CAST(CASE WHEN day(ts) <= 10 THEN 0
+                              WHEN day(ts) <= 20 THEN 1 ELSE 2 END
+                           + CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END
+                         AS BIGINT), 2L)""").as("b"),
+          (col("event_id") % 17 === 0).as("straggler"))
+        val wm = ev.groupBy("b").agg(max("t").as("bmax"))
+          .withColumn("wm_before",
+            max("bmax").over(Window.orderBy("b")
+              .rowsBetween(Window.unboundedPreceding, -1)) - 600000000L)
+          .select("b", "wm_before")
+        ev.join(broadcast(wm), Seq("b"))
+          .withColumn("dropped",
+            col("wm_before").isNotNull &&
+              expr("(t div 3600000000 + 1) * 3600000000") <=
+                col("wm_before"))
+          .groupBy("b")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("straggler"), 1L).otherwise(0L))
+              .as("n_stragglers"),
+            sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(!col("dropped"), 1L).otherwise(0L)).as("n_kept"),
+            first(col("wm_before")).as("watermark_us"))
+          .orderBy("b")
+      },
+      """WITH ev AS (
+           SELECT epoch_us(ts) AS t, event_id,
+                  least(CAST(CASE WHEN extract(day FROM ts) <= 10 THEN 0
+                               WHEN extract(day FROM ts) <= 20 THEN 1
+                               ELSE 2 END
+                          + CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT), 2) AS b,
+                  event_id % 17 = 0 AS straggler
+           FROM events),
+         wm AS (SELECT b,
+                  max(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING) - 600000000 AS wm_before
+                FROM (SELECT b, max(t) AS bmax FROM ev GROUP BY b)),
+         flagged AS (
+           SELECT ev.b, straggler,
+                  wm_before IS NOT NULL AND
+                    (t // 3600000000 + 1) * 3600000000 <= wm_before
+                    AS dropped,
+                  wm_before
+           FROM ev JOIN wm ON ev.b = wm.b)
+         SELECT b, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN straggler THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_stragglers,
+                CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dropped,
+                CAST(sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+                min(wm_before) AS watermark_us
+         FROM flagged GROUP BY b ORDER BY b"""),
   )
 }
