@@ -2645,5 +2645,83 @@ object Analytics {
                    6) + 0.0
            END AS roll_corr
          FROM f ORDER BY dy"""),
+
+    // ADDITIVE SEASONAL DECOMPOSITION (trend = centered 7-day MA,
+    // seasonal = day-of-week mean of the detrended series, residual =
+    // the rest) with a 3×mean-|residual| anomaly flag — the classic
+    // STL-lite monitor for a daily KPI. Everything is exact integer
+    // arithmetic in 1e-4 dollar units: the MA is an integer division
+    // by the constant 7, the seasonal mean splits sign before its
+    // rounded division (Spark div truncates, DuckDB // floors — they
+    // differ on negatives), and the anomaly test is the
+    // cross-multiplied |r|·n > 3·Σ|r| so no float threshold exists.
+    // All windows run over the ≤#days daily relation.
+    Q("time_decompose_additive",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = events(s, d)
+          .groupBy(col("ts").cast("date").as("dy"))
+          .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("cents"))
+          .withColumn("dow", expr("CAST(weekday(dy) + 1 AS INT)"))
+        val w7 = Window.orderBy("dy").rowsBetween(-3, 3)
+        val det = daily
+          .withColumn("n7", count(lit(1)).over(w7))
+          .withColumn("s7", sum("cents").over(w7))
+          .withColumn("trend4",
+            expr("CASE WHEN n7 = 7 THEN (s7 * 100 + 3) div 7 END"))
+          .withColumn("det4", expr("cents * 100 - trend4"))
+        val seas = det.filter(col("det4").isNotNull)
+          .groupBy("dow")
+          .agg(sum("det4").as("sd"), count("det4").as("nd"))
+          .select(col("dow"),
+            expr("""CASE WHEN sd < 0 THEN -((-sd + nd div 2) div nd)
+                         ELSE (sd + nd div 2) div nd END""").as("seas4"))
+        val j = det.join(broadcast(seas), Seq("dow"))
+          .withColumn("resid4", expr("det4 - seas4"))
+        val mad = j.agg(
+          sum(abs(col("resid4"))).as("sar"),
+          count(col("resid4")).as("nr"))
+        j.crossJoin(broadcast(mad))
+          .select(col("dy"), col("dow"),
+            expr("cents / 100.0D").as("revenue"),
+            expr("trend4 / 10000.0D").as("trend"),
+            expr("seas4 / 10000.0D").as("seasonal"),
+            expr("resid4 / 10000.0D").as("residual"),
+            expr("""CASE WHEN resid4 IS NOT NULL
+                    THEN abs(resid4) * nr > 3 * sar END""")
+              .as("is_anomaly"))
+          .orderBy("dy")
+      },
+      """WITH d AS (SELECT CAST(ts AS DATE) AS dy,
+             isodow(CAST(ts AS DATE)) AS dow,
+             CAST(sum(CAST(value AS DECIMAL(18,2))*100) AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+         tr AS (SELECT dy, dow, cents,
+             CASE WHEN count(*) OVER w = 7 THEN
+               (sum(cents) OVER w * 100 + 3) // 7 END AS trend4
+           FROM d WINDOW w AS (ORDER BY dy
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         det AS (SELECT *, cents*100 - trend4 AS det4 FROM tr),
+         seas AS (SELECT dow,
+             CAST(sum(det4) AS BIGINT) AS sd,
+             CAST(count(det4) AS BIGINT) AS nd
+           FROM det WHERE det4 IS NOT NULL GROUP BY dow),
+         sm AS (SELECT dow, CASE WHEN sd < 0 THEN -((-sd + nd // 2) // nd)
+                                 ELSE (sd + nd // 2) // nd END AS seas4
+                FROM seas),
+         j AS (SELECT dy, t.dow, cents, trend4, det4, seas4,
+                 det4 - seas4 AS resid4
+               FROM det t JOIN sm ON t.dow = sm.dow),
+         md AS (SELECT CAST(sum(abs(resid4)) AS BIGINT) AS sar,
+                       CAST(count(resid4) AS BIGINT) AS nr FROM j)
+         SELECT dy, CAST(dow AS INT) AS dow,
+           cents / 100.0 AS revenue,
+           trend4 / 10000.0 AS trend,
+           seas4 / 10000.0 AS seasonal,
+           resid4 / 10000.0 AS residual,
+           CASE WHEN resid4 IS NOT NULL
+             THEN abs(resid4) * nr > 3 * sar END AS is_anomaly
+         FROM j CROSS JOIN md ORDER BY dy"""),
   )
 }

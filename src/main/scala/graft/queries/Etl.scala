@@ -1674,5 +1674,60 @@ object Etl {
          SELECT c_custkey, sk, n_keys, n_surrogates, n_collisions
          FROM sample_rows CROSS JOIN audit
          ORDER BY c_custkey"""),
+
+    // LATE-ARRIVING DIMENSION (two-phase resolve + incremental
+    // backfill) — the real warehouse lifecycle, run for real against
+    // scratch parquet: batch 1 lands only ⅔ of the dimension, facts
+    // resolve with an UNKNOWN placeholder and are PERSISTED that way;
+    // batch 2 appends the late dim rows; the repair pass re-resolves
+    // ONLY the persisted UNKNOWN facts (incremental — never re-joins
+    // the resolved majority). Declared relation = the per-segment
+    // audit: facts, how many had to wait for batch 2, late share.
+    // The oracle replays the arrival rule (c_custkey%3=0 arrives
+    // late) on the settled join.
+    Q("etl_late_dimension",
+      (s, d) => {
+        val dimDir = IoQueries.scratch(d, "latedim")
+        val factDir = IoQueries.scratch(d, "latedim_facts")
+        val cust = customer(s, d).select("c_custkey", "c_mktsegment")
+        cust.filter(col("c_custkey") % 3 =!= 0)
+          .write.mode("overwrite").parquet(dimDir)
+        val facts = orders(s, d).select("o_orderkey", "o_custkey")
+        val dim1 = s.read.parquet(dimDir)
+        facts.join(dim1, facts("o_custkey") === dim1("c_custkey"), "left")
+          .select(col("o_orderkey"), col("o_custkey"),
+            coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+          .write.mode("overwrite").parquet(factDir)
+        // batch 2: the stragglers arrive; append, then repair UNKNOWNs
+        cust.filter(col("c_custkey") % 3 === 0)
+          .write.mode("append").parquet(dimDir)
+        val dimFull = s.read.parquet(dimDir)
+        val settled = s.read.parquet(factDir)
+        val repaired = settled.filter(col("segment") === "UNKNOWN")
+          .drop("segment")
+          .join(dimFull, col("o_custkey") === dimFull("c_custkey"), "left")
+          .select(col("o_orderkey"), col("o_custkey"),
+            coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+            lit(1L).as("late"))
+        settled.filter(col("segment") =!= "UNKNOWN")
+          .withColumn("late", lit(0L))
+          .unionByName(repaired)
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_facts"), sum("late").as("n_late"),
+            expr("""(sum(late) * 10000 + count(1) div 2) div count(1)
+                    / 10000.0D""").as("late_share"))
+          .orderBy("segment")
+      },
+      """WITH resolved AS (
+           SELECT o.o_orderkey,
+                  coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+                  CASE WHEN c.c_custkey % 3 = 0 THEN 1 ELSE 0 END AS late
+           FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey)
+         SELECT segment, CAST(count(*) AS BIGINT) AS n_facts,
+                CAST(sum(late) AS BIGINT) AS n_late,
+                (sum(late) * 10000 + count(*) // 2) // count(*)
+                  / 10000.0 AS late_share
+         FROM resolved GROUP BY segment ORDER BY segment"""),
   )
 }

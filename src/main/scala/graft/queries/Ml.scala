@@ -2401,6 +2401,72 @@ object Ml {
                    ((sxx - sx*sx/n)*(szz - sz*sz/n)
                     - (sxz - sx*sz/n)*(sxz - sx*sz/n)) * (szy - sz*sy/n))
                 / (syy - sy*sy/n), 6) + 0.0 AS r2
-         FROM m""")
+         FROM m"""),
+
+    // DECILE LIFT / GAINS TABLE for a scorer (score = n_chars, target =
+    // lang·en) — the campaign-targeting complement of ml_auc_roc. Rows
+    // get an EXACT global rank with no global sort: descending
+    // cumulative counts over the score-value histogram give each score
+    // block's offset, a window partitioned BY SCORE breaks ties on
+    // doc_id inside the block (the rfm_segmentation drill-down shape),
+    // rank = offset + within-block position. Decile, lift and
+    // cumulative gain are then pure integer arithmetic (1e-4 units).
+    Q("ml_lift_table",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val rows = documents(s, d).select(col("doc_id"),
+          col("n_chars").as("sc"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        val cum = rows.groupBy("sc").agg(count(lit(1)).as("c"))
+          .withColumn("cb", coalesce(
+            sum("c").over(Window.orderBy(desc("sc"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("sc", "cb")
+        val tot = rows.agg(count(lit(1)).as("n"), sum("y").as("p"))
+        val ranked = rows.join(cum, Seq("sc"))
+          .withColumn("grank",
+            col("cb") + row_number().over(
+              Window.partitionBy("sc").orderBy("doc_id")))
+        ranked.crossJoin(broadcast(tot))
+          .withColumn("decile",
+            expr("CAST(((grank - 1) * 10) div n + 1 AS INT)"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_d"), sum("y").as("pos_d"),
+            first("n").as("n"), first("p").as("p"))
+          .withColumn("lift",
+            expr("""(pos_d * n * 10000 + (n_d * p) div 2)
+                    div (n_d * p) / 10000.0D"""))
+          .withColumn("cum_pos", sum("pos_d").over(
+            Window.orderBy("decile")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("cum_gain",
+            expr("(cum_pos * 10000 + p div 2) div p / 10000.0D"))
+          .select("decile", "n_d", "pos_d", "lift", "cum_gain")
+          .orderBy("decile")
+      },
+      """WITH rows_ AS (SELECT doc_id, n_chars AS sc,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         h AS (SELECT sc, count(*) AS c FROM rows_ GROUP BY sc),
+         cum AS (SELECT sc, coalesce(sum(c) OVER (ORDER BY sc DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb FROM h),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(y) AS BIGINT) AS p FROM rows_),
+         rk AS (SELECT r.doc_id, r.y,
+             cb + ROW_NUMBER() OVER (PARTITION BY r.sc ORDER BY r.doc_id)
+               AS grank
+           FROM rows_ r JOIN cum ON r.sc = cum.sc),
+         agg AS (SELECT CAST(((grank - 1) * 10) // n + 1 AS INT)
+                   AS decile,
+                 CAST(count(*) AS BIGINT) AS n_d,
+                 CAST(sum(y) AS BIGINT) AS pos_d
+           FROM rk CROSS JOIN tot GROUP BY 1)
+         SELECT decile, n_d, pos_d,
+           (pos_d * n * 10000 + (n_d * p) // 2) // (n_d * p) / 10000.0
+             AS lift,
+           (sum(pos_d) OVER (ORDER BY decile) * 10000 + p // 2) // p
+             / 10000.0 AS cum_gain
+         FROM agg CROSS JOIN tot ORDER BY decile""")
   )
 }

@@ -677,5 +677,35 @@ object Scalars {
                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
                 CAST(2 AS INT) AS n_fields
          FROM customer ORDER BY c_custkey"""),
+
+    // CALENDAR INTERVAL ARITHMETIC + TIMEZONE CONVERSION — the
+    // billing-cycle / fiscal-calendar surface: add_months (with the
+    // end-of-month clamp both engines share: Jan 31 + 1mo = Feb 29),
+    // last_day, ISO week start, quarter, and UTC→America/New_York
+    // conversion whose offset is DATE-dependent (EST −5 / EDT −4
+    // across the 1995–2001 range — a hardcoded offset fails the
+    // hash). The oracle's tz form is the session-independent
+    // timezone('NY', timezone('UTC', ts)) roundtrip.
+    Q("fn_date_interval",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate").cast("date"), 1).as("next_bill"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        date_trunc("week", col("o_orderdate")).cast("date")
+          .as("week_start"),
+        quarter(col("o_orderdate")).as("qtr"),
+        from_utc_timestamp(col("o_orderdate"), "America/New_York")
+          .as("ny_ts"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+                CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+                  AS next_bill,
+                last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                CAST(date_trunc('week', o_orderdate) AS DATE)
+                  AS week_start,
+                CAST(quarter(o_orderdate) AS INT) AS qtr,
+                timezone('America/New_York', timezone('UTC', o_orderdate))
+                  AS ny_ts
+         FROM orders ORDER BY o_orderkey"""),
   )
 }
