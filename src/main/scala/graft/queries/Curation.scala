@@ -1714,5 +1714,47 @@ FROM wt ORDER BY lang, source"""),
            ((n_chars - n_letters - n_digits - n_spaces) * 10000
             + n_chars // 2) // n_chars / 10000.0 AS other_share
          FROM agg ORDER BY lang, source"""),
+
+    // SENTENCE SEGMENTATION STATS — the chunking-prep profile: split
+    // on [.!?]+ runs, trim, drop blanks, then per-doc sentence count /
+    // total sentence chars / longest sentence / mean length (exact
+    // 1e-2-unit integer division). Spark's split keeps trailing empty
+    // pieces and DuckDB's string_split_regex keeps a trailing blank —
+    // the trim+filter normalizes both to the same list. Row-local HOF
+    // work only; one presentation sort.
+    Q("text_sentences",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          expr("""filter(transform(split(text, '[.!?]+'), x -> trim(x)),
+                  x -> x <> '')""").as("sents"))
+        .select(col("doc_id"),
+          expr("CAST(size(sents) AS INT)").as("n_sent"),
+          expr("""CAST(aggregate(sents, 0, (a, x) -> a + length(x))
+                  AS BIGINT)""").as("sent_chars"),
+          expr("""CAST(aggregate(sents, 0, (a, x) -> greatest(a,
+                  length(x))) AS INT)""").as("max_sent"))
+        .withColumn("mean_sent",
+          expr("""CASE WHEN n_sent > 0 THEN
+                    (sent_chars * 100 + n_sent div 2) div n_sent / 100.0D
+                  END"""))
+        .orderBy("doc_id"),
+      """WITH per AS (
+           SELECT doc_id,
+                  list_filter(list_transform(
+                    string_split_regex(text, '[.!?]+'), x -> trim(x)),
+                    x -> x <> '') AS sents
+           FROM documents),
+         st AS (SELECT doc_id,
+             CAST(len(sents) AS INT) AS n_sent,
+             CAST(coalesce(list_sum(list_transform(sents,
+               x -> length(x))), 0) AS BIGINT) AS sent_chars,
+             CAST(coalesce(list_max(list_transform(sents,
+               x -> length(x))), 0) AS INT) AS max_sent
+           FROM per)
+         SELECT doc_id, n_sent, sent_chars, max_sent,
+                CASE WHEN n_sent > 0 THEN
+                  (sent_chars * 100 + n_sent // 2) // n_sent / 100.0
+                END AS mean_sent
+         FROM st ORDER BY doc_id"""),
   )
 }

@@ -3028,5 +3028,62 @@ GROUP BY source ORDER BY source"""),
          FROM ranked WHERE rn = 1
          GROUP BY anchor_id, anchor_label
          ORDER BY anchor_id"""),
+
+    // PRECISION@K — retrieval-quality scoring of the exact top-5
+    // cosine neighbours against the label ground truth: per anchor,
+    // how many of the 5 nearest share its label. Reuses the
+    // bruteForceTopK plan (broadcast probes over the un-exploded
+    // corpus, per-probe TakeOrdered heap) + two key-equi label joins;
+    // p@5 = n/5 is dyadic-exact, no rounding needed. The recall-side
+    // twin of the IVF family's RecallProbe audits.
+    Q("vec_precision_at_k",
+      (s, d) => {
+        graft.engine.expr.GraftFunctions.ensureRegistered(s)
+        val emb = embeddings(s, d)
+        val lab = emb.select(col("vec_id"), col("label"))
+        graft.engine.ml.Similarity.bruteForceTopK(emb,
+            graft.engine.ml.Similarity.probes(emb), 5)
+          .join(broadcast(lab
+            .withColumnRenamed("vec_id", "probe_id")
+            .withColumnRenamed("label", "anchor_label")), Seq("probe_id"))
+          .join(lab, Seq("vec_id"))
+          .groupBy("probe_id", "anchor_label")
+          .agg(sum(when(col("label") === col("anchor_label"), 1L)
+            .otherwise(0L)).as("n_match"))
+          .select(col("probe_id"), col("anchor_label"), col("n_match"),
+            expr("n_match / 5.0D").as("p_at_5"))
+          .orderBy("probe_id")
+      },
+      """WITH probe_ids AS (
+           SELECT MIN(vec_id) AS probe_id FROM embeddings GROUP BY label),
+         p AS (SELECT e.vec_id AS probe_id, e.label AS anchor_label,
+                      e.embedding AS probe_emb
+               FROM embeddings e JOIN probe_ids ON e.vec_id = probe_id),
+         scored AS (
+           SELECT p.probe_id, p.anchor_label, e.vec_id, e.label,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+             (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(p.probe_emb[i] AS DOUBLE)), (x, y) -> x + y)) *
+              sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+             AS cos
+           FROM p CROSS JOIN embeddings e WHERE e.vec_id <> p.probe_id),
+         ranked AS (
+           SELECT probe_id, anchor_label, label,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY cos DESC, vec_id ASC) AS rn
+           FROM scored)
+         SELECT probe_id, anchor_label,
+                CAST(sum(CASE WHEN label = anchor_label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_match,
+                CAST(sum(CASE WHEN label = anchor_label THEN 1 ELSE 0 END)
+                  AS BIGINT) / 5.0 AS p_at_5
+         FROM ranked WHERE rn <= 5
+         GROUP BY probe_id, anchor_label
+         ORDER BY probe_id"""),
   )
 }

@@ -707,5 +707,69 @@ object Scalars {
                 timezone('America/New_York', timezone('UTC', o_orderdate))
                   AS ny_ts
          FROM orders ORDER BY o_orderkey"""),
+
+    // BUSINESS-DAY ARITHMETIC — SLA clocks that skip weekends, via the
+    // closed form wd(x) = 5·⌊dx/7⌋ + min(dx mod 7, 5) counting
+    // weekdays since a MONDAY epoch (1994-12-26, before every date in
+    // the data, so dx stays positive and div/mod agree across
+    // engines). No calendar spine join, no UDF — pure integer
+    // arithmetic on both sides. Declared over order→ship lag.
+    Q("fn_business_days",
+      (s, d) => {
+        val li = lineitem(s, d).select(col("l_orderkey"),
+          col("l_linenumber"), col("l_shipdate"))
+        val o = orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            expr("""(5 * (datediff(CAST(l_shipdate AS DATE),
+                          DATE '1994-12-26') div 7)
+                     + least(datediff(CAST(l_shipdate AS DATE),
+                          DATE '1994-12-26') % 7, 5))
+                    - (5 * (datediff(CAST(o_orderdate AS DATE),
+                          DATE '1994-12-26') div 7)
+                     + least(datediff(CAST(o_orderdate AS DATE),
+                          DATE '1994-12-26') % 7, 5))""").as("ship_bdays"),
+            datediff(col("l_shipdate").cast("date"),
+              col("o_orderdate").cast("date")).as("ship_days"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber,
+                (5 * (date_diff('day', DATE '1994-12-26',
+                        CAST(l_shipdate AS DATE)) // 7)
+                 + least(date_diff('day', DATE '1994-12-26',
+                        CAST(l_shipdate AS DATE)) % 7, 5))
+                - (5 * (date_diff('day', DATE '1994-12-26',
+                        CAST(o_orderdate AS DATE)) // 7)
+                 + least(date_diff('day', DATE '1994-12-26',
+                        CAST(o_orderdate AS DATE)) % 7, 5)) AS ship_bdays,
+                CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                  CAST(l_shipdate AS DATE)) AS INT) AS ship_days
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey, l_linenumber"""),
+
+    // explode_outer — generator NULL-row retention: explode() DROPS a
+    // parent row whose array is empty, explode_outer keeps it with a
+    // NULL element (the left-join-lateral semantics every enrichment
+    // pipeline wants). The array is arithmetic (k = 1..custkey%4, so
+    // every custkey%4=0 row is the empty-array case); DuckDB UNNEST
+    // drops empties, so the oracle replays the expansion with a range
+    // join + an explicit NULL branch — exactly the semantics the
+    // operator guarantees.
+    Q("fn_explode_outer",
+      (s, d) => customer(s, d)
+        .select(col("c_custkey"),
+          expr("filter(array(1, 2, 3), x -> x <= c_custkey % 4)")
+            .as("arr"))
+        .select(col("c_custkey"), explode_outer(col("arr")).as("k"))
+        .orderBy(col("c_custkey"), col("k").asc_nulls_first),
+      """SELECT c_custkey, CAST(k AS INT) AS k
+         FROM (
+           SELECT c.c_custkey, r.range AS k
+           FROM customer c JOIN range(1, 4) r
+             ON r.range <= c.c_custkey % 4
+           UNION ALL
+           SELECT c_custkey, NULL AS k FROM customer
+           WHERE c_custkey % 4 = 0)
+         ORDER BY c_custkey, k NULLS FIRST"""),
   )
 }
