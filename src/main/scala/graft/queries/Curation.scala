@@ -1756,5 +1756,69 @@ FROM wt ORDER BY lang, source"""),
                   (sent_chars * 100 + n_sent // 2) // n_sent / 100.0
                 END AS mean_sent
          FROM st ORDER BY doc_id"""),
+
+    // ENSEMBLE VOTE FILTER — three cheap quality signals (length,
+    // letter density, whitespace density) each vote "above corpus
+    // mean", keep at majority ≥2: the robustness move when no single
+    // screen is trusted. Every comparison is an exact integer
+    // CROSS-MULTIPLICATION against the global sums (letters·Σtl >
+    // tl·Σletters ⇔ density > mean density) — no float ratio ever
+    // exists, so no threshold tie can split engines. One projection
+    // pass + a 1-row broadcast of the global sums + one source-keyed
+    // aggregate.
+    Q("curate_vote_ensemble",
+      (s, d) => {
+        val per = documents(s, d).select(col("doc_id"), col("source"),
+          col("n_chars"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[A-Za-z]", "")))
+            .cast("long").as("letters"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), " ", "")))
+            .cast("long").as("spaces"),
+          length(col("text")).cast("long").as("tl"))
+        val g = per.agg(count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"), sum("letters").as("sum_letters"),
+          sum("spaces").as("sum_spaces"), sum("tl").as("sum_tl"))
+        per.crossJoin(broadcast(g))
+          .withColumn("vote",
+            expr("""CASE WHEN n_chars * n > sum_chars THEN 1 ELSE 0 END
+                  + CASE WHEN letters * sum_tl > tl * sum_letters
+                    THEN 1 ELSE 0 END
+                  + CASE WHEN spaces * sum_tl > tl * sum_spaces
+                    THEN 1 ELSE 0 END"""))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("vote") >= 2, 1L).otherwise(0L)).as("n_keep"),
+            expr("""(sum(CASE WHEN vote >= 2 THEN 1 ELSE 0 END) * 10000
+                     + count(1) div 2) div count(1) / 10000.0D""")
+              .as("keep_rate"))
+          .orderBy("source")
+      },
+      """WITH per AS (SELECT doc_id, source, n_chars,
+             length(text) - length(regexp_replace(text,'[A-Za-z]','','g'))
+               AS letters,
+             length(text) - length(regexp_replace(text,' ','','g'))
+               AS spaces,
+             length(text) AS tl
+           FROM documents),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                      CAST(sum(letters) AS BIGINT) AS sum_letters,
+                      CAST(sum(spaces) AS BIGINT) AS sum_spaces,
+                      CAST(sum(tl) AS BIGINT) AS sum_tl FROM per),
+         v AS (SELECT doc_id, source,
+             CASE WHEN n_chars * n > sum_chars THEN 1 ELSE 0 END
+             + CASE WHEN letters * sum_tl > tl * sum_letters
+               THEN 1 ELSE 0 END
+             + CASE WHEN spaces * sum_tl > tl * sum_spaces
+               THEN 1 ELSE 0 END AS vote
+           FROM per CROSS JOIN g)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN vote >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_keep,
+                (sum(CASE WHEN vote >= 2 THEN 1 ELSE 0 END) * 10000
+                 + count(*) // 2) // count(*) / 10000.0 AS keep_rate
+         FROM v GROUP BY source ORDER BY source"""),
   )
 }

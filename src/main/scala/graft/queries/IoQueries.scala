@@ -1434,5 +1434,52 @@ object IoQueries {
       },
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          ORDER BY n_nationkey"""),
+
+    // CSV SCHEMA EVOLUTION ACROSS FILE GENERATIONS — v1 extracts
+    // shipped (key, price); v2 added a priority column. CSV cannot
+    // mergeSchema like parquet, so the engine pattern is: read each
+    // generation with ITS OWN explicit schema, then
+    // unionByName(allowMissingColumns) — v1 rows surface NULL
+    // priority. Declared relation = the per-generation audit proving
+    // no rows were dropped and the evolved column is NULL exactly on
+    // the v1 slice. Oracle replays the generation rule (key parity).
+    Q("scan_csv_union_evolve",
+      (s, d) => {
+        val v1Dir = scratch(d, "csvevo_v1")
+        val v2Dir = scratch(d, "csvevo_v2")
+        val o = orders(s, d)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").option("header", "true").csv(v1Dir)
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").option("header", "true").csv(v2Dir)
+        val v1 = s.read
+          .schema(StructType(Seq(StructField("o_orderkey", LongType),
+            StructField("o_totalprice", DoubleType))))
+          .option("header", "true").csv(v1Dir)
+        val v2 = s.read
+          .schema(StructType(Seq(StructField("o_orderkey", LongType),
+            StructField("o_totalprice", DoubleType),
+            StructField("o_orderpriority", StringType))))
+          .option("header", "true").csv(v2Dir)
+        v1.unionByName(v2, allowMissingColumns = true)
+          .withColumn("gen",
+            when(col("o_orderpriority").isNull, "v1").otherwise("v2"))
+          .groupBy("gen")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("o_orderpriority")).as("n_priorities"),
+            dsum(col("o_totalprice"), 2).as("price_sum"))
+          .orderBy("gen")
+      },
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'v1' ELSE 'v2' END
+                  AS gen,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(DISTINCT CASE WHEN o_orderkey % 2 = 1
+                  THEN o_orderpriority END) AS BIGINT) AS n_priorities,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS price_sum
+         FROM orders GROUP BY 1 ORDER BY gen"""),
   )
 }

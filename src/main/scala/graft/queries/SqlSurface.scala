@@ -653,5 +653,54 @@ object SqlSurface {
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
                 CAST(count(*) AS BIGINT) AS n_total
          FROM orders"""),
+
+    // MULTI-MEASURE UNPIVOT (Spark 4 `UNPIVOT ((a,b) FOR … IN …)`) —
+    // wide→long over measure PAIRS: the (qty, revenue) columns for
+    // each linestatus fold into one status-keyed row carrying both
+    // measures at once, which single-measure unpivot (agg_unpivot)
+    // needs two passes + a join to express. DuckDB has no
+    // multi-measure form — the oracle is the canonical two-branch
+    // UNION ALL the clause desugars to.
+    Q("sql_unpivot_multi",
+      (s, d) => {
+        lineitem(s, d).groupBy("l_returnflag")
+          .agg(
+            dsum(when(col("l_linestatus") === "F", col("l_quantity")), 2)
+              .as("qty_f"),
+            dsum(when(col("l_linestatus") === "O", col("l_quantity")), 2)
+              .as("qty_o"),
+            dsum(when(col("l_linestatus") === "F", col("l_extendedprice")),
+              2).as("rev_f"),
+            dsum(when(col("l_linestatus") === "O", col("l_extendedprice")),
+              2).as("rev_o"))
+          .createOrReplaceTempView("graft_unpivot_multi")
+        s.sql("""
+          SELECT l_returnflag, status, qty, revenue
+          FROM graft_unpivot_multi
+          UNPIVOT ((qty, revenue) FOR status IN
+            ((qty_f, rev_f) AS `F`, (qty_o, rev_o) AS `O`))
+          ORDER BY l_returnflag, status""")
+      },
+      """WITH base AS (
+           SELECT l_returnflag,
+             ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F'
+               THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+               AS qty_f,
+             ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O'
+               THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+               AS qty_o,
+             ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F'
+               THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+               AS DOUBLE), 2) AS rev_f,
+             ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O'
+               THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+               AS DOUBLE), 2) AS rev_o
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'F' AS status, qty_f AS qty, rev_f AS revenue
+         FROM base WHERE qty_f IS NOT NULL OR rev_f IS NOT NULL
+         UNION ALL
+         SELECT l_returnflag, 'O' AS status, qty_o AS qty, rev_o AS revenue
+         FROM base WHERE qty_o IS NOT NULL OR rev_o IS NOT NULL
+         ORDER BY l_returnflag, status"""),
   )
 }
