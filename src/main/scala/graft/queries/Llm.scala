@@ -3085,5 +3085,115 @@ GROUP BY source ORDER BY source"""),
          FROM ranked WHERE rn <= 5
          GROUP BY probe_id, anchor_label
          ORDER BY probe_id"""),
+
+    // NDCG@5 — position-discounted retrieval quality over the same
+    // exact top-5 + label ground truth as vec_precision_at_k. The
+    // discount weights 1/log2(rank+1) are pinned as 12-dp DECIMAL
+    // LITERALS on both engines (a libm log2 in the data path could
+    // drift a ulp); DCG/IDCG are exact decimal sums, IDCG places the
+    // min(5, #relevant-in-corpus) ideal hits first. Ratio rounds once.
+    Q("vec_ndcg_at_k",
+      (s, d) => {
+        graft.engine.expr.GraftFunctions.ensureRegistered(s)
+        val emb = embeddings(s, d)
+        val lab = emb.select(col("vec_id"), col("label"))
+        val relTot = lab.groupBy("label")
+          .agg((count(lit(1)) - 1).as("n_rel"))   // corpus hits excl. self
+        val topk = graft.engine.ml.Similarity.bruteForceTopK(emb,
+            graft.engine.ml.Similarity.probes(emb), 5)
+          .join(broadcast(lab
+            .withColumnRenamed("vec_id", "probe_id")
+            .withColumnRenamed("label", "anchor_label")), Seq("probe_id"))
+          .join(lab, Seq("vec_id"))
+        topk
+          .withColumn("w", expr(
+            """CASE rn WHEN 1 THEN CAST(1.000000000000 AS DECIMAL(18,12))
+                       WHEN 2 THEN CAST(0.630929753571 AS DECIMAL(18,12))
+                       WHEN 3 THEN CAST(0.500000000000 AS DECIMAL(18,12))
+                       WHEN 4 THEN CAST(0.430676558073 AS DECIMAL(18,12))
+                       ELSE CAST(0.386852807235 AS DECIMAL(18,12)) END"""))
+          .groupBy("probe_id", "anchor_label")
+          .agg(sum(when(col("label") === col("anchor_label"), col("w"))
+            .otherwise(expr("CAST(0 AS DECIMAL(18,12))"))).as("dcg"))
+          .join(broadcast(relTot
+            .withColumnRenamed("label", "anchor_label")),
+            Seq("anchor_label"))
+          .withColumn("idcg", expr(
+            """CAST(1.000000000000 AS DECIMAL(18,12))
+               + CASE WHEN n_rel >= 2
+                 THEN CAST(0.630929753571 AS DECIMAL(18,12))
+                 ELSE CAST(0 AS DECIMAL(18,12)) END
+               + CASE WHEN n_rel >= 3
+                 THEN CAST(0.500000000000 AS DECIMAL(18,12))
+                 ELSE CAST(0 AS DECIMAL(18,12)) END
+               + CASE WHEN n_rel >= 4
+                 THEN CAST(0.430676558073 AS DECIMAL(18,12))
+                 ELSE CAST(0 AS DECIMAL(18,12)) END
+               + CASE WHEN n_rel >= 5
+                 THEN CAST(0.386852807235 AS DECIMAL(18,12))
+                 ELSE CAST(0 AS DECIMAL(18,12)) END"""))
+          .select(col("probe_id"), col("anchor_label"),
+            expr("ROUND(CAST(dcg AS DOUBLE), 6)").as("dcg"),
+            expr("""ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+                    + 0.0D""").as("ndcg"))
+          .orderBy("probe_id")
+      },
+      """WITH probe_ids AS (
+           SELECT MIN(vec_id) AS probe_id FROM embeddings GROUP BY label),
+         p AS (SELECT e.vec_id AS probe_id, e.label AS anchor_label,
+                      e.embedding AS probe_emb
+               FROM embeddings e JOIN probe_ids ON e.vec_id = probe_id),
+         rel_tot AS (SELECT label AS anchor_label,
+                            CAST(count(*) - 1 AS BIGINT) AS n_rel
+                     FROM embeddings GROUP BY label),
+         scored AS (
+           SELECT p.probe_id, p.anchor_label, e.vec_id, e.label,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+             (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(p.probe_emb[i] AS DOUBLE)), (x, y) -> x + y)) *
+              sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+             AS cos
+           FROM p CROSS JOIN embeddings e WHERE e.vec_id <> p.probe_id),
+         ranked AS (
+           SELECT probe_id, anchor_label, label,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY cos DESC, vec_id ASC) AS rn
+           FROM scored),
+         dcgs AS (
+           SELECT probe_id, anchor_label,
+             sum(CASE WHEN label = anchor_label THEN
+               CASE rn WHEN 1 THEN CAST(1.000000000000 AS DECIMAL(18,12))
+                       WHEN 2 THEN CAST(0.630929753571 AS DECIMAL(18,12))
+                       WHEN 3 THEN CAST(0.500000000000 AS DECIMAL(18,12))
+                       WHEN 4 THEN CAST(0.430676558073 AS DECIMAL(18,12))
+                       ELSE CAST(0.386852807235 AS DECIMAL(18,12)) END
+               ELSE CAST(0 AS DECIMAL(18,12)) END) AS dcg
+           FROM ranked WHERE rn <= 5 GROUP BY probe_id, anchor_label),
+         withi AS (
+           SELECT d.probe_id, d.anchor_label, d.dcg,
+             CAST(1.000000000000 AS DECIMAL(18,12))
+             + CASE WHEN n_rel >= 2
+               THEN CAST(0.630929753571 AS DECIMAL(18,12))
+               ELSE CAST(0 AS DECIMAL(18,12)) END
+             + CASE WHEN n_rel >= 3
+               THEN CAST(0.500000000000 AS DECIMAL(18,12))
+               ELSE CAST(0 AS DECIMAL(18,12)) END
+             + CASE WHEN n_rel >= 4
+               THEN CAST(0.430676558073 AS DECIMAL(18,12))
+               ELSE CAST(0 AS DECIMAL(18,12)) END
+             + CASE WHEN n_rel >= 5
+               THEN CAST(0.386852807235 AS DECIMAL(18,12))
+               ELSE CAST(0 AS DECIMAL(18,12)) END AS idcg
+           FROM dcgs d JOIN rel_tot USING (anchor_label))
+         SELECT probe_id, anchor_label,
+                ROUND(CAST(dcg AS DOUBLE), 6) AS dcg,
+                ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+                  + 0.0 AS ndcg
+         FROM withi ORDER BY probe_id"""),
   )
 }
