@@ -2723,5 +2723,63 @@ object Analytics {
            CASE WHEN resid4 IS NOT NULL
              THEN abs(resid4) * nr > 3 * sar END AS is_anomaly
          FROM j CROSS JOIN md ORDER BY dy"""),
+
+    // XmR CONTROL CHART (individuals + moving range) — the SPC
+    // monitor: center = mean, limits = x̄ ± 2.66·M̄R where M̄R is the
+    // mean absolute day-over-day move. Everything in exact integer
+    // hundredth-of-a-cent units — the 2.66 constant is the integer
+    // 266/100 with explicit half-up rounding, so a point exactly ON
+    // a limit is classified identically by both engines. The lag
+    // runs over the calendar-bounded daily series; the global stats
+    // are one 1-row aggregate broadcast back.
+    Q("time_control_chart",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = events(s, d)
+          .groupBy(col("ts").cast("date").as("dy"))
+          .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("c"))
+        val withMr = daily
+          .withColumn("mr",
+            abs(col("c") - lag("c", 1).over(Window.orderBy("dy"))))
+        val g = withMr.agg(
+          count(lit(1)).as("n"), sum("c").as("sc"),
+          count(col("mr")).as("nm"), sum("mr").as("sm"))
+        withMr.crossJoin(broadcast(g))
+          .withColumn("xbar2", expr("(sc * 100 + n div 2) div n"))
+          .withColumn("mr2", expr("(sm * 100 + nm div 2) div nm"))
+          .withColumn("ucl2", expr("xbar2 + (266 * mr2 + 50) div 100"))
+          .withColumn("lcl2", expr("xbar2 - (266 * mr2 + 50) div 100"))
+          .select(col("dy"),
+            expr("c / 100.0D").as("revenue"),
+            expr("xbar2 / 10000.0D").as("center"),
+            expr("ucl2 / 10000.0D").as("ucl"),
+            expr("lcl2 / 10000.0D").as("lcl"),
+            expr("c * 100 > ucl2 OR c * 100 < lcl2").as("violation"))
+          .orderBy("dy")
+      },
+      """WITH d AS (SELECT CAST(ts AS DATE) AS dy,
+             CAST(sum(CAST(value AS DECIMAL(18,2))*100) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         m AS (SELECT dy, c,
+             abs(c - lag(c, 1) OVER (ORDER BY dy)) AS mr FROM d),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(c) AS BIGINT) AS sc,
+                      CAST(count(mr) AS BIGINT) AS nm,
+                      CAST(sum(mr) AS BIGINT) AS sm FROM m),
+         k AS (SELECT dy, c,
+                 (sc * 100 + n // 2) // n AS xbar2,
+                 (sm * 100 + nm // 2) // nm AS mr2
+               FROM m CROSS JOIN g),
+         l AS (SELECT dy, c, xbar2,
+                 xbar2 + (266 * mr2 + 50) // 100 AS ucl2,
+                 xbar2 - (266 * mr2 + 50) // 100 AS lcl2
+               FROM k)
+         SELECT dy, c / 100.0 AS revenue,
+                xbar2 / 10000.0 AS center,
+                ucl2 / 10000.0 AS ucl,
+                lcl2 / 10000.0 AS lcl,
+                c * 100 > ucl2 OR c * 100 < lcl2 AS violation
+         FROM l ORDER BY dy"""),
   )
 }

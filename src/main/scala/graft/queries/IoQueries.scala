@@ -1481,5 +1481,59 @@ object IoQueries {
                 ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                   AS DOUBLE), 2) AS price_sum
          FROM orders GROUP BY 1 ORDER BY gen"""),
+
+    // FIXED HEADER/TRAILER EXPORT — the legacy bank/regulatory feed
+    // format: one 'H|' header line, 'D|key|cents' detail lines, one
+    // 'T|count|sum' trailer whose control totals the receiving system
+    // reconciles. The file is written for real (single sorted
+    // partition — an EXPORT file is driver-bounded by contract), read
+    // back cold, and the declared relation is the reconciliation the
+    // receiver runs: parsed detail count/sum vs the trailer's claim.
+    // The oracle recomputes both sides from orders — equality proves
+    // the writer emitted consistent control totals.
+    Q("export_fixed_trailer",
+      (s, d) => {
+        val out = scratch(d, "trailer_feed")
+        val o = orders(s, d).select(col("o_orderkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)")
+            .as("cents"))
+        val header = s.sql("SELECT 0L AS srt, 'H|GRAFT-ORDERS|v1' AS value")
+        val details = o.select(
+          (col("o_orderkey") + 1L).as("srt"),
+          concat(lit("D|"), col("o_orderkey"), lit("|"), col("cents"))
+            .as("value"))
+        val trailer = o.agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+          .select(lit(Long.MaxValue).as("srt"),
+            concat(lit("T|"), col("n"), lit("|"), col("sc")).as("value"))
+        header.unionByName(details).unionByName(trailer)
+          .repartition(1).sortWithinPartitions("srt")
+          .select("value")
+          .write.mode("overwrite").text(out)
+        val lines = s.read.text(out)
+        val parsedD = lines.filter(col("value").startsWith("D|"))
+          .select(split(col("value"), "\\|").as("p"))
+          .agg(count(lit(1)).as("n_detail"),
+            sum(expr("CAST(p[2] AS BIGINT)")).as("detail_cents"))
+        val parsedT = lines.filter(col("value").startsWith("T|"))
+          .select(split(col("value"), "\\|").as("p"))
+          .select(expr("CAST(p[1] AS BIGINT)").as("trailer_n"),
+            expr("CAST(p[2] AS BIGINT)").as("trailer_cents"))
+        parsedD.crossJoin(parsedT)
+          .select(col("n_detail"), col("trailer_n"),
+            expr("detail_cents / 100.0D").as("detail_total"),
+            expr("trailer_cents / 100.0D").as("trailer_total"),
+            (col("n_detail") === col("trailer_n") &&
+              col("detail_cents") === col("trailer_cents"))
+              .as("reconciled"))
+      },
+      """WITH o AS (SELECT
+             CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+               AS cents FROM orders)
+         SELECT CAST(count(*) AS BIGINT) AS n_detail,
+                CAST(count(*) AS BIGINT) AS trailer_n,
+                CAST(sum(cents) AS BIGINT) / 100.0 AS detail_total,
+                CAST(sum(cents) AS BIGINT) / 100.0 AS trailer_total,
+                TRUE AS reconciled
+         FROM o"""),
   )
 }

@@ -2467,6 +2467,96 @@ object Ml {
              AS lift,
            (sum(pos_d) OVER (ORDER BY decile) * 10000 + p // 2) // p
              / 10000.0 AS cum_gain
-         FROM agg CROSS JOIN tot ORDER BY decile""")
+         FROM agg CROSS JOIN tot ORDER BY decile"""),
+
+    // COHEN'S KAPPA between two cheap binary raters (doc length above
+    // corpus mean vs letter density above corpus mean) — the
+    // inter-rater agreement check run before trusting an ensemble of
+    // screens. κ = (N·Σagree − Σ marginal products)/(N² − Σ marginal
+    // products): every term is an exact BIGINT, the final ratio is a
+    // SIGN-SPLIT 1e-4-unit integer division (κ is negative when
+    // raters disagree more than chance — Spark div truncates, DuckDB
+    // // floors, so the sign must come off first). Density votes are
+    // cross-multiplications; no float exists anywhere.
+    Q("quality_kappa",
+      (s, d) => {
+        val per = documents(s, d).select(col("doc_id"), col("n_chars"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[A-Za-z]", "")))
+            .cast("long").as("letters"),
+          length(col("text")).cast("long").as("tl"))
+        val g = per.agg(count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"), sum("letters").as("sum_letters"),
+          sum("tl").as("sum_tl"))
+        per.crossJoin(broadcast(g))
+          .select(
+            expr("CASE WHEN n_chars * n > sum_chars THEN 1 ELSE 0 END")
+              .as("ra"),
+            expr("""CASE WHEN letters * sum_tl > tl * sum_letters
+                    THEN 1 ELSE 0 END""").as("rb"),
+            col("n"))
+          .agg(
+            sum(expr("CASE WHEN ra = 1 AND rb = 1 THEN 1L ELSE 0L END"))
+              .as("n11"),
+            sum(expr("CASE WHEN ra = 1 AND rb = 0 THEN 1L ELSE 0L END"))
+              .as("n10"),
+            sum(expr("CASE WHEN ra = 0 AND rb = 1 THEN 1L ELSE 0L END"))
+              .as("n01"),
+            sum(expr("CASE WHEN ra = 0 AND rb = 0 THEN 1L ELSE 0L END"))
+              .as("n00"),
+            first("n").as("n"))
+          .select(col("n11"), col("n10"), col("n01"), col("n00"),
+            expr("""CASE WHEN (n * n) - ((n11+n10)*(n11+n01)
+                           + (n01+n00)*(n10+n00)) = 0 THEN NULL ELSE
+                      CAST((CASE WHEN (n11+n00)*n - ((n11+n10)*(n11+n01)
+                              + (n01+n00)*(n10+n00)) < 0
+                            THEN -1 ELSE 1 END) *
+                        ((abs((n11+n00)*n - ((n11+n10)*(n11+n01)
+                              + (n01+n00)*(n10+n00))) * 10000
+                          + ((n*n) - ((n11+n10)*(n11+n01)
+                              + (n01+n00)*(n10+n00))) div 2)
+                         div ((n*n) - ((n11+n10)*(n11+n01)
+                              + (n01+n00)*(n10+n00)))) AS DOUBLE) / 1e4
+                    END""").as("kappa"))
+      },
+      """WITH per AS (SELECT doc_id, n_chars,
+             length(text) - length(regexp_replace(text,'[A-Za-z]','','g'))
+               AS letters,
+             length(text) AS tl
+           FROM documents),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                      CAST(sum(letters) AS BIGINT) AS sum_letters,
+                      CAST(sum(tl) AS BIGINT) AS sum_tl FROM per),
+         r AS (SELECT
+             CASE WHEN n_chars * n > sum_chars THEN 1 ELSE 0 END AS ra,
+             CASE WHEN letters * sum_tl > tl * sum_letters
+               THEN 1 ELSE 0 END AS rb, n
+           FROM per CROSS JOIN g),
+         cmat AS (SELECT
+             CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n00,
+             min(n) AS n
+           FROM r)
+         SELECT n11, n10, n01, n00,
+           CASE WHEN (n * n) - ((n11+n10)*(n11+n01)
+                  + (n01+n00)*(n10+n00)) = 0 THEN NULL ELSE
+             CAST((CASE WHEN (n11+n00)*n - ((n11+n10)*(n11+n01)
+                     + (n01+n00)*(n10+n00)) < 0
+                   THEN -1 ELSE 1 END) *
+               ((abs((n11+n00)*n - ((n11+n10)*(n11+n01)
+                     + (n01+n00)*(n10+n00))) * 10000
+                 + ((n*n) - ((n11+n10)*(n11+n01)
+                     + (n01+n00)*(n10+n00))) // 2)
+                // ((n*n) - ((n11+n10)*(n11+n01)
+                     + (n01+n00)*(n10+n00)))) AS DOUBLE) / 1e4
+           END AS kappa
+         FROM cmat""")
   )
 }

@@ -771,5 +771,46 @@ object Scalars {
            SELECT c_custkey, NULL AS k FROM customer
            WHERE c_custkey % 4 = 0)
          ORDER BY c_custkey, k NULLS FIRST"""),
+
+    // DISPLAY FORMATTING PACK — format_number grouping separators,
+    // C-style printf padding, chr/ascii, repeat/reverse: the
+    // report-rendering surface. DuckDB's format() refuses thousand
+    // separators on floats, so the oracle rebuilds Spark's
+    // format_number from exact integer cents (sign split, grouped
+    // int part, zero-padded fraction) — which also proves the
+    // format is the canonical one, not locale-drifting. printf %.2f
+    // of the identical double is identical in both engines; the
+    // input is pre-cast to DECIMAL(18,2) so no rounding happens
+    // inside the formatter at all.
+    Q("fn_format_pack",
+      (s, d) => customer(s, d).select(
+        col("c_custkey"),
+        expr("format_number(CAST(c_acctbal AS DECIMAL(18,2)), 2)")
+          .as("money"),
+        expr("format_string('%07d', CAST(c_custkey AS INT))").as("padded"),
+        expr("""format_string('%s|%05d', c_mktsegment,
+                CAST(c_custkey % 1000 AS INT))""").as("tagline"),
+        expr("chr(65 + CAST(c_custkey % 26 AS INT))").as("letter"),
+        expr("ascii(chr(65 + CAST(c_custkey % 26 AS INT)))").as("code"),
+        expr("repeat(substring(c_mktsegment, 1, 2), 3)").as("rpt"),
+        reverse(col("c_mktsegment")).as("rev"))
+        .orderBy("c_custkey"),
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents FROM customer)
+         SELECT c_custkey,
+                CASE WHEN cents < 0 THEN '-' ELSE '' END ||
+                  format('{:,}', abs(cents) // 100) || '.' ||
+                  lpad(CAST(abs(cents) % 100 AS VARCHAR), 2, '0')
+                  AS money,
+                printf('%07d', c_custkey) AS padded,
+                printf('%s|%05d', c_mktsegment, c_custkey % 1000)
+                  AS tagline,
+                chr(CAST(65 + c_custkey % 26 AS INT)) AS letter,
+                CAST(ascii(chr(CAST(65 + c_custkey % 26 AS INT))) AS INT)
+                  AS code,
+                repeat(substring(c_mktsegment, 1, 2), 3) AS rpt,
+                reverse(c_mktsegment) AS rev
+         FROM c ORDER BY c_custkey"""),
   )
 }

@@ -282,4 +282,54 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
     // the orders parquet scan appears ZERO times in the final plan
     assert(!p.contains("Scan parquet"), p)
   }
+
+  test("fifth-session row-level windows are key-partitioned " +
+      "(qualify, distinct_on, frame_exclude, lift ranks)") {
+    Seq("sql_qualify" -> "o_orderpriority",
+        "sql_distinct_on" -> "o_custkey",
+        "win_frame_exclude" -> "o_custkey",
+        "ml_lift_table" -> "sc").foreach { case (k, key) =>
+      val p = plan(k)
+      val rowWins = p.linesIterator
+        .filter(_.contains("Window ["))
+        .filterNot(_.contains("windowspecdefinition(" + key))
+        .toList
+      // every remaining Window must partition on the declared key or
+      // run over a bounded aggregate (the histogram/decile cums)
+      rowWins.foreach { l =>
+        assert(l.contains(key) || l.contains("decile") ||
+          l.contains("sc#") || l.contains("cb"),
+          s"$k has an unexpected unpartitioned row-level Window:\n$l")
+      }
+      assert(!p.contains("CartesianProduct"), s"$k:\n$p")
+    }
+  }
+
+  test("fifth-session bounded-domain windows sit above aggregates " +
+      "(auc histogram, rolling corr, decomposition, late-drop)") {
+    Seq("ml_auc_roc", "time_rolling_corr", "time_decompose_additive",
+        "stream_late_drop").foreach { k =>
+      val p = plan(k)
+      val winIdx = p.indexOf("Window")
+      val aggBelow = p.indexOf("HashAggregate", math.max(winIdx, 0))
+      assert(winIdx >= 0 && aggBelow > winIdx,
+        s"$k: expected HashAggregate below Window:\n$p")
+    }
+  }
+
+  test("fifth-session vector keys broadcast the anchor side and plan " +
+      "no cartesian product") {
+    Seq("vec_hard_negatives", "vec_precision_at_k", "vec_ndcg_at_k")
+      .foreach { k =>
+        val p = plan(k)
+        assert(!p.contains("CartesianProduct"), s"$k:\n$p")
+        assert(p.contains("BroadcastNestedLoopJoin") ||
+          p.contains("BroadcastHashJoin"), s"$k:\n$p")
+      }
+  }
+
+  test("etl_surrogate_key sample is a TakeOrdered, not a global sort") {
+    val p = plan("etl_surrogate_key")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
