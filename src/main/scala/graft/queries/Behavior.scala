@@ -2515,5 +2515,53 @@ object Behavior {
                       + COUNT(*) // 2) // COUNT(*) AS DOUBLE)
                   / 10000.0 AS new_share_pct
          FROM flagged GROUP BY 1 ORDER BY day"""),
+
+    // ATTRIBUTION-WINDOW SENSITIVITY SWEEP — how many purchases a
+    // click-attribution model claims under a 15-minute / 1-hour /
+    // 6-hour lookback, measured in ONE pass: the pair join runs once
+    // at the WIDEST window, the per-purchase best (smallest) gap is
+    // one keyed min, and the tighter windows are conditional counts
+    // on that gap — never three joins. The spread between the counts
+    // is the model-risk number an attribution consumer reads before
+    // picking a window.
+    Q("event_attribution_window_sweep",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_id"),
+          col("event_type"), unix_micros(col("ts")).as("t"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("t").as("c_t"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            col("t").as("p_t"))
+        val nPurch = purch.agg(count(lit(1)).as("n_purchases"))
+        purch.join(clicks, Seq("user_id"))
+          .filter(col("c_t") < col("p_t") &&
+            col("p_t") - col("c_t") <= 21600000000L)
+          .groupBy("p_id")
+          .agg(min(col("p_t") - col("c_t")).as("best_gap"))
+          .agg(count(lit(1)).as("n_6h"),
+            sum(when(col("best_gap") <= 3600000000L, 1L).otherwise(0L))
+              .as("n_1h"),
+            sum(when(col("best_gap") <= 900000000L, 1L).otherwise(0L))
+              .as("n_15m"))
+          .crossJoin(broadcast(nPurch))
+          .select("n_6h", "n_1h", "n_15m", "n_purchases")
+      },
+      """WITH clicks AS (SELECT user_id, epoch_us(ts) AS c_t
+           FROM events WHERE event_type = 'click'),
+         purch AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_t
+           FROM events WHERE event_type = 'purchase'),
+         pairs AS (SELECT p_id, min(p_t - c_t) AS best_gap
+           FROM purch JOIN clicks USING (user_id)
+           WHERE c_t < p_t AND p_t - c_t <= 21600000000
+           GROUP BY p_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_6h,
+                CAST(sum(CASE WHEN best_gap <= 3600000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_1h,
+                CAST(sum(CASE WHEN best_gap <= 900000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_15m,
+                (SELECT CAST(count(*) AS BIGINT) FROM purch)
+                  AS n_purchases
+         FROM pairs"""),
   )
 }

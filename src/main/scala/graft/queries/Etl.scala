@@ -1729,5 +1729,50 @@ object Etl {
                 (sum(late) * 10000 + count(*) // 2) // count(*)
                   / 10000.0 AS late_share
          FROM resolved GROUP BY segment ORDER BY segment"""),
+
+    // IDEMPOTENT RE-RUN AUDIT — the at-least-once delivery contract:
+    // applying the SAME batch twice must leave the table bit-identical
+    // (merge(merge(∅,B),B) = merge(∅,B)). Both states are materialized
+    // to scratch parquet for real and diffed with a full-outer
+    // null-safe join; the declared relation carries the diff count the
+    // operator guarantees to be zero plus the settled control totals.
+    // The merge is max-by-key last-writer-wins — associative,
+    // commutative, idempotent — which is WHY the rerun is safe.
+    Q("etl_idempotent_rerun",
+      (s, d) => {
+        val t1 = IoQueries.scratch(d, "idem_run1")
+        val t2 = IoQueries.scratch(d, "idem_run2")
+        val batch = orders(s, d)
+          .filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey").as("k"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)")
+              .as("cents"))
+        def merge(existing: Option[String], out: String): Unit = {
+          val base = existing.map(p => s.read.parquet(p))
+            .getOrElse(batch.limit(0))
+          base.unionByName(batch)
+            .groupBy("k").agg(max("cents").as("cents"))
+            .write.mode("overwrite").parquet(out)
+        }
+        merge(None, t1)
+        merge(Some(t1), t2)
+        val a = s.read.parquet(t1)
+        val b = s.read.parquet(t2).withColumnRenamed("cents", "cents2")
+        val diff = a.join(b, Seq("k"), "full_outer")
+          .filter(!(col("cents") <=> col("cents2")))
+          .agg(count(lit(1)).as("n_diff"))
+        s.read.parquet(t2)
+          .agg(count(lit(1)).as("n_rows"),
+            expr("sum(cents) / 100.0D").as("total"))
+          .crossJoin(diff)
+          .select(col("n_rows"), col("total"), col("n_diff"),
+            (col("n_diff") === 0).as("idempotent"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100
+                  AS BIGINT)) AS BIGINT) / 100.0 AS total,
+                CAST(0 AS BIGINT) AS n_diff,
+                TRUE AS idempotent
+         FROM orders WHERE o_orderkey % 5 = 0"""),
   )
 }

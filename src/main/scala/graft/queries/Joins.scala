@@ -625,5 +625,48 @@ object Joins {
                   AS DOUBLE), 2) AS qty
          FROM li LEFT JOIN supplier ON sk = s_suppkey
          GROUP BY s_nationkey ORDER BY s_nationkey NULLS FIRST"""),
+
+    // ROLE-PLAYING DIMENSION (TPC-H Q7 shape): the SAME nation table
+    // joined twice under two roles — the customer's nation through
+    // orders→customer and the supplier's nation through supplier —
+    // for the cross-border trade matrix. Both role joins broadcast
+    // (nation/customer/supplier are dims); the only shuffle is
+    // lineitem⋈orders on the order key, then one partial-agg
+    // exchange on the ≤|nations|² group keys. Self-aliasing keeps
+    // the two roles unambiguous.
+    Q("join_role_playing",
+      (s, d) => {
+        val custNation = nation(s, d)
+          .select(col("n_nationkey").as("cn_key"),
+            col("n_name").as("cust_nation"))
+        val suppNation = nation(s, d)
+          .select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))
+        lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+          .filter(col("cust_nation") =!= col("supp_nation"))
+          .groupBy("cust_nation", "supp_nation")
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice"), 2).as("revenue"))
+          .orderBy("cust_nation", "supp_nation")
+      },
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                CAST(count(*) AS BIGINT) AS n_items,
+                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer cu ON o.o_custkey = cu.c_custkey
+         JOIN nation cn ON cu.c_nationkey = cn.n_nationkey
+         JOIN supplier su ON l.l_suppkey = su.s_suppkey
+         JOIN nation sn ON su.s_nationkey = sn.n_nationkey
+         WHERE cn.n_name <> sn.n_name
+         GROUP BY 1, 2 ORDER BY 1, 2"""),
   )
 }

@@ -812,5 +812,25 @@ object Scalars {
                 repeat(substring(c_mktsegment, 1, 2), 3) AS rpt,
                 reverse(c_mktsegment) AS rev
          FROM c ORDER BY c_custkey"""),
+
+    // DATE RENDERING — Spark's SimpleDateFormat-style patterns vs
+    // DuckDB's strftime: the dialect mapping every report migration
+    // hits (yyyy-MM-dd ↔ %Y-%m-%d, EEEE ↔ %A, MMM ↔ %b, DDD ↔ %j).
+    // Weekday/month names compare under both engines' default English
+    // locale; day-of-year uses the zero-padded forms on both sides.
+    Q("fn_date_format",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso"),
+        date_format(col("o_orderdate"), "EEEE").as("day_name"),
+        date_format(col("o_orderdate"), "MMM yyyy").as("mon_yr"),
+        date_format(col("o_orderdate"), "DDD").as("doy"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS iso,
+                strftime(o_orderdate, '%A') AS day_name,
+                strftime(o_orderdate, '%b %Y') AS mon_yr,
+                strftime(o_orderdate, '%j') AS doy
+         FROM orders ORDER BY o_orderkey"""),
   )
 }

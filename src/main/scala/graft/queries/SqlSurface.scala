@@ -702,5 +702,23 @@ object SqlSurface {
          SELECT l_returnflag, 'O' AS status, qty_o AS qty, rev_o AS revenue
          FROM base WHERE qty_o IS NOT NULL OR rev_o IS NOT NULL
          ORDER BY l_returnflag, status"""),
+
+    // ORDER BY ALL — the companion of GROUP BY ALL (both Spark 4 and
+    // DuckDB speak it natively): total-order by every projected
+    // column left-to-right, the ergonomic way to make a small report
+    // deterministic without enumerating the sort list.
+    Q("sql_order_by_all",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("graft_oba")
+        s.sql("""
+          SELECT o_orderpriority, o_orderstatus,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM graft_oba
+          GROUP BY ALL
+          ORDER BY ALL""")
+      },
+      """SELECT o_orderpriority, o_orderstatus,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY ALL ORDER BY ALL"""),
   )
 }

@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
-  val qs: Seq[Q] = baseQs :+ rollingSlope :+ shareOfGroup :+ frameExclude
+  val qs: Seq[Q] =
+    baseQs :+ rollingSlope :+ shareOfGroup :+ frameExclude :+ ytdReset
 
   private def baseQs: Seq[Q] = Seq(
     Q("win_rank", (s, d) => {
@@ -493,4 +494,37 @@ object Windows {
                 (sum_ex * 100 + n_peers // 2) // n_peers / 10000.0
               END AS peer_avg
        FROM w ORDER BY o_custkey, o_orderkey""")
+
+  // YTD RUNNING TOTAL WITH FISCAL RESET — the finance-report staple:
+  // cumulative revenue that restarts every January. The window
+  // partitions by YEAR over the month-grain aggregate (≤12 rows per
+  // partition — the reset is free, it's just the partition boundary);
+  // sums are exact integer cents emitted as dollars.
+  private def ytdReset: Q = Q("win_ytd_reset",
+    (s, d) => {
+      val monthly = orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(expr(
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+          .as("cents"))
+      val w = Window.partitionBy("y").orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      monthly
+        .withColumn("ytd_cents", sum("cents").over(w))
+        .select(col("y"), col("m"),
+          expr("cents / 100.0D").as("month_rev"),
+          expr("ytd_cents / 100.0D").as("ytd_rev"))
+        .orderBy("y", "m")
+    },
+    """WITH m AS (SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)
+             AS cents
+         FROM orders GROUP BY 1, 2)
+       SELECT y, m, cents / 100.0 AS month_rev,
+              sum(cents) OVER (PARTITION BY y ORDER BY m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                / 100.0 AS ytd_rev
+       FROM m ORDER BY y, m""")
 }
