@@ -2781,5 +2781,50 @@ object Analytics {
                 lcl2 / 10000.0 AS lcl,
                 c * 100 > ucl2 OR c * 100 < lcl2 AS violation
          FROM l ORDER BY dy"""),
+
+    // YEAR-OVER-YEAR GROWTH per month — the month-grain self-join on
+    // (year−1, month): each month compares to the same month last
+    // year, which a lag-12 window gets wrong whenever a month is
+    // missing. Growth is a SIGN-SPLIT 1e-4-unit integer division
+    // (negative growth: Spark div truncates, DuckDB // floors).
+    // Month-grain relation (≤84 rows) — the join is broadcast-tiny.
+    Q("time_yoy_growth",
+      (s, d) => {
+        val m = orders(s, d)
+          .groupBy(year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("cents"))
+        val prev = m.select((col("y") + 1).as("y"), col("m"),
+          col("cents").as("prev_cents"))
+        m.join(broadcast(prev), Seq("y", "m"), "left")
+          .select(col("y"), col("m"),
+            expr("cents / 100.0D").as("revenue"),
+            expr("prev_cents / 100.0D").as("prev_revenue"),
+            expr("""CASE WHEN prev_cents IS NOT NULL THEN
+                      CAST((CASE WHEN cents - prev_cents < 0 THEN -1
+                             ELSE 1 END) *
+                        ((abs(cents - prev_cents) * 10000
+                          + prev_cents div 2) div prev_cents) AS DOUBLE)
+                        / 1e4
+                    END""").as("yoy_growth"))
+          .orderBy("y", "m")
+      },
+      """WITH m AS (SELECT CAST(year(o_orderdate) AS INT) AS y,
+             CAST(month(o_orderdate) AS INT) AS m,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)
+               AS cents
+           FROM orders GROUP BY 1, 2)
+         SELECT a.y, a.m, a.cents / 100.0 AS revenue,
+                b.cents / 100.0 AS prev_revenue,
+                CASE WHEN b.cents IS NOT NULL THEN
+                  CAST((CASE WHEN a.cents - b.cents < 0 THEN -1
+                         ELSE 1 END) *
+                    ((abs(a.cents - b.cents) * 10000 + b.cents // 2)
+                     // b.cents) AS DOUBLE) / 1e4
+                END AS yoy_growth
+         FROM m a LEFT JOIN m b ON b.y = a.y - 1 AND b.m = a.m
+         ORDER BY a.y, a.m"""),
   )
 }

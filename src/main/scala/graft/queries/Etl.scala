@@ -1774,5 +1774,65 @@ object Etl {
                 CAST(0 AS BIGINT) AS n_diff,
                 TRUE AS idempotent
          FROM orders WHERE o_orderkey % 5 = 0"""),
+
+    // CATEGORY VALUE-SET CHURN between two periods — the dimension
+    // drift a PSI on shares can't see: which values RETIRED, which
+    // are NEW, which persist (with their traffic). Drift is planted
+    // deterministically (k%17 retires after day 15, k%19=3 re-keys
+    // to k+1000 — the upstream-renamed-enum case); detection is one
+    // FULL OUTER join of the two distinct-value sets. Declared
+    // relation = per-status value counts + event volumes.
+    Q("dq_category_churn",
+      (s, d) => {
+        val base = events(s, d).select(
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("k"),
+          expr("CASE WHEN day(ts) <= 15 THEN 'h1' ELSE 'h2' END")
+            .as("half"))
+          .withColumn("cat", expr(
+            """CASE WHEN half = 'h2' AND k % 19 = 3 THEN k + 1000
+                    ELSE k END"""))
+          .filter(expr("NOT (half = 'h2' AND k % 17 = 0)"))
+        val h1 = base.filter(col("half") === "h1")
+          .groupBy(col("cat").as("v1")).agg(count(lit(1)).as("n1"))
+        val h2 = base.filter(col("half") === "h2")
+          .groupBy(col("cat").as("v2")).agg(count(lit(1)).as("n2"))
+        h1.join(h2, col("v1") === col("v2"), "full_outer")
+          .select(
+            expr("""CASE WHEN v2 IS NULL THEN 'retired'
+                         WHEN v1 IS NULL THEN 'added'
+                         ELSE 'stable' END""").as("status"),
+            coalesce(col("n1"), lit(0L)).as("n1"),
+            coalesce(col("n2"), lit(0L)).as("n2"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_values"),
+            sum("n1").as("events_h1"), sum("n2").as("events_h2"))
+          .orderBy("status")
+      },
+      """WITH base AS (
+           SELECT CASE WHEN extract(day FROM ts) > 15
+                    AND CAST(json_extract_string(props,'$.k') AS BIGINT)
+                        % 19 = 3
+                  THEN CAST(json_extract_string(props,'$.k') AS BIGINT)
+                       + 1000
+                  ELSE CAST(json_extract_string(props,'$.k') AS BIGINT)
+                  END AS cat,
+                  CASE WHEN extract(day FROM ts) <= 15 THEN 'h1'
+                       ELSE 'h2' END AS half
+           FROM events
+           WHERE NOT (extract(day FROM ts) > 15 AND
+             CAST(json_extract_string(props,'$.k') AS BIGINT) % 17 = 0)),
+         h1 AS (SELECT cat AS v1, CAST(count(*) AS BIGINT) AS n1
+                FROM base WHERE half = 'h1' GROUP BY cat),
+         h2 AS (SELECT cat AS v2, CAST(count(*) AS BIGINT) AS n2
+                FROM base WHERE half = 'h2' GROUP BY cat),
+         j AS (SELECT CASE WHEN v2 IS NULL THEN 'retired'
+                           WHEN v1 IS NULL THEN 'added'
+                           ELSE 'stable' END AS status,
+                      coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+               FROM h1 FULL JOIN h2 ON v1 = v2)
+         SELECT status, CAST(count(*) AS BIGINT) AS n_values,
+                CAST(sum(n1) AS BIGINT) AS events_h1,
+                CAST(sum(n2) AS BIGINT) AS events_h2
+         FROM j GROUP BY status ORDER BY status"""),
   )
 }

@@ -1263,5 +1263,56 @@ object Profiling {
          WHERE CAST(('0x' || substring(md5(CAST(block AS VARCHAR)),
                  1, 8)) AS BIGINT) % 10 < 3
          GROUP BY block ORDER BY block"""),
+
+    // CORRELATION RATIO η² (categorical → numeric effect size): how
+    // much of order-price variance the priority column explains —
+    // the profiling complement of corr (numeric↔numeric) and
+    // mutual_info (categorical↔categorical). All moment sums are
+    // exact (BIGINT cents; Σcents² as DECIMAL(38,0) — it overflows
+    // BIGINT at sf0.1); doubles enter only in the 5-term closed form,
+    // where a few-ulp add-order skew is 9 orders below the ROUND(6)
+    // scale (SSb≈SStot cancellation included — measured reasoning on
+    // the key's row). One group aggregate + one 1-row reduce.
+    Q("profile_eta_squared",
+      (s, d) => {
+        val g = orders(s, d)
+          .groupBy(col("o_orderpriority").as("p"))
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100)" +
+              " AS BIGINT)").as("s"))
+        val t = g.agg(sum("n").as("nn"), sum("s").as("ss"),
+          sum(expr("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n")).as("sb"),
+          count(lit(1)).as("n_groups"))
+        val q = orders(s, d).agg(
+          expr("""CAST(sum(CAST(
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+                    * CAST(CAST(o_totalprice AS DECIMAL(18,2))*100
+                      AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)""")
+            .as("sq"))
+        t.crossJoin(q)
+          .select(col("n_groups"), col("nn").as("n_rows"),
+            expr("""ROUND((sb - CAST(ss AS DOUBLE)*CAST(ss AS DOUBLE)/nn) /
+                          (sq - CAST(ss AS DOUBLE)*CAST(ss AS DOUBLE)/nn),
+                          6) + 0.0D""").as("eta2"))
+      },
+      """WITH g AS (SELECT o_orderpriority AS p,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)
+               AS s
+           FROM orders GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                      CAST(sum(s) AS BIGINT) AS ss,
+                      sum(CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n) AS sb,
+                      CAST(count(*) AS BIGINT) AS n_groups FROM g),
+         q AS (SELECT CAST(sum(CAST(
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+                 * CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+                 AS DECIMAL(38,0))) AS DOUBLE) AS sq
+               FROM orders)
+         SELECT n_groups, nn AS n_rows,
+                ROUND((sb - CAST(ss AS DOUBLE)*CAST(ss AS DOUBLE)/nn) /
+                      (sq - CAST(ss AS DOUBLE)*CAST(ss AS DOUBLE)/nn), 6)
+                  + 0.0 AS eta2
+         FROM t CROSS JOIN q"""),
   )
 }
