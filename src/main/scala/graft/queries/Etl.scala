@@ -1834,5 +1834,59 @@ object Etl {
                 CAST(sum(n1) AS BIGINT) AS events_h1,
                 CAST(sum(n2) AS BIGINT) AS events_h2
          FROM j GROUP BY status ORDER BY status"""),
+
+    // SCD2 VALIDITY-OVERLAP DETECTION — the corruption a bad merge
+    // leaves behind: two versions of the same key whose
+    // [from, to) ranges intersect, silently double-counting every
+    // point-in-time join. Version chains derive from consecutive
+    // order dates per customer (lead() within key — one key-
+    // partitioned window); the corruption is planted by stretching
+    // every c%13=0 customer's version ends +10 days. Detection is
+    // the canonical key-partitioned lag: overlap iff prev_to > from.
+    Q("dq_scd2_overlaps",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wk = Window.partitionBy("k").orderBy("vfrom", "okey")
+        val versions = orders(s, d)
+          .select(col("o_custkey").as("k"), col("o_orderkey").as("okey"),
+            col("o_orderdate").cast("date").as("vfrom"))
+          .withColumn("vto_raw",
+            lead("vfrom", 1).over(wk))
+          .filter(col("vto_raw").isNotNull)
+          .withColumn("vto",
+            expr("""CASE WHEN k % 13 = 0 THEN vto_raw + INTERVAL 10 DAYS
+                    ELSE vto_raw END"""))
+        versions
+          .withColumn("prev_to", lag("vto", 1).over(wk))
+          .withColumn("overlap",
+            col("prev_to").isNotNull && col("prev_to") > col("vfrom"))
+          .agg(count(lit(1)).as("n_versions"),
+            sum(when(col("overlap"), 1L).otherwise(0L)).as("n_overlaps"),
+            countDistinct(when(col("overlap"), col("k"))).as("n_bad_keys"))
+      },
+      """WITH v AS (
+           SELECT o_custkey AS k, o_orderkey AS okey,
+                  CAST(o_orderdate AS DATE) AS vfrom,
+                  lead(CAST(o_orderdate AS DATE), 1) OVER
+                    (PARTITION BY o_custkey
+                     ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+                    AS vto_raw
+           FROM orders),
+         stretched AS (
+           SELECT k, okey, vfrom,
+                  CASE WHEN k % 13 = 0 THEN vto_raw + INTERVAL 10 DAY
+                       ELSE vto_raw END AS vto
+           FROM v WHERE vto_raw IS NOT NULL),
+         flagged AS (
+           SELECT k, vfrom, vto,
+                  lag(vto, 1) OVER (PARTITION BY k ORDER BY vfrom, okey)
+                    AS prev_to
+           FROM stretched)
+         SELECT CAST(count(*) AS BIGINT) AS n_versions,
+                CAST(sum(CASE WHEN prev_to IS NOT NULL AND prev_to > vfrom
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+                CAST(count(DISTINCT CASE WHEN prev_to IS NOT NULL
+                  AND prev_to > vfrom THEN k END) AS BIGINT) AS n_bad_keys
+         FROM flagged"""),
   )
 }

@@ -1535,5 +1535,30 @@ object IoQueries {
                 CAST(sum(cents) AS BIGINT) / 100.0 AS trailer_total,
                 TRUE AS reconciled
          FROM o"""),
+
+    // NESTED-SCHEMA COLUMN PRUNING — deeply nested parquet (the
+    // event-payload norm) must NOT pay for sibling subfields: the
+    // write nests price/status/date under one struct, the read
+    // touches only info.price, and Round8Spec pins the scan's
+    // ReadSchema to the single subfield (nestedSchemaPruning is on
+    // by default in Spark 4). At 100 TB the difference is reading
+    // one column chunk vs the whole struct blob.
+    Q("scan_nested_pruning",
+      (s, d) => {
+        val out = scratch(d, "nested")
+        orders(s, d).select(col("o_orderkey"),
+          struct(col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"),
+            col("o_orderdate").as("odate")).as("info"))
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .groupBy()
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("info.price"), 2).as("price_sum"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS price_sum
+         FROM orders"""),
   )
 }

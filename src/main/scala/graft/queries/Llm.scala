@@ -3195,5 +3195,55 @@ GROUP BY source ORDER BY source"""),
                 ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
                   + 0.0 AS ndcg
          FROM withi ORDER BY probe_id"""),
+
+    // EMBEDDING ANISOTROPY AUDIT — ‖μ‖²/(Σ‖v‖²/N): how far the
+    // corpus mean vector sits from the isotropy origin, the QA
+    // number behind "should we mean-center before cosine" (Ethayarajh
+    // 2019's anisotropy diagnosis). Per-dimension sums go through one
+    // 64-way posexplode exchange pinned to DECIMAL (at 100 TB this is
+    // a treeAggregate over 64-float buffers instead — same contract);
+    // per-row norms are sequential HOF folds pinned ONCE to decimal
+    // before the row-order-agnostic sum.
+    Q("vec_anisotropy",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val dims = emb
+          .select(posexplode(col("embedding")).as(Seq("i", "v")))
+          .groupBy("i")
+          .agg(expr("CAST(sum(CAST(v AS DECIMAL(18,8))) AS DOUBLE)")
+            .as("sd"))
+        val norms = emb.agg(
+          count(lit(1)).as("n"),
+          expr("""CAST(sum(CAST(aggregate(embedding, 0.0D,
+                    (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                  AS DECIMAL(28,8))) AS DOUBLE)""").as("sn2"))
+        dims.crossJoin(broadcast(norms))
+          .agg(first("n").as("n_vecs"),
+            expr("sum((sd / n) * (sd / n))").as("mu_norm2"),
+            first(expr("sn2 / n")).as("mean_norm2"))
+          .select(col("n_vecs"),
+            expr("ROUND(mu_norm2, 6) + 0.0D").as("mu_norm2"),
+            expr("ROUND(mean_norm2, 6) + 0.0D").as("mean_norm2"),
+            expr("ROUND(mu_norm2 / mean_norm2, 6) + 0.0D")
+              .as("anisotropy"))
+      },
+      """WITH dims AS (
+           SELECT r.range AS i,
+                  CAST(sum(CAST(embedding[r.range] AS DECIMAL(18,8)))
+                    AS DOUBLE) AS sd
+           FROM embeddings CROSS JOIN range(1, 65) r
+           GROUP BY r.range),
+         norms AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (a, b) -> a + b) AS DECIMAL(28,8))) AS DOUBLE) AS sn2
+           FROM embeddings)
+         SELECT n AS n_vecs,
+                ROUND(sum((sd / n) * (sd / n)), 6) + 0.0 AS mu_norm2,
+                ROUND(min(sn2 / n), 6) + 0.0 AS mean_norm2,
+                ROUND(sum((sd / n) * (sd / n)) / min(sn2 / n), 6) + 0.0
+                  AS anisotropy
+         FROM dims CROSS JOIN norms GROUP BY n"""),
   )
 }

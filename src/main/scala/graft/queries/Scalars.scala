@@ -832,5 +832,32 @@ object Scalars {
                 strftime(o_orderdate, '%b %Y') AS mon_yr,
                 strftime(o_orderdate, '%j') AS doy
          FROM orders ORDER BY o_orderkey"""),
+
+    // STRUCT→JSON→STRUCT ROUNDTRIP (to_json / from_json with an
+    // explicit schema) — the message-bus serialization path: a typed
+    // payload survives the wire format losslessly, including the
+    // money field carried as canonical 2-dp decimal text. DuckDB
+    // cannot replay Spark's from_json, so the oracle is the identity
+    // on the source columns — exactly what a lossless roundtrip must
+    // reduce to.
+    Q("fn_json_roundtrip",
+      (s, d) => customer(s, d)
+        .select(col("c_custkey"),
+          expr("""from_json(
+                    to_json(named_struct(
+                      'seg', c_mktsegment,
+                      'bal', CAST(c_acctbal AS DECIMAL(18,2)),
+                      'nat', c_nationkey)),
+                    'seg STRING, bal DECIMAL(18,2), nat INT')""")
+            .as("rt"))
+        .select(col("c_custkey"),
+          col("rt.seg").as("seg"),
+          expr("CAST(rt.bal AS DOUBLE)").as("bal"),
+          col("rt.nat").as("nat"))
+        .orderBy("c_custkey"),
+      """SELECT c_custkey, c_mktsegment AS seg,
+                CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
+                CAST(c_nationkey AS INT) AS nat
+         FROM customer ORDER BY c_custkey"""),
   )
 }

@@ -332,4 +332,14 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
     val p = plan("etl_surrogate_key")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("scan_nested_pruning: the read-back scan's schema carries ONLY " +
+      "the touched subfield, not the sibling struct members") {
+    val p = plan("scan_nested_pruning")
+    val schemaLine = p.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(schemaLine.contains("price"), p)
+    assert(!schemaLine.contains("status") && !schemaLine.contains("odate"),
+      "sibling subfields not pruned from the scan:\n" + schemaLine)
+  }
 }
