@@ -2563,5 +2563,37 @@ object Behavior {
                 (SELECT CAST(count(*) AS BIGINT) FROM purch)
                   AS n_purchases
          FROM pairs"""),
+
+    // FANO FACTOR (variance-to-mean of daily COUNTS per event type) —
+    // the count-process overdispersion test: Poisson traffic has
+    // VMR≈1, campaign-driven bursts push it above. Complements
+    // event_interarrival_burstiness (which works on GAPS). VMR =
+    // (nΣc²−S²)/((n−1)S) is nonnegative by Cauchy–Schwarz, so the
+    // 1e-4-unit integer division needs no sign split; the
+    // overdispersion flag is the exact cross-multiplied comparison.
+    Q("event_fano_factor",
+      (s, d) => events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("dy"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("s"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("event_type"), col("n"), col("s"),
+          expr("""((n*s2 - s*s) * 10000 + ((n-1)*s) div 2)
+                  div ((n-1)*s) / 10000.0D""").as("fano"),
+          expr("(n*s2 - s*s) > (n-1)*s").as("overdispersed"))
+        .orderBy("event_type"),
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dy,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(c) AS BIGINT) AS s,
+                      CAST(sum(c*c) AS BIGINT) AS s2
+               FROM d GROUP BY 1)
+         SELECT event_type, n, s,
+                ((n*s2 - s*s) * 10000 + ((n-1)*s) // 2) // ((n-1)*s)
+                  / 10000.0 AS fano,
+                (n*s2 - s*s) > (n-1)*s AS overdispersed
+         FROM g ORDER BY event_type"""),
   )
 }

@@ -1560,5 +1560,28 @@ object IoQueries {
                 ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                   AS DOUBLE), 2) AS price_sum
          FROM orders"""),
+
+    // MULTILINE JSON-ARRAY INGEST — the REST-API-dump shape: one
+    // pretty-printed JSON ARRAY document spanning many lines, which
+    // line-oriented JSONL readers tear apart; multiLine=true parses
+    // the whole file as one value stream. The document is assembled
+    // deterministically (sort_array over the collected structs) and
+    // is driver-bounded by contract — an API dump is one response
+    // body. Read-back is the identity on nation.
+    Q("scan_json_multiline",
+      (s, d) => {
+        val out = scratch(d, "json_array")
+        nation(s, d)
+          .agg(expr("""concat('[\n  ', array_join(transform(
+                 sort_array(collect_list(named_struct(
+                   'k', n_nationkey, 'name', n_name, 'r', n_regionkey))),
+                 x -> to_json(x)), ',\n  '), '\n]')""").as("value"))
+          .coalesce(1).write.mode("overwrite").text(out)
+        s.read.option("multiLine", "true")
+          .schema("k INT, name STRING, r INT").json(out)
+          .orderBy("k")
+      },
+      """SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r
+         FROM nation ORDER BY k"""),
   )
 }

@@ -3245,5 +3245,55 @@ GROUP BY source ORDER BY source"""),
                 ROUND(sum((sd / n) * (sd / n)) / min(sn2 / n), 6) + 0.0
                   AS anisotropy
          FROM dims CROSS JOIN norms GROUP BY n"""),
+
+    // MAGIC-BYTE FILE-TYPE SNIFFING — the first gate of any
+    // multimodal ingest: trust the CONTENT's signature, not the
+    // extension/metadata. Binary payloads are planted with real
+    // signatures (PNG \x89PNG, JPEG \xFF\xD8\xFF, PDF %PDF, else
+    // raw) by doc_id rule; detection reads ONLY the first 8 bytes of
+    // each blob (at 100 TB: a range-request of the object head, never
+    // a full download). Hex prefixes compare as uppercase strings on
+    // both engines.
+    Q("multimodal_magic_sniff",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          expr("""unhex(concat(
+                    CASE CAST(doc_id % 4 AS INT)
+                      WHEN 0 THEN '89504E470D0A1A0A'
+                      WHEN 1 THEN 'FFD8FFE000104A46'
+                      WHEN 2 THEN '255044462D312E37'
+                      ELSE '0000000000000000' END,
+                    md5(CAST(doc_id AS STRING))))""").as("payload"))
+        .select(col("doc_id"),
+          expr("""CASE substring(hex(payload), 1, 8)
+                    WHEN '89504E47' THEN 'png'
+                    WHEN 'FFD8FFE0' THEN 'jpeg'
+                    WHEN '25504446' THEN 'pdf'
+                    ELSE 'unknown' END""").as("sniffed"),
+          expr("CAST(length(payload) AS INT)").as("n_bytes"))
+        .groupBy("sniffed")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_bytes").cast("long")).as("total_bytes"))
+        .orderBy("sniffed"),
+      """WITH p AS (SELECT doc_id,
+             unhex(concat(
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN '89504E470D0A1A0A'
+                 WHEN 1 THEN 'FFD8FFE000104A46'
+                 WHEN 2 THEN '255044462D312E37'
+                 ELSE '0000000000000000' END,
+               md5(CAST(doc_id AS VARCHAR)))) AS payload
+           FROM documents),
+         sn AS (SELECT doc_id,
+             CASE substring(hex(payload), 1, 8)
+               WHEN '89504E47' THEN 'png'
+               WHEN 'FFD8FFE0' THEN 'jpeg'
+               WHEN '25504446' THEN 'pdf'
+               ELSE 'unknown' END AS sniffed,
+             octet_length(payload) AS n_bytes
+           FROM p)
+         SELECT sniffed, CAST(count(*) AS BIGINT) AS n_files,
+                CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+         FROM sn GROUP BY sniffed ORDER BY sniffed"""),
   )
 }
