@@ -2595,5 +2595,108 @@ object Behavior {
                   / 10000.0 AS fano,
                 (n*s2 - s*s) > (n-1)*s AS overdispersed
          FROM g ORDER BY event_type"""),
+
+    // REVENUE BRIDGE (MRR waterfall) — the board-deck decomposition:
+    // each month's net revenue change split into new / expansion /
+    // contraction / churned, reconciling exactly because every cent
+    // lands in exactly one bucket. NO dense customer×month grid: the
+    // sparse (customer, month) relation FULL-OUTER-joins itself on
+    // (k, m = prev_m + 1 month), so absent months surface as the
+    // zero side. Exact integer cents throughout; net_change is the
+    // identity check Σcur − Σprev.
+    Q("revenue_bridge",
+      (s, d) => {
+        val cm = orders(s, d)
+          .groupBy(col("o_custkey").as("k"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("c"))
+        val prev = cm.select(col("k"),
+          add_months(col("m"), 1).as("m"), col("c").as("prev"))
+        cm.withColumnRenamed("c", "cur")
+          .join(prev, Seq("k", "m"), "full_outer")
+          .select(col("m"),
+            coalesce(col("cur"), lit(0L)).as("cur"),
+            coalesce(col("prev"), lit(0L)).as("prev"))
+          .groupBy("m")
+          .agg(
+            expr("CAST(sum(CASE WHEN prev = 0 THEN cur ELSE 0 END)" +
+              " AS BIGINT) / 100.0D").as("new_rev"),
+            expr("""CAST(sum(CASE WHEN prev > 0 AND cur > prev
+                    THEN cur - prev ELSE 0 END) AS BIGINT) / 100.0D""")
+              .as("expansion"),
+            expr("""CAST(-sum(CASE WHEN cur > 0 AND cur < prev
+                    THEN prev - cur ELSE 0 END) AS BIGINT) / 100.0D""")
+              .as("contraction"),
+            expr("CAST(-sum(CASE WHEN cur = 0 THEN prev ELSE 0 END)" +
+              " AS BIGINT) / 100.0D").as("churned"),
+            expr("CAST(sum(cur) - sum(prev) AS BIGINT) / 100.0D")
+              .as("net_change"))
+          .orderBy("m")
+      },
+      """WITH cm AS (SELECT o_custkey AS k,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)
+               AS c
+           FROM orders GROUP BY 1, 2),
+         j AS (SELECT coalesce(a.m, CAST(b.m + INTERVAL 1 MONTH AS DATE))
+                 AS m,
+                 coalesce(a.c, 0) AS cur, coalesce(b.c, 0) AS prev
+               FROM cm a FULL JOIN cm b
+                 ON a.k = b.k
+                AND a.m = CAST(b.m + INTERVAL 1 MONTH AS DATE))
+         SELECT m,
+           CAST(sum(CASE WHEN prev = 0 THEN cur ELSE 0 END) AS BIGINT)
+             / 100.0 AS new_rev,
+           CAST(sum(CASE WHEN prev > 0 AND cur > prev THEN cur - prev
+             ELSE 0 END) AS BIGINT) / 100.0 AS expansion,
+           CAST(-sum(CASE WHEN cur > 0 AND cur < prev THEN prev - cur
+             ELSE 0 END) AS BIGINT) / 100.0 AS contraction,
+           CAST(-sum(CASE WHEN cur = 0 THEN prev ELSE 0 END) AS BIGINT)
+             / 100.0 AS churned,
+           CAST(sum(cur) - sum(prev) AS BIGINT) / 100.0 AS net_change
+         FROM j GROUP BY m ORDER BY m"""),
+
+    // USER LIFECYCLE STATES (new / retained / resurrected per week) —
+    // the growth-accounting classification on weekly PURCHASE
+    // activity (purchases are sparse enough to churn; raw events
+    // aren't). One distinct (user, week) relation, a per-user lag
+    // (key-partitioned window over ≤#weeks rows), first-week via a
+    // keyed min — the state logic is pure date arithmetic.
+    Q("event_lifecycle_states",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val uw = events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("w"))
+          .distinct()
+        val fw = uw.groupBy("user_id").agg(min("w").as("first_w"))
+        uw.join(fw, Seq("user_id"))
+          .withColumn("prev_w",
+            lag("w", 1).over(Window.partitionBy("user_id").orderBy("w")))
+          .select(col("w"),
+            expr("""CASE WHEN w = first_w THEN 'new'
+                         WHEN prev_w = date_sub(w, 7) THEN 'retained'
+                         ELSE 'resurrected' END""").as("state"))
+          .groupBy("w", "state")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("w", "state")
+      },
+      """WITH uw AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS w
+           FROM events WHERE event_type = 'purchase'),
+         fw AS (SELECT user_id, min(w) AS first_w FROM uw GROUP BY 1),
+         lagd AS (SELECT uw.user_id, w, first_w,
+             lag(w) OVER (PARTITION BY uw.user_id ORDER BY w) AS prev_w
+           FROM uw JOIN fw ON uw.user_id = fw.user_id),
+         st AS (SELECT w,
+             CASE WHEN w = first_w THEN 'new'
+                  WHEN prev_w = CAST(w - INTERVAL 7 DAY AS DATE)
+                    THEN 'retained'
+                  ELSE 'resurrected' END AS state
+           FROM lagd)
+         SELECT w, state, CAST(count(*) AS BIGINT) AS n_users
+         FROM st GROUP BY 1, 2 ORDER BY 1, 2"""),
   )
 }

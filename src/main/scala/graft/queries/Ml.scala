@@ -2557,6 +2557,63 @@ object Ml {
                 // ((n*n) - ((n11+n10)*(n11+n01)
                      + (n01+n00)*(n10+n00)))) AS DOUBLE) / 1e4
            END AS kappa
-         FROM cmat""")
+         FROM cmat"""),
+
+    // WEIGHT-OF-EVIDENCE / INFORMATION VALUE — the credit-scoring
+    // binning audit: per fixed price band, WOE = ln(share_pos /
+    // share_neg) and IV = Σ(share_pos − share_neg)·WOE. The ln's
+    // argument is a DOUBLE ratio of exact integer counts — identical
+    // on both engines — and each WOE term is ROUNDed at 1e-6 before
+    // the (≤5-term) IV sum, the text_js_divergence precedent for
+    // keeping a libm call out of the comparison margin. Empty-side
+    // bins yield NULL WOE and drop out of IV.
+    Q("ml_woe_iv",
+      (s, d) => {
+        val b = orders(s, d).select(
+          expr("""least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) div 10000000, 4L)""").as("band"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("y"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+          .withColumn("neg", col("n") - col("pos"))
+        val t = b.agg(sum("pos").as("tp"), sum("neg").as("tn"))
+        val woed = b.crossJoin(broadcast(t))
+          .withColumn("woe",
+            expr("""CASE WHEN pos > 0 AND neg > 0 THEN
+                      ROUND(ln((CAST(pos AS DOUBLE) * CAST(tn AS DOUBLE))
+                           / (CAST(neg AS DOUBLE) * CAST(tp AS DOUBLE))),
+                        6) + 0.0D END"""))
+        val iv = woed.agg(sum(
+          expr("""CASE WHEN woe IS NOT NULL THEN
+                    (CAST(pos AS DOUBLE)/tp - CAST(neg AS DOUBLE)/tn)
+                    * woe END""")).as("iv_raw"))
+        woed.crossJoin(broadcast(iv))
+          .select(col("band"), col("n"), col("pos"), col("neg"),
+            col("woe"),
+            expr("ROUND(iv_raw, 6) + 0.0D").as("iv"))
+          .orderBy("band")
+      },
+      """WITH b AS (SELECT least(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                 * 100 AS BIGINT) // 10000000, 4) AS band,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+               ELSE 0 END) AS BIGINT) AS pos
+           FROM orders GROUP BY 1),
+         bb AS (SELECT band, n, pos, n - pos AS neg FROM b),
+         t AS (SELECT CAST(sum(pos) AS BIGINT) AS tp,
+                      CAST(sum(neg) AS BIGINT) AS tn FROM bb),
+         woed AS (SELECT band, n, pos, neg,
+             CASE WHEN pos > 0 AND neg > 0 THEN
+               ROUND(ln((CAST(pos AS DOUBLE) * CAST(tn AS DOUBLE))
+                    / (CAST(neg AS DOUBLE) * CAST(tp AS DOUBLE))), 6)
+                 + 0.0 END AS woe
+           FROM bb CROSS JOIN t),
+         iv AS (SELECT sum(CASE WHEN woe IS NOT NULL THEN
+                  (CAST(pos AS DOUBLE)/tp - CAST(neg AS DOUBLE)/tn) * woe
+                END) AS iv_raw
+                FROM woed CROSS JOIN t)
+         SELECT band, n, pos, neg, woe, ROUND(iv_raw, 6) + 0.0 AS iv
+         FROM woed CROSS JOIN iv ORDER BY band""")
   )
 }
