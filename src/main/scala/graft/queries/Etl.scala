@@ -1888,5 +1888,45 @@ object Etl {
                 CAST(count(DISTINCT CASE WHEN prev_to IS NOT NULL
                   AND prev_to > vfrom THEN k END) AS BIGINT) AS n_bad_keys
          FROM flagged"""),
+
+    // ROUND-NUMBER BIAS AUDIT — the forensic-accounting screen
+    // (human-invented amounts over-select .00 and psychological .99
+    // endings; organic amounts spread cents uniformly ≈1%/ending):
+    // per priority class, the share of .00 / .99 cent endings with
+    // the exact cross-multiplied 3×-expected flag. Cents endings come
+    // from the integer cents mod 100 — no float ever inspects the
+    // ending.
+    Q("dq_round_number_bias",
+      (s, d) => orders(s, d)
+        .select(col("o_orderpriority").as("prio"),
+          expr("""CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) % 100""").as("ending"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ending") === 0L, 1L).otherwise(0L)).as("n_00"),
+          sum(when(col("ending") === 99L, 1L).otherwise(0L)).as("n_99"))
+        .select(col("prio"), col("n"), col("n_00"), col("n_99"),
+          expr("(n_00 * 10000 + n div 2) div n / 10000.0D")
+            .as("share_00"),
+          expr("(n_99 * 10000 + n div 2) div n / 10000.0D")
+            .as("share_99"),
+          expr("n_00 * 100 > 3 * n OR n_99 * 100 > 3 * n")
+            .as("suspicious"))
+        .orderBy("prio"),
+      """WITH e AS (SELECT o_orderpriority AS prio,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               % 100 AS ending
+           FROM orders),
+         g AS (SELECT prio, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ending = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_00,
+             CAST(sum(CASE WHEN ending = 99 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_99
+           FROM e GROUP BY 1)
+         SELECT prio, n, n_00, n_99,
+                (n_00 * 10000 + n // 2) // n / 10000.0 AS share_00,
+                (n_99 * 10000 + n // 2) // n / 10000.0 AS share_99,
+                n_00 * 100 > 3 * n OR n_99 * 100 > 3 * n AS suspicious
+         FROM g ORDER BY prio"""),
   )
 }

@@ -1583,5 +1583,28 @@ object IoQueries {
       },
       """SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r
          FROM nation ORDER BY k"""),
+
+    // NESTED-FIELD PREDICATE PUSHDOWN — the filter companion of
+    // scan_nested_pruning: a predicate on info.price must reach the
+    // parquet reader as a pushed filter on the leaf column (row-group
+    // min/max skipping on nested leaves), not evaluate post-scan.
+    // Round8Spec pins PushedFilters carries the price leaf.
+    Q("scan_nested_filter_pushdown",
+      (s, d) => {
+        val out = scratch(d, "nestedflt")
+        orders(s, d).select(col("o_orderkey"),
+          struct(col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status")).as("info"))
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .filter(col("info.price") > 400000.0)
+          .groupBy()
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("info.price"), 2).as("price_sum"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS price_sum
+         FROM orders WHERE o_totalprice > 400000.0"""),
   )
 }

@@ -2614,6 +2614,65 @@ object Ml {
                 END) AS iv_raw
                 FROM woed CROSS JOIN t)
          SELECT band, n, pos, neg, woe, ROUND(iv_raw, 6) + 0.0 AS iv
-         FROM woed CROSS JOIN iv ORDER BY band""")
+         FROM woed CROSS JOIN iv ORDER BY band"""),
+
+    // KOLMOGOROV–SMIRNOV SCORER SEPARATION — max |CDF₊ − CDF₋| of the
+    // score (n_chars) between classes (lang·en vs rest): the
+    // credit-scoring companion of ml_woe_iv/ml_auc_roc. Computed
+    // entirely on the score histogram: both CDFs are cumulative
+    // windows over the bounded distinct-score domain, the max of the
+    // CROSS-MULTIPLIED |cum₊·N₋ − cum₋·N₊| stays exact BIGINT, and
+    // only the final KS divides (1e-6 units). The argmax score is
+    // tie-broken to the smallest score via min().
+    Q("ml_ks_statistic",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = documents(s, d)
+          .groupBy(col("n_chars").as("sc"))
+          .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cp"),
+            sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cn"))
+        val w = Window.orderBy("sc")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = h
+          .withColumn("cum_p", sum("cp").over(w))
+          .withColumn("cum_n", sum("cn").over(w))
+        val tot = cum.agg(max("cum_p").as("np"), max("cum_n").as("nn"))
+        val gaps = cum.crossJoin(broadcast(tot))
+          .withColumn("gap", abs(col("cum_p") * col("nn") -
+            col("cum_n") * col("np")))
+        val best = gaps.agg(max("gap").as("max_gap"))
+        gaps.crossJoin(broadcast(best))
+          .filter(col("gap") === col("max_gap"))
+          .groupBy()
+          .agg(min("sc").as("ks_at_score"),
+            first("np").as("n_pos"), first("nn").as("n_neg"),
+            first(expr("""(max_gap * 1000000 + (np * nn) div 2)
+                          div (np * nn)""")).as("ks6"))
+          .select(col("ks_at_score"), col("n_pos"), col("n_neg"),
+            expr("ks6 / 1000000.0D").as("ks"))
+      },
+      """WITH h AS (SELECT n_chars AS sc,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cp,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cn
+           FROM documents GROUP BY 1),
+         cum AS (SELECT sc,
+             sum(cp) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum_p,
+             sum(cn) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum_n
+           FROM h),
+         tot AS (SELECT CAST(max(cum_p) AS BIGINT) AS np,
+                        CAST(max(cum_n) AS BIGINT) AS nn FROM cum),
+         gaps AS (SELECT sc,
+             abs(cum_p * nn - cum_n * np) AS gap, np, nn
+           FROM cum CROSS JOIN tot),
+         best AS (SELECT max(gap) AS max_gap FROM gaps)
+         SELECT min(sc) AS ks_at_score,
+                min(np) AS n_pos, min(nn) AS n_neg,
+                min((max_gap * 1000000 + (np * nn) // 2) // (np * nn))
+                  / 1000000.0 AS ks
+         FROM gaps CROSS JOIN best WHERE gap = max_gap""")
   )
 }

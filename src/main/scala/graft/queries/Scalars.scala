@@ -859,5 +859,37 @@ object Scalars {
                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
                 CAST(c_nationkey AS INT) AS nat
          FROM customer ORDER BY c_custkey"""),
+
+    // BIT-PACKED COMPOSITE KEYS — four small fields packed into one
+    // BIGINT (20+20+16+8 bits) and unpacked losslessly: the
+    // cache/join-key compression trick for high-cardinality
+    // composites. Shift counts are constants < 64 so Spark's
+    // mod-64 shiftleft wrap (the time_decay_sum ADVICE lesson) can't
+    // fire; masks keep every lane nonnegative.
+    Q("fn_bitpack_roundtrip",
+      (s, d) => lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("""(shiftleft(l_orderkey % 1048576, 44)
+                 + shiftleft(CAST(l_partkey % 1048576 AS BIGINT), 24)
+                 + shiftleft(CAST(l_suppkey % 65536 AS BIGINT), 8)
+                 + CAST(l_linenumber % 256 AS BIGINT))""").as("packed"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("packed"),
+          expr("shiftright(packed, 44) & 1048575").as("up_order"),
+          expr("shiftright(packed, 24) & 1048575").as("up_part"),
+          expr("shiftright(packed, 8) & 65535").as("up_supp"),
+          expr("packed & 255").as("up_line"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      """WITH p AS (SELECT l_orderkey, l_linenumber,
+             ((l_orderkey % 1048576) << 44)
+             + (CAST(l_partkey % 1048576 AS BIGINT) << 24)
+             + (CAST(l_suppkey % 65536 AS BIGINT) << 8)
+             + CAST(l_linenumber % 256 AS BIGINT) AS packed
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber, packed,
+                (packed >> 44) & 1048575 AS up_order,
+                (packed >> 24) & 1048575 AS up_part,
+                (packed >> 8) & 65535 AS up_supp,
+                packed & 255 AS up_line
+         FROM p ORDER BY l_orderkey, l_linenumber"""),
   )
 }

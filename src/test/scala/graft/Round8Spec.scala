@@ -342,4 +342,13 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
     assert(!schemaLine.contains("status") && !schemaLine.contains("odate"),
       "sibling subfields not pruned from the scan:\n" + schemaLine)
   }
+
+  test("scan_nested_filter_pushdown: the nested-leaf predicate reaches " +
+      "the parquet reader as a pushed filter") {
+    val p = plan("scan_nested_filter_pushdown")
+    val pushed = p.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("price"),
+      "info.price predicate not pushed to the scan:\n" + p)
+  }
 }
