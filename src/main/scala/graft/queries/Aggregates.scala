@@ -1070,5 +1070,38 @@ object Aggregates {
          FROM leaf l JOIN reg r ON r.region = l.region
          CROSS JOIN tot t
          ORDER BY l.region, l.nation"""),
+
+    // SUM(DISTINCT) / AVG(DISTINCT) — the dedup-before-aggregate SQL
+    // path (quantities repeat heavily: ~50 distinct values per
+    // group): Catalyst plans it as the two-level Expand+HashAggregate
+    // the multi-distinct key pins. Distinct quantities go through the
+    // DECIMAL(18,2) cast pre-agg; the distinct avg is an exact
+    // integer division in 1e-4 units off the distinct sum and count.
+    Q("agg_sum_distinct",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("""CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2)))
+                  * 100 AS BIGINT)""").as("dsum_cents"),
+          countDistinct(expr("CAST(l_quantity AS DECIMAL(18,2))"))
+            .as("n_distinct"))
+        .select(col("l_returnflag"),
+          expr("dsum_cents / 100.0D").as("distinct_sum"),
+          col("n_distinct"),
+          expr("""(dsum_cents * 100 + n_distinct div 2) div n_distinct
+                  / 10000.0D""").as("distinct_avg"))
+        .orderBy("l_returnflag"),
+      """WITH g AS (SELECT l_returnflag,
+             CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) * 100
+               AS BIGINT) AS dsum_cents,
+             CAST(count(DISTINCT CAST(l_quantity AS DECIMAL(18,2)))
+               AS BIGINT) AS n_distinct
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag,
+                dsum_cents / 100.0 AS distinct_sum,
+                n_distinct,
+                (dsum_cents * 100 + n_distinct // 2) // n_distinct
+                  / 10000.0 AS distinct_avg
+         FROM g ORDER BY l_returnflag"""),
   )
 }

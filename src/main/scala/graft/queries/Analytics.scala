@@ -2826,5 +2826,64 @@ object Analytics {
                 END AS yoy_growth
          FROM m a LEFT JOIN m b ON b.y = a.y - 1 AND b.m = a.m
          ORDER BY a.y, a.m"""),
+
+    // 2-HOP EGO-NETWORK SIZE for the top-10 hubs of the co-supply
+    // graph — the blast-radius number behind "if this supplier fails,
+    // how much of the network is within two introductions". Edges come
+    // from the SAME persisted co-occurrence artifact the triangle
+    // family reads (built once per dataset); hubs are a TakeOrdered
+    // top-10, so the two hop joins expand only 10 frontiers, never
+    // all-pairs. Reach = distinct nodes within ≤2 hops, hub excluded.
+    Q("graph_ego_2hop",
+      (s, d) => {
+        val und = graft.engine.ops.Graph.coOccurrenceEdgesFor(
+            lineitem(s, d).select(col("l_partkey").as("pk"),
+              col("l_suppkey").as("sk")), s"${d}_cosupply")
+          .filter(col("w") >= 25).select("a", "b")
+        val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+        val deg = sym.groupBy("a").agg(count(lit(1)).as("degree"))
+        val hubs = deg.orderBy(desc("degree"), asc("a")).limit(10)
+          .select(col("a").as("hub"), col("degree"))
+        val hop1 = hubs.join(sym, col("hub") === col("a"))
+          .select(col("hub"), col("degree"), col("b").as("n1"))
+        val hop2 = hop1.join(
+            sym.select(col("a").as("n1"), col("b").as("n2")), Seq("n1"))
+          .select(col("hub"), col("n2").as("reach"))
+        hop1.select(col("hub"), col("n1").as("reach"))
+          .unionByName(hop2)
+          .filter(col("reach") =!= col("hub"))
+          .distinct()
+          .groupBy("hub")
+          .agg(count(lit(1)).as("ego2_size"))
+          .join(broadcast(hubs), Seq("hub"))
+          .select("hub", "degree", "ego2_size")
+          .orderBy(desc("degree"), asc("hub"))
+      },
+      """WITH li AS (
+           SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+           FROM lineitem),
+         und AS (
+           SELECT a.sk AS a, b.sk AS b
+           FROM li a JOIN li b ON a.pk = b.pk AND a.sk < b.sk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 25),
+         sym AS (SELECT a, b FROM und
+                 UNION ALL SELECT b AS a, a AS b FROM und),
+         deg AS (SELECT a, CAST(count(*) AS BIGINT) AS degree
+                 FROM sym GROUP BY a),
+         hubs AS (SELECT a AS hub, degree FROM deg
+                  ORDER BY degree DESC, a LIMIT 10),
+         hop1 AS (SELECT hub, degree, b AS n1 FROM hubs
+                  JOIN sym ON hub = sym.a),
+         reach AS (
+           SELECT hub, n1 AS r FROM hop1
+           UNION
+           SELECT hop1.hub, s2.b AS r FROM hop1
+           JOIN sym s2 ON s2.a = hop1.n1),
+         ego AS (SELECT hub, CAST(count(DISTINCT r) AS BIGINT)
+                   AS ego2_size
+                 FROM reach WHERE r <> hub GROUP BY hub)
+         SELECT h.hub, h.degree, e.ego2_size
+         FROM hubs h JOIN ego e ON h.hub = e.hub
+         ORDER BY h.degree DESC, h.hub"""),
   )
 }

@@ -891,5 +891,53 @@ object Scalars {
                 (packed >> 8) & 65535 AS up_supp,
                 packed & 255 AS up_line
          FROM p ORDER BY l_orderkey, l_linenumber"""),
+
+    // IPv4 / CIDR ARITHMETIC — log-enrichment without an inet type:
+    // dotted-quad → uint32 via split + shifts, CIDR membership via
+    // the masked-prefix compare (ip >> (32−len) == net >> (32−len)).
+    // IPs derive deterministically from user_id so the relation is
+    // stable; membership classifies into RFC-1918 10/8, 172.16/12,
+    // 192.168/16 or public.
+    Q("fn_ip_cidr",
+      (s, d) => events(s, d)
+        .select(col("user_id")).distinct()
+        .select(col("user_id"),
+          expr("""concat(CAST(pmod(user_id * 131, 224) + 1 AS STRING),
+                  '.', CAST(pmod(user_id * 17, 256) AS STRING),
+                  '.', CAST(pmod(user_id * 7, 256) AS STRING),
+                  '.', CAST(pmod(user_id, 256) AS STRING))""").as("ip"))
+        .select(col("user_id"), col("ip"),
+          expr("""shiftleft(CAST(split(ip, '[.]')[0] AS BIGINT), 24)
+                + shiftleft(CAST(split(ip, '[.]')[1] AS BIGINT), 16)
+                + shiftleft(CAST(split(ip, '[.]')[2] AS BIGINT), 8)
+                + CAST(split(ip, '[.]')[3] AS BIGINT)""").as("ip_num"))
+        .select(col("user_id"), col("ip"), col("ip_num"),
+          expr("""CASE
+                    WHEN shiftright(ip_num, 24) = 10 THEN 'rfc1918_10'
+                    WHEN shiftright(ip_num, 20) = 2753 THEN 'rfc1918_172'
+                    WHEN shiftright(ip_num, 16) = 49320 THEN 'rfc1918_192'
+                    ELSE 'public' END""").as("scope"))
+        .orderBy("user_id"),
+      """WITH ips AS (
+           SELECT user_id,
+                  CAST((user_id * 131) % 224 + 1 AS VARCHAR) || '.' ||
+                  CAST((user_id * 17) % 256 AS VARCHAR) || '.' ||
+                  CAST((user_id * 7) % 256 AS VARCHAR) || '.' ||
+                  CAST(user_id % 256 AS VARCHAR) AS ip
+           FROM (SELECT DISTINCT user_id FROM events)),
+         nums AS (
+           SELECT user_id, ip,
+                  (CAST(string_split(ip, '.')[1] AS BIGINT) << 24)
+                + (CAST(string_split(ip, '.')[2] AS BIGINT) << 16)
+                + (CAST(string_split(ip, '.')[3] AS BIGINT) << 8)
+                +  CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_num
+           FROM ips)
+         SELECT user_id, ip, ip_num,
+                CASE
+                  WHEN (ip_num >> 24) = 10 THEN 'rfc1918_10'
+                  WHEN (ip_num >> 20) = 2753 THEN 'rfc1918_172'
+                  WHEN (ip_num >> 16) = 49320 THEN 'rfc1918_192'
+                  ELSE 'public' END AS scope
+         FROM nums ORDER BY user_id"""),
   )
 }
