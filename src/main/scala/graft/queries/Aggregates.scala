@@ -1103,5 +1103,51 @@ object Aggregates {
                 (dsum_cents * 100 + n_distinct // 2) // n_distinct
                   / 10000.0 AS distinct_avg
          FROM g ORDER BY l_returnflag"""),
+
+    // WEIGHTED MEDIAN (quantity-weighted price per return flag) —
+    // the inventory-valuation quantile: the price at which half the
+    // UNITS (not half the rows) are cheaper. Exact via the weighted
+    // histogram drill-down: per (flag, price-cents) the integer
+    // weight sum, one flag-partitioned cumulative window over the
+    // bounded distinct-price domain, pick the first value whose
+    // cumulative weight reaches half the total (lower weighted
+    // median — deterministic, no interpolation ties).
+    Q("agg_weighted_median",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = lineitem(s, d)
+          .groupBy(col("l_returnflag").as("flag"),
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+              " AS BIGINT)").as("cents"))
+          .agg(expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)")
+            .as("wsum"))
+        val w = Window.partitionBy("flag").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = h.groupBy("flag").agg(sum("wsum").as("wt"))
+        h.withColumn("cw", sum("wsum").over(w))
+          .join(broadcast(tot), Seq("flag"))
+          .filter(col("cw") * 2 >= col("wt"))
+          .groupBy("flag")
+          .agg(min("cents").as("med_cents"), first("wt").as("wt"))
+          .select(col("flag"), col("wt").as("total_units"),
+            expr("med_cents / 100.0D").as("weighted_median_price"))
+          .orderBy("flag")
+      },
+      """WITH h AS (SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wsum
+           FROM lineitem GROUP BY 1, 2),
+         cum AS (SELECT flag, cents, wsum,
+             sum(wsum) OVER (PARTITION BY flag ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+           FROM h),
+         tot AS (SELECT flag, CAST(sum(wsum) AS BIGINT) AS wt
+                 FROM h GROUP BY 1)
+         SELECT c.flag, min(t.wt) AS total_units,
+                min(c.cents) / 100.0 AS weighted_median_price
+         FROM cum c JOIN tot t ON c.flag = t.flag
+         WHERE c.cw * 2 >= t.wt
+         GROUP BY c.flag ORDER BY c.flag"""),
   )
 }

@@ -2698,5 +2698,54 @@ object Behavior {
            FROM lagd)
          SELECT w, state, CAST(count(*) AS BIGINT) AS n_users
          FROM st GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    // ABANDONED-INTENT RATE — clicks with NO purchase by the same
+    // user within the next hour, per day: the anti-join twin of the
+    // attribution pair join (same time-window predicate, LEFT ANTI
+    // instead of INNER). The user_id equi-term keeps the anti join an
+    // equi-join with a residual range filter — never a cartesian.
+    Q("event_abandoned_clicks",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_id"),
+          col("event_type"), unix_micros(col("ts")).as("t"),
+          col("ts").cast("date").as("dy"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("c_id"),
+            col("t").as("c_t"), col("dy"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("t").as("p_t"))
+        val abandoned = clicks.join(purch,
+          clicks("user_id") === purch("user_id") &&
+            col("p_t") > col("c_t") &&
+            col("p_t") <= col("c_t") + 3600000000L, "left_anti")
+        clicks.groupBy("dy").agg(count(lit(1)).as("n_clicks"))
+          .join(abandoned.groupBy("dy")
+            .agg(count(lit(1)).as("n_abandoned")), Seq("dy"), "left")
+          .select(col("dy"), col("n_clicks"),
+            coalesce(col("n_abandoned"), lit(0L)).as("n_abandoned"),
+            expr("""(coalesce(n_abandoned, 0L) * 10000
+                     + n_clicks div 2) div n_clicks / 10000.0D""")
+              .as("abandon_rate"))
+          .orderBy("dy")
+      },
+      """WITH clicks AS (SELECT user_id, event_id AS c_id,
+             epoch_us(ts) AS c_t, CAST(ts AS DATE) AS dy
+           FROM events WHERE event_type = 'click'),
+         purch AS (SELECT user_id, epoch_us(ts) AS p_t
+           FROM events WHERE event_type = 'purchase'),
+         ab AS (SELECT c.dy, count(*) AS n_abandoned
+           FROM clicks c
+           WHERE NOT EXISTS (SELECT 1 FROM purch p
+             WHERE p.user_id = c.user_id AND p.p_t > c.c_t
+               AND p.p_t <= c.c_t + 3600000000)
+           GROUP BY c.dy),
+         cl AS (SELECT dy, CAST(count(*) AS BIGINT) AS n_clicks
+                FROM clicks GROUP BY dy)
+         SELECT cl.dy, n_clicks,
+                CAST(coalesce(n_abandoned, 0) AS BIGINT) AS n_abandoned,
+                (coalesce(n_abandoned, 0) * 10000 + n_clicks // 2)
+                  // n_clicks / 10000.0 AS abandon_rate
+         FROM cl LEFT JOIN ab ON cl.dy = ab.dy
+         ORDER BY cl.dy"""),
   )
 }

@@ -1314,5 +1314,38 @@ object Profiling {
                       (sq - CAST(ss AS DOUBLE)*CAST(ss AS DOUBLE)/nn), 6)
                   + 0.0 AS eta2
          FROM t CROSS JOIN q"""),
+
+    // GINI IMPURITY of the lang mix within each source — the
+    // decision-tree split-quality metric as a profiling primitive:
+    // a source with impurity ≈0 is single-language (a routing rule
+    // candidate), ≈0.8 is uniform over 5 langs. 1 − Σ(nᵢ/N)² is an
+    // exact rational: impurity_1e6 = ((N² − Σnᵢ²)·1e6 + N² div 2)
+    // div N² — integer end-to-end, plus the exact majority share.
+    Q("profile_gini_impurity",
+      (s, d) => documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n"), sum(col("c") * col("c")).as("s2"),
+          max("c").as("cmax"),
+          count(lit(1)).as("n_langs"))
+        .select(col("source"), col("n").as("n_docs"), col("n_langs"),
+          expr("""((n*n - s2) * 1000000 + (n*n) div 2) div (n*n)
+                  / 1000000.0D""").as("gini_impurity"),
+          expr("(cmax * 10000 + n div 2) div n / 10000.0D")
+            .as("majority_share"))
+        .orderBy("source"),
+      """WITH sl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                      CAST(sum(c*c) AS BIGINT) AS s2,
+                      CAST(max(c) AS BIGINT) AS cmax,
+                      CAST(count(*) AS BIGINT) AS n_langs
+               FROM sl GROUP BY 1)
+         SELECT source, n AS n_docs, n_langs,
+                ((n*n - s2) * 1000000 + (n*n) // 2) // (n*n)
+                  / 1000000.0 AS gini_impurity,
+                (cmax * 10000 + n // 2) // n / 10000.0 AS majority_share
+         FROM g ORDER BY source"""),
   )
 }
