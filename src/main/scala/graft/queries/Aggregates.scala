@@ -1149,5 +1149,52 @@ object Aggregates {
          FROM cum c JOIN tot t ON c.flag = t.flag
          WHERE c.cw * 2 >= t.wt
          GROUP BY c.flag ORDER BY c.flag"""),
+
+    // HERFINDAHL–HIRSCHMAN CONCENTRATION — revenue concentration per
+    // market segment: HHI = Σ shareᵢ² over customers, the
+    // antitrust/dependency metric ("is this segment one whale or a
+    // thousand minnows"). Per-customer cents are BIGINT; Σcentsᵢ²
+    // pins to DECIMAL(38,0) (overflows BIGINT at sf0.1); HHI itself
+    // is the double ratio of two exact magnitudes, rounded once.
+    // Effective-N = 1/HHI reported alongside.
+    Q("agg_hhi",
+      (s, d) => {
+        val percust = orders(s, d)
+          .join(broadcast(customer(s, d)
+            .select("c_custkey", "c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"),
+            col("o_custkey").as("k"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("c"))
+        percust.groupBy("segment")
+          .agg(count(lit(1)).as("n_customers"),
+            sum("c").as("tot"),
+            expr("CAST(sum(CAST(CAST(c AS DECIMAL(38,0)) * c" +
+              " AS DECIMAL(38,0))) AS DOUBLE)").as("s2"))
+          .select(col("segment"), col("n_customers"),
+            expr("""ROUND(s2 / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)),
+                    6) + 0.0D""").as("hhi"),
+            expr("""ROUND(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) / s2,
+                    4) + 0.0D""").as("effective_n"))
+          .orderBy("segment")
+      },
+      """WITH pc AS (SELECT c_mktsegment AS segment, o_custkey AS k,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)
+               AS c
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         g AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+                      CAST(sum(c) AS BIGINT) AS tot,
+                      CAST(sum(CAST(CAST(c AS DECIMAL(38,0)) * c
+                        AS DECIMAL(38,0))) AS DOUBLE) AS s2
+               FROM pc GROUP BY 1)
+         SELECT segment, n_customers,
+                ROUND(s2 / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
+                  + 0.0 AS hhi,
+                ROUND(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) / s2, 4)
+                  + 0.0 AS effective_n
+         FROM g ORDER BY segment"""),
   )
 }

@@ -1820,5 +1820,69 @@ FROM wt ORDER BY lang, source"""),
                 (sum(CASE WHEN vote >= 2 THEN 1 ELSE 0 END) * 10000
                  + count(*) // 2) // count(*) / 10000.0 AS keep_rate
          FROM v GROUP BY source ORDER BY source"""),
+
+    // SOURCE-SIMILARITY MATRIX via hashed bag-of-words — "which
+    // corpus sources say the same things": each source becomes a
+    // 256-bucket term-frequency vector (md5 bucketing — replayable on
+    // both engines, unlike murmur hash()), pairwise cosine over the
+    // ≤(sources choose 2) pairs from ONE bucket-keyed self-join. Dot
+    // products and norms are exact BIGINTs; cosine touches double
+    // once. The mixture designer reads this before merging sources.
+    Q("text_source_similarity",
+      (s, d) => {
+        val vecs = documents(s, d)
+          .select(col("source"),
+            explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .select(col("source"),
+            expr("CAST(conv(substr(md5(tok), 1, 4), 16, 10) AS BIGINT)" +
+              " % 256").as("b"))
+          .groupBy("source", "b").agg(count(lit(1)).as("c"))
+        val norms = vecs.groupBy("source")
+          .agg(sum(col("c") * col("c")).as("n2"))
+        val dots = vecs.select(col("source").as("src_a"), col("b"),
+            col("c").as("ca"))
+          .join(vecs.select(col("source").as("src_b"), col("b"),
+            col("c").as("cb")), Seq("b"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(sum(col("ca") * col("cb")).as("dot"))
+        dots
+          .join(broadcast(norms.select(col("source").as("src_a"),
+            col("n2").as("na"))), Seq("src_a"))
+          .join(broadcast(norms.select(col("source").as("src_b"),
+            col("n2").as("nb"))), Seq("src_b"))
+          .select(col("src_a"), col("src_b"),
+            expr("""ROUND(CAST(dot AS DOUBLE) /
+                    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))),
+                    6) + 0.0D""").as("cosine"))
+          .orderBy("src_a", "src_b")
+      },
+      """WITH toks AS (
+           SELECT source, tok
+           FROM (SELECT source,
+                   unnest(string_split_regex(lower(text), '[^a-z]+'))
+                     AS tok
+                 FROM documents)
+           WHERE length(tok) > 0),
+         vecs AS (SELECT source,
+             CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 256 AS b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1, 2),
+         norms AS (SELECT source, CAST(sum(c*c) AS BIGINT) AS n2
+                   FROM vecs GROUP BY 1),
+         dots AS (SELECT a.source AS src_a, bb.source AS src_b,
+                         CAST(sum(a.c * bb.c) AS BIGINT) AS dot
+                  FROM vecs a JOIN vecs bb
+                    ON a.b = bb.b AND a.source < bb.source
+                  GROUP BY 1, 2)
+         SELECT src_a, src_b,
+                ROUND(CAST(dot AS DOUBLE) /
+                      (sqrt(CAST(na.n2 AS DOUBLE)) *
+                       sqrt(CAST(nb.n2 AS DOUBLE))), 6) + 0.0 AS cosine
+         FROM dots
+         JOIN norms na ON na.source = dots.src_a
+         JOIN norms nb ON nb.source = dots.src_b
+         ORDER BY src_a, src_b"""),
   )
 }

@@ -1606,5 +1606,44 @@ object IoQueries {
                 ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                   AS DOUBLE), 2) AS price_sum
          FROM orders WHERE o_totalprice > 400000.0"""),
+
+    // CSV DIALECT OPTIONS (custom dateFormat + nullValue sentinel) —
+    // the European-feed reality: dates as dd/MM/yyyy text and 'N/A'
+    // for missing values. The writer emits the dialect, the reader
+    // parses it back with the matching options; every k%9 price is
+    // nulled to exercise the sentinel both directions. Identity +
+    // null-census oracle replayed from the plant rule.
+    Q("scan_csv_formats",
+      (s, d) => {
+        val out = scratch(d, "csvdialect")
+        orders(s, d).select(col("o_orderkey"),
+          when(col("o_orderkey") % 9 === 0, lit(null))
+            .otherwise(col("o_totalprice")).as("price"),
+          col("o_orderdate").cast("date").as("odate"))
+          .write.mode("overwrite")
+          .option("header", "true")
+          .option("dateFormat", "dd/MM/yyyy")
+          .option("nullValue", "N/A")
+          .csv(out)
+        s.read
+          .schema("o_orderkey LONG, price DOUBLE, odate DATE")
+          .option("header", "true")
+          .option("dateFormat", "dd/MM/yyyy")
+          .option("nullValue", "N/A")
+          .csv(out)
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("price")).as("n_priced"),
+            dsum(col("price"), 2).as("price_sum"),
+            min("odate").as("first_date"), max("odate").as("last_date"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(CASE WHEN o_orderkey % 9 <> 0 THEN 1 END)
+                  AS BIGINT) AS n_priced,
+                ROUND(CAST(SUM(CASE WHEN o_orderkey % 9 <> 0
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                  AS DOUBLE), 2) AS price_sum,
+                CAST(min(o_orderdate) AS DATE) AS first_date,
+                CAST(max(o_orderdate) AS DATE) AS last_date
+         FROM orders"""),
   )
 }
