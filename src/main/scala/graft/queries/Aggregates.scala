@@ -1196,5 +1196,69 @@ object Aggregates {
                 ROUND(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) / s2, 4)
                   + 0.0 AS effective_n
          FROM g ORDER BY segment"""),
+
+    // PRICE/VOLUME BRIDGE — the FP&A decomposition of a revenue
+    // change between two years: ΔS = (Δprice)·q₀ + p₀·(Δq) + mix,
+    // with p = S/Q a RATIONAL kept exact: price effect =
+    // (S₁Q₀ − S₀Q₁) div Q₁ in cents (sign split — Spark div
+    // truncates, DuckDB // floors), volume effect = S₀(Q₁−Q₀) div Q₀,
+    // and mix is the residual so the three effects reconcile to ΔS
+    // EXACTLY by construction. Magnitudes stay under BIGINT
+    // (S·Q ≈ 1e17 at sf0.1).
+    Q("agg_price_volume_bridge",
+      (s, d) => {
+        val g = lineitem(s, d)
+          .filter(year(col("l_shipdate")).isin(1997, 1998))
+          .groupBy(col("l_returnflag").as("flag"),
+            year(col("l_shipdate")).as("y"))
+          .agg(expr(
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*100)" +
+              " AS BIGINT)").as("sc"),
+            expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)")
+              .as("q"))
+        val p = g.filter(col("y") === 1997)
+          .select(col("flag"), col("sc").as("s0"), col("q").as("q0"))
+        val c = g.filter(col("y") === 1998)
+          .select(col("flag"), col("sc").as("s1"), col("q").as("q1"))
+        p.join(c, Seq("flag"))
+          .withColumn("price_eff", expr(
+            """CASE WHEN s1*q0 - s0*q1 < 0
+               THEN -((-(s1*q0 - s0*q1)) div q1)
+               ELSE (s1*q0 - s0*q1) div q1 END"""))
+          .withColumn("vol_eff", expr(
+            """CASE WHEN s0*(q1 - q0) < 0
+               THEN -((-(s0*(q1 - q0))) div q0)
+               ELSE (s0*(q1 - q0)) div q0 END"""))
+          .select(col("flag"),
+            expr("(s1 - s0) / 100.0D").as("delta_rev"),
+            expr("price_eff / 100.0D").as("price_effect"),
+            expr("vol_eff / 100.0D").as("volume_effect"),
+            expr("(s1 - s0 - price_eff - vol_eff) / 100.0D").as("mix"))
+          .orderBy("flag")
+      },
+      """WITH g AS (SELECT l_returnflag AS flag,
+             CAST(year(l_shipdate) AS INT) AS y,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*100)
+               AS BIGINT) AS sc,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+           FROM lineitem WHERE year(l_shipdate) IN (1997, 1998)
+           GROUP BY 1, 2),
+         pv AS (SELECT p.flag, p.sc AS s0, p.q AS q0,
+                       c.sc AS s1, c.q AS q1
+                FROM g p JOIN g c ON p.flag = c.flag
+                WHERE p.y = 1997 AND c.y = 1998),
+         eff AS (SELECT flag, s0, q0, s1, q1,
+             CASE WHEN s1*q0 - s0*q1 < 0
+               THEN -((-(s1*q0 - s0*q1)) // q1)
+               ELSE (s1*q0 - s0*q1) // q1 END AS price_eff,
+             CASE WHEN s0*(q1 - q0) < 0
+               THEN -((-(s0*(q1 - q0))) // q0)
+               ELSE (s0*(q1 - q0)) // q0 END AS vol_eff
+           FROM pv)
+         SELECT flag, (s1 - s0) / 100.0 AS delta_rev,
+                price_eff / 100.0 AS price_effect,
+                vol_eff / 100.0 AS volume_effect,
+                (s1 - s0 - price_eff - vol_eff) / 100.0 AS mix
+         FROM eff ORDER BY flag"""),
   )
 }

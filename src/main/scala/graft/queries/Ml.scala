@@ -2673,6 +2673,65 @@ object Ml {
                 min(np) AS n_pos, min(nn) AS n_neg,
                 min((max_gap * 1000000 + (np * nn) // 2) // (np * nn))
                   / 1000000.0 AS ks
-         FROM gaps CROSS JOIN best WHERE gap = max_gap""")
+         FROM gaps CROSS JOIN best WHERE gap = max_gap"""),
+
+    // COST-SENSITIVE THRESHOLD PICK — with FP costing 1 and FN
+    // costing 5 (the usual asymmetric screen), the optimal cutoff
+    // minimizes total cost = FP·1 + FN·5 over candidate thresholds
+    // ("keep docs with score > t"). FP/FN at every distinct score
+    // come from the same cumulative histogram the KS key uses; cost
+    // is exact BIGINT, argmin tie-broken to the smallest threshold.
+    // Declared relation = the chosen threshold + its confusion
+    // corner + the cost at both degenerate policies for contrast.
+    Q("ml_cost_threshold",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = documents(s, d)
+          .groupBy(col("n_chars").as("sc"))
+          .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cp"),
+            sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cn"))
+        val w = Window.orderBy("sc")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = h
+          .withColumn("cum_p", sum("cp").over(w))
+          .withColumn("cum_n", sum("cn").over(w))
+        val tot = cum.agg(max("cum_p").as("np"), max("cum_n").as("nn"))
+        // policy "positive iff score > sc": FN = cum_p, FP = nn - cum_n
+        val costs = cum.crossJoin(broadcast(tot))
+          .withColumn("cost",
+            (col("nn") - col("cum_n")) * 1L + col("cum_p") * 5L)
+        val best = costs.agg(min("cost").as("best_cost"))
+        costs.crossJoin(broadcast(best))
+          .filter(col("cost") === col("best_cost"))
+          .groupBy()
+          .agg(min("sc").as("threshold"), first("best_cost").as("cost"),
+            first("np").as("n_pos"), first("nn").as("n_neg"),
+            first(col("np") * 5L).as("cost_reject_all"),
+            first(col("nn") * 1L).as("cost_accept_all"))
+      },
+      """WITH h AS (SELECT n_chars AS sc,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cp,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cn
+           FROM documents GROUP BY 1),
+         cum AS (SELECT sc,
+             sum(cp) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum_p,
+             sum(cn) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum_n
+           FROM h),
+         tot AS (SELECT CAST(max(cum_p) AS BIGINT) AS np,
+                        CAST(max(cum_n) AS BIGINT) AS nn FROM cum),
+         costs AS (SELECT sc,
+             (nn - cum_n) * 1 + cum_p * 5 AS cost, np, nn
+           FROM cum CROSS JOIN tot),
+         best AS (SELECT min(cost) AS best_cost FROM costs)
+         SELECT min(sc) AS threshold,
+                CAST(min(best_cost) AS BIGINT) AS cost,
+                min(np) AS n_pos, min(nn) AS n_neg,
+                CAST(min(np * 5) AS BIGINT) AS cost_reject_all,
+                CAST(min(nn * 1) AS BIGINT) AS cost_accept_all
+         FROM costs CROSS JOIN best WHERE cost = best_cost""")
   )
 }

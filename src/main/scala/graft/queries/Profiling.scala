@@ -1347,5 +1347,43 @@ object Profiling {
                   / 1000000.0 AS gini_impurity,
                 (cmax * 10000 + n // 2) // n / 10000.0 AS majority_share
          FROM g ORDER BY source"""),
+
+    // NULLITY-PATTERN CENSUS — which column subsets go missing
+    // TOGETHER: the per-pattern counts the pairwise null matrix
+    // can't show (MCAR vs systematic extraction failure). Nulls are
+    // planted by coprime key rules (k%9 price, k%7 date, k%11
+    // priority) so every one of the 8 patterns exists; the pattern
+    // string is built from the flags, one group-by over ≤2ᶜ rows.
+    Q("profile_null_patterns",
+      (s, d) => orders(s, d)
+        .select(
+          when(col("o_orderkey") % 9 === 0, 1).otherwise(0).as("p_null"),
+          when(col("o_orderkey") % 7 === 0, 1).otherwise(0).as("d_null"),
+          when(col("o_orderkey") % 11 === 0, 1).otherwise(0).as("r_null"))
+        .groupBy("p_null", "d_null", "r_null")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(
+          expr("""concat(CASE WHEN p_null = 1 THEN 'price' ELSE '-' END,
+                  '|', CASE WHEN d_null = 1 THEN 'date' ELSE '-' END,
+                  '|', CASE WHEN r_null = 1 THEN 'prio' ELSE '-' END)""")
+            .as("pattern"),
+          (col("p_null") + col("d_null") + col("r_null")).as("n_missing"),
+          col("n_rows"))
+        .orderBy("pattern"),
+      """WITH f AS (SELECT
+             CASE WHEN o_orderkey % 9 = 0 THEN 1 ELSE 0 END AS p_null,
+             CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS d_null,
+             CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS r_null
+           FROM orders),
+         g AS (SELECT p_null, d_null, r_null,
+                      CAST(count(*) AS BIGINT) AS n_rows
+               FROM f GROUP BY 1, 2, 3)
+         SELECT (CASE WHEN p_null = 1 THEN 'price' ELSE '-' END) || '|' ||
+                (CASE WHEN d_null = 1 THEN 'date' ELSE '-' END) || '|' ||
+                (CASE WHEN r_null = 1 THEN 'prio' ELSE '-' END)
+                  AS pattern,
+                CAST(p_null + d_null + r_null AS INT) AS n_missing,
+                n_rows
+         FROM g ORDER BY pattern"""),
   )
 }
