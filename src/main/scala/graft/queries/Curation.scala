@@ -1884,5 +1884,50 @@ FROM wt ORDER BY lang, source"""),
          JOIN norms na ON na.source = dots.src_a
          JOIN norms nb ON nb.source = dots.src_b
          ORDER BY src_a, src_b"""),
+
+    // MIXTURE KL-FROM-TARGET — how far the realized source mix sits
+    // from the uniform design target, in nats: KL(actual‖uniform) =
+    // Σ p·ln(p·S). Shares are exact 1e-4-unit integers; each p·ln
+    // term is pinned to DECIMAL(18,12) before the (order-insensitive)
+    // sum — the text_js_divergence convention for keeping libm calls
+    // out of the aggregate's add order. Per-source contributions
+    // carry the sign of over/under-representation.
+    Q("mix_kl_divergence",
+      (s, d) => {
+        val g = documents(s, d).groupBy("source")
+          .agg(count(lit(1)).as("n"))
+        val tot = g.agg(sum("n").as("nn"), count(lit(1)).as("srcs"))
+        val terms = g.crossJoin(broadcast(tot))
+          .withColumn("p", col("n").cast("double") /
+            col("nn").cast("double"))
+          .withColumn("contrib",
+            expr("CAST(p * ln(p * srcs) AS DECIMAL(18,12))"))
+        val kl = terms.agg(
+          expr("ROUND(CAST(sum(contrib) AS DOUBLE), 6) + 0.0D")
+            .as("kl_nats"))
+        terms.crossJoin(broadcast(kl))
+          .select(col("source"), col("n").as("n_docs"),
+            expr("(n * 10000 + nn div 2) div nn / 10000.0D").as("share"),
+            expr("ROUND(CAST(contrib AS DOUBLE), 6) + 0.0D")
+              .as("contribution"),
+            col("kl_nats"))
+          .orderBy("source")
+      },
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                        CAST(count(*) AS BIGINT) AS srcs FROM g),
+         terms AS (SELECT source, n, nn,
+             CAST((CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) *
+               ln((CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) * srcs)
+               AS DECIMAL(18,12)) AS contrib
+           FROM g CROSS JOIN tot),
+         kl AS (SELECT ROUND(CAST(sum(contrib) AS DOUBLE), 6) + 0.0
+                  AS kl_nats FROM terms)
+         SELECT source, n AS n_docs,
+                (n * 10000 + nn // 2) // nn / 10000.0 AS share,
+                ROUND(CAST(contrib AS DOUBLE), 6) + 0.0 AS contribution,
+                kl_nats
+         FROM terms CROSS JOIN kl ORDER BY source"""),
   )
 }

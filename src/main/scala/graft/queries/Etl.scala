@@ -1928,5 +1928,43 @@ object Etl {
                 (n_99 * 10000 + n // 2) // n / 10000.0 AS share_99,
                 n_00 * 100 > 3 * n OR n_99 * 100 > 3 * n AS suspicious
          FROM g ORDER BY prio"""),
+
+    // DOUBLE-FIRE TELEMETRY AUDIT — same user, same event type,
+    // within 1 second of the previous: the client-retry/double-click
+    // signature that inflates every downstream count. One
+    // (user,type)-partitioned lag over the event stream — the
+    // canonical detection; per-type rates in exact 1e-4 units decide
+    // which instrumentation to fix first.
+    Q("dq_double_fire",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy("t", "event_id")
+        events(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("t"))
+          .withColumn("gap", col("t") - lag("t", 1).over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("gap").isNotNull && col("gap") <= 1000000L, 1L)
+              .otherwise(0L)).as("n_rapid"))
+          .select(col("event_type"), col("n_events"), col("n_rapid"),
+            expr("(n_rapid * 10000 + n_events div 2) div n_events" +
+              " / 10000.0D").as("rapid_rate"))
+          .orderBy("event_type")
+      },
+      """WITH g AS (SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+               (PARTITION BY user_id, event_type
+                ORDER BY epoch_us(ts), event_id) AS gap
+           FROM events),
+         a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 1000000
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_rapid
+           FROM g GROUP BY 1)
+         SELECT event_type, n_events, n_rapid,
+                (n_rapid * 10000 + n_events // 2) // n_events / 10000.0
+                  AS rapid_rate
+         FROM a ORDER BY event_type"""),
   )
 }

@@ -1645,5 +1645,31 @@ object IoQueries {
                 CAST(min(o_orderdate) AS DATE) AS first_date,
                 CAST(max(o_orderdate) AS DATE) AS last_date
          FROM orders"""),
+
+    // CORRUPT-FILE RESILIENCE — a torn/garbage file sitting in a
+    // parquet directory (the half-uploaded-object reality) must not
+    // kill the batch when ignoreCorruptFiles is on: the reader skips
+    // it and the declared relation proves EXACTLY the good rows
+    // survive. The garbage file is written through the same Hadoop
+    // FileSystem API the readers use.
+    Q("scan_ignore_corrupt",
+      (s, d) => {
+        val out = scratch(d, "corruptdir")
+        nation(s, d).write.mode("overwrite").parquet(out)
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val bad = new org.apache.hadoop.fs.Path(out, "part-junk.parquet")
+        val os = fs.create(bad, true)
+        os.write("this is not a parquet file".getBytes("UTF-8"))
+        os.close()
+        s.read.option("ignoreCorruptFiles", "true").parquet(out)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("n_nationkey")).as("n_keys"),
+            sum(col("n_regionkey").cast("long")).as("region_sum"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_keys,
+                CAST(sum(n_regionkey) AS BIGINT) AS region_sum
+         FROM nation"""),
   )
 }
