@@ -2885,5 +2885,53 @@ object Analytics {
          SELECT h.hub, h.degree, e.ego2_size
          FROM hubs h JOIN ego e ON h.hub = e.hub
          ORDER BY h.degree DESC, h.hub"""),
+
+    // MEAN-CROSSING RATE — how often the daily series oscillates
+    // through its own mean: the cheap stationarity/oscillation
+    // screen (a trending series crosses rarely; noise crosses
+    // ~every other step). Sides are exact integer comparisons
+    // against the 1e-2-unit mean (no float threshold), crossings a
+    // lag over the calendar-bounded daily relation; rate in exact
+    // 1e-4 units.
+    Q("time_mean_crossings",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = events(s, d)
+          .groupBy(col("ts").cast("date").as("dy"))
+          .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("c"))
+        val g = daily.agg(count(lit(1)).as("n"), sum("c").as("sc"))
+        val sided = daily.crossJoin(broadcast(g))
+          .withColumn("side",
+            expr("CASE WHEN c * n > sc THEN 1 ELSE -1 END"))
+          .withColumn("prev_side",
+            lag("side", 1).over(Window.orderBy("dy")))
+        sided.agg(first("n").as("n_days"),
+          sum(when(col("prev_side").isNotNull &&
+            col("side") =!= col("prev_side"), 1L).otherwise(0L))
+            .as("n_crossings"))
+          .select(col("n_days"), col("n_crossings"),
+            expr("""(n_crossings * 10000 + (n_days - 1) div 2)
+                    div (n_days - 1) / 10000.0D""").as("crossing_rate"))
+      },
+      """WITH d AS (SELECT CAST(ts AS DATE) AS dy,
+             CAST(sum(CAST(value AS DECIMAL(18,2))*100) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(c) AS BIGINT) AS sc FROM d),
+         sided AS (SELECT dy,
+             CASE WHEN c * n > sc THEN 1 ELSE -1 END AS side, n
+           FROM d CROSS JOIN g),
+         lagd AS (SELECT n, side,
+             lag(side, 1) OVER (ORDER BY dy) AS prev_side FROM sided)
+         SELECT min(n) AS n_days,
+                CAST(sum(CASE WHEN prev_side IS NOT NULL
+                  AND side <> prev_side THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_crossings,
+                (sum(CASE WHEN prev_side IS NOT NULL
+                   AND side <> prev_side THEN 1 ELSE 0 END) * 10000
+                 + (min(n) - 1) // 2) // (min(n) - 1) / 10000.0
+                  AS crossing_rate
+         FROM lagd"""),
   )
 }

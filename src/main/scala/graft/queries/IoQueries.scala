@@ -1671,5 +1671,44 @@ object IoQueries {
                 CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_keys,
                 CAST(sum(n_regionkey) AS BIGINT) AS region_sum
          FROM nation"""),
+
+    // DROPMALFORMED reader mode — the third leg of the malformed-CSV
+    // triptych (PERMISSIVE quarantines, FAILFAST throws, DROPMALFORMED
+    // silently discards): same k%7 torn lines as scan_csv_malformed,
+    // and the declared relation shows the SILENT loss — row count
+    // equals the good subset with no corrupt column anywhere. The
+    // operational lesson (why production prefers PERMISSIVE) is the
+    // count delta against the oracle's replay of the tear rule.
+    Q("scan_csv_dropmalformed",
+      (s, d) => {
+        val out = scratch(d, "dropbad")
+        orders(s, d).select(
+          concat(
+            when(col("o_orderkey") % 7 === 0,
+              concat(lit("bad"), col("o_orderkey").cast("string")))
+              .otherwise(col("o_orderkey").cast("string")),
+            lit(","), col("o_totalprice").cast("string")).as("value"))
+          .write.mode("overwrite").text(out)
+        s.read
+          .schema(StructType(Seq(StructField("k", LongType),
+            StructField("price", DoubleType))))
+          .option("mode", "DROPMALFORMED")
+          .csv(out)
+          // count(k) is load-bearing: malformed detection only runs
+          // over REFERENCED columns (requiredSchema pruning — the
+          // scan_csv_malformed lesson); without touching k the torn
+          // keys never parse and nothing is dropped
+          .agg(count(col("k")).as("n_keys"),
+            count(lit(1)).as("n_survived"),
+            dsum(col("price"), 2).as("price_sum"))
+      },
+      """SELECT COUNT(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END)
+                  AS n_keys,
+                COUNT(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END)
+                  AS n_survived,
+                ROUND(CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                  AS DOUBLE), 2) AS price_sum
+         FROM orders"""),
   )
 }
