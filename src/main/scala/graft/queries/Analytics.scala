@@ -2933,5 +2933,66 @@ object Analytics {
                  + (min(n) - 1) // 2) // (min(n) - 1) / 10000.0
                   AS crossing_rate
          FROM lagd"""),
+
+    // MULTI-HORIZON NAIVE BACKTEST — MAE of the lag-h naive forecast
+    // for h = 1, 3, 7 in ONE pass: the daily series joins itself on
+    // (dy = dy − h) per horizon via three lag columns over the
+    // calendar-bounded daily relation, never three scans. Errors are
+    // |Δcents| exact integers; MAEs exact 1e-4-unit divisions. The
+    // horizon curve is the "how fast does the naive baseline decay"
+    // table every forecasting project reads first.
+    Q("time_backtest_horizons",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy("dy")
+        val daily = events(s, d)
+          .groupBy(col("ts").cast("date").as("dy"))
+          .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("c"))
+        val lagged = daily
+          .withColumn("l1", lag("c", 1).over(w))
+          .withColumn("l3", lag("c", 3).over(w))
+          .withColumn("l7", lag("c", 7).over(w))
+        def mae(lc: String) = expr(
+          s"""CASE WHEN sum(CASE WHEN $lc IS NOT NULL THEN 1 ELSE 0 END)
+              > 0 THEN
+             (sum(CASE WHEN $lc IS NOT NULL THEN abs(c - $lc)
+                ELSE 0L END) * 100
+              + sum(CASE WHEN $lc IS NOT NULL THEN 1L ELSE 0L END)
+                div 2)
+             div sum(CASE WHEN $lc IS NOT NULL THEN 1L ELSE 0L END)
+             / 10000.0D END""")
+        lagged.agg(count(lit(1)).as("n_days"),
+          mae("l1").as("mae_h1"), mae("l3").as("mae_h3"),
+          mae("l7").as("mae_h7"))
+      },
+      """WITH d AS (SELECT CAST(ts AS DATE) AS dy,
+             CAST(sum(CAST(value AS DECIMAL(18,2))*100) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         l AS (SELECT dy, c,
+             lag(c, 1) OVER (ORDER BY dy) AS l1,
+             lag(c, 3) OVER (ORDER BY dy) AS l3,
+             lag(c, 7) OVER (ORDER BY dy) AS l7
+           FROM d)
+         SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CASE WHEN sum(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) > 0
+             THEN (sum(CASE WHEN l1 IS NOT NULL THEN abs(c - l1)
+                   ELSE 0 END) * 100
+                 + sum(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) // 2)
+                // sum(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END)
+                / 10000.0 END AS mae_h1,
+           CASE WHEN sum(CASE WHEN l3 IS NOT NULL THEN 1 ELSE 0 END) > 0
+             THEN (sum(CASE WHEN l3 IS NOT NULL THEN abs(c - l3)
+                   ELSE 0 END) * 100
+                 + sum(CASE WHEN l3 IS NOT NULL THEN 1 ELSE 0 END) // 2)
+                // sum(CASE WHEN l3 IS NOT NULL THEN 1 ELSE 0 END)
+                / 10000.0 END AS mae_h3,
+           CASE WHEN sum(CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END) > 0
+             THEN (sum(CASE WHEN l7 IS NOT NULL THEN abs(c - l7)
+                   ELSE 0 END) * 100
+                 + sum(CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END) // 2)
+                // sum(CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END)
+                / 10000.0 END AS mae_h7
+         FROM l"""),
   )
 }

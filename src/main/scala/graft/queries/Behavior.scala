@@ -2747,5 +2747,44 @@ object Behavior {
                   // n_clicks / 10000.0 AS abandon_rate
          FROM cl LEFT JOIN ab ON cl.dy = ab.dy
          ORDER BY cl.dy"""),
+
+    // ACTIVITY CONCENTRATION — how much of total traffic the heavy
+    // users (>2× mean activity, exact cross-multiplication) account
+    // for: the power-user dependency number behind capacity planning
+    // and ToS-abuse screens. One user-keyed aggregate, one 1-row
+    // broadcast of the global totals, exact 1e-4-unit shares.
+    Q("event_activity_concentration",
+      (s, d) => {
+        val perUser = events(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("c"))
+        val g = perUser.agg(count(lit(1)).as("nu"), sum("c").as("ne"))
+        perUser.crossJoin(broadcast(g))
+          .withColumn("heavy", expr("c * nu > 2 * ne"))
+          .agg(first("nu").as("n_users"), first("ne").as("n_events"),
+            sum(when(col("heavy"), 1L).otherwise(0L)).as("n_heavy"),
+            sum(when(col("heavy"), col("c")).otherwise(0L))
+              .as("heavy_events"))
+          .select(col("n_users"), col("n_events"), col("n_heavy"),
+            expr("(n_heavy * 10000 + n_users div 2) div n_users" +
+              " / 10000.0D").as("heavy_user_share"),
+            expr("(heavy_events * 10000 + n_events div 2) div n_events" +
+              " / 10000.0D").as("heavy_event_share"))
+      },
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                      CAST(sum(c) AS BIGINT) AS ne FROM pu),
+         f AS (SELECT c, nu, ne, c * nu > 2 * ne AS heavy
+               FROM pu CROSS JOIN g)
+         SELECT min(nu) AS n_users, min(ne) AS n_events,
+                CAST(sum(CASE WHEN heavy THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_heavy,
+                (sum(CASE WHEN heavy THEN 1 ELSE 0 END) * 10000
+                 + min(nu) // 2) // min(nu) / 10000.0
+                  AS heavy_user_share,
+                (sum(CASE WHEN heavy THEN c ELSE 0 END) * 10000
+                 + min(ne) // 2) // min(ne) / 10000.0
+                  AS heavy_event_share
+         FROM f"""),
   )
 }

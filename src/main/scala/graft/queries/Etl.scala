@@ -1966,5 +1966,50 @@ object Etl {
                 (n_rapid * 10000 + n_events // 2) // n_events / 10000.0
                   AS rapid_rate
          FROM a ORDER BY event_type"""),
+
+    // THREE-WAY SOURCE RECONCILIATION — the MDM majority vote: three
+    // system extracts of the same ledger (B drifts every k%101 amount
+    // by +1 cent, C drops every k%103 row — planted, replayable),
+    // each key classified by how the present values agree:
+    // full_agreement / partial_agreement (2 present, equal) /
+    // majority (3 present, 2 agree) / conflict (2 present, differ).
+    // One union + one key-grouped aggregate — reconciliation never
+    // joins pairwise (3 systems = 3 joins; N systems = N·(N−1)/2 —
+    // the union-groupBy form stays linear in systems).
+    Q("recon_three_way",
+      (s, d) => {
+        val base = orders(s, d).select(col("o_orderkey").as("k"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)")
+            .as("cents"))
+        val sysA = base.withColumn("sys", lit("A"))
+        val sysB = base.withColumn("cents",
+          expr("CASE WHEN k % 101 = 0 THEN cents + 1 ELSE cents END"))
+          .withColumn("sys", lit("B"))
+        val sysC = base.filter(col("k") % 103 =!= 0)
+          .withColumn("sys", lit("C"))
+        sysA.unionByName(sysB).unionByName(sysC)
+          .groupBy("k")
+          .agg(count(lit(1)).as("present"),
+            countDistinct(col("cents")).as("vals"))
+          .select(expr(
+            """CASE WHEN present = 3 AND vals = 1 THEN 'full_agreement'
+                    WHEN present = 3 AND vals = 2 THEN 'majority'
+                    WHEN present = 2 AND vals = 1 THEN 'partial_agreement'
+                    ELSE 'conflict' END""").as("status"))
+          .groupBy("status").agg(count(lit(1)).as("n_keys"))
+          .orderBy("status")
+      },
+      """WITH st AS (SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 103 = 0 THEN 2 ELSE 3 END AS present,
+             CASE WHEN o_orderkey % 101 = 0 THEN 2 ELSE 1 END AS vals
+           FROM orders),
+         cls AS (SELECT
+             CASE WHEN present = 3 AND vals = 1 THEN 'full_agreement'
+                  WHEN present = 3 AND vals = 2 THEN 'majority'
+                  WHEN present = 2 AND vals = 1 THEN 'partial_agreement'
+                  ELSE 'conflict' END AS status
+           FROM st)
+         SELECT status, CAST(count(*) AS BIGINT) AS n_keys
+         FROM cls GROUP BY status ORDER BY status"""),
   )
 }

@@ -2732,6 +2732,58 @@ object Ml {
                 min(np) AS n_pos, min(nn) AS n_neg,
                 CAST(min(np * 5) AS BIGINT) AS cost_reject_all,
                 CAST(min(nn * 1) AS BIGINT) AS cost_accept_all
-         FROM costs CROSS JOIN best WHERE cost = best_cost""")
+         FROM costs CROSS JOIN best WHERE cost = best_cost"""),
+
+    // PR-AUC / AVERAGE PRECISION — the imbalanced-class companion of
+    // ml_auc_roc: AP = Σ ΔR·P over score-DESCENDING steps, one step
+    // per distinct score block. Recall deltas and precisions are
+    // exact rationals from the descending cumulative histogram; each
+    // ΔR·P term is a double of exact integers pinned to
+    // DECIMAL(18,12) before the order-insensitive sum (the
+    // js_divergence convention), so the ≤|distinct scores| terms add
+    // identically on both engines.
+    Q("ml_pr_auc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = documents(s, d)
+          .groupBy(col("n_chars").as("sc"))
+          .agg(count(lit(1)).as("c"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cp"))
+        val w = Window.orderBy(desc("sc"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = h
+          .withColumn("cum_c", sum("c").over(w))
+          .withColumn("cum_p", sum("cp").over(w))
+        val tot = cum.agg(max("cum_p").as("np"), max("cum_c").as("n"))
+        cum.crossJoin(broadcast(tot))
+          .filter(col("cp") > 0)
+          .withColumn("term", expr(
+            """CAST((CAST(cp AS DOUBLE) / np)
+                 * (CAST(cum_p AS DOUBLE) / CAST(cum_c AS DOUBLE))
+               AS DECIMAL(18,12))"""))
+          .agg(first("np").as("n_pos"), first("n").as("n_rows"),
+            expr("ROUND(CAST(sum(term) AS DOUBLE), 6) + 0.0D")
+              .as("pr_auc"))
+      },
+      """WITH h AS (SELECT n_chars AS sc, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cp
+           FROM documents GROUP BY 1),
+         cum AS (SELECT sc, c, cp,
+             sum(c) OVER (ORDER BY sc DESC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum_c,
+             sum(cp) OVER (ORDER BY sc DESC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum_p
+           FROM h),
+         tot AS (SELECT CAST(max(cum_p) AS BIGINT) AS np,
+                        CAST(max(cum_c) AS BIGINT) AS n FROM cum),
+         terms AS (SELECT
+             CAST((CAST(cp AS DOUBLE) / np)
+               * (CAST(cum_p AS DOUBLE) / CAST(cum_c AS DOUBLE))
+               AS DECIMAL(18,12)) AS term, np, n
+           FROM cum CROSS JOIN tot WHERE cp > 0)
+         SELECT min(np) AS n_pos, min(n) AS n_rows,
+                ROUND(CAST(sum(term) AS DOUBLE), 6) + 0.0 AS pr_auc
+         FROM terms""")
   )
 }
