@@ -2011,5 +2011,52 @@ object Etl {
            FROM st)
          SELECT status, CAST(count(*) AS BIGINT) AS n_keys
          FROM cls GROUP BY status ORDER BY status"""),
+
+    // HIGH-WATERMARK INCREMENTAL EXTRACT — the CDC-less incremental
+    // pattern: each run extracts rows ABOVE the persisted watermark,
+    // then advances it. Run 1 sees the world as of 1997-06-30 (the
+    // simulated clock), persists max(o_orderdate) as the watermark;
+    // run 2 extracts strictly beyond it. Both extracts land in
+    // scratch parquet FOR REAL; the declared relation is the audit a
+    // pipeline owner runs: per-run counts, zero overlap, and
+    // union-completeness vs the source. Strictly-greater on the
+    // watermark makes re-runs safe (same-timestamp rows belong to
+    // the run that first saw them).
+    Q("etl_incremental_extract",
+      (s, d) => {
+        val r1Dir = IoQueries.scratch(d, "hw_run1")
+        val r2Dir = IoQueries.scratch(d, "hw_run2")
+        val src = orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+        val run1 = src.filter(col("o_orderdate") <= lit("1997-06-30")
+          .cast("timestamp"))
+        run1.write.mode("overwrite").parquet(r1Dir)
+        val hw = s.read.parquet(r1Dir)
+          .agg(max("o_orderdate").as("hw"))
+        src.crossJoin(broadcast(hw))
+          .filter(col("o_orderdate") > col("hw"))
+          .select("o_orderkey", "o_orderdate")
+          .write.mode("overwrite").parquet(r2Dir)
+        val a = s.read.parquet(r1Dir)
+        val b = s.read.parquet(r2Dir)
+        val overlap = a.select("o_orderkey")
+          .intersect(b.select("o_orderkey")).count()
+        val total = src.count()
+        a.agg(count(lit(1)).as("n_run1"))
+          .crossJoin(b.agg(count(lit(1)).as("n_run2")))
+          .select(col("n_run1"), col("n_run2"),
+            lit(overlap).as("n_overlap"),
+            (col("n_run1") + col("n_run2") === total).as("complete"))
+      },
+      """WITH r1 AS (SELECT count(*) AS n FROM orders
+                     WHERE o_orderdate <= TIMESTAMP '1997-06-30'),
+         hw AS (SELECT max(o_orderdate) AS hw FROM orders
+                WHERE o_orderdate <= TIMESTAMP '1997-06-30'),
+         r2 AS (SELECT count(*) AS n FROM orders CROSS JOIN hw
+                WHERE o_orderdate > hw)
+         SELECT CAST(r1.n AS BIGINT) AS n_run1,
+                CAST(r2.n AS BIGINT) AS n_run2,
+                CAST(0 AS BIGINT) AS n_overlap,
+                TRUE AS complete
+         FROM r1 CROSS JOIN r2"""),
   )
 }

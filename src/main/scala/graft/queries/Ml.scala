@@ -2784,6 +2784,45 @@ object Ml {
            FROM cum CROSS JOIN tot WHERE cp > 0)
          SELECT min(np) AS n_pos, min(n) AS n_rows,
                 ROUND(CAST(sum(term) AS DOUBLE), 6) + 0.0 AS pr_auc
-         FROM terms""")
+         FROM terms"""),
+
+    // MIN-MAX FEATURE SCALING per group — the [0,1] normalization a
+    // feature store applies before distance-based models, with the
+    // fit (per-segment min/max) and transform phases explicit. Range
+    // and position are exact integer cents; the scaled value is an
+    // exact 1e-6-unit integer division (degenerate zero-range groups
+    // ⇒ deterministic NULL on both engines). Fit = one keyed
+    // aggregate broadcast back; transform = map-side.
+    Q("ml_minmax_scale",
+      (s, d) => {
+        val c = customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment").as("seg"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT)")
+            .as("cents"))
+        val fit = c.groupBy("seg")
+          .agg(min("cents").as("lo"), max("cents").as("hi"))
+        c.join(broadcast(fit), Seq("seg"))
+          .select(col("c_custkey"), col("seg"),
+            expr("cents / 100.0D").as("balance"),
+            expr("""CASE WHEN hi > lo THEN
+                      ((cents - lo) * 1000000 + (hi - lo) div 2)
+                        div (hi - lo) / 1000000.0D
+                    END""").as("scaled"))
+          .orderBy("c_custkey")
+      },
+      """WITH c AS (SELECT c_custkey, c_mktsegment AS seg,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT)
+               AS cents
+           FROM customer),
+         fit AS (SELECT seg, CAST(min(cents) AS BIGINT) AS lo,
+                        CAST(max(cents) AS BIGINT) AS hi
+                 FROM c GROUP BY 1)
+         SELECT c_custkey, c.seg, cents / 100.0 AS balance,
+                CASE WHEN hi > lo THEN
+                  ((cents - lo) * 1000000 + (hi - lo) // 2)
+                    // (hi - lo) / 1000000.0
+                END AS scaled
+         FROM c JOIN fit ON c.seg = fit.seg
+         ORDER BY c_custkey""")
   )
 }
