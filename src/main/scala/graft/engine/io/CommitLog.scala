@@ -208,13 +208,18 @@ object CommitLog {
     import org.apache.spark.sql.functions._
     require(fromVersion < toVersion,
       s"empty change range: $fromVersion >= $toVersion")
+    // resolve each version ONCE — the conflict pre-check and the steps
+    // loop below share these, so a range of k versions costs k snapshot
+    // reconstructions + footer reads, not 3k
+    val byVersion = (fromVersion to toVersion)
+      .map(v => v -> readVersion(spark, root, v)).toMap
     // a column dropped and re-added with a DIFFERENT type anywhere in
     // the range would make the typed-null padding pick one side's type
     // arbitrarily and the cross-step unionByName fail at analysis time
     // with a confusing cast error — detect it up front and fail with
     // the actual conflict (schema-only parquet footer reads, no scan)
     val typeConflicts = (fromVersion to toVersion)
-      .flatMap(v => readVersion(spark, root, v).schema.fields)
+      .flatMap(v => byVersion(v).schema.fields)
       .groupBy(_.name).collect {
         case (n, fs) if fs.map(_.dataType).distinct.size > 1 =>
           s"$n (${fs.map(_.dataType.simpleString).distinct.mkString(" vs ")})"
@@ -224,8 +229,8 @@ object CommitLog {
         s"data type across versions — ${typeConflicts.mkString(", ")}; " +
         "a change feed needs one type per column name over the range")
     val steps = (fromVersion until toVersion).map { v =>
-      val old = readVersion(spark, root, v)
-      val neu = readVersion(spark, root, v + 1)
+      val old = byVersion(v)
+      val neu = byVersion(v + 1)
       // schema evolution between versions: the feed carries the UNION
       // of both versions' data columns, padding the side that lacks a
       // column with a typed null — so an update that only touches an

@@ -229,16 +229,6 @@ object Dedup {
                           AS band_hash))""")).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
 
-  /** Per-band hot-bucket audit — the dedup recall knob SURFACED as a
-    * declared relation: for a given cap, how many inverted-index
-    * entries a hot-bucket screen at `maxBucket` would drop (bucket
-    * size > cap), how many are singletons (can never pair), and how
-    * many survive into the candidate self-join. [[capBuckets]] counts
-    * drops in a driver-side accumulator nobody queries; THIS is the
-    * operational form — at 100 TB a curation run alerts on
-    * entries_dropped_cap / entries_total instead of reading logs.
-    * Cost: one band explode + one bucket-key aggregate + one band-key
-    * aggregate — always index-sized, never pair-sized. */
   /** Band-geometry TUNING audit: for each (bands × rowsPerBand) split
     * of the stored signature, the bucket-entry totals, pairable
     * buckets, and the pair-EMISSION count Σ n·(n−1)/2 — the candidate
@@ -266,6 +256,16 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-band hot-bucket audit — the dedup recall knob SURFACED as a
+    * declared relation: for a given cap, how many inverted-index
+    * entries a hot-bucket screen at `maxBucket` would drop (bucket
+    * size > cap), how many are singletons (can never pair), and how
+    * many survive into the candidate self-join. [[capBuckets]] counts
+    * drops in a driver-side accumulator nobody queries; THIS is the
+    * operational form — at 100 TB a curation run alerts on
+    * entries_dropped_cap / entries_total instead of reading logs.
+    * Cost: one band explode + one bucket-key aggregate + one band-key
+    * aggregate — always index-sized, never pair-sized. */
   def bandAudit(docs: DataFrame, maxBucket: Int,
       datasetTag: Option[String] = None, bands: Int = 4,
       rowsPerBand: Int = 8): DataFrame = {

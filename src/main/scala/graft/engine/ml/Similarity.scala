@@ -699,7 +699,15 @@ object Similarity {
     val before = countFiles(indexPath)
     val (hot, cold) = cellDirs(indexPath)
       .partition(segments(_) > segmentThreshold)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(targetPath))
+    // Re-entrancy contract: the target must be absent/empty. Without
+    // this, a second invocation appends hot-cell rewrites next to the
+    // previous compaction's files (duplicating rows), and an
+    // interrupted Artifacts.ensure rename could nest a tmp dir inside
+    // a half-built index.
+    val target = new org.apache.hadoop.fs.Path(targetPath)
+    require(!fs.exists(target) || fs.listStatus(target).isEmpty,
+      s"compactCellIndex target must be empty: $targetPath")
+    fs.mkdirs(target)
     cold.foreach { c =>
       org.apache.hadoop.fs.FileUtil.copy(fs, c.getPath, fs,
         new org.apache.hadoop.fs.Path(targetPath, c.getPath.getName),
@@ -716,6 +724,12 @@ object Similarity {
       new org.apache.hadoop.fs.Path(s"$indexPath/_quantizer"), fs,
       new org.apache.hadoop.fs.Path(s"$targetPath/_quantizer"),
       false, conf)
+    // When every cell is cold-copied, no Spark write runs and no
+    // _SUCCESS lands — Artifacts.ensure callers would treat the
+    // compacted index as unbuilt forever. Emit the marker explicitly
+    // so the artifact is complete on both paths.
+    fs.create(new org.apache.hadoop.fs.Path(targetPath, "_SUCCESS"),
+      true).close()
     (before, countFiles(targetPath))
   }
 

@@ -172,6 +172,12 @@ object Graph {
       val ed = edges.join(deg, Seq("src")).localCheckpoint(true)
       val seed = ed.filter(col("src") % 2 === 0)
         .agg(min("src").as("seed")).localCheckpoint(true)
+      // If the edge relation has no even-coded src the seed aggregate
+      // is NULL, every pi comparison below is null, and the fit would
+      // silently persist an all-zero vector. Fail loudly instead
+      // (claimVersion discipline); the probe is a 1-row driver read.
+      require(!seed.head().isNullAt(0),
+        "personalizedPagerankFor: no even-coded src node to seed from")
       var pi = ed.select(col("src").as("node")).distinct()
         .crossJoin(seed)
         .select(col("node"), col("seed"),

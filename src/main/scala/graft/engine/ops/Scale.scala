@@ -125,6 +125,58 @@ object Scale {
       .toDF(xCol, yCol)
   }
 
+  /** Recursive blocked sequence-gap scan (gaps-and-islands without the
+    * global window): emits every maximal missing range `[gap_start,
+    * gap_end]` between consecutive present keys of the one-column
+    * relation `keys` (column `k`, integral). The textbook form is
+    * `lag(k) OVER (ORDER BY k)` — one task for the whole keyspace. Here
+    * the blocking is RECURSIVE, three levels:
+    *
+    *  1. within `blockSize`-key blocks, the lag window is PARTITIONED
+    *     by `blk = k div blockSize` — ≤ blockSize rows per task;
+    *  2. cross-block gaps come from a lag over the per-block (min, max)
+    *     summary PARTITIONED by `blk2 = blk div blockSize` — the
+    *     summary has ≤ keyspace/blockSize rows, ≤ blockSize per task;
+    *  3. cross-blk2 gaps from an unpartitioned lag over the per-blk2
+    *     summary — ≤ keyspace/blockSize² rows, bounded by construction
+    *     (~6k rows at a 10^11 keyspace with the default 4096).
+    *
+    * The three legs partition the consecutive-present-pair set (a pair
+    * is same-blk, same-blk2-different-blk, or different-blk2 — disjoint
+    * and exhaustive), so each gap is emitted exactly once; absent
+    * blocks fold into the higher leg because summaries only contain
+    * present blocks. Keys in block b all precede keys in block b+1, so
+    * each summary's (min, max) is the block's true key range. */
+  def blockedSequenceGaps(keys: DataFrame,
+      blockSize: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocked = keys.withColumn("blk", expr(s"k div ${blockSize}L"))
+    val w = Window.partitionBy("blk").orderBy("k")
+    val within = blocked
+      .withColumn("prev", lag(col("k"), 1).over(w))
+      .filter(col("prev").isNotNull && col("k") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"),
+        (col("k") - 1).as("gap_end"))
+    val summary = blocked.groupBy("blk")
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+      .withColumn("blk2", expr(s"blk div ${blockSize}L"))
+    val wb = Window.partitionBy("blk2").orderBy("blk")
+    val across = summary
+      .withColumn("pmx", lag(col("mx"), 1).over(wb))
+      .filter(col("pmx").isNotNull && col("mn") - col("pmx") > 1)
+      .select((col("pmx") + 1).as("gap_start"),
+        (col("mn") - 1).as("gap_end"))
+    val summary2 = summary.groupBy("blk2")
+      .agg(min(col("mn")).as("mn2"), max(col("mx")).as("mx2"))
+    val wb2 = Window.orderBy("blk2")
+    val across2 = summary2
+      .withColumn("pmx2", lag(col("mx2"), 1).over(wb2))
+      .filter(col("pmx2").isNotNull && col("mn2") - col("pmx2") > 1)
+      .select((col("pmx2") + 1).as("gap_start"),
+        (col("mn2") - 1).as("gap_end"))
+    within.unionByName(across).unionByName(across2)
+  }
+
   /** Range-repartition by a sort key before a sorted write — the layout
     * that makes downstream range predicates prune files. */
   def writeSortedByRange(df: DataFrame, path: String, sortCols: Seq[String],

@@ -739,35 +739,26 @@ object Etl {
     // "did the ingest drop a run of ids?": contiguous missing ranges
     // of the 'F'-status orderkey sequence, top-50 by length. The
     // textbook form is lag() over a GLOBAL key order — the exact
-    // single-task funnel this repo bans — so the plan is two-level:
-    // within 4096-key blocks the lag window is PARTITIONED by block,
-    // and cross-block gaps come from a lag over the per-block min/max
-    // summary (a keyspace/4096-bounded relation). Together they emit
-    // every consecutive-pair gap exactly once; empty blocks fold into
-    // the cross-block leg by construction. TakeOrdered(50) bounds the
+    // single-task funnel this repo bans — so the blocking is
+    // RECURSIVE, three levels: within 4096-key blocks the lag window
+    // is PARTITIONED by block; cross-block gaps come from a lag over
+    // the per-block min/max summary PARTITIONED by blk2 = blk div
+    // 4096; and cross-blk2 gaps from a lag over the per-blk2 summary
+    // — a keyspace/4096²-bounded relation (~6k rows even at a 10^11
+    // keyspace), the only unpartitioned window and bounded by
+    // construction. No stage puts more than 4096 rows through one
+    // task. Together the three legs emit every consecutive-pair gap
+    // exactly once (a pair is same-blk, same-blk2-different-blk, or
+    // different-blk2 — disjoint and exhaustive); absent blocks fold
+    // into the higher leg by construction. TakeOrdered(50) bounds the
     // output. The oracle runs the textbook single-window form — same
     // gap set.
     Q("dq_sequence_gaps",
       (s, d) => {
-        val blocked = orders(s, d)
-          .filter(col("o_orderstatus") === "F")
-          .select(col("o_orderkey").as("k"))
-          .withColumn("blk", expr("k div 4096"))
-        val w = Window.partitionBy("blk").orderBy("k")
-        val within = blocked
-          .withColumn("prev", lag(col("k"), 1).over(w))
-          .filter(col("prev").isNotNull && col("k") - col("prev") > 1)
-          .select((col("prev") + 1).as("gap_start"),
-            (col("k") - 1).as("gap_end"))
-        val summary = blocked.groupBy("blk")
-          .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
-        val wb = Window.orderBy("blk")
-        val across = summary
-          .withColumn("pmx", lag(col("mx"), 1).over(wb))
-          .filter(col("pmx").isNotNull && col("mn") - col("pmx") > 1)
-          .select((col("pmx") + 1).as("gap_start"),
-            (col("mn") - 1).as("gap_end"))
-        within.unionByName(across)
+        graft.engine.ops.Scale.blockedSequenceGaps(
+          orders(s, d)
+            .filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey").as("k")))
           .select(col("gap_start"), col("gap_end"),
             (col("gap_end") - col("gap_start") + 1).as("gap_len"))
           .orderBy(desc("gap_len"), col("gap_start"))

@@ -40,7 +40,7 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("dq_sequence_gaps: the two-level blocked form equals the " +
+  test("dq_sequence_gaps: the three-level blocked form equals the " +
       "textbook single-window form") {
     import org.apache.spark.sql.expressions.Window
     val blocked = SparkEntry.queries("dq_sequence_gaps")(spark, sf)
@@ -58,6 +58,45 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
     assert(blocked === textbook)
+  }
+
+  test("blockedSequenceGaps: all three legs fire on a keyspace that " +
+      "spans multiple blk2 blocks, and the union equals the textbook " +
+      "gap set") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // blockSize = 4 → blk spans 4 keys, blk2 spans 16. Keys chosen so
+    // gaps exist (a) inside one block, (b) across blocks within one
+    // blk2, (c) across blk2 boundaries — the sf-data pin above never
+    // reaches leg (c) because the test keyspace is far below 4096².
+    val keys = Seq(0L, 2L, 3L,          // blk 0: within-block gap [1,1]
+      5L, 6L,                            // blk 1: cross-blk gap [4,4]
+      14L,                               // blk 3: cross-blk gap [7,13]
+      35L,                               // blk2 2: cross-blk2 gap [15,34]
+      64L, 67L,                          // blk2 4: [36,63] + within [65,66]
+      200L)                              // blk2 12: cross-blk2 [68,199]
+      .toDF("k")
+    val got = graft.engine.ops.Scale.blockedSequenceGaps(keys, 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val textbook = keys
+      .withColumn("prev", lag(col("k"), 1).over(Window.orderBy("k")))
+      .filter(col("prev").isNotNull && col("k") - col("prev") > 1)
+      .select((col("prev") + 1).as("s"), (col("k") - 1).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === textbook)
+    assert(got.contains((1L, 1L)), "within-block leg")
+    assert(got.contains((7L, 13L)), "cross-block leg")
+    assert(got.contains((68L, 199L)), "cross-blk2 leg")
+    // and the decomposition really uses three bounded stages: no
+    // window in the plan orders the raw keyspace globally
+    val plan = graft.engine.ops.Scale.blockedSequenceGaps(keys, 4L)
+      .queryExecution.sparkPlan
+    val unpartitioned = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.size === 1,
+      "exactly one unpartitioned window (the blk2-summary stitch)")
   }
 
   test("rfm medians: the histogram drill-down equals the plain " +
