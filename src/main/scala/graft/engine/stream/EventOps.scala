@@ -18,6 +18,24 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventOps {
 
+  /** Run a streaming-query lifecycle with `spark.sql.shuffle.partitions`
+    * pinned to `n`, restoring the session value after. A streaming
+    * aggregate's STATE STORE partition count is fixed by the shuffle
+    * width at first run and persisted in the checkpoint forever — for a
+    * low-cardinality grouping key (~10 event types here) the session's
+    * corpus-sized width (32 at bench) means 32 state files per commit
+    * doing nothing but FS round-trips. Right-size state partitions to
+    * the KEY domain, not the data volume; the conf stays pinned through
+    * awaitTermination because micro-batch planning is asynchronous
+    * after start(). */
+  private def withStatePartitions[T](
+      spark: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** 1h tumbling window: count + exact decimal sum of value per type
     * (summed as DECIMAL for partition-order determinism, emitted as a
     * rounded DOUBLE — see Tables.dsum). */
@@ -383,12 +401,14 @@ object EventOps {
     val agg = in.groupBy("event_type").agg(count(lit(1)).as("n"),
       sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
         .as("total"))
-    val q = agg.writeStream.format("noop")
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 4) {
+      val q = agg.writeStream.format("noop")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.format("statestore").load(ckpt)
       .select(col("key.event_type").as("event_type"),
         col("value.count").as("n"),
@@ -412,7 +432,7 @@ object EventOps {
     graft.engine.io.Storage.deleteFolder(spark, scratchDir)
     val slim = events.select(col("event_type"), col("value"),
       col("event_id"))
-    def runOnce(): Unit = {
+    def runOnce(): Unit = withStatePartitions(spark, 4) {
       val in = spark.readStream
         .schema(slim.drop("event_id").schema).parquet(src)
       val agg = in.groupBy("event_type").agg(count(lit(1)).as("n"),

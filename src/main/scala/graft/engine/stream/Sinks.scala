@@ -38,12 +38,16 @@ object Sinks {
     val cols = Seq("user_id", "event_id", "t_us", "event_type", "value")
     val withBucket = batch.select(cols.map(col): _*)
       .withColumn("bucket", pmod(hash(col("user_id")), lit(nBuckets)))
-    // latest per key within the batch first: shrinks the merge input
+    // latest per key within the batch first: shrinks the merge input.
+    // Persisted because it feeds TWO jobs — the touched-bucket probe
+    // and the merge write — and recomputing it repeats the batch scan
+    // plus the per-key window; batch-sized, freed before return.
     val w = Window.partitionBy("user_id")
       .orderBy(desc("t_us"), desc("event_id"))
     val batchLatest = withBucket
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .drop("rn")
+      .persist()
     val touched = batchLatest.select("bucket").distinct()
       .collect().map(_.getInt(0)) // ≤ nBuckets driver-side ints
     val root = new org.apache.hadoop.fs.Path(targetDir)
@@ -69,6 +73,7 @@ object Sinks {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(targetDir)
+    batchLatest.unpersist()
   }
 
   /** The streaming wrapper: land `events` (the raw schema) into the
@@ -94,12 +99,18 @@ object Sinks {
   def replayUpserts(events: DataFrame, targetDir: String,
       nChunks: Int = 3, nBuckets: Int = 16): DataFrame = {
     val spark = events.sparkSession
+    // one source scan for the whole replay: every chunk filters the
+    // persisted projection instead of re-reading the events table
+    // nChunks times (the live foreachBatch path never re-reads either —
+    // each micro-batch arrives exactly once)
     val base = events.select(col("user_id"), col("event_id"),
       unix_micros(col("ts")).as("t_us"), col("event_type"), col("value"))
+      .persist()
     (0 until nChunks).foreach { i =>
       upsertBatch(base.filter(pmod(col("event_id"), lit(nChunks)) === i),
         targetDir, nBuckets)
     }
+    base.unpersist()
     spark.read.parquet(targetDir).drop("bucket")
   }
 }
