@@ -2994,5 +2994,105 @@ object Analytics {
                 // sum(CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END)
                 / 10000.0 END AS mae_h7
          FROM l"""),
+
+    // LJUNG–BOX PORTMANTEAU TEST — "is the daily revenue series white
+    // noise?" Q = n(n+2)·Σ_{k≤3} r_k²/(n−k) ~ χ²(3), the residual-
+    // diagnostics companion to time_autocorr (which reports the r_k;
+    // this tests them jointly). ACF uses the FULL-series mean and
+    // variance (not pairwise corr): r_k = (Σx_t·x_{t−k} − x̄·(Σ_t>k x_t
+    // + Σ_t>k x_{t−k}) + (n−k)·x̄²) / (Σx² − n·x̄²) — every sum an
+    // exact decimal over the CALENDAR-BOUNDED daily relation, cast to
+    // double once into the textually-identical formula. One lag
+    // window over days, all three lags in one pass.
+    Q("time_ljung_box",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("x"))
+        val glob = daily.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("s"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 4))).as("sxx"))
+        val w = Window.orderBy("day")
+        val lagsums = daily
+          .select(col("x"),
+            lag(col("x"), 1).over(w).as("l1"),
+            lag(col("x"), 2).over(w).as("l2"),
+            lag(col("x"), 3).over(w).as("l3"))
+          .selectExpr("x", "stack(3, 1, l1, 2, l2, 3, l3) AS (k, y)")
+          .filter(col("y").isNotNull)
+          .groupBy("k")
+          .agg(sum((col("x") * col("y")).cast(DecimalType(38, 4)))
+            .as("sxy"),
+            sum(col("x")).as("spx"), sum(col("y")).as("spy"),
+            count(lit(1)).as("np"))
+        val rk = lagsums.crossJoin(broadcast(glob))
+          .select(col("k"),
+            ((col("sxy").cast("double") -
+              (col("s").cast("double") / col("n")) *
+                (col("spx").cast("double") + col("spy")) +
+              col("np").cast("double") *
+                (col("s").cast("double") / col("n")) *
+                (col("s").cast("double") / col("n"))) /
+              (col("sxx").cast("double") -
+                col("n").cast("double") *
+                  (col("s").cast("double") / col("n")) *
+                  (col("s").cast("double") / col("n")))).as("r"),
+            col("n"))
+        rk.agg(
+            max(col("n").cast("long")).as("n_days"),
+            round(max(when(col("k") === 1, col("r"))), 6).as("r1"),
+            round(max(when(col("k") === 2, col("r"))), 6).as("r2"),
+            round(max(when(col("k") === 3, col("r"))), 6).as("r3"),
+            round(max(col("n").cast("double")) *
+              (max(col("n").cast("double")) + 2) *
+              sum(col("r") * col("r") /
+                (col("n").cast("double") - col("k"))), 4).as("q_lb"))
+          .withColumn("reject_white_noise_05", col("q_lb") > 7.815)
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+           FROM orders GROUP BY 1),
+         gm AS (SELECT COUNT(*) AS n, SUM(x) AS s,
+                       SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx
+                FROM daily),
+         lagged AS (
+           SELECT x, lag(x, 1) OVER (ORDER BY day) AS l1,
+                  lag(x, 2) OVER (ORDER BY day) AS l2,
+                  lag(x, 3) OVER (ORDER BY day) AS l3
+           FROM daily),
+         pairs AS (
+           SELECT 1 AS k, x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+           UNION ALL
+           SELECT 2, x, l2 FROM lagged WHERE l2 IS NOT NULL
+           UNION ALL
+           SELECT 3, x, l3 FROM lagged WHERE l3 IS NOT NULL),
+         lagsums AS (
+           SELECT k, SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy,
+                  SUM(x) AS spx, SUM(y) AS spy, COUNT(*) AS np
+           FROM pairs GROUP BY k),
+         rk AS (
+           SELECT k,
+                  (CAST(sxy AS DOUBLE)
+                   - (CAST(s AS DOUBLE) / n)
+                     * (CAST(spx AS DOUBLE) + CAST(spy AS DOUBLE))
+                   + CAST(np AS DOUBLE) * (CAST(s AS DOUBLE) / n)
+                     * (CAST(s AS DOUBLE) / n))
+                  / (CAST(sxx AS DOUBLE)
+                     - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / n)
+                       * (CAST(s AS DOUBLE) / n)) AS r,
+                  n FROM lagsums, gm)
+         SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+                ROUND(MAX(CASE WHEN k = 1 THEN r END), 6) AS r1,
+                ROUND(MAX(CASE WHEN k = 2 THEN r END), 6) AS r2,
+                ROUND(MAX(CASE WHEN k = 3 THEN r END), 6) AS r3,
+                ROUND(MAX(CAST(n AS DOUBLE)) * (MAX(CAST(n AS DOUBLE)) + 2)
+                  * SUM(r * r / (CAST(n AS DOUBLE) - k)), 4) AS q_lb,
+                (ROUND(MAX(CAST(n AS DOUBLE)) * (MAX(CAST(n AS DOUBLE)) + 2)
+                  * SUM(r * r / (CAST(n AS DOUBLE) - k)), 4) > 7.815)
+                  AS reject_white_noise_05
+         FROM rk"""),
   )
 }

@@ -2786,5 +2786,161 @@ object Behavior {
                  + min(ne) // 2) // min(ne) / 10000.0
                   AS heavy_event_share
          FROM f"""),
+
+    // MANN–WHITNEY U (rank-sum) A/B test on the per-user spend metric
+    // — the nonparametric twin of ab_test for skewed metrics where
+    // the t-test's normality is a lie. Ranks come from the VALUE
+    // HISTOGRAM, never a corpus-sized rank window: doubled midrank
+    // 2·r(v) = 2·|{<v}| + |{=v}| + 1 over distinct cent totals (value-
+    // domain-bounded), tie-corrected σ² from the same histogram
+    // (Σ t³−t), everything integral until the final z. At 100 TB the
+    // only ordered structure is the distinct-value relation.
+    Q("ab_mann_whitney",
+      (s, d) => {
+        val pu = events(s, d)
+          .groupBy("user_id")
+          .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)"))
+            .as("cents"))
+          .select(col("cents"), (col("user_id") % 2).as("arm"))
+        val hist = pu.groupBy("cents")
+          .agg(count(lit(1)).as("t"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("t1"))
+        val w = Window.orderBy("cents")
+        val ranked = hist.withColumn("cum", sum(col("t")).over(w))
+          .select(col("t"), col("t1"),
+            (lit(2) * (col("cum") - col("t")) + col("t") + 1).as("mr2"))
+        // rank-sum and tie-cube sums in DECIMAL(38,0): t1·mr2 and t³
+        // overflow BIGINT once arms pass ~2e9 users (DuckDB's SUM
+        // already widens to HUGEINT)
+        ranked.agg(
+            sum(col("t") - col("t1")).as("n0"),
+            sum(col("t1")).as("n1"),
+            sum((col("t1") * col("mr2")).cast(DecimalType(38, 0)))
+              .as("r1_2"),
+            sum((col("t") * col("t") * col("t") - col("t"))
+              .cast(DecimalType(38, 0))).as("ties"))
+          .select(col("n0"), col("n1"),
+            // 2·U1 = 2·R1 − n1(n1+1); U1 printed in half-units (exact)
+            ((col("r1_2") - col("n1") * (col("n1") + 1)) / 2.0)
+              .as("u1"),
+            round(((col("r1_2") - col("n1") * (col("n1") + 1))
+                .cast("double") -
+                col("n0").cast("double") * col("n1")) /
+              (lit(2.0) * sqrt(
+                col("n0").cast("double") * col("n1").cast("double") /
+                  12.0 *
+                ((col("n0") + col("n1") + 1).cast("double") -
+                  col("ties").cast("double") /
+                    ((col("n0") + col("n1")).cast("double") *
+                      (col("n0") + col("n1") - 1).cast("double"))))),
+              4).as("z"))
+      },
+      """WITH pu AS (
+           SELECT SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT))
+                    AS cents,
+                  MIN(user_id % 2) AS arm
+           FROM events GROUP BY user_id),
+         hist AS (
+           SELECT cents, COUNT(*) AS t,
+                  SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS t1
+           FROM pu GROUP BY 1),
+         ranked AS (
+           SELECT t, t1,
+                  2 * (SUM(t) OVER (ORDER BY cents) - t) + t + 1 AS mr2
+           FROM hist),
+         m AS (
+           SELECT SUM(t - t1) AS n0, SUM(t1) AS n1,
+                  SUM(t1 * mr2) AS r1_2,
+                  SUM(t * t * t - t) AS ties
+           FROM ranked)
+         SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+                (r1_2 - n1 * (n1 + 1)) / 2.0 AS u1,
+                ROUND((CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE)
+                     - CAST(n0 AS DOUBLE) * n1)
+                  / (2.0 * sqrt(
+                      CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0
+                      * (CAST(n0 + n1 + 1 AS DOUBLE)
+                         - CAST(ties AS DOUBLE)
+                           / (CAST(n0 + n1 AS DOUBLE)
+                              * CAST(n0 + n1 - 1 AS DOUBLE))))),
+                  4) AS z
+         FROM m"""),
+
+    // DELTA-METHOD CI for a RATIO metric (revenue per purchase event)
+    // — the A/B inference ab_test can't do: per-user revenue and
+    // event counts are correlated cluster totals, so Var(ΣY/ΣK) needs
+    // the delta expansion (σ_y² − 2R·σ_yk + R²·σ_k²)/(n·μ_k²), not a
+    // row-level variance. Everything reduces to exact decimal moments
+    // per arm (n, Σy, Σk, Σy², Σk², Σyk) cast to double once —
+    // identical on both engines; one corpus pass.
+    Q("ab_delta_method",
+      (s, d) => {
+        val pu = events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(
+            sum(expr("CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)"))
+              .as("y"),
+            count(lit(1)).as("k"))
+          .select((col("user_id") % 2).as("arm"), col("y"), col("k"))
+        val m = pu.groupBy("arm").agg(
+          count(lit(1)).as("n"),
+          sum(col("y")).as("sy"), sum(col("k")).as("sk"),
+          sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"),
+          sum((col("k") * col("k")).cast(DecimalType(38, 0))).as("skk"),
+          sum((col("y") * col("k")).cast(DecimalType(38, 0))).as("syk"))
+        val stats = m.select(col("arm"), col("n"),
+          (col("sy").cast("double") / col("sk")).as("ratio"),
+          ((col("syy").cast("double") / col("n") -
+            (col("sy").cast("double") / col("n")) *
+              (col("sy").cast("double") / col("n"))) -
+            lit(2.0) * (col("sy").cast("double") / col("sk")) *
+              (col("syk").cast("double") / col("n") -
+                (col("sy").cast("double") / col("n")) *
+                  (col("sk").cast("double") / col("n"))) +
+            (col("sy").cast("double") / col("sk")) *
+              (col("sy").cast("double") / col("sk")) *
+              (col("skk").cast("double") / col("n") -
+                (col("sk").cast("double") / col("n")) *
+                  (col("sk").cast("double") / col("n"))))
+            .as("s2"),
+          (col("sk").cast("double") / col("n")).as("mk"))
+        stats.select(col("arm"), col("n"),
+            round(col("ratio") / 100.0, 6).as("rev_per_purchase"),
+            round(sqrt(col("s2") / (col("n").cast("double") *
+              col("mk") * col("mk"))) / 100.0, 6).as("se"))
+          .orderBy("arm")
+      },
+      """WITH pu AS (
+           SELECT user_id % 2 AS arm,
+                  SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT))
+                    AS y,
+                  COUNT(*) AS k
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         m AS (
+           SELECT arm, COUNT(*) AS n, SUM(y) AS sy, SUM(k) AS sk,
+                  SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+                  SUM(CAST(k * k AS DECIMAL(38,0))) AS skk,
+                  SUM(CAST(y * k AS DECIMAL(38,0))) AS syk
+           FROM pu GROUP BY 1),
+         stats AS (
+           SELECT arm, n,
+                  CAST(sy AS DOUBLE) / sk AS ratio,
+                  (CAST(syy AS DOUBLE) / n
+                     - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                  - 2.0 * (CAST(sy AS DOUBLE) / sk)
+                    * (CAST(syk AS DOUBLE) / n
+                       - (CAST(sy AS DOUBLE) / n) * (CAST(sk AS DOUBLE) / n))
+                  + (CAST(sy AS DOUBLE) / sk) * (CAST(sy AS DOUBLE) / sk)
+                    * (CAST(skk AS DOUBLE) / n
+                       - (CAST(sk AS DOUBLE) / n) * (CAST(sk AS DOUBLE) / n))
+                    AS s2,
+                  CAST(sk AS DOUBLE) / n AS mk
+           FROM m)
+         SELECT CAST(arm AS BIGINT) AS arm, CAST(n AS BIGINT) AS n,
+                ROUND(ratio / 100.0, 6) AS rev_per_purchase,
+                ROUND(sqrt(s2 / (CAST(n AS DOUBLE) * mk * mk)) / 100.0, 6)
+                  AS se
+         FROM stats ORDER BY arm"""),
   )
 }

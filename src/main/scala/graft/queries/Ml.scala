@@ -2823,6 +2823,251 @@ object Ml {
                     // (hi - lo) / 1000000.0
                 END AS scaled
          FROM c JOIN fit ON c.seg = fit.seg
-         ORDER BY c_custkey""")
+         ORDER BY c_custkey"""),
+
+    // SPEARMAN RANK CORRELATION per group, WITHOUT a global rank
+    // window: ranks come from the per-group VALUE HISTOGRAM — doubled
+    // midrank 2·r(v) = 2·|{<v}| + |{=v}| + 1 stays integral (ties give
+    // half-ranks), and Pearson on ranks is scale-invariant so the
+    // doubling cancels. The cumulative window runs over the DISTINCT-
+    // VALUE histogram partitioned by group (quantity: 50 values;
+    // price: cents of a bounded price domain — value-domain-bounded,
+    // never corpus-sized), then the rank map joins back on the value
+    // key. This is how a rank statistic survives 100 TB: the only
+    // ordered structure is domain-sized. corr() is rounded to 6 like
+    // agg_corr (centered-moment ratio; last-ulp absorbed).
+    Q("ml_spearman_corr",
+      (s, d) => {
+        val base = lineitem(s, d).select(col("l_returnflag").as("g"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("x"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+        def rankMap(c: String) = {
+          val h = base.groupBy(col("g"), col(c))
+            .agg(count(lit(1)).as("cnt"))
+          val w = Window.partitionBy("g").orderBy(c)
+          h.withColumn("cum", sum(col("cnt")).over(w))
+            .select(col("g"), col(c),
+              (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)
+                .as(s"r_$c"))
+        }
+        base.join(rankMap("x"), Seq("g", "x"))
+          .join(rankMap("y"), Seq("g", "y"))
+          .groupBy("g")
+          .agg(count(lit(1)).as("n"),
+            round(corr(col("r_x"), col("r_y")), 6).as("spearman_rho"))
+          .orderBy("g")
+          .select(col("g").as("l_returnflag"), col("n"),
+            col("spearman_rho"))
+      },
+      """WITH base AS (
+           SELECT l_returnflag AS g,
+                  CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+           FROM lineitem),
+         hx AS (SELECT g, x, COUNT(*) AS cnt FROM base GROUP BY 1, 2),
+         rx AS (SELECT g, x,
+                  2 * (SUM(cnt) OVER (PARTITION BY g ORDER BY x) - cnt)
+                    + cnt + 1 AS r_x
+                FROM hx),
+         hy AS (SELECT g, y, COUNT(*) AS cnt FROM base GROUP BY 1, 2),
+         ry AS (SELECT g, y,
+                  2 * (SUM(cnt) OVER (PARTITION BY g ORDER BY y) - cnt)
+                    + cnt + 1 AS r_y
+                FROM hy)
+         SELECT g AS l_returnflag, COUNT(*) AS n,
+                ROUND(corr(r_x, r_y), 6) AS spearman_rho
+         FROM base JOIN rx USING (g, x) JOIN ry USING (g, y)
+         GROUP BY 1 ORDER BY 1"""),
+
+    // KENDALL'S TAU-B from the 2D CONTINGENCY TABLE, never from pairs:
+    // over two bounded-domain columns (quantity: 50 values, discount:
+    // 11) the (x, y) contingency has ≤ |X|·|Y| cells, and concordant /
+    // discordant / tie counts are exact integer sums over the cell
+    // SELF-JOIN (≤ cells² rows — domain², not corpus²). The naive
+    // definition enumerates n(n-1)/2 corpus pairs; this form touches
+    // the corpus once for the contingency aggregate. Counts ride in
+    // DECIMAL(38,0) (pair counts overflow BIGINT past ~4e9 rows);
+    // tau's final ratio is double from identical exact operands.
+    Q("ml_kendall_tau",
+      (s, d) => {
+        val cells = lineitem(s, d)
+          .groupBy(col("l_quantity").cast("long").as("x"),
+            col("l_discount").cast(DecimalType(4, 2)).as("y"))
+          .agg(count(lit(1)).cast(DecimalType(38, 0)).as("cnt"))
+        val a = cells.select(col("x").as("ax"), col("y").as("ay"),
+          col("cnt").as("an"))
+        val b = cells.select(col("x").as("bx"), col("y").as("by"),
+          col("cnt").as("bn"))
+        val pairs = a.crossJoin(b)
+        val conc = pairs.filter(col("bx") > col("ax") &&
+            col("by") > col("ay"))
+          .agg(coalesce(sum(col("an") * col("bn")),
+            lit(0).cast(DecimalType(38, 0))).as("v"))
+          .select(lit("concordant").as("k"), col("v"))
+        val disc = pairs.filter(col("bx") > col("ax") &&
+            col("by") < col("ay"))
+          .agg(coalesce(sum(col("an") * col("bn")),
+            lit(0).cast(DecimalType(38, 0))).as("v"))
+          .select(lit("discordant").as("k"), col("v"))
+        val n = cells.agg(sum(col("cnt")).as("nn"))
+        val tx = cells.groupBy("x").agg(sum(col("cnt")).as("rn"))
+          .agg(sum(expr("rn * (rn - 1) / 2")).as("t"))
+        val ty = cells.groupBy("y").agg(sum(col("cnt")).as("cn"))
+          .agg(sum(expr("cn * (cn - 1) / 2")).as("t"))
+        conc.unionByName(disc)
+          .groupBy().pivot("k", Seq("concordant", "discordant"))
+          .agg(first(col("v")))
+          .crossJoin(n).crossJoin(tx.select(col("t").as("tie_x")))
+          .crossJoin(ty.select(col("t").as("tie_y")))
+          .select(
+            col("nn").cast("long").as("n"),
+            col("concordant").cast("long").as("concordant"),
+            col("discordant").cast("long").as("discordant"),
+            round((col("concordant").cast("double") -
+                col("discordant").cast("double")) /
+              sqrt((expr("nn * (nn - 1) / 2").cast("double") -
+                  col("tie_x").cast("double")) *
+                (expr("nn * (nn - 1) / 2").cast("double") -
+                  col("tie_y").cast("double"))), 6).as("tau_b"))
+      },
+      """WITH cells AS (
+           SELECT CAST(l_quantity AS BIGINT) AS x,
+                  CAST(l_discount AS DECIMAL(4,2)) AS y,
+                  CAST(COUNT(*) AS DECIMAL(38,0)) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+         cd AS (SELECT
+             COALESCE(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+               THEN a.cnt * b.cnt END), 0) AS concordant,
+             COALESCE(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+               THEN a.cnt * b.cnt END), 0) AS discordant
+           FROM cells a CROSS JOIN cells b),
+         tot AS (SELECT SUM(cnt) AS nn FROM cells),
+         tx AS (SELECT SUM(rn * (rn - 1) / 2) AS tie_x FROM
+                 (SELECT SUM(cnt) AS rn FROM cells GROUP BY x)),
+         ty AS (SELECT SUM(cn * (cn - 1) / 2) AS tie_y FROM
+                 (SELECT SUM(cnt) AS cn FROM cells GROUP BY y))
+         SELECT CAST(nn AS BIGINT) AS n,
+                CAST(concordant AS BIGINT) AS concordant,
+                CAST(discordant AS BIGINT) AS discordant,
+                ROUND((CAST(concordant AS DOUBLE)
+                     - CAST(discordant AS DOUBLE))
+                  / sqrt((CAST(nn * (nn - 1) / 2 AS DOUBLE)
+                        - CAST(tie_x AS DOUBLE))
+                       * (CAST(nn * (nn - 1) / 2 AS DOUBLE)
+                        - CAST(tie_y AS DOUBLE))), 6) AS tau_b
+         FROM cd, tot, tx, ty"""),
+
+    // McNEMAR'S TEST for comparing two classifiers on PAIRED
+    // predictions — the model-promotion gate ("is the challenger
+    // actually better, or do they just disagree randomly?"). Two
+    // fixed rule models predict order status 'F'; only the
+    // DISAGREEMENT cells matter: b = A right & B wrong, c = A wrong &
+    // B right; the continuity-corrected statistic is
+    // (|b−c|−1)²/(b+c) ~ χ²(1). One aggregate over the corpus —
+    // nothing but four conditional counts travels.
+    Q("ml_mcnemar",
+      (s, d) => orders(s, d)
+        .select(
+          (col("o_orderstatus") === "F").as("label"),
+          (col("o_totalprice") > 150000.0).as("pred_a"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("pred_b"))
+        .agg(
+          sum(when(col("pred_a") === col("label") &&
+            col("pred_b") =!= col("label"), 1L).otherwise(0L)).as("b"),
+          sum(when(col("pred_a") =!= col("label") &&
+            col("pred_b") === col("label"), 1L).otherwise(0L)).as("c"))
+        // chi2 is a RATIONAL of counts — ROUND(double) can tie at the
+        // 1e-6 boundary and the engines round ties differently; the
+        // exact half-up integer form (2p + q) div (2q) never does
+        .select(col("b"), col("c"), (col("b") + col("c")).as("n_disagree"),
+          expr("""(2 * (abs(b - c) - 1) * (abs(b - c) - 1) * 1000000
+                   + (b + c)) div (2 * (b + c)) / 1000000.0D""")
+            .as("chi2_cc"),
+          expr("""(abs(b - c) - 1) * (abs(b - c) - 1) * 1000
+                   > 3841 * (b + c)""").as("significant_05")),
+      """WITH p AS (
+           SELECT (o_orderstatus = 'F') AS label,
+                  (o_totalprice > 150000.0) AS pred_a,
+                  (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS pred_b
+           FROM orders),
+         bc AS (SELECT
+             SUM(CASE WHEN pred_a = label AND pred_b <> label
+               THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN pred_a <> label AND pred_b = label
+               THEN 1 ELSE 0 END) AS c
+           FROM p)
+         SELECT CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+                CAST(b + c AS BIGINT) AS n_disagree,
+                (2 * (abs(b - c) - 1) * (abs(b - c) - 1) * 1000000
+                  + (b + c)) // (2 * (b + c)) / 1000000.0 AS chi2_cc,
+                ((abs(b - c) - 1) * (abs(b - c) - 1) * 1000
+                  > 3841 * (b + c)) AS significant_05
+         FROM bc"""),
+
+    // MURPHY/BRIER DECOMPOSITION of a probabilistic classifier:
+    // reliability (calibration error), resolution (discrimination),
+    // uncertainty (base-rate entropy) with Brier = REL − RES + UNC —
+    // the standard decomposition quality_calibration's per-bin view
+    // rolls up to. Bins come from EXACT integer cent banding (never
+    // ROUND(double) as a key — the engines round near-ties
+    // differently); per-bin mean scores derive from exact cent sums,
+    // so every double on both sides is built from identical integers.
+    // One corpus aggregate to ≤10 bins; scalars from the bin relation.
+    Q("ml_brier_decomposition",
+      (s, d) => {
+        val scored = orders(s, d).select(
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)")
+            .as("cents"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+          .select(col("cents"), col("y"),
+            least(lit(9L), expr("cents div 4000000")).as("bin"))
+        val bins = scored.groupBy("bin").agg(
+          count(lit(1)).as("nk"),
+          sum(col("y")).as("pos"),
+          sum(col("cents")).as("sc"))
+        val tot = bins.agg(sum(col("nk")).as("n"), sum(col("pos")).as("p"))
+        bins.crossJoin(broadcast(tot))
+          .select(col("nk"), col("n"),
+            // p̄_k capped at 0.95 like the bin rule caps at bin 9
+            least(lit(0.95), col("sc").cast("double") /
+              (col("nk").cast("double") * 40000000.0)).as("pbar"),
+            (col("pos").cast("double") / col("nk")).as("ybar"),
+            (col("p").cast("double") / col("n")).as("base"))
+          .agg(
+            max(col("n").cast("long")).as("n"),
+            round(sum(col("nk") * (col("pbar") - col("ybar")) *
+              (col("pbar") - col("ybar"))) / max(col("n")), 6)
+              .as("reliability"),
+            round(sum(col("nk") * (col("ybar") - col("base")) *
+              (col("ybar") - col("base"))) / max(col("n")), 6)
+              .as("resolution"),
+            round(max(col("base") * (lit(1.0) - col("base"))), 6)
+              .as("uncertainty"))
+      },
+      """WITH scored AS (
+           SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+                    AS cents,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+                  least(9, CAST(CAST(o_totalprice AS DECIMAL(18,2))*100
+                    AS BIGINT) // 4000000) AS bin
+           FROM orders),
+         bins AS (
+           SELECT bin, COUNT(*) AS nk, SUM(y) AS pos, SUM(cents) AS sc
+           FROM scored GROUP BY 1),
+         tot AS (SELECT SUM(nk) AS n, SUM(pos) AS p FROM bins),
+         terms AS (
+           SELECT nk, n,
+                  least(0.95, CAST(sc AS DOUBLE)
+                    / (CAST(nk AS DOUBLE) * 40000000.0)) AS pbar,
+                  CAST(pos AS DOUBLE) / nk AS ybar,
+                  CAST(p AS DOUBLE) / n AS base
+           FROM bins, tot)
+         SELECT CAST(MAX(n) AS BIGINT) AS n,
+                ROUND(SUM(nk * (pbar - ybar) * (pbar - ybar))
+                  / MAX(n), 6) AS reliability,
+                ROUND(SUM(nk * (ybar - base) * (ybar - base))
+                  / MAX(n), 6) AS resolution,
+                ROUND(MAX(base * (1.0 - base)), 6) AS uncertainty
+         FROM terms""")
   )
 }

@@ -1385,5 +1385,68 @@ object Profiling {
                 CAST(p_null + d_null + r_null AS INT) AS n_missing,
                 n_rows
          FROM g ORDER BY pattern"""),
+
+    // CRAMÉR'S V — the [0,1] association strength between two
+    // categorical columns (chi2 alone grows with n; V is what a
+    // profiler reports next to the FD/mutual-info screens). Everything
+    // derives from the (status × priority) CONTINGENCY: ≤ |A|·|B|
+    // cells off one corpus aggregate; expected counts join the two
+    // bounded marginals back onto the cells (broadcast-sized). chi2
+    // terms are doubles from identical exact integers on both engines;
+    // one final round. Complements profile_mutual_info (information)
+    // and dq_drift_chi2 (two-sample drift) with the effect-size form.
+    Q("profile_cramers_v",
+      (s, d) => {
+        val cells = orders(s, d)
+          .groupBy(col("o_orderstatus").as("a"),
+            col("o_orderpriority").as("b"))
+          .agg(count(lit(1)).as("nij"))
+        val ra = cells.groupBy("a").agg(sum(col("nij")).as("na"))
+        val rb = cells.groupBy("b").agg(sum(col("nij")).as("nb"))
+        val n = cells.agg(sum(col("nij")).as("n"),
+          countDistinct(col("a")).as("ka"),
+          countDistinct(col("b")).as("kb"))
+        cells.join(broadcast(ra), Seq("a"))
+          .join(broadcast(rb), Seq("b"))
+          .crossJoin(broadcast(n))
+          // marginals to DOUBLE before the product: long·long wraps
+          // past ~3e9 rows per marginal (the oracle's CAST(na AS
+          // DOUBLE) * nb already promotes)
+          .select(col("nij"), col("na"), col("nb"), col("n"),
+            col("ka"), col("kb"),
+            ((col("nij") - col("na").cast("double") * col("nb") /
+                col("n")) *
+              (col("nij") - col("na").cast("double") * col("nb") /
+                col("n")) /
+              (col("na").cast("double") * col("nb") / col("n")))
+              .as("term"))
+          .groupBy("n", "ka", "kb")
+          .agg(round(sum(col("term")), 4).as("chi2"),
+            round(sqrt(sum(col("term")) / (col("n").cast("double") *
+              (least(col("ka"), col("kb")) - 1))), 6).as("cramers_v"))
+          .select(col("n"),
+            ((col("ka") - 1) * (col("kb") - 1)).as("df"),
+            col("chi2"), col("cramers_v"))
+      },
+      """WITH cells AS (
+           SELECT o_orderstatus AS a, o_orderpriority AS b,
+                  CAST(COUNT(*) AS BIGINT) AS nij
+           FROM orders GROUP BY 1, 2),
+         ra AS (SELECT a, SUM(nij) AS na FROM cells GROUP BY 1),
+         rb AS (SELECT b, SUM(nij) AS nb FROM cells GROUP BY 1),
+         tot AS (SELECT SUM(nij) AS n,
+                        COUNT(DISTINCT a) AS ka,
+                        COUNT(DISTINCT b) AS kb FROM cells),
+         terms AS (SELECT n, ka, kb,
+             (nij - CAST(na AS DOUBLE) * nb / n)
+               * (nij - CAST(na AS DOUBLE) * nb / n)
+               / (CAST(na AS DOUBLE) * nb / n) AS term
+           FROM cells JOIN ra USING (a) JOIN rb USING (b), tot)
+         SELECT CAST(MIN(n) AS BIGINT) AS n,
+                CAST(MIN((ka - 1) * (kb - 1)) AS BIGINT) AS df,
+                ROUND(SUM(term), 4) AS chi2,
+                ROUND(sqrt(SUM(term) / (CAST(MIN(n) AS DOUBLE)
+                  * (least(MIN(ka), MIN(kb)) - 1))), 6) AS cramers_v
+         FROM terms GROUP BY ka, kb, n"""),
   )
 }

@@ -69,7 +69,10 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     "sink_sorted_stats" -> "per-file stats (<= #files written)",
     "stream_late_drop" ->
       "per-micro-batch watermark summary (<= #batches)",
+    "ab_mann_whitney" ->
+      "distinct metric cent-values histogram (value-domain-bounded)",
     "time_autocorr" -> "calendar-grain series (days/months)",
+    "time_ljung_box" -> "calendar-grain series (days/months)",
     "time_backtest_horizons" -> "calendar-grain series (days/months)",
     "time_changepoint" -> "calendar-grain series (days/months)",
     "time_control_chart" -> "calendar-grain series (days/months)",
