@@ -3094,5 +3094,151 @@ object Analytics {
                   * SUM(r * r / (CAST(n AS DOUBLE) - k)), 4) > 7.815)
                   AS reject_white_noise_05
          FROM rk"""),
+
+    // GRANGER-STYLE F TEST — does yesterday's ORDER COUNT explain
+    // today's REVENUE beyond yesterday's revenue? Restricted model
+    // x_t ~ x_{t−1} vs unrestricted x_t ~ x_{t−1} + z_{t−1};
+    // F = (RSS_r − RSS_u)(n−3)/RSS_u with both RSS in closed form
+    // from exact decimal moments (the ml_ols_multi Cramer machinery)
+    // over the CALENDAR-BOUNDED lagged daily series. One lag window
+    // over days, one aggregate, identical formula text both engines.
+    Q("time_granger_f",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .as("rev"),
+            count(lit(1)).cast(DecimalType(18, 0)).as("cnt"))
+        val w = Window.orderBy("day")
+        val lagged = daily
+          .select(col("rev").as("y"),
+            lag(col("rev"), 1).over(w).as("x"),
+            lag(col("cnt"), 1).over(w).as("z"))
+          .filter(col("x").isNotNull)
+        lagged.agg(
+            count(lit(1)).as("n"),
+            expr("CAST(sum(y) AS DOUBLE)").as("sy"),
+            expr("CAST(sum(x) AS DOUBLE)").as("sx"),
+            expr("CAST(sum(z) AS DOUBLE)").as("sz"),
+            expr("CAST(sum(CAST(x*x AS DECIMAL(38,4))) AS DOUBLE)")
+              .as("sxx"),
+            expr("CAST(sum(CAST(z*z AS DECIMAL(38,0))) AS DOUBLE)")
+              .as("szz"),
+            expr("CAST(sum(CAST(x*z AS DECIMAL(38,2))) AS DOUBLE)")
+              .as("sxz"),
+            expr("CAST(sum(CAST(x*y AS DECIMAL(38,4))) AS DOUBLE)")
+              .as("sxy"),
+            expr("CAST(sum(CAST(z*y AS DECIMAL(38,2))) AS DOUBLE)")
+              .as("szy"),
+            expr("CAST(sum(CAST(y*y AS DECIMAL(38,4))) AS DOUBLE)")
+              .as("syy"))
+          .selectExpr("n",
+            """ROUND((
+                 ((syy - sy*sy/n) - (sxy - sx*sy/n)*(sxy - sx*sy/n)
+                    / (sxx - sx*sx/n))
+                 - ((syy - sy*sy/n)
+                    - (((szz - sz*sz/n)*(sxy - sx*sy/n)
+                        - (sxz - sx*sz/n)*(szy - sz*sy/n))
+                       / ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                          - (sxz - sx*sz/n)*(sxz - sx*sz/n))
+                         * (sxy - sx*sy/n)
+                       + ((sxx - sx*sx/n)*(szy - sz*sy/n)
+                          - (sxz - sx*sz/n)*(sxy - sx*sy/n))
+                       / ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                          - (sxz - sx*sz/n)*(sxz - sx*sz/n))
+                         * (szy - sz*sy/n)))
+               ) * (n - 3)
+               / ((syy - sy*sy/n)
+                  - (((szz - sz*sz/n)*(sxy - sx*sy/n)
+                      - (sxz - sx*sz/n)*(szy - sz*sy/n))
+                     / ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                        - (sxz - sx*sz/n)*(sxz - sx*sz/n))
+                       * (sxy - sx*sy/n)
+                     + ((sxx - sx*sx/n)*(szy - sz*sy/n)
+                        - (sxz - sx*sz/n)*(sxy - sx*sy/n))
+                     / ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                        - (sxz - sx*sz/n)*(sxz - sx*sz/n))
+                       * (szy - sz*sy/n))), 4) + 0.0D AS f_stat""")
+          .withColumn("granger_05", col("f_stat") > 3.8415)
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+                  CAST(COUNT(*) AS DECIMAL(18,0)) AS cnt
+           FROM orders GROUP BY 1),
+         lagged AS (
+           SELECT rev AS y,
+                  lag(rev, 1) OVER (ORDER BY day) AS x,
+                  lag(cnt, 1) OVER (ORDER BY day) AS z
+           FROM daily),
+         m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS DOUBLE) AS sy,
+                  CAST(SUM(x) AS DOUBLE) AS sx,
+                  CAST(SUM(z) AS DOUBLE) AS sz,
+                  CAST(SUM(CAST(x*x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(z*z AS DECIMAL(38,0))) AS DOUBLE) AS szz,
+                  CAST(SUM(CAST(x*z AS DECIMAL(38,2))) AS DOUBLE) AS sxz,
+                  CAST(SUM(CAST(x*y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+                  CAST(SUM(CAST(z*y AS DECIMAL(38,2))) AS DOUBLE) AS szy,
+                  CAST(SUM(CAST(y*y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+           FROM lagged WHERE x IS NOT NULL)
+         SELECT n,
+                ROUND((
+                  ((syy - sy*sy/n) - (sxy - sx*sy/n)*(sxy - sx*sy/n)
+                     / (sxx - sx*sx/n))
+                  - ((syy - sy*sy/n)
+                     - (((szz - sz*sz/n)*(sxy - sx*sy/n)
+                         - (sxz - sx*sz/n)*(szy - sz*sy/n))
+                        / ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                           - (sxz - sx*sz/n)*(sxz - sx*sz/n))
+                          * (sxy - sx*sy/n)
+                        + ((sxx - sx*sx/n)*(szy - sz*sy/n)
+                           - (sxz - sx*sz/n)*(sxy - sx*sy/n))
+                        / ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                           - (sxz - sx*sz/n)*(sxz - sx*sz/n))
+                          * (szy - sz*sy/n)))
+                ) * (n - 3)
+                / ((syy - sy*sy/n)
+                   - (((szz - sz*sz/n)*(sxy - sx*sy/n)
+                       - (sxz - sx*sz/n)*(szy - sz*sy/n))
+                      / ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                         - (sxz - sx*sz/n)*(sxz - sx*sz/n))
+                        * (sxy - sx*sy/n)
+                      + ((sxx - sx*sx/n)*(szy - sz*sy/n)
+                         - (sxz - sx*sz/n)*(sxy - sx*sy/n))
+                      / ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                         - (sxz - sx*sz/n)*(sxz - sx*sz/n))
+                        * (szy - sz*sy/n))), 4) + 0.0 AS f_stat,
+                (ROUND((
+                  ((syy - sy*sy/n) - (sxy - sx*sy/n)*(sxy - sx*sy/n)
+                     / (sxx - sx*sx/n))
+                  - ((syy - sy*sy/n)
+                     - (((szz - sz*sz/n)*(sxy - sx*sy/n)
+                         - (sxz - sx*sz/n)*(szy - sz*sy/n))
+                        / ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                           - (sxz - sx*sz/n)*(sxz - sx*sz/n))
+                          * (sxy - sx*sy/n)
+                        + ((sxx - sx*sx/n)*(szy - sz*sy/n)
+                           - (sxz - sx*sz/n)*(sxy - sx*sy/n))
+                        / ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                           - (sxz - sx*sz/n)*(sxz - sx*sz/n))
+                          * (szy - sz*sy/n)))
+                ) * (n - 3)
+                / ((syy - sy*sy/n)
+                   - (((szz - sz*sz/n)*(sxy - sx*sy/n)
+                       - (sxz - sx*sz/n)*(szy - sz*sy/n))
+                      / ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                         - (sxz - sx*sz/n)*(sxz - sx*sz/n))
+                        * (sxy - sx*sy/n)
+                      + ((sxx - sx*sx/n)*(szy - sz*sy/n)
+                         - (sxz - sx*sz/n)*(sxy - sx*sy/n))
+                      / ((sxx - sx*sx/n)*(szz - sz*sz/n)
+                         - (sxz - sx*sz/n)*(sxz - sx*sz/n))
+                        * (szy - sz*sy/n))), 4) + 0.0 > 3.8415)
+                  AS granger_05
+         FROM m"""),
   )
 }

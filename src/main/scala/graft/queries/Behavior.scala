@@ -2942,5 +2942,66 @@ object Behavior {
                 ROUND(sqrt(s2 / (CAST(n AS DOUBLE) * mk * mk)) / 100.0, 6)
                   AS se
          FROM stats ORDER BY arm"""),
+
+    // ODDS RATIO + Woolf log-CI on the 2×2 (arm × converted) table —
+    // the epidemiology-style effect size next to ab_test's absolute
+    // difference and ab_wilson_ci's per-arm bounds: OR = ad/bc with
+    // CI exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)). Four conditional
+    // counts in one corpus pass; every double derives from the same
+    // four integers on both engines.
+    Q("ab_odds_ratio",
+      (s, d) => {
+        val pu = events(s, d).groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 100.0, 1L).otherwise(0L)).as("conv"))
+          .select((col("user_id") % 2 === 1).as("treat"), col("conv"))
+        pu.agg(
+            sum(when(col("treat") && col("conv") === 1, 1L)
+              .otherwise(0L)).as("a"),
+            sum(when(col("treat") && col("conv") === 0, 1L)
+              .otherwise(0L)).as("b"),
+            sum(when(!col("treat") && col("conv") === 1, 1L)
+              .otherwise(0L)).as("c"),
+            sum(when(!col("treat") && col("conv") === 0, 1L)
+              .otherwise(0L)).as("dd"))
+          .select(col("a"), col("b"), col("c"), col("dd").as("d"),
+            round(col("a").cast("double") * col("dd") /
+              (col("b").cast("double") * col("c")), 6)
+              .as("odds_ratio"),
+            round(exp(log(col("a").cast("double") * col("dd") /
+                (col("b").cast("double") * col("c"))) -
+              lit(1.96) * sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+                lit(1.0) / col("c") + lit(1.0) / col("dd"))), 6)
+              .as("ci_lo"),
+            round(exp(log(col("a").cast("double") * col("dd") /
+                (col("b").cast("double") * col("c"))) +
+              lit(1.96) * sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+                lit(1.0) / col("c") + lit(1.0) / col("dd"))), 6)
+              .as("ci_hi"))
+      },
+      """WITH pu AS (
+           SELECT (user_id % 2 = 1) AS treat,
+                  MAX(CASE WHEN event_type = 'purchase' AND value > 100.0
+                    THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY user_id),
+         t AS (SELECT
+             SUM(CASE WHEN treat AND conv = 1 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN treat AND conv = 0 THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN NOT treat AND conv = 1 THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN NOT treat AND conv = 0 THEN 1 ELSE 0 END) AS dd
+           FROM pu)
+         SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                CAST(c AS BIGINT) AS c, CAST(dd AS BIGINT) AS d,
+                ROUND(CAST(a AS DOUBLE) * dd
+                  / (CAST(b AS DOUBLE) * c), 6) AS odds_ratio,
+                ROUND(exp(ln(CAST(a AS DOUBLE) * dd
+                    / (CAST(b AS DOUBLE) * c))
+                  - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/dd)), 6)
+                  AS ci_lo,
+                ROUND(exp(ln(CAST(a AS DOUBLE) * dd
+                    / (CAST(b AS DOUBLE) * c))
+                  + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/dd)), 6)
+                  AS ci_hi
+         FROM t"""),
   )
 }

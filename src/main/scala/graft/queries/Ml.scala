@@ -3068,6 +3068,162 @@ object Ml {
                 ROUND(SUM(nk * (ybar - base) * (ybar - base))
                   / MAX(n), 6) AS resolution,
                 ROUND(MAX(base * (1.0 - base)), 6) AS uncertainty
-         FROM terms""")
+         FROM terms"""),
+
+    // FEATURE-SET PSI SCREEN — dq_drift_psi for EVERY monitored
+    // feature in ONE pass: features go long-form via stack (the
+    // maintain_stats many-column trick — one exchange, not one scan
+    // per feature), buckets count per (feature, bucket, period),
+    // add-one smoothing uses each feature's own bucket count, and the
+    // per-feature PSI rolls up under a feature-PARTITIONED window
+    // (bounded: Σ bucket domains). The drift dashboard's top screen:
+    // which features moved, ranked.
+    Q("ml_psi_features",
+      (s, d) => {
+        val cut = lit("1996-07-01").cast("timestamp")
+        val long = orders(s, d).select(
+          (col("o_orderdate") < cut).as("is_base"),
+          expr("""stack(3,
+            'price_bin', CAST(least(floor(o_totalprice / 60000.0), 9.0)
+              AS STRING),
+            'priority', o_orderpriority,
+            'status', o_orderstatus) AS (feature, bucket)"""))
+        val counts = long.groupBy("feature", "bucket")
+          .agg(count(when(col("is_base"), 1)).as("n_base"),
+            count(when(!col("is_base"), 1)).as("n_comp"))
+        val w = Window.partitionBy("feature")
+        counts
+          .withColumn("nb", count(lit(1)).over(w))
+          .withColumn("p", (col("n_base") + 1).cast("double") /
+            (sum(col("n_base")).over(w) + col("nb")))
+          .withColumn("q", (col("n_comp") + 1).cast("double") /
+            (sum(col("n_comp")).over(w) + col("nb")))
+          .withColumn("term",
+            round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+              .cast(DecimalType(12, 6)))
+          .groupBy("feature")
+          .agg(max(col("nb")).as("n_buckets"),
+            round(sum(col("term")).cast("double"), 6).as("psi"))
+          .withColumn("drifted_02", col("psi") > 0.2)
+          .orderBy(desc("psi"), col("feature"))
+      },
+      """WITH long AS (
+           SELECT o_orderdate < TIMESTAMP '1996-07-01' AS is_base,
+                  feature, bucket
+           FROM orders,
+             LATERAL (VALUES
+               ('price_bin', CAST(CAST(least(floor(o_totalprice
+                  / 60000.0), 9.0) AS INT) AS VARCHAR)),
+               ('priority', o_orderpriority),
+               ('status', o_orderstatus)) AS t(feature, bucket)),
+         counts AS (
+           SELECT feature, bucket,
+                  COUNT(CASE WHEN is_base THEN 1 END) AS n_base,
+                  COUNT(CASE WHEN NOT is_base THEN 1 END) AS n_comp
+           FROM long GROUP BY 1, 2),
+         terms AS (
+           SELECT feature,
+                  COUNT(*) OVER (PARTITION BY feature) AS nb,
+                  CAST(ROUND((CAST(n_base + 1 AS DOUBLE)
+                      / (SUM(n_base) OVER (PARTITION BY feature)
+                         + COUNT(*) OVER (PARTITION BY feature))
+                    - CAST(n_comp + 1 AS DOUBLE)
+                      / (SUM(n_comp) OVER (PARTITION BY feature)
+                         + COUNT(*) OVER (PARTITION BY feature)))
+                    * ln((CAST(n_base + 1 AS DOUBLE)
+                      / (SUM(n_base) OVER (PARTITION BY feature)
+                         + COUNT(*) OVER (PARTITION BY feature)))
+                      / (CAST(n_comp + 1 AS DOUBLE)
+                      / (SUM(n_comp) OVER (PARTITION BY feature)
+                         + COUNT(*) OVER (PARTITION BY feature)))),
+                    6) AS DECIMAL(12,6)) AS term
+           FROM counts)
+         SELECT feature, CAST(MAX(nb) AS BIGINT) AS n_buckets,
+                ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi,
+                (ROUND(CAST(SUM(term) AS DOUBLE), 6) > 0.2)
+                  AS drifted_02
+         FROM terms GROUP BY 1 ORDER BY psi DESC, feature"""),
+
+    // CHI-SQUARED FEATURE SELECTION — every categorical feature
+    // screened against the label in ONE long-form pass: stack the
+    // features, aggregate the (feature, value, label) contingencies
+    // together, derive per-feature chi2 + Cramér's V from feature-
+    // PARTITIONED marginal windows (each feature's relation is its
+    // value domain — bounded), rank by V. The feature-store
+    // pre-training screen; profile_cramers_v is the single-pair form.
+    Q("ml_chi2_select",
+      (s, d) => {
+        val long = orders(s, d).select(
+          (col("o_totalprice") > 150000.0).as("label"),
+          expr("""stack(3,
+            'priority', o_orderpriority,
+            'status', o_orderstatus,
+            'month', CAST(month(o_orderdate) AS STRING))
+            AS (feature, v)"""))
+        val cells = long.groupBy("feature", "v")
+          .agg(count(when(col("label"), 1)).as("n1"),
+            count(when(!col("label"), 1)).as("n0"))
+        val w = Window.partitionBy("feature")
+        cells
+          .withColumn("ka", count(lit(1)).over(w))
+          .withColumn("c1", sum(col("n1")).over(w))
+          .withColumn("c0", sum(col("n0")).over(w))
+          .withColumn("n", col("c1") + col("c0"))
+          .withColumn("term",
+            ((col("n1") - col("c1").cast("double") *
+                (col("n1") + col("n0")) / col("n")) *
+              (col("n1") - col("c1").cast("double") *
+                (col("n1") + col("n0")) / col("n")) /
+              (col("c1").cast("double") * (col("n1") + col("n0")) /
+                col("n"))) +
+            ((col("n0") - col("c0").cast("double") *
+                (col("n1") + col("n0")) / col("n")) *
+              (col("n0") - col("c0").cast("double") *
+                (col("n1") + col("n0")) / col("n")) /
+              (col("c0").cast("double") * (col("n1") + col("n0")) /
+                col("n"))))
+          .groupBy("feature")
+          .agg(max(col("ka")).as("n_values"),
+            ((max(col("ka")) - 1)).as("df"),
+            round(sum(col("term")), 4).as("chi2"),
+            round(sqrt(sum(col("term")) /
+              max(col("n")).cast("double")), 6).as("cramers_v"))
+          .orderBy(desc("cramers_v"), col("feature"))
+      },
+      """WITH long AS (
+           SELECT (o_totalprice > 150000.0) AS label, feature, v
+           FROM orders,
+             LATERAL (VALUES
+               ('priority', o_orderpriority),
+               ('status', o_orderstatus),
+               ('month', CAST(month(o_orderdate) AS VARCHAR)))
+               AS t(feature, v)),
+         cells AS (
+           SELECT feature, v,
+                  COUNT(CASE WHEN label THEN 1 END) AS n1,
+                  COUNT(CASE WHEN NOT label THEN 1 END) AS n0
+           FROM long GROUP BY 1, 2),
+         m AS (
+           SELECT feature, n1, n0,
+                  COUNT(*) OVER (PARTITION BY feature) AS ka,
+                  SUM(n1) OVER (PARTITION BY feature) AS c1,
+                  SUM(n0) OVER (PARTITION BY feature) AS c0
+           FROM cells),
+         terms AS (
+           SELECT feature, ka, c1 + c0 AS n,
+                  (n1 - CAST(c1 AS DOUBLE) * (n1 + n0) / (c1 + c0))
+                    * (n1 - CAST(c1 AS DOUBLE) * (n1 + n0) / (c1 + c0))
+                    / (CAST(c1 AS DOUBLE) * (n1 + n0) / (c1 + c0))
+                  + (n0 - CAST(c0 AS DOUBLE) * (n1 + n0) / (c1 + c0))
+                    * (n0 - CAST(c0 AS DOUBLE) * (n1 + n0) / (c1 + c0))
+                    / (CAST(c0 AS DOUBLE) * (n1 + n0) / (c1 + c0))
+                    AS term
+           FROM m)
+         SELECT feature, CAST(MAX(ka) AS BIGINT) AS n_values,
+                CAST(MAX(ka) - 1 AS BIGINT) AS df,
+                ROUND(SUM(term), 4) AS chi2,
+                ROUND(sqrt(SUM(term) / CAST(MAX(n) AS DOUBLE)), 6)
+                  AS cramers_v
+         FROM terms GROUP BY 1 ORDER BY cramers_v DESC, feature""")
   )
 }

@@ -78,6 +78,7 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     "time_control_chart" -> "calendar-grain series (days/months)",
     "time_cusum" -> "calendar-grain series (days/months)",
     "time_decompose_additive" -> "calendar-grain series (days/months)",
+    "time_granger_f" -> "calendar-grain series (days/months)",
     "time_hurst_rs" -> "calendar-grain series (days/months)",
     "time_max_drawdown" -> "calendar-grain series (days/months)",
     "time_mean_crossings" -> "calendar-grain series (days/months)",
