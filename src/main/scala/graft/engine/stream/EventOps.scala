@@ -29,12 +29,9 @@ object EventOps {
     * awaitTermination because micro-batch planning is asynchronous
     * after start(). */
   private def withStatePartitions[T](
-      spark: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+      spark: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T =
+    graft.engine.Confs.withConf(spark,
+      "spark.sql.shuffle.partitions", n.toString)(body)
 
   /** 1h tumbling window: count + exact decimal sum of value per type
     * (summed as DECIMAL for partition-order determinism, emitted as a

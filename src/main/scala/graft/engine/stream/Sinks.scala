@@ -48,6 +48,10 @@ object Sinks {
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .drop("rn")
       .persist()
+    // unpersist in finally: on the live foreachBatch path a failed
+    // merge write is RETRIED by the engine (at-least-once), and a
+    // leak here would pin one cached micro-batch per attempt
+    try {
     val touched = batchLatest.select("bucket").distinct()
       .collect().map(_.getInt(0)) // ≤ nBuckets driver-side ints
     val root = new org.apache.hadoop.fs.Path(targetDir)
@@ -73,7 +77,7 @@ object Sinks {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(targetDir)
-    batchLatest.unpersist()
+    } finally batchLatest.unpersist()
   }
 
   /** The streaming wrapper: land `events` (the raw schema) into the
@@ -106,11 +110,13 @@ object Sinks {
     val base = events.select(col("user_id"), col("event_id"),
       unix_micros(col("ts")).as("t_us"), col("event_type"), col("value"))
       .persist()
-    (0 until nChunks).foreach { i =>
+    // unpersist in finally: Verify catches per-query Throwables and
+    // keeps running — a leaked table-sized cache here would degrade
+    // every query after a mid-replay failure
+    try (0 until nChunks).foreach { i =>
       upsertBatch(base.filter(pmod(col("event_id"), lit(nChunks)) === i),
         targetDir, nBuckets)
-    }
-    base.unpersist()
+    } finally base.unpersist()
     spark.read.parquet(targetDir).drop("bucket")
   }
 }

@@ -294,9 +294,8 @@ object IoQueries {
     Q("sink_overwrite_dynamic",
       (s, d) => {
         val out = scratch(d, "dynsink")
-        val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        try {
-          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        graft.engine.Confs.withConf(s,
+            "spark.sql.sources.partitionOverwriteMode", "dynamic") {
           val o = orders(s, d).withColumn("y", year(col("o_orderdate")))
             .select("o_orderkey", "o_totalprice", "y")
           o.withColumn("o_totalprice",
@@ -309,9 +308,6 @@ object IoQueries {
             .select(col("o_orderkey"), col("o_totalprice"),
               col("y").cast("int").as("y"))
             .orderBy("o_orderkey")
-        } finally saved match {
-          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
       },
       """SELECT o_orderkey, o_totalprice,
