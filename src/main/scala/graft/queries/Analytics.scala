@@ -3240,5 +3240,140 @@ object Analytics {
                         * (szy - sz*sy/n))), 4) + 0.0 > 3.8415)
                   AS granger_05
          FROM m"""),
+
+    // WALD–WOLFOWITZ RUNS TEST — is the daily revenue series randomly
+    // ordered around its median, or does it trend/cluster? Median =
+    // exact k-th smallest of the CALENDAR-BOUNDED daily relation (the
+    // rfm drill-down precedent is unnecessary at day grain — the
+    // relation is grain-bounded, so a rank pick over it is fine);
+    // runs counted by one lag window over days; z from the exact
+    // integer (n1, n2, R) triple. Values equal to the median are
+    // dropped (the standard treatment).
+    Q("time_runs_test",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .as("rev"))
+        val wv = Window.orderBy("rev", "day")
+        val n = daily.agg(count(lit(1)).as("n"))
+        val med = daily.withColumn("rn", row_number().over(wv))
+          .crossJoin(broadcast(n))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("rev").as("median"))
+        val signs = daily.crossJoin(broadcast(med))
+          .filter(col("rev") =!= col("median"))
+          .select(col("day"), (col("rev") > col("median")).as("hi"))
+        val wd = Window.orderBy("day")
+        signs
+          .withColumn("prev", lag(col("hi"), 1).over(wd))
+          .agg(
+            sum(when(col("hi"), 1L).otherwise(0L)).as("n1"),
+            sum(when(!col("hi"), 1L).otherwise(0L)).as("n2"),
+            (sum(when(col("prev").isNull ||
+              col("prev") =!= col("hi"), 1L).otherwise(0L))).as("runs"))
+          .selectExpr("n1", "n2", "runs",
+            """ROUND((runs - (2.0D * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0D * n1 * n2 * (2.0D * n1 * n2 - n1 - n2)
+                   / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0D))), 4)
+               + 0.0D AS z""")
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         med AS (
+           SELECT rev AS median FROM (
+             SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, day) AS rn
+             FROM daily)
+           WHERE rn = ((SELECT COUNT(*) FROM daily) + 1) // 2),
+         signs AS (
+           SELECT day, rev > median AS hi
+           FROM daily, med WHERE rev <> median),
+         runs AS (
+           SELECT hi, lag(hi) OVER (ORDER BY day) AS prev FROM signs),
+         m AS (SELECT
+             SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS n2,
+             SUM(CASE WHEN prev IS NULL OR prev <> hi
+               THEN 1 ELSE 0 END) AS runs
+           FROM runs)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                CAST(runs AS BIGINT) AS runs,
+                ROUND((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                  / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 4)
+                + 0.0 AS z
+         FROM m"""),
+
+    // KPSS LEVEL-STATIONARITY statistic (lag-0 variant) — the
+    // complement of the trend screens: η = n⁻²·Σ S_t² / σ̂² where S_t
+    // is the running sum of deviations from the mean and σ̂² = Σe²/n.
+    // S_t = cumsum(x) − t·x̄ needs only ONE cumulative window over the
+    // calendar-bounded daily series plus the exact global moments;
+    // every double comes from the same decimal sums on both engines.
+    // η > 0.463 rejects level stationarity at 5%.
+    Q("time_kpss",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .as("x"))
+        val gm = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 4))).as("sxx"))
+        val w = Window.orderBy("day")
+        daily
+          .withColumn("cum", sum(col("x")).over(w))
+          .withColumn("t", row_number().over(w))
+          .crossJoin(broadcast(gm))
+          .select(
+            ((col("cum").cast("double") -
+              col("t") * (col("s").cast("double") / col("n"))) *
+              (col("cum").cast("double") -
+                col("t") * (col("s").cast("double") / col("n"))))
+              .as("st2"),
+            col("n"), col("s"), col("sxx"))
+          .groupBy("n", "s", "sxx")
+          .agg(sum(col("st2")).as("sst2"))
+          .select(col("n").cast("long").as("n_days"),
+            round((col("sst2") /
+              (col("n").cast("double") * col("n"))) /
+              ((col("sxx").cast("double") -
+                col("s").cast("double") * col("s") / col("n")) /
+                col("n")), 6).as("kpss_eta"))
+          .withColumn("reject_stationary_05", col("kpss_eta") > 0.463)
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+           FROM orders GROUP BY 1),
+         gm AS (SELECT COUNT(*) AS n, SUM(x) AS s,
+                       SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx
+                FROM daily),
+         cumul AS (
+           SELECT SUM(x) OVER (ORDER BY day) AS cum,
+                  ROW_NUMBER() OVER (ORDER BY day) AS t
+           FROM daily),
+         terms AS (
+           SELECT (CAST(cum AS DOUBLE)
+                    - t * (CAST(s AS DOUBLE) / n))
+                * (CAST(cum AS DOUBLE)
+                    - t * (CAST(s AS DOUBLE) / n)) AS st2,
+                  n, s, sxx
+           FROM cumul, gm)
+         SELECT CAST(MIN(n) AS BIGINT) AS n_days,
+                ROUND((SUM(st2) / (CAST(MIN(n) AS DOUBLE) * MIN(n)))
+                  / ((CAST(MIN(sxx) AS DOUBLE)
+                      - CAST(MIN(s) AS DOUBLE) * MIN(s) / MIN(n))
+                     / MIN(n)), 6) AS kpss_eta,
+                (ROUND((SUM(st2) / (CAST(MIN(n) AS DOUBLE) * MIN(n)))
+                  / ((CAST(MIN(sxx) AS DOUBLE)
+                      - CAST(MIN(s) AS DOUBLE) * MIN(s) / MIN(n))
+                     / MIN(n)), 6) > 0.463) AS reject_stationary_05
+         FROM terms"""),
   )
 }

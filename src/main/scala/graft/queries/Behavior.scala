@@ -3003,5 +3003,84 @@ object Behavior {
                   + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/dd)), 6)
                   AS ci_hi
          FROM t"""),
+
+    // COHEN'S d (+ Hedges' g small-sample correction) — the
+    // standardized effect size the ab_test p-value doesn't give you
+    // ("significant" at 10⁹ users can mean d = 0.001): pooled-SD mean
+    // difference on the per-user spend metric. Per-arm exact decimal
+    // moments (n, Σ, Σ²) in one aggregate; every double derives from
+    // the same integers on both engines.
+    Q("ab_cohens_d",
+      (s, d) => {
+        val pu = events(s, d).groupBy("user_id")
+          .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)"))
+            .as("cents"))
+          .select((col("user_id") % 2).as("arm"), col("cents"))
+        pu.agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 0, col("cents")).otherwise(0L))
+              .as("s0"),
+            sum(when(col("arm") === 1, col("cents")).otherwise(0L))
+              .as("s1"),
+            sum(when(col("arm") === 0,
+              (col("cents") * col("cents")).cast(DecimalType(38, 0)))
+              .otherwise(lit(0).cast(DecimalType(38, 0)))).as("q0"),
+            sum(when(col("arm") === 1,
+              (col("cents") * col("cents")).cast(DecimalType(38, 0)))
+              .otherwise(lit(0).cast(DecimalType(38, 0)))).as("q1"))
+          .selectExpr("n0", "n1",
+            """ROUND((CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0)
+                 / 100.0, 4) + 0.0D AS mean_diff""",
+            """ROUND((CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0)
+                 / sqrt(((CAST(q0 AS DOUBLE)
+                          - CAST(s0 AS DOUBLE)*s0/n0)
+                       + (CAST(q1 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE)*s1/n1))
+                        / (n0 + n1 - 2)), 6) + 0.0D AS cohens_d""",
+            """ROUND(((CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0)
+                 / sqrt(((CAST(q0 AS DOUBLE)
+                          - CAST(s0 AS DOUBLE)*s0/n0)
+                       + (CAST(q1 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE)*s1/n1))
+                        / (n0 + n1 - 2)))
+                 * (1.0D - 3.0D / (4.0D * (n0 + n1) - 9.0D)), 6)
+               + 0.0D AS hedges_g""")
+      },
+      """WITH pu AS (
+           SELECT user_id % 2 AS arm,
+                  SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT))
+                    AS cents
+           FROM events GROUP BY user_id),
+         m AS (SELECT
+             SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS s0,
+             SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS s1,
+             SUM(CASE WHEN arm = 0
+               THEN CAST(cents * cents AS DECIMAL(38,0))
+               ELSE CAST(0 AS DECIMAL(38,0)) END) AS q0,
+             SUM(CASE WHEN arm = 1
+               THEN CAST(cents * cents AS DECIMAL(38,0))
+               ELSE CAST(0 AS DECIMAL(38,0)) END) AS q1
+           FROM pu)
+         SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+                ROUND((CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0)
+                  / 100.0, 4) + 0.0 AS mean_diff,
+                ROUND((CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0)
+                  / sqrt(((CAST(q0 AS DOUBLE)
+                           - CAST(s0 AS DOUBLE)*s0/n0)
+                        + (CAST(q1 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE)*s1/n1))
+                         / (n0 + n1 - 2)), 6) + 0.0 AS cohens_d,
+                ROUND(((CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0)
+                  / sqrt(((CAST(q0 AS DOUBLE)
+                           - CAST(s0 AS DOUBLE)*s0/n0)
+                        + (CAST(q1 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE)*s1/n1))
+                         / (n0 + n1 - 2)))
+                  * (1.0 - 3.0 / (4.0 * (n0 + n1) - 9.0)), 6)
+                + 0.0 AS hedges_g
+         FROM m"""),
   )
 }

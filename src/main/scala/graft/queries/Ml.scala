@@ -3224,6 +3224,101 @@ object Ml {
                 ROUND(SUM(term), 4) AS chi2,
                 ROUND(sqrt(SUM(term) / CAST(MAX(n) AS DOUBLE)), 6)
                   AS cramers_v
-         FROM terms GROUP BY 1 ORDER BY cramers_v DESC, feature""")
+         FROM terms GROUP BY 1 ORDER BY cramers_v DESC, feature"""),
+
+    // INFORMATION GAIN + GAIN RATIO per feature — the entropy-based
+    // sibling of ml_chi2_select (C4.5's split criterion): IG = H(y) −
+    // Σ_v p(v)·H(y|v), split-info = −Σ p(v)·log2 p(v), ratio = IG/SI.
+    // Same one-pass long-form contingency; per-feature totals from
+    // feature-PARTITIONED windows over the bounded value domains.
+    // Entropy terms are doubles from exact integer counts through
+    // textually-identical formulas; log2 via ln/ln(2) on both engines.
+    Q("ml_info_gain",
+      (s, d) => {
+        val long = orders(s, d).select(
+          (col("o_totalprice") > 150000.0).as("label"),
+          expr("""stack(3,
+            'priority', o_orderpriority,
+            'status', o_orderstatus,
+            'month', CAST(month(o_orderdate) AS STRING))
+            AS (feature, v)"""))
+        val cells = long.groupBy("feature", "v")
+          .agg(count(when(col("label"), 1)).as("n1"),
+            count(when(!col("label"), 1)).as("n0"))
+        val w = Window.partitionBy("feature")
+        def h2(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column) = {
+          // binary entropy of counts (a, b), 0-safe via when guards;
+          // ln(x)/ln(2) textually matches the oracle's form
+          val n = a + b
+          val pa = a.cast("double") / n
+          val pb = b.cast("double") / n
+          (when(a > 0, -pa * log(pa) / log(lit(2.0))).otherwise(lit(0.0)) +
+            when(b > 0, -pb * log(pb) / log(lit(2.0))).otherwise(lit(0.0)))
+        }
+        cells
+          .withColumn("c1", sum(col("n1")).over(w))
+          .withColumn("c0", sum(col("n0")).over(w))
+          .withColumn("n", col("c1") + col("c0"))
+          .withColumn("pv", (col("n1") + col("n0")).cast("double") /
+            col("n"))
+          .groupBy("feature")
+          .agg(
+            round(max(h2(col("c1"), col("c0"))) -
+              sum(col("pv") * h2(col("n1"), col("n0"))), 6)
+              .as("info_gain"),
+            round(sum(-col("pv") * log(col("pv")) / log(lit(2.0))), 6)
+              .as("split_info"),
+            round((max(h2(col("c1"), col("c0"))) -
+              sum(col("pv") * h2(col("n1"), col("n0")))) /
+              sum(-col("pv") * log(col("pv")) / log(lit(2.0))), 6)
+              .as("gain_ratio"))
+          .orderBy(desc("gain_ratio"), col("feature"))
+      },
+      """WITH long AS (
+           SELECT (o_totalprice > 150000.0) AS label, feature, v
+           FROM orders,
+             LATERAL (VALUES
+               ('priority', o_orderpriority),
+               ('status', o_orderstatus),
+               ('month', CAST(month(o_orderdate) AS VARCHAR)))
+               AS t(feature, v)),
+         cells AS (
+           SELECT feature, v,
+                  COUNT(CASE WHEN label THEN 1 END) AS n1,
+                  COUNT(CASE WHEN NOT label THEN 1 END) AS n0
+           FROM long GROUP BY 1, 2),
+         m AS (
+           SELECT feature, n1, n0,
+                  SUM(n1) OVER (PARTITION BY feature) AS c1,
+                  SUM(n0) OVER (PARTITION BY feature) AS c0
+           FROM cells),
+         t AS (
+           SELECT feature, n1, n0, c1, c0, c1 + c0 AS n,
+                  CAST(n1 + n0 AS DOUBLE) / (c1 + c0) AS pv
+           FROM m),
+         terms AS (
+           SELECT feature, pv,
+                  (CASE WHEN c1 > 0 THEN
+                     -(CAST(c1 AS DOUBLE)/n) * ln(CAST(c1 AS DOUBLE)/n)
+                       / ln(2.0) ELSE 0.0 END
+                 + CASE WHEN c0 > 0 THEN
+                     -(CAST(c0 AS DOUBLE)/n) * ln(CAST(c0 AS DOUBLE)/n)
+                       / ln(2.0) ELSE 0.0 END) AS hy,
+                  (CASE WHEN n1 > 0 THEN
+                     -(CAST(n1 AS DOUBLE)/(n1+n0))
+                       * ln(CAST(n1 AS DOUBLE)/(n1+n0)) / ln(2.0)
+                     ELSE 0.0 END
+                 + CASE WHEN n0 > 0 THEN
+                     -(CAST(n0 AS DOUBLE)/(n1+n0))
+                       * ln(CAST(n0 AS DOUBLE)/(n1+n0)) / ln(2.0)
+                     ELSE 0.0 END) AS hv
+           FROM t)
+         SELECT feature,
+                ROUND(MAX(hy) - SUM(pv * hv), 6) AS info_gain,
+                ROUND(SUM(-pv * ln(pv) / ln(2.0)), 6) AS split_info,
+                ROUND((MAX(hy) - SUM(pv * hv))
+                  / SUM(-pv * ln(pv) / ln(2.0)), 6) AS gain_ratio
+         FROM terms GROUP BY 1 ORDER BY gain_ratio DESC, feature""")
   )
 }

@@ -80,6 +80,8 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     "time_decompose_additive" -> "calendar-grain series (days/months)",
     "time_granger_f" -> "calendar-grain series (days/months)",
     "time_hurst_rs" -> "calendar-grain series (days/months)",
+    "time_kpss" -> "calendar-grain series (days/months)",
+    "time_runs_test" -> "calendar-grain series (days/months)",
     "time_max_drawdown" -> "calendar-grain series (days/months)",
     "time_mean_crossings" -> "calendar-grain series (days/months)",
     "time_pacf" -> "calendar-grain series (days/months)",
