@@ -3375,5 +3375,132 @@ object Analytics {
                       - CAST(MIN(s) AS DOUBLE) * MIN(s) / MIN(n))
                      / MIN(n)), 6) > 0.463) AS reject_stationary_05
          FROM terms"""),
+
+    // RICH-CLUB COEFFICIENT φ(k) — do high-degree suppliers link to
+    // each other more than chance? For each threshold k: the hub set
+    // N_k = {deg > k}, E_k = edges inside it, φ = 2E_k/(N_k(N_k−1)).
+    // Degrees join onto the edge ENDPOINTS (node-sized relation, two
+    // keyed joins), thresholds explode via stack into one aggregate —
+    // never a per-k pass over the graph. φ in exact half-up integer
+    // 1e-6 units (a rational of counts can tie at a ROUND boundary).
+    Q("graph_rich_club",
+      (s, d) => {
+        val e = graft.engine.ops.Graph.coOccurrenceEdgesFor(
+            lineitem(s, d).select(col("l_partkey").as("pk"),
+              col("l_suppkey").as("sk")), s"${d}_cosupply")
+          .filter(col("w") >= 25)
+        val deg = e.select(col("a").as("n"))
+          .unionAll(e.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val ks = Seq(1, 2, 4, 8)
+        val hubs = deg.select(col("n"), col("deg"),
+          explode(array(ks.map(lit(_)): _*)).as("k"))
+          .filter(col("deg") > col("k"))
+        val nk = hubs.groupBy("k").agg(count(lit(1)).as("n_nodes"))
+        val ek = e
+          .join(hubs.select(col("n").as("a"), col("k")), Seq("a"))
+          .join(hubs.select(col("n").as("b"), col("k")), Seq("b", "k"))
+          .groupBy("k").agg(count(lit(1)).as("n_edges"))
+        nk.join(ek, Seq("k"), "left")
+          .select(col("k"), col("n_nodes"),
+            coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+            expr("""CASE WHEN n_nodes > 1 THEN
+                      (2 * coalesce(n_edges, 0) * 2000000
+                       + n_nodes * (n_nodes - 1))
+                      div (2 * n_nodes * (n_nodes - 1)) / 1000000.0D
+                    END""").as("phi"))
+          .orderBy("k")
+      },
+      """WITH sp AS (
+           SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+           FROM lineitem),
+         e AS (
+           SELECT x.sk AS a, y.sk AS b
+           FROM sp x JOIN sp y ON x.pk = y.pk AND x.sk < y.sk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 25),
+         deg AS (
+           SELECT n, COUNT(*) AS deg FROM (
+             SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+           GROUP BY n),
+         hubs AS (
+           SELECT n, k FROM deg,
+             (VALUES (1), (2), (4), (8)) AS t(k)
+           WHERE deg > k),
+         nk AS (SELECT k, COUNT(*) AS n_nodes FROM hubs GROUP BY 1),
+         ek AS (
+           SELECT ha.k, COUNT(*) AS n_edges
+           FROM e JOIN hubs ha ON e.a = ha.n
+                JOIN hubs hb ON e.b = hb.n AND ha.k = hb.k
+           GROUP BY 1)
+         SELECT nk.k, CAST(n_nodes AS BIGINT) AS n_nodes,
+                CAST(COALESCE(n_edges, 0) AS BIGINT) AS n_edges,
+                CASE WHEN n_nodes > 1 THEN
+                  (2 * COALESCE(n_edges, 0) * 2000000
+                   + n_nodes * (n_nodes - 1))
+                  // (2 * n_nodes * (n_nodes - 1)) / 1000000.0
+                END AS phi
+         FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY nk.k"""),
+
+    // SEASONAL MANN–KENDALL — the trend test that survives
+    // seasonality: the MK S statistic runs WITHIN each month-of-year
+    // season (same-month year pairs only) and the per-season S and
+    // variances sum. The (month, year) aggregate is grain-bounded
+    // (≤ 12 × years rows), so the pair join is domain², never
+    // corpus²; z uses the standard continuity correction.
+    Q("time_seasonal_mk",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val my = orders(s, d)
+          .groupBy(month(col("o_orderdate")).as("m"),
+            year(col("o_orderdate")).as("y"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .as("rev"))
+        val a = my.select(col("m"), col("y").as("y1"),
+          col("rev").as("r1"))
+        val b = my.select(col("m"), col("y").as("y2"),
+          col("rev").as("r2"))
+        val pairs = a.join(b, Seq("m")).filter(col("y2") > col("y1"))
+          .select(col("m"),
+            signum((col("r2") - col("r1")).cast("double")).cast("long")
+              .as("sgn"))
+        val perSeason = my.groupBy("m").agg(count(lit(1)).as("nm"))
+        val sTot = pairs.agg(sum(col("sgn")).as("s_total"))
+        val varTot = perSeason
+          .agg(sum(expr("nm * (nm - 1) * (2 * nm + 5)")).as("v18"))
+          .select((col("v18").cast("double") / 18.0).as("var_s"))
+        sTot.crossJoin(varTot)
+          .select(col("s_total"), round(col("var_s"), 4).as("var_s"),
+            round(
+              when(col("s_total") > 0,
+                (col("s_total") - 1).cast("double") / sqrt(col("var_s")))
+              .when(col("s_total") < 0,
+                (col("s_total") + 1).cast("double") / sqrt(col("var_s")))
+              .otherwise(lit(0.0)), 4).as("z"))
+          .withColumn("trend_05", abs(col("z")) > 1.96)
+      },
+      """WITH my AS (
+           SELECT month(o_orderdate) AS m, year(o_orderdate) AS y,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.m,
+                  CAST(sign(CAST(b.rev - a.rev AS DOUBLE)) AS BIGINT)
+                    AS sgn
+           FROM my a JOIN my b ON a.m = b.m AND b.y > a.y),
+         st AS (SELECT SUM(sgn) AS s_total FROM pairs),
+         vt AS (SELECT CAST(SUM(nm * (nm - 1) * (2 * nm + 5)) AS DOUBLE)
+                    / 18.0 AS var_s
+                FROM (SELECT COUNT(*) AS nm FROM my GROUP BY m)),
+         z AS (
+           SELECT CAST(s_total AS BIGINT) AS s_total,
+                  ROUND(var_s, 4) AS var_s,
+                  ROUND(CASE WHEN s_total > 0
+                      THEN CAST(s_total - 1 AS DOUBLE) / sqrt(var_s)
+                    WHEN s_total < 0
+                      THEN CAST(s_total + 1 AS DOUBLE) / sqrt(var_s)
+                    ELSE 0.0 END, 4) AS z
+           FROM st, vt)
+         SELECT s_total, var_s, z, (abs(z) > 1.96) AS trend_05
+         FROM z"""),
   )
 }

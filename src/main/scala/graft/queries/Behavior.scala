@@ -3082,5 +3082,121 @@ object Behavior {
                   * (1.0 - 3.0 / (4.0 * (n0 + n1) - 9.0)), 6)
                 + 0.0 AS hedges_g
          FROM m"""),
+
+    // LORENZ DECILE TABLE — the dashboard form of the Gini screens
+    // (pareto_gini_banded gives the coefficient; this gives the curve
+    // points a revenue team reads): customers ranked into spend
+    // deciles WITHOUT a corpus rank window — deciles derive from the
+    // doubled-midrank value histogram (the ml_spearman_corr
+    // discipline), spend shares are exact integer basis points.
+    Q("pareto_lorenz_deciles",
+      (s, d) => {
+        val cust = orders(s, d).groupBy("o_custkey")
+          .agg(sum(expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)"))
+            .as("cents"))
+        val hist = cust.groupBy("cents").agg(count(lit(1)).as("t"),
+          sum(col("cents")).as("sc"))
+        val w = Window.orderBy("cents")
+        val tot = cust.agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("total"))
+        hist.withColumn("cum", sum(col("t")).over(w))
+          .select(col("t"), col("sc"),
+            (lit(2) * (col("cum") - col("t")) + col("t") + 1).as("mr2"))
+          .crossJoin(broadcast(tot))
+          .withColumn("decile",
+            expr("(mr2 - 1) * 10 div (2 * n) + 1").cast("int"))
+          .groupBy("decile")
+          // share in DECIMAL(38,0) units: total-cents × 10⁴ overflows
+          // BIGINT past ~10^15 cents of corpus revenue
+          .agg(sum(col("t")).as("n_customers"),
+            expr("""(CAST(sum(sc) AS DECIMAL(38,0)) * 10000
+                     + min(total) div 2)
+                    div min(total) / 10000.0D""").as("spend_share"))
+          .orderBy("decile")
+      },
+      """WITH cust AS (
+           SELECT o_custkey,
+                  SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100
+                    AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+         hist AS (SELECT cents, COUNT(*) AS t, SUM(cents) AS sc
+                  FROM cust GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n, SUM(cents) AS total FROM cust),
+         ranked AS (
+           SELECT t, sc,
+                  2 * (SUM(t) OVER (ORDER BY cents) - t) + t + 1 AS mr2
+           FROM hist),
+         dec AS (
+           SELECT CAST((mr2 - 1) * 10 // (2 * n) + 1 AS INT) AS decile,
+                  t, sc, total
+           FROM ranked, tot)
+         SELECT decile, CAST(SUM(t) AS BIGINT) AS n_customers,
+                (CAST(SUM(sc) AS HUGEINT) * 10000
+                 + MIN(total) // 2) // MIN(total)
+                  / 10000.0 AS spend_share
+         FROM dec GROUP BY 1 ORDER BY decile"""),
+
+    // POWER / MDE PLANNER — "how big an effect can this experiment
+    // even see?": from the observed per-user metric variance, the
+    // minimum detectable effect at α=.05 / power .80 is
+    // (z_{.975}+z_{.80})·√(2σ̂²/n) = 2.8016·√(2σ̂²/n). The planning
+    // half of the ab family (ab_test judges after the fact; this
+    // sizes the NEXT test). One aggregate of exact decimal moments.
+    Q("ab_power_mde",
+      (s, d) => {
+        val pu = events(s, d).groupBy("user_id")
+          .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)"))
+            .as("cents"))
+          .select((col("user_id") % 2).as("arm"), col("cents"))
+        pu.agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(col("cents")).as("s"),
+            sum((col("cents") * col("cents")).cast(DecimalType(38, 0)))
+              .as("q"))
+          .selectExpr("n0", "n1",
+            """ROUND(CAST(s AS DOUBLE) / (n0 + n1) / 100.0, 4)
+                 + 0.0D AS mean_spend""",
+            """ROUND(sqrt((CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * s / (n0 + n1))
+                  / (n0 + n1 - 1)) / 100.0, 4) + 0.0D AS sd_spend""",
+            """ROUND(2.8016D * sqrt(2.0D * ((CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * s / (n0 + n1))
+                  / (n0 + n1 - 1)) / least(n0, n1)) / 100.0, 4)
+               + 0.0D AS mde_abs""",
+            """ROUND(2.8016D * sqrt(2.0D * ((CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * s / (n0 + n1))
+                  / (n0 + n1 - 1)) / least(n0, n1))
+                 / (CAST(s AS DOUBLE) / (n0 + n1)), 6)
+               + 0.0D AS mde_rel""")
+      },
+      """WITH pu AS (
+           SELECT user_id % 2 AS arm,
+                  SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT))
+                    AS cents
+           FROM events GROUP BY user_id),
+         m AS (SELECT
+             SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(cents) AS s,
+             SUM(CAST(cents * cents AS DECIMAL(38,0))) AS q
+           FROM pu)
+         SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+                ROUND(CAST(s AS DOUBLE) / (n0 + n1) / 100.0, 4)
+                  + 0.0 AS mean_spend,
+                ROUND(sqrt((CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE) * s / (n0 + n1))
+                   / (n0 + n1 - 1)) / 100.0, 4) + 0.0 AS sd_spend,
+                ROUND(2.8016 * sqrt(2.0 * ((CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE) * s / (n0 + n1))
+                   / (n0 + n1 - 1)) / least(n0, n1)) / 100.0, 4)
+                + 0.0 AS mde_abs,
+                ROUND(2.8016 * sqrt(2.0 * ((CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE) * s / (n0 + n1))
+                   / (n0 + n1 - 1)) / least(n0, n1))
+                  / (CAST(s AS DOUBLE) / (n0 + n1)), 6)
+                + 0.0 AS mde_rel
+         FROM m"""),
   )
 }

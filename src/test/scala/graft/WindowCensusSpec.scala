@@ -60,6 +60,8 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     "ml_lift_table" -> "decile table (10 rows)",
     "ml_pr_auc" -> "distinct rounded scores (fixed score precision)",
     "pareto_gini_banded" -> "spend-band histogram (fixed band count)",
+    "pareto_lorenz_deciles" ->
+      "distinct spend cent-values histogram (value-domain-bounded)",
     "profile_ks_test" -> "fixed KS bin histogram",
     "profile_mutual_info" ->
       "contingency cells (enumerable category pair domain)",
