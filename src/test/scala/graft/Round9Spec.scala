@@ -89,6 +89,59 @@ class Round9Spec extends AnyFunSuite with SparkFixture {
     assert(got.getDouble(2) === u1Textbook, "U1")
   }
 
+  test("Confs.withConf: restores a previously-set value, restores an " +
+      "unset key by unsetting, and restores on exception") {
+    val key = "spark.graft.test.scoped_conf"
+    // unset key: must be unset again after the block
+    graft.engine.Confs.withConf(spark, key, "inner") {
+      assert(spark.conf.get(key) === "inner")
+    }
+    assert(spark.conf.getOption(key).isEmpty, "unset key restored by unset")
+    // set key: must restore the prior value, even when the body throws
+    spark.conf.set(key, "outer")
+    intercept[RuntimeException] {
+      graft.engine.Confs.withConf(spark, key, "inner") {
+        assert(spark.conf.get(key) === "inner")
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get(key) === "outer", "restored after exception")
+    spark.conf.unset(key)
+  }
+
+  test("ml_psi_features: the stacked long-form PSI equals a plain " +
+      "single-feature computation with the same observed-bucket " +
+      "smoothing") {
+    // NOTE deliberate formulation difference vs dq_drift_psi: that
+    // key smooths with a FIXED +10 denominator (its bin rule declares
+    // 10 bins); the multi-feature screen smooths with the OBSERVED
+    // bucket count per feature (priority has 5, status 3 — a fixed 10
+    // would be wrong for them). So the pin replays the plain
+    // per-feature form, driver-side, from the raw bucket counts.
+    val cut = lit("1996-07-01").cast("timestamp")
+    val counts = graft.Tables.orders(spark, sf)
+      .select((col("o_orderdate") < cut).as("is_base"),
+        expr("CAST(least(floor(o_totalprice / 60000.0), 9.0) AS STRING)")
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(when(col("is_base"), 1)).as("nb"),
+        count(when(!col("is_base"), 1)).as("nc"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val k = counts.length
+    val (tb, tc) = (counts.map(_._1).sum, counts.map(_._2).sum)
+    val expected = counts.map { case (nb, nc) =>
+      val p = (nb + 1).toDouble / (tb + k)
+      val q = (nc + 1).toDouble / (tc + k)
+      BigDecimal((p - q) * math.log(p / q))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val multi = SparkEntry.queries("ml_psi_features")(spark, sf)
+      .filter(col("feature") === "price_bin")
+      .select("psi").collect()(0).getDouble(0)
+    assert(math.abs(expected - multi) <= 1e-9,
+      s"expected=$expected multi=$multi")
+  }
+
   test("ml_kendall_tau plan: the pair join is a broadcast loop over " +
       "two AGGREGATE (domain-sized) sides — the corpus is scanned " +
       "once, never self-joined") {
