@@ -2809,16 +2809,18 @@ object Behavior {
         val ranked = hist.withColumn("cum", sum(col("t")).over(w))
           .select(col("t"), col("t1"),
             (lit(2) * (col("cum") - col("t")) + col("t") + 1).as("mr2"))
-        // rank-sum and tie-cube sums in DECIMAL(38,0): t1·mr2 and t³
-        // overflow BIGINT once arms pass ~2e9 users (DuckDB's SUM
-        // already widens to HUGEINT)
+        // rank-sum and tie-cube PRODUCTS in DECIMAL(38,0): the cast
+        // must land on an OPERAND, not the finished product — a
+        // BIGINT t1·mr2 or t³ would overflow (ANSI throw) before the
+        // cast ever ran, at t≈2.1e6 tied values. Oracle mirrors with
+        // HUGEINT operand casts (exact 128-bit products).
         ranked.agg(
             sum(col("t") - col("t1")).as("n0"),
             sum(col("t1")).as("n1"),
-            sum((col("t1") * col("mr2")).cast(DecimalType(38, 0)))
+            sum(col("t1").cast(DecimalType(38, 0)) * col("mr2"))
               .as("r1_2"),
-            sum((col("t") * col("t") * col("t") - col("t"))
-              .cast(DecimalType(38, 0))).as("ties"))
+            sum(col("t").cast(DecimalType(38, 0)) * col("t") * col("t")
+              - col("t")).as("ties"))
           .select(col("n0"), col("n1"),
             // 2·U1 = 2·R1 − n1(n1+1); U1 printed in half-units (exact)
             ((col("r1_2") - col("n1") * (col("n1") + 1)) / 2.0)
@@ -2850,8 +2852,8 @@ object Behavior {
            FROM hist),
          m AS (
            SELECT SUM(t - t1) AS n0, SUM(t1) AS n1,
-                  SUM(t1 * mr2) AS r1_2,
-                  SUM(t * t * t - t) AS ties
+                  SUM(CAST(t1 AS HUGEINT) * mr2) AS r1_2,
+                  SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
            FROM ranked)
          SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
                 (r1_2 - n1 * (n1 + 1)) / 2.0 AS u1,
@@ -2886,9 +2888,11 @@ object Behavior {
         val m = pu.groupBy("arm").agg(
           count(lit(1)).as("n"),
           sum(col("y")).as("sy"), sum(col("k")).as("sk"),
-          sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"),
-          sum((col("k") * col("k")).cast(DecimalType(38, 0))).as("skk"),
-          sum((col("y") * col("k")).cast(DecimalType(38, 0))).as("syk"))
+          // operand cast BEFORE the multiply: a BIGINT y·y would
+          // overflow before a post-hoc cast could widen it
+          sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"),
+          sum(col("k").cast(DecimalType(38, 0)) * col("k")).as("skk"),
+          sum(col("y").cast(DecimalType(38, 0)) * col("k")).as("syk"))
         val stats = m.select(col("arm"), col("n"),
           (col("sy").cast("double") / col("sk")).as("ratio"),
           ((col("syy").cast("double") / col("n") -
@@ -2919,9 +2923,9 @@ object Behavior {
            FROM events WHERE event_type = 'purchase' GROUP BY user_id),
          m AS (
            SELECT arm, COUNT(*) AS n, SUM(y) AS sy, SUM(k) AS sk,
-                  SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
-                  SUM(CAST(k * k AS DECIMAL(38,0))) AS skk,
-                  SUM(CAST(y * k AS DECIMAL(38,0))) AS syk
+                  SUM(CAST(y AS HUGEINT) * y) AS syy,
+                  SUM(CAST(k AS HUGEINT) * k) AS skk,
+                  SUM(CAST(y AS HUGEINT) * k) AS syk
            FROM pu GROUP BY 1),
          stats AS (
            SELECT arm, n,
@@ -3024,10 +3028,10 @@ object Behavior {
             sum(when(col("arm") === 1, col("cents")).otherwise(0L))
               .as("s1"),
             sum(when(col("arm") === 0,
-              (col("cents") * col("cents")).cast(DecimalType(38, 0)))
+              col("cents").cast(DecimalType(38, 0)) * col("cents"))
               .otherwise(lit(0).cast(DecimalType(38, 0)))).as("q0"),
             sum(when(col("arm") === 1,
-              (col("cents") * col("cents")).cast(DecimalType(38, 0)))
+              col("cents").cast(DecimalType(38, 0)) * col("cents"))
               .otherwise(lit(0).cast(DecimalType(38, 0)))).as("q1"))
           .selectExpr("n0", "n1",
             """ROUND((CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0)
@@ -3058,11 +3062,11 @@ object Behavior {
              SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS s0,
              SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS s1,
              SUM(CASE WHEN arm = 0
-               THEN CAST(cents * cents AS DECIMAL(38,0))
-               ELSE CAST(0 AS DECIMAL(38,0)) END) AS q0,
+               THEN CAST(cents AS HUGEINT) * cents
+               ELSE CAST(0 AS HUGEINT) END) AS q0,
              SUM(CASE WHEN arm = 1
-               THEN CAST(cents * cents AS DECIMAL(38,0))
-               ELSE CAST(0 AS DECIMAL(38,0)) END) AS q1
+               THEN CAST(cents AS HUGEINT) * cents
+               ELSE CAST(0 AS HUGEINT) END) AS q1
            FROM pu)
          SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
                 ROUND((CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0)
@@ -3153,7 +3157,7 @@ object Behavior {
             sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
             sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
             sum(col("cents")).as("s"),
-            sum((col("cents") * col("cents")).cast(DecimalType(38, 0)))
+            sum(col("cents").cast(DecimalType(38, 0)) * col("cents"))
               .as("q"))
           .selectExpr("n0", "n1",
             """ROUND(CAST(s AS DOUBLE) / (n0 + n1) / 100.0, 4)
@@ -3180,7 +3184,7 @@ object Behavior {
              SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
              SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
              SUM(cents) AS s,
-             SUM(CAST(cents * cents AS DECIMAL(38,0))) AS q
+             SUM(CAST(cents AS HUGEINT) * cents) AS q
            FROM pu)
          SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
                 ROUND(CAST(s AS DOUBLE) / (n0 + n1) / 100.0, 4)

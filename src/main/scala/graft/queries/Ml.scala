@@ -3084,8 +3084,8 @@ object Ml {
         val long = orders(s, d).select(
           (col("o_orderdate") < cut).as("is_base"),
           expr("""stack(3,
-            'price_bin', CAST(least(floor(o_totalprice / 60000.0), 9.0)
-              AS STRING),
+            'price_bin', CAST(CAST(least(floor(o_totalprice / 60000.0),
+              9.0) AS INT) AS STRING),
             'priority', o_orderpriority,
             'status', o_orderstatus) AS (feature, bucket)"""))
         val counts = long.groupBy("feature", "bucket")
