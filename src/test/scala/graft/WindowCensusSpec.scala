@@ -1,7 +1,10 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, LeftAnti, LeftSemi}
+import org.apache.spark.sql.execution.{CollectLimitExec, GenerateExec, GlobalLimitExec, LeafExecNode, LocalTableScanExec, RangeExec, SparkPlan, TakeOrderedAndProjectExec, UnaryExecNode, UnionExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The permanent unpartitioned-window census (round-8 ran this as a
@@ -10,10 +13,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * partition spec — the single-task global-sort funnel — sits above a
   * relation that is bounded by construction. Two bounds are accepted:
   *
-  *  - STRUCTURAL: the window's child subtree contains a
-  *    TakeOrderedAndProject / GlobalLimit / LocalLimit — a k-row
-  *    relation whatever the input size; or a LocalTableScan /
-  *    one-row Range (literal domain).
+  *  - STRUCTURAL: every leaf-reaching path of the window's child is
+  *    cut by a TakeOrderedAndProject / GlobalLimit / CollectLimit /
+  *    global WindowGroupLimit — a k-row relation whatever the input
+  *    size — or ends in a LocalTableScan (literal rows). Checked by
+  *    an operator-chain WALK, not a subtree grep: a limit in one
+  *    join leg cannot vouch for a corpus-sized other leg, and
+  *    LocalLimit (per-partition, so data-scaled) does not count.
   *  - DECLARED: the key appears in `boundedByGrain` below with the
   *    stated bound — the window input is an aggregate (or generated
   *    spine) whose key domain is bounded by the operator's definition
@@ -66,6 +72,18 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     "profile_mutual_info" ->
       "contingency cells (enumerable category pair domain)",
     "sample_bootstrap_ci" -> "bootstrap replicate aggregate (<= R reps)",
+    // the sim_* recall windows rank a per-probe aggregate: LeftOuter
+    // join of two HashAggregate(probe_id) legs, <= #probes rows (the
+    // probe set is a k-row TakeOrdered sample by construction). Under
+    // the r9 string-grep gate these passed on the probe leg's deeper
+    // TakeOrdered; the r10 walk makes the bound explicit here instead.
+    "sim_ann_ivf" -> "per-probe recall aggregate (<= #probes)",
+    "sim_ann_ivf_indexed" -> "per-probe recall aggregate (<= #probes)",
+    "sim_ann_lsh" -> "per-probe recall aggregate (<= #probes)",
+    "sim_ann_nprobe_sweep" -> "per-probe recall aggregate (<= #probes)",
+    "sim_index_append" -> "per-probe recall aggregate (<= #probes)",
+    "sim_search_batch" -> "per-probe recall aggregate (<= #probes)",
+    "sim_search_rerank" -> "per-probe recall aggregate (<= #probes)",
     "sample_neyman" -> "per-stratum aggregate (<= #strata)",
     "shuffle_shards" -> "K-row shard manifest (<= #shards)",
     "sink_sorted_stats" -> "per-file stats (<= #files written)",
@@ -105,18 +123,55 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     "profile_equidepth" ->
       "exact-NTILE twin; scale path is profile_equidepth_approx")
 
-  private def subtreeBounded(p: SparkPlan): Boolean = {
-    val s = p.toString
-    s.contains("TakeOrderedAndProject") || s.contains("GlobalLimit") ||
-      s.contains("LocalLimit") || s.contains("LocalTableScan") ||
-      s.contains("WindowGroupLimit")
+  // Round-10 hardening (r9 verdict + ADVICE): both checks are now a
+  // STRUCTURAL WALK of the window child's operator chain instead of a
+  // toString grep, so a limit (or aggregate) in ONE join leg can no
+  // longer vouch for a corpus-sized OTHER leg — every leaf-reaching
+  // path must be bounded, except semi/anti/existence joins where the
+  // output is at most the left leg. LocalLimit is dropped from the
+  // accepted markers: it bounds rows PER PARTITION, and partition
+  // count scales with the data, so it is not a true bound.
+
+  /** True iff every path from p down to a data source passes through
+    * a row-count bound that holds whatever the input size. */
+  private def boundedOnPath(p: SparkPlan): Boolean = p match {
+    case _: TakeOrderedAndProjectExec => true
+    case _: GlobalLimitExec           => true
+    case _: CollectLimitExec          => true
+    case _: LocalTableScanExec        => true // literal rows
+    case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+      true // global top-k pushdown
+    case j: BaseJoinExec => j.joinType match {
+      case LeftSemi | LeftAnti | _: ExistenceJoin => boundedOnPath(j.left)
+      case _ => boundedOnPath(j.left) && boundedOnPath(j.right)
+    }
+    case c: CartesianProductExec =>
+      boundedOnPath(c.left) && boundedOnPath(c.right)
+    case u: UnionExec   => u.children.forall(boundedOnPath)
+    case u: UnaryExecNode => boundedOnPath(u.child)
+    case _: LeafExecNode  => false // corpus-sized scan
+    case other            => other.children.forall(boundedOnPath)
   }
 
-  private def subtreeAggregated(p: SparkPlan): Boolean = {
-    val s = p.toString
-    s.contains("HashAggregate") || s.contains("SortAggregate") ||
-      s.contains("ObjectHashAggregate") || s.contains("Generate") ||
-      s.contains("Range (")
+  /** True iff every path from p down to a data source passes through
+    * an aggregate / generator / literal domain — the structural
+    * backstop for allowlisted keys (the allowlist entry states WHY the
+    * aggregate's key domain is grain- not corpus-bounded). */
+  private def aggregatedOnPath(p: SparkPlan): Boolean = p match {
+    case _ if boundedOnPath(p) => true
+    case _: BaseAggregateExec  => true
+    case _: GenerateExec       => true // generated spine (sequence/explode)
+    case _: RangeExec          => true // literal domain
+    case j: BaseJoinExec => j.joinType match {
+      case LeftSemi | LeftAnti | _: ExistenceJoin => aggregatedOnPath(j.left)
+      case _ => aggregatedOnPath(j.left) && aggregatedOnPath(j.right)
+    }
+    case c: CartesianProductExec =>
+      aggregatedOnPath(c.left) && aggregatedOnPath(c.right)
+    case u: UnionExec   => u.children.forall(aggregatedOnPath)
+    case u: UnaryExecNode => aggregatedOnPath(u.child)
+    case _: LeafExecNode  => false
+    case other            => other.children.forall(aggregatedOnPath)
   }
 
   test("every unpartitioned WindowExec in all declared plans sits " +
@@ -134,8 +189,8 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
           case w: WindowExec if w.partitionSpec.isEmpty => w
         }
         globals.foreach { w =>
-          val ok = subtreeBounded(w.child) ||
-            (boundedByGrain.contains(name) && subtreeAggregated(w.child)) ||
+          val ok = boundedOnPath(w.child) ||
+            (boundedByGrain.contains(name) && aggregatedOnPath(w.child)) ||
             exactTwinException.contains(name)
           if (!ok) violations +=
             s"$name: unpartitioned WindowExec over unbounded child:\n" +
@@ -146,5 +201,42 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     assert(violations.isEmpty,
       s"${violations.size} census violations:\n" +
         violations.mkString("\n---\n"))
+  }
+
+  test("the join(limited-leg, corpus-leg) loophole is caught: a limit " +
+      "in one join leg must not vouch for an unbounded other leg") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read.parquet(s"$sf/events.parquet")
+    val limited = spark.read.parquet(s"$sf/nation.parquet").limit(5)
+    // The r9 gate's string grep saw "GlobalLimit" in the limited leg's
+    // subtree and accepted the whole join as bounded input — while the
+    // window actually ranks a corpus-sized relation.
+    val leaky = corpus
+      .join(limited, corpus("user_id") % 25 === limited("n_nationkey"))
+      .withColumn("rk", row_number().over(Window.orderBy("ts")))
+    val leakyWins = leaky.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(leakyWins.nonEmpty, "fixture lost its global window")
+    leakyWins.foreach { w =>
+      assert(w.child.toString.contains("GlobalLimit") ||
+          w.child.toString.contains("TakeOrderedAndProject"),
+        "fixture no longer reproduces the string-match loophole shape")
+      assert(!boundedOnPath(w.child),
+        "boundedOnPath accepted a join whose corpus leg is unbounded")
+      assert(!aggregatedOnPath(w.child),
+        "aggregatedOnPath accepted a join whose corpus leg is raw")
+    }
+    // and the genuinely bounded shape still passes: window over a
+    // global limit of the SAME corpus relation
+    val bounded = corpus.orderBy("ts").limit(7)
+      .withColumn("rk", row_number().over(Window.orderBy("ts")))
+    val boundedWins = bounded.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(boundedWins.nonEmpty, "bounded fixture lost its window")
+    boundedWins.foreach(w => assert(boundedOnPath(w.child),
+      "boundedOnPath rejected a window over a global top-k"))
   }
 }
