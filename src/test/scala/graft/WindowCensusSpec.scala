@@ -111,10 +111,10 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     "time_survival_km" ->
       "distinct event times at day grain (calendar-bounded)",
     "time_theilsen_trend" -> "calendar-grain series (days/months)",
-    "time_velocity_accel" -> "calendar-grain series (days/months)",
-    "vocab_build" ->
-      ("frequency-floored vocabulary (<= total_tokens/minCount; " +
-        "lexicon- not corpus-sized; id assignment needs a total order)"))
+    "time_velocity_accel" -> "calendar-grain series (days/months)")
+  // vocab_build left the allowlist in r10: its id assignment is now
+  // range-partitioned local ranks + a limit(P)-bounded offset window,
+  // so the plan is structurally bounded on its own.
 
   /** Keys DELIBERATELY kept as exact one-task forms whose declared
     * scale path is a sibling key (r7 'done' criterion: the exact form
