@@ -76,7 +76,16 @@ object Plans {
     // round-9 statistics family headliners (dq_sequence_gaps, now the
     // three-level form, is already in the first block)
     "ml_spearman_corr", "ml_kendall_tau", "ab_mann_whitney",
-    "ml_psi_features", "time_ljung_box")
+    "ml_psi_features", "time_ljung_box",
+    // round-10: the r9-verdict gaps — the one missing bench-top-20
+    // key, the full wave-3/4/5 statistics family, and the re-planned
+    // vocab_build (range-partitioned id assignment)
+    "graph_closeness_sampled", "time_seasonal_mk", "graph_rich_club",
+    "pareto_lorenz_deciles", "ab_power_mde", "ab_delta_method",
+    "ab_cohens_d", "ab_odds_ratio", "ml_mcnemar", "ml_chi2_select",
+    "ml_info_gain", "time_granger_f", "time_runs_test", "time_kpss",
+    "profile_cramers_v", "ml_brier_decomposition", "ab_wilson_ci",
+    "vocab_build")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
