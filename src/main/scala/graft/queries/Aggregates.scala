@@ -860,7 +860,9 @@ object Aggregates {
           .agg(count(lit(1)).as("n_kept"),
             sum((col("p") * 100).cast("long")).as("sc"))
           .select(col("flag"), col("n_kept"),
-            (expr("(sc * 100 + n_kept div 2) div n_kept")
+            // sc is a corpus-scale cents sum — ×100 in DECIMAL(38,0)
+            (expr("""(CAST(sc AS DECIMAL(38,0)) * 100 + n_kept div 2)
+                     div n_kept""")
               .cast("double") / 10000.0).as("trimmed_mean"))
           .orderBy("flag")
       },
@@ -880,7 +882,7 @@ object Aggregates {
            FROM ranked r JOIN counts c ON c.flag = r.flag
            WHERE rn > n // 10 AND rn <= n - n // 10)
          SELECT flag, COUNT(*) AS n_kept,
-                CAST((SUM(CAST(p * 100 AS BIGINT)) * 100
+                CAST((SUM(CAST(p * 100 AS HUGEINT)) * 100
                       + COUNT(*) // 2) // COUNT(*) AS DOUBLE)
                   / 10000.0 AS trimmed_mean
          FROM kept GROUP BY 1 ORDER BY flag"""),
@@ -1040,9 +1042,13 @@ object Aggregates {
         leaf.join(reg, Seq("region")).crossJoin(broadcast(tot))
           .select(col("region"), col("nation"),
             (col("cents").cast("double") / 100.0).as("revenue"),
-            (expr("(cents * 1000000 + rcents div 2) div rcents")
+            // share numerators are corpus-scale cents × 1e6 — the
+            // scale product rides DECIMAL(38,0), never raw LONG
+            (expr("""(CAST(cents AS DECIMAL(38,0)) * 1000000
+                     + rcents div 2) div rcents""")
               .cast("double") / 10000.0).as("pct_of_region"),
-            (expr("(rcents * 1000000 + tcents div 2) div tcents")
+            (expr("""(CAST(rcents AS DECIMAL(38,0)) * 1000000
+                     + tcents div 2) div tcents""")
               .cast("double") / 10000.0).as("region_pct_of_total"))
           .orderBy("region", "nation")
       },
@@ -1063,9 +1069,11 @@ object Aggregates {
          tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tcents FROM leaf)
          SELECT l.region, l.nation,
                 CAST(l.cents AS DOUBLE) / 100.0 AS revenue,
-                CAST((l.cents * 1000000 + r.rcents // 2) // r.rcents
+                CAST((CAST(l.cents AS HUGEINT) * 1000000
+                      + r.rcents // 2) // r.rcents
                   AS DOUBLE) / 10000.0 AS pct_of_region,
-                CAST((r.rcents * 1000000 + t.tcents // 2) // t.tcents
+                CAST((CAST(r.rcents AS HUGEINT) * 1000000
+                      + t.tcents // 2) // t.tcents
                   AS DOUBLE) / 10000.0 AS region_pct_of_total
          FROM leaf l JOIN reg r ON r.region = l.region
          CROSS JOIN tot t

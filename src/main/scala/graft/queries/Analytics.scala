@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Advanced analytics shapes: Pareto skyline and event funnels.
   *
@@ -1082,7 +1083,10 @@ object Analytics {
           .agg(count(lit(1)).as("n_events"),
             count(col("pred")).as("n_scored"),
             sum(abs(col("v") - col("pred"))).as("sae"))
-          .withColumn("sae_u", (col("sae") * 10000).cast("long"))
+          // corpus-scale error sum × 1e4 stays DECIMAL(38,0) — a LONG
+          // cast here overflows once Σ|err| passes ~9e14 value units
+          .withColumn("sae_u",
+            (col("sae") * 10000).cast(DecimalType(38, 0)))
           .select(col("event_type"), col("n_events"), col("n_scored"),
             (expr("(sae_u + n_scored div 2) div n_scored")
               .cast("double") / 10000.0).as("mae"))
@@ -1100,7 +1104,7 @@ object Analytics {
          a AS (
            SELECT event_type, COUNT(*) AS n_events,
                   COUNT(pred) AS n_scored,
-                  CAST(SUM(ABS(v - pred)) * 10000 AS BIGINT) AS sae_u
+                  CAST(SUM(ABS(v - pred)) * 10000 AS HUGEINT) AS sae_u
            FROM p GROUP BY 1)
          SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
                 CAST(n_scored AS BIGINT) AS n_scored,
@@ -1134,7 +1138,8 @@ object Analytics {
         def pct(prev: String) =
           when(col(prev).isNotNull && col(prev) =!= 0,
             expr(s"""(case when rev_c >= $prev then 1 else -1 end) *
-                 ((abs(rev_c - $prev) * 1000000L + abs($prev) div 2)
+                 ((CAST(abs(rev_c - $prev) AS DECIMAL(38,0)) * 1000000
+                   + abs($prev) div 2)
                   div abs($prev))""").cast("double") / 10000.0)
         m.withColumn("prev_m", lag(col("rev_c"), 1).over(w))
           .withColumn("prev_y", lag(col("rev_c"), 12).over(w))
@@ -1163,13 +1168,13 @@ object Analytics {
                 ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
                 CASE WHEN prev_m IS NOT NULL AND prev_m <> 0 THEN
                   CAST((CASE WHEN rev_c >= prev_m THEN 1 ELSE -1 END) *
-                       ((ABS(rev_c - prev_m) * 1000000 +
-                         ABS(prev_m) // 2) // ABS(prev_m)) AS DOUBLE)
+                       ((CAST(ABS(rev_c - prev_m) AS HUGEINT) * 1000000
+                         + ABS(prev_m) // 2) // ABS(prev_m)) AS DOUBLE)
                     / 10000.0 END AS mom_pct,
                 CASE WHEN prev_y IS NOT NULL AND prev_y <> 0 THEN
                   CAST((CASE WHEN rev_c >= prev_y THEN 1 ELSE -1 END) *
-                       ((ABS(rev_c - prev_y) * 1000000 +
-                         ABS(prev_y) // 2) // ABS(prev_y)) AS DOUBLE)
+                       ((CAST(ABS(rev_c - prev_y) AS HUGEINT) * 1000000
+                         + ABS(prev_y) // 2) // ABS(prev_y)) AS DOUBLE)
                     / 10000.0 END AS yoy_pct
          FROM c ORDER BY month"""),
 
@@ -1907,9 +1912,13 @@ object Analytics {
           .select(col("day").as("split_day"),
             col("t").cast("long").as("n_left"),
             (col("n") - col("t")).cast("long").as("n_right"),
-            (expr("(st * 100 + t div 2) div t").cast("double") /
+            // prefix-sum cents × 100 widened (st is corpus-scale;
+            // oracle side is already HUGEINT via DuckDB window SUM)
+            (expr("""(CAST(st AS DECIMAL(38,0)) * 100 + t div 2)
+                     div t""").cast("double") /
               10000.0).as("mean_left"),
-            (expr("((sn - st) * 100 + (n - t) div 2) div (n - t)")
+            (expr("""(CAST(sn - st AS DECIMAL(38,0)) * 100
+                     + (n - t) div 2) div (n - t)""")
               .cast("double") / 10000.0).as("mean_right"),
             (round(lit(1.0) - col("cost") / col("ctot"), 4) + lit(0.0))
               .as("sse_drop_pct"))
@@ -2379,7 +2388,10 @@ object Analytics {
             (col("dd").cast("double") / 100.0).as("max_drawdown"),
             (col("peak").cast("double") / 100.0).as("peak_cum"),
             when(col("peak") > 0,
-              (expr("(dd * 1000000 + peak div 2) div peak")
+              // dd is demeaned-cents scale (corpus-month) — the 1e6
+              // scale product rides DECIMAL(38,0)
+              (expr("""(CAST(dd AS DECIMAL(38,0)) * 1000000
+                       + peak div 2) div peak""")
                 .cast("double") / 10000.0)).otherwise(lit(null))
               .as("drawdown_pct"))
       },
@@ -2408,7 +2420,8 @@ object Analytics {
                 CAST(dd AS DOUBLE) / 100.0 AS max_drawdown,
                 CAST(peak AS DOUBLE) / 100.0 AS peak_cum,
                 CASE WHEN peak > 0 THEN
-                  CAST((dd * 1000000 + peak // 2) // peak AS DOUBLE)
+                  CAST((CAST(dd AS HUGEINT) * 1000000 + peak // 2)
+                       // peak AS DOUBLE)
                     / 10000.0
                 END AS drawdown_pct
          FROM dd ORDER BY dd DESC, day LIMIT 1"""),
@@ -2434,16 +2447,21 @@ object Analytics {
           .withColumn("cum", sum("c").over(w))
           .select(col("v"), col("c"),
             (col("cum") - col("c")).as("f"))
+          // DOUBLED rank mass c·(2f+c+1) = 2·(c·f + c(c+1)/2):
+          // division-free so the whole sum rides DECIMAL(38,0) —
+          // raw LONG v·c·f is corpus² (overflow at ~1e9 suppliers)
           .select(
-            (col("v") * (col("c") * col("f") +
-              expr("(c * (c + 1)) div 2"))).as("rank_mass"),
+            (col("v").cast(DecimalType(38, 0)) * col("c") *
+              (lit(2) * col("f") + col("c") + 1)).as("rank_mass2"),
             (col("v") * col("c")).as("x_mass"), col("c"))
         ranked.agg(sum("c").as("n"), sum("x_mass").as("sx"),
-            sum("rank_mass").as("srm"))
+            sum("rank_mass2").as("srm2"))
           .select(col("n").as("n_suppliers"),
             expr("sx div n").as("mean_degree"),
-            (expr("((2 * srm - (n + 1) * sx) * 1000000 " +
-              "+ (n * sx) div 2) div (n * sx)")
+            (expr("""((srm2 - CAST(n + 1 AS DECIMAL(38,0)) * sx)
+                        * 1000000
+                      + (CAST(n AS DECIMAL(38,0)) * sx) div 2)
+                     div (CAST(n AS DECIMAL(38,0)) * sx)""")
               .cast("double") / 1.0e6).as("gini"))
       },
       """WITH deg AS (
@@ -2457,17 +2475,19 @@ object Analytics {
                   CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) - c AS f
            FROM hist),
          mass AS (
-           SELECT v * (c * f + (c * (c + 1)) // 2) AS rank_mass,
+           SELECT CAST(v AS HUGEINT) * c * (2 * f + c + 1)
+                    AS rank_mass2,
                   v * c AS x_mass, c
            FROM ranked),
          agg AS (
            SELECT CAST(SUM(c) AS BIGINT) AS n,
                   CAST(SUM(x_mass) AS BIGINT) AS sx,
-                  CAST(SUM(rank_mass) AS BIGINT) AS srm
+                  SUM(rank_mass2) AS srm2
            FROM mass)
          SELECT n AS n_suppliers, sx // n AS mean_degree,
-                CAST(((2 * srm - (n + 1) * sx) * 1000000
-                      + (n * sx) // 2) // (n * sx) AS DOUBLE) / 1e6
+                CAST(((srm2 - CAST(n + 1 AS HUGEINT) * sx) * 1000000
+                      + (CAST(n AS HUGEINT) * sx) // 2)
+                     // (CAST(n AS HUGEINT) * sx) AS DOUBLE) / 1e6
                   AS gini
          FROM agg"""),
 
@@ -2553,10 +2573,14 @@ object Analytics {
           .agg(count(lit(1)).as("n_days"),
             sum("y").as("sy"), sum("ae").as("sae"), sum("e").as("se"))
           .select(col("prio"), col("n_days"),
-            (expr("(sae * 1000000 + sy div 2) div sy")
+            // sae/sy are per-priority corpus cents — 1e6 scale
+            // products ride DECIMAL(38,0)
+            (expr("""(CAST(sae AS DECIMAL(38,0)) * 1000000
+                     + sy div 2) div sy""")
               .cast("double") / 1.0e6).as("wape"),
             (when(col("se") < 0, lit(-1L)).otherwise(lit(1L)) *
-              expr("(abs(se) * 1000000 + sy div 2) div sy"))
+              expr("""(CAST(abs(se) AS DECIMAL(38,0)) * 1000000
+                      + sy div 2) div sy"""))
               .cast("double").divide(lit(1.0e6)).as("bias_pct"))
           .orderBy("prio")
       },
@@ -2577,10 +2601,12 @@ object Analytics {
                   CAST(SUM(y - f) AS BIGINT) AS se
            FROM scored GROUP BY 1)
          SELECT prio, n_days,
-                CAST((sae * 1000000 + sy // 2) // sy AS DOUBLE) / 1e6
+                CAST((CAST(sae AS HUGEINT) * 1000000 + sy // 2) // sy
+                  AS DOUBLE) / 1e6
                   AS wape,
                 CAST((CASE WHEN se < 0 THEN -1 ELSE 1 END) *
-                  ((ABS(se) * 1000000 + sy // 2) // sy) AS DOUBLE)
+                  ((CAST(ABS(se) AS HUGEINT) * 1000000 + sy // 2) // sy)
+                  AS DOUBLE)
                   / 1e6 AS bias_pct
          FROM agg ORDER BY prio"""),
 
@@ -2668,19 +2694,23 @@ object Analytics {
         val det = daily
           .withColumn("n7", count(lit(1)).over(w7))
           .withColumn("s7", sum("cents").over(w7))
+          // corpus-day cents sums ride DECIMAL(38,0) through every
+          // scale product (oracle side is HUGEINT via DuckDB SUM)
           .withColumn("trend4",
-            expr("CASE WHEN n7 = 7 THEN (s7 * 100 + 3) div 7 END"))
+            expr("""CASE WHEN n7 = 7 THEN
+                    (CAST(s7 AS DECIMAL(38,0)) * 100 + 3) div 7 END"""))
           .withColumn("det4", expr("cents * 100 - trend4"))
         val seas = det.filter(col("det4").isNotNull)
           .groupBy("dow")
-          .agg(sum("det4").as("sd"), count("det4").as("nd"))
+          .agg(sum(col("det4").cast(DecimalType(38, 0))).as("sd"),
+            count("det4").as("nd"))
           .select(col("dow"),
             expr("""CASE WHEN sd < 0 THEN -((-sd + nd div 2) div nd)
                          ELSE (sd + nd div 2) div nd END""").as("seas4"))
         val j = det.join(broadcast(seas), Seq("dow"))
           .withColumn("resid4", expr("det4 - seas4"))
         val mad = j.agg(
-          sum(abs(col("resid4"))).as("sar"),
+          sum(abs(col("resid4")).cast(DecimalType(38, 0))).as("sar"),
           count(col("resid4")).as("nr"))
         j.crossJoin(broadcast(mad))
           .select(col("dy"), col("dow"),
@@ -2689,7 +2719,8 @@ object Analytics {
             expr("seas4 / 10000.0D").as("seasonal"),
             expr("resid4 / 10000.0D").as("residual"),
             expr("""CASE WHEN resid4 IS NOT NULL
-                    THEN abs(resid4) * nr > 3 * sar END""")
+                    THEN CAST(abs(resid4) AS DECIMAL(38,0)) * nr
+                         > 3 * sar END""")
               .as("is_anomaly"))
           .orderBy("dy")
       },
@@ -2704,7 +2735,7 @@ object Analytics {
              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
          det AS (SELECT *, cents*100 - trend4 AS det4 FROM tr),
          seas AS (SELECT dow,
-             CAST(sum(det4) AS BIGINT) AS sd,
+             sum(det4) AS sd,
              CAST(count(det4) AS BIGINT) AS nd
            FROM det WHERE det4 IS NOT NULL GROUP BY dow),
          sm AS (SELECT dow, CASE WHEN sd < 0 THEN -((-sd + nd // 2) // nd)
@@ -2713,7 +2744,7 @@ object Analytics {
          j AS (SELECT dy, t.dow, cents, trend4, det4, seas4,
                  det4 - seas4 AS resid4
                FROM det t JOIN sm ON t.dow = sm.dow),
-         md AS (SELECT CAST(sum(abs(resid4)) AS BIGINT) AS sar,
+         md AS (SELECT sum(abs(resid4)) AS sar,
                        CAST(count(resid4) AS BIGINT) AS nr FROM j)
          SELECT dy, CAST(dow AS INT) AS dow,
            cents / 100.0 AS revenue,
@@ -2746,10 +2777,18 @@ object Analytics {
           count(lit(1)).as("n"), sum("c").as("sc"),
           count(col("mr")).as("nm"), sum("mr").as("sm"))
         withMr.crossJoin(broadcast(g))
-          .withColumn("xbar2", expr("(sc * 100 + n div 2) div n"))
-          .withColumn("mr2", expr("(sm * 100 + nm div 2) div nm"))
-          .withColumn("ucl2", expr("xbar2 + (266 * mr2 + 50) div 100"))
-          .withColumn("lcl2", expr("xbar2 - (266 * mr2 + 50) div 100"))
+          // sc/sm are corpus cents sums; 266·mr2 is daily-mean scale
+          // × 266 — every scale product rides DECIMAL(38,0)
+          .withColumn("xbar2",
+            expr("(CAST(sc AS DECIMAL(38,0)) * 100 + n div 2) div n"))
+          .withColumn("mr2",
+            expr("(CAST(sm AS DECIMAL(38,0)) * 100 + nm div 2) div nm"))
+          .withColumn("ucl2",
+            expr("""xbar2 + (266 * CAST(mr2 AS DECIMAL(38,0)) + 50)
+                    div 100"""))
+          .withColumn("lcl2",
+            expr("""xbar2 - (266 * CAST(mr2 AS DECIMAL(38,0)) + 50)
+                    div 100"""))
           .select(col("dy"),
             expr("c / 100.0D").as("revenue"),
             expr("xbar2 / 10000.0D").as("center"),
@@ -2768,12 +2807,14 @@ object Analytics {
                       CAST(count(mr) AS BIGINT) AS nm,
                       CAST(sum(mr) AS BIGINT) AS sm FROM m),
          k AS (SELECT dy, c,
-                 (sc * 100 + n // 2) // n AS xbar2,
-                 (sm * 100 + nm // 2) // nm AS mr2
+                 (CAST(sc AS HUGEINT) * 100 + n // 2) // n AS xbar2,
+                 (CAST(sm AS HUGEINT) * 100 + nm // 2) // nm AS mr2
                FROM m CROSS JOIN g),
          l AS (SELECT dy, c, xbar2,
-                 xbar2 + (266 * mr2 + 50) // 100 AS ucl2,
-                 xbar2 - (266 * mr2 + 50) // 100 AS lcl2
+                 xbar2 + (266 * CAST(mr2 AS HUGEINT) + 50) // 100
+                   AS ucl2,
+                 xbar2 - (266 * CAST(mr2 AS HUGEINT) + 50) // 100
+                   AS lcl2
                FROM k)
          SELECT dy, c / 100.0 AS revenue,
                 xbar2 / 10000.0 AS center,
@@ -2805,7 +2846,8 @@ object Analytics {
             expr("""CASE WHEN prev_cents IS NOT NULL THEN
                       CAST((CASE WHEN cents - prev_cents < 0 THEN -1
                              ELSE 1 END) *
-                        ((abs(cents - prev_cents) * 10000
+                        ((CAST(abs(cents - prev_cents) AS DECIMAL(38,0))
+                            * 10000
                           + prev_cents div 2) div prev_cents) AS DOUBLE)
                         / 1e4
                     END""").as("yoy_growth"))
@@ -2821,7 +2863,8 @@ object Analytics {
                 CASE WHEN b.cents IS NOT NULL THEN
                   CAST((CASE WHEN a.cents - b.cents < 0 THEN -1
                          ELSE 1 END) *
-                    ((abs(a.cents - b.cents) * 10000 + b.cents // 2)
+                    ((CAST(abs(a.cents - b.cents) AS HUGEINT) * 10000
+                      + b.cents // 2)
                      // b.cents) AS DOUBLE) / 1e4
                 END AS yoy_growth
          FROM m a LEFT JOIN m b ON b.y = a.y - 1 AND b.m = a.m

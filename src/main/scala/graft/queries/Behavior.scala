@@ -1328,7 +1328,10 @@ object Behavior {
           // division) — a double ROUND of cum/n sits on tie boundaries
           // that Spark (exact BigDecimal) and DuckDB (multiply-based)
           // resolve differently (udf_sql precedent)
-          .withColumn("cumu", (col("cum") * 10000).cast("long"))
+          // cohort-cumulative revenue × 1e4 stays DECIMAL(38,0) — a
+          // LONG cast overflows past ~$9.2e14 of cohort revenue
+          .withColumn("cumu",
+            (col("cum") * 10000).cast(DecimalType(38, 0)))
           .withColumn("ltv_e4",
             expr("(cumu + n_customers div 2) div n_customers"))
           .select(
@@ -1367,7 +1370,7 @@ object Behavior {
                   AS cohort_month,
                 k, CAST(n_customers AS BIGINT) AS n_customers,
                 ROUND(CAST(cum AS DOUBLE), 2) AS cum_rev,
-                CAST((CAST(cum * 10000 AS BIGINT) + n_customers // 2)
+                CAST((CAST(cum * 10000 AS HUGEINT) + n_customers // 2)
                        // n_customers AS DOUBLE) / 10000.0 AS ltv
          FROM c JOIN sz USING (m0)
          ORDER BY cohort_month, k"""),
@@ -1802,7 +1805,10 @@ object Behavior {
           .agg(sum(col("w_uv") + col("w_vu")).as("w_total"),
             sum(col("w_min") * 2).as("w_recip"))
           .select(
-            (expr("(w_recip * 1000000 + w_total div 2) div w_total")
+            // w_recip is a corpus-transition-count sum — the 1e6
+            // scale product rides DECIMAL(38,0)
+            (expr("""(CAST(w_recip AS DECIMAL(38,0)) * 1000000
+                     + w_total div 2) div w_total""")
               .cast("double") / 1000000.0).as("reciprocity"))
         pairs.crossJoin(tot).orderBy("u", "v")
       },
@@ -1828,7 +1834,8 @@ object Behavior {
          t AS (SELECT SUM(w_uv + w_vu) AS w_total,
                       SUM(w_min * 2) AS w_recip FROM q)
          SELECT u, v, w_uv, w_vu, w_min,
-                CAST((w_recip * 1000000 + w_total // 2) // w_total
+                CAST((CAST(w_recip AS HUGEINT) * 1000000
+                      + w_total // 2) // w_total
                   AS DOUBLE) / 1000000.0 AS reciprocity
          FROM q, t ORDER BY u, v"""),
 
@@ -1910,8 +1917,11 @@ object Behavior {
           .withColumn("nw", count(col("c")).over(w))
           .filter(col("nw") === 28)
           .withColumn("num", lit(28) * col("c") - col("m"))
+          // num² in DECIMAL(38,0): raw LONG overflows at daily-type
+          // counts past ~1e8 once scaled by 1e6
           .withColumn("score",
-            expr("(num * num * 1000000) div (28 * m)"))
+            expr("(CAST(num AS DECIMAL(38,0)) * num * 1000000)" +
+              " div (28 * m)"))
         val wr = Window.partitionBy("event_type")
           .orderBy(desc("score"), col("day"))
         scored.withColumn("rk", row_number().over(wr))
@@ -1937,7 +1947,8 @@ object Behavior {
                     ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS nw
            FROM daily),
          f AS (SELECT event_type, day, c, m, 28 * c - m AS num,
-                      (28 * c - m) * (28 * c - m) * 1000000
+                      (CAST(28 * c - m AS HUGEINT) * (28 * c - m)
+                        * 1000000)
                         // (28 * m) AS score
                FROM sc WHERE nw = 28),
          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
@@ -2342,11 +2353,15 @@ object Behavior {
         val ut = events(s, d)
           .groupBy("user_id", "event_type")
           .agg(count(lit(1)).as("c"))
+        // operand-widened products: a raw LONG (n²−Σc²)·1e6 overflows
+        // at ~3e6 events per user — a plausible bot at corpus scale
         val per = ut.groupBy("user_id")
-          .agg(sum("c").as("n"), sum(col("c") * col("c")).as("ssq"))
+          .agg(sum("c").as("n"),
+            sum(col("c").cast(DecimalType(38, 0)) * col("c")).as("ssq"))
           .select(col("user_id"),
-            expr("((n * n - ssq) * 1000000 + (n * n) div 2) " +
-              "div (n * n)").as("div_u"))
+            expr("""((CAST(n AS DECIMAL(38,0)) * n - ssq) * 1000000
+                     + (CAST(n AS DECIMAL(38,0)) * n) div 2)
+                    div (CAST(n AS DECIMAL(38,0)) * n)""").as("div_u"))
         per.withColumn("band", expr("CAST(div_u div 5000 AS int)"))
           .groupBy("band")
           .agg(count(lit(1)).as("n_users"),
@@ -2359,7 +2374,8 @@ object Behavior {
            FROM events GROUP BY 1, 2),
          per AS (
            SELECT user_id,
-                  ((SUM(c) * SUM(c) - SUM(c * c)) * 1000000
+                  ((SUM(c) * SUM(c) - SUM(CAST(c AS HUGEINT) * c))
+                     * 1000000
                    + (SUM(c) * SUM(c)) // 2) // (SUM(c) * SUM(c))
                     AS div_u
            FROM ut GROUP BY 1)
@@ -2495,8 +2511,11 @@ object Behavior {
           .agg(count(lit(1)).as("n_events"),
             sum("is_new").as("n_new_user_events"))
           .select(col("day"), col("n_events"), col("n_new_user_events"),
-            (expr("(n_new_user_events * 1000000 + n_events div 2) " +
-              "div n_events").cast("double") / 10000.0)
+            // per-day event counts × 1e6 widened (overflow at ~9e12
+            // events/day raw)
+            (expr("""(CAST(n_new_user_events AS DECIMAL(38,0)) * 1000000
+                     + n_events div 2) div n_events""")
+              .cast("double") / 10000.0)
               .as("new_share_pct"))
           .orderBy("day")
       },
@@ -2511,7 +2530,7 @@ object Behavior {
            FROM ev JOIN f USING (user_id))
          SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
                 CAST(SUM(is_new) AS BIGINT) AS n_new_user_events,
-                CAST((CAST(SUM(is_new) AS BIGINT) * 1000000
+                CAST((CAST(SUM(is_new) AS HUGEINT) * 1000000
                       + COUNT(*) // 2) // COUNT(*) AS DOUBLE)
                   / 10000.0 AS new_share_pct
          FROM flagged GROUP BY 1 ORDER BY day"""),
@@ -2576,24 +2595,29 @@ object Behavior {
         .groupBy(col("event_type"), col("ts").cast("date").as("dy"))
         .agg(count(lit(1)).as("c"))
         .groupBy("event_type")
+        // S² and Σc² are corpus² — operand-cast to DECIMAL(38,0)
+        // (raw LONG s·s overflows at ~3e9 events per type)
         .agg(count(lit(1)).as("n"), sum("c").as("s"),
-          sum(col("c") * col("c")).as("s2"))
+          sum(col("c").cast(DecimalType(38, 0)) * col("c")).as("s2"))
         .select(col("event_type"), col("n"), col("s"),
-          expr("""((n*s2 - s*s) * 10000 + ((n-1)*s) div 2)
+          expr("""((n*s2 - CAST(s AS DECIMAL(38,0))*s) * 10000
+                   + ((n-1)*s) div 2)
                   div ((n-1)*s) / 10000.0D""").as("fano"),
-          expr("(n*s2 - s*s) > (n-1)*s").as("overdispersed"))
+          expr("(n*s2 - CAST(s AS DECIMAL(38,0))*s) > (n-1)*s")
+            .as("overdispersed"))
         .orderBy("event_type"),
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dy,
              CAST(count(*) AS BIGINT) AS c
            FROM events GROUP BY 1, 2),
          g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                       CAST(sum(c) AS BIGINT) AS s,
-                      CAST(sum(c*c) AS BIGINT) AS s2
+                      sum(CAST(c AS HUGEINT) * c) AS s2
                FROM d GROUP BY 1)
          SELECT event_type, n, s,
-                ((n*s2 - s*s) * 10000 + ((n-1)*s) // 2) // ((n-1)*s)
+                ((n*s2 - CAST(s AS HUGEINT)*s) * 10000
+                  + ((n-1)*s) // 2) // ((n-1)*s)
                   / 10000.0 AS fano,
-                (n*s2 - s*s) > (n-1)*s AS overdispersed
+                (n*s2 - CAST(s AS HUGEINT)*s) > (n-1)*s AS overdispersed
          FROM g ORDER BY event_type"""),
 
     // REVENUE BRIDGE (MRR waterfall) — the board-deck decomposition:
@@ -2822,10 +2846,14 @@ object Behavior {
             sum(col("t").cast(DecimalType(38, 0)) * col("t") * col("t")
               - col("t")).as("ties"))
           .select(col("n0"), col("n1"),
-            // 2·U1 = 2·R1 − n1(n1+1); U1 printed in half-units (exact)
-            ((col("r1_2") - col("n1") * (col("n1") + 1)) / 2.0)
+            // 2·U1 = 2·R1 − n1(n1+1); U1 printed in half-units (exact).
+            // n1(n1+1) needs the same operand widening as the sums:
+            // LONG n1·(n1+1) overflows past ~3e9 arm-1 users.
+            ((col("r1_2") -
+              col("n1").cast(DecimalType(38, 0)) * (col("n1") + 1)) / 2.0)
               .as("u1"),
-            round(((col("r1_2") - col("n1") * (col("n1") + 1))
+            round(((col("r1_2") -
+                col("n1").cast(DecimalType(38, 0)) * (col("n1") + 1))
                 .cast("double") -
                 col("n0").cast("double") * col("n1")) /
               (lit(2.0) * sqrt(

@@ -1565,8 +1565,11 @@ FROM wt ORDER BY lang, source"""),
           .select(col("source"), col("n_docs"), col("n_code_like"),
             (expr("(n_code_like * 1000000 + n_docs div 2) div n_docs")
               .cast("double") / 10000.0).as("code_rate_pct"),
-            (expr("(total_sym * 1000000 + total_len div 2) " +
-              "div total_len").cast("double") / 1.0e6)
+            // per-source char totals are corpus-scale — the 1e6
+            // product rides DECIMAL(38,0)
+            (expr("""(CAST(total_sym AS DECIMAL(38,0)) * 1000000
+                     + total_len div 2)
+                    div total_len""").cast("double") / 1.0e6)
               .as("mean_sym_density"))
           .orderBy("source")
       },
@@ -1586,7 +1589,7 @@ FROM wt ORDER BY lang, source"""),
                 CAST((CAST(SUM(code_like) AS BIGINT) * 1000000
                       + COUNT(*) // 2) // COUNT(*) AS DOUBLE)
                   / 10000.0 AS code_rate_pct,
-                CAST((CAST(SUM(sym) AS BIGINT) * 1000000
+                CAST((CAST(SUM(sym) AS HUGEINT) * 1000000
                       + CAST(SUM(len) AS BIGINT) // 2)
                      // CAST(SUM(len) AS BIGINT) AS DOUBLE) / 1e6
                   AS mean_sym_density

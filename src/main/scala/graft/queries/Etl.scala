@@ -883,7 +883,10 @@ object Etl {
             // decimal (cohort_ltv precedent)
             .select(lit(name).as("fk_edge"), col("n_child"),
               col("n_orphans"),
-              (expr("(n_orphans * 1000000L + n_child div 2) div n_child")
+              // child-row counts × 1e6 widened (raw LONG overflows
+              // at ~9e12 child rows)
+              (expr("""(CAST(n_orphans AS DECIMAL(38,0)) * 1000000
+                       + n_child div 2) div n_child""")
                 .cast("double") / 10000.0).as("orphan_pct"))
         }
         val liDrift = lineitem(s, d).select(
@@ -921,7 +924,8 @@ object Etl {
            UNION ALL SELECT * FROM e3)
          SELECT fk_edge, CAST(n_child AS BIGINT) AS n_child,
                 CAST(n_orphans AS BIGINT) AS n_orphans,
-                CAST((n_orphans * 1000000 + n_child // 2) // n_child
+                CAST((CAST(n_orphans AS HUGEINT) * 1000000
+                      + n_child // 2) // n_child
                      AS DOUBLE) / 10000.0 AS orphan_pct
          FROM u ORDER BY fk_edge"""),
 
@@ -1280,7 +1284,8 @@ object Etl {
             sum("disc").as("n_discordant"))
           .select(col("event_type"), col("n_pairs"),
             col("n_discordant"),
-            (expr("(n_discordant * 1000000 + n_pairs div 2) div n_pairs")
+            (expr("""(CAST(n_discordant AS DECIMAL(38,0)) * 1000000
+                     + n_pairs div 2) div n_pairs""")
               .cast("double") / 1000000.0).as("discordance_rate"))
           .orderBy("event_type")
       },
@@ -1298,7 +1303,8 @@ object Etl {
                     AS BIGINT) AS n_discordant
            FROM pr WHERE next_t IS NOT NULL GROUP BY 1)
          SELECT event_type, n_pairs, n_discordant,
-                CAST((n_discordant * 1000000 + n_pairs // 2) // n_pairs
+                CAST((CAST(n_discordant AS HUGEINT) * 1000000
+                      + n_pairs // 2) // n_pairs
                   AS DOUBLE) / 1000000.0 AS discordance_rate
          FROM m ORDER BY event_type"""),
 
@@ -1595,14 +1601,18 @@ object Etl {
             min("t").as("mn"), max("t").as("mx"))
           .crossJoin(broadcast(g))
           .select(col("cat"), col("n"),
-            (expr("((s - mx) * 100 + (n - 1) * 5000) div " +
-              "((n - 1) * 10000)").cast("double") / 1.0)
+            // per-category cents sums × 100 ride DECIMAL(38,0)
+            // (raw LONG overflows at ~$9.2e14 per category)
+            (expr("""(CAST(s - mx AS DECIMAL(38,0)) * 100
+                     + (n - 1) * 5000) div ((n - 1) * 10000)""")
+              .cast("double") / 1.0)
               .as("loo_min_dollars"),
-            (expr("((s - mn) * 100 + (n - 1) * 5000) div " +
-              "((n - 1) * 10000)").cast("double") / 1.0)
+            (expr("""(CAST(s - mn AS DECIMAL(38,0)) * 100
+                     + (n - 1) * 5000) div ((n - 1) * 10000)""")
+              .cast("double") / 1.0)
               .as("loo_max_dollars"),
-            (expr("((s + 100 * (gs div gn)) * 100 " +
-              "+ (n + 100) * 5000) div ((n + 100) * 10000)")
+            (expr("""(CAST(s + 100 * (gs div gn) AS DECIMAL(38,0)) * 100
+                     + (n + 100) * 5000) div ((n + 100) * 10000)""")
               .cast("double") / 1.0).as("smoothed_dollars"))
           .orderBy("cat")
       },
@@ -1621,13 +1631,14 @@ object Etl {
                   CAST(MAX(t) AS BIGINT) AS mx
            FROM o GROUP BY 1)
          SELECT cat, n,
-                CAST(((s - mx) * 100 + (n - 1) * 5000)
+                CAST((CAST(s - mx AS HUGEINT) * 100 + (n - 1) * 5000)
                      // ((n - 1) * 10000) AS DOUBLE)
                   AS loo_min_dollars,
-                CAST(((s - mn) * 100 + (n - 1) * 5000)
+                CAST((CAST(s - mn AS HUGEINT) * 100 + (n - 1) * 5000)
                      // ((n - 1) * 10000) AS DOUBLE)
                   AS loo_max_dollars,
-                CAST(((s + 100 * (SELECT gs // gn FROM g)) * 100
+                CAST((CAST(s + 100 * (SELECT gs // gn FROM g)
+                        AS HUGEINT) * 100
                       + (n + 100) * 5000) // ((n + 100) * 10000)
                   AS DOUBLE) AS smoothed_dollars
          FROM agg CROSS JOIN g ORDER BY cat"""),

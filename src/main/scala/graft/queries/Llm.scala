@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables._
 import graft.engine.ml.{Dedup, Similarity, Text}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** LLM training-data pipeline operators (SURVEY.md §2.10): dedup,
   * similarity search, text analysis, vector stats, multimodal features.
@@ -2644,13 +2645,17 @@ GROUP BY source ORDER BY source"""),
           .groupBy("w0", "doc_id").agg(count(lit(1)).as("c"))
         val nDocs = documents(s, d).agg(count(lit(1)).as("nd_all"))
         perDoc.groupBy("w0")
+          // nd_all·scc and sc² are corpus² — DECIMAL(38,0) operand
+          // casts (raw LONG sc·sc overflows at ~3e9 occurrences)
           .agg(count(lit(1)).as("n_docs_with"), sum("c").as("sc"),
-            sum(col("c") * col("c")).as("scc"))
+            sum(col("c").cast(DecimalType(38, 0)) * col("c")).as("scc"))
           .crossJoin(nDocs)
           .select(col("w0").as("word"), col("n_docs_with"),
             col("sc").as("total_count"),
-            (expr("""((nd_all * scc - sc * sc) * 1000000
-                      + (nd_all * sc) div 2) div (nd_all * sc)""")
+            (expr("""((nd_all * scc - CAST(sc AS DECIMAL(38,0)) * sc)
+                        * 1000000
+                      + (CAST(nd_all AS DECIMAL(38,0)) * sc) div 2)
+                     div (CAST(nd_all AS DECIMAL(38,0)) * sc)""")
               .cast("double") / 1000000.0).as("vmr"))
           .orderBy("word")
       },
@@ -2665,11 +2670,13 @@ GROUP BY source ORDER BY source"""),
                 FROM documents),
          m AS (SELECT w0, CAST(COUNT(*) AS BIGINT) AS n_docs_with,
                       CAST(SUM(c) AS BIGINT) AS sc,
-                      CAST(SUM(c * c) AS BIGINT) AS scc
+                      SUM(CAST(c AS HUGEINT) * c) AS scc
                FROM pd GROUP BY 1)
          SELECT w0 AS word, n_docs_with, sc AS total_count,
-                CAST(((nd_all * scc - sc * sc) * 1000000
-                      + (nd_all * sc) // 2) // (nd_all * sc)
+                CAST(((nd_all * scc - CAST(sc AS HUGEINT) * sc)
+                        * 1000000
+                      + (CAST(nd_all AS HUGEINT) * sc) // 2)
+                     // (CAST(nd_all AS HUGEINT) * sc)
                   AS DOUBLE) / 1000000.0 AS vmr
          FROM m, nd ORDER BY word"""),
 

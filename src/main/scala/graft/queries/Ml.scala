@@ -2272,13 +2272,19 @@ object Ml {
           .agg(count(lit(1)).as("c"),
             sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cp"))
         val w = Window.orderBy("sc").rowsBetween(Window.unboundedPreceding, -1)
+        // doubled-midrank × count products and n₊n₋ in DECIMAL(38,0):
+        // raw LONG (2·cb+c+1)·cp and np·nn are corpus² — they overflow
+        // at ~3e9 docs, exactly the scale the histogram form targets
         h.withColumn("cb", coalesce(sum("c").over(w), lit(0L)))
           .agg(sum("cp").as("np"),
             (sum("c") - sum("cp")).as("nn"),
-            sum((lit(2) * col("cb") + col("c") + 1) * col("cp")).as("r2"))
+            sum((lit(2) * col("cb") + col("c") + 1)
+              .cast(DecimalType(38, 0)) * col("cp")).as("r2"))
           .select(col("np").as("n_pos"), col("nn").as("n_neg"),
-            expr("""((r2 - np*(np+1)) * 1000000 + (2*np*nn) div 2)
-                    div (2*np*nn) / 1000000.0D""").as("auc"))
+            expr("""((r2 - CAST(np AS DECIMAL(38,0))*(np+1)) * 1000000
+                     + (2 * CAST(np AS DECIMAL(38,0)) * nn) div 2)
+                    div (2 * CAST(np AS DECIMAL(38,0)) * nn)
+                    / 1000000.0D""").as("auc"))
       },
       """WITH h AS (SELECT n_chars AS sc, count(*) AS c,
                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp
@@ -2289,11 +2295,12 @@ object Ml {
            FROM h),
          agg AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
                         CAST(sum(c) - sum(cp) AS BIGINT) AS nn,
-                        CAST(sum((2*cb + c + 1) * cp) AS BIGINT) AS r2
+                        sum((2*cb + c + 1) * CAST(cp AS HUGEINT)) AS r2
                  FROM cum)
          SELECT np AS n_pos, nn AS n_neg,
-                ((r2 - np*(np+1)) * 1000000 + (2*np*nn) // 2)
-                  // (2*np*nn) / 1000000.0 AS auc
+                ((r2 - CAST(np AS HUGEINT)*(np+1)) * 1000000
+                  + (2 * CAST(np AS HUGEINT) * nn) // 2)
+                  // (2 * CAST(np AS HUGEINT) * nn) / 1000000.0 AS auc
          FROM agg"""),
 
     // TWO-FEATURE OLS (normal equations, closed form) — extends
@@ -2433,9 +2440,12 @@ object Ml {
           .groupBy("decile")
           .agg(count(lit(1)).as("n_d"), sum("y").as("pos_d"),
             first("n").as("n"), first("p").as("p"))
+          // pos_d·n and n_d·p are corpus² products — DECIMAL(38,0)
+          // operand casts, not raw LONG (overflow at ~3e9 rows)
           .withColumn("lift",
-            expr("""(pos_d * n * 10000 + (n_d * p) div 2)
-                    div (n_d * p) / 10000.0D"""))
+            expr("""(CAST(pos_d AS DECIMAL(38,0)) * n * 10000
+                     + (CAST(n_d AS DECIMAL(38,0)) * p) div 2)
+                    div (CAST(n_d AS DECIMAL(38,0)) * p) / 10000.0D"""))
           .withColumn("cum_pos", sum("pos_d").over(
             Window.orderBy("decile")
               .rowsBetween(Window.unboundedPreceding, 0)))
@@ -2463,7 +2473,9 @@ object Ml {
                  CAST(sum(y) AS BIGINT) AS pos_d
            FROM rk CROSS JOIN tot GROUP BY 1)
          SELECT decile, n_d, pos_d,
-           (pos_d * n * 10000 + (n_d * p) // 2) // (n_d * p) / 10000.0
+           (CAST(pos_d AS HUGEINT) * n * 10000
+             + (CAST(n_d AS HUGEINT) * p) // 2)
+             // (CAST(n_d AS HUGEINT) * p) / 10000.0
              AS lift,
            (sum(pos_d) OVER (ORDER BY decile) * 10000 + p // 2) // p
              / 10000.0 AS cum_gain
@@ -2490,9 +2502,13 @@ object Ml {
           sum("tl").as("sum_tl"))
         per.crossJoin(broadcast(g))
           .select(
-            expr("CASE WHEN n_chars * n > sum_chars THEN 1 ELSE 0 END")
-              .as("ra"),
-            expr("""CASE WHEN letters * sum_tl > tl * sum_letters
+            // rating comparisons in DECIMAL(38,0): letters·sum_tl is
+            // per-doc length × CORPUS total chars — overflows LONG at
+            // ~1e4 docs of 1e5 chars, far below any real corpus
+            expr("""CASE WHEN CAST(n_chars AS DECIMAL(38,0)) * n
+                         > sum_chars THEN 1 ELSE 0 END""").as("ra"),
+            expr("""CASE WHEN CAST(letters AS DECIMAL(38,0)) * sum_tl
+                         > CAST(tl AS DECIMAL(38,0)) * sum_letters
                     THEN 1 ELSE 0 END""").as("rb"),
             col("n"))
           .agg(
@@ -2505,18 +2521,18 @@ object Ml {
             sum(expr("CASE WHEN ra = 0 AND rb = 0 THEN 1L ELSE 0L END"))
               .as("n00"),
             first("n").as("n"))
+          // n²-scale products in DECIMAL(38,0): raw LONG
+          // abs(po−pe)·1e4 overflows at ~9.6e8 docs
+          .withColumn("nn", expr("CAST(n AS DECIMAL(38,0)) * n"))
+          .withColumn("pe",
+            expr("""CAST(n11+n10 AS DECIMAL(38,0)) * (n11+n01)
+                    + CAST(n01+n00 AS DECIMAL(38,0)) * (n10+n00)"""))
+          .withColumn("po", expr("CAST(n11+n00 AS DECIMAL(38,0)) * n"))
           .select(col("n11"), col("n10"), col("n01"), col("n00"),
-            expr("""CASE WHEN (n * n) - ((n11+n10)*(n11+n01)
-                           + (n01+n00)*(n10+n00)) = 0 THEN NULL ELSE
-                      CAST((CASE WHEN (n11+n00)*n - ((n11+n10)*(n11+n01)
-                              + (n01+n00)*(n10+n00)) < 0
-                            THEN -1 ELSE 1 END) *
-                        ((abs((n11+n00)*n - ((n11+n10)*(n11+n01)
-                              + (n01+n00)*(n10+n00))) * 10000
-                          + ((n*n) - ((n11+n10)*(n11+n01)
-                              + (n01+n00)*(n10+n00))) div 2)
-                         div ((n*n) - ((n11+n10)*(n11+n01)
-                              + (n01+n00)*(n10+n00)))) AS DOUBLE) / 1e4
+            expr("""CASE WHEN nn - pe = 0 THEN NULL ELSE
+                      CAST((CASE WHEN po - pe < 0 THEN -1 ELSE 1 END) *
+                        ((abs(po - pe) * 10000 + (nn - pe) div 2)
+                         div (nn - pe)) AS DOUBLE) / 1e4
                     END""").as("kappa"))
       },
       """WITH per AS (SELECT doc_id, n_chars,
@@ -2529,8 +2545,10 @@ object Ml {
                       CAST(sum(letters) AS BIGINT) AS sum_letters,
                       CAST(sum(tl) AS BIGINT) AS sum_tl FROM per),
          r AS (SELECT
-             CASE WHEN n_chars * n > sum_chars THEN 1 ELSE 0 END AS ra,
-             CASE WHEN letters * sum_tl > tl * sum_letters
+             CASE WHEN CAST(n_chars AS HUGEINT) * n > sum_chars
+               THEN 1 ELSE 0 END AS ra,
+             CASE WHEN CAST(letters AS HUGEINT) * sum_tl
+                  > CAST(tl AS HUGEINT) * sum_letters
                THEN 1 ELSE 0 END AS rb, n
            FROM per CROSS JOIN g),
          cmat AS (SELECT
@@ -2543,21 +2561,20 @@ object Ml {
              CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
                AS BIGINT) AS n00,
              min(n) AS n
-           FROM r)
+           FROM r),
+         wide AS (SELECT n11, n10, n01, n00,
+             CAST(n AS HUGEINT) * n AS nn,
+             CAST(n11+n10 AS HUGEINT) * (n11+n01)
+               + CAST(n01+n00 AS HUGEINT) * (n10+n00) AS pe,
+             CAST(n11+n00 AS HUGEINT) * n AS po
+           FROM cmat)
          SELECT n11, n10, n01, n00,
-           CASE WHEN (n * n) - ((n11+n10)*(n11+n01)
-                  + (n01+n00)*(n10+n00)) = 0 THEN NULL ELSE
-             CAST((CASE WHEN (n11+n00)*n - ((n11+n10)*(n11+n01)
-                     + (n01+n00)*(n10+n00)) < 0
-                   THEN -1 ELSE 1 END) *
-               ((abs((n11+n00)*n - ((n11+n10)*(n11+n01)
-                     + (n01+n00)*(n10+n00))) * 10000
-                 + ((n*n) - ((n11+n10)*(n11+n01)
-                     + (n01+n00)*(n10+n00))) // 2)
-                // ((n*n) - ((n11+n10)*(n11+n01)
-                     + (n01+n00)*(n10+n00)))) AS DOUBLE) / 1e4
+           CASE WHEN nn - pe = 0 THEN NULL ELSE
+             CAST((CASE WHEN po - pe < 0 THEN -1 ELSE 1 END) *
+               ((abs(po - pe) * 10000 + (nn - pe) // 2)
+                // (nn - pe)) AS DOUBLE) / 1e4
            END AS kappa
-         FROM cmat"""),
+         FROM wide"""),
 
     // WEIGHT-OF-EVIDENCE / INFORMATION VALUE — the credit-scoring
     // binning audit: per fixed price band, WOE = ln(share_pos /
@@ -2637,17 +2654,22 @@ object Ml {
           .withColumn("cum_p", sum("cp").over(w))
           .withColumn("cum_n", sum("cn").over(w))
         val tot = cum.agg(max("cum_p").as("np"), max("cum_n").as("nn"))
+        // cum·n cross-products and n₊n₋ in DECIMAL(38,0) — raw LONG
+        // overflows at ~3e9 docs per class
         val gaps = cum.crossJoin(broadcast(tot))
-          .withColumn("gap", abs(col("cum_p") * col("nn") -
-            col("cum_n") * col("np")))
+          .withColumn("gap",
+            abs(col("cum_p").cast(DecimalType(38, 0)) * col("nn") -
+              col("cum_n").cast(DecimalType(38, 0)) * col("np")))
         val best = gaps.agg(max("gap").as("max_gap"))
         gaps.crossJoin(broadcast(best))
           .filter(col("gap") === col("max_gap"))
           .groupBy()
           .agg(min("sc").as("ks_at_score"),
             first("np").as("n_pos"), first("nn").as("n_neg"),
-            first(expr("""(max_gap * 1000000 + (np * nn) div 2)
-                          div (np * nn)""")).as("ks6"))
+            first(expr("""(max_gap * 1000000
+                           + (CAST(np AS DECIMAL(38,0)) * nn) div 2)
+                          div (CAST(np AS DECIMAL(38,0)) * nn)"""))
+              .as("ks6"))
           .select(col("ks_at_score"), col("n_pos"), col("n_neg"),
             expr("ks6 / 1000000.0D").as("ks"))
       },
@@ -2666,12 +2688,15 @@ object Ml {
          tot AS (SELECT CAST(max(cum_p) AS BIGINT) AS np,
                         CAST(max(cum_n) AS BIGINT) AS nn FROM cum),
          gaps AS (SELECT sc,
-             abs(cum_p * nn - cum_n * np) AS gap, np, nn
+             abs(CAST(cum_p AS HUGEINT) * nn
+                 - CAST(cum_n AS HUGEINT) * np) AS gap, np, nn
            FROM cum CROSS JOIN tot),
          best AS (SELECT max(gap) AS max_gap FROM gaps)
          SELECT min(sc) AS ks_at_score,
                 min(np) AS n_pos, min(nn) AS n_neg,
-                min((max_gap * 1000000 + (np * nn) // 2) // (np * nn))
+                min((max_gap * 1000000
+                     + (CAST(np AS HUGEINT) * nn) // 2)
+                    // (CAST(np AS HUGEINT) * nn))
                   / 1000000.0 AS ks
          FROM gaps CROSS JOIN best WHERE gap = max_gap"""),
 
@@ -2979,11 +3004,15 @@ object Ml {
         // chi2 is a RATIONAL of counts — ROUND(double) can tie at the
         // 1e-6 boundary and the engines round ties differently; the
         // exact half-up integer form (2p + q) div (2q) never does
+        // operand-widened products (DECIMAL(38,0) / HUGEINT): a raw
+        // LONG (|b-c|-1)^2*1e6 overflows at ~2.1e6 disagreements
         .select(col("b"), col("c"), (col("b") + col("c")).as("n_disagree"),
-          expr("""(2 * (abs(b - c) - 1) * (abs(b - c) - 1) * 1000000
+          expr("""(2 * (CAST(abs(b - c) AS DECIMAL(38,0)) - 1)
+                   * (abs(b - c) - 1) * 1000000
                    + (b + c)) div (2 * (b + c)) / 1000000.0D""")
             .as("chi2_cc"),
-          expr("""(abs(b - c) - 1) * (abs(b - c) - 1) * 1000
+          expr("""(CAST(abs(b - c) AS DECIMAL(38,0)) - 1)
+                   * (abs(b - c) - 1) * 1000
                    > 3841 * (b + c)""").as("significant_05")),
       """WITH p AS (
            SELECT (o_orderstatus = 'F') AS label,
@@ -2998,9 +3027,11 @@ object Ml {
            FROM p)
          SELECT CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
                 CAST(b + c AS BIGINT) AS n_disagree,
-                (2 * (abs(b - c) - 1) * (abs(b - c) - 1) * 1000000
+                (2 * (CAST(abs(b - c) AS HUGEINT) - 1)
+                  * (abs(b - c) - 1) * 1000000
                   + (b + c)) // (2 * (b + c)) / 1000000.0 AS chi2_cc,
-                ((abs(b - c) - 1) * (abs(b - c) - 1) * 1000
+                ((CAST(abs(b - c) AS HUGEINT) - 1)
+                  * (abs(b - c) - 1) * 1000
                   > 3841 * (b + c)) AS significant_05
          FROM bc"""),
 

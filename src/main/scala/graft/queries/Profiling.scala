@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Data-QA / pipeline-utility operators: pivot, deterministic sampling,
   * profiling. These extend the reference's utilities role (a data
@@ -1110,10 +1111,13 @@ object Profiling {
             sum(col("c")).as("n"),
             max(col("c")).as("top_c"))
           .select(col("col_name"), col("ndv"),
-            (expr("(top_c * 1000000L + n div 2) div n")
+            // top_c is a corpus row count — × 1e6 in DECIMAL(38,0)
+            (expr("""(CAST(top_c AS DECIMAL(38,0)) * 1000000
+                     + n div 2) div n""")
               .cast("double") / 10000.0).as("top_share_pct"),
             (col("ndv") === 1).as("is_constant"),
-            (expr("(top_c * 1000000L + n div 2) div n") >= 990000L)
+            (expr("""(CAST(top_c AS DECIMAL(38,0)) * 1000000
+                     + n div 2) div n""") >= 990000L)
               .as("near_constant"))
           .orderBy("col_name")
       },
@@ -1131,10 +1135,12 @@ object Profiling {
                   MAX(c) AS top_c
            FROM counts GROUP BY 1)
          SELECT col_name, CAST(ndv AS BIGINT) AS ndv,
-                CAST((top_c * 1000000 + n // 2) // n AS DOUBLE)
+                CAST((CAST(top_c AS HUGEINT) * 1000000 + n // 2) // n
+                  AS DOUBLE)
                   / 10000.0 AS top_share_pct,
                 ndv = 1 AS is_constant,
-                (top_c * 1000000 + n // 2) // n >= 990000
+                (CAST(top_c AS HUGEINT) * 1000000 + n // 2) // n
+                  >= 990000
                   AS near_constant
          FROM agg ORDER BY col_name"""),
 
@@ -1326,11 +1332,16 @@ object Profiling {
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("c"))
         .groupBy("source")
-        .agg(sum("c").as("n"), sum(col("c") * col("c")).as("s2"),
+        // operand-widened products: raw LONG (N²−Σn²)·1e6 overflows
+        // at ~3e6 docs per source
+        .agg(sum("c").as("n"),
+          sum(col("c").cast(DecimalType(38, 0)) * col("c")).as("s2"),
           max("c").as("cmax"),
           count(lit(1)).as("n_langs"))
         .select(col("source"), col("n").as("n_docs"), col("n_langs"),
-          expr("""((n*n - s2) * 1000000 + (n*n) div 2) div (n*n)
+          expr("""((CAST(n AS DECIMAL(38,0))*n - s2) * 1000000
+                   + (CAST(n AS DECIMAL(38,0))*n) div 2)
+                  div (CAST(n AS DECIMAL(38,0))*n)
                   / 1000000.0D""").as("gini_impurity"),
           expr("(cmax * 10000 + n div 2) div n / 10000.0D")
             .as("majority_share"))
@@ -1338,12 +1349,13 @@ object Profiling {
       """WITH sl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
            FROM documents GROUP BY 1, 2),
          g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
-                      CAST(sum(c*c) AS BIGINT) AS s2,
+                      sum(CAST(c AS HUGEINT) * c) AS s2,
                       CAST(max(c) AS BIGINT) AS cmax,
                       CAST(count(*) AS BIGINT) AS n_langs
                FROM sl GROUP BY 1)
          SELECT source, n AS n_docs, n_langs,
-                ((n*n - s2) * 1000000 + (n*n) // 2) // (n*n)
+                ((CAST(n AS HUGEINT)*n - s2) * 1000000
+                  + (CAST(n AS HUGEINT)*n) // 2) // (CAST(n AS HUGEINT)*n)
                   / 1000000.0 AS gini_impurity,
                 (cmax * 10000 + n // 2) // n / 10000.0 AS majority_share
          FROM g ORDER BY source"""),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, LeftAnti, LeftSemi}
 import org.apache.spark.sql.execution.{CollectLimitExec, GenerateExec, GlobalLimitExec, LeafExecNode, LocalTableScanExec, RangeExec, SparkPlan, TakeOrderedAndProjectExec, UnaryExecNode, UnionExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.joins.{BaseJoinExec, CartesianProductExec}
-import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec, Final => FinalMode}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The permanent unpartitioned-window census (round-8 ran this as a
@@ -139,8 +139,11 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     case _: GlobalLimitExec           => true
     case _: CollectLimitExec          => true
     case _: LocalTableScanExec        => true // literal rows
-    case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
-      true // global top-k pushdown
+    case w: WindowGroupLimitExec
+        if w.partitionSpec.isEmpty && w.mode == FinalMode =>
+      true // global top-k pushdown; Partial mode bounds per upstream
+           // partition only (k x #partitions, data-scaled) — same
+           // loophole class as the dropped LocalLimit marker
     case j: BaseJoinExec => j.joinType match {
       case LeftSemi | LeftAnti | _: ExistenceJoin => boundedOnPath(j.left)
       case _ => boundedOnPath(j.left) && boundedOnPath(j.right)

@@ -46,8 +46,15 @@ def key_files():
 
 
 def git(*args):
-    return subprocess.run(["git"] + list(args), capture_output=True,
-                          text=True).stdout.strip()
+    """Run git; return stdout, or None on failure (never mistake a
+    failed diff for 'file unchanged')."""
+    p = subprocess.run(["git"] + list(args), capture_output=True,
+                       text=True)
+    if p.returncode != 0:
+        print(f"git {' '.join(args)} failed: {p.stderr.strip()}",
+              file=sys.stderr)
+        return None
+    return p.stdout.strip()
 
 
 def main():
@@ -67,14 +74,25 @@ def main():
     since = args.since or git("log", "-1", "--format=%H", "--", args.base)
     files = key_files()
 
-    flagged, investigate = [], []
+    flagged, investigate, no_ref = [], [], []
     for k, t in sorted(new.items(), key=lambda kv: -kv[1]):
         r = ref.get(k)
-        if r is None or r <= 0.05 or t <= args.threshold * r:
+        if r is None or r <= 0.05:
+            # no usable reference — NEVER drop silently: a new slow
+            # key (or one that blew past a sub-floor reference) is
+            # exactly what this tool exists to surface
+            if t > 1.0:
+                no_ref.append((k, t, r))
+                investigate.append(k)
+            continue
+        if t <= args.threshold * r:
             continue
         f = files.get(k)
-        changed = bool(git("diff", "--name-only", f"{since}..HEAD",
-                           "--", f)) if (f and since) else None
+        if f and since:
+            d = git("diff", "--name-only", f"{since}..HEAD", "--", f)
+            changed = None if d is None else bool(d)
+        else:
+            changed = None
         flagged.append((k, t, r, f, changed))
         if changed is not False:
             investigate.append(k)
@@ -84,7 +102,11 @@ def main():
     print(f"total: {total_new:.1f}s new vs {total_ref:.1f}s reference "
           f"({len(new)} keys, threshold {args.threshold}x, "
           f"since {since[:12] if since else '?'})")
-    if not flagged:
+    for k, t, r in no_ref:
+        print(f"  {k}: no usable reference "
+              f"({'absent' if r is None else f'{r:.2f}s <= floor'}) "
+              f"-> {t:.2f}s  INVESTIGATE (new or blown-past-floor key)")
+    if not flagged and not no_ref:
         print("no key above threshold — clean")
         return 0
     for k, t, r, f, changed in flagged:
@@ -92,7 +114,7 @@ def main():
                    if changed else
                    "noise (code untouched since rev)"
                    if changed is False else
-                   "INVESTIGATE (no source site found)")
+                   "INVESTIGATE (git check failed or no source site)")
         print(f"  {k}: {r:.2f}s -> {t:.2f}s ({t/r:.2f}x)  [{f}]  "
               f"{verdict}")
     return 1 if investigate else 0

@@ -23,7 +23,10 @@ def bench_queries(path):
 
 
 def main():
-    paths = sys.argv[1:] or sorted(glob.glob("BENCH_r*.json"))[-1:]
+    # numeric round sort — lexicographic picks r99 over r100
+    paths = sys.argv[1:] or sorted(
+        glob.glob("BENCH_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)))[-1:]
     if not paths:
         print("no BENCH_r*.json found", file=sys.stderr)
         return 2
