@@ -74,14 +74,18 @@ def main():
     since = args.since or git("log", "-1", "--format=%H", "--", args.base)
     files = key_files()
 
+    # A key absent from the reference is only suspicious if its new
+    # time would have PLACED in that reference (driver BENCH files
+    # are top-20-truncated): below min(ref) it simply wasn't recorded.
+    placing = max(1.0, min(ref.values(), default=1.0))
     flagged, investigate, no_ref = [], [], []
     for k, t in sorted(new.items(), key=lambda kv: -kv[1]):
         r = ref.get(k)
         if r is None or r <= 0.05:
-            # no usable reference — NEVER drop silently: a new slow
-            # key (or one that blew past a sub-floor reference) is
-            # exactly what this tool exists to surface
-            if t > 1.0:
+            # no usable reference — never drop silently: a new slow
+            # key that would have placed in the reference is exactly
+            # what this tool exists to surface
+            if t > placing:
                 no_ref.append((k, t, r))
                 investigate.append(k)
             continue
