@@ -3545,5 +3545,209 @@ object Analytics {
            FROM st, vt)
          SELECT s_total, var_s, z, (abs(z) > 1.96) AS trend_05
          FROM z"""),
+
+    // AUGMENTED DICKEY–FULLER (one lag) unit-root test on the daily
+    // revenue series — the stationarity test with the OPPOSITE null
+    // to time_kpss (ADF H0: unit root; KPSS H0: stationary — run
+    // both, read the quadrant). Δy_t regressed on y_{t−1} and Δy_{t−1}
+    // by the ml_ols_multi closed form: exact DECIMAL(38,0) cent
+    // moments off the calendar-bounded day relation, centered normal
+    // equations and the t-statistic evaluated as the IDENTICAL double
+    // expression on both engines. Lags run over the day grain
+    // (census: calendar-grain series).
+    Q("time_adf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("y"))
+        val w = Window.orderBy("day")
+        val ser = daily
+          .withColumn("ylag", lag("y", 1).over(w))
+          .withColumn("dy", col("y") - col("ylag"))
+          .withColumn("dylag", lag("dy", 1).over(w))
+          .filter(col("dylag").isNotNull)
+        val xd = col("ylag").cast(DecimalType(38, 0))
+        val zd = col("dylag").cast(DecimalType(38, 0))
+        val rd = col("dy").cast(DecimalType(38, 0))
+        ser.agg(
+            count(lit(1)).as("n"),
+            sum("ylag").as("sx"), sum("dylag").as("sz"),
+            sum("dy").as("sr"),
+            sum(xd * col("ylag")).as("sxx"),
+            sum(zd * col("dylag")).as("szz"),
+            sum(rd * col("dy")).as("srr"),
+            sum(xd * col("dylag")).as("sxz"),
+            sum(xd * col("dy")).as("sxr"),
+            sum(zd * col("dy")).as("szr"))
+          .selectExpr("n",
+            "CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n AS cxx",
+            "CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)*sz/n AS czz",
+            "CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)*sr/n AS crr",
+            "CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE)*sz/n AS cxz",
+            "CAST(sxr AS DOUBLE) - CAST(sx AS DOUBLE)*sr/n AS cxr",
+            "CAST(szr AS DOUBLE) - CAST(sz AS DOUBLE)*sr/n AS czr")
+          .selectExpr("n", "cxx", "czz", "crr", "cxr", "czr",
+            "cxx*czz - cxz*cxz AS det",
+            "(czz*cxr - cxz*czr) / (cxx*czz - cxz*cxz) AS rho",
+            "(cxx*czr - cxz*cxr) / (cxx*czz - cxz*cxz) AS phi")
+          .selectExpr("n AS n_obs",
+            "ROUND(rho, 6) + 0.0D AS rho",
+            """ROUND(rho / sqrt(((crr - rho*cxr - phi*czr) / (n - 3))
+                 * czz / det), 4) + 0.0D AS adf_t""",
+            """rho / sqrt(((crr - rho*cxr - phi*czr) / (n - 3))
+                 * czz / det) < -2.86D AS stationary_05""")
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))*100)
+                    AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         ser0 AS (
+           SELECT day, y,
+                  LAG(y, 1) OVER (ORDER BY day) AS ylag
+           FROM daily),
+         ser1 AS (
+           SELECT day, y, ylag, y - ylag AS dy,
+                  LAG(y - ylag, 1) OVER (ORDER BY day) AS dylag
+           FROM ser0),
+         ser AS (SELECT ylag, dy, dylag FROM ser1
+                 WHERE dylag IS NOT NULL),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ylag) AS BIGINT) AS sx,
+                 CAST(SUM(dylag) AS BIGINT) AS sz,
+                 CAST(SUM(dy) AS BIGINT) AS sr,
+                 SUM(CAST(ylag AS HUGEINT) * ylag) AS sxx,
+                 SUM(CAST(dylag AS HUGEINT) * dylag) AS szz,
+                 SUM(CAST(dy AS HUGEINT) * dy) AS srr,
+                 SUM(CAST(ylag AS HUGEINT) * dylag) AS sxz,
+                 SUM(CAST(ylag AS HUGEINT) * dy) AS sxr,
+                 SUM(CAST(dylag AS HUGEINT) * dy) AS szr
+               FROM ser),
+         c AS (SELECT n,
+                 CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n AS cxx,
+                 CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)*sz/n AS czz,
+                 CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)*sr/n AS crr,
+                 CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE)*sz/n AS cxz,
+                 CAST(sxr AS DOUBLE) - CAST(sx AS DOUBLE)*sr/n AS cxr,
+                 CAST(szr AS DOUBLE) - CAST(sz AS DOUBLE)*sr/n AS czr
+               FROM m),
+         f AS (SELECT n, cxx, czz, crr, cxr, czr,
+                 cxx*czz - cxz*cxz AS det,
+                 (czz*cxr - cxz*czr) / (cxx*czz - cxz*cxz) AS rho,
+                 (cxx*czr - cxz*cxr) / (cxx*czz - cxz*cxz) AS phi
+               FROM c)
+         SELECT n AS n_obs,
+                ROUND(rho, 6) + 0.0 AS rho,
+                ROUND(rho / sqrt(((crr - rho*cxr - phi*czr) / (n - 3))
+                  * czz / det), 4) + 0.0 AS adf_t,
+                rho / sqrt(((crr - rho*cxr - phi*czr) / (n - 3))
+                  * czz / det) < -2.86 AS stationary_05
+         FROM f"""),
+
+    // PERMUTATION ENTROPY (Bandt–Pompe, m=3) of the daily revenue
+    // series — the model-free complexity gauge next to
+    // time_runs_test/time_hurst_rs: classify every consecutive
+    // day-triple into one of 6 ordinal patterns (ties resolved to the
+    // earlier day, the standard convention) with exact integer
+    // comparisons, then H = −Σ p·ln p / ln 6. The 6 pattern counts
+    // are PIVOTED into one row so the entropy expression is a FIXED
+    // left-to-right sum of named terms — no engine-ordered float
+    // accumulation (the trap every other entropy key dodges with
+    // per-term rounding). Windows run over the day grain.
+    Q("time_permutation_entropy",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("c"))
+        val w = Window.orderBy("day")
+        val tri = daily
+          .withColumn("b", lag("c", 1).over(w))
+          .withColumn("a", lag("c", 2).over(w))
+          .filter(col("a").isNotNull)
+        val pat = tri.select(expr(
+          """CASE WHEN a <= b AND b <= c THEN 0
+                  WHEN a <= b AND a <= c THEN 1
+                  WHEN a <= b THEN 2
+                  WHEN a <= c THEN 3
+                  WHEN b <= c THEN 4
+                  ELSE 5 END""").as("p"))
+        pat.agg(
+            count(lit(1)).as("n"),
+            sum(when(col("p") === 0, 1L).otherwise(0L)).as("c0"),
+            sum(when(col("p") === 1, 1L).otherwise(0L)).as("c1"),
+            sum(when(col("p") === 2, 1L).otherwise(0L)).as("c2"),
+            sum(when(col("p") === 3, 1L).otherwise(0L)).as("c3"),
+            sum(when(col("p") === 4, 1L).otherwise(0L)).as("c4"),
+            sum(when(col("p") === 5, 1L).otherwise(0L)).as("c5"))
+          .selectExpr("n", "c0", "c1", "c2", "c3", "c4", "c5",
+            """ROUND(-(
+                 CASE WHEN c0 > 0 THEN (CAST(c0 AS DOUBLE)/n)
+                   * ln(CAST(c0 AS DOUBLE)/n) ELSE 0.0D END
+               + CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE)/n)
+                   * ln(CAST(c1 AS DOUBLE)/n) ELSE 0.0D END
+               + CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE)/n)
+                   * ln(CAST(c2 AS DOUBLE)/n) ELSE 0.0D END
+               + CASE WHEN c3 > 0 THEN (CAST(c3 AS DOUBLE)/n)
+                   * ln(CAST(c3 AS DOUBLE)/n) ELSE 0.0D END
+               + CASE WHEN c4 > 0 THEN (CAST(c4 AS DOUBLE)/n)
+                   * ln(CAST(c4 AS DOUBLE)/n) ELSE 0.0D END
+               + CASE WHEN c5 > 0 THEN (CAST(c5 AS DOUBLE)/n)
+                   * ln(CAST(c5 AS DOUBLE)/n) ELSE 0.0D END
+               ) / ln(6.0D), 6) + 0.0D AS perm_entropy""")
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))*100)
+                    AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+         tri AS (
+           SELECT c,
+                  LAG(c, 1) OVER (ORDER BY day) AS b,
+                  LAG(c, 2) OVER (ORDER BY day) AS a
+           FROM daily),
+         pat AS (
+           SELECT CASE WHEN a <= b AND b <= c THEN 0
+                       WHEN a <= b AND a <= c THEN 1
+                       WHEN a <= b THEN 2
+                       WHEN a <= c THEN 3
+                       WHEN b <= c THEN 4
+                       ELSE 5 END AS p
+           FROM tri WHERE a IS NOT NULL),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c0,
+             CAST(SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(SUM(CASE WHEN p = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2,
+             CAST(SUM(CASE WHEN p = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c3,
+             CAST(SUM(CASE WHEN p = 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c4,
+             CAST(SUM(CASE WHEN p = 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c5
+           FROM pat)
+         SELECT n, c0, c1, c2, c3, c4, c5,
+                ROUND(-(
+                  CASE WHEN c0 > 0 THEN (CAST(c0 AS DOUBLE)/n)
+                    * ln(CAST(c0 AS DOUBLE)/n) ELSE 0.0 END
+                + CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE)/n)
+                    * ln(CAST(c1 AS DOUBLE)/n) ELSE 0.0 END
+                + CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE)/n)
+                    * ln(CAST(c2 AS DOUBLE)/n) ELSE 0.0 END
+                + CASE WHEN c3 > 0 THEN (CAST(c3 AS DOUBLE)/n)
+                    * ln(CAST(c3 AS DOUBLE)/n) ELSE 0.0 END
+                + CASE WHEN c4 > 0 THEN (CAST(c4 AS DOUBLE)/n)
+                    * ln(CAST(c4 AS DOUBLE)/n) ELSE 0.0 END
+                + CASE WHEN c5 > 0 THEN (CAST(c5 AS DOUBLE)/n)
+                    * ln(CAST(c5 AS DOUBLE)/n) ELSE 0.0 END
+                ) / ln(6.0), 6) + 0.0 AS perm_entropy
+         FROM m"""),
   )
 }

@@ -3230,5 +3230,144 @@ object Behavior {
                   / (CAST(s AS DOUBLE) / (n0 + n1)), 6)
                 + 0.0 AS mde_rel
          FROM m"""),
+
+    // SEQUENTIAL PROBABILITY RATIO TEST (Wald SPRT) on the treatment
+    // arm's user-conversion rate — the always-valid monitoring view
+    // the fixed-horizon ab family can't give ("when could we have
+    // stopped?"): per entry day, cumulative users/converters and the
+    // binomial log-likelihood ratio for H1: p=.10 vs H0: p=.08, with
+    // the Wald boundaries at alpha=.05 / beta=.20. LLR = k·ln(p1/p0)
+    // + (n−k)·ln((1−p1)/(1−p0)) — exact BIGINT cumulative counts
+    // times the SAME literal libm constants on both engines, so the
+    // doubles are bit-identical; the decision compares UNrounded.
+    // One user aggregate + day-grain rollup + a cumulative window
+    // over the calendar-bounded day relation (census: day grain).
+    Q("ab_sequential_sprt",
+      (s, d) => {
+        val pu = events(s, d).groupBy("user_id")
+          .agg(min(col("ts").cast("date")).as("day"),
+            max(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("conv"))
+          .filter(col("user_id") % 2 === 1)
+        val daily = pu.groupBy("day")
+          .agg(count(lit(1)).as("n_d"), sum("conv").as("k_d"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily
+          .withColumn("n", sum("n_d").over(w))
+          .withColumn("k", sum("k_d").over(w))
+          .select(col("day"), col("n"), col("k"),
+            (round(expr("""k * ln(0.10/0.08)
+                           + (n - k) * ln(0.90/0.92)"""), 6) + lit(0.0))
+              .as("llr"),
+            expr("""CASE WHEN k * ln(0.10/0.08)
+                           + (n - k) * ln(0.90/0.92) >= ln(0.80/0.05)
+                         THEN 'accept_h1'
+                         WHEN k * ln(0.10/0.08)
+                           + (n - k) * ln(0.90/0.92) <= ln(0.20/0.95)
+                         THEN 'accept_h0'
+                         ELSE 'continue' END""").as("decision"))
+          .orderBy("day")
+      },
+      """WITH pu AS (
+           SELECT user_id, MIN(CAST(ts AS DATE)) AS day,
+                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS conv
+           FROM events GROUP BY 1),
+         daily AS (
+           SELECT day, COUNT(*) AS n_d, SUM(conv) AS k_d
+           FROM pu WHERE user_id % 2 = 1 GROUP BY 1),
+         cum AS (
+           SELECT day,
+                  CAST(SUM(n_d) OVER (ORDER BY day) AS BIGINT) AS n,
+                  CAST(SUM(k_d) OVER (ORDER BY day) AS BIGINT) AS k
+           FROM daily)
+         SELECT day, n, k,
+                ROUND(k * ln(0.10/0.08)
+                      + (n - k) * ln(0.90/0.92), 6) + 0.0 AS llr,
+                CASE WHEN k * ln(0.10/0.08)
+                       + (n - k) * ln(0.90/0.92) >= ln(0.80/0.05)
+                     THEN 'accept_h1'
+                     WHEN k * ln(0.10/0.08)
+                       + (n - k) * ln(0.90/0.92) <= ln(0.20/0.95)
+                     THEN 'accept_h0'
+                     ELSE 'continue' END AS decision
+         FROM cum ORDER BY day"""),
+
+    // COCHRAN–MANTEL–HAENSZEL stratified odds ratio — the pooled
+    // treatment-effect estimate that survives Simpson's paradox where
+    // ab_odds_ratio's single 2×2 does not: per stratum (order
+    // priority) a 2×2 of arm × high-value outcome, per-stratum OR,
+    // and the CMH pooled OR = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ). The CMH terms
+    // are exact 1e-6-unit integers ((a·d·1e6 + n div 2) div n with
+    // the product in DECIMAL(38,0)), so the two sums are order-free
+    // BIGINTs and the final ratio is one double division — no
+    // engine-ordered float accumulation anywhere. One corpus pass to
+    // a ≤|priorities| relation.
+    Q("ab_stratified_cmh",
+      (s, d) => {
+        val t = orders(s, d).select(
+          col("o_orderpriority").as("stratum"),
+          (col("o_custkey") % 2).as("arm"),
+          (col("o_totalprice") > 150000.0).as("pos"))
+        val m = t.groupBy("stratum").agg(
+          sum(when(col("arm") === 1 && col("pos"), 1L).otherwise(0L))
+            .as("a"),
+          sum(when(col("arm") === 1 && !col("pos"), 1L).otherwise(0L))
+            .as("b"),
+          sum(when(col("arm") === 0 && col("pos"), 1L).otherwise(0L))
+            .as("c"),
+          sum(when(col("arm") === 0 && !col("pos"), 1L).otherwise(0L))
+            .as("dd"))
+          .withColumn("n", expr("a + b + c + dd"))
+          .withColumn("ad6",
+            expr("""(CAST(a AS DECIMAL(38,0)) * dd * 1000000
+                     + n div 2) div n"""))
+          .withColumn("bc6",
+            expr("""(CAST(b AS DECIMAL(38,0)) * c * 1000000
+                     + n div 2) div n"""))
+        val tot = m.agg(sum("ad6").as("sad6"), sum("bc6").as("sbc6"))
+        m.crossJoin(broadcast(tot))
+          .select(col("stratum"), col("a"), col("b"), col("c"),
+            col("dd").as("d"),
+            expr("""CASE WHEN b = 0 OR c = 0 THEN NULL ELSE
+                      ROUND(CAST(a AS DOUBLE) * dd
+                            / (CAST(b AS DOUBLE) * c), 6) + 0.0
+                    END""").as("or_stratum"),
+            (round(expr("CAST(sad6 AS DOUBLE) / CAST(sbc6 AS DOUBLE)"),
+              6) + lit(0.0)).as("cmh_or"))
+          .orderBy("stratum")
+      },
+      """WITH t AS (
+           SELECT o_orderpriority AS stratum, o_custkey % 2 AS arm,
+                  o_totalprice > 150000.0 AS pos
+           FROM orders),
+         m AS (
+           SELECT stratum,
+             CAST(SUM(CASE WHEN arm = 1 AND pos THEN 1 ELSE 0 END)
+               AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN arm = 1 AND NOT pos THEN 1 ELSE 0 END)
+               AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN arm = 0 AND pos THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN arm = 0 AND NOT pos THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+           FROM t GROUP BY 1),
+         w AS (
+           SELECT stratum, a, b, c, d, a + b + c + d AS n,
+             (CAST(a AS HUGEINT) * d * 1000000
+               + (a + b + c + d) // 2) // (a + b + c + d) AS ad6,
+             (CAST(b AS HUGEINT) * c * 1000000
+               + (a + b + c + d) // 2) // (a + b + c + d) AS bc6
+           FROM m),
+         tot AS (SELECT SUM(ad6) AS sad6, SUM(bc6) AS sbc6 FROM w)
+         SELECT stratum, a, b, c, d,
+                CASE WHEN b = 0 OR c = 0 THEN NULL ELSE
+                  ROUND(CAST(a AS DOUBLE) * d
+                        / (CAST(b AS DOUBLE) * c), 6) + 0.0
+                END AS or_stratum,
+                ROUND(CAST(sad6 AS DOUBLE) / CAST(sbc6 AS DOUBLE), 6)
+                  + 0.0 AS cmh_or
+         FROM w CROSS JOIN tot ORDER BY stratum"""),
   )
 }

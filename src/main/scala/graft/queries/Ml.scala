@@ -3350,6 +3350,184 @@ object Ml {
                 ROUND(SUM(-pv * ln(pv) / ln(2.0)), 6) AS split_info,
                 ROUND((MAX(hy) - SUM(pv * hv))
                   / SUM(-pv * ln(pv) / ln(2.0)), 6) AS gain_ratio
-         FROM terms GROUP BY 1 ORDER BY gain_ratio DESC, feature""")
+         FROM terms GROUP BY 1 ORDER BY gain_ratio DESC, feature"""),
+
+    // MULTICLASS CONFUSION MATRIX + per-class precision/recall/F1 —
+    // the 3-class generalization of the binary screens (ml_mcnemar /
+    // quality_kappa judge agreement; this judges a single classifier
+    // against truth per class). Truth = priority tier, prediction =
+    // price band; the confusion relation is ≤|classes|² rows off one
+    // corpus aggregate, and every rate is an exact 1e-6-unit integer
+    // division (F1 composed from the integer precision/recall units,
+    // so no float ratio-of-ratios can tie at the ROUND boundary).
+    Q("ml_confusion_multi",
+      (s, d) => {
+        val t = orders(s, d).select(
+          expr("""CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 'high'
+                       WHEN o_orderpriority = '3-MEDIUM' THEN 'med'
+                       ELSE 'low' END""").as("truth"),
+          expr("""CASE WHEN o_totalprice >= 150000.0 THEN 'high'
+                       WHEN o_totalprice >= 60000.0 THEN 'med'
+                       ELSE 'low' END""").as("pred"))
+        val cm = t.groupBy("truth", "pred").agg(count(lit(1)).as("c"))
+        val tp = cm.filter(col("truth") === col("pred"))
+          .select(col("truth").as("cls"), col("c").as("tp"))
+        val rows = cm.groupBy(col("truth").as("cls"))
+          .agg(sum("c").as("support"))
+        val cols = cm.groupBy(col("pred").as("cls"))
+          .agg(sum("c").as("predicted"))
+        rows.join(tp, Seq("cls"), "left")
+          .join(cols, Seq("cls"), "left")
+          .select(col("cls"), coalesce(col("tp"), lit(0L)).as("tp"),
+            col("support"), coalesce(col("predicted"), lit(0L))
+              .as("predicted"))
+          .withColumn("p6",
+            expr("""CASE WHEN predicted = 0 THEN NULL ELSE
+                    (CAST(tp AS DECIMAL(38,0)) * 1000000
+                     + predicted div 2) div predicted END"""))
+          .withColumn("r6",
+            expr("""(CAST(tp AS DECIMAL(38,0)) * 1000000
+                    + support div 2) div support"""))
+          .select(col("cls"), col("tp"),
+            (col("support") - col("tp")).as("fn"),
+            (col("predicted") - col("tp")).as("fp"),
+            col("support"),
+            expr("p6 / 1000000.0D").as("precision"),
+            expr("r6 / 1000000.0D").as("recall"),
+            expr("""CASE WHEN p6 IS NULL OR p6 + r6 = 0 THEN NULL ELSE
+                    (2 * CAST(p6 AS DECIMAL(38,0)) * r6
+                     + (p6 + r6) div 2) div (p6 + r6) / 1000000.0D
+                    END""").as("f1"))
+          .orderBy("cls")
+      },
+      """WITH t AS (
+           SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 'high'
+                       WHEN o_orderpriority = '3-MEDIUM' THEN 'med'
+                       ELSE 'low' END AS truth,
+                  CASE WHEN o_totalprice >= 150000.0 THEN 'high'
+                       WHEN o_totalprice >= 60000.0 THEN 'med'
+                       ELSE 'low' END AS pred
+           FROM orders),
+         cm AS (SELECT truth, pred, CAST(COUNT(*) AS BIGINT) AS c
+                FROM t GROUP BY 1, 2),
+         tp AS (SELECT truth AS cls, c AS tp FROM cm
+                WHERE truth = pred),
+         r AS (SELECT truth AS cls, CAST(SUM(c) AS BIGINT) AS support
+               FROM cm GROUP BY 1),
+         k AS (SELECT pred AS cls, CAST(SUM(c) AS BIGINT) AS predicted
+               FROM cm GROUP BY 1),
+         j AS (SELECT r.cls, COALESCE(tp.tp, 0) AS tp, r.support,
+                      COALESCE(k.predicted, 0) AS predicted
+               FROM r LEFT JOIN tp ON tp.cls = r.cls
+                      LEFT JOIN k ON k.cls = r.cls),
+         u AS (SELECT cls, tp, support, predicted,
+                 CASE WHEN predicted = 0 THEN NULL ELSE
+                   (CAST(tp AS HUGEINT) * 1000000 + predicted // 2)
+                     // predicted END AS p6,
+                 (CAST(tp AS HUGEINT) * 1000000 + support // 2)
+                   // support AS r6
+               FROM j)
+         SELECT cls, tp, support - tp AS fn, predicted - tp AS fp,
+                support,
+                p6 / 1000000.0 AS precision,
+                r6 / 1000000.0 AS recall,
+                CASE WHEN p6 IS NULL OR p6 + r6 = 0 THEN NULL ELSE
+                  (2 * CAST(p6 AS HUGEINT) * r6 + (p6 + r6) // 2)
+                    // (p6 + r6) / 1000000.0
+                END AS f1
+         FROM u ORDER BY cls"""),
+
+    // VARIANCE INFLATION FACTORS for the 3-feature lineitem design
+    // (quantity, discount, tax) — the collinearity screen run before
+    // trusting ml_ols_multi's coefficients: VIFᵢ = (1 − r²ⱼₖ)/det(R)
+    // with det(R) = 1 − r²₁₂ − r²₁₃ − r²₂₃ + 2·r₁₂r₁₃r₂₃. The three
+    // Pearson r's come from decimal-pinned exact moments (the
+    // ml_ols_multi discipline — never the engines' own float corr
+    // accumulation order), so every double on both sides derives from
+    // identical exact integers and the closed form is bit-identical.
+    // One corpus aggregate, one row out.
+    Q("ml_feature_vif",
+      (s, d) => lineitem(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("sx"),
+          expr("CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)")
+            .as("sz"),
+          expr("CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE)")
+            .as("sw"),
+          expr("CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))" +
+            " AS DOUBLE)").as("sxx"),
+          expr("CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,8)))" +
+            " AS DOUBLE)").as("szz"),
+          expr("CAST(sum(CAST(l_tax * l_tax AS DECIMAL(28,8)))" +
+            " AS DOUBLE)").as("sww"),
+          expr("CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,6)))" +
+            " AS DOUBLE)").as("sxz"),
+          expr("CAST(sum(CAST(l_quantity * l_tax AS DECIMAL(28,6)))" +
+            " AS DOUBLE)").as("sxw"),
+          expr("CAST(sum(CAST(l_discount * l_tax AS DECIMAL(28,8)))" +
+            " AS DOUBLE)").as("szw"))
+        .selectExpr("n",
+          """(sxz - sx*sz/n) / sqrt((sxx - sx*sx/n)*(szz - sz*sz/n))
+             AS r12""",
+          """(sxw - sx*sw/n) / sqrt((sxx - sx*sx/n)*(sww - sw*sw/n))
+             AS r13""",
+          """(szw - sz*sw/n) / sqrt((szz - sz*sz/n)*(sww - sw*sw/n))
+             AS r23""")
+        .selectExpr("n",
+          "ROUND(r12, 6) + 0.0D AS r_qty_disc",
+          "ROUND(r13, 6) + 0.0D AS r_qty_tax",
+          "ROUND(r23, 6) + 0.0D AS r_disc_tax",
+          """ROUND((1.0D - r23*r23) /
+               (1.0D - r12*r12 - r13*r13 - r23*r23
+                + 2.0D*r12*r13*r23), 4) + 0.0D AS vif_quantity""",
+          """ROUND((1.0D - r13*r13) /
+               (1.0D - r12*r12 - r13*r13 - r23*r23
+                + 2.0D*r12*r13*r23), 4) + 0.0D AS vif_discount""",
+          """ROUND((1.0D - r12*r12) /
+               (1.0D - r12*r12 - r13*r13 - r23*r23
+                + 2.0D*r12*r13*r23), 4) + 0.0D AS vif_tax"""),
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sz,
+           CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sw,
+           CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+             AS DOUBLE) AS sxx,
+           CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,8)))
+             AS DOUBLE) AS szz,
+           CAST(sum(CAST(l_tax * l_tax AS DECIMAL(28,8)))
+             AS DOUBLE) AS sww,
+           CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,6)))
+             AS DOUBLE) AS sxz,
+           CAST(sum(CAST(l_quantity * l_tax AS DECIMAL(28,6)))
+             AS DOUBLE) AS sxw,
+           CAST(sum(CAST(l_discount * l_tax AS DECIMAL(28,8)))
+             AS DOUBLE) AS szw
+           FROM lineitem),
+         r AS (SELECT n,
+           (sxz - sx*sz/n) / sqrt((sxx - sx*sx/n)*(szz - sz*sz/n))
+             AS r12,
+           (sxw - sx*sw/n) / sqrt((sxx - sx*sx/n)*(sww - sw*sw/n))
+             AS r13,
+           (szw - sz*sw/n) / sqrt((szz - sz*sz/n)*(sww - sw*sw/n))
+             AS r23
+           FROM m)
+         SELECT n,
+           ROUND(r12, 6) + 0.0 AS r_qty_disc,
+           ROUND(r13, 6) + 0.0 AS r_qty_tax,
+           ROUND(r23, 6) + 0.0 AS r_disc_tax,
+           ROUND((1.0 - r23*r23) /
+             (1.0 - r12*r12 - r13*r13 - r23*r23
+              + 2.0*r12*r13*r23), 4) + 0.0 AS vif_quantity,
+           ROUND((1.0 - r13*r13) /
+             (1.0 - r12*r12 - r13*r13 - r23*r23
+              + 2.0*r12*r13*r23), 4) + 0.0 AS vif_discount,
+           ROUND((1.0 - r12*r12) /
+             (1.0 - r12*r12 - r13*r13 - r23*r23
+              + 2.0*r12*r13*r23), 4) + 0.0 AS vif_tax
+         FROM r""")
   )
 }

@@ -91,6 +91,10 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
       "per-micro-batch watermark summary (<= #batches)",
     "ab_mann_whitney" ->
       "distinct metric cent-values histogram (value-domain-bounded)",
+    "ab_sequential_sprt" ->
+      "cumulative LLR over the entry-day grain (calendar-bounded)",
+    "time_adf" -> "calendar-grain series (days/months)",
+    "time_permutation_entropy" -> "calendar-grain series (days/months)",
     "time_autocorr" -> "calendar-grain series (days/months)",
     "time_ljung_box" -> "calendar-grain series (days/months)",
     "time_backtest_horizons" -> "calendar-grain series (days/months)",
