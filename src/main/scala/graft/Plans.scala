@@ -85,7 +85,10 @@ object Plans {
     "ab_cohens_d", "ab_odds_ratio", "ml_mcnemar", "ml_chi2_select",
     "ml_info_gain", "time_granger_f", "time_runs_test", "time_kpss",
     "profile_cramers_v", "ml_brier_decomposition", "ab_wilson_ci",
-    "vocab_build")
+    "vocab_build",
+    // round-10 wave-2 additions
+    "ab_sequential_sprt", "ab_stratified_cmh", "ml_confusion_multi",
+    "ml_feature_vif", "time_adf", "time_permutation_entropy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
