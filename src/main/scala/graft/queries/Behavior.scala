@@ -3257,14 +3257,19 @@ object Behavior {
           .withColumn("n", sum("n_d").over(w))
           .withColumn("k", sum("k_d").over(w))
           .select(col("day"), col("n"), col("k"),
-            (round(expr("""k * ln(0.10/0.08)
-                           + (n - k) * ln(0.90/0.92)"""), 6) + lit(0.0))
+            // D suffixes force IEEE double division: Spark otherwise
+            // divides the bare literals as DECIMALs truncated at
+            // scale 6 (ln arg 0.978261 vs 0.97826086…) while DuckDB
+            // promotes to DOUBLE — a 1.3e-7/unit coefficient skew the
+            // tiny-SF gates can't see because k=n there
+            (round(expr("""k * ln(0.10D/0.08D)
+                           + (n - k) * ln(0.90D/0.92D)"""), 6) + lit(0.0))
               .as("llr"),
-            expr("""CASE WHEN k * ln(0.10/0.08)
-                           + (n - k) * ln(0.90/0.92) >= ln(0.80/0.05)
+            expr("""CASE WHEN k * ln(0.10D/0.08D)
+                           + (n - k) * ln(0.90D/0.92D) >= ln(0.80D/0.05D)
                          THEN 'accept_h1'
-                         WHEN k * ln(0.10/0.08)
-                           + (n - k) * ln(0.90/0.92) <= ln(0.20/0.95)
+                         WHEN k * ln(0.10D/0.08D)
+                           + (n - k) * ln(0.90D/0.92D) <= ln(0.20D/0.95D)
                          THEN 'accept_h0'
                          ELSE 'continue' END""").as("decision"))
           .orderBy("day")

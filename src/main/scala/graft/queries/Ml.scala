@@ -3005,14 +3005,17 @@ object Ml {
         // 1e-6 boundary and the engines round ties differently; the
         // exact half-up integer form (2p + q) div (2q) never does
         // operand-widened products (DECIMAL(38,0) / HUGEINT): a raw
-        // LONG (|b-c|-1)^2*1e6 overflows at ~2.1e6 disagreements
+        // LONG (|b-c|-1)^2*1e6 overflows at ~2.1e6 disagreements.
+        // The continuity correction clamps at zero (max(|b-c|-1, 0))
+        // so b = c reports chi2 = 0, not 1/(b+c).
         .select(col("b"), col("c"), (col("b") + col("c")).as("n_disagree"),
-          expr("""(2 * (CAST(abs(b - c) AS DECIMAL(38,0)) - 1)
-                   * (abs(b - c) - 1) * 1000000
+          expr("""(2 * CAST(greatest(abs(b - c) - 1, 0L)
+                     AS DECIMAL(38,0))
+                   * greatest(abs(b - c) - 1, 0L) * 1000000
                    + (b + c)) div (2 * (b + c)) / 1000000.0D""")
             .as("chi2_cc"),
-          expr("""(CAST(abs(b - c) AS DECIMAL(38,0)) - 1)
-                   * (abs(b - c) - 1) * 1000
+          expr("""CAST(greatest(abs(b - c) - 1, 0L) AS DECIMAL(38,0))
+                   * greatest(abs(b - c) - 1, 0L) * 1000
                    > 3841 * (b + c)""").as("significant_05")),
       """WITH p AS (
            SELECT (o_orderstatus = 'F') AS label,
@@ -3027,11 +3030,11 @@ object Ml {
            FROM p)
          SELECT CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
                 CAST(b + c AS BIGINT) AS n_disagree,
-                (2 * (CAST(abs(b - c) AS HUGEINT) - 1)
-                  * (abs(b - c) - 1) * 1000000
+                (2 * CAST(greatest(abs(b - c) - 1, 0) AS HUGEINT)
+                  * greatest(abs(b - c) - 1, 0) * 1000000
                   + (b + c)) // (2 * (b + c)) / 1000000.0 AS chi2_cc,
-                ((CAST(abs(b - c) AS HUGEINT) - 1)
-                  * (abs(b - c) - 1) * 1000
+                (CAST(greatest(abs(b - c) - 1, 0) AS HUGEINT)
+                  * greatest(abs(b - c) - 1, 0) * 1000
                   > 3841 * (b + c)) AS significant_05
          FROM bc"""),
 

@@ -76,8 +76,11 @@ def main():
 
     # A key absent from the reference is only suspicious if its new
     # time would have PLACED in that reference (driver BENCH files
-    # are top-20-truncated): below min(ref) it simply wasn't recorded.
-    placing = max(1.0, min(ref.values(), default=1.0))
+    # are top-20-truncated): below min(USABLE ref) it simply wasn't
+    # recorded. Sub-floor entries don't lower the placing bar — a key
+    # with a stale 0.04s reference must still surface.
+    usable = [v for v in ref.values() if v > 0.05]
+    placing = max(1.0, min(usable, default=1.0)) if usable else 1.0
     flagged, investigate, no_ref = [], [], []
     for k, t in sorted(new.items(), key=lambda kv: -kv[1]):
         r = ref.get(k)

@@ -58,6 +58,11 @@ def main():
         sf, path = spec.split(":", 1)
         series.append((float(sf), load(path)))
     series.sort()
+    sfs_in = [sf for sf, _ in series]
+    if len(sfs_in) < 2 or len(set(sfs_in)) != len(sfs_in):
+        print("need at least two inputs at DISTINCT SFs "
+              f"(got {sfs_in})", file=sys.stderr)
+        return 2
     common = set(series[0][1])
     for _, q in series[1:]:
         common &= set(q)
