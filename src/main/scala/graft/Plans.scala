@@ -88,7 +88,10 @@ object Plans {
     "vocab_build",
     // round-10 wave-2 additions
     "ab_sequential_sprt", "ab_stratified_cmh", "ml_confusion_multi",
-    "ml_feature_vif", "time_adf", "time_permutation_entropy")
+    "ml_feature_vif", "time_adf", "time_permutation_entropy",
+    // round-10 wave-3 additions
+    "ab_diff_in_diff", "ml_expected_calibration_error",
+    "text_simpson_diversity", "time_theil_u2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

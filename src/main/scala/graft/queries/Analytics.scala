@@ -3749,5 +3749,68 @@ object Analytics {
                     * ln(CAST(c5 AS DOUBLE)/n) ELSE 0.0 END
                 ) / ln(6.0), 6) + 0.0 AS perm_entropy
          FROM m"""),
+
+    // THEIL'S U2 — "does the lag-7 forecast beat the naive
+    // tomorrow-equals-today rule": U2 = sqrt(Σ(y−ŷ₇)² / Σ(y−y₋₁)²),
+    // <1 means the seasonal forecast adds information. Complements
+    // time_backtest_naive's MAE with the standard relative-accuracy
+    // statistic. Both squared-error sums are exact DECIMAL(38,0)/
+    // HUGEINT integers over the calendar-bounded daily series
+    // (common t ≥ 8 rows so numerator and denominator cover the SAME
+    // days); the only float is one division + sqrt.
+    Q("time_theil_u2",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("y"))
+        val w = Window.orderBy("day")
+        val ser = daily
+          .withColumn("f7", lag("y", 7).over(w))
+          .withColumn("f1", lag("y", 1).over(w))
+          .filter(col("f7").isNotNull)
+        ser.agg(count(lit(1)).as("n_days"),
+            sum((col("y") - col("f7")).cast(DecimalType(38, 0)) *
+              (col("y") - col("f7"))).as("sse7"),
+            sum((col("y") - col("f1")).cast(DecimalType(38, 0)) *
+              (col("y") - col("f1"))).as("sse1"))
+          .select(col("n_days"),
+            (round(expr("sqrt(CAST(sse7 AS DOUBLE) / n_days)"), 2)
+              + lit(0.0)).as("rmse_lag7_cents"),
+            (round(expr("sqrt(CAST(sse1 AS DOUBLE) / n_days)"), 2)
+              + lit(0.0)).as("rmse_naive_cents"),
+            (round(expr(
+              "sqrt(CAST(sse7 AS DOUBLE) / CAST(sse1 AS DOUBLE))"), 6)
+              + lit(0.0)).as("theil_u2"),
+            expr("CAST(sse7 AS DOUBLE) < CAST(sse1 AS DOUBLE)")
+              .as("beats_naive"))
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))*100)
+                    AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         ser AS (
+           SELECT y,
+                  LAG(y, 7) OVER (ORDER BY day) AS f7,
+                  LAG(y, 1) OVER (ORDER BY day) AS f1
+           FROM daily),
+         m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                  SUM(CAST(y - f7 AS HUGEINT) * (y - f7)) AS sse7,
+                  SUM(CAST(y - f1 AS HUGEINT) * (y - f1)) AS sse1
+           FROM ser WHERE f7 IS NOT NULL)
+         SELECT n_days,
+                ROUND(sqrt(CAST(sse7 AS DOUBLE) / n_days), 2) + 0.0
+                  AS rmse_lag7_cents,
+                ROUND(sqrt(CAST(sse1 AS DOUBLE) / n_days), 2) + 0.0
+                  AS rmse_naive_cents,
+                ROUND(sqrt(CAST(sse7 AS DOUBLE) / CAST(sse1 AS DOUBLE)),
+                  6) + 0.0 AS theil_u2,
+                CAST(sse7 AS DOUBLE) < CAST(sse1 AS DOUBLE)
+                  AS beats_naive
+         FROM m"""),
   )
 }

@@ -3374,5 +3374,131 @@ object Behavior {
                 ROUND(CAST(sad6 AS DOUBLE) / CAST(sbc6 AS DOUBLE), 6)
                   + 0.0 AS cmh_or
          FROM w CROSS JOIN tot ORDER BY stratum"""),
+
+    // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimate for
+    // rollouts without randomization: (post−pre) change in the
+    // treated arm minus the same change in control, with the pooled
+    // SE from per-cell variances. All four (arm × period) cells come
+    // from ONE conditional aggregate (named columns — no float sum
+    // whose order an engine picks), means/variances derive from exact
+    // cent sums and DECIMAL(38,0) squared sums, and the closed form
+    // is the identical double expression on both engines.
+    Q("ab_diff_in_diff",
+      (s, d) => {
+        val cut = lit("1996-07-01").cast("date")
+        val o = orders(s, d).select(
+          (col("o_custkey") % 2).as("arm"),
+          (col("o_orderdate") >= cut).as("post"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)")
+            .as("y"))
+        def cell(a: Int, p: Boolean, suf: String) = Seq(
+          sum(when(col("arm") === a && col("post") === p, 1L)
+            .otherwise(0L)).as(s"n$suf"),
+          sum(when(col("arm") === a && col("post") === p, col("y"))
+            .otherwise(0L)).as(s"s$suf"),
+          sum(when(col("arm") === a && col("post") === p,
+            col("y").cast(DecimalType(38, 0)) * col("y"))
+            .otherwise(lit(0).cast(DecimalType(38, 0)))).as(s"q$suf"))
+        val cells = cell(1, true, "11") ++ cell(1, false, "10") ++
+          cell(0, true, "01") ++ cell(0, false, "00")
+        o.agg(cells.head, cells.tail: _*)
+          .selectExpr("n11", "n10", "n01", "n00",
+            "CAST(s11 AS DOUBLE)/n11/100.0D AS m_treat_post",
+            "CAST(s10 AS DOUBLE)/n10/100.0D AS m_treat_pre",
+            "CAST(s01 AS DOUBLE)/n01/100.0D AS m_ctrl_post",
+            "CAST(s00 AS DOUBLE)/n00/100.0D AS m_ctrl_pre",
+            """(CAST(q11 AS DOUBLE)/n11
+                - (CAST(s11 AS DOUBLE)/n11)*(CAST(s11 AS DOUBLE)/n11))
+               * n11/(n11-1)/n11 AS v11""",
+            """(CAST(q10 AS DOUBLE)/n10
+                - (CAST(s10 AS DOUBLE)/n10)*(CAST(s10 AS DOUBLE)/n10))
+               * n10/(n10-1)/n10 AS v10""",
+            """(CAST(q01 AS DOUBLE)/n01
+                - (CAST(s01 AS DOUBLE)/n01)*(CAST(s01 AS DOUBLE)/n01))
+               * n01/(n01-1)/n01 AS v01""",
+            """(CAST(q00 AS DOUBLE)/n00
+                - (CAST(s00 AS DOUBLE)/n00)*(CAST(s00 AS DOUBLE)/n00))
+               * n00/(n00-1)/n00 AS v00""")
+          .selectExpr("n11", "n10", "n01", "n00",
+            "ROUND(m_treat_post, 4) + 0.0D AS m_treat_post",
+            "ROUND(m_treat_pre, 4) + 0.0D AS m_treat_pre",
+            "ROUND(m_ctrl_post, 4) + 0.0D AS m_ctrl_post",
+            "ROUND(m_ctrl_pre, 4) + 0.0D AS m_ctrl_pre",
+            """ROUND((m_treat_post - m_treat_pre)
+                 - (m_ctrl_post - m_ctrl_pre), 4) + 0.0D AS did""",
+            """ROUND(sqrt(v11 + v10 + v01 + v00) / 100.0D, 4)
+               + 0.0D AS se""",
+            """ROUND(((m_treat_post - m_treat_pre)
+                 - (m_ctrl_post - m_ctrl_pre))
+                 / (sqrt(v11 + v10 + v01 + v00) / 100.0D), 4)
+               + 0.0D AS t_stat""")
+      },
+      """WITH o AS (
+           SELECT o_custkey % 2 AS arm,
+                  o_orderdate >= DATE '1996-07-01' AS post,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+                    AS y
+           FROM orders),
+         m AS (SELECT
+             CAST(SUM(CASE WHEN arm=1 AND post THEN 1 ELSE 0 END)
+               AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN arm=1 AND post THEN y ELSE 0 END)
+               AS BIGINT) AS s11,
+             SUM(CASE WHEN arm=1 AND post
+               THEN CAST(y AS HUGEINT)*y ELSE CAST(0 AS HUGEINT) END)
+               AS q11,
+             CAST(SUM(CASE WHEN arm=1 AND NOT post THEN 1 ELSE 0 END)
+               AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN arm=1 AND NOT post THEN y ELSE 0 END)
+               AS BIGINT) AS s10,
+             SUM(CASE WHEN arm=1 AND NOT post
+               THEN CAST(y AS HUGEINT)*y ELSE CAST(0 AS HUGEINT) END)
+               AS q10,
+             CAST(SUM(CASE WHEN arm=0 AND post THEN 1 ELSE 0 END)
+               AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN arm=0 AND post THEN y ELSE 0 END)
+               AS BIGINT) AS s01,
+             SUM(CASE WHEN arm=0 AND post
+               THEN CAST(y AS HUGEINT)*y ELSE CAST(0 AS HUGEINT) END)
+               AS q01,
+             CAST(SUM(CASE WHEN arm=0 AND NOT post THEN 1 ELSE 0 END)
+               AS BIGINT) AS n00,
+             CAST(SUM(CASE WHEN arm=0 AND NOT post THEN y ELSE 0 END)
+               AS BIGINT) AS s00,
+             SUM(CASE WHEN arm=0 AND NOT post
+               THEN CAST(y AS HUGEINT)*y ELSE CAST(0 AS HUGEINT) END)
+               AS q00
+           FROM o),
+         c AS (SELECT n11, n10, n01, n00,
+             CAST(s11 AS DOUBLE)/n11/100.0 AS m_treat_post,
+             CAST(s10 AS DOUBLE)/n10/100.0 AS m_treat_pre,
+             CAST(s01 AS DOUBLE)/n01/100.0 AS m_ctrl_post,
+             CAST(s00 AS DOUBLE)/n00/100.0 AS m_ctrl_pre,
+             (CAST(q11 AS DOUBLE)/n11
+               - (CAST(s11 AS DOUBLE)/n11)*(CAST(s11 AS DOUBLE)/n11))
+              * n11/(n11-1)/n11 AS v11,
+             (CAST(q10 AS DOUBLE)/n10
+               - (CAST(s10 AS DOUBLE)/n10)*(CAST(s10 AS DOUBLE)/n10))
+              * n10/(n10-1)/n10 AS v10,
+             (CAST(q01 AS DOUBLE)/n01
+               - (CAST(s01 AS DOUBLE)/n01)*(CAST(s01 AS DOUBLE)/n01))
+              * n01/(n01-1)/n01 AS v01,
+             (CAST(q00 AS DOUBLE)/n00
+               - (CAST(s00 AS DOUBLE)/n00)*(CAST(s00 AS DOUBLE)/n00))
+              * n00/(n00-1)/n00 AS v00
+           FROM m)
+         SELECT n11, n10, n01, n00,
+           ROUND(m_treat_post, 4) + 0.0 AS m_treat_post,
+           ROUND(m_treat_pre, 4) + 0.0 AS m_treat_pre,
+           ROUND(m_ctrl_post, 4) + 0.0 AS m_ctrl_post,
+           ROUND(m_ctrl_pre, 4) + 0.0 AS m_ctrl_pre,
+           ROUND((m_treat_post - m_treat_pre)
+             - (m_ctrl_post - m_ctrl_pre), 4) + 0.0 AS did,
+           ROUND(sqrt(v11 + v10 + v01 + v00) / 100.0, 4) + 0.0 AS se,
+           ROUND(((m_treat_post - m_treat_pre)
+             - (m_ctrl_post - m_ctrl_pre))
+             / (sqrt(v11 + v10 + v01 + v00) / 100.0), 4) + 0.0
+             AS t_stat
+         FROM c"""),
   )
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables._
 import graft.engine.ml.Text
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-curation operators a training-data pipeline runs between raw
   * ingest and tokenization: benchmark decontamination, PII masking,
@@ -1951,5 +1952,53 @@ FROM wt ORDER BY lang, source"""),
                 ROUND(CAST(contrib AS DOUBLE), 6) + 0.0 AS contribution,
                 kl_nats
          FROM terms CROSS JOIN kl ORDER BY source"""),
+
+    // SIMPSON VOCABULARY CONCENTRATION per source — the probability
+    // two random tokens are the SAME word, λ = Σc(c−1)/(N(N−1)):
+    // the pure-integer complement to text_char_entropy/text_ttr
+    // (λ→0 diverse vocabulary, λ→1 one word dominates; 1/λ is the
+    // effective vocabulary size). Both numerator and denominator are
+    // exact DECIMAL(38,0)/HUGEINT integers — c(c−1) summed over the
+    // per-source word histogram — so the only float is ONE division,
+    // identical on both engines. One (source, word) partial-agg
+    // exchange + one source rollup.
+    Q("text_simpson_diversity",
+      (s, d) => {
+        val wc = documents(s, d)
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        wc.groupBy("source")
+          .agg(count(lit(1)).as("vocab"), sum("c").as("n_tokens"),
+            sum(col("c").cast(DecimalType(38, 0)) * (col("c") - 1))
+              .as("num"))
+          .select(col("source"), col("vocab"), col("n_tokens"),
+            (round(expr("""CAST(num AS DOUBLE) /
+                (CAST(n_tokens AS DOUBLE) * (n_tokens - 1))"""), 8)
+              + lit(0.0)).as("simpson_lambda"),
+            (round(expr("""(CAST(n_tokens AS DOUBLE) * (n_tokens - 1))
+                / CAST(num AS DOUBLE)"""), 4) + lit(0.0))
+              .as("effective_vocab"))
+          .orderBy("source")
+      },
+      """WITH wc AS (
+           SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT source,
+                        UNNEST(string_split(text, ' ')) AS w
+                 FROM documents)
+           WHERE w <> '' GROUP BY 1, 2),
+         g AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+                  CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  SUM(CAST(c AS HUGEINT) * (c - 1)) AS num
+           FROM wc GROUP BY 1)
+         SELECT source, vocab, n_tokens,
+                ROUND(CAST(num AS DOUBLE) /
+                  (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 8)
+                  + 0.0 AS simpson_lambda,
+                ROUND((CAST(n_tokens AS DOUBLE) * (n_tokens - 1))
+                  / CAST(num AS DOUBLE), 4) + 0.0 AS effective_vocab
+         FROM g ORDER BY source"""),
   )
 }

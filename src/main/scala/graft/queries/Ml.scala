@@ -3531,6 +3531,74 @@ object Ml {
            ROUND((1.0 - r12*r12) /
              (1.0 - r12*r12 - r13*r13 - r23*r23
               + 2.0*r12*r13*r23), 4) + 0.0 AS vif_tax
-         FROM r""")
+         FROM r"""),
+
+    // EXPECTED CALIBRATION ERROR — the one-number calibration summary
+    // quality_calibration's per-bin table and ml_brier_decomposition
+    // roll up to: ECE = Σ_b (n_b/N)·|acc_b − conf̄_b| over 10 fixed
+    // confidence bins. Confidence is an exact 1e-4-unit integer from
+    // doc length, so bin keys, per-bin accuracy, mean confidence AND
+    // the |acc−conf| terms are ALL integers — the ECE numerator is an
+    // order-free BIGINT sum and the only float is the final division.
+    Q("ml_expected_calibration_error",
+      (s, d) => {
+        val scored = documents(s, d).select(
+          expr("least(CAST(n_chars AS BIGINT), 2000L) * 10000 div 2000")
+            .as("conf4"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        val bins = scored
+          .withColumn("bin", expr("least(conf4 div 1000, 9L)"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_b"), sum("pos").as("pos_b"),
+            sum("conf4").as("sconf4"))
+          .withColumn("acc4",
+            expr("""(CAST(pos_b AS DECIMAL(38,0)) * 10000
+                    + n_b div 2) div n_b"""))
+          .withColumn("conf4m",
+            expr("(CAST(sconf4 AS DECIMAL(38,0)) + n_b div 2) div n_b"))
+        val tot = bins.agg(sum("n_b").as("n"),
+          sum(expr("CAST(abs(acc4 - conf4m) AS DECIMAL(38,0)) * n_b"))
+            .as("werr"))
+        bins.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n_b"),
+            expr("acc4 / 10000.0D").as("accuracy"),
+            expr("conf4m / 10000.0D").as("mean_confidence"),
+            expr("""CAST((CAST(werr AS DECIMAL(38,0)) * 1000000
+                          + (CAST(n AS DECIMAL(38,0)) * 10000) div 2)
+                         div (CAST(n AS DECIMAL(38,0)) * 10000)
+                    AS DOUBLE) / 1000000.0D""").as("ece"))
+          .orderBy("bin")
+      },
+      """WITH scored AS (
+           SELECT least(CAST(n_chars AS BIGINT), 2000) * 10000 // 2000
+                    AS conf4,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM documents),
+         bins AS (
+           SELECT least(conf4 // 1000, 9) AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS n_b,
+                  CAST(SUM(pos) AS BIGINT) AS pos_b,
+                  CAST(SUM(conf4) AS BIGINT) AS sconf4
+           FROM scored GROUP BY 1),
+         acc AS (
+           SELECT bin, n_b,
+                  (CAST(pos_b AS HUGEINT) * 10000 + n_b // 2) // n_b
+                    AS acc4,
+                  (CAST(sconf4 AS HUGEINT) + n_b // 2) // n_b
+                    AS conf4m
+           FROM bins),
+         tot AS (
+           SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+                  SUM(CAST(abs(acc4 - conf4m) AS HUGEINT) * n_b)
+                    AS werr
+           FROM acc)
+         SELECT bin, n_b,
+                acc4 / 10000.0 AS accuracy,
+                conf4m / 10000.0 AS mean_confidence,
+                CAST((CAST(werr AS HUGEINT) * 1000000
+                      + (CAST(n AS HUGEINT) * 10000) // 2)
+                     // (CAST(n AS HUGEINT) * 10000)
+                  AS DOUBLE) / 1000000.0 AS ece
+         FROM acc CROSS JOIN tot ORDER BY bin""")
   )
 }

@@ -95,6 +95,7 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
       "cumulative LLR over the entry-day grain (calendar-bounded)",
     "time_adf" -> "calendar-grain series (days/months)",
     "time_permutation_entropy" -> "calendar-grain series (days/months)",
+    "time_theil_u2" -> "calendar-grain series (days/months)",
     "time_autocorr" -> "calendar-grain series (days/months)",
     "time_ljung_box" -> "calendar-grain series (days/months)",
     "time_backtest_horizons" -> "calendar-grain series (days/months)",
