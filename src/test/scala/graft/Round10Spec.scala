@@ -52,4 +52,20 @@ class Round10Spec extends AnyFunSuite with SparkFixture {
     }
     assert(locals.nonEmpty, "per-partition rank window vanished")
   }
+
+  test("D-suffixed literal ratios evaluate as IEEE double division " +
+      "(the ab_sequential_sprt parity lesson)") {
+    // A bare 0.90/0.92 in a Spark expr divides as DECIMALs rounded at
+    // scale 6 (ln arg 0.978261), while DuckDB promotes the same text
+    // to DOUBLE — the D suffix is what keeps the engines bit-equal.
+    val row = spark.range(1).selectExpr(
+      "ln(0.90D/0.92D) AS good", "ln(0.90/0.92) AS bare").head()
+    assert(row.getDouble(0) === math.log(0.90 / 0.92),
+      "D-suffixed ratio no longer matches IEEE double division")
+    // pin the hazard itself so a silent Spark behavior change (which
+    // would make bare literals safe, or differently unsafe) surfaces
+    assert(row.getDouble(1) === math.log(0.978261),
+      "bare decimal literal division changed semantics — re-audit " +
+        "every literal ratio inside expr strings")
+  }
 }
