@@ -3401,24 +3401,36 @@ object Behavior {
             .otherwise(lit(0).cast(DecimalType(38, 0)))).as(s"q$suf"))
         val cells = cell(1, true, "11") ++ cell(1, false, "10") ++
           cell(0, true, "01") ++ cell(0, false, "00")
+        // empty/singleton cell guards: NULL means (n=0) and NULL
+        // variances (n<2) propagate into did/se/t_stat identically on
+        // both engines — Spark ANSI would otherwise throw where
+        // DuckDB yields NULL
         o.agg(cells.head, cells.tail: _*)
           .selectExpr("n11", "n10", "n01", "n00",
-            "CAST(s11 AS DOUBLE)/n11/100.0D AS m_treat_post",
-            "CAST(s10 AS DOUBLE)/n10/100.0D AS m_treat_pre",
-            "CAST(s01 AS DOUBLE)/n01/100.0D AS m_ctrl_post",
-            "CAST(s00 AS DOUBLE)/n00/100.0D AS m_ctrl_pre",
-            """(CAST(q11 AS DOUBLE)/n11
+            """CASE WHEN n11 = 0 THEN NULL ELSE
+               CAST(s11 AS DOUBLE)/n11/100.0D END AS m_treat_post""",
+            """CASE WHEN n10 = 0 THEN NULL ELSE
+               CAST(s10 AS DOUBLE)/n10/100.0D END AS m_treat_pre""",
+            """CASE WHEN n01 = 0 THEN NULL ELSE
+               CAST(s01 AS DOUBLE)/n01/100.0D END AS m_ctrl_post""",
+            """CASE WHEN n00 = 0 THEN NULL ELSE
+               CAST(s00 AS DOUBLE)/n00/100.0D END AS m_ctrl_pre""",
+            """CASE WHEN n11 < 2 THEN NULL ELSE
+               (CAST(q11 AS DOUBLE)/n11
                 - (CAST(s11 AS DOUBLE)/n11)*(CAST(s11 AS DOUBLE)/n11))
-               * n11/(n11-1)/n11 AS v11""",
-            """(CAST(q10 AS DOUBLE)/n10
+               * n11/(n11-1)/n11 END AS v11""",
+            """CASE WHEN n10 < 2 THEN NULL ELSE
+               (CAST(q10 AS DOUBLE)/n10
                 - (CAST(s10 AS DOUBLE)/n10)*(CAST(s10 AS DOUBLE)/n10))
-               * n10/(n10-1)/n10 AS v10""",
-            """(CAST(q01 AS DOUBLE)/n01
+               * n10/(n10-1)/n10 END AS v10""",
+            """CASE WHEN n01 < 2 THEN NULL ELSE
+               (CAST(q01 AS DOUBLE)/n01
                 - (CAST(s01 AS DOUBLE)/n01)*(CAST(s01 AS DOUBLE)/n01))
-               * n01/(n01-1)/n01 AS v01""",
-            """(CAST(q00 AS DOUBLE)/n00
+               * n01/(n01-1)/n01 END AS v01""",
+            """CASE WHEN n00 < 2 THEN NULL ELSE
+               (CAST(q00 AS DOUBLE)/n00
                 - (CAST(s00 AS DOUBLE)/n00)*(CAST(s00 AS DOUBLE)/n00))
-               * n00/(n00-1)/n00 AS v00""")
+               * n00/(n00-1)/n00 END AS v00""")
           .selectExpr("n11", "n10", "n01", "n00",
             "ROUND(m_treat_post, 4) + 0.0D AS m_treat_post",
             "ROUND(m_treat_pre, 4) + 0.0D AS m_treat_pre",
@@ -3470,22 +3482,30 @@ object Behavior {
                AS q00
            FROM o),
          c AS (SELECT n11, n10, n01, n00,
-             CAST(s11 AS DOUBLE)/n11/100.0 AS m_treat_post,
-             CAST(s10 AS DOUBLE)/n10/100.0 AS m_treat_pre,
-             CAST(s01 AS DOUBLE)/n01/100.0 AS m_ctrl_post,
-             CAST(s00 AS DOUBLE)/n00/100.0 AS m_ctrl_pre,
-             (CAST(q11 AS DOUBLE)/n11
-               - (CAST(s11 AS DOUBLE)/n11)*(CAST(s11 AS DOUBLE)/n11))
-              * n11/(n11-1)/n11 AS v11,
-             (CAST(q10 AS DOUBLE)/n10
-               - (CAST(s10 AS DOUBLE)/n10)*(CAST(s10 AS DOUBLE)/n10))
-              * n10/(n10-1)/n10 AS v10,
-             (CAST(q01 AS DOUBLE)/n01
-               - (CAST(s01 AS DOUBLE)/n01)*(CAST(s01 AS DOUBLE)/n01))
-              * n01/(n01-1)/n01 AS v01,
-             (CAST(q00 AS DOUBLE)/n00
-               - (CAST(s00 AS DOUBLE)/n00)*(CAST(s00 AS DOUBLE)/n00))
-              * n00/(n00-1)/n00 AS v00
+             CASE WHEN n11 = 0 THEN NULL ELSE
+               CAST(s11 AS DOUBLE)/n11/100.0 END AS m_treat_post,
+             CASE WHEN n10 = 0 THEN NULL ELSE
+               CAST(s10 AS DOUBLE)/n10/100.0 END AS m_treat_pre,
+             CASE WHEN n01 = 0 THEN NULL ELSE
+               CAST(s01 AS DOUBLE)/n01/100.0 END AS m_ctrl_post,
+             CASE WHEN n00 = 0 THEN NULL ELSE
+               CAST(s00 AS DOUBLE)/n00/100.0 END AS m_ctrl_pre,
+             CASE WHEN n11 < 2 THEN NULL ELSE
+               (CAST(q11 AS DOUBLE)/n11
+                 - (CAST(s11 AS DOUBLE)/n11)*(CAST(s11 AS DOUBLE)/n11))
+                * n11/(n11-1)/n11 END AS v11,
+             CASE WHEN n10 < 2 THEN NULL ELSE
+               (CAST(q10 AS DOUBLE)/n10
+                 - (CAST(s10 AS DOUBLE)/n10)*(CAST(s10 AS DOUBLE)/n10))
+                * n10/(n10-1)/n10 END AS v10,
+             CASE WHEN n01 < 2 THEN NULL ELSE
+               (CAST(q01 AS DOUBLE)/n01
+                 - (CAST(s01 AS DOUBLE)/n01)*(CAST(s01 AS DOUBLE)/n01))
+                * n01/(n01-1)/n01 END AS v01,
+             CASE WHEN n00 < 2 THEN NULL ELSE
+               (CAST(q00 AS DOUBLE)/n00
+                 - (CAST(s00 AS DOUBLE)/n00)*(CAST(s00 AS DOUBLE)/n00))
+                * n00/(n00-1)/n00 END AS v00
            FROM m)
          SELECT n11, n10, n01, n00,
            ROUND(m_treat_post, 4) + 0.0 AS m_treat_post,

@@ -1973,12 +1973,17 @@ FROM wt ORDER BY lang, source"""),
           .agg(count(lit(1)).as("vocab"), sum("c").as("n_tokens"),
             sum(col("c").cast(DecimalType(38, 0)) * (col("c") - 1))
               .as("num"))
+          // degenerate guards: a 1-token source has no pair domain,
+          // an all-distinct source has num = 0 — NULL on both engines
+          // (Spark ANSI would otherwise throw where DuckDB NULLs)
           .select(col("source"), col("vocab"), col("n_tokens"),
-            (round(expr("""CAST(num AS DOUBLE) /
-                (CAST(n_tokens AS DOUBLE) * (n_tokens - 1))"""), 8)
-              + lit(0.0)).as("simpson_lambda"),
-            (round(expr("""(CAST(n_tokens AS DOUBLE) * (n_tokens - 1))
-                / CAST(num AS DOUBLE)"""), 4) + lit(0.0))
+            expr("""CASE WHEN n_tokens <= 1 THEN NULL ELSE
+                ROUND(CAST(num AS DOUBLE) /
+                  (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 8) + 0.0D
+                END""").as("simpson_lambda"),
+            expr("""CASE WHEN n_tokens <= 1 OR num = 0 THEN NULL ELSE
+                ROUND((CAST(n_tokens AS DOUBLE) * (n_tokens - 1))
+                  / CAST(num AS DOUBLE), 4) + 0.0D END""")
               .as("effective_vocab"))
           .orderBy("source")
       },
@@ -1994,11 +1999,14 @@ FROM wt ORDER BY lang, source"""),
                   SUM(CAST(c AS HUGEINT) * (c - 1)) AS num
            FROM wc GROUP BY 1)
          SELECT source, vocab, n_tokens,
-                ROUND(CAST(num AS DOUBLE) /
-                  (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 8)
-                  + 0.0 AS simpson_lambda,
-                ROUND((CAST(n_tokens AS DOUBLE) * (n_tokens - 1))
-                  / CAST(num AS DOUBLE), 4) + 0.0 AS effective_vocab
+                CASE WHEN n_tokens <= 1 THEN NULL ELSE
+                  ROUND(CAST(num AS DOUBLE) /
+                    (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 8)
+                    + 0.0 END AS simpson_lambda,
+                CASE WHEN n_tokens <= 1 OR num = 0 THEN NULL ELSE
+                  ROUND((CAST(n_tokens AS DOUBLE) * (n_tokens - 1))
+                    / CAST(num AS DOUBLE), 4) + 0.0 END
+                  AS effective_vocab
          FROM g ORDER BY source"""),
   )
 }

@@ -3556,9 +3556,12 @@ object Ml {
                     + n_b div 2) div n_b"""))
           .withColumn("conf4m",
             expr("(CAST(sconf4 AS DECIMAL(38,0)) + n_b div 2) div n_b"))
+        // exact numerator: n_b·|acc_b − conf̄_b| = |pos_b·1e4 − sconf4|
+        // — no per-bin rounded intermediates (acc4/conf4m stay as
+        // display columns only)
         val tot = bins.agg(sum("n_b").as("n"),
-          sum(expr("CAST(abs(acc4 - conf4m) AS DECIMAL(38,0)) * n_b"))
-            .as("werr"))
+          sum(expr("""abs(CAST(pos_b AS DECIMAL(38,0)) * 10000
+                      - sconf4)""")).as("werr"))
         bins.crossJoin(broadcast(tot))
           .select(col("bin"), col("n_b"),
             expr("acc4 / 10000.0D").as("accuracy"),
@@ -3589,9 +3592,9 @@ object Ml {
            FROM bins),
          tot AS (
            SELECT CAST(SUM(n_b) AS BIGINT) AS n,
-                  SUM(CAST(abs(acc4 - conf4m) AS HUGEINT) * n_b)
+                  SUM(abs(CAST(pos_b AS HUGEINT) * 10000 - sconf4))
                     AS werr
-           FROM acc)
+           FROM bins)
          SELECT bin, n_b,
                 acc4 / 10000.0 AS accuracy,
                 conf4m / 10000.0 AS mean_confidence,
