@@ -1,6 +1,8 @@
 package graft.queries
 
 import graft.Tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -3812,5 +3814,357 @@ object Analytics {
                 CAST(sse7 AS DOUBLE) < CAST(sse1 AS DOUBLE)
                   AS beats_naive
          FROM m"""),
+
+    // 14-DAY RSI of the daily-revenue series — the bounded momentum
+    // oscillator (simple-average variant; Wilder's recursive smoothing
+    // would make every day depend on the whole history): trailing
+    // gain/loss sums are EXACT BIGINT cents under a ROWS BETWEEN 13
+    // PRECEDING window over the calendar-bounded daily grain, so
+    // RSI = 100·G/(G+L) uses the half-up integer idiom (operand-
+    // widened — G·2e6 can pass BIGINT at corpus daily volumes) and a
+    // flat 14-day window (G+L = 0) is NULL on both engines. Only full
+    // windows (rn ≥ 14) are emitted.
+    Q("time_rsi",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("y"))
+        val w = Window.orderBy("day")
+        val w14 = Window.orderBy("day").rowsBetween(-13, 0)
+        daily.withColumn("delta", col("y") - lag("y", 1).over(w))
+          .filter(col("delta").isNotNull)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("gsum", sum(greatest(col("delta"), lit(0L))).over(w14))
+          .withColumn("lsum", sum(greatest(-col("delta"), lit(0L))).over(w14))
+          .filter(col("rn") >= 14)
+          .select(col("day"), col("y"),
+            expr("""CASE WHEN gsum + lsum = 0 THEN NULL ELSE
+                      (CAST(gsum AS DECIMAL(38,0)) * 2000000
+                       + (gsum + lsum)) div (2 * (gsum + lsum))
+                      / 10000.0D END""").as("rsi14"))
+          .orderBy("day")
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))*100)
+                    AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         dd AS (SELECT day, y,
+                  y - LAG(y, 1) OVER (ORDER BY day) AS delta
+                FROM daily),
+         f AS (SELECT * FROM dd WHERE delta IS NOT NULL),
+         r AS (SELECT day, y,
+                 ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                 SUM(GREATEST(delta, 0)) OVER (ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS gsum,
+                 SUM(GREATEST(-delta, 0)) OVER (ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS lsum
+               FROM f)
+         SELECT day, y,
+                CASE WHEN gsum + lsum = 0 THEN NULL ELSE
+                  (CAST(gsum AS HUGEINT) * 2000000 + (gsum + lsum))
+                  // (2 * (gsum + lsum)) / 10000.0 END AS rsi14
+         FROM r WHERE rn >= 14 ORDER BY day"""),
+
+    // LO–MACKINLAY VARIANCE RATIO (q=5, on first differences of the
+    // daily series): VR ≈ 1 under a random walk, < 1 mean-reverting,
+    // > 1 trending — the unit-root complement to time_adf/time_kpss
+    // that measures HOW FAR from a random walk, not just whether. The
+    // q-period difference telescopes to y_t − y_{t−5}, so both
+    // variance terms are closed forms over exact BIGINT/DECIMAL(38,0)
+    // cent moments computed on the SAME rows (t ≥ 6); VR and the
+    // mean-reversion flag compare identical doubles (vnum vs vden) —
+    // no rounded intermediate feeds a decision. Two lags + one
+    // aggregate over the calendar-bounded grain; one row travels.
+    Q("time_variance_ratio",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("y"))
+        val w = Window.orderBy("day")
+        daily.withColumn("d1", col("y") - lag("y", 1).over(w))
+          .withColumn("d5", col("y") - lag("y", 5).over(w))
+          .filter(col("d5").isNotNull)
+          .agg(count(lit(1)).as("n_days"),
+            sum("d1").as("sd"),
+            sum(col("d1").cast(DecimalType(38, 0)) * col("d1")).as("sdd"),
+            sum("d5").as("se5"),
+            sum(col("d5").cast(DecimalType(38, 0)) * col("d5")).as("see"))
+          .withColumn("vnum",
+            expr("""CAST(see AS DOUBLE) * n_days
+                    - CAST(se5 AS DOUBLE) * CAST(se5 AS DOUBLE)"""))
+          .withColumn("vden",
+            expr("""5.0D * (CAST(sdd AS DOUBLE) * n_days
+                    - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))"""))
+          .select(col("n_days"),
+            expr("""CASE WHEN vden = 0.0D THEN NULL ELSE
+                      ROUND(vnum / vden, 6) + 0.0D END""").as("vr5"),
+            expr("""CASE WHEN vden = 0.0D THEN NULL ELSE
+                      vnum < vden END""").as("mean_reverting"))
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))*100)
+                    AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         ser AS (SELECT y,
+                   y - LAG(y, 1) OVER (ORDER BY day) AS d1,
+                   y - LAG(y, 5) OVER (ORDER BY day) AS d5
+                 FROM daily),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(d1) AS BIGINT) AS sd,
+                 SUM(CAST(d1 AS HUGEINT) * d1) AS sdd,
+                 CAST(SUM(d5) AS BIGINT) AS se5,
+                 SUM(CAST(d5 AS HUGEINT) * d5) AS see
+               FROM ser WHERE d5 IS NOT NULL),
+         v AS (SELECT n_days,
+                 CAST(see AS DOUBLE) * n_days
+                   - CAST(se5 AS DOUBLE) * CAST(se5 AS DOUBLE) AS vnum,
+                 5.0 * (CAST(sdd AS DOUBLE) * n_days
+                   - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) AS vden
+               FROM m)
+         SELECT n_days,
+                CASE WHEN vden = 0.0 THEN NULL ELSE
+                  ROUND(vnum / vden, 6) + 0.0 END AS vr5,
+                CASE WHEN vden = 0.0 THEN NULL ELSE
+                  vnum < vden END AS mean_reverting
+         FROM v"""),
+
+    // TRUNCATED KATZ CENTRALITY (α = 1/2, 3 hops) over the same
+    // undirected supplier↔part graph as graph_pagerank — link-mass
+    // influence WITHOUT float iteration: walk counts W_l(v) =
+    // Σ_{u→v} W_{l−1}(u) are EXACT integers (operand-widened — W₃ is
+    // degree³-scale), and α = 1/2 makes the damped sum an exact
+    // dyadic rational: katz = (4·W₁ + 2·W₂ + W₃)/8, one exponent
+    // shift of a correctly-rounded integer→double cast on both
+    // engines — no per-node float accumulation whose order an engine
+    // picks (the pagerank-family parity risk this formulation
+    // removes). Three hash joins on node ids, each shuffling on the
+    // join key only.
+    Q("graph_katz_centrality",
+      (s, d) => {
+        val e0 = lineitem(s, d)
+          .select((col("l_suppkey").cast("bigint") * 2).as("a"),
+            (col("l_partkey").cast("bigint") * 2 + 1).as("b"))
+          .distinct()
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        val w1 = edges.groupBy(col("dst").as("node"))
+          .agg(count(lit(1)).cast(DecimalType(38, 0)).as("w1d"))
+        def hop(prev: DataFrame, wcol: String, out: String) =
+          edges.alias("e")
+            .join(prev.alias("p"), col("e.src") === col("p.node"))
+            .groupBy(col("e.dst").as("node"))
+            .agg(sum(col(s"p.$wcol")).as(out))
+        val w2 = hop(w1, "w1d", "w2d")
+        val w3 = hop(w2, "w2d", "w3d")
+        w1.join(w2, Seq("node"), "left").join(w3, Seq("node"), "left")
+          .select(col("node"), col("w1d").cast("long").as("walks1"),
+            expr("""CAST(4 * w1d
+                      + 2 * coalesce(w2d, CAST(0 AS DECIMAL(38,0)))
+                      + coalesce(w3d, CAST(0 AS DECIMAL(38,0)))
+                    AS DOUBLE) / 8.0D""").as("katz"))
+          .orderBy("node")
+      },
+      """WITH e0 AS (
+           SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS a,
+                  CAST(l_partkey AS BIGINT) * 2 + 1 AS b
+           FROM lineitem),
+         edges AS (
+           SELECT a AS src, b AS dst FROM e0
+           UNION ALL SELECT b, a FROM e0),
+         w1 AS (SELECT dst AS node, CAST(COUNT(*) AS HUGEINT) AS w
+                FROM edges GROUP BY 1),
+         w2 AS (SELECT e.dst AS node, SUM(p.w) AS w
+                FROM edges e JOIN w1 p ON p.node = e.src GROUP BY 1),
+         w3 AS (SELECT e.dst AS node, SUM(p.w) AS w
+                FROM edges e JOIN w2 p ON p.node = e.src GROUP BY 1)
+         SELECT w1.node AS node, CAST(w1.w AS BIGINT) AS walks1,
+                CAST(4 * w1.w + 2 * COALESCE(w2.w, 0)
+                     + COALESCE(w3.w, 0) AS DOUBLE) / 8.0 AS katz
+         FROM w1
+           LEFT JOIN w2 ON w2.node = w1.node
+           LEFT JOIN w3 ON w3.node = w1.node
+         ORDER BY w1.node"""),
+
+    // MASE — mean ABSOLUTE scaled error of the weekly seasonal-naive
+    // forecast, the M4-competition headline metric and the absolute-
+    // error twin of time_theil_u2's squared form (robust where one
+    // outlier day dominates an SSE): both |error| sums are exact
+    // operand-widened BIGINT cents over the SAME calendar-bounded
+    // rows (t ≥ 8), so MASE = Σ|y−ŷ₇| / Σ|y−y₋₁| and both MAEs land
+    // via the half-up integer idiom — no float in any path. A
+    // constant series (denominator 0) is NULL on both engines.
+    Q("time_mase",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("y"))
+        val w = Window.orderBy("day")
+        daily.withColumn("f7", lag("y", 7).over(w))
+          .withColumn("f1", lag("y", 1).over(w))
+          .filter(col("f7").isNotNull)
+          .agg(count(lit(1)).as("n_days"),
+            sum(abs(col("y") - col("f7")).cast(DecimalType(38, 0)))
+              .as("sae7"),
+            sum(abs(col("y") - col("f1")).cast(DecimalType(38, 0)))
+              .as("sae1"))
+          .select(col("n_days"),
+            expr("""(sae7 * 200 + n_days) div (2 * n_days) / 100.0D""")
+              .as("mae_lag7_cents"),
+            expr("""(sae1 * 200 + n_days) div (2 * n_days) / 100.0D""")
+              .as("mae_naive_cents"),
+            expr("""CASE WHEN sae1 = 0 THEN NULL ELSE
+                      (sae7 * 2000000 + sae1) div (2 * sae1)
+                      / 1000000.0D END""").as("mase"),
+            expr("""CASE WHEN sae1 = 0 THEN NULL ELSE
+                      sae7 < sae1 END""").as("beats_naive"))
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))*100)
+                    AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         ser AS (SELECT y,
+                   LAG(y, 7) OVER (ORDER BY day) AS f7,
+                   LAG(y, 1) OVER (ORDER BY day) AS f1
+                 FROM daily),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                 SUM(CAST(abs(y - f7) AS HUGEINT)) AS sae7,
+                 SUM(CAST(abs(y - f1) AS HUGEINT)) AS sae1
+               FROM ser WHERE f7 IS NOT NULL)
+         SELECT n_days,
+                (sae7 * 200 + n_days) // (2 * n_days) / 100.0
+                  AS mae_lag7_cents,
+                (sae1 * 200 + n_days) // (2 * n_days) / 100.0
+                  AS mae_naive_cents,
+                CASE WHEN sae1 = 0 THEN NULL ELSE
+                  (sae7 * 2000000 + sae1) // (2 * sae1)
+                  / 1000000.0 END AS mase,
+                CASE WHEN sae1 = 0 THEN NULL ELSE
+                  sae7 < sae1 END AS beats_naive
+         FROM m"""),
+
+    // PETTITT CHANGE-POINT TEST — the rank-based (outlier-robust)
+    // single-change detector next to time_changepoint's mean-split
+    // and time_cusum's drift chart: U_t = Σ_{i≤t} (2·midrank_i −
+    // (n+1)) is an EXACT integer cumulative (doubled midranks off the
+    // value-rank window keep ties integral — the ml_auc_roc trick),
+    // K = max|U_t| with the EARLIEST day as tie-break, and only the
+    // final approximate p-value 2·exp(−6K²/(n³+n²)) touches a float —
+    // one exp of identical exact-integer-derived doubles. Two windows
+    // over the calendar-bounded daily grain + a TakeOrdered(1).
+    Q("time_pettitt",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("y"))
+        val tot = daily.agg(count(lit(1)).as("n"))
+        val wv = Window.orderBy("y")
+        val wt = Window.partitionBy("y")
+        val wd = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily
+          .withColumn("r2",
+            lit(2) * rank().over(wv) + count(lit(1)).over(wt) - 1)
+          .crossJoin(broadcast(tot))
+          .withColumn("s", col("r2") - (col("n") + 1))
+          .withColumn("u", sum("s").over(wd))
+          .withColumn("rn", row_number().over(Window.orderBy("day")))
+          .filter(col("rn") < col("n"))
+          .orderBy(abs(col("u")).desc, col("day").asc)
+          .limit(1)
+          .select(col("n").as("n_days"), col("day").as("change_day"),
+            abs(col("u")).as("k_stat"),
+            expr("""ROUND(2.0D * exp(-6.0D * CAST(abs(u) AS DOUBLE)
+                      * CAST(abs(u) AS DOUBLE)
+                      / (CAST(n AS DOUBLE)*n*n + CAST(n AS DOUBLE)*n)),
+                    6) + 0.0D""").as("p_value"))
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))*100)
+                    AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+         r AS (SELECT day, y,
+                 2 * RANK() OVER (ORDER BY y)
+                   + COUNT(*) OVER (PARTITION BY y) - 1 AS r2
+               FROM daily),
+         u AS (SELECT day, r2 - (n + 1) AS s, n,
+                 SUM(r2 - (n + 1)) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS uu,
+                 ROW_NUMBER() OVER (ORDER BY day) AS rn
+               FROM r CROSS JOIN tot)
+         SELECT n AS n_days, day AS change_day,
+                CAST(abs(uu) AS BIGINT) AS k_stat,
+                ROUND(2.0 * exp(-6.0 * CAST(abs(uu) AS DOUBLE)
+                  * CAST(abs(uu) AS DOUBLE)
+                  / (CAST(n AS DOUBLE)*n*n + CAST(n AS DOUBLE)*n)), 6)
+                  + 0.0 AS p_value
+         FROM u WHERE rn < n
+         ORDER BY abs(uu) DESC, day ASC LIMIT 1"""),
+
+    // AVERAGE NEIGHBOR DEGREE BY DEGREE CLASS — knn(k), the
+    // FUNCTIONAL form of degree mixing that graph_assortativity
+    // collapses to one coefficient (a falling knn(k) curve is
+    // disassortative hub-periphery structure even when r ≈ 0): every
+    // node of degree k has Σ neighbor degrees from ONE edges⋈degrees
+    // join, so knn(k) = Σ sumdeg / (k·N_k) is an exact operand-
+    // widened rational landing via the half-up idiom at 4 dp. One
+    // hash join + two aggregates, all shuffling on node/degree keys;
+    // the output is ≤ |distinct degrees| rows (O(√E)).
+    Q("graph_avg_neighbor_degree",
+      (s, d) => {
+        val e0 = lineitem(s, d)
+          .select((col("l_suppkey").cast("bigint") * 2).as("a"),
+            (col("l_partkey").cast("bigint") * 2 + 1).as("b"))
+          .distinct()
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        val deg = edges.groupBy(col("dst").as("node"))
+          .agg(count(lit(1)).as("degv"))
+        val per = edges.alias("e")
+          .join(deg.alias("p"), col("e.src") === col("p.node"))
+          .groupBy(col("e.dst").as("node"))
+          .agg(sum(col("p.degv")).as("sumdeg"),
+            count(lit(1)).as("degv"))
+        per.groupBy(col("degv").as("degree"))
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(col("sumdeg").cast(DecimalType(38, 0))).as("sd"))
+          .select(col("degree"), col("n_nodes"),
+            expr("""(2 * sd * 10000 + degree * n_nodes)
+                    div (2 * CAST(degree AS DECIMAL(38,0)) * n_nodes)
+                    / 10000.0D""").as("avg_neighbor_degree"))
+          .orderBy("degree")
+      },
+      """WITH e0 AS (
+           SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS a,
+                  CAST(l_partkey AS BIGINT) * 2 + 1 AS b
+           FROM lineitem),
+         edges AS (
+           SELECT a AS src, b AS dst FROM e0
+           UNION ALL SELECT b, a FROM e0),
+         deg AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS degv
+                 FROM edges GROUP BY 1),
+         per AS (SELECT e.dst AS node,
+                   CAST(SUM(p.degv) AS HUGEINT) AS sumdeg,
+                   CAST(COUNT(*) AS BIGINT) AS degv
+                 FROM edges e JOIN deg p ON p.node = e.src GROUP BY 1)
+         SELECT degv AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                (2 * SUM(sumdeg) * 10000
+                 + degv * COUNT(*))
+                // (2 * CAST(degv AS HUGEINT) * COUNT(*))
+                / 10000.0 AS avg_neighbor_degree
+         FROM per GROUP BY degv ORDER BY degree"""),
   )
 }

@@ -3520,5 +3520,182 @@ object Behavior {
              / (sqrt(v11 + v10 + v01 + v00) / 100.0), 4) + 0.0
              AS t_stat
          FROM c"""),
+
+    // COCHRAN–ARMITAGE TREND TEST — "does the conversion rate move
+    // MONOTONICALLY with an ordered exposure level", here completion
+    // rate across the five priority doses (score = the priority's
+    // leading digit): the dose-response screen the pairwise ab_test
+    // family can't express. Z = (N·Σsk − K·Σsn) · √N /
+    // √(K(N−K)(N·Σs²n − (Σsn)²)) — every moment is an exact BIGINT
+    // from one 5-row aggregate, the three products are operand-
+    // widened (DECIMAL(38,0)/HUGEINT; the radicand fits 38 digits to
+    // ~1e9 rows), and the significance gate compares the SAME exact-
+    // integer-derived doubles on both engines (A²·N > z²·prod), not
+    // a rounded Z. One aggregate; one row travels.
+    Q("ab_cochran_armitage",
+      (s, d) => orders(s, d)
+        .select(
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+            .as("dose"),
+          (col("o_orderstatus") === "F").as("conv"))
+        .groupBy("dose").agg(count(lit(1)).as("ni"),
+          sum(when(col("conv"), 1L).otherwise(0L)).as("ki"))
+        .agg(sum("ni").as("nn"), sum("ki").as("kk"),
+          sum(col("dose") * col("ni")).as("s1"),
+          sum(col("dose") * col("dose") * col("ni")).as("s2"),
+          sum(col("dose") * col("ki")).as("t1"))
+        .withColumn("a",
+          expr("""CAST(nn AS DECIMAL(38,0)) * t1
+                  - CAST(kk AS DECIMAL(38,0)) * s1"""))
+        .withColumn("prod",
+          expr("""CAST(kk AS DECIMAL(38,0)) * (nn - kk)
+                  * (CAST(nn AS DECIMAL(38,0)) * s2
+                     - CAST(s1 AS DECIMAL(38,0)) * s1)"""))
+        .select(col("nn").as("n"), col("kk").as("conversions"),
+          expr("""CASE WHEN prod = 0 THEN NULL ELSE
+                    ROUND(CAST(a AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))
+                      / sqrt(CAST(prod AS DOUBLE)), 6) + 0.0D END""")
+            .as("z_trend"),
+          expr("""CASE WHEN prod = 0 THEN NULL ELSE
+                    CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                      * CAST(nn AS DOUBLE)
+                      > 3.841458820694124D * CAST(prod AS DOUBLE)
+                  END""").as("significant_05")),
+      """WITH t AS (
+           SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
+                    AS dose,
+                  (o_orderstatus = 'F') AS conv
+           FROM orders),
+         g AS (SELECT dose, CAST(COUNT(*) AS BIGINT) AS ni,
+                 CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ki
+               FROM t GROUP BY 1),
+         m AS (SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+                 CAST(SUM(ki) AS BIGINT) AS kk,
+                 CAST(SUM(dose * ni) AS BIGINT) AS s1,
+                 CAST(SUM(dose * dose * ni) AS BIGINT) AS s2,
+                 CAST(SUM(dose * ki) AS BIGINT) AS t1
+               FROM g),
+         w AS (SELECT nn, kk,
+                 CAST(nn AS HUGEINT) * t1
+                   - CAST(kk AS HUGEINT) * s1 AS a,
+                 CAST(kk AS HUGEINT) * (nn - kk)
+                   * (CAST(nn AS HUGEINT) * s2
+                      - CAST(s1 AS HUGEINT) * s1) AS prod
+               FROM m)
+         SELECT nn AS n, kk AS conversions,
+                CASE WHEN prod = 0 THEN NULL ELSE
+                  ROUND(CAST(a AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))
+                    / sqrt(CAST(prod AS DOUBLE)), 6) + 0.0 END
+                  AS z_trend,
+                CASE WHEN prod = 0 THEN NULL ELSE
+                  CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                    * CAST(nn AS DOUBLE)
+                    > 3.841458820694124 * CAST(prod AS DOUBLE)
+                END AS significant_05
+         FROM w"""),
+
+    // FIELLER CONFIDENCE INTERVAL for a RATIO of arm means — the
+    // exact-coverage companion to ab_delta_method's linearization
+    // (delta intervals undercover when the denominator mean is noisy;
+    // Fieller inverts the t-test on m1 − θ·m0 instead): bounds =
+    // (m1·m0 ± z·√(m0²v1 + m1²v0 − z²v1v0)) / (m0² − z²v0). Both
+    // arms' moments are exact BIGINT / DECIMAL(38,0) cent sums from
+    // ONE conditional aggregate (named columns — no engine-ordered
+    // float sum); the closed form is the identical double expression
+    // with the same z literal on both engines. den ≤ 0 (denominator
+    // mean indistinguishable from zero — the CI is unbounded) and a
+    // negative discriminant yield NULL bounds on both engines.
+    Q("ab_fieller_ci",
+      (s, d) => orders(s, d)
+        .select((col("o_custkey") % 2).as("arm"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)")
+            .as("y"))
+        .agg(
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("s1"),
+          sum(when(col("arm") === 1,
+            col("y").cast(DecimalType(38, 0)) * col("y"))
+            .otherwise(lit(0).cast(DecimalType(38, 0)))).as("q1"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("s0"),
+          sum(when(col("arm") === 0,
+            col("y").cast(DecimalType(38, 0)) * col("y"))
+            .otherwise(lit(0).cast(DecimalType(38, 0)))).as("q0"))
+        .selectExpr("n1", "n0",
+          """CASE WHEN n1 < 2 THEN NULL ELSE
+             CAST(s1 AS DOUBLE)/n1 END AS m1""",
+          """CASE WHEN n0 < 2 THEN NULL ELSE
+             CAST(s0 AS DOUBLE)/n0 END AS m0""",
+          """CASE WHEN n1 < 2 THEN NULL ELSE
+             (CAST(q1 AS DOUBLE)/n1
+              - (CAST(s1 AS DOUBLE)/n1)*(CAST(s1 AS DOUBLE)/n1))
+             * n1/(n1-1)/n1 END AS v1""",
+          """CASE WHEN n0 < 2 THEN NULL ELSE
+             (CAST(q0 AS DOUBLE)/n0
+              - (CAST(s0 AS DOUBLE)/n0)*(CAST(s0 AS DOUBLE)/n0))
+             * n0/(n0-1)/n0 END AS v0""")
+        .selectExpr("n1", "n0", "m1", "m0", "v1", "v0",
+          "m0 * m0 - 3.841458820694126D * v0 AS den",
+          """m0*m0*v1 + m1*m1*v0
+             - 3.841458820694126D * v1 * v0 AS disc""")
+        .selectExpr("n1 AS n_treat", "n0 AS n_ctrl",
+          """CASE WHEN m0 = 0.0D THEN NULL ELSE
+             ROUND(m1 / m0, 6) + 0.0D END AS ratio""",
+          """CASE WHEN den <= 0.0D OR disc < 0.0D THEN NULL ELSE
+             ROUND((m1*m0 - 1.959963984540054D * sqrt(disc)) / den, 6)
+             + 0.0D END AS ci_lo""",
+          """CASE WHEN den <= 0.0D OR disc < 0.0D THEN NULL ELSE
+             ROUND((m1*m0 + 1.959963984540054D * sqrt(disc)) / den, 6)
+             + 0.0D END AS ci_hi""",
+          "den > 0.0D AS bounded"),
+      """WITH o AS (
+           SELECT o_custkey % 2 AS arm,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+                    AS y
+           FROM orders),
+         m AS (SELECT
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS s1,
+             SUM(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT)*y
+                 ELSE CAST(0 AS HUGEINT) END) AS q1,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS s0,
+             SUM(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT)*y
+                 ELSE CAST(0 AS HUGEINT) END) AS q0
+           FROM o),
+         c AS (SELECT n1, n0,
+             CASE WHEN n1 < 2 THEN NULL ELSE
+               CAST(s1 AS DOUBLE)/n1 END AS m1,
+             CASE WHEN n0 < 2 THEN NULL ELSE
+               CAST(s0 AS DOUBLE)/n0 END AS m0,
+             CASE WHEN n1 < 2 THEN NULL ELSE
+               (CAST(q1 AS DOUBLE)/n1
+                - (CAST(s1 AS DOUBLE)/n1)*(CAST(s1 AS DOUBLE)/n1))
+               * n1/(n1-1)/n1 END AS v1,
+             CASE WHEN n0 < 2 THEN NULL ELSE
+               (CAST(q0 AS DOUBLE)/n0
+                - (CAST(s0 AS DOUBLE)/n0)*(CAST(s0 AS DOUBLE)/n0))
+               * n0/(n0-1)/n0 END AS v0
+           FROM m),
+         f AS (SELECT n1, n0, m1, m0, v1, v0,
+             m0 * m0 - 3.841458820694126 * v0 AS den,
+             m0*m0*v1 + m1*m1*v0 - 3.841458820694126 * v1 * v0 AS disc
+           FROM c)
+         SELECT n1 AS n_treat, n0 AS n_ctrl,
+                CASE WHEN m0 = 0.0 THEN NULL ELSE
+                  ROUND(m1 / m0, 6) + 0.0 END AS ratio,
+                CASE WHEN den <= 0.0 OR disc < 0.0 THEN NULL ELSE
+                  ROUND((m1*m0 - 1.959963984540054 * sqrt(disc)) / den,
+                    6) + 0.0 END AS ci_lo,
+                CASE WHEN den <= 0.0 OR disc < 0.0 THEN NULL ELSE
+                  ROUND((m1*m0 + 1.959963984540054 * sqrt(disc)) / den,
+                    6) + 0.0 END AS ci_hi,
+                den > 0.0 AS bounded
+         FROM f"""),
   )
 }

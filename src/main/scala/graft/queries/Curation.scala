@@ -2008,5 +2008,100 @@ FROM wt ORDER BY lang, source"""),
                     / CAST(num AS DOUBLE), 4) + 0.0 END
                   AS effective_vocab
          FROM g ORDER BY source"""),
+
+    // YULE'S CHARACTERISTIC K per source — the classic vocabulary-
+    // richness constant K = 10⁴·(Σc² − N)/N² (repetitiveness that is
+    // stable under corpus growth, unlike raw TTR): the third lens
+    // next to text_ttr (size-biased) and text_simpson_diversity
+    // (pair-probability). Σc² is an operand-widened exact integer
+    // over the per-source word histogram, N² likewise, so K lands via
+    // the half-up integer idiom at 4 dp — no float sum, no ROUND tie.
+    // Same one (source, word) partial-agg exchange + source rollup as
+    // the sibling keys.
+    Q("text_yule_k",
+      (s, d) => {
+        val wc = documents(s, d)
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        wc.groupBy("source")
+          .agg(count(lit(1)).as("vocab"), sum("c").as("n_tokens"),
+            sum(col("c").cast(DecimalType(38, 0)) * col("c")).as("s2"))
+          .select(col("source"), col("vocab"), col("n_tokens"),
+            expr("""CASE WHEN n_tokens <= 1 THEN NULL ELSE
+                      ((s2 - n_tokens) * 200000000
+                       + CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)
+                      div (2 * CAST(n_tokens AS DECIMAL(38,0))
+                           * n_tokens) / 10000.0D END""").as("yule_k"))
+          .orderBy("source")
+      },
+      """WITH wc AS (
+           SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT source,
+                        UNNEST(string_split(text, ' ')) AS w
+                 FROM documents)
+           WHERE w <> '' GROUP BY 1, 2),
+         g AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+                  CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  SUM(CAST(c AS HUGEINT) * c) AS s2
+           FROM wc GROUP BY 1)
+         SELECT source, vocab, n_tokens,
+                CASE WHEN n_tokens <= 1 THEN NULL ELSE
+                  ((s2 - n_tokens) * 200000000
+                   + CAST(n_tokens AS HUGEINT) * n_tokens)
+                  // (2 * CAST(n_tokens AS HUGEINT) * n_tokens)
+                  / 10000.0 END AS yule_k
+         FROM g ORDER BY source"""),
+
+    // HAPAX / DIS LEGOMENA per source — the frequency-spectrum head
+    // (how much of the vocabulary occurs once / twice) that drives
+    // Good–Turing smoothing mass and OOV-rate expectations, and the
+    // fourth vocabulary lens next to ttr / simpson / yule: pure
+    // integer counts off the same word histogram, shares via the
+    // half-up idiom at 6 dp — no float sum anywhere. Same (source,
+    // word) partial-agg exchange + source rollup as the siblings.
+    Q("text_hapax_ratio",
+      (s, d) => {
+        val wc = documents(s, d)
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        wc.groupBy("source")
+          .agg(count(lit(1)).as("vocab"), sum("c").as("n_tokens"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+            sum(when(col("c") === 2, 1L).otherwise(0L)).as("dis"))
+          .select(col("source"), col("vocab"), col("n_tokens"),
+            col("hapax"), col("dis"),
+            expr("""(CAST(hapax AS DECIMAL(38,0)) * 2000000 + vocab)
+                    div (2 * vocab) / 1000000.0D""")
+              .as("hapax_vocab_share"),
+            expr("""(CAST(hapax AS DECIMAL(38,0)) * 2000000 + n_tokens)
+                    div (2 * n_tokens) / 1000000.0D""")
+              .as("hapax_token_share"))
+          .orderBy("source")
+      },
+      """WITH wc AS (
+           SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT source,
+                        UNNEST(string_split(text, ' ')) AS w
+                 FROM documents)
+           WHERE w <> '' GROUP BY 1, 2),
+         g AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+                  CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hapax,
+                  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dis
+           FROM wc GROUP BY 1)
+         SELECT source, vocab, n_tokens, hapax, dis,
+                (CAST(hapax AS HUGEINT) * 2000000 + vocab)
+                  // (2 * vocab) / 1000000.0 AS hapax_vocab_share,
+                (CAST(hapax AS HUGEINT) * 2000000 + n_tokens)
+                  // (2 * n_tokens) / 1000000.0 AS hapax_token_share
+         FROM g ORDER BY source"""),
   )
 }

@@ -3602,6 +3602,261 @@ object Ml {
                       + (CAST(n AS HUGEINT) * 10000) // 2)
                      // (CAST(n AS HUGEINT) * 10000)
                   AS DOUBLE) / 1000000.0 AS ece
-         FROM acc CROSS JOIN tot ORDER BY bin""")
+         FROM acc CROSS JOIN tot ORDER BY bin"""),
+
+    // COHEN'S KAPPA — chance-corrected agreement between the same two
+    // rule classifiers ml_mcnemar compares ("do the raters agree more
+    // than their marginals predict?"): κ = (n·agree − E)/(n² − E),
+    // E = Σ row-marginal × col-marginal. Everything is a RATIONAL of
+    // the four contingency counts, so both κ and the observed
+    // agreement use the exact sign-split half-up integer idiom —
+    // no ROUND(double) tie can diverge. Products of corpus-scale
+    // counts are operand-widened (DECIMAL(38,0)/HUGEINT, the cccd1ff
+    // discipline); den = 0 (a degenerate marginal) yields NULL on
+    // both engines. One conditional aggregate; one row travels.
+    Q("ml_cohen_kappa",
+      (s, d) => orders(s, d)
+        .select(
+          (col("o_totalprice") > 150000.0).as("ra"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("rb"))
+        .agg(
+          sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("p11"),
+          sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("p10"),
+          sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("p01"),
+          sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("p00"))
+        .withColumn("n", expr("p11 + p10 + p01 + p00"))
+        .withColumn("ee",
+          expr("""CAST(p11 + p10 AS DECIMAL(38,0)) * (p11 + p01)
+                  + CAST(p01 + p00 AS DECIMAL(38,0)) * (p10 + p00)"""))
+        .withColumn("num",
+          expr("CAST(n AS DECIMAL(38,0)) * (p11 + p00) - ee"))
+        .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * n - ee"))
+        .select(col("n"), expr("p11 + p00").as("agree"),
+          expr("""(CAST(p11 + p00 AS DECIMAL(38,0)) * 2000000 + n)
+                  div (2 * n) / 1000000.0D""").as("po"),
+          expr("""CASE WHEN den = 0 THEN NULL ELSE
+                    CASE WHEN num < 0 THEN -1 ELSE 1 END *
+                    ((2 * abs(num) * 1000000 + den) div (2 * den))
+                    / 1000000.0D END""").as("kappa")),
+      """WITH p AS (
+           SELECT (o_totalprice > 150000.0) AS ra,
+                  (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS rb
+           FROM orders),
+         m AS (SELECT
+             CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END)
+               AS BIGINT) AS p11,
+             CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END)
+               AS BIGINT) AS p10,
+             CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END)
+               AS BIGINT) AS p01,
+             CAST(SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END)
+               AS BIGINT) AS p00
+           FROM p),
+         k AS (SELECT p11, p10, p01, p00,
+             p11 + p10 + p01 + p00 AS n,
+             CAST(p11 + p10 AS HUGEINT) * (p11 + p01)
+               + CAST(p01 + p00 AS HUGEINT) * (p10 + p00) AS ee
+           FROM m),
+         kk AS (SELECT n, p11 + p00 AS agree,
+             CAST(n AS HUGEINT) * (p11 + p00) - ee AS num,
+             CAST(n AS HUGEINT) * n - ee AS den,
+             p11, p00
+           FROM k)
+         SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+                (CAST(agree AS HUGEINT) * 2000000 + n) // (2 * n)
+                  / 1000000.0 AS po,
+                CASE WHEN den = 0 THEN NULL ELSE
+                  CASE WHEN num < 0 THEN -1 ELSE 1 END *
+                  ((2 * abs(num) * 1000000 + den) // (2 * den))
+                  / 1000000.0 END AS kappa
+         FROM kk"""),
+
+    // MATTHEWS CORRELATION COEFFICIENT — the single-number binary-
+    // classifier summary that stays honest under class imbalance
+    // (unlike accuracy / F1): MCC = (tp·tn − fp·fn) /
+    // √((tp+fp)(tp+fn)(tn+fp)(tn+fn)). Numerator and the radicand
+    // are EXACT operand-widened integers (DECIMAL(38,0)/HUGEINT —
+    // the 4-factor product fits 38 digits to ~1e9 rows), so the only
+    // floats are one division + one sqrt of identical values; a zero
+    // marginal makes MCC undefined → NULL on both engines. One
+    // conditional aggregate; one row travels.
+    Q("ml_matthews_corr",
+      (s, d) => orders(s, d)
+        .select((col("o_orderstatus") === "F").as("label"),
+          (col("o_totalprice") > 150000.0).as("pred"))
+        .agg(
+          sum(when(col("pred") && col("label"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("pred") && !col("label"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!col("pred") && col("label"), 1L).otherwise(0L))
+            .as("fn"),
+          sum(when(!col("pred") && !col("label"), 1L).otherwise(0L))
+            .as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("""CASE WHEN tp + fp = 0 OR tp + fn = 0
+                       OR tn + fp = 0 OR tn + fn = 0 THEN NULL ELSE
+                    ROUND(CAST(CAST(tp AS DECIMAL(38,0)) * tn
+                               - CAST(fp AS DECIMAL(38,0)) * fn
+                            AS DOUBLE)
+                      / sqrt(CAST(CAST(tp + fp AS DECIMAL(38,0))
+                               * (tp + fn) * (tn + fp) * (tn + fn)
+                            AS DOUBLE)), 6) + 0.0D END""").as("mcc")),
+      """WITH p AS (
+           SELECT (o_orderstatus = 'F') AS label,
+                  (o_totalprice > 150000.0) AS pred
+           FROM orders),
+         m AS (SELECT
+             CAST(SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END)
+               AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0
+               END) AS BIGINT) AS tn
+           FROM p)
+         SELECT tp, fp, fn, tn,
+                CASE WHEN tp + fp = 0 OR tp + fn = 0
+                     OR tn + fp = 0 OR tn + fn = 0 THEN NULL ELSE
+                  ROUND(CAST(CAST(tp AS HUGEINT) * tn
+                             - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+                    / sqrt(CAST(CAST(tp + fp AS HUGEINT)
+                             * (tp + fn) * (tn + fp) * (tn + fn)
+                          AS DOUBLE)), 6) + 0.0 END AS mcc
+         FROM m"""),
+
+    // CRAMÉR'S V — effect-size of association between two categorical
+    // columns (order status × order priority), the feature-screening
+    // companion to profile_mutual_info: χ² over the FULL r×c domain
+    // (absent cells still contribute (r·c)²/(n·r·c) — the domain is
+    // rebuilt as marginals × marginals, not from observed cells), per-
+    // cell terms (n·o − r·c)²/(n·r·c) from exact operand-widened
+    // integers, each cast to DECIMAL(26,12) so the χ² sum is ORDER-
+    // FREE decimal addition (the text_source_similarity KL trick);
+    // V = √(χ²/(n·min(r−1,c−1))) with min(r−1,c−1) = 2 pinned by the
+    // 3-status × 5-priority domain. Three tiny aggregates + broadcast
+    // joins; 15 rows travel.
+    Q("ml_cramers_v",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("pr"))
+        val cells = o.groupBy("st", "pr").agg(count(lit(1)).as("o_cnt"))
+        val rm = o.groupBy("st").agg(count(lit(1)).as("r"))
+        val cm = o.groupBy("pr").agg(count(lit(1)).as("c"))
+        val tot = o.agg(count(lit(1)).as("n"))
+        rm.crossJoin(broadcast(cm))
+          .join(broadcast(cells), Seq("st", "pr"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("dif",
+            expr("""CAST(n AS DECIMAL(38,0)) * coalesce(o_cnt, 0L)
+                    - CAST(r AS DECIMAL(38,0)) * c"""))
+          .withColumn("term",
+            expr("""CAST(CAST(dif * dif AS DOUBLE)
+                    / CAST(CAST(n AS DECIMAL(38,0)) * r * c AS DOUBLE)
+                    AS DECIMAL(26,12))"""))
+          .agg(max("n").as("n"), count(lit(1)).as("n_cells"),
+            sum("term").as("chi2d"))
+          .select(col("n"), col("n_cells"),
+            expr("ROUND(CAST(chi2d AS DOUBLE), 6) + 0.0D").as("chi2"),
+            expr("""ROUND(sqrt(CAST(chi2d AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * 2.0D)), 6) + 0.0D""")
+              .as("cramers_v"))
+      },
+      """WITH o AS (SELECT o_orderstatus AS st, o_orderpriority AS pr
+           FROM orders),
+         cells AS (SELECT st, pr, CAST(COUNT(*) AS BIGINT) AS o_cnt
+           FROM o GROUP BY 1, 2),
+         rm AS (SELECT st, CAST(COUNT(*) AS BIGINT) AS r
+           FROM o GROUP BY 1),
+         cm AS (SELECT pr, CAST(COUNT(*) AS BIGINT) AS c
+           FROM o GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o),
+         dom AS (
+           SELECT n, r, c,
+                  CAST(n AS HUGEINT) * COALESCE(cells.o_cnt, 0)
+                    - CAST(rm.r AS HUGEINT) * cm.c AS dif
+           FROM rm CROSS JOIN cm
+             LEFT JOIN cells ON cells.st = rm.st AND cells.pr = cm.pr
+             CROSS JOIN tot),
+         t AS (SELECT n,
+                  CAST(CAST(dif * dif AS DOUBLE)
+                    / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE)
+                    AS DECIMAL(26,12)) AS term
+               FROM dom)
+         SELECT CAST(MAX(n) AS BIGINT) AS n, COUNT(*) AS n_cells,
+                ROUND(CAST(SUM(term) AS DOUBLE), 6) + 0.0 AS chi2,
+                ROUND(sqrt(CAST(SUM(term) AS DOUBLE)
+                  / (CAST(MAX(n) AS DOUBLE) * 2.0)), 6) + 0.0
+                  AS cramers_v
+         FROM t"""),
+
+    // SOMERS' D — the tie-aware ordinal association between score and
+    // binary label that ml_auc_roc's rank form summarizes as 2·AUC−1
+    // ONLY when ties are halved; here concordant / discordant / tied
+    // pairs are EXACT integers off the same score-value histogram
+    // (c·cum-below products, operand-widened), so D = (C − Dc)/(n₊n₋)
+    // lands via the sign-split half-up idiom — D can be negative and
+    // no ROUND(double) sits in the path. Same one histogram aggregate
+    // + one cumulative window over the ≤|distinct scores| domain as
+    // the AUC key — never a row-level global rank.
+    Q("ml_somers_d",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = documents(s, d)
+          .groupBy(col("n_chars").as("sc"))
+          .agg(count(lit(1)).as("c"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cp"))
+          .withColumn("cn", col("c") - col("cp"))
+        val w = Window.orderBy("sc")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        h.withColumn("nb", coalesce(sum("cn").over(w), lit(0L)))
+          .agg(sum("cp").as("np"), sum("cn").as("nn"),
+            sum(col("cp").cast(DecimalType(38, 0)) * col("nb"))
+              .as("conc"),
+            sum(col("cp").cast(DecimalType(38, 0)) * col("cn"))
+              .as("ties"))
+          // disc = pairs with pos below neg = np·nn − conc − ties
+          .withColumn("disc",
+            expr("CAST(np AS DECIMAL(38,0)) * nn - conc - ties"))
+          .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+            col("conc").cast("double").as("concordant"),
+            col("disc").cast("double").as("discordant"),
+            col("ties").cast("double").as("tied_score"),
+            expr("""CASE WHEN np = 0 OR nn = 0 THEN NULL ELSE
+                      CASE WHEN conc - disc < 0 THEN -1 ELSE 1 END *
+                      ((2 * abs(conc - disc) * 1000000
+                        + CAST(np AS DECIMAL(38,0)) * nn)
+                       div (2 * CAST(np AS DECIMAL(38,0)) * nn))
+                      / 1000000.0D END""").as("somers_d"))
+      },
+      """WITH h AS (SELECT n_chars AS sc, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cp
+             FROM documents GROUP BY 1),
+         cum AS (SELECT sc, c, cp, c - cp AS cn,
+             coalesce(sum(c - cp) OVER (ORDER BY sc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nb
+           FROM h),
+         agg AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+                        CAST(sum(cn) AS BIGINT) AS nn,
+                        sum(CAST(cp AS HUGEINT) * nb) AS conc,
+                        sum(CAST(cp AS HUGEINT) * cn) AS ties
+                 FROM cum),
+         k AS (SELECT np, nn, conc, ties,
+                 CAST(np AS HUGEINT) * nn - conc - ties AS disc
+               FROM agg)
+         SELECT np AS n_pos, nn AS n_neg,
+                CAST(conc AS DOUBLE) AS concordant,
+                CAST(disc AS DOUBLE) AS discordant,
+                CAST(ties AS DOUBLE) AS tied_score,
+                CASE WHEN np = 0 OR nn = 0 THEN NULL ELSE
+                  CASE WHEN conc - disc < 0 THEN -1 ELSE 1 END *
+                  ((2 * abs(conc - disc) * 1000000
+                    + CAST(np AS HUGEINT) * nn)
+                   // (2 * CAST(np AS HUGEINT) * nn))
+                  / 1000000.0 END AS somers_d
+         FROM k""")
   )
 }

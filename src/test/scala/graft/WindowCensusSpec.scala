@@ -96,6 +96,11 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     "time_adf" -> "calendar-grain series (days/months)",
     "time_permutation_entropy" -> "calendar-grain series (days/months)",
     "time_theil_u2" -> "calendar-grain series (days/months)",
+    "time_rsi" -> "calendar-grain series (days/months)",
+    "time_variance_ratio" -> "calendar-grain series (days/months)",
+    "time_mase" -> "calendar-grain series (days/months)",
+    "time_pettitt" -> "calendar-grain series (days/months)",
+    "ml_somers_d" -> "distinct rounded scores (fixed score precision)",
     "time_autocorr" -> "calendar-grain series (days/months)",
     "time_ljung_box" -> "calendar-grain series (days/months)",
     "time_backtest_horizons" -> "calendar-grain series (days/months)",
