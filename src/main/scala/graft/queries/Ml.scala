@@ -3734,9 +3734,10 @@ object Ml {
     // cell terms (n·o − r·c)²/(n·r·c) from exact operand-widened
     // integers, each cast to DECIMAL(26,12) so the χ² sum is ORDER-
     // FREE decimal addition (the text_source_similarity KL trick);
-    // V = √(χ²/(n·min(r−1,c−1))) with min(r−1,c−1) = 2 pinned by the
-    // 3-status × 5-priority domain. Three tiny aggregates + broadcast
-    // joins; 15 rows travel.
+    // V = √(χ²/(n·min(r−1,c−1))) with the df derived from the
+    // OBSERVED marginals (a collapsed category changes df, not just
+    // the cell grid). Three tiny aggregates + broadcast joins;
+    // 15 rows travel.
     Q("ml_cramers_v",
       (s, d) => {
         val o = orders(s, d).select(col("o_orderstatus").as("st"),
@@ -3756,11 +3757,19 @@ object Ml {
                     / CAST(CAST(n AS DECIMAL(38,0)) * r * c AS DOUBLE)
                     AS DECIMAL(26,12))"""))
           .agg(max("n").as("n"), count(lit(1)).as("n_cells"),
+            countDistinct(col("st")).as("rd"),
+            countDistinct(col("pr")).as("cd"),
             sum("term").as("chi2d"))
+          // df = min(r−1, c−1) from the OBSERVED marginals (not a
+          // pinned 2): a corpus slice with a collapsed category still
+          // reports true Cramér's V; a single-category variable has
+          // df = 0 → NULL on both engines
           .select(col("n"), col("n_cells"),
             expr("ROUND(CAST(chi2d AS DOUBLE), 6) + 0.0D").as("chi2"),
-            expr("""ROUND(sqrt(CAST(chi2d AS DOUBLE)
-                    / (CAST(n AS DOUBLE) * 2.0D)), 6) + 0.0D""")
+            expr("""CASE WHEN least(rd, cd) <= 1 THEN NULL ELSE
+                    ROUND(sqrt(CAST(chi2d AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (least(rd, cd) - 1))), 6)
+                    + 0.0D END""")
               .as("cramers_v"))
       },
       """WITH o AS (SELECT o_orderstatus AS st, o_orderpriority AS pr
@@ -3773,22 +3782,25 @@ object Ml {
            FROM o GROUP BY 1),
          tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o),
          dom AS (
-           SELECT n, r, c,
+           SELECT rm.st AS st, cm.pr AS pr, n, r, c,
                   CAST(n AS HUGEINT) * COALESCE(cells.o_cnt, 0)
                     - CAST(rm.r AS HUGEINT) * cm.c AS dif
            FROM rm CROSS JOIN cm
              LEFT JOIN cells ON cells.st = rm.st AND cells.pr = cm.pr
              CROSS JOIN tot),
-         t AS (SELECT n,
+         t AS (SELECT st, pr, n,
                   CAST(CAST(dif * dif AS DOUBLE)
                     / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE)
                     AS DECIMAL(26,12)) AS term
                FROM dom)
          SELECT CAST(MAX(n) AS BIGINT) AS n, COUNT(*) AS n_cells,
                 ROUND(CAST(SUM(term) AS DOUBLE), 6) + 0.0 AS chi2,
-                ROUND(sqrt(CAST(SUM(term) AS DOUBLE)
-                  / (CAST(MAX(n) AS DOUBLE) * 2.0)), 6) + 0.0
-                  AS cramers_v
+                CASE WHEN least(COUNT(DISTINCT st), COUNT(DISTINCT pr))
+                       <= 1 THEN NULL ELSE
+                  ROUND(sqrt(CAST(SUM(term) AS DOUBLE)
+                    / (CAST(MAX(n) AS DOUBLE)
+                       * (least(COUNT(DISTINCT st), COUNT(DISTINCT pr))
+                          - 1))), 6) + 0.0 END AS cramers_v
          FROM t"""),
 
     // SOMERS' D — the tie-aware ordinal association between score and
