@@ -4166,5 +4166,66 @@ object Analytics {
                 // (2 * CAST(degv AS HUGEINT) * COUNT(*))
                 / 10000.0 AS avg_neighbor_degree
          FROM per GROUP BY degv ORDER BY degree"""),
+
+    // MULTIPLICATIVE day-of-week SEASONAL INDEX — the classical
+    // ratio-to-moving-average decomposition (index 1.12 = "Fridays
+    // run 12% above trend"), the multiplicative twin of
+    // time_decompose_additive's level-subtraction: each full-window
+    // day's ratio to its CENTERED 7-day MA is an exact half-up
+    // integer in 1e-6 units (7y/Σ₇ — the MA division never happens
+    // in float), and the per-dow index is the half-up mean of those
+    // integer ratios — order-free BIGINT sums end to end. ISO
+    // weekday keys (Spark weekday()+1 ≡ DuckDB isodow) pin the dow
+    // encoding across engines. One window pass over the calendar
+    // grain + one 7-row rollup.
+    Q("time_seasonal_index_mult",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("y"))
+        val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+        daily
+          .withColumn("msum", sum("y").over(w7))
+          .withColumn("mcnt", count(lit(1)).over(w7))
+          .filter(col("mcnt") === 7)
+          .withColumn("ratio6",
+            expr("""CASE WHEN msum = 0 THEN NULL ELSE
+                      (14 * CAST(y AS DECIMAL(38,0)) * 1000000 + msum)
+                      div (2 * msum) END"""))
+          .groupBy((weekday(col("day")) + 1).as("dow"))
+          .agg(count(col("ratio6")).as("n_days"),
+            sum(col("ratio6").cast(DecimalType(38, 0))).as("sr"))
+          .select(col("dow"), col("n_days"),
+            expr("""CASE WHEN n_days = 0 THEN NULL ELSE
+                      (2 * sr + n_days) div (2 * n_days) / 1000000.0D
+                    END""").as("seasonal_index"))
+          .orderBy("dow")
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))*100)
+                    AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         r AS (SELECT day, y,
+                 SUM(y) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS msum,
+                 COUNT(*) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS mcnt
+               FROM daily),
+         f AS (SELECT isodow(day) AS dow,
+                 CASE WHEN msum = 0 THEN NULL ELSE
+                   (14 * CAST(y AS HUGEINT) * 1000000 + msum)
+                   // (2 * msum) END AS ratio6
+               FROM r WHERE mcnt = 7),
+         g AS (SELECT dow, CAST(COUNT(ratio6) AS BIGINT) AS n_days,
+                 SUM(CAST(ratio6 AS HUGEINT)) AS sr
+               FROM f GROUP BY 1)
+         SELECT dow, n_days,
+                CASE WHEN n_days = 0 THEN NULL ELSE
+                  (2 * sr + n_days) // (2 * n_days) / 1000000.0
+                END AS seasonal_index
+         FROM g ORDER BY dow"""),
   )
 }

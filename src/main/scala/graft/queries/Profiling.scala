@@ -45,6 +45,70 @@ object Profiling {
                  AS BIGINT) % 100 < 10
          ORDER BY o_orderkey"""),
 
+    // HORVITZ–THOMPSON TOTAL from an UNEQUAL-rate deterministic
+    // sample — the survey-sampling estimator that makes sample_hash's
+    // cheap subsets quantitative: each priority stratum d keeps a
+    // d·10% md5 bucket (identical sample on both engines), and the
+    // stratum total is estimated as Σ y_i/π_i with π = d/10. The
+    // estimate stays EXACT: contributions are cents·10 scaled
+    // integers divided per stratum by the half-up idiom (operand-
+    // widened), and the relative error vs the true stratum total —
+    // the "would the 10% scan have been enough" answer — is the same
+    // exact rational. One scan, one (stratum × sampled-flag)
+    // conditional aggregate; 5 rows travel.
+    Q("sample_ht_total",
+      (s, d) => orders(s, d)
+        .select(
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+            .as("stratum"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)")
+            .as("cents"),
+          (conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
+            16, 10).cast("long") % 100).as("bkt"))
+        .groupBy("stratum")
+        .agg(count(lit(1)).as("n_pop"),
+          sum(col("cents")).as("true_cents"),
+          sum(when(col("bkt") < col("stratum") * 10, 1L).otherwise(0L))
+            .as("n_sampled"),
+          sum(when(col("bkt") < col("stratum") * 10, col("cents"))
+            .otherwise(0L)).as("s_cents"))
+        .select(col("stratum"), col("n_pop"), col("n_sampled"),
+          col("true_cents"),
+          expr("""(CAST(s_cents AS DECIMAL(38,0)) * 20 + stratum)
+                  div (2 * stratum)""").as("ht_est_cents"),
+          expr("""CASE WHEN true_cents = 0 THEN NULL ELSE
+                    (2 * CAST(abs((CAST(s_cents AS DECIMAL(38,0)) * 20)
+                             div (2 * stratum) - true_cents)
+                          AS DECIMAL(38,0)) * 1000000
+                     + true_cents) div (2 * true_cents) / 10000.0D
+                  END""").as("rel_err_pct"))
+        .orderBy("stratum"),
+      """WITH t AS (
+           SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
+                    AS stratum,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+                    AS cents,
+                  CAST(('0x' || substring(md5(CAST(o_orderkey
+                    AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bkt
+           FROM orders),
+         g AS (
+           SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_pop,
+                  CAST(SUM(cents) AS BIGINT) AS true_cents,
+                  CAST(SUM(CASE WHEN bkt < stratum * 10 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_sampled,
+                  CAST(SUM(CASE WHEN bkt < stratum * 10 THEN cents
+                    ELSE 0 END) AS BIGINT) AS s_cents
+           FROM t GROUP BY 1)
+         SELECT stratum, n_pop, n_sampled, true_cents,
+                CAST((CAST(s_cents AS HUGEINT) * 20 + stratum)
+                  // (2 * stratum) AS BIGINT) AS ht_est_cents,
+                CASE WHEN true_cents = 0 THEN NULL ELSE
+                  (2 * abs((CAST(s_cents AS HUGEINT) * 20)
+                           // (2 * stratum) - true_cents) * 1000000
+                   + true_cents) // (2 * true_cents) / 10000.0
+                END AS rel_err_pct
+         FROM g ORDER BY stratum"""),
+
     // pandas-resample-style gap-fill: daily order counts over a fixed
     // calendar spine, empty days emitted as zeros — spine LEFT JOIN
     // daily agg, the standard time-series densification shape (the
