@@ -3726,22 +3726,25 @@ object Ml {
                           AS DOUBLE)), 6) + 0.0 END AS mcc
          FROM m"""),
 
-    // CRAMÉR'S V — effect-size of association between two categorical
-    // columns (order status × order priority), the feature-screening
-    // companion to profile_mutual_info: χ² over the FULL r×c domain
-    // (absent cells still contribute (r·c)²/(n·r·c) — the domain is
-    // rebuilt as marginals × marginals, not from observed cells), per-
-    // cell terms (n·o − r·c)²/(n·r·c) from exact operand-widened
-    // integers, each cast to DECIMAL(26,12) so the χ² sum is ORDER-
-    // FREE decimal addition (the text_source_similarity KL trick);
-    // V = √(χ²/(n·min(r−1,c−1))) with the df derived from the
-    // OBSERVED marginals (a collapsed category changes df, not just
-    // the cell grid). Three tiny aggregates + broadcast joins;
-    // 15 rows travel.
+    // CRAMÉR'S V over CORPUS METADATA (language × source) — "is the
+    // language mix a property of the source": the curation-side
+    // association screen (a high V means per-source language filters
+    // are worth it; V ≈ 0 means one global filter suffices).
+    // profile_cramers_v covers the orders pair on OBSERVED cells;
+    // this one rebuilds the FULL r×c domain as marginals × marginals
+    // (absent (lang, source) cells still contribute (r·c)²/(n·r·c) —
+    // dropping them understates χ² exactly when the association is
+    // strongest), per-cell terms (n·o − r·c)²/(n·r·c) from exact
+    // operand-widened integers, each cast to DECIMAL(26,12) so the
+    // χ² sum is ORDER-FREE decimal addition (the KL trick);
+    // V = √(χ²/(n·min(r−1,c−1))) with df from the OBSERVED marginals
+    // (a collapsed category changes df, not just the grid). Three
+    // tiny aggregates + broadcast joins; ≤ |langs|·|sources| rows
+    // travel.
     Q("ml_cramers_v",
       (s, d) => {
-        val o = orders(s, d).select(col("o_orderstatus").as("st"),
-          col("o_orderpriority").as("pr"))
+        val o = documents(s, d).select(col("lang").as("st"),
+          col("source").as("pr"))
         val cells = o.groupBy("st", "pr").agg(count(lit(1)).as("o_cnt"))
         val rm = o.groupBy("st").agg(count(lit(1)).as("r"))
         val cm = o.groupBy("pr").agg(count(lit(1)).as("c"))
@@ -3772,8 +3775,7 @@ object Ml {
                     + 0.0D END""")
               .as("cramers_v"))
       },
-      """WITH o AS (SELECT o_orderstatus AS st, o_orderpriority AS pr
-           FROM orders),
+      """WITH o AS (SELECT lang AS st, source AS pr FROM documents),
          cells AS (SELECT st, pr, CAST(COUNT(*) AS BIGINT) AS o_cnt
            FROM o GROUP BY 1, 2),
          rm AS (SELECT st, CAST(COUNT(*) AS BIGINT) AS r
