@@ -91,7 +91,14 @@ object Plans {
     "ml_feature_vif", "time_adf", "time_permutation_entropy",
     // round-10 wave-3 additions
     "ab_diff_in_diff", "ml_expected_calibration_error",
-    "text_simpson_diversity", "time_theil_u2")
+    "text_simpson_diversity", "time_theil_u2",
+    // round-10 wave-4/5/6 additions (continuation session)
+    "ml_cohen_kappa", "ml_matthews_corr", "ml_cramers_v",
+    "ab_cochran_armitage", "time_rsi", "time_variance_ratio",
+    "text_yule_k", "graph_katz_centrality",
+    "ab_fieller_ci", "ml_somers_d", "time_mase", "time_pettitt",
+    "text_hapax_ratio", "graph_avg_neighbor_degree",
+    "sample_ht_total", "time_seasonal_index_mult")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -3604,16 +3604,20 @@ object Ml {
                   AS DOUBLE) / 1000000.0 AS ece
          FROM acc CROSS JOIN tot ORDER BY bin"""),
 
-    // COHEN'S KAPPA — chance-corrected agreement between the same two
-    // rule classifiers ml_mcnemar compares ("do the raters agree more
-    // than their marginals predict?"): κ = (n·agree − E)/(n² − E),
-    // E = Σ row-marginal × col-marginal. Everything is a RATIONAL of
-    // the four contingency counts, so both κ and the observed
-    // agreement use the exact sign-split half-up integer idiom —
-    // no ROUND(double) tie can diverge. Products of corpus-scale
-    // counts are operand-widened (DECIMAL(38,0)/HUGEINT, the cccd1ff
-    // discipline); den = 0 (a degenerate marginal) yields NULL on
-    // both engines. One conditional aggregate; one row travels.
+    // COHEN'S KAPPA between the same two rule CLASSIFIERS ml_mcnemar
+    // compares — the model-promotion companion question ("how much do
+    // the champion and challenger agree beyond chance" next to
+    // mcnemar's "is the disagreement one-sided"); quality_kappa is
+    // the same statistic pointed at document-quality rater ensembles
+    // (the KS/PSI precedent: one statistic, profiling vs model-eval
+    // lens). κ = (n·agree − E)/(n² − E), E = Σ row-marginal ×
+    // col-marginal — a RATIONAL of the four contingency counts, so
+    // both κ and the observed agreement use the exact sign-split
+    // half-up integer idiom — no ROUND(double) tie can diverge.
+    // Products of corpus-scale counts are operand-widened
+    // (DECIMAL(38,0)/HUGEINT, the cccd1ff discipline); den = 0 (a
+    // degenerate marginal) yields NULL on both engines. One
+    // conditional aggregate; one row travels.
     Q("ml_cohen_kappa",
       (s, d) => orders(s, d)
         .select(
