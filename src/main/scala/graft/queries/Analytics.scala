@@ -4170,14 +4170,20 @@ object Analytics {
     // MULTIPLICATIVE day-of-week SEASONAL INDEX — the classical
     // ratio-to-moving-average decomposition (index 1.12 = "Fridays
     // run 12% above trend"), the multiplicative twin of
-    // time_decompose_additive's level-subtraction: each full-window
-    // day's ratio to its CENTERED 7-day MA is an exact half-up
-    // integer in 1e-6 units (7y/Σ₇ — the MA division never happens
-    // in float), and the per-dow index is the half-up mean of those
-    // integer ratios — order-free BIGINT sums end to end. ISO
-    // weekday keys (Spark weekday()+1 ≡ DuckDB isodow) pin the dow
-    // encoding across engines. One window pass over the calendar
-    // grain + one 7-row rollup.
+    // time_decompose_additive's level-subtraction. The daily series
+    // is GAP-FILLED onto the min..max calendar spine first (a day
+    // with no orders has TRUE revenue 0, and without the spine a
+    // 7-ROW window on a gapped series spans repeated weekdays — the
+    // review finding this rewrite closes), so every interior ROWS
+    // ±3 window is a genuine 7-calendar-day week. Each day's ratio
+    // to its centered 7-day MA is an exact half-up integer in 1e-6
+    // units (7y/Σ₇ — the MA division never happens in float), and
+    // the per-dow index is the half-up mean of those integer ratios
+    // — order-free BIGINT sums end to end; an all-zero week (msum=0)
+    // is NULL on both engines. ISO weekday keys (Spark weekday()+1 ≡
+    // DuckDB isodow) pin the dow encoding across engines. One
+    // broadcast spine join + one window pass over the calendar grain
+    // + one 7-row rollup.
     Q("time_seasonal_index_mult",
       (s, d) => {
         val daily = orders(s, d)
@@ -4185,8 +4191,13 @@ object Analytics {
           .agg(expr(
             "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
             .as("y"))
+        val spine = daily.agg(min("day").as("lo"), max("day").as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 day)"))
+            .as("day"))
+        val full = spine.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
         val w7 = Window.orderBy("day").rowsBetween(-3, 3)
-        daily
+        full
           .withColumn("msum", sum("y").over(w7))
           .withColumn("mcnt", count(lit(1)).over(w7))
           .filter(col("mcnt") === 7)
@@ -4208,12 +4219,17 @@ object Analytics {
                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))*100)
                     AS BIGINT) AS y
            FROM orders GROUP BY 1),
+         b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+         spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+                     INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+         fl AS (SELECT s.day AS day, COALESCE(d.y, 0) AS y
+                FROM spine s LEFT JOIN daily d ON d.day = s.day),
          r AS (SELECT day, y,
                  SUM(y) OVER (ORDER BY day
                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS msum,
                  COUNT(*) OVER (ORDER BY day
                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS mcnt
-               FROM daily),
+               FROM fl),
          f AS (SELECT isodow(day) AS dow,
                  CASE WHEN msum = 0 THEN NULL ELSE
                    (14 * CAST(y AS HUGEINT) * 1000000 + msum)

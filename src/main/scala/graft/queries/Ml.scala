@@ -3747,12 +3747,18 @@ object Ml {
     // travel.
     Q("ml_cramers_v",
       (s, d) => {
+        // NULL categories are excluded by contract (the non-null-safe
+        // domain join would silently orphan a NULL row's observed
+        // cells while its marginals still inflated n — review
+        // finding); marginals and the total derive from the CELLS
+        // relation, so the base table is scanned once.
         val o = documents(s, d).select(col("lang").as("st"),
           col("source").as("pr"))
+          .filter(col("st").isNotNull && col("pr").isNotNull)
         val cells = o.groupBy("st", "pr").agg(count(lit(1)).as("o_cnt"))
-        val rm = o.groupBy("st").agg(count(lit(1)).as("r"))
-        val cm = o.groupBy("pr").agg(count(lit(1)).as("c"))
-        val tot = o.agg(count(lit(1)).as("n"))
+        val rm = cells.groupBy("st").agg(sum("o_cnt").as("r"))
+        val cm = cells.groupBy("pr").agg(sum("o_cnt").as("c"))
+        val tot = cells.agg(sum("o_cnt").as("n"))
         rm.crossJoin(broadcast(cm))
           .join(broadcast(cells), Seq("st", "pr"), "left")
           .crossJoin(broadcast(tot))
@@ -3779,14 +3785,15 @@ object Ml {
                     + 0.0D END""")
               .as("cramers_v"))
       },
-      """WITH o AS (SELECT lang AS st, source AS pr FROM documents),
+      """WITH o AS (SELECT lang AS st, source AS pr FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL),
          cells AS (SELECT st, pr, CAST(COUNT(*) AS BIGINT) AS o_cnt
            FROM o GROUP BY 1, 2),
-         rm AS (SELECT st, CAST(COUNT(*) AS BIGINT) AS r
-           FROM o GROUP BY 1),
-         cm AS (SELECT pr, CAST(COUNT(*) AS BIGINT) AS c
-           FROM o GROUP BY 1),
-         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o),
+         rm AS (SELECT st, CAST(SUM(o_cnt) AS BIGINT) AS r
+           FROM cells GROUP BY 1),
+         cm AS (SELECT pr, CAST(SUM(o_cnt) AS BIGINT) AS c
+           FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(SUM(o_cnt) AS BIGINT) AS n FROM cells),
          dom AS (
            SELECT rm.st AS st, cm.pr AS pr, n, r, c,
                   CAST(n AS HUGEINT) * COALESCE(cells.o_cnt, 0)

@@ -77,7 +77,8 @@ object Profiling {
           expr("""(CAST(s_cents AS DECIMAL(38,0)) * 20 + stratum)
                   div (2 * stratum)""").as("ht_est_cents"),
           expr("""CASE WHEN true_cents = 0 THEN NULL ELSE
-                    (2 * CAST(abs((CAST(s_cents AS DECIMAL(38,0)) * 20)
+                    (2 * CAST(abs((CAST(s_cents AS DECIMAL(38,0)) * 20
+                               + stratum)
                              div (2 * stratum) - true_cents)
                           AS DECIMAL(38,0)) * 1000000
                      + true_cents) div (2 * true_cents) / 10000.0D
@@ -103,7 +104,7 @@ object Profiling {
                 CAST((CAST(s_cents AS HUGEINT) * 20 + stratum)
                   // (2 * stratum) AS BIGINT) AS ht_est_cents,
                 CASE WHEN true_cents = 0 THEN NULL ELSE
-                  (2 * abs((CAST(s_cents AS HUGEINT) * 20)
+                  (2 * abs((CAST(s_cents AS HUGEINT) * 20 + stratum)
                            // (2 * stratum) - true_cents) * 1000000
                    + true_cents) // (2 * true_cents) / 10000.0
                 END AS rel_err_pct
