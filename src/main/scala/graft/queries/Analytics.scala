@@ -4243,5 +4243,75 @@ object Analytics {
                   (2 * sr + n_days) // (2 * n_days) / 1000000.0
                 END AS seasonal_index
          FROM g ORDER BY dow"""),
+
+    // AR(1) HALF-LIFE — mean-reversion SPEED of the daily series
+    // (how many days until a shock decays halfway), the actionable
+    // number behind time_variance_ratio's "mean-reverting" verdict
+    // and the short-memory complement to time_hurst_rs: φ is the
+    // lag-1 OLS slope from exact DECIMAL(38,0) cent moments over the
+    // (y₋₁, y) pairs (the ADF/VIF closed-form discipline), and
+    // half-life = ln2/(−ln φ) touches libm twice on identical
+    // doubles. Non-stationary or anti-persistent fits (φ ∉ (0,1))
+    // and a degenerate spread (den ≤ 0) are NULL on both engines.
+    // One lag window over the calendar grain + one aggregate.
+    Q("time_ar1_halflife",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("y"))
+        val w = Window.orderBy("day")
+        daily.withColumn("x", lag("y", 1).over(w))
+          .filter(col("x").isNotNull)
+          .agg(count(lit(1)).as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+            sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
+          .withColumn("den",
+            expr("""n * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"""))
+          .withColumn("phi",
+            expr("""CASE WHEN n < 2 OR den <= 0.0D THEN NULL ELSE
+                    (n * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den
+                    END"""))
+          .select(col("n").as("n_pairs"),
+            expr("ROUND(phi, 6) + 0.0D").as("phi"),
+            expr("""CASE WHEN phi IS NULL OR phi <= 0.0D
+                         OR phi >= 1.0D THEN NULL ELSE
+                    ROUND(ln(2.0D) / (-ln(phi)), 4) + 0.0D
+                    END""").as("halflife_days"))
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))*100)
+                    AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         p AS (SELECT y, LAG(y, 1) OVER (ORDER BY day) AS x
+               FROM daily),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx
+               FROM p WHERE x IS NOT NULL),
+         f AS (SELECT n,
+                 CASE WHEN n < 2 OR n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0.0
+                   THEN NULL ELSE
+                   (n * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (n * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 END AS phi
+               FROM m)
+         SELECT n AS n_pairs,
+                ROUND(phi, 6) + 0.0 AS phi,
+                CASE WHEN phi IS NULL OR phi <= 0.0 OR phi >= 1.0
+                  THEN NULL ELSE
+                  ROUND(ln(2.0) / (-ln(phi)), 4) + 0.0
+                END AS halflife_days
+         FROM f"""),
   )
 }

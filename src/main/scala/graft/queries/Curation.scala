@@ -2103,5 +2103,97 @@ FROM wt ORDER BY lang, source"""),
                 (CAST(hapax AS HUGEINT) * 2000000 + n_tokens)
                   // (2 * n_tokens) / 1000000.0 AS hapax_token_share
          FROM g ORDER BY source"""),
+
+    // HEAPS' LAW FIT — the vocabulary-growth exponent V ≈ K·N^β
+    // across the per-source (tokens, vocab) points: the scaling law
+    // that prices tokenizer/vocab decisions at corpus scale (β ≈ 0.5
+    // doubles vocab per 4× tokens; the 100 TB question text_ttr's
+    // single-corpus ratio can't answer). Each source contributes one
+    // exact (N, V) BIGINT pair; the log-log OLS terms ln N, ln V and
+    // their products are per-point doubles of identical exact-integer
+    // args CAST to DECIMAL(22,12)/(26,12) so the four moment sums are
+    // ORDER-FREE decimal additions (the KL trick — a 1-ulp libm skew
+    // is absorbed by the 1e-12 quantization); the closed-form slope/
+    // intercept then runs on identical doubles. Degenerate spreads
+    // (one source, or all sources the same size) are NULL on both
+    // engines. One histogram exchange + a ≤|sources|-row fit.
+    Q("text_heaps_law",
+      (s, d) => {
+        val wc = documents(s, d)
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        wc.groupBy("source")
+          .agg(count(lit(1)).as("v"), sum("c").as("n"))
+          .select(
+            expr("CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(22,12))")
+              .as("x"),
+            expr("CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(22,12))")
+              .as("y"),
+            expr("""CAST(ln(CAST(n AS DOUBLE)) * ln(CAST(v AS DOUBLE))
+                    AS DECIMAL(26,12))""").as("xy"),
+            expr("""CAST(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+                    AS DECIMAL(26,12))""").as("xx"))
+          .agg(count(lit(1)).as("k"), sum("x").as("sx"),
+            sum("y").as("sy"), sum("xy").as("sxy"), sum("xx").as("sxx"))
+          .withColumn("den",
+            expr("""k * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"""))
+          .withColumn("beta",
+            expr("""CASE WHEN k < 2 OR den <= 0.0D THEN NULL ELSE
+                    (k * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den
+                    END"""))
+          .select(col("k").as("n_sources"),
+            expr("ROUND(beta, 6) + 0.0D").as("heaps_beta"),
+            expr("""CASE WHEN beta IS NULL THEN NULL ELSE
+                    ROUND(exp((CAST(sy AS DOUBLE)
+                      - beta * CAST(sx AS DOUBLE)) / k), 4) + 0.0D
+                    END""").as("heaps_k"))
+      },
+      """WITH wc AS (
+           SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT source,
+                        UNNEST(string_split(text, ' ')) AS w
+                 FROM documents)
+           WHERE w <> '' GROUP BY 1, 2),
+         g AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS v,
+                  CAST(SUM(c) AS BIGINT) AS n
+           FROM wc GROUP BY 1),
+         pts AS (
+           SELECT CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(22,12)) AS x,
+                  CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(22,12)) AS y,
+                  CAST(ln(CAST(n AS DOUBLE)) * ln(CAST(v AS DOUBLE))
+                    AS DECIMAL(26,12)) AS xy,
+                  CAST(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+                    AS DECIMAL(26,12)) AS xx
+           FROM g),
+         m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                  SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(xy) AS sxy, SUM(xx) AS sxx
+           FROM pts),
+         f AS (
+           SELECT k, sx, sy,
+                  k * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                  CASE WHEN k < 2 OR k * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0.0
+                    THEN NULL ELSE
+                    (k * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (k * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  END AS beta
+           FROM m)
+         SELECT k AS n_sources,
+                ROUND(beta, 6) + 0.0 AS heaps_beta,
+                CASE WHEN beta IS NULL THEN NULL ELSE
+                  ROUND(exp((CAST(sy AS DOUBLE)
+                    - beta * CAST(sx AS DOUBLE)) / k), 4) + 0.0
+                END AS heaps_k
+         FROM f"""),
   )
 }

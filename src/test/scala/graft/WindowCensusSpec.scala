@@ -101,6 +101,7 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     "time_mase" -> "calendar-grain series (days/months)",
     "time_pettitt" -> "calendar-grain series (days/months)",
     "time_seasonal_index_mult" -> "calendar-grain series (days/months)",
+    "time_ar1_halflife" -> "calendar-grain series (days/months)",
     "ml_somers_d" -> "distinct rounded scores (fixed score precision)",
     "time_autocorr" -> "calendar-grain series (days/months)",
     "time_ljung_box" -> "calendar-grain series (days/months)",
