@@ -98,7 +98,8 @@ object Plans {
     "text_yule_k", "graph_katz_centrality",
     "ab_fieller_ci", "ml_somers_d", "time_mase", "time_pettitt",
     "text_hapax_ratio", "graph_avg_neighbor_degree",
-    "sample_ht_total", "time_seasonal_index_mult")
+    "sample_ht_total", "time_seasonal_index_mult",
+    "text_heaps_law", "time_ar1_halflife")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
