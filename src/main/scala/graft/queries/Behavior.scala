@@ -3697,5 +3697,525 @@ object Behavior {
                     6) + 0.0 END AS ci_hi,
                 den > 0.0 AS bounded
          FROM f"""),
+
+    // KRUSKAL–WALLIS H — the k-group generalization of
+    // ab_mann_whitney: does line-item quantity differ across the five
+    // order priorities, with no normality assumption? Ranks come from
+    // the BOUNDED quantity value histogram (≤50 cells after one
+    // corpus aggregate + one co-keyed shuffle join): doubled midranks
+    // via one cum window over the histogram, per-group doubled rank
+    // sums as operand-cast DECIMAL(38,0) products, and H + the tie
+    // correction assembled from the five named (n_g, R_g) columns in
+    // ONE fixed-order double expression — no engine-ordered float
+    // sum. The tie cube n³−n is operand-widened (overflows LONG at
+    // n≈3e6). Significance compares the UNROUNDED tie-adjusted H to
+    // the χ²(4) .95 literal.
+    Q("ab_kruskal_wallis",
+      (s, d) => {
+        val base = lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(
+            expr("CAST(substring(o_orderpriority, 1, 1) AS INT)")
+              .as("g"),
+            col("l_quantity").cast("int").as("q"))
+        val hist = base.groupBy("q").agg(
+          count(lit(1)).as("t"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("t1"),
+          sum(when(col("g") === 2, 1L).otherwise(0L)).as("t2"),
+          sum(when(col("g") === 3, 1L).otherwise(0L)).as("t3"),
+          sum(when(col("g") === 4, 1L).otherwise(0L)).as("t4"),
+          sum(when(col("g") === 5, 1L).otherwise(0L)).as("t5"))
+        val w = Window.orderBy("q")
+        val ranked = hist
+          .withColumn("cum", sum(col("t")).over(w))
+          .withColumn("mr2",
+            lit(2) * (col("cum") - col("t")) + col("t") + 1)
+        ranked.agg(
+            sum("t").as("n"),
+            sum("t1").as("n1"), sum("t2").as("n2"),
+            sum("t3").as("n3"), sum("t4").as("n4"),
+            sum("t5").as("n5"),
+            sum(col("t1").cast(DecimalType(38, 0)) * col("mr2"))
+              .as("r1"),
+            sum(col("t2").cast(DecimalType(38, 0)) * col("mr2"))
+              .as("r2"),
+            sum(col("t3").cast(DecimalType(38, 0)) * col("mr2"))
+              .as("r3"),
+            sum(col("t4").cast(DecimalType(38, 0)) * col("mr2"))
+              .as("r4"),
+            sum(col("t5").cast(DecimalType(38, 0)) * col("mr2"))
+              .as("r5"),
+            sum(col("t").cast(DecimalType(38, 0)) * col("t") * col("t")
+              - col("t")).as("ties"))
+          .withColumn("nn",
+            expr("CAST(n AS DECIMAL(38,0)) * n * n - n"))
+          .withColumn("h",
+            expr("""CASE WHEN n < 2 OR least(n1, n2, n3, n4, n5) = 0
+                    THEN NULL ELSE
+                      3.0D / (CAST(n AS DOUBLE) * (n + 1))
+                      * (CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE) / n1
+                       + CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / n2
+                       + CAST(r3 AS DOUBLE) * CAST(r3 AS DOUBLE) / n3
+                       + CAST(r4 AS DOUBLE) * CAST(r4 AS DOUBLE) / n4
+                       + CAST(r5 AS DOUBLE) * CAST(r5 AS DOUBLE) / n5)
+                      - 3.0D * (n + 1) END"""))
+          .withColumn("hadj",
+            expr("""CASE WHEN h IS NULL
+                         OR CAST(ties AS DOUBLE) >= CAST(nn AS DOUBLE)
+                    THEN NULL ELSE
+                      h / (1.0D - CAST(ties AS DOUBLE)
+                                  / CAST(nn AS DOUBLE)) END"""))
+          .select(col("n"),
+            expr("ROUND(h, 4) + 0.0D").as("h"),
+            expr("ROUND(hadj, 4) + 0.0D").as("h_tie_adj"),
+            expr("""CASE WHEN hadj IS NULL THEN NULL ELSE
+                    hadj > 9.487729036781154D END""").as("significant"))
+      },
+      """WITH base AS (
+           SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS g,
+                  CAST(l_quantity AS INT) AS q
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         hist AS (
+           SELECT q, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+             CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+             CAST(SUM(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS t3,
+             CAST(SUM(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS t4,
+             CAST(SUM(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS t5
+           FROM base GROUP BY 1),
+         ranked AS (
+           SELECT t, t1, t2, t3, t4, t5,
+                  2 * (SUM(t) OVER (ORDER BY q) - t) + t + 1 AS mr2
+           FROM hist),
+         m AS (
+           SELECT CAST(SUM(t) AS BIGINT) AS n,
+                  CAST(SUM(t1) AS BIGINT) AS n1,
+                  CAST(SUM(t2) AS BIGINT) AS n2,
+                  CAST(SUM(t3) AS BIGINT) AS n3,
+                  CAST(SUM(t4) AS BIGINT) AS n4,
+                  CAST(SUM(t5) AS BIGINT) AS n5,
+                  SUM(CAST(t1 AS HUGEINT) * mr2) AS r1,
+                  SUM(CAST(t2 AS HUGEINT) * mr2) AS r2,
+                  SUM(CAST(t3 AS HUGEINT) * mr2) AS r3,
+                  SUM(CAST(t4 AS HUGEINT) * mr2) AS r4,
+                  SUM(CAST(t5 AS HUGEINT) * mr2) AS r5,
+                  SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
+           FROM ranked),
+         hh AS (
+           SELECT n, ties, CAST(n AS HUGEINT) * n * n - n AS nn,
+                  CASE WHEN n < 2 OR least(n1, n2, n3, n4, n5) = 0
+                  THEN NULL ELSE
+                    3.0 / (CAST(n AS DOUBLE) * (n + 1))
+                    * (CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE) / n1
+                     + CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / n2
+                     + CAST(r3 AS DOUBLE) * CAST(r3 AS DOUBLE) / n3
+                     + CAST(r4 AS DOUBLE) * CAST(r4 AS DOUBLE) / n4
+                     + CAST(r5 AS DOUBLE) * CAST(r5 AS DOUBLE) / n5)
+                    - CAST(n + 1 AS DOUBLE) * 3.0 END AS h
+           FROM m),
+         aa AS (
+           SELECT n, h,
+                  CASE WHEN h IS NULL
+                       OR CAST(ties AS DOUBLE) >= CAST(nn AS DOUBLE)
+                  THEN NULL ELSE
+                    h / (1.0 - CAST(ties AS DOUBLE)
+                               / CAST(nn AS DOUBLE)) END AS hadj
+           FROM hh)
+         SELECT n, ROUND(h, 4) + 0.0 AS h,
+                ROUND(hadj, 4) + 0.0 AS h_tie_adj,
+                CASE WHEN hadj IS NULL THEN NULL ELSE
+                  hadj > 9.487729036781154 END AS significant
+         FROM aa"""),
+
+    // CLIFF'S DELTA — the ordinal effect SIZE companion to
+    // ab_mann_whitney's significance: P(X>Y) − P(X<Y) for returned
+    // ('R') vs acknowledged ('A') line-item quantities, from the same
+    // bounded value-histogram machinery (one cum window over ≤50
+    // cells). #(x>y) and #(x≤y) are operand-cast DECIMAL(38,0)
+    // products (pair counts exceed BIGINT at ~3e9 rows/arm); δ lands
+    // via the sign-split half-up idiom, and the Romano magnitude band
+    // compares EXACT cross-multiplied integers — never a rounded δ.
+    Q("ab_cliffs_delta",
+      (s, d) => {
+        val base = lineitem(s, d)
+          .filter(col("l_returnflag").isin("R", "A"))
+          .select(col("l_quantity").cast("int").as("q"),
+            (col("l_returnflag") === "R").as("arm"))
+        val hist = base.groupBy("q").agg(
+          sum(when(col("arm"), 1L).otherwise(0L)).as("t1"),
+          sum(when(!col("arm"), 1L).otherwise(0L)).as("t0"))
+        val w = Window.orderBy("q")
+        hist.withColumn("c0", sum(col("t0")).over(w))
+          .agg(
+            sum("t0").as("n0"), sum("t1").as("n1"),
+            sum(col("t1").cast(DecimalType(38, 0))
+              * (col("c0") - col("t0"))).as("sgt"),
+            sum(col("t1").cast(DecimalType(38, 0)) * col("c0"))
+              .as("sle"))
+          .withColumn("den", expr("CAST(n0 AS DECIMAL(38,0)) * n1"))
+          .withColumn("num", expr("sgt + sle - den"))
+          .select(col("n0"), col("n1"),
+            expr("""CASE WHEN den = 0 THEN NULL ELSE
+                      CASE WHEN num < 0 THEN -1 ELSE 1 END *
+                      ((2 * abs(num) * 1000000 + den) div (2 * den))
+                      / 1000000.0D END""").as("delta"),
+            expr("""CASE WHEN den = 0 THEN NULL
+                    WHEN abs(num) * 1000 < den * 147 THEN 'negligible'
+                    WHEN abs(num) * 100  < den * 33  THEN 'small'
+                    WHEN abs(num) * 1000 < den * 474 THEN 'medium'
+                    ELSE 'large' END""").as("magnitude"))
+      },
+      """WITH base AS (
+           SELECT CAST(l_quantity AS INT) AS q,
+                  (l_returnflag = 'R') AS arm
+           FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         hist AS (
+           SELECT q,
+             CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+             CAST(SUM(CASE WHEN arm THEN 0 ELSE 1 END) AS BIGINT) AS t0
+           FROM base GROUP BY 1),
+         ranked AS (
+           SELECT t0, t1, SUM(t0) OVER (ORDER BY q) AS c0
+           FROM hist),
+         m AS (
+           SELECT CAST(SUM(t0) AS BIGINT) AS n0,
+                  CAST(SUM(t1) AS BIGINT) AS n1,
+                  SUM(CAST(t1 AS HUGEINT) * (c0 - t0)) AS sgt,
+                  SUM(CAST(t1 AS HUGEINT) * c0) AS sle
+           FROM ranked),
+         f AS (
+           SELECT n0, n1, sgt, sle,
+                  CAST(n0 AS HUGEINT) * n1 AS den,
+                  sgt + sle - CAST(n0 AS HUGEINT) * n1 AS num
+           FROM m)
+         SELECT n0, n1,
+                CASE WHEN den = 0 THEN NULL ELSE
+                  CASE WHEN num < 0 THEN -1 ELSE 1 END *
+                  ((2 * abs(num) * 1000000 + den) // (2 * den))
+                  / 1000000.0 END AS delta,
+                CASE WHEN den = 0 THEN NULL
+                  WHEN abs(num) * 1000 < den * 147 THEN 'negligible'
+                  WHEN abs(num) * 100  < den * 33  THEN 'small'
+                  WHEN abs(num) * 1000 < den * 474 THEN 'medium'
+                  ELSE 'large' END AS magnitude
+         FROM f"""),
+
+    // BROWN–FORSYTHE (median-based Levene) — variance-HOMOGENEITY
+    // across the five priorities, the assumption check behind any
+    // pooled-variance ANOVA on this grain: per-group EXACT doubled
+    // medians come from the (g, q) histogram (≤250 cells) via
+    // per-group cum windows (partitioned — no global funnel), the
+    // |2q − m2| deviations fold back onto the histogram (never the
+    // corpus), and F is ONE fixed-order double expression over the
+    // five named (n, Σz, Σz²) columns — all exact operand-cast
+    // integers. Asymptotic df2=∞ significance literal (df2 is
+    // corpus-scale wherever this runs).
+    Q("ab_levene",
+      (s, d) => {
+        val gh = lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(
+            expr("CAST(substring(o_orderpriority, 1, 1) AS INT)")
+              .as("g"),
+            col("l_quantity").cast("int").as("q"))
+          .groupBy("g", "q").agg(count(lit(1)).as("t"))
+        val wg = Window.partitionBy("g").orderBy("q")
+        val cum = gh
+          .withColumn("cum", sum(col("t")).over(wg))
+          .withColumn("ng",
+            sum(col("t")).over(Window.partitionBy("g")))
+          .withColumn("k1", expr("(ng + 1) div 2"))
+          .withColumn("k2", expr("ng div 2 + 1"))
+        val med = cum.groupBy("g").agg(
+          sum(when(col("cum") >= col("k1") &&
+            col("cum") - col("t") < col("k1"), col("q"))).as("x1"),
+          sum(when(col("cum") >= col("k2") &&
+            col("cum") - col("t") < col("k2"), col("q"))).as("x2"))
+          .select(col("g"),
+            expr("CAST(x1 + x2 AS BIGINT)").as("m2"))
+        val z = gh.join(med, "g")
+          .withColumn("z2", expr("abs(2 * q - m2)"))
+        z.agg(
+            sum("t").as("n"),
+            sum(when(col("g") === 1, col("t"))).as("n1"),
+            sum(when(col("g") === 2, col("t"))).as("n2"),
+            sum(when(col("g") === 3, col("t"))).as("n3"),
+            sum(when(col("g") === 4, col("t"))).as("n4"),
+            sum(when(col("g") === 5, col("t"))).as("n5"),
+            sum(when(col("g") === 1,
+              col("t").cast(DecimalType(38, 0)) * col("z2"))).as("s1"),
+            sum(when(col("g") === 2,
+              col("t").cast(DecimalType(38, 0)) * col("z2"))).as("s2"),
+            sum(when(col("g") === 3,
+              col("t").cast(DecimalType(38, 0)) * col("z2"))).as("s3"),
+            sum(when(col("g") === 4,
+              col("t").cast(DecimalType(38, 0)) * col("z2"))).as("s4"),
+            sum(when(col("g") === 5,
+              col("t").cast(DecimalType(38, 0)) * col("z2"))).as("s5"),
+            sum(when(col("g") === 1,
+              col("t").cast(DecimalType(38, 0)) * col("z2") * col("z2")))
+              .as("q1"),
+            sum(when(col("g") === 2,
+              col("t").cast(DecimalType(38, 0)) * col("z2") * col("z2")))
+              .as("q2"),
+            sum(when(col("g") === 3,
+              col("t").cast(DecimalType(38, 0)) * col("z2") * col("z2")))
+              .as("q3"),
+            sum(when(col("g") === 4,
+              col("t").cast(DecimalType(38, 0)) * col("z2") * col("z2")))
+              .as("q4"),
+            sum(when(col("g") === 5,
+              col("t").cast(DecimalType(38, 0)) * col("z2") * col("z2")))
+              .as("q5"))
+          .withColumn("ssq",
+            expr("""CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1
+                  + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2
+                  + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / n3
+                  + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / n4
+                  + CAST(s5 AS DOUBLE) * CAST(s5 AS DOUBLE) / n5"""))
+          .withColumn("stot",
+            expr("CAST(s1 + s2 + s3 + s4 + s5 AS DOUBLE)"))
+          .withColumn("qtot",
+            expr("CAST(q1 + q2 + q3 + q4 + q5 AS DOUBLE)"))
+          .withColumn("fnum", expr("ssq - stot * stot / n"))
+          .withColumn("fden", expr("qtot - ssq"))
+          .withColumn("f",
+            expr("""CASE WHEN n <= 5
+                         OR least(n1, n2, n3, n4, n5) IS NULL
+                         OR least(n1, n2, n3, n4, n5) = 0
+                         OR fden <= 0.0D THEN NULL ELSE
+                      CAST(n - 5 AS DOUBLE) / 4.0D * (fnum / fden)
+                    END"""))
+          .select(col("n"),
+            expr("ROUND(f, 4) + 0.0D").as("f_bf"),
+            expr("n - 5").as("df2"),
+            expr("""CASE WHEN f IS NULL THEN NULL ELSE
+                    f * 4.0D > 9.487729036781154D END""")
+              .as("significant"))
+      },
+      """WITH gh AS (
+           SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS g,
+                  CAST(l_quantity AS INT) AS q,
+                  CAST(COUNT(*) AS BIGINT) AS t
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         cum AS (
+           SELECT g, q, t,
+                  SUM(t) OVER (PARTITION BY g ORDER BY q) AS cum,
+                  SUM(t) OVER (PARTITION BY g) AS ng
+           FROM gh),
+         med AS (
+           SELECT g, CAST(
+             SUM(CASE WHEN cum >= (ng + 1) // 2
+                       AND cum - t < (ng + 1) // 2 THEN q END)
+           + SUM(CASE WHEN cum >= ng // 2 + 1
+                       AND cum - t < ng // 2 + 1 THEN q END)
+             AS BIGINT) AS m2
+           FROM cum GROUP BY 1),
+         z AS (
+           SELECT gh.g, t, abs(2 * q - m2) AS z2
+           FROM gh JOIN med ON gh.g = med.g),
+         m AS (
+           SELECT CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN g = 1 THEN t END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN g = 2 THEN t END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN g = 3 THEN t END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN g = 4 THEN t END) AS BIGINT) AS n4,
+             CAST(SUM(CASE WHEN g = 5 THEN t END) AS BIGINT) AS n5,
+             SUM(CASE WHEN g = 1 THEN CAST(t AS HUGEINT) * z2 END) AS s1,
+             SUM(CASE WHEN g = 2 THEN CAST(t AS HUGEINT) * z2 END) AS s2,
+             SUM(CASE WHEN g = 3 THEN CAST(t AS HUGEINT) * z2 END) AS s3,
+             SUM(CASE WHEN g = 4 THEN CAST(t AS HUGEINT) * z2 END) AS s4,
+             SUM(CASE WHEN g = 5 THEN CAST(t AS HUGEINT) * z2 END) AS s5,
+             SUM(CASE WHEN g = 1 THEN CAST(t AS HUGEINT) * z2 * z2 END)
+               AS q1,
+             SUM(CASE WHEN g = 2 THEN CAST(t AS HUGEINT) * z2 * z2 END)
+               AS q2,
+             SUM(CASE WHEN g = 3 THEN CAST(t AS HUGEINT) * z2 * z2 END)
+               AS q3,
+             SUM(CASE WHEN g = 4 THEN CAST(t AS HUGEINT) * z2 * z2 END)
+               AS q4,
+             SUM(CASE WHEN g = 5 THEN CAST(t AS HUGEINT) * z2 * z2 END)
+               AS q5
+           FROM z),
+         e AS (
+           SELECT n, n1, n2, n3, n4, n5,
+                  CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1
+                + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2
+                + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / n3
+                + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / n4
+                + CAST(s5 AS DOUBLE) * CAST(s5 AS DOUBLE) / n5 AS ssq,
+                  CAST(s1 + s2 + s3 + s4 + s5 AS DOUBLE) AS stot,
+                  CAST(q1 + q2 + q3 + q4 + q5 AS DOUBLE) AS qtot
+           FROM m),
+         ff AS (
+           SELECT n,
+                  CASE WHEN n <= 5
+                       OR least(n1, n2, n3, n4, n5) IS NULL
+                       OR least(n1, n2, n3, n4, n5) = 0
+                       OR qtot - ssq <= 0.0 THEN NULL ELSE
+                    CAST(n - 5 AS DOUBLE) / 4.0
+                    * ((ssq - stot * stot / n) / (qtot - ssq))
+                  END AS f
+           FROM e)
+         SELECT n, ROUND(f, 4) + 0.0 AS f_bf, n - 5 AS df2,
+                CASE WHEN f IS NULL THEN NULL ELSE
+                  f * 4.0 > 9.487729036781154 END AS significant
+         FROM ff"""),
+
+    // MOOD'S MEDIAN TEST — the robust k-group location test that
+    // survives what Kruskal–Wallis can't (heavy contamination): the
+    // POOLED exact doubled median from the ≤50-cell quantity
+    // histogram, per-priority above-median counts from the same
+    // (g, q) histogram, and χ² in the collapsed identity
+    // Σ D_g²/n_g / (A·B) with D_g = a_g·N − n_g·A exact operand-cast
+    // DECIMAL(38,0) — the five terms pivot into named columns so the
+    // double sum is fixed-order. Significance on the UNROUNDED χ² vs
+    // the χ²(4) .95 literal.
+    Q("ab_mood_median",
+      (s, d) => {
+        val gh = lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(
+            expr("CAST(substring(o_orderpriority, 1, 1) AS INT)")
+              .as("g"),
+            col("l_quantity").cast("int").as("q"))
+          .groupBy("g", "q").agg(count(lit(1)).as("t"))
+        val pooled = gh.groupBy("q").agg(sum("t").as("t"))
+        val w = Window.orderBy("q")
+        val tot = pooled.agg(sum("t").as("ntot"))
+        val med = pooled
+          .withColumn("cum", sum(col("t")).over(w))
+          .crossJoin(tot)
+          .withColumn("k1", expr("(ntot + 1) div 2"))
+          .withColumn("k2", expr("ntot div 2 + 1"))
+          .agg(
+            sum(when(col("cum") >= col("k1") &&
+              col("cum") - col("t") < col("k1"), col("q"))).as("x1"),
+            sum(when(col("cum") >= col("k2") &&
+              col("cum") - col("t") < col("k2"), col("q"))).as("x2"))
+          .select(expr("CAST(x1 + x2 AS BIGINT)").as("m2"))
+        gh.crossJoin(med)
+          .agg(
+            max("m2").as("m2"),
+            sum("t").as("n"),
+            sum(when(col("g") === 1, col("t"))).as("n1"),
+            sum(when(col("g") === 2, col("t"))).as("n2"),
+            sum(when(col("g") === 3, col("t"))).as("n3"),
+            sum(when(col("g") === 4, col("t"))).as("n4"),
+            sum(when(col("g") === 5, col("t"))).as("n5"),
+            sum(when(col("g") === 1 && expr("2 * q > m2"), col("t"))
+              .otherwise(0L)).as("a1"),
+            sum(when(col("g") === 2 && expr("2 * q > m2"), col("t"))
+              .otherwise(0L)).as("a2"),
+            sum(when(col("g") === 3 && expr("2 * q > m2"), col("t"))
+              .otherwise(0L)).as("a3"),
+            sum(when(col("g") === 4 && expr("2 * q > m2"), col("t"))
+              .otherwise(0L)).as("a4"),
+            sum(when(col("g") === 5 && expr("2 * q > m2"), col("t"))
+              .otherwise(0L)).as("a5"))
+          .withColumn("aa", expr("a1 + a2 + a3 + a4 + a5"))
+          .withColumn("bb", expr("n - aa"))
+          .withColumn("d1",
+            expr("CAST(a1 AS DECIMAL(38,0)) * n - CAST(n1 AS DECIMAL(38,0)) * aa"))
+          .withColumn("d2",
+            expr("CAST(a2 AS DECIMAL(38,0)) * n - CAST(n2 AS DECIMAL(38,0)) * aa"))
+          .withColumn("d3",
+            expr("CAST(a3 AS DECIMAL(38,0)) * n - CAST(n3 AS DECIMAL(38,0)) * aa"))
+          .withColumn("d4",
+            expr("CAST(a4 AS DECIMAL(38,0)) * n - CAST(n4 AS DECIMAL(38,0)) * aa"))
+          .withColumn("d5",
+            expr("CAST(a5 AS DECIMAL(38,0)) * n - CAST(n5 AS DECIMAL(38,0)) * aa"))
+          .withColumn("chi2",
+            expr("""CASE WHEN aa = 0 OR bb = 0
+                         OR least(n1, n2, n3, n4, n5) IS NULL
+                         OR least(n1, n2, n3, n4, n5) = 0 THEN NULL
+                    ELSE
+                     (CAST(d1 AS DOUBLE) * CAST(d1 AS DOUBLE) / n1
+                    + CAST(d2 AS DOUBLE) * CAST(d2 AS DOUBLE) / n2
+                    + CAST(d3 AS DOUBLE) * CAST(d3 AS DOUBLE) / n3
+                    + CAST(d4 AS DOUBLE) * CAST(d4 AS DOUBLE) / n4
+                    + CAST(d5 AS DOUBLE) * CAST(d5 AS DOUBLE) / n5)
+                    / (CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE))
+                    END"""))
+          .select(col("n"),
+            expr("m2 / 2.0D").as("pooled_median"),
+            expr("ROUND(chi2, 4) + 0.0D").as("chi2"),
+            expr("""CASE WHEN chi2 IS NULL THEN NULL ELSE
+                    chi2 > 9.487729036781154D END""").as("significant"))
+      },
+      """WITH gh AS (
+           SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS g,
+                  CAST(l_quantity AS INT) AS q,
+                  CAST(COUNT(*) AS BIGINT) AS t
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         pooled AS (
+           SELECT q, CAST(SUM(t) AS BIGINT) AS t FROM gh GROUP BY 1),
+         tot AS (SELECT CAST(SUM(t) AS BIGINT) AS ntot FROM pooled),
+         pc AS (
+           SELECT q, t, SUM(t) OVER (ORDER BY q) AS cum, ntot
+           FROM pooled CROSS JOIN tot),
+         med AS (
+           SELECT CAST(
+             SUM(CASE WHEN cum >= (ntot + 1) // 2
+                       AND cum - t < (ntot + 1) // 2 THEN q END)
+           + SUM(CASE WHEN cum >= ntot // 2 + 1
+                       AND cum - t < ntot // 2 + 1 THEN q END)
+             AS BIGINT) AS m2
+           FROM pc),
+         m AS (
+           SELECT CAST(MAX(m2) AS BIGINT) AS m2,
+             CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN g = 1 THEN t END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN g = 2 THEN t END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN g = 3 THEN t END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN g = 4 THEN t END) AS BIGINT) AS n4,
+             CAST(SUM(CASE WHEN g = 5 THEN t END) AS BIGINT) AS n5,
+             CAST(SUM(CASE WHEN g = 1 AND 2 * q > m2 THEN t ELSE 0 END)
+               AS BIGINT) AS a1,
+             CAST(SUM(CASE WHEN g = 2 AND 2 * q > m2 THEN t ELSE 0 END)
+               AS BIGINT) AS a2,
+             CAST(SUM(CASE WHEN g = 3 AND 2 * q > m2 THEN t ELSE 0 END)
+               AS BIGINT) AS a3,
+             CAST(SUM(CASE WHEN g = 4 AND 2 * q > m2 THEN t ELSE 0 END)
+               AS BIGINT) AS a4,
+             CAST(SUM(CASE WHEN g = 5 AND 2 * q > m2 THEN t ELSE 0 END)
+               AS BIGINT) AS a5
+           FROM gh CROSS JOIN med),
+         e AS (
+           SELECT m2, n, n1, n2, n3, n4, n5,
+                  a1 + a2 + a3 + a4 + a5 AS aa,
+                  n - (a1 + a2 + a3 + a4 + a5) AS bb,
+                  CAST(a1 AS HUGEINT) * n
+                    - CAST(n1 AS HUGEINT) * (a1+a2+a3+a4+a5) AS d1,
+                  CAST(a2 AS HUGEINT) * n
+                    - CAST(n2 AS HUGEINT) * (a1+a2+a3+a4+a5) AS d2,
+                  CAST(a3 AS HUGEINT) * n
+                    - CAST(n3 AS HUGEINT) * (a1+a2+a3+a4+a5) AS d3,
+                  CAST(a4 AS HUGEINT) * n
+                    - CAST(n4 AS HUGEINT) * (a1+a2+a3+a4+a5) AS d4,
+                  CAST(a5 AS HUGEINT) * n
+                    - CAST(n5 AS HUGEINT) * (a1+a2+a3+a4+a5) AS d5
+           FROM m),
+         cc AS (
+           SELECT m2, n,
+                  CASE WHEN aa = 0 OR bb = 0
+                       OR least(n1, n2, n3, n4, n5) IS NULL
+                       OR least(n1, n2, n3, n4, n5) = 0 THEN NULL
+                  ELSE
+                   (CAST(d1 AS DOUBLE) * CAST(d1 AS DOUBLE) / n1
+                  + CAST(d2 AS DOUBLE) * CAST(d2 AS DOUBLE) / n2
+                  + CAST(d3 AS DOUBLE) * CAST(d3 AS DOUBLE) / n3
+                  + CAST(d4 AS DOUBLE) * CAST(d4 AS DOUBLE) / n4
+                  + CAST(d5 AS DOUBLE) * CAST(d5 AS DOUBLE) / n5)
+                  / (CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE))
+                  END AS chi2
+           FROM e)
+         SELECT n, m2 / 2.0 AS pooled_median,
+                ROUND(chi2, 4) + 0.0 AS chi2,
+                CASE WHEN chi2 IS NULL THEN NULL ELSE
+                  chi2 > 9.487729036781154 END AS significant
+         FROM cc"""),
   )
 }

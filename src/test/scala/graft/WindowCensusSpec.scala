@@ -103,6 +103,9 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     "time_seasonal_index_mult" -> "calendar-grain series (days/months)",
     "time_ar1_halflife" -> "calendar-grain series (days/months)",
     "ml_somers_d" -> "distinct rounded scores (fixed score precision)",
+    "ab_kruskal_wallis" -> "quantity value histogram (<= 50 cells)",
+    "ab_cliffs_delta" -> "quantity value histogram (<= 50 cells)",
+    "ab_mood_median" -> "quantity value histogram (<= 50 cells)",
     "time_autocorr" -> "calendar-grain series (days/months)",
     "time_ljung_box" -> "calendar-grain series (days/months)",
     "time_backtest_horizons" -> "calendar-grain series (days/months)",
