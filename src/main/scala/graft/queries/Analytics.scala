@@ -4313,5 +4313,140 @@ object Analytics {
                   ROUND(ln(2.0) / (-ln(phi)), 4) + 0.0
                 END AS halflife_days
          FROM f"""),
+
+    // DURBIN–WATSON — the classic lag-1 serial-correlation statistic
+    // on the mean-centered daily-revenue series (the regression-
+    // residual check behind any OLS on this grain; centering only —
+    // Δ of the centered series equals Δ of the raw one, so the
+    // numerator needs no residual materialization at all). DW =
+    // n·Σ(Δy)² / (n·Σy² − (Σy)²) entirely from exact operand-cast
+    // DECIMAL(38,0) cent moments in ONE pass (the lag contributes
+    // zero on the first day); the positive/negative-autocorrelation
+    // verdict cross-multiplies the EXACT integers against the 1.5 /
+    // 2.5 rule-of-thumb bounds — never a rounded DW. One lag window
+    // over the calendar grain.
+    Q("time_durbin_watson",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("y"))
+        val w = Window.orderBy("day")
+        daily.withColumn("f1", lag("y", 1).over(w))
+          .agg(count(lit(1)).as("n"),
+            sum("y").as("sy"),
+            sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"),
+            sum(when(col("f1").isNotNull,
+              (col("y") - col("f1")).cast(DecimalType(38, 0))
+                * (col("y") - col("f1"))).otherwise(lit(0)
+              .cast(DecimalType(38, 0)))).as("sdd"))
+          .withColumn("den",
+            expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+          .withColumn("num", expr("CAST(n AS DECIMAL(38,0)) * sdd"))
+          .select(col("n").as("n_days"),
+            expr("""CASE WHEN n < 2 OR den <= 0 THEN NULL ELSE
+                    ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4)
+                    + 0.0D END""").as("dw"),
+            expr("""CASE WHEN n < 2 OR den <= 0 THEN NULL
+                    WHEN num * 2 < den * 3 THEN 'positive'
+                    WHEN num * 2 > den * 5 THEN 'negative'
+                    ELSE 'none' END""").as("autocorrelation"))
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))*100)
+                    AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         ser AS (SELECT y, LAG(y, 1) OVER (ORDER BY day) AS f1
+                 FROM daily),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy,
+                 SUM(CASE WHEN f1 IS NOT NULL THEN
+                   CAST(y - f1 AS HUGEINT) * (y - f1)
+                   ELSE CAST(0 AS HUGEINT) END) AS sdd
+               FROM ser),
+         f AS (SELECT n,
+                 CAST(n AS HUGEINT) * syy
+                   - CAST(sy AS HUGEINT) * sy AS den,
+                 CAST(n AS HUGEINT) * sdd AS num
+               FROM m)
+         SELECT n AS n_days,
+                CASE WHEN n < 2 OR den <= 0 THEN NULL ELSE
+                  ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4)
+                  + 0.0 END AS dw,
+                CASE WHEN n < 2 OR den <= 0 THEN NULL
+                  WHEN num * 2 < den * 3 THEN 'positive'
+                  WHEN num * 2 > den * 5 THEN 'negative'
+                  ELSE 'none' END AS autocorrelation
+         FROM f"""),
+
+    // sMAPE — the symmetric percentage-error companion to time_mase /
+    // time_wape on the same weekly-seasonal-naive backtest: each
+    // day's 2|y−f|/(y+f) lands as a HALF-UP 1e-6-unit integer (the
+    // per-term rational is the documented ROUND(double) trap — both
+    // engines stay in integer arithmetic), the term sum is an
+    // order-free BIGINT, and the final percent is one more half-up.
+    // Lag-7 and the naive lag-1 side by side — the seasonal forecast
+    // must beat naive on sMAPE too, not just MASE. One lag window
+    // over the calendar grain.
+    Q("time_smape",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("y"))
+        val w = Window.orderBy("day")
+        daily.withColumn("f7", lag("y", 7).over(w))
+          .withColumn("f1", lag("y", 1).over(w))
+          .filter(col("f7").isNotNull)
+          .withColumn("t7",
+            expr("""CASE WHEN y + f7 = 0 THEN 0 ELSE
+                    (4 * CAST(abs(y - f7) AS DECIMAL(38,0)) * 1000000
+                     + (y + f7)) div (2 * (y + f7)) END"""))
+          .withColumn("t1",
+            expr("""CASE WHEN y + f1 = 0 THEN 0 ELSE
+                    (4 * CAST(abs(y - f1) AS DECIMAL(38,0)) * 1000000
+                     + (y + f1)) div (2 * (y + f1)) END"""))
+          .agg(count(lit(1)).as("n_days"),
+            sum("t7").as("s7"), sum("t1").as("s1"))
+          .select(col("n_days"),
+            expr("""(2 * CAST(s7 AS DECIMAL(38,0)) + n_days)
+                    div (2 * n_days) / 10000.0D""").as("smape_lag7_pct"),
+            expr("""(2 * CAST(s1 AS DECIMAL(38,0)) + n_days)
+                    div (2 * n_days) / 10000.0D""").as("smape_naive_pct"),
+            expr("s7 < s1").as("beats_naive"))
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))*100)
+                    AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         ser AS (SELECT y,
+                   LAG(y, 7) OVER (ORDER BY day) AS f7,
+                   LAG(y, 1) OVER (ORDER BY day) AS f1
+                 FROM daily),
+         terms AS (
+           SELECT
+             CASE WHEN y + f7 = 0 THEN 0 ELSE
+               CAST((4 * CAST(abs(y - f7) AS HUGEINT) * 1000000
+                     + (y + f7)) // (2 * (y + f7)) AS BIGINT) END AS t7,
+             CASE WHEN y + f1 = 0 THEN 0 ELSE
+               CAST((4 * CAST(abs(y - f1) AS HUGEINT) * 1000000
+                     + (y + f1)) // (2 * (y + f1)) AS BIGINT) END AS t1
+           FROM ser WHERE f7 IS NOT NULL),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(t7) AS BIGINT) AS s7,
+                 CAST(SUM(t1) AS BIGINT) AS s1
+               FROM terms)
+         SELECT n_days,
+                (2 * CAST(s7 AS HUGEINT) + n_days) // (2 * n_days)
+                  / 10000.0 AS smape_lag7_pct,
+                (2 * CAST(s1 AS HUGEINT) + n_days) // (2 * n_days)
+                  / 10000.0 AS smape_naive_pct,
+                s7 < s1 AS beats_naive
+         FROM m"""),
   )
 }

@@ -1525,5 +1525,182 @@ object Profiling {
                 ROUND(sqrt(SUM(term) / (CAST(MIN(n) AS DOUBLE)
                   * (least(MIN(ka), MIN(kb)) - 1))), 6) AS cramers_v
          FROM terms GROUP BY ka, kb, n"""),
+
+    // JARQUE–BERA — the moment-based normality test that turns
+    // profile_skew's descriptive numbers into a decision: raw moments
+    // Σx..Σx⁴ of the whole-dollar order totals are EXACT operand-cast
+    // DECIMAL(38,0) sums (x⁴ ≤ 1.3e23 · rows — 38 digits hold to
+    // ~1e14 rows), central moments expand from them in ONE fixed-order
+    // double expression per engine (identical text ⇒ identical IEEE
+    // result — the cancellation is deterministic), skew uses
+    // m2·sqrt(m2) instead of pow(m2, 1.5) (sqrt is correctly rounded,
+    // libm pow is not), and significance compares the UNROUNDED JB to
+    // the χ²(2) .95 literal. One corpus pass, one row travels.
+    Q("profile_jarque_bera",
+      (s, d) => orders(s, d)
+        .select(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) div 100")
+          .as("x"))
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("s1"),
+          sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("s2"),
+          sum(col("x").cast(DecimalType(38, 0)) * col("x") * col("x"))
+            .as("s3"),
+          sum(col("x").cast(DecimalType(38, 0)) * col("x") * col("x")
+            * col("x")).as("s4"))
+        .withColumn("mu", expr("CAST(s1 AS DOUBLE) / n"))
+        .withColumn("m2",
+          expr("CAST(s2 AS DOUBLE) / n - mu * mu"))
+        .withColumn("m3",
+          expr("""CAST(s3 AS DOUBLE) / n
+                  - 3.0D * mu * (CAST(s2 AS DOUBLE) / n)
+                  + 2.0D * mu * mu * mu"""))
+        .withColumn("m4",
+          expr("""CAST(s4 AS DOUBLE) / n
+                  - 4.0D * mu * (CAST(s3 AS DOUBLE) / n)
+                  + 6.0D * mu * mu * (CAST(s2 AS DOUBLE) / n)
+                  - 3.0D * mu * mu * mu * mu"""))
+        .withColumn("skew",
+          expr("""CASE WHEN n < 2 OR m2 <= 0.0D THEN NULL ELSE
+                  m3 / (m2 * sqrt(m2)) END"""))
+        .withColumn("exk",
+          expr("""CASE WHEN n < 2 OR m2 <= 0.0D THEN NULL ELSE
+                  m4 / (m2 * m2) - 3.0D END"""))
+        .withColumn("jb",
+          expr("""CASE WHEN skew IS NULL THEN NULL ELSE
+                  CAST(n AS DOUBLE) / 6.0D
+                  * (skew * skew + exk * exk / 4.0D) END"""))
+        .select(col("n"),
+          expr("ROUND(skew, 6) + 0.0D").as("skewness"),
+          expr("ROUND(exk, 6) + 0.0D").as("ex_kurtosis"),
+          expr("ROUND(jb, 4) + 0.0D").as("jb"),
+          expr("""CASE WHEN jb IS NULL THEN NULL ELSE
+                  jb > 5.991464547107979D END""").as("non_normal")),
+      """WITH t AS (
+           SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))*100
+                    AS BIGINT) // 100 AS x
+           FROM orders),
+         m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS s1,
+                  SUM(CAST(x AS HUGEINT) * x) AS s2,
+                  SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+                  SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
+           FROM t),
+         c AS (
+           SELECT n, CAST(s1 AS DOUBLE) / n AS mu,
+                  CAST(s2 AS DOUBLE) / n AS r2,
+                  CAST(s3 AS DOUBLE) / n AS r3,
+                  CAST(s4 AS DOUBLE) / n AS r4
+           FROM m),
+         cm AS (
+           SELECT n, mu, r2 - mu * mu AS m2,
+                  r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+                  r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                     - 3.0 * mu * mu * mu * mu AS m4
+           FROM c),
+         st AS (
+           SELECT n,
+                  CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL ELSE
+                    m3 / (m2 * sqrt(m2)) END AS skew,
+                  CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL ELSE
+                    m4 / (m2 * m2) - 3.0 END AS exk
+           FROM cm),
+         j AS (
+           SELECT n, skew, exk,
+                  CASE WHEN skew IS NULL THEN NULL ELSE
+                    CAST(n AS DOUBLE) / 6.0
+                    * (skew * skew + exk * exk / 4.0) END AS jb
+           FROM st)
+         SELECT n, ROUND(skew, 6) + 0.0 AS skewness,
+                ROUND(exk, 6) + 0.0 AS ex_kurtosis,
+                ROUND(jb, 4) + 0.0 AS jb,
+                CASE WHEN jb IS NULL THEN NULL ELSE
+                  jb > 5.991464547107979 END AS non_normal
+         FROM j"""),
+
+    // RATIO ESTIMATOR — the survey-sampling companion to
+    // sample_ht_total: when the target (revenue) correlates with a
+    // cheap auxiliary known for the WHOLE population (quantity), the
+    // ratio estimate t̂ = X_tot · Σy_s/Σx_s beats plain 1/π expansion
+    // at the same 10% deterministic md5 sample. Both estimators and
+    // both relative errors land via the half-up integer idiom — and
+    // each error term reuses its estimator's IDENTICAL expression
+    // (the sample_ht_total review lesson: never recompute the
+    // estimate with different rounding inside the error). One corpus
+    // pass; one row travels.
+    Q("sample_ratio_estimator",
+      (s, d) => lineitem(s, d)
+        .select(
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)")
+            .as("cents"),
+          col("l_quantity").cast("long").as("qty"),
+          (conv(substring(md5(concat(col("l_orderkey").cast("string"),
+            lit("-"), col("l_linenumber").cast("string"))), 1, 8),
+            16, 10).cast("long") % 100).as("bkt"))
+        .agg(count(lit(1)).as("n_pop"),
+          sum("cents").as("true_cents"),
+          sum("qty").as("x_tot"),
+          sum(when(col("bkt") < 10, 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("bkt") < 10, col("cents")).otherwise(0L))
+            .as("sy"),
+          sum(when(col("bkt") < 10, col("qty")).otherwise(0L))
+            .as("sx"))
+        .withColumn("ratio_est",
+          expr("""CASE WHEN sx = 0 THEN NULL ELSE
+                  (2 * CAST(x_tot AS DECIMAL(38,0)) * sy + sx)
+                  div (2 * sx) END"""))
+        .withColumn("exp_est", expr("CAST(sy AS DECIMAL(38,0)) * 10"))
+        .select(col("n_pop"), col("n_sampled"), col("true_cents"),
+          expr("CAST(ratio_est AS BIGINT)").as("ratio_est_cents"),
+          expr("CAST(exp_est AS BIGINT)").as("expansion_est_cents"),
+          expr("""CASE WHEN true_cents = 0 OR ratio_est IS NULL
+                  THEN NULL ELSE
+                    (2 * abs(ratio_est - true_cents) * 1000000
+                     + true_cents) div (2 * true_cents) / 10000.0D
+                  END""").as("rel_err_ratio_pct"),
+          expr("""CASE WHEN true_cents = 0 THEN NULL ELSE
+                    (2 * abs(exp_est - true_cents) * 1000000
+                     + true_cents) div (2 * true_cents) / 10000.0D
+                  END""").as("rel_err_expansion_pct")),
+      """WITH t AS (
+           SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100
+                    AS BIGINT) AS cents,
+                  CAST(l_quantity AS BIGINT) AS qty,
+                  CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)
+                    || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bkt
+           FROM lineitem),
+         g AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_pop,
+                  CAST(SUM(cents) AS BIGINT) AS true_cents,
+                  CAST(SUM(qty) AS BIGINT) AS x_tot,
+                  CAST(SUM(CASE WHEN bkt < 10 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sampled,
+                  CAST(SUM(CASE WHEN bkt < 10 THEN cents ELSE 0 END)
+                    AS BIGINT) AS sy,
+                  CAST(SUM(CASE WHEN bkt < 10 THEN qty ELSE 0 END)
+                    AS BIGINT) AS sx
+           FROM t),
+         e AS (
+           SELECT n_pop, n_sampled, true_cents,
+                  CASE WHEN sx = 0 THEN NULL ELSE
+                    (2 * CAST(x_tot AS HUGEINT) * sy + sx)
+                    // (2 * sx) END AS ratio_est,
+                  CAST(sy AS HUGEINT) * 10 AS exp_est
+           FROM g)
+         SELECT n_pop, n_sampled, true_cents,
+                CAST(ratio_est AS BIGINT) AS ratio_est_cents,
+                CAST(exp_est AS BIGINT) AS expansion_est_cents,
+                CASE WHEN true_cents = 0 OR ratio_est IS NULL
+                THEN NULL ELSE
+                  (2 * abs(ratio_est - true_cents) * 1000000
+                   + true_cents) // (2 * true_cents) / 10000.0
+                END AS rel_err_ratio_pct,
+                CASE WHEN true_cents = 0 THEN NULL ELSE
+                  (2 * abs(exp_est - true_cents) * 1000000
+                   + true_cents) // (2 * true_cents) / 10000.0
+                END AS rel_err_expansion_pct
+         FROM e"""),
   )
 }

@@ -102,6 +102,8 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     "time_pettitt" -> "calendar-grain series (days/months)",
     "time_seasonal_index_mult" -> "calendar-grain series (days/months)",
     "time_ar1_halflife" -> "calendar-grain series (days/months)",
+    "time_durbin_watson" -> "calendar-grain series (days/months)",
+    "time_smape" -> "calendar-grain series (days/months)",
     "ml_somers_d" -> "distinct rounded scores (fixed score precision)",
     "ab_kruskal_wallis" -> "quantity value histogram (<= 50 cells)",
     "ab_cliffs_delta" -> "quantity value histogram (<= 50 cells)",
