@@ -1268,5 +1268,54 @@ object Aggregates {
                 vol_eff / 100.0 AS volume_effect,
                 (s1 - s0 - price_eff - vol_eff) / 100.0 AS mix
          FROM eff ORDER BY flag"""),
+
+    // ATKINSON INDEX (ε=1) — the welfare-weighted inequality measure
+    // next to agg_theil_index / pareto_gini_banded: 1 − geomean/mean
+    // of per-customer spend, i.e. "what equal share would yield the
+    // same welfare". The mean is exact cents; the geomean's per-row
+    // ln(x) terms are quantized to DECIMAL(24,12) BEFORE the sum (the
+    // Theil/KL trick — order-free decimal addition), so the only
+    // engine-shared floats are ln, one exp, one division of identical
+    // doubles. One customer-grain aggregate; one row travels.
+    Q("agg_atkinson",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) *
+            lit(100)).cast("bigint").as("x"))
+          .filter(col("x") > 0)
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+            sum(expr("CAST(ln(CAST(x AS DOUBLE)) AS DECIMAL(24,12))"))
+              .as("sl"))
+          .select(col("n").as("n_customers"),
+            expr("""ROUND(exp(CAST(sl AS DOUBLE) / n), 2) + 0.0D""")
+              .as("geomean_cents"),
+            expr("""ROUND(CAST(sx AS DOUBLE) / n, 2) + 0.0D""")
+              .as("mean_cents"),
+            expr("""CASE WHEN n = 0 THEN NULL ELSE
+                    ROUND(1.0D - exp(CAST(sl AS DOUBLE) / n)
+                          / (CAST(sx AS DOUBLE) / n), 6) + 0.0D
+                    END""").as("atkinson"))
+      },
+      """WITH spend AS (
+           SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS x
+           FROM orders GROUP BY o_custkey),
+         m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sx,
+                  SUM(CAST(ln(CAST(x AS DOUBLE)) AS DECIMAL(24,12)))
+                    AS sl
+           FROM spend WHERE x > 0)
+         SELECT n AS n_customers,
+                ROUND(exp(CAST(sl AS DOUBLE) / n), 2) + 0.0
+                  AS geomean_cents,
+                ROUND(CAST(sx AS DOUBLE) / n, 2) + 0.0 AS mean_cents,
+                CASE WHEN n = 0 THEN NULL ELSE
+                  ROUND(1.0 - exp(CAST(sl AS DOUBLE) / n)
+                        / (CAST(sx AS DOUBLE) / n), 6) + 0.0
+                END AS atkinson
+         FROM m"""),
   )
 }

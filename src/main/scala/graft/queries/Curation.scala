@@ -2195,5 +2195,61 @@ FROM wt ORDER BY lang, source"""),
                     - beta * CAST(sx AS DOUBLE)) / k), 4) + 0.0
                 END AS heaps_k
          FROM f"""),
+
+    // CHAO1 RICHNESS — the nonparametric "how big is the vocabulary
+    // we HAVEN'T seen yet" estimator off the hapax/dis spectrum
+    // (V̂ = V + V1(V1−1)/(2(V2+1)), bias-corrected form): the
+    // capacity-planning number behind vocab sizing that
+    // text_hapax_ratio's raw spectrum only hints at, plus the
+    // Good–Turing sample-coverage Ĉ = 1 − V1/N. All exact integers
+    // off the same (source, word) histogram as the yule/hapax
+    // siblings — V1² is operand-cast (overflows LONG at V1≈3e9) and
+    // both outputs land via the half-up idiom; no float in any path.
+    Q("text_chao1_richness",
+      (s, d) => {
+        val wc = documents(s, d)
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        wc.groupBy("source")
+          .agg(count(lit(1)).as("vocab"), sum("c").as("n_tokens"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("v1"),
+            sum(when(col("c") === 2, 1L).otherwise(0L)).as("v2"))
+          .select(col("source"), col("vocab"), col("v1"), col("v2"),
+            expr("""(CAST(vocab AS DECIMAL(38,0)) * 100
+                     + (2 * CAST(v1 AS DECIMAL(38,0)) * (v1 - 1) * 100
+                        + 2 * (v2 + 1))
+                       div (4 * (v2 + 1))) / 100.0D""").as("chao1"),
+            expr("""CASE WHEN n_tokens = 0 THEN NULL ELSE
+                    (2 * CAST(n_tokens - v1 AS DECIMAL(38,0)) * 1000000
+                     + n_tokens) div (2 * n_tokens) / 1000000.0D
+                    END""").as("coverage"))
+          .orderBy("source")
+      },
+      """WITH wc AS (
+           SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT source,
+                        UNNEST(string_split(text, ' ')) AS w
+                 FROM documents)
+           WHERE w <> '' GROUP BY 1, 2),
+         g AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+                  CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS v1,
+                  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS v2
+           FROM wc GROUP BY 1)
+         SELECT source, vocab, v1, v2,
+                (CAST(vocab AS HUGEINT) * 100
+                 + (2 * CAST(v1 AS HUGEINT) * (v1 - 1) * 100
+                    + 2 * (v2 + 1))
+                   // (4 * (v2 + 1))) / 100.0 AS chao1,
+                CASE WHEN n_tokens = 0 THEN NULL ELSE
+                  (2 * CAST(n_tokens - v1 AS HUGEINT) * 1000000
+                   + n_tokens) // (2 * n_tokens) / 1000000.0
+                END AS coverage
+         FROM g ORDER BY source"""),
   )
 }

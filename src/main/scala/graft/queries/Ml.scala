@@ -3882,6 +3882,264 @@ object Ml {
                     + CAST(np AS HUGEINT) * nn)
                    // (2 * CAST(np AS HUGEINT) * nn))
                   / 1000000.0 END AS somers_d
-         FROM k""")
+         FROM k"""),
+
+    // DAVIES–BOULDIN INDEX — cluster-validity of the label partition
+    // in embedding space (are the ground-truth classes actually
+    // separated?), the worst-pair-ratio complement to
+    // vec_cluster_purity: per-label centroids from exact
+    // DECIMAL(20,10) dim sums (the vec_centroids discipline),
+    // per-point distances as order-free DECIMAL(24,12)-quantized
+    // squares, per-point sqrt quantized BEFORE the per-label mean (a
+    // float mean over corpus points is engine-ordered — the KL
+    // trick), and the final mean-of-max-ratios runs over the K-row
+    // label relation with every term decimal-quantized. One corpus
+    // explode + one corpus join; everything after is K×dims-sized.
+    Q("vec_davies_bouldin",
+      (s, d) => {
+        val dims = embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("p", "v")))
+          .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
+            col("v").cast("double").as("v"))
+        val cent = dims.groupBy("label", "i")
+          .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+            count(lit(1))).as("c"))
+        val scat = dims.join(cent, Seq("label", "i"))
+          .withColumn("sq",
+            ((col("v") - col("c")) * (col("v") - col("c")))
+              .cast(DecimalType(24, 12)))
+          .groupBy("vec_id", "label")
+          .agg(sum(col("sq")).as("d2"))
+          .withColumn("dist",
+            expr("CAST(sqrt(CAST(d2 AS DOUBLE)) AS DECIMAL(24,12))"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("nl"),
+            (sum("dist").cast("double") / count(lit(1))).as("s"))
+        val pairs = cent.as("a")
+          .join(cent.as("b"), col("a.i") === col("b.i")
+            && col("a.label") =!= col("b.label"))
+          .select(col("a.label").as("k"), col("b.label").as("l"),
+            expr("""CAST((a.c - b.c) * (a.c - b.c)
+                    AS DECIMAL(24,12))""").as("sq"))
+          .groupBy("k", "l")
+          .agg(expr("sqrt(CAST(sum(sq) AS DOUBLE))").as("m"))
+        val r = pairs
+          .join(scat.select(col("label").as("k"), col("s").as("sk")),
+            Seq("k"))
+          .join(scat.select(col("label").as("l"), col("s").as("sl")),
+            Seq("l"))
+          .withColumn("r", expr("(sk + sl) / m"))
+          .groupBy("k")
+          .agg(expr("CAST(max(r) AS DECIMAL(24,12))").as("maxr"))
+        r.agg(count(lit(1)).as("k_clusters"),
+            expr("""ROUND(CAST(sum(maxr) AS DOUBLE) / count(1), 6)
+                    + 0.0D""").as("davies_bouldin"))
+      },
+      """WITH dims AS (
+           SELECT vec_id, label, i,
+                  CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, LATERAL unnest(range(1, 65)) AS t(i)),
+         cent AS (
+           SELECT label, i,
+                  CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
+                    / COUNT(*) AS c
+           FROM dims GROUP BY 1, 2),
+         pd AS (
+           SELECT vec_id, d.label,
+                  SUM(CAST((v - c) * (v - c) AS DECIMAL(24,12))) AS d2
+           FROM dims d JOIN cent USING (label, i)
+           GROUP BY 1, 2),
+         scat AS (
+           SELECT label, CAST(COUNT(*) AS BIGINT) AS nl,
+                  CAST(SUM(CAST(sqrt(CAST(d2 AS DOUBLE))
+                    AS DECIMAL(24,12))) AS DOUBLE) / COUNT(*) AS s
+           FROM pd GROUP BY 1),
+         pairs AS (
+           SELECT a.label AS k, b.label AS l,
+                  sqrt(CAST(SUM(CAST((a.c - b.c) * (a.c - b.c)
+                    AS DECIMAL(24,12))) AS DOUBLE)) AS m
+           FROM cent a JOIN cent b
+             ON a.i = b.i AND a.label <> b.label
+           GROUP BY 1, 2),
+         r AS (
+           SELECT k,
+                  CAST(MAX((sk.s + sl.s) / m) AS DECIMAL(24,12)) AS maxr
+           FROM pairs
+           JOIN scat sk ON sk.label = pairs.k
+           JOIN scat sl ON sl.label = pairs.l
+           GROUP BY 1)
+         SELECT CAST(COUNT(*) AS BIGINT) AS k_clusters,
+                ROUND(CAST(SUM(maxr) AS DOUBLE) / COUNT(*), 6) + 0.0
+                  AS davies_bouldin
+         FROM r"""),
+
+    // CALINSKI–HARABASZ — the variance-ratio cluster-validity twin of
+    // vec_davies_bouldin: between-cluster scatter over within-cluster
+    // scatter, both as ORDER-FREE decimal sums (per-point squared
+    // distances and per-(label, dim) centroid gaps each quantized to
+    // DECIMAL(24,12) before any aggregate), so the only floats are
+    // the final two divisions. Reuses the one corpus explode; the B
+    // term is K×dims-sized arithmetic.
+    Q("vec_calinski_harabasz",
+      (s, d) => {
+        val dims = embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("p", "v")))
+          .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
+            col("v").cast("double").as("v"))
+        val cent = dims.groupBy("label", "i")
+          .agg(count(lit(1)).as("nl"),
+            (sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+              count(lit(1))).as("c"))
+        val gcent = dims.groupBy("i")
+          .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+            count(lit(1))).as("gc"))
+        val wss = dims.join(cent, Seq("label", "i"))
+          .agg(sum(((col("v") - col("c")) * (col("v") - col("c")))
+            .cast(DecimalType(24, 12))).as("w"))
+        val bss = cent.join(gcent, Seq("i"))
+          .withColumn("term",
+            expr("""CAST(nl AS DECIMAL(38,12))
+                    * CAST((c - gc) * (c - gc) AS DECIMAL(24,12))"""))
+          .agg(sum("term").as("b"))
+        val nk = embeddings(s, d)
+          .agg(count(lit(1)).as("n"),
+            countDistinct("label").as("k"))
+        nk.crossJoin(wss).crossJoin(bss)
+          .select(col("n"), col("k"),
+            expr("""CASE WHEN k < 2 OR n <= k
+                         OR CAST(w AS DOUBLE) <= 0.0D THEN NULL ELSE
+                      ROUND((CAST(b AS DOUBLE) / (k - 1))
+                            / (CAST(w AS DOUBLE) / (n - k)), 4) + 0.0D
+                    END""").as("calinski_harabasz"))
+      },
+      """WITH dims AS (
+           SELECT vec_id, label, i,
+                  CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, LATERAL unnest(range(1, 65)) AS t(i)),
+         cent AS (
+           SELECT label, i, CAST(COUNT(*) AS BIGINT) AS nl,
+                  CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
+                    / COUNT(*) AS c
+           FROM dims GROUP BY 1, 2),
+         gcent AS (
+           SELECT i,
+                  CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
+                    / COUNT(*) AS gc
+           FROM dims GROUP BY 1),
+         wss AS (
+           SELECT SUM(CAST((v - c) * (v - c) AS DECIMAL(24,12))) AS w
+           FROM dims d JOIN cent USING (label, i)),
+         bss AS (
+           SELECT SUM(CAST(nl AS DECIMAL(38,12))
+                      * CAST((c - gc) * (c - gc) AS DECIMAL(24,12)))
+                    AS b
+           FROM cent JOIN gcent USING (i)),
+         nk AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COUNT(DISTINCT label) AS BIGINT) AS k
+           FROM embeddings)
+         SELECT n, k,
+                CASE WHEN k < 2 OR n <= k
+                     OR CAST(w AS DOUBLE) <= 0.0 THEN NULL ELSE
+                  ROUND((CAST(b AS DOUBLE) / (k - 1))
+                        / (CAST(w AS DOUBLE) / (n - k)), 4) + 0.0
+                END AS calinski_harabasz
+         FROM nk CROSS JOIN wss CROSS JOIN bss"""),
+
+    // LOG LOSS — the proper-scoring-rule companion to ml_auc_roc /
+    // ml_brier_decomposition, with an honest TRAIN/TEST split: the
+    // per-source P(lang='en') rates are learned on the md5-even half
+    // of doc_ids (deterministic hash split — raw doc_id parity is
+    // correlated with source in the fixture corpus; Laplace-smoothed
+    // so ln never sees 0), evaluated on the md5-odd half.
+    // The corpus collapses to per-source (hit, miss) counts first, so
+    // the ln terms exist only at #sources grain — each quantized to
+    // DECIMAL(24,12) BEFORE the count product and the cross-source
+    // sum (both order-free). A constant-predictor baseline from the
+    // same split says whether the source feature helps.
+    Q("ml_log_loss",
+      (s, d) => {
+        val base = documents(s, d).select(col("source"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+            16, 10).cast("long") % 2 === 0).as("train"))
+        val cells = base.groupBy("source").agg(
+          sum(when(col("train"), col("y")).otherwise(0L)).as("k_tr"),
+          sum(when(col("train"), 1L).otherwise(0L)).as("n_tr"),
+          sum(when(!col("train"), col("y")).otherwise(0L)).as("k_te"),
+          sum(when(!col("train"), 1L).otherwise(0L)).as("n_te"))
+          .withColumn("p",
+            expr("CAST(k_tr + 1 AS DOUBLE) / (n_tr + 2)"))
+          .withColumn("t",
+            expr("""k_te * CAST(ln(p) AS DECIMAL(24,12))
+                  + (n_te - k_te) * CAST(ln(1.0D - p) AS DECIMAL(24,12))"""))
+        val glob = base.agg(
+          sum(when(col("train"), col("y")).otherwise(0L)).as("gk"),
+          sum(when(col("train"), 1L).otherwise(0L)).as("gn"))
+          .withColumn("p0", expr("CAST(gk + 1 AS DOUBLE) / (gn + 2)"))
+        cells.agg(
+            sum("n_tr").as("n_train"), sum("n_te").as("n_test"),
+            sum("k_te").as("k_test"), sum("t").as("tsum"))
+          .crossJoin(glob.select("p0"))
+          .select(col("n_train"), col("n_test"),
+            expr("""CASE WHEN n_test = 0 THEN NULL ELSE
+                    ROUND(-CAST(tsum AS DOUBLE) / n_test, 6) + 0.0D
+                    END""").as("log_loss"),
+            expr("""CASE WHEN n_test = 0 THEN NULL ELSE
+                    ROUND(-(CAST(k_test * CAST(ln(p0) AS DECIMAL(24,12))
+                        + (n_test - k_test)
+                          * CAST(ln(1.0D - p0) AS DECIMAL(24,12))
+                        AS DOUBLE)) / n_test, 6) + 0.0D
+                    END""").as("log_loss_baseline"))
+      },
+      """WITH base AS (
+           SELECT source,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                     1, 8)) AS BIGINT) % 2 = 0) AS train
+           FROM documents),
+         cells AS (
+           SELECT source,
+             CAST(SUM(CASE WHEN train THEN y ELSE 0 END) AS BIGINT)
+               AS k_tr,
+             CAST(SUM(CASE WHEN train THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tr,
+             CAST(SUM(CASE WHEN NOT train THEN y ELSE 0 END) AS BIGINT)
+               AS k_te,
+             CAST(SUM(CASE WHEN NOT train THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_te
+           FROM base GROUP BY 1),
+         ct AS (
+           SELECT n_tr, n_te, k_te,
+                  k_te * CAST(ln(CAST(k_tr + 1 AS DOUBLE) / (n_tr + 2))
+                    AS DECIMAL(24,12))
+                + (n_te - k_te)
+                  * CAST(ln(1.0 - CAST(k_tr + 1 AS DOUBLE) / (n_tr + 2))
+                    AS DECIMAL(24,12)) AS t
+           FROM cells),
+         gl AS (
+           SELECT CAST(SUM(CASE WHEN train THEN y ELSE 0 END) + 1
+                    AS DOUBLE)
+                  / (SUM(CASE WHEN train THEN 1 ELSE 0 END) + 2) AS p0
+           FROM base),
+         m AS (
+           SELECT CAST(SUM(n_tr) AS BIGINT) AS n_train,
+                  CAST(SUM(n_te) AS BIGINT) AS n_test,
+                  CAST(SUM(k_te) AS BIGINT) AS k_test,
+                  SUM(t) AS tsum
+           FROM ct)
+         SELECT n_train, n_test,
+                CASE WHEN n_test = 0 THEN NULL ELSE
+                  ROUND(-CAST(tsum AS DOUBLE) / n_test, 6) + 0.0
+                END AS log_loss,
+                CASE WHEN n_test = 0 THEN NULL ELSE
+                  ROUND(-(CAST(k_test * CAST(ln(p0) AS DECIMAL(24,12))
+                      + (n_test - k_test)
+                        * CAST(ln(1.0 - p0) AS DECIMAL(24,12))
+                      AS DOUBLE)) / n_test, 6) + 0.0
+                END AS log_loss_baseline
+         FROM m CROSS JOIN gl""")
   )
 }
