@@ -4217,5 +4217,275 @@ object Behavior {
                 CASE WHEN chi2 IS NULL THEN NULL ELSE
                   chi2 > 9.487729036781154 END AS significant
          FROM cc"""),
+
+    // JONCKHEERE–TERPSTRA — the ORDERED-alternative trend test the
+    // unordered Kruskal–Wallis can't express (are quantities
+    // monotonically shifting across the 1-URGENT→5-LOW dose order?),
+    // the rank-based twin of ab_cochran_armitage's binary trend: the
+    // doubled statistic 2·JT = Σ_v Σ_j t_j·(2·Σ_{i<j}cum_i< + Σ_{i<j}t_i)
+    // folds all 10 group pairs into per-value prefix columns over the
+    // ≤50-cell histogram, every product operand-cast. The null
+    // variance uses the TIE-CORRECTED three-term form (quantity has
+    // ~n/50 ties per value — the no-tie formula overstates σ² here);
+    // z divides exact-integer-derived doubles.
+    Q("ab_jonckheere",
+      (s, d) => {
+        val hist = lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(
+            expr("CAST(substring(o_orderpriority, 1, 1) AS INT)")
+              .as("g"),
+            col("l_quantity").cast("int").as("q"))
+          .groupBy("q").agg(
+            count(lit(1)).as("t"),
+            sum(when(col("g") === 1, 1L).otherwise(0L)).as("t1"),
+            sum(when(col("g") === 2, 1L).otherwise(0L)).as("t2"),
+            sum(when(col("g") === 3, 1L).otherwise(0L)).as("t3"),
+            sum(when(col("g") === 4, 1L).otherwise(0L)).as("t4"),
+            sum(when(col("g") === 5, 1L).otherwise(0L)).as("t5"))
+        val w = Window.orderBy("q")
+        val cum = hist
+          .withColumn("c1", sum(col("t1")).over(w) - col("t1"))
+          .withColumn("c2", sum(col("t2")).over(w) - col("t2"))
+          .withColumn("c3", sum(col("t3")).over(w) - col("t3"))
+          .withColumn("c4", sum(col("t4")).over(w) - col("t4"))
+        cum.agg(
+            sum("t").as("n"),
+            sum("t1").as("n1"), sum("t2").as("n2"),
+            sum("t3").as("n3"), sum("t4").as("n4"),
+            sum("t5").as("n5"),
+            sum(col("t2").cast(DecimalType(38, 0))
+                * (lit(2) * col("c1") + col("t1"))
+              + col("t3").cast(DecimalType(38, 0))
+                * (lit(2) * (col("c1") + col("c2"))
+                   + col("t1") + col("t2"))
+              + col("t4").cast(DecimalType(38, 0))
+                * (lit(2) * (col("c1") + col("c2") + col("c3"))
+                   + col("t1") + col("t2") + col("t3"))
+              + col("t5").cast(DecimalType(38, 0))
+                * (lit(2) * (col("c1") + col("c2") + col("c3")
+                             + col("c4"))
+                   + col("t1") + col("t2") + col("t3") + col("t4")))
+              .as("jt2"),
+            sum(col("t").cast(DecimalType(38, 0)) * (col("t") - 1)
+              * (lit(2) * col("t") + 5)).as("tv1"),
+            sum(col("t").cast(DecimalType(38, 0)) * (col("t") - 1)
+              * (col("t") - 2)).as("tv2"),
+            sum(col("t").cast(DecimalType(38, 0)) * (col("t") - 1))
+              .as("tv3"))
+          .withColumn("gn1",
+            expr("""CAST(n1 AS DECIMAL(38,0)) * (n1-1) * (2*n1+5)
+                  + CAST(n2 AS DECIMAL(38,0)) * (n2-1) * (2*n2+5)
+                  + CAST(n3 AS DECIMAL(38,0)) * (n3-1) * (2*n3+5)
+                  + CAST(n4 AS DECIMAL(38,0)) * (n4-1) * (2*n4+5)
+                  + CAST(n5 AS DECIMAL(38,0)) * (n5-1) * (2*n5+5)"""))
+          .withColumn("gn2",
+            expr("""CAST(n1 AS DECIMAL(38,0)) * (n1-1) * (n1-2)
+                  + CAST(n2 AS DECIMAL(38,0)) * (n2-1) * (n2-2)
+                  + CAST(n3 AS DECIMAL(38,0)) * (n3-1) * (n3-2)
+                  + CAST(n4 AS DECIMAL(38,0)) * (n4-1) * (n4-2)
+                  + CAST(n5 AS DECIMAL(38,0)) * (n5-1) * (n5-2)"""))
+          .withColumn("gn3",
+            expr("""CAST(n1 AS DECIMAL(38,0)) * (n1-1)
+                  + CAST(n2 AS DECIMAL(38,0)) * (n2-1)
+                  + CAST(n3 AS DECIMAL(38,0)) * (n3-1)
+                  + CAST(n4 AS DECIMAL(38,0)) * (n4-1)
+                  + CAST(n5 AS DECIMAL(38,0)) * (n5-1)"""))
+          .withColumn("s2",
+            expr("""CAST(n1 AS DECIMAL(38,0)) * n1
+                  + CAST(n2 AS DECIMAL(38,0)) * n2
+                  + CAST(n3 AS DECIMAL(38,0)) * n3
+                  + CAST(n4 AS DECIMAL(38,0)) * n4
+                  + CAST(n5 AS DECIMAL(38,0)) * n5"""))
+          .withColumn("varr",
+            expr("""CASE WHEN n < 3 THEN NULL ELSE
+                    (CAST(CAST(n AS DECIMAL(38,0)) * (n-1) * (2*n+5)
+                          - gn1 - tv1 AS DOUBLE)) / 72.0D
+                    + CAST(gn2 AS DOUBLE) * CAST(tv2 AS DOUBLE)
+                      / (36.0D * CAST(CAST(n AS DECIMAL(38,0))
+                          * (n-1) * (n-2) AS DOUBLE))
+                    + CAST(gn3 AS DOUBLE) * CAST(tv3 AS DOUBLE)
+                      / (8.0D * CAST(CAST(n AS DECIMAL(38,0))
+                          * (n-1) AS DOUBLE))
+                    END"""))
+          .withColumn("z",
+            expr("""CASE WHEN varr IS NULL OR varr <= 0.0D THEN NULL
+                    ELSE (CAST(jt2 AS DOUBLE)
+                          - (CAST(CAST(n AS DECIMAL(38,0)) * n - s2
+                             AS DOUBLE)) / 2.0D)
+                         / (2.0D * sqrt(varr)) END"""))
+          .select(col("n"),
+            expr("CAST(jt2 AS DOUBLE) / 2.0D").as("jt"),
+            expr("ROUND(z, 4) + 0.0D").as("z"),
+            expr("""CASE WHEN z IS NULL THEN NULL
+                    WHEN z > 1.959963984540054D THEN 'increasing'
+                    WHEN z < -1.959963984540054D THEN 'decreasing'
+                    ELSE 'none' END""").as("trend"))
+      },
+      """WITH base AS (
+           SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS g,
+                  CAST(l_quantity AS INT) AS q
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         hist AS (
+           SELECT q, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+             CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+             CAST(SUM(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS t3,
+             CAST(SUM(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS t4,
+             CAST(SUM(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS t5
+           FROM base GROUP BY 1),
+         cum AS (
+           SELECT t, t1, t2, t3, t4, t5,
+                  SUM(t1) OVER (ORDER BY q) - t1 AS c1,
+                  SUM(t2) OVER (ORDER BY q) - t2 AS c2,
+                  SUM(t3) OVER (ORDER BY q) - t3 AS c3,
+                  SUM(t4) OVER (ORDER BY q) - t4 AS c4
+           FROM hist),
+         m AS (
+           SELECT CAST(SUM(t) AS BIGINT) AS n,
+                  CAST(SUM(t1) AS BIGINT) AS n1,
+                  CAST(SUM(t2) AS BIGINT) AS n2,
+                  CAST(SUM(t3) AS BIGINT) AS n3,
+                  CAST(SUM(t4) AS BIGINT) AS n4,
+                  CAST(SUM(t5) AS BIGINT) AS n5,
+                  SUM(CAST(t2 AS HUGEINT) * (2 * c1 + t1)
+                    + CAST(t3 AS HUGEINT) * (2 * (c1 + c2) + t1 + t2)
+                    + CAST(t4 AS HUGEINT)
+                      * (2 * (c1 + c2 + c3) + t1 + t2 + t3)
+                    + CAST(t5 AS HUGEINT)
+                      * (2 * (c1 + c2 + c3 + c4) + t1 + t2 + t3 + t4))
+                    AS jt2,
+                  SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tv1,
+                  SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS tv2,
+                  SUM(CAST(t AS HUGEINT) * (t - 1)) AS tv3
+           FROM cum),
+         g AS (
+           SELECT n, jt2, tv1, tv2, tv3,
+                  CAST(n1 AS HUGEINT) * (n1-1) * (2*n1+5)
+                + CAST(n2 AS HUGEINT) * (n2-1) * (2*n2+5)
+                + CAST(n3 AS HUGEINT) * (n3-1) * (2*n3+5)
+                + CAST(n4 AS HUGEINT) * (n4-1) * (2*n4+5)
+                + CAST(n5 AS HUGEINT) * (n5-1) * (2*n5+5) AS gn1,
+                  CAST(n1 AS HUGEINT) * (n1-1) * (n1-2)
+                + CAST(n2 AS HUGEINT) * (n2-1) * (n2-2)
+                + CAST(n3 AS HUGEINT) * (n3-1) * (n3-2)
+                + CAST(n4 AS HUGEINT) * (n4-1) * (n4-2)
+                + CAST(n5 AS HUGEINT) * (n5-1) * (n5-2) AS gn2,
+                  CAST(n1 AS HUGEINT) * (n1-1)
+                + CAST(n2 AS HUGEINT) * (n2-1)
+                + CAST(n3 AS HUGEINT) * (n3-1)
+                + CAST(n4 AS HUGEINT) * (n4-1)
+                + CAST(n5 AS HUGEINT) * (n5-1) AS gn3,
+                  CAST(n1 AS HUGEINT) * n1 + CAST(n2 AS HUGEINT) * n2
+                + CAST(n3 AS HUGEINT) * n3 + CAST(n4 AS HUGEINT) * n4
+                + CAST(n5 AS HUGEINT) * n5 AS s2
+           FROM m),
+         vv AS (
+           SELECT n, jt2, s2,
+                  CASE WHEN n < 3 THEN NULL ELSE
+                    CAST(CAST(n AS HUGEINT) * (n-1) * (2*n+5)
+                         - gn1 - tv1 AS DOUBLE) / 72.0
+                    + CAST(gn2 AS DOUBLE) * CAST(tv2 AS DOUBLE)
+                      / (36.0 * CAST(CAST(n AS HUGEINT)
+                          * (n-1) * (n-2) AS DOUBLE))
+                    + CAST(gn3 AS DOUBLE) * CAST(tv3 AS DOUBLE)
+                      / (8.0 * CAST(CAST(n AS HUGEINT)
+                          * (n-1) AS DOUBLE))
+                  END AS varr
+           FROM g),
+         zz AS (
+           SELECT n, jt2,
+                  CASE WHEN varr IS NULL OR varr <= 0.0 THEN NULL
+                  ELSE (CAST(jt2 AS DOUBLE)
+                        - CAST(CAST(n AS HUGEINT) * n - s2 AS DOUBLE)
+                          / 2.0)
+                       / (2.0 * sqrt(varr)) END AS z
+           FROM vv)
+         SELECT n, CAST(jt2 AS DOUBLE) / 2.0 AS jt,
+                ROUND(z, 4) + 0.0 AS z,
+                CASE WHEN z IS NULL THEN NULL
+                  WHEN z > 1.959963984540054 THEN 'increasing'
+                  WHEN z < -1.959963984540054 THEN 'decreasing'
+                  ELSE 'none' END AS trend
+         FROM zz"""),
+
+    // COCHRAN'S Q — the k-correlated-proportions test McNemar can't
+    // generalize to: did the same customers' propensity to order
+    // shift across 1995/1996/1997? Subjects are customers, the three
+    // year-activity flags come from ONE conditional aggregate per
+    // customer, and Q's closed form (6ΣTj² − 2(ΣT)²)/(3Σu − Σu²)
+    // needs only exact operand-cast column totals and row-sum moments
+    // — constant rows (u=0 or 3) cancel by construction, so the
+    // universe choice can't bias it. Significance compares the
+    // UNROUNDED Q to the χ²(2) literal.
+    Q("ab_cochran_q",
+      (s, d) => {
+        val flags = orders(s, d)
+          .groupBy("o_custkey")
+          .agg(
+            max(when(year(col("o_orderdate").cast("date")) === 1995, 1L)
+              .otherwise(0L)).as("f1"),
+            max(when(year(col("o_orderdate").cast("date")) === 1996, 1L)
+              .otherwise(0L)).as("f2"),
+            max(when(year(col("o_orderdate").cast("date")) === 1997, 1L)
+              .otherwise(0L)).as("f3"))
+        flags.agg(count(lit(1)).as("n_subjects"),
+            sum("f1").as("t1"), sum("f2").as("t2"), sum("f3").as("t3"),
+            sum(expr("f1 + f2 + f3")).as("su"),
+            sum(expr("(f1 + f2 + f3) * (f1 + f2 + f3)")).as("su2"))
+          .withColumn("num",
+            expr("""6 * (CAST(t1 AS DECIMAL(38,0)) * t1
+                         + CAST(t2 AS DECIMAL(38,0)) * t2
+                         + CAST(t3 AS DECIMAL(38,0)) * t3)
+                    - 2 * CAST(t1 + t2 + t3 AS DECIMAL(38,0))
+                      * (t1 + t2 + t3)"""))
+          .withColumn("den", expr("3 * su - su2"))
+          .withColumn("qstat",
+            expr("""CASE WHEN den = 0 THEN NULL ELSE
+                    CAST(num AS DOUBLE) / den END"""))
+          .select(col("n_subjects"), col("t1").as("active_1995"),
+            col("t2").as("active_1996"), col("t3").as("active_1997"),
+            expr("ROUND(qstat, 4) + 0.0D").as("q"),
+            expr("""CASE WHEN qstat IS NULL THEN NULL ELSE
+                    qstat > 5.991464547107979D END""").as("significant"))
+      },
+      """WITH flags AS (
+           SELECT o_custkey,
+                  MAX(CASE WHEN EXTRACT(year FROM CAST(o_orderdate
+                    AS DATE)) = 1995 THEN 1 ELSE 0 END) AS f1,
+                  MAX(CASE WHEN EXTRACT(year FROM CAST(o_orderdate
+                    AS DATE)) = 1996 THEN 1 ELSE 0 END) AS f2,
+                  MAX(CASE WHEN EXTRACT(year FROM CAST(o_orderdate
+                    AS DATE)) = 1997 THEN 1 ELSE 0 END) AS f3
+           FROM orders GROUP BY 1),
+         m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+                  CAST(SUM(f1) AS BIGINT) AS t1,
+                  CAST(SUM(f2) AS BIGINT) AS t2,
+                  CAST(SUM(f3) AS BIGINT) AS t3,
+                  CAST(SUM(f1 + f2 + f3) AS BIGINT) AS su,
+                  CAST(SUM((f1 + f2 + f3) * (f1 + f2 + f3)) AS BIGINT)
+                    AS su2
+           FROM flags),
+         f AS (
+           SELECT n_subjects, t1, t2, t3,
+                  6 * (CAST(t1 AS HUGEINT) * t1
+                       + CAST(t2 AS HUGEINT) * t2
+                       + CAST(t3 AS HUGEINT) * t3)
+                  - 2 * CAST(t1 + t2 + t3 AS HUGEINT) * (t1 + t2 + t3)
+                    AS num,
+                  3 * su - su2 AS den
+           FROM m),
+         qq AS (
+           SELECT n_subjects, t1, t2, t3,
+                  CASE WHEN den = 0 THEN NULL ELSE
+                    CAST(num AS DOUBLE) / den END AS qstat
+           FROM f)
+         SELECT n_subjects, t1 AS active_1995, t2 AS active_1996,
+                t3 AS active_1997,
+                ROUND(qstat, 4) + 0.0 AS q,
+                CASE WHEN qstat IS NULL THEN NULL ELSE
+                  qstat > 5.991464547107979 END AS significant
+         FROM qq"""),
   )
 }

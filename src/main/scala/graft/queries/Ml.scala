@@ -4140,6 +4140,296 @@ object Ml {
                         * CAST(ln(1.0 - p0) AS DECIMAL(24,12))
                       AS DOUBLE)) / n_test, 6) + 0.0
                 END AS log_loss_baseline
-         FROM m CROSS JOIN gl""")
+         FROM m CROSS JOIN gl"""),
+
+    // ADJUSTED RAND INDEX — chance-corrected agreement between the
+    // ground-truth labels and the nearest-centroid assignment (the
+    // vec_cluster_purity machinery: centroid arrays broadcast against
+    // the un-exploded stream, per-row sequential double fold,
+    // deterministic (d2, clabel) tie-break): purity says how clean
+    // each cluster is, ARI says whether the whole PARTITION beats
+    // chance. All pair counts (Σn_ij², marginals) are exact
+    // operand-cast integers; ARI evaluates the textbook formula in
+    // ONE fixed-order double expression over them — identical IEEE
+    // result per engine, no n⁴ decimal overflow.
+    Q("ml_adjusted_rand",
+      (s, d) => {
+        val dims = embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("p", "v")))
+          .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
+            col("v").cast("double").as("v"))
+        val cent = dims.groupBy(col("label").as("clabel"), col("i"))
+          .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+            count(lit(1))).as("c"))
+        val cvecs = cent
+          .groupBy("clabel")
+          .agg(expr("transform(sort_array(collect_list(struct(i, c))), " +
+            "s -> s.c)").as("cvec"))
+        val d2 = embeddings(s, d)
+          .crossJoin(broadcast(cvecs))
+          .select(col("vec_id"), col("label"), col("clabel"),
+            expr("""aggregate(zip_with(embedding, cvec,
+                      (x, y) -> (cast(x AS double) - y) *
+                                (cast(x AS double) - y)),
+                    0.0D, (a, v) -> a + v)""").as("d2"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("d2"), col("clabel"))
+        val assigned = d2.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("label"), col("clabel"))
+        val cells = assigned.groupBy("label", "clabel")
+          .agg(count(lit(1)).as("nij"))
+        val sij = cells.agg(
+          sum(col("nij").cast(DecimalType(38, 0)) * (col("nij") - 1))
+            .as("sij"),
+          countDistinct("label").as("ka"),
+          countDistinct("clabel").as("kb"))
+        val sa = cells.groupBy("label")
+          .agg(sum("nij").as("ai"))
+          .agg(sum(col("ai").cast(DecimalType(38, 0)) * (col("ai") - 1))
+            .as("sa"), sum("ai").as("n"))
+        val sb = cells.groupBy("clabel")
+          .agg(sum("nij").as("bj"))
+          .agg(sum(col("bj").cast(DecimalType(38, 0)) * (col("bj") - 1))
+            .as("sb"))
+        sij.crossJoin(sa).crossJoin(sb)
+          .withColumn("t",
+            expr("CAST(n AS DECIMAL(38,0)) * (n - 1)"))
+          .select(col("n"), col("ka").as("k_true"),
+            col("kb").as("k_assigned"),
+            expr("""CASE WHEN n < 2
+                         OR (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+                            * CAST(t AS DOUBLE)
+                            - 2.0D * CAST(sa AS DOUBLE)
+                              * CAST(sb AS DOUBLE) = 0.0D THEN NULL
+                    ELSE ROUND(
+                      2.0D * (CAST(sij AS DOUBLE) * CAST(t AS DOUBLE)
+                              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                      / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+                         * CAST(t AS DOUBLE)
+                         - 2.0D * CAST(sa AS DOUBLE)
+                           * CAST(sb AS DOUBLE)), 6) + 0.0D
+                    END""").as("adjusted_rand"))
+      },
+      """WITH dims AS (
+           SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, LATERAL unnest(range(1, 65)) AS t(i)),
+         cent AS (
+           SELECT label AS clabel, i,
+                  CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
+                    / COUNT(*) AS c
+           FROM dims GROUP BY 1, 2),
+         cvecs AS (
+           SELECT clabel, list(c ORDER BY i) AS cvec
+           FROM cent GROUP BY 1),
+         d2 AS (
+           SELECT e.vec_id, e.label, cv.clabel,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i]) *
+                         (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i])),
+                    (x, y) -> x + y) AS d2
+           FROM embeddings e CROSS JOIN cvecs cv),
+         assigned AS (
+           SELECT vec_id, label, clabel,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY d2, clabel) AS rk
+           FROM d2),
+         cells AS (
+           SELECT label, clabel, CAST(COUNT(*) AS BIGINT) AS nij
+           FROM assigned WHERE rk = 1 GROUP BY 1, 2),
+         s1 AS (
+           SELECT SUM(CAST(nij AS HUGEINT) * (nij - 1)) AS sij,
+                  CAST(COUNT(DISTINCT label) AS BIGINT) AS ka,
+                  CAST(COUNT(DISTINCT clabel) AS BIGINT) AS kb
+           FROM cells),
+         s2 AS (
+           SELECT SUM(CAST(ai AS HUGEINT) * (ai - 1)) AS sa,
+                  CAST(SUM(ai) AS BIGINT) AS n
+           FROM (SELECT CAST(SUM(nij) AS BIGINT) AS ai
+                 FROM cells GROUP BY label)),
+         s3 AS (
+           SELECT SUM(CAST(bj AS HUGEINT) * (bj - 1)) AS sb
+           FROM (SELECT CAST(SUM(nij) AS BIGINT) AS bj
+                 FROM cells GROUP BY clabel)),
+         f AS (
+           SELECT n, ka, kb, sij, sa, sb,
+                  CAST(n AS HUGEINT) * (n - 1) AS t
+           FROM s1 CROSS JOIN s2 CROSS JOIN s3)
+         SELECT n, ka AS k_true, kb AS k_assigned,
+                CASE WHEN n < 2
+                     OR (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+                        * CAST(t AS DOUBLE)
+                        - 2.0 * CAST(sa AS DOUBLE)
+                          * CAST(sb AS DOUBLE) = 0.0 THEN NULL
+                ELSE ROUND(
+                  2.0 * (CAST(sij AS DOUBLE) * CAST(t AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                  / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+                     * CAST(t AS DOUBLE)
+                     - 2.0 * CAST(sa AS DOUBLE)
+                       * CAST(sb AS DOUBLE)), 6) + 0.0
+                END AS adjusted_rand
+         FROM f"""),
+
+    // UNCERTAINTY COEFFICIENT (Theil's U association) — the
+    // NORMALIZED, asymmetric "what fraction of the language mix does
+    // knowing the source explain" next to ml_cramers_v's symmetric
+    // effect size and profile_mutual_info's raw nats: U(Y|X) =
+    // I(X;Y)/H(Y) on the lang × source pair. Every entropy is a
+    // decimal sum of DECIMAL(24,12)-quantized p·ln p terms at its own
+    // bounded grain (cells / langs / sources — order-free), and the
+    // two U's + MI divide identical doubles. NULL categories excluded
+    // by contract (the ml_cramers_v lesson); one corpus aggregate.
+    Q("ml_uncertainty_coef",
+      (s, d) => {
+        val base = documents(s, d)
+          .filter(col("lang").isNotNull && col("source").isNotNull)
+        val tot = base.agg(count(lit(1)).as("n"))
+        val hj = base.groupBy("lang", "source")
+          .agg(count(lit(1)).as("c")).crossJoin(tot)
+          .agg(sum(expr("""CAST((CAST(c AS DOUBLE) / n)
+            * ln(CAST(c AS DOUBLE) / n) AS DECIMAL(24,12))"""))
+            .as("hj_neg"))
+        val hy = base.groupBy("lang")
+          .agg(count(lit(1)).as("c")).crossJoin(tot)
+          .agg(sum(expr("""CAST((CAST(c AS DOUBLE) / n)
+            * ln(CAST(c AS DOUBLE) / n) AS DECIMAL(24,12))"""))
+            .as("hy_neg"))
+        val hx = base.groupBy("source")
+          .agg(count(lit(1)).as("c")).crossJoin(tot)
+          .agg(sum(expr("""CAST((CAST(c AS DOUBLE) / n)
+            * ln(CAST(c AS DOUBLE) / n) AS DECIMAL(24,12))"""))
+            .as("hx_neg"))
+        tot.crossJoin(hj).crossJoin(hy).crossJoin(hx)
+          .withColumn("mi",
+            expr("""CAST(hj_neg AS DOUBLE) - CAST(hy_neg AS DOUBLE)
+                    - CAST(hx_neg AS DOUBLE)"""))
+          .select(col("n"),
+            expr("ROUND(mi, 6) + 0.0D").as("mutual_info_nats"),
+            expr("""CASE WHEN hy_neg = 0 THEN NULL ELSE
+                    ROUND(mi / -CAST(hy_neg AS DOUBLE), 6) + 0.0D
+                    END""").as("u_lang_given_source"),
+            expr("""CASE WHEN hx_neg = 0 THEN NULL ELSE
+                    ROUND(mi / -CAST(hx_neg AS DOUBLE), 6) + 0.0D
+                    END""").as("u_source_given_lang"))
+      },
+      """WITH base AS (
+           SELECT lang, source FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+         hj AS (
+           SELECT SUM(CAST((CAST(c AS DOUBLE) / n)
+                    * ln(CAST(c AS DOUBLE) / n) AS DECIMAL(24,12)))
+                    AS hj_neg
+           FROM (SELECT COUNT(*) AS c FROM base GROUP BY lang, source)
+           CROSS JOIN tot),
+         hy AS (
+           SELECT SUM(CAST((CAST(c AS DOUBLE) / n)
+                    * ln(CAST(c AS DOUBLE) / n) AS DECIMAL(24,12)))
+                    AS hy_neg
+           FROM (SELECT COUNT(*) AS c FROM base GROUP BY lang)
+           CROSS JOIN tot),
+         hx AS (
+           SELECT SUM(CAST((CAST(c AS DOUBLE) / n)
+                    * ln(CAST(c AS DOUBLE) / n) AS DECIMAL(24,12)))
+                    AS hx_neg
+           FROM (SELECT COUNT(*) AS c FROM base GROUP BY source)
+           CROSS JOIN tot),
+         f AS (
+           SELECT n, hy_neg, hx_neg,
+                  CAST(hj_neg AS DOUBLE) - CAST(hy_neg AS DOUBLE)
+                  - CAST(hx_neg AS DOUBLE) AS mi
+           FROM tot CROSS JOIN hj CROSS JOIN hy CROSS JOIN hx)
+         SELECT n, ROUND(mi, 6) + 0.0 AS mutual_info_nats,
+                CASE WHEN hy_neg = 0 THEN NULL ELSE
+                  ROUND(mi / -CAST(hy_neg AS DOUBLE), 6) + 0.0
+                END AS u_lang_given_source,
+                CASE WHEN hx_neg = 0 THEN NULL ELSE
+                  ROUND(mi / -CAST(hx_neg AS DOUBLE), 6) + 0.0
+                END AS u_source_given_lang
+         FROM f"""),
+
+    // FLEISS' KAPPA — multi-rater chance-corrected agreement, the
+    // m>2 generalization of ml_cohen_kappa: three deterministic text
+    // "raters" (length, stopword, token-count rules — identical
+    // per-row booleans on both engines) vote pass/fail per document;
+    // with m=3 binary raters the per-item agreement collapses to a
+    // function of the vote count v ∈ 0..3, so the corpus reduces to
+    // exact integer moments (Σw(v), Σv) in ONE pass and κ is a pure
+    // rational — sign-split half-up, never ROUND(double). The
+    // quality_kappa pairwise view can't see three-way agreement.
+    Q("ml_fleiss_kappa",
+      (s, d) => documents(s, d)
+        .select((
+          when(col("n_chars") > 200, 1L).otherwise(0L) +
+          when(col("text").contains(" the "), 1L).otherwise(0L) +
+          when(length(col("text")) -
+            length(regexp_replace(col("text"), " ", "")) + 1 > 30, 1L)
+            .otherwise(0L))
+          .as("v"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("""CASE v WHEN 0L THEN 6L WHEN 1L THEN 2L
+                      WHEN 2L THEN 2L ELSE 6L END""")).as("a"),
+          sum("v").as("sv"))
+        .withColumn("num2",
+          expr("""3 * CAST(a AS DECIMAL(38,0)) * n
+                  - 2 * CAST(sv AS DECIMAL(38,0)) * sv
+                  - 2 * CAST(3 * n - sv AS DECIMAL(38,0))
+                    * (3 * n - sv)"""))
+        .withColumn("den2",
+          expr("""18 * CAST(n AS DECIMAL(38,0)) * n
+                  - 2 * CAST(sv AS DECIMAL(38,0)) * sv
+                  - 2 * CAST(3 * n - sv AS DECIMAL(38,0))
+                    * (3 * n - sv)"""))
+        .select(col("n").as("n_docs"),
+          expr("""(CAST(a AS DECIMAL(38,0)) * 2000000 + 6 * n)
+                  div (12 * n) / 1000000.0D""").as("p_bar"),
+          expr("""((2 * (CAST(sv AS DECIMAL(38,0)) * sv
+                   + CAST(3 * n - sv AS DECIMAL(38,0)) * (3 * n - sv))
+                   * 1000000 + 9 * CAST(n AS DECIMAL(38,0)) * n)
+                  div (18 * CAST(n AS DECIMAL(38,0)) * n))
+                 / 1000000.0D""").as("p_e"),
+          expr("""CASE WHEN den2 = 0 THEN NULL ELSE
+                    CASE WHEN num2 < 0 THEN -1 ELSE 1 END *
+                    ((2 * abs(num2) * 1000000 + den2) div (2 * den2))
+                    / 1000000.0D END""").as("kappa")),
+      """WITH v AS (
+           SELECT (CASE WHEN n_chars > 200 THEN 1 ELSE 0 END
+                 + CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END
+                 + CASE WHEN length(text)
+                     - length(replace(text, ' ', '')) + 1 > 30
+                   THEN 1 ELSE 0 END) AS v
+           FROM documents),
+         m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE v WHEN 0 THEN 6 WHEN 1 THEN 2
+                           WHEN 2 THEN 2 ELSE 6 END) AS BIGINT) AS a,
+                  CAST(SUM(v) AS BIGINT) AS sv
+           FROM v),
+         f AS (
+           SELECT n, a, sv,
+                  3 * CAST(a AS HUGEINT) * n
+                  - 2 * CAST(sv AS HUGEINT) * sv
+                  - 2 * CAST(3 * n - sv AS HUGEINT) * (3 * n - sv)
+                    AS num2,
+                  18 * CAST(n AS HUGEINT) * n
+                  - 2 * CAST(sv AS HUGEINT) * sv
+                  - 2 * CAST(3 * n - sv AS HUGEINT) * (3 * n - sv)
+                    AS den2
+           FROM m)
+         SELECT n AS n_docs,
+                (CAST(a AS HUGEINT) * 2000000 + 6 * n) // (12 * n)
+                  / 1000000.0 AS p_bar,
+                ((2 * (CAST(sv AS HUGEINT) * sv
+                  + CAST(3 * n - sv AS HUGEINT) * (3 * n - sv))
+                  * 1000000 + 9 * CAST(n AS HUGEINT) * n)
+                 // (18 * CAST(n AS HUGEINT) * n))
+                / 1000000.0 AS p_e,
+                CASE WHEN den2 = 0 THEN NULL ELSE
+                  CASE WHEN num2 < 0 THEN -1 ELSE 1 END *
+                  ((2 * abs(num2) * 1000000 + den2) // (2 * den2))
+                  / 1000000.0 END AS kappa
+         FROM f""")
   )
 }

@@ -108,6 +108,7 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     "ab_kruskal_wallis" -> "quantity value histogram (<= 50 cells)",
     "ab_cliffs_delta" -> "quantity value histogram (<= 50 cells)",
     "ab_mood_median" -> "quantity value histogram (<= 50 cells)",
+    "ab_jonckheere" -> "quantity value histogram (<= 50 cells)",
     "time_autocorr" -> "calendar-grain series (days/months)",
     "time_ljung_box" -> "calendar-grain series (days/months)",
     "time_backtest_horizons" -> "calendar-grain series (days/months)",
