@@ -4448,5 +4448,149 @@ object Analytics {
                   / 10000.0 AS smape_naive_pct,
                 s7 < s1 AS beats_naive
          FROM m"""),
+
+    // STOCHASTIC OSCILLATOR %K/%D — where today sits inside the
+    // trailing 14-day range (the range-position momentum lens next to
+    // time_rsi's gain/loss ratio): %K = 100·(y−min₁₄)/(max₁₄−min₁₄)
+    // as a HALF-UP 1e-4-percent integer (the numerator is
+    // operand-cast — cents×1e6 overflows LONG at ~1e13 daily cents),
+    // %D = the half-up mean of three trailing %K integers (null
+    // propagates through partial windows on both engines). Three ROWS
+    // windows over the calendar grain; output is day-grain bounded.
+    Q("time_stochastic_k",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("y"))
+        val w14 = Window.orderBy("day").rowsBetween(-13, 0)
+        val wl = Window.orderBy("day")
+        daily
+          .withColumn("mn", min("y").over(w14))
+          .withColumn("mx", max("y").over(w14))
+          .withColumn("cnt", count(lit(1)).over(w14))
+          .withColumn("k4",
+            expr("""CASE WHEN cnt < 14 OR mx = mn THEN NULL ELSE
+                    (2 * CAST(y - mn AS DECIMAL(38,0)) * 1000000
+                     + (mx - mn)) div (2 * (mx - mn)) END"""))
+          .withColumn("d4",
+            expr("""(2 * (k4 + lag(k4, 1) OVER (ORDER BY day)
+                          + lag(k4, 2) OVER (ORDER BY day)) + 3)
+                    div 6"""))
+          .filter(col("k4").isNotNull)
+          .select(col("day"),
+            expr("CAST(k4 AS DOUBLE) / 10000.0D").as("k_pct"),
+            expr("CAST(d4 AS DOUBLE) / 10000.0D").as("d_pct"))
+          .orderBy("day")
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))*100)
+                    AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         r AS (
+           SELECT day, y,
+                  MIN(y) OVER w AS mn, MAX(y) OVER w AS mx,
+                  COUNT(*) OVER w AS cnt
+           FROM daily
+           WINDOW w AS (ORDER BY day
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         k AS (
+           SELECT day,
+                  CASE WHEN cnt < 14 OR mx = mn THEN NULL ELSE
+                    (2 * CAST(y - mn AS HUGEINT) * 1000000
+                     + (mx - mn)) // (2 * (mx - mn)) END AS k4
+           FROM r),
+         kd AS (
+           SELECT day, k4,
+                  (2 * (k4 + LAG(k4, 1) OVER (ORDER BY day)
+                        + LAG(k4, 2) OVER (ORDER BY day)) + 3) // 6
+                    AS d4
+           FROM k)
+         SELECT day, CAST(k4 AS DOUBLE) / 10000.0 AS k_pct,
+                CAST(d4 AS DOUBLE) / 10000.0 AS d_pct
+         FROM kd WHERE k4 IS NOT NULL ORDER BY day"""),
+
+    // NELSON–AALEN — the cumulative-HAZARD twin of time_survival_km's
+    // product-limit curve (the additive estimator variance analysis
+    // and hazard-ratio models actually consume): same
+    // first-click→first-purchase risk sets, per-day d/n terms pinned
+    // to DECIMAL(18,12) BEFORE the cumulative sum (the KM lnterm
+    // idiom — order-free, engine-identical), H(t) cumulative, and
+    // exp(−H) alongside as the NA-based survival approximation the
+    // KM curve cross-checks. One day-grain window chain.
+    Q("event_nelson_aalen",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_type"),
+          (unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+            .as("day"))
+        val firstClick = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min(col("day")).as("d0"))
+        val firstBuy = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min(col("day")).as("dp"))
+        val users = firstClick.join(firstBuy, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("dp").isNotNull && col("dp") >= col("d0"),
+              col("dp") - col("d0")).as("t_event"))
+        val tot = users.agg(count(lit(1)).as("n_total"))
+        val byDay = users.filter(col("t_event").isNotNull)
+          .groupBy(col("t_event").as("t"))
+          .agg(count(lit(1)).as("d_events"))
+        val wc = Window.orderBy("t")
+        byDay.crossJoin(broadcast(tot))
+          .withColumn("prior",
+            coalesce(sum(col("d_events"))
+              .over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .withColumn("n_risk", col("n_total") - col("prior"))
+          .withColumn("hterm",
+            expr("""CAST(CAST(d_events AS DOUBLE) / n_risk
+                    AS DECIMAL(18,12))"""))
+          .withColumn("hcum",
+            sum(col("hterm"))
+              .over(wc.rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("t").as("day"), col("n_risk"), col("d_events"),
+            expr("ROUND(CAST(hcum AS DOUBLE), 6)").as("cum_hazard"),
+            expr("ROUND(exp(-CAST(hcum AS DOUBLE)), 6)")
+              .as("na_survival"))
+          .orderBy("day")
+      },
+      """WITH ev AS (
+           SELECT user_id, event_type,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         fc AS (
+           SELECT user_id, MIN(day) AS d0 FROM ev
+           WHERE event_type = 'click' GROUP BY 1),
+         fb AS (
+           SELECT user_id, MIN(day) AS dp FROM ev
+           WHERE event_type = 'purchase' GROUP BY 1),
+         users AS (
+           SELECT fc.user_id,
+                  CASE WHEN dp IS NOT NULL AND dp >= d0
+                    THEN dp - d0 END AS t_event
+           FROM fc LEFT JOIN fb ON fb.user_id = fc.user_id),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM users),
+         byday AS (
+           SELECT t_event AS t, CAST(COUNT(*) AS BIGINT) AS d_events
+           FROM users WHERE t_event IS NOT NULL GROUP BY 1),
+         r AS (
+           SELECT t, d_events, n_total,
+                  CAST(n_total - COALESCE(SUM(d_events) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS n_risk
+           FROM byday CROSS JOIN tot),
+         h AS (
+           SELECT t, n_risk, d_events,
+                  SUM(CAST(CAST(d_events AS DOUBLE) / n_risk
+                    AS DECIMAL(18,12))) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS hcum
+           FROM r)
+         SELECT t AS day, n_risk, d_events,
+                ROUND(CAST(hcum AS DOUBLE), 6) AS cum_hazard,
+                ROUND(exp(-CAST(hcum AS DOUBLE)), 6) AS na_survival
+         FROM h ORDER BY day"""),
   )
 }

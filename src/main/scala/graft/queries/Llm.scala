@@ -3302,5 +3302,82 @@ GROUP BY source ORDER BY source"""),
          SELECT sniffed, CAST(count(*) AS BIGINT) AS n_files,
                 CAST(sum(n_bytes) AS BIGINT) AS total_bytes
          FROM sn GROUP BY sniffed ORDER BY sniffed"""),
+
+    // MEAN RECIPROCAL RANK — the "where does the FIRST relevant hit
+    // land" retrieval metric next to vec_ndcg_at_k (graded relevance)
+    // and vec_precision_at_k (set overlap): same brute-force cosine
+    // top-5 per probe, first same-label rank per probe via one
+    // conditional MIN, and because ranks live in 1..5 the reciprocal
+    // ranks are EXACT in 1/60 units (lcm 1..5) — MRR and the hit rate
+    // land via the half-up idiom, no float sum anywhere. One scan of
+    // the top-k relation; probes are a K-row set by construction.
+    Q("vec_mrr",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val lab = emb.select(col("vec_id"), col("label"))
+        val topk = Similarity.bruteForceTopK(emb,
+            Similarity.probes(emb), 5)
+          .join(broadcast(lab
+            .withColumnRenamed("vec_id", "probe_id")
+            .withColumnRenamed("label", "anchor_label")),
+            Seq("probe_id"))
+          .join(lab, Seq("vec_id"))
+        topk.groupBy("probe_id")
+          .agg(min(when(col("label") === col("anchor_label"),
+            col("rn"))).as("minrn"))
+          .agg(count(lit(1)).as("p"),
+            sum(when(col("minrn").isNotNull, 1L).otherwise(0L))
+              .as("hits"),
+            sum(expr("""CASE minrn WHEN 1 THEN 60L WHEN 2 THEN 30L
+                        WHEN 3 THEN 20L WHEN 4 THEN 15L WHEN 5 THEN 12L
+                        ELSE 0L END""")).as("rr60"))
+          .select(col("p").as("n_probes"), col("hits").as("hits_at_5"),
+            expr("""(2 * CAST(rr60 AS DECIMAL(38,0)) * 1000000
+                     + 60 * p) div (120 * p) / 1000000.0D""").as("mrr"),
+            expr("""(2 * CAST(hits AS DECIMAL(38,0)) * 1000000 + p)
+                    div (2 * p) / 1000000.0D""").as("hit_rate"))
+      },
+      """WITH probe_ids AS (
+           SELECT MIN(vec_id) AS probe_id FROM embeddings GROUP BY label),
+         p AS (SELECT e.vec_id AS probe_id, e.label AS anchor_label,
+                      e.embedding AS probe_emb
+               FROM embeddings e JOIN probe_ids ON e.vec_id = probe_id),
+         scored AS (
+           SELECT p.probe_id, p.anchor_label, e.vec_id, e.label,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+             (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(p.probe_emb[i] AS DOUBLE) *
+                    CAST(p.probe_emb[i] AS DOUBLE)), (x, y) -> x + y)) *
+              sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) *
+                    CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+             AS cos
+           FROM p CROSS JOIN embeddings e WHERE e.vec_id <> p.probe_id),
+         ranked AS (
+           SELECT probe_id, anchor_label, label,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY cos DESC, vec_id ASC) AS rn
+           FROM scored),
+         firsts AS (
+           SELECT probe_id,
+                  MIN(CASE WHEN label = anchor_label THEN rn END)
+                    AS minrn
+           FROM ranked WHERE rn <= 5 GROUP BY 1),
+         m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS p,
+                  CAST(SUM(CASE WHEN minrn IS NOT NULL THEN 1 ELSE 0
+                    END) AS BIGINT) AS hits,
+                  CAST(SUM(CASE minrn WHEN 1 THEN 60 WHEN 2 THEN 30
+                       WHEN 3 THEN 20 WHEN 4 THEN 15 WHEN 5 THEN 12
+                       ELSE 0 END) AS BIGINT) AS rr60
+           FROM firsts)
+         SELECT p AS n_probes, hits AS hits_at_5,
+                (2 * CAST(rr60 AS HUGEINT) * 1000000 + 60 * p)
+                  // (120 * p) / 1000000.0 AS mrr,
+                (2 * CAST(hits AS HUGEINT) * 1000000 + p) // (2 * p)
+                  / 1000000.0 AS hit_rate
+         FROM m"""),
   )
 }

@@ -4430,6 +4430,105 @@ object Ml {
                   CASE WHEN num2 < 0 THEN -1 ELSE 1 END *
                   ((2 * abs(num2) * 1000000 + den2) // (2 * den2))
                   / 1000000.0 END AS kappa
-         FROM f""")
+         FROM f"""),
+
+    // SIMPLIFIED SILHOUETTE — the per-POINT separation score the
+    // validity indexes summarize away (vec_davies_bouldin is a
+    // worst-pair number; silhouette says how many individual points
+    // sit closer to a foreign centroid): centroid-based s = (b−a) /
+    // max(a,b) with a = distance to own centroid, b = nearest foreign
+    // centroid, both from the broadcast-centroid sequential fold (no
+    // O(n²) pairwise pass — the classic silhouette can't scale, the
+    // simplified one is the documented 100 TB form). Per-point s is
+    // quantized to DECIMAL(24,12) before the corpus mean (order-free);
+    // the misplaced share compares the raw fold doubles exactly.
+    Q("vec_silhouette_simplified",
+      (s, d) => {
+        val dims = embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("p", "v")))
+          .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
+            col("v").cast("double").as("v"))
+        val cent = dims.groupBy(col("label").as("clabel"), col("i"))
+          .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
+            count(lit(1))).as("c"))
+        val cvecs = cent
+          .groupBy("clabel")
+          .agg(expr("transform(sort_array(collect_list(struct(i, c))), " +
+            "s -> s.c)").as("cvec"))
+        val d2 = embeddings(s, d)
+          .crossJoin(broadcast(cvecs))
+          .select(col("vec_id"), col("label"), col("clabel"),
+            expr("""aggregate(zip_with(embedding, cvec,
+                      (x, y) -> (cast(x AS double) - y) *
+                                (cast(x AS double) - y)),
+                    0.0D, (a, v) -> a + v)""").as("d2"))
+        d2.groupBy("vec_id")
+          .agg(
+            min(when(col("clabel") === col("label"), col("d2")))
+              .as("a2"),
+            min(when(col("clabel") =!= col("label"), col("d2")))
+              .as("b2"))
+          .withColumn("sil",
+            expr("""CASE WHEN a2 IS NULL OR b2 IS NULL THEN NULL
+                    WHEN greatest(sqrt(a2), sqrt(b2)) = 0.0D
+                      THEN CAST(0 AS DECIMAL(24,12))
+                    ELSE CAST((sqrt(b2) - sqrt(a2))
+                         / greatest(sqrt(a2), sqrt(b2))
+                         AS DECIMAL(24,12)) END"""))
+          .agg(count(lit(1)).as("n"),
+            sum("sil").as("ssil"),
+            sum(when(col("b2") < col("a2"), 1L).otherwise(0L))
+              .as("misplaced"))
+          .select(col("n"),
+            expr("""ROUND(CAST(ssil AS DOUBLE) / n, 6) + 0.0D""")
+              .as("mean_silhouette"),
+            col("misplaced"),
+            expr("""(2 * CAST(misplaced AS DECIMAL(38,0)) * 1000000 + n)
+                    div (2 * n) / 1000000.0D""").as("misplaced_share"))
+      },
+      """WITH dims AS (
+           SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, LATERAL unnest(range(1, 65)) AS t(i)),
+         cent AS (
+           SELECT label AS clabel, i,
+                  CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
+                    / COUNT(*) AS c
+           FROM dims GROUP BY 1, 2),
+         cvecs AS (
+           SELECT clabel, list(c ORDER BY i) AS cvec
+           FROM cent GROUP BY 1),
+         d2 AS (
+           SELECT e.vec_id, e.label, cv.clabel,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i]) *
+                         (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i])),
+                    (x, y) -> x + y) AS d2
+           FROM embeddings e CROSS JOIN cvecs cv),
+         ab AS (
+           SELECT vec_id,
+                  MIN(CASE WHEN clabel = label THEN d2 END) AS a2,
+                  MIN(CASE WHEN clabel <> label THEN d2 END) AS b2
+           FROM d2 GROUP BY 1),
+         sil AS (
+           SELECT CASE WHEN a2 IS NULL OR b2 IS NULL THEN NULL
+                  WHEN greatest(sqrt(a2), sqrt(b2)) = 0.0
+                    THEN CAST(0 AS DECIMAL(24,12))
+                  ELSE CAST((sqrt(b2) - sqrt(a2))
+                       / greatest(sqrt(a2), sqrt(b2))
+                       AS DECIMAL(24,12)) END AS s,
+                  CASE WHEN b2 < a2 THEN 1 ELSE 0 END AS mis
+           FROM ab),
+         m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(s) AS ssil,
+                  CAST(SUM(mis) AS BIGINT) AS misplaced
+           FROM sil)
+         SELECT n,
+                ROUND(CAST(ssil AS DOUBLE) / n, 6) + 0.0
+                  AS mean_silhouette,
+                misplaced,
+                (2 * CAST(misplaced AS HUGEINT) * 1000000 + n)
+                  // (2 * n) / 1000000.0 AS misplaced_share
+         FROM m""")
   )
 }

@@ -104,6 +104,8 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     "time_ar1_halflife" -> "calendar-grain series (days/months)",
     "time_durbin_watson" -> "calendar-grain series (days/months)",
     "time_smape" -> "calendar-grain series (days/months)",
+    "time_stochastic_k" -> "calendar-grain series (days/months)",
+    "event_nelson_aalen" -> "event-day risk-set grain (calendar-bounded)",
     "ml_somers_d" -> "distinct rounded scores (fixed score precision)",
     "ab_kruskal_wallis" -> "quantity value histogram (<= 50 cells)",
     "ab_cliffs_delta" -> "quantity value histogram (<= 50 cells)",
