@@ -4487,5 +4487,182 @@ object Behavior {
                 CASE WHEN qstat IS NULL THEN NULL ELSE
                   qstat > 5.991464547107979 END AS significant
          FROM qq"""),
+
+    // WELCH'S t — the unequal-variance two-sample mean test on the
+    // CONTINUOUS per-user revenue metric (ab_test covers the binary
+    // conversion z; CUPED/delta assume this plain comparison exists):
+    // per-arm (n, Σ, Σ²) from ONE conditional aggregate with the Σ²
+    // products operand-cast, then t and the Welch–Satterthwaite df in
+    // fixed-order double expressions over the exact moments.
+    // Significance on the UNROUNDED |t| vs the asymptotic 1.96 (df is
+    // corpus-scale wherever this runs).
+    Q("ab_welch_t",
+      (s, d) => {
+        val pu = events(s, d)
+          .groupBy("user_id")
+          .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)"))
+            .as("cents"))
+          .select(col("cents"), (col("user_id") % 2).as("arm"))
+        pu.agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 0, col("cents")).otherwise(0L))
+              .as("s0"),
+            sum(when(col("arm") === 1, col("cents")).otherwise(0L))
+              .as("s1"),
+            sum(when(col("arm") === 0,
+              col("cents").cast(DecimalType(38, 0)) * col("cents"))
+              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("q0"),
+            sum(when(col("arm") === 1,
+              col("cents").cast(DecimalType(38, 0)) * col("cents"))
+              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("q1"))
+          .withColumn("v0",
+            expr("""CASE WHEN n0 < 2 THEN NULL ELSE
+                    (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+                     * CAST(s0 AS DOUBLE) / n0) / (n0 - 1) END"""))
+          .withColumn("v1",
+            expr("""CASE WHEN n1 < 2 THEN NULL ELSE
+                    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / n1) / (n1 - 1) END"""))
+          .withColumn("se2", expr("v1 / n1 + v0 / n0"))
+          .withColumn("t",
+            expr("""CASE WHEN se2 IS NULL OR se2 <= 0.0D THEN NULL ELSE
+                    (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                    / sqrt(se2) END"""))
+          .select(col("n0").as("n_ctrl"), col("n1").as("n_treat"),
+            expr("(CAST(s0 AS DECIMAL(38,0)) * 200 + n0) div (2 * n0)" +
+              " / 100.0D").as("mean_ctrl_cents"),
+            expr("(CAST(s1 AS DECIMAL(38,0)) * 200 + n1) div (2 * n1)" +
+              " / 100.0D").as("mean_treat_cents"),
+            expr("ROUND(t, 4) + 0.0D").as("t_welch"),
+            expr("""CASE WHEN t IS NULL THEN NULL ELSE
+                    ROUND(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                          + (v0 / n0) * (v0 / n0) / (n0 - 1)), 1)
+                    + 0.0D END""").as("df_welch"),
+            expr("""CASE WHEN t IS NULL THEN NULL ELSE
+                    abs(t) > 1.959963984540054D END""").as("significant"))
+      },
+      """WITH pu AS (
+           SELECT SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT))
+                    AS cents,
+                  MIN(user_id % 2) AS arm
+           FROM events GROUP BY user_id),
+         m AS (
+           SELECT
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END)
+               AS BIGINT) AS s0,
+             CAST(SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END)
+               AS BIGINT) AS s1,
+             SUM(CASE WHEN arm = 0 THEN CAST(cents AS HUGEINT) * cents
+                 ELSE CAST(0 AS HUGEINT) END) AS q0,
+             SUM(CASE WHEN arm = 1 THEN CAST(cents AS HUGEINT) * cents
+                 ELSE CAST(0 AS HUGEINT) END) AS q1
+           FROM pu),
+         v AS (
+           SELECT n0, n1, s0, s1,
+                  CASE WHEN n0 < 2 THEN NULL ELSE
+                    (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+                     * CAST(s0 AS DOUBLE) / n0) / (n0 - 1) END AS v0,
+                  CASE WHEN n1 < 2 THEN NULL ELSE
+                    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / n1) / (n1 - 1) END AS v1
+           FROM m),
+         tt AS (
+           SELECT n0, n1, s0, s1, v0, v1,
+                  v1 / n1 + v0 / n0 AS se2,
+                  CASE WHEN v1 / n1 + v0 / n0 IS NULL
+                       OR v1 / n1 + v0 / n0 <= 0.0 THEN NULL ELSE
+                    (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                    / sqrt(v1 / n1 + v0 / n0) END AS t
+           FROM v)
+         SELECT n0 AS n_ctrl, n1 AS n_treat,
+                (CAST(s0 AS HUGEINT) * 200 + n0) // (2 * n0) / 100.0
+                  AS mean_ctrl_cents,
+                (CAST(s1 AS HUGEINT) * 200 + n1) // (2 * n1) / 100.0
+                  AS mean_treat_cents,
+                ROUND(t, 4) + 0.0 AS t_welch,
+                CASE WHEN t IS NULL THEN NULL ELSE
+                  ROUND(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                        + (v0 / n0) * (v0 / n0) / (n0 - 1)), 1)
+                  + 0.0 END AS df_welch,
+                CASE WHEN t IS NULL THEN NULL ELSE
+                  abs(t) > 1.959963984540054 END AS significant
+         FROM tt"""),
+
+    // HODGES–LEHMANN SHIFT — the robust EFFECT-SIZE companion to
+    // ab_cliffs_delta's probability statement: the median of all
+    // n1·n0 pairwise differences (returned − acknowledged quantity),
+    // the location shift a Wilcoxon test actually estimates. The
+    // pairwise-difference distribution collapses to the ≤99-cell
+    // difference histogram (50×50 value-histogram cross), pair
+    // weights operand-cast; the doubled median comes off one cum
+    // window with 2·cum vs T ± parity comparisons — positions are
+    // never materialized, so nothing divides a beyond-BIGINT pair
+    // count. One corpus pass per arm.
+    Q("ab_hodges_lehmann",
+      (s, d) => {
+        val base = lineitem(s, d)
+          .filter(col("l_returnflag").isin("R", "A"))
+          .select(col("l_quantity").cast("int").as("q"),
+            (col("l_returnflag") === "R").as("arm"))
+        val h1 = base.filter(col("arm"))
+          .groupBy(col("q").as("qa")).agg(count(lit(1)).as("t1"))
+        val h0 = base.filter(!col("arm"))
+          .groupBy(col("q").as("qb")).agg(count(lit(1)).as("t0"))
+        val dh = h1.crossJoin(h0)
+          .select((col("qa") - col("qb")).as("diff"),
+            (col("t1").cast(DecimalType(38, 0)) * col("t0")).as("w"))
+          .groupBy("diff").agg(sum("w").as("w"))
+        val w = Window.orderBy("diff")
+        dh.withColumn("cum", sum(col("w")).over(w))
+          .withColumn("tot",
+            sum(col("w")).over(Window.orderBy("diff")
+              .rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+          .withColumn("r", expr("tot % 2"))
+          .agg(
+            sum(when(expr("""2 * cum >= tot + r
+                         AND 2 * (cum - w) < tot + r"""), col("diff")))
+              .as("x1"),
+            sum(when(expr("""2 * cum >= tot + 2 - r
+                         AND 2 * (cum - w) < tot + 2 - r"""),
+              col("diff"))).as("x2"),
+            max(expr("CAST(tot AS DOUBLE)")).as("n_pairs"))
+          .select(col("n_pairs"),
+            expr("CAST(x1 + x2 AS DOUBLE) / 2.0D").as("hl_shift"))
+      },
+      """WITH base AS (
+           SELECT CAST(l_quantity AS INT) AS q,
+                  (l_returnflag = 'R') AS arm
+           FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         h1 AS (SELECT q AS qa, CAST(COUNT(*) AS BIGINT) AS t1
+                FROM base WHERE arm GROUP BY 1),
+         h0 AS (SELECT q AS qb, CAST(COUNT(*) AS BIGINT) AS t0
+                FROM base WHERE NOT arm GROUP BY 1),
+         dh AS (
+           SELECT qa - qb AS diff,
+                  SUM(CAST(t1 AS HUGEINT) * t0) AS w
+           FROM h1 CROSS JOIN h0 GROUP BY 1),
+         c AS (
+           SELECT diff, w,
+                  SUM(w) OVER (ORDER BY diff) AS cum,
+                  SUM(w) OVER () AS tot
+           FROM dh),
+         m AS (
+           SELECT
+             SUM(CASE WHEN 2 * cum >= tot + tot % 2
+                       AND 2 * (cum - w) < tot + tot % 2
+                  THEN diff END) AS x1,
+             SUM(CASE WHEN 2 * cum >= tot + 2 - tot % 2
+                       AND 2 * (cum - w) < tot + 2 - tot % 2
+                  THEN diff END) AS x2,
+             MAX(CAST(tot AS DOUBLE)) AS n_pairs
+           FROM c)
+         SELECT n_pairs, CAST(x1 + x2 AS DOUBLE) / 2.0 AS hl_shift
+         FROM m"""),
   )
 }

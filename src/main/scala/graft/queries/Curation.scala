@@ -2251,5 +2251,69 @@ FROM wt ORDER BY lang, source"""),
                    + n_tokens) // (2 * n_tokens) / 1000000.0
                 END AS coverage
          FROM g ORDER BY source"""),
+
+    // CLASSICAL LEXICAL-RICHNESS PANEL — Honoré's R, Brunet's W and
+    // Sichel's S per source: the three length-robust style constants
+    // stylometry uses where TTR/Yule drift with corpus size. R and W
+    // are deterministic ln/exp chains over the EXACT (N, V, V1, V2)
+    // integers (Brunet's fractional power is exp(exp(−0.165·ln V)·ln
+    // N) — never libm pow with a fractional literal exponent on a
+    // data-dependent base... the exp∘ln form is the engine-shared
+    // spelling); Sichel is a pure half-up rational. Same (source,
+    // word) histogram exchange as the yule/hapax/chao1 siblings.
+    Q("text_lexical_richness",
+      (s, d) => {
+        val wc = documents(s, d)
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        wc.groupBy("source")
+          .agg(count(lit(1)).as("vocab"), sum("c").as("n_tokens"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("v1"),
+            sum(when(col("c") === 2, 1L).otherwise(0L)).as("v2"))
+          .select(col("source"), col("n_tokens"), col("vocab"),
+            expr("""CASE WHEN n_tokens = 0 OR vocab = 0
+                         OR v1 = vocab THEN NULL ELSE
+                    ROUND(100.0D * ln(CAST(n_tokens AS DOUBLE))
+                          * vocab / (vocab - v1), 2) + 0.0D
+                    END""").as("honore_r"),
+            expr("""CASE WHEN n_tokens = 0 OR vocab = 0 THEN NULL ELSE
+                    ROUND(exp(exp(-0.165D * ln(CAST(vocab AS DOUBLE)))
+                          * ln(CAST(n_tokens AS DOUBLE))), 2) + 0.0D
+                    END""").as("brunet_w"),
+            expr("""CASE WHEN vocab = 0 THEN NULL ELSE
+                    (2 * CAST(v2 AS DECIMAL(38,0)) * 1000000 + vocab)
+                    div (2 * vocab) / 1000000.0D END""").as("sichel_s"))
+          .orderBy("source")
+      },
+      """WITH wc AS (
+           SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT source,
+                        UNNEST(string_split(text, ' ')) AS w
+                 FROM documents)
+           WHERE w <> '' GROUP BY 1, 2),
+         g AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+                  CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS v1,
+                  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS v2
+           FROM wc GROUP BY 1)
+         SELECT source, n_tokens, vocab,
+                CASE WHEN n_tokens = 0 OR vocab = 0 OR v1 = vocab
+                THEN NULL ELSE
+                  ROUND(100.0 * ln(CAST(n_tokens AS DOUBLE))
+                        * vocab / (vocab - v1), 2) + 0.0
+                END AS honore_r,
+                CASE WHEN n_tokens = 0 OR vocab = 0 THEN NULL ELSE
+                  ROUND(exp(exp(-0.165 * ln(CAST(vocab AS DOUBLE)))
+                        * ln(CAST(n_tokens AS DOUBLE))), 2) + 0.0
+                END AS brunet_w,
+                CASE WHEN vocab = 0 THEN NULL ELSE
+                  (2 * CAST(v2 AS HUGEINT) * 1000000 + vocab)
+                  // (2 * vocab) / 1000000.0 END AS sichel_s
+         FROM g ORDER BY source"""),
   )
 }

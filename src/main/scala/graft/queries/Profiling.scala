@@ -1702,5 +1702,123 @@ object Profiling {
                    + true_cents) // (2 * true_cents) / 10000.0
                 END AS rel_err_expansion_pct
          FROM e"""),
+
+    // CAPTURE–RECAPTURE (Chapman) — estimate a distinct-key count
+    // from two cheap DISJOINT samples instead of a full distinct scan
+    // (the ecology trick that prices "how many distinct customers
+    // exist" from two 5% looks — dedup-planning's missing
+    // denominator): capture i = customers appearing in the md5-bucket
+    // order sample i, N̂ = (n1+1)(n2+1)/(m+1) − 1 (bias-corrected —
+    // the +1s also kill the div-0 case). Per-customer flags from ONE
+    // conditional aggregate; half-up estimate and error, the error
+    // reusing the estimator's IDENTICAL expression.
+    Q("dq_capture_recapture",
+      (s, d) => {
+        val flags = orders(s, d)
+          .select(col("o_custkey"),
+            (conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
+              16, 10).cast("long") % 100).as("bkt"))
+          .groupBy("o_custkey")
+          .agg(max(when(col("bkt") < 5, 1L).otherwise(0L)).as("c1"),
+            max(when(col("bkt") >= 5 && col("bkt") < 10, 1L)
+              .otherwise(0L)).as("c2"))
+        flags.agg(count(lit(1)).as("n_true"),
+            sum("c1").as("n1"), sum("c2").as("n2"),
+            sum(expr("c1 * c2")).as("m"))
+          .withColumn("est",
+            expr("""(2 * CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1)
+                     + (m + 1)) div (2 * (m + 1)) - 1"""))
+          .select(col("n_true"), col("n1").as("n_capture1"),
+            col("n2").as("n_capture2"), col("m").as("n_both"),
+            expr("CAST(est AS BIGINT)").as("chapman_estimate"),
+            expr("""CASE WHEN n_true = 0 THEN NULL ELSE
+                    (2 * abs(est - n_true) * 1000000 + n_true)
+                    div (2 * n_true) / 10000.0D END""")
+              .as("rel_err_pct"))
+      },
+      """WITH flags AS (
+           SELECT o_custkey,
+                  MAX(CASE WHEN CAST(('0x' || substring(md5(CAST(
+                    o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 5
+                    THEN 1 ELSE 0 END) AS c1,
+                  MAX(CASE WHEN CAST(('0x' || substring(md5(CAST(
+                    o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+                    BETWEEN 5 AND 9 THEN 1 ELSE 0 END) AS c2
+           FROM orders GROUP BY 1),
+         g AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+                  CAST(SUM(c1) AS BIGINT) AS n1,
+                  CAST(SUM(c2) AS BIGINT) AS n2,
+                  CAST(SUM(c1 * c2) AS BIGINT) AS m
+           FROM flags),
+         e AS (
+           SELECT n_true, n1, n2, m,
+                  (2 * CAST(n1 + 1 AS HUGEINT) * (n2 + 1) + (m + 1))
+                    // (2 * (m + 1)) - 1 AS est
+           FROM g)
+         SELECT n_true, n1 AS n_capture1, n2 AS n_capture2,
+                m AS n_both,
+                CAST(est AS BIGINT) AS chapman_estimate,
+                CASE WHEN n_true = 0 THEN NULL ELSE
+                  (2 * abs(est - n_true) * 1000000 + n_true)
+                  // (2 * n_true) / 10000.0 END AS rel_err_pct
+         FROM e"""),
+
+    // RÉNYI ENTROPY SPECTRUM — the one-knob family that unifies the
+    // repo's diversity lenses (α=0 richness, α=1 Shannon, α=2
+    // collision/Simpson, α=∞ min-entropy) over the document language
+    // distribution: H₂ and H∞ come from EXACT integer moments (Σc²
+    // operand-cast, max c), H₁ from the quantized p·ln p decimal sum
+    // (order-free), H₀ from the distinct count — so the spectrum's
+    // monotone ordering H₀ ≥ H₁ ≥ H₂ ≥ H∞ is machine-checkable on the
+    // output. One language-grain aggregate.
+    Q("profile_renyi",
+      (s, d) => {
+        val c = documents(s, d).groupBy("lang")
+          .agg(count(lit(1)).as("c"))
+        val tot = c.agg(sum("c").as("n"), count(lit(1)).as("k"),
+          max("c").as("cmax"),
+          sum(col("c").cast(DecimalType(38, 0)) * col("c")).as("sc2"))
+        val h1 = c.crossJoin(broadcast(tot.select("n")))
+          .agg(sum(expr("""CAST((CAST(c AS DOUBLE) / n)
+            * ln(CAST(c AS DOUBLE) / n) AS DECIMAL(24,12))"""))
+            .as("h1_neg"))
+        tot.crossJoin(h1)
+          .select(col("k").as("k_langs"), col("n").as("n_docs"),
+            expr("ROUND(ln(CAST(k AS DOUBLE)), 6) + 0.0D").as("h0"),
+            expr("ROUND(-CAST(h1_neg AS DOUBLE), 6) + 0.0D").as("h1"),
+            expr("""ROUND(-ln(CAST(sc2 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+                    + 0.0D""").as("h2"),
+            expr("""ROUND(-ln(CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE)),
+                    6) + 0.0D""").as("h_inf"),
+            expr("ROUND(exp(-CAST(h1_neg AS DOUBLE)), 2) + 0.0D")
+              .as("effective_langs"))
+      },
+      """WITH c AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1),
+         tot AS (
+           SELECT CAST(SUM(c) AS BIGINT) AS n,
+                  CAST(COUNT(*) AS BIGINT) AS k,
+                  CAST(MAX(c) AS BIGINT) AS cmax,
+                  SUM(CAST(c AS HUGEINT) * c) AS sc2
+           FROM c),
+         h1 AS (
+           SELECT SUM(CAST((CAST(c AS DOUBLE) / n)
+                    * ln(CAST(c AS DOUBLE) / n) AS DECIMAL(24,12)))
+                    AS h1_neg
+           FROM c CROSS JOIN (SELECT n FROM tot))
+         SELECT k AS k_langs, n AS n_docs,
+                ROUND(ln(CAST(k AS DOUBLE)), 6) + 0.0 AS h0,
+                ROUND(-CAST(h1_neg AS DOUBLE), 6) + 0.0 AS h1,
+                ROUND(-ln(CAST(sc2 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+                  + 0.0 AS h2,
+                ROUND(-ln(CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                  + 0.0 AS h_inf,
+                ROUND(exp(-CAST(h1_neg AS DOUBLE)), 2) + 0.0
+                  AS effective_langs
+         FROM tot CROSS JOIN h1"""),
   )
 }

@@ -111,6 +111,8 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     "ab_cliffs_delta" -> "quantity value histogram (<= 50 cells)",
     "ab_mood_median" -> "quantity value histogram (<= 50 cells)",
     "ab_jonckheere" -> "quantity value histogram (<= 50 cells)",
+    "ab_hodges_lehmann" ->
+      "pairwise-difference histogram (<= 99 cells)",
     "time_autocorr" -> "calendar-grain series (days/months)",
     "time_ljung_box" -> "calendar-grain series (days/months)",
     "time_backtest_horizons" -> "calendar-grain series (days/months)",
