@@ -99,7 +99,18 @@ object Plans {
     "ab_fieller_ci", "ml_somers_d", "time_mase", "time_pettitt",
     "text_hapax_ratio", "graph_avg_neighbor_degree",
     "sample_ht_total", "time_seasonal_index_mult",
-    "text_heaps_law", "time_ar1_halflife")
+    "text_heaps_law", "time_ar1_halflife",
+    // round-10 waves 8-13 (second continuation session)
+    "ab_kruskal_wallis", "ab_cliffs_delta", "ab_levene",
+    "ab_mood_median", "time_durbin_watson", "time_smape",
+    "profile_jarque_bera", "sample_ratio_estimator",
+    "vec_davies_bouldin", "vec_calinski_harabasz", "ml_log_loss",
+    "text_chao1_richness", "agg_atkinson", "ml_adjusted_rand",
+    "ml_uncertainty_coef", "ml_fleiss_kappa", "ab_jonckheere",
+    "ab_cochran_q", "vec_mrr", "vec_silhouette_simplified",
+    "time_stochastic_k", "event_nelson_aalen", "ab_welch_t",
+    "ab_hodges_lehmann", "dq_capture_recapture", "profile_renyi",
+    "text_lexical_richness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

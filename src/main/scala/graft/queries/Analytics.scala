@@ -4465,7 +4465,6 @@ object Analytics {
             "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
             .as("y"))
         val w14 = Window.orderBy("day").rowsBetween(-13, 0)
-        val wl = Window.orderBy("day")
         daily
           .withColumn("mn", min("y").over(w14))
           .withColumn("mx", max("y").over(w14))

@@ -404,29 +404,8 @@ object Ml {
     // vec_centroids / vec_kmeans outputs.
     Q("vec_cluster_purity",
       (s, d) => {
-        val dims = embeddings(s, d)
-          .select(col("vec_id"), col("label"),
-            posexplode(col("embedding")).as(Seq("p", "v")))
-          .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
-            col("v").cast("double").as("v"))
-        val cent = dims.groupBy(col("label").as("clabel"), col("i"))
-          .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
-            count(lit(1))).as("c"))
-        // assemble each centroid as ONE ordered array (|labels| rows)
-        // and broadcast it against the un-exploded embedding stream:
-        // the distance is a sequential per-row double fold (fixed IEEE
-        // order, identical in both engines) — no 64× explode join
-        val cvecs = cent
-          .groupBy("clabel")
-          .agg(expr("transform(sort_array(collect_list(struct(i, c))), " +
-            "s -> s.c)").as("cvec"))
-        val d2 = embeddings(s, d)
-          .crossJoin(broadcast(cvecs))
-          .select(col("vec_id"), col("label"), col("clabel"),
-            expr("""aggregate(zip_with(embedding, cvec,
-                      (x, y) -> (cast(x AS double) - y) *
-                                (cast(x AS double) - y)),
-                    0.0D, (a, v) -> a + v)""").as("d2"))
+        val d2 = graft.engine.ml.Centroids
+          .distToCentroids(embeddings(s, d))
         val w = Window.partitionBy("vec_id")
           .orderBy(col("d2"), col("clabel"))
         d2.withColumn("rk", row_number().over(w))
@@ -3897,14 +3876,10 @@ object Ml {
     // explode + one corpus join; everything after is K×dims-sized.
     Q("vec_davies_bouldin",
       (s, d) => {
-        val dims = embeddings(s, d)
-          .select(col("vec_id"), col("label"),
-            posexplode(col("embedding")).as(Seq("p", "v")))
-          .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
-            col("v").cast("double").as("v"))
-        val cent = dims.groupBy("label", "i")
-          .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
-            count(lit(1))).as("c"))
+        val dims = graft.engine.ml.Centroids.dims(embeddings(s, d))
+        val cent = graft.engine.ml.Centroids
+          .labelCentroids(embeddings(s, d))
+          .withColumnRenamed("clabel", "label")
         val scat = dims.join(cent, Seq("label", "i"))
           .withColumn("sq",
             ((col("v") - col("c")) * (col("v") - col("c")))
@@ -3914,8 +3889,7 @@ object Ml {
           .withColumn("dist",
             expr("CAST(sqrt(CAST(d2 AS DOUBLE)) AS DECIMAL(24,12))"))
           .groupBy("label")
-          .agg(count(lit(1)).as("nl"),
-            (sum("dist").cast("double") / count(lit(1))).as("s"))
+          .agg((sum("dist").cast("double") / count(lit(1))).as("s"))
         val pairs = cent.as("a")
           .join(cent.as("b"), col("a.i") === col("b.i")
             && col("a.label") =!= col("b.label"))
@@ -3951,7 +3925,7 @@ object Ml {
            FROM dims d JOIN cent USING (label, i)
            GROUP BY 1, 2),
          scat AS (
-           SELECT label, CAST(COUNT(*) AS BIGINT) AS nl,
+           SELECT label,
                   CAST(SUM(CAST(sqrt(CAST(d2 AS DOUBLE))
                     AS DECIMAL(24,12))) AS DOUBLE) / COUNT(*) AS s
            FROM pd GROUP BY 1),
@@ -3983,11 +3957,7 @@ object Ml {
     // term is K×dims-sized arithmetic.
     Q("vec_calinski_harabasz",
       (s, d) => {
-        val dims = embeddings(s, d)
-          .select(col("vec_id"), col("label"),
-            posexplode(col("embedding")).as(Seq("p", "v")))
-          .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
-            col("v").cast("double").as("v"))
+        val dims = graft.engine.ml.Centroids.dims(embeddings(s, d))
         val cent = dims.groupBy("label", "i")
           .agg(count(lit(1)).as("nl"),
             (sum(col("v").cast(DecimalType(20, 10))).cast("double") /
@@ -4000,8 +3970,7 @@ object Ml {
             .cast(DecimalType(24, 12))).as("w"))
         val bss = cent.join(gcent, Seq("i"))
           .withColumn("term",
-            expr("""CAST(nl AS DECIMAL(38,12))
-                    * CAST((c - gc) * (c - gc) AS DECIMAL(24,12))"""))
+            expr("CAST(nl * ((c - gc) * (c - gc)) AS DECIMAL(38,12))"))
           .agg(sum("term").as("b"))
         val nk = embeddings(s, d)
           .agg(count(lit(1)).as("n"),
@@ -4032,9 +4001,8 @@ object Ml {
            SELECT SUM(CAST((v - c) * (v - c) AS DECIMAL(24,12))) AS w
            FROM dims d JOIN cent USING (label, i)),
          bss AS (
-           SELECT SUM(CAST(nl AS DECIMAL(38,12))
-                      * CAST((c - gc) * (c - gc) AS DECIMAL(24,12)))
-                    AS b
+           SELECT SUM(CAST(nl * ((c - gc) * (c - gc))
+                    AS DECIMAL(38,12))) AS b
            FROM cent JOIN gcent USING (i)),
          nk AS (
            SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -4073,8 +4041,8 @@ object Ml {
           .withColumn("p",
             expr("CAST(k_tr + 1 AS DOUBLE) / (n_tr + 2)"))
           .withColumn("t",
-            expr("""k_te * CAST(ln(p) AS DECIMAL(24,12))
-                  + (n_te - k_te) * CAST(ln(1.0D - p) AS DECIMAL(24,12))"""))
+            expr("""CAST(k_te * ln(p)
+                  + (n_te - k_te) * ln(1.0D - p) AS DECIMAL(38,12))"""))
         val glob = base.agg(
           sum(when(col("train"), col("y")).otherwise(0L)).as("gk"),
           sum(when(col("train"), 1L).otherwise(0L)).as("gn"))
@@ -4088,10 +4056,9 @@ object Ml {
                     ROUND(-CAST(tsum AS DOUBLE) / n_test, 6) + 0.0D
                     END""").as("log_loss"),
             expr("""CASE WHEN n_test = 0 THEN NULL ELSE
-                    ROUND(-(CAST(k_test * CAST(ln(p0) AS DECIMAL(24,12))
-                        + (n_test - k_test)
-                          * CAST(ln(1.0D - p0) AS DECIMAL(24,12))
-                        AS DOUBLE)) / n_test, 6) + 0.0D
+                    ROUND(-(k_test * ln(p0)
+                        + (n_test - k_test) * ln(1.0D - p0))
+                      / n_test, 6) + 0.0D
                     END""").as("log_loss_baseline"))
       },
       """WITH base AS (
@@ -4113,11 +4080,10 @@ object Ml {
            FROM base GROUP BY 1),
          ct AS (
            SELECT n_tr, n_te, k_te,
-                  k_te * CAST(ln(CAST(k_tr + 1 AS DOUBLE) / (n_tr + 2))
-                    AS DECIMAL(24,12))
+                  CAST(k_te * ln(CAST(k_tr + 1 AS DOUBLE) / (n_tr + 2))
                 + (n_te - k_te)
-                  * CAST(ln(1.0 - CAST(k_tr + 1 AS DOUBLE) / (n_tr + 2))
-                    AS DECIMAL(24,12)) AS t
+                  * ln(1.0 - CAST(k_tr + 1 AS DOUBLE) / (n_tr + 2))
+                    AS DECIMAL(38,12)) AS t
            FROM cells),
          gl AS (
            SELECT CAST(SUM(CASE WHEN train THEN y ELSE 0 END) + 1
@@ -4135,10 +4101,9 @@ object Ml {
                   ROUND(-CAST(tsum AS DOUBLE) / n_test, 6) + 0.0
                 END AS log_loss,
                 CASE WHEN n_test = 0 THEN NULL ELSE
-                  ROUND(-(CAST(k_test * CAST(ln(p0) AS DECIMAL(24,12))
-                      + (n_test - k_test)
-                        * CAST(ln(1.0 - p0) AS DECIMAL(24,12))
-                      AS DOUBLE)) / n_test, 6) + 0.0
+                  ROUND(-(k_test * ln(p0)
+                      + (n_test - k_test) * ln(1.0 - p0))
+                    / n_test, 6) + 0.0
                 END AS log_loss_baseline
          FROM m CROSS JOIN gl"""),
 
@@ -4154,25 +4119,8 @@ object Ml {
     // result per engine, no n⁴ decimal overflow.
     Q("ml_adjusted_rand",
       (s, d) => {
-        val dims = embeddings(s, d)
-          .select(col("vec_id"), col("label"),
-            posexplode(col("embedding")).as(Seq("p", "v")))
-          .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
-            col("v").cast("double").as("v"))
-        val cent = dims.groupBy(col("label").as("clabel"), col("i"))
-          .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
-            count(lit(1))).as("c"))
-        val cvecs = cent
-          .groupBy("clabel")
-          .agg(expr("transform(sort_array(collect_list(struct(i, c))), " +
-            "s -> s.c)").as("cvec"))
-        val d2 = embeddings(s, d)
-          .crossJoin(broadcast(cvecs))
-          .select(col("vec_id"), col("label"), col("clabel"),
-            expr("""aggregate(zip_with(embedding, cvec,
-                      (x, y) -> (cast(x AS double) - y) *
-                                (cast(x AS double) - y)),
-                    0.0D, (a, v) -> a + v)""").as("d2"))
+        val d2 = graft.engine.ml.Centroids
+          .distToCentroids(embeddings(s, d))
         val w = Window.partitionBy("vec_id")
           .orderBy(col("d2"), col("clabel"))
         val assigned = d2.withColumn("rk", row_number().over(w))
@@ -4444,25 +4392,8 @@ object Ml {
     // the misplaced share compares the raw fold doubles exactly.
     Q("vec_silhouette_simplified",
       (s, d) => {
-        val dims = embeddings(s, d)
-          .select(col("vec_id"), col("label"),
-            posexplode(col("embedding")).as(Seq("p", "v")))
-          .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
-            col("v").cast("double").as("v"))
-        val cent = dims.groupBy(col("label").as("clabel"), col("i"))
-          .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
-            count(lit(1))).as("c"))
-        val cvecs = cent
-          .groupBy("clabel")
-          .agg(expr("transform(sort_array(collect_list(struct(i, c))), " +
-            "s -> s.c)").as("cvec"))
-        val d2 = embeddings(s, d)
-          .crossJoin(broadcast(cvecs))
-          .select(col("vec_id"), col("label"), col("clabel"),
-            expr("""aggregate(zip_with(embedding, cvec,
-                      (x, y) -> (cast(x AS double) - y) *
-                                (cast(x AS double) - y)),
-                    0.0D, (a, v) -> a + v)""").as("d2"))
+        val d2 = graft.engine.ml.Centroids
+          .distToCentroids(embeddings(s, d))
         d2.groupBy("vec_id")
           .agg(
             min(when(col("clabel") === col("label"), col("d2")))

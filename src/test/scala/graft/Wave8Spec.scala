@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side recomputation pins for the round-10 wave-8..13
+  * statistics (the dcba96d discipline): every formula is rebuilt from
+  * first principles in plain Scala over collected sf0.001 data and
+  * compared to the declared query's output. The Spark/DuckDB parity
+  * gate only proves the ENGINES agree — these tests prove the agreed
+  * number is the textbook statistic, so a formula edit that keeps
+  * both engines in lockstep still fails CI. Tolerances are loose
+  * (1e-3) on purpose: they target formula regressions, not rounding
+  * spelling (the oracle gate owns digit-exact parity).
+  */
+class Wave8Spec extends AnyFunSuite with SparkFixture {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** (priority digit, quantity) rows for the k-group tests. */
+  private lazy val gq: Array[(Int, Int)] = {
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        expr("CAST(substring(o_orderpriority, 1, 1) AS INT)"),
+        col("l_quantity").cast("int"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(li.nonEmpty)
+    li
+  }
+
+  test("ab_kruskal_wallis matches a brute-force midrank recomputation") {
+    val n = gq.length
+    val byVal = gq.groupBy(_._2).view.mapValues(_.length).toMap
+    val mid = {
+      var cum = 0L
+      byVal.toSeq.sortBy(_._1).map { case (v, t) =>
+        val m = cum + (t + 1) / 2.0; cum += t; (v, m)
+      }.toMap
+    }
+    val hTerm = (1 to 5).map { g =>
+      val xs = gq.filter(_._1 == g)
+      val r = xs.map(x => mid(x._2)).sum
+      r * r / xs.length
+    }.sum
+    val h = 12.0 / (n.toDouble * (n + 1)) * hTerm - 3.0 * (n + 1)
+    val ties = byVal.values.map(t => t.toDouble * t * t - t).sum
+    val hAdj = h / (1.0 - ties / (n.toDouble * n * n - n))
+    val row = q("ab_kruskal_wallis").head()
+    assert(math.abs(row.getAs[Double]("h") - h) < 1e-3)
+    assert(math.abs(row.getAs[Double]("h_tie_adj") - hAdj) < 1e-3)
+  }
+
+  test("ab_mood_median matches a direct above-pooled-median chi2") {
+    val sorted = gq.map(_._2).sorted
+    val n = sorted.length
+    val med = (sorted((n - 1) / 2) + sorted(n / 2)) / 2.0
+    val a = (1 to 5).map(g =>
+      gq.count(x => x._1 == g && x._2 > med).toDouble)
+    val ng = (1 to 5).map(g => gq.count(_._1 == g).toDouble)
+    val bigA = a.sum; val bigB = n - bigA
+    val chi2 = (1 to 5).map { i =>
+      val d = a(i - 1) * n - ng(i - 1) * bigA
+      d * d / ng(i - 1)
+    }.sum / (bigA * bigB)
+    val row = q("ab_mood_median").head()
+    assert(math.abs(row.getAs[Double]("pooled_median") - med) < 1e-9)
+    assert(math.abs(row.getAs[Double]("chi2") - chi2) < 1e-3)
+  }
+
+  test("ab_levene matches the direct Brown-Forsythe F") {
+    val groups = (1 to 5).map(g => gq.filter(_._1 == g).map(_._2))
+    val meds = groups.map { xs =>
+      val s = xs.sorted; (s((s.length - 1) / 2) + s(s.length / 2)) / 2.0
+    }
+    val z = groups.zip(meds).map { case (xs, m) =>
+      xs.map(x => math.abs(x - m))
+    }
+    val n = gq.length
+    val zbar = z.flatten.sum / n
+    val num = z.map(zs => zs.length *
+      math.pow(zs.sum / zs.length - zbar, 2)).sum
+    val den = z.map { zs =>
+      val m = zs.sum / zs.length; zs.map(v => (v - m) * (v - m)).sum
+    }.sum
+    val f = (n - 5.0) / 4.0 * num / den
+    val row = q("ab_levene").head()
+    assert(math.abs(row.getAs[Double]("f_bf") - f) < 1e-3)
+  }
+
+  test("ab_jonckheere matches brute-force JT and the tie-corrected z") {
+    val groups = (1 to 5).map(g => gq.filter(_._1 == g).map(_._2))
+    var jt = 0.0
+    for (i <- 0 until 5; j <- (i + 1) until 5) {
+      val ci = groups(i).groupBy(identity).view.mapValues(_.length)
+      for ((vj, cj) <- groups(j).groupBy(identity)
+          .view.mapValues(_.length)) {
+        jt += cj.toDouble * ci.filter(_._1 < vj).values.sum +
+          0.5 * cj * ci.getOrElse(vj, 0)
+      }
+    }
+    val n = gq.length.toDouble
+    val ns = groups.map(_.length.toDouble)
+    val tv = gq.groupBy(_._2).view.mapValues(_.length.toDouble).values
+    val mu = (n * n - ns.map(x => x * x).sum) / 4.0
+    val t1 = (n * (n - 1) * (2 * n + 5)
+      - ns.map(x => x * (x - 1) * (2 * x + 5)).sum
+      - tv.map(t => t * (t - 1) * (2 * t + 5)).sum) / 72.0
+    val t2 = ns.map(x => x * (x - 1) * (x - 2)).sum *
+      tv.map(t => t * (t - 1) * (t - 2)).sum /
+      (36.0 * n * (n - 1) * (n - 2))
+    val t3 = ns.map(x => x * (x - 1)).sum * tv.map(t => t * (t - 1)).sum /
+      (8.0 * n * (n - 1))
+    val z = (jt - mu) / math.sqrt(t1 + t2 + t3)
+    val row = q("ab_jonckheere").head()
+    assert(math.abs(row.getAs[Double]("jt") - jt) < 0.51)
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-3)
+  }
+
+  test("ab_cliffs_delta matches a direct pair-count recomputation") {
+    val rows = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_quantity").cast("int"), col("l_returnflag"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val xs = rows.filter(_._2 == "R").map(_._1)
+    val ys = rows.filter(_._2 == "A").map(_._1)
+    val cy = ys.groupBy(identity).view.mapValues(_.length).toMap
+    var gt = 0L; var lt = 0L
+    for ((v, c) <- xs.groupBy(identity).view.mapValues(_.length)) {
+      gt += c.toLong * cy.filter(_._1 < v).values.sum
+      lt += c.toLong * cy.filter(_._1 > v).values.sum
+    }
+    val delta = (gt - lt).toDouble / (xs.length.toLong * ys.length)
+    val row = q("ab_cliffs_delta").head()
+    assert(math.abs(row.getAs[Double]("delta") - delta) < 1e-5)
+  }
+
+  test("ab_welch_t matches the textbook t and Welch-Satterthwaite df") {
+    val pu = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)"))
+        .as("cents"))
+      .select((col("user_id") % 2).as("arm"), col("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toDouble))
+    def mv(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val (m0, v0) = mv(pu.filter(_._1 == 0).map(_._2))
+    val (m1, v1) = mv(pu.filter(_._1 == 1).map(_._2))
+    val n0 = pu.count(_._1 == 0); val n1 = pu.count(_._1 == 1)
+    val se2 = v1 / n1 + v0 / n0
+    val t = (m1 - m0) / math.sqrt(se2)
+    val df = se2 * se2 / (math.pow(v1 / n1, 2) / (n1 - 1)
+      + math.pow(v0 / n0, 2) / (n0 - 1))
+    val row = q("ab_welch_t").head()
+    assert(math.abs(row.getAs[Double]("t_welch") - t) < 1e-3)
+    assert(math.abs(row.getAs[Double]("df_welch") - df) < 0.1)
+  }
+
+  test("ab_hodges_lehmann matches the materialized pairwise median") {
+    val rows = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_quantity").cast("int"), col("l_returnflag"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val ca = rows.filter(_._2 == "R").groupBy(_._1)
+      .view.mapValues(_.length.toLong).toMap
+    val cb = rows.filter(_._2 == "A").groupBy(_._1)
+      .view.mapValues(_.length.toLong).toMap
+    val dh = scala.collection.mutable.Map.empty[Int, Long]
+    for ((va, na) <- ca; (vb, nb) <- cb)
+      dh(va - vb) = dh.getOrElse(va - vb, 0L) + na * nb
+    val total = dh.values.sum
+    val k1 = (total + 1) / 2; val k2 = total / 2 + 1
+    var cum = 0L; var x1 = Int.MinValue; var x2 = Int.MinValue
+    for (d <- dh.keys.toSeq.sorted) {
+      val prev = cum; cum += dh(d)
+      if (prev < k1 && cum >= k1) x1 = d
+      if (prev < k2 && cum >= k2) x2 = d
+    }
+    val row = q("ab_hodges_lehmann").head()
+    assert(row.getAs[Double]("hl_shift") === (x1 + x2) / 2.0)
+  }
+
+  test("ml_fleiss_kappa matches the per-item P_i mean recomputation") {
+    // rater 3 spelled directly: token proxy = #spaces + 1
+    val votes = Tables.documents(spark, sf)
+      .select(col("n_chars"), col("text")).collect().map { r =>
+        val t = r.getString(1)
+        (if (r.getLong(0) > 200) 1 else 0) +
+          (if (t.contains(" the ")) 1 else 0) +
+          (if (t.count(_ == ' ') + 1 > 30) 1 else 0)
+      }
+    val n = votes.length.toDouble
+    val pBar = votes.map(v =>
+      (v * (v - 1) + (3 - v) * (2 - v)) / 6.0).sum / n
+    val pYes = votes.sum.toDouble / (3 * n)
+    val pe = pYes * pYes + (1 - pYes) * (1 - pYes)
+    val kappa = (pBar - pe) / (1 - pe)
+    val row = q("ml_fleiss_kappa").head()
+    assert(math.abs(row.getAs[Double]("kappa") - kappa) < 1e-3)
+  }
+
+  test("ml_adjusted_rand matches a pair-count ARI over the assignment") {
+    val assigned = graft.engine.ml.Centroids
+      .distToCentroids(Tables.embeddings(spark, sf))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("d2"), col("clabel"))))
+      .filter(col("rk") === 1)
+      .select("label", "clabel")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val n = assigned.length.toDouble
+    def pairs(xs: Map[_, Int]) =
+      xs.values.map(c => c.toDouble * (c - 1)).sum
+    val sij = pairs(assigned.groupBy(identity).view.mapValues(_.length)
+      .toMap)
+    val sa = pairs(assigned.groupBy(_._1).view.mapValues(_.length).toMap)
+    val sb = pairs(assigned.groupBy(_._2).view.mapValues(_.length).toMap)
+    val t = n * (n - 1)
+    val ari = 2.0 * (sij * t - sa * sb) / ((sa + sb) * t - 2 * sa * sb)
+    val row = q("ml_adjusted_rand").head()
+    assert(math.abs(row.getAs[Double]("adjusted_rand") - ari) < 1e-5)
+  }
+
+  test("profile_jarque_bera matches central moments from raw dollars") {
+    val xs = Tables.orders(spark, sf)
+      .select(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) div 100"))
+      .collect().map(_.getLong(0).toDouble)
+    val n = xs.length
+    val mu = xs.sum / n
+    def m(k: Int) = xs.map(x => math.pow(x - mu, k)).sum / n
+    val skew = m(3) / math.pow(m(2), 1.5)
+    val exk = m(4) / (m(2) * m(2)) - 3.0
+    val jb = n / 6.0 * (skew * skew + exk * exk / 4.0)
+    val row = q("profile_jarque_bera").head()
+    assert(math.abs(row.getAs[Double]("skewness") - skew) < 1e-4)
+    assert(math.abs(row.getAs[Double]("ex_kurtosis") - exk) < 1e-4)
+    assert(math.abs(row.getAs[Double]("jb") - jb) < 1e-2)
+  }
+
+  test("time_durbin_watson matches the centered-residual recomputation") {
+    val ys = Tables.orders(spark, sf)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(expr(
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+        .as("y"))
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    val mean = ys.sum / ys.length
+    val e = ys.map(_ - mean)
+    val dw = e.sliding(2).map(p => (p(1) - p(0)) * (p(1) - p(0))).sum /
+      e.map(v => v * v).sum
+    val row = q("time_durbin_watson").head()
+    assert(math.abs(row.getAs[Double]("dw") - dw) < 1e-3)
+  }
+}
