@@ -110,7 +110,10 @@ object Plans {
     "ab_cochran_q", "vec_mrr", "vec_silhouette_simplified",
     "time_stochastic_k", "event_nelson_aalen", "ab_welch_t",
     "ab_hodges_lehmann", "dq_capture_recapture", "profile_renyi",
-    "text_lexical_richness")
+    "text_lexical_richness",
+    // round-10 wave 14
+    "ab_permutation_test", "event_logrank", "time_bollinger",
+    "graph_eigenvector_centrality", "mix_ess")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -4591,5 +4591,272 @@ object Analytics {
                 ROUND(CAST(hcum AS DOUBLE), 6) AS cum_hazard,
                 ROUND(exp(-CAST(hcum AS DOUBLE)), 6) AS na_survival
          FROM h ORDER BY day"""),
+
+    // LOG-RANK TEST — the two-sample survival comparison the KM /
+    // Nelson–Aalen curves beg for (do even- and odd-id users convert
+    // at the same hazard?): per-day hypergeometric expectation
+    // E₁ = d·n₁/n and variance d·n₁·n₀(n−d)/(n²(n−1)) over the SHARED
+    // risk sets, each term quantized to DECIMAL(24,12) BEFORE the
+    // cross-day sums (order-free — the NA idiom), χ² = (ΣO−E)²/ΣV
+    // from the two decimal sums. Same event-day grain window chain as
+    // the survival siblings.
+    Q("event_logrank",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_type"),
+          (unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+            .as("day"))
+        val firstClick = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min(col("day")).as("d0"))
+        val firstBuy = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min(col("day")).as("dp"))
+        val users = firstClick.join(firstBuy, Seq("user_id"), "left")
+          .select((col("user_id") % 2).as("arm"),
+            when(col("dp").isNotNull && col("dp") >= col("d0"),
+              col("dp") - col("d0")).as("t_event"))
+        val tot = users.agg(
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("na1"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na0"))
+        val byDay = users.filter(col("t_event").isNotNull)
+          .groupBy(col("t_event").as("t"))
+          .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("d1"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("d0e"))
+        val wc = Window.orderBy("t")
+        byDay.crossJoin(broadcast(tot))
+          .withColumn("p1", coalesce(sum(col("d1"))
+            .over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .withColumn("p0", coalesce(sum(col("d0e"))
+            .over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .withColumn("n1", col("na1") - col("p1"))
+          .withColumn("n0", col("na0") - col("p0"))
+          .withColumn("nn", col("n1") + col("n0"))
+          .withColumn("dd", col("d1") + col("d0e"))
+          .withColumn("oe",
+            expr("""CAST(d1 - CAST(dd AS DOUBLE) * n1 / nn
+                    AS DECIMAL(24,12))"""))
+          .withColumn("vv",
+            expr("""CASE WHEN nn < 2 THEN CAST(0 AS DECIMAL(24,12))
+                    ELSE CAST(CAST(dd AS DOUBLE) * n1 * n0 * (nn - dd)
+                         / (CAST(nn AS DOUBLE) * nn * (nn - 1))
+                         AS DECIMAL(24,12)) END"""))
+          .agg(max("na1").as("n_treat"), max("na0").as("n_ctrl"),
+            sum("d1").as("observed_treat"),
+            sum(expr("CAST(CAST(dd AS DOUBLE) * n1 / nn" +
+              " AS DECIMAL(24,12))")).as("e1"),
+            sum("oe").as("oes"), sum("vv").as("vs"))
+          .select(col("n_treat"), col("n_ctrl"), col("observed_treat"),
+            expr("ROUND(CAST(e1 AS DOUBLE), 4) + 0.0D")
+              .as("expected_treat"),
+            expr("""CASE WHEN CAST(vs AS DOUBLE) <= 0.0D THEN NULL
+                    ELSE ROUND(CAST(oes AS DOUBLE) * CAST(oes AS DOUBLE)
+                         / CAST(vs AS DOUBLE), 4) + 0.0D END""")
+              .as("chi2"),
+            expr("""CASE WHEN CAST(vs AS DOUBLE) <= 0.0D THEN NULL
+                    ELSE CAST(oes AS DOUBLE) * CAST(oes AS DOUBLE)
+                         / CAST(vs AS DOUBLE)
+                         > 3.841458820694126D END""").as("significant"))
+      },
+      """WITH ev AS (
+           SELECT user_id, event_type,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         fc AS (
+           SELECT user_id, MIN(day) AS d0 FROM ev
+           WHERE event_type = 'click' GROUP BY 1),
+         fb AS (
+           SELECT user_id, MIN(day) AS dp FROM ev
+           WHERE event_type = 'purchase' GROUP BY 1),
+         users AS (
+           SELECT fc.user_id % 2 AS arm,
+                  CASE WHEN dp IS NOT NULL AND dp >= d0
+                    THEN dp - d0 END AS t_event
+           FROM fc LEFT JOIN fb ON fb.user_id = fc.user_id),
+         tot AS (
+           SELECT
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na1,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na0
+           FROM users),
+         byday AS (
+           SELECT t_event AS t,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d1,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d0e
+           FROM users WHERE t_event IS NOT NULL GROUP BY 1),
+         r AS (
+           SELECT t, d1, d0e, na1, na0,
+                  CAST(na1 - COALESCE(SUM(d1) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS n1,
+                  CAST(na0 - COALESCE(SUM(d0e) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS n0
+           FROM byday CROSS JOIN tot),
+         terms AS (
+           SELECT na1, na0, d1,
+                  CAST(CAST(d1 + d0e AS DOUBLE) * n1 / (n1 + n0)
+                    AS DECIMAL(24,12)) AS e1t,
+                  CAST(d1 - CAST(d1 + d0e AS DOUBLE) * n1 / (n1 + n0)
+                    AS DECIMAL(24,12)) AS oe,
+                  CASE WHEN n1 + n0 < 2 THEN CAST(0 AS DECIMAL(24,12))
+                  ELSE CAST(CAST(d1 + d0e AS DOUBLE) * n1 * n0
+                       * (n1 + n0 - d1 - d0e)
+                       / (CAST(n1 + n0 AS DOUBLE) * (n1 + n0)
+                          * (n1 + n0 - 1))
+                       AS DECIMAL(24,12)) END AS vv
+           FROM r),
+         m AS (
+           SELECT MAX(na1) AS n_treat, MAX(na0) AS n_ctrl,
+                  CAST(SUM(d1) AS BIGINT) AS observed_treat,
+                  SUM(e1t) AS e1, SUM(oe) AS oes, SUM(vv) AS vs
+           FROM terms)
+         SELECT n_treat, n_ctrl, observed_treat,
+                ROUND(CAST(e1 AS DOUBLE), 4) + 0.0 AS expected_treat,
+                CASE WHEN CAST(vs AS DOUBLE) <= 0.0 THEN NULL
+                ELSE ROUND(CAST(oes AS DOUBLE) * CAST(oes AS DOUBLE)
+                     / CAST(vs AS DOUBLE), 4) + 0.0 END AS chi2,
+                CASE WHEN CAST(vs AS DOUBLE) <= 0.0 THEN NULL
+                ELSE CAST(oes AS DOUBLE) * CAST(oes AS DOUBLE)
+                     / CAST(vs AS DOUBLE) > 3.841458820694126 END
+                  AS significant
+         FROM m"""),
+
+    // BOLLINGER BANDS — 20-day mean ± 2σ envelope with EXACT breach
+    // flags: the band comparison y ≷ ma ± 2σ is cross-multiplied into
+    // pure integers ((ny−S)²(n−1) ≷ 4n(nQ−S²)) so a day's
+    // above/below/inside verdict can never flip on a rounding
+    // boundary; the %B position is the only double (identical
+    // expression per engine, rounded once). One ROWS window over the
+    // calendar grain; output is day-grain bounded.
+    Q("time_bollinger",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("y"))
+        val w20 = Window.orderBy("day").rowsBetween(-19, 0)
+        daily
+          .withColumn("n", count(lit(1)).over(w20))
+          .withColumn("ss", sum("y").over(w20))
+          .withColumn("qq",
+            sum(col("y").cast(DecimalType(38, 0)) * col("y")).over(w20))
+          .filter(col("n") === 20)
+          .withColumn("dev",
+            expr("CAST(20 * CAST(y AS DECIMAL(38,0)) - ss AS DECIMAL(38,0))"))
+          .withColumn("spread",
+            expr("""80 * (20 * qq - CAST(ss AS DECIMAL(38,0)) * ss)"""))
+          .select(col("day"),
+            expr("""CAST((2 * CAST(ss AS DECIMAL(38,0)) + 20)
+                    div 40 AS BIGINT)""").as("ma_cents"),
+            expr("""CASE
+                    WHEN dev > 0 AND dev * dev * 19 > spread
+                      THEN 'above'
+                    WHEN dev < 0 AND dev * dev * 19 > spread
+                      THEN 'below'
+                    ELSE 'inside' END""").as("band"),
+            expr("""CASE WHEN spread <= 0 THEN NULL ELSE
+                    ROUND((CAST(dev AS DOUBLE)
+                           / (2.0D * sqrt(CAST(spread AS DOUBLE)
+                                          / 19.0D)) + 1.0D) / 2.0D, 4)
+                    + 0.0D END""").as("pct_b"))
+          .orderBy("day")
+      },
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))*100)
+                    AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         r AS (
+           SELECT day, y,
+                  COUNT(*) OVER w AS n,
+                  SUM(y) OVER w AS ss,
+                  SUM(CAST(y AS HUGEINT) * y) OVER w AS qq
+           FROM daily
+           WINDOW w AS (ORDER BY day
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         f AS (
+           SELECT day, y, ss, qq,
+                  20 * CAST(y AS HUGEINT) - ss AS dev,
+                  80 * (20 * qq - CAST(ss AS HUGEINT) * ss) AS spread
+           FROM r WHERE n = 20)
+         SELECT day,
+                CAST((2 * CAST(ss AS HUGEINT) + 20) // 40 AS BIGINT)
+                  AS ma_cents,
+                CASE
+                  WHEN dev > 0 AND dev * dev * 19 > spread THEN 'above'
+                  WHEN dev < 0 AND dev * dev * 19 > spread THEN 'below'
+                  ELSE 'inside' END AS band,
+                CASE WHEN spread <= 0 THEN NULL ELSE
+                  ROUND((CAST(dev AS DOUBLE)
+                         / (2.0 * sqrt(CAST(spread AS DOUBLE) / 19.0))
+                         + 1.0) / 2.0, 4) + 0.0 END AS pct_b
+         FROM f ORDER BY day"""),
+
+    // EIGENVECTOR CENTRALITY — the pure adjacency-spectrum influence
+    // score next to pagerank (damped) / hits (bipartite-split) / katz
+    // (truncated): three power-iteration rounds over the
+    // supplier↔part graph ENTIRELY in integer units — x⁰ = 10⁶ per
+    // node, y_v = Σ x_u over in-edges (operand-cast), renormalized to
+    // 10¹² units by positive-operand integer division (the
+    // event_markov discipline: floor of positives is identical in
+    // both engines, no float iteration drift). Output = top-20 via
+    // TakeOrdered; every iteration is one key-partitioned
+    // join+aggregate, the bipartite edge relation shuffles once per
+    // round.
+    Q("graph_eigenvector_centrality",
+      (s, d) => {
+        val e0 = lineitem(s, d)
+          .select((col("l_suppkey").cast("bigint") * 2).as("a"),
+            (col("l_partkey").cast("bigint") * 2 + 1).as("b"))
+          .distinct()
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        var x = edges.select(col("src").as("node")).distinct()
+          .withColumn("xv", lit(1000000L).cast(DecimalType(38, 0)))
+        for (_ <- 1 to 3) {
+          val y = edges
+            .join(x, col("src") === col("node"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum("xv").as("yv"))
+          val tot = y.agg(sum("yv").as("ytot"))
+          x = y.crossJoin(tot)
+            .select(col("node"),
+              expr("CAST(yv * 1000000000000 div ytot AS DECIMAL(38,0))")
+                .as("xv"))
+        }
+        x.orderBy(desc("xv"), col("node")).limit(20)
+          .select(col("node"),
+            expr("CAST(xv AS BIGINT)").as("centrality_e12"))
+      }, {
+        val iters = (1 to 3).map { i =>
+          s"""y$i AS (
+               SELECT e.dst AS node, SUM(x.xv) AS yv
+               FROM edges e JOIN x${i - 1} x ON x.node = e.src
+               GROUP BY 1),
+             x$i AS (
+               SELECT node,
+                      yv * 1000000000000 // (SELECT SUM(yv) FROM y$i)
+                        AS xv
+               FROM y$i)"""
+        }.mkString(",\n")
+        s"""WITH e0 AS (
+              SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS a,
+                     CAST(l_partkey AS BIGINT) * 2 + 1 AS b
+              FROM lineitem),
+            edges AS (
+              SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b, a FROM e0),
+            x0 AS (
+              SELECT DISTINCT src AS node,
+                     CAST(1000000 AS HUGEINT) AS xv
+              FROM edges),
+            $iters
+            SELECT node, CAST(xv AS BIGINT) AS centrality_e12
+            FROM x3 ORDER BY xv DESC, node LIMIT 20"""
+      }),
   )
 }

@@ -4664,5 +4664,136 @@ object Behavior {
            FROM c)
          SELECT n_pairs, CAST(x1 + x2 AS DOUBLE) / 2.0 AS hl_shift
          FROM m"""),
+
+    // PERMUTATION TEST — randomization inference on the per-user
+    // revenue difference without ANY distributional assumption (the
+    // honest p-value when Welch's normality is in doubt): 64
+    // DETERMINISTIC re-randomizations, one per bit of each user's
+    // md5 (reproducible across runs/engines/partitionings — no
+    // rand()), each pseudo-assignment's |mean diff| compared to the
+    // observed arm split's. The corpus explodes ×64 ONCE into
+    // (bit, user) partial sums — the per-b statistics are 64-row
+    // arithmetic; degenerate draws (an empty pseudo-arm) are excluded
+    // from both numerator and denominator on both engines. p lands
+    // half-up; significance is an exact integer comparison.
+    Q("ab_permutation_test",
+      (s, d) => {
+        val pu = events(s, d)
+          .groupBy("user_id")
+          .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)"))
+            .as("cents"))
+          .select(col("user_id"), col("cents"),
+            (col("user_id") % 2).as("arm"),
+            conv(substring(md5(col("user_id").cast("string")), 1, 8),
+              16, 10).cast("long").as("h1"),
+            conv(substring(md5(col("user_id").cast("string")), 9, 8),
+              16, 10).cast("long").as("h2"))
+        val obs = pu.agg(
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1o"),
+            sum(when(col("arm") === 1, col("cents")).otherwise(0L))
+              .as("s1o"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0o"),
+            sum(when(col("arm") === 0, col("cents")).otherwise(0L))
+              .as("s0o"))
+          .select(col("n1o"), col("n0o"),
+            expr("""CASE WHEN n1o = 0 OR n0o = 0 THEN NULL ELSE
+                    abs(CAST(s1o AS DOUBLE) / n1o
+                        - CAST(s0o AS DOUBLE) / n0o) END""").as("dobs"))
+        val perB = pu
+          .select(col("cents"), col("h1"), col("h2"),
+            explode(expr("sequence(0, 63)")).as("b"))
+          .withColumn("bit",
+            expr("""CASE WHEN b < 32 THEN shiftright(h1, b) & 1
+                    ELSE shiftright(h2, b - 32) & 1 END"""))
+          .groupBy("b")
+          .agg(count(lit(1)).as("n"), sum("cents").as("stot"),
+            sum("bit").as("n1"),
+            sum(col("cents") * col("bit")).as("s1"))
+          .withColumn("dabs",
+            expr("""CASE WHEN n1 = 0 OR n1 = n THEN NULL ELSE
+                    abs(CAST(s1 AS DOUBLE) / n1
+                        - CAST(stot - s1 AS DOUBLE) / (n - n1)) END"""))
+        perB.crossJoin(obs)
+          .agg(max("n1o").as("n_treat"), max("n0o").as("n_ctrl"),
+            max("dobs").as("dobs"),
+            sum(when(col("dabs").isNotNull, 1L).otherwise(0L))
+              .as("n_valid"),
+            sum(when(col("dabs").isNotNull &&
+              col("dabs") >= col("dobs"), 1L).otherwise(0L)).as("n_ge"))
+          .select(col("n_treat"), col("n_ctrl"),
+            expr("ROUND(dobs / 100.0D, 2) + 0.0D")
+              .as("obs_diff_dollars"),
+            col("n_valid").as("n_permutations"),
+            expr("""CASE WHEN dobs IS NULL OR n_valid = 0 THEN NULL
+                    ELSE (2 * (1 + n_ge) * 1000000 + (1 + n_valid))
+                         div (2 * (1 + n_valid)) / 1000000.0D
+                    END""").as("p_value"),
+            expr("""CASE WHEN dobs IS NULL OR n_valid = 0 THEN NULL
+                    ELSE 20 * (1 + n_ge) < (1 + n_valid) END""")
+              .as("significant"))
+      },
+      """WITH pu AS (
+           SELECT user_id,
+                  SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT))
+                    AS cents,
+                  MIN(user_id % 2) AS arm,
+                  CAST(('0x' || substring(md5(CAST(MIN(user_id)
+                    AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+                  CAST(('0x' || substring(md5(CAST(MIN(user_id)
+                    AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+           FROM events GROUP BY user_id),
+         obs AS (
+           SELECT
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1o,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0o,
+             CAST(SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END)
+               AS BIGINT) AS s1o,
+             CAST(SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END)
+               AS BIGINT) AS s0o
+           FROM pu),
+         obs2 AS (
+           SELECT n1o, n0o,
+                  CASE WHEN n1o = 0 OR n0o = 0 THEN NULL ELSE
+                    abs(CAST(s1o AS DOUBLE) / n1o
+                        - CAST(s0o AS DOUBLE) / n0o) END AS dobs
+           FROM obs),
+         bits AS (
+           SELECT cents, b,
+                  CASE WHEN b < 32 THEN (h1 >> b) & 1
+                  ELSE (h2 >> (b - 32)) & 1 END AS bit
+           FROM pu CROSS JOIN (SELECT UNNEST(range(0, 64)) AS b)),
+         perb AS (
+           SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(cents) AS BIGINT) AS stot,
+                  CAST(SUM(bit) AS BIGINT) AS n1,
+                  CAST(SUM(cents * bit) AS BIGINT) AS s1
+           FROM bits GROUP BY 1),
+         db AS (
+           SELECT b,
+                  CASE WHEN n1 = 0 OR n1 = n THEN NULL ELSE
+                    abs(CAST(s1 AS DOUBLE) / n1
+                        - CAST(stot - s1 AS DOUBLE) / (n - n1)) END
+                    AS dabs
+           FROM perb),
+         m AS (
+           SELECT MAX(n1o) AS n_treat, MAX(n0o) AS n_ctrl,
+                  MAX(dobs) AS dobs,
+                  CAST(SUM(CASE WHEN dabs IS NOT NULL THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_valid,
+                  CAST(SUM(CASE WHEN dabs IS NOT NULL AND dabs >= dobs
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+           FROM db CROSS JOIN obs2)
+         SELECT n_treat, n_ctrl,
+                ROUND(dobs / 100.0, 2) + 0.0 AS obs_diff_dollars,
+                n_valid AS n_permutations,
+                CASE WHEN dobs IS NULL OR n_valid = 0 THEN NULL
+                ELSE (2 * (1 + n_ge) * 1000000 + (1 + n_valid))
+                     // (2 * (1 + n_valid)) / 1000000.0
+                END AS p_value,
+                CASE WHEN dobs IS NULL OR n_valid = 0 THEN NULL
+                ELSE 20 * (1 + n_ge) < (1 + n_valid) END AS significant
+         FROM m"""),
   )
 }

@@ -406,5 +406,73 @@ SELECT lang, source, n_tokens, alloc0, capped, alloc_final,
        ROUND(CAST(alloc_final AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
          AS epochs
 FROM fin ORDER BY lang, source"""),
+
+    // EFFECTIVE SAMPLE SIZE of the temperature-resampled mixture —
+    // the number mix_temperature's boosts imply but never state: when
+    // docs are importance-weighted to the T=0.5 mixture
+    // (w_c = target_share/actual_share, the boost column), ESS =
+    // (Σw)²/Σw² collapses to N²/Σ_c n_c·w_c² because per-cell targets
+    // sum to 1 — so how much of the corpus the reweighting actually
+    // keeps is ONE bounded-cell aggregate. Per-cell w is a
+    // deterministic double off exact counts; the Σw² term is
+    // quantized ONCE after the product (the round-10 decimal-width
+    // lesson). ESS/N near 1 = gentle mix, small = the mixture is
+    // really a subset.
+    Q("mix_ess",
+      (s, d) => {
+        val cells = documents(s, d)
+          .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+          .withColumn("s_i", expr(
+            "CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(18,6))"))
+        val tot = cells.agg(sum("n").as("ntot"),
+          count(lit(1)).as("n_cells"), sum("s_i").as("stot"))
+        cells.crossJoin(broadcast(tot))
+          .withColumn("w",
+            expr("""(CAST(s_i AS DOUBLE) / CAST(stot AS DOUBLE))
+                    * (CAST(ntot AS DOUBLE) / n)"""))
+          .withColumn("t2", expr("CAST(n * (w * w) AS DECIMAL(38,12))"))
+          .agg(max("ntot").as("n_docs"), max("n_cells").as("n_cells"),
+            sum("t2").as("sw2"))
+          .select(col("n_docs"), col("n_cells"),
+            expr("""CASE WHEN CAST(sw2 AS DOUBLE) <= 0.0D THEN NULL
+                    ELSE ROUND(CAST(n_docs AS DOUBLE)
+                         * CAST(n_docs AS DOUBLE)
+                         / CAST(sw2 AS DOUBLE), 2) + 0.0D END""")
+              .as("ess"),
+            expr("""CASE WHEN CAST(sw2 AS DOUBLE) <= 0.0D THEN NULL
+                    ELSE ROUND(CAST(n_docs AS DOUBLE)
+                         / CAST(sw2 AS DOUBLE), 6) + 0.0D END""")
+              .as("ess_ratio"))
+      },
+      """WITH cells AS (
+           SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,6))
+                    AS s_i
+           FROM documents GROUP BY 1, 2),
+         tot AS (
+           SELECT CAST(SUM(n) AS BIGINT) AS ntot,
+                  CAST(COUNT(*) AS BIGINT) AS n_cells,
+                  SUM(s_i) AS stot
+           FROM cells),
+         t AS (
+           SELECT ntot, n_cells,
+                  CAST(n * (((CAST(s_i AS DOUBLE) / CAST(stot AS DOUBLE))
+                    * (CAST(ntot AS DOUBLE) / n))
+                    * ((CAST(s_i AS DOUBLE) / CAST(stot AS DOUBLE))
+                    * (CAST(ntot AS DOUBLE) / n))) AS DECIMAL(38,12))
+                    AS t2
+           FROM cells CROSS JOIN tot),
+         m AS (
+           SELECT MAX(ntot) AS n_docs, MAX(n_cells) AS n_cells,
+                  SUM(t2) AS sw2
+           FROM t)
+         SELECT n_docs, n_cells,
+                CASE WHEN CAST(sw2 AS DOUBLE) <= 0.0 THEN NULL
+                ELSE ROUND(CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                     / CAST(sw2 AS DOUBLE), 2) + 0.0 END AS ess,
+                CASE WHEN CAST(sw2 AS DOUBLE) <= 0.0 THEN NULL
+                ELSE ROUND(CAST(n_docs AS DOUBLE)
+                     / CAST(sw2 AS DOUBLE), 6) + 0.0 END AS ess_ratio
+         FROM m"""),
   )
 }

@@ -241,6 +241,76 @@ class Wave8Spec extends AnyFunSuite with SparkFixture {
     assert(math.abs(row.getAs[Double]("jb") - jb) < 1e-2)
   }
 
+  test("ab_permutation_test matches a direct md5-bit re-randomization") {
+    val users = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)"))
+        .as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val s1 = users.filter(_._1 % 2 == 1).map(_._2)
+    val s0 = users.filter(_._1 % 2 == 0).map(_._2)
+    val dobs = math.abs(s1.sum.toDouble / s1.length
+      - s0.sum.toDouble / s0.length)
+    var valid = 0; var ge = 0
+    for (b <- 0 until 64) {
+      val (g1, g0) = users.partition { case (u, _) =>
+        val h = md5hex(u.toString)
+        val bit = if (b < 32)
+          (java.lang.Long.parseLong(h.substring(0, 8), 16) >> b) & 1
+        else
+          (java.lang.Long.parseLong(h.substring(8, 16), 16) >>
+            (b - 32)) & 1
+        bit == 1
+      }
+      if (g1.nonEmpty && g0.nonEmpty) {
+        valid += 1
+        val d = math.abs(g1.map(_._2).sum.toDouble / g1.length
+          - g0.map(_._2).sum.toDouble / g0.length)
+        if (d >= dobs) ge += 1
+      }
+    }
+    val p = (1.0 + ge) / (1.0 + valid)
+    val row = q("ab_permutation_test").head()
+    assert(row.getAs[Long]("n_permutations") === valid.toLong)
+    assert(math.abs(row.getAs[Double]("p_value") - p) < 1e-5)
+  }
+
+  test("event_logrank matches the per-day hypergeometric recomputation") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val fc = ev.filter(_._2 == "click").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val fb = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val users = fc.toSeq.map { case (u, d0) =>
+      (u % 2, fb.get(u).filter(_ >= d0).map(_ - d0))
+    }
+    val na1 = users.count(_._1 == 1); val na0 = users.count(_._1 == 0)
+    val byDay = users.collect { case (a, Some(t)) => (t, a) }
+      .groupBy(_._1).view.mapValues { xs =>
+        (xs.count(_._2 == 1), xs.count(_._2 == 0))
+      }.toSeq.sortBy(_._1)
+    var p1 = 0; var p0 = 0; var o = 0.0; var e = 0.0; var v = 0.0
+    for ((_, (d1, d0e)) <- byDay) {
+      val n1 = na1 - p1; val n0 = na0 - p0
+      val n = n1 + n0; val dd = d1 + d0e
+      o += d1; e += dd.toDouble * n1 / n
+      if (n >= 2)
+        v += dd.toDouble * n1 * n0 * (n - dd) / (n.toDouble * n * (n - 1))
+      p1 += d1; p0 += d0e
+    }
+    val chi2 = (o - e) * (o - e) / v
+    val row = q("event_logrank").head()
+    assert(row.getAs[Long]("observed_treat") === o.toLong)
+    assert(math.abs(row.getAs[Double]("expected_treat") - e) < 1e-3)
+    assert(math.abs(row.getAs[Double]("chi2") - chi2) < 1e-3)
+  }
+
   test("time_durbin_watson matches the centered-residual recomputation") {
     val ys = Tables.orders(spark, sf)
       .groupBy(col("o_orderdate").cast("date").as("day"))

@@ -106,6 +106,8 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
     "time_smape" -> "calendar-grain series (days/months)",
     "time_stochastic_k" -> "calendar-grain series (days/months)",
     "event_nelson_aalen" -> "event-day risk-set grain (calendar-bounded)",
+    "event_logrank" -> "event-day risk-set grain (calendar-bounded)",
+    "time_bollinger" -> "calendar-grain series (days/months)",
     "ml_somers_d" -> "distinct rounded scores (fixed score precision)",
     "ab_kruskal_wallis" -> "quantity value histogram (<= 50 cells)",
     "ab_cliffs_delta" -> "quantity value histogram (<= 50 cells)",
