@@ -113,7 +113,10 @@ object Plans {
     "text_lexical_richness",
     // round-10 wave 14
     "ab_permutation_test", "event_logrank", "time_bollinger",
-    "graph_eigenvector_centrality", "mix_ess")
+    "graph_eigenvector_centrality", "mix_ess",
+    // round-10 wave 15
+    "ab_ks_2sample", "ab_brunner_munzel", "ab_friedman",
+    "text_burrows_delta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

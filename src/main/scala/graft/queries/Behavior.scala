@@ -4795,5 +4795,303 @@ object Behavior {
                 CASE WHEN dobs IS NULL OR n_valid = 0 THEN NULL
                 ELSE 20 * (1 + n_ge) < (1 + n_valid) END AS significant
          FROM m"""),
+
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV — whole-DISTRIBUTION equality of
+    // returned vs acknowledged quantities (profile_ks_test drifts one
+    // column against a reference; this compares two live samples):
+    // D = max|F₁−F₂| is an EXACT integer maximum — per value the
+    // cross-multiplied |c₁·n₀ − c₀·n₁| over the ≤50-cell histogram —
+    // so the supremum can never move on float noise; only the
+    // asymptotic p = 2e^(−2λ²) touches a float, from
+    // exact-integer-derived doubles. One cum window over the bounded
+    // histogram.
+    Q("ab_ks_2sample",
+      (s, d) => {
+        val hist = lineitem(s, d)
+          .filter(col("l_returnflag").isin("R", "A"))
+          .select(col("l_quantity").cast("int").as("q"),
+            (col("l_returnflag") === "R").as("arm"))
+          .groupBy("q").agg(
+            sum(when(col("arm"), 1L).otherwise(0L)).as("t1"),
+            sum(when(!col("arm"), 1L).otherwise(0L)).as("t0"))
+        val w = Window.orderBy("q")
+        val cum = hist
+          .withColumn("c1", sum(col("t1")).over(w))
+          .withColumn("c0", sum(col("t0")).over(w))
+        val tot = hist.agg(sum("t1").as("n1"), sum("t0").as("n0"))
+        val dmax = cum.crossJoin(broadcast(tot))
+          .agg(max(expr(
+            """abs(CAST(c1 AS DECIMAL(38,0)) * n0
+               - CAST(c0 AS DECIMAL(38,0)) * n1)""")).as("dnum"))
+        tot.crossJoin(dmax)
+          .withColumn("lam2",
+            expr("""CAST(dnum AS DOUBLE) * CAST(dnum AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) * n0)
+                    / (CAST(n1 AS DOUBLE) * n0) *
+                    (CAST(n1 AS DOUBLE) * n0 / (n1 + n0))"""))
+          .select(col("n1").as("n_returned"),
+            col("n0").as("n_acknowledged"),
+            expr("""CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE
+                    (2 * dnum * 1000000
+                     + CAST(n1 AS DECIMAL(38,0)) * n0)
+                    div (2 * CAST(n1 AS DECIMAL(38,0)) * n0)
+                    / 1000000.0D END""").as("ks_d"),
+            expr("""CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE
+                    ROUND(least(1.0D, 2.0D * exp(-2.0D * lam2)), 6)
+                    + 0.0D END""").as("p_value"),
+            expr("""CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE
+                    2.0D * exp(-2.0D * lam2) < 0.05D END""")
+              .as("significant"))
+      },
+      """WITH hist AS (
+           SELECT CAST(l_quantity AS INT) AS q,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS t1,
+             CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS t0
+           FROM lineitem WHERE l_returnflag IN ('R', 'A')
+           GROUP BY 1),
+         cum AS (
+           SELECT t1, t0,
+                  SUM(t1) OVER (ORDER BY q) AS c1,
+                  SUM(t0) OVER (ORDER BY q) AS c0
+           FROM hist),
+         tot AS (
+           SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+                  CAST(SUM(t0) AS BIGINT) AS n0
+           FROM hist),
+         dmax AS (
+           SELECT MAX(abs(CAST(c1 AS HUGEINT) * n0
+                          - CAST(c0 AS HUGEINT) * n1)) AS dnum
+           FROM cum CROSS JOIN tot),
+         f AS (
+           SELECT n1, n0, dnum,
+                  CAST(dnum AS DOUBLE) * CAST(dnum AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * n0)
+                  / (CAST(n1 AS DOUBLE) * n0) *
+                  (CAST(n1 AS DOUBLE) * n0 / (n1 + n0)) AS lam2
+           FROM tot CROSS JOIN dmax)
+         SELECT n1 AS n_returned, n0 AS n_acknowledged,
+                CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE
+                  (2 * dnum * 1000000 + CAST(n1 AS HUGEINT) * n0)
+                  // (2 * CAST(n1 AS HUGEINT) * n0) / 1000000.0
+                END AS ks_d,
+                CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE
+                  ROUND(least(1.0, 2.0 * exp(-2.0 * lam2)), 6) + 0.0
+                END AS p_value,
+                CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE
+                  2.0 * exp(-2.0 * lam2) < 0.05 END AS significant
+         FROM f"""),
+
+    // BRUNNER–MUNZEL — the rank Behrens–Fisher test: like
+    // ab_mann_whitney it asks P(X_R > X_A) = ½, but WITHOUT assuming
+    // the two arms share a variance (the MW z is anticonservative
+    // under unequal spreads). p̂ and both placement variances come
+    // EXACTLY off the value histogram — doubled placements
+    // Q₂ᵢ(v) = 2·cum_other(<v) + t_other(v) keep ties integral, the
+    // weighted moments are operand-cast decimals — and the
+    // variance-stabilized W = (p̂−½)/√(S₁²/(n₁n₂²) + S₂²/(n₂n₁²))
+    // divides identical exact-derived doubles. Asymptotic ±1.96 gate
+    // (df is corpus-scale wherever this runs).
+    Q("ab_brunner_munzel",
+      (s, d) => {
+        val hist = lineitem(s, d)
+          .filter(col("l_returnflag").isin("R", "A"))
+          .select(col("l_quantity").cast("int").as("q"),
+            (col("l_returnflag") === "R").as("arm"))
+          .groupBy("q").agg(
+            sum(when(col("arm"), 1L).otherwise(0L)).as("t2"),
+            sum(when(!col("arm"), 1L).otherwise(0L)).as("t1"))
+        val w = Window.orderBy("q")
+        val cum = hist
+          .withColumn("b1", sum(col("t1")).over(w) - col("t1"))
+          .withColumn("b2", sum(col("t2")).over(w) - col("t2"))
+          .withColumn("q1", expr("2 * b2 + t2"))
+          .withColumn("q2", expr("2 * b1 + t1"))
+        cum.agg(
+            sum("t1").as("n1"), sum("t2").as("n2"),
+            sum(col("t2").cast(DecimalType(38, 0)) * col("q2"))
+              .as("a2"),
+            sum(col("t2").cast(DecimalType(38, 0)) * col("q2")
+              * col("q2")).as("bb2"),
+            sum(col("t1").cast(DecimalType(38, 0)) * col("q1"))
+              .as("a1"),
+            sum(col("t1").cast(DecimalType(38, 0)) * col("q1")
+              * col("q1")).as("bb1"))
+          .withColumn("phat",
+            expr("""CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+                    CAST(a2 AS DOUBLE) / (2.0D * CAST(n1 AS DOUBLE)
+                    * n2) END"""))
+          .withColumn("s1",
+            expr("""CASE WHEN n1 < 2 THEN NULL ELSE
+                    (CAST(bb1 AS DOUBLE) - CAST(a1 AS DOUBLE)
+                     * CAST(a1 AS DOUBLE) / n1) / 4.0D / (n1 - 1)
+                    END"""))
+          .withColumn("s2",
+            expr("""CASE WHEN n2 < 2 THEN NULL ELSE
+                    (CAST(bb2 AS DOUBLE) - CAST(a2 AS DOUBLE)
+                     * CAST(a2 AS DOUBLE) / n2) / 4.0D / (n2 - 1)
+                    END"""))
+          .withColumn("se",
+            expr("""CASE WHEN s1 IS NULL OR s2 IS NULL THEN NULL ELSE
+                    sqrt(s1 / (CAST(n1 AS DOUBLE) * n2 * n2)
+                         + s2 / (CAST(n2 AS DOUBLE) * n1 * n1)) END"""))
+          .withColumn("wbm",
+            expr("""CASE WHEN se IS NULL OR se = 0.0D THEN NULL ELSE
+                    (phat - 0.5D) / se END"""))
+          .select(col("n1").as("n_acknowledged"),
+            col("n2").as("n_returned"),
+            expr("""CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+                    (2 * a2 * 1000000
+                     + 2 * CAST(n1 AS DECIMAL(38,0)) * n2)
+                    div (4 * CAST(n1 AS DECIMAL(38,0)) * n2)
+                    / 1000000.0D END""").as("p_hat"),
+            expr("ROUND(wbm, 4) + 0.0D").as("w_bm"),
+            expr("""CASE WHEN wbm IS NULL THEN NULL ELSE
+                    abs(wbm) > 1.959963984540054D END""")
+              .as("significant"))
+      },
+      """WITH hist AS (
+           SELECT CAST(l_quantity AS INT) AS q,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS t2,
+             CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS t1
+           FROM lineitem WHERE l_returnflag IN ('R', 'A')
+           GROUP BY 1),
+         cum AS (
+           SELECT t1, t2,
+                  SUM(t1) OVER (ORDER BY q) - t1 AS b1,
+                  SUM(t2) OVER (ORDER BY q) - t2 AS b2
+           FROM hist),
+         qq AS (
+           SELECT t1, t2, 2 * b2 + t2 AS q1, 2 * b1 + t1 AS q2
+           FROM cum),
+         m AS (
+           SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+                  CAST(SUM(t2) AS BIGINT) AS n2,
+                  SUM(CAST(t2 AS HUGEINT) * q2) AS a2,
+                  SUM(CAST(t2 AS HUGEINT) * q2 * q2) AS bb2,
+                  SUM(CAST(t1 AS HUGEINT) * q1) AS a1,
+                  SUM(CAST(t1 AS HUGEINT) * q1 * q1) AS bb1
+           FROM qq),
+         st AS (
+           SELECT n1, n2, a2,
+                  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+                    CAST(a2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)
+                    * n2) END AS phat,
+                  CASE WHEN n1 < 2 THEN NULL ELSE
+                    (CAST(bb1 AS DOUBLE) - CAST(a1 AS DOUBLE)
+                     * CAST(a1 AS DOUBLE) / n1) / 4.0 / (n1 - 1)
+                  END AS s1,
+                  CASE WHEN n2 < 2 THEN NULL ELSE
+                    (CAST(bb2 AS DOUBLE) - CAST(a2 AS DOUBLE)
+                     * CAST(a2 AS DOUBLE) / n2) / 4.0 / (n2 - 1)
+                  END AS s2
+           FROM m),
+         ww AS (
+           SELECT n1, n2, a2, phat,
+                  CASE WHEN s1 IS NULL OR s2 IS NULL THEN NULL
+                  WHEN sqrt(s1 / (CAST(n1 AS DOUBLE) * n2 * n2)
+                       + s2 / (CAST(n2 AS DOUBLE) * n1 * n1)) = 0.0
+                    THEN NULL
+                  ELSE (phat - 0.5)
+                    / sqrt(s1 / (CAST(n1 AS DOUBLE) * n2 * n2)
+                           + s2 / (CAST(n2 AS DOUBLE) * n1 * n1)) END
+                    AS wbm
+           FROM st)
+         SELECT n1 AS n_acknowledged, n2 AS n_returned,
+                CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+                  (2 * a2 * 1000000 + 2 * CAST(n1 AS HUGEINT) * n2)
+                  // (4 * CAST(n1 AS HUGEINT) * n2) / 1000000.0
+                END AS p_hat,
+                ROUND(wbm, 4) + 0.0 AS w_bm,
+                CASE WHEN wbm IS NULL THEN NULL ELSE
+                  abs(wbm) > 1.959963984540054 END AS significant
+         FROM ww"""),
+
+    // FRIEDMAN TEST — the randomized-BLOCK rank test (does priority
+    // affect revenue once the weekday is controlled for?): 35 cells
+    // (7 weekday blocks × 5 priorities) of exact cent sums, doubled
+    // midranks within each block (PARTITIONED windows over a 35-row
+    // relation), treatment rank sums pivot to five named columns so
+    // χ²_F = 3/(bk(k+1))·ΣR₂ⱼ² − 3b(k+1) is one fixed-order double
+    // expression over exact integers. Cent-sum ties are measure-zero
+    // but midranks keep them integral anyway.
+    Q("ab_friedman",
+      (s, d) => {
+        val cells = orders(s, d)
+          .groupBy(
+            dayofweek(col("o_orderdate").cast("date")).as("blk"),
+            expr("CAST(substring(o_orderpriority, 1, 1) AS INT)")
+              .as("trt"))
+          .agg(expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))*100) AS BIGINT)")
+            .as("y"))
+        val wb = Window.partitionBy("blk").orderBy("y")
+        val wt = Window.partitionBy("blk", "y")
+        val ranked = cells
+          .withColumn("r2",
+            lit(2) * rank().over(wb) + count(lit(1)).over(wt) - 1)
+        ranked.agg(
+            countDistinct("blk").as("b"),
+            countDistinct("trt").as("k"),
+            sum(when(col("trt") === 1, col("r2"))).as("r1"),
+            sum(when(col("trt") === 2, col("r2"))).as("rr2"),
+            sum(when(col("trt") === 3, col("r2"))).as("r3"),
+            sum(when(col("trt") === 4, col("r2"))).as("r4"),
+            sum(when(col("trt") === 5, col("r2"))).as("r5"))
+          .withColumn("chi2",
+            expr("""CASE WHEN b = 0 OR k < 2 THEN NULL ELSE
+                    3.0D / (CAST(b AS DOUBLE) * k * (k + 1))
+                    * (CAST(r1 AS DOUBLE) * r1 + CAST(rr2 AS DOUBLE) * rr2
+                       + CAST(r3 AS DOUBLE) * r3 + CAST(r4 AS DOUBLE) * r4
+                       + CAST(r5 AS DOUBLE) * r5)
+                    - 3.0D * b * (k + 1) END"""))
+          .select(col("b").as("n_blocks"), col("k").as("n_treatments"),
+            expr("ROUND(chi2, 4) + 0.0D").as("chi2"),
+            expr("""CASE WHEN chi2 IS NULL THEN NULL ELSE
+                    chi2 > 9.487729036781154D END""").as("significant"))
+      },
+      """WITH cells AS (
+           SELECT dayofweek(CAST(o_orderdate AS DATE)) + 1 AS blk,
+                  CAST(substring(o_orderpriority, 1, 1) AS INT) AS trt,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))*100)
+                    AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2),
+         ranked AS (
+           SELECT blk, trt,
+                  2 * RANK() OVER (PARTITION BY blk ORDER BY y)
+                  + CAST(COUNT(*) OVER (PARTITION BY blk, y) AS BIGINT)
+                  - 1 AS r2
+           FROM cells),
+         m AS (
+           SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS b,
+                  CAST(COUNT(DISTINCT trt) AS BIGINT) AS k,
+                  CAST(SUM(CASE WHEN trt = 1 THEN r2 END) AS BIGINT)
+                    AS r1,
+                  CAST(SUM(CASE WHEN trt = 2 THEN r2 END) AS BIGINT)
+                    AS rr2,
+                  CAST(SUM(CASE WHEN trt = 3 THEN r2 END) AS BIGINT)
+                    AS r3,
+                  CAST(SUM(CASE WHEN trt = 4 THEN r2 END) AS BIGINT)
+                    AS r4,
+                  CAST(SUM(CASE WHEN trt = 5 THEN r2 END) AS BIGINT)
+                    AS r5
+           FROM ranked),
+         f AS (
+           SELECT b, k,
+                  CASE WHEN b = 0 OR k < 2 THEN NULL ELSE
+                    3.0 / (CAST(b AS DOUBLE) * k * (k + 1))
+                    * (CAST(r1 AS DOUBLE) * r1 + CAST(rr2 AS DOUBLE) * rr2
+                       + CAST(r3 AS DOUBLE) * r3 + CAST(r4 AS DOUBLE) * r4
+                       + CAST(r5 AS DOUBLE) * r5)
+                    - CAST(b * (k + 1) AS DOUBLE) * 3.0 END AS chi2
+           FROM m)
+         SELECT b AS n_blocks, k AS n_treatments,
+                ROUND(chi2, 4) + 0.0 AS chi2,
+                CASE WHEN chi2 IS NULL THEN NULL ELSE
+                  chi2 > 9.487729036781154 END AS significant
+         FROM f"""),
   )
 }

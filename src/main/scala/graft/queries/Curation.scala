@@ -2315,5 +2315,106 @@ FROM wt ORDER BY lang, source"""),
                   (2 * CAST(v2 AS HUGEINT) * 1000000 + vocab)
                   // (2 * vocab) / 1000000.0 END AS sichel_s
          FROM g ORDER BY source"""),
+
+    // BURROWS' DELTA — THE stylometric attribution distance: over the
+    // corpus top-50 words (TakeOrdered, deterministic (cnt, w)
+    // tie-break), per-source relative frequencies are z-scored across
+    // sources per word and Δ(s₁,s₂) = mean|z₁−z₂|; the 10 most
+    // similar source pairs fall out. The corpus collapses to a
+    // 20×50 frequency matrix before any float exists; per-word |Δz|
+    // terms are quantized to DECIMAL(24,12) pre-mean (order-free),
+    // and absent (source, word) cells are rebuilt as exact zero
+    // frequencies via the source×topword domain cross (a dropped cell
+    // would silently shrink Δ). Population σ per word, guard σ = 0.
+    Q("text_burrows_delta",
+      (s, d) => {
+        val wc = documents(s, d)
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val topw = wc.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("w")).limit(50)
+          .select(col("w"))
+        val stot = wc.groupBy("source").agg(count(lit(1)).as("ntok"))
+        val swc = wc.join(broadcast(topw), Seq("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        val grid = stot.crossJoin(broadcast(topw))
+          .join(swc, Seq("source", "w"), "left")
+          .select(col("source"), col("w"),
+            // exact half-up 1e-9-unit relative frequency — an exact
+            // INTEGER, so the per-word moments below are order-free
+            expr("""(2 * CAST(coalesce(c, 0L) AS DECIMAL(38,0))
+                     * 1000000000 + ntok)
+                    div (2 * ntok)""").as("fq"))
+        val wstats = grid.groupBy("w").agg(
+          count(lit(1)).as("ns"), sum("fq").as("sf"),
+          sum(col("fq").cast(DecimalType(38, 0)) * col("fq")).as("sff"))
+        val zs = grid.join(wstats, Seq("w"))
+          .withColumn("den",
+            expr("CAST(ns AS DECIMAL(38,0)) * sff" +
+              " - CAST(sf AS DECIMAL(38,0)) * sf"))
+          .filter(col("den") > 0)
+          .withColumn("z",
+            expr("""(CAST(fq AS DOUBLE) * ns - CAST(sf AS DOUBLE))
+                    / sqrt(CAST(den AS DOUBLE))"""))
+        zs.as("a").join(zs.as("b"),
+            col("a.w") === col("b.w") &&
+              col("a.source") < col("b.source"))
+          .select(col("a.source").as("s1"), col("b.source").as("s2"),
+            expr("CAST(abs(a.z - b.z) AS DECIMAL(24,12))").as("dz"))
+          .groupBy("s1", "s2")
+          .agg(count(lit(1)).as("n_words"),
+            (sum("dz").cast("double") / count(lit(1))).as("delta"))
+          .orderBy(col("delta"), col("s1"), col("s2")).limit(10)
+          .select(col("s1"), col("s2"), col("n_words"),
+            expr("ROUND(delta, 6) + 0.0D").as("burrows_delta"))
+      },
+      """WITH wc AS (
+           SELECT source, w
+           FROM (SELECT source,
+                        UNNEST(string_split(text, ' ')) AS w
+                 FROM documents)
+           WHERE w <> ''),
+         topw AS (
+           SELECT w FROM (
+             SELECT w, COUNT(*) AS cnt FROM wc GROUP BY 1)
+           ORDER BY cnt DESC, w LIMIT 50),
+         stot AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS ntok
+           FROM wc GROUP BY 1),
+         swc AS (
+           SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM wc JOIN topw USING (w) GROUP BY 1, 2),
+         grid AS (
+           SELECT stot.source, topw.w,
+                  CAST((2 * CAST(COALESCE(c, 0) AS HUGEINT)
+                     * 1000000000 + ntok)
+                    // (2 * ntok) AS BIGINT) AS fq
+           FROM stot CROSS JOIN topw
+           LEFT JOIN swc ON swc.source = stot.source
+                        AND swc.w = topw.w),
+         wstats AS (
+           SELECT w, CAST(COUNT(*) AS BIGINT) AS ns,
+                  CAST(SUM(fq) AS BIGINT) AS sf,
+                  SUM(CAST(fq AS HUGEINT) * fq) AS sff
+           FROM grid GROUP BY 1),
+         zs AS (
+           SELECT source, g.w,
+                  (CAST(fq AS DOUBLE) * ns - CAST(sf AS DOUBLE))
+                    / sqrt(CAST(CAST(ns AS HUGEINT) * sff
+                           - CAST(sf AS HUGEINT) * sf AS DOUBLE)) AS z
+           FROM grid g JOIN wstats ws ON ws.w = g.w
+           WHERE CAST(ns AS HUGEINT) * sff
+                 - CAST(sf AS HUGEINT) * sf > 0),
+         pairs AS (
+           SELECT a.source AS s1, b.source AS s2,
+                  CAST(abs(a.z - b.z) AS DECIMAL(24,12)) AS dz
+           FROM zs a JOIN zs b
+             ON a.w = b.w AND a.source < b.source)
+         SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_words,
+                ROUND(CAST(SUM(dz) AS DOUBLE) / COUNT(*), 6) + 0.0
+                  AS burrows_delta
+         FROM pairs GROUP BY 1, 2
+         ORDER BY burrows_delta, s1, s2 LIMIT 10"""),
   )
 }

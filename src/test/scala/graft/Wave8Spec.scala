@@ -311,6 +311,44 @@ class Wave8Spec extends AnyFunSuite with SparkFixture {
     assert(math.abs(row.getAs[Double]("chi2") - chi2) < 1e-3)
   }
 
+  test("ab_brunner_munzel matches the lawstat rank-form recomputation") {
+    // Deliberately a DIFFERENT formula path than the query (combined
+    // and within-group midranks instead of placement histograms):
+    // W = n1·n2·(R̄2−R̄1) / (N·sqrt(n1·S1² + n2·S2²)) with
+    // S_i² = Var(R_ik − R_ik^(i)). Equality pins the algebraic
+    // identity the query's histogram form relies on.
+    val rows = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_quantity").cast("int"), col("l_returnflag"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val xa = rows.filter(_._2 == "A").map(_._1.toDouble).sorted
+    val xr = rows.filter(_._2 == "R").map(_._1.toDouble).sorted
+    def midranks(xs: Array[Double], pool: Array[Double]) = {
+      xs.map { x =>
+        val lo = pool.indexWhere(_ >= x) match {
+          case -1 => pool.length; case i => i
+        }
+        val hi = pool.lastIndexWhere(_ <= x) + 1
+        lo + (hi - lo + 1) / 2.0
+      }
+    }
+    val pool = (xa ++ xr).sorted
+    val r1 = midranks(xa, pool); val r2 = midranks(xr, pool)
+    val w1 = midranks(xa, xa); val w2 = midranks(xr, xr)
+    val n1 = xa.length; val n2 = xr.length
+    val m1 = r1.sum / n1; val m2 = r2.sum / n2
+    val v1 = (0 until n1).map(i =>
+      math.pow(r1(i) - w1(i) - m1 + (n1 + 1) / 2.0, 2)).sum / (n1 - 1)
+    val v2 = (0 until n2).map(i =>
+      math.pow(r2(i) - w2(i) - m2 + (n2 + 1) / 2.0, 2)).sum / (n2 - 1)
+    val wStat = n1.toDouble * n2 * (m2 - m1) / (n1 + n2) /
+      math.sqrt(n1 * v1 + n2 * v2)
+    val pHat = (m2 - (n2 + 1) / 2.0) / n1
+    val row = q("ab_brunner_munzel").head()
+    assert(math.abs(row.getAs[Double]("w_bm") - wStat) < 1e-3)
+    assert(math.abs(row.getAs[Double]("p_hat") - pHat) < 1e-5)
+  }
+
   test("time_durbin_watson matches the centered-residual recomputation") {
     val ys = Tables.orders(spark, sf)
       .groupBy(col("o_orderdate").cast("date").as("day"))
