@@ -116,7 +116,10 @@ object Plans {
     "graph_eigenvector_centrality", "mix_ess",
     // round-10 wave 15
     "ab_ks_2sample", "ab_brunner_munzel", "ab_friedman",
-    "text_burrows_delta")
+    "text_burrows_delta",
+    // round-10 wave 16
+    "ab_anderson_darling", "ab_quantile_effects", "text_hellinger_tv",
+    "ml_hosmer_lemeshow")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

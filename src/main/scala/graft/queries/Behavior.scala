@@ -5093,5 +5093,161 @@ object Behavior {
                 CASE WHEN chi2 IS NULL THEN NULL ELSE
                   chi2 > 9.487729036781154 END AS significant
          FROM f"""),
+
+    // TWO-SAMPLE ANDERSON–DARLING — the tail-weighted distribution
+    // test next to ab_ks_2sample's supremum (AD sees tail departures
+    // KS's single max misses): the discrete Scholz–Stephens form
+    // A² = (1/(n₁n₂))·Σ_v t(v)·(c₁(v)·N − cum(v)·n₁)²/(cum(v)·(N−cum(v)))
+    // over the ≤50-cell pooled histogram, cum < N terms only. Each
+    // term's numerator square exceeds DECIMAL(38) at corpus scale, so
+    // terms evaluate in DOUBLE from exact integers (identical IEEE
+    // per engine) and are quantized to DECIMAL(24,12) BEFORE the
+    // cross-value sum (order-free).
+    Q("ab_anderson_darling",
+      (s, d) => {
+        val hist = lineitem(s, d)
+          .filter(col("l_returnflag").isin("R", "A"))
+          .select(col("l_quantity").cast("int").as("q"),
+            (col("l_returnflag") === "R").as("arm"))
+          .groupBy("q").agg(
+            sum(when(col("arm"), 1L).otherwise(0L)).as("t1"),
+            sum(when(!col("arm"), 1L).otherwise(0L)).as("t0"))
+        val w = Window.orderBy("q")
+        val cum = hist
+          .withColumn("c1", sum(col("t1")).over(w))
+          .withColumn("cm", sum(col("t1") + col("t0")).over(w))
+        val tot = hist.agg(sum("t1").as("n1"), sum("t0").as("n0"))
+        cum.crossJoin(broadcast(tot))
+          .withColumn("nn", expr("n1 + n0"))
+          .filter(col("cm") < col("nn"))
+          .withColumn("term",
+            expr("""CAST((t1 + t0) *
+                    ((CAST(c1 AS DOUBLE) * nn - CAST(cm AS DOUBLE) * n1)
+                     * (CAST(c1 AS DOUBLE) * nn - CAST(cm AS DOUBLE) * n1))
+                    / (CAST(cm AS DOUBLE) * (nn - cm))
+                    AS DECIMAL(24,12))"""))
+          .agg(max("n1").as("n_returned"), max("n0").as("n_acknowledged"),
+            sum("term").as("ts"))
+          .select(col("n_returned"), col("n_acknowledged"),
+            expr("""CASE WHEN n_returned = 0 OR n_acknowledged = 0
+                    THEN NULL ELSE
+                    ROUND(CAST(ts AS DOUBLE)
+                          / (CAST(n_returned AS DOUBLE)
+                             * n_acknowledged)
+                          / (CAST(n_returned AS DOUBLE)
+                             + n_acknowledged), 4) + 0.0D
+                    END""").as("a2"))
+      },
+      """WITH hist AS (
+           SELECT CAST(l_quantity AS INT) AS q,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS t1,
+             CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS t0
+           FROM lineitem WHERE l_returnflag IN ('R', 'A')
+           GROUP BY 1),
+         cum AS (
+           SELECT t1, t0,
+                  SUM(t1) OVER (ORDER BY q) AS c1,
+                  SUM(t1 + t0) OVER (ORDER BY q) AS cm
+           FROM hist),
+         tot AS (
+           SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+                  CAST(SUM(t0) AS BIGINT) AS n0
+           FROM hist),
+         terms AS (
+           SELECT n1, n0,
+                  CAST((t1 + t0) *
+                    ((CAST(c1 AS DOUBLE) * (n1 + n0)
+                      - CAST(cm AS DOUBLE) * n1)
+                     * (CAST(c1 AS DOUBLE) * (n1 + n0)
+                        - CAST(cm AS DOUBLE) * n1))
+                    / (CAST(cm AS DOUBLE) * (n1 + n0 - cm))
+                    AS DECIMAL(24,12)) AS term
+           FROM cum CROSS JOIN tot
+           WHERE cm < n1 + n0),
+         m AS (
+           SELECT MAX(n1) AS n_returned, MAX(n0) AS n_acknowledged,
+                  SUM(term) AS ts
+           FROM terms)
+         SELECT n_returned, n_acknowledged,
+                CASE WHEN n_returned = 0 OR n_acknowledged = 0
+                THEN NULL ELSE
+                  ROUND(CAST(ts AS DOUBLE)
+                        / (CAST(n_returned AS DOUBLE) * n_acknowledged)
+                        / (CAST(n_returned AS DOUBLE) + n_acknowledged),
+                    4) + 0.0
+                END AS a2
+         FROM m"""),
+
+    // QUANTILE TREATMENT EFFECTS — WHERE in the distribution the arms
+    // differ (a mean shift and a tail shift tell different stories;
+    // ab_welch_t and ab_hodges_lehmann each give one number): exact
+    // type-1 deciles per arm off the value histogram — the d-th
+    // decile is the value whose cumulative count first reaches
+    // ⌈d·n/10⌉, an EXACT integer pick from the cum window — and
+    // QTE_d = q_R(d) − q_A(d) per decile. Everything is integers; the
+    // output is a 9-row decile profile.
+    Q("ab_quantile_effects",
+      (s, d) => {
+        val hist = lineitem(s, d)
+          .filter(col("l_returnflag").isin("R", "A"))
+          .select(col("l_quantity").cast("int").as("q"),
+            (col("l_returnflag") === "R").as("arm"))
+          .groupBy("q").agg(
+            sum(when(col("arm"), 1L).otherwise(0L)).as("t1"),
+            sum(when(!col("arm"), 1L).otherwise(0L)).as("t0"))
+        val w = Window.orderBy("q")
+        val cum = hist
+          .withColumn("c1", sum(col("t1")).over(w))
+          .withColumn("c0", sum(col("t0")).over(w))
+          .crossJoin(broadcast(
+            hist.agg(sum("t1").as("n1"), sum("t0").as("n0"))))
+        val dec = cum.crossJoin(
+            broadcast(cum.sparkSession.range(1, 10)
+              .select(col("id").as("decile"))))
+          .withColumn("k1", expr("(decile * n1 + 9) div 10"))
+          .withColumn("k0", expr("(decile * n0 + 9) div 10"))
+        dec.groupBy("decile")
+          .agg(
+            min(when(col("c1") >= col("k1"), col("q"))).as("q_returned"),
+            min(when(col("c0") >= col("k0"), col("q")))
+              .as("q_acknowledged"))
+          .select(col("decile"), col("q_returned"),
+            col("q_acknowledged"),
+            (col("q_returned") - col("q_acknowledged")).as("qte"))
+          .orderBy("decile")
+      },
+      """WITH hist AS (
+           SELECT CAST(l_quantity AS INT) AS q,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS t1,
+             CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS t0
+           FROM lineitem WHERE l_returnflag IN ('R', 'A')
+           GROUP BY 1),
+         cum AS (
+           SELECT q,
+                  SUM(t1) OVER (ORDER BY q) AS c1,
+                  SUM(t0) OVER (ORDER BY q) AS c0
+           FROM hist),
+         tot AS (
+           SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+                  CAST(SUM(t0) AS BIGINT) AS n0
+           FROM hist),
+         dec AS (
+           SELECT q, c1, c0, decile,
+                  (decile * n1 + 9) // 10 AS k1,
+                  (decile * n0 + 9) // 10 AS k0
+           FROM cum CROSS JOIN tot
+           CROSS JOIN (SELECT UNNEST(range(1, 10)) AS decile))
+         SELECT decile,
+                CAST(MIN(CASE WHEN c1 >= k1 THEN q END) AS INT)
+                  AS q_returned,
+                CAST(MIN(CASE WHEN c0 >= k0 THEN q END) AS INT)
+                  AS q_acknowledged,
+                CAST(MIN(CASE WHEN c1 >= k1 THEN q END)
+                   - MIN(CASE WHEN c0 >= k0 THEN q END) AS INT) AS qte
+         FROM dec GROUP BY 1 ORDER BY 1"""),
   )
 }

@@ -2416,5 +2416,89 @@ FROM wt ORDER BY lang, source"""),
                   AS burrows_delta
          FROM pairs GROUP BY 1, 2
          ORDER BY burrows_delta, s1, s2 LIMIT 10"""),
+
+    // HELLINGER + TOTAL-VARIATION DISTANCE — the bounded-metric
+    // companions to text_js_divergence on the same en / non-en
+    // unigram pair: TV = ½Σ|p−q| is EXACT (cross-multiplied integer
+    // numerator |c_e·N_o − c_o·N_e|, one half-up division), and the
+    // Bhattacharyya coefficient's per-word √(c_e·c_o) terms are
+    // quantized to DECIMAL(24,12) pre-sum so the only engine-shared
+    // floats are sqrt of exact integers. H = √(1−BC) clamped at 0.
+    // Same word-histogram exchange as the divergence sibling.
+    Q("text_hellinger_tv",
+      (s, d) => {
+        val wc = documents(s, d)
+          .select((col("lang") === "en").as("en"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(
+            sum(when(col("en"), 1L).otherwise(0L)).as("ce"),
+            sum(when(!col("en"), 1L).otherwise(0L)).as("co"))
+        val tot = wc.agg(sum("ce").as("ne"), sum("co").as("no"))
+        wc.crossJoin(broadcast(tot))
+          .withColumn("tvnum",
+            expr("""abs(CAST(ce AS DECIMAL(38,0)) * no
+                    - CAST(co AS DECIMAL(38,0)) * ne)"""))
+          .withColumn("bterm",
+            expr("""CAST(sqrt(CAST(CAST(ce AS DECIMAL(38,0)) * co
+                    AS DOUBLE)) AS DECIMAL(24,12))"""))
+          .agg(count(lit(1)).as("vocab_union"),
+            max("ne").as("ne"), max("no").as("no"),
+            sum("tvnum").as("tvs"), sum("bterm").as("bs"))
+          .withColumn("bc",
+            expr("""CASE WHEN ne = 0 OR no = 0 THEN NULL ELSE
+                    least(1.0D, CAST(bs AS DOUBLE)
+                      / sqrt(CAST(ne AS DOUBLE) * no)) END"""))
+          .select(col("vocab_union"),
+            expr("""CASE WHEN ne = 0 OR no = 0 THEN NULL ELSE
+                    (tvs * 1000000
+                     + CAST(ne AS DECIMAL(38,0)) * no)
+                    div (2 * CAST(ne AS DECIMAL(38,0)) * no)
+                    / 1000000.0D END""").as("tv_distance"),
+            expr("ROUND(bc, 6) + 0.0D").as("bhattacharyya"),
+            expr("""CASE WHEN bc IS NULL THEN NULL ELSE
+                    ROUND(sqrt(greatest(0.0D, 1.0D - bc)), 6) + 0.0D
+                    END""").as("hellinger"))
+      },
+      """WITH wc AS (
+           SELECT w,
+             CAST(SUM(CASE WHEN en THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+             CAST(SUM(CASE WHEN en THEN 0 ELSE 1 END) AS BIGINT) AS co
+           FROM (SELECT (lang = 'en') AS en,
+                        UNNEST(string_split(text, ' ')) AS w
+                 FROM documents)
+           WHERE w <> '' GROUP BY 1),
+         tot AS (
+           SELECT CAST(SUM(ce) AS BIGINT) AS ne,
+                  CAST(SUM(co) AS BIGINT) AS no_
+           FROM wc),
+         terms AS (
+           SELECT ne, no_,
+                  abs(CAST(ce AS HUGEINT) * no_
+                      - CAST(co AS HUGEINT) * ne) AS tvnum,
+                  CAST(sqrt(CAST(CAST(ce AS HUGEINT) * co AS DOUBLE))
+                    AS DECIMAL(24,12)) AS bterm
+           FROM wc CROSS JOIN tot),
+         m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS vocab_union,
+                  MAX(ne) AS ne, MAX(no_) AS no_,
+                  SUM(tvnum) AS tvs, SUM(bterm) AS bs
+           FROM terms),
+         f AS (
+           SELECT vocab_union, ne, no_, tvs,
+                  CASE WHEN ne = 0 OR no_ = 0 THEN NULL ELSE
+                    least(1.0, CAST(bs AS DOUBLE)
+                      / sqrt(CAST(ne AS DOUBLE) * no_)) END AS bc
+           FROM m)
+         SELECT vocab_union,
+                CASE WHEN ne = 0 OR no_ = 0 THEN NULL ELSE
+                  (tvs * 1000000 + CAST(ne AS HUGEINT) * no_)
+                  // (2 * CAST(ne AS HUGEINT) * no_) / 1000000.0
+                END AS tv_distance,
+                ROUND(bc, 6) + 0.0 AS bhattacharyya,
+                CASE WHEN bc IS NULL THEN NULL ELSE
+                  ROUND(sqrt(greatest(0.0, 1.0 - bc)), 6) + 0.0
+                END AS hellinger
+         FROM f"""),
   )
 }

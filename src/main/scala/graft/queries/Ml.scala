@@ -4460,6 +4460,72 @@ object Ml {
                 misplaced,
                 (2 * CAST(misplaced AS HUGEINT) * 1000000 + n)
                   // (2 * n) / 1000000.0 AS misplaced_share
+         FROM m"""),
+
+    // HOSMER–LEMESHOW — the calibration TEST behind
+    // ml_expected_calibration_error's descriptive number (same exact
+    // 1e-4-unit confidence, same 10 fixed bins): per-bin
+    // (O_b − E_b)²/(E_b(1−E_b/n_b)) collapses to the exact-integer
+    // rational (10⁴·pos_b − sconf4)²·n_b / (sconf4·(10⁴·n_b − sconf4))
+    // — each term evaluates in DOUBLE from exact operand-cast
+    // decimals and is quantized to DECIMAL(24,12) before the 10-bin
+    // sum (order-free); degenerate bins (E = 0 or E = n) are excluded
+    // by the same predicate on both engines. df = bins − 2.
+    Q("ml_hosmer_lemeshow",
+      (s, d) => {
+        val bins = documents(s, d).select(
+            expr("least(CAST(n_chars AS BIGINT), 2000L) * 10000 div 2000")
+              .as("conf4"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+          .withColumn("bin", expr("least(conf4 div 1000, 9L)"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_b"), sum("pos").as("pos_b"),
+            sum("conf4").as("sconf4"))
+        val terms = bins
+          .filter(expr("sconf4 > 0 AND sconf4 < n_b * 10000"))
+          .withColumn("dd",
+            expr("""CAST(pos_b AS DECIMAL(38,0)) * 10000 - sconf4"""))
+          .withColumn("term",
+            expr("""CAST(CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE) * n_b
+                    / (CAST(sconf4 AS DOUBLE)
+                       * (CAST(n_b AS DOUBLE) * 10000 - sconf4))
+                    AS DECIMAL(24,12))"""))
+        terms.agg(count(lit(1)).as("n_bins"), sum("term").as("hs"))
+          .select(col("n_bins"),
+            expr("ROUND(CAST(hs AS DOUBLE), 4) + 0.0D").as("hl_chi2"),
+            expr("""CASE WHEN n_bins <= 2 THEN NULL ELSE
+                    CAST(hs AS DOUBLE) > 15.50731305586545D END""")
+              .as("significant"))
+      },
+      """WITH scored AS (
+           SELECT least(CAST(n_chars AS BIGINT), 2000) * 10000 // 2000
+                    AS conf4,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM documents),
+         bins AS (
+           SELECT least(conf4 // 1000, 9) AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS n_b,
+                  CAST(SUM(pos) AS BIGINT) AS pos_b,
+                  CAST(SUM(conf4) AS BIGINT) AS sconf4
+           FROM scored GROUP BY 1),
+         terms AS (
+           SELECT CAST(CAST(CAST(pos_b AS HUGEINT) * 10000 - sconf4
+                    AS DOUBLE)
+                  * CAST(CAST(pos_b AS HUGEINT) * 10000 - sconf4
+                    AS DOUBLE) * n_b
+                  / (CAST(sconf4 AS DOUBLE)
+                     * (CAST(n_b AS DOUBLE) * 10000 - sconf4))
+                  AS DECIMAL(24,12)) AS term
+           FROM bins
+           WHERE sconf4 > 0 AND sconf4 < n_b * 10000),
+         m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_bins, SUM(term) AS hs
+           FROM terms)
+         SELECT n_bins,
+                ROUND(CAST(hs AS DOUBLE), 4) + 0.0 AS hl_chi2,
+                CASE WHEN n_bins <= 2 THEN NULL ELSE
+                  CAST(hs AS DOUBLE) > 15.50731305586545 END
+                  AS significant
          FROM m""")
   )
 }

@@ -117,6 +117,8 @@ class WindowCensusSpec extends AnyFunSuite with SparkFixture {
       "pairwise-difference histogram (<= 99 cells)",
     "ab_ks_2sample" -> "quantity value histogram (<= 50 cells)",
     "ab_brunner_munzel" -> "quantity value histogram (<= 50 cells)",
+    "ab_anderson_darling" -> "quantity value histogram (<= 50 cells)",
+    "ab_quantile_effects" -> "quantity value histogram (<= 50 cells)",
     "time_autocorr" -> "calendar-grain series (days/months)",
     "time_ljung_box" -> "calendar-grain series (days/months)",
     "time_backtest_horizons" -> "calendar-grain series (days/months)",
