@@ -4759,9 +4759,9 @@ object Analytics {
                       THEN 'below'
                     ELSE 'inside' END""").as("band"),
             expr("""CASE WHEN spread <= 0 THEN NULL ELSE
-                    ROUND((CAST(dev AS DOUBLE)
-                           / (2.0D * sqrt(CAST(spread AS DOUBLE)
-                                          / 19.0D)) + 1.0D) / 2.0D, 4)
+                    ROUND(CAST(dev AS DOUBLE)
+                          / (2.0D * sqrt(CAST(spread AS DOUBLE)
+                                         / 19.0D)) + 0.5D, 4)
                     + 0.0D END""").as("pct_b"))
           .orderBy("day")
       },
@@ -4791,9 +4791,9 @@ object Analytics {
                   WHEN dev < 0 AND dev * dev * 19 > spread THEN 'below'
                   ELSE 'inside' END AS band,
                 CASE WHEN spread <= 0 THEN NULL ELSE
-                  ROUND((CAST(dev AS DOUBLE)
-                         / (2.0 * sqrt(CAST(spread AS DOUBLE) / 19.0))
-                         + 1.0) / 2.0, 4) + 0.0 END AS pct_b
+                  ROUND(CAST(dev AS DOUBLE)
+                        / (2.0 * sqrt(CAST(spread AS DOUBLE) / 19.0))
+                        + 0.5, 4) + 0.0 END AS pct_b
          FROM f ORDER BY day"""),
 
     // EIGENVECTOR CENTRALITY — the pure adjacency-spectrum influence

@@ -5098,11 +5098,13 @@ object Behavior {
     // test next to ab_ks_2sample's supremum (AD sees tail departures
     // KS's single max misses): the discrete Scholz–Stephens form
     // A² = (1/(n₁n₂))·Σ_v t(v)·(c₁(v)·N − cum(v)·n₁)²/(cum(v)·(N−cum(v)))
-    // over the ≤50-cell pooled histogram, cum < N terms only. Each
-    // term's numerator square exceeds DECIMAL(38) at corpus scale, so
-    // terms evaluate in DOUBLE from exact integers (identical IEEE
-    // per engine) and are quantized to DECIMAL(24,12) BEFORE the
-    // cross-value sum (order-free).
+    // over the ≤50-cell pooled histogram, cum < N terms only (E[A²]≈1
+    // under the null — the normalization a review pass caught wrong
+    // on landing). Each term's numerator square exceeds DECIMAL(38)
+    // at corpus scale, so terms evaluate in DOUBLE from exact
+    // integers (identical IEEE per engine) and are quantized to
+    // DECIMAL(38,12) BEFORE the cross-value sum (order-free; 26
+    // integer digits hold the worst cell to ~1e19 rows).
     Q("ab_anderson_darling",
       (s, d) => {
         val hist = lineitem(s, d)
@@ -5125,7 +5127,7 @@ object Behavior {
                     ((CAST(c1 AS DOUBLE) * nn - CAST(cm AS DOUBLE) * n1)
                      * (CAST(c1 AS DOUBLE) * nn - CAST(cm AS DOUBLE) * n1))
                     / (CAST(cm AS DOUBLE) * (nn - cm))
-                    AS DECIMAL(24,12))"""))
+                    AS DECIMAL(38,12))"""))
           .agg(max("n1").as("n_returned"), max("n0").as("n_acknowledged"),
             sum("term").as("ts"))
           .select(col("n_returned"), col("n_acknowledged"),
@@ -5133,9 +5135,7 @@ object Behavior {
                     THEN NULL ELSE
                     ROUND(CAST(ts AS DOUBLE)
                           / (CAST(n_returned AS DOUBLE)
-                             * n_acknowledged)
-                          / (CAST(n_returned AS DOUBLE)
-                             + n_acknowledged), 4) + 0.0D
+                             * n_acknowledged), 4) + 0.0D
                     END""").as("a2"))
       },
       """WITH hist AS (
@@ -5163,7 +5163,7 @@ object Behavior {
                      * (CAST(c1 AS DOUBLE) * (n1 + n0)
                         - CAST(cm AS DOUBLE) * n1))
                     / (CAST(cm AS DOUBLE) * (n1 + n0 - cm))
-                    AS DECIMAL(24,12)) AS term
+                    AS DECIMAL(38,12)) AS term
            FROM cum CROSS JOIN tot
            WHERE cm < n1 + n0),
          m AS (
@@ -5174,8 +5174,7 @@ object Behavior {
                 CASE WHEN n_returned = 0 OR n_acknowledged = 0
                 THEN NULL ELSE
                   ROUND(CAST(ts AS DOUBLE)
-                        / (CAST(n_returned AS DOUBLE) * n_acknowledged)
-                        / (CAST(n_returned AS DOUBLE) + n_acknowledged),
+                        / (CAST(n_returned AS DOUBLE) * n_acknowledged),
                     4) + 0.0
                 END AS a2
          FROM m"""),
@@ -5209,13 +5208,14 @@ object Behavior {
           .withColumn("k1", expr("(decile * n1 + 9) div 10"))
           .withColumn("k0", expr("(decile * n0 + 9) div 10"))
         dec.groupBy("decile")
-          .agg(
-            min(when(col("c1") >= col("k1"), col("q"))).as("q_returned"),
-            min(when(col("c0") >= col("k0"), col("q")))
-              .as("q_acknowledged"))
-          .select(col("decile"), col("q_returned"),
-            col("q_acknowledged"),
-            (col("q_returned") - col("q_acknowledged")).as("qte"))
+          .agg(max("n1").as("n1"), max("n0").as("n0"),
+            min(when(col("c1") >= col("k1"), col("q"))).as("qr"),
+            min(when(col("c0") >= col("k0"), col("q"))).as("qa"))
+          .select(col("decile"),
+            when(col("n1") > 0, col("qr")).as("q_returned"),
+            when(col("n0") > 0, col("qa")).as("q_acknowledged"),
+            when(col("n1") > 0 && col("n0") > 0,
+              col("qr") - col("qa")).as("qte"))
           .orderBy("decile")
       },
       """WITH hist AS (
@@ -5236,18 +5236,22 @@ object Behavior {
                   CAST(SUM(t0) AS BIGINT) AS n0
            FROM hist),
          dec AS (
-           SELECT q, c1, c0, decile,
+           SELECT q, c1, c0, decile, n1, n0,
                   (decile * n1 + 9) // 10 AS k1,
                   (decile * n0 + 9) // 10 AS k0
            FROM cum CROSS JOIN tot
            CROSS JOIN (SELECT UNNEST(range(1, 10)) AS decile))
          SELECT decile,
-                CAST(MIN(CASE WHEN c1 >= k1 THEN q END) AS INT)
+                CAST(CASE WHEN MAX(n1) > 0 THEN
+                  MIN(CASE WHEN c1 >= k1 THEN q END) END AS INT)
                   AS q_returned,
-                CAST(MIN(CASE WHEN c0 >= k0 THEN q END) AS INT)
+                CAST(CASE WHEN MAX(n0) > 0 THEN
+                  MIN(CASE WHEN c0 >= k0 THEN q END) END AS INT)
                   AS q_acknowledged,
-                CAST(MIN(CASE WHEN c1 >= k1 THEN q END)
-                   - MIN(CASE WHEN c0 >= k0 THEN q END) AS INT) AS qte
+                CAST(CASE WHEN MAX(n1) > 0 AND MAX(n0) > 0 THEN
+                  MIN(CASE WHEN c1 >= k1 THEN q END)
+                   - MIN(CASE WHEN c0 >= k0 THEN q END) END AS INT)
+                  AS qte
          FROM dec GROUP BY 1 ORDER BY 1"""),
   )
 }

@@ -2410,12 +2410,15 @@ FROM wt ORDER BY lang, source"""),
            SELECT a.source AS s1, b.source AS s2,
                   CAST(abs(a.z - b.z) AS DECIMAL(24,12)) AS dz
            FROM zs a JOIN zs b
-             ON a.w = b.w AND a.source < b.source)
-         SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_words,
-                ROUND(CAST(SUM(dz) AS DOUBLE) / COUNT(*), 6) + 0.0
-                  AS burrows_delta
-         FROM pairs GROUP BY 1, 2
-         ORDER BY burrows_delta, s1, s2 LIMIT 10"""),
+             ON a.w = b.w AND a.source < b.source),
+         agg AS (
+           SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_words,
+                  CAST(SUM(dz) AS DOUBLE) / COUNT(*) AS delta_raw
+           FROM pairs GROUP BY 1, 2
+           ORDER BY delta_raw, s1, s2 LIMIT 10)
+         SELECT s1, s2, n_words,
+                ROUND(delta_raw, 6) + 0.0 AS burrows_delta
+         FROM agg ORDER BY delta_raw, s1, s2"""),
 
     // HELLINGER + TOTAL-VARIATION DISTANCE — the bounded-metric
     // companions to text_js_divergence on the same en / non-en
@@ -2463,7 +2466,8 @@ FROM wt ORDER BY lang, source"""),
       """WITH wc AS (
            SELECT w,
              CAST(SUM(CASE WHEN en THEN 1 ELSE 0 END) AS BIGINT) AS ce,
-             CAST(SUM(CASE WHEN en THEN 0 ELSE 1 END) AS BIGINT) AS co
+             CAST(SUM(CASE WHEN en = false THEN 1 ELSE 0 END)
+               AS BIGINT) AS co
            FROM (SELECT (lang = 'en') AS en,
                         UNNEST(string_split(text, ' ')) AS w
                  FROM documents)

@@ -4494,7 +4494,15 @@ object Ml {
           .select(col("n_bins"),
             expr("ROUND(CAST(hs AS DOUBLE), 4) + 0.0D").as("hl_chi2"),
             expr("""CASE WHEN n_bins <= 2 THEN NULL ELSE
-                    CAST(hs AS DOUBLE) > 15.50731305586545D END""")
+                    CAST(hs AS DOUBLE) > CASE n_bins - 2
+                      WHEN 1 THEN 3.841458820694126D
+                      WHEN 2 THEN 5.991464547107979D
+                      WHEN 3 THEN 7.814727903251179D
+                      WHEN 4 THEN 9.487729036781154D
+                      WHEN 5 THEN 11.070497693516351D
+                      WHEN 6 THEN 12.591587243743977D
+                      WHEN 7 THEN 14.067140449340169D
+                      ELSE 15.50731305586545D END END""")
               .as("significant"))
       },
       """WITH scored AS (
@@ -4524,8 +4532,15 @@ object Ml {
          SELECT n_bins,
                 ROUND(CAST(hs AS DOUBLE), 4) + 0.0 AS hl_chi2,
                 CASE WHEN n_bins <= 2 THEN NULL ELSE
-                  CAST(hs AS DOUBLE) > 15.50731305586545 END
-                  AS significant
+                  CAST(hs AS DOUBLE) > CASE n_bins - 2
+                    WHEN 1 THEN 3.841458820694126
+                    WHEN 2 THEN 5.991464547107979
+                    WHEN 3 THEN 7.814727903251179
+                    WHEN 4 THEN 9.487729036781154
+                    WHEN 5 THEN 11.070497693516351
+                    WHEN 6 THEN 12.591587243743977
+                    WHEN 7 THEN 14.067140449340169
+                    ELSE 15.50731305586545 END END AS significant
          FROM m""")
   )
 }

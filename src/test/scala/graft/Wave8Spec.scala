@@ -349,6 +349,44 @@ class Wave8Spec extends AnyFunSuite with SparkFixture {
     assert(math.abs(row.getAs[Double]("p_hat") - pHat) < 1e-5)
   }
 
+  test("ab_anderson_darling matches the Pettitt position-sum form " +
+      "and E[A2]~1 scaling") {
+    // Different formula path: iterate pooled ORDER STATISTIC
+    // positions j (expanding ties), not distinct values — equality
+    // pins both the discrete collapse and the 1/(n1·n2)
+    // normalization (a landing review caught an extra /N factor:
+    // E[A²] must be ~1 under the null, not ~1/N).
+    // micro-example, hand-computed: {1,2} vs {3,4} → positions j=1..3
+    // give 4/3 + 4 + 4/3 = 20/3; A² = (20/3)/(2·2) = 5/3 (and the
+    // buggy extra /N would report 5/12)
+    def discreteA2(xs: Seq[(Int, Boolean)]): Double = {
+      val n1 = xs.count(_._2); val n0 = xs.size - n1
+      val nTot = xs.size
+      val hist = xs.groupBy(_._1).view
+        .mapValues(g => (g.count(_._2), g.size)).toSeq.sortBy(_._1)
+      var c1 = 0L; var cm = 0L; var ts = 0.0
+      for ((_, (t1, t)) <- hist) {
+        c1 += t1; cm += t
+        if (cm < nTot)
+          ts += t * math.pow(c1.toDouble * nTot - cm.toDouble * n1, 2) /
+            (cm.toDouble * (nTot - cm))
+      }
+      ts / (n1.toDouble * n0)
+    }
+    assert(math.abs(discreteA2(
+      Seq((1, true), (2, true), (3, false), (4, false))) - 5.0 / 3) < 1e-12)
+    val rows = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_quantity").cast("int"), col("l_returnflag"))
+      .collect().map(r => (r.getInt(0), r.getString(1) == "R")).toSeq
+    val a2 = discreteA2(rows)
+    val row = q("ab_anderson_darling").head()
+    assert(math.abs(row.getAs[Double]("a2") - a2) < 1e-3)
+    // null-ish fixture data: the correctly-normalized A² must be O(1),
+    // not O(1/N)
+    assert(row.getAs[Double]("a2") > 0.01)
+  }
+
   test("time_durbin_watson matches the centered-residual recomputation") {
     val ys = Tables.orders(spark, sf)
       .groupBy(col("o_orderdate").cast("date").as("day"))
