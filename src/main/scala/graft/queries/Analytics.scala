@@ -4815,33 +4815,31 @@ object Analytics {
           .distinct()
         val edges = e0.select(col("a").as("src"), col("b").as("dst"))
           .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        // iterate UNNORMALIZED (x ≤ deg³ fits DECIMAL(38,0) to
+        // deg ≈ 2·10⁸) and normalize ONCE at the end: a per-round
+        // Σy reference would double the plan every iteration (the
+        // Graph.pageRank lesson) — measured 6.5 s → the pagerank
+        // shape after this change
         var x = edges.select(col("src").as("node")).distinct()
-          .withColumn("xv", lit(1000000L).cast(DecimalType(38, 0)))
+          .withColumn("xv", lit(1L).cast(DecimalType(38, 0)))
         for (_ <- 1 to 3) {
-          val y = edges
+          x = edges
             .join(x, col("src") === col("node"))
             .groupBy(col("dst").as("node"))
-            .agg(sum("xv").as("yv"))
-          val tot = y.agg(sum("yv").as("ytot"))
-          x = y.crossJoin(tot)
-            .select(col("node"),
-              expr("CAST(yv * 1000000000000 div ytot AS DECIMAL(38,0))")
-                .as("xv"))
+            .agg(sum("xv").as("xv"))
         }
-        x.orderBy(desc("xv"), col("node")).limit(20)
+        val tot = x.agg(sum("xv").as("xtot"))
+        x.crossJoin(tot)
           .select(col("node"),
-            expr("CAST(xv AS BIGINT)").as("centrality_e12"))
+            expr("CAST(xv * 1000000000000 div xtot AS BIGINT)")
+              .as("centrality_e12"))
+          .orderBy(desc("centrality_e12"), col("node")).limit(20)
       }, {
         val iters = (1 to 3).map { i =>
-          s"""y$i AS (
-               SELECT e.dst AS node, SUM(x.xv) AS yv
+          s"""x$i AS (
+               SELECT e.dst AS node, SUM(x.xv) AS xv
                FROM edges e JOIN x${i - 1} x ON x.node = e.src
-               GROUP BY 1),
-             x$i AS (
-               SELECT node,
-                      yv * 1000000000000 // (SELECT SUM(yv) FROM y$i)
-                        AS xv
-               FROM y$i)"""
+               GROUP BY 1)"""
         }.mkString(",\n")
         s"""WITH e0 AS (
               SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS a,
@@ -4851,12 +4849,15 @@ object Analytics {
               SELECT a AS src, b AS dst FROM e0
               UNION ALL SELECT b, a FROM e0),
             x0 AS (
-              SELECT DISTINCT src AS node,
-                     CAST(1000000 AS HUGEINT) AS xv
+              SELECT DISTINCT src AS node, CAST(1 AS HUGEINT) AS xv
               FROM edges),
             $iters
-            SELECT node, CAST(xv AS BIGINT) AS centrality_e12
-            FROM x3 ORDER BY xv DESC, node LIMIT 20"""
+            SELECT node,
+                   CAST(xv * 1000000000000
+                        // (SELECT SUM(xv) FROM x3) AS BIGINT)
+                     AS centrality_e12
+            FROM x3
+            ORDER BY centrality_e12 DESC, node LIMIT 20"""
       }),
   )
 }
