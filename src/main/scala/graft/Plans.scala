@@ -119,7 +119,9 @@ object Plans {
     "text_burrows_delta",
     // round-10 wave 16
     "ab_anderson_darling", "ab_quantile_effects", "text_hellinger_tv",
-    "ml_hosmer_lemeshow")
+    "ml_hosmer_lemeshow",
+    // round-10 wave 17
+    "ab_bayes_factor_bic", "ml_balanced_accuracy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -5253,5 +5253,110 @@ object Behavior {
                    - MIN(CASE WHEN c0 >= k0 THEN q END) END AS INT)
                   AS qte
          FROM dec GROUP BY 1 ORDER BY 1"""),
+
+    // BIC BAYES FACTOR — the EVIDENCE-ratio reading of the ab_test
+    // comparison (a p-value can't say "the arms are the same"; a
+    // Bayes factor can): ln BF₁₀ ≈ [maxLL(per-arm rates) −
+    // maxLL(pooled rate)] − ½·ln N via the BIC approximation, every
+    // log-likelihood term k·ln(k/n) built from EXACT conversion
+    // counts (k = 0 and k = n terms are 0 by the x·ln x convention,
+    // identical CASE on both engines), and the Kass–Raftery verdict
+    // reads the UNROUNDED ln BF. One per-user aggregate + one
+    // conditional aggregate; one row travels.
+    Q("ab_bayes_factor_bic",
+      (s, d) => {
+        val pu = events(s, d)
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 100.0, 1L).otherwise(0L)).as("conv"))
+          .select(col("conv"), (col("user_id") % 2).as("arm"))
+        pu.agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("arm") === 0, col("conv")).otherwise(0L))
+              .as("k0"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 1, col("conv")).otherwise(0L))
+              .as("k1"))
+          .withColumn("ll1",
+            expr("""CASE WHEN k0 = 0 OR k0 = n0 THEN 0.0D ELSE
+                      k0 * ln(CAST(k0 AS DOUBLE) / n0)
+                      + (n0 - k0) * ln(1.0D - CAST(k0 AS DOUBLE) / n0)
+                    END
+                  + CASE WHEN k1 = 0 OR k1 = n1 THEN 0.0D ELSE
+                      k1 * ln(CAST(k1 AS DOUBLE) / n1)
+                      + (n1 - k1) * ln(1.0D - CAST(k1 AS DOUBLE) / n1)
+                    END"""))
+          .withColumn("ll0",
+            expr("""CASE WHEN k0 + k1 = 0 OR k0 + k1 = n0 + n1
+                    THEN 0.0D ELSE
+                      (k0 + k1) * ln(CAST(k0 + k1 AS DOUBLE)
+                                     / (n0 + n1))
+                      + (n0 + n1 - k0 - k1)
+                        * ln(1.0D - CAST(k0 + k1 AS DOUBLE)
+                             / (n0 + n1))
+                    END"""))
+          .withColumn("lnbf",
+            expr("""CASE WHEN n0 = 0 OR n1 = 0 THEN NULL ELSE
+                    (ll1 - ll0) - 0.5D * ln(CAST(n0 + n1 AS DOUBLE))
+                    END"""))
+          .select(col("n0").as("n_ctrl"), col("k0").as("conv_ctrl"),
+            col("n1").as("n_treat"), col("k1").as("conv_treat"),
+            expr("ROUND(lnbf, 4) + 0.0D").as("ln_bf10"),
+            expr("""CASE WHEN lnbf IS NULL THEN NULL
+                    WHEN lnbf < 0.0D THEN 'favors_null'
+                    WHEN lnbf < 1.0D THEN 'weak'
+                    WHEN lnbf < 3.0D THEN 'positive'
+                    WHEN lnbf < 5.0D THEN 'strong'
+                    ELSE 'very_strong' END""").as("evidence"))
+      },
+      """WITH pu AS (
+           SELECT MAX(CASE WHEN event_type = 'purchase'
+                        AND value > 100.0 THEN 1 ELSE 0 END) AS conv,
+                  MIN(user_id % 2) AS arm
+           FROM events GROUP BY user_id),
+         m AS (
+           SELECT
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+               AS BIGINT) AS k0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+               AS BIGINT) AS k1
+           FROM pu),
+         ll AS (
+           SELECT n0, k0, n1, k1,
+                  CASE WHEN k0 = 0 OR k0 = n0 THEN 0.0 ELSE
+                    k0 * ln(CAST(k0 AS DOUBLE) / n0)
+                    + (n0 - k0) * ln(1.0 - CAST(k0 AS DOUBLE) / n0)
+                  END
+                + CASE WHEN k1 = 0 OR k1 = n1 THEN 0.0 ELSE
+                    k1 * ln(CAST(k1 AS DOUBLE) / n1)
+                    + (n1 - k1) * ln(1.0 - CAST(k1 AS DOUBLE) / n1)
+                  END AS ll1,
+                  CASE WHEN k0 + k1 = 0 OR k0 + k1 = n0 + n1
+                  THEN 0.0 ELSE
+                    (k0 + k1) * ln(CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                    + (n0 + n1 - k0 - k1)
+                      * ln(1.0 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                  END AS ll0
+           FROM m),
+         f AS (
+           SELECT n0, k0, n1, k1,
+                  CASE WHEN n0 = 0 OR n1 = 0 THEN NULL ELSE
+                    (ll1 - ll0) - 0.5 * ln(CAST(n0 + n1 AS DOUBLE))
+                  END AS lnbf
+           FROM ll)
+         SELECT n0 AS n_ctrl, k0 AS conv_ctrl,
+                n1 AS n_treat, k1 AS conv_treat,
+                ROUND(lnbf, 4) + 0.0 AS ln_bf10,
+                CASE WHEN lnbf IS NULL THEN NULL
+                  WHEN lnbf < 0.0 THEN 'favors_null'
+                  WHEN lnbf < 1.0 THEN 'weak'
+                  WHEN lnbf < 3.0 THEN 'positive'
+                  WHEN lnbf < 5.0 THEN 'strong'
+                  ELSE 'very_strong' END AS evidence
+         FROM f"""),
   )
 }

@@ -4541,6 +4541,82 @@ object Ml {
                     WHEN 6 THEN 12.591587243743977
                     WHEN 7 THEN 14.067140449340169
                     ELSE 15.50731305586545 END END AS significant
-         FROM m""")
+         FROM m"""),
+
+    // BALANCED ACCURACY / YOUDEN'S J / MARKEDNESS — the
+    // prevalence-robust summary panel over the same rule-classifier
+    // confusion as ml_cohen_kappa (accuracy lies under imbalance;
+    // these four don't): every metric is a pure rational of the four
+    // exact cells — balanced accuracy and the two composite indexes
+    // land via the half-up idiom (J and markedness sign-split: both
+    // can be negative), zero-marginal cells → NULL on both engines.
+    // One conditional aggregate; one row travels.
+    Q("ml_balanced_accuracy",
+      (s, d) => orders(s, d)
+        .select(
+          (col("o_totalprice") > 150000.0).as("ra"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("rb"))
+        .agg(
+          sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("tn"))
+        .withColumn("jnum",
+          expr("""CAST(tp AS DECIMAL(38,0)) * tn
+                  - CAST(fn AS DECIMAL(38,0)) * fp"""))
+        .withColumn("jden",
+          expr("CAST(tp + fn AS DECIMAL(38,0)) * (fp + tn)"))
+        .withColumn("mden",
+          expr("CAST(tp + fp AS DECIMAL(38,0)) * (fn + tn)"))
+        .select(col("tp"), col("fn"), col("fp"), col("tn"),
+          expr("""CASE WHEN tp + fn = 0 OR fp + tn = 0 THEN NULL ELSE
+                  ((CAST(tp AS DECIMAL(38,0)) * (fp + tn)
+                    + CAST(tn AS DECIMAL(38,0)) * (tp + fn)) * 1000000
+                   + jden) div (2 * jden) / 1000000.0D
+                  END""").as("balanced_accuracy"),
+          expr("""CASE WHEN jden = 0 THEN NULL ELSE
+                    CASE WHEN jnum < 0 THEN -1 ELSE 1 END *
+                    ((2 * abs(jnum) * 1000000 + jden) div (2 * jden))
+                    / 1000000.0D END""").as("youden_j"),
+          expr("""CASE WHEN mden = 0 THEN NULL ELSE
+                    CASE WHEN jnum < 0 THEN -1 ELSE 1 END *
+                    ((2 * abs(jnum) * 1000000 + mden) div (2 * mden))
+                    / 1000000.0D END""").as("markedness")),
+      """WITH p AS (
+           SELECT (o_totalprice > 150000.0) AS ra,
+                  (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS rb
+           FROM orders),
+         m AS (SELECT
+             CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END)
+               AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END)
+               AS BIGINT) AS tn
+           FROM p),
+         f AS (
+           SELECT tp, fn, fp, tn,
+                  CAST(tp AS HUGEINT) * tn
+                    - CAST(fn AS HUGEINT) * fp AS jnum,
+                  CAST(tp + fn AS HUGEINT) * (fp + tn) AS jden,
+                  CAST(tp + fp AS HUGEINT) * (fn + tn) AS mden
+           FROM m)
+         SELECT tp, fn, fp, tn,
+                CASE WHEN tp + fn = 0 OR fp + tn = 0 THEN NULL ELSE
+                  ((CAST(tp AS HUGEINT) * (fp + tn)
+                    + CAST(tn AS HUGEINT) * (tp + fn)) * 1000000
+                   + jden) // (2 * jden) / 1000000.0
+                END AS balanced_accuracy,
+                CASE WHEN jden = 0 THEN NULL ELSE
+                  CASE WHEN jnum < 0 THEN -1 ELSE 1 END *
+                  ((2 * abs(jnum) * 1000000 + jden) // (2 * jden))
+                  / 1000000.0 END AS youden_j,
+                CASE WHEN mden = 0 THEN NULL ELSE
+                  CASE WHEN jnum < 0 THEN -1 ELSE 1 END *
+                  ((2 * abs(jnum) * 1000000 + mden) // (2 * mden))
+                  / 1000000.0 END AS markedness
+         FROM f""")
   )
 }
