@@ -4799,14 +4799,14 @@ object Analytics {
     // EIGENVECTOR CENTRALITY — the pure adjacency-spectrum influence
     // score next to pagerank (damped) / hits (bipartite-split) / katz
     // (truncated): three power-iteration rounds over the
-    // supplier↔part graph ENTIRELY in integer units — x⁰ = 10⁶ per
-    // node, y_v = Σ x_u over in-edges (operand-cast), renormalized to
-    // 10¹² units by positive-operand integer division (the
-    // event_markov discipline: floor of positives is identical in
-    // both engines, no float iteration drift). Output = top-20 via
-    // TakeOrdered; every iteration is one key-partitioned
-    // join+aggregate, the bipartite edge relation shuffles once per
-    // round.
+    // supplier↔part graph ENTIRELY in integer units — x⁰ = 1 per
+    // node, x_v ← Σ x_u over in-edges (operand-cast, UNNORMALIZED:
+    // x ≤ deg³ fits DECIMAL(38,0) to deg ≈ 2·10⁸), then ONE final
+    // rescale to 10¹² units by positive-operand integer division
+    // (floor of positives is identical in both engines, no float
+    // iteration drift). Output = top-20 via TakeOrdered; every
+    // iteration is one key-partitioned join+aggregate, the bipartite
+    // edge relation shuffles once per round.
     Q("graph_eigenvector_centrality",
       (s, d) => {
         val e0 = lineitem(s, d)
