@@ -121,7 +121,9 @@ object Plans {
     "ab_anderson_darling", "ab_quantile_effects", "text_hellinger_tv",
     "ml_hosmer_lemeshow",
     // round-10 wave 17
-    "ab_bayes_factor_bic", "ml_balanced_accuracy")
+    "ab_bayes_factor_bic", "ml_balanced_accuracy",
+    // round-10 wave 18
+    "ab_sign_test")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

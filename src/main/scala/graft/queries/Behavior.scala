@@ -5358,5 +5358,70 @@ object Behavior {
                   WHEN lnbf < 5.0 THEN 'strong'
                   ELSE 'very_strong' END AS evidence
          FROM f"""),
+
+    // PAIRED SIGN TEST — the assumption-free paired comparison the
+    // family lacked (Wilcoxon/W-BM are two-SAMPLE; this pairs each
+    // customer with ITSELF): did per-customer revenue rise from 1995
+    // to 1996? S = #(increase) among the n customers with a nonzero
+    // exact-cent change (zero changes drop by the classic
+    // convention), z = (2S − n)/√n from exact integers; the
+    // two-sided verdict compares (2S−n)² against z²crit·n as doubles
+    // DERIVED from exact integers (identical per engine) — never a
+    // rounded z. One customer-grain conditional aggregate; one row
+    // travels.
+    Q("ab_sign_test",
+      (s, d) => {
+        val pc = orders(s, d)
+          .groupBy("o_custkey")
+          .agg(
+            sum(when(year(col("o_orderdate").cast("date")) === 1995,
+              expr("CAST(CAST(o_totalprice AS DECIMAL(18,2))*100" +
+                " AS BIGINT)")).otherwise(0L)).as("y95"),
+            sum(when(year(col("o_orderdate").cast("date")) === 1996,
+              expr("CAST(CAST(o_totalprice AS DECIMAL(18,2))*100" +
+                " AS BIGINT)")).otherwise(0L)).as("y96"))
+        pc.agg(count(lit(1)).as("n_customers"),
+            sum(when(col("y96") > col("y95"), 1L).otherwise(0L))
+              .as("s_up"),
+            sum(when(col("y96") < col("y95"), 1L).otherwise(0L))
+              .as("s_down"))
+          .withColumn("n", expr("s_up + s_down"))
+          .select(col("n_customers"), col("s_up"), col("s_down"),
+            expr("""CASE WHEN n = 0 THEN NULL ELSE
+                    ROUND((2.0D * s_up - n) / sqrt(CAST(n AS DOUBLE)),
+                      4) + 0.0D END""").as("z"),
+            expr("""CASE WHEN n = 0 THEN NULL ELSE
+                    CAST(2 * s_up - n AS DOUBLE) * (2 * s_up - n)
+                    > 3.841458820694124D * n END""")
+              .as("significant"))
+      },
+      """WITH pc AS (
+           SELECT o_custkey,
+                  CAST(SUM(CASE WHEN EXTRACT(year FROM CAST(o_orderdate
+                    AS DATE)) = 1995 THEN CAST(CAST(o_totalprice AS
+                    DECIMAL(18,2))*100 AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS y95,
+                  CAST(SUM(CASE WHEN EXTRACT(year FROM CAST(o_orderdate
+                    AS DATE)) = 1996 THEN CAST(CAST(o_totalprice AS
+                    DECIMAL(18,2))*100 AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS y96
+           FROM orders GROUP BY 1),
+         m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                  CAST(SUM(CASE WHEN y96 > y95 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s_up,
+                  CAST(SUM(CASE WHEN y96 < y95 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s_down
+           FROM pc),
+         f AS (SELECT n_customers, s_up, s_down,
+                      s_up + s_down AS n FROM m)
+         SELECT n_customers, s_up, s_down,
+                CASE WHEN n = 0 THEN NULL ELSE
+                  ROUND((2.0 * s_up - n) / sqrt(CAST(n AS DOUBLE)), 4)
+                  + 0.0 END AS z,
+                CASE WHEN n = 0 THEN NULL ELSE
+                  CAST(2 * s_up - n AS DOUBLE) * (2 * s_up - n)
+                  > 3.841458820694124 * n END AS significant
+         FROM f"""),
   )
 }
