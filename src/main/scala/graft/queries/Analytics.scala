@@ -4652,10 +4652,11 @@ object Analytics {
                     ELSE ROUND(CAST(oes AS DOUBLE) * CAST(oes AS DOUBLE)
                          / CAST(vs AS DOUBLE), 4) + 0.0D END""")
               .as("chi2"),
-            expr("""CASE WHEN CAST(vs AS DOUBLE) <= 0.0D THEN NULL
+            expr(s"""CASE WHEN CAST(vs AS DOUBLE) <= 0.0D THEN NULL
                     ELSE CAST(oes AS DOUBLE) * CAST(oes AS DOUBLE)
                          / CAST(vs AS DOUBLE)
-                         > 3.841458820694126D END""").as("significant"))
+                         > ${StatCrit.Chi2_95_Df1}D END""")
+              .as("significant"))
       },
       """WITH ev AS (
            SELECT user_id, event_type,
@@ -4720,9 +4721,8 @@ object Analytics {
                      / CAST(vs AS DOUBLE), 4) + 0.0 END AS chi2,
                 CASE WHEN CAST(vs AS DOUBLE) <= 0.0 THEN NULL
                 ELSE CAST(oes AS DOUBLE) * CAST(oes AS DOUBLE)
-                     / CAST(vs AS DOUBLE) > 3.841458820694126 END
-                  AS significant
-         FROM m"""),
+                     / CAST(vs AS DOUBLE) > """ +
+        s"${StatCrit.Chi2_95_Df1} END AS significant FROM m"),
 
     // BOLLINGER BANDS — 20-day mean ± 2σ envelope with EXACT breach
     // flags: the band comparison y ≷ ma ± 2σ is cross-multiplied into
@@ -4831,8 +4831,20 @@ object Analytics {
         val tot = x.agg(sum("xv").as("xtot"))
         x.crossJoin(tot)
           .select(col("node"),
-            expr("CAST(xv * 1000000000000 div xtot AS BIGINT)")
-              .as("centrality_e12"))
+            // Guard the 1e12 rescale's DECIMAL(38,0) headroom: the
+            // multiply needs xv ≤ ~1.7e26 (38 digits − 12). Spark's
+            // non-ANSI DECIMAL overflow yields NULL silently while
+            // DuckDB's HUGEINT (~1.7e38) still holds, so outside the
+            // deg≈2e8 envelope the engines would diverge SILENTLY —
+            // raise_error makes the breach loud instead (r10 ADVICE).
+            expr("""CASE WHEN xv > CAST(
+                      '100000000000000000000000000' AS DECIMAL(38,0))
+                    THEN CAST(raise_error(
+                      'eigenvector iterate exceeds 1e12-rescale ' ||
+                      'headroom — normalize before scaling')
+                      AS BIGINT)
+                    ELSE CAST(xv * 1000000000000 div xtot AS BIGINT)
+                    END""").as("centrality_e12"))
           .orderBy(desc("centrality_e12"), col("node")).limit(20)
       }, {
         val iters = (1 to 3).map { i =>

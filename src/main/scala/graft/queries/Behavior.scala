@@ -3556,10 +3556,10 @@ object Behavior {
                     ROUND(CAST(a AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))
                       / sqrt(CAST(prod AS DOUBLE)), 6) + 0.0D END""")
             .as("z_trend"),
-          expr("""CASE WHEN prod = 0 THEN NULL ELSE
+          expr(s"""CASE WHEN prod = 0 THEN NULL ELSE
                     CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
                       * CAST(nn AS DOUBLE)
-                      > 3.841458820694124D * CAST(prod AS DOUBLE)
+                      > ${StatCrit.Chi2_95_Df1}D * CAST(prod AS DOUBLE)
                   END""").as("significant_05")),
       """WITH t AS (
            SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
@@ -3591,7 +3591,8 @@ object Behavior {
                 CASE WHEN prod = 0 THEN NULL ELSE
                   CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
                     * CAST(nn AS DOUBLE)
-                    > 3.841458820694124 * CAST(prod AS DOUBLE)
+                    > """ + s"""${StatCrit.Chi2_95_Df1}
+                    * CAST(prod AS DOUBLE)
                 END AS significant_05
          FROM w"""),
 
@@ -3636,17 +3637,17 @@ object Behavior {
               - (CAST(s0 AS DOUBLE)/n0)*(CAST(s0 AS DOUBLE)/n0))
              * n0/(n0-1)/n0 END AS v0""")
         .selectExpr("n1", "n0", "m1", "m0", "v1", "v0",
-          "m0 * m0 - 3.841458820694126D * v0 AS den",
-          """m0*m0*v1 + m1*m1*v0
-             - 3.841458820694126D * v1 * v0 AS disc""")
+          s"m0 * m0 - ${StatCrit.Chi2_95_Df1}D * v0 AS den",
+          s"""m0*m0*v1 + m1*m1*v0
+             - ${StatCrit.Chi2_95_Df1}D * v1 * v0 AS disc""")
         .selectExpr("n1 AS n_treat", "n0 AS n_ctrl",
           """CASE WHEN m0 = 0.0D THEN NULL ELSE
              ROUND(m1 / m0, 6) + 0.0D END AS ratio""",
-          """CASE WHEN den <= 0.0D OR disc < 0.0D THEN NULL ELSE
-             ROUND((m1*m0 - 1.959963984540054D * sqrt(disc)) / den, 6)
+          s"""CASE WHEN den <= 0.0D OR disc < 0.0D THEN NULL ELSE
+             ROUND((m1*m0 - ${StatCrit.Z975}D * sqrt(disc)) / den, 6)
              + 0.0D END AS ci_lo""",
-          """CASE WHEN den <= 0.0D OR disc < 0.0D THEN NULL ELSE
-             ROUND((m1*m0 + 1.959963984540054D * sqrt(disc)) / den, 6)
+          s"""CASE WHEN den <= 0.0D OR disc < 0.0D THEN NULL ELSE
+             ROUND((m1*m0 + ${StatCrit.Z975}D * sqrt(disc)) / den, 6)
              + 0.0D END AS ci_hi""",
           "den > 0.0D AS bounded"),
       """WITH o AS (
@@ -3683,17 +3684,18 @@ object Behavior {
                * n0/(n0-1)/n0 END AS v0
            FROM m),
          f AS (SELECT n1, n0, m1, m0, v1, v0,
-             m0 * m0 - 3.841458820694126 * v0 AS den,
-             m0*m0*v1 + m1*m1*v0 - 3.841458820694126 * v1 * v0 AS disc
+""" + s"""             m0 * m0 - ${StatCrit.Chi2_95_Df1} * v0 AS den,
+             m0*m0*v1 + m1*m1*v0
+               - ${StatCrit.Chi2_95_Df1} * v1 * v0 AS disc
            FROM c)
          SELECT n1 AS n_treat, n0 AS n_ctrl,
                 CASE WHEN m0 = 0.0 THEN NULL ELSE
                   ROUND(m1 / m0, 6) + 0.0 END AS ratio,
                 CASE WHEN den <= 0.0 OR disc < 0.0 THEN NULL ELSE
-                  ROUND((m1*m0 - 1.959963984540054 * sqrt(disc)) / den,
+                  ROUND((m1*m0 - ${StatCrit.Z975} * sqrt(disc)) / den,
                     6) + 0.0 END AS ci_lo,
                 CASE WHEN den <= 0.0 OR disc < 0.0 THEN NULL ELSE
-                  ROUND((m1*m0 + 1.959963984540054 * sqrt(disc)) / den,
+                  ROUND((m1*m0 + ${StatCrit.Z975} * sqrt(disc)) / den,
                     6) + 0.0 END AS ci_hi,
                 den > 0.0 AS bounded
          FROM f"""),
@@ -4317,9 +4319,9 @@ object Behavior {
           .select(col("n"),
             expr("CAST(jt2 AS DOUBLE) / 2.0D").as("jt"),
             expr("ROUND(z, 4) + 0.0D").as("z"),
-            expr("""CASE WHEN z IS NULL THEN NULL
-                    WHEN z > 1.959963984540054D THEN 'increasing'
-                    WHEN z < -1.959963984540054D THEN 'decreasing'
+            expr(s"""CASE WHEN z IS NULL THEN NULL
+                    WHEN z > ${StatCrit.Z975}D THEN 'increasing'
+                    WHEN z < -${StatCrit.Z975}D THEN 'decreasing'
                     ELSE 'none' END""").as("trend"))
       },
       """WITH base AS (
@@ -4404,8 +4406,8 @@ object Behavior {
          SELECT n, CAST(jt2 AS DOUBLE) / 2.0 AS jt,
                 ROUND(z, 4) + 0.0 AS z,
                 CASE WHEN z IS NULL THEN NULL
-                  WHEN z > 1.959963984540054 THEN 'increasing'
-                  WHEN z < -1.959963984540054 THEN 'decreasing'
+""" + s"""                  WHEN z > ${StatCrit.Z975} THEN 'increasing'
+                  WHEN z < -${StatCrit.Z975} THEN 'decreasing'
                   ELSE 'none' END AS trend
          FROM zz"""),
 
@@ -4446,8 +4448,9 @@ object Behavior {
           .select(col("n_subjects"), col("t1").as("active_1995"),
             col("t2").as("active_1996"), col("t3").as("active_1997"),
             expr("ROUND(qstat, 4) + 0.0D").as("q"),
-            expr("""CASE WHEN qstat IS NULL THEN NULL ELSE
-                    qstat > 5.991464547107979D END""").as("significant"))
+            expr(s"""CASE WHEN qstat IS NULL THEN NULL ELSE
+                    qstat > ${StatCrit.Chi2_95(2)}D END""")
+              .as("significant"))
       },
       """WITH flags AS (
            SELECT o_custkey,
@@ -4485,7 +4488,8 @@ object Behavior {
                 t3 AS active_1997,
                 ROUND(qstat, 4) + 0.0 AS q,
                 CASE WHEN qstat IS NULL THEN NULL ELSE
-                  qstat > 5.991464547107979 END AS significant
+                  qstat > """ + s"""${StatCrit.Chi2_95(2)} END
+                  AS significant
          FROM qq"""),
 
     // WELCH'S t — the unequal-variance two-sample mean test on the
@@ -4530,17 +4534,24 @@ object Behavior {
                     (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
                     / sqrt(se2) END"""))
           .select(col("n0").as("n_ctrl"), col("n1").as("n_treat"),
-            expr("(CAST(s0 AS DECIMAL(38,0)) * 200 + n0) div (2 * n0)" +
-              " / 100.0D").as("mean_ctrl_cents"),
-            expr("(CAST(s1 AS DECIMAL(38,0)) * 200 + n1) div (2 * n1)" +
-              " / 100.0D").as("mean_treat_cents"),
+            // Sign-split half-up: Spark `div` truncates toward zero
+            // while DuckDB `//` floors, so the half-up numerator must
+            // only ever see a non-negative operand (refund-style
+            // negative per-user sums would otherwise diverge).
+            expr("CASE WHEN s0 < 0 THEN -1 ELSE 1 END *" +
+              " ((abs(CAST(s0 AS DECIMAL(38,0))) * 200 + n0)" +
+              " div (2 * n0)) / 100.0D").as("mean_ctrl_cents"),
+            expr("CASE WHEN s1 < 0 THEN -1 ELSE 1 END *" +
+              " ((abs(CAST(s1 AS DECIMAL(38,0))) * 200 + n1)" +
+              " div (2 * n1)) / 100.0D").as("mean_treat_cents"),
             expr("ROUND(t, 4) + 0.0D").as("t_welch"),
             expr("""CASE WHEN t IS NULL THEN NULL ELSE
                     ROUND(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
                           + (v0 / n0) * (v0 / n0) / (n0 - 1)), 1)
                     + 0.0D END""").as("df_welch"),
-            expr("""CASE WHEN t IS NULL THEN NULL ELSE
-                    abs(t) > 1.959963984540054D END""").as("significant"))
+            expr(s"""CASE WHEN t IS NULL THEN NULL ELSE
+                    abs(t) > ${StatCrit.Z975}D END""")
+              .as("significant"))
       },
       """WITH pu AS (
            SELECT SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT))
@@ -4580,17 +4591,20 @@ object Behavior {
                     / sqrt(v1 / n1 + v0 / n0) END AS t
            FROM v)
          SELECT n0 AS n_ctrl, n1 AS n_treat,
-                (CAST(s0 AS HUGEINT) * 200 + n0) // (2 * n0) / 100.0
-                  AS mean_ctrl_cents,
-                (CAST(s1 AS HUGEINT) * 200 + n1) // (2 * n1) / 100.0
-                  AS mean_treat_cents,
+                (CASE WHEN s0 < 0 THEN -1 ELSE 1 END) *
+                  ((abs(CAST(s0 AS HUGEINT)) * 200 + n0) // (2 * n0))
+                  / 100.0 AS mean_ctrl_cents,
+                (CASE WHEN s1 < 0 THEN -1 ELSE 1 END) *
+                  ((abs(CAST(s1 AS HUGEINT)) * 200 + n1) // (2 * n1))
+                  / 100.0 AS mean_treat_cents,
                 ROUND(t, 4) + 0.0 AS t_welch,
                 CASE WHEN t IS NULL THEN NULL ELSE
                   ROUND(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
                         + (v0 / n0) * (v0 / n0) / (n0 - 1)), 1)
                   + 0.0 END AS df_welch,
                 CASE WHEN t IS NULL THEN NULL ELSE
-                  abs(t) > 1.959963984540054 END AS significant
+                  abs(t) > """ + s"""${StatCrit.Z975} END
+                  AS significant
          FROM tt"""),
 
     // HODGES–LEHMANN SHIFT — the robust EFFECT-SIZE companion to
@@ -4724,6 +4738,9 @@ object Behavior {
             expr("ROUND(dobs / 100.0D, 2) + 0.0D")
               .as("obs_diff_dollars"),
             col("n_valid").as("n_permutations"),
+            // Half-up div is truncation-safe here by construction:
+            // n_ge and n_valid are COUNTS (≥ 0), so Spark div vs
+            // DuckDB // cannot diverge — no sign-split needed.
             expr("""CASE WHEN dobs IS NULL OR n_valid = 0 THEN NULL
                     ELSE (2 * (1 + n_ge) * 1000000 + (1 + n_valid))
                          div (2 * (1 + n_valid)) / 1000000.0D
@@ -4947,8 +4964,8 @@ object Behavior {
                     div (4 * CAST(n1 AS DECIMAL(38,0)) * n2)
                     / 1000000.0D END""").as("p_hat"),
             expr("ROUND(wbm, 4) + 0.0D").as("w_bm"),
-            expr("""CASE WHEN wbm IS NULL THEN NULL ELSE
-                    abs(wbm) > 1.959963984540054D END""")
+            expr(s"""CASE WHEN wbm IS NULL THEN NULL ELSE
+                    abs(wbm) > ${StatCrit.Z975}D END""")
               .as("significant"))
       },
       """WITH hist AS (
@@ -5007,7 +5024,8 @@ object Behavior {
                 END AS p_hat,
                 ROUND(wbm, 4) + 0.0 AS w_bm,
                 CASE WHEN wbm IS NULL THEN NULL ELSE
-                  abs(wbm) > 1.959963984540054 END AS significant
+                  abs(wbm) > """ + s"""${StatCrit.Z975} END
+                  AS significant
          FROM ww"""),
 
     // FRIEDMAN TEST — the randomized-BLOCK rank test (does priority
@@ -5390,9 +5408,9 @@ object Behavior {
             expr("""CASE WHEN n = 0 THEN NULL ELSE
                     ROUND((2.0D * s_up - n) / sqrt(CAST(n AS DOUBLE)),
                       4) + 0.0D END""").as("z"),
-            expr("""CASE WHEN n = 0 THEN NULL ELSE
+            expr(s"""CASE WHEN n = 0 THEN NULL ELSE
                     CAST(2 * s_up - n AS DOUBLE) * (2 * s_up - n)
-                    > 3.841458820694124D * n END""")
+                    > ${StatCrit.Chi2_95_Df1}D * n END""")
               .as("significant"))
       },
       """WITH pc AS (
@@ -5421,7 +5439,8 @@ object Behavior {
                   + 0.0 END AS z,
                 CASE WHEN n = 0 THEN NULL ELSE
                   CAST(2 * s_up - n AS DOUBLE) * (2 * s_up - n)
-                  > 3.841458820694124 * n END AS significant
+                  > """ + s"""${StatCrit.Chi2_95_Df1} * n END
+                  AS significant
          FROM f"""),
   )
 }

@@ -4493,16 +4493,16 @@ object Ml {
         terms.agg(count(lit(1)).as("n_bins"), sum("term").as("hs"))
           .select(col("n_bins"),
             expr("ROUND(CAST(hs AS DOUBLE), 4) + 0.0D").as("hl_chi2"),
-            expr("""CASE WHEN n_bins <= 2 THEN NULL ELSE
+            expr(s"""CASE WHEN n_bins <= 2 THEN NULL ELSE
                     CAST(hs AS DOUBLE) > CASE n_bins - 2
-                      WHEN 1 THEN 3.841458820694126D
-                      WHEN 2 THEN 5.991464547107979D
-                      WHEN 3 THEN 7.814727903251179D
-                      WHEN 4 THEN 9.487729036781154D
-                      WHEN 5 THEN 11.070497693516351D
-                      WHEN 6 THEN 12.591587243743977D
-                      WHEN 7 THEN 14.067140449340169D
-                      ELSE 15.50731305586545D END END""")
+                      WHEN 1 THEN ${StatCrit.Chi2_95(1)}D
+                      WHEN 2 THEN ${StatCrit.Chi2_95(2)}D
+                      WHEN 3 THEN ${StatCrit.Chi2_95(3)}D
+                      WHEN 4 THEN ${StatCrit.Chi2_95(4)}D
+                      WHEN 5 THEN ${StatCrit.Chi2_95(5)}D
+                      WHEN 6 THEN ${StatCrit.Chi2_95(6)}D
+                      WHEN 7 THEN ${StatCrit.Chi2_95(7)}D
+                      ELSE ${StatCrit.Chi2_95(8)}D END END""")
               .as("significant"))
       },
       """WITH scored AS (
@@ -4533,14 +4533,10 @@ object Ml {
                 ROUND(CAST(hs AS DOUBLE), 4) + 0.0 AS hl_chi2,
                 CASE WHEN n_bins <= 2 THEN NULL ELSE
                   CAST(hs AS DOUBLE) > CASE n_bins - 2
-                    WHEN 1 THEN 3.841458820694126
-                    WHEN 2 THEN 5.991464547107979
-                    WHEN 3 THEN 7.814727903251179
-                    WHEN 4 THEN 9.487729036781154
-                    WHEN 5 THEN 11.070497693516351
-                    WHEN 6 THEN 12.591587243743977
-                    WHEN 7 THEN 14.067140449340169
-                    ELSE 15.50731305586545 END END AS significant
+""" + (1 to 7).map(df =>
+        s"                    WHEN $df THEN ${StatCrit.Chi2_95(df)}")
+        .mkString("\n") + s"""
+                    ELSE ${StatCrit.Chi2_95(8)} END END AS significant
          FROM m"""),
 
     // BALANCED ACCURACY / YOUDEN'S J / MARKEDNESS — the

@@ -1574,8 +1574,9 @@ object Profiling {
           expr("ROUND(skew, 6) + 0.0D").as("skewness"),
           expr("ROUND(exk, 6) + 0.0D").as("ex_kurtosis"),
           expr("ROUND(jb, 4) + 0.0D").as("jb"),
-          expr("""CASE WHEN jb IS NULL THEN NULL ELSE
-                  jb > 5.991464547107979D END""").as("non_normal")),
+          expr(s"""CASE WHEN jb IS NULL THEN NULL ELSE
+                  jb > ${StatCrit.Chi2_95(2)}D END""")
+            .as("non_normal")),
       """WITH t AS (
            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))*100
                     AS BIGINT) // 100 AS x
@@ -1616,7 +1617,8 @@ object Profiling {
                 ROUND(exk, 6) + 0.0 AS ex_kurtosis,
                 ROUND(jb, 4) + 0.0 AS jb,
                 CASE WHEN jb IS NULL THEN NULL ELSE
-                  jb > 5.991464547107979 END AS non_normal
+                  jb > """ + s"""${StatCrit.Chi2_95(2)} END
+                  AS non_normal
          FROM j"""),
 
     // RATIO ESTIMATOR — the survey-sampling companion to

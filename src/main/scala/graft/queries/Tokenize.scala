@@ -411,13 +411,15 @@ FROM fin ORDER BY lang, source"""),
     // the number mix_temperature's boosts imply but never state: when
     // docs are importance-weighted to the T=0.5 mixture
     // (w_c = target_share/actual_share, the boost column), ESS =
-    // (Σw)²/Σw² collapses to N²/Σ_c n_c·w_c² because per-cell targets
-    // sum to 1 — so how much of the corpus the reweighting actually
-    // keeps is ONE bounded-cell aggregate. Per-cell w is a
-    // deterministic double off exact counts; the Σw² term is
-    // quantized ONCE after the product (the round-10 decimal-width
-    // lesson). ESS/N near 1 = gentle mix, small = the mixture is
-    // really a subset.
+    // (Σw)²/Σw² = (Σ_c n_c·w_c)²/Σ_c n_c·w_c² — BOTH cell sums
+    // computed explicitly (in exact arithmetic the numerator sum
+    // equals N, but w is floating so assuming the identity could
+    // overstate ess; r10 ADVICE) — so how much of the corpus the
+    // reweighting actually keeps is ONE bounded-cell aggregate.
+    // Per-cell w is a deterministic double off exact counts; both
+    // sums are quantized ONCE after the product (the round-10
+    // decimal-width lesson). ESS/N near 1 = gentle mix, small = the
+    // mixture is really a subset.
     Q("mix_ess",
       (s, d) => {
         val cells = documents(s, d)
@@ -430,18 +432,27 @@ FROM fin ORDER BY lang, source"""),
           .withColumn("w",
             expr("""(CAST(s_i AS DOUBLE) / CAST(stot AS DOUBLE))
                     * (CAST(ntot AS DOUBLE) / n)"""))
+          // The numerator is computed EXPLICITLY as (Σ n_c·w_c)²
+          // rather than assuming Σ n_c·w_c = N: the identity holds
+          // only in exact arithmetic, and w is a floating product, so
+          // the shortcut could report ess slightly above the true
+          // (Σw)²/Σw² (r10 ADVICE). Both terms are quantized to the
+          // same DECIMAL(38,12) so the two engines sum identically.
+          .withColumn("t1", expr("CAST(n * w AS DECIMAL(38,12))"))
           .withColumn("t2", expr("CAST(n * (w * w) AS DECIMAL(38,12))"))
           .agg(max("ntot").as("n_docs"), max("n_cells").as("n_cells"),
-            sum("t2").as("sw2"))
+            sum("t1").as("sw1"), sum("t2").as("sw2"))
           .select(col("n_docs"), col("n_cells"),
             expr("""CASE WHEN CAST(sw2 AS DOUBLE) <= 0.0D THEN NULL
-                    ELSE ROUND(CAST(n_docs AS DOUBLE)
-                         * CAST(n_docs AS DOUBLE)
+                    ELSE ROUND(CAST(sw1 AS DOUBLE)
+                         * CAST(sw1 AS DOUBLE)
                          / CAST(sw2 AS DOUBLE), 2) + 0.0D END""")
               .as("ess"),
             expr("""CASE WHEN CAST(sw2 AS DOUBLE) <= 0.0D THEN NULL
-                    ELSE ROUND(CAST(n_docs AS DOUBLE)
-                         / CAST(sw2 AS DOUBLE), 6) + 0.0D END""")
+                    ELSE ROUND(CAST(sw1 AS DOUBLE)
+                         * CAST(sw1 AS DOUBLE)
+                         / CAST(sw2 AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE), 6) + 0.0D END""")
               .as("ess_ratio"))
       },
       """WITH cells AS (
@@ -460,19 +471,24 @@ FROM fin ORDER BY lang, source"""),
                     * (CAST(ntot AS DOUBLE) / n))
                     * ((CAST(s_i AS DOUBLE) / CAST(stot AS DOUBLE))
                     * (CAST(ntot AS DOUBLE) / n))) AS DECIMAL(38,12))
-                    AS t2
+                    AS t2,
+                  CAST(n * ((CAST(s_i AS DOUBLE) / CAST(stot AS DOUBLE))
+                    * (CAST(ntot AS DOUBLE) / n)) AS DECIMAL(38,12))
+                    AS t1
            FROM cells CROSS JOIN tot),
          m AS (
            SELECT MAX(ntot) AS n_docs, MAX(n_cells) AS n_cells,
-                  SUM(t2) AS sw2
+                  SUM(t1) AS sw1, SUM(t2) AS sw2
            FROM t)
          SELECT n_docs, n_cells,
                 CASE WHEN CAST(sw2 AS DOUBLE) <= 0.0 THEN NULL
-                ELSE ROUND(CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                ELSE ROUND(CAST(sw1 AS DOUBLE) * CAST(sw1 AS DOUBLE)
                      / CAST(sw2 AS DOUBLE), 2) + 0.0 END AS ess,
                 CASE WHEN CAST(sw2 AS DOUBLE) <= 0.0 THEN NULL
-                ELSE ROUND(CAST(n_docs AS DOUBLE)
-                     / CAST(sw2 AS DOUBLE), 6) + 0.0 END AS ess_ratio
+                ELSE ROUND(CAST(sw1 AS DOUBLE) * CAST(sw1 AS DOUBLE)
+                     / CAST(sw2 AS DOUBLE)
+                     / CAST(n_docs AS DOUBLE), 6) + 0.0 END
+                  AS ess_ratio
          FROM m"""),
   )
 }
