@@ -1887,6 +1887,56 @@ GROUP BY source ORDER BY source"""),
          WHERE fi % 2 = 0
          ORDER BY media_id, frame_idx"""),
 
+    // REAL byte-level audio decode (round 11 — closes the "multimodal
+    // operates on magic-sniffed synthetic bytes" gap): per document, a
+    // deterministic PCM16 waveform is ENCODED into spec-conformant
+    // RIFF/WAVE bytes and decoded back by parsing the actual 44-byte
+    // header + little-endian samples (engine/ml/Multimodal.WavCodec —
+    // an endianness, offset or chunk-length bug breaks the decode; the
+    // JDK's independent javax.sound parser accepts the same bytes in
+    // MultimodalWavSpec). The oracle CANNOT parse WAV, so it replays
+    // the closed-form waveform and recomputes the identical all-integer
+    // statistics — Spark's numbers come from the decoded bytes, DuckDB's
+    // from the definition, and the hash compare proves the byte
+    // round-trip is lossless. Per-row map-side work, no shuffle; at
+    // 100 TB this is the ingest-time decode shape (bytes never
+    // shuffle, stats extracted before any wide op).
+    Q("multimodal_wav_decode",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            graft.engine.ml.Multimodal.wavRoundTripStats(id, 8000)))
+          .toDF()
+          .select(col("media_id"), col("n_bytes"), col("header_ok"),
+            col("sample_rate"), col("n_samples"), col("peak_abs"),
+            col("sum_sq"), col("zero_crossings"))
+          .orderBy("media_id")
+      },
+      """WITH docs AS (
+           SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+         samp AS (
+           SELECT doc_id, n, i,
+                  (doc_id * 31 + i * 17) % 2001 - 1000 AS s
+           FROM (SELECT doc_id, n, UNNEST(range(0, n)) AS i
+                 FROM docs)),
+         lagged AS (
+           SELECT doc_id, n, s,
+                  LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+           FROM samp)
+         SELECT doc_id AS media_id,
+                CAST(44 + 2 * MAX(n) AS BIGINT) AS n_bytes,
+                TRUE AS header_ok,
+                CAST(8000 AS BIGINT) AS sample_rate,
+                CAST(MAX(n) AS BIGINT) AS n_samples,
+                CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+                CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+                CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND (prev < 0) <> (s < 0)
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                  AS zero_crossings
+         FROM lagged GROUP BY doc_id ORDER BY media_id"""),
+
     // Exact top-k by EUCLIDEAN distance — the third metric of the
     // search family (dot / cosine / hamming already declared). The
     // squared distance sums per-dim (x−y)² as exact DECIMAL(20,10)
