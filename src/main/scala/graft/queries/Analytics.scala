@@ -4832,12 +4832,13 @@ object Analytics {
         x.crossJoin(tot)
           .select(col("node"),
             // Guard the 1e12 rescale's DECIMAL(38,0) headroom: the
-            // multiply needs xv ≤ ~1.7e26 (38 digits − 12). Spark's
-            // non-ANSI DECIMAL overflow yields NULL silently while
-            // DuckDB's HUGEINT (~1.7e38) still holds, so outside the
-            // deg≈2e8 envelope the engines would diverge SILENTLY —
+            // multiply needs xv < 1e26 (xv·1e12 must stay ≤ 1e38−1,
+            // the 38-digit cap — xv = 1e26 exactly already overflows).
+            // Spark's non-ANSI DECIMAL overflow yields NULL silently
+            // while DuckDB's HUGEINT (~1.7e38) still holds, so outside
+            // the deg≈2e8 envelope the engines would diverge SILENTLY —
             // raise_error makes the breach loud instead (r10 ADVICE).
-            expr("""CASE WHEN xv > CAST(
+            expr("""CASE WHEN xv >= CAST(
                       '100000000000000000000000000' AS DECIMAL(38,0))
                     THEN CAST(raise_error(
                       'eigenvector iterate exceeds 1e12-rescale ' ||

@@ -1905,8 +1905,8 @@ GROUP BY source ORDER BY source"""),
       (s, d) => {
         import s.implicits._
         documents(s, d).select(col("doc_id")).as[Long]
-          .mapPartitions(_.map(id =>
-            graft.engine.ml.Multimodal.wavRoundTripStats(id, 8000)))
+          .map(id =>
+            graft.engine.ml.Multimodal.wavRoundTripStats(id, 8000))
           .toDF()
           .select(col("media_id"), col("n_bytes"), col("header_ok"),
             col("sample_rate"), col("n_samples"), col("peak_abs"),
