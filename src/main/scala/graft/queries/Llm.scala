@@ -1916,8 +1916,11 @@ GROUP BY source ORDER BY source"""),
       """WITH docs AS (
            SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
          samp AS (
+           -- id folded into the modulus before the multiply (matches
+           -- wavRoundTripStats): identical waveform mod 2001, but no
+           -- BIGINT-overflow envelope at extreme doc_id
            SELECT doc_id, n, i,
-                  (doc_id * 31 + i * 17) % 2001 - 1000 AS s
+                  ((doc_id % 2001) * 31 + i * 17) % 2001 - 1000 AS s
            FROM (SELECT doc_id, n, UNNEST(range(0, n)) AS i
                  FROM docs)),
          lagged AS (
@@ -1935,6 +1938,67 @@ GROUP BY source ORDER BY source"""),
                           AND (prev < 0) <> (s < 0)
                           THEN 1 ELSE 0 END) AS BIGINT)
                   AS zero_crossings
+         FROM lagged GROUP BY doc_id ORDER BY media_id"""),
+
+    // REAL byte-level IMAGE decode (round 12) — the WavCodec
+    // discipline applied to stills: each doc_id deterministically
+    // becomes an uncompressed 24-bit BMP (14+40-byte headers,
+    // bottom-up BGR rows padded to 4 bytes — no external library
+    // needed), the Spark side round-trips the actual bytes through
+    // BmpCodec and computes all-integer stats FROM THE DECODED
+    // PIXELS (channel sums + horizontal luminance-gradient edge
+    // count — the latter is pixel-ORDER sensitive, so a stride,
+    // padding or row-flip bug in the parse changes the answer). The
+    // oracle replays the closed-form image (construction-time
+    // truth), so the hash match proves the byte round-trip lossless;
+    // javax.imageio independently accepts the bytes and returns the
+    // same pixels (MultimodalBmpSpec). Per-row map-side work, no
+    // shuffle — the 100 TB ingest-time decode shape, like the WAV
+    // key above.
+    Q("multimodal_bmp_decode",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).select(col("doc_id")).as[Long]
+          .map(id => graft.engine.ml.Multimodal.bmpRoundTripStats(id))
+          .toDF()
+          .select(col("media_id"), col("n_bytes"), col("header_ok"),
+            col("width"), col("height"), col("b_sum"), col("g_sum"),
+            col("r_sum"), col("edges"))
+          .orderBy("media_id")
+      },
+      """WITH docs AS (
+           SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+                  doc_id % 251 AS dd
+           FROM documents),
+         rows_y AS (
+           SELECT doc_id, w, h, dd, UNNEST(range(0, h)) AS y
+           FROM docs),
+         px AS (
+           SELECT doc_id, w, h, y,
+                  (dd * 3 + x * 7 + y * 11) % 256 AS b,
+                  (dd * 5 + x * 13 + y * 3) % 256 AS g,
+                  (dd * 7 + x * 2 + y * 17) % 256 AS r,
+                  x
+           FROM (SELECT doc_id, w, h, dd, y,
+                        UNNEST(range(0, w)) AS x
+                 FROM rows_y)),
+         lagged AS (
+           SELECT doc_id, w, h, b, g, r, b + g + r AS lum,
+                  LAG(b + g + r)
+                    OVER (PARTITION BY doc_id, y ORDER BY x) AS prev
+           FROM px)
+         SELECT doc_id AS media_id,
+                CAST(54 + MAX(h) * ((3 * MAX(w) + 3) // 4 * 4)
+                  AS BIGINT) AS n_bytes,
+                TRUE AS header_ok,
+                CAST(MAX(w) AS BIGINT) AS width,
+                CAST(MAX(h) AS BIGINT) AS height,
+                CAST(SUM(b) AS BIGINT) AS b_sum,
+                CAST(SUM(g) AS BIGINT) AS g_sum,
+                CAST(SUM(r) AS BIGINT) AS r_sum,
+                CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND ABS(lum - prev) > 128
+                          THEN 1 ELSE 0 END) AS BIGINT) AS edges
          FROM lagged GROUP BY doc_id ORDER BY media_id"""),
 
     // Exact top-k by EUCLIDEAN distance — the third metric of the

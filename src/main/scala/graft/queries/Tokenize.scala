@@ -438,8 +438,14 @@ FROM fin ORDER BY lang, source"""),
           // the shortcut could report ess slightly above the true
           // (Σw)²/Σw² (r10 ADVICE). Both terms are quantized to the
           // same DECIMAL(38,12) so the two engines sum identically.
-          .withColumn("t1", expr("CAST(n * w AS DECIMAL(38,12))"))
-          .withColumn("t2", expr("CAST(n * (w * w) AS DECIMAL(38,12))"))
+          // ROUND(...,12) BEFORE the decimal cast (ADVICE r11): the
+          // rounding rule at the 12th digit is spelled out explicitly
+          // on both engines instead of inherited from each engine's
+          // DOUBLE->DECIMAL cast behavior at the quantization boundary.
+          .withColumn("t1",
+            expr("CAST(ROUND(n * w, 12) AS DECIMAL(38,12))"))
+          .withColumn("t2",
+            expr("CAST(ROUND(n * (w * w), 12) AS DECIMAL(38,12))"))
           .agg(max("ntot").as("n_docs"), max("n_cells").as("n_cells"),
             sum("t1").as("sw1"), sum("t2").as("sw2"))
           .select(col("n_docs"), col("n_cells"),
@@ -467,13 +473,13 @@ FROM fin ORDER BY lang, source"""),
            FROM cells),
          t AS (
            SELECT ntot, n_cells,
-                  CAST(n * (((CAST(s_i AS DOUBLE) / CAST(stot AS DOUBLE))
+                  CAST(ROUND(n * (((CAST(s_i AS DOUBLE) / CAST(stot AS DOUBLE))
                     * (CAST(ntot AS DOUBLE) / n))
                     * ((CAST(s_i AS DOUBLE) / CAST(stot AS DOUBLE))
-                    * (CAST(ntot AS DOUBLE) / n))) AS DECIMAL(38,12))
+                    * (CAST(ntot AS DOUBLE) / n))), 12) AS DECIMAL(38,12))
                     AS t2,
-                  CAST(n * ((CAST(s_i AS DOUBLE) / CAST(stot AS DOUBLE))
-                    * (CAST(ntot AS DOUBLE) / n)) AS DECIMAL(38,12))
+                  CAST(ROUND(n * ((CAST(s_i AS DOUBLE) / CAST(stot AS DOUBLE))
+                    * (CAST(ntot AS DOUBLE) / n)), 12) AS DECIMAL(38,12))
                     AS t1
            FROM cells CROSS JOIN tot),
          m AS (

@@ -23,10 +23,18 @@ def bench_queries(path):
 
 
 def main():
-    # numeric round sort — lexicographic picks r99 over r100
-    paths = sys.argv[1:] or sorted(
-        glob.glob("BENCH_r*.json"),
-        key=lambda p: int(re.search(r"r(\d+)", p).group(1)))[-1:]
+    # numeric round sort — lexicographic picks r99 over r100. With no
+    # args, check BOTH the driver's newest official BENCH_rN AND the
+    # builder's newest close record (r11 lesson: mmr was top-20 in the
+    # driver window but not the close record, so checking only one
+    # left the official gate red).
+    paths = sys.argv[1:]
+    if not paths:
+        for pat in ("BENCH_r*.json", "bench_records/bench_r*close*.json"):
+            cand = sorted(
+                (p for p in glob.glob(pat) if re.search(r"r(\d+)", p)),
+                key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+            paths += cand[-1:]
     if not paths:
         print("no BENCH_r*.json found", file=sys.stderr)
         return 2
