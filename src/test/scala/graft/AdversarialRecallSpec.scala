@@ -161,6 +161,8 @@ class AdversarialRecallSpec extends AnyFunSuite with SparkFixture {
     info(f"IVF recall: correlated=$rCor%.2f isotropic=$rIso%.2f " +
       "(16 cells, 6 probed, top-5 vs brute force)")
     assert(rIso >= 0.7, s"isotropic IVF recall $rIso below 0.7")
-    assert(rCor >= 0.5, s"correlated-dims IVF recall $rCor below 0.5")
+    // round-12 spherical+shrinkage quantizer raised this floor from
+    // 0.5 (r11 measured 0.68) to 0.8 (measured 1.00)
+    assert(rCor >= 0.8, s"correlated-dims IVF recall $rCor below 0.8")
   }
 }

@@ -110,8 +110,12 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val fitted = Similarity.fitCentroids(emb, 16, 42L)
     Similarity.saveQuantizer(spark, fitted, path)
     val loaded = Similarity.loadQuantizer(spark, path)
-    assert(loaded.length === fitted.length)
-    fitted.zip(loaded).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    assert(loaded.cells.length === fitted.cells.length)
+    fitted.cells.zip(loaded.cells).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq) }
+    assert(loaded.whiten.length === fitted.whiten.length)
+    fitted.whiten.zip(loaded.whiten).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq) }
     // query path with stored centroids ≡ fit-on-the-fly path
     val probes = Similarity.probes(emb)
     val viaStore = Similarity.ivfTopKWith(emb, probes, 5, loaded)
@@ -190,10 +194,13 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // and the persisted copy under the warehouse reloads identically
     val fp = graft.engine.io.Artifacts.fingerprintOf(emb)
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val path = s"$warehouse/graft_quantizers/${tag}_${fp}_8_7"
+    val path = s"$warehouse/graft_quantizers/${tag}_${fp}_8_7_w1"
     val loaded = Similarity.loadQuantizer(spark, path)
-    assert(loaded.length === first.length)
-    first.zip(loaded).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    assert(loaded.cells.length === first.cells.length)
+    first.cells.zip(loaded.cells).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq) }
+    first.whiten.zip(loaded.whiten).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq) }
   }
 
   test("cell-partitioned IVF index ≡ the scan-and-filter IVF path") {
@@ -276,11 +283,15 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // contents: (cell, vec_id) equals an INDEPENDENT nearest-cell
     // assignment of base ∪ batch under the stored (base-fit) quantizer
     val centroids = Similarity.loadQuantizer(spark, s"$dir/_quantizer")
-    def cellOf(v: Seq[Float]): Int = centroids.zipWithIndex.map {
-      case (c, i) =>
-        (i, c.zip(v.map(_.toDouble)).map { case (a, b) =>
-          (a - b) * (a - b) }.sum)
-    }.minBy(_._2)._1
+    // independent recomputation: whiten with the STORED rows, then
+    // nearest centroid in the whitened space
+    def cellOf(v: Seq[Float]): Int = {
+      val p = centroids.whiten.map(row =>
+        row.zip(v.map(_.toDouble)).map { case (a, b) => a * b }.sum)
+      centroids.cells.zipWithIndex.map { case (c, i) =>
+        (i, c.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.minBy(_._2)._1
+    }
     val expected = emb.select("vec_id", "embedding").collect()
       .map(r => (cellOf(r.getSeq[Float](1)), r.getLong(0))).toSet
     val got = spark.read.parquet(dir).select("cell", "vec_id").collect()
@@ -299,7 +310,10 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
   test("fitCentroids is invariant to physical partitioning") {
     val a = Similarity.fitCentroids(emb, 8, 42L)
     val b = Similarity.fitCentroids(emb.repartition(13), 8, 42L)
-    a.zip(b).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
+    a.cells.zip(b.cells).foreach { case (x, y) =>
+      assert(x.toSeq === y.toSeq) }
+    a.whiten.zip(b.whiten).foreach { case (x, y) =>
+      assert(x.toSeq === y.toSeq) }
   }
 
   test("index compaction: one file per cell, untouched cells " +
