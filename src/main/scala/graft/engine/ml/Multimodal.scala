@@ -263,6 +263,224 @@ object Multimodal {
     }
   }
 
+  /** REAL byte-level video codec (round 12 — the third member of the
+    * WavCodec/BmpCodec family, closing the video-stub gap): an
+    * uncompressed-DIB AVI needs no external library either — it is a
+    * nested RIFF container ('RIFF…AVI ' → LIST hdrl {avih, LIST strl
+    * {strh, strf}} → LIST movi {'00db' frames} → idx1) whose frames
+    * are exactly BMP pixel arrays without the file header (bottom-up
+    * BGR24 rows, 4-byte-padded). [[AviCodec.encodeDib24]] emits the
+    * full container including the frame index; [[AviCodec.decodeDib24]]
+    * walks the actual chunk tree — reads dimensions and frame count
+    * from the avih header it finds, collects each '00db' chunk in movi
+    * order, un-flips rows — so a wrong LIST nesting, stride, frame
+    * order or chunk length breaks the decode. No JDK AVI reader exists
+    * for an independent-decoder gate (unlike WAV/WAV's javax.sound and
+    * BMP's javax.imageio), so the spec compensates with tamper tests
+    * on every header field and a frame-content round-trip against
+    * independently-generated pixels (MultimodalBmpSpec). */
+  object AviCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** Frames are BmpCodec-convention pixel arrays: packed 0xRRGGBB,
+      * row-major, y = 0 at the top. */
+    case class DecodedVid(ok: Boolean, width: Int, height: Int,
+        frames: Array[Array[Int]])
+
+    private def rowSize(width: Int): Int = (3 * width + 3) & ~3
+
+    def encodeDib24(width: Int, height: Int, frames: Array[Array[Int]],
+        fps: Int = 10): Array[Byte] = {
+      require(frames.nonEmpty && frames.forall(_.length == width * height))
+      val stride = rowSize(width)
+      val frameLen = stride * height
+      val nF = frames.length
+      val moviLen = 4 + nF * (8 + frameLen) // 'movi' + frame chunks
+      val idxLen = 16 * nF
+      val hdrlLen = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen) + (8 + idxLen)
+      val bb = ByteBuffer.allocate(8 + riffLen)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+      fourcc("RIFF"); bb.putInt(riffLen); fourcc("AVI ")
+      // ---- LIST hdrl
+      fourcc("LIST"); bb.putInt(hdrlLen); fourcc("hdrl")
+      fourcc("avih"); bb.putInt(56)
+      bb.putInt(1000000 / fps) // dwMicroSecPerFrame
+      bb.putInt(frameLen * fps) // dwMaxBytesPerSec
+      bb.putInt(0) // dwPaddingGranularity
+      bb.putInt(0x10) // dwFlags = AVIF_HASINDEX
+      bb.putInt(nF) // dwTotalFrames
+      bb.putInt(0) // dwInitialFrames
+      bb.putInt(1) // dwStreams
+      bb.putInt(frameLen) // dwSuggestedBufferSize
+      bb.putInt(width); bb.putInt(height)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0) // reserved
+      // ---- LIST strl
+      fourcc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+      fourcc("strh"); bb.putInt(56)
+      fourcc("vids"); fourcc("DIB ")
+      bb.putInt(0) // dwFlags
+      bb.putShort(0); bb.putShort(0) // wPriority, wLanguage
+      bb.putInt(0) // dwInitialFrames
+      bb.putInt(1); bb.putInt(fps) // dwScale / dwRate = frame rate
+      bb.putInt(0) // dwStart
+      bb.putInt(nF) // dwLength (in frames)
+      bb.putInt(frameLen) // dwSuggestedBufferSize
+      bb.putInt(-1) // dwQuality (default)
+      bb.putInt(0) // dwSampleSize
+      bb.putShort(0); bb.putShort(0) // rcFrame left, top
+      bb.putShort(width.toShort); bb.putShort(height.toShort)
+      fourcc("strf"); bb.putInt(40) // BITMAPINFOHEADER
+      bb.putInt(40); bb.putInt(width); bb.putInt(height)
+      bb.putShort(1); bb.putShort(24)
+      bb.putInt(0) // BI_RGB
+      bb.putInt(frameLen)
+      bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+      // ---- LIST movi
+      fourcc("LIST"); bb.putInt(moviLen); fourcc("movi")
+      val frameOffsets = new Array[Int](nF)
+      frames.zipWithIndex.foreach { case (px, f) =>
+        frameOffsets(f) = bb.position() - 0 // absolute; rebased below
+        fourcc("00db"); bb.putInt(frameLen)
+        var y = height - 1
+        while (y >= 0) { // bottom row first, exactly like BMP
+          var x = 0
+          while (x < width) {
+            val p = px(y * width + x)
+            bb.put((p & 0xff).toByte)
+            bb.put(((p >> 8) & 0xff).toByte)
+            bb.put(((p >> 16) & 0xff).toByte)
+            x += 1
+          }
+          var pad = stride - 3 * width
+          while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+          y -= 1
+        }
+      }
+      // ---- idx1 (offsets relative to the 'movi' fourcc, the
+      // convention most writers use)
+      // 'movi' fourcc position: 12-byte RIFF header, the whole hdrl
+      // LIST (8 + hdrlLen), then the movi LIST's own tag+size
+      val moviFourccPos = 12 + (8 + hdrlLen) + 8
+      fourcc("idx1"); bb.putInt(idxLen)
+      frameOffsets.foreach { off =>
+        fourcc("00db")
+        bb.putInt(0x10) // AVIIF_KEYFRAME
+        bb.putInt(off - moviFourccPos)
+        bb.putInt(frameLen)
+      }
+      bb.array()
+    }
+
+    def decodeDib24(bytes: Array[Byte]): DecodedVid = {
+      def tag(off: Int) =
+        if (off + 4 <= bytes.length) new String(bytes, off, 4, "US-ASCII")
+        else ""
+      if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ")
+        return DecodedVid(ok = false, 0, 0, Array.empty)
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      if (bb.getInt(4) != bytes.length - 8)
+        return DecodedVid(ok = false, 0, 0, Array.empty)
+      var width = 0; var height = 0; var totalFrames = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      var bad = false
+      // walk the top-level chunks; recurse into hdrl and movi LISTs
+      def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        var off = start
+        while (off + 8 <= end && !bad) {
+          val t = tag(off)
+          val len = bb.getInt(off + 4)
+          if (len < 0 || off + 8 + len > end) { bad = true; return }
+          if (t == "LIST" && len >= 4) {
+            val kind = tag(off + 8)
+            if (kind == "hdrl" || kind == "movi" || kind == "strl")
+              walk(off + 12, off + 8 + len, kind == "movi")
+          } else if (t == "avih" && len >= 56) {
+            totalFrames = bb.getInt(off + 8 + 16)
+            width = bb.getInt(off + 8 + 32)
+            height = bb.getInt(off + 8 + 36)
+          } else if (inMovi && t == "00db") {
+            if (width <= 0 || height <= 0) { bad = true; return }
+            val stride = rowSize(width)
+            if (len != stride * height) { bad = true; return }
+            val px = new Array[Int](width * height)
+            var y = 0
+            while (y < height) {
+              val rowOff = off + 8 + (height - 1 - y) * stride
+              var x = 0
+              while (x < width) {
+                val o = rowOff + 3 * x
+                px(y * width + x) = ((bytes(o + 2) & 0xff) << 16) |
+                  ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            frames += px
+          }
+          off += 8 + len + (len & 1)
+        }
+      }
+      walk(12, bytes.length, inMovi = false)
+      if (bad || width <= 0 || height <= 0 || frames.isEmpty ||
+          totalFrames != frames.length)
+        return DecodedVid(ok = false, width, height, Array.empty)
+      DecodedVid(ok = true, width, height, frames.toArray)
+    }
+  }
+
+  /** Per-media decoded-video statistics row (all-integer so the
+    * declared query is digit-exact against the oracle). `motion` is
+    * the count of (pixel, frame>0) sites whose luminance moved by more
+    * than 128 versus the SAME pixel one frame earlier — sensitive to
+    * frame ORDER and pixel alignment, so a movi-order or stride bug in
+    * the decode changes it. */
+  case class AviStats(media_id: Long, n_bytes: Long, header_ok: Boolean,
+      width: Long, height: Long, n_frames: Long, b_sum: Long,
+      g_sum: Long, r_sum: Long, motion: Long)
+
+  /** Encode the deterministic test clip for `mediaId` (the same closed
+    * form the DuckDB oracle replays), round-trip it through
+    * [[AviCodec]] and compute stats FROM THE DECODED FRAMES. */
+  def aviRoundTripStats(mediaId: Long): AviStats = {
+    val w = (8 + mediaId % 5).toInt
+    val h = (8 + mediaId % 3).toInt
+    val nF = (4 + mediaId % 4).toInt
+    val dd = (mediaId % 251).toInt
+    def px(x: Int, y: Int, f: Int): Int = {
+      val b = (dd * 3 + x * 7 + y * 11 + f * 19) % 256
+      val g = (dd * 5 + x * 13 + y * 3 + f * 23) % 256
+      val r = (dd * 7 + x * 2 + y * 17 + f * 29) % 256
+      (r << 16) | (g << 8) | b
+    }
+    val frames = Array.tabulate(nF)(f =>
+      Array.tabulate(w * h)(i => px(i % w, i / w, f)))
+    val bytes = AviCodec.encodeDib24(w, h, frames)
+    val dec = AviCodec.decodeDib24(bytes)
+    var bs = 0L; var gs = 0L; var rs = 0L; var motion = 0L
+    var f = 0
+    while (f < dec.frames.length) {
+      val cur = dec.frames(f)
+      val prev = if (f > 0) dec.frames(f - 1) else null
+      var i = 0
+      while (i < cur.length) {
+        val p = cur(i)
+        val b = p & 0xff; val g = (p >> 8) & 0xff; val r = (p >> 16) & 0xff
+        bs += b; gs += g; rs += r
+        if (prev != null) {
+          val q = prev(i)
+          val lumPrev = (q & 0xff) + ((q >> 8) & 0xff) + ((q >> 16) & 0xff)
+          if (math.abs(b + g + r - lumPrev) > 128) motion += 1
+        }
+        i += 1
+      }
+      f += 1
+    }
+    AviStats(mediaId, bytes.length.toLong, dec.ok, dec.width.toLong,
+      dec.height.toLong, dec.frames.length.toLong, bs, gs, rs, motion)
+  }
+
   /** Per-media decoded-image statistics row (all-integer so the
     * declared query is digit-exact against the oracle). */
   case class BmpStats(media_id: Long, n_bytes: Long, header_ok: Boolean,

@@ -2001,6 +2001,69 @@ GROUP BY source ORDER BY source"""),
                           THEN 1 ELSE 0 END) AS BIGINT) AS edges
          FROM lagged GROUP BY doc_id ORDER BY media_id"""),
 
+    // REAL byte-level VIDEO decode (round 12) — the last stub in the
+    // multimodal family replaced: each doc_id becomes an uncompressed
+    // -DIB AVI (a nested RIFF container: hdrl{avih,strl{strh,strf}} +
+    // movi{'00db' frames} + idx1 — frames are BMP pixel arrays without
+    // the file header, so no external library is needed), the Spark
+    // side walks the actual chunk tree (AviCodec) and computes
+    // all-integer stats FROM THE DECODED FRAMES: channel sums plus a
+    // MOTION count (same-pixel luminance jumps > 128 between
+    // consecutive frames — frame-ORDER sensitive, so a movi-order,
+    // nesting or stride bug changes the answer). The oracle replays
+    // the closed-form clip; n_bytes is the full container size, so
+    // even the header/index layout arithmetic is parity-checked.
+    // Per-row map-side work, no shuffle.
+    Q("multimodal_avi_decode",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).select(col("doc_id")).as[Long]
+          .map(id => graft.engine.ml.Multimodal.aviRoundTripStats(id))
+          .toDF()
+          .select(col("media_id"), col("n_bytes"), col("header_ok"),
+            col("width"), col("height"), col("n_frames"),
+            col("b_sum"), col("g_sum"), col("r_sum"), col("motion"))
+          .orderBy("media_id")
+      },
+      """WITH docs AS (
+           SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+                  4 + doc_id % 4 AS nf, doc_id % 251 AS dd
+           FROM documents),
+         rows_y AS (
+           SELECT doc_id, w, h, nf, dd, UNNEST(range(0, h)) AS y
+           FROM docs),
+         rows_xy AS (
+           SELECT doc_id, w, h, nf, dd, y, UNNEST(range(0, w)) AS x
+           FROM rows_y),
+         px AS (
+           SELECT doc_id, w, h, nf, x, y, f,
+                  (dd * 3 + x * 7 + y * 11 + f * 19) % 256 AS b,
+                  (dd * 5 + x * 13 + y * 3 + f * 23) % 256 AS g,
+                  (dd * 7 + x * 2 + y * 17 + f * 29) % 256 AS r
+           FROM (SELECT doc_id, w, h, nf, dd, x, y,
+                        UNNEST(range(0, nf)) AS f
+                 FROM rows_xy)),
+         lagged AS (
+           SELECT doc_id, w, h, nf, b, g, r, b + g + r AS lum,
+                  LAG(b + g + r) OVER (PARTITION BY doc_id, x, y
+                    ORDER BY f) AS prev
+           FROM px)
+         SELECT doc_id AS media_id,
+                CAST(232 + MAX(nf) *
+                  (24 + MAX(h) * ((3 * MAX(w) + 3) // 4 * 4))
+                  AS BIGINT) AS n_bytes,
+                TRUE AS header_ok,
+                CAST(MAX(w) AS BIGINT) AS width,
+                CAST(MAX(h) AS BIGINT) AS height,
+                CAST(MAX(nf) AS BIGINT) AS n_frames,
+                CAST(SUM(b) AS BIGINT) AS b_sum,
+                CAST(SUM(g) AS BIGINT) AS g_sum,
+                CAST(SUM(r) AS BIGINT) AS r_sum,
+                CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND ABS(lum - prev) > 128
+                          THEN 1 ELSE 0 END) AS BIGINT) AS motion
+         FROM lagged GROUP BY doc_id ORDER BY media_id"""),
+
     // Exact top-k by EUCLIDEAN distance — the third metric of the
     // search family (dot / cosine / hamming already declared). The
     // squared distance sums per-dim (x−y)² as exact DECIMAL(20,10)
