@@ -8,15 +8,16 @@ import org.apache.spark.sql.functions._
   * feature-extraction / resize / frame-sampling run as partition-local
   * batch transforms.
   *
-  * The image/video codec step is STUBBED (this container has no image
-  * libraries): [[FakeCodec]] derives deterministic pseudo-features from
-  * the bytes. Everything around it — schema, encoders, partition-local
-  * batching, the operator signatures — is the real Spark shape: swap
-  * `FakeCodec` for a JNI/library codec and the pipeline is production.
-  * The AUDIO path is NOT a stub: [[WavCodec]] encodes and parses real
-  * RIFF/WAVE PCM16 bytes (round 11 — canonical WAV needs no external
-  * library), so the `multimodal_wav_decode` key exercises genuine
-  * byte-level decoding.
+  * All three media codecs are REAL byte-level implementations — none
+  * needs an external library: [[WavCodec]] parses RIFF/WAVE PCM16 with
+  * a chunk-walking RIFF parse (r11, hardened r12), [[BmpCodec]] parses
+  * uncompressed 24-bit BMP (r12; javax.imageio independent-decoder
+  * gate), and [[AviCodec]] parses uncompressed-DIB AVI containers
+  * (r12). Only [[FakeCodec]] remains as an honestly-labeled
+  * deterministic stand-in for the generic feature-vector seam
+  * (`extractFeatures`) — swap it for a JNI/library codec and that
+  * pipeline is production; the schema, encoders and partition-local
+  * batching around it are the real Spark shape.
   *
   * Scale notes: `mapPartitions` keeps the (expensive) codec amortized
   * per-batch, media bytes never shuffle (features are extracted before
@@ -139,7 +140,9 @@ object Multimodal {
       while (off + 8 <= bytes.length && (dataOff < 0 || !sawFmt)) {
         val t = tag(off)
         val len = bb.getInt(off + 4)
-        if (len < 0 || off + 8 + len > bytes.length)
+        // Long arithmetic: a crafted len near Int.MaxValue must fail
+        // the bounds check, not wrap it (code-review r12)
+        if (len < 0 || off + 8L + len > bytes.length)
           return Decoded(ok = false, rate, channels, bits, Array.empty)
         if (t == "fmt " && len >= 16) {
           fmt = bb.getShort(off + 8)
@@ -391,7 +394,8 @@ object Multimodal {
         while (off + 8 <= end && !bad) {
           val t = tag(off)
           val len = bb.getInt(off + 4)
-          if (len < 0 || off + 8 + len > end) { bad = true; return }
+          // Long arithmetic: crafted chunk sizes must fail, not wrap
+          if (len < 0 || off + 8L + len > end) { bad = true; return }
           if (t == "LIST" && len >= 4) {
             val kind = tag(off + 8)
             if (kind == "hdrl" || kind == "movi" || kind == "strl")
@@ -402,8 +406,14 @@ object Multimodal {
             height = bb.getInt(off + 8 + 36)
           } else if (inMovi && t == "00db") {
             if (width <= 0 || height <= 0) { bad = true; return }
-            val stride = rowSize(width)
-            if (len != stride * height) { bad = true; return }
+            // Long product: a crafted avih height can wrap
+            // stride*height back into a small Int and pass the
+            // length check with garbage dims (code-review r12); len
+            // is already bounded by the file length, so the Long
+            // compare also bounds width*height for the allocation
+            val strideL = (3L * width + 3) / 4 * 4
+            if (len.toLong != strideL * height) { bad = true; return }
+            val stride = strideL.toInt
             val px = new Array[Int](width * height)
             var y = 0
             while (y < height) {

@@ -523,12 +523,20 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     val cells = rows.filter(_._1 >= 0).map(_._2)
     val whitenRows = rows.filter(_._1 < 0).sortBy(r => -r._1).map(_._2)
-    // pre-round-12 artifacts carried no whitening rows: identity
-    // preserves their original (unwhitened) assignment semantics
-    val whiten =
-      if (whitenRows.nonEmpty) whitenRows
-      else identityMatrix(cells.head.length)
-    Quantizer(whiten, cells)
+    // Fail FAST on empty/truncated artifacts and on pre-round-12
+    // (whiten-less) ones: since r12 every assignment path normalizes
+    // and whitens inside Quantizer.project, so an old raw-space
+    // quantizer CANNOT be given back its original semantics here — a
+    // silent identity fallback would misassign cells (code-review
+    // r12). Current artifact paths carry a _w1 version suffix, so a
+    // whiten-less load means a truly stale or corrupt path.
+    require(cells.nonEmpty,
+      s"loadQuantizer: no centroid rows in quantizer artifact $path")
+    require(whitenRows.nonEmpty,
+      s"loadQuantizer: $path has no whitening rows — a pre-r12 " +
+        "(raw-space) quantizer artifact cannot be used with the " +
+        "spherical assignment path; refit or rebuild the index")
+    Quantizer(whitenRows, cells)
   }
 
   private val quantizerCache =

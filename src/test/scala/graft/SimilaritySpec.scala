@@ -283,11 +283,14 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // contents: (cell, vec_id) equals an INDEPENDENT nearest-cell
     // assignment of base ∪ batch under the stored (base-fit) quantizer
     val centroids = Similarity.loadQuantizer(spark, s"$dir/_quantizer")
-    // independent recomputation: whiten with the STORED rows, then
-    // nearest centroid in the whitened space
+    // independent recomputation of the SPHERICAL assignment:
+    // L2-normalize, whiten with the STORED rows, nearest centroid in
+    // that space — the same function project() claims to compute
     def cellOf(v: Seq[Float]): Int = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val unit = v.map(x => if (n > 0) x / n else x.toDouble)
       val p = centroids.whiten.map(row =>
-        row.zip(v.map(_.toDouble)).map { case (a, b) => a * b }.sum)
+        row.zip(unit).map { case (a, b) => a * b }.sum)
       centroids.cells.zipWithIndex.map { case (c, i) =>
         (i, c.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum)
       }.minBy(_._2)._1
