@@ -1373,7 +1373,11 @@ object Llm {
         val fp = graft.engine.io.Artifacts.fingerprintOf(emb)
         val warehouse = s.conf.get("spark.sql.warehouse.dir")
         val compacted = graft.engine.io.Artifacts.ensure(s,
-          s"$warehouse/graft_cell_index/compact_${fp}_16_42") { tmp =>
+          // _w1 versions the artifact with the r12 spherical quantizer
+          // (a pre-whitening compacted index must not be reused — the
+          // partition-sweep caught exactly this via loadQuantizer's
+          // fail-fast)
+          s"$warehouse/graft_cell_index/compact_${fp}_16_42_w1") { tmp =>
           Similarity.compactCellIndex(s, idx, tmp)
         }
         val probes = Similarity.probes(emb)
