@@ -131,7 +131,13 @@ object Plans {
     // unplanned key into the official top-20 again
     "sim_search_mmr", "table_clone", "graph_feature_propagation",
     "sql_unpivot_multi", "sim_search_rerank", "sim_ann_nprobe_sweep",
-    "dedup_threshold_curve")
+    "dedup_threshold_curve",
+    // round-12 close: keys that entered a top-20 in ANY of the four
+    // r12 records (warm local[4]/local[32], true-cold, official) —
+    // cold top-20s included so an artifact-rebuild-heavy driver
+    // window can't surface an unplanned key
+    "entity_match", "graph_label_prop", "graph_components",
+    "sim_ann_ivf_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
