@@ -208,4 +208,80 @@ class PinsSampleDq2Spec extends AnyFunSuite with SparkFixture {
     val kept4 = byB(4).map(_._2).sum.toDouble / byB(4).length
     assert(kept1 < kept4)
   }
+
+  test("sample_importance matches a direct inverse-probability weight") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long"))
+      .collect().map(rr => (rr.getLong(0), rr.getString(1), rr.getLong(2)))
+    val expected = docs.flatMap { case (id, lang, nc) =>
+      val pKeep = math.min(nc.toDouble / 2000.0, 1.0)
+      val u = md5b(s"imp:$id").toDouble / 4294967296.0
+      if (u < pKeep) {
+        val htE6 = if (nc >= 2000L) 1000000L
+          else (2000L * 1000000L + nc / 2) / nc
+        Some((id, lang, nc, r(pKeep, 6), htE6 / 1000000.0))
+      } else None
+    }
+    val rows = q("sample_importance").collect()
+      .map(rr => (rr.getAs[Long]("doc_id"), rr.getAs[String]("lang"),
+        rr.getAs[Long]("n_chars"), rr.getAs[Double]("p_keep"),
+        rr.getAs[Double]("ht_weight")))
+    assert(rows.toSeq == expected.toSeq.sortBy(_._1))
+    // HT property: weights are >= 1 (inverse of a probability)
+    assert(rows.forall(_._5 >= 1.0 - 1e-12))
+  }
+
+  test("sample_time_folds matches direct expanding-window counts") {
+    val rel = Tables.orders(spark, sf)
+      .select((year(col("o_orderdate")) * 12 +
+        month(col("o_orderdate")) - 1 - 1995 * 12).cast("long"))
+      .collect().map(_.getLong(0))
+    val rows = q("sample_time_folds").collect()
+    assert(rows.length == 4)
+    for (rr <- rows) {
+      val f = rr.getAs[Int]("fold")
+      val trainEnd = 24 + f * 12
+      val validEnd = 30 + f * 12
+      assert(rr.getAs[Int]("train_end") == trainEnd)
+      assert(rr.getAs[Int]("valid_end") == validEnd)
+      assert(rr.getAs[Long]("train_rows") ==
+        rel.count(_ < trainEnd).toLong)
+      assert(rr.getAs[Long]("valid_rows") ==
+        rel.count(x => x >= trainEnd && x < validEnd).toLong)
+    }
+    // expanding window: train sets strictly grow across folds
+    val tr = rows.sortBy(_.getAs[Int]("fold")).map(_.getAs[Long]("train_rows"))
+    assert(tr.zip(tr.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("mix_token_budget matches a direct greedy band fill") {
+    val stop = Set("join", "filter", "sort", "hash", "scan")
+    val docs = Tables.documents(spark, sf).select(col("text"))
+      .collect().map { rr =>
+        val ws = rr.getString(0).split(" ", -1)
+        val quality = r(math.min(1.0, ws.length / 200.0) *
+          (1.0 - ws.count(stop).toDouble / ws.length), 4)
+        (math.floor(quality * 20.0).toInt, ws.length.toLong)
+      }
+    val bands = docs.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(_._2).sum)
+    }.toMap
+    val total = bands.values.map(_._2).sum
+    val budget = total * 2 / 5
+    val ordered = bands.toSeq.sortBy(-_._1)
+    var cum = 0L
+    val expected = ordered.map { case (band, (n, toks)) =>
+      cum += toks
+      val status = if (cum <= budget) "full"
+        else if (cum - toks < budget) "boundary" else "excluded"
+      (band, n, toks, cum, budget, status)
+    }
+    val rows = q("mix_token_budget").collect()
+      .map(rr => (rr.getAs[Int]("band"), rr.getAs[Long]("n_docs"),
+        rr.getAs[Long]("band_tokens"), rr.getAs[Long]("cum_tokens"),
+        rr.getAs[Long]("budget"), rr.getAs[String]("status")))
+    assert(rows.toSeq == expected)
+    // exactly one boundary band unless a band edge hits the budget
+    assert(rows.count(_._6 == "boundary") <= 1)
+  }
 }
