@@ -154,16 +154,25 @@ class PinsSampleDq2Spec extends AnyFunSuite with SparkFixture {
       .collect().map(rr => ((rr.getString(0), rr.getString(1)),
         rr.getLong(2)))
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-    val wTotal = tok.values.map(n => math.pow(n.toDouble, 0.5)).sum
+    // deterministic summation order: both this sum and Spark's
+    // SUM(pow(...)) are floating adds, so the recomputed weight is
+    // compared at the 6-decimal rounding granularity (1.5e-6), not at
+    // 1e-9 — a half-up boundary within 1 ulp of the sum order must
+    // not flip the pin (code-review r12)
+    val wTotal = tok.toSeq.sortBy(_._1)
+      .map(t => math.pow(t._2.toDouble, 0.5)).sum
     val rows = q("mix_allocate").collect()
     assert(rows.length == tok.size)
     for (row <- rows) {
       val k = (row.getAs[String]("lang"), row.getAs[String]("source"))
       val n = tok(k)
       val weight = r(math.pow(n.toDouble, 0.5) / wTotal, 6)
-      val alloc = math.floor(weight * 1000000L).toLong
       assert(row.getAs[Long]("n_tokens") == n)
-      assert(math.abs(row.getAs[Double]("weight") - weight) < 1e-9)
+      assert(math.abs(row.getAs[Double]("weight") - weight) < 1.5e-6)
+      // alloc/epochs pinned against the query's OWN rounded weight
+      // (exact integer relation), plus the recomputed weight above
+      val sparkW = row.getAs[Double]("weight")
+      val alloc = math.floor(sparkW * 1000000L).toLong
       assert(row.getAs[Long]("alloc_tokens") == alloc)
       assert(math.abs(row.getAs[Double]("epochs") -
         r(alloc.toDouble / n, 4)) < 1e-9)
@@ -249,7 +258,7 @@ class PinsSampleDq2Spec extends AnyFunSuite with SparkFixture {
       assert(rr.getAs[Long]("valid_rows") ==
         rel.count(x => x >= trainEnd && x < validEnd).toLong)
     }
-    // expanding window: train sets strictly grow across folds
+    // expanding window: train sets never shrink across folds
     val tr = rows.sortBy(_.getAs[Int]("fold")).map(_.getAs[Long]("train_rows"))
     assert(tr.zip(tr.tail).forall { case (a, b) => a <= b })
   }

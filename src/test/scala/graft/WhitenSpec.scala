@@ -74,12 +74,15 @@ class WhitenSpec extends AnyFunSuite {
       else assert(math.abs(cov(i)(j)) < 1e-6,
         s"whitened covariance [$i][$j] = ${cov(i)(j)} not ~0")
     }
-    // the dominant raw axis (stddev 6, var 36) shrinks toward 1 much
-    // more than it would under NO conditioning, but stays the largest
-    // post-shrinkage variance ordering is preserved
+    // shrinkage property, stated order-free (the whitened coordinates
+    // are EIGEN-axes whose output order cyclic Jacobi does not
+    // guarantee): with ridge eps > 0, lambda/(lambda+eps) compresses
+    // the raw 36:1 variance spread strictly — analytically to
+    // 36(1+eps)/(36+eps) ~ 23:1 at this spectrum's eps = 4x mean.
+    // Assert the compression with headroom for sample noise.
     val diag = (0 until d).map(i => cov(i)(i))
-    assert(diag == diag.sorted,
-      "shrinkage must preserve the variance ORDER of the axes")
+    assert(diag.max / diag.min < 30.0,
+      s"shrinkage must compress the raw 36:1 spread, got ${diag.max / diag.min}")
   }
 
   test("whitenerOf degenerate inputs return identity") {

@@ -31,10 +31,16 @@ def main():
     paths = sys.argv[1:]
     if not paths:
         for pat in ("BENCH_r*.json", "bench_records/bench_r*close*.json"):
-            cand = sorted(
-                (p for p in glob.glob(pat) if re.search(r"r(\d+)", p)),
-                key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
-            paths += cand[-1:]
+            cand = [p for p in glob.glob(pat) if re.search(r"r(\d+)", p)]
+            if not cand:
+                continue
+            top = max(int(re.search(r"r(\d+)", p).group(1)) for p in cand)
+            # ALL records of the newest round, in deterministic name
+            # order — two same-round close records (e.g. local[4] and
+            # local[32]) must BOTH be gated, not whichever globs last
+            paths += sorted(
+                p for p in cand
+                if int(re.search(r"r(\d+)", p).group(1)) == top)
     if not paths:
         print("no BENCH_r*.json found", file=sys.stderr)
         return 2
