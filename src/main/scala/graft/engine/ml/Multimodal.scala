@@ -246,9 +246,15 @@ object Multimodal {
           bpp != 24 || compression != 0 || width <= 0 || height <= 0 ||
           pixOff < 54)
         return DecodedImg(ok = false, width, height, Array.empty)
-      val stride = rowSize(width)
-      if (pixOff.toLong + stride.toLong * height > bytes.length)
+      // Long arithmetic throughout (mirrors AviCodec.decodeDib24): a
+      // crafted width >= ~716M wraps 3*width negative in Int, which
+      // would slip past an Int-stride bounds check and then throw
+      // uncaught on the pixel reads / allocation below.
+      val strideL = (3L * width + 3) / 4 * 4
+      if (pixOff.toLong + strideL * height > bytes.length ||
+          width.toLong * height > Int.MaxValue)
         return DecodedImg(ok = false, width, height, Array.empty)
+      val stride = strideL.toInt
       val out = new Array[Int](width * height)
       var y = 0
       while (y < height) {
@@ -295,6 +301,13 @@ object Multimodal {
     def encodeDib24(width: Int, height: Int, frames: Array[Array[Int]],
         fps: Int = 10): Array[Byte] = {
       require(frames.nonEmpty && frames.forall(_.length == width * height))
+      // rcFrame is written as Shorts below; without this bound a
+      // >32767 dimension silently wraps in the emitted header (decode
+      // ignores rcFrame, so round-trip would mask the corruption for
+      // external consumers).
+      require(width > 0 && height > 0 &&
+        width <= Short.MaxValue && height <= Short.MaxValue,
+        s"encodeDib24 dimensions out of range: ${width}x$height")
       val stride = rowSize(width)
       val frameLen = stride * height
       val nF = frames.length

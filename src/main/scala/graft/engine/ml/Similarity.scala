@@ -144,6 +144,14 @@ object Similarity {
       * cosine) can no longer dominate the cell structure. */
     def project(v: Seq[Float]): Array[Double] = {
       val d = whiten.length
+      // Fail fast on a dimension mismatch (matches loadQuantizer's
+      // philosophy): silently truncating the dot product while
+      // normalizing over the FULL vector would hand a dim-mismatched
+      // query garbage cell assignments — a recall collapse with no
+      // error to point at.
+      require(v.length == (if (d > 0) whiten(0).length else 0),
+        s"query dim ${v.length} != quantizer dim " +
+          s"${if (d > 0) whiten(0).length else 0}")
       var n2 = 0.0
       var j = 0
       while (j < v.length) { n2 += v(j).toDouble * v(j); j += 1 }
@@ -154,8 +162,7 @@ object Similarity {
         val row = whiten(i)
         var s = 0.0
         j = 0
-        val lim = math.min(row.length, v.length)
-        while (j < lim) { s += row(j) * (v(j) * inv); j += 1 }
+        while (j < row.length) { s += row(j) * (v(j) * inv); j += 1 }
         out(i) = s
         i += 1
       }
@@ -400,7 +407,38 @@ object Similarity {
     * fitted/persisted quantizer (see [[quantizerFor]]). */
   def embeddingNearDup(emb: DataFrame, threshold: Double,
       nCells: Int = 16, nProbe: Int = 3, seed: Long = 42L,
+      smallLabelMax: Int = 4096, datasetTag: Option[String] = None): DataFrame =
+    nearPairScores(emb, nCells, nProbe, seed, smallLabelMax, datasetTag)
+      .filter(col("cos") >= threshold)
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(col("cos"), 6).as("score"))
+
+  /** Rank-based near-dup emission: the top `kPerLabel` highest-cosine
+    * pairs WITHIN each label, threshold-free. This is the
+    * knee-discovery companion to [[embeddingNearDup]]: a threshold key
+    * goes vacuous the moment the corpus's cosine distribution sits
+    * below the cutoff (the r12 verdict measured exactly that at 0.8 on
+    * the synthetic corpus), while a rank emission is structurally
+    * non-empty on any corpus with >= 2 vectors per label — so the
+    * differential oracle always compares real score sets. Ranking is
+    * on the FULL-precision cosine (both engines run the identical
+    * left-fold, so the order is deterministic), ties broken by
+    * (vec_a, vec_b); the emitted score is rounded after ranking. */
+  def embeddingNearPairsTopK(emb: DataFrame, kPerLabel: Int,
+      nCells: Int = 16, nProbe: Int = 3, seed: Long = 42L,
       smallLabelMax: Int = 4096, datasetTag: Option[String] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+      .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
+    nearPairScores(emb, nCells, nProbe, seed, smallLabelMax, datasetTag)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kPerLabel)
+      .select(col("label"), col("rn").cast("int").as("rn"),
+        col("vec_a"), col("vec_b"), round(col("cos"), 6).as("score"))
+  }
+
+  private def nearPairScores(emb: DataFrame,
+      nCells: Int, nProbe: Int, seed: Long,
+      smallLabelMax: Int, datasetTag: Option[String]): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
     val sizes = emb.groupBy("label").agg(count(lit(1)).as("label_n"))
     val tagged = emb.join(broadcast(sizes), Seq("label"))
@@ -444,9 +482,6 @@ object Similarity {
         col("embedding").as("emb_b")), Seq("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
         expr("graft_cosine(emb_a, emb_b)").as("cos"))
-      .filter(col("cos") >= threshold)
-      .select(col("label"), col("vec_a"), col("vec_b"),
-        round(col("cos"), 6).as("score"))
   }
 
   /** Approximate NN via random-hyperplane LSH (seeded, deterministic).

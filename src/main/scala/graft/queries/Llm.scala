@@ -862,8 +862,16 @@ object Llm {
     // small-label exact regime at every tested sf (max ~218 rows/label
     // vs cap 4096); labels beyond the cap would route through the
     // documented-approximate IVF-cell path (see Similarity.scaladoc).
+    // Threshold 0.4 is the synthetic corpus's measured cosine knee
+    // (r13): within-label cosines top out at 0.45/0.47/0.51 across
+    // sf0.001/0.01/0.1, so the r12 threshold of 0.8 made the
+    // differential oracle a vacuous empty-set comparison. At 0.4 the
+    // key emits 5/5/86 rows across the three SFs, and the nearest
+    // pair sits >= 1.2e-4 from the cutoff at every SF — four orders
+    // of magnitude beyond the engines' mirrored-fold agreement, so no
+    // threshold-cliff flake is possible.
     Q("dedup_embedding",
-      (s, d) => Similarity.embeddingNearDup(embeddings(s, d), 0.8,
+      (s, d) => Similarity.embeddingNearDup(embeddings(s, d), 0.4,
           datasetTag = Some(d))
         .orderBy("vec_a", "vec_b"),
       """WITH pairs AS (
@@ -881,7 +889,42 @@ object Llm {
            FROM embeddings a JOIN embeddings b
              ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT label, vec_a, vec_b, ROUND(cos, 6) AS score
-         FROM pairs WHERE cos >= 0.8 ORDER BY vec_a, vec_b"""),
+         FROM pairs WHERE cos >= 0.4 ORDER BY vec_a, vec_b"""),
+
+    // Rank-based companion to dedup_embedding (r13, verdict item #1):
+    // the top-3 highest-cosine pairs PER LABEL with no threshold at
+    // all, so the key is structurally non-empty on any corpus with
+    // >= 2 vectors per label — the differential oracle always compares
+    // real score sets, and the emitted scores DOCUMENT the corpus's
+    // cosine knee (which is how the 0.4 threshold above was picked).
+    // Ranking is on the full-precision cosine (identical left-folds on
+    // both engines), ties broken by (vec_a, vec_b).
+    Q("dedup_embedding_knee",
+      (s, d) => Similarity.embeddingNearPairsTopK(embeddings(s, d), 3,
+          datasetTag = Some(d))
+        .orderBy("label", "rn"),
+      """WITH pairs AS (
+           SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) *
+                    CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+             (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) *
+                    CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y)) *
+              sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(b.embedding[i] AS DOUBLE) *
+                    CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+             AS cos
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id),
+         ranked AS (
+           SELECT label, vec_a, vec_b, cos,
+                  ROW_NUMBER() OVER (PARTITION BY label
+                    ORDER BY cos DESC, vec_a ASC, vec_b ASC) AS rn
+           FROM pairs)
+         SELECT label, CAST(rn AS INT) AS rn, vec_a, vec_b,
+                ROUND(cos, 6) AS score
+         FROM ranked WHERE rn <= 3 ORDER BY label, rn"""),
 
     Q("sim_search_topk",
       (s, d) => {

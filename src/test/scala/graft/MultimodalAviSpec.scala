@@ -82,6 +82,18 @@ class MultimodalAviSpec extends AnyFunSuite {
     assert(!AviCodec.decodeDib24(Array[Byte](1, 2, 3)).ok)
   }
 
+  test("encodeDib24 rejects dimensions that would wrap the Short rcFrame") {
+    // rcFrame right/bottom are written as Shorts; without a bound a
+    // >32767 dimension silently corrupts the emitted header for
+    // external consumers (decode ignores rcFrame, masking it).
+    intercept[IllegalArgumentException] {
+      AviCodec.encodeDib24(40000, 2, Array(new Array[Int](80000)))
+    }
+    intercept[IllegalArgumentException] {
+      AviCodec.encodeDib24(2, 40000, Array(new Array[Int](80000)))
+    }
+  }
+
   test("aviRoundTripStats matches a direct closed-form recomputation") {
     for (id <- Seq(0L, 1L, 7L, 59L, 12345L, 999983L)) {
       val wI = (8 + id % 5).toInt

@@ -67,6 +67,25 @@ class MultimodalBmpSpec extends AnyFunSuite {
     assert(!BmpCodec.decodeBgr24(Array[Byte](1, 2, 3)).ok)
   }
 
+  test("a crafted Int-wrapping width fails the decode instead of throwing") {
+    // width >= ~716M wraps 3*width negative in 32-bit arithmetic; the
+    // bounds check must run in Long so this returns ok=false rather
+    // than escaping as AIOOBE/NegativeArraySizeException (ADVICE r12).
+    val good = BmpCodec.encodeBgr24(w, h, pixels)
+    def withInt(off: Int, v: Int) = {
+      val c = good.clone()
+      java.nio.ByteBuffer.wrap(c)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(off, v)
+      c
+    }
+    for (wBad <- Seq(716000000, Int.MaxValue, 0x40000000)) {
+      val r = BmpCodec.decodeBgr24(withInt(18, wBad)) // width field
+      assert(!r.ok)
+    }
+    // height large enough that width*height overflows Int
+    assert(!BmpCodec.decodeBgr24(withInt(22, Int.MaxValue / 2)).ok)
+  }
+
   test("bmpRoundTripStats matches a direct closed-form recomputation") {
     for (id <- Seq(0L, 1L, 8L, 62L, 12345L, 999983L)) {
       val wI = (8 + id % 9).toInt

@@ -152,13 +152,44 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .select(col("a.label"), col("a.vec_id").as("vec_a"),
         col("b.vec_id").as("vec_b"),
         Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
-      .filter(col("cos") >= 0.8)
+      .filter(col("cos") >= 0.4)
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val hybrid = Similarity.embeddingNearDup(emb, 0.8)
+    val hybrid = Similarity.embeddingNearDup(emb, 0.4)
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0.4 is the corpus knee: the comparison must be over a REAL pair
+    // set, not two empty sets (the r12 vacuous-oracle lesson).
+    assert(exact.nonEmpty, "knee threshold produced no pairs — fixture drifted")
     assert(hybrid === exact)
+  }
+
+  test("rank-based near pairs: top-k per label, descending, non-empty") {
+    val k = 3
+    val top = Similarity.embeddingNearPairsTopK(emb, k).collect()
+    assert(top.nonEmpty)
+    val byLabel = top.groupBy(_.get(0))
+    assert(byLabel.keySet === emb.select("label").distinct().collect()
+      .map(_.get(0)).toSet)
+    byLabel.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to sorted.length))
+      assert(sorted.length <= k)
+      // scores non-increasing down the ranks
+      val scores = sorted.map(_.getDouble(4)).toSeq
+      assert(scores === scores.sorted.reverse)
+      sorted.foreach(r => assert(r.getLong(2) < r.getLong(3)))
+    }
+  }
+
+  test("quantizer project fails fast on a dim-mismatched query") {
+    val q = Similarity.Quantizer(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 0.0)))
+    intercept[IllegalArgumentException] {
+      q.project(Seq(1.0f, 2.0f, 3.0f))
+    }
+    assert(q.project(Seq(3.0f, 4.0f)).length === 2)
   }
 
   test("knn graph: k neighbours per vector, no self, within label") {
