@@ -33,9 +33,21 @@ object Scale {
     * before AQE could see it. Statistics come from the logical plan
     * (file-index sizes for scans), so no job, no RDD, no physical plan
     * is materialized here. */
-  def spreadForCompute(df: DataFrame): DataFrame = {
+  def spreadForCompute(df: DataFrame): DataFrame = spreadForCompute(df, 1)
+
+  /** As above, with an over-spread `factor` for passes whose PER-ROW
+    * cost is both heavy and variable (banded-Levenshtein DP on
+    * length-skewed blocks): `factor`× the core count in tasks keeps the
+    * stage's wall time at the mean task cost instead of the max, and
+    * makes it robust to ambient tenancy stealing a core mid-stage —
+    * entity_match's wall time swung 0.98↔3.41 s on the same box at
+    * factor 1 (r12 adjudication) because the whole probe sat behind
+    * single-digit tasks. Short tasks cost scheduler overhead only when
+    * they outnumber rows; callers pick factor ≥ 8 only for DP-grade
+    * per-row work. */
+  def spreadForCompute(df: DataFrame, factor: Int): DataFrame = {
     val spark = df.sparkSession
-    val target = spark.sparkContext.defaultParallelism
+    val target = spark.sparkContext.defaultParallelism * math.max(1, factor)
     val splitBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
     val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val estSplits = (planBytes / splitBytes).min(Int.MaxValue) + 1

@@ -384,9 +384,14 @@ object Etl {
         // the probe side first or the broadcast join (and all 8M DP
         // evaluations behind it) run in a single task
         val pa = p.withColumn("lb", expr("length(p_name) div 4"))
+        // factor 8: the DP cost per pair varies with name length and
+        // block occupancy, and at factor 1 the whole probe sat behind
+        // single-digit tasks — the board's most tenancy-sensitive key
+        // (0.98↔3.41 s on the same box, r12 adjudication). 8× cores in
+        // tasks bounds the stage at mean-task cost, not max.
         val ea = graft.engine.ops.Scale.spreadForCompute(
           pa.withColumn("jb",
-            explode(array(col("lb") - 1, col("lb"), col("lb") + 1))))
+            explode(array(col("lb") - 1, col("lb"), col("lb") + 1))), 8)
         ea.as("a").join(pa.as("b"),
             col("a.p_brand") === col("b.p_brand") &&
               col("a.jb") === col("b.lb") &&

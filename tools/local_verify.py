@@ -3,6 +3,14 @@
 
 Usage:
     python3 tools/local_verify.py <sfDir> <outDir> [query ...]
+    python3 tools/local_verify.py --perturb <sfDir> <outDir> [query ...]
+
+--perturb (r13): tamper probe for the construction-keyed subset. Drops
+one input row (max doc_id / vec_id) from the ORACLE's copy of
+documents/embeddings and asserts the comparator FAILS for every key
+whose oracle references those tables — a key that stays green is
+TAMPER-BLIND (its green hash never depended on those inputs). The
+Spark dump is NOT re-run; only the oracle input is perturbed.
 
 Expects <outDir> to contain, per query key, a folder of parquet written by
 `graft.Verify` plus `oracle_sql.json` mapping key -> DuckDB SQL.
@@ -28,6 +36,7 @@ import duckdb
 import glob
 import json
 import os
+import re
 import sys
 
 import pandas as pd
@@ -75,19 +84,123 @@ def compare(gdf, edf):
     return True, True, True, ""
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
-    con = duckdb.connect()
+def perturbed_views(con, sf_dir, tmp_dir):
+    """Register table views with ONE input row dropped from documents
+    and embeddings (the max doc_id / vec_id row) — the r12 verdict's
+    perturbation-tamper: the cross-SF tamper probe is blind to
+    construction-keyed keys because the documents/embeddings tables are
+    IDENTICAL at sf0.001 and sf0.01 by testdata design (500 docs both),
+    so 'compare sf0.001 output to the sf0.01 oracle' proves nothing for
+    that subset. Dropping one row from the ORACLE's input instead must
+    flip the comparator to FAIL for every key that genuinely reads
+    those tables; a key that stays green is tamper-blind and gets
+    reported. Only the oracle side is perturbed — no Spark re-run
+    needed, which is exactly why this catches a query whose output
+    doesn't actually depend on its declared inputs."""
+    helper = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if not os.path.exists(p):
+            continue
+        if t == "documents":
+            # drop the max doc_id row (row-count sensitivity) AND alter
+            # EVERY row's content (text token + n_chars). The probe's
+            # job is to prove each key's green hash DEPENDS on these
+            # inputs at all — a single-row alteration misses keys whose
+            # output happens not to touch that row (top-k, threshold
+            # pairs), so the strongest cheap probe perturbs everything;
+            # a key still green after this is structurally independent
+            # of the table's content and must be individually justified
+            # text is REVERSED word-by-word, not merely appended to:
+            # appending leaves every interior n-gram/shingle intact, so
+            # gram-keyed keys (decontaminate, dedup curves, top-k
+            # ngrams) stayed green under an append-only probe
+            # (measured). Also drop the MIN-md5(doc_id) row: it ranks
+            # first in every md5-ordered deterministic sample, so the
+            # id-draw sampler keys must see their selection change.
+            # ... and ASYMMETRICALLY: even doc_ids are truncated to
+            # their first half BEFORE the reversal. A transform applied
+            # uniformly to every doc preserves pairwise similarity, so
+            # pair-COUNT keys (dedup_source_matrix) stayed green under
+            # reversal alone (measured) — breaking one member of a
+            # mixed-parity near-dup pair is what flips a count.
+            # Dropped rows: max doc_id (row count), the min-md5-ordered
+            # doc (rank-based samplers), and the min md5-BUCKET doc
+            # (bucket < threshold in every fixed-quota draw).
+            q = os.path.join(tmp_dir, f"{t}.parquet")
+            helper.execute(
+                f"COPY (WITH src AS (SELECT * FROM read_parquet('{p}')),"
+                f" halved AS (SELECT * REPLACE (CASE WHEN doc_id % 2 = 0"
+                f"   THEN array_to_string((string_split(text, ' '))"
+                f"     [1:GREATEST(len(string_split(text, ' ')) // 2, 1)],"
+                f"     ' ') ELSE text END AS text) FROM src) "
+                f"SELECT * REPLACE ("
+                f"  array_to_string(list_reverse(string_split(text, ' ')),"
+                f"    ' ') || ' zzperturb' AS text,"
+                f"  n_chars + 1 AS n_chars) "
+                f"FROM halved "
+                f"WHERE doc_id <> (SELECT MAX(doc_id) FROM src) "
+                f"AND doc_id <> (SELECT doc_id FROM src "
+                f"ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1) "
+                f"AND doc_id <> (SELECT doc_id FROM src "
+                f"ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS "
+                f"VARCHAR)), 1, 8)) AS BIGINT) % 100, doc_id LIMIT 1)) "
+                f"TO '{q}' (FORMAT PARQUET)")
+            con.execute(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM read_parquet('{q}')")
+        elif t == "embeddings":
+            # drop the max vec_id row AND remap every vector's first
+            # component x -> 1.5x + 0.25. The map must NOT be an
+            # isometry: a pure translation (+0.25) left every euclidean
+            # key green because L2 distances are translation-invariant
+            # (measured — sim_search_l2 stayed blind); the affine scale
+            # changes pairwise L2 AND cosine geometry for every pair
+            q = os.path.join(tmp_dir, f"{t}.parquet")
+            helper.execute(
+                f"COPY (SELECT * REPLACE ("
+                f"  list_prepend(CAST(embedding[1] * 1.5 + 0.25 AS FLOAT), "
+                f"    embedding[2:]) AS embedding) "
+                f"FROM read_parquet('{p}') "
+                f"WHERE vec_id <> (SELECT MAX(vec_id) "
+                f"FROM read_parquet('{p}'))) TO '{q}' (FORMAT PARQUET)")
+            con.execute(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM read_parquet('{q}')")
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM read_parquet('{p}')")
+
+
+def main():
+    perturb = "--perturb" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--perturb"]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
+    con = duckdb.connect()
+    if perturb:
+        import tempfile
+        tmp_dir = tempfile.mkdtemp(prefix="graft_perturb_")
+        perturbed_views(con, sf_dir, tmp_dir)
+    else:
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
 
+    if perturb:
+        # restrict to keys whose oracle actually reads the perturbed
+        # tables; everything else is out of scope for this probe
+        oracle = {k: v for k, v in oracle.items()
+                  if re.search(r"\b(documents|embeddings)\b", v)}
+        print(f"perturb mode: {len(oracle)} keys reference "
+              f"documents/embeddings; expecting the comparator to FAIL "
+              f"on every one")
+
     n_pass = n_fail = 0
+    blind = []
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -105,13 +218,44 @@ def main():
             print(f"ERR  {name}: {type(ex).__name__}: {ex}")
             n_fail += 1
             continue
-        if hsh:
+        if perturb:
+            # inverted expectation: the perturbed oracle must DIVERGE
+            if not hsh:
+                print(f"PASS {name}: comparator detects the perturbation "
+                      f"(rows_match={rows})")
+                n_pass += 1
+            else:
+                print(f"BLIND {name}: output identical after the input "
+                      f"perturbation ({len(gdf)} rows)")
+                blind.append(name)
+        elif hsh:
             print(f"PASS {name} ({len(gdf)} rows)")
             n_pass += 1
         else:
             print(f"FAIL {name}: rows_match={rows} schema_match={schema} "
                   f"hash_match=False — {detail}")
             n_fail += 1
+    if perturb:
+        allow_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "tamper_expected_blind.json")
+        allowed = {}
+        if os.path.exists(allow_path):
+            allowed = {k: v for k, v in json.load(open(allow_path)).items()
+                       if not k.startswith("_")}
+        unexpected = [k for k in blind if k not in allowed]
+        stale = sorted(k for k in allowed
+                       if k in oracle and (not only or k in only)
+                       and k not in blind)
+        if blind:
+            print(f"TAMPER-BLIND keys ({len(blind)}): {blind}")
+        if unexpected:
+            print(f"FAIL: {len(unexpected)} blind keys NOT in "
+                  f"tamper_expected_blind.json: {unexpected}")
+            n_fail += len(unexpected)
+        if stale:
+            print(f"FAIL: {len(stale)} stale expected-blind entries now "
+                  f"detect the perturbation — drop them: {stale}")
+            n_fail += len(stale)
     print(f"== {n_pass} passed, {n_fail} failed ==")
     sys.exit(1 if n_fail else 0)
 
