@@ -162,7 +162,35 @@ class AdversarialRecallSpec extends AnyFunSuite with SparkFixture {
       "(16 cells, 6 probed, top-5 vs brute force)")
     assert(rIso >= 0.7, s"isotropic IVF recall $rIso below 0.7")
     // round-12 spherical+shrinkage quantizer raised this floor from
-    // 0.5 (r11 measured 0.68) to 0.8 (measured 1.00)
-    assert(rCor >= 0.8, s"correlated-dims IVF recall $rCor below 0.8")
+    // 0.5 (r11 measured 0.68) to 0.8; round 13 locks the gain at 0.9
+    // (r12/r13 measured 1.00 — the r12 verdict's directive #5)
+    assert(rCor >= 0.9, s"correlated-dims IVF recall $rCor below 0.9")
+  }
+
+  test("IVF recall floor holds on the composite clustered AND " +
+      "line-correlated fixture") {
+    // The two conditioning regimes pull the quantizer in OPPOSITE
+    // directions: full 1/sqrt(lambda) whitening fixes a dominant
+    // correlated axis but CRUSHES the between-cluster axes cells
+    // should follow (r12 measured 0.60 on clustered vs the 0.70
+    // gate), while no whitening leaves the dominant axis eating the
+    // cell budget. This fixture has BOTH pathologies at once — label
+    // clusters riding a shared dominant line — so the landed
+    // spherical + shrinkage compromise (ridge 4x mean eigenvalue) is
+    // pinned by a test rather than by lore: either extreme fails it.
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val u = Array.fill(dim)(1.0 / math.sqrt(dim))
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian() * 2.0))
+    val composite = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      val t = rnd.nextDouble() * 10.0 // dominant shared line
+      (i.toLong, (0 until dim).map(d =>
+        (c(d) + t * u(d) + rnd.nextGaussian() * 0.05).toFloat).toArray)
+    }
+    val r = recallOf(embDf(composite))
+    info(f"IVF recall: composite clustered+correlated=$r%.2f " +
+      "(16 cells, 6 probed, top-5 vs brute force)")
+    assert(r >= 0.8, s"composite clustered+correlated recall $r below 0.8")
   }
 }
