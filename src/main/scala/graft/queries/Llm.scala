@@ -2048,6 +2048,60 @@ GROUP BY source ORDER BY source"""),
                           THEN 1 ELSE 0 END) AS BIGINT) AS edges
          FROM lagged GROUP BY doc_id ORDER BY media_id"""),
 
+    // REAL COMPRESSED-image decode (round 13 — the first multimodal
+    // format with a real compression layer): each doc_id becomes a
+    // genuine PNG (zlib IDAT via java.util.zip, per-row scanline
+    // filter (id + y) % 5 so all five filter types appear across the
+    // corpus), and the Spark side runs the full chunk/CRC32/inflate/
+    // unfilter parse, computing all-integer stats FROM THE DECODED
+    // PIXELS. The oracle replays the closed-form pixel function and
+    // the closed-form INFLATED stream length (1 + 3w) * h — the
+    // compressed byte count is a zlib implementation detail and is
+    // deliberately not an output. Map-side per-row work, no shuffle;
+    // at 100 TB this is the decode-at-ingest shape: bytes never move.
+    Q("multimodal_png_decode",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).select(col("doc_id")).as[Long]
+          .map(id => graft.engine.ml.Multimodal.pngRoundTripStats(id))
+          .toDF()
+          .select(col("media_id"), col("raw_len"), col("header_ok"),
+            col("width"), col("height"), col("r_sum"), col("g_sum"),
+            col("b_sum"), col("edges"))
+          .orderBy("media_id")
+      },
+      """WITH docs AS (
+           SELECT doc_id, 8 + doc_id % 11 AS w, 8 + doc_id % 5 AS h,
+                  doc_id % 239 AS dd
+           FROM documents),
+         px AS (
+           SELECT doc_id, w, h, y,
+                  (dd * 2 + x * 5 + y * 13) % 256 AS r,
+                  (dd * 11 + x * 3 + y * 7) % 256 AS g,
+                  (dd * 5 + x * 17 + y * 2) % 256 AS b,
+                  x
+           FROM (SELECT doc_id, w, h, dd, y,
+                        UNNEST(range(0, w)) AS x
+                 FROM (SELECT doc_id, w, h, dd, UNNEST(range(0, h)) AS y
+                       FROM docs))),
+         lagged AS (
+           SELECT doc_id, w, h, b, g, r, b + g + r AS lum,
+                  LAG(b + g + r)
+                    OVER (PARTITION BY doc_id, y ORDER BY x) AS prev
+           FROM px)
+         SELECT doc_id AS media_id,
+                CAST(MAX(h) * (1 + 3 * MAX(w)) AS BIGINT) AS raw_len,
+                TRUE AS header_ok,
+                CAST(MAX(w) AS BIGINT) AS width,
+                CAST(MAX(h) AS BIGINT) AS height,
+                CAST(SUM(r) AS BIGINT) AS r_sum,
+                CAST(SUM(g) AS BIGINT) AS g_sum,
+                CAST(SUM(b) AS BIGINT) AS b_sum,
+                CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND ABS(lum - prev) > 128
+                          THEN 1 ELSE 0 END) AS BIGINT) AS edges
+         FROM lagged GROUP BY doc_id ORDER BY media_id"""),
+
     // REAL byte-level VIDEO decode (round 12) — the last stub in the
     // multimodal family replaced: each doc_id becomes an uncompressed
     // -DIB AVI (a nested RIFF container: hdrl{avih,strl{strh,strf}} +
