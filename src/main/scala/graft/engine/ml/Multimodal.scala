@@ -552,8 +552,15 @@ object Multimodal {
     /** filterOf(y) picks the scanline filter (0-4) for row y. */
     def encodeRgb24(width: Int, height: Int, pixels: Array[Int],
         filterOf: Int => Int = _ => 0): Array[Byte] = {
+      // Long-checked bounds (the decodeDib24/decodeBgr24 discipline):
+      // width*height can wrap in Int so `pixels.length == w*h` alone
+      // is bypassable (0 == 0 for 65536x65536) and the raw-stream
+      // allocation below would throw instead of rejecting cleanly
       require(width > 0 && height > 0 &&
-        pixels.length == width * height, "pixel count mismatch")
+        width.toLong * height <= Int.MaxValue &&
+        (1L + 3L * width) * height <= Int.MaxValue &&
+        pixels.length.toLong == width.toLong * height,
+        s"invalid dimensions ${width}x$height for ${pixels.length} pixels")
       val stride = 3 * width
       val raw = new Array[Byte]((1 + stride) * height)
       val cur = new Array[Int](stride) // unfiltered current row
@@ -676,13 +683,23 @@ object Multimodal {
       try {
         while (got < rawLen && !infl.finished()) {
           val n = infl.inflate(raw, got, rawLen - got)
-          if (n == 0 && infl.needsInput()) return fail // truncated
+          // needsDictionary: a crafted FDICT zlib header makes
+          // inflate() return 0 forever with needsInput()=false — bail
+          // or this loop never terminates (r13 review finding)
+          if (n == 0 && (infl.needsInput() || infl.needsDictionary()))
+            return fail // truncated or preset-dictionary stream
           got += n
         }
-        // the stream must end EXACTLY at rawLen
-        if (got != rawLen ||
-            (!infl.finished() && infl.inflate(new Array[Byte](1)) != 0))
-          return fail
+        // the stream must end EXACTLY at rawLen AND reach the zlib
+        // trailer: finished()=true is what proves the adler-32
+        // checksum was read and verified — without it a
+        // trailer-stripped stream that happens to fill rawLen bytes
+        // decodes "ok" with its integrity never checked (r13 review)
+        if (got != rawLen) return fail
+        if (!infl.finished()) {
+          if (infl.inflate(new Array[Byte](1)) != 0) return fail
+          if (!infl.finished()) return fail
+        }
       } catch {
         case _: java.util.zip.DataFormatException => return fail
       } finally infl.end()

@@ -74,6 +74,61 @@ class MultimodalPngSpec extends AnyFunSuite {
     assert(!PngCodec.decodeRgb24(good.take(8 + 25)).ok) // header only
   }
 
+  /** Rebuild a PNG from the good one with its IDAT payload replaced
+    * and the chunk CRC re-stamped — reaches the zlib layer with valid
+    * chunk framing. */
+  private def withIdat(good: Array[Byte], idat: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.wrap(good)
+    val ihdrEnd = 8 + 12 + 13
+    val out = java.nio.ByteBuffer.allocate(ihdrEnd + 12 + idat.length + 12)
+    out.put(good, 0, ihdrEnd)
+    out.putInt(idat.length)
+    out.put("IDAT".getBytes("US-ASCII"))
+    out.put(idat)
+    val crc = new java.util.zip.CRC32
+    crc.update("IDAT".getBytes("US-ASCII")); crc.update(idat)
+    out.putInt(crc.getValue.toInt)
+    out.put(good, good.length - 12, 12) // IEND
+    assert(bb.getInt(ihdrEnd) >= 0)
+    out.array()
+  }
+
+  test("FDICT zlib stream fails decode instead of hanging; stripped " +
+      "adler trailer fails instead of skipping the checksum") {
+    val good = PngCodec.encodeRgb24(w, h, pixels)
+    // raw filtered stream the good IDAT would inflate to
+    val stride = 3 * w
+    val raw = new Array[Byte]((1 + stride) * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = pixels(y * w + x)
+      val o = y * (1 + stride) + 1 + 3 * x
+      raw(o) = ((p >> 16) & 0xff).toByte
+      raw(o + 1) = ((p >> 8) & 0xff).toByte
+      raw(o + 2) = (p & 0xff).toByte
+    }
+    // FDICT: deflate with a preset dictionary — Inflater then returns
+    // 0 forever with needsDictionary()=true (the r13 hang finding)
+    val defl = new java.util.zip.Deflater()
+    defl.setDictionary("dict".getBytes("US-ASCII"))
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val os = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) os.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    assert(!PngCodec.decodeRgb24(withIdat(good, os.toByteArray)).ok)
+    // stripped adler-32 trailer: inflates to exactly rawLen but the
+    // integrity checksum is never reached — must fail, not pass
+    val d2 = new java.util.zip.Deflater()
+    d2.setInput(raw); d2.finish()
+    val os2 = new java.io.ByteArrayOutputStream()
+    while (!d2.finished()) os2.write(buf, 0, d2.deflate(buf))
+    d2.end()
+    val full = os2.toByteArray
+    assert(!PngCodec.decodeRgb24(withIdat(good, full.dropRight(4))).ok)
+    // sanity: the same reassembly with the COMPLETE stream decodes
+    assert(PngCodec.decodeRgb24(withIdat(good, full)).ok)
+  }
+
   test("a crafted Int-wrapping IHDR dimension fails instead of throwing") {
     val good = PngCodec.encodeRgb24(w, h, pixels)
     def withDim(off: Int, v: Int) = {
@@ -89,6 +144,12 @@ class MultimodalPngSpec extends AnyFunSuite {
     for (bad <- Seq(0x40000000, Int.MaxValue, 716000000)) {
       assert(!PngCodec.decodeRgb24(withDim(16, bad)).ok) // width
       assert(!PngCodec.decodeRgb24(withDim(20, bad)).ok) // height
+    }
+    // the ENCODER also rejects wrap-prone dimensions cleanly (65536^2
+    // wraps width*height to 0 in Int, so a length-0 pixel array would
+    // otherwise slip past the require and AIOOBE mid-encode)
+    intercept[IllegalArgumentException] {
+      PngCodec.encodeRgb24(65536, 65536, Array.empty[Int])
     }
   }
 

@@ -33,15 +33,8 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
-
-OFFSETS = {
-    "customer": ("c_custkey", 15000),
-    "orders": ("o_orderkey", 150000),
-    "part": ("p_partkey", 20000),
-    "supplier": ("s_suppkey", 1000),
-    "documents": ("doc_id", 5000),
-    "embeddings": ("vec_id", 2000),
-}
+# per-copy key offsets are inlined in each copy_union SELECT below;
+# each equals the table's sf0.1 key-range size (max key + 1)
 
 
 def main():

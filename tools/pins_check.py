@@ -165,10 +165,24 @@ def main():
                  for name, txt in pins.items() if name.startswith("Pins"))
     recomp = recomputation_test_names()
 
+    # CODE-only spec text: a key named in a doc comment is not a pin
+    # (r13 review finding), and \b-bounded matches stop a longer key
+    # ('dedup_embedding_knee') from vouching for its prefix
+    # ('dedup_embedding') — '_' is a word char, so \b works here.
+    def code_only(txt):
+        return "\n".join(
+            l for l in txt.split("\n")
+            if not l.lstrip().startswith("//")
+            and not l.lstrip().startswith("*")
+            and not l.lstrip().startswith("/*"))
+
+    pin_code = {n: code_only(t) for n, t in pin_blob.items()}
+
     def pinned_in(key):
-        hits = sorted(n for n, txt in pin_blob.items() if key in txt)
+        rx = re.compile(r"\b" + re.escape(key) + r"\b")
+        hits = sorted(n for n, txt in pin_code.items() if rx.search(txt))
         hits += sorted(spec for spec, tname in recomp
-                       if key in tname and spec not in hits)
+                       if rx.search(tname) and spec not in hits)
         return hits
 
     flagged = {}
