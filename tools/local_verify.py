@@ -154,7 +154,11 @@ def perturbed_views(con, sf_dir, tmp_dir):
             # isometry: a pure translation (+0.25) left every euclidean
             # key green because L2 distances are translation-invariant
             # (measured — sim_search_l2 stayed blind); the affine scale
-            # changes pairwise L2 AND cosine geometry for every pair
+            # changes pairwise L2 AND cosine geometry for every pair.
+            # Also drop the MIN vec_id row: Similarity.probes is
+            # min-per-label, so even the value-free ANN PROPERTY
+            # oracles (probe list + flags) see their probe set change —
+            # the structural layer they do check responds to tampering
             q = os.path.join(tmp_dir, f"{t}.parquet")
             helper.execute(
                 f"COPY (SELECT * REPLACE ("
@@ -162,6 +166,8 @@ def perturbed_views(con, sf_dir, tmp_dir):
                 f"    embedding[2:]) AS embedding) "
                 f"FROM read_parquet('{p}') "
                 f"WHERE vec_id <> (SELECT MAX(vec_id) "
+                f"FROM read_parquet('{p}')) "
+                f"AND vec_id <> (SELECT MIN(vec_id) "
                 f"FROM read_parquet('{p}'))) TO '{q}' (FORMAT PARQUET)")
             con.execute(f"CREATE VIEW {t} AS SELECT * "
                         f"FROM read_parquet('{q}')")
