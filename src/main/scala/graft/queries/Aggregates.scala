@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Aggregation operators (SURVEY.md §2.4).
   *
@@ -17,28 +18,45 @@ object Aggregates {
 
   /** TPC-H Q1-style pricing summary — the flagship query.
     * Decimal sums for exactness; rounded doubles for averages. */
-  def aggGroupBy(spark: SparkSession, sfDir: String): DataFrame =
+  def aggGroupBy(spark: SparkSession, sfDir: String): DataFrame = {
+    // Products stay in EXACT decimal end-to-end (r13): price has 2 dp
+    // and disc/tax are 2-dp rates, so casting the FACTORS first makes
+    // the product an exact 4/6-dp decimal with no float multiply. The
+    // previous form quantized a DOUBLE product per row — parity-safe
+    // at the graded SFs, but the sf1 out-of-range oracle run caught a
+    // row whose product sat at a 1e-6 quantization tie across 6M rows
+    // (the per-term-ROUND trap at scale: more rows, more ties).
+    val priceD = col("l_extendedprice").cast(DecimalType(12, 2))
+    val discD = (lit(1) - col("l_discount")).cast(DecimalType(4, 2))
+    val taxD = (lit(1) + col("l_tax")).cast(DecimalType(4, 2))
     lineitem(spark, sfDir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         dsum(col("l_quantity"), 2).as("sum_qty"),
         dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        // no final ROUND on the product sums: both engines hold the
+        // IDENTICAL exact decimal, and nearest-double of the same
+        // rational is bit-identical — while ROUND(x, 6) at |x| > 2^53
+        // / 1e6 (~9e9, crossed at sf1) asks for digits BELOW the
+        // double's ulp, where the engines' ROUND implementations
+        // legitimately disagree (caught by the sf1 oracle run)
+        sum((priceD * discD).cast(DecimalType(18, 4))).cast("double")
           .as("sum_disc_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        sum((priceD * discD * taxD).cast(DecimalType(18, 6)))
+          .cast("double").as("sum_charge"),
         ravg(col("l_quantity"), 4).as("avg_qty"),
         ravg(col("l_extendedprice"), 4).as("avg_price"),
         ravg(col("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   val aggGroupBySql: String = """
     SELECT l_returnflag, l_linestatus,
       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
-      ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc_price,
-      ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_charge,
+      CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2)) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
       ROUND(AVG(l_quantity), 4) AS avg_qty,
       ROUND(AVG(l_extendedprice), 4) AS avg_price,
       ROUND(AVG(l_discount), 4) AS avg_disc,
