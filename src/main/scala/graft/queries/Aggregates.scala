@@ -1246,15 +1246,25 @@ object Aggregates {
           .select(col("flag"), col("sc").as("s0"), col("q").as("q0"))
         val c = g.filter(col("y") === 1998)
           .select(col("flag"), col("sc").as("s1"), col("q").as("q1"))
+        // cross products in DECIMAL(38,0): s*q is cents x quantity and
+        // overflows BIGINT at ~100x the graded scale (caught by the
+        // r13 sf1 oracle run — Spark threw ARITHMETIC_OVERFLOW at
+        // s1*q0 ~ 3.5e21). The sign-split keeps floor==trunc parity;
+        // the oracle mirrors through HUGEINT (DuckDB's // does not
+        // floor DECIMAL operands, but floors HUGEINT).
         p.join(c, Seq("flag"))
           .withColumn("price_eff", expr(
-            """CASE WHEN s1*q0 - s0*q1 < 0
-               THEN -((-(s1*q0 - s0*q1)) div q1)
-               ELSE (s1*q0 - s0*q1) div q1 END"""))
+            """CASE WHEN CAST(s1 AS DECIMAL(38,0))*q0
+                         - CAST(s0 AS DECIMAL(38,0))*q1 < 0
+               THEN -((-(CAST(s1 AS DECIMAL(38,0))*q0
+                         - CAST(s0 AS DECIMAL(38,0))*q1)) div q1)
+               ELSE (CAST(s1 AS DECIMAL(38,0))*q0
+                     - CAST(s0 AS DECIMAL(38,0))*q1) div q1 END"""))
           .withColumn("vol_eff", expr(
-            """CASE WHEN s0*(q1 - q0) < 0
-               THEN -((-(s0*(q1 - q0))) div q0)
-               ELSE (s0*(q1 - q0)) div q0 END"""))
+            """CASE WHEN CAST(s0 AS DECIMAL(38,0))*(q1 - q0) < 0
+               THEN -((-(CAST(s0 AS DECIMAL(38,0))*(q1 - q0))) div q0)
+               ELSE (CAST(s0 AS DECIMAL(38,0))*(q1 - q0)) div q0
+               END"""))
           .select(col("flag"),
             expr("(s1 - s0) / 100.0D").as("delta_rev"),
             expr("price_eff / 100.0D").as("price_effect"),
@@ -1274,12 +1284,12 @@ object Aggregates {
                 FROM g p JOIN g c ON p.flag = c.flag
                 WHERE p.y = 1997 AND c.y = 1998),
          eff AS (SELECT flag, s0, q0, s1, q1,
-             CASE WHEN s1*q0 - s0*q1 < 0
-               THEN -((-(s1*q0 - s0*q1)) // q1)
-               ELSE (s1*q0 - s0*q1) // q1 END AS price_eff,
-             CASE WHEN s0*(q1 - q0) < 0
-               THEN -((-(s0*(q1 - q0))) // q0)
-               ELSE (s0*(q1 - q0)) // q0 END AS vol_eff
+             CASE WHEN CAST(s1 AS HUGEINT)*q0 - CAST(s0 AS HUGEINT)*q1 < 0
+               THEN -((-(CAST(s1 AS HUGEINT)*q0 - CAST(s0 AS HUGEINT)*q1)) // q1)
+               ELSE (CAST(s1 AS HUGEINT)*q0 - CAST(s0 AS HUGEINT)*q1) // q1 END AS price_eff,
+             CASE WHEN CAST(s0 AS HUGEINT)*(q1 - q0) < 0
+               THEN -((-(CAST(s0 AS HUGEINT)*(q1 - q0))) // q0)
+               ELSE (CAST(s0 AS HUGEINT)*(q1 - q0)) // q0 END AS vol_eff
            FROM pv)
          SELECT flag, (s1 - s0) / 100.0 AS delta_rev,
                 price_eff / 100.0 AS price_effect,

@@ -866,27 +866,32 @@ object Scalars {
     // composites. Shift counts are constants < 64 so Spark's
     // mod-64 shiftleft wrap (the time_decay_sum ADVICE lesson) can't
     // fire; masks keep every lane nonnegative.
+    // Field layout 19+20+16+8 = 63 bits: the top field must leave
+    // the sign bit free — the original 20-bit top field summed to 64
+    // bits, so a key with orderkey % 2^20 >= 2^19 overflowed signed
+    // BIGINT (Spark shiftleft WRAPS silently, DuckDB errors — caught
+    // by the r13 sf1 oracle run at orderkey 570008 << 44).
     Q("fn_bitpack_roundtrip",
       (s, d) => lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
-          expr("""(shiftleft(l_orderkey % 1048576, 44)
+          expr("""(shiftleft(l_orderkey % 524288, 44)
                  + shiftleft(CAST(l_partkey % 1048576 AS BIGINT), 24)
                  + shiftleft(CAST(l_suppkey % 65536 AS BIGINT), 8)
                  + CAST(l_linenumber % 256 AS BIGINT))""").as("packed"))
         .select(col("l_orderkey"), col("l_linenumber"), col("packed"),
-          expr("shiftright(packed, 44) & 1048575").as("up_order"),
+          expr("shiftright(packed, 44) & 524287").as("up_order"),
           expr("shiftright(packed, 24) & 1048575").as("up_part"),
           expr("shiftright(packed, 8) & 65535").as("up_supp"),
           expr("packed & 255").as("up_line"))
         .orderBy("l_orderkey", "l_linenumber"),
       """WITH p AS (SELECT l_orderkey, l_linenumber,
-             ((l_orderkey % 1048576) << 44)
+             ((l_orderkey % 524288) << 44)
              + (CAST(l_partkey % 1048576 AS BIGINT) << 24)
              + (CAST(l_suppkey % 65536 AS BIGINT) << 8)
              + CAST(l_linenumber % 256 AS BIGINT) AS packed
            FROM lineitem)
          SELECT l_orderkey, l_linenumber, packed,
-                (packed >> 44) & 1048575 AS up_order,
+                (packed >> 44) & 524287 AS up_order,
                 (packed >> 24) & 1048575 AS up_part,
                 (packed >> 8) & 65535 AS up_supp,
                 packed & 255 AS up_line
