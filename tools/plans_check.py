@@ -1,11 +1,15 @@
 #!/usr/bin/env python3
-"""Assert PLANS.md covers every bench-top-20 key.
+"""Assert PLANS.md covers every bench-top-20 key, with a 25% bubble.
 
 Usage: python3 tools/plans_check.py [BENCH_rNN.json ...]
 
 With no args, uses the highest-numbered BENCH_r*.json in the repo
-root. Reads the per-query seconds (top-level "queries" or
-"parsed.queries"), takes the 20 slowest keys, and exits 1 listing any
+root AND every same-round close record. Reads the per-query seconds
+(top-level "queries" or "parsed.queries"), takes the 20 slowest keys
+PLUS every key within 25% of the 20th-slowest time (the bubble — r13
+lesson: fn_collate sat just below the close-record cutoff, then
+official-window tenancy drift promoted it into the official top-20
+after close, reddening the gate). Exits 1 listing any bubble key
 without a `## <key>` section in PLANS.md — the machine check behind
 the README's "bench top-20 plan coverage" claim.
 """
@@ -47,13 +51,20 @@ def main():
     plans = set(re.findall(r"^## (\S+)", open("PLANS.md").read(), re.M))
     rc = 0
     for path in paths:
-        top = sorted(bench_queries(path).items(), key=lambda kv: -kv[1])[:20]
-        missing = [k for k, _ in top if k not in plans]
+        ranked = sorted(bench_queries(path).items(), key=lambda kv: -kv[1])
+        cutoff = ranked[min(19, len(ranked) - 1)][1]
+        # 25% bubble: any key within 25% of the top-20 cutoff must be
+        # covered too, so post-close tenancy drift can't promote an
+        # unplanned key into the official top-20
+        bubble = [k for k, v in ranked if v >= 0.75 * cutoff]
+        missing = [k for k in bubble if k not in plans]
         if missing:
             rc = 1
-            print(f"{path}: top-20 keys MISSING from PLANS.md: {missing}")
+            print(f"{path}: bubble keys (>=75% of top-20 cutoff "
+                  f"{cutoff:.3f}s) MISSING from PLANS.md: {missing}")
         else:
-            print(f"{path}: top-20 plan coverage 20/20")
+            print(f"{path}: plan coverage {len(bubble)}/{len(bubble)} "
+                  f"(top-20 + 25% bubble, cutoff {cutoff:.3f}s)")
     return rc
 
 
