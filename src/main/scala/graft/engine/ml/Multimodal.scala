@@ -576,8 +576,11 @@ object Multimodal {
           cur(3 * x + 2) = p & 0xff // B
           x += 1
         }
-        val ft = filterOf(y) & 0xff
-        require(ft <= 4, s"invalid filter type $ft")
+        // validate the RAW filterOf return before any masking: an
+        // out-of-range value that is 0-4 mod 256 (e.g. 256) must fail
+        // the require, not silently encode as a different filter
+        val ft = filterOf(y)
+        require(ft >= 0 && ft <= 4, s"invalid filter type $ft")
         raw(o) = ft.toByte; o += 1
         var i = 0
         while (i < stride) {
@@ -637,6 +640,7 @@ object Multimodal {
       var pos = 8
       var width = 0; var height = 0
       var seenIhdr = false; var seenIend = false
+      var idatEnded = false // set once a non-IDAT chunk follows IDAT
       val idat = new java.io.ByteArrayOutputStream()
       while (pos + 12 <= bytes.length && !seenIend) {
         val len = bb.getInt(pos)
@@ -645,6 +649,10 @@ object Multimodal {
         val tArr = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 8)
         val crc = bb.getInt(pos + 8 + len).toLong & 0xffffffffL
         if (crcOf(tArr, bytes, pos + 8, len) != crc) return fail
+        // PNG ordering rules (r13 review): IHDR must be the FIRST
+        // chunk; IDAT chunks must be consecutive (tracked below)
+        if (!seenIhdr && typ != "IHDR") return fail
+        if (idat.size() > 0 && typ != "IDAT") idatEnded = true
         typ match {
           case "IHDR" =>
             if (seenIhdr || len != 13) return fail
@@ -664,12 +672,17 @@ object Multimodal {
               return fail
             seenIhdr = true
           case "IDAT" =>
-            if (!seenIhdr) return fail
+            if (!seenIhdr || idatEnded) return fail // non-consecutive
             idat.write(bytes, pos + 8, len)
           case "IEND" =>
             if (len != 0) return fail
             seenIend = true
-          case _ => // ancillary chunk: CRC already verified, skip
+          case _ =>
+            // unknown chunk: critical (uppercase first type letter,
+            // bit 5 of byte 0 clear) must fail — skipping a chunk the
+            // spec says we must understand would be a silent misread;
+            // ancillary (lowercase) is skippable, CRC already checked
+            if ((tArr(0) & 0x20) == 0) return fail
         }
         pos += 12 + len
       }

@@ -423,7 +423,19 @@ object Similarity {
     * differential oracle always compares real score sets. Ranking is
     * on the FULL-precision cosine (both engines run the identical
     * left-fold, so the order is deterministic), ties broken by
-    * (vec_a, vec_b); the emitted score is rounded after ranking. */
+    * (vec_a, vec_b); the emitted score is rounded after ranking.
+    *
+    * APPROXIMATION AMPLIFICATION (r13 review): ranks are computed over
+    * [[nearPairScores]]'s CANDIDATE set, so in the large-label IVF
+    * regime a single pair missed by cell probing shifts every
+    * subsequent rank within that label — a rank emission diverges from
+    * an all-pairs oracle more readily than a threshold emission once
+    * any label exceeds `smallLabelMax`. The oracle-checked key
+    * (`dedup_embedding_knee`) runs entirely in the all-small exact
+    * regime at every tested SF (max label size << 4096), where the
+    * candidate set IS all pairs and ranks are exact; callers using
+    * this entry point above the cap should treat ranks as
+    * approximate-order, not positionally stable. */
   def embeddingNearPairsTopK(emb: DataFrame, kPerLabel: Int,
       nCells: Int = 16, nProbe: Int = 3, seed: Long = 42L,
       smallLabelMax: Int = 4096, datasetTag: Option[String] = None): DataFrame = {

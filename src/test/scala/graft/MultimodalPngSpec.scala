@@ -62,16 +62,70 @@ class MultimodalPngSpec extends AnyFunSuite {
   test("tampered signature, IHDR fields, CRC or truncation fail decode") {
     val good = PngCodec.encodeRgb24(w, h, pixels, y => y % 5)
     def tampered(off: Int, b: Byte) = { val c = good.clone(); c(off) = b; c }
+    // re-stamp the IHDR CRC after the flip so the FIELD validation
+    // branch is exercised, not just the CRC check (r13 review: with a
+    // stale CRC these assertions passed without ever reaching the
+    // bitDepth/colorType/interlace checks)
+    def ihdrField(off: Int, b: Byte) = {
+      val c = good.clone(); c(off) = b
+      val crc = new java.util.zip.CRC32
+      crc.update(c, 12, 4 + 13)
+      java.nio.ByteBuffer.wrap(c).putInt(12 + 4 + 13, crc.getValue.toInt)
+      c
+    }
     assert(!PngCodec.decodeRgb24(tampered(0, 'X'.toByte)).ok) // signature
-    assert(!PngCodec.decodeRgb24(tampered(24, 16)).ok) // bit depth 16
-    assert(!PngCodec.decodeRgb24(tampered(25, 6)).ok) // color type RGBA
-    assert(!PngCodec.decodeRgb24(tampered(28, 1)).ok) // interlaced
+    assert(!PngCodec.decodeRgb24(ihdrField(24, 16)).ok) // bit depth 16
+    assert(!PngCodec.decodeRgb24(ihdrField(25, 6)).ok) // color type RGBA
+    assert(!PngCodec.decodeRgb24(ihdrField(26, 1)).ok) // compression 1
+    assert(!PngCodec.decodeRgb24(ihdrField(27, 1)).ok) // filter method 1
+    assert(!PngCodec.decodeRgb24(ihdrField(28, 1)).ok) // interlaced
+    // stale-CRC variants of the same flips: the CRC layer catches them
+    assert(!PngCodec.decodeRgb24(tampered(24, 16)).ok)
+    assert(!PngCodec.decodeRgb24(tampered(28, 1)).ok)
     // flip one byte INSIDE the IDAT payload: the chunk CRC must catch it
     assert(!PngCodec.decodeRgb24(tampered(8 + 25 + 8 + 2,
       (good(8 + 25 + 8 + 2) ^ 0x55).toByte)).ok)
     assert(!PngCodec.decodeRgb24(good.dropRight(13)).ok) // no IEND
     assert(!PngCodec.decodeRgb24(Array[Byte](1, 2, 3)).ok)
     assert(!PngCodec.decodeRgb24(good.take(8 + 25)).ok) // header only
+  }
+
+  test("spec-invalid chunk ordering fails even with valid CRCs") {
+    val good = PngCodec.encodeRgb24(w, h, pixels, y => y % 5)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length)
+      out.put(typ.getBytes("US-ASCII")); out.put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val sig = good.take(8)
+    val ihdr = good.slice(8, 8 + 25)
+    val rest = good.drop(8 + 25) // IDAT..IEND
+    val anc = chunk("teXt", Array[Byte](1, 2)) // ancillary (lowercase t)
+    val crit = chunk("QRST", Array[Byte](1, 2)) // unknown CRITICAL
+    // baseline: an ancillary chunk between IHDR and IDAT is fine
+    assert(PngCodec.decodeRgb24(sig ++ ihdr ++ anc ++ rest).ok)
+    // IHDR must be the FIRST chunk
+    assert(!PngCodec.decodeRgb24(sig ++ anc ++ ihdr ++ rest).ok)
+    // unknown critical chunk must fail, not skip
+    assert(!PngCodec.decodeRgb24(sig ++ ihdr ++ crit ++ rest).ok)
+    // IDAT run interrupted by another chunk, then more IDAT: fail
+    val idatLen = java.nio.ByteBuffer.wrap(good).getInt(8 + 25)
+    val idat = good.slice(8 + 25, 8 + 25 + 12 + idatLen)
+    val iend = good.takeRight(12)
+    val split = idat.length / 2
+    // (re-chunk the two halves so each carries a valid CRC)
+    val payload = idat.slice(8, 8 + idatLen)
+    val half1 = chunk("IDAT", payload.take(split))
+    val half2 = chunk("IDAT", payload.drop(split))
+    // consecutive halves decode fine (multi-IDAT support)
+    assert(PngCodec.decodeRgb24(sig ++ ihdr ++ half1 ++ half2 ++ iend).ok)
+    // an ancillary chunk BETWEEN the halves breaks consecutiveness
+    assert(!PngCodec.decodeRgb24(
+      sig ++ ihdr ++ half1 ++ anc ++ half2 ++ iend).ok)
   }
 
   /** Rebuild a PNG from the good one with its IDAT payload replaced

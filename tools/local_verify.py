@@ -84,6 +84,119 @@ def compare(gdf, edf):
     return True, True, True, ""
 
 
+# Per-table tamper SQL (r14): {src}/{dst} are filled in by
+# perturbed_views. Domain rotations use the TPC-H value sets so string
+# formats stay parseable; every table loses its max-key row and (where
+# a sampler could rank it) its min-md5 row.
+PERTURB_SQL = {
+    "orders": """
+        COPY (WITH src AS (SELECT * FROM read_parquet('{src}'))
+        SELECT * REPLACE (
+          o_totalprice * 1.5 + 0.25 AS o_totalprice,
+          CASE WHEN o_orderkey % 2 = 1
+               THEN o_orderdate + INTERVAL 1 DAY ELSE o_orderdate
+          END AS o_orderdate,
+          CASE WHEN o_orderkey % 2 = 0 THEN
+            CASE o_orderpriority
+              WHEN '1-URGENT' THEN '2-HIGH'
+              WHEN '2-HIGH' THEN '3-MEDIUM'
+              WHEN '3-MEDIUM' THEN '4-NOT SPECIFIED'
+              WHEN '4-NOT SPECIFIED' THEN '5-LOW'
+              ELSE '1-URGENT' END
+          ELSE o_orderpriority END AS o_orderpriority,
+          CASE WHEN o_orderkey % 3 = 0 THEN
+            CASE o_orderstatus WHEN 'O' THEN 'F' WHEN 'F' THEN 'P'
+              ELSE 'O' END
+          ELSE o_orderstatus END AS o_orderstatus)
+        FROM src
+        WHERE o_orderkey <> (SELECT MAX(o_orderkey) FROM src)
+        AND o_orderkey <> (SELECT o_orderkey FROM src
+          ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 1)
+        ) TO '{dst}' (FORMAT PARQUET)""",
+    "lineitem": """
+        COPY (WITH src AS (SELECT * FROM read_parquet('{src}'))
+        SELECT * REPLACE (
+          l_extendedprice * 1.5 + 0.25 AS l_extendedprice,
+          l_quantity + 1 AS l_quantity,
+          CASE WHEN l_orderkey % 2 = 1
+               THEN l_shipdate + INTERVAL 1 DAY ELSE l_shipdate
+          END AS l_shipdate,
+          CASE WHEN l_orderkey % 2 = 0 THEN
+            CASE l_returnflag WHEN 'A' THEN 'N' WHEN 'N' THEN 'R'
+              ELSE 'A' END
+          ELSE l_returnflag END AS l_returnflag)
+        FROM src
+        WHERE l_orderkey <> (SELECT MAX(l_orderkey) FROM src)
+        AND (l_orderkey, l_linenumber) <> (SELECT (l_orderkey,
+          l_linenumber) FROM src
+          ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+            CAST(l_linenumber AS VARCHAR)), l_orderkey, l_linenumber
+          LIMIT 1)
+        ) TO '{dst}' (FORMAT PARQUET)""",
+    "events": """
+        COPY (WITH src AS (SELECT * FROM read_parquet('{src}'))
+        SELECT * REPLACE (
+          value * 1.5 + 0.25 AS value,
+          CASE WHEN event_id % 2 = 1
+               THEN ts + INTERVAL 61 SECOND ELSE ts END AS ts)
+        FROM src
+        WHERE event_id <> (SELECT MAX(event_id) FROM src)
+        AND event_id <> (SELECT event_id FROM src
+          ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 1)
+        ) TO '{dst}' (FORMAT PARQUET)""",
+    "customer": """
+        COPY (WITH src AS (SELECT * FROM read_parquet('{src}'))
+        SELECT * REPLACE (
+          c_acctbal * 1.5 + 0.25 AS c_acctbal,
+          CASE WHEN c_custkey % 2 = 0
+               THEN CAST((c_nationkey + 1) % 25 AS INTEGER)
+               ELSE c_nationkey END AS c_nationkey)
+        FROM src
+        WHERE c_custkey <> (SELECT MAX(c_custkey) FROM src)
+        AND c_custkey <> (SELECT c_custkey FROM src
+          ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey LIMIT 1)
+        ) TO '{dst}' (FORMAT PARQUET)""",
+    "part": """
+        COPY (WITH src AS (SELECT * FROM read_parquet('{src}'))
+        SELECT * REPLACE (
+          p_retailprice * 1.5 + 0.25 AS p_retailprice,
+          CAST(p_size + 1 AS INTEGER) AS p_size,
+          CASE WHEN p_partkey % 2 = 0
+               THEN array_to_string(
+                 list_reverse(string_split(p_name, ' ')), ' ')
+               ELSE p_name END AS p_name)
+        FROM src
+        WHERE p_partkey <> (SELECT MAX(p_partkey) FROM src)
+        AND p_partkey <> (SELECT p_partkey FROM src
+          ORDER BY md5(CAST(p_partkey AS VARCHAR)), p_partkey LIMIT 1)
+        ) TO '{dst}' (FORMAT PARQUET)""",
+    "supplier": """
+        COPY (WITH src AS (SELECT * FROM read_parquet('{src}'))
+        SELECT * REPLACE (
+          s_acctbal * 1.5 + 0.25 AS s_acctbal,
+          CASE WHEN s_suppkey % 2 = 0
+               THEN CAST((s_nationkey + 1) % 25 AS INTEGER)
+               ELSE s_nationkey END AS s_nationkey)
+        FROM src
+        WHERE s_suppkey <> (SELECT MAX(s_suppkey) FROM src)
+        ) TO '{dst}' (FORMAT PARQUET)""",
+    "nation": """
+        COPY (WITH src AS (SELECT * FROM read_parquet('{src}'))
+        SELECT * REPLACE (
+          CASE WHEN n_nationkey % 2 = 0
+               THEN CAST((n_regionkey + 1) % 5 AS INTEGER)
+               ELSE n_regionkey END AS n_regionkey)
+        FROM src
+        WHERE n_nationkey <> (SELECT MAX(n_nationkey) FROM src)
+        ) TO '{dst}' (FORMAT PARQUET)""",
+    "region": """
+        COPY (SELECT * FROM read_parquet('{src}')
+        WHERE r_regionkey <> (SELECT MAX(r_regionkey)
+          FROM read_parquet('{src}'))
+        ) TO '{dst}' (FORMAT PARQUET)""",
+}
+
+
 def perturbed_views(con, sf_dir, tmp_dir):
     """Register table views with ONE input row dropped from documents
     and embeddings (the max doc_id / vec_id row) — the r12 verdict's
@@ -171,6 +284,26 @@ def perturbed_views(con, sf_dir, tmp_dir):
                 f"FROM read_parquet('{p}'))) TO '{q}' (FORMAT PARQUET)")
             con.execute(f"CREATE VIEW {t} AS SELECT * "
                         f"FROM read_parquet('{q}')")
+        elif t in PERTURB_SQL:
+            # r14 (r13 verdict directive #5): the cross-SF tamper probe
+            # covers data-scaled keys, but a future construction-keyed
+            # key over the TPC-H/events tables would be blind to it.
+            # Per-table perturbations follow the documents/embeddings
+            # lessons: (a) DROP rows — the max-key row (row-count
+            # sensitivity) and the min-md5-ordered row (rank-based
+            # samplers pick it first) — which flips every per-row and
+            # count-bearing key; (b) AFFINE-scale a numeric value
+            # column (x -> 1.5x + 0.25: non-isometric, so distance/
+            # ratio keys flip too); (c) shift timestamps on odd keys
+            # (crosses minute/hour/day bucket boundaries for some
+            # rows); (d) rotate a categorical on even keys WITHIN its
+            # domain (group reassignment without format breakage — an
+            # appended marker would crash format-parsing keys into ERR
+            # instead of a clean FAIL).
+            q = os.path.join(tmp_dir, f"{t}.parquet")
+            helper.execute(PERTURB_SQL[t].format(src=p, dst=q))
+            con.execute(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM read_parquet('{q}')")
         else:
             con.execute(f"CREATE VIEW {t} AS SELECT * "
                         f"FROM read_parquet('{p}')")
@@ -198,12 +331,19 @@ def main():
 
     if perturb:
         # restrict to keys whose oracle actually reads the perturbed
-        # tables; everything else is out of scope for this probe
-        oracle = {k: v for k, v in oracle.items()
-                  if re.search(r"\b(documents|embeddings)\b", v)}
-        print(f"perturb mode: {len(oracle)} keys reference "
-              f"documents/embeddings; expecting the comparator to FAIL "
-              f"on every one")
+        # tables; everything else is out of scope for this probe.
+        # Since r14 every source table is perturbed, so the only
+        # out-of-scope keys are the literal-generated ones (no table
+        # reference at all) — report them so the census is explicit.
+        any_table = re.compile(r"\b(" + "|".join(TABLES) + r")\b")
+        no_ref = sorted(k for k, v in oracle.items()
+                        if not any_table.search(v))
+        oracle = {k: v for k, v in oracle.items() if any_table.search(v)}
+        print(f"perturb mode: {len(oracle)} keys reference a source "
+              f"table; expecting the comparator to FAIL on every one")
+        if no_ref and not only:
+            print(f"out of scope ({len(no_ref)} keys, oracle reads no "
+                  f"table — literal-generated): {no_ref}")
 
     n_pass = n_fail = 0
     blind = []
