@@ -107,7 +107,14 @@ PERTURB_SQL = {
           CASE WHEN o_orderkey % 3 = 0 THEN
             CASE o_orderstatus WHEN 'O' THEN 'F' WHEN 'F' THEN 'P'
               ELSE 'O' END
-          ELSE o_orderstatus END AS o_orderstatus)
+          ELSE o_orderstatus END AS o_orderstatus,
+          -- remap o_custkey to NEW values on a 1/101 slice: distinct-
+          -- custkey sketches (HLL, KMV, capture-recapture) survive row
+          -- drops because every custkey has other orders (measured
+          -- blind); out-of-domain keys change the distinct set and
+          -- drop out of customer joins — both detectable
+          CASE WHEN o_orderkey % 101 = 0 THEN o_custkey + 1000000
+               ELSE o_custkey END AS o_custkey)
         FROM src
         WHERE o_orderkey <> (SELECT MAX(o_orderkey) FROM src)
         AND o_orderkey <> (SELECT o_orderkey FROM src
@@ -121,10 +128,32 @@ PERTURB_SQL = {
           CASE WHEN l_orderkey % 2 = 1
                THEN l_shipdate + INTERVAL 1 DAY ELSE l_shipdate
           END AS l_shipdate,
-          CASE WHEN l_orderkey % 2 = 0 THEN
+          -- one NEW category value: a domain-PRESERVING rotation is
+          -- invisible to distinct-set keys (distinct_rows,
+          -- agg_stringagg stayed blind under rotation alone — measured)
+          CASE WHEN l_orderkey = (SELECT MIN(l_orderkey) FROM src)
+               THEN 'Z'
+          WHEN l_orderkey % 2 = 0 THEN
             CASE l_returnflag WHEN 'A' THEN 'N' WHEN 'N' THEN 'R'
               ELSE 'A' END
-          ELSE l_returnflag END AS l_returnflag)
+          ELSE l_returnflag END AS l_returnflag,
+          -- remap FK keys on a slice: the graph family projects
+          -- DISTINCT (l_suppkey, l_partkey) pairs, which survive row
+          -- drops (other rows carry the same pair — 11 graph keys
+          -- stayed blind, measured); +1-with-wrap on a 1/97 / 1/89
+          -- slice rewires edges without leaving the key domain
+          -- the extra x-REFLECTION (2047 - pk on a 1/3 slice) is the
+          -- one device that moves zorder quantile-shard x-ranges:
+          -- in-band remaps and +k shifts leave the z-box skip counts
+          -- saturated (maintain_zorder_effectiveness measured blind
+          -- under both)
+          CASE WHEN l_orderkey % 97 = 0
+               THEN (l_partkey % (SELECT MAX(l_partkey) FROM src)) + 1
+               WHEN l_orderkey % 3 = 0 THEN 2047 - l_partkey
+               ELSE l_partkey END AS l_partkey,
+          CASE WHEN l_orderkey % 89 = 0
+               THEN (l_suppkey % (SELECT MAX(l_suppkey) FROM src)) + 1
+               ELSE l_suppkey END AS l_suppkey)
         FROM src
         WHERE l_orderkey <> (SELECT MAX(l_orderkey) FROM src)
         AND (l_orderkey, l_linenumber) <> (SELECT (l_orderkey,
@@ -132,17 +161,52 @@ PERTURB_SQL = {
           ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '-' ||
             CAST(l_linenumber AS VARCHAR)), l_orderkey, l_linenumber
           LIMIT 1)
+        -- drop ALL rows of the min supplier: the co-purchase supplier
+        -- graph is a COMPLETE clique at every graded SF (min shared-
+        -- part count 98 vs the >=25 edge threshold, measured), so no
+        -- row-slice remap can flip an edge — the only tamper the
+        -- graph family can see is a change in the supplier NODE count
+        AND l_suppkey <> (SELECT MIN(l_suppkey) FROM src)
         ) TO '{dst}' (FORMAT PARQUET)""",
     "events": """
-        COPY (WITH src AS (SELECT * FROM read_parquet('{src}'))
-        SELECT * REPLACE (
+        COPY (WITH src0 AS (SELECT * FROM read_parquet('{src}')),
+        src AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY event_id) AS _rn FROM src0)
+        SELECT * EXCLUDE (_rn) REPLACE (
           value * 1.5 + 0.25 AS value,
-          CASE WHEN event_id % 2 = 1
-               THEN ts + INTERVAL 61 SECOND ELSE ts END AS ts)
+          -- +61 s crosses minute buckets; the extra +1 day on a 1/5
+          -- slice moves rows across DAY buckets (daily-sum keys like
+          -- time_mean_crossings are invariant to uniform affine value
+          -- scaling and sub-day shifts — measured blind)
+          -- the MIN user becomes a bot: a 1-second-regular ts grid
+          -- (rate 60/min, gap_std 0) crosses every bot-detection
+          -- threshold — cadence-based keys are invariant to shifts
+          -- that preserve irregular organic gaps (measured blind)
+          CASE WHEN user_id = (SELECT MIN(user_id) FROM src0)
+               THEN TIMESTAMP '1995-06-01 00:00:00'
+                    + INTERVAL (_rn) SECOND
+               WHEN event_id % 5 = 0 THEN ts + INTERVAL 1 DAY
+               WHEN event_id % 2 = 1 THEN ts + INTERVAL 61 SECOND
+               ELSE ts END AS ts,
+          -- rotate event_type within its domain on even ids: funnel /
+          -- lifecycle / survival / diversity keys key off the TYPE
+          -- sequence and are invariant to value+ts nudges (measured)
+          CASE WHEN event_id % 2 = 0 THEN
+            CASE event_type WHEN 'view' THEN 'click'
+              WHEN 'click' THEN 'purchase' WHEN 'purchase' THEN 'signup'
+              WHEN 'signup' THEN 'error' ELSE 'view' END
+          ELSE event_type END AS event_type,
+          -- remap user_id to NEW values on a 1/103 slice (distinct-
+          -- user sketches and per-user paths survive row drops)
+          CASE WHEN event_id % 103 = 0 THEN user_id + 1000000
+               ELSE user_id END AS user_id)
         FROM src
         WHERE event_id <> (SELECT MAX(event_id) FROM src)
         AND event_id <> (SELECT event_id FROM src
           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 1)
+        -- drop ALL events of the max user: user-COUNT keys (SRM,
+        -- audience overlap, retention) survive single-event drops
+        AND user_id <> (SELECT MAX(user_id) FROM src)
         ) TO '{dst}' (FORMAT PARQUET)""",
     "customer": """
         COPY (WITH src AS (SELECT * FROM read_parquet('{src}'))
