@@ -1,0 +1,50 @@
+package graft.engine.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Exact-decimal vector arithmetic against SMALL literal centers
+  * (codebooks, centroids, coreset picks — k·d doubles, driver-bounded
+  * by construction).
+  *
+  * The round-13 engine computed these distances by 64-way
+  * `posexplode` + broadcast join on the dim index + decimal SUM +
+  * window argmin — k·d rows shuffled and aggregated PER INPUT ROW
+  * (k=16 codes blew a 2 000-row relation to 2 M aggregate rows). The
+  * closed form here evaluates the same exact DECIMAL sum per row with
+  * array higher-order functions: zero exchanges, zero windows, the
+  * scan stage carries everything (optimization guide §1.2 step 1,
+  * §2.3 "shuffle keys/metadata instead of payloads").
+  *
+  * Parity: each term is the identical IEEE double `(v − c)²` cast to
+  * DECIMAL(24,12); the fold accumulates in DECIMAL(30,12) so every add
+  * stays UNDER the 38-digit cap — `(30,12) + (24,12)` requires
+  * precision 31, exact, scale preserved. (A 38,12 accumulator would
+  * require precision 39; Spark's allowPrecisionLoss then truncates the
+  * scale to 11 and rounds EVERY fold step at 1e-11 — measured as a
+  * last-digit recon_err divergence vs the oracle.) Decimal addition is
+  * exact and order-free, so the result VALUE equals the old
+  * SUM(DECIMAL(24,12)) (type width differs, value does not — every
+  * consumer compares or casts the value). Headroom: 64 terms of
+  * < 10¹² each stay far below the (30,12) cap of 10¹⁸. */
+object VecExact {
+
+  /** Σ_i CAST((CAST(e[i] AS DOUBLE) − c_i)² AS DECIMAL(24,12)) over the
+    * full vector, accumulated exactly in DECIMAL(38,12). */
+  def l2decimal(emb: Column, center: Seq[Double]): Column =
+    l2decimalSlice(emb, center, 0, center.size)
+
+  /** Same exact sum restricted to dims [from, from+len) (0-based),
+    * for product-quantization subspaces. `center` is indexed on the
+    * SAME absolute positions as `emb`. */
+  def l2decimalSlice(emb: Column, center: Seq[Double], from: Int,
+      len: Int): Column = {
+    val sub = typedLit(center.slice(from, from + len))
+    val terms = zip_with(
+      slice(emb.cast("array<double>"), from + 1, len), sub,
+      (a, b) => ((a - b) * (a - b)).cast(DecimalType(24, 12)))
+    aggregate(terms, lit(0).cast(DecimalType(30, 12)),
+      (acc, x) => (acc + x).cast(DecimalType(30, 12)))
+  }
+}

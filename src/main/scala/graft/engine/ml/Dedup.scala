@@ -33,6 +33,14 @@ object Dedup {
   private def trackCache(df: DataFrame): DataFrame =
     trackedCaches.synchronized { val c = df.cache(); trackedCaches += c; c }
 
+  /** Public tracked cache for intermediates reused several times within
+    * ONE query invocation (the edge relation of an iterative graph key,
+    * a rank map consumed by two joins). MEMORY_AND_DISK, so an
+    * oversized relation spills instead of OOMing at scale; released by
+    * the runner's existing [[unpersistTracked]] sweep, so nothing
+    * persists across queries or runs. */
+  def cacheTracked(df: DataFrame): DataFrame = trackCache(df)
+
   def unpersistTracked(): Unit = trackedCaches.synchronized {
     trackedCaches.foreach(df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () })

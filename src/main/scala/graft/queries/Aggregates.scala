@@ -1147,10 +1147,12 @@ object Aggregates {
               " AS BIGINT)").as("cents"))
           .agg(expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)")
             .as("wsum"))
-        val w = Window.partitionBy("flag").orderBy("cents")
-          .rowsBetween(Window.unboundedPreceding, 0)
         val tot = h.groupBy("flag").agg(sum("wsum").as("wt"))
-        h.withColumn("cw", sum("wsum").over(w))
+        // blocked cumulative: PARTITION BY flag alone ran the whole
+        // cents histogram behind |flag|=3 window tasks (guide §2.5
+        // skew); two-level blocks parallelize the sort, identical cum
+        graft.engine.ops.Scale.blockedCumSum(h, Seq("flag"), "cents",
+            "wsum", expr("cents div 65536"), "cw")
           .join(broadcast(tot), Seq("flag"))
           .filter(col("cw") * 2 >= col("wt"))
           .groupBy("flag")

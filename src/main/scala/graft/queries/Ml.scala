@@ -1238,41 +1238,44 @@ object Ml {
     // no all-pairs anything.
     Q("vec_pq",
       (s, d) => {
-        val dims = embeddings(s, d)
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
-          .select(col("vec_id"), (col("p") + 1).as("i"),
-            col("x").cast("double").as("v"))
-        // seed selection: k smallest md5(vec_id) via orderBy+limit —
-        // plans as TakeOrderedAndProject (per-partition top-16 heaps,
-        // 16-row driver merge), never a single-partition global sort.
-        // The rank window that numbers the codes runs over the 16-row
-        // result: bounded by construction, not a scale stage.
-        val picked = embeddings(s, d)
-          .select(col("vec_id"),
+        import graft.engine.expr.VecExact
+        // r14 rewrite (guide §1.2 step 1, §2.4): the r13 plan exploded
+        // every vector 64× , broadcast-joined 16 codes onto the dim
+        // stream (1024 rows per input row), aggregated them back and
+        // ran a (vec,j) window — two exchanges + a window over a
+        // k·d-times-blown relation. The codebook is 16×64 doubles,
+        // BOUNDED BY CONSTRUCTION, so collect it once (the
+        // sample_coreset / Bpe.mergeTable device) and evaluate the
+        // identical exact-decimal subspace argmins per row with array
+        // HOFs: zero exchanges, zero windows, one TakeOrdered(16) seed
+        // job + one map-side pass + the final vec_id sort. Oracle
+        // parity: every d2 is the same exact DECIMAL sum of identical
+        // IEEE (v−c)² terms; the (d2, code_id) argmin tie-break is the
+        // same lexicographic order the old window used.
+        val seedRows = embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
             md5(col("vec_id").cast("string")).as("h"))
           .orderBy(col("h"), col("vec_id")).limit(16)
-        val wSeed = Window.orderBy(col("h"), col("vec_id"))
-        val seeds = picked
-          .withColumn("code_id", (row_number().over(wSeed) - 1).cast("long"))
-          .drop("h")
-        val cb = seeds.join(dims, Seq("vec_id"))
-          .select(col("code_id"), col("i"), col("v").as("cv"))
-        val dist = dims.join(broadcast(cb), Seq("i"))
-          .withColumn("j", floor((col("i") - 1) / 8.0).cast("int"))
-          .withColumn("sq",
-            ((col("v") - col("cv")) * (col("v") - col("cv")))
-              .cast(DecimalType(24, 12)))
-          .groupBy("vec_id", "j", "code_id")
-          .agg(sum(col("sq")).as("d2"))
-        val wBest = Window.partitionBy("vec_id", "j")
-          .orderBy(col("d2"), col("code_id"))
-        val best = dist.withColumn("rn", row_number().over(wBest))
-          .filter(col("rn") === 1)
-        val codeCols = (0 until 8).map(jj =>
-          max(when(col("j") === jj, col("code_id"))).as(s"c$jj"))
-        val aggs = codeCols :+
-          round(sum(col("d2")).cast("double"), 6).as("recon_err")
-        best.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+          .collect()
+        val codebook: Seq[Seq[Double]] = seedRows.toSeq.map(
+          _.getSeq[Float](1).map(_.toDouble).toSeq)
+        val emb = col("embedding")
+        val bests = (0 until 8).map { j =>
+          array_min(array((0 until 16).map { c =>
+            struct(
+              VecExact.l2decimalSlice(emb, codebook(c), j * 8, 8).as("d2"),
+              lit(c.toLong).as("code"))
+          }: _*)).as(s"b$j")
+        }
+        // spreadForCompute: the per-row HOF fold is the whole cost and
+        // a single-file scan would serialize it on one task; no-op at
+        // corpus scale where splits ≥ cores.
+        graft.engine.ops.Scale.spreadForCompute(embeddings(s, d))
+          .select(col("vec_id") +: bests: _*)
+          .select(col("vec_id") +:
+            (0 until 8).map(j => col(s"b$j.code").as(s"c$j")) :+
+            round((0 until 8).map(j => col(s"b$j.d2"))
+              .reduce(_ + _).cast("double"), 6).as("recon_err"): _*)
           .orderBy("vec_id")
       },
       """WITH dims AS (
@@ -1459,41 +1462,57 @@ object Ml {
     // the quality curve a mixture/IVF consumer reads.
     Q("vec_kmeans",
       (s, d) => {
-        val dims = embeddings(s, d)
-          .select(col("vec_id"),
-            posexplode(col("embedding")).as(Seq("p", "x")))
-          .select(col("vec_id"), (col("p") + 1).as("i"),
-            col("x").cast("double").as("v"))
-        // seed pick: TakeOrdered(8) via orderBy+limit, then the code
-        // numbering window over the 8-row result (vec_pq device — no
-        // single-partition pass over the full relation)
-        val picked = embeddings(s, d)
-          .select(col("vec_id"),
+        import graft.engine.expr.VecExact
+        // r14 rewrite (guide §1.2 step 1, §2.4 — the vec_pq device):
+        // each Lloyd assign round was a 64× explode + 8-centroid
+        // broadcast join + decimal agg + vec_id window; both rounds now
+        // evaluate the identical exact-decimal argmin per row with
+        // array HOFs against centroid literals. Centroids are k·d =
+        // 8×64 doubles, BOUNDED BY CONSTRUCTION — collecting them per
+        // round is the standard distributed-k-means shape (Spark MLlib
+        // collects+broadcasts centers every iteration); the round-1
+        // means are still computed DISTRIBUTED (one (c,i) aggregate)
+        // and only the 512-row result lands on the driver. Oracle
+        // parity: same IEEE (v−c)² terms, same exact decimal sums, same
+        // (d2, c) tie-break, same DECIMAL(20,10) mean expression.
+        val emb = col("embedding")
+        // centroids keyed by their ACTUAL cluster id (a cluster emptied
+        // by a round must keep absent, exactly like the old cent
+        // relation — positional ids would silently renumber)
+        def assignExpr(cents: Seq[(Long, Seq[Double])]) =
+          array_min(array(cents.map { case (c, cv) =>
+            struct(VecExact.l2decimal(emb, cv).as("d2"),
+              lit(c).as("c"))
+          }: _*))
+        // seed pick: TakeOrdered(8) by (md5, vec_id), vectors collected
+        // with the ids (code order = the old seed-numbering window)
+        val cent0: Seq[(Long, Seq[Double])] = embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
             md5(col("vec_id").cast("string")).as("h"))
           .orderBy(col("h"), col("vec_id")).limit(8)
-        val wSeed = Window.orderBy(col("h"), col("vec_id"))
-        val seeds = picked
-          .withColumn("c", (row_number().over(wSeed) - 1).cast("long"))
-          .drop("h")
-        var cent = seeds.join(dims, Seq("vec_id"))
-          .select(col("c"), col("i"), col("v").as("cv"))
-        var assign: org.apache.spark.sql.DataFrame = null
-        for (_ <- 1 to 2) {
-          val d2 = dims.join(broadcast(cent), Seq("i"))
-            .withColumn("sq",
-              ((col("v") - col("cv")) * (col("v") - col("cv")))
-                .cast(DecimalType(24, 12)))
-            .groupBy("vec_id", "c").agg(sum(col("sq")).as("d2"))
-          val wBest = Window.partitionBy("vec_id")
-            .orderBy(col("d2"), col("c"))
-          assign = d2.withColumn("rn", row_number().over(wBest))
-            .filter(col("rn") === 1).select("vec_id", "c", "d2")
-          cent = assign.join(dims, Seq("vec_id"))
-            .groupBy("c", "i")
-            .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") /
-              count(lit(1))).as("cv"))
-        }
-        assign.groupBy("c")
+          .collect().toSeq.zipWithIndex.map { case (r, i) =>
+            (i.toLong, r.getSeq[Float](1).map(_.toDouble).toSeq) }
+        val embs = graft.engine.ops.Scale.spreadForCompute(embeddings(s, d))
+          .select(col("vec_id"), col("embedding"))
+        // round 1 assign → distributed exact-decimal means per (c, i)
+        val a1 = embs.select(col("vec_id"), emb,
+          assignExpr(cent0).getField("c").as("c"))
+        val cent1Rows = a1
+          .select(col("c"), posexplode(col("embedding")).as(Seq("p", "x")))
+          .groupBy(col("c"), (col("p") + 1).as("i"))
+          .agg((sum(col("x").cast("double").cast(DecimalType(20, 10)))
+            .cast("double") / count(lit(1))).as("cv"))
+          .collect()
+        val cent1: Seq[(Long, Seq[Double])] = cent1Rows.toSeq
+          .groupBy(_.getLong(0))
+          .toSeq.sortBy(_._1)
+          .map { case (c, rs) =>
+            (c, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq) }
+        // round 2 assign off the collected means, then the declared
+        // per-cluster membership + inertia aggregate
+        val b2 = assignExpr(cent1)
+        embs.select(b2.getField("c").as("c"), b2.getField("d2").as("d2"))
+          .groupBy("c")
           .agg(count(lit(1)).as("n_members"),
             round(sum(col("d2")).cast("double"), 4).as("inertia"))
           .orderBy("c")
@@ -1550,32 +1569,34 @@ object Ml {
     Q("sample_coreset",
       (s, d) => {
         import s.implicits._
+        import graft.engine.expr.VecExact
         val rounds = 5
-        val dims = embeddings(s, d)
-          .select(col("vec_id"),
-            posexplode(col("embedding")).as(Seq("p", "x")))
-          .select(col("vec_id"), (col("p") + 1).as("i"),
-            col("x").cast("double").as("v"))
-        var selected = Vector(
-          embeddings(s, d).agg(min(col("vec_id"))).collect()(0).getLong(0))
+        // r14 rewrite (guide §1.2 step 1, §2.4 — the vec_pq device):
+        // each greedy round was explode + ≤6-point broadcast join + two
+        // aggregates; the selected set is ≤6 vectors BOUNDED BY
+        // CONSTRUCTION, so carry their arrays on the driver (they were
+        // already one-row collects) and evaluate dmin per row with
+        // exact-decimal HOF folds — each round is ONE TakeOrdered(1)
+        // job, zero exchanges. Oracle parity: identical IEEE (v−s)²
+        // terms, exact decimal sums, least() over exact decimals = the
+        // old MIN, same (radius DESC, vec_id) pick order.
+        val embs = graft.engine.ops.Scale.spreadForCompute(embeddings(s, d))
+          .select(col("vec_id"), col("embedding"))
+        val seed = embs.orderBy("vec_id").limit(1).collect()(0)
+        var selVecs = Vector(seed.getSeq[Float](1).map(_.toDouble).toSeq)
         val picks = scala.collection.mutable.ArrayBuffer[
-          (Int, Long, Option[Double])]((0, selected(0), None))
+          (Int, Long, Option[Double])]((0, seed.getLong(0), None))
         for (r <- 1 to rounds) {
-          val selDims = dims.filter(col("vec_id").isin(selected: _*))
-            .select(col("vec_id").as("s_id"), col("i"),
-              col("v").as("sv"))
-          val pick = dims.join(broadcast(selDims), Seq("i"))
-            .withColumn("sq",
-              ((col("v") - col("sv")) * (col("v") - col("sv")))
-                .cast(DecimalType(24, 12)))
-            .groupBy("vec_id", "s_id").agg(sum(col("sq")).as("d2"))
-            .groupBy("vec_id").agg(min(col("d2")).as("dmin"))
-            .select(col("vec_id"),
-              round(col("dmin").cast("double"), 6).as("radius"))
+          val dcols = selVecs.map(sv =>
+            VecExact.l2decimal(col("embedding"), sv))
+          val dmin = if (dcols.size == 1) dcols.head else least(dcols: _*)
+          val pick = embs
+            .select(col("vec_id"), col("embedding"),
+              round(dmin.cast("double"), 6).as("radius"))
             .orderBy(desc("radius"), col("vec_id")).limit(1)
             .collect()(0)
-          selected :+= pick.getLong(0)
-          picks += ((r, pick.getLong(0), Some(pick.getDouble(1))))
+          selVecs :+= pick.getSeq[Float](1).map(_.toDouble).toSeq
+          picks += ((r, pick.getLong(0), Some(pick.getDouble(2))))
         }
         picks.toSeq.toDF("round", "vec_id", "radius").orderBy("round")
       }, {
@@ -2848,8 +2869,12 @@ object Ml {
         def rankMap(c: String) = {
           val h = base.groupBy(col("g"), col(c))
             .agg(count(lit(1)).as("cnt"))
-          val w = Window.partitionBy("g").orderBy(c)
-          h.withColumn("cum", sum(col("cnt")).over(w))
+          // blocked cumulative: PARTITION BY g alone puts the whole
+          // histogram behind |g|=3 window tasks (guide §2.5 skew); the
+          // two-level form sorts value-blocks in parallel and prefixes
+          // with the block-grain summary — identical integer cum.
+          graft.engine.ops.Scale.blockedCumSum(h, Seq("g"), c, "cnt",
+              floor(col(c) / 512).cast("long"), "cum")
             .select(col("g"), col(c),
               (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)
                 .as(s"r_$c"))

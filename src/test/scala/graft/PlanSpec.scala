@@ -455,13 +455,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"), p)
   }
 
-  test("vec_pq / vec_kmeans broadcast the codebook against the dim " +
-      "stream (no cartesian, partial agg before the pair exchange)") {
+  test("vec_pq / vec_kmeans evaluate the codebook argmin map-side " +
+      "(r14: no join, no window — the k·d codebook is a bounded " +
+      "literal, distances are exact-decimal HOF folds on the scan)") {
     for (k <- Seq("vec_pq", "vec_kmeans")) {
       val p = plan(k)
-      assert(p.contains("BroadcastHashJoin [i#"), s"$k:\n$p")
+      assert(!p.contains("Join"), s"$k:\n$p")
+      assert(!p.contains("Window"), s"$k:\n$p")
       assert(!p.contains("CartesianProduct"), k)
-      assert("HashAggregate".r.findAllIn(p).size >= 2, k)
     }
   }
 
@@ -509,7 +510,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "input (every global window sits above a TakeOrdered k-row " +
       "relation)") {
     import org.apache.spark.sql.execution.window.WindowExec
-    for (name <- Seq("vec_pq", "vec_kmeans", "profile_hill_tail",
+    // vec_pq / vec_kmeans left this list in r14: their seed TakeOrdered
+    // now runs EAGERLY at build time (bounded collect feeding the HOF
+    // codebook literals) so the declared plan has no window at all —
+    // pinned by the map-side plan test above.
+    for (name <- Seq("profile_hill_tail",
         "text_zipf_slope", "rank_fusion_rrf")) {
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan
