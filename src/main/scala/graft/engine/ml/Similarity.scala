@@ -47,7 +47,11 @@ object Similarity {
     * bit-identical to the HOF-composed form (and the oracle). */
   def bruteForceTopK(emb: DataFrame, probeDf: DataFrame, k: Int): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
-    val scored = emb
+    // spreadForCompute: the |emb|×|probes| cosine loop rides the scan
+    // stage; a single-file input serializes it on one task (r14
+    // profile: ~0.5 s single-task per probe batch). No-op at corpus
+    // scale where splits ≥ cores.
+    val scored = graft.engine.ops.Scale.spreadForCompute(emb)
       .crossJoin(broadcast(probeDf))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
@@ -999,7 +1003,9 @@ object Similarity {
     * table. */
   def bruteForceTopKEuclid(emb: DataFrame, probeDf: DataFrame,
       k: Int): DataFrame = {
-    val scored = emb
+    // spreadForCompute: see bruteForceTopK — the distance loop is the
+    // scan stage's cost; no-op once scan splits ≥ cores
+    val scored = graft.engine.ops.Scale.spreadForCompute(emb)
       .crossJoin(broadcast(probeDf))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),

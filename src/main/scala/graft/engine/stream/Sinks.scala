@@ -38,15 +38,25 @@ object Sinks {
     val cols = Seq("user_id", "event_id", "t_us", "event_type", "value")
     val withBucket = batch.select(cols.map(col): _*)
       .withColumn("bucket", pmod(hash(col("user_id")), lit(nBuckets)))
+    // last-writer-wins per key as a MAX_BY aggregate, not a rank
+    // window (r14, guide §2.3 "aggregate before you shuffle"): max_by
+    // partial-aggregates map-side, so only one candidate row per key
+    // per map task reaches the exchange and nothing is sorted;
+    // (t_us, event_id) is unique per user so the argmax is total —
+    // identical rows to the old row_number()=1 pick.
+    def latestPerKey(df: DataFrame): DataFrame =
+      df.groupBy("user_id")
+        .agg(max_by(
+          struct((cols.filterNot(_ == "user_id") :+ "bucket").map(col): _*),
+          struct(col("t_us"), col("event_id"))).as("_r"))
+        .select(col("user_id") +:
+          (cols.filterNot(_ == "user_id") :+ "bucket")
+            .map(c => col(s"_r.$c").as(c)): _*)
     // latest per key within the batch first: shrinks the merge input.
     // Persisted because it feeds TWO jobs — the touched-bucket probe
     // and the merge write — and recomputing it repeats the batch scan
-    // plus the per-key window; batch-sized, freed before return.
-    val w = Window.partitionBy("user_id")
-      .orderBy(desc("t_us"), desc("event_id"))
-    val batchLatest = withBucket
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("rn")
+    // plus the per-key aggregate; batch-sized, freed before return.
+    val batchLatest = latestPerKey(withBucket)
       .persist()
     // unpersist in finally: on the live foreachBatch path a failed
     // merge write is RETRIED by the engine (at-least-once), and a
@@ -69,12 +79,17 @@ object Sinks {
           lit(0L).as("t_us"), lit("").as("event_type"),
           lit(0.0).as("value"), lit(0).as("bucket"))
         .limit(0)
-    val merged = existing.unionByName(batchLatest)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("rn")
-    merged.write
+    val merged = latestPerKey(existing.unionByName(batchLatest))
+    // cluster the write by its partition column (guide §6): without
+    // this every merge task opens a file in every touched bucket
+    // directory (tasks × buckets small files per batch, re-read by the
+    // NEXT batch's merge). maxRecordsPerFile keeps a hot bucket from
+    // becoming one oversized file at scale.
+    merged.repartition(col("bucket"))
+      .write
       .partitionBy("bucket")
       .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", 5000000)
       .mode("overwrite")
       .parquet(targetDir)
     } finally batchLatest.unpersist()

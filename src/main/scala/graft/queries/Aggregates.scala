@@ -864,6 +864,10 @@ object Aggregates {
         val li = lineitem(s, d).select(col("l_returnflag").as("flag"),
           col("l_extendedprice")
             .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("p"))
+        // (r14 note: a (flag, p)-histogram + blocked-cumulative form was
+        // tried to parallelize the 3-task rank window — it regressed:
+        // prices are near-unique, so the histogram aggregation is a
+        // full-size extra exchange. The single window stays.)
         val w = Window.partitionBy("flag").orderBy("p", "l_orderkey")
         val ranked = lineitem(s, d).select(col("l_returnflag").as("flag"),
             col("l_extendedprice")

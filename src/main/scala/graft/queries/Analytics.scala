@@ -870,15 +870,22 @@ object Analytics {
             lineitem(s, d).select(col("l_orderkey").as("pk"),
               col("l_partkey").as("sk")), s"${d}_coorder")
           .filter(col("w") >= 2)
-        val und = e.select(col("a").as("u"), col("b").as("v"))
-          .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+        // tracked caches (r14): und feeds 2 joins + a distinct per peel
+        // round (11 consumers over 5 rounds); each round's alive set is
+        // consumed twice by the NEXT peel (u- and v-side) — caching
+        // both keeps every round's degree aggregate computed once.
+        // Node-/edge-count-sized, runner-released.
+        val und = graft.engine.ml.Dedup.cacheTracked(
+          e.select(col("a").as("u"), col("b").as("v"))
+            .unionByName(e.select(col("b").as("u"), col("a").as("v"))))
         def peel(alive: org.apache.spark.sql.DataFrame) =
           und.join(alive, Seq("u"))
             .join(alive.select(col("u").as("v")), Seq("v"))
             .groupBy("u").agg(count(lit(1)).as("deg"))
         var alive = und.select("u").distinct()
         for (_ <- 1 to 4)
-          alive = peel(alive).filter(col("deg") >= 2).select("u")
+          alive = graft.engine.ml.Dedup.cacheTracked(
+            peel(alive).filter(col("deg") >= 2).select("u"))
         peel(alive)
           .select(col("u").as("node"), col("deg").as("core_deg"))
           .orderBy("node")
@@ -1837,8 +1844,14 @@ object Analytics {
         var frontier = seeds.select(col("seed"), col("seed").as("node"))
         var levels = List(frontier.withColumn("dd", lit(0L)))
         (1 to 4).foreach { h =>
-          frontier = frontier.join(und, col("node") === col("u"))
-            .select(col("seed"), col("v").as("node")).distinct()
+          // tracked cache per BFS level: each frontier is consumed
+          // twice (next hop's join + the final levels union), so the
+          // uncached chain re-ran every earlier hop's join+distinct
+          // per consumer (guide §2.4/§5); levels are (seed, node)
+          // pairs, bounded by 4·|nodes|
+          frontier = graft.engine.ml.Dedup.cacheTracked(
+            frontier.join(und, col("node") === col("u"))
+              .select(col("seed"), col("v").as("node")).distinct())
           levels = frontier.withColumn("dd", lit(h.toLong)) :: levels
         }
         levels.reduce(_ unionByName _)

@@ -905,16 +905,26 @@ object IoQueries {
         CommitLog.init(s, root)
         val cut = lit("1997-01-01").cast("timestamp")
         val early = orders(s, d).filter(col("o_orderdate") < cut)
+        // r14 (guide §6): cluster each write by its partition columns —
+        // un-clustered, every input task opened a file in every leaf
+        // dir (tasks × ~60 ym dirs of tiny files per commit, re-read by
+        // the NEXT commit and the audits); clustered, a leaf dir is one
+        // right-sized file (maxRecordsPerFile caps a hot month at scale)
+        val mrf = 5000000
         CommitLog.commit(s, root, "layout_y") { (dir, _) =>
           early.select(col("o_orderkey").as("k"),
             col("o_totalprice").as("v"),
             year(col("o_orderdate")).as("y"),
             month(col("o_orderdate")).as("m"))
-            .write.partitionBy("y").parquet(dir)
+            .repartition(col("y"))
+            .write.option("maxRecordsPerFile", mrf)
+            .partitionBy("y").parquet(dir)
         }
         CommitLog.commit(s, root, "relayout_ym") { (dir, baseV) =>
           CommitLog.readVersion(s, root, baseV)
-            .write.partitionBy("y", "m").parquet(dir)
+            .repartition(col("y"), col("m"))
+            .write.option("maxRecordsPerFile", mrf)
+            .partitionBy("y", "m").parquet(dir)
         }
         CommitLog.commit(s, root, "append_ym") { (dir, baseV) =>
           CommitLog.readVersion(s, root, baseV)
@@ -923,7 +933,9 @@ object IoQueries {
                 col("o_totalprice").as("v"),
                 year(col("o_orderdate")).as("y"),
                 month(col("o_orderdate")).as("m")))
-            .write.partitionBy("y", "m").parquet(dir)
+            .repartition(col("y"), col("m"))
+            .write.option("maxRecordsPerFile", mrf)
+            .partitionBy("y", "m").parquet(dir)
         }
         def leafDirs(p: org.apache.hadoop.fs.Path): Long = {
           val kids = fsys.listStatus(p).filter(_.isDirectory)

@@ -1427,8 +1427,13 @@ object Llm {
         def results(path: String) =
           Similarity.ivfTopKIndexed(s, path, probes, 5, nProbe = 14)
             .select("probe_id", "rn", "vec_id", "score")
-        val identical = results(idx).exceptAll(results(compacted)).isEmpty &&
-          results(compacted).exceptAll(results(idx)).isEmpty
+        // tracked cache (r14): the two exceptAll directions each
+        // reference both result sets, so the uncached form ran FOUR
+        // IVF searches; cached, each index is searched once
+        val rIdx = graft.engine.ml.Dedup.cacheTracked(results(idx))
+        val rComp = graft.engine.ml.Dedup.cacheTracked(results(compacted))
+        val identical = rIdx.exceptAll(rComp).isEmpty &&
+          rComp.exceptAll(rIdx).isEmpty
         val filesAfter = {
           val root = new org.apache.hadoop.fs.Path(compacted)
           val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -3051,6 +3056,11 @@ GROUP BY source ORDER BY source"""),
         // embedding relation afterwards. Unmaterialized, the greedy
         // recursion below re-ran this scan ~15× (measured 15 s at
         // sf0.1); checkpointed it runs once.
+        // (r14 note: a lazy tracked cache was tried here instead of the
+        // eager localCheckpoints — planning re-exploded to 19 s because
+        // only checkpointing truncates the LOGICAL plan; cache
+        // substitution still carries the 2^rounds analyzed tree. The
+        // eager checkpoints stay.)
         val cand = scoredAll.drop("embedding")
           .withColumn("rn", row_number().over(wP))
           .filter(col("rn") <= 16).drop("rn")

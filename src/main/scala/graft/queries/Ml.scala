@@ -567,8 +567,13 @@ object Ml {
             col("l_partkey").as("sk")), s"${d}_coorder")
         val und = e.select(col("a").as("src"), col("b").as("dst"))
           .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
-        val adj = und.groupBy("src")
-          .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+        // tracked cache (r14): the adjacency aggregate feeds the seeds
+        // scan + all 3 walk steps; uncached, the collect_set re-ran per
+        // step (3×1.4 s stages in the r14 profile — the whole key's
+        // cost). Node-count-sized, runner-released.
+        val adj = graft.engine.ml.Dedup.cacheTracked(
+          und.groupBy("src")
+            .agg(sort_array(collect_set(col("dst"))).as("nbrs")))
         val seeds = adj.select(col("src")).orderBy("src").limit(10)
           .select(col("src").as("walk_id"), col("src").as("node"))
         def step(frontier: DataFrame, k: Int): DataFrame =

@@ -1223,31 +1223,56 @@ object Profiling {
     // mergeability that makes CMS distributed.
     Q("agg_countmin_sweep",
       (s, d) => {
+        // r14 rewrite (guide §1.2 step 1, §2.3): the sketch hash
+        // depends only on the DISTINCT key, but the old plan computed
+        // md5+conv per lineitem ROW × depth (2.4 M at sf0.1) and per
+        // key again for the probe, then shuffled an 800 k-group (w,k)
+        // aggregate behind a broadcast join. Now: aggregate to distinct
+        // keys FIRST, hash each key once into a 4-array, sum true_cnt
+        // per (w,j,cell) — COUNT(*) per cell over rows ≡ Σ true_cnt
+        // over keys — and collect the sketch (Σ_w w·depth = 960 cells,
+        // BOUNDED BY CONSTRUCTION, the zval-histogram discipline) into
+        // a dense array literal. The probe is then a pure map-side
+        // least() of O(1) lookups: one corpus exchange in the whole
+        // query, no join, no (w,k) aggregate. Values are identical
+        // exact integers.
         val depth = 4
-        val js = array((0 until depth).map(lit): _*)
-        val ws = array(Seq(16, 32, 64, 128).map(lit): _*)
-        def baseHash(item: org.apache.spark.sql.Column,
-            j: org.apache.spark.sql.Column) =
-          conv(substring(md5(concat(item, lit("cm"),
-            j.cast("string"))), 1, 8), 16, 10).cast("long")
-        val base = lineitem(s, d)
-          .select(col("l_partkey").cast("string").as("k"))
-          .withColumn("j", explode(js))
-          .withColumn("h", baseHash(col("k"), col("j")))
-        val cells = base.withColumn("w", explode(ws))
-          .withColumn("cell", col("h") % col("w"))
-          .groupBy("w", "j", "cell").agg(count(lit(1)).as("cnt"))
-        val keys = lineitem(s, d)
-          .groupBy(col("l_partkey").cast("string").as("k"))
-          .agg(count(lit(1)).as("true_cnt"))
-        val est = keys
-          .withColumn("j", explode(js))
-          .withColumn("h", baseHash(col("k"), col("j")))
-          .withColumn("w", explode(ws))
-          .withColumn("cell", col("h") % col("w"))
-          .join(broadcast(cells), Seq("w", "j", "cell"))
-          .groupBy("w", "k", "true_cnt").agg(min("cnt").as("est"))
-          .withColumn("over", col("est") - col("true_cnt"))
+        val wsL = Seq(16, 32, 64, 128)
+        val offs = wsL.scanLeft(0)((a, w) => a + w * depth)
+          .zip(wsL).map { case (o, w) => w -> o }.toMap
+        val hsExpr = expr(
+          s"""transform(sequence(0, ${depth - 1}), j ->
+                CAST(conv(substring(md5(concat(k, 'cm',
+                  CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT))""")
+        val khs = graft.engine.ml.Dedup.cacheTracked(
+          lineitem(s, d)
+            .groupBy(col("l_partkey").cast("string").as("k"))
+            .agg(count(lit(1)).as("true_cnt"))
+            .withColumn("hs", hsExpr))
+        val cellRows = khs
+          .select(col("true_cnt"), posexplode(col("hs")).as(Seq("j", "h")))
+          .withColumn("w", explode(array(wsL.map(lit): _*)))
+          .groupBy(col("w"), col("j"), (col("h") % col("w")).as("cell"))
+          .agg(sum("true_cnt").as("cnt"))
+          .collect()
+        val sketch = Array.fill(wsL.map(_ * depth).sum)(0L)
+        cellRows.foreach { r =>
+          val w = r.getInt(0)
+          sketch(offs(w) + r.getInt(1) * w + r.getLong(2).toInt) =
+            r.getLong(3)
+        }
+        val sketchLit = typedLit(sketch.toSeq)
+        val estOf = wsL.map { w =>
+          struct(lit(w).as("w"),
+            least((0 until depth).map(j =>
+              element_at(sketchLit,
+                (col("hs")(j) % w + lit(offs(w) + j * w + 1)).cast("int")))
+              : _*).as("est"))
+        }
+        val est = khs
+          .select(col("true_cnt"), explode(array(estOf: _*)).as("we"))
+          .select(col("we.w").as("w"), col("true_cnt"),
+            (col("we.est") - col("true_cnt")).as("over"))
         est.groupBy("w")
           .agg(count(lit(1)).as("n_keys"),
             sum(when(col("over") === 0, 1L).otherwise(0L))
