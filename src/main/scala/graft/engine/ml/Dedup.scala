@@ -39,7 +39,8 @@ object Dedup {
     * oversized relation spills instead of OOMing at scale; released by
     * the runner's existing [[unpersistTracked]] sweep, so nothing
     * persists across queries or runs. */
-  def cacheTracked(df: DataFrame): DataFrame = trackCache(df)
+  def cacheTracked(df: DataFrame): DataFrame =
+    if (sys.env.get("GRAFT_NO_CACHE").contains("1")) df else trackCache(df)
 
   def unpersistTracked(): Unit = trackedCaches.synchronized {
     trackedCaches.foreach(df =>

@@ -765,6 +765,9 @@ object Similarity {
       .join(probeDf.select(col("probe_id"), col("probe_emb")), Seq("probe_id"))
     val indexed = spark.read.parquet(indexPath)
       .filter(col("cell").isin(allCells: _*)) // prunes partitions
+    // (r14 note: spreadForCompute on the pruned-cell read was A/B'd —
+    // the probed cells are small enough that the repartition exchange
+    // cost more than the cosine parallelism paid; left unspread.)
     val scored = indexed.join(broadcast(probeCellDf), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
@@ -829,8 +832,11 @@ object Similarity {
     val centroids = quantizerFor(emb, datasetTag, nCells, seed)
     val cellOf = udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, 1).head)
     val cellsOf = udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, nProbe))
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      cellOf(col("embedding")).as("cell"))
+    // spreadForCompute: the per-row quantizer UDF + cosine loop ride
+    // the scan stage (see bruteForceTopK) — no-op once splits >= cores
+    val bucketed = graft.engine.ops.Scale.spreadForCompute(emb)
+      .select(col("vec_id"), col("embedding"),
+        cellOf(col("embedding")).as("cell"))
     val probeCells = probeDf.select(col("probe_id"), col("probe_emb"),
       explode(cellsOf(col("probe_emb"))).as("cell"))
     val scored = bucketed.hint("shuffle_hash")
@@ -854,8 +860,11 @@ object Similarity {
     val cellOf = udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, 1).head)
     val cellsOf = udf((a: Seq[Float]) => nearestCellsOf(centroids)(a, nProbe))
 
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      cellOf(col("embedding")).as("cell"))
+    // spreadForCompute: the per-row quantizer UDF + cosine loop ride
+    // the scan stage (see bruteForceTopK) — no-op once splits >= cores
+    val bucketed = graft.engine.ops.Scale.spreadForCompute(emb)
+      .select(col("vec_id"), col("embedding"),
+        cellOf(col("embedding")).as("cell"))
     val probeCells = probeDf.select(col("probe_id"), col("probe_emb"),
       explode(cellsOf(col("probe_emb"))).as("cell"))
     val scored = bucketed.join(broadcast(probeCells), "cell")

@@ -1152,11 +1152,11 @@ object Aggregates {
           .agg(expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)")
             .as("wsum"))
         val tot = h.groupBy("flag").agg(sum("wsum").as("wt"))
-        // blocked cumulative: PARTITION BY flag alone ran the whole
-        // cents histogram behind |flag|=3 window tasks (guide §2.5
-        // skew); two-level blocks parallelize the sort, identical cum
-        graft.engine.ops.Scale.blockedCumSum(h, Seq("flag"), "cents",
-            "wsum", expr("cents div 65536"), "cw")
+        // (r14 note: blockedCumSum A/B'd here too — slower at this
+        // scale, same verdict as ml_spearman_corr; plain window stays.)
+        val w = Window.partitionBy("flag").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        h.withColumn("cw", sum("wsum").over(w))
           .join(broadcast(tot), Seq("flag"))
           .filter(col("cw") * 2 >= col("wt"))
           .groupBy("flag")

@@ -177,13 +177,12 @@ object Analytics {
           .select((col("l_suppkey").cast("bigint") * 2).as("a"),
             (col("l_partkey").cast("bigint") * 2 + 1).as("b"))
           .distinct()
-        // tracked cache: the undirected edge relation is consumed by
-        // every iteration/aggregate below; cache pays the lineitem
-        // distinct once per invocation (MEMORY_AND_DISK, runner
-        // unpersists per query — guide §2.4/§5)
-        val edges = graft.engine.ml.Dedup.cacheTracked(
-          e0.select(col("a").as("src"), col("b").as("dst"))
-            .union(e0.select(col("b").as("src"), col("a").as("dst"))))
+        // (r14 note: a tracked cache of this edge relation was A/B'd —
+        // ReuseExchange already dedups the distinct's exchanges, so the
+        // cache only added a materialization barrier and measured
+        // consistently SLOWER; left uncached.)
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
         graft.engine.ops.Graph.pageRank(edges, 5)
           .select(col("node"), round(col("pr"), 8).as("pr"))
           .orderBy("node")
@@ -1204,15 +1203,13 @@ object Analytics {
     // oracle-checkable form.
     Q("graph_hits",
       (s, d) => {
-        // tracked cache: the distinct bipartite edge relation feeds a1,
-        // h1's join and a2's join (3 consumers, 2 different shuffle
-        // keys); caching pays the orders⋈lineitem distinct once
-        val edges = graft.engine.ml.Dedup.cacheTracked(
-          orders(s, d).select(col("o_custkey"), col("o_orderkey"))
-            .join(lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
-              col("l_partkey")), Seq("o_orderkey"))
-            .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-            .distinct())
+        // (r14 note: caching this edge relation was A/B'd and measured
+        // slightly slower — ReuseExchange covers the 3 consumers.)
+        val edges = orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+          .join(lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+            col("l_partkey")), Seq("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct()
         val a1 = edges.groupBy("p").agg(count(lit(1)).as("a1"))
         val h1 = edges.join(a1, Seq("p"))
           .groupBy("c").agg(sum(col("a1")).as("h1"))
@@ -1844,14 +1841,10 @@ object Analytics {
         var frontier = seeds.select(col("seed"), col("seed").as("node"))
         var levels = List(frontier.withColumn("dd", lit(0L)))
         (1 to 4).foreach { h =>
-          // tracked cache per BFS level: each frontier is consumed
-          // twice (next hop's join + the final levels union), so the
-          // uncached chain re-ran every earlier hop's join+distinct
-          // per consumer (guide §2.4/§5); levels are (seed, node)
-          // pairs, bounded by 4·|nodes|
-          frontier = graft.engine.ml.Dedup.cacheTracked(
-            frontier.join(und, col("node") === col("u"))
-              .select(col("seed"), col("v").as("node")).distinct())
+          // (r14 note: per-level tracked caches were A/B'd and measured
+          // slower — ReuseExchange covers the two consumers per level.)
+          frontier = frontier.join(und, col("node") === col("u"))
+            .select(col("seed"), col("v").as("node")).distinct()
           levels = frontier.withColumn("dd", lit(h.toLong)) :: levels
         }
         levels.reduce(_ unionByName _)
@@ -3973,13 +3966,12 @@ object Analytics {
           .select((col("l_suppkey").cast("bigint") * 2).as("a"),
             (col("l_partkey").cast("bigint") * 2 + 1).as("b"))
           .distinct()
-        // tracked cache: the undirected edge relation is consumed by
-        // every iteration/aggregate below; cache pays the lineitem
-        // distinct once per invocation (MEMORY_AND_DISK, runner
-        // unpersists per query — guide §2.4/§5)
-        val edges = graft.engine.ml.Dedup.cacheTracked(
-          e0.select(col("a").as("src"), col("b").as("dst"))
-            .union(e0.select(col("b").as("src"), col("a").as("dst"))))
+        // (r14 note: a tracked cache of this edge relation was A/B'd —
+        // ReuseExchange already dedups the distinct's exchanges, so the
+        // cache only added a materialization barrier and measured
+        // consistently SLOWER; left uncached.)
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
         val w1 = edges.groupBy(col("dst").as("node"))
           .agg(count(lit(1)).cast(DecimalType(38, 0)).as("w1d"))
         def hop(prev: DataFrame, wcol: String, out: String) =
@@ -4156,13 +4148,12 @@ object Analytics {
           .select((col("l_suppkey").cast("bigint") * 2).as("a"),
             (col("l_partkey").cast("bigint") * 2 + 1).as("b"))
           .distinct()
-        // tracked cache: the undirected edge relation is consumed by
-        // every iteration/aggregate below; cache pays the lineitem
-        // distinct once per invocation (MEMORY_AND_DISK, runner
-        // unpersists per query — guide §2.4/§5)
-        val edges = graft.engine.ml.Dedup.cacheTracked(
-          e0.select(col("a").as("src"), col("b").as("dst"))
-            .union(e0.select(col("b").as("src"), col("a").as("dst"))))
+        // (r14 note: a tracked cache of this edge relation was A/B'd —
+        // ReuseExchange already dedups the distinct's exchanges, so the
+        // cache only added a materialization barrier and measured
+        // consistently SLOWER; left uncached.)
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
         val deg = edges.groupBy(col("dst").as("node"))
           .agg(count(lit(1)).as("degv"))
         val per = edges.alias("e")
@@ -4845,13 +4836,12 @@ object Analytics {
           .select((col("l_suppkey").cast("bigint") * 2).as("a"),
             (col("l_partkey").cast("bigint") * 2 + 1).as("b"))
           .distinct()
-        // tracked cache: the undirected edge relation is consumed by
-        // every iteration/aggregate below; cache pays the lineitem
-        // distinct once per invocation (MEMORY_AND_DISK, runner
-        // unpersists per query — guide §2.4/§5)
-        val edges = graft.engine.ml.Dedup.cacheTracked(
-          e0.select(col("a").as("src"), col("b").as("dst"))
-            .union(e0.select(col("b").as("src"), col("a").as("dst"))))
+        // (r14 note: a tracked cache of this edge relation was A/B'd —
+        // ReuseExchange already dedups the distinct's exchanges, so the
+        // cache only added a materialization barrier and measured
+        // consistently SLOWER; left uncached.)
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst")))
         // iterate UNNORMALIZED (x ≤ deg³ fits DECIMAL(38,0) to
         // deg ≈ 2·10⁸) and normalize ONCE at the end: a per-round
         // Σy reference would double the plan every iteration (the

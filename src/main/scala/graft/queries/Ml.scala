@@ -2874,12 +2874,13 @@ object Ml {
         def rankMap(c: String) = {
           val h = base.groupBy(col("g"), col(c))
             .agg(count(lit(1)).as("cnt"))
-          // blocked cumulative: PARTITION BY g alone puts the whole
-          // histogram behind |g|=3 window tasks (guide §2.5 skew); the
-          // two-level form sorts value-blocks in parallel and prefixes
-          // with the block-grain summary — identical integer cum.
-          graft.engine.ops.Scale.blockedCumSum(h, Seq("g"), c, "cnt",
-              floor(col(c) / 512).cast("long"), "cum")
+          // (r14 note: a two-level blockedCumSum was A/B'd here to
+          // lift the |g|=3 window-task ceiling — the extra block
+          // aggregate + prefix join measured SLOWER at this scale
+          // (2.3 vs 3.1 s, stable control); the plain window stays.
+          // Scale.blockedCumSum remains the device for true skew.)
+          val w = Window.partitionBy("g").orderBy(c)
+          h.withColumn("cum", sum(col("cnt")).over(w))
             .select(col("g"), col(c),
               (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)
                 .as(s"r_$c"))
