@@ -41,23 +41,38 @@ object Behavior {
       .groupBy(col("event_type").as("u"), col("to_type").as("v"))
       .agg(count(lit(1)).as("wt"))
     val rowsum = edges.groupBy("u").agg(sum("wt").as("wu"))
-    // eager checkpoints: every iteration references trans and types —
-    // unmaterialized, each round re-derives the events window + aggs
-    // inside one nested plan (the sim_search_mmr lesson); both are
-    // |types|²-bounded relations
+    // eager checkpoint: the transition relation is |types|²-bounded BY
+    // CONSTRUCTION (event types are a small closed vocabulary) and is
+    // consumed by the collect below plus the entropy caller's join
     val trans = edges.join(rowsum, Seq("u")).localCheckpoint(true)
-    val types = edges.select(col("u")).distinct().localCheckpoint(true)
-    val nT = types.agg(count(lit(1)).as("nt"))
-    val p0 = types.crossJoin(nT)
-      .select(col("u"), expr("1000000000000 div nt").as("pi"))
-    val pis = (1 to iters).scanLeft(p0) { (p, _) =>
-      types.join(
-        p.join(trans, Seq("u"))
-          .select(col("v").as("u"), expr("(pi * wt) div wu").as("c"))
-          .groupBy("u").agg(sum("c").as("pi")),
-        Seq("u"), "left")
-        .select(col("u"), coalesce(col("pi"), lit(0L)).as("pi"))
+    // r14 (guide §1.2 step 1): the 8 power-iteration rounds previously
+    // ran as nested 5-row join/aggregate plans — a caller tagging all 8
+    // rounds paid ~36 AQE jobs of pure scheduling on relations of a few
+    // ROWS. The chain state is bounded by construction, so collect the
+    // transition matrix once (the countmin-sketch discipline) and run
+    // the identical exact-integer recurrence on the driver: Scala Long
+    // `*`, `/` (operands positive) and `+` reproduce Spark's non-ANSI
+    // long arithmetic bit-for-bit, so every pi_t value is unchanged —
+    // the oracle replays the same recurrence and still hash-matches.
+    val tRows = trans.select("u", "v", "wt", "wu").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val types = tRows.map(_._1).distinct.sorted.toSeq
+    val nt = types.length
+    var pi: Map[String, Long] =
+      types.map(u => u -> 1000000000000L / nt).toMap
+    val pisBuf = scala.collection.mutable.ArrayBuffer(pi)
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[String, Long]
+      tRows.foreach { case (u, v, wt, wu) =>
+        contrib(v) = contrib.getOrElse(v, 0L) + (pi(u) * wt) / wu
+      }
+      pi = types.map(u => u -> contrib.getOrElse(u, 0L)).toMap
+      pisBuf += pi
     }
+    import s.implicits._
+    val pis = pisBuf.toSeq.map(m =>
+      types.map(u => (u, m(u))).toDF("u", "pi"))
     (trans, pis)
   }
 
