@@ -144,7 +144,10 @@ object Plans {
     // plans_check now enforces the bubble, so every key within 25%
     // of any record's top-20 cutoff needs an entry
     "fn_collate", "event_markov_entropy", "sim_ann_ivf",
-    "vec_pca_top_component")
+    "vec_pca_top_component",
+    // r14 close: the optimization round reshuffled the top-20 — cover
+    // the two new 25%-bubble entrants of the r14 close record
+    "sim_ann_lsh", "graph_assortativity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
