@@ -31,7 +31,7 @@ import org.apache.spark.sql.types.DecimalType
 object VecExact {
 
   /** Σ_i CAST((CAST(e[i] AS DOUBLE) − c_i)² AS DECIMAL(24,12)) over the
-    * full vector, accumulated exactly in DECIMAL(38,12). */
+    * full vector, accumulated exactly in DECIMAL(30,12). */
   def l2decimal(emb: Column, center: Seq[Double]): Column =
     l2decimalSlice(emb, center, 0, center.size)
 

@@ -47,11 +47,18 @@ object Similarity {
     * bit-identical to the HOF-composed form (and the oracle). */
   def bruteForceTopK(emb: DataFrame, probeDf: DataFrame, k: Int): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
-    // spreadForCompute: the |emb|×|probes| cosine loop rides the scan
-    // stage; a single-file input serializes it on one task (r14
-    // profile: ~0.5 s single-task per probe batch). No-op at corpus
-    // scale where splits ≥ cores.
-    val scored = graft.engine.ops.Scale.spreadForCompute(emb)
+    // NO spreadForCompute here (r15): the cosine work is |emb|×|probes|,
+    // and the label-stratified probe sets this entry point serves are
+    // tiny, so the repartition exchange cost more than the parallelism
+    // paid — sim_search_topk regressed 0.43→0.64 s from the r14 spread
+    // (r14-verdict item 4). Callers with LARGE probe sets pre-spread the
+    // corpus themselves (see batchGroundTruthFor, where the spread
+    // measured a win). GRAFT_BF_SPREAD=1 restores the r14 shape for A/B.
+    val spreadEmb =
+      if (sys.env.get("GRAFT_BF_SPREAD").contains("1"))
+        graft.engine.ops.Scale.spreadForCompute(emb)
+      else emb
+    val scored = spreadEmb
       .crossJoin(broadcast(probeDf))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
@@ -805,7 +812,11 @@ object Similarity {
     val safe = datasetTag.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = graft.engine.io.Artifacts.ensure(spark,
       s"$warehouse/graft_groundtruth/batch_cosine_${safe}_${fp}_$k") { tmp =>
-      bruteForceTopK(emb, batchProbes(emb), k)
+      // the batch probe set is ~10% of the corpus, so the |emb|×|probes|
+      // loop is heavy enough to earn the spread (r14 A/B win) — the
+      // small-probe entry point no longer spreads, so spread here
+      bruteForceTopK(graft.engine.ops.Scale.spreadForCompute(emb),
+        batchProbes(emb), k)
         .write.mode("overwrite").parquet(tmp)
     }
     spark.read.parquet(path)
@@ -1012,9 +1023,14 @@ object Similarity {
     * table. */
   def bruteForceTopKEuclid(emb: DataFrame, probeDf: DataFrame,
       k: Int): DataFrame = {
-    // spreadForCompute: see bruteForceTopK — the distance loop is the
-    // scan stage's cost; no-op once scan splits ≥ cores
-    val scored = graft.engine.ops.Scale.spreadForCompute(emb)
+    // NO spreadForCompute here (r15): see bruteForceTopK — this entry
+    // point only ever serves the tiny label-stratified probe set, where
+    // the repartition exchange costs more than the parallelism pays.
+    val spreadEmb =
+      if (sys.env.get("GRAFT_BF_SPREAD").contains("1"))
+        graft.engine.ops.Scale.spreadForCompute(emb)
+      else emb
+    val scored = spreadEmb
       .crossJoin(broadcast(probeDf))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),

@@ -216,7 +216,7 @@ object Scale {
       .select((parts :+ "_blk").map(col) :+ col("_bpre"): _*)
     within.join(broadcast(prefix), parts :+ "_blk")
       .withColumn(out, col("_cumw") + col("_bpre"))
-      .drop("_blk", "_cumw")
+      .drop("_blk", "_cumw", "_bpre")
   }
 
   /** Range-repartition by a sort key before a sorted write — the layout

@@ -181,6 +181,13 @@ object Analytics {
         // ReuseExchange already dedups the distinct's exchanges, so the
         // cache only added a materialization barrier and measured
         // consistently SLOWER; left uncached.)
+        // (r15 note: an eager localCheckpoint of this edge relation —
+        // the eigenvector/hits/closeness win — was A/B'd here too and
+        // measured FLAT (1.15/1.39/1.11 uncheckpointed vs
+        // 1.19/1.32/1.16 s over 3 reversed-order alternations, flat
+        // control): pageRank's 5 rounds are rank-relation joins, the
+        // edge subtree is shallow, and the materialization pays for
+        // itself only on the deeper iterate chains. Left lazy.)
         val edges = e0.select(col("a").as("src"), col("b").as("dst"))
           .union(e0.select(col("b").as("src"), col("a").as("dst")))
         graft.engine.ops.Graph.pageRank(edges, 5)
@@ -1205,11 +1212,18 @@ object Analytics {
       (s, d) => {
         // (r14 note: caching this edge relation was A/B'd and measured
         // slightly slower — ReuseExchange covers the 3 consumers.)
-        val edges = orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+        // r15 (verdict item 1): eager localCheckpoint instead — truncates
+        // the logical plan so the a1/h1/a2 chain and the final join no
+        // longer carry the join+distinct subtree 4×; GRAFT_GRAPH_NOCKPT=1
+        // restores the r14 shape for A/B.
+        val edges0 = orders(s, d).select(col("o_custkey"), col("o_orderkey"))
           .join(lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
             col("l_partkey")), Seq("o_orderkey"))
           .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
           .distinct()
+        val edges =
+          if (sys.env.get("GRAFT_GRAPH_NOCKPT").contains("1")) edges0
+          else edges0.localCheckpoint(true)
         val a1 = edges.groupBy("p").agg(count(lit(1)).as("a1"))
         val h1 = edges.join(a1, Seq("p"))
           .groupBy("c").agg(sum(col("a1")).as("h1"))
@@ -1834,8 +1848,16 @@ object Analytics {
             lineitem(s, d).select(col("l_partkey").as("pk"),
               col("l_suppkey").as("sk")), s"${d}_cosupply")
           .filter(col("w") >= 25)
-        val und = e.select(col("a").as("u"), col("b").as("v"))
+        // r15 (verdict item 1): eager localCheckpoint — the undirected
+        // relation is referenced by all 4 BFS-level joins plus the seed
+        // pick, and each level's plan otherwise carries (and AQE
+        // replans) the artifact-read+filter+union subtree of every
+        // previous level; GRAFT_GRAPH_NOCKPT=1 restores the r14 shape.
+        val und0 = e.select(col("a").as("u"), col("b").as("v"))
           .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+        val und =
+          if (sys.env.get("GRAFT_GRAPH_NOCKPT").contains("1")) und0
+          else und0.localCheckpoint(true)
         val seeds = und.select(col("u")).distinct()
           .orderBy("u").limit(4).select(col("u").as("seed"))
         var frontier = seeds.select(col("seed"), col("seed").as("node"))
@@ -3970,6 +3992,13 @@ object Analytics {
         // ReuseExchange already dedups the distinct's exchanges, so the
         // cache only added a materialization barrier and measured
         // consistently SLOWER; left uncached.)
+        // (r15 note: an eager localCheckpoint of this edge relation —
+        // the eigenvector/hits/closeness win — was A/B'd here too and
+        // measured consistently SLOWER (0.98/0.89/0.90 uncheckpointed
+        // vs 1.27/1.13/1.19 s over 3 reversed-order alternations, flat
+        // control): only 2 hop joins ride the subtree, so the
+        // materialization barrier outweighs the plan truncation. Left
+        // lazy.)
         val edges = e0.select(col("a").as("src"), col("b").as("dst"))
           .union(e0.select(col("b").as("src"), col("a").as("dst")))
         val w1 = edges.groupBy(col("dst").as("node"))
@@ -4152,6 +4181,12 @@ object Analytics {
         // ReuseExchange already dedups the distinct's exchanges, so the
         // cache only added a materialization barrier and measured
         // consistently SLOWER; left uncached.)
+        // (r15 note: an eager localCheckpoint of this edge relation —
+        // the eigenvector/hits/closeness win — was A/B'd here too and
+        // measured FLAT (1.41/1.47/1.27 uncheckpointed vs
+        // 1.45/1.31/1.32 s over 3 reversed-order alternations, flat
+        // control): one deg join + two aggregates is too shallow for
+        // the materialization to pay. Left lazy.)
         val edges = e0.select(col("a").as("src"), col("b").as("dst"))
           .union(e0.select(col("b").as("src"), col("a").as("dst")))
         val deg = edges.groupBy(col("dst").as("node"))
@@ -4840,8 +4875,17 @@ object Analytics {
         // ReuseExchange already dedups the distinct's exchanges, so the
         // cache only added a materialization barrier and measured
         // consistently SLOWER; left uncached.)
-        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+        // r15 (verdict item 1): eager localCheckpoint instead — unlike
+        // a cache it TRUNCATES the logical plan, so the 3 iterate
+        // joins + the final total/rescale no longer carry (and AQE no
+        // longer replans) the scan+distinct subtree every round; the
+        // sim_search_mmr lesson. GRAFT_GRAPH_NOCKPT=1 restores the r14
+        // shape for A/B.
+        val edges0 = e0.select(col("a").as("src"), col("b").as("dst"))
           .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        val edges =
+          if (sys.env.get("GRAFT_GRAPH_NOCKPT").contains("1")) edges0
+          else edges0.localCheckpoint(true)
         // iterate UNNORMALIZED (x ≤ deg³ fits DECIMAL(38,0) to
         // deg ≈ 2·10⁸) and normalize ONCE at the end: a per-round
         // Σy reference would double the plan every iteration (the

@@ -1265,8 +1265,11 @@ object Ml {
         val codebook: Seq[Seq[Double]] = seedRows.toSeq.map(
           _.getSeq[Float](1).map(_.toDouble).toSeq)
         val emb = col("embedding")
+        // codebook.indices (not a literal 0 until 16): a corpus with
+        // fewer than 16 vectors yields a shorter seed pick, and the old
+        // window form degraded gracefully to fewer codes (r14 ADVICE).
         val bests = (0 until 8).map { j =>
-          array_min(array((0 until 16).map { c =>
+          array_min(array(codebook.indices.map { c =>
             struct(
               VecExact.l2decimalSlice(emb, codebook(c), j * 8, 8).as("d2"),
               lit(c.toLong).as("code"))

@@ -5,8 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Dump `.explain("formatted")` for named queries to plans/<tag>/<q>_<suffix>.txt —
   * the before/after plan evidence for optimization rounds.
   *   runMain graft.tools.ExplainDump <sfDir> <outDir> <suffix> q1 q2 ...
-  * Uses the bench session shape (local[32], shuffle.partitions=32) so the
-  * dumped plan is the one the bench actually runs.
+  * Uses the bench session shape (core count from SPARK_GRAFT_CPUS like the
+  * bench runner, shuffle.partitions to match) so the dumped plan is the one
+  * the bench actually runs. The warehouse dir is derived from outDir so two
+  * concurrent dump runs never collide on saveAsTable artifacts (r14 ADVICE).
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
@@ -14,11 +16,13 @@ object ExplainDump {
     val outDir = args(1)
     val suffix = args(2)
     val keys = args.drop(3)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_explain_wh")
+      .config("spark.sql.warehouse.dir",
+        Paths.get(outDir, ".explain_wh").toAbsolutePath.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
